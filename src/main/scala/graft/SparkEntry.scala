@@ -1,13 +1,519 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{TextFns, TimeFns, VectorFns}
+import graft.operators.{Dedup, Relational, Similarity, SnapshotPipeline}
+import graft.plans.BinPacking
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2
+  * plus the training-data-pipeline extensions; `oracleSql` holds the
+  * DuckDB-equivalent SQL for the hash-compare correctness gate.
+  *
+  * Numeric discipline for cross-engine hash equality: additive aggregates
+  * run over DECIMAL(18,2|4) (exact, associative — immune to partial-agg
+  * ordering), then are cast back to DOUBLE for a stable output type;
+  * ratios/similarities are computed with the same operation order in both
+  * engines and rounded.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact sum of a double measure: decimal-sum then double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast(s"decimal(18,$scale)")).cast("double"), scale)
+
+  /** Engine-portable rounding of a DOUBLE: floor(x*10^s + 0.5)/10^s.
+    * Spark's round() (BigDecimal HALF_UP on shortest-repr) and DuckDB's
+    * (scaled nearbyint) disagree on values one ulp from a .5 boundary;
+    * this formula is pure IEEE ops, so identical inputs give identical
+    * outputs in any engine. Used on BOTH sides of every double-valued
+    * oracle compare.
+    */
+  private def pround(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor(c * f + 0.5) / f
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_star_join")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- core relational (SURVEY §2.2-2.7) ----------------------------
+
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          pround(sum(col("l_discount").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    "q03_star_join" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_spend"))
+    }),
+
+    "q04_left_join_agg" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("num_orders"),
+          round(coalesce(sum(col("o_totalprice").cast("decimal(18,2)")), lit(0))
+            .cast("double"), 2).as("total_spend"))
+    }),
+
+    "q05_anti_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    "q06_semi_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    }),
+
+    "q07_distinct" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderstatus", "o_orderpriority").distinct()),
+
+    "q08_keep_first" -> ((s, d) => {
+      Dedup.keepFirst(t(s, d, "events"), Seq("user_id"), Seq(col("event_id").desc))
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
+    "q09_topk" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("p_brand").asc)
+        .limit(10)
+    }),
+
+    "q10_running_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double"), 2).as("running_spend"))
+    }),
+
+    "q11_sentinel_fill" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Relational.sentinelFill(col("lang"), "notavailable").as("lang_id"))
+    }),
+
+    "q12_explode_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }),
+
+    "q13_snapshot_slots" -> ((s, d) => {
+      t(s, d, "events")
+        .select(TimeFns.snapshotDayId(col("ts")).as("day_date_id"),
+          TimeFns.snapshotTimeId(col("ts")).as("time_of_day_id"))
+        .groupBy("day_date_id", "time_of_day_id")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+    "q14_union_na" -> ((s, d) => {
+      t(s, d, "documents").select(col("lang").as("lang_id")).distinct()
+        .unionByName(s.range(1).select(lit("NA").as("lang_id")))
+    }),
+
+    "q15_positional_zip" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc).limit(100)
+      val sup = t(s, d, "supplier")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc).limit(100)
+      Relational.positionalZip(
+          c, Seq(col("c_acctbal").desc, col("c_custkey").asc),
+          sup, Seq(col("s_acctbal").desc, col("s_suppkey").asc))
+        .select("rn", "c_name", "s_name")
+    }),
+
+    "q16_upsert_delta" -> ((s, d) => {
+      val split = lit("2024-01-15").cast("timestamp")
+      val ev = t(s, d, "events")
+      Relational.upsertDelta(
+        ev.filter(col("ts") >= split).select("user_id").distinct(),
+        ev.filter(col("ts") < split).select("user_id").distinct(),
+        Seq("user_id"))
+    }),
+
+    "q17_tumbling_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"))
+    }),
+
+    "q18_bin_packing" -> ((s, d) => {
+      val weights = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      BinPacking.packDF(s, weights, "p_brand", "cnt", numGroups = 5, cap = 10000L)
+    }),
+
+    "q19_snapshot_chain" -> ((s, d) => {
+      SnapshotPipeline.popularity(
+        SnapshotPipeline.curateEvents(
+          SnapshotPipeline.processEvents(t(s, d, "events"))))
+    }),
+
+    // ---- training-data pipeline: dedup / similarity / text -------------
+
+    "q20_exact_dedup" -> ((s, d) =>
+      Dedup.exactClusters(t(s, d, "documents"), "text", "doc_id")),
+
+    "q21_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id",
+        bands = 3, rowsPerBand = 2)),
+
+    "q22_simhash" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFns.simhash16(TextFns.tokens(col("text"))).as("simhash"))
+    }),
+
+    "q23_jaccard_verify" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.ngramJaccard(docs, "text", "doc_id",
+        Dedup.minhashCandidates(docs, "text", "doc_id", bands = 3, rowsPerBand = 2))
+    }),
+
+    "q24_ann_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 3)
+        .withColumn("cos_sim", pround(col("cos_sim"), 4))
+    }),
+
+    "q25_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", "label", k = 3, nprobe = 2)
+        .withColumn("cos_sim", round(col("cos_sim"), 4))
+    }),
+
+    "q26_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "embedding", "vec_id",
+          planes = 8, dims = 64, minCosine = 0.6)
+        .withColumn("cosine", round(col("cosine"), 4))),
+
+    "q27_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 3)),
+
+    "q30_lang_id" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"), col("lang").as("lang_actual"),
+        TextFns.langId(TextFns.tokens(col("text"))).as("lang_pred"))
+    }),
+
+    "q31_quality_score" -> ((s, d) => {
+      val toks = TextFns.tokens(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        pround(TextFns.stopwordRatio(toks), 4).as("stopword_ratio"),
+        pround(TextFns.avgTokenLen(toks), 4).as("avg_token_len"),
+        pround(TextFns.punctRatio(col("text")), 4).as("punct_ratio"),
+        pround(TextFns.qualityScore(col("text"), toks), 4).as("quality"))
+    }),
+
+    "q32_token_count" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextFns.wsTokenCount(col("text")).as("ws_tokens"),
+        TextFns.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+    }),
+
+    "q33_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextFns.fingerprint(col("text"), 8).as("fp"),
+        size(array_distinct(TextFns.charShingles(col("text"), 8))).cast("long").as("n_grams"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (driver runs these on the same
+    * parquet tables and hash-compares). Omitted keys (q18 bin-packing,
+    * q25 IVF, q26 SRP near-dup) are driver rows-only checks —
+    * driver-side algorithms / literal-plane LSH not expressible as
+    * portable SQL.
+    */
+  def oracleSql: Map[String, String] = {
+    val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+    val shinglesSql = // 3-word shingles over t (token list)
+      "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+    val slotSql = "CAST(floor((floor(epoch(ts)) + 450) / 900) * 900 AS BIGINT)"
+    def slotFmt(fmt: String) = s"strftime(make_timestamp($slotSql * 1000000), '$fmt')"
+    val markerValues = TextFns.langMarkers.toSeq.sortBy(_._1)
+      .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(", ")
+    val stopwordList = TextFns.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    // portable double rounding — must mirror SparkEntry.pround exactly
+    def pround(x: String, s: Int) = { val f = "1" + "0" * s; s"floor(($x) * $f + 0.5) / $f" }
+
+    Map(
+      "q01_pricing_summary" ->
+        s"""SELECT l_returnflag, l_linestatus,
+          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+          |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
+          |  ${pround("CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 4)} AS avg_disc,
+          |  count(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q02_filter_project" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45""".stripMargin,
+
+      "q03_star_join" ->
+        """SELECT r_name, n_name, count(o_orderkey) AS n_orders,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spend
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name""".stripMargin,
+
+      "q04_left_join_agg" ->
+        """SELECT c_custkey, c_name, count(o_orderkey) AS num_orders,
+          |  round(CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE), 2) AS total_spend
+          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |GROUP BY c_custkey, c_name""".stripMargin,
+
+      "q05_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+      "q06_semi_join" ->
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+
+      "q07_distinct" ->
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+      "q08_keep_first" ->
+        """SELECT user_id, event_id, event_type, value FROM events
+          |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""".stripMargin,
+
+      "q09_topk" ->
+        """SELECT p_brand,
+          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY p_brand ORDER BY total_qty DESC, p_brand ASC LIMIT 10""".stripMargin,
+
+      "q10_running_sum" ->
+        """SELECT o_custkey, o_orderkey,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend
+          |FROM orders""".stripMargin,
+
+      "q11_sentinel_fill" ->
+        """SELECT doc_id,
+          |  CASE WHEN lang IS NULL OR lang = '' THEN 'notavailable' ELSE lang END AS lang_id
+          |FROM documents""".stripMargin,
+
+      "q12_explode_tokens" ->
+        s"""SELECT u.token, count(*) AS n
+           |FROM documents, unnest($toksSql) AS u(token)
+           |GROUP BY u.token ORDER BY n DESC, u.token ASC LIMIT 20""".stripMargin,
+
+      "q13_snapshot_slots" ->
+        s"""SELECT ${slotFmt("%Y%m%d")} AS day_date_id, ${slotFmt("%H%M")} AS time_of_day_id,
+           |  count(*) AS n_events
+           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q14_union_na" ->
+        "SELECT DISTINCT lang AS lang_id FROM documents UNION ALL SELECT 'NA' AS lang_id",
+
+      "q15_positional_zip" ->
+        """WITH ct AS (SELECT c_name, row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+          |            FROM (SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 100)),
+          |     st AS (SELECT s_name, row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+          |            FROM (SELECT * FROM supplier ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 100))
+          |SELECT ct.rn AS rn, c_name, s_name FROM ct JOIN st ON ct.rn = st.rn""".stripMargin,
+
+      "q16_upsert_delta" ->
+        """SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+          |AND user_id NOT IN (SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15')""".stripMargin,
+
+      "q17_tumbling_window" ->
+        """SELECT CAST(floor(floor(epoch(ts)) / 900) * 900 AS BIGINT) AS win_start,
+          |  event_type, count(*) AS n
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q19_snapshot_chain" ->
+        s"""WITH p AS (
+           |  SELECT event_id, user_id,
+           |    CASE WHEN event_type IS NULL OR event_type = '' THEN 'notavailable' ELSE event_type END AS event_type,
+           |    ${slotFmt("%Y%m%d")} AS day_date_id, ${slotFmt("%H%M")} AS time_of_day_id
+           |  FROM events
+           |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND user_id >= 0),
+           |c AS (SELECT event_id, event_type FROM p
+           |      QUALIFY row_number() OVER (PARTITION BY user_id, day_date_id, time_of_day_id ORDER BY event_id ASC) = 1)
+           |SELECT event_type, count(event_id) AS num_of_streamers FROM c GROUP BY event_type""".stripMargin,
+
+      "q20_exact_dedup" ->
+        """SELECT md5(lower(text)) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "q21_minhash_pairs" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, $shinglesSql AS sh
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |bk AS (
+           |  SELECT doc_id, unnest([
+           |    'b0|' || list_min(list_transform(sh, s -> md5('0|' || s))) || '|' || list_min(list_transform(sh, s -> md5('1|' || s))),
+           |    'b1|' || list_min(list_transform(sh, s -> md5('2|' || s))) || '|' || list_min(list_transform(sh, s -> md5('3|' || s))),
+           |    'b2|' || list_min(list_transform(sh, s -> md5('4|' || s))) || '|' || list_min(list_transform(sh, s -> md5('5|' || s)))
+           |  ]) AS band_key
+           |  FROM sh WHERE len(sh) > 0)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+
+      "q22_simhash" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |votes AS (
+           |  SELECT doc_id, r.j,
+           |    sum(CASE WHEN substr(md5(token), r.j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+           |  FROM toks, unnest(range(1, 17)) AS r(j) GROUP BY doc_id, r.j)
+           |SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN 1 << (16 - j) ELSE 0 END) AS BIGINT) AS simhash
+           |FROM votes GROUP BY doc_id""".stripMargin,
+
+      "q23_jaccard_verify" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct($shinglesSql) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |bk AS (
+           |  SELECT doc_id, unnest([
+           |    'b0|' || list_min(list_transform(s, g -> md5('0|' || g))) || '|' || list_min(list_transform(s, g -> md5('1|' || g))),
+           |    'b1|' || list_min(list_transform(s, g -> md5('2|' || g))) || '|' || list_min(list_transform(s, g -> md5('3|' || g))),
+           |    'b2|' || list_min(list_transform(s, g -> md5('4|' || g))) || '|' || list_min(list_transform(s, g -> md5('5|' || g)))
+           |  ]) AS band_key
+           |  FROM sh WHERE len(s) > 0),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c JOIN ex ea ON ea.doc_id = c.id_a JOIN ex eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+           |  GROUP BY c.id_a, c.id_b)
+           |SELECT c.id_a, c.id_b,
+           |  CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - CAST(COALESCE(i.i, 0) AS DOUBLE)) AS jaccard
+           |FROM cand c
+           |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+           |JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = c.id_a
+           |JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = c.id_b""".stripMargin,
+
+      "q24_ann_bruteforce" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          |scored AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_sim
+          |  FROM q, c WHERE query_id <> neighbor_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, cos_sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          |  FROM scored)
+          |SELECT query_id, rank, neighbor_id, ${pround("cos_sim", 4)} AS cos_sim
+          |FROM ranked WHERE rank <= 3""".stripMargin,
+
+      "q27_simhash_pairs" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |votes AS (
+           |  SELECT doc_id, r.j,
+           |    sum(CASE WHEN substr(md5(token), r.j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+           |  FROM toks, unnest(range(1, 17)) AS r(j) GROUP BY doc_id, r.j),
+           |sig AS (
+           |  SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN 1 << (16 - j) ELSE 0 END) AS BIGINT) AS sig
+           |  FROM votes GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id, sig, CAST(r.b AS VARCHAR) || ':' || CAST((sig >> (r.b * 4)) & 15 AS VARCHAR) AS band
+           |  FROM sig, unnest(range(0, 4)) AS r(b))
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  bit_count(xor(a.sig, b.sig)) AS hamming
+           |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
+      "q30_lang_id" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |m(lang, w) AS (VALUES $markerValues),
+           |scores AS (
+           |  SELECT t.doc_id, m.lang, count(*) AS sc
+           |  FROM toks t JOIN m ON t.token = m.w GROUP BY t.doc_id, m.lang),
+           |best AS (
+           |  SELECT doc_id, lang FROM scores
+           |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1)
+           |SELECT d.doc_id, d.lang AS lang_actual, COALESCE(b.lang, 'und') AS lang_pred
+           |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin,
+
+      "q31_quality_score" ->
+        s"""WITH base AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+           |feat AS (
+           |  SELECT doc_id, text, len(t) AS n_tokens,
+           |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains($stopwordList, x))) AS DOUBLE) / len(t) ELSE 0.0 END AS swr,
+           |    CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE) / len(t) ELSE 0.0 END AS atl,
+           |    CASE WHEN len(text) > 0 THEN CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END AS pr
+           |  FROM base)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  ${pround("swr", 4)} AS stopword_ratio,
+           |  ${pround("atl", 4)} AS avg_token_len,
+           |  ${pround("pr", 4)} AS punct_ratio,
+           |  ${pround(
+             """greatest(least(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+               |    + (1.0 - abs(swr - 0.25) * 2.0) * 0.3
+               |    + (1.0 - least(abs(atl - 5.0) / 5.0, 1.0)) * 0.3, 1.0), 0.0)""".stripMargin, 4)} AS quality
+           |FROM feat""".stripMargin,
+
+      "q32_token_count" ->
+        s"""SELECT doc_id,
+           |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpeish_tokens
+           |FROM documents""".stripMargin,
+
+      "q33_fingerprint" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |    list_transform(range(1, len(text) - 6), i -> substr(lower(text), i, 8)) AS grams
+          |  FROM documents)
+          |SELECT doc_id, list_min(list_transform(grams, x -> md5(x))) AS fp,
+          |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
+          |FROM g""".stripMargin
+    )
+  }
 }

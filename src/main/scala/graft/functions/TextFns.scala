@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expressions for the training-data pipeline operators:
+  * tokenization, shingling, MinHash, SimHash, language-ID scoring, quality
+  * scoring, fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from Spark
+  * built-ins (higher-order array functions + md5), so the hot path stays
+  * inside whole-stage codegen: per-row, shuffle-free, no UDFs, no
+  * serialization boundary. MinHash/SimHash use md5 as the hash family —
+  * engine-portable (identical hex in any engine), deterministic across
+  * runs and partitionings, which lets the DuckDB oracle reproduce the
+  * exact signatures.
+  */
+object TextFns {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** n-word shingles (space-joined) of a token array; empty if fewer
+    * than n tokens.
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character k-grams of a (lowercased) string; empty if shorter than k. */
+  def charShingles(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => lower(text).substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One MinHash value: lexicographic min of salted md5 over a shingle
+    * set. A distinct salt per signature position simulates an independent
+    * hash function. Null on empty shingle sets.
+    */
+  def minhash(shingles: Column, salt: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(s"$salt|"), s))))
+
+  /** k-position MinHash signature as an array of hex strings. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(minhash(shingles, _)): _*)
+
+  /** LSH band keys: a k = bands * rowsPerBand signature split into bands,
+    * each band's minhashes concatenated into one key string prefixed with
+    * the band id. Docs sharing any band key are near-dup candidates.
+    */
+  def lshBandKeys(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val mins = (0 until rowsPerBand)
+        .map(r => minhash(shingles, b * rowsPerBand + r))
+      concat_ws("|", lit(s"b$b") +: mins: _*)
+    }: _*)
+
+  /** 16-bit SimHash over a token bag, computed per-row with higher-order
+    * aggregates (no explode, no shuffle).
+    *
+    * Plane j (1..16) is the high bit of hex digit j of md5(token): each
+    * token votes +1/-1 per plane; bit j of the result is set when the
+    * vote sum is >= 0. Returned as BIGINT in [0, 65535].
+    */
+  def simhash16(toks: Column): Column = {
+    val high = "89abcdef".map(_.toString)
+    (1 to 16).map { j =>
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc + when(substring(md5(t), j, 1).isin(high: _*), 1).otherwise(-1))
+      when(vote >= 0, lit(1L << (16 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash16 values. */
+  def hamming16(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- language ID -----------------------------------------------------
+
+  /** Marker stopwords per language for the stopword-profile LID heuristic.
+    * Scoring = marker hits per language over the token bag.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "ni"))
+
+  /** Per-language marker hit count over a token bag (per-row, no shuffle). */
+  def langScore(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(langMarkers(lang): _*)))
+
+  /** Predicted language: argmax marker count, ties broken by language code
+    * ascending; "und" (undetermined) when no marker hits at all.
+    *
+    * argmax via array_max over struct(score, rank, lang) — struct
+    * comparison is lexicographic by field, and rank descends with lang so
+    * equal scores pick the alphabetically first language.
+    */
+  def langId(toks: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = langs.zipWithIndex.map { case (l, i) =>
+      struct(langScore(toks, l).as("s"), lit(langs.length - i).as("r"), lit(l).as("l"))
+    }
+    val winner = array_max(array(best: _*))
+    when(winner.getField("s") > 0, winner.getField("l")).otherwise(lit("und"))
+  }
+
+  // ---- quality scoring ---------------------------------------------------
+
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(toks: Column): Column =
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(enStopwords: _*))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+
+  /** Fraction of characters that are neither alphanumeric nor whitespace. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean token length. */
+  def avgTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+
+  /** Composite document quality score in [0,1]: rewards mid-length docs,
+    * a natural stopword ratio, and plausible mean token length.
+    */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val lenScore = least(size(toks).cast("double") / 50.0, lit(1.0))
+    val swScore = lit(1.0) - abs(stopwordRatio(toks) - 0.25) * 2.0
+    val tlScore = lit(1.0) - least(abs(avgTokenLen(toks) - 5.0) / 5.0, lit(1.0))
+    greatest(least(lenScore * 0.4 + swScore * 0.3 + tlScore * 0.3, lit(1.0)), lit(0.0))
+  }
+
+  // ---- token counting ------------------------------------------------------
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, and single
+    * other non-space chars each count as one token.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  // ---- fingerprinting --------------------------------------------------------
+
+  /** Document fingerprint: min md5 over character k-grams — a
+    * 1-permutation MinHash over the rolling-window gram set. Null for
+    * docs shorter than k.
+    */
+  def fingerprint(text: Column, k: Int): Column =
+    array_min(transform(charShingles(text, k), g => md5(g)))
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector expressions over `array<float|double>` embedding columns.
+  *
+  * Pure higher-order-function compositions (`zip_with` + `aggregate`) —
+  * per-row, codegen-eligible, no UDFs. Inputs are cast to
+  * `array<double>` so accumulation is double-precision regardless of the
+  * stored element type (the testdata stores float32; summing in float
+  * would diverge from any double-precision oracle).
+  */
+object VectorFns {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Dot product of two equal-length vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity; relies on non-zero norms (embeddings are dense
+    * random vectors — a zero vector would be a data bug worth surfacing,
+    * and ANSI mode turns it into an explicit error).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-random-projection LSH bucket over `planes` deterministic
+    * pseudo-random hyperplanes. Plane p's coefficient for dimension d is
+    * derived from md5(p,d) — deterministic, seedless, engine-portable.
+    * Returns a bucket id in [0, 2^planes).
+    *
+    * Scale path for ANN: group vectors by bucket, search only the query's
+    * bucket (plus Hamming-1 neighbors for recall if needed).
+    */
+  def srpBucket(v: Column, planes: Int, dims: Int): Column = {
+    // Coefficient for (plane, dim): map first 8 hex chars of md5 to ±1
+    // by parity of the first hex digit. Materialized as literal arrays at
+    // plan time, so runtime cost is one dot product per plane.
+    def coef(p: Int, d: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+    (0 until planes).map { p =>
+      val plane = array((0 until dims).map(d => lit(coef(p, d))): _*)
+      when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

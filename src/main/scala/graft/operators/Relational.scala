@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks re-expressing the reference's hand-rolled
+  * pandas idioms as declarative, order-independent Spark plans.
+  */
+object Relational {
+
+  /** Incremental dimension upsert, existing row wins (reference D3:
+    * `concat([current, new]).drop_duplicates(subset=key, keep="first")`,
+    * scripts/curate_data/curate_users_data.py:80). Order-free
+    * formulation: current ∪ (incoming ⟕anti current). At scale: `current`
+    * is the accumulated dim (large), `incoming` one snapshot (small) —
+    * the anti-join broadcasts `incoming`'s keys.
+    */
+  def upsertKeepFirst(current: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    current.unionByName(incoming.join(current, keys, "left_anti"))
+
+  /** Delta rows emitted by an upsert (reference J4: symmetric-difference
+    * trick `concat([updated, old]).drop_duplicates(keep=False)`,
+    * scripts/curate_data/curate_users_data.py:84). Since old ⊆ updated by
+    * construction, the symmetric difference is exactly a left anti-join.
+    */
+  def upsertDelta(incoming: DataFrame, current: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(current, keys, "left_anti")
+
+  /** Positional (rank-aligned) zip of two frames (reference J5: pandas
+    * `concat(axis=1)`, src/other/create_category_group_messages.py:155).
+    * No positional join exists in Spark; both sides get a row_number over
+    * an explicit deterministic ordering and are equi-joined on it. Inner
+    * join == pandas rows-in-common; callers wanting pandas' NaN-padding
+    * use "full_outer".
+    */
+  def positionalZip(a: DataFrame, orderA: Seq[Column],
+                    b: DataFrame, orderB: Seq[Column],
+                    joinType: String = "inner"): DataFrame = {
+    val ra = a.withColumn("rn", row_number().over(Window.orderBy(orderA: _*)))
+    val rb = b.withColumn("rn", row_number().over(Window.orderBy(orderB: _*)))
+    ra.join(rb, Seq("rn"), joinType)
+  }
+
+  /** Empty-string -> sentinel fill (reference F4, e.g.
+    * scripts/process_raw_data/process_raw_users_data.py:66-67).
+    */
+  def sentinelFill(c: Column, sentinel: String): Column =
+    when(c.isNull || c === "", lit(sentinel)).otherwise(c)
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.VectorFns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k with the (small) query set
+  * broadcast against the (huge) corpus — one corpus scan, no corpus
+  * shuffle except the final per-query top-k aggregation, which is a
+  * k-bounded shuffle (partial top-k per partition via window after a
+  * repartition on query id would still shuffle the scored pairs; at
+  * query-count << corpus-size the scored-pair volume is queries × corpus,
+  * so the scale lever is the bucketed variants below).
+  *
+  * Scale paths: SRP-LSH buckets (search only the query's bucket) and
+  * label-IVF (coarse cells with centroid routing).
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k.
+    *
+    * @param queries small frame of (idCol, vecCol) — broadcast.
+    * @param corpus  large frame of (idCol, vecCol) — scanned once.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
+  /** SRP-LSH top-k: corpus and queries bucketed by sign-random-projection;
+    * only same-bucket candidates are scored. Approximate (recall < 1) but
+    * the scored volume drops by ~2^planes.
+    */
+  def srpTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              planes: Int = 6, dims: Int = 64): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      srpBucket(col(vecCol), planes, dims).as("bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      srpBucket(col(vecCol), planes, dims).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
+  /** IVF-style top-k using a coarse-cell column (here: the provided
+    * `label` as the cell; a k-means assignment would slot in the same
+    * way). Centroids are computed by element-wise mean (posexplode +
+    * two-level aggregate), queries are routed to their `nprobe` nearest
+    * centroids, and only those cells are scanned.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, cellCol: String,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    // element-wise mean per cell: (cell, dim) partial sums -> array rebuild
+    val centroids = corpus
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // route each query to its nprobe nearest centroids (centroid set is tiny)
+    val routed = q.join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("centroid")).as("c_sim"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("c_sim").desc, col("cell").asc)
+    val probes = routed.withColumn("pr", row_number().over(wr))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qv", "cell")
+
+    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(probes).join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+}
