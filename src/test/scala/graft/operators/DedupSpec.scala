@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+  }
+
+  test("exactClusters groups case-insensitive duplicates, keeps min id") {
+    val d = docs(1L -> "Hello World", 2L -> "hello world", 3L -> "other")
+    val out = Dedup.exactClusters(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    out shouldBe Array((2L, 1L), (1L, 3L)) // (n_docs, keep_id)
+  }
+
+  test("dropExactDups keeps exactly one row per content, the min id") {
+    val d = docs(1L -> "a b", 2L -> "A B", 3L -> "c")
+    val out = Dedup.dropExactDups(d, "text", "doc_id").collect().map(_.getLong(0)).sorted
+    out shouldBe Array(1L, 3L)
+  }
+
+  test("keepFirst is deterministic under explicit priority") {
+    val d = docs(5L -> "k1", 3L -> "k1", 9L -> "k2")
+    val out = Dedup.keepFirst(d, Seq("text"), Seq(col("doc_id").asc))
+      .collect().map(_.getLong(0)).sorted
+    out shouldBe Array(3L, 9L)
+  }
+
+  test("minhashCandidates surfaces a planted near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base + " ok" // one extra token -> most shingles shared
+    val other = "completely unrelated text about databases and distributed systems design"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashCandidates(d, "text", "doc_id", bands = 3, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+  }
+
+  test("ngramJaccard: identical docs = 1.0, planted pair high, bounded") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs(1L -> base, 2L -> base, 3L -> (base + " extra"))
+    val cand = Dedup.minhashCandidates(d, "text", "doc_id", bands = 3, rowsPerBand = 2)
+    val out = Dedup.ngramJaccard(d, "text", "doc_id", cand)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    out((1L, 2L)) shouldBe 1.0
+    all(out.values) should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("simhashPairs finds identical docs at hamming 0") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "unrelated words entirely different")
+    val out = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    out((1L, 2L)) shouldBe 0
+  }
+
+  test("embeddingNearDups finds identical vectors") {
+    val v1 = Seq.tabulate(8)(i => math.sin(i + 1))
+    val v2 = v1.map(_ * 1.001) // nearly parallel
+    val v3 = Seq.tabulate(8)(i => math.cos(3 * i) * (if (i % 2 == 0) 1 else -1))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, v1), Row(2L, v2), Row(3L, v3))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    val out = Dedup.embeddingNearDups(emb, "embedding", "vec_id", planes = 4, dims = 8, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out should contain((1L, 2L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class RelationalSpec extends SparkSpec {
+
+  private def kv(rows: (String, String)*) = {
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, v) => Row(k, v) }),
+      StructType(Seq(StructField("k", StringType), StructField("v", StringType))))
+  }
+
+  test("upsertKeepFirst: existing row wins over re-observed key") {
+    val current = kv("a" -> "old", "b" -> "old")
+    val incoming = kv("b" -> "new", "c" -> "new")
+    val out = Relational.upsertKeepFirst(current, incoming, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out shouldBe Map("a" -> "old", "b" -> "old", "c" -> "new")
+  }
+
+  test("upsertDelta emits only never-seen keys") {
+    val current = kv("a" -> "x", "b" -> "x")
+    val incoming = kv("b" -> "y", "c" -> "y")
+    val out = Relational.upsertDelta(incoming, current, Seq("k"))
+      .collect().map(_.getString(0))
+    out shouldBe Array("c")
+  }
+
+  test("upsertDelta on empty current passes everything through") {
+    val out = Relational.upsertDelta(kv("a" -> "1"), kv(), Seq("k")).count()
+    out shouldBe 1
+  }
+
+  test("positionalZip aligns by rank not key") {
+    val a = kv("a1" -> "1", "a2" -> "2")
+    val b = kv("b9" -> "9", "b8" -> "8")
+    val out = Relational.positionalZip(
+        a.select(col("k").as("ka"), col("v").as("va")), Seq(col("va").asc),
+        b.select(col("k").as("kb"), col("v").as("vb")), Seq(col("vb").asc))
+      .orderBy("rn").collect()
+    out.map(r => (r.getAs[String]("ka"), r.getAs[String]("kb"))) shouldBe
+      Array(("a1", "b8"), ("a2", "b9"))
+  }
+
+  test("sentinelFill replaces null and empty only") {
+    val d = kv("a" -> "", "b" -> "x").unionByName(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("c", null))),
+        StructType(Seq(StructField("k", StringType), StructField("v", StringType)))))
+    val out = d.select(col("k"), Relational.sentinelFill(col("v"), "NA").as("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out shouldBe Map("a" -> "NA", "b" -> "x", "c" -> "NA")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def emb(rows: (Long, Seq[Double])*) = {
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+  }
+
+  // axis-aligned corpus: nearest-neighbor structure is known exactly
+  private def corpus = emb(
+    1L -> Seq(1.0, 0.0, 0.0), 2L -> Seq(0.9, 0.1, 0.0), 3L -> Seq(0.0, 1.0, 0.0),
+    4L -> Seq(0.0, 0.9, 0.1), 5L -> Seq(0.0, 0.0, 1.0))
+
+  test("bruteForceTopK returns exact ranked neighbors") {
+    val queries = corpus.filter("vec_id = 1")
+    val out = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    // rank 1 = near-parallel id 2; ids 3,4,5 are all orthogonal (cos 0),
+    // tie broken by neighbor_id asc -> 3
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L, 3L)
+    out.map(_.getAs[Int]("rank")).toSeq shouldBe Seq(1, 2)
+    out.head.getAs[Double]("cos_sim") should be > 0.99
+  }
+
+  test("bruteForceTopK excludes self") {
+    val out = Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding", k = 4)
+    out.filter("query_id = neighbor_id").count() shouldBe 0
+  }
+
+  test("ivfTopK with exhaustive probes matches brute force ordering") {
+    // 2 cells; nprobe = 2 probes all cells -> exact
+    val labeled = corpus.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val q = labeled.filter("vec_id = 1")
+    val bf = Similarity.bruteForceTopK(q, labeled, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val ivf = Similarity.ivfTopK(q, labeled, "vec_id", "embedding", "label", k = 2, nprobe = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    ivf shouldBe bf
+  }
+}
