@@ -280,6 +280,16 @@ object SparkEntry {
     val stopwordList = TextFns.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     // portable double rounding — must mirror SparkEntry.pround exactly
     def pround(x: String, s: Int) = { val f = "1" + "0" * s; s"floor(($x) * $f + 0.5) / $f" }
+    // MinHash two-halves scheme — must mirror Dedup.minhashSignatures:
+    // h1/h2 = first/second 60 bits of md5(shingle), hash_i = h1 + i*h2
+    val h1Sql = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
+    val h2Sql = "CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT)"
+    def sigColsSql(k: Int) =
+      (0 until k).map(i => s"min(h1 + $i * h2) AS mh$i").mkString(", ")
+    def bandKeysSql(bands: Int, r: Int) = (0 until bands).map { b =>
+      val parts = (0 until r).map(i => s"mh${b * r + i}").mkString(", '|', ")
+      s"concat('b$b', '|', $parts)"
+    }.mkString("[", ", ", "]")
 
     Map(
       "q01_pricing_summary" ->
@@ -389,15 +399,11 @@ object SparkEntry {
 
       "q21_minhash_pairs" ->
         s"""WITH sh AS (
-           |  SELECT doc_id, $shinglesSql AS sh
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
            |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
-           |bk AS (
-           |  SELECT doc_id, unnest([
-           |    'b0|' || list_min(list_transform(sh, s -> md5('0|' || s))) || '|' || list_min(list_transform(sh, s -> md5('1|' || s))),
-           |    'b1|' || list_min(list_transform(sh, s -> md5('2|' || s))) || '|' || list_min(list_transform(sh, s -> md5('3|' || s))),
-           |    'b2|' || list_min(list_transform(sh, s -> md5('4|' || s))) || '|' || list_min(list_transform(sh, s -> md5('5|' || s)))
-           |  ]) AS band_key
-           |  FROM sh WHERE len(sh) > 0)
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig)
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
 
@@ -412,30 +418,26 @@ object SparkEntry {
            |FROM votes GROUP BY doc_id""".stripMargin,
 
       "q23_jaccard_verify" ->
-        s"""WITH sh AS (
-           |  SELECT doc_id, list_distinct($shinglesSql) AS s
+        s"""WITH shs AS (
+           |  SELECT doc_id, list_distinct($shinglesSql) AS sset
            |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
-           |bk AS (
-           |  SELECT doc_id, unnest([
-           |    'b0|' || list_min(list_transform(s, g -> md5('0|' || g))) || '|' || list_min(list_transform(s, g -> md5('1|' || g))),
-           |    'b1|' || list_min(list_transform(s, g -> md5('2|' || g))) || '|' || list_min(list_transform(s, g -> md5('3|' || g))),
-           |    'b2|' || list_min(list_transform(s, g -> md5('4|' || g))) || '|' || list_min(list_transform(s, g -> md5('5|' || g)))
-           |  ]) AS band_key
-           |  FROM sh WHERE len(s) > 0),
+           |sh AS (SELECT doc_id, unnest(sset) AS s FROM shs),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
            |inter AS (
            |  SELECT c.id_a, c.id_b, count(*) AS i
-           |  FROM cand c JOIN ex ea ON ea.doc_id = c.id_a JOIN ex eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+           |  FROM cand c JOIN sh ea ON ea.doc_id = c.id_a JOIN sh eb ON eb.doc_id = c.id_b AND eb.s = ea.s
            |  GROUP BY c.id_a, c.id_b)
            |SELECT c.id_a, c.id_b,
            |  CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - CAST(COALESCE(i.i, 0) AS DOUBLE)) AS jaccard
            |FROM cand c
            |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
-           |JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = c.id_a
-           |JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = c.id_b""".stripMargin,
+           |JOIN (SELECT doc_id, len(sset) AS n FROM shs) sa ON sa.doc_id = c.id_a
+           |JOIN (SELECT doc_id, len(sset) AS n FROM shs) sb ON sb.doc_id = c.id_b""".stripMargin,
 
       "q24_ann_bruteforce" ->
         s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),

@@ -67,12 +67,19 @@ object TextFns {
     * vote sum is >= 0. Returned as BIGINT in [0, 65535].
     */
   def simhash16(toks: Column): Column = {
-    val high = "89abcdef".map(_.toString)
-    (1 to 16).map { j =>
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + when(substring(md5(t), j, 1).isin(high: _*), 1).otherwise(-1))
-      when(vote >= 0, lit(1L << (16 - j))).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // One md5 per token (transform), then a single aggregate pass with a
+    // 16-slot vote accumulator — not 16 aggregates each recomputing md5.
+    // Hex digit "high bit set" <=> digit >= '8' lexicographically
+    // (hex alphabet 0-9a-f is ascii-ordered).
+    val votes = aggregate(
+      transform(toks, t => md5(t)),
+      array_repeat(lit(0), lit(16)),
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(16)),
+        (a, j) => a + when(h.substr(j, lit(1)) >= "8", 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, sequence(lit(1), lit(16)),
+        (v, j) => when(v >= 0, pow(lit(2.0), lit(16) - j).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
   }
 
   /** Hamming distance between two simhash16 values. */

@@ -44,24 +44,59 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash-LSH near-dup candidate pairs (id_a < id_b).
+  /** Per-doc k-position MinHash signature, Spark-native shape: explode
+    * shingles to rows, hash each shingle ONCE with codegen'd md5, derive
+    * the k hash functions arithmetically (Kirsch-Mitzenmacher: h_i =
+    * h1 + i*h2 over the two 60-bit halves of the md5), and take the k
+    * mins in one partial+final hash aggregate.
     *
-    * shingle(3-word) -> k = bands*rowsPerBand minhashes -> band keys ->
-    * explode -> self-equi-join on band key. The join is a shuffle on
-    * band-key — at 100 TB this is the only shuffle, and band keys are
-    * ~uniform (md5) so no skew. Output is distinct candidate pairs.
+    * This keeps the whole hot path inside whole-stage codegen — Spark's
+    * higher-order array functions (transform/aggregate) are interpreted
+    * (CodegenFallback), so a per-salt `transform(shingles, md5)`
+    * formulation is ~50x slower and recomputes tokenization per salt.
+    * Map-side combine shrinks the shuffle to one (doc, k longs) row per
+    * doc per partition. 60-bit halves keep h1 + 5*h2 < 2^63 (no
+    * overflow, portable to the DuckDB oracle's hex cast).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(wordShingles(tokens(col(textCol)), 3))).as("s"))
+    val hashed = sh.select(col("doc"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("s")), 17, 15), 16, 10).cast("long").as("h2"))
+    val mins = (0 until k).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
+    hashed.groupBy("doc").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs (id_a < id_b): signature ->
+    * band keys -> explode -> groupBy band key -> in-bucket pair
+    * generation. Two shuffles total (signature agg + band groupBy), both
+    * with map-side combine and md5-uniform keys (no skew). In-bucket
+    * pairs are emitted with a sorted-array HOF, so pairwise cost is
+    * O(candidate pairs), never O(n^2).
     */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         bands: Int = 3, rowsPerBand: Int = 2): DataFrame = {
-    val keyed = docs
-      .select(col(idCol).as("doc"),
-        explode(lshBandKeys(wordShingles(tokens(col(textCol)), 3), bands, rowsPerBand))
-          .as("band_key"))
-      .filter(col("band_key").isNotNull)
-    val a = keyed.as("a")
-    val b = keyed.as("b")
-    a.join(b, col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+    val sigs = minhashSignatures(docs, textCol, idCol, bands * rowsPerBand)
+    val keyed = sigs.select(col("doc"), explode(array((0 until bands).map { b =>
+      concat_ws("|", lit(s"b$b") +:
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    }: _*)).as("band_key"))
+    pairsInBuckets(keyed, "doc", "band_key")
+  }
+
+  /** Distinct (id_a < id_b) pairs of ids sharing a bucket key: groupBy
+    * bucket -> sorted id list -> per-bucket combination expansion.
+    */
+  private[graft] def pairsInBuckets(keyed: DataFrame, idCol: String, bucketCol: String): DataFrame = {
+    val ids = col("ids")
+    keyed.groupBy(col(bucketCol))
+      .agg(array_sort(collect_set(col(idCol))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
@@ -88,19 +123,43 @@ object Dedup {
   /** SimHash near-dup pairs: 16-bit simhash, banded into 4 nibbles; pairs
     * sharing any nibble band are candidates; verified by Hamming <= maxHamming.
     */
+  /** Per-doc 16-bit SimHash in relational shape: explode tokens, one
+    * codegen'd md5 per token, 16 vote sums in a single partial+final
+    * hash aggregate (same plane definition as TextFns.simhash16 — plane
+    * j = high bit of hex digit j, i.e. digit >= '8'). Docs with no
+    * tokens produce no row (same as the unnest-based oracle).
+    */
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hexed = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("t"))
+      .select(col("doc"), md5(col("t")).as("h"))
+    val votes = (1 to 16).map(j =>
+      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"v$j"))
+    hexed.groupBy("doc").agg(votes.head, votes.tail: _*)
+      .select(col("doc"),
+        (1 to 16).map(j => when(col(s"v$j") >= 0, lit(1L << (16 - j))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("doc"), simhash16(tokens(col(textCol))).as("sig"))
+    val sigs = simhashSignatures(docs, textCol, idCol)
     val banded = sigs.select(col("doc"), col("sig"),
       explode(array((0 until 4).map { b =>
         concat_ws(":", lit(b), shiftright(col("sig"), b * 4).bitwiseAND(lit(15L)))
       }: _*)).as("band"))
+    // 16-bit sigs give only 16 values per nibble band, so buckets are
+    // LARGE (n/16 docs each) — unlike the md5-uniform MinHash band keys.
+    // A streaming equi-join handles that shape better than per-bucket
+    // array expansion (which materializes O(bucket^2) structs in one
+    // row), and the Hamming predicate is highly selective, so it runs
+    // BEFORE distinct to shrink the dedup input.
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
         hamming16(col("a.sig"), col("b.sig")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup pairs: SRP-bucketed cosine. Vectors sharing a
