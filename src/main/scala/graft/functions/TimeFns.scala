@@ -42,12 +42,15 @@ object TimeFns {
     floor(unix_timestamp(ts) / seconds) * seconds
 
   /** `part_of_day` bucket used by the reference time dim (reference:
-    * scripts/get_raw_data/get_raw_time_of_day_data.py:78 — night [0,6),
-    * morning [6,12), afternoon [12,18), evening [18,24)).
+    * scripts/get_raw_data/get_raw_time_of_day_data.py:78-81 — the slot
+    * list is 20x night + 28x morning + 20x afternoon + 16x evening +
+    * 12x night, i.e. night [21,5), morning [5,12), afternoon [12,17),
+    * evening [17,21); verified against raw_time_of_day_data.csv).
     */
   def partOfDay(hour: Column): Column =
-    when(hour < 6, "night")
+    when(hour < 5, "night")
       .when(hour < 12, "morning")
-      .when(hour < 18, "afternoon")
-      .otherwise("evening")
+      .when(hour < 17, "afternoon")
+      .when(hour < 21, "evening")
+      .otherwise("night")
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.TimeFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generators for the static dimensions, reproducing the reference's
+  * checked-in CSVs exactly (golden-tested against
+  * data/twitch_project_raw_layer/raw_day_dates_data/raw_day_dates_data.csv
+  * and raw_time_of_day_data.csv).
+  */
+object Dimensions {
+
+  /** Date dimension, one row per day of [startYear, endYear] (reference:
+    * scripts/get_raw_data/get_raw_day_dates_data.py:13-50 — 8
+    * denormalized formats per date). Declarative: a date sequence
+    * exploded, every column a date_format over it.
+    */
+  def dayDates(spark: SparkSession, startYear: Int = 2025, endYear: Int = 2027): DataFrame =
+    spark.range(1)
+      .select(explode(sequence(
+        to_date(lit(s"$startYear-01-01")),
+        to_date(lit(s"$endYear-12-31")))).as("the_date"))
+      .select(
+        date_format(col("the_date"), "yyyyMMdd").as("day_date_id"),
+        col("the_date"),
+        date_format(col("the_date"), "MM/dd/yyyy").as("date_MMDDYYYY"),
+        date_format(col("the_date"), "EEEE").as("day_of_week"),
+        date_format(col("the_date"), "MM").as("month"),
+        date_format(col("the_date"), "dd").as("day"),
+        date_format(col("the_date"), "yyyy").as("year"),
+        date_format(col("the_date"), "MMMM").as("month_name"),
+        upper(date_format(col("the_date"), "MMM")).as("month_abbrev"),
+        date_format(col("the_date"), "yy").as("year_YY"))
+
+  /** Time-of-day dimension: 96 rows at 15-minute grain (reference:
+    * scripts/get_raw_data/get_raw_time_of_day_data.py — id "HHmm",
+    * 24h/12h renderings, AM_PM, part_of_day buckets).
+    */
+  def timeOfDay(spark: SparkSession): DataFrame = {
+    val hour = (col("id") / 4).cast("int")
+    val minute = ((col("id") % 4) * 15).cast("int")
+    val hour12 = ((hour + 11) % 12 + 1)
+    spark.range(96)
+      .select(
+        concat(lpad(hour, 2, "0"), lpad(minute, 2, "0")).as("time_of_day_id"),
+        concat_ws(":", lpad(hour, 2, "0"), lpad(minute, 2, "0")).as("time_24h"),
+        concat(lpad(hour12, 2, "0"), lit(":"), lpad(minute, 2, "0"),
+          when(hour < 12, lit(" AM")).otherwise(lit(" PM"))).as("time_12h"),
+        hour.as("hour"),
+        minute.as("minute"),
+        when(hour < 12, "AM").otherwise("PM").as("AM_PM"),
+        TimeFns.partOfDay(hour).as("part_of_day"))
+  }
+
+  /** genres/game_modes dim curation: rename + the appended
+    * ("NA", "Not Available") row (reference P7:
+    * scripts/curate_data/curate_genres_data.py:21).
+    */
+  def withNaRow(dim: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val s = dim.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val na = s.createDataFrame(
+      s.sparkContext.parallelize(Seq(Row(graft.Schemas.Sentinels.NA,
+        graft.Schemas.Sentinels.NaRowName))),
+      StructType(Seq(StructField(idCol, StringType), StructField(nameCol, StringType))))
+    dim.select(col(idCol), col(nameCol)).unionByName(na)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Medallion-layer I/O (reference S1-S4): raw JSON envelopes, layer CSVs
+  * with the reference's `keep_default_na=False` semantics, and the
+  * partitioned-parquet form the same tables take at scale.
+  *
+  * The reference's layer paths are `layer/{day}/{file}_{time}.csv` and
+  * raw shards `layer/{day}_{time}/shard.json` — path-encoded partition
+  * keys. At 100 TB the same layout becomes Hive-style partition dirs
+  * (`day_date_id=…/time_of_day_id=…`) so Catalyst prunes partitions from
+  * `WHERE day_date_id = …` predicates instead of listing directories.
+  */
+object Layers {
+
+  /** Read every raw shard of one snapshot directory (reference S2:
+    * src/process_raw_data/process_raw_streams_data.py:73-82 lists and
+    * unions shard files one by one — a glob read replaces the loop) and
+    * flatten the envelopes: one row per element of `data`, envelope keys
+    * carried along.
+    */
+  def readEnvelopes(spark: SparkSession, glob: String, dataSchema: StructType): DataFrame =
+    spark.read
+      .schema(graft.Schemas.envelope(dataSchema))
+      .option("multiLine", true)
+      .json(glob)
+      .select(col("day_date_id"), col("time_of_day_id"), explode(col("data")).as("d"))
+      .select(col("day_date_id"), col("time_of_day_id"), col("d.*"))
+
+  /** Layer CSV read with explicit schema and pandas
+    * `keep_default_na=False` semantics: "" stays "" and "NA" stays "NA"
+    * (reference S3, e.g. scripts/process_raw_data/
+    * process_raw_genre_bridge_data.py:65-70). Spark's CSV reader turns
+    * "" into null by default; emptyValue/nullValue overrides keep the
+    * sentinel strings intact.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", true)
+      .option("emptyValue", "")
+      .option("nullValue", "") // a value that never occurs: nothing maps to null
+      // pandas writes RFC-4180 CSV: quotes escaped by doubling, newlines
+      // allowed inside quoted fields. Spark's defaults (escape=backslash,
+      // multiLine=false) silently corrupt such rows.
+      .option("escape", "\"")
+      .option("multiLine", true)
+      .csv(path)
+      // pandas keep_default_na=False has NO nulls: unquoted empty fields
+      // are "", and Spark's CSV reader can't express that distinction on
+      // read — restore it here
+      .na.fill("")
+
+  /** Single-file CSV write for byte-compatibility with the reference's
+    * `to_csv(index=False)` outputs (reference S4). coalesce(1) is the
+    * golden-compat mode only — real outputs use `writePartitioned`.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", true)
+      .option("emptyValue", "")
+      .csv(path)
+
+  /** Scale-path write: snapshot-partitioned parquet. Partition pruning
+    * then serves `day_date_id`/`time_of_day_id` predicates without
+    * touching other snapshots' files.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String] = Seq("day_date_id", "time_of_day_id")): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Parse the layer/day/time keys out of source file paths (reference
+    * X4: src/curate_data/curate_streams_data.py:37-38 slices the S3 key
+    * by character position; a regexp over input_file_name() is the
+    * set-based equivalent).
+    */
+  def withSnapshotKeysFromPath(df: DataFrame): DataFrame =
+    df.withColumn("day_date_id",
+        regexp_extract(input_file_name(), "(\\d{8})_(\\d{4})", 1))
+      .withColumn("time_of_day_id",
+        regexp_extract(input_file_name(), "(\\d{8})_(\\d{4})", 2))
+
+  /** JDBC append sink (reference S9: src/other/insert_data_to_db.py:43-74
+    * bulk-loads curated CSVs into Postgres with rollback-on-error; a
+    * Spark jdbc write is transactional per task and idempotent when the
+    * caller overwrite-partitions by snapshot).
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+}

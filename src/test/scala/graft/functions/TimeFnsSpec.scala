@@ -43,9 +43,10 @@ class TimeFnsSpec extends SparkSpec {
     val rows = spark.range(24).select(col("id").cast("int").as("h"))
       .select(col("h"), TimeFns.partOfDay(col("h")).as("p"))
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
-    rows(0) shouldBe "night"; rows(5) shouldBe "night"
-    rows(6) shouldBe "morning"; rows(11) shouldBe "morning"
-    rows(12) shouldBe "afternoon"; rows(17) shouldBe "afternoon"
-    rows(18) shouldBe "evening"; rows(23) shouldBe "evening"
+    rows(0) shouldBe "night"; rows(4) shouldBe "night"
+    rows(5) shouldBe "morning"; rows(11) shouldBe "morning"
+    rows(12) shouldBe "afternoon"; rows(16) shouldBe "afternoon"
+    rows(17) shouldBe "evening"; rows(20) shouldBe "evening"
+    rows(21) shouldBe "night"; rows(23) shouldBe "night"
   }
 }
