@@ -232,6 +232,17 @@ object SparkEntry {
     "q27_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 3)),
 
+    "q28_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
+      operators.AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts",
+          Map("p_event_id" -> "purchase_id"))
+        .select("event_id", "user_id", "purchase_id")
+    }),
+
     "q30_lang_id" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"), col("lang").as("lang_actual"),
         TextFns.langId(TextFns.tokens(col("text"))).as("lang_pred"))
@@ -470,6 +481,12 @@ object SparkEntry {
            |  bit_count(xor(a.sig, b.sig)) AS hamming
            |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
+      "q28_asof_join" ->
+        """SELECT c.event_id AS event_id, c.user_id AS user_id, p.event_id AS purchase_id
+          |FROM (SELECT * FROM events WHERE event_type = 'click') c
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
       "q30_lang_id" ->
         s"""WITH toks AS (

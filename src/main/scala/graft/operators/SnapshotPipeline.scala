@@ -41,12 +41,17 @@ object SnapshotPipeline {
     * per (user, snapshot) — deterministic replacement for pandas
     * keep="first" (reference D2).
     */
+  /** Narrow serving-schema projection of the processed stream — shared
+    * verbatim by batch and streaming (it is stateless).
+    */
+  def curateProjection(processed: DataFrame): DataFrame =
+    processed.select(
+      col("event_id"), col("day_date_id"), col("time_of_day_id"),
+      col("user_id"), col("event_type"), col("value"),
+      (col("value") * 0.25).as("hours_watched"), col("prop_k"))
+
   def curateEvents(processed: DataFrame): DataFrame =
-    Dedup.keepFirst(
-      processed.select(
-        col("event_id"), col("day_date_id"), col("time_of_day_id"),
-        col("user_id"), col("event_type"), col("value"),
-        (col("value") * 0.25).as("hours_watched"), col("prop_k")),
+    Dedup.keepFirst(curateProjection(processed),
       keys = Seq("user_id", "day_date_id", "time_of_day_id"),
       order = Seq(col("event_id").asc))
 
