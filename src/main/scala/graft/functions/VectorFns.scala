@@ -27,8 +27,19 @@ object VectorFns {
   /** Cosine similarity; relies on non-zero norms (embeddings are dense
     * random vectors — a zero vector would be a data bug worth surfacing,
     * and ANSI mode turns it into an explicit error).
+    *
+    * This is the composable HOF formulation, kept as the portable
+    * reference implementation; hot paths use `cosineFast` (the native
+    * codegen'd expression, bit-identical results).
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Native single-pass cosine (graft.expressions.CosineSimilarity):
+    * same value as `cosine` to the last bit, but stays inside
+    * whole-stage codegen — use in corpus-scan hot paths.
+    */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.expressions.GraftFunctions.cosineSim(a, b)
 
   /** Squared euclidean distance. */
   def sqDist(a: Column, b: Column): Column =

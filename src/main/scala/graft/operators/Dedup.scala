@@ -120,9 +120,6 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup pairs: 16-bit simhash, banded into 4 nibbles; pairs
-    * sharing any nibble band are candidates; verified by Hamming <= maxHamming.
-    */
   /** Per-doc 16-bit SimHash in relational shape: explode tokens, one
     * codegen'd md5 per token, 16 vote sums in a single partial+final
     * hash aggregate (same plane definition as TextFns.simhash16 — plane
@@ -174,7 +171,7 @@ object Dedup {
     val a = bucketed.as("a"); val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        VectorFns.cosine(col("a.v"), col("b.v")).as("cosine"))
+        VectorFns.cosineFast(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -31,7 +31,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+        cosineFast(col("qv"), col("cv")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -53,7 +53,7 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+        cosineFast(col("qv"), col("cv")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -83,7 +83,7 @@ object Similarity {
     // route each query to its nprobe nearest centroids (centroid set is tiny)
     val routed = q.join(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("cell"),
-        cosine(col("qv"), col("centroid")).as("c_sim"))
+        cosineFast(col("qv"), col("centroid")).as("c_sim"))
     val wr = Window.partitionBy(col("query_id")).orderBy(col("c_sim").desc, col("cell").asc)
     val probes = routed.withColumn("pr", row_number().over(wr))
       .filter(col("pr") <= nprobe)
@@ -93,7 +93,7 @@ object Similarity {
     val scored = broadcast(probes).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+        cosineFast(col("qv"), col("cv")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
