@@ -243,6 +243,16 @@ object SparkEntry {
         .select("event_id", "user_id", "purchase_id")
     }),
 
+    // rows-only check (binary media payloads have no SQL oracle): the
+    // multimodal decode/feature plumbing over a deterministic synthetic
+    // media table — schema, batching, and narrow-plan shape are what's
+    // exercised
+    "q29_media_features" -> ((s, _) =>
+      operators.Multimodal.extractFeatures(
+          operators.Multimodal.syntheticMedia(s, 200), dims = 16, batchSize = 32)
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_bytes"), round(element_at(col("features"), 1), 4).as("f0"))),
+
     "q30_lang_id" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"), col("lang").as("lang_actual"),
         TextFns.langId(TextFns.tokens(col("text"))).as("lang_pred"))
