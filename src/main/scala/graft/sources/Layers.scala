@@ -72,6 +72,21 @@ object Layers {
                        partitionCols: Seq[String] = Seq("day_date_id", "time_of_day_id")): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed table write — the co-located-join layout for repeated
+    * fact-fact joins on the same key (e.g. the streams fact joined to
+    * itself across snapshots, or fact-to-large-dim). Both sides bucketed
+    * by the join key with the same bucket count join WITHOUT a shuffle:
+    * the Exchange disappears from the plan entirely, which at 100 TB is
+    * the single biggest cost (sort also drops if sortBy matches).
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   /** Parse the layer/day/time keys out of source file paths (reference
     * X4: src/curate_data/curate_streams_data.py:37-38 slices the S3 key
     * by character position; a regexp over input_file_name() is the
