@@ -224,6 +224,15 @@ object SparkEntry {
         .withColumn("cos_sim", round(col("cos_sim"), 4))
     }),
 
+    // rows-only: learned-cell IVF (k-means centroids are seed-stable in
+    // Spark but not reproducible in SQL)
+    "q34_ann_kmeans" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.kmeansIvfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 3, nCells = 8, nprobe = 3)
+        .withColumn("cos_sim", pround(col("cos_sim"), 4))
+    }),
+
     "q26_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "embedding", "vec_id",
           planes = 8, dims = 64, minCosine = 0.6)

@@ -61,11 +61,36 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** IVF top-k with learned coarse cells: k-means (MLlib) fit on the
+    * corpus assigns every vector a cell; queries route to their `nprobe`
+    * nearest centroids and scan only those cells — the scanned fraction
+    * is ~nprobe/nCells of the corpus. Deterministic under `seed`.
+    *
+    * At 100 TB: fit on a sample (`fitSampleFraction`), assign with one
+    * narrow pass, and persist the assignment as a partition column so
+    * repeated query batches prune cells at the scan.
+    */
+  def kmeansIvfTopK(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nCells: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+                    fitSampleFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.withColumn("__f", array_to_vector(col(vecCol).cast("array<double>")))
+    val fitOn = if (fitSampleFraction < 1.0) featured.sample(fitSampleFraction, seed) else featured
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__f").setPredictionCol("__cell")
+      .fit(fitOn)
+    val assigned = model.transform(featured)
+      .select(col(idCol), col(vecCol), col("__cell").as("cell"))
+    ivfTopK(queries, assigned, idCol, vecCol, "cell", k, nprobe)
+  }
+
   /** IVF-style top-k using a coarse-cell column (here: the provided
-    * `label` as the cell; a k-means assignment would slot in the same
-    * way). Centroids are computed by element-wise mean (posexplode +
-    * two-level aggregate), queries are routed to their `nprobe` nearest
-    * centroids, and only those cells are scanned.
+    * `label` as the cell; `kmeansIvfTopK` slots a learned assignment into
+    * the same shape). Centroids are computed by element-wise mean
+    * (posexplode + two-level aggregate), queries are routed to their
+    * `nprobe` nearest centroids, and only those cells are scanned.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, cellCol: String,

@@ -35,6 +35,25 @@ class SimilaritySpec extends SparkSpec {
     out.filter("query_id = neighbor_id").count() shouldBe 0
   }
 
+  test("kmeansIvfTopK recalls true neighbors on clustered data") {
+    // three tight clusters around orthogonal axes; with nprobe covering
+    // the query's own cluster, top-k must equal brute force
+    val rnd = new scala.util.Random(7)
+    def around(base: Seq[Double]) = base.map(_ + rnd.nextGaussian() * 0.01)
+    val rows = (0 until 30).map { i =>
+      val base = Seq(Seq(10.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0))(i % 3)
+      (i.toLong, around(base))
+    }
+    val corpus = emb(rows: _*)
+    val q = corpus.filter("vec_id = 0")
+    val bf = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val km = Similarity.kmeansIvfTopK(q, corpus, "vec_id", "embedding",
+        k = 5, nCells = 3, nprobe = 1)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    km shouldBe bf
+  }
+
   test("ivfTopK with exhaustive probes matches brute force ordering") {
     // 2 cells; nprobe = 2 probes all cells -> exact
     val labeled = corpus.withColumn("label", (col("vec_id") % 2).cast("int"))
