@@ -76,7 +76,9 @@ object StreamsEtl {
         col("id"), col("login"), col("display_name"),
         Relational.sentinelFill(col("type"), Sentinels.Normal).as("type"),
         Relational.sentinelFill(col("broadcaster_type"), Sentinels.Normal)
-          .as("broadcaster_type"))
+          .as("broadcaster_type"),
+        col("description"), col("profile_image_url"),
+        col("offline_image_url"), col("created_at"))
       .distinct()
 
   /** Curate users (reference: src/curate_data/curate_users_data
