@@ -129,6 +129,26 @@ object StreamsEtl {
     (current.unionByName(delta), delta)
   }
 
+  /** Process a raw IGDB enum dim (genres / game modes): rename id/name
+    * to the dim's column names, keep the remaining IGDB metadata,
+    * distinct (reference: scripts/process_raw_data/
+    * process_raw_genres_data.py:52-58; the game-modes transform is the
+    * same shape — its script in the reference is a mislabeled copy of
+    * the bridge processor, see SURVEY §3.3).
+    */
+  def processIgdbDim(raw: DataFrame, idCol: String, nameCol: String): DataFrame =
+    raw.select(
+        col("id").cast("string").as(idCol),
+        col("created_at"), col("name").as(nameCol), col("slug"),
+        col("updated_at"), col("url"), col("checksum"))
+      .distinct()
+
+  /** Curate an IGDB enum dim: narrow to (id, name) + the NA row
+    * (reference P7: scripts/curate_data/curate_genres_data.py:20-21).
+    */
+  def curateIgdbDim(processed: DataFrame, idCol: String, nameCol: String): DataFrame =
+    Dimensions.withNaRow(processed.select(col(idCol), col(nameCol)), idCol, nameCol)
+
   /** Bridge path (reference E1-E3 + J2: scripts/process_raw_data/
     * process_raw_genre_bridge_data.py:54-100): explode the IGDB array
     * field and resolve igdb_id -> category_id with a broadcast lookup
