@@ -262,6 +262,16 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           col("n_bytes"), round(element_at(col("features"), 1), 4).as("f0"))),
 
+    // rows-only: the DSv2 deterministic replay source feeding the full
+    // snapshot chain — no files, rows derived from (seed, partition, i)
+    "q35_replay_pipeline" -> ((s, _) => {
+      val events = s.read.format("graft.sources.ReplaySource")
+        .option("rows", 20000).option("partitions", 16).option("seed", 42)
+        .load()
+      SnapshotPipeline.popularity(
+        SnapshotPipeline.curateEvents(SnapshotPipeline.processEvents(events)))
+    }),
+
     "q30_lang_id" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"), col("lang").as("lang_actual"),
         TextFns.langId(TextFns.tokens(col("text"))).as("lang_pred"))

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 deterministic event replayer — the in-engine stand-in
+  * for the reference's REST/SQS ingestion fan-out (reference S5-S7: 25
+  * concurrent workers each fetching a category group; SURVEY §7.7 calls
+  * for a deterministic generator/replayer in their place).
+  *
+  * `spark.read.format("graft.sources.replay")
+  *   .option("rows", 100000).option("partitions", 32)
+  *   .option("seed", 42).load()`
+  *
+  * produces the `events` schema. Each input partition derives its rows
+  * purely from (seed, partitionId, rowInPartition), so any subset of
+  * partitions can be regenerated independently and identically — task
+  * retries, speculative execution, and partial replays all see the same
+  * bytes, which is exactly the property the reference gets from its
+  * immutable raw layer ("the replayable log").
+  */
+class ReplaySource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ReplaySource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new ReplayTable(properties.asScala.toMap)
+}
+
+object ReplaySource {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = false)))
+
+  val eventTypes: Array[String] = Array("click", "purchase", "error", "signup", "view")
+
+  /** Deterministic row (epoch-micros ts over one synthetic day). */
+  def row(seed: Long, part: Int, i: Long, rowsPerPart: Long): InternalRow = {
+    val id = part * rowsPerPart + i
+    val rnd = new scala.util.Random(seed * 1000003L + id)
+    val tsMicros = 1704067200000000L + (id * 900L) + rnd.nextInt(1000000)
+    InternalRow(
+      id,
+      tsMicros,
+      math.abs(rnd.nextLong()) % 1000L,
+      UTF8String.fromString(eventTypes(rnd.nextInt(eventTypes.length))),
+      math.rint(rnd.nextDouble() * 20000) / 100.0,
+      UTF8String.fromString(s"""{"k": ${rnd.nextInt(100)}}"""))
+  }
+}
+
+private class ReplayTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = "graft_replay"
+  override def schema(): StructType = ReplaySource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val all = props ++ options.asScala
+    new ReplayScanBuilder(
+      all.getOrElse("rows", "1000").toLong,
+      all.getOrElse("partitions", "4").toInt,
+      all.getOrElse("seed", "42").toLong)
+  }
+}
+
+private class ReplayScanBuilder(rows: Long, partitions: Int, seed: Long)
+  extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = ReplaySource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val perPart = (rows + partitions - 1) / partitions
+    (0 until partitions).map { p =>
+      val n = math.max(0L, math.min(perPart, rows - p * perPart))
+      ReplayPartition(p, n, perPart, seed): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val rp = partition.asInstanceOf[ReplayPartition]
+        new PartitionReader[InternalRow] {
+          private var i = -1L
+          override def next(): Boolean = { i += 1; i < rp.n }
+          override def get(): InternalRow =
+            ReplaySource.row(rp.seed, rp.part, i, rp.perPart)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private case class ReplayPartition(part: Int, n: Long, perPart: Long, seed: Long)
+  extends InputPartition
