@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Dedup, SnapshotPipeline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: run the headline pipelines at replay-generated volumes
+  * well past the test scale factors (no input files needed) and print
+  * wall-clock per stage. Usage: runMain graft.ScaleSmoke [rows]
+  *
+  * This is the "would it survive 100x" probe: the snapshot chain and
+  * dedup operators must scale linearly in rows with stable plans —
+  * any superlinear blowup here is a red flag before it becomes one on
+  * a cluster.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def events(n: Long) = spark.read.format("graft.sources.ReplaySource")
+      .option("rows", n).option("partitions", cpus.toInt * 4)
+      .option("seed", 7).load()
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n%,d")
+    }
+
+    println(s"=== scale smoke at $rows rows, local[$cpus] ===")
+    time("generate+count") { events(rows).count() }
+    time("snapshot chain (proc+curate)") {
+      SnapshotPipeline.curateEvents(
+        SnapshotPipeline.processEvents(events(rows))).count()
+    }
+    time("popularity + topk") {
+      SnapshotPipeline.popularity(
+        SnapshotPipeline.curateEvents(
+          SnapshotPipeline.processEvents(events(rows)))).count()
+    }
+    time("exact dedup clusters") {
+      Dedup.exactClusters(
+        events(rows).select(col("event_id").as("doc_id"),
+          concat_ws(" ", col("event_type"), col("props"), (col("user_id") % 5000)).as("text")),
+        "text", "doc_id").count()
+    }
+    time("keep-first window dedup") {
+      Dedup.keepFirst(events(rows), Seq("user_id"), Seq(col("event_id").asc)).count()
+    }
+    spark.stop()
+  }
+}
