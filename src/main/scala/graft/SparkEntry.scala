@@ -190,6 +190,11 @@ object SparkEntry {
           SnapshotPipeline.processEvents(t(s, d, "events"))))
     }),
 
+    "q36_json_extract" -> ((s, d) => {
+      t(s, d, "events").select(col("event_id"),
+        from_json(col("props"), SnapshotPipeline.propsSchema).getField("k").as("prop_k"))
+    }),
+
     // ---- training-data pipeline: dedup / similarity / text -------------
 
     "q20_exact_dedup" -> ((s, d) =>
@@ -432,6 +437,10 @@ object SparkEntry {
            |c AS (SELECT event_id, event_type FROM p
            |      QUALIFY row_number() OVER (PARTITION BY user_id, day_date_id, time_of_day_id ORDER BY event_id ASC) = 1)
            |SELECT event_type, count(event_id) AS num_of_streamers FROM c GROUP BY event_type""".stripMargin,
+
+      "q36_json_extract" ->
+        """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
+          |FROM events""".stripMargin,
 
       "q20_exact_dedup" ->
         """SELECT md5(lower(text)) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
