@@ -195,6 +195,54 @@ object SparkEntry {
         from_json(col("props"), SnapshotPipeline.propsSchema).getField("k").as("prop_k"))
     }),
 
+    "q37_upsert_keep_first" -> ((s, d) => {
+      val split = lit("2024-01-15").cast("timestamp")
+      val ev = t(s, d, "events")
+      def firstType(f: DataFrame) = Dedup.keepFirst(
+        f.select("user_id", "event_type", "event_id"),
+        Seq("user_id"), Seq(col("event_id").asc)).select("user_id", "event_type")
+      Relational.upsertKeepFirst(
+        firstType(ev.filter(col("ts") < split)),
+        firstType(ev.filter(col("ts") >= split)), Seq("user_id"))
+    }),
+
+    "q38_day_dates_dim" -> ((s, _) =>
+      operators.Dimensions.dayDates(s, 2025, 2027)),
+
+    "q39_time_of_day_dim" -> ((s, _) =>
+      operators.Dimensions.timeOfDay(s)),
+
+    "q40_sessions" -> ((s, d) => {
+      operators.Sessionize.sessions(t(s, d, "events"), "user_id", "ts", gapSeconds = 3600)
+        .select(col("user_id"), col("session_id"),
+          unix_timestamp(col("session_start")).as("start_s"),
+          unix_timestamp(col("session_end")).as("end_s"),
+          col("n_events"))
+    }),
+
+    "q41_median" -> ((s, d) => {
+      t(s, d, "events").groupBy("event_type")
+        .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
+    }),
+
+    "q42_stats_exact" -> ((s, d) => {
+      // moments from EXACT decimal sums, finished in double with one
+      // fixed operation order — partial-agg ordering can't perturb them
+      val n = count(lit(1)).cast("double")
+      val sx = sum(col("value").cast("decimal(28,2)")).cast("double")
+      val sxx = sum((col("value") * col("value")).cast("decimal(28,4)")).cast("double")
+      t(s, d, "events").groupBy("event_type")
+        .agg(n.cast("long").as("n"),
+          pround(sx / n, 4).as("mean_value"),
+          pround(sqrt(sxx / n - (sx / n) * (sx / n)), 4).as("stddev_pop"))
+    }),
+
+    "q43_histogram" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(floor(col("value") / 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- training-data pipeline: dedup / similarity / text -------------
 
     "q20_exact_dedup" -> ((s, d) =>
@@ -441,6 +489,78 @@ object SparkEntry {
       "q36_json_extract" ->
         """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
           |FROM events""".stripMargin,
+
+      "q37_upsert_keep_first" ->
+        """WITH cur AS (
+          |  SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-15'
+          |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1),
+          |inc AS (
+          |  SELECT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+          |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1)
+          |SELECT user_id, event_type FROM cur
+          |UNION ALL
+          |SELECT user_id, event_type FROM inc
+          |WHERE user_id NOT IN (SELECT user_id FROM cur)""".stripMargin,
+
+      "q38_day_dates_dim" ->
+        """SELECT strftime(g, '%Y%m%d') AS day_date_id,
+          |  CAST(g AS DATE) AS the_date,
+          |  strftime(g, '%m/%d/%Y') AS date_MMDDYYYY,
+          |  dayname(g) AS day_of_week,
+          |  strftime(g, '%m') AS month,
+          |  strftime(g, '%d') AS day,
+          |  strftime(g, '%Y') AS year,
+          |  monthname(g) AS month_name,
+          |  upper(strftime(g, '%b')) AS month_abbrev,
+          |  strftime(g, '%y') AS year_YY
+          |FROM generate_series(DATE '2025-01-01', DATE '2027-12-31', INTERVAL 1 DAY) t(g)""".stripMargin,
+
+      "q39_time_of_day_dim" ->
+        """SELECT lpad(CAST(i // 4 AS VARCHAR), 2, '0') || lpad(CAST((i % 4) * 15 AS VARCHAR), 2, '0') AS time_of_day_id,
+          |  lpad(CAST(i // 4 AS VARCHAR), 2, '0') || ':' || lpad(CAST((i % 4) * 15 AS VARCHAR), 2, '0') AS time_24h,
+          |  lpad(CAST(((i // 4 + 11) % 12) + 1 AS VARCHAR), 2, '0') || ':' || lpad(CAST((i % 4) * 15 AS VARCHAR), 2, '0')
+          |    || (CASE WHEN i // 4 < 12 THEN ' AM' ELSE ' PM' END) AS time_12h,
+          |  CAST(i // 4 AS INTEGER) AS hour,
+          |  CAST((i % 4) * 15 AS INTEGER) AS minute,
+          |  CASE WHEN i // 4 < 12 THEN 'AM' ELSE 'PM' END AS AM_PM,
+          |  CASE WHEN i // 4 < 5 THEN 'night' WHEN i // 4 < 12 THEN 'morning'
+          |       WHEN i // 4 < 17 THEN 'afternoon' WHEN i // 4 < 21 THEN 'evening'
+          |       ELSE 'night' END AS part_of_day
+          |FROM range(0, 96) t(i)""".stripMargin,
+
+      "q40_sessions" ->
+        """WITH g AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 3600
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (
+          |  SELECT user_id, ts,
+          |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM g)
+          |SELECT user_id, session_id,
+          |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+          |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+          |  count(*) AS n_events
+          |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+      "q41_median" ->
+        s"""SELECT event_type, ${pround("quantile_cont(value, 0.5)", 4)} AS median_value
+           |FROM events GROUP BY event_type""".stripMargin,
+
+      "q42_stats_exact" ->
+        s"""SELECT event_type, count(*) AS n,
+           |  ${pround("CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*)", 4)} AS mean_value,
+           |  ${pround(
+             """sqrt(CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) / count(*)
+               |    - (CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*))
+               |      * (CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*)))""".stripMargin, 4)} AS stddev_pop
+           |FROM events GROUP BY event_type""".stripMargin,
+
+      "q43_histogram" ->
+        """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n
+          |FROM events GROUP BY 1""".stripMargin,
 
       "q20_exact_dedup" ->
         """SELECT md5(lower(text)) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id

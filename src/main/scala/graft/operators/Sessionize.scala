@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — the standard event-stream operator a
+  * training-data/behavioral pipeline needs on top of the reference's
+  * fixed 15-minute snapshots: a new session starts when the gap to the
+  * previous event of the same key exceeds `gapSeconds`.
+  *
+  * Relational shape: one shuffle on the key, partition sort by time,
+  * lag() to flag session starts, running sum to number them — the same
+  * window partitioning serves all three steps, so the whole operator is
+  * a single Exchange + sort. In Structured Streaming the equivalent is
+  * `session_window(ts, gap)`, which shares the semantics.
+  */
+object Sessionize {
+
+  /** Assign a session id (key-scoped, 1-based, in time order) to every
+    * event.
+    */
+  def withSessionIds(events: DataFrame, keyCol: String, tsCol: String,
+                     gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w))
+    events
+      .withColumn("__new_session",
+        when(gap.isNull || gap > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_session")
+  }
+
+  /** Per-session summary: bounds, event count, duration. */
+  def sessions(events: DataFrame, keyCol: String, tsCol: String,
+               gapSeconds: Long): DataFrame =
+    withSessionIds(events, keyCol, tsCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .as("duration_s"))
+}
