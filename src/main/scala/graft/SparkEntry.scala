@@ -243,6 +243,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "q44_pivot" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    "q45_rollup" -> ((s, d) => {
+      t(s, d, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("total_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("n"), col("total_value"))
+    }),
+
     // ---- training-data pipeline: dedup / similarity / text -------------
 
     "q20_exact_dedup" -> ((s, d) =>
@@ -561,6 +578,20 @@ object SparkEntry {
       "q43_histogram" ->
         """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n
           |FROM events GROUP BY 1""".stripMargin,
+
+      "q44_pivot" ->
+        """SELECT user_id,
+          |  count(*) FILTER (WHERE event_type = 'click') AS click,
+          |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          |  count(*) FILTER (WHERE event_type = 'error') AS error,
+          |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+          |  count(*) FILTER (WHERE event_type = 'view') AS view
+          |FROM events GROUP BY user_id""".stripMargin,
+
+      "q45_rollup" ->
+        """SELECT COALESCE(event_type, 'ALL') AS event_type, count(*) AS n,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+          |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
 
       "q20_exact_dedup" ->
         """SELECT md5(lower(text)) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
