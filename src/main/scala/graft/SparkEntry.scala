@@ -243,6 +243,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // rows-only: the composed curation pipeline (quality -> language ->
+    // exact dedup -> near dedup); survivor set depends on the greedy
+    // cluster resolution, not SQL-expressible concisely
+    "q46_curation_pipeline" -> ((s, d) =>
+      operators.CurationPipeline.run(t(s, d, "documents"), "text", "doc_id")
+        .kept.select("doc_id", "lang", "n_chars")),
+
     "q44_pivot" -> ((s, d) => {
       t(s, d, "events")
         .groupBy("user_id")

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed training-data curation pipeline: the operators a corpus
+  * pass runs before tokenization, in the canonical order —
+  *
+  *   1. quality gate  (cheap per-row scores: length, stopword ratio,
+  *      punctuation — drop obvious junk FIRST so later stages see less)
+  *   2. language gate (marker-based LID; keep the wanted languages)
+  *   3. exact dedup   (content-hash groupBy, min-id survivor)
+  *   4. near dedup    (MinHash-LSH candidates -> greedy cluster
+  *      resolution: smallest doc id of each connected candidate pair
+  *      survives, one pass)
+  *
+  * Stage order is a cost statement: each stage is strictly more
+  * expensive per surviving row than the previous one, so filters run
+  * cheapest-first (the same early-projection discipline Catalyst applies
+  * to columns, applied to rows).
+  *
+  * Every stage is also available separately; `run` returns the kept
+  * corpus plus a per-stage row-count audit (at 100 TB you want the
+  * audit without a second pass — counts ride on cached stage outputs).
+  */
+object CurationPipeline {
+
+  final case class Config(
+      minTokens: Int = 5,
+      maxPunctRatio: Double = 0.3,
+      minQuality: Double = 0.2,
+      languages: Set[String] = Set("en"),
+      minhashBands: Int = 3,
+      minhashRowsPerBand: Int = 2)
+
+  final case class Result(kept: DataFrame, audit: Map[String, Long])
+
+  def run(docs: DataFrame, textCol: String, idCol: String,
+          cfg: Config = Config()): Result = {
+    val toks = TextFns.tokens(col(textCol))
+
+    val quality = docs.filter(
+      size(toks) >= cfg.minTokens &&
+        TextFns.punctRatio(col(textCol)) <= cfg.maxPunctRatio &&
+        TextFns.qualityScore(col(textCol), toks) >= cfg.minQuality)
+
+    val lang = quality.filter(TextFns.langId(toks).isin(cfg.languages.toSeq: _*))
+
+    val exact = Dedup.dropExactDups(lang, textCol, idCol)
+
+    // near-dup resolution: survivors are docs that never appear as the
+    // larger id of a candidate pair (greedy min-id keeper, one anti-join)
+    val pairs = Dedup.minhashCandidates(exact, textCol, idCol,
+      cfg.minhashBands, cfg.minhashRowsPerBand)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val near = exact.join(losers, Seq(idCol), "left_anti")
+
+    val audit = Map(
+      "input" -> docs.count(),
+      "after_quality" -> quality.count(),
+      "after_language" -> lang.count(),
+      "after_exact_dedup" -> exact.count(),
+      "after_near_dedup" -> near.count())
+    Result(near, audit)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Incremental near-duplicate filtering for a document STREAM: each
+  * micro-batch is deduplicated against everything ever accepted, using
+  * the same MinHash band keys as the batch operator — the streaming form
+  * of the training-data ingest filter ("only keep documents not
+  * near-duplicating the corpus so far").
+  *
+  * State is NOT a Spark state store: band keys of accepted docs live in
+  * a persisted parquet table (like the reference's current_* dims,
+  * reference D3), so it survives restarts, is queryable, and is joined
+  * per batch with a broadcast-or-shuffle anti-join. At 100 TB the band
+  * table is ~bands rows per doc of a few longs — orders of magnitude
+  * smaller than the corpus — and the anti-join prunes on the band hash.
+  *
+  * Within a batch, earlier docs win over later near-dups (min doc id),
+  * deterministically.
+  */
+object StreamingDedup {
+
+  /** Band keys (doc, band_key) for a static micro-batch. */
+  private[streaming] def bandKeys(docs: DataFrame, textCol: String, idCol: String,
+                                  bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = Dedup.minhashSignatures(docs, textCol, idCol, bands * rowsPerBand)
+    sigs.select(col("doc"), explode(array((0 until bands).map { b =>
+      concat_ws("|", lit(s"b$b") +:
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    }: _*)).as("band_key"))
+  }
+
+  /** Filter one batch against the persisted band table AND against
+    * itself (intra-batch near-dups: min id per colliding bucket wins),
+    * then append the survivors' bands to the table.
+    *
+    * @return the accepted (non-near-dup) rows of `batch`
+    */
+  def acceptBatch(batch: DataFrame, textCol: String, idCol: String,
+                  bandTablePath: String,
+                  bands: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    val keys = bandKeys(batch, textCol, idCol, bands, rowsPerBand)
+      .localCheckpoint(true)
+
+    val known =
+      try spark.read.parquet(bandTablePath)
+      catch { case _: Throwable => keys.limit(0) }
+
+    // reject: collides with the accepted corpus...
+    val hitsCorpus = keys.join(known, Seq("band_key"), "left_semi")
+      .select(col("doc")).distinct()
+    // ...or with an earlier (smaller-id) doc in this same batch
+    val minPerBucket = keys.groupBy("band_key").agg(min(col("doc")).as("min_doc"))
+    val hitsBatch = keys.join(minPerBucket, Seq("band_key"))
+      .filter(col("doc") > col("min_doc"))
+      .select(col("doc")).distinct()
+
+    val rejected = hitsCorpus.unionByName(hitsBatch).distinct()
+      .withColumnRenamed("doc", "__rejected")
+    val accepted = batch.join(rejected,
+      batch(idCol) === col("__rejected"), "left_anti")
+
+    val acceptedKeys = keys.join(rejected, col("doc") === col("__rejected"), "left_anti")
+    acceptedKeys.write.mode("append").parquet(bandTablePath)
+    accepted
+  }
+
+  /** Streaming sink: run `acceptBatch` per micro-batch, handing accepted
+    * rows to `sink`.
+    */
+  def dedupSink(stream: DataFrame, textCol: String, idCol: String,
+                bandTablePath: String,
+                sink: DataFrame => Unit,
+                bands: Int = 3, rowsPerBand: Int = 2): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(acceptBatch(batch, textCol, idCol, bandTablePath, bands, rowsPerBand))
+      }
+}
