@@ -247,7 +247,8 @@ object SparkEntry {
     // exact dedup -> near dedup); survivor set depends on the greedy
     // cluster resolution, not SQL-expressible concisely
     "q46_curation_pipeline" -> ((s, d) =>
-      operators.CurationPipeline.run(t(s, d, "documents"), "text", "doc_id")
+      operators.CurationPipeline.run(t(s, d, "documents"), "text", "doc_id",
+          withAudit = false)
         .kept.select("doc_id", "lang", "n_chars")),
 
     "q44_pivot" -> ((s, d) => {

@@ -36,8 +36,11 @@ object CurationPipeline {
 
   final case class Result(kept: DataFrame, audit: Map[String, Long])
 
+  /** @param withAudit false skips the per-stage counts (5 extra jobs) —
+    *                   use when only the kept corpus is needed.
+    */
   def run(docs: DataFrame, textCol: String, idCol: String,
-          cfg: Config = Config()): Result = {
+          cfg: Config = Config(), withAudit: Boolean = true): Result = {
     val toks = TextFns.tokens(col(textCol))
 
     val quality = docs.filter(
@@ -56,7 +59,7 @@ object CurationPipeline {
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     val near = exact.join(losers, Seq(idCol), "left_anti")
 
-    val audit = Map(
+    val audit = if (!withAudit) Map.empty[String, Long] else Map(
       "input" -> docs.count(),
       "after_quality" -> quality.count(),
       "after_language" -> lang.count(),
