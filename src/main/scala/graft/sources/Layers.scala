@@ -62,6 +62,9 @@ object Layers {
     df.coalesce(1).write.mode("overwrite")
       .option("header", true)
       .option("emptyValue", "")
+      // write RFC-4180 (quotes escaped by doubling) so pandas and
+      // readCsv parse embedded quotes/newlines identically
+      .option("escape", "\"")
       .csv(path)
 
   /** Scale-path write: snapshot-partitioned parquet. Partition pruning
