@@ -18,10 +18,12 @@ import org.apache.spark.sql.graft.ColumnBridge
   * `GraftFunctions` are usable from the DataFrame API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => RewriteHofCosine)
+  }
 }
 
 object GraftFunctions {
@@ -37,6 +39,14 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info, builder)
     }
+
+  /** Install graft's optimizer rules on a live session (the
+    * programmatic equivalent of the extensions route).
+    */
+  def installOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RewriteHofCosine))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofCosine
 
   /** Typed DataFrame-API handle on the native cosine expression. */
   def cosineSim(a: Column, b: Column): Column =
