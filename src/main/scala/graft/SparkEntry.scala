@@ -251,6 +251,14 @@ object SparkEntry {
           withAudit = false)
         .kept.select("doc_id", "lang", "n_chars")),
 
+    "q47_hash_sample" -> ((s, d) =>
+      operators.Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 25)
+        .select("doc_id", "lang")),
+
+    "q48_dataset_split" -> ((s, d) =>
+      operators.Sampling.datasetSplit(t(s, d, "documents"), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n"))),
+
     "q44_pivot" -> ((s, d) => {
       t(s, d, "events")
         .groupBy("user_id")
@@ -586,6 +594,18 @@ object SparkEntry {
       "q43_histogram" ->
         """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n
           |FROM events GROUP BY 1""".stripMargin,
+
+      "q47_hash_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 + 100) % 100 < 25""".stripMargin,
+
+      "q48_dataset_split" ->
+        """SELECT CASE
+          |    WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 + 100) % 100 < 80 THEN 'train'
+          |    WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 + 100) % 100 < 90 THEN 'val'
+          |    ELSE 'test' END AS split,
+          |  count(*) AS n
+          |FROM documents GROUP BY 1""".stripMargin,
 
       "q44_pivot" ->
         """SELECT user_id,

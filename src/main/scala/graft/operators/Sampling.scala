@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-stable sampling and dataset splitting — the
+  * reproducibility primitives of a training-data pipeline. Instead of
+  * RNG-based sampling (engine- and partitioning-dependent), rows are
+  * assigned to buckets by a hash of a stable key: the same row lands in
+  * the same bucket in every engine, every run, at every scale, and
+  * adding data never moves existing rows across splits (the property
+  * that keeps a held-out set held out).
+  *
+  * The hash is the md5 60-bit prefix (same derivation as the MinHash
+  * signatures) — portable to any engine with md5 and hex casts.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a key column. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Keep a deterministic `pct`% of rows by key hash. */
+  def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol), 100) < pct)
+
+  /** Assign train/val/test splits by key hash: [0, trainPct) -> train,
+    * [trainPct, trainPct+valPct) -> val, rest -> test.
+    */
+  def datasetSplit(df: DataFrame, keyCol: String,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(col(keyCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+}
