@@ -259,6 +259,29 @@ object SparkEntry {
       operators.Sampling.datasetSplit(t(s, d, "documents"), "doc_id")
         .groupBy("split").agg(count(lit(1)).as("n"))),
 
+    "q49_lag_delta" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+        pround(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
+    }),
+
+    "q50_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      t(s, d, "events").select(col("event_id"), col("event_type"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
+    "q51_first_last" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"))
+    }),
+
     "q44_pivot" -> ((s, d) => {
       t(s, d, "events")
         .groupBy("user_id")
@@ -606,6 +629,24 @@ object SparkEntry {
           |    ELSE 'test' END AS split,
           |  count(*) AS n
           |FROM documents GROUP BY 1""".stripMargin,
+
+      "q49_lag_delta" ->
+        s"""SELECT event_id, user_id,
+           |  ${pround("value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)", 4)} AS delta
+           |FROM events""".stripMargin,
+
+      "q50_ntile" ->
+        """SELECT event_id, event_type,
+          |  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+          |FROM events""".stripMargin,
+
+      "q51_first_last" ->
+        """SELECT event_id, user_id,
+          |  first_value(event_type) OVER w AS first_type,
+          |  last_value(event_type) OVER w AS last_type
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
       "q44_pivot" ->
         """SELECT user_id,
