@@ -282,6 +282,26 @@ object SparkEntry {
         last(col("event_type")).over(w).as("last_type"))
     }),
 
+    "q52_collect" -> ((s, d) => {
+      t(s, d, "events").groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("types"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), concat_ws(",", col("types")).as("types"), col("n"))
+    }),
+
+    "q53_intersect" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+    }),
+
+    "q54_monthly_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+    }),
+
     "q44_pivot" -> ((s, d) => {
       t(s, d, "events")
         .groupBy("user_id")
@@ -647,6 +667,22 @@ object SparkEntry {
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
           |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+      "q52_collect" ->
+        """SELECT user_id,
+          |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+          |  count(*) AS n
+          |FROM events GROUP BY user_id""".stripMargin,
+
+      "q53_intersect" ->
+        """SELECT user_id FROM events WHERE event_type = 'click'
+          |INTERSECT
+          |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+      "q54_monthly_orders" ->
+        """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+          |FROM orders GROUP BY 1""".stripMargin,
 
       "q44_pivot" ->
         """SELECT user_id,
