@@ -302,6 +302,15 @@ object SparkEntry {
           dsum(col("o_totalprice")).as("total"))
     }),
 
+    "q55_cube" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit("ALL")).as("day"), col("n"))
+    }),
+
     "q44_pivot" -> ((s, d) => {
       t(s, d, "events")
         .groupBy("user_id")
@@ -683,6 +692,12 @@ object SparkEntry {
         """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
           |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
           |FROM orders GROUP BY 1""".stripMargin,
+
+      "q55_cube" ->
+        """SELECT COALESCE(event_type, 'ALL') AS event_type,
+          |  COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+          |  count(*) AS n
+          |FROM events GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))""".stripMargin,
 
       "q44_pivot" ->
         """SELECT user_id,

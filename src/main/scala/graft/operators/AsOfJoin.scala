@@ -26,6 +26,11 @@ object AsOfJoin {
     * `right.tsCol <= left.tsCol`, matching on `keys`. Left rows without
     * a predecessor keep null right columns (left-outer semantics).
     *
+    * Determinism: when several right rows share an exact (keys, ts),
+    * which one wins follows the partition sort's tie order — callers
+    * needing a guarantee should pre-dedup the right side on (keys, ts)
+    * (timestamps are usually unique at microsecond grain).
+    *
     * @param rightCols right column -> output alias; aliases must not
     *                  collide with left column names.
     */
