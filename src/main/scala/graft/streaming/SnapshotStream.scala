@@ -106,6 +106,20 @@ object SnapshotStream {
         .withWatermark("ts", watermark)
         .dropDuplicates(Seq("user_id", "day_date_id", "time_of_day_id")))
 
+  /** Streaming gap-based sessions via Spark's native session_window —
+    * the streaming counterpart of operators.Sessionize (same gap
+    * semantics; state closes once the watermark passes the gap).
+    */
+  def sessionCounts(events: DataFrame, keyCol: String, gap: String,
+                    tsCol: String = "ts", watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Running per-key counts with explicit keyed state (reference §2.11
     * feedback loop: the popularity of snapshot N drives the partitioning
     * of snapshot N+1 — this is its always-current streaming form).

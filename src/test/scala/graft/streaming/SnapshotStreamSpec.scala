@@ -101,6 +101,26 @@ class SnapshotStreamSpec extends SparkSpec {
     out shouldBe Map("a" -> 3L, "b" -> 1L)
   }
 
+  test("session_window groups events by gap, closing after the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = SnapshotStream.sessionCounts(in.toDF(), "user_id", gap = "10 minutes",
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    in.addData(
+      ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:05:00", 1), // one session
+      ev(3, "2024-01-01 11:00:00", 1)) // new session after >10min gap
+    q.processAllAvailable()
+    in.addData(ev(9, "2024-01-01 13:00:00", 9)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out").filter("user_id = 1")
+      .orderBy("session_start").collect()
+    out.map(_.getAs[Long]("n_events")).toSeq shouldBe Seq(2L, 1L)
+  }
+
   test("dimension upsert sink emits only never-seen keys per batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
