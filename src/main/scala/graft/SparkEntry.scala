@@ -316,7 +316,9 @@ object SparkEntry {
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // fill ONLY the pivoted count columns — a blanket fill would also
+        // rewrite a null group key to 0, colliding with real user 0
+        .na.fill(0L, Seq("click", "purchase", "error", "signup", "view"))
     }),
 
     "q45_rollup" -> ((s, d) => {
@@ -338,8 +340,11 @@ object SparkEntry {
         bands = 3, rowsPerBand = 2)),
 
     "q22_simhash" -> ((s, d) => {
+      // token-less docs have no signature — same absence semantics as
+      // the oracle's unnest (no rows -> no output row)
       t(s, d, "documents")
         .select(col("doc_id"), TextFns.simhash16(TextFns.tokens(col("text"))).as("simhash"))
+        .filter(col("simhash").isNotNull)
     }),
 
     "q23_jaccard_verify" -> ((s, d) => {

@@ -76,10 +76,14 @@ object TextFns {
       array_repeat(lit(0), lit(16)),
       (acc, h) => zip_with(acc, sequence(lit(1), lit(16)),
         (a, j) => a + when(h.substr(j, lit(1)) >= "8", 1).otherwise(-1)))
-    aggregate(
+    val sig = aggregate(
       zip_with(votes, sequence(lit(1), lit(16)),
         (v, j) => when(v >= 0, pow(lit(2.0), lit(16) - j).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, b) => acc + b)
+    // empty token bag -> null, not 65535 (all-zero votes would set every
+    // bit); matches the relational/oracle form, where such docs have no
+    // rows and thus no signature
+    when(size(toks) > 0, sig)
   }
 
   /** Hamming distance between two simhash16 values. */

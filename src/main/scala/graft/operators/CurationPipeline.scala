@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * to columns, applied to rows).
   *
   * Every stage is also available separately; `run` returns the kept
-  * corpus plus a per-stage row-count audit (at 100 TB you want the
-  * audit without a second pass — counts ride on cached stage outputs).
+  * corpus plus an optional per-stage row-count audit. With the audit on,
+  * intermediate stages are persisted so each count and the next stage
+  * share one computation instead of re-running the upstream chain;
+  * the caller unpersists via `Result.unpersist()` when done.
   */
 object CurationPipeline {
 
@@ -34,7 +36,10 @@ object CurationPipeline {
       minhashBands: Int = 3,
       minhashRowsPerBand: Int = 2)
 
-  final case class Result(kept: DataFrame, audit: Map[String, Long])
+  final case class Result(kept: DataFrame, audit: Map[String, Long],
+                          cached: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
 
   /** @param withAudit false skips the per-stage counts (5 extra jobs) —
     *                   use when only the kept corpus is needed.
@@ -43,14 +48,17 @@ object CurationPipeline {
           cfg: Config = Config(), withAudit: Boolean = true): Result = {
     val toks = TextFns.tokens(col(textCol))
 
-    val quality = docs.filter(
+    def staged(df: DataFrame): DataFrame =
+      if (withAudit) df.persist() else df
+
+    val quality = staged(docs.filter(
       size(toks) >= cfg.minTokens &&
         TextFns.punctRatio(col(textCol)) <= cfg.maxPunctRatio &&
-        TextFns.qualityScore(col(textCol), toks) >= cfg.minQuality)
+        TextFns.qualityScore(col(textCol), toks) >= cfg.minQuality))
 
-    val lang = quality.filter(TextFns.langId(toks).isin(cfg.languages.toSeq: _*))
+    val lang = staged(quality.filter(TextFns.langId(toks).isin(cfg.languages.toSeq: _*)))
 
-    val exact = Dedup.dropExactDups(lang, textCol, idCol)
+    val exact = staged(Dedup.dropExactDups(lang, textCol, idCol))
 
     // near-dup resolution: survivors are docs that never appear as the
     // larger id of a candidate pair (greedy min-id keeper, one anti-join)
@@ -65,6 +73,6 @@ object CurationPipeline {
       "after_language" -> lang.count(),
       "after_exact_dedup" -> exact.count(),
       "after_near_dedup" -> near.count())
-    Result(near, audit)
+    Result(near, audit, if (withAudit) Seq(quality, lang, exact) else Nil)
   }
 }

@@ -90,14 +90,20 @@ object Dedup {
     * pairs are emitted with a sorted-array HOF, so pairwise cost is
     * O(candidate pairs), never O(n^2).
     */
-  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
-                        bands: Int = 3, rowsPerBand: Int = 2): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol, idCol, bands * rowsPerBand)
-    val keyed = sigs.select(col("doc"), explode(array((0 until bands).map { b =>
+  /** (doc, band_key) rows from a signature frame — the ONE definition of
+    * the LSH band keys, shared by batch candidates, streaming dedup, and
+    * mirrored by the oracle's bandKeysSql (they must stay bit-identical).
+    */
+  private[graft] def minhashBandKeys(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc"), explode(array((0 until bands).map { b =>
       concat_ws("|", lit(s"b$b") +:
         (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
     }: _*)).as("band_key"))
-    pairsInBuckets(keyed, "doc", "band_key")
+
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        bands: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, bands * rowsPerBand)
+    pairsInBuckets(minhashBandKeys(sigs, bands, rowsPerBand), "doc", "band_key")
   }
 
   /** Distinct (id_a < id_b) pairs of ids sharing a bucket key: groupBy

@@ -38,7 +38,7 @@ object Orchestrator {
     val curated = layerRoot match {
       case Some(root) =>
         Layers.writePartitioned(curatedAll, s"$root/curated_events")
-        spark.read.parquet(s"$root/curated_events")
+        Layers.readPartitioned(spark, s"$root/curated_events")
       case None => curatedAll
     }
 
@@ -54,19 +54,21 @@ object Orchestrator {
     */
   def upsertDim(spark: SparkSession, incoming: DataFrame, dimPath: String,
                 keys: Seq[String]): DataFrame = {
-    val current =
-      try spark.read.parquet(dimPath)
-      catch { case _: Throwable => incoming.limit(0) }
+    // absent dim = first snapshot; any OTHER read failure must propagate
+    // (treating it as "empty" would overwrite the accumulated dim with
+    // one batch's rows — silent state loss)
+    val current = graft.sources.PathIO.readParquetOrEmpty(
+      spark, dimPath, incoming.limit(0))
     // localCheckpoint cuts the lineage back to materialized partitions:
     // the delta must stay readable AFTER the dim swap below replaces the
     // files its plan would otherwise re-scan
     val delta = Relational.upsertDelta(incoming, current, keys)
       .localCheckpoint(true)
     if (!delta.isEmpty) {
-      // write-ahead then swap: never read the directory being replaced
+      // write-ahead then rename-swap: one full write, no stale copy left
       val next = s"$dimPath.next"
       current.unionByName(delta).write.mode("overwrite").parquet(next)
-      spark.read.parquet(next).write.mode("overwrite").parquet(dimPath)
+      graft.sources.PathIO.swapInto(spark, next, dimPath)
     }
     delta
   }

@@ -75,6 +75,17 @@ object Layers {
                        partitionCols: Seq[String] = Seq("day_date_id", "time_of_day_id")): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Read back a snapshot-partitioned layer with the partition columns
+    * kept as STRINGS. Spark's partition-column type inference would turn
+    * `time_of_day_id=0930` into the integer 930 — leading zeros lost,
+    * joins against the string dim ids silently empty — so it is disabled
+    * for the read (session conf; harmless for non-partitioned reads).
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    spark.read.parquet(path)
+  }
+
   /** Bucketed table write — the co-located-join layout for repeated
     * fact-fact joins on the same key (e.g. the streams fact joined to
     * itself across snapshots, or fact-to-large-dim). Both sides bucketed

@@ -16,18 +16,22 @@ import scala.jdk.CollectionConverters._
   * concurrent workers each fetching a category group; SURVEY §7.7 calls
   * for a deterministic generator/replayer in their place).
   *
-  * `spark.read.format("graft.sources.replay")
+  * `spark.read.format("graft-replay")   // or the full class name
   *   .option("rows", 100000).option("partitions", 32)
   *   .option("seed", 42).load()`
   *
-  * produces the `events` schema. Each input partition derives its rows
+  * produces the `events` schema (the short name resolves through the
+  * DataSourceRegister service file). Each input partition derives its rows
   * purely from (seed, partitionId, rowInPartition), so any subset of
   * partitions can be regenerated independently and identically — task
   * retries, speculative execution, and partial replays all see the same
   * bytes, which is exactly the property the reference gets from its
   * immutable raw layer ("the replayable log").
   */
-class ReplaySource extends TableProvider {
+class ReplaySource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-replay"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ReplaySource.schema
 

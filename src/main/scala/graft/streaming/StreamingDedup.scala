@@ -23,32 +23,26 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object StreamingDedup {
 
-  /** Band keys (doc, band_key) for a static micro-batch. */
-  private[streaming] def bandKeys(docs: DataFrame, textCol: String, idCol: String,
-                                  bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = Dedup.minhashSignatures(docs, textCol, idCol, bands * rowsPerBand)
-    sigs.select(col("doc"), explode(array((0 until bands).map { b =>
-      concat_ws("|", lit(s"b$b") +:
-        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-    }: _*)).as("band_key"))
-  }
-
-  /** Filter one batch against the persisted band table AND against
-    * itself (intra-batch near-dups: min id per colliding bucket wins),
-    * then append the survivors' bands to the table.
+  /** Screen one batch against the persisted band table AND against
+    * itself (intra-batch near-dups: min id per colliding bucket wins).
+    * Pure — nothing is persisted.
     *
-    * @return the accepted (non-near-dup) rows of `batch`
+    * @return (accepted rows of `batch`, their band keys)
     */
-  def acceptBatch(batch: DataFrame, textCol: String, idCol: String,
+  def screenBatch(batch: DataFrame, textCol: String, idCol: String,
                   bandTablePath: String,
-                  bands: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+                  bands: Int = 3, rowsPerBand: Int = 2): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
-    val keys = bandKeys(batch, textCol, idCol, bands, rowsPerBand)
+    // same band-key definition as the batch operator — shared code path
+    val keys = Dedup.minhashBandKeys(
+        Dedup.minhashSignatures(batch, textCol, idCol, bands * rowsPerBand),
+        bands, rowsPerBand)
       .localCheckpoint(true)
 
-    val known =
-      try spark.read.parquet(bandTablePath)
-      catch { case _: Throwable => keys.limit(0) }
+    // absent table = legitimately empty state; real read errors propagate
+    // (a swallowed transient error would re-accept known near-dups)
+    val known = graft.sources.PathIO.readParquetOrEmpty(
+      spark, bandTablePath, keys.limit(0))
 
     // reject: collides with the accepted corpus...
     val hitsCorpus = keys.join(known, Seq("band_key"), "left_semi")
@@ -63,14 +57,27 @@ object StreamingDedup {
       .withColumnRenamed("doc", "__rejected")
     val accepted = batch.join(rejected,
       batch(idCol) === col("__rejected"), "left_anti")
-
     val acceptedKeys = keys.join(rejected, col("doc") === col("__rejected"), "left_anti")
+    (accepted, acceptedKeys)
+  }
+
+  /** Screen + commit in one call, for batch callers that own the
+    * failure handling themselves.
+    */
+  def acceptBatch(batch: DataFrame, textCol: String, idCol: String,
+                  bandTablePath: String,
+                  bands: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+    val (accepted, acceptedKeys) =
+      screenBatch(batch, textCol, idCol, bandTablePath, bands, rowsPerBand)
     acceptedKeys.write.mode("append").parquet(bandTablePath)
     accepted
   }
 
-  /** Streaming sink: run `acceptBatch` per micro-batch, handing accepted
-    * rows to `sink`.
+  /** Streaming sink: screen each micro-batch, hand accepted rows to
+    * `sink`, and append the band keys only AFTER the sink succeeds — if
+    * the sink throws and the engine retries the batch, the documents are
+    * not yet in the band table and are re-screened identically instead
+    * of colliding with their own keys and being dropped forever.
     */
   def dedupSink(stream: DataFrame, textCol: String, idCol: String,
                 bandTablePath: String,
@@ -79,6 +86,9 @@ object StreamingDedup {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(acceptBatch(batch, textCol, idCol, bandTablePath, bands, rowsPerBand))
+        val (accepted, acceptedKeys) =
+          screenBatch(batch, textCol, idCol, bandTablePath, bands, rowsPerBand)
+        sink(accepted)
+        acceptedKeys.write.mode("append").parquet(bandTablePath)
       }
 }

@@ -49,6 +49,11 @@ class TextFnsSpec extends SparkSpec {
     all(sigs) should (be >= 0L and be <= 65535L)
   }
 
+  test("simhash16 is null for empty token bags") {
+    docs("   ").select(TextFns.simhash16(TextFns.tokens(col("text"))))
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("langId picks marker-dominant language, und when none") {
     val d = docs("the cat of the house is big", "der hund und die katze ist nicht da", "zzz qqq")
     val out = d.select(TextFns.langId(TextFns.tokens(col("text")))).collect().map(_.getString(0))

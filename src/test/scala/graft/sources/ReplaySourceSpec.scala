@@ -10,6 +10,10 @@ class ReplaySourceSpec extends SparkSpec {
       .option("rows", rows).option("partitions", partitions)
       .option("seed", seed).load()
 
+  test("short name format resolves through DataSourceRegister") {
+    spark.read.format("graft-replay").option("rows", 10).load().count() shouldBe 10
+  }
+
   test("generates the requested row count with the events schema") {
     val df = read(1000, 4)
     df.schema.fieldNames.toSeq shouldBe
