@@ -311,6 +311,15 @@ object SparkEntry {
           coalesce(col("day"), lit("ALL")).as("day"), col("n"))
     }),
 
+    // rows-only: sketch aggregates (HLL++ distinct, approximate
+    // percentile) — estimates are engine-specific by construction
+    "q56_sketches" -> ((s, d) => {
+      t(s, d, "events").groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"),
+          count(lit(1)).as("n"))
+    }),
+
     "q44_pivot" -> ((s, d) => {
       t(s, d, "events")
         .groupBy("user_id")
