@@ -429,6 +429,17 @@ object SparkEntry {
         TextFns.langId(TextFns.tokens(col("text"))).as("lang_pred"))
     }),
 
+    "q57_lang_id_ngram" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"), col("lang").as("lang_actual"),
+        TextFns.langIdNgram(col("text")).as("lang_pred"))
+    }),
+
+    "q58_pii_counts" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextFns.emailCount(col("text")).as("n_emails"),
+        TextFns.urlCount(col("text")).as("n_urls"))
+    }),
+
     "q31_quality_score" -> ((s, d) => {
       val toks = TextFns.tokens(col("text"))
       t(s, d, "documents").select(
@@ -823,6 +834,35 @@ object SparkEntry {
            |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1)
            |SELECT d.doc_id, d.lang AS lang_actual, COALESCE(b.lang, 'und') AS lang_pred
            |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin,
+
+      "q57_lang_id_ngram" -> {
+        val langs = TextFns.langTrigramProfiles.keys.toSeq.sorted
+        def profile(l: String) =
+          TextFns.langTrigramProfiles(l).map(g => "'" + g + "'").mkString("[", ", ", "]")
+        val scoreCols = langs.map(l =>
+          s"len(list_filter(grams, g -> list_contains(${profile(l)}, g))) AS s_$l").mkString(",\n  ")
+        // tie-break: >= against later languages = alphabetically first wins
+        val caseExpr = langs.zipWithIndex.map { case (l, i) =>
+          val laterGe = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+          val conds = (laterGe :+ s"s_$l > 0").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n    ")
+        s"""WITH g AS (
+           |  SELECT doc_id, lang,
+           |    list_transform(range(1, len(' ' || lower(text) || ' ') - 1),
+           |      i -> substr(' ' || lower(text) || ' ', i, 3)) AS grams
+           |  FROM documents),
+           |sc AS (SELECT doc_id, lang, $scoreCols FROM g)
+           |SELECT doc_id, lang AS lang_actual,
+           |  CASE $caseExpr ELSE 'und' END AS lang_pred
+           |FROM sc""".stripMargin
+      },
+
+      "q58_pii_counts" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls
+          |FROM documents""".stripMargin,
 
       "q31_quality_score" ->
         s"""WITH base AS (SELECT doc_id, text, $toksSql AS t FROM documents),

@@ -121,6 +121,44 @@ object TextFns {
     when(winner.getField("s") > 0, winner.getField("l")).otherwise(lit("und"))
   }
 
+  /** Character-trigram profiles per language — the classic n-gram LID
+    * heuristic (Cavnar-Trenkle style, tiny profiles): the most
+    * discriminative frequent trigrams of each language, space-padded
+    * word boundaries included.
+    */
+  val langTrigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "he ", " th", "ing", "and", " an", "ion", " of", "of ", "ed "),
+    "de" -> Seq("der", "ein", "ich", "sch", "und", " un", "die", "en ", "ch ", "cht"),
+    "es" -> Seq(" de", "de ", "que", " qu", "os ", "la ", " la", "ión", "ado", " es"),
+    "fr" -> Seq(" de", "es ", "le ", " le", "ent", "que", " qu", "ion", "eur", "ais"))
+
+  /** Trigram-overlap LID: count profile-trigram occurrences per language
+    * over the lowercased text (word-boundary padded), argmax with ties
+    * to the alphabetically first language; "und" when nothing matches.
+    */
+  def langIdNgram(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val grams = charShingles(padded, 3)
+    val langs = langTrigramProfiles.keys.toSeq.sorted
+    val best = langs.zipWithIndex.map { case (l, i) =>
+      val score = size(filter(grams, g => g.isin(langTrigramProfiles(l): _*)))
+      struct(score.as("s"), lit(langs.length - i).as("r"), lit(l).as("l"))
+    }
+    val winner = array_max(array(best: _*))
+    when(winner.getField("s") > 0, winner.getField("l")).otherwise(lit("und"))
+  }
+
+  // ---- PII / boilerplate surface ------------------------------------------
+
+  /** Count of email-shaped tokens (simple portable pattern). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+      .cast("long")
+
+  /** Count of http(s) URLs. */
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))).cast("long")
+
   // ---- quality scoring ---------------------------------------------------
 
   val enStopwords: Seq[String] = Seq(

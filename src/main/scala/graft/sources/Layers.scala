@@ -112,6 +112,18 @@ object Layers {
       .withColumn("time_of_day_id",
         regexp_extract(input_file_name(), "(\\d{8})_(\\d{4})", 2))
 
+  /** Training-shard write: exactly `numShards` parquet files, rows
+    * hash-distributed by the key (stable shard membership under
+    * re-runs), sorted within each shard for read locality. The shape a
+    * tokenizer/dataloader fleet consumes: one task per shard, no
+    * stragglers from skewed file sizes.
+    */
+  def writeTrainingShards(df: DataFrame, path: String,
+                          numShards: Int, keyCol: String): Unit =
+    df.repartition(numShards, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+
   /** JDBC append sink (reference S9: src/other/insert_data_to_db.py:43-74
     * bulk-loads curated CSVs into Postgres with rollback-on-error; a
     * Spark jdbc write is transactional per task and idempotent when the

@@ -19,6 +19,17 @@ class LayerPathsSpec extends SparkSpec {
     out.head.getString(1) shouldBe "1715"
   }
 
+  test("training shards: exact file count, stable membership, no loss") {
+    val dir = Files.createTempDirectory("shards").toString + "/t"
+    val df = spark.range(10000).toDF("id")
+    Layers.writeTrainingShards(df, dir, numShards = 8, keyCol = "id")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    files.length shouldBe 8
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 10000
+    back.distinct().count() shouldBe 10000
+  }
+
   test("all three SQS batch fixtures flatten to non-empty distinct id sets") {
     val env = spark.read.schema(Events.sqsEnvelope)
       .option("multiLine", true)
