@@ -295,6 +295,29 @@ object SparkEntry {
         .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
     }),
 
+    "q59_except" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.filter(col("event_type") === "view").select("user_id")
+        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+    }),
+
+    "q60_union_distinct" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.filter(col("value") > 180).select("user_id")
+        .union(ev.filter(col("event_type") === "signup").select("user_id"))
+        .distinct()
+    }),
+
+    "q61_grouping_sets" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupingSets(Seq(Seq(col("event_type")), Seq(col("day"))),
+          col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit("ALL")).as("day"), col("n"))
+    }),
+
     "q54_monthly_orders" -> ((s, d) => {
       t(s, d, "orders")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
@@ -712,6 +735,23 @@ object SparkEntry {
         """SELECT user_id FROM events WHERE event_type = 'click'
           |INTERSECT
           |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+      "q59_except" ->
+        """SELECT user_id FROM events WHERE event_type = 'view'
+          |EXCEPT
+          |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+      "q60_union_distinct" ->
+        """SELECT user_id FROM events WHERE value > 180
+          |UNION
+          |SELECT user_id FROM events WHERE event_type = 'signup'""".stripMargin,
+
+      "q61_grouping_sets" ->
+        """SELECT COALESCE(event_type, 'ALL') AS event_type,
+          |  COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+          |  count(*) AS n
+          |FROM events
+          |GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')))""".stripMargin,
 
       "q54_monthly_orders" ->
         """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
