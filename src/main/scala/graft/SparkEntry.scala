@@ -372,11 +372,13 @@ object SparkEntry {
         bands = 3, rowsPerBand = 2)),
 
     "q22_simhash" -> ((s, d) => {
-      // token-less docs have no signature — same absence semantics as
-      // the oracle's unnest (no rows -> no output row)
-      t(s, d, "documents")
-        .select(col("doc_id"), TextFns.simhash16(TextFns.tokens(col("text"))).as("simhash"))
-        .filter(col("simhash").isNotNull)
+      // relational (explode + hash-agg) signature — stays inside
+      // whole-stage codegen, unlike the per-row HOF TextFns.simhash16
+      // (CodegenFallback, ~6x slower; kept for streaming/per-row use).
+      // Token-less docs have no exploded rows -> no output row, same
+      // absence semantics as the oracle's unnest.
+      Dedup.simhashSignatures(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc").as("doc_id"), col("sig").as("simhash"))
     }),
 
     "q23_jaccard_verify" -> ((s, d) => {
@@ -670,7 +672,7 @@ object SparkEntry {
           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
           |s AS (
           |  SELECT user_id, ts,
-          |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+          |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           |  FROM g)
           |SELECT user_id, session_id,
           |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,

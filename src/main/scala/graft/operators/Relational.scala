@@ -33,10 +33,24 @@ object Relational {
     * an explicit deterministic ordering and are equi-joined on it. Inner
     * join == pandas rows-in-common; callers wanting pandas' NaN-padding
     * use "full_outer".
+    *
+    * The unpartitioned row_number collapses each side to ONE partition,
+    * so this operator is for SMALL frames only (the reference use is
+    * <=100 rows). `maxRows` enforces that contract: each side is counted
+    * (with an early-stop limit, so the check never scans past the bound)
+    * and the call fails fast instead of silently single-threading a big
+    * frame.
     */
   def positionalZip(a: DataFrame, orderA: Seq[Column],
                     b: DataFrame, orderB: Seq[Column],
-                    joinType: String = "inner"): DataFrame = {
+                    joinType: String = "inner",
+                    maxRows: Int = 10000): DataFrame = {
+    def guard(df: DataFrame, side: String): Unit =
+      require(df.limit(maxRows + 1).count() <= maxRows,
+        s"positionalZip $side side exceeds maxRows=$maxRows; it is a " +
+          "single-partition operator — pre-aggregate or raise maxRows only " +
+          "if the frame is genuinely small")
+    guard(a, "left"); guard(b, "right")
     val ra = a.withColumn("rn", row_number().over(Window.orderBy(orderA: _*)))
     val rb = b.withColumn("rn", row_number().over(Window.orderBy(orderB: _*)))
     ra.join(rb, Seq("rn"), joinType)

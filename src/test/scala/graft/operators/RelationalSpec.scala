@@ -45,6 +45,20 @@ class RelationalSpec extends SparkSpec {
       Array(("a1", "b8"), ("a2", "b9"))
   }
 
+  test("positionalZip rejects frames over the maxRows bound") {
+    import spark.implicits._
+    val big = spark.range(21).select(col("id").cast("string").as("va"))
+    val small = kv("b9" -> "9").select(col("v").as("vb"))
+    val e = intercept[IllegalArgumentException] {
+      Relational.positionalZip(big, Seq(col("va").asc),
+        small, Seq(col("vb").asc), maxRows = 20)
+    }
+    e.getMessage should include("maxRows")
+    // at or under the bound it still works
+    Relational.positionalZip(big, Seq(col("va").asc),
+      small, Seq(col("vb").asc), maxRows = 21).count() shouldBe 1
+  }
+
   test("sentinelFill replaces null and empty only") {
     val d = kv("a" -> "", "b" -> "x").unionByName(
       spark.createDataFrame(
