@@ -243,9 +243,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
-    // rows-only: the composed curation pipeline (quality -> language ->
-    // exact dedup -> near dedup); survivor set depends on the greedy
-    // cluster resolution, not SQL-expressible concisely
+    // composed curation pipeline (quality -> language -> exact dedup ->
+    // near dedup); the greedy min-id survivor set is one anti-join, so
+    // the whole chain is SQL-expressible and hash-checked
     "q46_curation_pipeline" -> ((s, d) =>
       operators.CurationPipeline.run(t(s, d, "documents"), "text", "doc_id",
           withAudit = false)
@@ -398,7 +398,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", "label", k = 3, nprobe = 2)
-        .withColumn("cos_sim", round(col("cos_sim"), 4))
+        .withColumn("cos_sim", pround(col("cos_sim"), 4))
     }),
 
     // rows-only: learned-cell IVF (k-means centroids are seed-stable in
@@ -410,10 +410,13 @@ object SparkEntry {
         .withColumn("cos_sim", pround(col("cos_sim"), 4))
     }),
 
+    // minCosine is calibrated to the synthetic embeddings (max pairwise
+    // cosine ~0.51, no planted near-dups): 0.3 keeps the gate NON-vacuous
+    // (>0 pairs at sf0.01) so an all-rows-dropped regression can't pass
     "q26_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "embedding", "vec_id",
-          planes = 8, dims = 64, minCosine = 0.6)
-        .withColumn("cosine", round(col("cosine"), 4))),
+          planes = 8, dims = 64, minCosine = 0.3)
+        .withColumn("cosine", pround(col("cosine"), 4))),
 
     "q27_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", maxHamming = 3)),
@@ -492,10 +495,11 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
-    * parquet tables and hash-compares). Omitted keys (q18 bin-packing,
-    * q25 IVF, q26 SRP near-dup) are driver rows-only checks —
-    * driver-side algorithms / literal-plane LSH not expressible as
-    * portable SQL.
+    * parquet tables and hash-compares). Omitted keys are driver
+    * rows-only checks, each genuinely un-oracle-able: q18 (driver-side
+    * packing algorithm), q29 (binary media payloads), q34 (seeded MLlib
+    * k-means), q35 (DSv2 replay source, no table input), q56
+    * (engine-specific sketch estimates).
     */
   def oracleSql: Map[String, String] = {
     val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -840,23 +844,116 @@ object SparkEntry {
           |SELECT query_id, rank, neighbor_id, ${pround("cos_sim", 4)} AS cos_sim
           |FROM ranked WHERE rank <= 3""".stripMargin,
 
+      // mirrors Dedup.simhashSignatures64/simhashPairs: 64-bit signature
+      // as four 16-bit band values (band b = hex digits [4b+1, 4b+4] of
+      // md5(token)), band equi-join, Hamming = sum of per-band popcounts
       "q27_simhash_pairs" ->
         s"""WITH toks AS (
            |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
            |votes AS (
-           |  SELECT doc_id, r.j,
-           |    sum(CASE WHEN substr(md5(token), r.j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
-           |  FROM toks, unnest(range(1, 17)) AS r(j) GROUP BY doc_id, r.j),
-           |sig AS (
-           |  SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN 1 << (16 - j) ELSE 0 END) AS BIGINT) AS sig
-           |  FROM votes GROUP BY doc_id),
+           |  SELECT doc_id, r1.b, r2.j,
+           |    sum(CASE WHEN (CAST(('0x' || substr(md5(token), r1.b * 4 + 1, 4)) AS BIGINT) >> r2.j) & 1 = 1
+           |             THEN 1 ELSE -1 END) AS v
+           |  FROM toks, unnest(range(0, 4)) AS r1(b), unnest(range(0, 16)) AS r2(j)
+           |  GROUP BY doc_id, r1.b, r2.j),
+           |bandsig AS (
+           |  SELECT doc_id, b, CAST(sum(CASE WHEN v >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS s
+           |  FROM votes GROUP BY doc_id, b),
+           |sigs AS (
+           |  SELECT doc_id,
+           |    max(CASE WHEN b = 0 THEN s END) AS s0, max(CASE WHEN b = 1 THEN s END) AS s1,
+           |    max(CASE WHEN b = 2 THEN s END) AS s2, max(CASE WHEN b = 3 THEN s END) AS s3
+           |  FROM bandsig GROUP BY doc_id),
            |banded AS (
-           |  SELECT doc_id, sig, CAST(r.b AS VARCHAR) || ':' || CAST((sig >> (r.b * 4)) & 15 AS VARCHAR) AS band
-           |  FROM sig, unnest(range(0, 4)) AS r(b))
+           |  SELECT doc_id, s0, s1, s2, s3,
+           |    CAST(r.b AS VARCHAR) || ':' || CAST((CASE r.b WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END) AS VARCHAR) AS band
+           |  FROM sigs, unnest(range(0, 4)) AS r(b))
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           |  bit_count(xor(a.sig, b.sig)) AS hamming
+           |  CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+           |    + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) AS INTEGER) AS hamming
            |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+           |WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+           |    + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 3""".stripMargin,
+
+      // mirrors Similarity.ivfTopK with the label as the coarse cell:
+      // element-wise-mean centroids, nprobe=2 routing (ties to cell asc),
+      // per-cell scan, top-3 by cosine (ties to neighbor_id asc)
+      "q25_ann_ivf" ->
+        s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |ex AS (SELECT label, unnest(v) AS x, unnest(range(1, 1 + len(v))) AS pos FROM e),
+           |cent AS (SELECT label AS cell, pos, avg(x) AS m FROM ex GROUP BY label, pos),
+           |centroid AS (SELECT cell, list(m ORDER BY pos) AS c FROM cent GROUP BY cell),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           |routed AS (
+           |  SELECT query_id, qv, cell,
+           |    list_dot_product(qv, c) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c, c))) AS c_sim
+           |  FROM q, centroid),
+           |probes AS (
+           |  SELECT query_id, qv, cell FROM routed
+           |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, cell ASC) <= 2),
+           |scored AS (
+           |  SELECT p.query_id, e.vec_id AS neighbor_id,
+           |    list_dot_product(p.qv, e.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos_sim
+           |  FROM probes p JOIN e ON e.label = p.cell
+           |  WHERE p.query_id <> e.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos_sim,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, ${pround("cos_sim", 4)} AS cos_sim
+           |FROM ranked WHERE rank <= 3""".stripMargin,
+
+      // mirrors Dedup.embeddingNearDups: SRP buckets with the literal
+      // plane constants (VectorFns.srpCoef — same md5 derivation),
+      // candidates = same-bucket pairs, verified by unrounded cosine
+      "q26_embedding_neardup" -> {
+        val bucketSql = (0 until 8).map { p =>
+          val plane = (0 until 64).map(d => VectorFns.srpCoef(p, d)).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |bk AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+           |p AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, ${pround("c", 4)} AS cosine FROM p WHERE c >= 0.3""".stripMargin
+      },
+
+      // mirrors CurationPipeline.run (default Config): quality gate ->
+      // marker-LID 'en' gate -> min-id exact dedup -> MinHash-LSH
+      // candidates (q21's CTE shape over the surviving set) -> greedy
+      // min-id survivors as one anti-join on the larger pair id
+      "q46_curation_pipeline" ->
+        s"""WITH base AS (SELECT doc_id, text, lang, n_chars, $toksSql AS t FROM documents),
+           |feat AS (
+           |  SELECT doc_id, text, lang, n_chars, t, len(t) AS n_tokens,
+           |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains($stopwordList, x))) AS DOUBLE) / len(t) ELSE 0.0 END AS swr,
+           |    CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE) / len(t) ELSE 0.0 END AS atl,
+           |    CASE WHEN len(text) > 0 THEN CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END AS pr
+           |  FROM base),
+           |quality AS (
+           |  SELECT * FROM feat
+           |  WHERE n_tokens >= 5 AND pr <= 0.3
+           |    AND greatest(least(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+           |      + (1.0 - abs(swr - 0.25) * 2.0) * 0.3
+           |      + (1.0 - least(abs(atl - 5.0) / 5.0, 1.0)) * 0.3, 1.0), 0.0) >= 0.2),
+           |qt AS (SELECT doc_id, unnest(t) AS token FROM quality),
+           |m(ml, w) AS (VALUES $markerValues),
+           |scores AS (SELECT qt.doc_id, m.ml, count(*) AS sc FROM qt JOIN m ON qt.token = m.w GROUP BY qt.doc_id, m.ml),
+           |best AS (SELECT doc_id, ml FROM scores
+           |         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, ml ASC) = 1),
+           |langkept AS (SELECT q.* FROM quality q JOIN best b ON q.doc_id = b.doc_id AND b.ml = 'en'),
+           |exact AS (SELECT * FROM langkept
+           |          QUALIFY row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) = 1),
+           |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |       FROM (SELECT doc_id, t FROM exact)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |losers AS (SELECT DISTINCT b.doc_id FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+           |SELECT doc_id, lang, n_chars FROM exact
+           |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
       "q28_asof_join" ->
         """SELECT c.event_id AS event_id, c.user_id AS user_id, p.event_id AS purchase_id

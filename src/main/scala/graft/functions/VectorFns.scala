@@ -54,18 +54,21 @@ object VectorFns {
     * Scale path for ANN: group vectors by bucket, search only the query's
     * bucket (plus Hamming-1 neighbors for recall if needed).
     */
-  def srpBucket(v: Column, planes: Int, dims: Int): Column = {
-    // Coefficient for (plane, dim): map first 8 hex chars of md5 to ±1
-    // by parity of the first hex digit. Materialized as literal arrays at
-    // plan time, so runtime cost is one dot product per plane.
-    def coef(p: Int, d: Int): Double = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$d".getBytes("UTF-8"))
-      if ((h(0) & 1) == 0) 1.0 else -1.0
-    }
+  /** Deterministic ±1 coefficient of SRP plane `p` at dimension `d`:
+    * parity of the first md5 byte of "p:d". The ONE definition of the
+    * plane constants — `srpBucket` materializes them as plan-time
+    * literals and the DuckDB oracle embeds the same values, so both
+    * engines bucket identically.
+    */
+  def srpCoef(p: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1.0 else -1.0
+  }
+
+  def srpBucket(v: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
-      val plane = array((0 until dims).map(d => lit(coef(p, d))): _*)
+      val plane = array((0 until dims).map(d => lit(srpCoef(p, d))): _*)
       when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 }

@@ -159,23 +159,56 @@ object Dedup {
           .reduce(_ + _).as("sig"))
   }
 
+  /** Per-doc 64-bit SimHash, held as FOUR 16-bit band values s0..s3
+    * (band b = bits [16b, 16b+16) of the signature = hex digits
+    * [4b+1, 4b+4] of md5(token)). Splitting the signature into its four
+    * bands up front serves both consumers — the LSH band key IS the band
+    * value, and Hamming distance is the sum of the per-band popcounts —
+    * while keeping every value comfortably inside a signed BIGINT for
+    * the DuckDB oracle (no 1<<63 sign-bit edge).
+    *
+    * Same relational, codegen-friendly shape as `simhashSignatures`:
+    * explode tokens, ONE md5 per token, 64 vote sums in a single
+    * partial+final hash aggregate. Docs with no tokens produce no row.
+    */
+  def simhashSignatures64(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hexed = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("t"))
+      .select(col("doc"), md5(col("t")).as("h"))
+    val banded = hexed.select(col("doc") +: (0 until 4).map(b =>
+      conv(substring(col("h"), b * 4 + 1, 4), 16, 10).cast("long").as(s"hb$b")): _*)
+    val votes = for { b <- 0 until 4; j <- 0 until 16 } yield
+      sum(when(shiftright(col(s"hb$b"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"v${b}_$j")
+    banded.groupBy("doc").agg(votes.head, votes.tail: _*)
+      .select(col("doc") +: (0 until 4).map(b =>
+        (0 until 16).map(j =>
+          when(col(s"v${b}_$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+          .as(s"s$b")): _*)
+  }
+
+  /** SimHash near-dup pairs over the 64-bit signature, banded into the
+    * four 16-bit bands. Hamming <= 3 over 4 disjoint bands means at
+    * least one band matches EXACTLY (pigeonhole), so the band equi-join
+    * loses no qualifying pair — and with 65,536 possible values per
+    * band the buckets stay small (the earlier 16-bit/4-bit-nibble
+    * banding had only 16 values per band, making the self-join
+    * O(n^2/16); this shape is O(true near-dup candidates)).
+    */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs, textCol, idCol)
-    val banded = sigs.select(col("doc"), col("sig"),
-      explode(array((0 until 4).map { b =>
-        concat_ws(":", lit(b), shiftright(col("sig"), b * 4).bitwiseAND(lit(15L)))
-      }: _*)).as("band"))
-    // 16-bit sigs give only 16 values per nibble band, so buckets are
-    // LARGE (n/16 docs each) — unlike the md5-uniform MinHash band keys.
-    // A streaming equi-join handles that shape better than per-bucket
-    // array expansion (which materializes O(bucket^2) structs in one
-    // row), and the Hamming predicate is highly selective, so it runs
-    // BEFORE distinct to shrink the dedup input.
+    require(maxHamming < 4,
+      s"maxHamming=$maxHamming >= band count 4: a qualifying pair could differ in " +
+        "every band and be missed; raise the band count instead")
+    val sigs = simhashSignatures64(docs, textCol, idCol)
+    val banded = sigs.select(col("doc") +: (0 until 4).map(b => col(s"s$b")) :+
+      explode(array((0 until 4).map(b =>
+        concat_ws(":", lit(b), col(s"s$b"))): _*)).as("band"): _*)
     val a = banded.as("a"); val b = banded.as("b")
+    val ham = (0 until 4).map(i =>
+      bit_count(col(s"a.s$i").bitwiseXOR(col(s"b.s$i")))).reduce(_ + _)
     a.join(b, col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        hamming16(col("a.sig"), col("b.sig")).as("hamming"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"), ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

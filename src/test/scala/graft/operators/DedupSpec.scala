@@ -61,6 +61,21 @@ class DedupSpec extends SparkSpec {
     out((1L, 2L)) shouldBe 0
   }
 
+  test("simhashSignatures64 bands are 16-bit and stable for equal docs") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "x y z")
+    val rows = Dedup.simhashSignatures64(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    rows(1L) shouldBe rows(2L)
+    rows.values.flatten.foreach { s => s should (be >= 0L and be <= 65535L) }
+  }
+
+  test("simhashPairs rejects maxHamming >= band count") {
+    val d = docs(1L -> "a b c")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 4)
+    }
+  }
+
   test("embeddingNearDups finds identical vectors") {
     val v1 = Seq.tabulate(8)(i => math.sin(i + 1))
     val v2 = v1.map(_ * 1.001) // nearly parallel
