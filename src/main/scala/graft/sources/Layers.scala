@@ -128,8 +128,59 @@ object Layers {
     * bulk-loads curated CSVs into Postgres with rollback-on-error; a
     * Spark jdbc write is transactional per task and idempotent when the
     * caller overwrite-partitions by snapshot).
+    *
+    * `props` may carry Spark JDBC options besides credentials — notably
+    * `createTableColumnTypes` to pin string columns to VARCHAR on
+    * dialects whose default string mapping (e.g. Derby's CLOB) cannot be
+    * compared in WHERE clauses.
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
                 props: java.util.Properties): Unit =
     df.write.mode("append").jdbc(url, table, props)
+
+  /** Serving-table routing from a curated-layer file key (reference S9:
+    * src/other/insert_data_to_db.py:46-49 — the target table is the text
+    * between "curated_" and "_data" in the object key's file name).
+    */
+  def tableNameFromKey(fileKey: String): String = {
+    val fname = fileKey.substring(fileKey.lastIndexOf('/') + 1)
+    "curated_(.+)_data".r.findFirstMatchIn(fname) match {
+      case Some(m) => m.group(1)
+      case None    => throw new IllegalArgumentException(s"not a curated-layer key: $fileKey")
+    }
+  }
+
+  /** Idempotent per-snapshot JDBC load: delete the snapshot's existing
+    * rows, then append the new ones. The reference wraps its bulk load in
+    * a transaction with rollback-on-error (insert_data_to_db.py:78-89);
+    * Spark's jdbc append commits per TASK, so the equivalent retry-safety
+    * here is delete-before-append — a failed load's partial rows are
+    * swept by the next attempt's delete, and re-running a succeeded load
+    * leaves the table unchanged. The delete is skipped when the table
+    * does not exist yet (the append creates it).
+    */
+  def loadSnapshotJdbc(df: DataFrame, url: String, table: String,
+                       props: java.util.Properties,
+                       dayDateId: String, timeOfDayId: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      // JDBC metadata stores unquoted identifiers case-folded per dialect;
+      // match case-insensitively.
+      val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      var exists = false
+      while (meta.next() && !exists)
+        exists = meta.getString("TABLE_NAME").equalsIgnoreCase(table)
+      meta.close()
+      if (exists) {
+        // Spark's JDBC writer passes the table name through verbatim but
+        // QUOTES column names in CREATE TABLE — so the snapshot-key
+        // columns are case-exact and must be quoted here too.
+        val st = conn.prepareStatement(
+          s"""DELETE FROM $table WHERE "day_date_id" = ? AND "time_of_day_id" = ?""")
+        try { st.setString(1, dayDateId); st.setString(2, timeOfDayId); st.executeUpdate() }
+        finally st.close()
+      }
+    } finally conn.close()
+    writeJdbc(df, url, table, props)
+  }
 }
