@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   * Every stage is also available separately; `run` returns the kept
   * corpus plus an optional per-stage row-count audit. With the audit on,
   * intermediate stages are persisted so each count and the next stage
-  * share one computation instead of re-running the upstream chain;
-  * the caller unpersists via `Result.unpersist()` when done.
+  * share one computation instead of re-running the upstream chain.
+  * The exact-dedup stage is persisted on EVERY path (audit or not): it
+  * feeds both the MinHash candidate generation and the keeper anti-join,
+  * and without materialization both join branches would embed — and
+  * re-execute — the full quality→LID→dedup upstream chain. The caller
+  * unpersists via `Result.unpersist()` when done with `kept`.
   */
 object CurationPipeline {
 
@@ -58,7 +62,10 @@ object CurationPipeline {
 
     val lang = staged(quality.filter(TextFns.langId(toks).isin(cfg.languages.toSeq: _*)))
 
-    val exact = staged(Dedup.dropExactDups(lang, textCol, idCol))
+    // exact feeds BOTH the candidate generation and the keeper anti-join
+    // below — persist unconditionally so the two branches share one
+    // InMemoryRelation instead of each re-running the upstream chain
+    val exact = Dedup.dropExactDups(lang, textCol, idCol).persist()
 
     // near-dup resolution: survivors are docs that never appear as the
     // larger id of a candidate pair (greedy min-id keeper, one anti-join)
@@ -73,6 +80,6 @@ object CurationPipeline {
       "after_language" -> lang.count(),
       "after_exact_dedup" -> exact.count(),
       "after_near_dedup" -> near.count())
-    Result(near, audit, if (withAudit) Seq(quality, lang, exact) else Nil)
+    Result(near, audit, if (withAudit) Seq(quality, lang, exact) else Seq(exact))
   }
 }

@@ -31,6 +31,27 @@ class CurationPipelineSpec extends SparkSpec {
     res.audit("after_near_dedup") shouldBe 2 // 3 dropped
   }
 
+  test("withAudit=false still materializes the exact stage once (no duplicated upstream subtree)") {
+    val d = docs(
+      1L -> good,
+      2L -> good,
+      3L -> (good + " ok"),
+      7L -> "a completely different english text about the engines of databases and the art of queries")
+    val res = CurationPipeline.run(d, "text", "doc_id", withAudit = false)
+    // the exact-dedup frame is persisted even without the audit...
+    res.cached should have size 1
+    res.cached.head.storageLevel.useMemory shouldBe true
+    // ...so both branches of the keeper anti-join read ONE InMemoryRelation
+    // instead of each re-running the quality->LID->dedup chain
+    val exec = res.kept.queryExecution.executedPlan.toString
+    exec should include("InMemoryTableScan")
+    res.kept.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 7L)
+    // the kept frame stays valid after the caller releases the cache
+    res.unpersist()
+    res.cached.head.storageLevel.useMemory shouldBe false
+    res.kept.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 7L)
+  }
+
   test("audit counts are monotonically non-increasing") {
     val d = docs((1L to 20L).map(i => i -> (good + s" variant $i")): _*)
     val a = CurationPipeline.run(d, "text", "doc_id").audit
