@@ -8,6 +8,15 @@ import org.apache.spark.sql.SparkSession
   * job's lifetime), and the median — unlike min — is robust to a single
   * lucky run while still discarding one noisy outlier on a shared box.
   *
+  * Hermeticity: `spark.catalog.clearCache()` runs after EVERY timed
+  * execution. CacheManager matches cached plans by canonicalized form,
+  * so without it a query that persists internally (q46) would have runs
+  * 2-3 silently served from run 1's InMemoryRelation — timing a warm
+  * cache read instead of the pipeline — and leftovers could taint other
+  * queries. The JSON also carries the three RAW per-run times per query
+  * ("runs"), so a contaminated execution (external load inflating one
+  * run) is visible in the artifact instead of hiding inside the median.
+  *
   * SPARK_GRAFT_QUERIES (comma-separated names) restricts the run to a
   * subset — handy for timing one query while iterating.
   */
@@ -27,26 +36,40 @@ object Bench {
     // the first timed query isn't charged for JVM init
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    spark.catalog.clearCache()
     // a failed query reports -1 (and is excluded from the total) instead
     // of masquerading as a fast run with its crash-time
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val dt = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] query failed: ${e.getMessage}"); -1.0
       }
+      // drop anything a query persisted and didn't release: runs must
+      // not feed each other (or later queries) through the CacheManager
+      spark.catalog.clearCache()
+      dt
     }
+    // a typo'd name in the subset env var must fail loudly — an all-miss
+    // filter would otherwise print total=0 and look like a fast run
+    (only -- SparkEntry.queries.keySet)
+      .foreach(n => System.err.println(s"[bench] unknown query: $n"))
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
     val results = selected.map { case (name, fn) =>
       val runs = Seq.fill(3)(timeOnce(fn))
-      name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
+      val median = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
+      name -> (median, runs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(d: Double) = f"$d%.4f"
+    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val raw = results.map { case (k, (_, runs)) =>
+      s"\"" + k + "\":" + runs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.values.collect { case (m, _) if m >= 0 => m }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

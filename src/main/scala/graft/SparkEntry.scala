@@ -245,11 +245,22 @@ object SparkEntry {
 
     // composed curation pipeline (quality -> language -> exact dedup ->
     // near dedup); the greedy min-id survivor set is one anti-join, so
-    // the whole chain is SQL-expressible and hash-checked
-    "q46_curation_pipeline" -> ((s, d) =>
-      operators.CurationPipeline.run(t(s, d, "documents"), "text", "doc_id",
-          withAudit = false)
-        .kept.select("doc_id", "lang", "n_chars")),
+    // the whole chain is SQL-expressible and hash-checked.
+    // The pipeline's internal persist must not outlive this call (a
+    // long-lived driver would strand one cached corpus per invocation,
+    // and CacheManager's plan matching would silently serve run 1's
+    // cache to run 2's "fresh" execution) — so materialize the result
+    // off the cache with an eager localCheckpoint, then release it.
+    // Checkpoint blocks are reclaimed by the ContextCleaner when the
+    // returned frame is dropped.
+    "q46_curation_pipeline" -> ((s, d) => {
+      val res = operators.CurationPipeline.run(t(s, d, "documents"), "text",
+        "doc_id", withAudit = false)
+      val out = res.kept.select("doc_id", "lang", "n_chars")
+        .localCheckpoint(eager = true)
+      res.unpersist()
+      out
+    }),
 
     "q47_hash_sample" -> ((s, d) =>
       operators.Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 25)
