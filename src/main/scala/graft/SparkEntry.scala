@@ -144,6 +144,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // tz-aware snapshot slots (reference X8): UTC event time -> Pacific
+    // wall clock; local 23:53+ rolls to the NEXT day's "0000", otherwise
+    // nearest same-day slot with first-win ties and a "2345" clamp
+    "q62_pacific_slots" -> ((s, d) => {
+      t(s, d, "events")
+        .select(TimeFns.snapshotDayId(col("ts"), "US/Pacific").as("day_date_id"),
+          TimeFns.snapshotTimeId(col("ts"), "US/Pacific").as("time_of_day_id"))
+        .groupBy("day_date_id", "time_of_day_id")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     "q14_union_na" -> ((s, d) => {
       t(s, d, "documents").select(col("lang").as("lang_id")).distinct()
         .unionByName(s.range(1).select(lit("NA").as("lang_id")))
@@ -605,6 +616,28 @@ object SparkEntry {
         s"""SELECT ${slotFmt("%Y%m%d")} AS day_date_id, ${slotFmt("%H%M")} AS time_of_day_id,
            |  count(*) AS n_events
            |FROM events GROUP BY 1, 2""".stripMargin,
+
+      // mirrors TimeFns.snapshotDayId/snapshotTimeId(ts, tz): integer-
+      // microsecond seconds-of-day, half-down nearest (ceil of a double
+      // on both engines), slot-95 clamp, 23:53+ next-day rollover
+      "q62_pacific_slots" ->
+        """WITH loc AS (
+          |  SELECT timezone('US/Pacific', timezone('UTC', ts::TIMESTAMP)) AS lt FROM events),
+          |s AS (
+          |  SELECT lt, epoch_us(lt) % 86400000000 AS sodus,
+          |    (hour(lt) = 23 AND minute(lt) > 52) AS roll
+          |  FROM loc),
+          |i AS (
+          |  SELECT lt, roll,
+          |    least(CAST(ceil((sodus - 450000000) / 900000000.0) AS BIGINT), 95) AS idx
+          |  FROM s)
+          |SELECT
+          |  CASE WHEN roll THEN strftime(CAST(lt AS DATE) + INTERVAL 1 DAY, '%Y%m%d')
+          |       ELSE strftime(CAST(lt AS DATE), '%Y%m%d') END AS day_date_id,
+          |  CASE WHEN roll THEN '0000'
+          |       ELSE printf('%02d%02d', (idx * 15) // 60, (idx * 15) % 60) END AS time_of_day_id,
+          |  count(*) AS n_events
+          |FROM i GROUP BY 1, 2""".stripMargin,
 
       "q14_union_na" ->
         "SELECT DISTINCT lang AS lang_id FROM documents UNION ALL SELECT 'NA' AS lang_id",

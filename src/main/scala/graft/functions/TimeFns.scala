@@ -35,6 +35,63 @@ object TimeFns {
   def snapshotTimeId(ts: Column): Column =
     date_format(timestamp_seconds(nearestSlotEpoch(ts)), "HHmm")
 
+  // ---- timezone-aware variants (reference X8) -------------------------
+  //
+  // The reference's real category path converts the UTC capture time to
+  // US/Pacific wall clock before slot assignment (reference:
+  // src/get_raw_data/get_raw_category_data.py:35,46-52,88-96), with two
+  // rules the UTC arithmetic above doesn't have:
+  //   * rollover — local 23:53:00 and later (`hour == 23 and minute > 52`)
+  //     belongs to the NEXT day's "0000" slot;
+  //   * nearest within the SAME day otherwise — the argmin scans only the
+  //     current day's 96 slots, so late times clamp to "2345" and exact
+  //     450 s midpoints keep the EARLIER slot (`diff < minimum_diff` is
+  //     strict, so the first-scanned row wins ties — round half DOWN,
+  //     unlike nearestSlotEpoch's half-up grid).
+  //
+  // The scan collapses to O(1) integer-microsecond arithmetic on the
+  // local seconds-of-day: slot = min(ceil((sod_us - 450e6) / 900e6), 95).
+  // Requires spark.sql.session.timeZone=UTC (the standard
+  // from_utc_timestamp idiom: the shifted instant renders as the target
+  // wall clock only under a UTC session).
+
+  private val DayMicros = 86400000000L
+
+  /** Local wall-clock instant (session tz must be UTC). */
+  private def localWallClock(ts: Column, tz: String): Column =
+    from_utc_timestamp(ts, tz)
+
+  /** Reference rollover predicate: local 23:53+ belongs to the next day. */
+  private def rollsOver(local: Column): Column =
+    hour(local) === 23 && minute(local) > 52
+
+  /** Nearest same-day slot index in [0, 95], reference tie/clamp rules. */
+  private def nearestSlotIndex(local: Column): Column = {
+    val sodMicros = unix_micros(local) % DayMicros
+    least(ceil((sodMicros - lit(450000000L)).cast("double") / 9e8).cast("long"), lit(95L))
+  }
+
+  /** Snapshot day key `yyyyMMdd` of the tz-local wall clock, with the
+    * reference's 23:53+ next-day rollover.
+    */
+  def snapshotDayId(ts: Column, tz: String): Column = {
+    val local = localWallClock(ts, tz)
+    val day = to_date(local)
+    date_format(when(rollsOver(local), date_add(day, 1)).otherwise(day), "yyyyMMdd")
+  }
+
+  /** Snapshot time-of-day key `HHmm` of the tz-local wall clock: "0000"
+    * past the rollover, else the nearest same-day slot (ties keep the
+    * earlier slot; late-day times clamp to "2345").
+    */
+  def snapshotTimeId(ts: Column, tz: String): Column = {
+    val local = localWallClock(ts, tz)
+    val idx = nearestSlotIndex(local)
+    when(rollsOver(local), lit("0000"))
+      .otherwise(format_string("%02d%02d",
+        (idx * 15 / 60).cast("int"), (idx * 15 % 60).cast("int")))
+  }
+
   /** Floor-aligned tumbling-window start (epoch seconds), for standard
     * streaming windows where floor semantics are wanted instead of nearest.
     */
