@@ -454,6 +454,21 @@ object SparkEntry {
         .select("event_id", "user_id", "purchase_id")
     }),
 
+    // nearest-in-time as-of with the reference's ±450s slot band
+    // (reference J6 is a NEAREST argmin, not backward-only; ties keep
+    // the backward match — the argmin's first-win scan order)
+    "q63_asof_nearest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
+      operators.AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts",
+          Map("p_event_id" -> "purchase_id"),
+          direction = "nearest", toleranceSeconds = Some(450))
+        .select("event_id", "user_id", "purchase_id")
+    }),
+
     // rows-only check (binary media payloads have no SQL oracle): the
     // multimodal decode/feature plumbing over a deterministic synthetic
     // media table — schema, batching, and narrow-plan shape are what's
@@ -1004,6 +1019,31 @@ object SparkEntry {
           |FROM (SELECT * FROM events WHERE event_type = 'click') c
           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+      // nearest = closer of the backward and forward as-of matches inside
+      // the ±450s band, backward on ties; the forward leg reuses the
+      // backward ASOF operator on negated epoch micros
+      "q63_asof_nearest" ->
+        """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+          |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          |b AS (
+          |  SELECT c.event_id, c.user_id, c.ts, p.event_id AS b_id,
+          |    epoch_us(c.ts) - epoch_us(p.ts) AS b_diff
+          |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+          |f AS (
+          |  SELECT c2.event_id, p2.event_id AS f_id, c2.nts - p2.nts AS f_diff
+          |  FROM (SELECT event_id, user_id, -epoch_us(ts) AS nts FROM c) c2
+          |  ASOF LEFT JOIN (SELECT event_id, user_id, -epoch_us(ts) AS nts FROM p) p2
+          |    ON c2.user_id = p2.user_id AND c2.nts >= p2.nts)
+          |SELECT b.event_id, b.user_id,
+          |  CASE
+          |    WHEN b_id IS NOT NULL AND b_diff <= 450000000
+          |      AND (f_id IS NULL OR f_diff > 450000000 OR b_diff <= f_diff)
+          |      THEN b_id
+          |    WHEN f_id IS NOT NULL AND f_diff <= 450000000 THEN f_id
+          |    ELSE NULL
+          |  END AS purchase_id
+          |FROM b JOIN f USING (event_id)""".stripMargin,
 
       "q30_lang_id" ->
         s"""WITH toks AS (
