@@ -434,10 +434,13 @@ object SparkEntry {
 
     // minCosine is calibrated to the synthetic embeddings (max pairwise
     // cosine ~0.51, no planted near-dups): 0.3 keeps the gate NON-vacuous
-    // (>0 pairs at sf0.01) so an all-rows-dropped regression can't pass
+    // (>0 pairs at sf0.01) so an all-rows-dropped regression can't pass.
+    // planesPerBand=8 fits this tiny corpus (band 0 reproduces the
+    // pre-banding 8-plane bucket, so candidates only GROW vs round 3);
+    // the library default is 16 planes/band — the 100-TB shape.
     "q26_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "embedding", "vec_id",
-          planes = 8, dims = 64, minCosine = 0.3)
+          bands = 4, planesPerBand = 8, dims = 64, minCosine = 0.3)
         .withColumn("cosine", pround(col("cosine"), 4))),
 
     "q27_simhash_pairs" -> ((s, d) =>
@@ -962,21 +965,30 @@ object SparkEntry {
            |SELECT query_id, rank, neighbor_id, ${pround("cos_sim", 4)} AS cos_sim
            |FROM ranked WHERE rank <= 3""".stripMargin,
 
-      // mirrors Dedup.embeddingNearDups: SRP buckets with the literal
-      // plane constants (VectorFns.srpCoef — same md5 derivation),
-      // candidates = same-bucket pairs, verified by unrounded cosine
+      // mirrors Dedup.embeddingNearDups (banded SRP): per-band packed
+      // sign bits with the literal plane constants (VectorFns.srpCoef —
+      // same md5 derivation, plane index b*r+j), candidates = DISTINCT
+      // pairs sharing any band key, verified by unrounded cosine
       "q26_embedding_neardup" -> {
-        val bucketSql = (0 until 8).map { p =>
-          val plane = (0 until 64).map(d => VectorFns.srpCoef(p, d)).mkString("[", ", ", "]")
-          s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
-        }.mkString(" + ")
+        def bandKeySql(b: Int, r: Int) = {
+          val value = (0 until r).map { j =>
+            val plane = (0 until 64).map(d => VectorFns.srpCoef(b * r + j, d))
+              .mkString("[", ", ", "]")
+            s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << j} ELSE 0 END)"
+          }.mkString(" + ")
+          s"'$b:' || CAST(($value) AS VARCHAR)"
+        }
+        val keys = (0 until 4).map(b => bandKeySql(b, 8)).mkString(", ")
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |bk AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+           |bk AS (SELECT vec_id, unnest([$keys]) AS band_key FROM e),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
            |p AS (
-           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
-           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-           |SELECT id_a, id_b, ${pround("c", 4)} AS cosine FROM p WHERE c >= 0.3""".stripMargin
+           |  SELECT c.id_a, c.id_b,
+           |    list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS c2
+           |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)
+           |SELECT id_a, id_b, ${pround("c2", 4)} AS cosine FROM p WHERE c2 >= 0.3""".stripMargin
       },
 
       // mirrors CurationPipeline.run (default Config): quality gate ->

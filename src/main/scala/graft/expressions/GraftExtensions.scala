@@ -28,10 +28,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
   private[graft] val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    ("srp_band_keys",
+      new ExpressionInfo(classOf[SrpBandKeys].getName, "srp_band_keys"),
+      (args: Seq[Expression]) => SrpBandKeys(args(0),
+        intLit(args(1), "bands"), intLit(args(2), "planesPerBand"),
+        intLit(args(3), "dims"))))
 
   /** Register every graft function into a live session's registry. */
   def register(spark: SparkSession): Unit =
@@ -52,4 +63,9 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Typed DataFrame-API handle on the native banded-SRP expression. */
+  def srpBandKeys(v: Column, bands: Int, planesPerBand: Int, dims: Int): Column =
+    ColumnBridge.column(SrpBandKeys(
+      ColumnBridge.expression(v), bands, planesPerBand, dims))
 }

@@ -71,4 +71,38 @@ object VectorFns {
       val plane = array((0 until dims).map(d => lit(srpCoef(p, d))): _*)
       when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Banded SRP keys: `bands` independent LSH band keys per vector, band
+    * b over planes [b*planesPerBand, (b+1)*planesPerBand) — a candidate
+    * pair is one sharing ANY band key (OR-amplified LSH). Band b's value
+    * is the packed sign bits of its planes, so band 0 with r planes
+    * equals `srpBucket(v, r, dims)` — banding strictly ADDS candidates
+    * over the single-bucket form.
+    *
+    * Cost model: per band the key space is 2^planesPerBand, so expected
+    * bucket population is n / 2^planesPerBand per band — size
+    * planesPerBand ~ log2(n / desired_bucket_rows) so in-bucket pair
+    * expansion stays O(candidates), never O(n^2 / 2^planes). Recall for
+    * a pair at angle θ is 1 - (1 - (1-θ/π)^planesPerBand)^bands: more
+    * bands raise recall (at `bands` extra rows per vector through the
+    * bucket shuffle), more planes per band sharpen precision and shrink
+    * buckets.
+    */
+  def srpBandKeys(v: Column, bands: Int, planesPerBand: Int, dims: Int): Column =
+    array((0 until bands).map { b =>
+      val value = (0 until planesPerBand).map { j =>
+        val plane = array((0 until dims).map(d =>
+          lit(srpCoef(b * planesPerBand + j, d))): _*)
+        when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      concat_ws(":", lit(b), value)
+    }: _*)
+
+  /** Native single-pass banded-SRP keys (graft.expressions.SrpBandKeys):
+    * same strings as `srpBandKeys` to the last bit, but one fused
+    * codegen'd loop instead of bands*planesPerBand interpreted HOF
+    * passes — use in corpus-scan hot paths.
+    */
+  def srpBandKeysFast(v: Column, bands: Int, planesPerBand: Int, dims: Int): Column =
+    graft.expressions.GraftFunctions.srpBandKeys(v, bands, planesPerBand, dims)
 }

@@ -213,19 +213,34 @@ object Dedup {
       .distinct()
   }
 
-  /** Embedding near-dup pairs: SRP-bucketed cosine. Vectors sharing a
-    * sign-random-projection bucket are candidates; verified by cosine >=
-    * minCosine. Bucket count 2^planes bounds candidate blocks.
+  /** Embedding near-dup pairs: BANDED SRP-bucketed cosine (the same
+    * OR-amplified band shape as `simhashPairs`/`minhashCandidates`).
+    * Vectors sharing ANY of the `bands` sign-random-projection band keys
+    * are candidates; candidates are verified by cosine >= minCosine.
+    *
+    * Scale: each band's key space is 2^planesPerBand, so in-bucket pair
+    * expansion is O(n^2 / 2^planesPerBand) per band — at the default 16
+    * planes per band that's 65,536 buckets, the same pigeonhole shape
+    * that keeps `simhashPairs` O(candidates). A single wide bucket
+    * (the old fixed-8-plane form, 256 buckets) goes quadratic as the
+    * corpus grows; banding holds recall while planesPerBand tracks
+    * log2(corpus) — see `VectorFns.srpBandKeys` for the recall formula.
+    * Candidate verification joins the vectors back by id (two hash
+    * joins bounded by the candidate count), so no vector rides through
+    * the band shuffle twice.
     */
   def embeddingNearDups(emb: DataFrame, vecCol: String, idCol: String,
-                        planes: Int = 8, dims: Int = 64,
-                        minCosine: Double = 0.95): DataFrame = {
-    val bucketed = emb.select(col(idCol).as("doc"), col(vecCol).as("v"),
-      VectorFns.srpBucket(col(vecCol), planes, dims).as("bucket"))
-    val a = bucketed.as("a"); val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        VectorFns.cosineFast(col("a.v"), col("b.v")).as("cosine"))
+                        bands: Int = 4, planesPerBand: Int = 16,
+                        dims: Int = 64, minCosine: Double = 0.95): DataFrame = {
+    val base = emb.select(col(idCol).as("doc"), col(vecCol).as("v"))
+    val keyed = base.select(col("doc"),
+      explode(VectorFns.srpBandKeysFast(col("v"), bands, planesPerBand, dims)).as("band_key"))
+    val cands = pairsInBuckets(keyed, "doc", "band_key")
+    val va = base.select(col("doc").as("id_a"), col("v").as("va"))
+    val vb = base.select(col("doc").as("id_b"), col("v").as("vb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorFns.cosineFast(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

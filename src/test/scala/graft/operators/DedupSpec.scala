@@ -76,16 +76,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  private def embFrame(rows: (Long, Seq[Double])*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+
   test("embeddingNearDups finds identical vectors") {
     val v1 = Seq.tabulate(8)(i => math.sin(i + 1))
     val v2 = v1.map(_ * 1.001) // nearly parallel
     val v3 = Seq.tabulate(8)(i => math.cos(3 * i) * (if (i % 2 == 0) 1 else -1))
-    val emb = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(1L, v1), Row(2L, v2), Row(3L, v3))),
-      StructType(Seq(StructField("vec_id", LongType),
-        StructField("embedding", ArrayType(DoubleType)))))
-    val out = Dedup.embeddingNearDups(emb, "embedding", "vec_id", planes = 4, dims = 8, minCosine = 0.99)
+    val out = Dedup.embeddingNearDups(embFrame(1L -> v1, 2L -> v2, 3L -> v3),
+        "embedding", "vec_id", bands = 2, planesPerBand = 2, dims = 8, minCosine = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     out should contain((1L, 2L))
+  }
+
+  test("embeddingNearDups: planted near-dup survives the default 16-plane banding") {
+    // a scaled copy is exactly parallel (cosine 1): every plane dot has
+    // the same sign, so ALL band keys match — banding cannot lose it
+    val base = Seq.tabulate(64)(i => math.sin(i * 0.7) + 0.1)
+    val noise = Seq.tabulate(64)(i => math.cos(i * 1.3) * 0.9)
+    val out = Dedup.embeddingNearDups(
+        embFrame(1L -> base, 2L -> base.map(_ * 0.5), 3L -> noise),
+        "embedding", "vec_id") // library defaults: bands=4, planesPerBand=16
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Array((1L, 2L))
+  }
+
+  test("embeddingNearDups candidates only grow with extra bands") {
+    // band 0 at r planes IS the old single-bucket form — adding bands
+    // must be a superset (the OR-amplification direction)
+    val vs = (1L to 12L).map(i =>
+      i -> Seq.tabulate(16)(d => math.sin(i * 3.1 + d * 0.9)))
+    val one = Dedup.embeddingNearDups(embFrame(vs: _*), "embedding", "vec_id",
+      bands = 1, planesPerBand = 4, dims = 16, minCosine = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val four = Dedup.embeddingNearDups(embFrame(vs: _*), "embedding", "vec_id",
+      bands = 4, planesPerBand = 4, dims = 16, minCosine = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    one.subsetOf(four) shouldBe true
+    four.size should be >= one.size
   }
 }
