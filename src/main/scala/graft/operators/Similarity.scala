@@ -91,10 +91,21 @@ object Similarity {
     * the same shape). Centroids are computed by element-wise mean
     * (posexplode + two-level aggregate), queries are routed to their
     * `nprobe` nearest centroids, and only those cells are scanned.
+    *
+    * The routed probe set (queries × nprobe rows, vectors included) is
+    * BROADCAST against the corpus — that is the whole point of the
+    * shape (no corpus shuffle), but it silently OOMs the driver if the
+    * query frame isn't actually small. `maxQueries` enforces the
+    * contract the same way `Relational.positionalZip` does: counted
+    * with an early-stop limit, failing fast with a named knob instead.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, cellCol: String,
-              k: Int, nprobe: Int = 2): DataFrame = {
+              k: Int, nprobe: Int = 2, maxQueries: Int = 100000): DataFrame = {
+    require(queries.limit(maxQueries + 1).count() <= maxQueries,
+      s"ivfTopK query side exceeds maxQueries=$maxQueries; the probe set " +
+        "is broadcast — batch the queries or raise maxQueries only if " +
+        "the driver can hold queries*nprobe vectors")
     // element-wise mean per cell: (cell, dim) partial sums -> array rebuild
     val centroids = corpus
       .select(col(cellCol).as("cell"), posexplode(col(vecCol).cast("array<double>")))

@@ -141,46 +141,87 @@ object Layers {
   /** Serving-table routing from a curated-layer file key (reference S9:
     * src/other/insert_data_to_db.py:46-49 — the target table is the text
     * between "curated_" and "_data" in the object key's file name).
+    *
+    * The extracted name is interpolated into SQL statements downstream,
+    * so the pattern is ANCHORED to the whole file name and the name
+    * itself whitelisted to `[A-Za-z0-9_]` — a key smuggling quotes or
+    * semicolons is rejected here, not passed to the database.
     */
   def tableNameFromKey(fileKey: String): String = {
     val fname = fileKey.substring(fileKey.lastIndexOf('/') + 1)
-    "curated_(.+)_data".r.findFirstMatchIn(fname) match {
+    val pat = "^curated_([A-Za-z0-9_]+)_data(?:_\\d{4})?(?:\\.[A-Za-z0-9]+)?$".r
+    pat.findFirstMatchIn(fname) match {
       case Some(m) => m.group(1)
       case None    => throw new IllegalArgumentException(s"not a curated-layer key: $fileKey")
     }
   }
 
-  /** Idempotent per-snapshot JDBC load: delete the snapshot's existing
-    * rows, then append the new ones. The reference wraps its bulk load in
-    * a transaction with rollback-on-error (insert_data_to_db.py:78-89);
-    * Spark's jdbc append commits per TASK, so the equivalent retry-safety
-    * here is delete-before-append — a failed load's partial rows are
-    * swept by the next attempt's delete, and re-running a succeeded load
-    * leaves the table unchanged. The delete is skipped when the table
-    * does not exist yet (the append creates it).
+  private val SafeIdent = "^[A-Za-z0-9_]+$".r
+
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    // JDBC metadata stores unquoted identifiers case-folded per dialect;
+    // match case-insensitively.
+    val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+    try {
+      var exists = false
+      while (meta.next() && !exists)
+        exists = meta.getString("TABLE_NAME").equalsIgnoreCase(table)
+      exists
+    } finally meta.close()
+  }
+
+  /** Idempotent per-snapshot JDBC load, stage-and-swap: the frame lands
+    * in `<table>__stage` first (a Spark overwrite — per-task commits may
+    * partially fail there harmlessly), then ONE driver transaction
+    * deletes the snapshot's existing rows from the target and copies the
+    * stage in. Like the reference's rollback-on-error bulk load
+    * (insert_data_to_db.py:78-89), a failure anywhere leaves the target
+    * exactly as it was — there is no window where the old snapshot rows
+    * are gone and the new ones not yet visible (the old delete-then-
+    * append shape lost the previous rows if the append died for good).
+    * Re-running a succeeded load leaves the table unchanged.
+    *
+    * The target is created from the stage's column types when missing,
+    * so `createTableColumnTypes` in `props` applies to both.
     */
   def loadSnapshotJdbc(df: DataFrame, url: String, table: String,
                        props: java.util.Properties,
                        dayDateId: String, timeOfDayId: String): Unit = {
+    // the table name is interpolated into DDL/DML below — whitelist it
+    // (tableNameFromKey guarantees this shape; direct callers might not)
+    require(SafeIdent.matches(table), s"unsafe table identifier: $table")
+    // DriverManager needs the driver registered explicitly (Spark's own
+    // jdbc paths do this internally from the same property)
+    Option(props.getProperty("driver")).foreach(Class.forName(_))
+    val stage = s"${table}__stage"
+    df.write.mode("overwrite").jdbc(url, stage, props)
+
+    // Spark's JDBC writer passes table names through verbatim but QUOTES
+    // column names in CREATE TABLE — so columns are case-exact and must
+    // be quoted in every statement here too.
+    val cols = df.columns.map(c => "\"" + c + "\"").mkString(", ")
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      // JDBC metadata stores unquoted identifiers case-folded per dialect;
-      // match case-insensitively.
-      val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-      var exists = false
-      while (meta.next() && !exists)
-        exists = meta.getString("TABLE_NAME").equalsIgnoreCase(table)
-      meta.close()
-      if (exists) {
-        // Spark's JDBC writer passes the table name through verbatim but
-        // QUOTES column names in CREATE TABLE — so the snapshot-key
-        // columns are case-exact and must be quoted here too.
-        val st = conn.prepareStatement(
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        if (!tableExists(conn, table))
+          st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+        val del = conn.prepareStatement(
           s"""DELETE FROM $table WHERE "day_date_id" = ? AND "time_of_day_id" = ?""")
-        try { st.setString(1, dayDateId); st.setString(2, timeOfDayId); st.executeUpdate() }
-        finally st.close()
-      }
+        try { del.setString(1, dayDateId); del.setString(2, timeOfDayId); del.executeUpdate() }
+        finally del.close()
+        st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+        conn.commit()
+      } catch { case e: Throwable => conn.rollback(); throw e }
+      finally st.close()
+      // best-effort stage cleanup — a leftover stage is overwritten by
+      // the next load, never read by anything else
+      try {
+        conn.setAutoCommit(true)
+        val drop = conn.createStatement()
+        try drop.executeUpdate(s"DROP TABLE $stage") finally drop.close()
+      } catch { case _: java.sql.SQLException => () }
     } finally conn.close()
-    writeJdbc(df, url, table, props)
   }
 }

@@ -64,4 +64,13 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
     ivf shouldBe bf
   }
+
+  test("ivfTopK fails fast when the broadcast query side exceeds maxQueries") {
+    val labeled = corpus.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val ex = the[IllegalArgumentException] thrownBy
+      Similarity.ivfTopK(labeled, labeled, "vec_id", "embedding", "label",
+        k = 2, nprobe = 2, maxQueries = 3)
+    ex.getMessage should include("maxQueries=3")
+    ex.getMessage should include("broadcast")
+  }
 }

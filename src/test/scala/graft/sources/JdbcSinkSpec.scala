@@ -7,8 +7,8 @@ import graft.SparkSpec
   * Mirrors the reference DB load (src/other/insert_data_to_db.py):
   * table-name routing from the curated file key (lines 46-49), append
   * load (63-74), and the retry-safety the reference gets from
-  * rollback-on-error (78-89), which here is delete-before-append per
-  * snapshot.
+  * rollback-on-error (78-89), which here is a staged load swapped into
+  * the target inside one transaction.
   */
 class JdbcSinkSpec extends SparkSpec {
 
@@ -38,6 +38,43 @@ class JdbcSinkSpec extends SparkSpec {
     Layers.tableNameFromKey("curated/20230101/curated_genre_bridge_data_2352.csv") shouldBe "genre_bridge"
     an[IllegalArgumentException] should be thrownBy
       Layers.tableNameFromKey("raw/20230101_0930/shard0.json")
+  }
+
+  test("keys smuggling SQL metacharacters are rejected, not routed") {
+    // the extracted name reaches DDL/DML — quotes, semicolons, spaces,
+    // and unanchored prefixes/suffixes must all fail the whitelist
+    val malicious = Seq(
+      """curated/x/curated_users";DROP TABLE users;--_data.csv""",
+      "curated/x/curated_users data_data.csv",
+      "curated/x/evil_curated_users_data.csv.exe_curated_y_data",
+      "curated/x/curated_users_data.csv; DROP TABLE users")
+    malicious.foreach { key =>
+      an[IllegalArgumentException] should be thrownBy Layers.tableNameFromKey(key)
+    }
+  }
+
+  test("loadSnapshotJdbc refuses an unsafe table identifier") {
+    val ex = the[IllegalArgumentException] thrownBy
+      Layers.loadSnapshotJdbc(snapshot("20230101", "0930", Seq(1)), url,
+        """users";DROP TABLE users;--""", props, "20230101", "0930")
+    ex.getMessage should include("unsafe table identifier")
+  }
+
+  test("a failed load leaves the previous snapshot rows intact") {
+    val table = "users_atomic"
+    Layers.loadSnapshotJdbc(snapshot("20230101", "0930", 1 to 5), url, table, props, "20230101", "0930")
+    // user_id is VARCHAR(32): an oversized id fails the load partway —
+    // the target must keep ALL previous rows (the old delete-then-append
+    // shape had already deleted them at this point)
+    val s = spark
+    import s.implicits._
+    val bad = Seq(("u" * 64, "boom", "20230101", "0930"))
+      .toDF("user_id", "user_name", "day_date_id", "time_of_day_id")
+    an[Exception] should be thrownBy
+      Layers.loadSnapshotJdbc(bad, url, table, props, "20230101", "0930")
+    val back = spark.read.jdbc(url, table, props)
+    back.count() shouldBe 5
+    back.filter("user_name = 'boom'").count() shouldBe 0
   }
 
   test("write + read-back round-trips rows") {
