@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.{Dedup, SnapshotPipeline}
-import org.apache.spark.sql.SparkSession
+import graft.operators.{CurationPipeline, Dedup, SnapshotPipeline}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale smoke: run the headline pipelines at replay-generated volumes
@@ -53,6 +53,35 @@ object ScaleSmoke {
     }
     time("keep-first window dedup") {
       Dedup.keepFirst(events(rows), Seq("user_id"), Seq(col("event_id").asc)).count()
+    }
+
+    // Synthetic English-ish documents for the text chains: 24 words, every
+    // 4th a stopword (ratio 0.25 -> passes the quality + LID gates), the
+    // rest drawn from a 20,000-word synthetic vocabulary ("w<k>") so the
+    // shingle space is corpus-like — a tiny vocab makes every MinHash
+    // bucket collide and the candidate stage quadratic, which benchmarks
+    // the degenerate input, not the operator. Groups of 4 consecutive ids
+    // share a seed and differ only in the final word — planted near-dup
+    // clusters, so banding has real work and a known answer shape.
+    def docs(n: Long) = {
+      val stops = array(Seq("the", "of", "and", "is", "to", "in", "a",
+        "for", "on", "with").map(lit): _*)
+      val seed = floor(col("event_id") / 4).cast("long")
+      def content(k: Column) = concat(lit("w"), pmod(k, lit(20000)))
+      val words = (0 until 23).map { i =>
+        if (i % 4 == 0) element_at(stops, (pmod(hash(seed, lit(i)), lit(10)) + 1).cast("int"))
+        else content(hash(seed, lit(i)))
+      } :+ content(pmod(col("event_id"), lit(4)))
+      events(n).select(col("event_id").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }
+
+    time("simhash banded pairs") {
+      Dedup.simhashPairs(docs(rows), "text", "doc_id", maxHamming = 3).count()
+    }
+    time("curation pipeline (no audit)") {
+      val r = CurationPipeline.run(docs(rows), "text", "doc_id", withAudit = false)
+      val n = r.kept.count(); r.unpersist(); n
     }
     spark.stop()
   }

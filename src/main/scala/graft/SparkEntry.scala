@@ -494,7 +494,7 @@ object SparkEntry {
 
     "q30_lang_id" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"), col("lang").as("lang_actual"),
-        TextFns.langId(TextFns.tokens(col("text"))).as("lang_pred"))
+        TextFns.langId(col("text")).as("lang_pred"))
     }),
 
     "q57_lang_id_ngram" -> ((s, d) => {
@@ -509,14 +509,13 @@ object SparkEntry {
     }),
 
     "q31_quality_score" -> ((s, d) => {
-      val toks = TextFns.tokens(col("text"))
       t(s, d, "documents").select(
         col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        pround(TextFns.stopwordRatio(toks), 4).as("stopword_ratio"),
-        pround(TextFns.avgTokenLen(toks), 4).as("avg_token_len"),
+        TextFns.wsTokenCount(col("text")).as("n_tokens"),
+        pround(TextFns.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        pround(TextFns.avgTokenLen(col("text")), 4).as("avg_token_len"),
         pround(TextFns.punctRatio(col("text")), 4).as("punct_ratio"),
-        pround(TextFns.qualityScore(col("text"), toks), 4).as("quality"))
+        pround(TextFns.qualityScore(col("text")), 4).as("quality"))
     }),
 
     "q32_token_count" -> ((s, d) => {

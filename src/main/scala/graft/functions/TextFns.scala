@@ -101,9 +101,24 @@ object TextFns {
     "fr" -> Seq("le", "la", "les", "et", "est", "que"),
     "zh" -> Seq("de", "shi", "bu", "le", "wo", "ni"))
 
-  /** Per-language marker hit count over a token bag (per-row, no shuffle). */
-  def langScore(toks: Column, lang: String): Column =
-    size(filter(toks, t => t.isin(langMarkers(lang): _*)))
+  /** Exact-token alternation: matches a whole whitespace-delimited token
+    * equal to one of `words`. The lookarounds pin the match to token
+    * boundaries ((?<!\S) = start-of-text or after whitespace, (?!\S) =
+    * end-of-text or before whitespace), so an alternative only matches
+    * when it spans the ENTIRE token — the regex-codegen equivalent of
+    * `filter(tokens(text), _.isin(words))`, which as a higher-order
+    * array function is CodegenFallback (interpreted) and 3-10x slower
+    * in a scan-heavy gate (see PERF.md finding 1).
+    */
+  private def tokenAlternation(words: Seq[String]): String =
+    "(?<!\\S)(?:" + words.mkString("|") + ")(?!\\S)"
+
+  /** Whitespace-token count, regex form (one codegen'd pass, no array). */
+  private def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** Per-language marker hit count (per-row, codegen, no shuffle). */
+  def langScore(text: Column, lang: String): Column =
+    regexp_count(lower(text), lit(tokenAlternation(langMarkers(lang))))
 
   /** Predicted language: argmax marker count, ties broken by language code
     * ascending; "und" (undetermined) when no marker hits at all.
@@ -112,10 +127,10 @@ object TextFns {
     * comparison is lexicographic by field, and rank descends with lang so
     * equal scores pick the alphabetically first language.
     */
-  def langId(toks: Column): Column = {
+  def langId(text: Column): Column = {
     val langs = langMarkers.keys.toSeq.sorted
     val best = langs.zipWithIndex.map { case (l, i) =>
-      struct(langScore(toks, l).as("s"), lit(langs.length - i).as("r"), lit(l).as("l"))
+      struct(langScore(text, l).as("s"), lit(langs.length - i).as("r"), lit(l).as("l"))
     }
     val winner = array_max(array(best: _*))
     when(winner.getField("s") > 0, winner.getField("l")).otherwise(lit("und"))
@@ -165,10 +180,12 @@ object TextFns {
     "the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
 
   /** Fraction of tokens that are (English) stopwords. */
-  def stopwordRatio(toks: Column): Column =
-    when(size(toks) > 0,
-      size(filter(toks, t => t.isin(enStopwords: _*))).cast("double") / size(toks))
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0,
+      regexp_count(lower(text), lit(tokenAlternation(enStopwords))).cast("double") / n)
       .otherwise(lit(0.0))
+  }
 
   /** Fraction of characters that are neither alphanumeric nor whitespace. */
   def punctRatio(text: Column): Column =
@@ -177,26 +194,31 @@ object TextFns {
         .cast("double") / length(text))
       .otherwise(lit(0.0))
 
-  /** Mean token length. */
-  def avgTokenLen(toks: Column): Column =
-    when(size(toks) > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  /** Mean token length: total non-whitespace characters over token
+    * count (identical to summing per-token lengths — tokens are exactly
+    * the non-whitespace runs).
+    */
+  def avgTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0,
+      length(regexp_replace(text, "\\s", "")).cast("double") / n)
       .otherwise(lit(0.0))
+  }
 
   /** Composite document quality score in [0,1]: rewards mid-length docs,
     * a natural stopword ratio, and plausible mean token length.
     */
-  def qualityScore(text: Column, toks: Column): Column = {
-    val lenScore = least(size(toks).cast("double") / 50.0, lit(1.0))
-    val swScore = lit(1.0) - abs(stopwordRatio(toks) - 0.25) * 2.0
-    val tlScore = lit(1.0) - least(abs(avgTokenLen(toks) - 5.0) / 5.0, lit(1.0))
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val swScore = lit(1.0) - abs(stopwordRatio(text) - 0.25) * 2.0
+    val tlScore = lit(1.0) - least(abs(avgTokenLen(text) - 5.0) / 5.0, lit(1.0))
     greatest(least(lenScore * 0.4 + swScore * 0.3 + tlScore * 0.3, lit(1.0)), lit(0.0))
   }
 
   // ---- token counting ------------------------------------------------------
 
   /** Whitespace token count. */
-  def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def wsTokenCount(text: Column): Column = tokenCount(text).cast("long")
 
   /** BPE-ish subword proxy: runs of letters, runs of digits, and single
     * other non-space chars each count as one token.

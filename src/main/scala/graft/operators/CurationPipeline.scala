@@ -50,17 +50,15 @@ object CurationPipeline {
     */
   def run(docs: DataFrame, textCol: String, idCol: String,
           cfg: Config = Config(), withAudit: Boolean = true): Result = {
-    val toks = TextFns.tokens(col(textCol))
-
     def staged(df: DataFrame): DataFrame =
       if (withAudit) df.persist() else df
 
     val quality = staged(docs.filter(
-      size(toks) >= cfg.minTokens &&
+      TextFns.wsTokenCount(col(textCol)) >= cfg.minTokens &&
         TextFns.punctRatio(col(textCol)) <= cfg.maxPunctRatio &&
-        TextFns.qualityScore(col(textCol), toks) >= cfg.minQuality))
+        TextFns.qualityScore(col(textCol)) >= cfg.minQuality))
 
-    val lang = staged(quality.filter(TextFns.langId(toks).isin(cfg.languages.toSeq: _*)))
+    val lang = staged(quality.filter(TextFns.langId(col(textCol)).isin(cfg.languages.toSeq: _*)))
 
     // exact feeds BOTH the candidate generation and the keeper anti-join
     // below — persist unconditionally so the two branches share one

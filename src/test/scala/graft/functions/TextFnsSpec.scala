@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.Row
 
 class TextFnsSpec extends SparkSpec {
@@ -56,19 +57,57 @@ class TextFnsSpec extends SparkSpec {
 
   test("langId picks marker-dominant language, und when none") {
     val d = docs("the cat of the house is big", "der hund und die katze ist nicht da", "zzz qqq")
-    val out = d.select(TextFns.langId(TextFns.tokens(col("text")))).collect().map(_.getString(0))
+    val out = d.select(TextFns.langId(col("text"))).collect().map(_.getString(0))
     out shouldBe Array("en", "de", "und")
   }
 
   test("stopword/punct/avg-token-len ratios") {
     val d = docs("the fish!!")
-    val toks = TextFns.tokens(col("text"))
     val Row(swr: Double, pr: Double, atl: Double) = d.select(
-      TextFns.stopwordRatio(toks), TextFns.punctRatio(col("text")),
-      TextFns.avgTokenLen(toks)).head()
+      TextFns.stopwordRatio(col("text")), TextFns.punctRatio(col("text")),
+      TextFns.avgTokenLen(col("text"))).head()
     swr shouldBe 0.5 // "the" of 2 tokens
     pr shouldBe 0.2 // 2 of 10 chars
     atl shouldBe 4.5 // (3 + 6("fish!!")) / 2 — tokens keep punctuation
+  }
+
+  test("regex token forms match the higher-order-function forms exactly") {
+    // the regexp_count rewrites (codegen) must be value-identical to the
+    // interpreted filter/aggregate-over-tokens originals on edge shapes:
+    // punctuation-attached tokens ("the," is NOT the stopword "the"),
+    // marker words embedded in longer tokens, repeated/adjacent
+    // stopwords, multi-whitespace, empty, blank, uppercase
+    val tricky = docs(
+      "the fish", "the, fish", "THE THE the", "a a a a", "theater of dreams",
+      "is  it   that it is", "", "   ", "und zzz", "der die das der",
+      "el que la\tlos", "x", "of")
+    val toks = TextFns.tokens(col("text"))
+    val hofStopCount = F.size(F.filter(toks, t => t.isin(TextFns.enStopwords: _*)))
+    val hofAvgLen = when(F.size(toks) > 0,
+      F.aggregate(toks, lit(0L), (acc, t) => acc + F.length(t)).cast("double") / F.size(toks))
+      .otherwise(lit(0.0))
+    val hofSwr = when(F.size(toks) > 0, hofStopCount.cast("double") / F.size(toks))
+      .otherwise(lit(0.0))
+    val hofLang = {
+      val langs = TextFns.langMarkers.keys.toSeq.sorted
+      val best = langs.zipWithIndex.map { case (l, i) =>
+        struct(F.size(F.filter(toks, t => t.isin(TextFns.langMarkers(l): _*))).as("s"),
+          lit(langs.length - i).as("r"), lit(l).as("l"))
+      }
+      val winner = array_max(array(best: _*))
+      when(winner.getField("s") > 0, winner.getField("l")).otherwise(lit("und"))
+    }
+    tricky.select(
+      F.size(toks).cast("long").as("hof_n"), TextFns.wsTokenCount(col("text")).as("re_n"),
+      hofSwr.as("hof_swr"), TextFns.stopwordRatio(col("text")).as("re_swr"),
+      hofAvgLen.as("hof_atl"), TextFns.avgTokenLen(col("text")).as("re_atl"),
+      hofLang.as("hof_lang"), TextFns.langId(col("text")).as("re_lang"))
+      .collect().foreach { r =>
+        r.getLong(1) shouldBe r.getLong(0)
+        r.getDouble(3) shouldBe r.getDouble(2)
+        r.getDouble(5) shouldBe r.getDouble(4)
+        r.getString(7) shouldBe r.getString(6)
+      }
   }
 
   test("token counts: whitespace vs bpe-ish") {
