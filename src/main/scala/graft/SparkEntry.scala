@@ -529,7 +529,8 @@ object SparkEntry {
       t(s, d, "documents").select(
         col("doc_id"),
         TextFns.fingerprint(col("text"), 8).as("fp"),
-        size(array_distinct(TextFns.charShingles(col("text"), 8))).cast("long").as("n_grams"))
+        graft.expressions.GraftFunctions.distinctGramCount(col("text"), 8)
+          .cast("long").as("n_grams"))
     })
   )
 

@@ -42,7 +42,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SrpBandKeys].getName, "srp_band_keys"),
       (args: Seq[Expression]) => SrpBandKeys(args(0),
         intLit(args(1), "bands"), intLit(args(2), "planesPerBand"),
-        intLit(args(3), "dims"))))
+        intLit(args(3), "dims"))),
+    ("md5_min_gram",
+      new ExpressionInfo(classOf[Md5MinGram].getName, "md5_min_gram"),
+      (args: Seq[Expression]) => Md5MinGram(args(0), intLit(args(1), "k"))),
+    ("distinct_gram_count",
+      new ExpressionInfo(classOf[DistinctGramCount].getName, "distinct_gram_count"),
+      (args: Seq[Expression]) => DistinctGramCount(args(0), intLit(args(1), "k"))))
 
   /** Register every graft function into a live session's registry. */
   def register(spark: SparkSession): Unit =
@@ -68,4 +74,12 @@ object GraftFunctions {
   def srpBandKeys(v: Column, bands: Int, planesPerBand: Int, dims: Int): Column =
     ColumnBridge.column(SrpBandKeys(
       ColumnBridge.expression(v), bands, planesPerBand, dims))
+
+  /** Typed handle on the native min-md5-gram fingerprint expression. */
+  def md5MinGram(text: Column, k: Int): Column =
+    ColumnBridge.column(Md5MinGram(ColumnBridge.expression(text), k))
+
+  /** Typed handle on the native distinct-gram-count expression. */
+  def distinctGramCount(text: Column, k: Int): Column =
+    ColumnBridge.column(DistinctGramCount(ColumnBridge.expression(text), k))
 }

@@ -165,14 +165,16 @@ object TextFns {
 
   // ---- PII / boilerplate surface ------------------------------------------
 
-  /** Count of email-shaped tokens (simple portable pattern). */
+  /** Count of email-shaped tokens (simple portable pattern).
+    * regexp_count, not size(regexp_extract_all(...)): same match walk,
+    * no match-array materialization per row.
+    */
   def emailCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
-      .cast("long")
+    regexp_count(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).cast("long")
 
   /** Count of http(s) URLs. */
   def urlCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))).cast("long")
+    regexp_count(text, lit("https?://[^\\s]+")).cast("long")
 
   // ---- quality scoring ---------------------------------------------------
 
@@ -224,15 +226,17 @@ object TextFns {
     * other non-space chars each count as one token.
     */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-      .cast("long")
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
   // ---- fingerprinting --------------------------------------------------------
 
   /** Document fingerprint: min md5 over character k-grams — a
     * 1-permutation MinHash over the rolling-window gram set. Null for
-    * docs shorter than k.
+    * docs shorter than k. Native expression (`Md5MinGram`): the
+    * composable `array_min(transform(charShingles(text, k), md5))` is
+    * interpreted per gram and materializes the gram array; the native
+    * form is one digest loop per row with identical results.
     */
   def fingerprint(text: Column, k: Int): Column =
-    array_min(transform(charShingles(text, k), g => md5(g)))
+    graft.expressions.GraftFunctions.md5MinGram(text, k)
 }

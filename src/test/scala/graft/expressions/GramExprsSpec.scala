@@ -1,0 +1,97 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class GramExprsSpec extends SparkSpec {
+
+  private def docs(texts: Seq[String]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType, nullable = true))))
+
+  // the HOF originals the native expressions must reproduce bit-for-bit
+  private def hofFingerprint(text: org.apache.spark.sql.Column, k: Int) =
+    array_min(transform(TextFns.charShingles(text, k), g => md5(g)))
+  private def hofDistinct(text: org.apache.spark.sql.Column, k: Int) =
+    F.size(array_distinct(TextFns.charShingles(text, k)))
+
+  private val tricky = Seq(
+    "abcdefghij",                    // plain ascii, longer than k
+    "abc",                           // exactly k (k=3 cases)
+    "ab",                            // shorter than k
+    "",                              // empty
+    "AAAAAAAAAA",                    // uppercase, all-same grams
+    "MiXeD CaSe with Spaces  !!",    // case folding + punctuation
+    "café naïve résumé",  // 2-byte code points
+    "中文文本测试文本",  // 3-byte CJK
+    "mix é中 a scii",       // mixed widths
+    "İSTANBUL İN TURKEY",  // dotted I: lowering grows the string
+    "a😀b😀c",   // surrogate pairs (4-byte code points)
+    null)
+
+  test("md5_min_gram matches the HOF fingerprint on ascii and multi-byte text") {
+    for (k <- Seq(3, 8)) {
+      val out = docs(tricky).select(
+        GraftFunctions.md5MinGram(col("text"), k).as("native"),
+        hofFingerprint(col("text"), k).as("hof")).collect()
+      out.foreach { r =>
+        if (r.isNullAt(1)) r.isNullAt(0) shouldBe true
+        else r.getString(0) shouldBe r.getString(1)
+      }
+    }
+  }
+
+  test("distinct_gram_count matches the HOF form") {
+    for (k <- Seq(3, 8)) {
+      val out = docs(tricky).select(
+        GraftFunctions.distinctGramCount(col("text"), k).as("native"),
+        hofDistinct(col("text"), k).as("hof")).collect()
+      out.foreach { r =>
+        if (r.isNullAt(1)) r.isNullAt(0) shouldBe true
+        else r.getInt(0) shouldBe r.getInt(1)
+      }
+    }
+  }
+
+  test("TextFns.fingerprint (native-backed) keeps its contract") {
+    val out = docs(Seq("abcdefghij", "short")).select(TextFns.fingerprint(col("text"), 8)).collect()
+    out(0).getString(0) should have length 32
+    out(1).isNullAt(0) shouldBe true
+  }
+
+  test("registered SQL functions evaluate") {
+    GraftFunctions.register(spark)
+    docs(Seq("abcdefghij")).createOrReplaceTempView("gram_docs")
+    val r = spark.sql(
+      "SELECT md5_min_gram(text, 3) AS fp, distinct_gram_count(text, 3) AS n FROM gram_docs")
+      .head()
+    r.getString(0) should have length 32
+    r.getInt(1) shouldBe 8
+  }
+
+  test("interpreted eval path (no codegen) agrees with codegen") {
+    val conf = spark.conf
+    val saved = (conf.get("spark.sql.codegen.wholeStage", "true"),
+      conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val out = docs(tricky).select(
+        GraftFunctions.md5MinGram(col("text"), 3).as("fp"),
+        hofFingerprint(col("text"), 3).as("hof")).collect()
+      out.foreach { r =>
+        if (r.isNullAt(1)) r.isNullAt(0) shouldBe true
+        else r.getString(0) shouldBe r.getString(1)
+      }
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", saved._1)
+      conf.set("spark.sql.codegen.factoryMode", saved._2)
+    }
+  }
+}
