@@ -150,13 +150,21 @@ object TextFns {
   /** Trigram-overlap LID: count profile-trigram occurrences per language
     * over the lowercased text (word-boundary padded), argmax with ties
     * to the alphabetically first language; "und" when nothing matches.
+    *
+    * Scoring is `regexp_count` with a zero-width lookahead alternation
+    * `(?=(?:tri1|tri2|...))` — one codegen'd pass per language counting
+    * every position where a profile trigram starts, which is exactly
+    * the OVERLAPPING window count `size(filter(charShingles(padded, 3),
+    * isin(profile)))` computes interpreted (a 3-char window equals an
+    * ASCII-ish trigram iff that trigram matches at the window's start;
+    * empty lookahead matches advance the scan by one position).
     */
   def langIdNgram(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
-    val grams = charShingles(padded, 3)
     val langs = langTrigramProfiles.keys.toSeq.sorted
     val best = langs.zipWithIndex.map { case (l, i) =>
-      val score = size(filter(grams, g => g.isin(langTrigramProfiles(l): _*)))
+      val score = regexp_count(padded,
+        lit("(?=(?:" + langTrigramProfiles(l).mkString("|") + "))"))
       struct(score.as("s"), lit(langs.length - i).as("r"), lit(l).as("l"))
     }
     val winner = array_max(array(best: _*))

@@ -110,6 +110,29 @@ class TextFnsSpec extends SparkSpec {
       }
   }
 
+  test("langIdNgram regex scoring matches the HOF charShingles form") {
+    // overlapping trigrams ("ththe" hosts " th", "the", "he " at
+    // overlapping offsets), accented profile grams ("ión"), repeats,
+    // ties, empty, und
+    val tricky = docs(
+      "the theater", "ththe", "aviación en acción", "Der Schein und ich",
+      "le que est ent", "", "zzz", "THE AND ING", "que de la ion")
+    val hof = {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val grams = TextFns.charShingles(padded, 3)
+      val langs = TextFns.langTrigramProfiles.keys.toSeq.sorted
+      val best = langs.zipWithIndex.map { case (l, i) =>
+        struct(
+          F.size(F.filter(grams, g => g.isin(TextFns.langTrigramProfiles(l): _*))).as("s"),
+          lit(langs.length - i).as("r"), lit(l).as("l"))
+      }
+      val winner = array_max(array(best: _*))
+      when(winner.getField("s") > 0, winner.getField("l")).otherwise(lit("und"))
+    }
+    tricky.select(hof.as("hof"), TextFns.langIdNgram(col("text")).as("re"))
+      .collect().foreach(r => r.getString(1) shouldBe r.getString(0))
+  }
+
   test("token counts: whitespace vs bpe-ish") {
     val d = docs("Hello world42, ok!")
     val Row(ws: Long, bp: Long) = d.select(
