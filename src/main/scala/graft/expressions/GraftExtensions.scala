@@ -48,7 +48,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => Md5MinGram(args(0), intLit(args(1), "k"))),
     ("distinct_gram_count",
       new ExpressionInfo(classOf[DistinctGramCount].getName, "distinct_gram_count"),
-      (args: Seq[Expression]) => DistinctGramCount(args(0), intLit(args(1), "k"))))
+      (args: Seq[Expression]) => DistinctGramCount(args(0), intLit(args(1), "k"))),
+    ("regexp_tally",
+      new ExpressionInfo(classOf[RegexpTally].getName, "regexp_tally"),
+      (args: Seq[Expression]) => RegexpTally(args(0), stringLit(args(1), "pattern"))))
+
+  private def stringLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
 
   /** Register every graft function into a live session's registry. */
   def register(spark: SparkSession): Unit =
@@ -82,4 +92,8 @@ object GraftFunctions {
   /** Typed handle on the native distinct-gram-count expression. */
   def distinctGramCount(text: Column, k: Int): Column =
     ColumnBridge.column(DistinctGramCount(ColumnBridge.expression(text), k))
+
+  /** Typed handle on the native regex match counter. */
+  def regexpTally(text: Column, pattern: String): Column =
+    ColumnBridge.column(RegexpTally(ColumnBridge.expression(text), pattern))
 }

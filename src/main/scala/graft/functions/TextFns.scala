@@ -113,12 +113,20 @@ object TextFns {
   private def tokenAlternation(words: Seq[String]): String =
     "(?<!\\S)(?:" + words.mkString("|") + ")(?!\\S)"
 
-  /** Whitespace-token count, regex form (one codegen'd pass, no array). */
-  private def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+  /** Native match counter (`RegexpTally`): Spark's `regexp_count` is
+    * RuntimeReplaceable sugar for `size(regexp_extract_all(...))` and
+    * materializes every match only to take the array's length; the
+    * native form is the count alone.
+    */
+  private def tally(text: Column, pattern: String): Column =
+    graft.expressions.GraftFunctions.regexpTally(text, pattern)
+
+  /** Whitespace-token count, one codegen'd counting pass, no array. */
+  private def tokenCount(text: Column): Column = tally(text, "\\S+")
 
   /** Per-language marker hit count (per-row, codegen, no shuffle). */
   def langScore(text: Column, lang: String): Column =
-    regexp_count(lower(text), lit(tokenAlternation(langMarkers(lang))))
+    tally(lower(text), tokenAlternation(langMarkers(lang)))
 
   /** Predicted language: argmax marker count, ties broken by language code
     * ascending; "und" (undetermined) when no marker hits at all.
@@ -151,7 +159,7 @@ object TextFns {
     * over the lowercased text (word-boundary padded), argmax with ties
     * to the alphabetically first language; "und" when nothing matches.
     *
-    * Scoring is `regexp_count` with a zero-width lookahead alternation
+    * Scoring is a native count with a zero-width lookahead alternation
     * `(?=(?:tri1|tri2|...))` — one codegen'd pass per language counting
     * every position where a profile trigram starts, which is exactly
     * the OVERLAPPING window count `size(filter(charShingles(padded, 3),
@@ -163,8 +171,7 @@ object TextFns {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val langs = langTrigramProfiles.keys.toSeq.sorted
     val best = langs.zipWithIndex.map { case (l, i) =>
-      val score = regexp_count(padded,
-        lit("(?=(?:" + langTrigramProfiles(l).mkString("|") + "))"))
+      val score = tally(padded, "(?=(?:" + langTrigramProfiles(l).mkString("|") + "))")
       struct(score.as("s"), lit(langs.length - i).as("r"), lit(l).as("l"))
     }
     val winner = array_max(array(best: _*))
@@ -173,16 +180,13 @@ object TextFns {
 
   // ---- PII / boilerplate surface ------------------------------------------
 
-  /** Count of email-shaped tokens (simple portable pattern).
-    * regexp_count, not size(regexp_extract_all(...)): same match walk,
-    * no match-array materialization per row.
-    */
+  /** Count of email-shaped tokens (simple portable pattern). */
   def emailCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).cast("long")
+    tally(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}").cast("long")
 
   /** Count of http(s) URLs. */
   def urlCount(text: Column): Column =
-    regexp_count(text, lit("https?://[^\\s]+")).cast("long")
+    tally(text, "https?://[^\\s]+").cast("long")
 
   // ---- quality scoring ---------------------------------------------------
 
@@ -193,7 +197,7 @@ object TextFns {
   def stopwordRatio(text: Column): Column = {
     val n = tokenCount(text)
     when(n > 0,
-      regexp_count(lower(text), lit(tokenAlternation(enStopwords))).cast("double") / n)
+      tally(lower(text), tokenAlternation(enStopwords)).cast("double") / n)
       .otherwise(lit(0.0))
   }
 
@@ -234,7 +238,7 @@ object TextFns {
     * other non-space chars each count as one token.
     */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+    tally(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").cast("long")
 
   // ---- fingerprinting --------------------------------------------------------
 

@@ -69,10 +69,26 @@ class GramExprsSpec extends SparkSpec {
     GraftFunctions.register(spark)
     docs(Seq("abcdefghij")).createOrReplaceTempView("gram_docs")
     val r = spark.sql(
-      "SELECT md5_min_gram(text, 3) AS fp, distinct_gram_count(text, 3) AS n FROM gram_docs")
+      "SELECT md5_min_gram(text, 3) AS fp, distinct_gram_count(text, 3) AS n, " +
+        "regexp_tally(text, 'b|de') AS t FROM gram_docs")
       .head()
     r.getString(0) should have length 32
     r.getInt(1) shouldBe 8
+    r.getInt(2) shouldBe 2
+  }
+
+  test("regexp_tally matches regexp_count incl. zero-width and null") {
+    val d = docs(Seq("aaa bbb aaa", "", "abcabc", "no match", null))
+    val pats = Seq("a+", "(?=ab)", "\\S+", "zzz")
+    pats.foreach { p =>
+      val out = d.select(
+        GraftFunctions.regexpTally(col("text"), p).as("native"),
+        regexp_count(col("text"), lit(p)).as("builtin")).collect()
+      out.foreach { r =>
+        if (r.isNullAt(1)) r.isNullAt(0) shouldBe true
+        else r.getInt(0) shouldBe r.getInt(1)
+      }
+    }
   }
 
   test("interpreted eval path (no codegen) agrees with codegen") {
