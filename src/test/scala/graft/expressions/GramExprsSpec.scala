@@ -77,6 +77,32 @@ class GramExprsSpec extends SparkSpec {
     r.getInt(2) shouldBe 2
   }
 
+  test("fuzz: native forms match HOF forms on 300 random unicode strings") {
+    // seeded, reproducible; alphabet mixes ascii, whitespace variants,
+    // accents, CJK, and an emoji (4-byte) plus Turkish dotted I (the
+    // lowering-grows-the-string case)
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = "abcXYZ 09.!\t\n  éßΔ中文😀İ"
+    val fuzz = Seq.fill(300) {
+      val n = rnd.nextInt(30)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val k = 3
+    val out = docs(fuzz).select(
+      GraftFunctions.md5MinGram(col("text"), k).as("nfp"),
+      hofFingerprint(col("text"), k).as("hfp"),
+      GraftFunctions.distinctGramCount(col("text"), k).as("ndc"),
+      hofDistinct(col("text"), k).as("hdc"),
+      col("text")).collect()
+    out.foreach { r =>
+      withClue(s"text=${r.getString(4)}: ") {
+        if (r.isNullAt(1)) r.isNullAt(0) shouldBe true
+        else r.getString(0) shouldBe r.getString(1)
+        r.getInt(2) shouldBe r.getInt(3)
+      }
+    }
+  }
+
   test("regexp_tally matches regexp_count incl. zero-width and null") {
     val d = docs(Seq("aaa bbb aaa", "", "abcabc", "no match", null))
     val pats = Seq("a+", "(?=ab)", "\\S+", "zzz")
