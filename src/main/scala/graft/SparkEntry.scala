@@ -394,10 +394,9 @@ object SparkEntry {
         bands = 3, rowsPerBand = 2)),
 
     "q22_simhash" -> ((s, d) => {
-      // relational (explode + hash-agg) signature — stays inside
-      // whole-stage codegen, unlike the per-row HOF TextFns.simhash16
-      // (CodegenFallback, ~6x slower; kept for streaming/per-row use).
-      // Token-less docs have no exploded rows -> no output row, same
+      // native per-row signature expression (SimHash16Sig) — identical
+      // values to the oracle's unnest+vote form, no explode, no shuffle.
+      // Token-less docs have a null signature and are dropped, same
       // absence semantics as the oracle's unnest.
       Dedup.simhashSignatures(t(s, d, "documents"), "text", "doc_id")
         .select(col("doc").as("doc_id"), col("sig").as("simhash"))

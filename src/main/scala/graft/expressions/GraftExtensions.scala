@@ -51,7 +51,16 @@ object GraftFunctions {
       (args: Seq[Expression]) => DistinctGramCount(args(0), intLit(args(1), "k"))),
     ("regexp_tally",
       new ExpressionInfo(classOf[RegexpTally].getName, "regexp_tally"),
-      (args: Seq[Expression]) => RegexpTally(args(0), stringLit(args(1), "pattern"))))
+      (args: Seq[Expression]) => RegexpTally(args(0), stringLit(args(1), "pattern"))),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1), "k"))),
+    ("simhash16_sig",
+      new ExpressionInfo(classOf[SimHash16Sig].getName, "simhash16_sig"),
+      (args: Seq[Expression]) => SimHash16Sig(args(0))),
+    ("simhash64_sig",
+      new ExpressionInfo(classOf[SimHash64Sig].getName, "simhash64_sig"),
+      (args: Seq[Expression]) => SimHash64Sig(args(0))))
 
   private def stringLit(e: Expression, what: String): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
@@ -96,4 +105,16 @@ object GraftFunctions {
   /** Typed handle on the native regex match counter. */
   def regexpTally(text: Column, pattern: String): Column =
     ColumnBridge.column(RegexpTally(ColumnBridge.expression(text), pattern))
+
+  /** Typed handle on the native k-position MinHash signature. */
+  def minhashSig(text: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(text), k))
+
+  /** Typed handle on the native 16-bit SimHash signature. */
+  def simhash16Sig(text: Column): Column =
+    ColumnBridge.column(SimHash16Sig(ColumnBridge.expression(text)))
+
+  /** Typed handle on the native 64-bit banded SimHash signature. */
+  def simhash64Sig(text: Column): Column =
+    ColumnBridge.column(SimHash64Sig(ColumnBridge.expression(text)))
 }

@@ -44,43 +44,28 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Per-doc k-position MinHash signature, Spark-native shape: explode
-    * shingles to rows, hash each shingle ONCE with codegen'd md5, derive
-    * the k hash functions arithmetically (Kirsch-Mitzenmacher: h_i =
-    * h1 + i*h2 over the two 60-bit halves of the md5), and take the k
-    * mins in one partial+final hash aggregate.
+  /** Per-doc k-position MinHash signature via the native `MinHashSig`
+    * expression: one per-row loop over the 3-token shingles, one md5
+    * per shingle, k mins derived arithmetically (Kirsch-Mitzenmacher:
+    * h_i = h1 + i*h2 over the two 60-bit md5 halves — 60 bits keep
+    * h1 + 5*h2 < 2^63, portable to the DuckDB oracle's hex cast).
     *
-    * This keeps the whole hot path inside whole-stage codegen — Spark's
-    * higher-order array functions (transform/aggregate) are interpreted
-    * (CodegenFallback), so a per-salt `transform(shingles, md5)`
-    * formulation is ~50x slower and recomputes tokenization per salt.
-    * Map-side combine shrinks the shuffle to one (doc, k longs) row per
-    * doc per partition. 60-bit halves keep h1 + 5*h2 < 2^63 (no
-    * overflow, portable to the DuckDB oracle's hex cast).
+    * SHUFFLE-FREE: earlier shapes exploded every shingle into a row
+    * stream (window-lead shingling + a k-min hash aggregate), which is
+    * codegen-friendly but shuffles the corpus' full token volume to
+    * re-group it by doc. The native expression computes the identical
+    * signature values (`SignatureExprsSpec` pins bit-equality to the
+    * relational form) inside the scan projection — at 100 TB the only
+    * thing that ever shuffles downstream is the band keys. Docs with
+    * fewer than 3 tokens have a null signature and are dropped, the
+    * relational form's no-rows-after-explode absence.
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    // Tokenize with codegen'd split + posexplode and a ROW filter for
-    // empties (the array-lambda filter is interpreted), then build
-    // 3-gram shingle strings with window lead() over token position —
-    // consecutive surviving tokens, exactly the strings the per-row HOF
-    // shingler produced, at ~3x the throughput. The window's doc
-    // partitioning is reused by the signature aggregate: one shuffle
-    // for the whole stage. Duplicate shingles are NOT deduped — min()
-    // is insensitive to multiplicity, so the signatures are unchanged.
-    val w = Window.partitionBy("doc").orderBy("pos")
-    val sh = docs
-      .select(col(idCol).as("doc"),
-        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "t")))
-      .filter(col("t") =!= "")
-      .withColumn("t1", lead(col("t"), 1).over(w))
-      .withColumn("t2", lead(col("t"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
-    val hashed = sh.select(col("doc"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(col("s")), 17, 15), 16, 10).cast("long").as("h2"))
-    val mins = (0 until k).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
-    hashed.groupBy("doc").agg(mins.head, mins.tail: _*)
+    val sig = graft.expressions.GraftFunctions.minhashSig(col(textCol), k)
+    docs.select(col(idCol).as("doc"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc") +:
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs (id_a < id_b): signature ->
@@ -141,23 +126,19 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Per-doc 16-bit SimHash in relational shape: explode tokens, one
-    * codegen'd md5 per token, 16 vote sums in a single partial+final
-    * hash aggregate (same plane definition as TextFns.simhash16 — plane
-    * j = high bit of hex digit j, i.e. digit >= '8'). Docs with no
-    * tokens produce no row (same as the unnest-based oracle).
+  /** Per-doc 16-bit SimHash via the native `SimHash16Sig` expression
+    * (plane j = high bit of hex digit j of md5(token), i.e. digit >=
+    * '8' — same definition as TextFns.simhash16 and the unnest-based
+    * oracle). Shuffle-free: the earlier relational shape exploded
+    * tokens into a 16-vote hash aggregate; the native per-row loop
+    * computes identical values inside the scan projection
+    * (`SignatureExprsSpec`). Docs with no tokens have a null signature
+    * and are dropped (the oracle's no-rows absence).
     */
-  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hexed = docs
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("t"))
-      .select(col("doc"), md5(col("t")).as("h"))
-    val votes = (1 to 16).map(j =>
-      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"v$j"))
-    hexed.groupBy("doc").agg(votes.head, votes.tail: _*)
-      .select(col("doc"),
-        (1 to 16).map(j => when(col(s"v$j") >= 0, lit(1L << (16 - j))).otherwise(lit(0L)))
-          .reduce(_ + _).as("sig"))
-  }
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        graft.expressions.GraftFunctions.simhash16Sig(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Per-doc 64-bit SimHash, held as FOUR 16-bit band values s0..s3
     * (band b = bits [16b, 16b+16) of the signature = hex digits
@@ -167,25 +148,18 @@ object Dedup {
     * while keeping every value comfortably inside a signed BIGINT for
     * the DuckDB oracle (no 1<<63 sign-bit edge).
     *
-    * Same relational, codegen-friendly shape as `simhashSignatures`:
-    * explode tokens, ONE md5 per token, 64 vote sums in a single
-    * partial+final hash aggregate. Docs with no tokens produce no row.
+    * Native `SimHash64Sig` expression, shuffle-free: the earlier
+    * relational shape exploded tokens into a 64-vote hash aggregate;
+    * the native per-row loop computes identical band values inside the
+    * scan projection (`SignatureExprsSpec`). Docs with no tokens have a
+    * null signature and are dropped.
     */
-  def simhashSignatures64(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hexed = docs
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("t"))
-      .select(col("doc"), md5(col("t")).as("h"))
-    val banded = hexed.select(col("doc") +: (0 until 4).map(b =>
-      conv(substring(col("h"), b * 4 + 1, 4), 16, 10).cast("long").as(s"hb$b")): _*)
-    val votes = for { b <- 0 until 4; j <- 0 until 16 } yield
-      sum(when(shiftright(col(s"hb$b"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"v${b}_$j")
-    banded.groupBy("doc").agg(votes.head, votes.tail: _*)
-      .select(col("doc") +: (0 until 4).map(b =>
-        (0 until 16).map(j =>
-          when(col(s"v${b}_$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-          .as(s"s$b")): _*)
-  }
+  def simhashSignatures64(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        graft.expressions.GraftFunctions.simhash64Sig(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc") +:
+        (0 until 4).map(b => element_at(col("sig"), b + 1).as(s"s$b")): _*)
 
   /** SimHash near-dup pairs over the 64-bit signature, banded into the
     * four 16-bit bands. Hamming <= 3 over 4 disjoint bands means at
