@@ -129,8 +129,12 @@ object SparkEntry {
     }),
 
     "q12_explode_tokens" -> ((s, d) => {
+      // explode the raw split and drop empties as a ROW filter — the
+      // array-lambda form (explode(tokens(...))) puts an interpreted
+      // filter() in the scan projection; this shape is all codegen
       t(s, d, "documents")
-        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)

@@ -60,7 +60,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHash16Sig(args(0))),
     ("simhash64_sig",
       new ExpressionInfo(classOf[SimHash64Sig].getName, "simhash64_sig"),
-      (args: Seq[Expression]) => SimHash64Sig(args(0))))
+      (args: Seq[Expression]) => SimHash64Sig(args(0))),
+    ("pair_combos",
+      new ExpressionInfo(classOf[PairCombos].getName, "pair_combos"),
+      (args: Seq[Expression]) => PairCombos(args(0))),
+    ("distinct_word_shingles",
+      new ExpressionInfo(classOf[DistinctWordShingles].getName, "distinct_word_shingles"),
+      (args: Seq[Expression]) => DistinctWordShingles(args(0), intLit(args(1), "n"))))
 
   private def stringLit(e: Expression, what: String): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
@@ -117,4 +123,12 @@ object GraftFunctions {
   /** Typed handle on the native 64-bit banded SimHash signature. */
   def simhash64Sig(text: Column): Column =
     ColumnBridge.column(SimHash64Sig(ColumnBridge.expression(text)))
+
+  /** Typed handle on the native in-bucket pair expansion. */
+  def pairCombos(ids: Column): Column =
+    ColumnBridge.column(PairCombos(ColumnBridge.expression(ids)))
+
+  /** Typed handle on the native distinct n-word shingle set. */
+  def distinctWordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(DistinctWordShingles(ColumnBridge.expression(text), n))
 }

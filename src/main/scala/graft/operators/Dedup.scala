@@ -92,16 +92,16 @@ object Dedup {
   }
 
   /** Distinct (id_a < id_b) pairs of ids sharing a bucket key: groupBy
-    * bucket -> sorted id list -> per-bucket combination expansion.
+    * bucket -> sorted id list -> per-bucket combination expansion via
+    * the native `PairCombos` loop (the nested-transform HOF form builds
+    * the same pair list interpreted, with a slice allocation per id).
     */
   private[graft] def pairsInBuckets(keyed: DataFrame, idCol: String, bucketCol: String): DataFrame = {
     val ids = col("ids")
     keyed.groupBy(col(bucketCol))
       .agg(array_sort(collect_set(col(idCol))).as("ids"))
       .filter(size(ids) > 1)
-      .select(explode(flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + lit(2), size(ids)),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(explode(graft.expressions.GraftFunctions.pairCombos(ids)).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
@@ -113,8 +113,11 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    candidates: DataFrame, n: Int = 3): DataFrame = {
+    // native shingle set: one tokenize + linked-hash-set pass per doc
+    // (the array_distinct(wordShingles(tokens(...))) chain is three
+    // interpreted HOF passes); first-occurrence order preserved
     val sets = docs.select(col(idCol).as("doc"),
-      array_distinct(wordShingles(tokens(col(textCol)), n)).as("sh"))
+      graft.expressions.GraftFunctions.distinctWordShingles(col(textCol), n).as("sh"))
     val withA = candidates
       .join(sets.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
     val both = withA

@@ -124,6 +124,46 @@ class SignatureExprsSpec extends SparkSpec {
     }
   }
 
+  test("pair_combos matches the nested-transform HOF expansion") {
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Seq(1L, 2L, 3L, 4L)), Row(Seq(7L, 9L)), Row(Seq(5L)), Row(Seq.empty[Long]))),
+      StructType(Seq(StructField("ids", ArrayType(LongType)))))
+    val ids = col("ids")
+    val hof = explode(F.flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), F.size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b"))))))
+    val hofPairs = d.select(hof.as("p")).select(col("p.id_a"), col("p.id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nativePairs = d.select(explode(GraftFunctions.pairCombos(ids)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    nativePairs shouldBe hofPairs
+    nativePairs should contain theSameElementsAs Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (7L, 9L))
+  }
+
+  test("pair_combos works for string ids too") {
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq("a", "b", "c")))),
+      StructType(Seq(StructField("ids", ArrayType(StringType)))))
+    d.select(explode(GraftFunctions.pairCombos(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("a", "b"), ("a", "c"), ("b", "c"))
+  }
+
+  test("distinct_word_shingles matches the HOF chain incl. order and null") {
+    val d = docs(fuzzDocs :+ null)
+    val hof = array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3))
+    val out = d.select(
+      GraftFunctions.distinctWordShingles(col("text"), 3).as("native"),
+      hof.as("hof")).collect()
+    out.foreach { r =>
+      r.getSeq[String](0) shouldBe r.getSeq[String](1)
+    }
+  }
+
   test("registered SQL signature functions evaluate") {
     GraftFunctions.register(spark)
     docs(Seq("the quick brown fox")).createOrReplaceTempView("sig_docs")
