@@ -81,7 +81,12 @@ private class ReplayTable(props: Map[String, String]) extends Table with Support
   }
 }
 
-private class ReplayScanBuilder(rows: Long, partitions: Int, seed: Long)
+// case class: two scans of the same (rows, partitions, seed) must be
+// EQUAL, or BatchScanExec canonicalization treats them as different
+// relations and exchange/stage reuse never fires above this source —
+// a self-join over a replay frame then recomputes the whole subtree
+// per branch (file-based sources get this equality from their paths)
+private case class ReplayScanBuilder(rows: Long, partitions: Int, seed: Long)
   extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = ReplaySource.schema
