@@ -48,17 +48,27 @@ object CurationPipeline {
   /** @param withAudit false skips the per-stage counts (5 extra jobs) —
     *                   use when only the kept corpus is needed.
     */
+  /** Stage-1 predicate (cheap per-row quality scores) — shared by the
+    * batch pipeline and `streaming.StreamingCuration`, so the two paths
+    * can never disagree on what "junk" means.
+    */
+  def qualityGate(textCol: String, cfg: Config = Config()): org.apache.spark.sql.Column =
+    TextFns.wsTokenCount(col(textCol)) >= cfg.minTokens &&
+      TextFns.punctRatio(col(textCol)) <= cfg.maxPunctRatio &&
+      TextFns.qualityScore(col(textCol)) >= cfg.minQuality
+
+  /** Stage-2 predicate (marker LID language allow-list), shared likewise. */
+  def languageGate(textCol: String, cfg: Config = Config()): org.apache.spark.sql.Column =
+    TextFns.langId(col(textCol)).isin(cfg.languages.toSeq: _*)
+
   def run(docs: DataFrame, textCol: String, idCol: String,
           cfg: Config = Config(), withAudit: Boolean = true): Result = {
     def staged(df: DataFrame): DataFrame =
       if (withAudit) df.persist() else df
 
-    val quality = staged(docs.filter(
-      TextFns.wsTokenCount(col(textCol)) >= cfg.minTokens &&
-        TextFns.punctRatio(col(textCol)) <= cfg.maxPunctRatio &&
-        TextFns.qualityScore(col(textCol)) >= cfg.minQuality))
+    val quality = staged(docs.filter(qualityGate(textCol, cfg)))
 
-    val lang = staged(quality.filter(TextFns.langId(col(textCol)).isin(cfg.languages.toSeq: _*)))
+    val lang = staged(quality.filter(languageGate(textCol, cfg)))
 
     // exact feeds BOTH the candidate generation and the keeper anti-join
     // below — persist unconditionally so the two branches share one

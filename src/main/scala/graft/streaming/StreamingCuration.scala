@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.operators.{CurationPipeline, Dedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** The full training-data curation pipeline as a STREAM filter: each
+  * micro-batch runs the same stages, in the same cheapest-first order,
+  * as the batch `CurationPipeline` —
+  *
+  *   1. quality gate   (identical predicate: `CurationPipeline.qualityGate`)
+  *   2. language gate  (identical predicate: `languageGate`)
+  *   3. exact dedup    vs everything ever accepted + intra-batch
+  *   4. near dedup     vs everything ever accepted + intra-batch
+  *                     (delegated to `StreamingDedup.screenBatch`)
+  *
+  * Cross-batch state follows the `StreamingDedup` design: persisted
+  * parquet tables (content hashes; MinHash band keys), not a Spark
+  * state store — restart-safe, queryable, joined per batch. At 100 TB
+  * both tables are a few small values per ACCEPTED doc, orders of
+  * magnitude smaller than the corpus, and the joins prune on their
+  * hash keys.
+  *
+  * Retry safety: state tables are appended only AFTER the caller's sink
+  * succeeds — a failed batch is re-screened identically on retry
+  * instead of colliding with its own keys and being dropped forever.
+  */
+object StreamingCuration {
+
+  /** Screen one batch through all four stages. Pure — persists nothing.
+    *
+    * @return (accepted rows, their content hashes, their band keys) —
+    *         the two key frames are what `commit` appends on success
+    */
+  def screenBatch(batch: DataFrame, textCol: String, idCol: String,
+                  statePath: String,
+                  cfg: CurationPipeline.Config = CurationPipeline.Config())
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    val gated = batch
+      .filter(CurationPipeline.qualityGate(textCol, cfg))
+      .filter(CurationPipeline.languageGate(textCol, cfg))
+
+    // ---- exact dedup: content hash vs accepted corpus + intra-batch ----
+    val hashed = gated.withColumn("__h", md5(col(textCol)))
+    val knownHashes = graft.sources.PathIO.readParquetOrEmpty(
+      spark, s"$statePath/exact", hashed.select(col("__h")).limit(0))
+    val minPerHash = hashed.groupBy("__h").agg(min(col(idCol)).as("__min_id"))
+    val exact = hashed
+      .join(knownHashes, Seq("__h"), "left_anti")
+      .join(minPerHash, Seq("__h"))
+      .filter(col(idCol) === col("__min_id"))
+      .drop("__min_id")
+
+    // ---- near dedup: shared batch/stream band-key screen ----
+    val (accepted, acceptedKeys) = StreamingDedup.screenBatch(
+      exact.drop("__h"), textCol, idCol, s"$statePath/bands",
+      cfg.minhashBands, cfg.minhashRowsPerBand)
+
+    val acceptedHashes = exact
+      .join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col("__h")).distinct()
+    (accepted, acceptedHashes, acceptedKeys)
+  }
+
+  /** Append the accepted keys to the state tables (call AFTER the sink
+    * succeeded).
+    */
+  def commit(statePath: String, acceptedHashes: DataFrame,
+             acceptedKeys: DataFrame): Unit = {
+    acceptedHashes.write.mode("append").parquet(s"$statePath/exact")
+    acceptedKeys.write.mode("append").parquet(s"$statePath/bands")
+  }
+
+  /** Screen + commit in one call for batch callers. */
+  def acceptBatch(batch: DataFrame, textCol: String, idCol: String,
+                  statePath: String,
+                  cfg: CurationPipeline.Config = CurationPipeline.Config()): DataFrame = {
+    val (accepted, hashes, keys) = screenBatch(batch, textCol, idCol, statePath, cfg)
+    val out = accepted.localCheckpoint(true)
+    commit(statePath, hashes, keys)
+    out
+  }
+
+  /** Streaming sink: curate each micro-batch, hand accepted rows to
+    * `sink`, commit state only after it succeeds.
+    */
+  def curationSink(stream: DataFrame, textCol: String, idCol: String,
+                   statePath: String,
+                   sink: DataFrame => Unit,
+                   cfg: CurationPipeline.Config = CurationPipeline.Config())
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (accepted, hashes, keys) =
+          screenBatch(batch, textCol, idCol, statePath, cfg)
+        sink(accepted)
+        commit(statePath, hashes, keys)
+      }
+}

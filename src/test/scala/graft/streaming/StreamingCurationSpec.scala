@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.CurationPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+class StreamingCurationSpec extends SparkSpec {
+
+  // passes the default gates: >=5 tokens, low punctuation, en markers,
+  // ~25% stopword ratio
+  private val good = "the stream of data is clean and ready for the training corpus today"
+  private val goodB = "a different document about the engine and its many moving parts in code"
+  private val junk = "!!! ??? ,,, ### $$$ %%%"
+  private val german = "der hund und die katze sind nicht in dem haus heute"
+
+  test("acceptBatch applies gates, exact dedup, and near dedup across batches") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("cur").toString + "/state"
+
+    val b1 = Seq(Doc(1, good), Doc(2, junk), Doc(3, german),
+      Doc(4, good), Doc(5, good + " extra"), Doc(6, goodB)).toDF()
+    val a1 = StreamingCuration.acceptBatch(b1, "text", "doc_id", state)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 2 fails quality, 3 fails language, 4 exact-dups 1, 5 near-dups 1
+    a1 shouldBe Array(1L, 6L)
+
+    val b2 = Seq(Doc(7, good), Doc(8, goodB + " more"), Doc(9,
+      "an entirely new and different story with the usual amount of words in it")).toDF()
+    val a2 = StreamingCuration.acceptBatch(b2, "text", "doc_id", state)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 7 exact-dups accepted doc 1; 8 near-dups accepted doc 6
+    a2 shouldBe Array(9L)
+  }
+
+  test("streaming and batch curation agree on a one-shot corpus") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("cur2").toString + "/state"
+    val docs = Seq(Doc(1, good), Doc(2, junk), Doc(3, german),
+      Doc(4, good), Doc(5, good + " extra"), Doc(6, goodB)).toDF()
+    val streamed = StreamingCuration.acceptBatch(docs, "text", "doc_id", state)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val res = CurationPipeline.run(docs, "text", "doc_id", withAudit = false)
+    val batch = res.kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    res.unpersist()
+    streamed shouldBe batch
+  }
+
+  test("curationSink filters a stream; state survives across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val state = Files.createTempDirectory("cur3").toString + "/state"
+    val ckpt = Files.createTempDirectory("ck").toString
+    @volatile var accepted = Vector.empty[Long]
+
+    val in = MemoryStream[Doc]
+    val w = StreamingCuration.curationSink(in.toDF(), "text", "doc_id", state,
+      b => accepted = accepted ++ b.select("doc_id").collect().map(_.getLong(0)))
+    val q = w.option("checkpointLocation", ckpt).start()
+    in.addData(Doc(10, good), Doc(11, junk))
+    q.processAllAvailable()
+    in.addData(Doc(12, good), Doc(13, good + " tail"), Doc(14, goodB))
+    q.processAllAvailable()
+    q.stop()
+    // 11 junk; 12 exact-dups 10 cross-batch; 13 near-dups 10 cross-batch
+    accepted.sorted shouldBe Vector(10L, 14L)
+  }
+}
