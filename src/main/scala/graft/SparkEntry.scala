@@ -277,6 +277,20 @@ object SparkEntry {
       out
     }),
 
+    // the same curation semantics THROUGH the streaming screen, on one
+    // batch against fresh state: gates + hash-table exact dedup +
+    // band-key near dedup. Equals q46's batch pipeline by construction
+    // (shared gate predicates, same min-id-wins keeper) and shares its
+    // oracle. State lands in a per-invocation temp dir; acceptBatch
+    // materializes the result eagerly before committing state.
+    "q64_streaming_curation" -> ((s, d) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_q64_state").toString + "/state"
+      streaming.StreamingCuration.acceptBatch(
+          t(s, d, "documents"), "text", "doc_id", state)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     "q47_hash_sample" -> ((s, d) =>
       operators.Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 25)
         .select("doc_id", "lang")),
@@ -566,7 +580,7 @@ object SparkEntry {
       s"concat('b$b', '|', $parts)"
     }.mkString("[", ", ", "]")
 
-    Map(
+    val base = Map(
       "q01_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
           |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
@@ -1135,5 +1149,9 @@ object SparkEntry {
           |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
           |FROM g""".stripMargin
     )
+    // one-shot streaming curation is the batch pipeline by construction
+    // (same gate predicates, same min-id-wins keeper), so it shares
+    // q46's oracle verbatim
+    base + ("q64_streaming_curation" -> base("q46_curation_pipeline"))
   }
 }

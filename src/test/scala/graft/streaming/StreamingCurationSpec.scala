@@ -46,6 +46,19 @@ class StreamingCurationSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("streaming and batch curation agree on the real documents table") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val state = Files.createTempDirectory("cur4").toString + "/state"
+    val streamed = StreamingCuration.acceptBatch(docs, "text", "doc_id", state)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val res = CurationPipeline.run(docs, "text", "doc_id", withAudit = false)
+    val batch = res.kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    res.unpersist()
+    streamed shouldBe batch
+  }
+
   test("curationSink filters a stream; state survives across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
