@@ -47,11 +47,17 @@ object StreamingCuration {
     val knownHashes = graft.sources.PathIO.readParquetOrEmpty(
       spark, s"$statePath/exact", hashed.select(col("__h")).limit(0))
     val minPerHash = hashed.groupBy("__h").agg(min(col(idCol)).as("__min_id"))
+    // checkpoint: this subtree (gates + hash anti-join + keep-first) is
+    // read by THREE consumers — the band-key materialization, the
+    // accepted anti-join, and the hash commit — and would re-run per
+    // consumer otherwise (the same one-pass discipline as the batch
+    // pipeline's persisted exact stage, minus the cache-leak hazard)
     val exact = hashed
       .join(knownHashes, Seq("__h"), "left_anti")
       .join(minPerHash, Seq("__h"))
       .filter(col(idCol) === col("__min_id"))
       .drop("__min_id")
+      .localCheckpoint(true)
 
     // ---- near dedup: shared batch/stream band-key screen ----
     val (accepted, acceptedKeys) = StreamingDedup.screenBatch(
