@@ -83,6 +83,19 @@ object ScaleSmoke {
       val r = CurationPipeline.run(docs(rows), "text", "doc_id", withAudit = false)
       val n = r.kept.count(); r.unpersist(); n
     }
+    // the stateful streaming screen: half the corpus as "already
+    // accepted" state, the other half screened against it — the shape
+    // of an incremental ingest tick at scale (state tables + anti-joins
+    // + band screen, not just the stateless pipeline above)
+    time("streaming curation screen") {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_smoke_state").toString + "/state"
+      val half = rows / 2
+      graft.streaming.StreamingCuration.acceptBatch(
+        docs(rows).filter(col("doc_id") < half), "text", "doc_id", state).count()
+      graft.streaming.StreamingCuration.acceptBatch(
+        docs(rows).filter(col("doc_id") >= half), "text", "doc_id", state).count()
+    }
     spark.stop()
   }
 }
