@@ -76,11 +76,25 @@ object ScaleSmoke {
         concat_ws(" ", words: _*).as("text"))
     }
 
+    // Materialize the synthetic docs to parquet and run the text chains
+    // off the file — like a real corpus, where `text` is a plain column.
+    // Feeding the generator expression directly inlines its 24-term
+    // concat into every gate predicate that references text (~10 copies)
+    // and blows the 64 KB generated-method limit, silently dropping the
+    // gate stages out of codegen — benchmarking the fallback
+    // interpreter, not the operator.
+    val docsPath = java.nio.file.Files
+      .createTempDirectory("graft_smoke_docs").toString + "/docs"
+    time("write documents parquet") {
+      docs(rows).write.mode("overwrite").parquet(docsPath); rows
+    }
+    def docsPq = spark.read.parquet(docsPath)
+
     time("simhash banded pairs") {
-      Dedup.simhashPairs(docs(rows), "text", "doc_id", maxHamming = 3).count()
+      Dedup.simhashPairs(docsPq, "text", "doc_id", maxHamming = 3).count()
     }
     time("curation pipeline (no audit)") {
-      val r = CurationPipeline.run(docs(rows), "text", "doc_id", withAudit = false)
+      val r = CurationPipeline.run(docsPq, "text", "doc_id", withAudit = false)
       val n = r.kept.count(); r.unpersist(); n
     }
     // the stateful streaming screen: half the corpus as "already
@@ -92,9 +106,9 @@ object ScaleSmoke {
         .createTempDirectory("graft_smoke_state").toString + "/state"
       val half = rows / 2
       graft.streaming.StreamingCuration.acceptBatch(
-        docs(rows).filter(col("doc_id") < half), "text", "doc_id", state).count()
+        docsPq.filter(col("doc_id") < half), "text", "doc_id", state).count()
       graft.streaming.StreamingCuration.acceptBatch(
-        docs(rows).filter(col("doc_id") >= half), "text", "doc_id", state).count()
+        docsPq.filter(col("doc_id") >= half), "text", "doc_id", state).count()
     }
     spark.stop()
   }
