@@ -13,9 +13,10 @@ import org.apache.spark.sql.SparkSession
   * so without it a query that persists internally (q46) would have runs
   * 2-3 silently served from run 1's InMemoryRelation — timing a warm
   * cache read instead of the pipeline — and leftovers could taint other
-  * queries. The JSON also carries the three RAW per-run times per query
-  * ("runs"), so a contaminated execution (external load inflating one
-  * run) is visible in the artifact instead of hiding inside the median.
+  * queries. A separate {"metric":"runs",...} line carries the three RAW
+  * per-run times per query, so a contaminated execution (external load
+  * inflating one run) is visible in the output instead of hiding inside
+  * the median; the final line is the compact driver-contract JSON.
   *
   * SPARK_GRAFT_QUERIES (comma-separated names) restricts the run to a
   * subset — handy for timing one query while iterating.
@@ -52,24 +53,36 @@ object Bench {
     }
     // a typo'd name in the subset env var must fail loudly — an all-miss
     // filter would otherwise print total=0 and look like a fast run
-    (only -- SparkEntry.queries.keySet)
-      .foreach(n => System.err.println(s"[bench] unknown query: $n"))
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      sys.error(s"[bench] unknown queries in SPARK_GRAFT_QUERIES: ${unknown.mkString(",")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
+    if (selected.isEmpty) sys.error("[bench] SPARK_GRAFT_QUERIES selected zero queries")
     val results = selected.map { case (name, fn) =>
       val runs = Seq.fill(3)(timeOnce(fn))
       val median = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
       name -> (median, runs)
     }
-    def fmt(d: Double) = f"$d%.4f"
+    // The harness keeps only the LAST ~2000 chars of output, so the raw
+    // per-run times (for spotting a contaminated run) go on their own
+    // EARLIER line and the contract line stays last and compact — a
+    // 64-query map at 4 decimals plus runs arrays overflows the tail
+    // and truncates the line's head, hiding the total (rounds 1-4 all
+    // recorded parsed:null for exactly this reason).
+    val raw = results.map { case (k, (_, runs)) =>
+      s"\"" + k + "\":" + runs.map(r => f"$r%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"runs","queries":$raw,"sf":"$sfDir"}""")
+    def fmt(d: Double) = f"$d%.2f"
     val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, (_, runs)) =>
-      s"\"" + k + "\":" + runs.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
     val total = results.values.collect { case (m, _) if m >= 0 => m }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1850) System.err.println(
+      s"[bench] contract line is ${line.length} chars — may overflow the 2000-char tail")
+    println(line)
     spark.stop()
   }
 }

@@ -66,7 +66,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => PairCombos(args(0))),
     ("distinct_word_shingles",
       new ExpressionInfo(classOf[DistinctWordShingles].getName, "distinct_word_shingles"),
-      (args: Seq[Expression]) => DistinctWordShingles(args(0), intLit(args(1), "n"))))
+      (args: Seq[Expression]) => DistinctWordShingles(args(0), intLit(args(1), "n"))),
+    ("word_gram_stats",
+      new ExpressionInfo(classOf[WordGramStats].getName, "word_gram_stats"),
+      (args: Seq[Expression]) => WordGramStats(args(0), intLit(args(1), "n"))))
 
   private def stringLit(e: Expression, what: String): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
@@ -131,4 +134,8 @@ object GraftFunctions {
   /** Typed handle on the native distinct n-word shingle set. */
   def distinctWordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(DistinctWordShingles(ColumnBridge.expression(text), n))
+
+  /** Typed handle on the native within-doc n-gram repetition stats. */
+  def wordGramStats(text: Column, n: Int): Column =
+    ColumnBridge.column(WordGramStats(ColumnBridge.expression(text), n))
 }

@@ -24,9 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * by the swap. Plane p = b*planesPerBand + j uses
   * `VectorFns.srpCoef(p, d)` — the ONE definition of the constants.
   *
-  * Null semantics: null vector -> null (UnaryExpression default);
-  * elements must be non-null; dims clamp to the shorter of (dims,
-  * vector length), matching `zip_with`.
+  * Null semantics: null vector -> null (UnaryExpression default); a
+  * null ELEMENT also nulls the whole result — the dot products are
+  * undefined, and silently reading the element as 0.0 (what the raw
+  * unsafe getters do) would bucket the vector arbitrarily. (The HOF
+  * form's `when(dot >= 0, ...).otherwise(0)` maps a null dot to a 0
+  * bit — an accident of when/otherwise, not a contract; the native
+  * form makes the corruption visible as null instead.) Dims clamp to
+  * the shorter of (dims, vector length), matching `zip_with`.
   */
 case class SrpBandKeys(child: Expression, bands: Int, planesPerBand: Int,
                        dims: Int) extends UnaryExpression {
@@ -35,6 +40,13 @@ case class SrpBandKeys(child: Expression, bands: Int, planesPerBand: Int,
     s"need 1..63 planes per band (a signed-long bit per plane), got $planesPerBand")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // parquet array schemas default to containsNull=true even when no row
+  // holds one — rejecting them outright would break every real read
+  // path, so nullable result + runtime element check instead
+  private def elementsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+  override def nullable: Boolean = child.nullable || elementsNullable
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -66,6 +78,13 @@ case class SrpBandKeys(child: Expression, bands: Int, planesPerBand: Int,
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = math.min(dims, xs.numElements())
+    if (elementsNullable) {
+      var d = 0
+      while (d < n) {
+        if (xs.isNullAt(d)) return null
+        d += 1
+      }
+    }
     val f = isFloat
     val out = new Array[Any](bands)
     var b = 0
@@ -102,8 +121,22 @@ case class SrpBandKeys(child: Expression, bands: Int, planesPerBand: Int,
       val off = ctx.freshName("off")
       val value = ctx.freshName("value")
       val acc = ctx.freshName("acc")
+      // when elements can be null, ev.isNull is a real variable (see
+      // `nullable`) — scan first and null the result, matching eval
+      val nullScan = if (elementsNullable) {
+        val hasNull = ctx.freshName("hasNull")
+        s"""
+           |boolean $hasNull = false;
+           |for (int $d = 0; $d < $n && !$hasNull; $d++) {
+           |  if ($a.isNullAt($d)) $hasNull = true;
+           |}
+           |if ($hasNull) { ${ev.isNull} = true; } else {
+         """.stripMargin
+      } else ""
+      val nullScanClose = if (elementsNullable) "}" else ""
       s"""
          |int $n = java.lang.Math.min($dims, $a.numElements());
+         |$nullScan
          |org.apache.spark.unsafe.types.UTF8String[] $keys =
          |  new org.apache.spark.unsafe.types.UTF8String[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
@@ -119,6 +152,7 @@ case class SrpBandKeys(child: Expression, bands: Int, planesPerBand: Int,
          |  $keys[$b] = org.apache.spark.unsafe.types.UTF8String.fromString($b + ":" + $value);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+         |$nullScanClose
        """.stripMargin
     })
   }

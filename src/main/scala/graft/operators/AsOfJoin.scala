@@ -51,6 +51,12 @@ object AsOfJoin {
            toleranceSeconds: Option[Double] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got: $direction")
+    // __rts shares the payload struct with the right aliases, and the
+    // tag/candidate columns ride top-level next to keys+ts — a caller
+    // name colliding with either would resolve ambiguously downstream
+    val reserved = Set("__rts", "__side", "__p", "__l", "__m", "__prev", "__next")
+    require(!rightCols.values.exists(reserved), s"rightCols aliases must not use ${reserved.mkString("/")}")
+    require(!(keys :+ tsCol).exists(reserved), s"join keys/ts column must not use ${reserved.mkString("/")}")
     val leftCols = left.columns.toSeq
     val keyAndTs = (keys :+ tsCol).map(col)
 
@@ -87,23 +93,32 @@ object AsOfJoin {
         else lit(null).cast(taggedRight.schema("__p").dataType))
       .filter(col("__side") === 1)
 
-    val lts = unix_micros(col(tsCol))
-    val prevDiff = lts - unix_micros(col("__prev").getField("__rts"))
-    val nextDiff = unix_micros(col("__next").getField("__rts")) - lts
-    val tolMicros = toleranceSeconds.map(t => math.round(t * 1e6))
-    def gated(cand: Column, diff: Column): Column = tolMicros match {
-      case Some(m) => when(diff <= lit(m), cand) // null cand -> null diff -> null
-      case None    => cand
-    }
-    val prevOk = gated(col("__prev"), prevDiff)
-    val nextOk = gated(col("__next"), nextDiff)
-    val chosen = direction match {
-      case "backward" => prevOk
-      case "forward"  => nextOk
-      case "nearest"  =>
-        when(prevOk.isNotNull && (nextOk.isNull || prevDiff <= nextDiff), prevOk)
-          .otherwise(nextOk)
-    }
+    // plain backward/forward without a tolerance never measures the
+    // match distance — skip the unix_micros arithmetic entirely so those
+    // modes keep working on ANY ordered ts type (date, long, string),
+    // not just TimestampType
+    val chosen =
+      if (toleranceSeconds.isEmpty && direction == "backward") col("__prev")
+      else if (toleranceSeconds.isEmpty && direction == "forward") col("__next")
+      else {
+        val lts = unix_micros(col(tsCol))
+        val prevDiff = lts - unix_micros(col("__prev").getField("__rts"))
+        val nextDiff = unix_micros(col("__next").getField("__rts")) - lts
+        val tolMicros = toleranceSeconds.map(t => math.round(t * 1e6))
+        def gated(cand: Column, diff: Column): Column = tolMicros match {
+          case Some(m) => when(diff <= lit(m), cand) // null cand -> null diff -> null
+          case None    => cand
+        }
+        val prevOk = gated(col("__prev"), prevDiff)
+        val nextOk = gated(col("__next"), nextDiff)
+        direction match {
+          case "backward" => prevOk
+          case "forward"  => nextOk
+          case "nearest"  =>
+            when(prevOk.isNotNull && (nextOk.isNull || prevDiff <= nextDiff), prevOk)
+              .otherwise(nextOk)
+        }
+      }
 
     withCands.withColumn("__m", chosen)
       .select(leftCols.map(c => col("__l").getField(c).as(c)) ++

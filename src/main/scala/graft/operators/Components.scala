@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a candidate-pair graph — the cluster
+  * resolution step of near-duplicate deduplication. The pairwise
+  * operators (`Dedup.minhashCandidates`, `simhashPairs`,
+  * `embeddingNearDups`) emit edges; dedup policy usually keeps ONE doc
+  * per connected component (transitive closure), not merely one per
+  * pair — A~B and B~C must collapse A, B, C together even when A and C
+  * never share a bucket.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round every node takes the minimum label over itself and its
+  * neighbors (one join + one map-side-combining aggregate on the edge
+  * list), then labels are shortcut through themselves
+  * (`L(v) <- L(L(v))`, one more join) — the path-halving that turns
+  * linear chains into O(log n) rounds instead of O(diameter). Rounds
+  * stop when no label changes.
+  *
+  * Scale: the edge list is O(candidates) (bounded by the LSH band
+  * shape, never n^2), each round shuffles only (node, label) pairs and
+  * edges on uniformly-hashed ids, and every round's frame is
+  * `localCheckpoint`ed — the plan stays O(1) deep instead of growing
+  * per iteration (lineage blowup is the classic failure of iterative
+  * DataFrame loops). LSH candidate graphs are locally dense (bucket
+  * near-cliques), so in practice convergence is 2-4 rounds; the
+  * pointer-jumping bound covers the adversarial chain case.
+  *
+  * Labels are min doc ids, so the result is deterministic under any
+  * partitioning: `component` = the smallest id reachable from `node`.
+  */
+object Components {
+
+  /** (node, component) for every node appearing in `pairs`, where
+    * `component` is the minimum id in the node's connected component.
+    *
+    * @param pairs undirected edges, one per row
+    * @param maxIter hard stop for pathological graphs; the result is
+    *                still a valid (coarser) clustering if hit, and a
+    *                warning is logged
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // symmetric edge list: each undirected pair contributes both
+    // directions so one groupBy(src) sees every neighbor
+    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint(true)
+
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // neighbor-min: smallest label among self and neighbors
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("node", "dst")
+                    .withColumnRenamed("lab", "nlab"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nlab")).as("nmin"))
+      val stepped = labels.join(viaEdges, Seq("node"), "left")
+        .select(col("node"), least(col("lab"), col("nmin")).as("lab"))
+      // pointer jumping: follow the label's own label (labels are node
+      // ids, so they index back into the same frame)
+      val jumped = stepped.as("s")
+        .join(stepped.select(col("node").as("lab"), col("lab").as("lab2")).as("t"),
+          Seq("lab"), "left")
+        .select(col("node"), coalesce(col("lab2"), col("lab")).as("lab"))
+        .localCheckpoint(true)
+      converged = jumped.join(labels.withColumnRenamed("lab", "prev"), "node")
+        .filter(col("lab") =!= col("prev")).isEmpty
+      labels = jumped
+      it += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents stopped at maxIter=$maxIter before convergence")
+    labels.select(col("node"), col("lab").as("component"))
+  }
+}

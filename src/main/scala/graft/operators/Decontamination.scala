@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag training documents that share word
+  * n-grams with an evaluation/benchmark set, the standard screen run
+  * before a corpus feeds a training job (an eval example leaking into
+  * the training set inflates the benchmark). The canonical method is
+  * n-gram overlap (GPT-3 used 13-gram dedup against its eval sets;
+  * Gopher/PaLM used similar window overlap).
+  *
+  * Shape: both sides project to DISTINCT n-grams via the native
+  * `DistinctWordShingles` expression (one per-row pass, no shuffle of
+  * the token volume beyond the gram rows themselves); the eval side's
+  * gram set is deduplicated and — being benchmark-sized, orders of
+  * magnitude smaller than the corpus — BROADCAST to the corpus-side
+  * join, so the 100-TB corpus never shuffles: each scan task filters
+  * its grams against the in-memory eval set and only (doc, matched
+  * gram) survivors aggregate. The aggregate is a map-side-combining
+  * count per doc.
+  *
+  * The corpus side streams one exploded gram row per (doc, distinct
+  * gram); memory is bounded per row, not per partition.
+  */
+object Decontamination {
+
+  /** Per-document overlap counts: (id, n_shared) for every corpus doc
+    * sharing at least one distinct word n-gram with `evalSet` —
+    * `n_shared` counts the distinct grams of the doc that appear
+    * anywhere in the eval set. Clean docs are absent (filter semantics:
+    * anti-join callers can subtract).
+    */
+  def overlap(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+              idCol: String, n: Int = 3): DataFrame = {
+    import graft.expressions.GraftFunctions.distinctWordShingles
+    val corpusGrams = corpus.select(col(idCol),
+      explode(distinctWordShingles(col(textCol), n)).as("gram"))
+    val evalGrams = evalSet
+      .select(explode(distinctWordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    corpusGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The corpus with contaminated docs removed (docs sharing >=
+    * `minShared` distinct n-grams with the eval set).
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+                    idCol: String, n: Int = 3, minShared: Int = 1): DataFrame = {
+    val bad = overlap(corpus, evalSet, textCol, idCol, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+}

@@ -36,4 +36,25 @@ object Sampling {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Stratified deterministic sampling — the domain-mixing primitive:
+    * keep `pcts(stratum)`% of each stratum's rows (`defaultPct` for
+    * strata not listed), chosen by the same content-stable key hash as
+    * `deterministicSample`. This is how a corpus is rebalanced toward
+    * target source proportions (upsample wiki, downsample crawl)
+    * reproducibly: no RNG, no shuffle, no join — the strata weights
+    * compile into one scan-resident CASE chain, so at 100 TB this is a
+    * pushed-down filter like any other.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       pcts: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((pcts.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      s"percentages must be in [0,100]: $pcts default=$defaultPct")
+    // deterministic fold order so plans (and their canonicalized forms,
+    // for exchange reuse) are stable across invocations
+    val pctCol = pcts.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, p)) => when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 100) < pctCol)
+  }
 }

@@ -193,7 +193,13 @@ object Layers {
     // DriverManager needs the driver registered explicitly (Spark's own
     // jdbc paths do this internally from the same property)
     Option(props.getProperty("driver")).foreach(Class.forName(_))
-    val stage = s"${table}__stage"
+    // per-snapshot stage name: two concurrent loads for the same table
+    // (distinct snapshots) must not clobber each other's stage rows —
+    // the keys are interpolated into DDL, so they go through the same
+    // identifier whitelist as the table itself
+    require(SafeIdent.matches(dayDateId) && SafeIdent.matches(timeOfDayId),
+      s"unsafe snapshot key for stage naming: $dayDateId/$timeOfDayId")
+    val stage = s"${table}__stage_${dayDateId}_$timeOfDayId"
     df.write.mode("overwrite").jdbc(url, stage, props)
 
     // Spark's JDBC writer passes table names through verbatim but QUOTES
@@ -216,12 +222,15 @@ object Layers {
       } catch { case e: Throwable => conn.rollback(); throw e }
       finally st.close()
       // best-effort stage cleanup — a leftover stage is overwritten by
-      // the next load, never read by anything else
+      // the next load of the same snapshot, never read by anything else;
+      // still log the failure so orphaned stages are traceable
       try {
         conn.setAutoCommit(true)
         val drop = conn.createStatement()
         try drop.executeUpdate(s"DROP TABLE $stage") finally drop.close()
-      } catch { case _: java.sql.SQLException => () }
+      } catch { case e: java.sql.SQLException =>
+        System.err.println(s"[layers] could not drop stage table $stage: ${e.getMessage}")
+      }
     } finally conn.close()
   }
 }

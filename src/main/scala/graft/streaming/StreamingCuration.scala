@@ -43,7 +43,12 @@ object StreamingCuration {
       .filter(CurationPipeline.languageGate(textCol, cfg))
 
     // ---- exact dedup: content hash vs accepted corpus + intra-batch ----
-    val hashed = gated.withColumn("__h", md5(col(textCol)))
+    // md5(lower(...)) — the SAME normalization as the batch pipeline
+    // (Dedup.dropExactDups) and the shared q46/q64 oracle; hashing the
+    // raw text would let case-insensitively-equal short docs (too few
+    // tokens for MinHash band keys to rescue) slip past both the
+    // intra-batch keep-first and the persisted cross-batch state table
+    val hashed = gated.withColumn("__h", md5(lower(col(textCol))))
     val knownHashes = graft.sources.PathIO.readParquetOrEmpty(
       spark, s"$statePath/exact", hashed.select(col("__h")).limit(0))
     val minPerHash = hashed.groupBy("__h").agg(min(col(idCol)).as("__min_id"))

@@ -45,6 +45,18 @@ class SrpBandKeysSpec extends SparkSpec {
     out.isNullAt(0) shouldBe true
   }
 
+  test("null element yields null result (not a 0.0-read bucket)") {
+    val rows = Seq(Row(Seq[Any](1.0, null, 3.0)), Row(Seq[Any](1.0, 2.0, 3.0)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("v", ArrayType(DoubleType, containsNull = true)))))
+    val out = d.select(VectorFns.srpBandKeysFast(col("v"), 2, 4, 3).as("k"))
+      .collect()
+    out(0).isNullAt(0) shouldBe true
+    out(1).isNullAt(0) shouldBe false
+    out(1).getSeq[String](0) should have size 2
+  }
+
   test("registered as a SQL function") {
     GraftFunctions.register(spark)
     val keys = spark.sql(

@@ -100,4 +100,28 @@ class AsOfJoinSpec extends SparkSpec {
       direction = "nearest", toleranceSeconds = Some(450))
     matches(out.collect()) shouldBe Map(1L -> Some(101L))
   }
+
+  test("plain backward works on a non-timestamp ordered ts column") {
+    // no tolerance and no nearest -> no unix_micros arithmetic, so any
+    // ordered type works as the as-of axis (here: a plain long version)
+    import spark.implicits._
+    val left = Seq((1L, 10L, 5L), (2L, 10L, 1L)).toDF("event_id", "user_id", "v")
+    val right = Seq((100L, 10L, 3L), (101L, 10L, 4L)).toDF("p_event_id", "user_id", "v")
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "v",
+      Map("p_event_id" -> "purchase_id")).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("purchase_id"))) None
+         else Some(r.getAs[Long]("purchase_id")))).toMap
+    out shouldBe Map(1L -> Some(101L), 2L -> None)
+  }
+
+  test("reserved internal names are rejected up front") {
+    val clicks = frame(Seq("event_id"), Seq((1L, 10L, "2024-01-01 10:00:00")))
+    val purchases = frame(Seq("p_event_id"), Seq((100L, 10L, "2024-01-01 09:00:00")))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts",
+        Map("p_event_id" -> "__rts"))
+    }
+    e.getMessage should include("__rts")
+  }
 }

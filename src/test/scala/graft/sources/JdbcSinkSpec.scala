@@ -60,6 +60,13 @@ class JdbcSinkSpec extends SparkSpec {
     ex.getMessage should include("unsafe table identifier")
   }
 
+  test("loadSnapshotJdbc refuses unsafe snapshot keys (they name the stage)") {
+    val ex = the[IllegalArgumentException] thrownBy
+      Layers.loadSnapshotJdbc(snapshot("20230101", "0930", Seq(1)), url,
+        "users_badkey", props, """2023";DROP TABLE users;--""", "0930")
+    ex.getMessage should include("unsafe snapshot key")
+  }
+
   test("a failed load leaves the previous snapshot rows intact") {
     val table = "users_atomic"
     Layers.loadSnapshotJdbc(snapshot("20230101", "0930", 1 to 5), url, table, props, "20230101", "0930")

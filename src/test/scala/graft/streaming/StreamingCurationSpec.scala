@@ -33,6 +33,33 @@ class StreamingCurationSpec extends SparkSpec {
     a2 shouldBe Array(9L)
   }
 
+  test("exact stage is case-insensitive, matching the batch pipeline") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("cur5").toString + "/state"
+    // case-insensitively-equal docs with < 3 tokens have NO MinHash
+    // band keys (3-token shingles) to rescue them — only the
+    // md5(lower()) exact stage can catch the pair, so it must hash
+    // lowered text like the batch pipeline, intra-batch AND in the
+    // persisted state table. Gates relaxed so 2-token docs get through.
+    val cfg = CurationPipeline.Config(minTokens = 1, minQuality = 0.0)
+    val b1 = Seq(Doc(1, "the dog"), Doc(2, "The Dog")).toDF()
+    val a1 = StreamingCuration.acceptBatch(b1, "text", "doc_id", state, cfg)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    a1 shouldBe Array(1L)
+    // cross-batch: a recased copy of an already-accepted doc must hit
+    // the state table, not re-enter
+    val b2 = Seq(Doc(3, "THE DOG")).toDF()
+    val a2 = StreamingCuration.acceptBatch(b2, "text", "doc_id", state, cfg)
+      .select("doc_id").collect().map(_.getLong(0))
+    a2 shouldBe empty
+    // and the batch pipeline agrees on the union
+    val all = Seq(Doc(1, "the dog"), Doc(2, "The Dog"), Doc(3, "THE DOG")).toDF()
+    val res = CurationPipeline.run(all, "text", "doc_id", cfg, withAudit = false)
+    val batch = res.kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    res.unpersist()
+    batch shouldBe Array(1L)
+  }
+
   test("streaming and batch curation agree on a one-shot corpus") {
     import spark.implicits._
     val state = Files.createTempDirectory("cur2").toString + "/state"
