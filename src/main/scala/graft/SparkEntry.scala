@@ -548,7 +548,55 @@ object SparkEntry {
         TextFns.fingerprint(col("text"), 8).as("fp"),
         graft.expressions.GraftFunctions.distinctGramCount(col("text"), 8)
           .cast("long").as("n_grams"))
-    })
+    }),
+
+    // transitive dedup closure over a planted candidate graph: chain
+    // edges doc_id -> doc_id+1 wherever doc_id % 8 < 5 build 6-node
+    // paths, so the ends of each chain NEVER share an edge and only
+    // transitive propagation (min-label + pointer jumping) can collapse
+    // them — exactly the A~B~C case pairwise resolution misses. The
+    // result frame is an eager localCheckpoint; its blocks are released
+    // by the ContextCleaner once the caller drops it (q46 discipline).
+    "q65_components" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .filter(col("doc_id") % 8 < 5)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      operators.Components.connectedComponents(edges)
+    }),
+
+    // benchmark decontamination: every-10th doc plays the eval set; the
+    // remaining corpus reports how many of its distinct word trigrams
+    // appear anywhere in the eval set (n=3 explicitly — the operator
+    // default is the GPT-3-style 13-gram, far too selective for these
+    // short synthetic docs)
+    "q66_decontamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Decontamination.overlap(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", n = 3)
+    }),
+
+    // within-doc n-gram repetition stats (Gopher repetition-gate
+    // signals) via the native one-pass expression; the oracle is the
+    // relational explode -> count-per-gram -> re-aggregate form the
+    // expression replaces (which shuffles the corpus' gram volume twice)
+    "q67_word_gram_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.expressions.GraftFunctions.wordGramStats(col("text"), 3).as("st"))
+        .select(col("doc_id"),
+          col("st.n_grams").cast("long").as("n_grams"),
+          col("st.n_distinct").cast("long").as("n_distinct"),
+          col("st.top_count").cast("long").as("top_count"))
+    }),
+
+    // stratified deterministic sampling — domain rebalancing by the
+    // same content-stable md5 bucket arithmetic as q47/q48
+    "q68_stratified_sample" -> ((s, d) =>
+      operators.Sampling.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 60, "de" -> 20), defaultPct = 5)
+        .select("doc_id", "lang"))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -1147,7 +1195,55 @@ object SparkEntry {
           |  FROM documents)
           |SELECT doc_id, list_min(list_transform(grams, x -> md5(x))) AS fp,
           |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
-          |FROM g""".stripMargin
+          |FROM g""".stripMargin,
+
+      // min reachable id IS the component id on an undirected graph —
+      // the recursive walk enumerates (node, reachable id) pairs and the
+      // aggregate takes the fixpoint's minimum, independently of how the
+      // Spark side's pointer jumping converges
+      "q65_components" ->
+        """WITH RECURSIVE
+          |e AS (SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 8 < 5),
+          |edges AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+          |walk(node, lab) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst)
+          |SELECT node, min(lab) AS component FROM walk GROUP BY node""".stripMargin,
+
+      "q66_decontamination" ->
+        s"""WITH cg AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id % 10 <> 0)),
+           |eg AS (
+           |  SELECT DISTINCT unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT $toksSql AS t FROM documents WHERE doc_id % 10 = 0))
+           |SELECT doc_id, count(*) AS n_shared
+           |FROM cg JOIN eg USING (s) GROUP BY doc_id""".stripMargin,
+
+      // the relational explode->count form WordGramStats collapses into
+      // one per-row pass; docs with < 3 tokens have zero grams -> (0,0,0)
+      "q67_word_gram_stats" ->
+        s"""WITH g AS (
+           |  SELECT doc_id, unnest($shinglesSql) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |pc AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY doc_id, s),
+           |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           |          CAST(count(*) AS BIGINT) AS n_distinct,
+           |          CAST(max(c) AS BIGINT) AS top_count
+           |        FROM pc GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  COALESCE(a.n_grams, 0) AS n_grams,
+           |  COALESCE(a.n_distinct, 0) AS n_distinct,
+           |  COALESCE(a.top_count, 0) AS top_count
+           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+      // NULL lang falls through every stratum arm to the default on both
+      // engines (Spark: null predicate skips the when; SQL: CASE -> ELSE)
+      "q68_stratified_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 + 100) % 100
+          |  < CASE WHEN lang = 'en' THEN 60 WHEN lang = 'de' THEN 20 ELSE 5 END""".stripMargin
     )
     // one-shot streaming curation is the batch pipeline by construction
     // (same gate predicates, same min-id-wins keeper), so it shares

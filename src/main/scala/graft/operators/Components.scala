@@ -21,20 +21,41 @@ import org.apache.spark.sql.functions._
   *
   * Scale: the edge list is O(candidates) (bounded by the LSH band
   * shape, never n^2), each round shuffles only (node, label) pairs and
-  * edges on uniformly-hashed ids, and every round's frame is
+  * edges on uniformly-hashed ids, and every round's frame is eagerly
   * `localCheckpoint`ed — the plan stays O(1) deep instead of growing
   * per iteration (lineage blowup is the classic failure of iterative
-  * DataFrame loops). LSH candidate graphs are locally dense (bucket
-  * near-cliques), so in practice convergence is 2-4 rounds; the
-  * pointer-jumping bound covers the adversarial chain case.
+  * DataFrame loops). Checkpoint hygiene: each round explicitly frees
+  * the superseded round's blocks (see `free`) instead of waiting for
+  * the ContextCleaner, so block-manager occupancy is bounded at two
+  * round-frames regardless of iteration count. The neighbor-min frame
+  * is checkpointed BEFORE the pointer-jumping self-join consumes it
+  * twice, and the previous label rides along so convergence is a scan
+  * of the already-materialized blocks — no extra join, no re-execution.
+  * LSH candidate graphs are locally dense (bucket near-cliques), so in
+  * practice convergence is 2-4 rounds; the pointer-jumping bound covers
+  * the adversarial chain case.
   *
   * Labels are min doc ids, so the result is deterministic under any
   * partitioning: `component` = the smallest id reachable from `node`.
   */
 object Components {
 
+  /** Release the localCheckpoint blocks backing `df` (a frame returned
+    * by `connectedComponents`). Checkpoint blocks are otherwise held
+    * until the ContextCleaner notices the RDD is unreachable; a caller
+    * done with the result should free it deterministically — the same
+    * discipline `CurationPipeline.Result.unpersist()` applies to its
+    * caches.
+    */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(false))
+
   /** (node, component) for every node appearing in `pairs`, where
     * `component` is the minimum id in the node's connected component.
+    * The result is eagerly materialized (localCheckpoint); release its
+    * blocks with `free` when done.
     *
     * @param pairs undirected edges, one per row
     * @param maxIter hard stop for pathological graphs; the result is
@@ -64,23 +85,33 @@ object Components {
                     .withColumnRenamed("lab", "nlab"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("nlab")).as("nmin"))
+      // checkpointed BEFORE the self-join below reads it twice —
+      // otherwise the join+aggregate subtree executes once per consumer
       val stepped = labels.join(viaEdges, Seq("node"), "left")
-        .select(col("node"), least(col("lab"), col("nmin")).as("lab"))
+        .select(col("node"), col("lab").as("prev"),
+          least(col("lab"), col("nmin")).as("lab"))
+        .localCheckpoint(true)
       // pointer jumping: follow the label's own label (labels are node
-      // ids, so they index back into the same frame)
+      // ids, so they index back into the same frame); `prev` rides along
+      // so the convergence test is a filter over THIS round's
+      // materialized blocks instead of a join against the old labels
       val jumped = stepped.as("s")
         .join(stepped.select(col("node").as("lab"), col("lab").as("lab2")).as("t"),
           Seq("lab"), "left")
-        .select(col("node"), coalesce(col("lab2"), col("lab")).as("lab"))
+        .select(col("node"), col("prev"), coalesce(col("lab2"), col("lab")).as("lab"))
         .localCheckpoint(true)
-      converged = jumped.join(labels.withColumnRenamed("lab", "prev"), "node")
-        .filter(col("lab") =!= col("prev")).isEmpty
-      labels = jumped
+      converged = jumped.filter(col("lab") =!= col("prev")).isEmpty
+      // both superseded round-frames are dead now — release their blocks
+      free(stepped)
+      free(labels)
+      labels = jumped.select(col("node"), col("lab"))
       it += 1
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"connectedComponents stopped at maxIter=$maxIter before convergence")
-    labels.select(col("node"), col("lab").as("component"))
+    val out = labels.select(col("node"), col("lab").as("component"))
+    free(edges)
+    out
   }
 }

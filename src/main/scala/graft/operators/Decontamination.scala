@@ -30,15 +30,26 @@ object Decontamination {
     * `n_shared` counts the distinct grams of the doc that appear
     * anywhere in the eval set. Clean docs are absent (filter semantics:
     * anti-join callers can subtract).
+    *
+    * The eval-side gram set is broadcast — that is the whole point of
+    * the shape (the corpus never shuffles) — but a "benchmark" that is
+    * secretly corpus-sized would OOM the driver silently, so the gram
+    * count is bounded by `maxEvalGrams` (counted with an early-stop
+    * limit, the same contract enforcement as `Similarity.ivfTopK`).
     */
   def overlap(corpus: DataFrame, evalSet: DataFrame, textCol: String,
-              idCol: String, n: Int = 3): DataFrame = {
+              idCol: String, n: Int = 13,
+              maxEvalGrams: Int = 10000000): DataFrame = {
     import graft.expressions.GraftFunctions.distinctWordShingles
     val corpusGrams = corpus.select(col(idCol),
       explode(distinctWordShingles(col(textCol), n)).as("gram"))
     val evalGrams = evalSet
       .select(explode(distinctWordShingles(col(textCol), n)).as("gram"))
       .distinct()
+    require(evalGrams.limit(maxEvalGrams + 1).count() <= maxEvalGrams,
+      s"decontamination eval set exceeds maxEvalGrams=$maxEvalGrams " +
+        "distinct n-grams; the eval grams are broadcast — shrink the eval " +
+        "set or raise maxEvalGrams only if the driver can hold them")
     corpusGrams.join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
@@ -46,10 +57,17 @@ object Decontamination {
 
   /** The corpus with contaminated docs removed (docs sharing >=
     * `minShared` distinct n-grams with the eval set).
+    *
+    * Defaults follow the published practice the scaladoc cites: 13-word
+    * windows (GPT-3), where ONE shared window is already damning. Small
+    * `n` needs a correspondingly high `minShared` — common trigrams
+    * ("one of the") occur in virtually all natural text, so n=3 with
+    * minShared=1 would silently drop most of a real corpus.
     */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, textCol: String,
-                    idCol: String, n: Int = 3, minShared: Int = 1): DataFrame = {
-    val bad = overlap(corpus, evalSet, textCol, idCol, n)
+                    idCol: String, n: Int = 13, minShared: Int = 1,
+                    maxEvalGrams: Int = 10000000): DataFrame = {
+    val bad = overlap(corpus, evalSet, textCol, idCol, n, maxEvalGrams)
       .filter(col("n_shared") >= minShared)
       .select(col(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")

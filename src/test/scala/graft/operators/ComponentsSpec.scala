@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class ComponentsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*): DataFrame =
+    pairs.toDF("id_a", "id_b")
+
+  private def resolve(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain A-B-C collapses transitively even though A and C share no edge") {
+    val out = Components.connectedComponents(edges(1L -> 2L, 2L -> 3L))
+    resolve(out) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    Components.free(out)
+  }
+
+  test("multi-component graph labels each component by its min id") {
+    // chain 10-11-12-13, triangle 20-21-22 (+ redundant edge), isolated pair 30-31
+    val out = Components.connectedComponents(edges(
+      11L -> 10L, 11L -> 12L, 13L -> 12L,
+      20L -> 21L, 21L -> 22L, 20L -> 22L,
+      31L -> 30L))
+    resolve(out) shouldBe Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    Components.free(out)
+  }
+
+  test("long chain converges in O(log n) rounds via pointer jumping") {
+    // a 64-node path: plain min-propagation needs 63 rounds; with
+    // path-halving maxIter=10 must suffice (2^10 >> 64)
+    val chain = (0L until 63L).map(i => i -> (i + 1))
+    val out = Components.connectedComponents(edges(chain: _*), maxIter = 10)
+    val m = resolve(out)
+    m should have size 64
+    all(m.values) shouldBe 0L
+    Components.free(out)
+  }
+
+  test("duplicate and self edges are harmless") {
+    val out = Components.connectedComponents(edges(
+      1L -> 2L, 2L -> 1L, 1L -> 2L, 3L -> 3L))
+    resolve(out) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+    Components.free(out)
+  }
+
+  test("maxIter stop still returns a total, valid (coarser) labeling") {
+    val chain = (0L until 63L).map(i => i -> (i + 1))
+    val out = Components.connectedComponents(edges(chain: _*), maxIter = 2)
+    val m = resolve(out)
+    m should have size 64
+    // every label must itself be a node, and labels never exceed the node
+    m.foreach { case (node, lab) =>
+      m should contain key lab
+      lab should be <= node
+    }
+    Components.free(out)
+  }
+
+  test("round frames are released: at most the result's blocks stay live") {
+    val sc = spark.sparkContext
+    def live(): Int = sc.getPersistentRDDs.size
+    spark.catalog.clearCache()
+    System.gc(); Thread.sleep(100) // let ContextCleaner drain stale entries
+    val before = live()
+    val chain = (0L until 32L).map(i => i -> (i + 1))
+    val out = Components.connectedComponents(edges(chain: _*))
+    out.count() shouldBe 33
+    // intermediate rounds (2 checkpoints per round over ~5 rounds) must
+    // all be freed; only the final round's blocks back the result
+    (live() - before) should be <= 1
+    Components.free(out)
+    (live() - before) shouldBe 0
+  }
+}
