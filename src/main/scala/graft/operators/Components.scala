@@ -40,17 +40,35 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  // RDD ids of the localCheckpoints THIS object created. `free` releases
+  // only these, so a caller who joins a components result with some other
+  // checkpointed frame before freeing cannot lose that frame's blocks
+  // (localCheckpoint blocks are unrecoverable once dropped — unpersisting
+  // a stranger's would make its later reads throw).
+  private val owned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  private def checkpointOwned(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = true)
+    out.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => owned.add(r.rdd.id)
+      case _ =>
+    }
+    out
+  }
+
   /** Release the localCheckpoint blocks backing `df` (a frame returned
     * by `connectedComponents`). Checkpoint blocks are otherwise held
     * until the ContextCleaner notices the RDD is unreachable; a caller
     * done with the result should free it deterministically — the same
     * discipline `CurationPipeline.Result.unpersist()` applies to its
-    * caches.
+    * caches. Only blocks `connectedComponents` itself checkpointed are
+    * touched: other LogicalRDDs in `df`'s plan (a caller's own
+    * checkpoints, joined in afterwards) are left alone.
     */
   def free(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.foreach(_.unpersist(false))
+    }.foreach(rdd => if (owned.remove(rdd.id)) rdd.unpersist(blocking = false))
 
   /** (node, component) for every node appearing in `pairs`, where
     * `component` is the minimum id in the node's connected component.
@@ -67,14 +85,14 @@ object Components {
     // symmetric edge list: each undirected pair contributes both
     // directions so one groupBy(src) sees every neighbor
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val edges = checkpointOwned(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
 
-    var labels = edges.select(col("src").as("node"))
-      .distinct()
-      .withColumn("lab", col("node"))
-      .localCheckpoint(true)
+    var labels = checkpointOwned(
+      edges.select(col("src").as("node"))
+        .distinct()
+        .withColumn("lab", col("node")))
 
     var converged = false
     var it = 0
@@ -87,19 +105,19 @@ object Components {
         .agg(min(col("nlab")).as("nmin"))
       // checkpointed BEFORE the self-join below reads it twice —
       // otherwise the join+aggregate subtree executes once per consumer
-      val stepped = labels.join(viaEdges, Seq("node"), "left")
-        .select(col("node"), col("lab").as("prev"),
-          least(col("lab"), col("nmin")).as("lab"))
-        .localCheckpoint(true)
+      val stepped = checkpointOwned(
+        labels.join(viaEdges, Seq("node"), "left")
+          .select(col("node"), col("lab").as("prev"),
+            least(col("lab"), col("nmin")).as("lab")))
       // pointer jumping: follow the label's own label (labels are node
       // ids, so they index back into the same frame); `prev` rides along
       // so the convergence test is a filter over THIS round's
       // materialized blocks instead of a join against the old labels
-      val jumped = stepped.as("s")
-        .join(stepped.select(col("node").as("lab"), col("lab").as("lab2")).as("t"),
-          Seq("lab"), "left")
-        .select(col("node"), col("prev"), coalesce(col("lab2"), col("lab")).as("lab"))
-        .localCheckpoint(true)
+      val jumped = checkpointOwned(
+        stepped.as("s")
+          .join(stepped.select(col("node").as("lab"), col("lab").as("lab2")).as("t"),
+            Seq("lab"), "left")
+          .select(col("node"), col("prev"), coalesce(col("lab2"), col("lab")).as("lab")))
       converged = jumped.filter(col("lab") =!= col("prev")).isEmpty
       // both superseded round-frames are dead now — release their blocks
       free(stepped)

@@ -34,23 +34,37 @@ object Decontamination {
     * The eval-side gram set is broadcast — that is the whole point of
     * the shape (the corpus never shuffles) — but a "benchmark" that is
     * secretly corpus-sized would OOM the driver silently, so the gram
-    * count is bounded by `maxEvalGrams` (counted with an early-stop
-    * limit, the same contract enforcement as `Similarity.ivfTopK`).
+    * count is bounded by `maxEvalGrams` (the same contract enforcement
+    * as `Similarity.ivfTopK`). The grams land on the driver either way
+    * (that is what a broadcast build does), so the guard and the
+    * broadcast share ONE eval-side scan: collect at most cap+1 grams
+    * (early-stop limit), fail if the cap is exceeded, and ship the
+    * in-memory set back out as a broadcast local relation.
+    *
+    * `n` is deliberately required: published practice is 13-word
+    * windows (GPT-3), but short-document corpora need a smaller window
+    * with a correspondingly higher `minShared` — a silent default here
+    * decides that trade-off for the caller.
     */
   def overlap(corpus: DataFrame, evalSet: DataFrame, textCol: String,
-              idCol: String, n: Int = 13,
+              idCol: String, n: Int,
               maxEvalGrams: Int = 10000000): DataFrame = {
     import graft.expressions.GraftFunctions.distinctWordShingles
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val corpusGrams = corpus.select(col(idCol),
       explode(distinctWordShingles(col(textCol), n)).as("gram"))
     val evalGrams = evalSet
       .select(explode(distinctWordShingles(col(textCol), n)).as("gram"))
       .distinct()
-    require(evalGrams.limit(maxEvalGrams + 1).count() <= maxEvalGrams,
+      .limit(maxEvalGrams + 1)
+      .as[String]
+      .collect()
+    require(evalGrams.length <= maxEvalGrams,
       s"decontamination eval set exceeds maxEvalGrams=$maxEvalGrams " +
         "distinct n-grams; the eval grams are broadcast — shrink the eval " +
         "set or raise maxEvalGrams only if the driver can hold them")
-    corpusGrams.join(broadcast(evalGrams), "gram")
+    corpusGrams.join(broadcast(evalGrams.toSeq.toDF("gram")), "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -58,14 +72,14 @@ object Decontamination {
   /** The corpus with contaminated docs removed (docs sharing >=
     * `minShared` distinct n-grams with the eval set).
     *
-    * Defaults follow the published practice the scaladoc cites: 13-word
-    * windows (GPT-3), where ONE shared window is already damning. Small
-    * `n` needs a correspondingly high `minShared` — common trigrams
-    * ("one of the") occur in virtually all natural text, so n=3 with
-    * minShared=1 would silently drop most of a real corpus.
+    * `n` is required (see `overlap`): with GPT-3-style 13-word windows
+    * ONE shared window is already damning, but small `n` needs a
+    * correspondingly high `minShared` — common trigrams ("one of the")
+    * occur in virtually all natural text, so n=3 with minShared=1 would
+    * silently drop most of a real corpus.
     */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, textCol: String,
-                    idCol: String, n: Int = 13, minShared: Int = 1,
+                    idCol: String, n: Int, minShared: Int = 1,
                     maxEvalGrams: Int = 10000000): DataFrame = {
     val bad = overlap(corpus, evalSet, textCol, idCol, n, maxEvalGrams)
       .filter(col("n_shared") >= minShared)

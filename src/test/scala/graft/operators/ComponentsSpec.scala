@@ -65,17 +65,31 @@ class ComponentsSpec extends SparkSpec {
 
   test("round frames are released: at most the result's blocks stay live") {
     val sc = spark.sparkContext
-    def live(): Int = sc.getPersistentRDDs.size
-    spark.catalog.clearCache()
-    System.gc(); Thread.sleep(100) // let ContextCleaner drain stale entries
-    val before = live()
+    // assert only on the RDD ids created DURING the call — the global
+    // getPersistentRDDs size drifts as the asynchronous ContextCleaner
+    // drops entries other tests left behind
+    def liveIds(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val before = liveIds()
     val chain = (0L until 32L).map(i => i -> (i + 1))
     val out = Components.connectedComponents(edges(chain: _*))
     out.count() shouldBe 33
     // intermediate rounds (2 checkpoints per round over ~5 rounds) must
     // all be freed; only the final round's blocks back the result
-    (live() - before) should be <= 1
+    val created = liveIds() -- before
+    created.size should be <= 1
     Components.free(out)
-    (live() - before) shouldBe 0
+    (liveIds() intersect created) shouldBe empty
+  }
+
+  test("free releases only blocks connectedComponents created, not a caller's checkpoints") {
+    val mine = edges(1L -> 2L).localCheckpoint(true)
+    val out = Components.connectedComponents(edges(1L -> 2L, 2L -> 3L))
+    // a caller mixes the result with its own checkpointed frame...
+    val joined = out.join(mine, out("node") === mine("id_a"), "left")
+    Components.free(joined)
+    // ...freeing must not strand the caller's blocks (a freed
+    // localCheckpoint is unrecoverable — this read would throw)
+    mine.count() shouldBe 1
+    mine.unpersist()
   }
 }
