@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   *      punctuation — drop obvious junk FIRST so later stages see less)
   *   2. language gate (marker-based LID; keep the wanted languages)
   *   3. exact dedup   (content-hash groupBy, min-id survivor)
-  *   4. near dedup    (MinHash-LSH candidates -> greedy cluster
-  *      resolution: smallest doc id of each connected candidate pair
-  *      survives, one pass)
+  *   4. near dedup    (MinHash-LSH candidates -> connected-components
+  *      cluster resolution: the smallest doc id of each connected
+  *      CANDIDATE COMPONENT survives — A~B and B~C collapse {A,B,C}
+  *      to A even when A and C never share a band. Set
+  *      `Config.transitiveNearDup = false` for the cheaper one-pass
+  *      greedy policy (drop the larger id of every pair), which keeps
+  *      one doc per local minimum instead of one per component and is
+  *      what the per-batch streaming screen implements)
   *
   * Stage order is a cost statement: each stage is strictly more
   * expensive per surviving row than the previous one, so filters run
@@ -38,7 +43,8 @@ object CurationPipeline {
       minQuality: Double = 0.2,
       languages: Set[String] = Set("en"),
       minhashBands: Int = 3,
-      minhashRowsPerBand: Int = 2)
+      minhashRowsPerBand: Int = 2,
+      transitiveNearDup: Boolean = true)
 
   final case class Result(kept: DataFrame, audit: Map[String, Long],
                           cached: Seq[DataFrame] = Nil) {
@@ -75,11 +81,31 @@ object CurationPipeline {
     // InMemoryRelation instead of each re-running the upstream chain
     val exact = Dedup.dropExactDups(lang, textCol, idCol).persist()
 
-    // near-dup resolution: survivors are docs that never appear as the
-    // larger id of a candidate pair (greedy min-id keeper, one anti-join)
+    // near-dup resolution: candidate pairs are edges; the keep policy
+    // decides which nodes lose
     val pairs = Dedup.minhashCandidates(exact, textCol, idCol,
       cfg.minhashBands, cfg.minhashRowsPerBand)
-    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val losers =
+      if (cfg.transitiveNearDup) {
+        // transitive closure: one survivor (min id) per connected
+        // component of the candidate graph. Pairwise resolution keeps
+        // one doc per LOCAL minimum — pairs (1,4),(2,4) would keep both
+        // 1 and 2 though they sit in one component — so the labeling
+        // runs to the fixpoint instead. The loser set is checkpointed
+        // off the labeling's blocks so the full (node, component) frame
+        // frees immediately; the small loser frame itself is reclaimed
+        // by the ContextCleaner once the caller drops `kept` (the same
+        // discipline as the q46 entry's result checkpoint).
+        val labels = Components.connectedComponents(pairs)
+        val l = labels.filter(col("node") =!= col("component"))
+          .select(col("node").as(idCol))
+          .localCheckpoint(eager = true)
+        Components.free(labels)
+        l
+      } else {
+        // greedy: drop the larger id of every candidate pair, one pass
+        pairs.select(col("id_b").as(idCol)).distinct()
+      }
     val near = exact.join(losers, Seq(idCol), "left_anti")
 
     val audit = if (!withAudit) Map.empty[String, Long] else Map(

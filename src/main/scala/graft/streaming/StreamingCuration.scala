@@ -15,6 +15,15 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *   4. near dedup     vs everything ever accepted + intra-batch
   *                     (delegated to `StreamingDedup.screenBatch`)
   *
+  * Near-dup policy: the streaming screen is PAIRWISE — a doc is dropped
+  * iff one of its band keys collides with an already-accepted doc's (or
+  * a smaller-id doc's in the same batch). `Config.transitiveNearDup` is
+  * ignored here: transitive closure needs the whole candidate graph,
+  * but a stream only ever sees new edges against docs it already
+  * accepted, and accepted docs are never retracted. A batch pipeline
+  * run (`CurationPipeline.run`, transitive by default) is the
+  * compaction pass for corpora that need component-level collapse.
+  *
   * Cross-batch state follows the `StreamingDedup` design: persisted
   * parquet tables (content hashes; MinHash band keys), not a Spark
   * state store — restart-safe, queryable, joined per batch. At 100 TB
