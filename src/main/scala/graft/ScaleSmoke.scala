@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CurationPipeline, Dedup, SnapshotPipeline}
+import graft.operators.{Components, CurationPipeline, Dedup, SnapshotPipeline}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,29 @@ object ScaleSmoke {
     time("keep-first window dedup") {
       Dedup.keepFirst(events(rows), Seq("user_id"), Seq(col("event_id").asc)).count()
     }
+
+    // connected components over planted candidate graphs at edge volumes
+    // a 100-TB near-dup pass would emit. Two regimes:
+    //  - LSH-like: short chains (id -> id+1 where id%8<5 builds 6-node
+    //    paths) — the locally-dense shape real banding produces;
+    //    convergence should be a small constant number of rounds.
+    //  - adversarial: 1024-node paths — the diameter case pointer
+    //    jumping exists for; rounds must stay O(log n), not O(n).
+    // localEdgeLimit = 0 forces the distributed loop — the probe
+    // measures the 100-TB path, not the driver fast path small graphs
+    // would otherwise take
+    def ccProbe(name: String, keep: Column): Unit = time(name) {
+      val edges = events(rows).select(col("event_id").as("id_a"))
+        .filter(keep)
+        .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+      val labels = Components.connectedComponents(edges, localEdgeLimit = 0L)
+      val n = labels.count()
+      Components.free(labels)
+      println(f"    rounds-to-convergence: ${Components.lastRounds}")
+      n
+    }
+    ccProbe("connected components (6-chains)", pmod(col("id_a"), lit(8)) < 5)
+    ccProbe("connected components (1024-paths)", pmod(col("id_a"), lit(1024)) < 1023)
 
     // Synthetic English-ish documents for the text chains: 24 words, every
     // 4th a stopword (ratio 0.25 -> passes the quality + LID gates), the

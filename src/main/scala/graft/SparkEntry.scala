@@ -259,8 +259,10 @@ object SparkEntry {
     }),
 
     // composed curation pipeline (quality -> language -> exact dedup ->
-    // near dedup); the greedy min-id survivor set is one anti-join, so
-    // the whole chain is SQL-expressible and hash-checked.
+    // near dedup); the default transitive keep policy resolves one
+    // survivor per connected candidate component, and the oracle
+    // reproduces it with a recursive min-reachable-id walk — the whole
+    // chain stays SQL-expressible and hash-checked.
     // The pipeline's internal persist must not outlive this call (a
     // long-lived driver would strand one cached corpus per invocation,
     // and CacheManager's plan matching would silently serve run 1's
@@ -279,10 +281,12 @@ object SparkEntry {
 
     // the same curation semantics THROUGH the streaming screen, on one
     // batch against fresh state: gates + hash-table exact dedup +
-    // band-key near dedup. Equals q46's batch pipeline by construction
-    // (shared gate predicates, same min-id-wins keeper) and shares its
-    // oracle. State lands in a per-invocation temp dir; acceptBatch
-    // materializes the result eagerly before committing state.
+    // band-key near dedup with intra-batch transitive resolution. One
+    // batch from fresh state equals q46's batch pipeline by
+    // construction (shared gate predicates, shared nearDupLosers keep
+    // policy), so it shares q46's oracle. State lands in a
+    // per-invocation temp dir; acceptBatch materializes the result
+    // eagerly before committing state.
     "q64_streaming_curation" -> ((s, d) => {
       val state = java.nio.file.Files
         .createTempDirectory("graft_q64_state").toString + "/state"
@@ -557,11 +561,16 @@ object SparkEntry {
     // them — exactly the A~B~C case pairwise resolution misses. The
     // result frame is an eager localCheckpoint; its blocks are released
     // by the ContextCleaner once the caller drops it (q46 discipline).
+    // localEdgeLimit = 0: this is the DISTRIBUTED algorithm's
+    // verification query — at test scale factors the graph is small
+    // enough that the driver union-find fast path would otherwise
+    // answer, and the iterative min-label + pointer-jumping loop is
+    // the code a 100-TB run exercises
     "q65_components" -> ((s, d) => {
       val edges = t(s, d, "documents")
         .filter(col("doc_id") % 8 < 5)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-      operators.Components.connectedComponents(edges)
+      operators.Components.connectedComponents(edges, localEdgeLimit = 0L)
     }),
 
     // benchmark decontamination: every-10th doc plays the eval set; the
@@ -596,7 +605,26 @@ object SparkEntry {
     "q68_stratified_sample" -> ((s, d) =>
       operators.Sampling.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
         Map("en" -> 60, "de" -> 20), defaultPct = 5)
-        .select("doc_id", "lang"))
+        .select("doc_id", "lang")),
+
+    // incrementally maintained components: q65's edge set split into
+    // two batches — batch 1 builds two separate clusters per 6-chain
+    // ({8k..8k+2} and {8k+3..8k+5}), batch 2's bridge edge (8k+2,8k+3)
+    // MERGES the two existing clusters — then the final state labeling
+    // must equal the one-shot solve, so q69 shares q65's oracle. State
+    // lands in a per-invocation temp dir.
+    "q69_streaming_components" -> ((s, d) => {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_q69_state").toString + "/components"
+      def part(cond: org.apache.spark.sql.Column) =
+        t(s, d, "documents").filter(cond)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val m8 = col("doc_id") % 8
+      streaming.StreamingComponents.acceptEdges(
+        part(m8 < 2 || (m8 >= 3 && m8 < 5)), st)
+      streaming.StreamingComponents.acceptEdges(part(m8 === 2), st)
+      streaming.StreamingComponents.labeling(s, st)
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -627,6 +655,59 @@ object SparkEntry {
       val parts = (0 until r).map(i => s"mh${b * r + i}").mkString(", '|', ")
       s"concat('b$b', '|', $parts)"
     }.mkString("[", ", ", "]")
+
+    // mirrors CurationPipeline.run: quality gate -> marker-LID 'en' gate
+    // -> min-id exact dedup -> MinHash-LSH candidates (q21's CTE shape
+    // over the surviving set) -> near-dup losers under either keep
+    // policy. transitive=true is run()'s default: one survivor (the min
+    // id) per connected COMPONENT of the candidate graph, expressed as
+    // the same recursive min-reachable-id walk as q65's oracle.
+    // transitive=false is the greedy pairwise policy (drop the larger id
+    // of every candidate pair) — what the per-batch streaming screen
+    // implements, since a stream never sees the whole candidate graph.
+    def curationSql(transitive: Boolean): String = {
+      val losersSql =
+        if (transitive)
+          """cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            |edges AS (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
+            |walk(node, lab) AS (
+            |  SELECT src, src FROM edges
+            |  UNION
+            |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst),
+            |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+            |losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)""".stripMargin
+        else
+          "losers AS (SELECT DISTINCT b.doc_id FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text, lang, n_chars, $toksSql AS t FROM documents),
+         |feat AS (
+         |  SELECT doc_id, text, lang, n_chars, t, len(t) AS n_tokens,
+         |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains($stopwordList, x))) AS DOUBLE) / len(t) ELSE 0.0 END AS swr,
+         |    CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE) / len(t) ELSE 0.0 END AS atl,
+         |    CASE WHEN len(text) > 0 THEN CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END AS pr
+         |  FROM base),
+         |quality AS (
+         |  SELECT * FROM feat
+         |  WHERE n_tokens >= 5 AND pr <= 0.3
+         |    AND greatest(least(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+         |      + (1.0 - abs(swr - 0.25) * 2.0) * 0.3
+         |      + (1.0 - least(abs(atl - 5.0) / 5.0, 1.0)) * 0.3, 1.0), 0.0) >= 0.2),
+         |qt AS (SELECT doc_id, unnest(t) AS token FROM quality),
+         |m(ml, w) AS (VALUES $markerValues),
+         |scores AS (SELECT qt.doc_id, m.ml, count(*) AS sc FROM qt JOIN m ON qt.token = m.w GROUP BY qt.doc_id, m.ml),
+         |best AS (SELECT doc_id, ml FROM scores
+         |         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, ml ASC) = 1),
+         |langkept AS (SELECT q.* FROM quality q JOIN best b ON q.doc_id = b.doc_id AND b.ml = 'en'),
+         |exact AS (SELECT * FROM langkept
+         |          QUALIFY row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) = 1),
+         |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+         |       FROM (SELECT doc_id, t FROM exact)),
+         |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+         |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+         |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+         |$losersSql
+         |SELECT doc_id, lang, n_chars FROM exact
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+    }
 
     val base = Map(
       "q01_pricing_summary" ->
@@ -1056,40 +1137,9 @@ object SparkEntry {
            |SELECT id_a, id_b, ${pround("c2", 4)} AS cosine FROM p WHERE c2 >= 0.3""".stripMargin
       },
 
-      // mirrors CurationPipeline.run (default Config): quality gate ->
-      // marker-LID 'en' gate -> min-id exact dedup -> MinHash-LSH
-      // candidates (q21's CTE shape over the surviving set) -> greedy
-      // min-id survivors as one anti-join on the larger pair id
-      "q46_curation_pipeline" ->
-        s"""WITH base AS (SELECT doc_id, text, lang, n_chars, $toksSql AS t FROM documents),
-           |feat AS (
-           |  SELECT doc_id, text, lang, n_chars, t, len(t) AS n_tokens,
-           |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains($stopwordList, x))) AS DOUBLE) / len(t) ELSE 0.0 END AS swr,
-           |    CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE) / len(t) ELSE 0.0 END AS atl,
-           |    CASE WHEN len(text) > 0 THEN CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END AS pr
-           |  FROM base),
-           |quality AS (
-           |  SELECT * FROM feat
-           |  WHERE n_tokens >= 5 AND pr <= 0.3
-           |    AND greatest(least(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-           |      + (1.0 - abs(swr - 0.25) * 2.0) * 0.3
-           |      + (1.0 - least(abs(atl - 5.0) / 5.0, 1.0)) * 0.3, 1.0), 0.0) >= 0.2),
-           |qt AS (SELECT doc_id, unnest(t) AS token FROM quality),
-           |m(ml, w) AS (VALUES $markerValues),
-           |scores AS (SELECT qt.doc_id, m.ml, count(*) AS sc FROM qt JOIN m ON qt.token = m.w GROUP BY qt.doc_id, m.ml),
-           |best AS (SELECT doc_id, ml FROM scores
-           |         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, ml ASC) = 1),
-           |langkept AS (SELECT q.* FROM quality q JOIN best b ON q.doc_id = b.doc_id AND b.ml = 'en'),
-           |exact AS (SELECT * FROM langkept
-           |          QUALIFY row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) = 1),
-           |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
-           |       FROM (SELECT doc_id, t FROM exact)),
-           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
-           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
-           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
-           |losers AS (SELECT DISTINCT b.doc_id FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-           |SELECT doc_id, lang, n_chars FROM exact
-           |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+      // the transitive-closure (connected-component) keep policy —
+      // run()'s default; see curationSql above
+      "q46_curation_pipeline" -> curationSql(transitive = true),
 
       "q28_asof_join" ->
         """SELECT c.event_id AS event_id, c.user_id AS user_id, p.event_id AS purchase_id
@@ -1245,9 +1295,15 @@ object SparkEntry {
           |WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 + 100) % 100
           |  < CASE WHEN lang = 'en' THEN 60 WHEN lang = 'de' THEN 20 ELSE 5 END""".stripMargin
     )
-    // one-shot streaming curation is the batch pipeline by construction
-    // (same gate predicates, same min-id-wins keeper), so it shares
-    // q46's oracle verbatim
-    base + ("q64_streaming_curation" -> base("q46_curation_pipeline"))
+    // one-shot streaming curation (one batch from fresh state) is the
+    // batch pipeline by construction — shared gate predicates, shared
+    // transitive intra-batch keep policy — so it shares q46's oracle.
+    // (Only ACROSS batches does the stream screen degrade to pairwise;
+    // the greedy curationSql(false) variant pins that policy in
+    // StreamingCurationSpec.)
+    base + ("q64_streaming_curation" -> curationSql(transitive = true)) +
+      // incremental maintenance over a batch split must end where the
+      // one-shot solve ends — same edge set, same oracle as q65
+      ("q69_streaming_components" -> base("q65_components"))
   }
 }

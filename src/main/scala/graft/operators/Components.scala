@@ -70,29 +70,135 @@ object Components {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(rdd => if (owned.remove(rdd.id)) rdd.unpersist(blocking = false))
 
+  /** Rounds the most recent `connectedComponents` call took to reach its
+    * fixpoint — observability for the scale probes (PERF.md records
+    * rounds-to-convergence at 10M edges); 0 when the driver fast path
+    * ran. Not part of the result contract and racy under concurrent
+    * calls by design.
+    */
+  @volatile private[graft] var lastRounds: Int = 0
+
+  /** Natural driver-side ordering for id types whose Spark `min`/`least`
+    * semantics we can reproduce exactly in the fast path; null (take the
+    * distributed loop) for anything else.
+    */
+  private def driverOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] = {
+    import org.apache.spark.sql.types._
+    (dt match {
+      case LongType    => Ordering.by((x: Any) => x.asInstanceOf[Long])
+      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
+      case ShortType   => Ordering.by((x: Any) => x.asInstanceOf[Short])
+      case ByteType    => Ordering.by((x: Any) => x.asInstanceOf[Byte])
+      case StringType  => Ordering.by((x: Any) => x.asInstanceOf[String])
+      case _           => null
+    }): Ordering[Any]
+  }
+
+  /** Driver union-find over a collected (already symmetrized, distinct,
+    * checkpointed) edge frame: path-compressed find, union by rank, then
+    * a min-id sweep so `component` is the smallest id of each component
+    * — bit-identical to the distributed loop's fixpoint.
+    */
+  private def localComponents(edges: DataFrame, ord: Ordering[Any]): DataFrame = {
+    val parent = new java.util.HashMap[Any, Any]()
+    val rank = new java.util.HashMap[Any, Int]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    def add(x: Any): Unit =
+      if (!parent.containsKey(x)) { parent.put(x, x); rank.put(x, 0) }
+    edges.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      add(a); add(b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (hi, lo) = if (rank.get(ra) >= rank.get(rb)) (ra, rb) else (rb, ra)
+        parent.put(lo, hi)
+        if (rank.get(ra) == rank.get(rb)) rank.put(hi, rank.get(hi) + 1)
+      }
+    }
+    // min id per root, then (node, minOfRoot)
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { n =>
+      val r = find(n)
+      val m = minOf.get(r)
+      if (m == null || ord.lt(n, m)) minOf.put(r, n)
+    }
+    val spark = edges.sparkSession
+    val dt = edges.schema("src").dataType
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { n =>
+      rows.add(org.apache.spark.sql.Row(n, minOf.get(find(n))))
+    }
+    lastRounds = 0
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", dt),
+      org.apache.spark.sql.types.StructField("component", dt))))
+  }
+
   /** (node, component) for every node appearing in `pairs`, where
     * `component` is the minimum id in the node's connected component.
     * The result is eagerly materialized (localCheckpoint); release its
     * blocks with `free` when done.
     *
+    * Two physical strategies behind one contract:
+    *   - edge lists at or under `localEdgeLimit` (counted AFTER
+    *     symmetrize+distinct, off the already-materialized checkpoint)
+    *     collect to the driver and run union-find with path compression
+    *     — the same "the collect IS the algorithm" economics as the
+    *     bin-packing partitioner: LSH candidate graphs are a sliver of
+    *     the corpus, and a graph of 2M edges resolves in milliseconds
+    *     where every distributed round would cost whole-cluster jobs.
+    *   - larger graphs run the iterative min-label + pointer-jumping
+    *     loop below; rounds are O(log n) on adversarial chains
+    *     (measured: 11 rounds for 1024-node paths, PERF.md) and 2-4 on
+    *     the locally-dense graphs LSH banding emits.
+    *
     * @param pairs undirected edges, one per row
     * @param maxIter hard stop for pathological graphs; the result is
     *                still a valid (coarser) clustering if hit, and a
     *                warning is logged
+    * @param localEdgeLimit symmetric-edge-count threshold for the
+    *                driver fast path; 0 forces the distributed loop
+    *                (the spec and scale-probe setting). Ids of a type
+    *                with no driver-side ordering (anything beyond
+    *                integral/string) always take the distributed loop.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 25,
+                          localEdgeLimit: Long = 2000000L): DataFrame = {
     // symmetric edge list: each undirected pair contributes both
-    // directions so one groupBy(src) sees every neighbor
-    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // directions so one groupBy(src) sees every neighbor. Built with
+    // explode(array(...)) — ONE scan of `pairs`, whose plan is often an
+    // expensive candidate generation (a union of two projections would
+    // execute that subtree twice: no exchange reuse across differing
+    // projections).
     val edges = checkpointOwned(
-      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      pairs.select(explode(array(
+          struct(col(aCol).as("src"), col(bCol).as("dst")),
+          struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
         .distinct())
 
+    val idType = edges.schema("src").dataType
+    val localOrd = driverOrdering(idType)
+    if (localOrd != null && edges.count() <= localEdgeLimit) {
+      val out = localComponents(edges, localOrd)
+      free(edges)
+      return out
+    }
+
+    // fused round 0: every node's first label is min(self, neighbors) —
+    // the same frame the first loop round would produce from an
+    // identity labeling, for one groupBy instead of distinct+join+agg
     var labels = checkpointOwned(
-      edges.select(col("src").as("node"))
-        .distinct()
-        .withColumn("lab", col("node")))
+      edges.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("lab"))
+        .select(col("src").as("node"), col("lab")))
 
     var converged = false
     var it = 0
@@ -125,6 +231,7 @@ object Components {
       labels = jumped.select(col("node"), col("lab"))
       it += 1
     }
+    lastRounds = it
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"connectedComponents stopped at maxIter=$maxIter before convergence")

@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
+  /** @param maxDupGramFraction Gopher-style repetition gate (Rae et al.
+    *        2021, table A1): drop docs whose duplicate word-n-gram
+    *        fraction `1 - n_distinct/n_grams` exceeds the bound. Off
+    *        (None) by default — the synthetic corpus' oracle doesn't
+    *        model it and real thresholds are corpus-tuned.
+    * @param maxTopGramFraction companion gate on `top_count/n_grams`
+    *        (the most frequent n-gram's share of all windows).
+    * @param repetitionGramN window size for both repetition gates.
+    */
   final case class Config(
       minTokens: Int = 5,
       maxPunctRatio: Double = 0.3,
@@ -44,7 +53,10 @@ object CurationPipeline {
       languages: Set[String] = Set("en"),
       minhashBands: Int = 3,
       minhashRowsPerBand: Int = 2,
-      transitiveNearDup: Boolean = true)
+      transitiveNearDup: Boolean = true,
+      maxDupGramFraction: Option[Double] = None,
+      maxTopGramFraction: Option[Double] = None,
+      repetitionGramN: Int = 2)
 
   final case class Result(kept: DataFrame, audit: Map[String, Long],
                           cached: Seq[DataFrame] = Nil) {
@@ -58,10 +70,29 @@ object CurationPipeline {
     * batch pipeline and `streaming.StreamingCuration`, so the two paths
     * can never disagree on what "junk" means.
     */
-  def qualityGate(textCol: String, cfg: Config = Config()): org.apache.spark.sql.Column =
-    TextFns.wsTokenCount(col(textCol)) >= cfg.minTokens &&
+  def qualityGate(textCol: String, cfg: Config = Config()): org.apache.spark.sql.Column = {
+    val base = TextFns.wsTokenCount(col(textCol)) >= cfg.minTokens &&
       TextFns.punctRatio(col(textCol)) <= cfg.maxPunctRatio &&
       TextFns.qualityScore(col(textCol)) >= cfg.minQuality
+    if (cfg.maxDupGramFraction.isEmpty && cfg.maxTopGramFraction.isEmpty) base
+    else {
+      // repetition gates ride the same per-row scan projection as the
+      // other scores: wordGramStats is one native pass, the identical
+      // struct feeds both fractions (subexpression elimination), and
+      // nothing shuffles. Zero-gram docs (shorter than the window) have
+      // no repetition to measure and pass the gates.
+      val st = graft.expressions.GraftFunctions
+        .wordGramStats(col(textCol), cfg.repetitionGramN)
+      val grams = st.getField("n_grams").cast("double")
+      def gate(bound: Option[Double], frac: org.apache.spark.sql.Column) =
+        bound.map(b => grams === 0d || frac <= lit(b)).getOrElse(lit(true))
+      base &&
+        gate(cfg.maxDupGramFraction,
+          lit(1d) - st.getField("n_distinct").cast("double") / grams) &&
+        gate(cfg.maxTopGramFraction,
+          st.getField("top_count").cast("double") / grams)
+    }
+  }
 
   /** Stage-2 predicate (marker LID language allow-list), shared likewise. */
   def languageGate(textCol: String, cfg: Config = Config()): org.apache.spark.sql.Column =
@@ -85,27 +116,7 @@ object CurationPipeline {
     // decides which nodes lose
     val pairs = Dedup.minhashCandidates(exact, textCol, idCol,
       cfg.minhashBands, cfg.minhashRowsPerBand)
-    val losers =
-      if (cfg.transitiveNearDup) {
-        // transitive closure: one survivor (min id) per connected
-        // component of the candidate graph. Pairwise resolution keeps
-        // one doc per LOCAL minimum — pairs (1,4),(2,4) would keep both
-        // 1 and 2 though they sit in one component — so the labeling
-        // runs to the fixpoint instead. The loser set is checkpointed
-        // off the labeling's blocks so the full (node, component) frame
-        // frees immediately; the small loser frame itself is reclaimed
-        // by the ContextCleaner once the caller drops `kept` (the same
-        // discipline as the q46 entry's result checkpoint).
-        val labels = Components.connectedComponents(pairs)
-        val l = labels.filter(col("node") =!= col("component"))
-          .select(col("node").as(idCol))
-          .localCheckpoint(eager = true)
-        Components.free(labels)
-        l
-      } else {
-        // greedy: drop the larger id of every candidate pair, one pass
-        pairs.select(col("id_b").as(idCol)).distinct()
-      }
+    val losers = Dedup.nearDupLosers(pairs, idCol, cfg.transitiveNearDup)
     val near = exact.join(losers, Seq(idCol), "left_anti")
 
     val audit = if (!withAudit) Map.empty[String, Long] else Map(

@@ -106,6 +106,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Ids the near-dup keep policy drops, given candidate pairs
+    * (`id_a` < `id_b` edges from `minhashCandidates` and kin).
+    *
+    * `transitive = true`: one survivor (min id) per connected component
+    * of the candidate graph. Pairwise resolution keeps one doc per
+    * LOCAL minimum — pairs (1,4),(2,4) would keep both 1 and 2 though
+    * they sit in one component — so the labeling runs to the fixpoint
+    * instead (small graphs resolve on the driver, large ones through
+    * `Components`' distributed loop). The loser set is checkpointed off
+    * the labeling's blocks so the full (node, component) frame frees
+    * immediately; the small loser frame itself is reclaimed by the
+    * ContextCleaner once the caller drops it (the same discipline as
+    * the q46 entry's result checkpoint).
+    *
+    * `transitive = false`: drop the larger id of every candidate pair,
+    * one pass — cheaper when component-level collapse isn't needed.
+    */
+  def nearDupLosers(pairs: DataFrame, idCol: String,
+                    transitive: Boolean): DataFrame =
+    if (transitive) {
+      val labels = Components.connectedComponents(pairs)
+      val l = labels.filter(col("node") =!= col("component"))
+        .select(col("node").as(idCol))
+        .localCheckpoint(eager = true)
+      Components.free(labels)
+      l
+    } else {
+      pairs.select(col("id_b").as(idCol)).distinct()
+    }
+
   /** Exact n-gram Jaccard for candidate pairs: LSH candidates are
     * verified against true shingle-set Jaccard. The shingle sets are
     * joined only for candidate docs (semi-join pruning), so pairwise cost

@@ -23,6 +23,13 @@ object PathIO {
   def readParquetOrEmpty(spark: SparkSession, path: String, empty: => DataFrame): DataFrame =
     if (exists(spark, path)) spark.read.parquet(path) else empty
 
+  /** Delete a directory tree if present (state-partition retirement). */
+  def deleteDir(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
   /** Atomic-ish directory swap: rename `next` over `target` (delete the
     * old target first). One write instead of write + copy, and no stale
     * `.next` directory left behind.

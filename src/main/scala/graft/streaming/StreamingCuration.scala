@@ -15,14 +15,18 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *   4. near dedup     vs everything ever accepted + intra-batch
   *                     (delegated to `StreamingDedup.screenBatch`)
   *
-  * Near-dup policy: the streaming screen is PAIRWISE — a doc is dropped
-  * iff one of its band keys collides with an already-accepted doc's (or
-  * a smaller-id doc's in the same batch). `Config.transitiveNearDup` is
-  * ignored here: transitive closure needs the whole candidate graph,
-  * but a stream only ever sees new edges against docs it already
-  * accepted, and accepted docs are never retracted. A batch pipeline
-  * run (`CurationPipeline.run`, transitive by default) is the
-  * compaction pass for corpora that need component-level collapse.
+  * Near-dup policy: WITHIN a batch, `Config.transitiveNearDup` applies
+  * exactly as in the batch pipeline (default true: candidate pairs ->
+  * connected components -> min id per component survives, via the
+  * shared `Dedup.nearDupLosers`) — so one batch screened from fresh
+  * state equals `CurationPipeline.run` on the same rows. ACROSS batches
+  * the screen is necessarily pairwise: a stream only ever sees new
+  * edges against docs it already accepted, and accepted docs are never
+  * retracted — a new doc colliding with ANY accepted doc's band is
+  * dropped, so cross-batch component merges could never change an
+  * accept/drop decision. A batch `CurationPipeline` run remains the
+  * compaction pass for corpora that need full component-level collapse
+  * across the accepted set.
   *
   * Cross-batch state follows the `StreamingDedup` design: persisted
   * parquet tables (content hashes; MinHash band keys), not a Spark
@@ -76,7 +80,7 @@ object StreamingCuration {
     // ---- near dedup: shared batch/stream band-key screen ----
     val (accepted, acceptedKeys) = StreamingDedup.screenBatch(
       exact.drop("__h"), textCol, idCol, s"$statePath/bands",
-      cfg.minhashBands, cfg.minhashRowsPerBand)
+      cfg.minhashBands, cfg.minhashRowsPerBand, cfg.transitiveNearDup)
 
     val acceptedHashes = exact
       .join(accepted.select(col(idCol)), Seq(idCol), "left_semi")

@@ -18,20 +18,33 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * table is ~bands rows per doc of a few longs — orders of magnitude
   * smaller than the corpus — and the anti-join prunes on the band hash.
   *
-  * Within a batch, earlier docs win over later near-dups (min doc id),
-  * deterministically.
+  * Within a batch, near-dups resolve TRANSITIVELY by default: candidate
+  * pairs among the batch's docs form a graph and one doc (the min id)
+  * survives per connected component — the same keep policy, computed by
+  * the same `Dedup.nearDupLosers`, as the batch `CurationPipeline`, so
+  * one batch screened from fresh state equals the batch pipeline
+  * exactly. `transitive = false` falls back to min-id-per-bucket.
+  * ACROSS batches the screen is necessarily pairwise — a stream only
+  * ever sees new edges against docs it already accepted, and accepted
+  * docs are never retracted; a new doc colliding with ANY accepted
+  * doc's band is dropped, so cross-batch component merges could never
+  * change an accept/drop decision anyway. A batch `CurationPipeline`
+  * run is the compaction pass for corpora that need full
+  * component-level collapse across the accepted set.
   */
 object StreamingDedup {
 
   /** Screen one batch against the persisted band table AND against
-    * itself (intra-batch near-dups: min id per colliding bucket wins).
+    * itself (intra-batch near-dups: min id per connected candidate
+    * component wins; per colliding bucket with `transitive = false`).
     * Pure — nothing is persisted.
     *
     * @return (accepted rows of `batch`, their band keys)
     */
   def screenBatch(batch: DataFrame, textCol: String, idCol: String,
                   bandTablePath: String,
-                  bands: Int = 3, rowsPerBand: Int = 2): (DataFrame, DataFrame) = {
+                  bands: Int = 3, rowsPerBand: Int = 2,
+                  transitive: Boolean = true): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     // same band-key definition as the batch operator — shared code path
     val keys = Dedup.minhashBandKeys(
@@ -47,11 +60,21 @@ object StreamingDedup {
     // reject: collides with the accepted corpus...
     val hitsCorpus = keys.join(known, Seq("band_key"), "left_semi")
       .select(col("doc")).distinct()
-    // ...or with an earlier (smaller-id) doc in this same batch
-    val minPerBucket = keys.groupBy("band_key").agg(min(col("doc")).as("min_doc"))
-    val hitsBatch = keys.join(minPerBucket, Seq("band_key"))
-      .filter(col("doc") > col("min_doc"))
-      .select(col("doc")).distinct()
+    // ...or loses the intra-batch resolution: transitively (candidate
+    // pairs -> connected components -> min id per component survives,
+    // identical to the batch pipeline's keep policy) or greedily (min
+    // id per colliding bucket)
+    val hitsBatch =
+      if (transitive)
+        Dedup.nearDupLosers(
+          Dedup.pairsInBuckets(keys, "doc", "band_key"), "doc",
+          transitive = true)
+      else {
+        val minPerBucket = keys.groupBy("band_key").agg(min(col("doc")).as("min_doc"))
+        keys.join(minPerBucket, Seq("band_key"))
+          .filter(col("doc") > col("min_doc"))
+          .select(col("doc")).distinct()
+      }
 
     val rejected = hitsCorpus.unionByName(hitsBatch).distinct()
       .withColumnRenamed("doc", "__rejected")
@@ -66,9 +89,10 @@ object StreamingDedup {
     */
   def acceptBatch(batch: DataFrame, textCol: String, idCol: String,
                   bandTablePath: String,
-                  bands: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+                  bands: Int = 3, rowsPerBand: Int = 2,
+                  transitive: Boolean = true): DataFrame = {
     val (accepted, acceptedKeys) =
-      screenBatch(batch, textCol, idCol, bandTablePath, bands, rowsPerBand)
+      screenBatch(batch, textCol, idCol, bandTablePath, bands, rowsPerBand, transitive)
     acceptedKeys.write.mode("append").parquet(bandTablePath)
     accepted
   }
@@ -82,12 +106,13 @@ object StreamingDedup {
   def dedupSink(stream: DataFrame, textCol: String, idCol: String,
                 bandTablePath: String,
                 sink: DataFrame => Unit,
-                bands: Int = 3, rowsPerBand: Int = 2): DataStreamWriter[org.apache.spark.sql.Row] =
+                bands: Int = 3, rowsPerBand: Int = 2,
+                transitive: Boolean = true): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (accepted, acceptedKeys) =
-          screenBatch(batch, textCol, idCol, bandTablePath, bands, rowsPerBand)
+          screenBatch(batch, textCol, idCol, bandTablePath, bands, rowsPerBand, transitive)
         sink(accepted)
         acceptedKeys.write.mode("append").parquet(bandTablePath)
       }

@@ -52,6 +52,67 @@ class CurationPipelineSpec extends SparkSpec {
     res.kept.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 7L)
   }
 
+  private def pairs(rows: (Long, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (a, b) => Row(a, b) }),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+
+  test("transitive keep policy drops every non-minimum of a component; greedy keeps local minima") {
+    // (1,4),(2,4) is ONE component {1,2,4}: transitive keeps only 1,
+    // greedy keeps both 1 and 2 (2 is never the larger id of any pair)
+    val p = pairs(1L -> 4L, 2L -> 4L)
+    val transitive = Dedup.nearDupLosers(p, "doc_id", transitive = true)
+      .collect().map(_.getLong(0)).sorted
+    val greedy = Dedup.nearDupLosers(p, "doc_id", transitive = false)
+      .collect().map(_.getLong(0)).sorted
+    transitive shouldBe Array(2L, 4L)
+    greedy shouldBe Array(4L)
+  }
+
+  test("transitive policy collapses a chain whose ends never share a pair") {
+    // 10-11, 11-12, 12-13: only transitive propagation reaches 13 from 10
+    val p = pairs(10L -> 11L, 11L -> 12L, 12L -> 13L)
+    Dedup.nearDupLosers(p, "doc_id", transitive = true)
+      .collect().map(_.getLong(0)).sorted shouldBe Array(11L, 12L, 13L)
+  }
+
+  test("run() with transitive policy keeps a subset of the greedy run's survivors") {
+    val d = docs((1L to 30L).map(i => i -> (good + s" variant ${i % 7} tail $i")): _*)
+    val t = CurationPipeline.run(d, "text", "doc_id", withAudit = false)
+    val g = CurationPipeline.run(d, "text", "doc_id",
+      CurationPipeline.Config(transitiveNearDup = false), withAudit = false)
+    val tk = t.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gk = g.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    t.unpersist(); g.unpersist()
+    tk.subsetOf(gk) shouldBe true
+  }
+
+  test("repetition gates drop high-duplication docs the base gate passes") {
+    // 16 tokens of "the dog": 15 bigram windows, 2 distinct -> dup
+    // fraction 13/15, top fraction 8/15; base quality/LID gates pass it
+    val rep = Array.fill(8)("the dog").mkString(" ")
+    val d = docs(1L -> good, 2L -> rep)
+    val off = CurationPipeline.run(d, "text", "doc_id", withAudit = false)
+    off.kept.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+    off.unpersist()
+    val cfg = CurationPipeline.Config(
+      maxDupGramFraction = Some(0.5), maxTopGramFraction = Some(0.4))
+    val on = CurationPipeline.run(d, "text", "doc_id", cfg, withAudit = false)
+    on.kept.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L)
+    on.unpersist()
+    // the gate is a pure per-row filter — nothing shuffles below it
+    val plan = d.filter(CurationPipeline.qualityGate("text", cfg))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("docs shorter than the repetition window pass the gates (no repetition to measure)") {
+    val cfg = CurationPipeline.Config(
+      maxDupGramFraction = Some(0.1), repetitionGramN = 30)
+    val d = docs(1L -> good)
+    d.filter(CurationPipeline.qualityGate("text", cfg)).count() shouldBe 1
+  }
+
   test("audit counts are monotonically non-increasing") {
     val d = docs((1L to 20L).map(i => i -> (good + s" variant $i")): _*)
     val a = CurationPipeline.run(d, "text", "doc_id").audit

@@ -26,6 +26,31 @@ class StreamingDedupSpec extends SparkSpec {
     a2 shouldBe Array(5L) // 4 near-dups doc 1 from batch 1
   }
 
+  // Texts found by brute force over the documented signature scheme
+  // (md5 two-halves minhash, 3 bands x 2 rows): A and B share a band,
+  // B and C share a band, A and C never do — a genuine candidate CHAIN.
+  // Deterministic: md5 is fixed.
+  private val chainA = "w7293 w7278 w4818 w4144 w7934 w1426 w6335 w1286 w1235 w3317 w4764 w1211 w5029 w984 w3644 w2096 w5376 w3847 w4485 w9815"
+  private val chainB = chainA + " t494 t547 t9776"
+  private val chainC = "w3644 w2096 w5376 w3847 w4485 w9815 t494 t547 t9776 c2671 c3732"
+
+  test("intra-batch transitive resolution collapses a chain the pairwise screen keeps") {
+    import spark.implicits._
+    // ids A=1, B=4, C=2: the candidate graph is pairs (1,4),(2,4) — ONE
+    // component with two local minima. The pairwise screen rejects only
+    // 4 (never the larger id of any pair -> 2 survives); the transitive
+    // default collapses the whole component to its min id 1.
+    val batch = Seq(Doc(1, chainA), Doc(4, chainB), Doc(2, chainC)).toDF()
+
+    val t1 = Files.createTempDirectory("bands_t").toString + "/bands"
+    StreamingDedup.acceptBatch(batch, "text", "doc_id", t1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L)
+
+    val t2 = Files.createTempDirectory("bands_g").toString + "/bands"
+    StreamingDedup.acceptBatch(batch, "text", "doc_id", t2, transitive = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+  }
+
   test("dedupSink filters a stream across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
