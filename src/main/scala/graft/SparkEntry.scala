@@ -620,9 +620,11 @@ object SparkEntry {
         t(s, d, "documents").filter(cond)
           .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
       val m8 = col("doc_id") % 8
+      // nBuckets sized to the test SF (the default 256 is a 100-TB
+      // setting; at thousands of nodes it only multiplies file count)
       streaming.StreamingComponents.acceptEdges(
-        part(m8 < 2 || (m8 >= 3 && m8 < 5)), st)
-      streaming.StreamingComponents.acceptEdges(part(m8 === 2), st)
+        part(m8 < 2 || (m8 >= 3 && m8 < 5)), st, nBuckets = 16)
+      streaming.StreamingComponents.acceptEdges(part(m8 === 2), st, nBuckets = 16)
       streaming.StreamingComponents.labeling(s, st)
     })
   )

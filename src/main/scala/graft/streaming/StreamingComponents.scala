@@ -96,7 +96,12 @@ object StreamingComponents {
       .unionByName(carried.select("node", "component", "bucket"))
       .localCheckpoint(eager = true)
 
-    out.write
+    // repartition on the partition column first: partitionBy alone makes
+    // EVERY task write a file into every bucket it sees (tasks x buckets
+    // small files per batch); clustered, each bucket is one file per
+    // holding task
+    out.repartition(col("bucket"))
+      .write
       .partitionBy("bucket")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
