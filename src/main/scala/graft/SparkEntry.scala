@@ -626,6 +626,17 @@ object SparkEntry {
         part(m8 < 2 || (m8 >= 3 && m8 < 5)), st, nBuckets = 16)
       streaming.StreamingComponents.acceptEdges(part(m8 === 2), st, nBuckets = 16)
       streaming.StreamingComponents.labeling(s, st)
+    }),
+
+    // transitive clusters over the embedding near-dup graph — the
+    // ANN-side composition of banding + components (its text-side twin
+    // is q46's near-dup stage): SRP band candidates verified by cosine
+    // become edges, one survivor label (min vec_id) per cluster
+    "q70_embedding_components" -> ((s, d) => {
+      val pairs = operators.Dedup.embeddingNearDups(
+        t(s, d, "embeddings"), "embedding", "vec_id",
+        bands = 4, planesPerBand = 8, dims = 64, minCosine = 0.3)
+      operators.Components.connectedComponents(pairs)
     })
   )
 
@@ -709,6 +720,33 @@ object SparkEntry {
          |$losersSql
          |SELECT doc_id, lang, n_chars FROM exact
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+    }
+
+    // mirrors Dedup.embeddingNearDups (banded SRP): per-band packed
+    // sign bits with the literal plane constants (VectorFns.srpCoef —
+    // same md5 derivation, plane index b*r+j), candidates = DISTINCT
+    // pairs sharing any band key, verified by unrounded cosine in `p`.
+    // Shared prefix for q26 (the pair list) and q70 (transitive
+    // components over those pairs).
+    lazy val embeddingPairsSql: String = {
+      def bandKeySql(b: Int, r: Int) = {
+        val value = (0 until r).map { j =>
+          val plane = (0 until 64).map(d => VectorFns.srpCoef(b * r + j, d))
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"'$b:' || CAST(($value) AS VARCHAR)"
+      }
+      val keys = (0 until 4).map(b => bandKeySql(b, 8)).mkString(", ")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, unnest([$keys]) AS band_key FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+         |p AS (
+         |  SELECT c.id_a, c.id_b,
+         |    list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS c2
+         |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)""".stripMargin
     }
 
     val base = Map(
@@ -1113,31 +1151,23 @@ object SparkEntry {
            |SELECT query_id, rank, neighbor_id, ${pround("cos_sim", 4)} AS cos_sim
            |FROM ranked WHERE rank <= 3""".stripMargin,
 
-      // mirrors Dedup.embeddingNearDups (banded SRP): per-band packed
-      // sign bits with the literal plane constants (VectorFns.srpCoef —
-      // same md5 derivation, plane index b*r+j), candidates = DISTINCT
-      // pairs sharing any band key, verified by unrounded cosine
-      "q26_embedding_neardup" -> {
-        def bandKeySql(b: Int, r: Int) = {
-          val value = (0 until r).map { j =>
-            val plane = (0 until 64).map(d => VectorFns.srpCoef(b * r + j, d))
-              .mkString("[", ", ", "]")
-            s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << j} ELSE 0 END)"
-          }.mkString(" + ")
-          s"'$b:' || CAST(($value) AS VARCHAR)"
-        }
-        val keys = (0 until 4).map(b => bandKeySql(b, 8)).mkString(", ")
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |bk AS (SELECT vec_id, unnest([$keys]) AS band_key FROM e),
-           |cand AS (
-           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
-           |p AS (
-           |  SELECT c.id_a, c.id_b,
-           |    list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS c2
-           |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)
-           |SELECT id_a, id_b, ${pround("c2", 4)} AS cosine FROM p WHERE c2 >= 0.3""".stripMargin
-      },
+      "q26_embedding_neardup" ->
+        s"""$embeddingPairsSql
+           |SELECT id_a, id_b, ${pround("c2", 4)} AS cosine FROM p WHERE c2 >= 0.3""".stripMargin,
+
+      // transitive clusters over the embedding near-dup graph: q26's
+      // pair list as edges, resolved by the same recursive
+      // min-reachable-id walk as q65's oracle
+      "q70_embedding_components" ->
+        s"""$embeddingPairsSql,
+           |half AS (SELECT id_a, id_b FROM p WHERE c2 >= 0.3),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM half
+           |          UNION SELECT id_b, id_a FROM half),
+           |walk(node, lab) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT g.src, w.lab FROM edges g JOIN walk w ON w.node = g.dst)
+           |SELECT node, min(lab) AS component FROM walk GROUP BY node""".stripMargin,
 
       // the transitive-closure (connected-component) keep policy —
       // run()'s default; see curationSql above

@@ -68,6 +68,29 @@ class StreamingComponentsSpec extends SparkSpec {
     once shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L)
   }
 
+  test("componentSink folds an edge stream tick by tick") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val st = statePath()
+    val ckpt = Files.createTempDirectory("cc_ck").toString
+    @volatile var ticks = Vector.empty[Map[Long, Long]]
+    val in = MemoryStream[(Long, Long)]
+    val w = StreamingComponents.componentSink(
+      in.toDF().toDF("id_a", "id_b"), st,
+      b => ticks = ticks :+ resolve(b))
+    val q = w.option("checkpointLocation", ckpt).start()
+    in.addData(1L -> 2L, 5L -> 6L)
+    q.processAllAvailable()
+    in.addData(2L -> 5L)
+    q.processAllAvailable()
+    q.stop()
+    ticks shouldBe Vector(
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L),
+      Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+    resolve(StreamingComponents.labeling(spark, st)) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L)
+  }
+
   test("empty batch is a no-op returning the current labeling") {
     val st = statePath()
     StreamingComponents.acceptEdges(edges(1L -> 2L), st)
