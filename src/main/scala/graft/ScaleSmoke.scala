@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Scale smoke: run the headline pipelines at replay-generated volumes
   * well past the test scale factors (no input files needed) and print
-  * wall-clock per stage. Usage: runMain graft.ScaleSmoke [rows]
+  * wall-clock per stage. Usage:
+  *   runMain graft.ScaleSmoke [rows] [stageSubstring...]
+  * — with stage substrings, only stages whose name contains one of
+  * them run (the text chains always pay the docs-parquet write).
   *
   * This is the "would it survive 100x" probe: the snapshot chain and
   * dedup operators must scale linearly in rows with stable plans —
@@ -28,12 +31,15 @@ object ScaleSmoke {
       .option("rows", n).option("partitions", cpus.toInt * 4)
       .option("seed", 7).load()
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n%,d")
-    }
+    val only = args.drop(1)
+    def time(name: String)(f: => Long): Unit =
+      if (only.isEmpty || only.exists(name.contains)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n%,d")
+      }
 
+    var ccStatePath: String = null
     println(s"=== scale smoke at $rows rows, local[$cpus] ===")
     time("generate+count") { events(rows).count() }
     time("snapshot chain (proc+curate)") {
@@ -77,6 +83,34 @@ object ScaleSmoke {
     }
     ccProbe("connected components (6-chains)", pmod(col("id_a"), lit(8)) < 5)
     ccProbe("connected components (1024-paths)", pmod(col("id_a"), lit(1024)) < 1023)
+
+    // incremental maintenance: fold the 6-chain graph into a state
+    // table, then bridge batches at two sparsities. Reads are O(state)
+    // every tick (node semi-joins don't prune component-partitioned
+    // files); the WRITE is what bucket partitioning bounds — and only
+    // when touched components number well under nBuckets, else carried
+    // co-residents make every bucket dirty. Probe nBuckets is sized
+    // accordingly (8192 for a ~7.5M-node state).
+    val ccBuckets = sys.env.getOrElse("SPARK_GRAFT_CC_BUCKETS", "8192").toInt
+    def bridgeTick(name: String, every: Int): Unit = time(name) {
+      val bridges = events(rows).select(col("event_id").as("id_a"))
+        .filter(pmod(col("id_a"), lit(every)) === 5)
+        .select(col("id_a"), (col("id_a") + 3).as("id_b"))
+      graft.streaming.StreamingComponents.acceptEdges(
+        bridges, ccStatePath, nBuckets = ccBuckets).count()
+    }
+    time("streaming components tick 1 (build)") {
+      val ccState = java.nio.file.Files
+        .createTempDirectory("graft_smoke_cc").toString + "/components"
+      ccStatePath = ccState
+      val chains = events(rows).select(col("event_id").as("id_a"))
+        .filter(pmod(col("id_a"), lit(8)) < 5)
+        .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+      graft.streaming.StreamingComponents.acceptEdges(
+        chains, ccState, nBuckets = ccBuckets).count()
+    }
+    bridgeTick("streaming components tick 2 (12% touched)", 128)
+    bridgeTick("streaming components tick 3 (0.01% touched)", 131072)
 
     // Synthetic English-ish documents for the text chains: 24 words, every
     // 4th a stopword (ratio 0.25 -> passes the quality + LID gates), the

@@ -35,6 +35,19 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * `StreamingDedup`: state rows are a few longs per node, orders of
   * magnitude smaller than the corpus.
   *
+  * `nBuckets` trades write amortization against file-count overhead,
+  * bounded on both sides (PERF.md round-7 probes): every bucket
+  * holding a touched component is rewritten whole (untouched
+  * co-residents carried over), so a tick touching >= nBuckets
+  * components degrades the write to O(state) — but each bucket is also
+  * >= 1 file, and at 8192 buckets directory listing + commit overhead
+  * made EVERY tick slower than at 256 on a 7.5M-node state. Size it so
+  * touched-components-per-tick << nBuckets while per-bucket files stay
+  * tens of MB. Changing nBuckets against an existing state path is
+  * safe — the bookkeeping carries old and new bucket values per batch
+  * and rows migrate as their components are touched — it just mixes
+  * layouts until fully migrated.
+  *
   * Labels only COARSEN (merges, never splits), so re-running a batch
   * after a partial write converges to the same labeling: a node left
   * duplicated across an old and a new bucket re-enters the solve from
@@ -63,11 +76,16 @@ object StreamingComponents {
     // the bucket partition column's read-back type depends on session
     // conf (partition type inference yields int/long; with inference
     // disabled — which `Layers.readLayer` sets — it's a string):
-    // normalize to int so unions and collects below are type-stable
+    // normalize to int so unions and collects below are type-stable.
+    // Persisted for the tick: three consumers (touched detection, the
+    // touched sub-state, the carried co-residents) would otherwise
+    // each re-list and re-scan the bucket directories — at thousands
+    // of buckets the listing alone dominates a sparse tick.
     val state = PathIO.readParquetOrEmpty(spark, statePath,
         e.select(col("id_a").as("node"), col("id_a").as("component"),
           lit(0).as("bucket")).limit(0))
       .withColumn("bucket", col("bucket").cast("int"))
+      .persist()
 
     val endpoints = e.select(explode(array(col("id_a"), col("id_b"))).as("node"))
       .distinct()
@@ -124,6 +142,7 @@ object StreamingComponents {
     val result = labels.select("node", "component").localCheckpoint(eager = true)
     Components.free(labels)
     sub.unpersist(blocking = false)
+    state.unpersist(blocking = false)
     result
   }
 
