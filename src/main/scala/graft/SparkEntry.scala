@@ -637,7 +637,40 @@ object SparkEntry {
         t(s, d, "embeddings"), "embedding", "vec_id",
         bands = 4, planesPerBand = 8, dims = 64, minCosine = 0.3)
       operators.Components.connectedComponents(pairs)
-    })
+    }),
+
+    // concat-and-chunk sequence packing: per-source token streams cut
+    // into 256-token context windows; each doc reports its window and
+    // offset. Token counts are q32's verified bpe-ish tokenizer, so the
+    // oracle only adds the running-sum arithmetic.
+    "q71_pack_windows" -> ((s, d) =>
+      operators.Packing.packByConcat(
+        t(s, d, "documents").select("doc_id", "source", "text"),
+        functions.TextFns.bpeishTokenCount(col("text")), budget = 256L,
+        shardCol = "source", orderCol = "doc_id")
+        .select("doc_id", "source", "n_tokens", "pack_seq", "pack_offset")),
+
+    // overlapping fixed-width character chunking (RAG / long-doc
+    // pretraining shape): 200-char windows every 150 chars, chunk
+    // payload carried as md5 for downstream chunk-level exact dedup
+    "q72_chunk_docs" -> ((s, d) =>
+      operators.Packing.chunkDocs(
+        t(s, d, "documents"), "text", "doc_id", size = 200, stride = 150)),
+
+    // per-domain cap: at most 15 docs per source, chosen by the
+    // content-stable hash order (reproducible pseudo-random subset,
+    // not scan order); WindowGroupLimit keeps the shuffle O(groups*cap)
+    "q73_domain_caps" -> ((s, d) =>
+      operators.Sampling.capPerGroup(
+        t(s, d, "documents").select("doc_id", "source"),
+        keyCol = "doc_id", groupCol = "source", cap = 15)),
+
+    // PII redaction — email spans then URLs rewritten to typed
+    // placeholders with the same portable regexes q58 counts with; the
+    // oracle reproduces the rewritten text byte-for-byte
+    "q74_pii_redaction" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        functions.TextFns.redactPii(col("text")).as("redacted")))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -1244,6 +1277,49 @@ object SparkEntry {
         """SELECT doc_id,
           |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
           |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls
+          |FROM documents""".stripMargin,
+
+      // concat-and-chunk packing: q32's tokenizer + a per-source
+      // running sum; window floor/mod arithmetic is engine-neutral
+      "q71_pack_windows" ->
+        """WITH tok AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, source, n_tokens,
+          |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |  FROM tok)
+          |SELECT doc_id, source, n_tokens,
+          |  CAST(floor(cum_before / 256) AS BIGINT) AS pack_seq,
+          |  CAST(cum_before % 256 AS BIGINT) AS pack_offset
+          |FROM c""".stripMargin,
+
+      "q72_chunk_docs" ->
+        """WITH s AS (
+          |  SELECT doc_id, text, unnest(range(0, len(text), 150)) AS start
+          |  FROM documents WHERE len(text) > 0)
+          |SELECT doc_id,
+          |  CAST(start / 150 AS BIGINT) AS chunk_idx,
+          |  CAST(start AS BIGINT) AS start,
+          |  CAST(len(substr(text, CAST(start AS INT) + 1, 200)) AS BIGINT) AS chunk_len,
+          |  md5(substr(text, CAST(start AS INT) + 1, 200)) AS chunk_md5
+          |FROM s""".stripMargin,
+
+      "q73_domain_caps" ->
+        """WITH r AS (
+          |  SELECT doc_id, source,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5('cap' || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents)
+          |SELECT doc_id, source FROM r WHERE rn <= 15""".stripMargin,
+
+      "q74_pii_redaction" ->
+        """SELECT doc_id,
+          |  regexp_replace(
+          |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    'https?://[^\s]+', '<URL>', 'g') AS redacted
           |FROM documents""".stripMargin,
 
       "q31_quality_score" ->

@@ -188,6 +188,22 @@ object TextFns {
   def urlCount(text: Column): Column =
     tally(text, "https?://[^\\s]+").cast("long")
 
+  /** PII redaction: rewrite email-shaped spans then http(s) URLs to
+    * typed placeholders, using the SAME portable patterns as the count
+    * surface above (both are RE2- and java.util.regex-compatible, so an
+    * external engine reproduces the transform byte-for-byte — the
+    * property the q74 oracle checks). Email runs first deliberately: an
+    * email inside a URL's userinfo is a stronger signal than the URL
+    * around it, and fixing the order makes the composition
+    * deterministic. Pure per-row codegen'd rewrite — at 100 TB this
+    * lives in the scan projection like any other scalar.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "https?://[^\\s]+", "<URL>")
+
   // ---- quality scoring ---------------------------------------------------
 
   val enStopwords: Seq[String] = Seq(

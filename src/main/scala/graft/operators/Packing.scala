@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing and document chunking — the two shape transforms a
+  * training-data pipeline applies between curation and tokenization.
+  *
+  * Packing follows the concat-and-chunk discipline (GPT-style): the
+  * corpus is treated as one deterministic token stream per shard and cut
+  * into fixed token-budget context windows; a document belongs to the
+  * window its first token falls in. This formulation is a pure window
+  * aggregation — no driver loop, no bin-packing search — so it scales
+  * linearly: each shard's stream is independent, and within a shard the
+  * cumulative sum is one sort + one pass (Spark's running-window frame).
+  * Contrast `plans.BinPacking` (SURVEY §2.10), which solves the
+  * first-fit-decreasing HOST-assignment problem on a small aggregate —
+  * packing here is corpus-scale, so search is off the table by design.
+  *
+  * Chunking splits long documents into fixed-size overlapping windows
+  * (RAG / long-doc pretraining shape): a per-row explode of computed
+  * offsets, shuffle-free, and the chunk count per document is bounded by
+  * ceil(len / stride) so output volume is a constant factor of input.
+  */
+object Packing {
+
+  /** Annotate each row with its context-window assignment under
+    * concat-and-chunk packing: within each `shardCol` group, rows are
+    * ordered by `orderCol` (a total order — id, not arrival), token
+    * counts accumulate, and a row lands in pack `floor(tokensBefore /
+    * budget)` at offset `tokensBefore % budget`.
+    *
+    * The shard column bounds the window partition: packing is
+    * shard-local exactly as it is in a real pipeline (each output shard
+    * is packed independently by its writer task), so no global ordering
+    * or single-partition window is ever required — at 100 TB the shards
+    * ARE the parallelism.
+    *
+    * Output: input columns + `n_tokens`, `pack_seq`, `pack_offset`.
+    */
+  def packByConcat(df: DataFrame, tokensCol: Column, budget: Long,
+                   shardCol: String, orderCol: String): DataFrame = {
+    require(budget > 0, s"pack budget must be positive: $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col("n_tokens")).over(w), lit(0L))
+    df.withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("pack_seq", floor(before / lit(budget)).cast("long"))
+      .withColumn("pack_offset", (before % lit(budget)).cast("long"))
+  }
+
+  /** Explode each document into fixed-size character windows with
+    * overlap: window i starts at `i * stride` (stride = size − overlap)
+    * and spans `size` characters (the last window is shorter). Documents
+    * with empty text produce no chunks. Offsets are computed per-row
+    * (`sequence` + `posexplode`), so the transform is embarrassingly
+    * parallel and never shuffles.
+    *
+    * Output: `idCol`, `chunk_idx`, `start`, `chunk_len`, `chunk_md5` —
+    * the hash stands in for the chunk payload so downstream exact-dedup
+    * of chunks (the usual next stage) needs no second text scan.
+    */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size: size=$size stride=$stride")
+    val text = col(textCol)
+    val chunk = text.substr(col("start") + 1, lit(size))
+    df.filter(char_length(text) > 0)
+      .select(col(idCol), text,
+        posexplode(sequence(lit(0), char_length(text) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        char_length(chunk).cast("long").as("chunk_len"),
+        md5(chunk).as("chunk_md5"))
+  }
+}

@@ -37,6 +37,30 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic per-group cap — keep at most `cap` rows of each
+    * `groupCol` value, selected by the content-stable key hash rather
+    * than arrival order (so the kept subset is a reproducible
+    * pseudo-random sample of the group, not whatever the scan surfaced
+    * first). This is the per-domain cap of a web-crawl pipeline: no
+    * single host may contribute more than N documents.
+    *
+    * The rank filter compiles to a rank-limited window — Spark inserts
+    * a `WindowGroupLimit` before the shuffle (same physical shape as
+    * the verified q09 top-k), so each map task forwards at most `cap`
+    * rows per group it sees instead of the whole group: at 100 TB the
+    * shuffle carries O(groups x cap), not O(rows).
+    */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+                  cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val ord = md5(concat_ws("|", lit("cap"), col(keyCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(ord, col(keyCol))
+    df.withColumn("__cap_rn", row_number().over(w))
+      .filter(col("__cap_rn") <= cap)
+      .drop("__cap_rn")
+  }
+
   /** Stratified deterministic sampling — the domain-mixing primitive:
     * keep `pcts(stratum)`% of each stratum's rows (`defaultPct` for
     * strata not listed), chosen by the same content-stable key hash as

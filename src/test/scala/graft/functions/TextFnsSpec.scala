@@ -148,4 +148,24 @@ class TextFnsSpec extends SparkSpec {
     out(0).getString(0) should have length 32
     out(1).isNullAt(0) shouldBe true
   }
+
+  test("redactPii rewrites emails then urls, leaves clean text alone") {
+    val d = docs(
+      "mail bob.smith+x@example.co.uk now",
+      "see https://a.example.com/p?q=1 and http://b.org x",
+      "both a@b.io https://c.net/d",
+      // email inside a URL userinfo: email pattern wins first, the
+      // leftover scheme prefix is then swept by the URL pass
+      "ftp is safe but https://user@host.com/p leaks",
+      "nothing here")
+    val out = d.select(TextFns.redactPii(col("text"))).collect().map(_.getString(0))
+    out(0) shouldBe "mail <EMAIL> now"
+    out(1) shouldBe "see <URL> and <URL> x"
+    out(2) shouldBe "both <EMAIL> <URL>"
+    out(3) shouldBe "ftp is safe but <URL> leaks"
+    out(4) shouldBe "nothing here"
+    // redacted text carries no residual email/url-shaped spans
+    d.select(TextFns.emailCount(TextFns.redactPii(col("text")))).collect()
+      .foreach(_.getLong(0) shouldBe 0L)
+  }
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  test("packByConcat assigns packs by shard-local running token count") {
+    // one shard, budget 10: docs of 4/4/4 tokens -> cum_before 0,4,8 ->
+    // packs 0,0,0 at offsets 0,4,8; the next doc (cum 12) opens pack 1
+    val docs = Seq(
+      (1L, "s", 4L), (2L, "s", 4L), (3L, "s", 4L), (4L, "s", 4L),
+      (10L, "t", 25L), (11L, "t", 1L) // oversized doc spans packs; next doc lands by ITS start
+    ).toDF("id", "shard", "n")
+    val out = Packing.packByConcat(docs, col("n"), budget = 10L, "shard", "id")
+      .select("id", "pack_seq", "pack_offset").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ((0L, 0L))
+    out(2L) shouldBe ((0L, 4L))
+    out(3L) shouldBe ((0L, 8L))
+    out(4L) shouldBe ((1L, 2L))
+    // shard t is packed independently; doc 11 starts at cum 25 -> pack 2
+    out(10L) shouldBe ((0L, 0L))
+    out(11L) shouldBe ((2L, 5L))
+  }
+
+  test("packByConcat is shard-parallel: no single-partition window") {
+    val docs = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "shard", "n")
+    val plan = Packing.packByConcat(docs, col("n"), 10L, "shard", "id")
+      .queryExecution.executedPlan.toString
+    // the window partitions by the shard column (hash exchange), never
+    // by the empty key set (SinglePartition)
+    plan should not include "SinglePartition"
+  }
+
+  test("chunkDocs covers every character with stride-spaced windows") {
+    val docs = Seq((1L, "a" * 500), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val out = Packing.chunkDocs(docs, "text", "doc_id", size = 200, stride = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: starts 0,150,300,450 with lens 200,200,200,50
+    out.filter(_._1 == 1L).sortBy(_._2) shouldBe Seq(
+      (1L, 0L, 0L, 200L), (1L, 1L, 150L, 200L), (1L, 2L, 300L, 200L), (1L, 3L, 450L, 50L))
+    // short doc: one chunk of its full length; empty doc: no chunks
+    out.filter(_._1 == 2L) shouldBe Seq((2L, 0L, 0L, 2L))
+    out.filter(_._1 == 3L) shouldBe empty
+  }
+
+  test("chunkDocs reassembles the original text from non-overlap prefixes") {
+    val text = (0 until 1000).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    // with stride == size (no overlap) the chunks tile the doc exactly
+    val lens = Packing.chunkDocs(docs, "text", "doc_id", size = 128, stride = 128)
+      .agg(sum("chunk_len")).collect()(0).getLong(0)
+    lens shouldBe 1000L
+  }
+
+  test("capPerGroup keeps a deterministic hash-chosen subset per group") {
+    val docs = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val out = Sampling.capPerGroup(docs, "id", "g", cap = 10)
+    out.groupBy("g").count().collect().foreach(_.getLong(1) shouldBe 10L)
+    // deterministic: same subset both runs, and independent of row order
+    val again = Sampling.capPerGroup(docs.orderBy(rand(7)), "id", "g", cap = 10)
+    out.exceptAll(again).count() shouldBe 0L
+  }
+
+  test("capPerGroup plans a rank-limited window (WindowGroupLimit)") {
+    val docs = (0L until 100L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val plan = Sampling.capPerGroup(docs, "id", "g", 5)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+}
