@@ -670,7 +670,28 @@ object SparkEntry {
     // oracle reproduces the rewritten text byte-for-byte
     "q74_pii_redaction" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
-        functions.TextFns.redactPii(col("text")).as("redacted")))
+        functions.TextFns.redactPii(col("text")).as("redacted"))),
+
+    // token-budget subsampling: each source contributes docs in
+    // content-stable hash order until 1000 bpe-ish tokens are spent
+    // (q73's row-cap sibling, stated in trainer units)
+    "q75_token_budget" -> ((s, d) =>
+      operators.Sampling.tokenBudgetSample(
+        t(s, d, "documents").select("doc_id", "source", "text"),
+        keyCol = "doc_id", groupCol = "source",
+        tokensCol = functions.TextFns.bpeishTokenCount(col("text")),
+        budget = 1000L)
+        .select("doc_id", "source")),
+
+    // deterministic global shuffle: contiguous [0,n) training-order
+    // rank by content-stable hash, computed via hash-prefix buckets +
+    // broadcast offsets — no single-partition window anywhere (the
+    // oracle's global row_number is the semantics, not the plan)
+    "q76_shuffle_rank" -> ((s, d) =>
+      operators.Sampling.shuffleRank(
+        t(s, d, "documents").select("doc_id", "source"),
+        keyCol = "doc_id", hexPrefix = 2)
+        .select("doc_id", "shuffle_rank"))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -1320,6 +1341,26 @@ object SparkEntry {
           |  regexp_replace(
           |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           |    'https?://[^\s]+', '<URL>', 'g') AS redacted
+          |FROM documents""".stripMargin,
+
+      "q75_token_budget" ->
+        """WITH tok AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, source, n_tokens,
+          |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+          |      ORDER BY md5('budget' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |  FROM tok)
+          |SELECT doc_id, source FROM c WHERE cum_before < 1000""".stripMargin,
+
+      "q76_shuffle_rank" ->
+        """SELECT doc_id,
+          |  row_number() OVER (
+          |    ORDER BY md5('shuffle' || '|' || CAST(doc_id AS VARCHAR)), doc_id)
+          |    - 1 AS shuffle_rank
           |FROM documents""".stripMargin,
 
       "q31_quality_score" ->

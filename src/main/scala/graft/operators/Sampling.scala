@@ -61,6 +61,74 @@ object Sampling {
       .drop("__cap_rn")
   }
 
+  /** Token-budget subsampling — the mixture-weights primitive stated in
+    * the unit that actually matters for pretraining: within each
+    * `groupCol` (domain/source), take rows in content-stable hash order
+    * until the group's TOKEN budget is exhausted (a row is kept when
+    * the tokens accumulated before it are still under budget, so the
+    * boundary row that crosses the line is included and every group
+    * reaches its budget). Row caps (`capPerGroup`) bound document
+    * counts; this bounds what the trainer actually consumes.
+    *
+    * One running-sum window per group — the same shard-parallel shape
+    * as `Packing.packByConcat`; no global order, no driver state.
+    */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, groupCol: String,
+                        tokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val ord = md5(concat_ws("|", lit("budget"), col(keyCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(ord, col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__tok", tokensCol.cast("long"))
+      .withColumn("__before", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .filter(col("__before") < budget)
+      .drop("__tok", "__before")
+  }
+
+  /** Deterministic global shuffle with a materialized contiguous rank —
+    * the training-order primitive: every row gets `shuffle_rank` in
+    * [0, n), the position it holds when the corpus is ordered by a
+    * content-stable hash of its key. Reordering is how epochs are
+    * decorrelated from crawl order; materializing the rank (rather
+    * than just sorting) lets a writer slice the corpus into exact
+    * training shards (`rank / shardSize`) without a second pass.
+    *
+    * Computed WITHOUT a single-partition window: the hash's leading
+    * `hexPrefix` hex chars define 16^hexPrefix ordered buckets, so
+    * global hash order = (bucket, remaining hash) order. Per-bucket
+    * counts are a tiny aggregate (one row per bucket — the same
+    * "driver holds the small aggregate" economics as bin-packing);
+    * their running offsets broadcast-join back, and a per-bucket
+    * row_number (shuffled by bucket, thousands of independent groups)
+    * completes rank = offset + local - 1. Every stage is distributed;
+    * at 100 TB the only driver traffic is 16^hexPrefix longs.
+    */
+  def shuffleRank(df: DataFrame, keyCol: String, hexPrefix: Int = 3): DataFrame = {
+    require(hexPrefix >= 1 && hexPrefix <= 4,
+      s"hexPrefix must be in [1,4]: $hexPrefix")
+    val sk = md5(concat_ws("|", lit("shuffle"), col(keyCol).cast("string")))
+    val keyed = df.withColumn("__sk", sk)
+      .withColumn("__bkt",
+        conv(substring(col("__sk"), 1, hexPrefix), 16, 10).cast("long"))
+    val counts = keyed.groupBy("__bkt").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.toSeq.map { case (b, n) =>
+      val off = acc; acc += n; (b, off)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("__bkt", "__offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col("__sk"), col(keyCol))
+    keyed
+      .join(broadcast(offsetsDf), Seq("__bkt"))
+      .withColumn("shuffle_rank",
+        col("__offset") + row_number().over(w).cast("long") - 1L)
+      .drop("__bkt", "__sk", "__offset")
+  }
+
   /** Stratified deterministic sampling — the domain-mixing primitive:
     * keep `pcts(stratum)`% of each stratum's rows (`defaultPct` for
     * strata not listed), chosen by the same content-stable key hash as

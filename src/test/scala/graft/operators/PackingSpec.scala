@@ -72,4 +72,36 @@ class PackingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("WindowGroupLimit")
   }
+
+  test("tokenBudgetSample stops each group at its token budget") {
+    val docs = (0L until 40L).map(i => (i, s"g${i % 2}", 30L)).toDF("id", "g", "n")
+    val out = Sampling.tokenBudgetSample(docs, "id", "g", col("n"), budget = 100L)
+    // 30-token docs against a 100 budget: cum_before 0,30,60,90 pass,
+    // 120 does not -> exactly 4 docs per group, the 4th crossing the line
+    out.groupBy("g").count().collect().foreach(_.getLong(1) shouldBe 4L)
+    // deterministic under row reordering
+    val again = Sampling.tokenBudgetSample(
+      docs.orderBy(rand(3)), "id", "g", col("n"), 100L)
+    out.exceptAll(again).count() shouldBe 0L
+  }
+
+  test("shuffleRank is a contiguous permutation matching global hash order") {
+    val docs = (0L until 5000L).map(i => (i, s"v$i")).toDF("id", "payload")
+    val ranked = Sampling.shuffleRank(docs, "id", hexPrefix = 2)
+    val ranks = ranked.select("shuffle_rank").collect().map(_.getLong(0)).sorted
+    ranks shouldBe (0L until 5000L).toArray
+    // rank order == (md5 hash, id) order, verified against the direct
+    // (single-partition) sort of the same keys
+    val direct = docs
+      .select(col("id"), md5(concat_ws("|", lit("shuffle"), col("id").cast("string"))).as("h"))
+      .orderBy("h", "id").collect().map(_.getLong(0))
+    val byRank = ranked.orderBy("shuffle_rank").select("id").collect().map(_.getLong(0))
+    byRank shouldBe direct
+  }
+
+  test("shuffleRank plans no single-partition window") {
+    val docs = (0L until 100L).map(i => (i, i)).toDF("id", "v")
+    val plan = Sampling.shuffleRank(docs, "id").queryExecution.executedPlan.toString
+    plan should not include "SinglePartition"
+  }
 }
