@@ -691,7 +691,16 @@ object SparkEntry {
       operators.Sampling.shuffleRank(
         t(s, d, "documents").select("doc_id", "source"),
         keyCol = "doc_id", hexPrefix = 2)
-        .select("doc_id", "shuffle_rank"))
+        .select("doc_id", "shuffle_rank")),
+
+    // per-doc salient terms by tf-idf: one (doc,term) aggregate reused
+    // for document frequencies, corpus size as a broadcast one-row agg,
+    // top-3 via rank-limited window; rational smoothed idf so the
+    // 4-decimal score hash is engine-portable (see TfIdf scaladoc)
+    "q77_tfidf_terms" -> ((s, d) =>
+      operators.TfIdf.topTerms(t(s, d, "documents"), "text", "doc_id", k = 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          pround(col("score"), 4).as("score")))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -1362,6 +1371,21 @@ object SparkEntry {
           |    ORDER BY md5('shuffle' || '|' || CAST(doc_id AS VARCHAR)), doc_id)
           |    - 1 AS shuffle_rank
           |FROM documents""".stripMargin,
+
+      "q77_tfidf_terms" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |scored AS (
+           |  SELECT doc_id, term, tf, df, tf * (n + 1.0) / (df + 1.0) AS score
+           |  FROM tf JOIN idf USING (term) CROSS JOIN n),
+           |r AS (SELECT *, row_number() OVER (
+           |  PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored)
+           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           |  CAST(df AS BIGINT) AS df, ${pround("score", 4)} AS score
+           |FROM r WHERE rk <= 3""".stripMargin,
 
       "q31_quality_score" ->
         s"""WITH base AS (SELECT doc_id, text, $toksSql AS t FROM documents),

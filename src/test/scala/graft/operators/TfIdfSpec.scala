@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TfIdfSpec extends SparkSpec {
+
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  // "rare" appears in one doc, "common" in all three: with k=1 every
+  // doc's top term must be its distinguishing word, never the stopword
+  private lazy val corpus = Seq(
+    (1L, "common rare common alpha"),
+    (2L, "common beta beta"),
+    (3L, "common gamma")).toDF("doc_id", "text")
+
+  test("topTerms ranks distinguishing terms above ubiquitous ones") {
+    val top1 = TfIdf.topTerms(corpus, "text", "doc_id", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 is a deliberate THREE-way tie at 2.0 (common 2*4/4, rare
+    // 1*4/2, alpha 1*4/2) -> term-ascending tie-break picks "alpha"
+    top1(1L) shouldBe "alpha"
+    top1(2L) shouldBe "beta" // tf=2, df=1 -> 2*4/2=4.0
+    top1(3L) shouldBe "gamma" // 1*4/2=2.0 beats common's 1.0
+  }
+
+  test("scores follow tf * (N+1)/(df+1) exactly") {
+    val rows = TfIdf.topTerms(corpus, "text", "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    rows((1L, "rare")) shouldBe ((1L, 1L, 1.0 * 4 / 2))
+    rows((1L, "common")) shouldBe ((2L, 3L, 2.0 * 4 / 4))
+    rows((2L, "beta")) shouldBe ((2L, 1L, 2.0 * 4 / 2))
+    // k larger than a doc's vocabulary returns the whole vocabulary
+    rows.keys.count(_._1 == 3L) shouldBe 2
+  }
+
+  test("top-k plans as a rank-limited window, corpus size broadcasts") {
+    val plan = TfIdf.topTerms(corpus, "text", "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+    plan should include("BroadcastNestedLoopJoin")
+  }
+}
