@@ -61,6 +61,27 @@ object ScaleSmoke {
       Dedup.keepFirst(events(rows), Seq("user_id"), Seq(col("event_id").asc)).count()
     }
 
+    // the shape/budget transforms: all running-window ops partitioned by
+    // a shard/group key — the probe checks the windows stay shard-
+    // parallel (wall ~ rows/cores) with no single-partition collapse
+    time("shuffle rank (global order)") {
+      val ranked = operators.Sampling.shuffleRank(
+        events(rows).select(col("event_id").as("id")), "id")
+      // contiguity at scale: max rank + 1 == row count
+      val mx = ranked.agg(max("shuffle_rank"), count(lit(1))).collect()(0)
+      require(mx.getLong(0) + 1 == mx.getLong(1),
+        s"rank not contiguous: max=${mx.getLong(0)} n=${mx.getLong(1)}")
+      mx.getLong(1)
+    }
+    time("pack windows (1000 shards)") {
+      operators.Packing.packByConcat(
+        events(rows).select(col("event_id").as("id"),
+          pmod(col("user_id"), lit(1000)).as("shard"),
+          (pmod(col("event_id"), lit(180)) + 20).as("n")),
+        col("n"), budget = 2048L, shardCol = "shard", orderCol = "id")
+        .select("shard", "pack_seq").distinct().count()
+    }
+
     // connected components over planted candidate graphs at edge volumes
     // a 100-TB near-dup pass would emit. Two regimes:
     //  - LSH-like: short chains (id -> id+1 where id%8<5 builds 6-node

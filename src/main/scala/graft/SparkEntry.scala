@@ -700,7 +700,13 @@ object SparkEntry {
     "q77_tfidf_terms" -> ((s, d) =>
       operators.TfIdf.topTerms(t(s, d, "documents"), "text", "doc_id", k = 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          pround(col("score"), 4).as("score")))
+          pround(col("score"), 4).as("score"))),
+
+    // cross-doc duplicate 5-word spans (exact-substring-dedup candidate
+    // stage): native distinct-shingle expansion, one span aggregate
+    "q78_dup_spans" -> ((s, d) =>
+      operators.Dedup.dupSpans(t(s, d, "documents"), "text", "doc_id",
+        n = 5, minDocs = 2))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -1386,6 +1392,16 @@ object SparkEntry {
            |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
            |  CAST(df AS BIGINT) AS df, ${pround("score", 4)} AS score
            |FROM r WHERE rk <= 3""".stripMargin,
+
+      "q78_dup_spans" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, len(t) - 3),
+           |    i -> list_aggregate(t[i:i+4], 'string_agg', ' ')))) AS span
+           |  FROM t WHERE len(t) >= 5)
+           |SELECT span, count(*) AS n_docs, min(doc_id) AS min_doc
+           |FROM g GROUP BY span HAVING count(*) >= 2""".stripMargin,
 
       "q31_quality_score" ->
         s"""WITH base AS (SELECT doc_id, text, $toksSql AS t FROM documents),

@@ -267,4 +267,30 @@ object Dedup {
         VectorFns.cosineFast(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** Cross-document duplicate spans — the candidate stage of exact
+    * substring dedup (boilerplate headers, licence blocks, templated
+    * paragraphs that repeat verbatim across documents): every n-word
+    * span held by at least `minDocs` documents, with how many and the
+    * smallest holder id.
+    *
+    * Per-row native distinct-shingle expansion in the scan projection
+    * (no per-doc duplicate inflation), then ONE hash aggregation on the
+    * span — count and min combine map-side, so the shuffle carries a
+    * pair of longs per distinct span, not per occurrence. `minDocs`
+    * filters after the partial-agg merge; at 100 TB the output is the
+    * corpus' repeated-boilerplate table, input to a span-removal or
+    * doc-penalty pass.
+    */
+  def dupSpans(docs: DataFrame, textCol: String, idCol: String,
+               n: Int, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs below 2 reports every span: $minDocs")
+    docs
+      .select(col(idCol).as("doc"),
+        explode(graft.expressions.GraftFunctions
+          .distinctWordShingles(col(textCol), n)).as("span"))
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * Shape, deliberately: tokenize/explode in the scan projection; term
   * frequencies are one hash aggregation on (doc, term); document
-  * frequencies REUSE that aggregate (count of docs per term — no second
-  * pass over the corpus); the corpus size joins in as a broadcast
-  * one-row aggregate (declarative — no driver `count()` action); and
-  * the per-doc top-k is a rank-limited window, which Spark plans as
-  * `WindowGroupLimit` so each map task forwards at most k terms per
-  * doc. Two shuffles total (doc-term agg, term df join), both on keys
-  * that scale with content, not corpus size.
+  * frequencies are an UNORDERED COUNT WINDOW over that same frame
+  * partitioned by term — not a second aggregate joined back, which
+  * Catalyst plans as a second full corpus scan (a self-referencing
+  * aggregate is used twice, and exchange reuse does not rescue it);
+  * the corpus size joins in as a broadcast one-row aggregate
+  * (declarative — no driver `count()` action); and the per-doc top-k
+  * is a rank-limited window, which Spark plans as `WindowGroupLimit`
+  * so each map task forwards at most k terms per doc. ONE corpus scan
+  * and three exchanges on strictly shrinking data (doc-term agg, term
+  * window, doc window).
   *
   * The idf is the SMOOTHED RATIONAL variant (N+1)/(df+1) rather than
   * its logarithm: log is monotone, so per-doc rankings are identical,
@@ -38,10 +41,10 @@ object TfIdf {
       explode(TextFns.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val scored = tf
-      .join(df, Seq("term"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
       .join(broadcast(n))
       .withColumn("score",
         col("tf") * (col("__n") + 1.0) / (col("df") + 1.0))

@@ -118,4 +118,20 @@ class DedupSpec extends SparkSpec {
     one.subsetOf(four) shouldBe true
     four.size should be >= one.size
   }
+
+  test("dupSpans reports spans shared across docs, not within one doc") {
+    val d = docs(
+      1L -> "the quick brown fox jumps high",
+      2L -> "note the quick brown fox jumps again",
+      // doc 3 repeats a 3-gram INTERNALLY; distinct-shingle expansion
+      // must count it once, so it never reaches minDocs
+      3L -> "solo alpha beta gamma solo alpha beta gamma",
+      4L -> "unrelated words only here")
+    val out = Dedup.dupSpans(d, "text", "doc_id", n = 3, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (_, n, minDoc) => n shouldBe 2L; minDoc shouldBe 1L }
+    // docs 1 and 2 share the 5-word run -> exactly three 3-spans survive
+    out.map(_._1).sorted shouldBe
+      Array("brown fox jumps", "quick brown fox", "the quick brown")
+  }
 }
