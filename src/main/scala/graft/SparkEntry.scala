@@ -706,7 +706,29 @@ object SparkEntry {
     // stage): native distinct-shingle expansion, one span aggregate
     "q78_dup_spans" -> ((s, d) =>
       operators.Dedup.dupSpans(t(s, d, "documents"), "text", "doc_id",
-        n = 5, minDocs = 2))
+        n = 5, minDocs = 2)),
+
+    // daily cohort retention over the event stream: one distinct-
+    // activity frame feeds cohort assignment and the d1/d7 survival
+    // counts (conditional countDistincts, no per-offset joins)
+    "q79_retention" -> ((s, d) =>
+      operators.Cohorts.retention(t(s, d, "events"), "user_id", "ts",
+        offsets = Seq(1, 7))),
+
+    // ordered signup -> click -> purchase funnel; strictly-after
+    // comparisons on microsecond epochs (engine-portable resolution)
+    "q80_funnel" -> ((s, d) =>
+      operators.Cohorts.funnel(t(s, d, "events"), "user_id", "ts",
+        "event_type", steps = Seq("signup", "click", "purchase"))),
+
+    // single-scan table profile of orders; the double column is cast
+    // to DECIMAL first so min/max render identically across engines
+    "q81_profile" -> ((s, d) =>
+      operators.Profile.profile(
+        t(s, d, "orders").withColumn("o_totalprice",
+          col("o_totalprice").cast("decimal(18,2)")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -1402,6 +1424,53 @@ object SparkEntry {
            |  FROM t WHERE len(t) >= 5)
            |SELECT span, count(*) AS n_docs, min(doc_id) AS min_doc
            |FROM g GROUP BY span HAVING count(*) >= 2""".stripMargin,
+
+      "q79_retention" ->
+        """WITH act AS (
+          |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+          |f AS (SELECT u, min(day) AS cohort_day FROM act GROUP BY u),
+          |j AS (
+          |  SELECT a.u, f.cohort_day,
+          |    date_diff('day', f.cohort_day, a.day) AS off
+          |  FROM act a JOIN f ON a.u = f.u)
+          |SELECT cohort_day,
+          |  count(DISTINCT u) AS cohort_size,
+          |  count(DISTINCT CASE WHEN off = 1 THEN u END) AS d1,
+          |  count(DISTINCT CASE WHEN off = 7 THEN u END) AS d7
+          |FROM j GROUP BY cohort_day""".stripMargin,
+
+      "q80_funnel" ->
+        """WITH e AS (
+          |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t FROM events),
+          |s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'signup' GROUP BY u),
+          |s2 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u
+          |       WHERE e.et = 'click' AND e.t > s1.t GROUP BY e.u),
+          |s3 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u
+          |       WHERE e.et = 'purchase' AND e.t > s2.t GROUP BY e.u)
+          |SELECT 1 AS step, 'signup' AS step_name,
+          |  (SELECT count(*) FROM s1) AS n_users
+          |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+          |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+      "q81_profile" -> {
+        // the Spark side profiles o_totalprice AFTER the DECIMAL cast,
+        // so the oracle stats (distinct included) apply the same cast
+        def prow(c: String, expr: String) =
+          s"""SELECT '$c' AS column_name,
+             |  count(*) - count($expr) AS n_null, count($expr) AS n_present,
+             |  count(DISTINCT $expr) AS n_distinct,
+             |  CAST(min($expr) AS VARCHAR) AS min_value,
+             |  CAST(max($expr) AS VARCHAR) AS max_value
+             |FROM orders""".stripMargin
+        Seq(
+          prow("o_orderkey", "o_orderkey"),
+          prow("o_custkey", "o_custkey"),
+          prow("o_orderstatus", "o_orderstatus"),
+          prow("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+          prow("o_orderdate", "o_orderdate"),
+          prow("o_orderpriority", "o_orderpriority")
+        ).mkString("\nUNION ALL\n")
+      },
 
       "q31_quality_score" ->
         s"""WITH base AS (SELECT doc_id, text, $toksSql AS t FROM documents),

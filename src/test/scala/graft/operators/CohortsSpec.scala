@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CohortsSpec extends SparkSpec {
+
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  test("retention cohorts by first day and counts offset survivors") {
+    // u1: first 2024-01-01, back on day+1 and day+7; u2: same cohort,
+    // never returns; u3: later cohort, returns day+1
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 09:00:00"),
+      (1L, "2024-01-08 23:00:00"),
+      (2L, "2024-01-01 11:00:00"),
+      (3L, "2024-01-05 00:30:00"), (3L, "2024-01-06 00:30:00"))
+      .toDF("user_id", "s").withColumn("ts", to_timestamp(col("s")))
+    val out = Cohorts.retention(ev, "user_id", "ts", Seq(1, 7))
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out("2024-01-01") shouldBe ((2L, 1L, 1L))
+    out("2024-01-05") shouldBe ((1L, 1L, 0L))
+  }
+
+  test("funnel requires strict temporal order per user") {
+    // u1 converts fully in order; u2 clicks BEFORE signup (no step 2);
+    // u3 signs up and clicks but purchases before the click (no step 3)
+    val ev = Seq(
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      (2L, "click", "2024-01-02 08:00:00"),
+      (2L, "signup", "2024-01-02 09:00:00"),
+      (3L, "signup", "2024-01-03 10:00:00"),
+      (3L, "purchase", "2024-01-03 11:00:00"),
+      (3L, "click", "2024-01-03 12:00:00"))
+      .toDF("user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Cohorts.funnel(ev, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    out(1) shouldBe (("signup", 3L))
+    out(2) shouldBe (("click", 2L)) // u1 and u3; u2's click precedes signup
+    out(3) shouldBe (("purchase", 1L)) // only u1 purchases after clicking
+  }
+
+  test("profile reports presence, distincts, and min/max per column") {
+    val df = Seq(
+      (1L, Some("a"), 2.0), (2L, None, 2.0), (3L, Some("b"), 9.5))
+      .toDF("id", "s", "v")
+    val out = Profile.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    out("id") shouldBe ((0L, 3L, 3L, "1", "3"))
+    out("s") shouldBe ((1L, 2L, 2L, "a", "b"))
+    out("v") shouldBe ((0L, 3L, 2L, "2.0", "9.5"))
+  }
+
+  test("profile runs in one scan (single Expand aggregate, no self-union)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val plan = Profile.profile(df, Seq("id", "s"))
+      .queryExecution.executedPlan.toString
+    plan should include("Expand")
+    // one scan of the input: the local relation appears exactly once
+    "(?s)LocalTableScan".r.findAllIn(plan).size shouldBe 1
+  }
+}
