@@ -3,16 +3,25 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Single-scan data profiling — the `ANALYZE TABLE` surface: per-column
-  * presence, distinct count, and min/max over one pass of the input.
+/** Data profiling — the `ANALYZE TABLE` surface: per-column presence,
+  * distinct count, and min/max.
   *
-  * All columns' statistics are computed in ONE aggregate (Spark plans
-  * the multi-column distinct set via `Expand` — one scan, expansion
-  * factor = number of profiled columns, combined map-side), then the
-  * single wide row unpivots via `stack` into one row per column. At
-  * 100 TB this is a scan plus a constant number of tiny shuffles; the
-  * alternative — one aggregate per column — scans the corpus once per
-  * column.
+  * One union branch per column, each over a scan PRUNED to that column
+  * (against a columnar source the branches together read exactly the
+  * bytes one wide scan would — each column's pages once). Within a
+  * branch the heavy stage is a plain `groupBy(value).count()` — long
+  * buffers, so it stays `HashAggregate` for EVERY column type — and
+  * the final ungrouped aggregate (sum of counts, min/max over the
+  * distinct values only) needs no sort even when string buffers demote
+  * it to `SortAggregate`, because there are no grouping keys to order
+  * by.
+  *
+  * The tempting one-pass alternative — every statistic in one
+  * aggregate — plans the multi-column distinct set via `Expand` (row
+  * count × columns intermediate) and any string min/max forces
+  * sort-based aggregation of that multiplied stream; measured 4x
+  * slower on a 6-column profile at sf0.1. The spec pins this plan
+  * shape: no `Expand`, no `Sort`, anywhere.
   *
   * min/max are cast to string so heterogeneous column types share one
   * output schema; cast numerics you care about to DECIMAL first if you
@@ -25,21 +34,20 @@ object Profile {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__cnt_$c"),
-        countDistinct(col(c)).as(s"__dst_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __cnt_$c, __dst_$c, __min_$c, __max_$c").mkString(", ")
-    one.select(col("__total"), expr(
-        s"stack(${cols.length}, $stackArgs) AS " +
-          "(column_name, n_present, n_distinct, min_value, max_value)"))
-      .select(col("column_name"),
-        (col("__total") - col("n_present")).as("n_null"),
-        col("n_present"), col("n_distinct"),
-        col("min_value"), col("max_value"))
+    cols.map { c =>
+      df.select(col(c))
+        .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        .agg(
+          coalesce(sum(col("__cnt")), lit(0L)).as("__total"),
+          coalesce(sum(when(col(c).isNotNull, col("__cnt"))
+            .otherwise(lit(0L))), lit(0L)).as("n_present"),
+          count(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"),
+          (col("__total") - col("n_present")).as("n_null"),
+          col("n_present"), col("n_distinct"),
+          col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
   }
 }

@@ -127,12 +127,12 @@ object StreamingComponents {
     // dynamic overwrite replaces only partitions PRESENT in `out` — a
     // bucket whose every component migrated to a merged label receives
     // no rows and would keep its stale files, leaving a node labeled
-    // twice. Retire those buckets explicitly (the id sets are a handful
-    // of ints; `rewrite` reads the checkpointed sub + labels frames).
-    val populated = out.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    rewrite.collect().map(_.getInt(0))
-      .filterNot(populated)
+    // twice. Retire those buckets explicitly: one anti-join job over
+    // two handful-of-ints frames (`rewrite` reads the checkpointed
+    // sub + labels frames, `out` its checkpoint) instead of collecting
+    // each side separately.
+    rewrite.join(out.select("bucket").distinct(), Seq("bucket"), "left_anti")
+      .collect().map(_.getInt(0))
       .foreach(b => PathIO.deleteDir(spark, s"$statePath/bucket=$b"))
     out.unpersist(blocking = false)
     // materialize the result OFF the labeling's checkpoint blocks before

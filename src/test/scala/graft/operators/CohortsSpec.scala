@@ -60,12 +60,15 @@ class CohortsSpec extends SparkSpec {
     out("v") shouldBe ((0L, 3L, 2L, "2.0", "9.5"))
   }
 
-  test("profile runs in one scan (single Expand aggregate, no self-union)") {
+  test("profile branches never sort: no Expand, no Sort in the plan") {
+    // string min/max in a combined multi-distinct aggregate would force
+    // SortAggregate over an Expand-multiplied stream (the 4x-slower
+    // shape the scaladoc documents); pruned per-column branches keep
+    // every aggregate ungrouped and sort-free
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     val plan = Profile.profile(df, Seq("id", "s"))
       .queryExecution.executedPlan.toString
-    plan should include("Expand")
-    // one scan of the input: the local relation appears exactly once
-    "(?s)LocalTableScan".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Expand"
+    plan should not include "Sort ["
   }
 }
