@@ -70,20 +70,52 @@ object Sampling {
     * reaches its budget). Row caps (`capPerGroup`) bound document
     * counts; this bounds what the trainer actually consumes.
     *
-    * One running-sum window per group — the same shard-parallel shape
-    * as `Packing.packByConcat`; no global order, no driver state.
+    * The running sum is TWO-LEVEL BUCKETED, not one window per group:
+    * a single `partitionBy(group)` window puts every row of a group
+    * into one window partition, and domains are the most size-skewed
+    * grouping in a crawl corpus — one giant domain would be an
+    * unsplittable straggler. Instead the hash order's leading hex
+    * chars define 256 ordered sub-buckets per group (the `shuffleRank`
+    * prefix trick: hex-prefix order is consistent with full-hash
+    * order); per-(group, bucket) token sums are a tiny skew-diluted
+    * aggregate, their within-group prefix sums run over <= 256-row
+    * window partitions, and the final within-bucket running sum is
+    * bounded by a bucket's share of the group. Every stage is bounded
+    * by content/256, no stage holds a whole group. Semantics are
+    * IDENTICAL to the naive single window (same total order), which
+    * `PackingSpec` pins by equivalence.
     */
   def tokenBudgetSample(df: DataFrame, keyCol: String, groupCol: String,
                         tokensCol: Column, budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")
-    val ord = md5(concat_ws("|", lit("budget"), col(keyCol).cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(ord, col(keyCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn("__tok", tokensCol.cast("long"))
-      .withColumn("__before", coalesce(sum(col("__tok")).over(w), lit(0L)))
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("__tok", tokensCol.cast("long"))
+      .withColumn("__sk",
+        md5(concat_ws("|", lit("budget"), col(keyCol).cast("string"))))
+      .withColumn("__bkt",
+        conv(substring(col("__sk"), 1, 2), 16, 10).cast("int"))
+    val wBkts = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(col("__tok")).as("__bsum"))
+      .withColumn("__boff",
+        coalesce(sum(col("__bsum")).over(wBkts), lit(0L)))
+      // groups whose every bucket starts at or past the budget cannot
+      // contribute rows — prune them before the fact-side join
+      .filter(col("__boff") < budget)
+      .select(col(groupCol), col("__bkt"), col("__boff"))
+    val wLocal = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(col("__sk"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .join(offsets, Seq(groupCol, "__bkt"))
+      .withColumn("__before",
+        col("__boff") + coalesce(sum(col("__tok")).over(wLocal), lit(0L)))
       .filter(col("__before") < budget)
-      .drop("__tok", "__before")
+      // the using-join moved its keys to the front; restore the
+      // caller's column order
+      .select(df.columns.map(col).toSeq: _*)
   }
 
   /** Deterministic global shuffle with a materialized contiguous rank —

@@ -11,16 +11,25 @@ import org.apache.spark.sql.functions._
   *
   * Shape, deliberately: tokenize/explode in the scan projection; term
   * frequencies are one hash aggregation on (doc, term); document
-  * frequencies are an UNORDERED COUNT WINDOW over that same frame
-  * partitioned by term — not a second aggregate joined back, which
-  * Catalyst plans as a second full corpus scan (a self-referencing
-  * aggregate is used twice, and exchange reuse does not rescue it);
-  * the corpus size joins in as a broadcast one-row aggregate
-  * (declarative — no driver `count()` action); and the per-doc top-k
-  * is a rank-limited window, which Spark plans as `WindowGroupLimit`
-  * so each map task forwards at most k terms per doc. ONE corpus scan
-  * and three exchanges on strictly shrinking data (doc-term agg, term
-  * window, doc window).
+  * frequencies come from a doc-distinct token explode aggregated per
+  * term, SHUFFLE-JOINED back on term; the corpus size joins in as a
+  * broadcast one-row aggregate (declarative — no driver `count()`
+  * action); and the per-doc top-k is a rank-limited window, which
+  * Spark plans as `WindowGroupLimit` so each map task forwards at
+  * most k terms per doc.
+  *
+  * Why a join for df and not a count window over the tf frame (which
+  * would save the df aggregate's corpus pass): term frequency is the
+  * most skewed distribution in this engine — a ubiquitous token sits
+  * in essentially every document, and `count().over(partitionBy(term))`
+  * funnels ALL of its (doc, term) rows into ONE window partition, an
+  * unsplittable straggler at web-corpus scale (Spark windows have no
+  * skew mitigation). The equi-join formulation shuffles on the same
+  * key but AQE's OptimizeSkewedJoin splits oversized join partitions
+  * at runtime, and the df aggregate itself dilutes the skew map-side
+  * (partial counts combine before the term shuffle). A second pass
+  * over the corpus is a bounded, parallel cost; a hot-key straggler
+  * is not.
   *
   * The idf is the SMOOTHED RATIONAL variant (N+1)/(df+1) rather than
   * its logarithm: log is monotone, so per-doc rankings are identical,
@@ -41,10 +50,14 @@ object TfIdf {
       explode(TextFns.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // df from a doc-distinct explode: one long per (doc, term) reaches
+    // the term shuffle, combined map-side
+    val dfByTerm = docs.select(
+        explode(array_distinct(TextFns.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val scored = tf
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(dfByTerm, Seq("term"))
       .join(broadcast(n))
       .withColumn("score",
         col("tf") * (col("__n") + 1.0) / (col("df") + 1.0))

@@ -85,6 +85,23 @@ class PackingSpec extends SparkSpec {
     out.exceptAll(again).count() shouldBe 0L
   }
 
+  test("tokenBudgetSample bucketed sums equal the naive single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 2000L).map(i => (i, s"g${i % 5}", (i % 37) + 1))
+      .toDF("id", "g", "n")
+    val out = Sampling.tokenBudgetSample(docs, "id", "g", col("n"), 500L)
+    // reference semantics: ONE running-sum window per group (the
+    // straggler-prone form the bucketed implementation must match)
+    val ord = md5(concat_ws("|", lit("budget"), col("id").cast("string")))
+    val w = Window.partitionBy(col("g")).orderBy(ord, col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs
+      .withColumn("b", coalesce(sum(col("n")).over(w), lit(0L)))
+      .filter(col("b") < 500).drop("b")
+    out.exceptAll(ref).count() shouldBe 0L
+    ref.exceptAll(out).count() shouldBe 0L
+  }
+
   test("shuffleRank is a contiguous permutation matching global hash order") {
     val docs = (0L until 5000L).map(i => (i, s"v$i")).toDF("id", "payload")
     val ranked = Sampling.shuffleRank(docs, "id", hexPrefix = 2)
