@@ -171,6 +171,16 @@ object ScaleSmoke {
     time("simhash banded pairs") {
       Dedup.simhashPairs(docsPq, "text", "doc_id", maxHamming = 3).count()
     }
+    // corpus-statistics chains: ~24 tokens/doc -> ~240M (doc, term)
+    // rows through the tf aggregate / span aggregate; both must stay
+    // hash-aggregated with map-side combine (no sort, no hot-key
+    // window) for wall to track rows/cores
+    time("tfidf top terms") {
+      operators.TfIdf.topTerms(docsPq, "text", "doc_id", k = 3).count()
+    }
+    time("duplicate spans") {
+      Dedup.dupSpans(docsPq, "text", "doc_id", n = 5, minDocs = 2).count()
+    }
     time("curation pipeline (no audit)") {
       val r = CurationPipeline.run(docsPq, "text", "doc_id", withAudit = false)
       val n = r.kept.count(); r.unpersist(); n
