@@ -32,8 +32,11 @@ object ScaleSmoke {
       .option("seed", 7).load()
 
     val only = args.drop(1)
-    def time(name: String)(f: => Long): Unit =
-      if (only.isEmpty || only.exists(name.contains)) {
+    def willRun(name: String): Boolean = only.isEmpty || only.exists(name.contains)
+    // force = a prerequisite stage (docs write, state build) that must
+    // run whenever a selected stage depends on its side effect
+    def time(name: String, force: Boolean = false)(f: => Long): Unit =
+      if (force || willRun(name)) {
         val t0 = System.nanoTime()
         val n = f
         println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n%,d")
@@ -120,7 +123,12 @@ object ScaleSmoke {
       graft.streaming.StreamingComponents.acceptEdges(
         bridges, ccStatePath, nBuckets = ccBuckets).count()
     }
-    time("streaming components tick 1 (build)") {
+    // the build tick must run whenever a bridge tick is selected — the
+    // later ticks fold into the state table it creates
+    val anyTick = Seq("streaming components tick 1 (build)",
+      "streaming components tick 2 (12% touched)",
+      "streaming components tick 3 (0.01% touched)").exists(willRun)
+    time("streaming components tick 1 (build)", force = anyTick) {
       val ccState = java.nio.file.Files
         .createTempDirectory("graft_smoke_cc").toString + "/components"
       ccStatePath = ccState
@@ -163,7 +171,12 @@ object ScaleSmoke {
     // interpreter, not the operator.
     val docsPath = java.nio.file.Files
       .createTempDirectory("graft_smoke_docs").toString + "/docs"
-    time("write documents parquet") {
+    // the docs write must run whenever any text-chain stage is
+    // selected — they all read the parquet it produces
+    val anyText = Seq("write documents parquet", "simhash banded pairs",
+      "tfidf top terms", "duplicate spans", "curation pipeline (no audit)",
+      "streaming curation screen").exists(willRun)
+    time("write documents parquet", force = anyText) {
       docs(rows).write.mode("overwrite").parquet(docsPath); rows
     }
     def docsPq = spark.read.parquet(docsPath)

@@ -89,7 +89,25 @@ object Components {
       case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
       case ShortType   => Ordering.by((x: Any) => x.asInstanceOf[Short])
       case ByteType    => Ordering.by((x: Any) => x.asInstanceOf[Byte])
-      case StringType  => Ordering.by((x: Any) => x.asInstanceOf[String])
+      // Spark's min over StringType compares UTF8String BYTES (code
+      // points); Java's String ordering compares UTF-16 code units.
+      // They disagree when a supplementary-plane char (surrogate pair,
+      // high unit < 0xE000) meets a char in [U+E000, U+FFFF] — so
+      // compare UTF-8 bytes unsigned, matching the distributed loop
+      case StringType => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val d = (x(i) & 0xff) - (y(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          x.length - y.length
+        }
+      }
       case _           => null
     }): Ordering[Any]
   }

@@ -21,6 +21,13 @@ object Sampling {
     pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
 
+  // the salted content-stable ordering hash shared by capPerGroup /
+  // tokenBudgetSample / shuffleRank — single-sourced because every
+  // DuckDB oracle mirrors this exact derivation byte-for-byte
+  // (md5('<tag>' || '|' || CAST(key AS VARCHAR)))
+  private def saltedOrderKey(tag: String, key: Column): Column =
+    md5(concat_ws("|", lit(tag), key.cast("string")))
+
   /** Keep a deterministic `pct`% of rows by key hash. */
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(keyCol), 100) < pct)
@@ -53,7 +60,7 @@ object Sampling {
   def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
                   cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
-    val ord = md5(concat_ws("|", lit("cap"), col(keyCol).cast("string")))
+    val ord = saltedOrderKey("cap", col(keyCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(ord, col(keyCol))
     df.withColumn("__cap_rn", row_number().over(w))
@@ -91,8 +98,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val keyed = df
       .withColumn("__tok", tokensCol.cast("long"))
-      .withColumn("__sk",
-        md5(concat_ws("|", lit("budget"), col(keyCol).cast("string"))))
+      .withColumn("__sk", saltedOrderKey("budget", col(keyCol)))
       .withColumn("__bkt",
         conv(substring(col("__sk"), 1, 2), 16, 10).cast("int"))
     val wBkts = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
@@ -108,13 +114,17 @@ object Sampling {
     val wLocal = Window.partitionBy(col(groupCol), col("__bkt"))
       .orderBy(col("__sk"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-SAFE group equality: a null group is a regular group to the
+    // window-semantics reference (and to capPerGroup), so the offsets
+    // join must not drop its rows the way plain equality would
+    val o = offsets
+      .withColumnRenamed(groupCol, "__ogrp")
+      .withColumnRenamed("__bkt", "__obkt")
     keyed
-      .join(offsets, Seq(groupCol, "__bkt"))
+      .join(o, col(groupCol) <=> col("__ogrp") && col("__bkt") === col("__obkt"))
       .withColumn("__before",
         col("__boff") + coalesce(sum(col("__tok")).over(wLocal), lit(0L)))
       .filter(col("__before") < budget)
-      // the using-join moved its keys to the front; restore the
-      // caller's column order
       .select(df.columns.map(col).toSeq: _*)
   }
 
@@ -139,7 +149,7 @@ object Sampling {
   def shuffleRank(df: DataFrame, keyCol: String, hexPrefix: Int = 3): DataFrame = {
     require(hexPrefix >= 1 && hexPrefix <= 4,
       s"hexPrefix must be in [1,4]: $hexPrefix")
-    val sk = md5(concat_ws("|", lit("shuffle"), col(keyCol).cast("string")))
+    val sk = saltedOrderKey("shuffle", col(keyCol))
     val keyed = df.withColumn("__sk", sk)
       .withColumn("__bkt",
         conv(substring(col("__sk"), 1, hexPrefix), 16, 10).cast("long"))

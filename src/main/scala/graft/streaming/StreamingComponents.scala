@@ -70,8 +70,19 @@ object StreamingComponents {
                   aCol: String = "id_a", bCol: String = "id_b",
                   nBuckets: Int = 256): DataFrame = {
     val spark = edges.sparkSession
+    // one execution of the batch-edge plan: edges typically arrive from
+    // an expensive candidate-generation pipeline, and without the
+    // checkpoint it would run three times (the emptiness probe, the
+    // endpoints scan, and the union into the solve) — the same
+    // double-execution class PERF.md round 7 removed from
+    // connectedComponents itself. The checkpoint's row count answers
+    // the emptiness test for free; blocks are released before return.
     val e = edges.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
-    if (e.isEmpty) return labeling(spark, statePath, e.schema("id_a").dataType)
+      .localCheckpoint(true)
+    if (e.isEmpty) {
+      e.unpersist(blocking = false)
+      return labeling(spark, statePath, e.schema("id_a").dataType)
+    }
 
     // the bucket partition column's read-back type depends on session
     // conf (partition type inference yields int/long; with inference
@@ -103,8 +114,8 @@ object StreamingComponents {
       .withColumn("bucket", pmod(hash(col("component")), lit(nBuckets)))
     // rewrite exactly the buckets whose contents change: where touched
     // rows lived, and where relabeled rows land
-    val rewrite = sub.select("bucket").distinct()
-      .unionByName(newRows.select("bucket").distinct()).distinct()
+    val rewrite = sub.select("bucket")
+      .unionByName(newRows.select("bucket")).distinct()
     val carried = state.join(rewrite, Seq("bucket"), "left_semi")
       .join(touched, Seq("component"), "left_anti")
     // materialized once: the write, the populated-bucket set, and the
@@ -141,6 +152,7 @@ object StreamingComponents {
     // drops it — the q46-entry discipline
     val result = labels.select("node", "component").localCheckpoint(eager = true)
     Components.free(labels)
+    e.unpersist(blocking = false)
     sub.unpersist(blocking = false)
     state.unpersist(blocking = false)
     result

@@ -57,6 +57,21 @@ class ComponentsSpec extends SparkSpec {
         Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x")
       Components.free(out)
     }
+
+    test(s"[$pathName] string min is UTF-8 byte order, not UTF-16 code-unit order") {
+      // U+FFFD (UTF-16 unit 0xFFFD; UTF-8 EF BF BD) vs U+1F600 (UTF-16
+      // surrogates 0xD83D 0xDE00; UTF-8 F0 9F 98 80): Java's String
+      // ordering says the emoji is SMALLER (0xD83D < 0xFFFD) while
+      // Spark's UTF8String min says U+FFFD is — both strategies must
+      // agree with Spark's
+      val repl = "�"
+      val emoji = "😀"
+      val out = Components.connectedComponents(
+        Seq(repl -> emoji).toDF("id_a", "id_b"), localEdgeLimit = limit)
+      out.collect().map(r => r.getString(0) -> r.getString(1)).toMap shouldBe
+        Map(repl -> repl, emoji -> repl)
+      Components.free(out)
+    }
   }
 
   test("both strategies agree on a many-component random-ish graph") {

@@ -102,6 +102,15 @@ class PackingSpec extends SparkSpec {
     ref.exceptAll(out).count() shouldBe 0L
   }
 
+  test("tokenBudgetSample budgets a null group instead of dropping it") {
+    val docs = Seq((1L, Some("g"), 30L), (2L, None, 30L), (3L, None, 30L),
+      (4L, None, 30L), (5L, None, 30L)).toDF("id", "g", "n")
+    val out = Sampling.tokenBudgetSample(docs, "id", "g", col("n"), 100L)
+    // the four null-group rows are a regular group: cum_before
+    // 0/30/60/90 all under 100, so every row survives
+    out.count() shouldBe 5L
+  }
+
   test("shuffleRank is a contiguous permutation matching global hash order") {
     val docs = (0L until 5000L).map(i => (i, s"v$i")).toDF("id", "payload")
     val ranked = Sampling.shuffleRank(docs, "id", hexPrefix = 2)
