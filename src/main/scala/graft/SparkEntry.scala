@@ -728,7 +728,23 @@ object SparkEntry {
         t(s, d, "orders").withColumn("o_totalprice",
           col("o_totalprice").cast("decimal(18,2)")),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-          "o_orderdate", "o_orderpriority")))
+          "o_orderdate", "o_orderpriority"))),
+
+    // cross-batch token budgets: documents arrive in two ticks (doc_id
+    // parity), each screened against the per-source tokens already
+    // spent — the oracle restates the two-phase admission explicitly
+    // (phase-1 window, spent totals, phase-2 window with offset)
+    "q82_streaming_budget" -> ((s, d) => {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_q82_state").toString + "/spent"
+      val toks = t(s, d, "documents")
+        .withColumn("n", functions.TextFns.bpeishTokenCount(col("text")))
+        .select("doc_id", "source", "n")
+      def tick(parity: Int) = streaming.StreamingBudget.acceptBatch(
+        toks.filter(col("doc_id") % 2 === parity),
+        "doc_id", "source", col("n"), budget = 1000L, st)
+      tick(0).unionByName(tick(1)).select("doc_id", "source")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -1399,6 +1415,32 @@ object SparkEntry {
           |    ORDER BY md5('shuffle' || '|' || CAST(doc_id AS VARCHAR)), doc_id)
           |    - 1 AS shuffle_rank
           |FROM documents""".stripMargin,
+
+      // two-phase admission: tick-1 rows (even ids) budget from zero;
+      // their accepted token sums become tick-2's per-source offsets
+      "q82_streaming_budget" ->
+        """WITH tok AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+          |  FROM documents),
+          |b1 AS (
+          |  SELECT doc_id, source, n,
+          |    COALESCE(SUM(n) OVER (PARTITION BY source
+          |      ORDER BY md5('budget' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          |  FROM tok WHERE doc_id % 2 = 0),
+          |a1 AS (SELECT doc_id, source, n FROM b1 WHERE cb < 1000),
+          |sp AS (SELECT source, SUM(n) AS spent FROM a1 GROUP BY source),
+          |b2 AS (
+          |  SELECT t.doc_id, t.source,
+          |    COALESCE(s.spent, 0) + COALESCE(SUM(t.n) OVER (PARTITION BY t.source
+          |      ORDER BY md5('budget' || '|' || CAST(t.doc_id AS VARCHAR)), t.doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          |  FROM (SELECT * FROM tok WHERE doc_id % 2 = 1) t
+          |  LEFT JOIN sp s ON t.source = s.source)
+          |SELECT doc_id, source FROM a1
+          |UNION ALL
+          |SELECT doc_id, source FROM b2 WHERE cb < 1000""".stripMargin,
 
       "q77_tfidf_terms" ->
         s"""WITH toks AS (

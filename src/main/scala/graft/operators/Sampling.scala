@@ -22,10 +22,10 @@ object Sampling {
       lit(buckets.toLong))
 
   // the salted content-stable ordering hash shared by capPerGroup /
-  // tokenBudgetSample / shuffleRank — single-sourced because every
-  // DuckDB oracle mirrors this exact derivation byte-for-byte
-  // (md5('<tag>' || '|' || CAST(key AS VARCHAR)))
-  private def saltedOrderKey(tag: String, key: Column): Column =
+  // tokenBudgetSample / shuffleRank / streaming.StreamingBudget —
+  // single-sourced because every DuckDB oracle mirrors this exact
+  // derivation byte-for-byte (md5('<tag>' || '|' || CAST(key AS VARCHAR)))
+  private[graft] def saltedOrderKey(tag: String, key: Column): Column =
     md5(concat_ws("|", lit(tag), key.cast("string")))
 
   /** Keep a deterministic `pct`% of rows by key hash. */

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.operators.Sampling
+import graft.sources.PathIO
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Cross-batch per-group TOKEN budgets over a document stream — the
+  * incremental counterpart of `Sampling.tokenBudgetSample`: a
+  * continuously-ingested corpus must stop admitting a domain's
+  * documents once the domain's token budget is spent, without ever
+  * seeing the corpus at once.
+  *
+  * State is one parquet row per group: tokens spent by everything
+  * accepted so far — the smallest state table in this engine (a long
+  * per domain). Per batch, rows are screened in content-stable hash
+  * order WITHIN the batch against each group's remaining budget;
+  * ACROSS batches admission is ingest-order (first batch to arrive
+  * spends first), which is the only order an unbounded stream can
+  * offer. A one-shot `tokenBudgetSample` over the full corpus remains
+  * the compaction pass when global hash-order fairness matters.
+  *
+  * Within a batch the running sum is a plain per-group window, not the
+  * batch operator's two-level bucketed form: a micro-batch is minutes
+  * of ingest, bounded by the trigger, so a group's batch slice is
+  * small by construction — the skew argument that drives the bucketed
+  * batch form does not apply at batch granularity.
+  *
+  * Retry safety follows `StreamingCuration`: state is written only
+  * AFTER the caller's sink succeeds, and a replayed batch re-screens
+  * identically against the unchanged state. The overwrite is sound
+  * mid-replay because `screenBatch` checkpoints the new totals before
+  * the old files are replaced.
+  */
+object StreamingBudget {
+
+  /** Screen one batch; pure — persists nothing.
+    *
+    * @return (accepted rows, updated per-group totals to commit)
+    */
+  def screenBatch(batch: DataFrame, keyCol: String, groupCol: String,
+                  tokensCol: Column, budget: Long,
+                  statePath: String): (DataFrame, DataFrame) = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val spark = batch.sparkSession
+    val spent = PathIO.readParquetOrEmpty(spark, statePath,
+        batch.select(col(groupCol), lit(0L).as("spent")).limit(0))
+      .withColumnRenamed(groupCol, "__grp")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Sampling.saltedOrderKey("budget", col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val screened = batch
+      .withColumn("__tok", tokensCol.cast("long"))
+      .join(spent, col(groupCol) <=> col("__grp"), "left")
+      .withColumn("__before",
+        coalesce(col("spent"), lit(0L)) +
+          coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .filter(col("__before") < budget)
+    val accepted = screened.select(batch.columns.map(col).toSeq: _*)
+    // new totals = old totals merged with the batch's accepted sums;
+    // groups untouched by the batch carry their row forward (the state
+    // file is rewritten whole — it is one long per domain)
+    val batchSpent = screened
+      .groupBy(col(groupCol).as("__g"))
+      .agg(sum(col("__tok")).as("__add"))
+    val newSpent = spent
+      .join(batchSpent, col("__grp") <=> col("__g"), "full_outer")
+      .select(
+        coalesce(col("__grp"), col("__g")).as(groupCol),
+        (coalesce(col("spent"), lit(0L)) + coalesce(col("__add"), lit(0L)))
+          .as("spent"))
+    (accepted, newSpent)
+  }
+
+  /** Overwrite the state with the updated totals (call AFTER the sink
+    * succeeded). The totals frame reads the files it replaces, so it is
+    * materialized first.
+    */
+  def commit(statePath: String, newSpent: DataFrame): Unit = {
+    val out = newSpent.localCheckpoint(true)
+    out.write.mode("overwrite").parquet(statePath)
+    out.unpersist(blocking = false)
+  }
+
+  /** Screen + commit in one call for batch callers. */
+  def acceptBatch(batch: DataFrame, keyCol: String, groupCol: String,
+                  tokensCol: Column, budget: Long,
+                  statePath: String): DataFrame = {
+    val (accepted, newSpent) =
+      screenBatch(batch, keyCol, groupCol, tokensCol, budget, statePath)
+    val out = accepted.localCheckpoint(true)
+    commit(statePath, newSpent)
+    out
+  }
+
+  /** Streaming sink: budget each micro-batch, hand accepted rows to
+    * `sink`, commit totals only after it succeeds.
+    */
+  def budgetSink(stream: DataFrame, keyCol: String, groupCol: String,
+                 tokensCol: Column, budget: Long, statePath: String,
+                 sink: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (accepted, newSpent) =
+          screenBatch(batch, keyCol, groupCol, tokensCol, budget, statePath)
+        sink(accepted.localCheckpoint(true))
+        commit(statePath, newSpent)
+      }
+}
