@@ -744,7 +744,17 @@ object SparkEntry {
         toks.filter(col("doc_id") % 2 === parity),
         "doc_id", "source", col("n"), budget = 1000L, st)
       tick(0).unionByName(tick(1)).select("doc_id", "source")
-    })
+    }),
+
+    // daily gap-fill resample of the event stream: per-user epoch-
+    // aligned grid, latest value carried forward by the verified as-of
+    // operator; slots before a user's first event stay null
+    "q83_gap_fill" -> ((s, d) =>
+      operators.Resample.gapFill(
+        t(s, d, "events"), "user_id", "ts",
+        Map("value" -> "value_filled"), stepSeconds = 86400L)
+        .select(col("user_id"), col("slot"),
+          pround(col("value_filled"), 4).as("value_filled")))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -1441,6 +1451,24 @@ object SparkEntry {
           |SELECT doc_id, source FROM a1
           |UNION ALL
           |SELECT doc_id, source FROM b2 WHERE cb < 1000""".stripMargin,
+
+      // per-user epoch-aligned daily slots, value carried forward by
+      // DuckDB's ASOF on the same microsecond epochs
+      "q83_gap_fill" -> {
+        val step = "86400000000"
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+           |b AS (SELECT user_id, min(tus) AS mn, max(tus) AS mx FROM e GROUP BY user_id),
+           |g AS (
+           |  SELECT user_id,
+           |    unnest(generate_series(mn - mn % $step, mx - mx % $step, $step)) AS tus
+           |  FROM b),
+           |f AS (
+           |  SELECT g.user_id, g.tus, e.value
+           |  FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.tus >= e.tus)
+           |SELECT user_id, tus // 1000000 AS slot,
+           |  ${pround("value", 4)} AS value_filled
+           |FROM f""".stripMargin
+      },
 
       "q77_tfidf_terms" ->
         s"""WITH toks AS (

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ResampleSpec extends SparkSpec {
+
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  test("gapFill carries the latest value forward on an aligned grid") {
+    // user A: events at Jan1 10:00 (v=1) and Jan3 09:00 (v=3) -> slots
+    // Jan1/Jan2/Jan3 00:00. Slot boundaries SAMPLE the series: Jan1
+    // midnight precedes the first event (null), Jan2 and Jan3 midnight
+    // both see v=1 (the Jan3 event lands after its slot's boundary).
+    // user B: one event exactly ON a boundary -> filled at its own slot
+    // (as-of is inclusive).
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-03 09:00:00", 3.0),
+      (2L, "2024-01-05 00:00:00", 7.0))
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Resample.gapFill(ev, "user_id", "ts",
+      Map("value" -> "v"), stepSeconds = 86400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val d = 86400L
+    val jan1 = java.time.LocalDate.of(2024, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    out((1L, jan1)) shouldBe None
+    out((1L, jan1 + d)) shouldBe Some(1.0)
+    out((1L, jan1 + 2 * d)) shouldBe Some(1.0)
+    out((2L, jan1 + 4 * d)) shouldBe Some(7.0)
+    out.size shouldBe 4 // per-key ranges: 3 slots for A, 1 for B
+  }
+}
