@@ -123,12 +123,16 @@ object ScaleSmoke {
       graft.streaming.StreamingComponents.acceptEdges(
         bridges, ccStatePath, nBuckets = ccBuckets).count()
     }
+    // stage names declared once and shared by the force lists and the
+    // time() calls — a renamed stage cannot silently drop out of the
+    // prerequisite forcing
+    val tick1 = "streaming components tick 1 (build)"
+    val tick2 = "streaming components tick 2 (12% touched)"
+    val tick3 = "streaming components tick 3 (0.01% touched)"
     // the build tick must run whenever a bridge tick is selected — the
     // later ticks fold into the state table it creates
-    val anyTick = Seq("streaming components tick 1 (build)",
-      "streaming components tick 2 (12% touched)",
-      "streaming components tick 3 (0.01% touched)").exists(willRun)
-    time("streaming components tick 1 (build)", force = anyTick) {
+    val anyTick = Seq(tick1, tick2, tick3).exists(willRun)
+    time(tick1, force = anyTick) {
       val ccState = java.nio.file.Files
         .createTempDirectory("graft_smoke_cc").toString + "/components"
       ccStatePath = ccState
@@ -138,8 +142,8 @@ object ScaleSmoke {
       graft.streaming.StreamingComponents.acceptEdges(
         chains, ccState, nBuckets = ccBuckets).count()
     }
-    bridgeTick("streaming components tick 2 (12% touched)", 128)
-    bridgeTick("streaming components tick 3 (0.01% touched)", 131072)
+    bridgeTick(tick2, 128)
+    bridgeTick(tick3, 131072)
 
     // Synthetic English-ish documents for the text chains: 24 words, every
     // 4th a stopword (ratio 0.25 -> passes the quality + LID gates), the
@@ -169,32 +173,38 @@ object ScaleSmoke {
     // and blows the 64 KB generated-method limit, silently dropping the
     // gate stages out of codegen — benchmarking the fallback
     // interpreter, not the operator.
+    val simhashStage = "simhash banded pairs"
+    val tfidfStage = "tfidf top terms"
+    val spansStage = "duplicate spans"
+    val curationStage = "curation pipeline (no audit)"
+    val screenStage = "streaming curation screen"
     val docsPath = java.nio.file.Files
       .createTempDirectory("graft_smoke_docs").toString + "/docs"
     // the docs write must run whenever any text-chain stage is
     // selected — they all read the parquet it produces
-    val anyText = Seq("write documents parquet", "simhash banded pairs",
-      "tfidf top terms", "duplicate spans", "curation pipeline (no audit)",
-      "streaming curation screen").exists(willRun)
-    time("write documents parquet", force = anyText) {
+    val docsWrite = "write documents parquet"
+    val textStages = Seq(docsWrite, simhashStage, tfidfStage, spansStage,
+      curationStage, screenStage)
+    val anyText = textStages.exists(willRun)
+    time(docsWrite, force = anyText) {
       docs(rows).write.mode("overwrite").parquet(docsPath); rows
     }
     def docsPq = spark.read.parquet(docsPath)
 
-    time("simhash banded pairs") {
+    time(simhashStage) {
       Dedup.simhashPairs(docsPq, "text", "doc_id", maxHamming = 3).count()
     }
     // corpus-statistics chains: ~24 tokens/doc -> ~240M (doc, term)
     // rows through the tf aggregate / span aggregate; both must stay
     // hash-aggregated with map-side combine (no sort, no hot-key
     // window) for wall to track rows/cores
-    time("tfidf top terms") {
+    time(tfidfStage) {
       operators.TfIdf.topTerms(docsPq, "text", "doc_id", k = 3).count()
     }
-    time("duplicate spans") {
+    time(spansStage) {
       Dedup.dupSpans(docsPq, "text", "doc_id", n = 5, minDocs = 2).count()
     }
-    time("curation pipeline (no audit)") {
+    time(curationStage) {
       val r = CurationPipeline.run(docsPq, "text", "doc_id", withAudit = false)
       val n = r.kept.count(); r.unpersist(); n
     }
@@ -202,7 +212,7 @@ object ScaleSmoke {
     // accepted" state, the other half screened against it — the shape
     // of an incremental ingest tick at scale (state tables + anti-joins
     // + band screen, not just the stateless pipeline above)
-    time("streaming curation screen") {
+    time(screenStage) {
       val state = java.nio.file.Files
         .createTempDirectory("graft_smoke_state").toString + "/state"
       val half = rows / 2

@@ -28,15 +28,34 @@ object Resample {
               valCols: Map[String, String], stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"step must be positive: $stepSeconds")
     val stepUs = stepSeconds * 1000000L
+    // null-timestamp events carry no position on the time axis: they
+    // must not enter the as-of union, where the ascending window would
+    // order them FIRST and their payload would backfill slots before
+    // the key's first real event (and the portable ASOF oracle would
+    // disagree — NULL never satisfies its inequality)
     val ev = events
       .withColumn("__tus", unix_micros(col(tsCol)))
+      .filter(col("__tus").isNotNull)
       .select((col(keyCol) +: col("__tus") +: valCols.keys.toSeq.sorted.map(col)): _*)
     def align(c: org.apache.spark.sql.Column) = c - pmod(c, lit(stepUs))
+    // grid slots explode in bounded chunks: a single sequence() per key
+    // materializes the whole range as one in-row array — at minute
+    // steps over years that is millions of elements in ONE row, the
+    // same unsplittable-hot-key shape the bucketed running sums avoid.
+    // Chunked, no intermediate row holds more than `chunk` slots.
+    val chunk = 4096L
     val grid = ev.groupBy(col(keyCol))
       .agg(min(col("__tus")).as("__mn"), max(col("__tus")).as("__mx"))
+      .withColumn("__n",
+        floor((align(col("__mx")) - align(col("__mn"))) / stepUs).cast("long") + 1L)
+      .withColumn("__c",
+        explode(sequence(lit(0L),
+          floor((col("__n") - 1L) / chunk).cast("long"), lit(1L))))
+      .withColumn("__i", explode(sequence(
+        col("__c") * chunk,
+        least(col("__c") * chunk + (chunk - 1L), col("__n") - 1L), lit(1L))))
       .select(col(keyCol),
-        explode(sequence(align(col("__mn")), align(col("__mx")), lit(stepUs)))
-          .as("__tus"))
+        (align(col("__mn")) + col("__i") * stepUs).as("__tus"))
     AsOfJoin.backward(grid, ev, Seq(keyCol), "__tus", valCols)
       .withColumn("slot", expr("__tus div 1000000"))
       .select((col(keyCol) +: col("slot") +: valCols.values.toSeq.sorted.map(col)): _*)

@@ -36,7 +36,12 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object StreamingBudget {
 
-  /** Screen one batch; pure — persists nothing.
+  /** Screen one batch; pure — persists nothing. BOTH returned frames
+    * lazily read the current state files, so the caller MUST
+    * materialize `accepted` (sink it, or `localCheckpoint`) BEFORE
+    * calling `commit` — after the commit's swap they would silently
+    * re-screen against totals that already include this batch's spend
+    * and return fewer rows. `acceptBatch`/`budgetSink` do this.
     *
     * @return (accepted rows, updated per-group totals to commit)
     */
@@ -44,6 +49,11 @@ object StreamingBudget {
                   tokensCol: Column, budget: Long,
                   statePath: String): (DataFrame, DataFrame) = {
     require(budget > 0, s"token budget must be positive: $budget")
+    val reserved = Set("spent", "__grp", "__tok", "__before", "__g", "__add")
+    val clash = batch.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"batch columns collide with StreamingBudget bookkeeping names " +
+        s"(same guard discipline as AsOfJoin): $clash")
     val spark = batch.sparkSession
     val spent = PathIO.readParquetOrEmpty(spark, statePath,
         batch.select(col(groupCol), lit(0L).as("spent")).limit(0))
@@ -74,14 +84,17 @@ object StreamingBudget {
     (accepted, newSpent)
   }
 
-  /** Overwrite the state with the updated totals (call AFTER the sink
-    * succeeded). The totals frame reads the files it replaces, so it is
-    * materialized first.
+  /** Replace the state with the updated totals (call AFTER the sink
+    * succeeded, and AFTER `accepted` is materialized — see
+    * `screenBatch`). The totals land in a side directory first and
+    * swap in by rename: a crash mid-write leaves the OLD totals
+    * intact, where a plain overwrite would have deleted them before
+    * writing — and a missing state path reads as "no budgets spent",
+    * which silently re-opens exhausted domains on restart.
     */
   def commit(statePath: String, newSpent: DataFrame): Unit = {
-    val out = newSpent.localCheckpoint(true)
-    out.write.mode("overwrite").parquet(statePath)
-    out.unpersist(blocking = false)
+    newSpent.write.mode("overwrite").parquet(s"$statePath.next")
+    PathIO.swapInto(newSpent.sparkSession, s"$statePath.next", statePath)
   }
 
   /** Screen + commit in one call for batch callers. */

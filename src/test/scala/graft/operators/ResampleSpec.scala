@@ -34,4 +34,33 @@ class ResampleSpec extends SparkSpec {
     out((2L, jan1 + 4 * d)) shouldBe Some(7.0)
     out.size shouldBe 4 // per-key ranges: 3 slots for A, 1 for B
   }
+
+  test("null-timestamp events are excluded, never backfilled") {
+    // without the filter, the ascending as-of window orders the null
+    // first and its payload would leak into the pre-first-event slot
+    val ev = Seq(
+      (1L, Some("2024-01-02 10:00:00"), 1.0),
+      (1L, Option.empty[String], 9.0))
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Resample.gapFill(ev, "user_id", "ts",
+      Map("value" -> "v"), stepSeconds = 86400L).collect()
+    out.length shouldBe 1
+    out(0).isNullAt(2) shouldBe true // Jan2 00:00 precedes the event
+  }
+
+  test("chunked grid generation is seamless past the 4096-slot chunk size") {
+    // 3 days at minute steps = 4321 slots: spans a chunk boundary
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-04 00:00:00", 2.0))
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val g = Resample.gapFill(ev, "user_id", "ts", Map("value" -> "v"), 60L)
+    g.count() shouldBe 4321L
+    // slots are distinct, contiguous, and minute-aligned
+    val slots = g.select("slot").collect().map(_.getLong(0)).sorted
+    slots.distinct.length shouldBe 4321
+    slots.zip(slots.tail).foreach { case (a, b) => (b - a) shouldBe 60L }
+  }
 }

@@ -64,6 +64,27 @@ class StreamingBudgetSpec extends SparkSpec {
     a2.exceptAll(a1).count() shouldBe 0L
   }
 
+  test("reserved bookkeeping names are rejected up front") {
+    val bad = Seq((1L, "g", 5L)).toDF("id", "g", "spent")
+    val e = intercept[IllegalArgumentException] {
+      StreamingBudget.screenBatch(bad, "id", "g", col("spent"), 10L, tmp())
+    }
+    e.getMessage should include("spent")
+  }
+
+  test("a crash before commit leaves prior totals intact (swap, not overwrite)") {
+    val state = tmp()
+    StreamingBudget.acceptBatch(
+      docs((1L, "g", 60L)), "id", "g", col("n"), 100L, state).count() shouldBe 1L
+    // simulate a later failed cycle that never commits: state unchanged
+    val (_, newSpent) = StreamingBudget.screenBatch(
+      docs((2L, "g", 60L)), "id", "g", col("n"), 100L, state)
+    newSpent.count() // evaluated but NOT committed
+    val t2 = StreamingBudget.acceptBatch(
+      docs((3L, "g", 60L)), "id", "g", col("n"), 100L, state)
+    t2.count() shouldBe 1L // before=60 < 100: only the first batch spent
+  }
+
   test("one batch from empty state equals the one-shot batch operator") {
     val state = tmp()
     val corpus = (0L until 500L).map(i => (i, s"g${i % 4}", (i % 23) + 1))
