@@ -754,7 +754,26 @@ object SparkEntry {
         t(s, d, "events"), "user_id", "ts",
         Map("value" -> "value_filled"), stepSeconds = 86400L)
         .select(col("user_id"), col("slot"),
-          pround(col("value_filled"), 4).as("value_filled")))
+          pround(col("value_filled"), 4).as("value_filled"))),
+
+    // referential-integrity audit over the whole star schema: null FK
+    // keys and orphans reported separately per relation
+    "q84_ri_audit" -> ((s, d) =>
+      operators.Audit.fkOrphans(Seq(
+        ("lineitem.orderkey", t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders"), "o_orderkey"),
+        ("lineitem.partkey", t(s, d, "lineitem"), "l_partkey",
+          t(s, d, "part"), "p_partkey"),
+        ("lineitem.suppkey", t(s, d, "lineitem"), "l_suppkey",
+          t(s, d, "supplier"), "s_suppkey"),
+        ("orders.custkey", t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer"), "c_custkey"),
+        ("customer.nationkey", t(s, d, "customer"), "c_nationkey",
+          t(s, d, "nation"), "n_nationkey"),
+        ("supplier.nationkey", t(s, d, "supplier"), "s_nationkey",
+          t(s, d, "nation"), "n_nationkey"),
+        ("nation.regionkey", t(s, d, "nation"), "n_regionkey",
+          t(s, d, "region"), "r_regionkey"))))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -1468,6 +1487,26 @@ object SparkEntry {
            |SELECT user_id, tus // 1000000 AS slot,
            |  ${pround("value", 4)} AS value_filled
            |FROM f""".stripMargin
+      },
+
+      "q84_ri_audit" -> {
+        def rel(name: String, child: String, ck: String,
+                parent: String, pk: String) =
+          s"""SELECT '$name' AS relation,
+             |  (SELECT count(*) FROM $child) AS n_child,
+             |  (SELECT count(*) - count($ck) FROM $child) AS n_null_keys,
+             |  (SELECT count(*) FROM $child c
+             |   LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p ON c.$ck = p.$pk
+             |   WHERE c.$ck IS NOT NULL AND p.$pk IS NULL) AS n_orphans""".stripMargin
+        Seq(
+          rel("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          rel("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+          rel("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          rel("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+          rel("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+          rel("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+          rel("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey")
+        ).mkString("\nUNION ALL\n")
       },
 
       "q77_tfidf_terms" ->
