@@ -773,7 +773,15 @@ object SparkEntry {
         ("supplier.nationkey", t(s, d, "supplier"), "s_nationkey",
           t(s, d, "nation"), "n_nationkey"),
         ("nation.regionkey", t(s, d, "nation"), "n_regionkey",
-          t(s, d, "region"), "r_regionkey"))))
+          t(s, d, "region"), "r_regionkey")))),
+
+    // vocabulary coverage: top-50 corpus terms as the vocab (ties cut
+    // deterministically by term), per-doc OOV counts and rate
+    "q85_oov_rates" -> ((s, d) =>
+      operators.TfIdf.oovRates(t(s, d, "documents"), "text", "doc_id",
+        vocabSize = 50)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          pround(col("oov_rate"), 4).as("oov_rate")))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -1508,6 +1516,20 @@ object SparkEntry {
           rel("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey")
         ).mkString("\nUNION ALL\n")
       },
+
+      "q85_oov_rates" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+           |cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+           |vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 50),
+           |j AS (
+           |  SELECT t.doc_id,
+           |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+           |  FROM toks t LEFT JOIN vocab v USING (term))
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(oov) AS BIGINT) AS n_oov,
+           |  ${pround("sum(oov) * 1.0 / count(*)", 4)} AS oov_rate
+           |FROM j GROUP BY doc_id""".stripMargin,
 
       "q77_tfidf_terms" ->
         s"""WITH toks AS (

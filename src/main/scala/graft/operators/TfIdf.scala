@@ -68,4 +68,34 @@ object TfIdf {
       .filter(col("__rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** Vocabulary coverage: take the corpus' top-`vocabSize` terms by
+    * frequency (ties by term ascending, so the cut is deterministic)
+    * and report each document's out-of-vocabulary token count and
+    * rate — the metric that sizes a tokenizer's vocab against a
+    * corpus before training. Documents with no tokens produce no row
+    * (there is nothing to rate).
+    *
+    * The global top-V is `orderBy(...).limit(V)` — Spark plans
+    * `TakeOrderedAndProject` (per-partition top-V, merged at the
+    * driver), never a single-partition sort — and the vocab then
+    * BROADCASTS into the token join, so the corpus-sized side shuffles
+    * only for the final per-doc aggregate.
+    */
+  def oovRates(docs: DataFrame, textCol: String, idCol: String,
+               vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val terms = docs.select(col(idCol),
+      explode(TextFns.tokens(col(textCol))).as("term"))
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    terms
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov") * 1.0 / col("n_tokens"))
+  }
 }

@@ -41,4 +41,21 @@ class TfIdfSpec extends SparkSpec {
     plan should include("WindowGroupLimit")
     plan should include("BroadcastNestedLoopJoin")
   }
+
+  test("oovRates counts tokens outside the deterministic top-V cut") {
+    // corpus term counts: common=4, beta=2, alpha/gamma/rare=1 ->
+    // vocab of size 2 = {common, beta}
+    val out = TfIdf.oovRates(corpus, "text", "doc_id", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ((4L, 2L)) // rare, alpha OOV; 2x common in vocab
+    out(2L) shouldBe ((3L, 0L)) // common + 2x beta all in vocab
+    out(3L) shouldBe ((2L, 1L)) // gamma OOV
+  }
+
+  test("oovRates top-V plans as TakeOrderedAndProject, vocab broadcasts") {
+    val plan = TfIdf.oovRates(corpus, "text", "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastHashJoin")
+  }
 }
