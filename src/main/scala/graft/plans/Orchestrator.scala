@@ -57,7 +57,7 @@ object Orchestrator {
     // absent dim = first snapshot; any OTHER read failure must propagate
     // (treating it as "empty" would overwrite the accumulated dim with
     // one batch's rows — silent state loss)
-    val current = graft.sources.PathIO.readParquetOrEmpty(
+    val current = graft.sources.PathIO.readSwapState(
       spark, dimPath, incoming.limit(0))
     // localCheckpoint cuts the lineage back to materialized partitions:
     // the delta must stay readable AFTER the dim swap below replaces the
@@ -65,10 +65,9 @@ object Orchestrator {
     val delta = Relational.upsertDelta(incoming, current, keys)
       .localCheckpoint(true)
     if (!delta.isEmpty) {
-      // write-ahead then rename-swap: one full write, no stale copy left
-      val next = s"$dimPath.next"
-      current.unionByName(delta).write.mode("overwrite").parquet(next)
-      graft.sources.PathIO.swapInto(spark, next, dimPath)
+      // shared durable state replacement: move-aside + checked renames
+      // (PathIO.writeSwap), same discipline as StreamingBudget.commit
+      graft.sources.PathIO.writeSwap(current.unionByName(delta), dimPath)
     }
     delta
   }

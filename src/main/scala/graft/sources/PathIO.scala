@@ -40,4 +40,53 @@ object PathIO {
     if (f.exists(t)) f.delete(t, true)
     f.rename(new Path(next), t)
   }
+
+  /** Durable state replacement: write `df` to `target.next`, move the
+    * old target ASIDE (rename, not delete), rename `.next` in, then
+    * drop the aside copy. At every instant either the old or the new
+    * state exists under a recoverable name — a crash can strand an
+    * `.old`/`.next` directory but never leaves the target's history
+    * unrecoverable, which matters because a MISSING state path reads
+    * as legitimate "no state yet" (`readParquetOrEmpty`) and would
+    * silently reset whatever the state accumulates. Rename results are
+    * CHECKED: Hadoop `FileSystem.rename` reports failure by boolean,
+    * not exception.
+    *
+    * The shared discipline for every whole-table state writer
+    * (`StreamingBudget.commit`, `Orchestrator` dims); bucket-wise
+    * writers (`StreamingComponents`) use dynamic partition overwrite
+    * instead, whose per-partition commit has its own replay story.
+    */
+  def writeSwap(df: DataFrame, target: String): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, target)
+    val t = new Path(target)
+    val next = new Path(target + ".next")
+    val old = new Path(target + ".old")
+    df.write.mode("overwrite").parquet(next.toString)
+    if (f.exists(old)) f.delete(old, true)
+    val hadTarget = f.exists(t)
+    if (hadTarget)
+      require(f.rename(t, old), s"failed to move $t aside to $old")
+    require(f.rename(next, t),
+      s"failed to move $next into place at $t" +
+        (if (hadTarget) s" — previous state preserved at $old" else ""))
+    if (hadTarget) f.delete(old, true)
+  }
+
+  /** Read a `writeSwap`-managed state table, healing an interrupted
+    * swap: if the target is missing but `.old` exists (a crash fell
+    * between the two renames), the aside copy IS the current state —
+    * restore it before reading. Without this, the crash window would
+    * read as "no state yet" and silently reset the table.
+    */
+  def readSwapState(spark: SparkSession, target: String,
+                    empty: => DataFrame): DataFrame = {
+    val f = fs(spark, target)
+    val t = new Path(target)
+    val old = new Path(target + ".old")
+    if (!f.exists(t) && f.exists(old))
+      require(f.rename(old, t), s"failed to restore interrupted swap $old -> $t")
+    readParquetOrEmpty(spark, target, empty)
+  }
 }

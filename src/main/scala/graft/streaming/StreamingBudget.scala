@@ -28,11 +28,13 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * small by construction — the skew argument that drives the bucketed
   * batch form does not apply at batch granularity.
   *
-  * Retry safety follows `StreamingCuration`: state is written only
-  * AFTER the caller's sink succeeds, and a replayed batch re-screens
-  * identically against the unchanged state. The overwrite is sound
-  * mid-replay because `screenBatch` checkpoints the new totals before
-  * the old files are replaced.
+  * Retry safety follows `StreamingCuration`: state is committed only
+  * AFTER the caller's sink succeeds, so a replayed batch re-screens
+  * identically against the unchanged totals. Durability is
+  * `PathIO.writeSwap` (move aside, rename in, checked renames) with
+  * the healing `readSwapState` on the read side — a crash at any
+  * point leaves the previous totals recoverable, never a silently
+  * empty state that would re-open exhausted domains.
   */
 object StreamingBudget {
 
@@ -55,7 +57,7 @@ object StreamingBudget {
       s"batch columns collide with StreamingBudget bookkeeping names " +
         s"(same guard discipline as AsOfJoin): $clash")
     val spark = batch.sparkSession
-    val spent = PathIO.readParquetOrEmpty(spark, statePath,
+    val spent = PathIO.readSwapState(spark, statePath,
         batch.select(col(groupCol), lit(0L).as("spent")).limit(0))
       .withColumnRenamed(groupCol, "__grp")
     val w = Window.partitionBy(col(groupCol))
@@ -86,16 +88,12 @@ object StreamingBudget {
 
   /** Replace the state with the updated totals (call AFTER the sink
     * succeeded, and AFTER `accepted` is materialized — see
-    * `screenBatch`). The totals land in a side directory first and
-    * swap in by rename: a crash mid-write leaves the OLD totals
-    * intact, where a plain overwrite would have deleted them before
-    * writing — and a missing state path reads as "no budgets spent",
-    * which silently re-opens exhausted domains on restart.
+    * `screenBatch`). `PathIO.writeSwap` keeps the previous totals
+    * recoverable at every instant; the paired `readSwapState` in
+    * `screenBatch` heals an interrupted swap on the next read.
     */
-  def commit(statePath: String, newSpent: DataFrame): Unit = {
-    newSpent.write.mode("overwrite").parquet(s"$statePath.next")
-    PathIO.swapInto(newSpent.sparkSession, s"$statePath.next", statePath)
-  }
+  def commit(statePath: String, newSpent: DataFrame): Unit =
+    PathIO.writeSwap(newSpent, statePath)
 
   /** Screen + commit in one call for batch callers. */
   def acceptBatch(batch: DataFrame, keyCol: String, groupCol: String,
