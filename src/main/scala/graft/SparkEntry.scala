@@ -781,7 +781,19 @@ object SparkEntry {
       operators.TfIdf.oovRates(t(s, d, "documents"), "text", "doc_id",
         vocabSize = 50)
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-          pround(col("oov_rate"), 4).as("oov_rate")))
+          pround(col("oov_rate"), 4).as("oov_rate"))),
+
+    // robust dispersion: median absolute deviation per event type —
+    // the exact interpolated percentile (q41's verified primitive)
+    // applied twice, group medians broadcast back between passes
+    "q86_mad" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("__med"))
+      ev.join(broadcast(med), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(pround(expr("percentile(abs(value - __med), 0.5)"), 4).as("mad"))
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -1530,6 +1542,15 @@ object SparkEntry {
            |  CAST(sum(oov) AS BIGINT) AS n_oov,
            |  ${pround("sum(oov) * 1.0 / count(*)", 4)} AS oov_rate
            |FROM j GROUP BY doc_id""".stripMargin,
+
+      "q86_mad" ->
+        s"""WITH m AS (
+           |  SELECT event_type, quantile_cont(value, 0.5) AS med
+           |  FROM events GROUP BY event_type)
+           |SELECT e.event_type,
+           |  ${pround("quantile_cont(abs(e.value - m.med), 0.5)", 4)} AS mad
+           |FROM events e JOIN m USING (event_type)
+           |GROUP BY e.event_type""".stripMargin,
 
       "q77_tfidf_terms" ->
         s"""WITH toks AS (
