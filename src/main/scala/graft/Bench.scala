@@ -65,18 +65,23 @@ object Bench {
       val median = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
       name -> (median, runs)
     }
-    // The harness keeps only the LAST ~2000 chars of output, so the raw
-    // per-run times (for spotting a contaminated run) go on their own
-    // EARLIER line and the contract line stays last and compact — a
-    // 64-query map at 4 decimals plus runs arrays overflows the tail
-    // and truncates the line's head, hiding the total (rounds 1-4 all
-    // recorded parsed:null for exactly this reason).
+    // The harness keeps only the LAST ~2000 chars of stdout, so the raw
+    // per-run times (for spotting a contaminated run) go to STDERR —
+    // round 7's totals line was lost because the runs line shared
+    // stdout and 86 queries pushed "metric":"total" past the tail.
+    // The contract line is the ONLY stdout line and uses the unique
+    // qNN prefix as key (full names at 86 queries alone exceed the
+    // 2000-char tail: ~23 chars/query × 86 ≈ 1980 + JSON overhead).
     val raw = results.map { case (k, (_, runs)) =>
       s"\"" + k + "\":" + runs.map(r => f"$r%.4f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"runs","queries":$raw,"sf":"$sfDir"}""")
+    System.err.println(s"""{"metric":"runs","queries":$raw,"sf":"$sfDir"}""")
     def fmt(d: Double) = f"$d%.2f"
-    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + fmt(m) }
+    def shortKey(name: String): String = {
+      val p = name.takeWhile(_ != '_')
+      if (results.keys.count(_.startsWith(p + "_")) <= 1) p else name
+    }
+    val qs = results.map { case (k, (m, _)) => s"\"" + shortKey(k) + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     val total = results.values.collect { case (m, _) if m >= 0 => m }.sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
