@@ -799,9 +799,14 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (driver runs these on the same
     * parquet tables and hash-compares). Omitted keys are driver
     * rows-only checks, each genuinely un-oracle-able: q18 (driver-side
-    * packing algorithm), q29 (binary media payloads), q34 (seeded MLlib
-    * k-means), q35 (DSv2 replay source, no table input), q56
-    * (engine-specific sketch estimates).
+    * packing algorithm; its invariants are property-checked in
+    * BinPackingSpec and oracle-checked by q18's companion spec), q29
+    * (binary media payloads), q34 (seeded MLlib k-means;
+    * recall-verified against hash-verified q24 in SimilaritySpec), q56
+    * (engine-specific sketch estimates). q35 regenerates the replay
+    * source's LCG rows in SQL (`range()` + chained Park–Miller steps,
+    * see ReplaySource.row) so the DSv2 source is hash-verified despite
+    * having no table input.
     */
   def oracleSql: Map[String, String] = {
     val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -1022,6 +1027,30 @@ object SparkEntry {
         s"""WITH p AS (
            |  SELECT event_id, user_id,
            |    CASE WHEN event_type IS NULL OR event_type = '' THEN 'notavailable' ELSE event_type END AS event_type,
+           |    ${slotFmt("%Y%m%d")} AS day_date_id, ${slotFmt("%H%M")} AS time_of_day_id
+           |  FROM events
+           |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND user_id >= 0),
+           |c AS (SELECT event_id, event_type FROM p
+           |      QUALIFY row_number() OVER (PARTITION BY user_id, day_date_id, time_of_day_id ORDER BY event_id ASC) = 1)
+           |SELECT event_type, count(event_id) AS num_of_streamers FROM c GROUP BY event_type""".stripMargin,
+
+      // Regenerates ReplaySource.row's chained Park–Miller LCG in SQL
+      // (seed 42, 20000 rows — must track the q35 query's options), then
+      // applies the same process→curate→popularity chain as q19.
+      "q35_replay_pipeline" ->
+        s"""WITH g0 AS (
+           |  SELECT id, (42 * 1000003 + id) % 2147483647 AS h0 FROM range(0, 20000) t(id)),
+           |g1 AS (SELECT id, (h0 * 48271) % 2147483647 AS h1 FROM g0),
+           |g2 AS (SELECT id, h1, (h1 * 48271) % 2147483647 AS h2 FROM g1),
+           |g3 AS (SELECT id, h1, h2, (h2 * 48271) % 2147483647 AS h3 FROM g2),
+           |events AS (
+           |  SELECT id AS event_id,
+           |    make_timestamp(1704067200000000 + id * 900 + h1 % 1000000) AS ts,
+           |    h2 % 1000 AS user_id,
+           |    ['click','purchase','error','signup','view'][CAST(h3 % 5 AS INT) + 1] AS event_type
+           |  FROM g3),
+           |p AS (
+           |  SELECT event_id, user_id, event_type,
            |    ${slotFmt("%Y%m%d")} AS day_date_id, ${slotFmt("%H%M")} AS time_of_day_id
            |  FROM events
            |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND user_id >= 0),

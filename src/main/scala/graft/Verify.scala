@@ -19,7 +19,15 @@ object Verify {
     // concurrently so driver-side planning/small stages overlap
     // (Spark's scheduler interleaves the jobs across the same executors)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES (comma-separated) restricts the dump while
+    // iterating on one query; the driver never sets it, so its runs
+    // always dump the full surface
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

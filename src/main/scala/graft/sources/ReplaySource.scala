@@ -51,18 +51,37 @@ object ReplaySource {
 
   val eventTypes: Array[String] = Array("click", "purchase", "error", "signup", "view")
 
-  /** Deterministic row (epoch-micros ts over one synthetic day). */
+  /** Park–Miller modulus / multiplier for the per-row hash chain. */
+  val Mod: Long = 2147483647L // 2^31 - 1
+  val Mul: Long = 48271L
+
+  /** Deterministic row (epoch-micros ts over one synthetic day).
+    *
+    * Fields derive from a chained Park–Miller LCG over the GLOBAL row id,
+    * not `java.util.Random`: every step is `h * 48271 % (2^31-1)` whose
+    * product stays below 2^47, so the identical arithmetic runs overflow-
+    * free as plain BIGINT SQL — the DuckDB oracle for q35 regenerates
+    * these exact rows with `range()` + the same five chained steps,
+    * giving the replay source a hash-verified correctness contract
+    * instead of a rows-only one. Depending only on (seed, id) also keeps
+    * the replay property: any partitioning yields byte-identical rows.
+    */
   def row(seed: Long, part: Int, i: Long, rowsPerPart: Long): InternalRow = {
     val id = part * rowsPerPart + i
-    val rnd = new scala.util.Random(seed * 1000003L + id)
-    val tsMicros = 1704067200000000L + (id * 900L) + rnd.nextInt(1000000)
+    val h0 = java.lang.Math.floorMod(seed * 1000003L + id, Mod)
+    val h1 = h0 * Mul % Mod
+    val h2 = h1 * Mul % Mod
+    val h3 = h2 * Mul % Mod
+    val h4 = h3 * Mul % Mod
+    val h5 = h4 * Mul % Mod
+    val tsMicros = 1704067200000000L + (id * 900L) + h1 % 1000000L
     InternalRow(
       id,
       tsMicros,
-      math.abs(rnd.nextLong()) % 1000L,
-      UTF8String.fromString(eventTypes(rnd.nextInt(eventTypes.length))),
-      math.rint(rnd.nextDouble() * 20000) / 100.0,
-      UTF8String.fromString(s"""{"k": ${rnd.nextInt(100)}}"""))
+      h2 % 1000L,
+      UTF8String.fromString(eventTypes((h3 % 5).toInt)),
+      (h4 % 20001L) / 100.0,
+      UTF8String.fromString(s"""{"k": ${h5 % 100}}"""))
   }
 }
 
