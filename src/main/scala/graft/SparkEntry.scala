@@ -798,15 +798,13 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
     * parquet tables and hash-compares). Omitted keys are driver
-    * rows-only checks, each genuinely un-oracle-able: q18 (driver-side
-    * packing algorithm; its invariants are property-checked in
-    * BinPackingSpec and oracle-checked by q18's companion spec), q29
-    * (binary media payloads), q34 (seeded MLlib k-means;
-    * recall-verified against hash-verified q24 in SimilaritySpec), q56
-    * (engine-specific sketch estimates). q35 regenerates the replay
-    * source's LCG rows in SQL (`range()` + chained Park–Miller steps,
-    * see ReplaySource.row) so the DSv2 source is hash-verified despite
-    * having no table input.
+    * rows-only checks, each genuinely un-oracle-able: q29 (binary media
+    * payloads), q34 (seeded MLlib k-means; recall-verified against
+    * hash-verified q24 in SimilaritySpec), q56 (engine-specific sketch
+    * estimates). Two former rows-only queries are now hash-verified by
+    * construction: q35 regenerates the replay source's LCG rows in SQL
+    * (`range()` + chained Park–Miller steps, see ReplaySource.row), and
+    * q18 replays the greedy packing loop as a recursive CTE.
     */
   def oracleSql: Map[String, String] = {
     val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -1033,6 +1031,39 @@ object SparkEntry {
            |c AS (SELECT event_id, event_type FROM p
            |      QUALIFY row_number() OVER (PARTITION BY user_id, day_date_id, time_of_day_id ORDER BY event_id ASC) = 1)
            |SELECT event_type, count(event_id) AS num_of_streamers FROM c GROUP BY event_type""".stripMargin,
+
+      // Replays BinPacking.pack's greedy loop as a recursive CTE: one
+      // recursion step per item in (weight desc, id asc) order, carrying
+      // the 5 running group totals as a list. The choice expression
+      // mirrors the scan exactly — first group whose total stays <= cap
+      // OR whose total is 0 (over-cap singleton), else the LAST group at
+      // the minimum total (the reference scans with <=). numGroups=5 /
+      // cap=10000 must track the q18 query's arguments.
+      "q18_bin_packing" -> {
+        val choose =
+          """CASE WHEN len(list_filter(range(1, 6), j -> s.totals[j] + i.w <= 10000 OR s.totals[j] = 0)) > 0
+            |     THEN list_filter(range(1, 6), j -> s.totals[j] + i.w <= 10000 OR s.totals[j] = 0)[1]
+            |     ELSE list_filter(range(1, 6), j -> s.totals[j] = list_min(s.totals))[-1]
+            |END""".stripMargin
+        s"""WITH RECURSIVE agg AS (
+           |  SELECT p_brand, count(*) AS cnt
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  GROUP BY p_brand),
+           |items AS (
+           |  SELECT p_brand, CAST(cnt AS BIGINT) AS w,
+           |         CAST(row_number() OVER (ORDER BY cnt DESC, p_brand ASC) AS BIGINT) AS rn
+           |  FROM agg),
+           |st AS (
+           |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS p_brand,
+           |         CAST(NULL AS BIGINT) AS weight, CAST(NULL AS INT) AS group_id,
+           |         [CAST(0 AS BIGINT), 0, 0, 0, 0] AS totals
+           |  UNION ALL
+           |  SELECT i.rn, i.p_brand, i.w, CAST(($choose) - 1 AS INT) AS group_id,
+           |         list_transform(range(1, 6), k -> CASE WHEN k = ($choose) THEN s.totals[k] + i.w ELSE s.totals[k] END) AS totals
+           |  FROM st s
+           |  JOIN items i ON i.rn = s.rn + 1)
+           |SELECT p_brand, weight, group_id FROM st WHERE rn > 0""".stripMargin
+      },
 
       // Regenerates ReplaySource.row's chained Park–Miller LCG in SQL
       // (seed 42, 20000 rows — must track the q35 query's options), then

@@ -65,6 +65,27 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe bf
   }
 
+  test("q34 k-means IVF recall@3 vs hash-verified q24 brute force") {
+    // q34 is un-oracle-able (seeded MLlib fit), so its CORRECTNESS
+    // contract is this recall gate against q24's exact top-k on the
+    // same driver-generated testdata and the q34 entry's own
+    // parameters (k=3, nCells=8, nprobe=3, seed fixed). Measured
+    // recall is 0.77 at sf0.001 / 0.60 at sf0.01; the 0.5 floor
+    // leaves margin for testdata regeneration while still failing on
+    // a broken routing or assignment (random cells recall ~nprobe/8).
+    val d = "/root/testdata/sf0.001"
+    def pairs(name: String) =
+      graft.SparkEntry.queries(name)(spark, d)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs("q24_ann_bruteforce")
+    val km = pairs("q34_ann_kmeans")
+    bf.size shouldBe 30 // 10 queries x k=3
+    km.size shouldBe 30
+    val recall = (km & bf).size.toDouble / bf.size
+    recall should be >= 0.5
+  }
+
   test("ivfTopK fails fast when the broadcast query side exceeds maxQueries") {
     val labeled = corpus.withColumn("label", (col("vec_id") % 2).cast("int"))
     val ex = the[IllegalArgumentException] thrownBy
