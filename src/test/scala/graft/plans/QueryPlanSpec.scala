@@ -1,0 +1,170 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.{SparkPlan, SortExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+/** Plan-shape regression gate over the ENTIRE query surface.
+  *
+  * Correctness is pinned per query by the DuckDB oracle; what that gate
+  * can NOT see is a plan that silently degrades — a broadcast hint lost
+  * in a refactor, a filter that stops reaching the scan, a rank filter
+  * that no longer collapses to WindowGroupLimit, a window that quietly
+  * becomes single-partition. Each of those keeps producing identical
+  * rows at sf0.01 while becoming a scale-killer at the 100-TB design
+  * point, so this spec asserts the scale-critical physical-plan
+  * properties for every `SparkEntry.queries` entry and fails on drift
+  * (Spark upgrade, refactor, optimizer-conf change).
+  *
+  * Global invariants (all queries):
+  *   - no CartesianProduct anywhere;
+  *   - BroadcastNestedLoopJoin only where a bounded side is broadcast
+  *     by construction (ANN scoring / tf-idf vocab attach);
+  *   - no empty-partition (single-partition) Window outside
+  *     `Relational.positionalZip` (q15, guarded by contract);
+  *   - no Sort directly over a SinglePartition exchange outside q15.
+  *
+  * Targeted positives (the plans the README/scaladoc promise):
+  *   - dim joins broadcast WITH auto-broadcast disabled, proving the
+  *     explicit `broadcast()` hints survive (not the 10 MB threshold);
+  *   - top-k queries collapse to WindowGroupLimit / TakeOrderedAndProject;
+  *   - filter-bearing scans keep non-empty PushedFilters.
+  */
+class QueryPlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // ---- plan capture (each query built exactly once) --------------------
+
+  private lazy val qe: Map[String, org.apache.spark.sql.execution.QueryExecution] = {
+    assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution
+    }
+  }
+  private lazy val formatted: Map[String, String] = qe.map { case (n, e) =>
+    n -> e.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+  private lazy val nodes: Map[String, Seq[SparkPlan]] =
+    qe.map { case (n, e) => n -> flatten(e.executedPlan) }
+
+  // bounded-broadcast-by-construction: ANN scoring joins broadcast the
+  // (guarded) query/probe side with a non-equi or free condition, and
+  // tf-idf attaches the TakeOrdered vocab list — all driver-bounded
+  private val bnljAllowed = Set(
+    "q24_ann_bruteforce", "q25_ann_ivf", "q34_ann_kmeans", "q77_tfidf_terms")
+
+  test("no query plan contains a cartesian product") {
+    for ((name, p) <- formatted)
+      withClue(s"$name:\n") { p should not include "CartesianProduct" }
+  }
+
+  test("nested-loop joins appear only where a bounded side is broadcast by construction") {
+    for ((name, p) <- formatted if !bnljAllowed(name))
+      withClue(s"$name:\n") { p should not include "BroadcastNestedLoopJoin" }
+    // and the allowlist stays honest: entries that stop using BNLJ should
+    // be removed so a future regression cannot hide behind them
+    for (name <- bnljAllowed)
+      withClue(s"$name:\n") { formatted(name) should include("BroadcastNestedLoopJoin") }
+  }
+
+  test("no single-partition Window outside positionalZip") {
+    for ((name, ns) <- nodes if name != "q15_positional_zip") {
+      val empty = ns.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      withClue(s"$name has empty-partition windows:\n${empty.mkString("\n")}\n") {
+        empty shouldBe Symbol("empty")
+      }
+    }
+    // the one sanctioned case still exists (guarded inside positionalZip)
+    nodes("q15_positional_zip").exists {
+      case w: WindowExec => w.partitionSpec.isEmpty
+      case _ => false
+    } shouldBe true
+  }
+
+  test("no Sort directly over a SinglePartition exchange outside positionalZip") {
+    for ((name, ns) <- nodes if name != "q15_positional_zip") {
+      val bad = ns.collect {
+        case s: SortExec if s.child.isInstanceOf[ShuffleExchangeExec] &&
+          s.child.asInstanceOf[ShuffleExchangeExec].outputPartitioning == SinglePartition => s
+      }
+      withClue(s"$name single-partition sorts:\n${bad.mkString("\n")}\n") {
+        bad shouldBe Symbol("empty")
+      }
+    }
+  }
+
+  test("dim joins broadcast via explicit hints, not the size threshold") {
+    // with auto-broadcast disabled, only an explicit broadcast() hint can
+    // produce a BroadcastHashJoin — fewer hash joins than hints means a
+    // hint was lost in a refactor. Fact-to-fact joins (orders⋈customer
+    // in q03, all of q04) are allowed to SortMergeJoin: that IS the
+    // correct 100-TB plan for two unbounded sides.
+    val hints = Map( // query -> explicit broadcast() hints in its chain
+      "q03_star_join" -> 2, // nation, region
+      "q09_topk" -> 1, // part
+      // (q18 hints too, but its weights join runs inside the eager
+      // driver-side pack — the returned frame is a LocalTableScan)
+      "q66_decontamination" -> 1, // guarded eval-gram set
+      // (q84 deliberately unhinted: parent key sets are unbounded at
+      // scale, so the plan is AQE's call, not a pinned broadcast)
+      "q85_oov_rates" -> 1) // top-V vocab
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((name, n) <- hints) {
+        val p = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+        withClue(s"$name (auto-broadcast off):\n$p\n") {
+          "BroadcastHashJoin".r.findAllIn(p).size should be >= n
+        }
+      }
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("top-k queries collapse to WindowGroupLimit") {
+    // rank<=k must be pushed into the shuffle as a group-limit — a plain
+    // Window + Filter ranks every row in the group before discarding
+    for (name <- Seq("q08_keep_first", "q19_snapshot_chain", "q35_replay_pipeline",
+        "q37_upsert_keep_first", "q73_domain_caps", "q77_tfidf_terms")) {
+      withClue(s"$name:\n${formatted(name)}\n") {
+        formatted(name) should include("WindowGroupLimit")
+      }
+    }
+  }
+
+  test("global top-k queries collapse to TakeOrderedAndProject") {
+    // orderBy+limit must fuse (per-partition top-k + k-bounded merge),
+    // never a full global sort feeding a limit
+    for (name <- Seq("q09_topk", "q12_explode_tokens", "q85_oov_rates")) {
+      withClue(s"$name:\n${formatted(name)}\n") {
+        formatted(name) should include("TakeOrderedAndProject")
+      }
+    }
+  }
+
+  test("filter-bearing scans keep non-empty pushed filters") {
+    val pf = """PushedFilters: \[([^\]]+)\]""".r
+    for (name <- Seq("q02_filter_project", "q03_star_join", "q09_topk",
+        "q17_tumbling_window", "q24_ann_bruteforce", "q47_hash_sample",
+        "q63_asof_nearest", "q68_stratified_sample", "q72_chunk_docs",
+        "q83_gap_fill")) {
+      withClue(s"$name:\n${formatted(name)}\n") {
+        pf.findFirstMatchIn(formatted(name))
+          .exists(_.group(1).trim.nonEmpty) shouldBe true
+      }
+    }
+  }
+}
