@@ -42,6 +42,13 @@ object Packing {
   def packByConcat(df: DataFrame, tokensCol: Column, budget: Long,
                    shardCol: String, orderCol: String): DataFrame = {
     require(budget > 0, s"pack budget must be positive: $budget")
+    // same guard discipline as StreamingBudget.screenBatch: silently
+    // overwriting a pre-existing n_tokens would also feed the window's
+    // sum the overwritten column
+    val reserved = Set("n_tokens", "pack_seq", "pack_offset")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with packByConcat output names: $clash")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val before = coalesce(sum(col("n_tokens")).over(w), lit(0L))

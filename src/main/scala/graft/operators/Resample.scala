@@ -37,6 +37,11 @@ object Resample {
       .withColumn("__tus", unix_micros(col(tsCol)))
       .filter(col("__tus").isNotNull)
       .select((col(keyCol) +: col("__tus") +: valCols.keys.toSeq.sorted.map(col)): _*)
+    // FLOOR alignment (pmod is a floor-mod): pre-1970 timestamps align
+    // to the slot boundary at-or-before the event, same as positive
+    // ones — the oracle must floor too (truncating `%` diverges on
+    // negative epochs). The final `div 1000000` below is exact (slots
+    // are whole-second multiples), so truncate-vs-floor is moot there.
     def align(c: org.apache.spark.sql.Column) = c - pmod(c, lit(stepUs))
     // grid slots explode in bounded chunks: a single sequence() per key
     // materializes the whole range as one in-row array — at minute

@@ -145,10 +145,29 @@ object Sampling {
     * row_number (shuffled by bucket, thousands of independent groups)
     * completes rank = offset + local - 1. Every stage is distributed;
     * at 100 TB the only driver traffic is 16^hexPrefix longs.
+    *
+    * Size `hexPrefix` so one bucket's rows sort comfortably in one
+    * task: each bucket holds ~n/16^hexPrefix rows. At the 100-TB
+    * design point (~2×10^11 docs) hexPrefix=6 gives 16.7M buckets of
+    * ~12k rows (a few MB per sort task) and 16.7M collected longs
+    * (~134 MB on the driver — the ceiling of the approach); hexPrefix=4
+    * caps at 65,536 buckets of ~3M rows (~1.5 GB/task — workable but
+    * tight). The default 3 suits test/SF scale.
+    *
+    * SNAPSHOT ASSUMPTION: the per-bucket counts run as a driver-side
+    * job when shuffleRank is CALLED; the returned frame re-reads the
+    * input when it executes. The input must therefore be deterministic
+    * between the two evaluations (a parquet path, a checkpoint — not a
+    * nondeterministic sample or a changing view), or the broadcast
+    * offsets go stale and ranks come out non-contiguous. A declarative
+    * prefix-sum would avoid the second evaluation only by putting the
+    * bucket offsets through a single-partition window — the exact
+    * shape this operator exists to avoid (and that QueryPlanSpec bans).
     */
   def shuffleRank(df: DataFrame, keyCol: String, hexPrefix: Int = 3): DataFrame = {
-    require(hexPrefix >= 1 && hexPrefix <= 4,
-      s"hexPrefix must be in [1,4]: $hexPrefix")
+    require(hexPrefix >= 1 && hexPrefix <= 6,
+      s"hexPrefix must be in [1,6]: $hexPrefix (16^hexPrefix buckets; " +
+        "6 = 16.7M buckets, sized for ~2e11-row corpora)")
     val sk = saltedOrderKey("shuffle", col(keyCol))
     val keyed = df.withColumn("__sk", sk)
       .withColumn("__bkt",

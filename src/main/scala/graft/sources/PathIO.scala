@@ -56,6 +56,18 @@ object PathIO {
     * (`StreamingBudget.commit`, `Orchestrator` dims); bucket-wise
     * writers (`StreamingComponents`) use dynamic partition overwrite
     * instead, whose per-partition commit has its own replay story.
+    *
+    * CONCURRENCY CONTRACT: writeSwap and readSwapState on the same
+    * target must be strictly serialized (single writer, readers only
+    * between swaps). During a healthy swap the target is transiently
+    * missing while `.old` exists — a CONCURRENT readSwapState would
+    * "heal" by renaming `.old` back into place, making this writer's
+    * checked rename fail and stranding the new state in `.next`. The
+    * engine's callers satisfy the contract by construction: every
+    * state table is owned by one foreachBatch/orchestrator loop, and
+    * Structured Streaming serializes a query's batches. Crash recovery
+    * (the reason the healing path exists) is inherently post-mortem,
+    * so it never overlaps a live writer.
     */
   def writeSwap(df: DataFrame, target: String): Unit = {
     val spark = df.sparkSession
@@ -79,6 +91,10 @@ object PathIO {
     * between the two renames), the aside copy IS the current state —
     * restore it before reading. Without this, the crash window would
     * read as "no state yet" and silently reset the table.
+    *
+    * Subject to the writeSwap CONCURRENCY CONTRACT above: never call
+    * while a writeSwap on the same target may be in flight — healing
+    * would race the swap's transient target-missing window.
     */
   def readSwapState(spark: SparkSession, target: String,
                     empty: => DataFrame): DataFrame = {

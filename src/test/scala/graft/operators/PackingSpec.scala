@@ -130,4 +130,16 @@ class PackingSpec extends SparkSpec {
     val plan = Sampling.shuffleRank(docs, "id").queryExecution.executedPlan.toString
     plan should not include "SinglePartition"
   }
+
+  test("shuffleRank accepts the 100-TB bucket width and rejects out-of-range") {
+    val docs = (0L until 200L).map(i => (i, i)).toDF("id", "v")
+    // hexPrefix=6 (16.7M buckets) is the documented 2e11-row shape; on
+    // tiny data it must still produce a contiguous permutation
+    val ranks = Sampling.shuffleRank(docs, "id", hexPrefix = 6)
+      .select("shuffle_rank").collect().map(_.getLong(0)).sorted
+    ranks shouldBe (0L until 200L).toArray
+    val ex = the[IllegalArgumentException] thrownBy
+      Sampling.shuffleRank(docs, "id", hexPrefix = 7)
+    ex.getMessage should include("hexPrefix must be in [1,6]")
+  }
 }

@@ -63,4 +63,21 @@ class ResampleSpec extends SparkSpec {
     slots.distinct.length shouldBe 4321
     slots.zip(slots.tail).foreach { case (a, b) => (b - a) shouldBe 60L }
   }
+
+  test("pre-1970 timestamps align to the floor boundary, not toward zero") {
+    // 1969-12-31 18:00 UTC = epoch -21600s. Floor day-alignment puts
+    // its slot at 1969-12-31 00:00 (-86400), NOT 1970-01-01 (0) as
+    // truncating division would — pinned so both engine and oracle
+    // keep floor semantics for negative epochs.
+    val ev = Seq((1L, "1969-12-31 18:00:00", 5.0))
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Resample.gapFill(ev, "user_id", "ts",
+      Map("value" -> "v"), stepSeconds = 86400L).collect()
+    out.length shouldBe 1
+    out.head.getLong(1) shouldBe -86400L
+    // the slot boundary precedes the event, so it samples null — same
+    // boundary-sampling contract as the positive-epoch test above
+    out.head.isNullAt(2) shouldBe true
+  }
 }
