@@ -493,14 +493,15 @@ object SparkEntry {
         .select("event_id", "user_id", "purchase_id")
     }),
 
-    // rows-only check (binary media payloads have no SQL oracle): the
-    // multimodal decode/feature plumbing over a deterministic synthetic
-    // media table — schema, batching, and narrow-plan shape are what's
-    // exercised
+    // rows-only check (binary media payloads have no SQL oracle): real
+    // javax.imageio PNG decode + javax.sound WAV decode over a
+    // deterministic synthetic media table; content (decoded dims/rate/
+    // duration vs generated payloads) is pinned by MultimodalSpec
     "q29_media_features" -> ((s, _) =>
       operators.Multimodal.extractFeatures(
           operators.Multimodal.syntheticMedia(s, 200), dims = 16, batchSize = 32)
         .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("sample_rate"), col("duration_ms"),
           col("n_bytes"), round(element_at(col("features"), 1), 4).as("f0"))),
 
     // rows-only: the DSv2 deterministic replay source feeding the full

@@ -26,12 +26,62 @@ class MultimodalSpec extends SparkSpec {
     // deterministic across runs and batch sizes
     val again = Multimodal.extractFeatures(media, dims = 16, batchSize = 3)
       .orderBy("media_id").collect()
-    rows.map(_.getSeq[Float](5)) shouldBe again.map(_.getSeq[Float](5))
+    def feats(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getSeq[Float](r.fieldIndex("features")))
+    feats(rows) shouldBe feats(again)
   }
 
-  test("decoded dims round-trip the fake header") {
-    val out = Multimodal.extractFeatures(media).orderBy("media_id").collect()
-    val metas = media.orderBy("media_id").select("meta.width", "meta.height").collect()
+  test("image dims are DECODED from real PNG payloads, matching generation") {
+    // content check, not metadata echo: extractFeatures never reads
+    // `meta`, so equality proves the javax.imageio path decoded the
+    // actual PNG bytes the generator wrote
+    val out = Multimodal.extractFeatures(media).filter(col("kind") === "image")
+      .orderBy("media_id").collect()
+    val metas = media.filter(col("kind") === "image").orderBy("media_id")
+      .select("meta.width", "meta.height").collect()
+    out should not be empty
+    out.zip(metas).foreach { case (o, m) =>
+      o.getInt(o.fieldIndex("width")) shouldBe m.getInt(0)
+      o.getInt(o.fieldIndex("height")) shouldBe m.getInt(1)
+    }
+  }
+
+  test("image payloads are genuine PNGs and header-sniff agrees with full decode") {
+    val row = media.filter(col("kind") === "image").orderBy("media_id").head()
+    val bytes = row.getAs[Array[Byte]]("bytes")
+    bytes.take(4) shouldBe Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    val sniffed = Multimodal.Codec.pngDims(bytes)
+    val decoded = Multimodal.Codec.decodeImage(bytes)
+      .map(i => (i.getWidth, i.getHeight))
+    sniffed shouldBe decoded
+    sniffed shouldBe defined
+  }
+
+  test("jpegDims walks segment markers on a real JPEG encode") {
+    val img = new java.awt.image.BufferedImage(23, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    Multimodal.Codec.jpegDims(out.toByteArray) shouldBe Some((23, 17))
+  }
+
+  test("audio rate and duration are DECODED from real WAV payloads") {
+    val out = Multimodal.extractFeatures(media).filter(col("kind") === "audio")
+      .orderBy("media_id").collect()
+    val metas = media.filter(col("kind") === "audio").orderBy("media_id")
+      .select("meta.sample_rate", "meta.duration_ms").collect()
+    out should not be empty
+    out.zip(metas).foreach { case (o, m) =>
+      o.getInt(o.fieldIndex("sample_rate")) shouldBe m.getInt(0)
+      o.getLong(o.fieldIndex("duration_ms")) shouldBe m.getLong(1)
+    }
+  }
+
+  test("video dims still round-trip the documented stub header") {
+    val out = Multimodal.extractFeatures(media).filter(col("kind") === "video")
+      .orderBy("media_id").collect()
+    val metas = media.filter(col("kind") === "video").orderBy("media_id")
+      .select("meta.width", "meta.height").collect()
     out.zip(metas).foreach { case (o, m) =>
       o.getInt(o.fieldIndex("width")) shouldBe m.getInt(0)
       o.getInt(o.fieldIndex("height")) shouldBe m.getInt(1)
