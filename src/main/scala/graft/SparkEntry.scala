@@ -295,6 +295,23 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // q64's screen with the decontamination stage armed: every 10th doc
+    // plays the benchmark (its distinct 3-word shingles become the
+    // persisted eval-gram table), the rest stream through the full
+    // five-stage screen. n=3 matches q66's rationale for short
+    // synthetic docs; EAGER like q64/q82 (registerEvalSet commits the
+    // gram table before the screen runs)
+    "q87_streaming_decontamination" -> ((s, d) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_q87_state").toString + "/state"
+      val docs = t(s, d, "documents")
+      streaming.StreamingCuration.registerEvalSet(
+        docs.filter(col("doc_id") % 10 === 0), "text", state, n = 3)
+      streaming.StreamingCuration.acceptBatch(
+          docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", state)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     "q47_hash_sample" -> ((s, d) =>
       operators.Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 25)
         .select("doc_id", "lang")),
@@ -845,7 +862,13 @@ object SparkEntry {
     // transitive=false is the greedy pairwise policy (drop the larger id
     // of every candidate pair) — what the per-batch streaming screen
     // implements, since a stream never sees the whole candidate graph.
-    def curationSql(transitive: Boolean): String = {
+    // corpusWhere restricts the screened corpus; evalWhere (when set)
+    // inserts the decontamination stage between the language gate and
+    // exact dedup — same position as StreamingCuration.screenBatch —
+    // dropping docs that share any distinct 3-word shingle with the
+    // eval slice (registerEvalSet n=3 / decontMinShared=1)
+    def curationSql(transitive: Boolean, corpusWhere: String = "TRUE",
+                    evalWhere: Option[String] = None): String = {
       val losersSql =
         if (transitive)
           """cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -858,7 +881,17 @@ object SparkEntry {
             |losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)""".stripMargin
         else
           "losers AS (SELECT DISTINCT b.doc_id FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"
-      s"""WITH RECURSIVE base AS (SELECT doc_id, text, lang, n_chars, $toksSql AS t FROM documents),
+      val decontStage = evalWhere.map { w =>
+        s"""eg AS (SELECT DISTINCT unnest(list_distinct($shinglesSql)) AS s
+           |       FROM (SELECT $toksSql AS t FROM documents WHERE $w)),
+           |lg AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |       FROM (SELECT doc_id, t FROM langkept)),
+           |contaminated AS (SELECT doc_id FROM lg JOIN eg USING (s) GROUP BY doc_id),
+           |decont AS (SELECT * FROM langkept
+           |           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),""".stripMargin
+      }.getOrElse("")
+      val exactSrc = if (evalWhere.isDefined) "decont" else "langkept"
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text, lang, n_chars, $toksSql AS t FROM documents WHERE $corpusWhere),
          |feat AS (
          |  SELECT doc_id, text, lang, n_chars, t, len(t) AS n_tokens,
          |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains($stopwordList, x))) AS DOUBLE) / len(t) ELSE 0.0 END AS swr,
@@ -877,7 +910,8 @@ object SparkEntry {
          |best AS (SELECT doc_id, ml FROM scores
          |         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, ml ASC) = 1),
          |langkept AS (SELECT q.* FROM quality q JOIN best b ON q.doc_id = b.doc_id AND b.ml = 'en'),
-         |exact AS (SELECT * FROM langkept
+         |$decontStage
+         |exact AS (SELECT * FROM $exactSrc
          |          QUALIFY row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) = 1),
          |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
          |       FROM (SELECT doc_id, t FROM exact)),
@@ -1781,6 +1815,12 @@ object SparkEntry {
     // the greedy curationSql(false) variant pins that policy in
     // StreamingCurationSpec.)
     base + ("q64_streaming_curation" -> curationSql(transitive = true)) +
+      // the decontamination stage drops langkept docs sharing any
+      // distinct 3-shingle with the eval slice, then dedup proceeds on
+      // the survivors — the oracle restates the full five-stage screen
+      ("q87_streaming_decontamination" -> curationSql(transitive = true,
+        corpusWhere = "doc_id % 10 <> 0",
+        evalWhere = Some("doc_id % 10 = 0"))) +
       // incremental maintenance over a batch split must end where the
       // one-shot solve ends — same edge set, same oracle as q65
       ("q69_streaming_components" -> base("q65_components"))

@@ -45,6 +45,13 @@ object CurationPipeline {
     * @param maxTopGramFraction companion gate on `top_count/n_grams`
     *        (the most frequent n-gram's share of all windows).
     * @param repetitionGramN window size for both repetition gates.
+    * @param decontMinShared streaming-decontamination threshold: a doc
+    *        is dropped when it shares at least this many distinct word
+    *        n-grams with the registered eval set (see
+    *        `StreamingCuration.registerEvalSet`; the stage is inert
+    *        until an eval set is registered). 1 is the published
+    *        13-gram-window practice; raise it when registering with a
+    *        small `n`, where single-gram collisions are common text.
     */
   final case class Config(
       minTokens: Int = 5,
@@ -56,7 +63,8 @@ object CurationPipeline {
       transitiveNearDup: Boolean = true,
       maxDupGramFraction: Option[Double] = None,
       maxTopGramFraction: Option[Double] = None,
-      repetitionGramN: Int = 2)
+      repetitionGramN: Int = 2,
+      decontMinShared: Int = 1)
 
   final case class Result(kept: DataFrame, audit: Map[String, Long],
                           cached: Seq[DataFrame] = Nil) {

@@ -11,8 +11,10 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *
   *   1. quality gate   (identical predicate: `CurationPipeline.qualityGate`)
   *   2. language gate  (identical predicate: `languageGate`)
-  *   3. exact dedup    vs everything ever accepted + intra-batch
-  *   4. near dedup     vs everything ever accepted + intra-batch
+  *   3. decontamination vs the registered eval-set gram table
+  *                     (inert until `registerEvalSet` ran; see below)
+  *   4. exact dedup    vs everything ever accepted + intra-batch
+  *   5. near dedup     vs everything ever accepted + intra-batch
   *                     (delegated to `StreamingDedup.screenBatch`)
   *
   * Near-dup policy: WITHIN a batch, `Config.transitiveNearDup` applies
@@ -41,7 +43,46 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object StreamingCuration {
 
-  /** Screen one batch through all four stages. Pure — persists nothing.
+  private def emptyGrams(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Int)].toDF("gram", "n")
+  }
+
+  /** Register (or replace) the benchmark/eval set whose n-grams the
+    * stream screens against: the eval texts' DISTINCT word `n`-grams
+    * are persisted at `statePath/evalgrams` (via `PathIO.writeSwap` —
+    * replacement is atomic, batches see old or new set, never a mix).
+    * Every subsequent batch drops docs sharing >= `Config
+    * .decontMinShared` grams with this table, so the streaming screen
+    * decontaminates exactly like `Decontamination.filterContaminated`
+    * does for batch corpora.
+    *
+    * The gram set is broadcast per batch, so it is guarded the same
+    * way as `Decontamination.overlap` — and at REGISTRATION time, not
+    * per batch: one bounded collect enforces `maxEvalGrams`, and the
+    * collected set is written back out as the state table.
+    */
+  def registerEvalSet(evalSet: DataFrame, textCol: String,
+                      statePath: String, n: Int,
+                      maxEvalGrams: Int = 10000000): Unit = {
+    import graft.expressions.GraftFunctions.distinctWordShingles
+    val spark = evalSet.sparkSession
+    import spark.implicits._
+    val grams = evalSet
+      .select(explode(distinctWordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .limit(maxEvalGrams + 1)
+      .as[String]
+      .collect()
+    require(grams.length <= maxEvalGrams,
+      s"eval set exceeds maxEvalGrams=$maxEvalGrams distinct n-grams; " +
+        "the grams are broadcast to every batch — shrink the eval set " +
+        "or raise maxEvalGrams only if the driver can hold them")
+    graft.sources.PathIO.writeSwap(
+      grams.toSeq.map((_, n)).toDF("gram", "n"), s"$statePath/evalgrams")
+  }
+
+  /** Screen one batch through all five stages. Pure — persists nothing.
     *
     * @return (accepted rows, their content hashes, their band keys) —
     *         the two key frames are what `commit` appends on success
@@ -51,9 +92,29 @@ object StreamingCuration {
                   cfg: CurationPipeline.Config = CurationPipeline.Config())
       : (DataFrame, DataFrame, DataFrame) = {
     val spark = batch.sparkSession
-    val gated = batch
+    val qlGated = batch
       .filter(CurationPipeline.qualityGate(textCol, cfg))
       .filter(CurationPipeline.languageGate(textCol, cfg))
+
+    // ---- decontamination vs the registered eval-gram table -------------
+    // before any dedup state is touched: a contaminated doc must never
+    // enter the accepted hash/band tables. The gram table is swap-
+    // managed, so an eval-set replacement between batches is atomic.
+    val evalGrams = graft.sources.PathIO.readSwapState(
+      spark, s"$statePath/evalgrams", emptyGrams(spark))
+    val gramN = evalGrams.select("n").limit(1).collect()
+    val gated = if (gramN.isEmpty) qlGated else {
+      import graft.expressions.GraftFunctions.distinctWordShingles
+      val contaminated = qlGated
+        .select(col(idCol),
+          explode(distinctWordShingles(col(textCol), gramN(0).getInt(0))).as("gram"))
+        .join(broadcast(evalGrams.select("gram")), "gram")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("__ns"))
+        .filter(col("__ns") >= cfg.decontMinShared)
+        .select(col(idCol))
+      qlGated.join(contaminated, Seq(idCol), "left_anti")
+    }
 
     // ---- exact dedup: content hash vs accepted corpus + intra-batch ----
     // md5(lower(...)) — the SAME normalization as the batch pipeline

@@ -86,6 +86,50 @@ class StreamingCurationSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("registered eval grams decontaminate across a batch boundary") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("cur6").toString + "/state"
+    // the planted benchmark phrase shares a 3-shingle with any doc
+    // that quotes it; the eval doc itself never enters the corpus
+    val benchmark = "the secret benchmark answer is forty two exactly as the evaluation expects"
+    StreamingCuration.registerEvalSet(
+      Seq(Doc(100, benchmark)).toDF(), "text", state, n = 3)
+
+    // batch 1: a clean doc and a doc quoting the benchmark
+    val b1 = Seq(Doc(1, good),
+      Doc(2, "students memorized the secret benchmark answer for the big test today")).toDF()
+    val a1 = StreamingCuration.acceptBatch(b1, "text", "doc_id", state)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    a1 shouldBe Array(1L)
+
+    // batch 2: the leak crosses the batch boundary — a different doc
+    // quoting a different span of the same eval text is still dropped,
+    // proving the gram table persisted rather than living in batch 1
+    val b2 = Seq(Doc(3, goodB),
+      Doc(4, "reviewers noted it was exactly as the evaluation expects in every case")).toDF()
+    val a2 = StreamingCuration.acceptBatch(b2, "text", "doc_id", state)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    a2 shouldBe Array(3L)
+  }
+
+  test("decontamination stage is inert until an eval set is registered") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("cur7").toString + "/state"
+    val b = Seq(Doc(1, good)).toDF()
+    StreamingCuration.acceptBatch(b, "text", "doc_id", state)
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(1L)
+  }
+
+  test("registerEvalSet enforces the broadcast guard with a named knob") {
+    import spark.implicits._
+    val ex = the[IllegalArgumentException] thrownBy
+      StreamingCuration.registerEvalSet(
+        Seq(Doc(1, (1 to 50).map(i => s"w$i").mkString(" "))).toDF(),
+        "text", Files.createTempDirectory("cur8").toString + "/state",
+        n = 3, maxEvalGrams = 10)
+    ex.getMessage should include("maxEvalGrams=10")
+  }
+
   test("curationSink filters a stream; state survives across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
