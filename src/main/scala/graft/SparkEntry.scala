@@ -604,6 +604,15 @@ object SparkEntry {
         "text", "doc_id", n = 3)
     }),
 
+    // paragraph-level exact dedup with reassembly (RefinedWeb/C4
+    // boilerplate removal): the synthetic texts have no newlines, so
+    // " line " plays the paragraph separator — occurrences segment
+    // each doc into 1-6 "paragraphs", 6% of which repeat across docs
+    // at sf0.001
+    "q88_paragraph_dedup" -> ((s, d) =>
+      operators.Dedup.dedupParagraphs(
+        t(s, d, "documents"), "text", "doc_id", sep = " line ")),
+
     // within-doc n-gram repetition stats (Gopher repetition-gate
     // signals) via the native one-pass expression; the oracle is the
     // relational explode -> count-per-gram -> re-aggregate form the
@@ -1783,6 +1792,23 @@ object SparkEntry {
            |  FROM (SELECT $toksSql AS t FROM documents WHERE doc_id % 10 = 0))
            |SELECT doc_id, count(*) AS n_shared
            |FROM cg JOIN eg USING (s) GROUP BY doc_id""".stripMargin,
+
+      // keep-first = min over (doc_id, idx) — stated as a row_number
+      // window here (fine for an oracle), while the engine uses the
+      // skew-safe min(struct) aggregation; reassembly re-joins kept
+      // paragraphs in position order with the separator
+      "q88_paragraph_dedup" ->
+        """WITH p AS (
+          |  SELECT doc_id, u.para, u.idx
+          |  FROM (SELECT doc_id, string_split(text, ' line ') AS l FROM documents) d,
+          |  LATERAL (SELECT unnest(l) AS para, unnest(range(1, len(l)+1)) AS idx) u
+          |  WHERE trim(u.para) <> ''),
+          |kept AS (
+          |  SELECT doc_id, idx, para FROM p
+          |  QUALIFY row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) = 1)
+          |SELECT doc_id, string_agg(para, ' line ' ORDER BY idx) AS text_dedup,
+          |       count(*) AS n_paras_kept
+          |FROM kept GROUP BY doc_id""".stripMargin,
 
       // the relational explode->count form WordGramStats collapses into
       // one per-row pass; docs with < 3 tokens have zero grams -> (0,0,0)

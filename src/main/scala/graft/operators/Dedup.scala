@@ -293,4 +293,53 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Corpus-wide paragraph-level exact dedup with document reassembly
+    * (the RefinedWeb/C4 "repeated boilerplate removal" stage, run at
+    * sub-document granularity): split every document on `sep`, keep
+    * each distinct paragraph only at its FIRST occurrence in global
+    * (id, position) order, and reassemble documents from their
+    * surviving paragraphs. Documents whose every paragraph lost are
+    * dropped entirely (C4 behavior).
+    *
+    * Scale shape: winner selection is a hash aggregation
+    * (`min(struct(id, idx))` per paragraph hash) rather than a
+    * row_number window — a boilerplate paragraph held by millions of
+    * documents is EXACTLY the hot key that makes a per-key window
+    * unsplittable, while min() combines map-side so the shuffle
+    * carries one row per distinct paragraph. Survivors semi-join the
+    * winner set on (hash, id, idx) and reassembly aggregates per
+    * document (bounded by single-document size). The text volume
+    * shuffles twice — once paragraph-keyed, once document-keyed —
+    * which is inherent to global dedup + reassembly.
+    *
+    * Output: (idCol, text_dedup, n_paras_kept), paragraph order
+    * preserved, `sep` re-inserted between survivors.
+    */
+  def dedupParagraphs(docs: DataFrame, textCol: String, idCol: String,
+                      sep: String): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val paras = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__idx", "__para")))
+      .filter(trim(col("__para")) =!= "")
+      .withColumn("__h", md5(col("__para")))
+    val winners = paras
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("id"), col("__idx").as("idx"))).as("__w"))
+      .select(col("__h").as("__wh"), col("__w.id").as("__wid"),
+        col("__w.idx").as("__widx"))
+    paras
+      .join(winners, col("__h") === col("__wh") &&
+        col(idCol) === col("__wid") && col("__idx") === col("__widx"),
+        "left_semi")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__idx"), col("__para")))),
+            x => x.getField("__para")),
+          sep).as("text_dedup"),
+        count(lit(1)).as("n_paras_kept"))
+  }
 }

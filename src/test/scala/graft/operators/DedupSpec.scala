@@ -134,4 +134,30 @@ class DedupSpec extends SparkSpec {
     out.map(_._1).sorted shouldBe
       Array("brown fox jumps", "quick brown fox", "the quick brown")
   }
+
+  test("dedupParagraphs keeps first occurrence, reassembles in order, drops emptied docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha one\nBOILER\nalpha two"),
+      (2L, "BOILER\nbeta one"),   // BOILER lost to doc 1 pos 1
+      (3L, "BOILER"),             // every paragraph lost -> doc dropped
+      (4L, "alpha one\ngamma")    // "alpha one" lost to doc 1 pos 0
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "text", "doc_id", sep = "\n")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out(1L) shouldBe (("alpha one\nBOILER\nalpha two", 3L))
+    out(2L) shouldBe (("beta one", 1L))
+    out(4L) shouldBe (("gamma", 1L))
+    out.contains(3L) shouldBe false // C4 behavior: fully-duplicated doc removed
+  }
+
+  test("dedupParagraphs skips empty paragraphs and preserves winners under any split") {
+    import spark.implicits._
+    // empty segments from doubled separators never count as paragraphs
+    val docs = Seq((1L, "a\n\nb"), (2L, "b\n\na")).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "text", "doc_id", sep = "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "a\nb"
+    out.contains(2L) shouldBe false // both its paragraphs lost to doc 1
+  }
 }
