@@ -604,6 +604,20 @@ object SparkEntry {
         "text", "doc_id", n = 3)
     }),
 
+    // the contamination report from the benchmark's side: per eval
+    // example (every 10th doc), how many of its distinct trigrams the
+    // remaining corpus holds — the "is this benchmark still
+    // trustworthy" table, complementing q66's per-train-doc view
+    "q89_eval_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Decontamination.evalContamination(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", n = 3)
+        .select(col("eval_id"), col("n_grams"), col("n_contaminated"),
+          pround(col("contamination_rate"), 4).as("contamination_rate"))
+    }),
+
     // paragraph-level exact dedup with reassembly (RefinedWeb/C4
     // boilerplate removal): the synthetic texts have no newlines, so
     // " line " plays the paragraph separator — occurrences segment
@@ -1792,6 +1806,23 @@ object SparkEntry {
            |  FROM (SELECT $toksSql AS t FROM documents WHERE doc_id % 10 = 0))
            |SELECT doc_id, count(*) AS n_shared
            |FROM cg JOIN eg USING (s) GROUP BY doc_id""".stripMargin,
+
+      // per-eval-example leak table: each eval trigram left-joins the
+      // corpus' matched-gram set; count(hit) over the left join = how
+      // many of the example's grams leaked
+      "q89_eval_contamination" ->
+        s"""WITH eg AS (
+           |  SELECT doc_id AS eval_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id % 10 = 0)),
+           |hit AS (
+           |  SELECT DISTINCT cg.s FROM (
+           |    SELECT unnest(list_distinct($shinglesSql)) AS s
+           |    FROM (SELECT $toksSql AS t FROM documents WHERE doc_id % 10 <> 0)) cg
+           |  JOIN (SELECT DISTINCT s FROM eg) e USING (s))
+           |SELECT eval_id, count(*) AS n_grams, count(hit.s) AS n_contaminated,
+           |  ${pround("CAST(count(hit.s) AS DOUBLE) / count(*)", 4)} AS contamination_rate
+           |FROM eg LEFT JOIN hit USING (s)
+           |GROUP BY eval_id""".stripMargin,
 
       // keep-first = min over (doc_id, idx) — stated as a row_number
       // window here (fine for an oracle), while the engine uses the

@@ -86,4 +86,57 @@ object Decontamination {
       .select(col(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** The report from the benchmark's side: for every eval example, how
+    * much of it leaked into the corpus — (eval_id, n_grams,
+    * n_contaminated, contamination_rate). This is what decides whether
+    * a benchmark number is still trustworthy after training (report a
+    * benchmark's contaminated examples and score the clean split
+    * separately — GPT-3 appendix C practice).
+    *
+    * Scale shape: the corpus side streams its grams once and is
+    * FILTERED by the broadcast eval gram set immediately — only
+    * matching grams (bounded by the eval set's size, not the corpus)
+    * reach the distinct aggregation, so the shuffle volume is
+    * benchmark-sized no matter how big the corpus. The matched-gram
+    * set then re-joins the broadcast (eval_id, gram) pairs to
+    * attribute hits per example.
+    *
+    * Eval examples with fewer than `n` tokens have no `n`-grams and no
+    * row here (nothing measurable leaked); callers joining back to the
+    * eval table should treat absence as rate 0 with n_grams 0.
+    */
+  def evalContamination(corpus: DataFrame, evalSet: DataFrame,
+                        textCol: String, idCol: String, n: Int,
+                        maxEvalGrams: Int = 10000000): DataFrame = {
+    import graft.expressions.GraftFunctions.distinctWordShingles
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val evalPairs = evalSet
+      .select(col(idCol).as("eval_id"),
+        explode(distinctWordShingles(col(textCol), n)).as("gram"))
+      .limit(maxEvalGrams + 1)
+      .as[(Long, String)]
+      .collect()
+    require(evalPairs.length <= maxEvalGrams,
+      s"eval set exceeds maxEvalGrams=$maxEvalGrams (eval_id, gram) " +
+        "pairs; the pairs are broadcast — shrink the eval set or raise " +
+        "maxEvalGrams only if the driver can hold them")
+    val pairsDf = evalPairs.toSeq.toDF("eval_id", "gram")
+    val gramSet = evalPairs.map(_._2).distinct.toSeq.toDF("gram")
+    val hits = corpus
+      .select(explode(distinctWordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(gramSet), "gram")
+      .distinct()
+    pairsDf
+      .join(hits.withColumn("__hit", lit(1)), Seq("gram"), "left")
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"))
+      // unrounded on purpose: query layers own presentation rounding
+      // (SparkEntry.pround — engine round() functions disagree one ulp
+      // from .5 boundaries across engines)
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_grams"))
+  }
 }

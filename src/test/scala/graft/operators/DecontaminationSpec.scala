@@ -37,6 +37,35 @@ class DecontaminationSpec extends SparkSpec {
     kept3.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
   }
 
+  test("evalContamination reports leak counts and rate per eval example") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps high",
+      2L -> "a totally unrelated sentence here")
+    val eval = docs(
+      10L -> "the quick brown fox",  // grams: 2, both in corpus doc 1
+      11L -> "nothing matches this eval text at all",
+      12L -> "too few")              // < 3 tokens: no grams, no row
+    val out = Decontamination.evalContamination(corpus, eval, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    out(10L) shouldBe ((2L, 2L, 1.0))
+    out(11L)._2 shouldBe 0L
+    out(11L)._3 shouldBe 0.0
+    out.contains(12L) shouldBe false
+  }
+
+  test("evalContamination counts a corpus gram once however often it repeats") {
+    val corpus = docs(
+      1L -> "the quick brown fox", 2L -> "the quick brown fox",
+      3L -> "the quick brown fox again and again")
+    val eval = docs(10L -> "the quick brown fox jumps")
+    val out = Decontamination.evalContamination(corpus, eval, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // eval has 3 grams; "the quick brown"+"quick brown fox" leak (from
+    // any number of corpus copies), "brown fox jumps" does not
+    out(10L) shouldBe ((3L, 2L))
+  }
+
   test("maxEvalGrams guard rejects an oversized eval set with an actionable message") {
     val corpus = docs(1L -> "the quick brown fox jumps high")
     val eval = docs(
