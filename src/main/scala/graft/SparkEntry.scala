@@ -604,6 +604,13 @@ object SparkEntry {
         "text", "doc_id", n = 3)
     }),
 
+    // unigram-LM fluency score (perplexity-filter stand-in): mean
+    // log10 corpus frequency of each doc's tokens
+    "q90_lm_score" -> ((s, d) =>
+      operators.TfIdf.lmScore(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          pround(col("lm_score"), 4).as("lm_score"))),
+
     // the contamination report from the benchmark's side: per eval
     // example (every 10th doc), how many of its distinct trigrams the
     // remaining corpus holds — the "is this benchmark still
@@ -1806,6 +1813,19 @@ object SparkEntry {
            |  FROM (SELECT $toksSql AS t FROM documents WHERE doc_id % 10 = 0))
            |SELECT doc_id, count(*) AS n_shared
            |FROM cg JOIN eg USING (s) GROUP BY doc_id""".stripMargin,
+
+      // unigram counts re-join the exploded tokens; per-doc mean of
+      // log10(count) — both engines' log10 are correctly rounded on
+      // small-integer inputs, and pround absorbs ulp noise
+      "q90_lm_score" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(t) AS term
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  ${pround("avg(log10(cnt))", 4)} AS lm_score
+           |FROM tok JOIN c USING (term)
+           |GROUP BY doc_id""".stripMargin,
 
       // per-eval-example leak table: each eval trigram left-joins the
       // corpus' matched-gram set; count(hit) over the left join = how

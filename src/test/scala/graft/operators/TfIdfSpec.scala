@@ -58,4 +58,26 @@ class TfIdfSpec extends SparkSpec {
     plan should include("TakeOrderedAndProject")
     plan should include("BroadcastHashJoin")
   }
+
+  test("lmScore: common-vocabulary docs outrank rare-vocabulary docs, exactly") {
+    import spark.implicits._
+    // corpus counts: x=3, y=1 -> doc1 = log10(3); doc2 = log10(3)/2
+    val docs = Seq((1L, "x x"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
+    val out = TfIdf.lmScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out(1L)._1 shouldBe 2L
+    out(1L)._2 shouldBe math.log10(3.0) +- 1e-12
+    out(2L)._2 shouldBe (math.log10(3.0) / 2) +- 1e-12
+    out.contains(3L) shouldBe false // no tokens, no row
+    out(1L)._2 should be > out(2L)._2 // fluency ordering
+  }
+
+  test("lmScore joins the count table rather than windowing the hot term") {
+    // the ubiquitous-token analysis from the scaladoc: no Window node
+    // may appear — scoring must be join + aggregate
+    val docs = Seq((1L, "x x")).toDF("doc_id", "text")
+    val plan = TfIdf.lmScore(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
 }
