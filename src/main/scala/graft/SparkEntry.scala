@@ -604,6 +604,18 @@ object SparkEntry {
         "text", "doc_id", n = 3)
     }),
 
+    // fixed-size training shards over the decorrelated shuffle order:
+    // the per-shard balance table (doc and token totals) a writer
+    // checks before publishing an epoch
+    "q91_shard_balance" -> ((s, d) =>
+      operators.Packing.shardByRank(
+          t(s, d, "documents")
+            .withColumn("n", functions.TextFns.bpeishTokenCount(col("text")))
+            .select("doc_id", "n"),
+          keyCol = "doc_id", shardSize = 64L, hexPrefix = 2)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tok_total"))),
+
     // unigram-LM fluency score (perplexity-filter stand-in): mean
     // log10 corpus frequency of each doc's tokens
     "q90_lm_score" -> ((s, d) =>
@@ -1813,6 +1825,19 @@ object SparkEntry {
            |  FROM (SELECT $toksSql AS t FROM documents WHERE doc_id % 10 = 0))
            |SELECT doc_id, count(*) AS n_shared
            |FROM cg JOIN eg USING (s) GROUP BY doc_id""".stripMargin,
+
+      // q76's rank order sliced into 64-row shards; sums use the same
+      // bpe-ish token count as q32/q71
+      "q91_shard_balance" ->
+        """WITH r AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n,
+          |    row_number() OVER (
+          |      ORDER BY md5('shuffle' || '|' || CAST(doc_id AS VARCHAR)), doc_id)
+          |      - 1 AS rk
+          |  FROM documents)
+          |SELECT rk // 64 AS shard_id, count(*) AS n_docs, sum(n) AS tok_total
+          |FROM r GROUP BY 1""".stripMargin,
 
       // unigram counts re-join the exploded tokens; per-doc mean of
       // log10(count) — both engines' log10 are correctly rounded on

@@ -84,4 +84,23 @@ object Packing {
         char_length(chunk).cast("long").as("chunk_len"),
         md5(chunk).as("chunk_md5"))
   }
+
+  /** Slice a hash-shuffled corpus into EXACT fixed-size training
+    * shards: `shard_id = shuffle_rank / shardSize`, so every shard
+    * holds exactly `shardSize` rows (the last one fewer) in the
+    * decorrelated `Sampling.shuffleRank` order. This is the writer
+    * path the shuffleRank scaladoc promises — materialize the rank
+    * once, then `partitionBy("shard_id")` writes the epoch's shard
+    * files without a second corpus pass or a global sort.
+    *
+    * Same snapshot assumption as shuffleRank (the input must be
+    * deterministic between construction and execution).
+    */
+  def shardByRank(df: DataFrame, keyCol: String, shardSize: Long,
+                  hexPrefix: Int = 3): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive: $shardSize")
+    Sampling.shuffleRank(df, keyCol, hexPrefix)
+      .withColumn("shard_id",
+        floor(col("shuffle_rank") / lit(shardSize)).cast("long"))
+  }
 }

@@ -131,6 +131,20 @@ class PackingSpec extends SparkSpec {
     plan should not include "SinglePartition"
   }
 
+  test("shardByRank slices the shuffle order into exact fixed shards") {
+    val docs = (0L until 1000L).map(i => (i, i)).toDF("id", "v")
+    val out = Packing.shardByRank(docs, "id", shardSize = 64L, hexPrefix = 2)
+    val sizes = out.groupBy("shard_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizes.size shouldBe 16 // ceil(1000/64)
+    (0L until 15L).foreach(sizes(_) shouldBe 64L)
+    sizes(15L) shouldBe (1000L - 15 * 64L) // last shard takes the remainder
+    // shard_id is a pure function of the rank, so the shard order IS
+    // the decorrelated shuffle order
+    out.filter(col("shard_id") =!= floor(col("shuffle_rank") / 64))
+      .count() shouldBe 0L
+  }
+
   test("shuffleRank accepts the 100-TB bucket width and rejects out-of-range") {
     val docs = (0L until 200L).map(i => (i, i)).toDF("id", "v")
     // hexPrefix=6 (16.7M buckets) is the documented 2e11-row shape; on
