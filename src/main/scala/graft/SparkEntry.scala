@@ -604,6 +604,12 @@ object SparkEntry {
         "text", "doc_id", n = 3)
     }),
 
+    // the BPE merge statistic: top adjacent char pairs weighted by
+    // word frequency — one corpus pass builds the vocab, pair counting
+    // runs vocabulary-bounded
+    "q92_bpe_pairs" -> ((s, d) =>
+      operators.Bpe.pairStats(t(s, d, "documents"), "text", k = 30)),
+
     // fixed-size training shards over the decorrelated shuffle order:
     // the per-shard balance table (doc and token totals) a writer
     // checks before publishing an epoch
@@ -1825,6 +1831,20 @@ object SparkEntry {
            |  FROM (SELECT $toksSql AS t FROM documents WHERE doc_id % 10 = 0))
            |SELECT doc_id, count(*) AS n_shared
            |FROM cg JOIN eg USING (s) GROUP BY doc_id""".stripMargin,
+
+      // pair expansion over the word-frequency table (not the corpus);
+      // the top-30 cut is deterministic via the (total, pair) order
+      "q92_bpe_pairs" ->
+        s"""WITH w AS (
+           |  SELECT w, count(*) AS cnt
+           |  FROM (SELECT unnest(t) AS w FROM (SELECT $toksSql AS t FROM documents))
+           |  GROUP BY w HAVING len(w) >= 2),
+           |p AS (
+           |  SELECT substr(w.w, CAST(t.i AS INT), 2) AS pair, w.w, w.cnt
+           |  FROM w, LATERAL (SELECT unnest(range(1, len(w.w))) AS i) t)
+           |SELECT pair, count(DISTINCT w) AS n_words, sum(cnt) AS total
+           |FROM p GROUP BY pair
+           |ORDER BY total DESC, pair ASC LIMIT 30""".stripMargin,
 
       // q76's rank order sliced into 64-row shards; sums use the same
       // bpe-ish token count as q32/q71
