@@ -604,6 +604,19 @@ object SparkEntry {
         "text", "doc_id", n = 3)
     }),
 
+    // mixture-rebalancing plan: target recipe 4:2:1:1 over four
+    // sources (the rest dropped); keep fractions for the
+    // downsample-only re-mix, binding source at 100%
+    "q93_mixture_plan" -> ((s, d) =>
+      operators.Sampling.mixturePlan(
+          t(s, d, "documents"), "source",
+          functions.TextFns.bpeishTokenCount(col("text")),
+          Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0))
+        .select(col("source"), col("n_tokens"),
+          pround(col("share"), 4).as("share"),
+          pround(col("target_share"), 4).as("target_share"),
+          pround(col("keep_frac"), 4).as("keep_frac"))),
+
     // the BPE merge statistic: top adjacent char pairs weighted by
     // word frequency — one corpus pass builds the vocab, pair counting
     // runs vocabulary-bounded
@@ -1831,6 +1844,26 @@ object SparkEntry {
            |  FROM (SELECT $toksSql AS t FROM documents WHERE doc_id % 10 = 0))
            |SELECT doc_id, count(*) AS n_shared
            |FROM cg JOIN eg USING (s) GROUP BY doc_id""".stripMargin,
+
+      // per-source shares vs the normalized 4:2:1:1 recipe; the scale
+      // is the binding constraint min(share/target) over recipe rows
+      "q93_mixture_plan" ->
+        s"""WITH tok AS (
+           |  SELECT source,
+           |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n
+           |  FROM documents),
+           |s AS (SELECT source, sum(n) AS n_tokens FROM tok GROUP BY source),
+           |t(src, w) AS (VALUES ('src0', 4.0), ('src1', 2.0), ('src2', 1.0), ('src3', 1.0)),
+           |j AS (
+           |  SELECT s.source, s.n_tokens,
+           |    CAST(s.n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM s) AS share,
+           |    COALESCE(t.w / (SELECT sum(w) FROM t), 0.0) AS target_share
+           |  FROM s LEFT JOIN t ON s.source = t.src),
+           |sc AS (SELECT min(share / target_share) AS scale FROM j WHERE target_share > 0)
+           |SELECT source, n_tokens, ${pround("share", 4)} AS share,
+           |  ${pround("target_share", 4)} AS target_share,
+           |  ${pround("CASE WHEN target_share > 0 THEN least(1.0, target_share * (SELECT scale FROM sc) / share) ELSE 0.0 END", 4)} AS keep_frac
+           |FROM j""".stripMargin,
 
       // pair expansion over the word-frequency table (not the corpus);
       // the top-30 cut is deterministic via the (total, pair) order

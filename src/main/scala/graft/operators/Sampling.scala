@@ -210,4 +210,48 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), 100) < pctCol)
   }
+
+  /** The mixture-rebalancing plan: given target source proportions
+    * (relative weights, normalized internally), report per source its
+    * current token share and the keep fraction a DOWNSAMPLE-ONLY
+    * rebalance needs to hit the targets — the planning step before a
+    * `stratifiedSample`/`deterministicSample` pass re-mixes a corpus
+    * toward a training recipe (upsample-free, so no document is ever
+    * duplicated; the binding source keeps 100% and everything else
+    * scales to match). Sources missing from `targets` get keep 0.
+    *
+    * Everything is declarative over the per-source aggregate (one row
+    * per source): the corpus is touched once for token sums; the
+    * total and the binding-constraint scale are one-row broadcast
+    * aggregates, the same shape as tf-idf's corpus size — no driver
+    * action, no window.
+    *
+    * Output: (strataCol, n_tokens, share, target_share, keep_frac),
+    * keep_frac in [0,1], achieved mix = target wherever keep > 0.
+    */
+  def mixturePlan(df: DataFrame, strataCol: String, tokensCol: Column,
+                  targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must not be empty")
+    require(targets.values.forall(_ > 0),
+      s"target weights must be positive: $targets")
+    val wSum = targets.values.sum
+    val targetCol = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, w)) => when(col(strataCol) === s, lit(w / wSum)).otherwise(acc)
+    }
+    val bySrc = df.groupBy(col(strataCol))
+      .agg(sum(tokensCol.cast("long")).as("n_tokens"))
+      .withColumn("target_share", targetCol)
+    val tot = bySrc.agg(sum(col("n_tokens")).as("__tot"))
+    val shared = bySrc.join(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("__tot"))
+    val scale = shared.filter(col("target_share") > 0)
+      .agg(min(col("share") / col("target_share")).as("__scale"))
+    shared.join(broadcast(scale))
+      .withColumn("keep_frac",
+        when(col("target_share") > 0,
+          least(lit(1.0), col("target_share") * col("__scale") / col("share")))
+          .otherwise(lit(0.0)))
+      .select(col(strataCol), col("n_tokens"), col("share"),
+        col("target_share"), col("keep_frac"))
+  }
 }

@@ -30,4 +30,32 @@ class SamplingSpec extends SparkSpec {
     out("val").toDouble shouldBe (1000.0 +- 150.0)
     out("test").toDouble shouldBe (1000.0 +- 150.0)
   }
+
+  test("mixturePlan: binding source keeps 100%, others scale, unlisted drop") {
+    import spark.implicits._
+    // A: 100 tokens, B: 300, C: 50 (not in recipe)
+    // recipe A:B = 3:1 -> targets .75/.25; shares (of 450): A=2/9, B=6/9, C=1/9
+    // scale = min(share/target) = min((2/9)/.75, (6/9)/.25) = 8/27
+    // keep A = .75*(8/27)/(2/9) = 1.0 (binding); keep B = .25*(8/27)/(6/9) = 1/9
+    val df = Seq(("A", 100L), ("B", 300L), ("C", 50L)).toDF("src", "n")
+    val out = Sampling.mixturePlan(df, "src", col("n"), Map("A" -> 3.0, "B" -> 1.0))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    out("A") shouldBe ((100L, 0.75, 1.0))
+    out("B")._2 shouldBe 0.25
+    out("B")._3 shouldBe (1.0 / 9) +- 1e-12
+    out("C") shouldBe ((50L, 0.0, 0.0))
+    // achieved mix check: kept tokens follow the 3:1 recipe
+    val keptA = 100L * out("A")._3; val keptB = 300L * out("B")._3
+    keptA / keptB shouldBe 3.0 +- 1e-9
+  }
+
+  test("mixturePlan rejects empty and non-positive recipes") {
+    import spark.implicits._
+    val df = Seq(("A", 1L)).toDF("src", "n")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixturePlan(df, "src", col("n"), Map.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixturePlan(df, "src", col("n"), Map("A" -> 0.0))
+  }
 }
