@@ -604,6 +604,13 @@ object SparkEntry {
         "text", "doc_id", n = 3)
     }),
 
+    // cross-source near-dup matrix: q21's candidate pairs attributed
+    // to unordered source pairs — which feeds copy which
+    "q94_source_overlap" -> ((s, d) =>
+      operators.Dedup.crossSourceOverlap(
+        t(s, d, "documents"), "text", "doc_id", "source",
+        bands = 3, rowsPerBand = 2)),
+
     // mixture-rebalancing plan: target recipe 4:2:1:1 over four
     // sources (the rest dropped); keep fractions for the
     // downsample-only re-mix, binding source at 100%
@@ -1844,6 +1851,26 @@ object SparkEntry {
            |  FROM (SELECT $toksSql AS t FROM documents WHERE doc_id % 10 = 0))
            |SELECT doc_id, count(*) AS n_shared
            |FROM cg JOIN eg USING (s) GROUP BY doc_id""".stripMargin,
+
+      // q21's pair CTE + two id joins for attribution; (least,
+      // greatest) canonicalizes the unordered source pair
+      "q94_source_overlap" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+           |SELECT least(da.source, db.source) AS source_a,
+           |       greatest(da.source, db.source) AS source_b,
+           |       count(*) AS n_pairs
+           |FROM cand
+           |JOIN documents da ON da.doc_id = cand.id_a
+           |JOIN documents db ON db.doc_id = cand.id_b
+           |GROUP BY 1, 2""".stripMargin,
 
       // per-source shares vs the normalized 4:2:1:1 recipe; the scale
       // is the binding constraint min(share/target) over recipe rows

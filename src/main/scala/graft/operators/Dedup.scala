@@ -294,6 +294,33 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Cross-source near-duplication matrix: MinHash-LSH candidate pairs
+    * attributed to their (unordered) source pair — which sources
+    * mirror, scrape, or republish which. This is the report that
+    * decides source-level dedup ORDER in a multi-source corpus (dedup
+    * the mirror against the original, not vice versa) and flags feeds
+    * that are mostly copies of another.
+    *
+    * The candidate generation is the banded q21 shape (never
+    * all-pairs); attaching sources is two id-equi-joins of the pair
+    * list (candidates << corpus) and the matrix aggregate is
+    * source-pair-bounded. The pair is canonicalized (least, greatest)
+    * so A~B and B~A collapse into one cell.
+    */
+  def crossSourceOverlap(docs: DataFrame, textCol: String, idCol: String,
+                         srcCol: String, bands: Int = 3,
+                         rowsPerBand: Int = 2): DataFrame = {
+    val pairs = minhashCandidates(docs, textCol, idCol, bands, rowsPerBand)
+    val src = docs.select(col(idCol), col(srcCol))
+    pairs
+      .join(src.select(col(idCol).as("id_a"), col(srcCol).as("__sa")), "id_a")
+      .join(src.select(col(idCol).as("id_b"), col(srcCol).as("__sb")), "id_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Corpus-wide paragraph-level exact dedup with document reassembly
     * (the RefinedWeb/C4 "repeated boilerplate removal" stage, run at
     * sub-document granularity): split every document on `sep`, keep

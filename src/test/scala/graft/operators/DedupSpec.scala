@@ -135,6 +135,25 @@ class DedupSpec extends SparkSpec {
       Array("brown fox jumps", "quick brown fox", "the quick brown")
   }
 
+  test("crossSourceOverlap canonicalizes the source pair and counts cells") {
+    import spark.implicits._
+    // near-identical texts across sources: wiki~crawl twice (docs 1-2,
+    // 5-6), crawl~crawl once (3-4); the long shared run guarantees
+    // shared band keys under (3,2) banding
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, run, "wiki"), (2L, run, "crawl"),
+      (3L, run + " tail", "crawl"), (4L, run + " tail", "crawl"),
+      (5L, run + " other", "crawl"), (6L, run + " other", "wiki"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceOverlap(docs, "text", "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every candidate cell is (least, greatest)-ordered
+    out.keys.foreach { case (a, b) => a should be <= b }
+    out(("crawl", "wiki")) should be >= 2L
+    out(("crawl", "crawl")) should be >= 1L
+  }
+
   test("dedupParagraphs keeps first occurrence, reassembles in order, drops emptied docs") {
     import spark.implicits._
     val docs = Seq(
