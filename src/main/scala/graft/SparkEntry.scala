@@ -876,6 +876,23 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           pround(col("oov_rate"), 4).as("oov_rate"))),
 
+    // dup-cluster size histogram over q65's component assignment: a
+    // few huge clusters vs a long tail of pairs need different
+    // remediation
+    "q95_cluster_sizes" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .filter(col("doc_id") % 8 < 5)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      operators.Components.sizeHistogram(
+        operators.Components.connectedComponents(edges, localEdgeLimit = 0L))
+    }),
+
+    // robust per-type outlier audit on event values: modified z-score
+    // against median/MAD (q86's verified primitives), z = 2 sigma
+    "q96_robust_outliers" -> ((s, d) =>
+      operators.Profile.robustOutliers(
+        t(s, d, "events"), "value", "event_type", z = 2.0)),
+
     // robust dispersion: median absolute deviation per event type —
     // the exact interpolated percentile (q41's verified primitive)
     // applied twice, group medians broadcast back between passes
@@ -1713,6 +1730,35 @@ object SparkEntry {
            |  CAST(sum(oov) AS BIGINT) AS n_oov,
            |  ${pround("sum(oov) * 1.0 / count(*)", 4)} AS oov_rate
            |FROM j GROUP BY doc_id""".stripMargin,
+
+      // q65's recursive closure + two bounded aggregations
+      "q95_cluster_sizes" ->
+        """WITH RECURSIVE
+          |e AS (SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 8 < 5),
+          |edges AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+          |walk(node, lab) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst),
+          |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+          |sz AS (SELECT component, count(*) AS size FROM comp GROUP BY component)
+          |SELECT size, count(*) AS n_clusters FROM sz GROUP BY size""".stripMargin,
+
+      // modified z-score |v - med| / (1.4826 * mad) > 2; zero-MAD
+      // groups report no outliers (score undefined)
+      "q96_robust_outliers" ->
+        """WITH m AS (
+          |  SELECT event_type, quantile_cont(value, 0.5) AS med
+          |  FROM events GROUP BY event_type),
+          |d AS (
+          |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+          |  FROM events e JOIN m USING (event_type) GROUP BY e.event_type)
+          |SELECT e.event_type, count(*) AS n,
+          |  CAST(sum(CASE WHEN d.mad > 0
+          |    AND abs(e.value - m.med) / (1.4826 * d.mad) > 2.0
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
+          |GROUP BY e.event_type""".stripMargin,
 
       "q86_mad" ->
         s"""WITH m AS (

@@ -257,4 +257,18 @@ object Components {
     free(edges)
     out
   }
+
+  /** Duplicate-cluster size histogram over a component assignment —
+    * the audit that tells whether near-dup collapse found a few huge
+    * boilerplate clusters or a long tail of pairs (the two need
+    * different remediation). Two bounded aggregations: one row per
+    * component, then one row per distinct size.
+    */
+  def sizeHistogram(assignment: DataFrame,
+                    componentCol: String = "component"): DataFrame =
+    assignment
+      .groupBy(col(componentCol))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
 }

@@ -50,4 +50,36 @@ object Profile {
           col("min_value"), col("max_value"))
     }.reduce(_ unionByName _)
   }
+
+  /** Robust per-group outlier audit: count values whose modified
+    * z-score |value − median| / (1.4826·MAD) exceeds `z` — the
+    * outlier detector that survives the outliers themselves (mean/std
+    * get dragged by exactly the points being hunted; median/MAD do
+    * not). 1.4826 scales MAD to σ under normality, so `z` reads in
+    * familiar sigma units.
+    *
+    * Two exact-percentile passes (the q41/q86-verified primitive) with
+    * the group medians/MADs broadcast back between and after — groups
+    * are the narrow side, values the wide side, so the wide side is
+    * scanned, never shuffled beyond its group aggregate. Groups with
+    * MAD = 0 (over half the values identical) report 0 outliers: the
+    * modified z-score is undefined there and flagging the non-modal
+    * half wholesale is never the intent.
+    */
+  def robustOutliers(df: DataFrame, valCol: String, byCol: String,
+                     z: Double = 3.0): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val v = df.select(col(byCol), col(valCol).as("__v"))
+    val med = v.groupBy(col(byCol))
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    val mad = v.join(broadcast(med), Seq(byCol))
+      .groupBy(col(byCol))
+      .agg(expr("percentile(abs(__v - __med), 0.5)").as("__mad"))
+    v.join(broadcast(med), Seq(byCol)).join(broadcast(mad), Seq(byCol))
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__mad") > 0 &&
+            abs(col("__v") - col("__med")) / (lit(1.4826) * col("__mad")) > z,
+          1L).otherwise(0L)).as("n_outliers"))
+  }
 }

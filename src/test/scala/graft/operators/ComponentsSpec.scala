@@ -143,4 +143,16 @@ class ComponentsSpec extends SparkSpec {
     mine.count() shouldBe 1
     mine.unpersist()
   }
+
+  test("sizeHistogram buckets cluster sizes") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {10,11}, {20,21}, {30}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comp = Components.connectedComponents(edges)
+      .union(Seq((30L, 30L)).toDF("node", "component"))
+    val out = Components.sizeHistogram(comp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(3L -> 1L, 2L -> 2L, 1L -> 1L)
+  }
 }

@@ -30,4 +30,17 @@ class ProfileSpec extends SparkSpec {
     plan should not include "Expand"
     plan should not include "Sort ["
   }
+
+  test("robustOutliers flags modified-z outliers and ignores zero-MAD groups") {
+    import spark.implicits._
+    // group g: median 10, MAD 1 -> z(100) = 90/1.4826 >> 2; z(11) < 2
+    val g = Seq(8.0, 9.0, 10.0, 11.0, 100.0).map(("g", _))
+    // group z: >half identical -> MAD 0 -> no outliers by contract
+    val zg = Seq(5.0, 5.0, 5.0, 99.0).map(("z", _))
+    val df = (g ++ zg).toDF("grp", "v")
+    val out = Profile.robustOutliers(df, "v", "grp", z = 2.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out("g") shouldBe ((5L, 1L))
+    out("z") shouldBe ((4L, 0L))
+  }
 }
