@@ -57,10 +57,13 @@ class QueryPlanSpec extends SparkSpec {
     qe.map { case (n, e) => n -> flatten(e.executedPlan) }
 
   // bounded-broadcast-by-construction: ANN scoring joins broadcast the
-  // (guarded) query/probe side with a non-equi or free condition, and
-  // tf-idf attaches the TakeOrdered vocab list — all driver-bounded
+  // (guarded) query/probe side with a non-equi or free condition,
+  // tf-idf attaches the TakeOrdered vocab list, and the mixture plan
+  // attaches two ONE-ROW aggregates (total, binding scale) — all
+  // driver-bounded
   private val bnljAllowed = Set(
-    "q24_ann_bruteforce", "q25_ann_ivf", "q34_ann_kmeans", "q77_tfidf_terms")
+    "q24_ann_bruteforce", "q25_ann_ivf", "q34_ann_kmeans",
+    "q77_tfidf_terms", "q93_mixture_plan")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
