@@ -887,6 +887,35 @@ object SparkEntry {
         operators.Components.connectedComponents(edges, localEdgeLimit = 0L))
     }),
 
+    // exact per-source quantile table of bpe-ish token counts: the
+    // distribution profile behind mixture/budget decisions
+    "q97_quantile_table" -> ((s, d) =>
+      operators.Profile.quantileTable(
+          t(s, d, "documents")
+            .select(col("source"),
+              functions.TextFns.bpeishTokenCount(col("text"))
+                .cast("double").as("n_tok")),
+          "n_tok", "source", qs = Seq(0.1, 0.5, 0.9))
+        .select(col("source"), col("q"), pround(col("value"), 4).as("value"))),
+
+    // near-dup ROI report: per transitive candidate component, the
+    // surviving doc, cluster size, and tokens the collapse saves —
+    // composes q21's candidates, q65's components, q32's token count
+    "q98_dedup_roi" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = operators.Dedup.minhashCandidates(
+        docs, "text", "doc_id", bands = 3, rowsPerBand = 2)
+      val comp = operators.Components.connectedComponents(pairs)
+      val toks = docs.select(col("doc_id").as("node"),
+        functions.TextFns.bpeishTokenCount(col("text")).as("__n"))
+      comp.join(toks, "node")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("node")).as("survivor_id"),
+          sum(when(col("node") =!= col("component"), col("__n"))
+            .otherwise(0L)).as("tokens_dropped"))
+    }),
+
     // robust per-type outlier audit on event values: modified z-score
     // against median/MAD (q86's verified primitives), z = 2 sigma
     "q96_robust_outliers" -> ((s, d) =>
@@ -1743,6 +1772,47 @@ object SparkEntry {
           |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
           |sz AS (SELECT component, count(*) AS size FROM comp GROUP BY component)
           |SELECT size, count(*) AS n_clusters FROM sz GROUP BY size""".stripMargin,
+
+      // exact interpolated quantiles (q41's verified primitive) per
+      // source, unnested to one row per (source, q)
+      "q97_quantile_table" ->
+        s"""WITH tok AS (
+           |  SELECT source,
+           |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_tok
+           |  FROM documents),
+           |qt AS (
+           |  SELECT source, quantile_cont(n_tok, [0.1, 0.5, 0.9]) AS p
+           |  FROM tok GROUP BY source)
+           |SELECT source, unnest([0.1, 0.5, 0.9]) AS q,
+           |  ${pround("unnest(p)", 4)} AS value
+           |FROM qt""".stripMargin,
+
+      // q21's candidates -> transitive components -> per-cluster
+      // survivor and token savings
+      "q98_dedup_roi" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM cand UNION SELECT id_b, id_a FROM cand),
+           |walk(node, lab) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst),
+           |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+           |tok AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n
+           |  FROM documents)
+           |SELECT component, count(*) AS n_docs, min(node) AS survivor_id,
+           |  sum(CASE WHEN node <> component THEN n ELSE 0 END) AS tokens_dropped
+           |FROM comp JOIN tok ON tok.doc_id = comp.node
+           |GROUP BY component""".stripMargin,
 
       // modified z-score |v - med| / (1.4826 * mad) > 2; zero-MAD
       // groups report no outliers (score undefined)

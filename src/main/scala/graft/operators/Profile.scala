@@ -66,6 +66,26 @@ object Profile {
     * modified z-score is undefined there and flagging the non-modal
     * half wholesale is never the intent.
     */
+  /** Exact per-group quantile table: one row per (group, q) with the
+    * interpolated percentile — the distribution profile a curation run
+    * reports per source (token-length spread, value ranges) when
+    * approximate sketches (q56) are not enough for the record. One
+    * aggregation computes ALL quantiles per group (percentile takes
+    * the array), then a bounded explode of groups × quantiles.
+    */
+  def quantileTable(df: DataFrame, valCol: String, byCol: String,
+                    qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1]: $qs")
+    val arr = qs.map(q => lit(q)).toArray
+    df.groupBy(col(byCol))
+      .agg(expr(s"percentile($valCol, array(${qs.mkString(", ")}))").as("__p"))
+      .select(col(byCol),
+        explode(arrays_zip(array(arr: _*).as("q"), col("__p").as("value")))
+          .as("__z"))
+      .select(col(byCol), col("__z.q").as("q"), col("__z.value").as("value"))
+  }
+
   def robustOutliers(df: DataFrame, valCol: String, byCol: String,
                      z: Double = 3.0): DataFrame = {
     require(z > 0, s"z must be positive: $z")

@@ -43,4 +43,24 @@ class ProfileSpec extends SparkSpec {
     out("g") shouldBe ((5L, 1L))
     out("z") shouldBe ((4L, 0L))
   }
+
+  test("quantileTable emits exact interpolated quantiles per group") {
+    import spark.implicits._
+    // group g: 1..5 -> p10 = 1.4, p50 = 3.0, p90 = 4.6 (linear interp)
+    val df = (1 to 5).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Profile.quantileTable(df, "v", "grp", Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    out(0.1) shouldBe 1.4 +- 1e-9
+    out(0.5) shouldBe 3.0 +- 1e-9
+    out(0.9) shouldBe 4.6 +- 1e-9
+  }
+
+  test("quantileTable rejects out-of-range quantiles") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0)).toDF("grp", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Profile.quantileTable(df, "v", "grp", Seq(1.5))
+    an[IllegalArgumentException] should be thrownBy
+      Profile.quantileTable(df, "v", "grp", Nil)
+  }
 }
