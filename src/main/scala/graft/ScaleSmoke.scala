@@ -178,13 +178,16 @@ object ScaleSmoke {
     val spansStage = "duplicate spans"
     val curationStage = "curation pipeline (no audit)"
     val screenStage = "streaming curation screen"
+    val paraStage = "paragraph dedup + reassembly"
+    val lmStage = "unigram lm score"
+    val bpeStage = "bpe pair stats"
     val docsPath = java.nio.file.Files
       .createTempDirectory("graft_smoke_docs").toString + "/docs"
     // the docs write must run whenever any text-chain stage is
     // selected — they all read the parquet it produces
     val docsWrite = "write documents parquet"
     val textStages = Seq(docsWrite, simhashStage, tfidfStage, spansStage,
-      curationStage, screenStage)
+      curationStage, screenStage, paraStage, lmStage, bpeStage)
     val anyText = textStages.exists(willRun)
     time(docsWrite, force = anyText) {
       docs(rows).write.mode("overwrite").parquet(docsPath); rows
@@ -203,6 +206,25 @@ object ScaleSmoke {
     }
     time(spansStage) {
       Dedup.dupSpans(docsPq, "text", "doc_id", n = 5, minDocs = 2).count()
+    }
+    // worst-case duplicate factor: every token is a "paragraph", so the
+    // winner aggregate sees ~24x rows collapsing to a ~20k-row winner
+    // set — the boilerplate-blowup shape the min(struct) aggregation
+    // exists for (a row_number window would pin each hot paragraph on
+    // one task)
+    time(paraStage) {
+      Dedup.dedupParagraphs(docsPq, "text", "doc_id", sep = " ").count()
+    }
+    // ~24 tokens/doc through the count-table join and per-doc mean —
+    // the hot term ("the"-class tokens in every doc) rides the
+    // AQE-splittable join, not a window
+    time(lmStage) {
+      operators.TfIdf.lmScore(docsPq, "text", "doc_id").count()
+    }
+    // vocabulary-bounded: pair counting touches ~20k distinct words
+    // regardless of corpus rows
+    time(bpeStage) {
+      operators.Bpe.pairStats(docsPq, "text", k = 30).count()
     }
     time(curationStage) {
       val r = CurationPipeline.run(docsPq, "text", "doc_id", withAudit = false)

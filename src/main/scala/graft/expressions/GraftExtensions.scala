@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => RewriteHofCosine)
+    ext.injectOptimizerRule(_ => RewriteRegexpCount)
   }
 }
 
@@ -88,10 +89,13 @@ object GraftFunctions {
   /** Install graft's optimizer rules on a live session (the
     * programmatic equivalent of the extensions route).
     */
-  def installOptimizations(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(RewriteHofCosine))
+  def installOptimizations(spark: SparkSession): Unit = {
+    val want = Seq(RewriteHofCosine, RewriteRegexpCount)
+    val missing = want.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ RewriteHofCosine
+        spark.experimental.extraOptimizations ++ missing
+  }
 
   /** Typed DataFrame-API handle on the native cosine expression. */
   def cosineSim(a: Column, b: Column): Column =
