@@ -100,22 +100,37 @@ private class ReplayTable(props: Map[String, String]) extends Table with Support
   }
 }
 
-// case class: two scans of the same (rows, partitions, seed) must be
-// EQUAL, or BatchScanExec canonicalization treats them as different
-// relations and exchange/stage reuse never fires above this source —
-// a self-join over a replay frame then recomputes the whole subtree
-// per branch (file-based sources get this equality from their paths)
-private case class ReplayScanBuilder(rows: Long, partitions: Int, seed: Long)
-  extends ScanBuilder with Scan with Batch {
-  override def build(): Scan = this
-  override def readSchema(): StructType = ReplaySource.schema
+// Mutable builder holding the pruned schema; the built Scan is a case
+// class so equality captures (rows, partitions, seed, columns) — two
+// scans of the same options AND the same pruned columns must be EQUAL,
+// or BatchScanExec canonicalization treats them as different relations
+// and exchange/stage reuse never fires above this source — a self-join
+// over a replay frame then recomputes the whole subtree per branch
+// (file-based sources get this equality from their paths).
+private class ReplayScanBuilder(rows: Long, partitions: Int, seed: Long)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ReplaySource.schema
+  // the generator derives every field from the same per-row hash chain,
+  // so pruning costs nothing to honor: emit only the requested columns
+  // (a 2-of-6 projection then moves a third of the bytes)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    ReplayScan(rows, partitions, seed,
+      required.fieldNames.map(ReplaySource.schema.fieldIndex).toSeq)
+}
+
+private case class ReplayScan(rows: Long, partitions: Int, seed: Long,
+                              colIdx: Seq[Int]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(colIdx.map(ReplaySource.schema.fields))
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val perPart = (rows + partitions - 1) / partitions
     (0 until partitions).map { p =>
       val n = math.max(0L, math.min(perPart, rows - p * perPart))
-      ReplayPartition(p, n, perPart, seed): InputPartition
+      ReplayPartition(p, n, perPart, seed, colIdx): InputPartition
     }.toArray
   }
 
@@ -123,16 +138,22 @@ private case class ReplayScanBuilder(rows: Long, partitions: Int, seed: Long)
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val rp = partition.asInstanceOf[ReplayPartition]
+        val idx = rp.colIdx.toArray
         new PartitionReader[InternalRow] {
           private var i = -1L
           override def next(): Boolean = { i += 1; i < rp.n }
-          override def get(): InternalRow =
-            ReplaySource.row(rp.seed, rp.part, i, rp.perPart)
+          override def get(): InternalRow = {
+            val full = ReplaySource.row(rp.seed, rp.part, i, rp.perPart)
+            if (idx.length == ReplaySource.schema.length) full
+            else InternalRow.fromSeq(idx.toSeq.map(j =>
+              full.get(j, ReplaySource.schema.fields(j).dataType)))
+          }
           override def close(): Unit = ()
         }
       }
     }
 }
 
-private case class ReplayPartition(part: Int, n: Long, perPart: Long, seed: Long)
+private case class ReplayPartition(part: Int, n: Long, perPart: Long,
+                                   seed: Long, colIdx: Seq[Int])
   extends InputPartition

@@ -34,6 +34,21 @@ class ReplaySourceSpec extends SparkSpec {
     a should not be b
   }
 
+  test("column pruning reaches the generator (DSv2 required-columns pushdown)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val q = read(1000, 4).select("user_id", "event_type")
+    val scans = q.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    scans should have size 1
+    // the scan itself emits only the projected columns — not a
+    // post-scan projection over all six
+    scans.head.output.map(_.name).sorted shouldBe Seq("event_type", "user_id")
+    // pruned values match the full read's projection exactly
+    val full = read(1000, 4).orderBy("event_id")
+      .select("user_id", "event_type").collect()
+    q.orderBy("user_id", "event_type").collect() shouldBe
+      full.sortBy(r => (r.getLong(0), r.getString(1)))
+  }
+
   test("feeds the snapshot pipeline end-to-end") {
     val curated = graft.operators.SnapshotPipeline.curateEvents(
       graft.operators.SnapshotPipeline.processEvents(read(2000, 8)))
