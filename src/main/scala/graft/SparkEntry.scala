@@ -922,6 +922,13 @@ object SparkEntry {
       operators.Profile.robustOutliers(
         t(s, d, "events"), "value", "event_type", z = 2.0)),
 
+    // event-time lateness histogram in arrival order (watermark-delay
+    // sizing): distributed prefix-max, no single-partition window
+    "q99_lateness_audit" -> ((s, d) =>
+      operators.Audit.latenessAudit(
+        t(s, d, "events"), "ts", "event_id",
+        boundsSeconds = Seq(60L, 900L))),
+
     // robust dispersion: median absolute deviation per event type —
     // the exact interpolated percentile (q41's verified primitive)
     // applied twice, group medians broadcast back between passes
@@ -1829,6 +1836,22 @@ object SparkEntry {
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
           |GROUP BY e.event_type""".stripMargin,
+
+      // prior-max over arrival order as a plain window (fine for an
+      // oracle); lateness 0 or first event = on_time
+      "q99_lateness_audit" ->
+        """WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events WHERE ts IS NOT NULL),
+          |m AS (
+          |  SELECT t, max(t) OVER (
+          |    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          |  FROM e)
+          |SELECT CASE
+          |    WHEN pm IS NULL OR pm - t <= 0 THEN 'on_time'
+          |    WHEN pm - t <= 60000000 THEN 'le_60s'
+          |    WHEN pm - t <= 900000000 THEN 'le_900s'
+          |    ELSE 'gt_900s' END AS bucket,
+          |  count(*) AS n
+          |FROM m GROUP BY 1""".stripMargin,
 
       "q86_mad" ->
         s"""WITH m AS (

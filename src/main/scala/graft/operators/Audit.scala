@@ -42,4 +42,72 @@ object Audit {
           col("n_null_keys"), col("n_orphans"))
     }.reduce(_ unionByName _)
   }
+
+  /** Event-time lateness audit — the report that picks a streaming
+    * watermark delay: for every event, how far its event time lags the
+    * maximum event time already seen in ARRIVAL order (the disorder a
+    * watermark must absorb), bucketed into a histogram. A watermark of
+    * X loses exactly the rows in buckets beyond X, so this table reads
+    * directly as "delay vs completeness".
+    *
+    * The global running max is a prefix computation over arrival order
+    * — the single-partition-window trap. Same escape as shuffleRank:
+    * arrival ids bucket into `bucketWidth`-sized ranges; per-bucket
+    * maxima are a tiny aggregate (collected — n/bucketWidth longs, the
+    * bounded-driver-traffic contract), their exclusive prefix maxima
+    * broadcast back, and a within-bucket running max (thousands of
+    * independent window partitions) completes prior-max = max(prefix,
+    * local). Same snapshot assumption as shuffleRank: the input must
+    * be deterministic between the construction-time aggregate and the
+    * returned plan's execution.
+    *
+    * @param boundsSeconds ascending lateness bucket edges; events with
+    *        lateness in (edge_{i-1}, edge_i] land in bucket `le_<edge>s`,
+    *        beyond the last edge in `gt_<last>s`, and lateness 0 (in
+    *        order, or the first event) in `on_time`.
+    */
+  def latenessAudit(events: DataFrame, tsCol: String, arrivalCol: String,
+                    boundsSeconds: Seq[Long] = Seq(60L, 900L),
+                    bucketWidth: Long = 65536L): DataFrame = {
+    require(boundsSeconds.nonEmpty && boundsSeconds == boundsSeconds.sorted &&
+      boundsSeconds.forall(_ > 0),
+      s"bucket edges must be ascending positive seconds: $boundsSeconds")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = events
+      .select(col(arrivalCol).as("__a"), unix_micros(col(tsCol)).as("__t"))
+      .filter(col("__t").isNotNull)
+      .withColumn("__b", floor(col("__a") / lit(bucketWidth)).cast("long"))
+    val bmax = keyed.groupBy("__b").agg(max(col("__t")).as("__m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive prefix max per bucket; None for the first bucket (no
+    // prior event) — null-based so ANSI subtraction never sees a
+    // sentinel it could overflow on
+    var acc = Option.empty[Long]
+    val prefix = bmax.map { case (b, m) =>
+      val before = acc; acc = Some(acc.fold(m)(math.max(_, m))); (b, before)
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prefixDf = prefix.toSeq.toDF("__b", "__pm")
+    val w = Window.partitionBy(col("__b")).orderBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // greatest() skips nulls, so __prior is null only for the very
+    // first event overall
+    val late = keyed
+      .join(broadcast(prefixDf), Seq("__b"))
+      .withColumn("__prior", greatest(col("__pm"), max(col("__t")).over(w)))
+      .withColumn("__late_us",
+        when(col("__prior").isNull, lit(0L))
+          .otherwise(greatest(lit(0L), col("__prior") - col("__t"))))
+    val bucketCol = boundsSeconds.reverse
+      .foldLeft(lit(s"gt_${boundsSeconds.last}s")) { case (acc2, edge) =>
+        when(col("__late_us") <= edge * 1000000L, lit(s"le_${edge}s")).otherwise(acc2)
+      }
+    late
+      .withColumn("bucket",
+        when(col("__late_us") === 0L, lit("on_time")).otherwise(bucketCol))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

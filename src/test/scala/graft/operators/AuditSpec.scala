@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class AuditSpec extends SparkSpec {
 
@@ -30,5 +31,39 @@ class AuditSpec extends SparkSpec {
     val r = Audit.fkOrphans(Seq(("c", child, "fk", parent, "pk"))).collect()(0)
     r.getLong(1) shouldBe 2L
     r.getLong(3) shouldBe 1L // only fk=8 dangles; the dup 7 counts once
+  }
+
+  test("latenessAudit buckets disorder against the running arrival max") {
+    // arrival: ts seconds [100, 50, 200, 190, 210, 0]
+    //  a1 t100 first          -> on_time
+    //  a2 t50  prior 100 -> 50s  -> le_60s
+    //  a3 t200 prior 100 -> 0   -> on_time
+    //  a4 t190 prior 200 -> 10s -> le_60s
+    //  a5 t210 prior 200 -> 0   -> on_time
+    //  a6 t0   prior 210 -> 210s-> le_900s
+    val ev = Seq((1L, 100L), (2L, 50L), (3L, 200L), (4L, 190L),
+      (5L, 210L), (6L, 0L))
+      .toDF("arrival", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    // bucketWidth=2 forces the cross-bucket prefix path (ids span 4
+    // buckets); results must not depend on the bucketing
+    for (bw <- Seq(2L, 65536L)) {
+      val out = Audit.latenessAudit(ev, "ts", "arrival",
+          boundsSeconds = Seq(60L, 900L), bucketWidth = bw)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      withClue(s"bucketWidth=$bw: ") {
+        out shouldBe Map("on_time" -> 3L, "le_60s" -> 2L, "le_900s" -> 1L)
+      }
+    }
+  }
+
+  test("latenessAudit plans bucket-partitioned windows only") {
+    val ev = Seq((1L, 10L)).toDF("arrival", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val plan = Audit.latenessAudit(ev, "ts", "arrival")
+      .queryExecution.executedPlan.toString
+    plan should not include "SinglePartition"
+    an[IllegalArgumentException] should be thrownBy
+      Audit.latenessAudit(ev, "ts", "arrival", boundsSeconds = Seq(900L, 60L))
   }
 }
