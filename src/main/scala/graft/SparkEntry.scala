@@ -922,6 +922,20 @@ object SparkEntry {
       operators.Profile.robustOutliers(
         t(s, d, "events"), "value", "event_type", z = 2.0)),
 
+    // vocabulary drift between the even/odd corpus halves: top terms
+    // by absolute token-share shift (the distribution-drift monitor)
+    "q100_vocab_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.TfIdf.vocabDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", k = 20)
+        .select(col("term"),
+          pround(col("share_a"), 6).as("share_a"),
+          pround(col("share_b"), 6).as("share_b"),
+          pround(col("delta"), 6).as("delta"))
+    }),
+
     // event-time lateness histogram in arrival order (watermark-delay
     // sizing): distributed prefix-max, no single-partition window
     "q99_lateness_audit" -> ((s, d) =>
@@ -1836,6 +1850,28 @@ object SparkEntry {
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
           |GROUP BY e.event_type""".stripMargin,
+
+      // identical IEEE share arithmetic on both sides, so the
+      // unrounded |delta| cut picks the same 20 terms
+      "q100_vocab_drift" ->
+        s"""WITH ca AS (
+           |  SELECT term, count(*) AS c
+           |  FROM (SELECT unnest(t) AS term FROM (SELECT $toksSql AS t FROM documents WHERE doc_id % 2 = 0))
+           |  GROUP BY term),
+           |cb AS (
+           |  SELECT term, count(*) AS c
+           |  FROM (SELECT unnest(t) AS term FROM (SELECT $toksSql AS t FROM documents WHERE doc_id % 2 = 1))
+           |  GROUP BY term),
+           |j AS (
+           |  SELECT COALESCE(ca.term, cb.term) AS term,
+           |    CAST(COALESCE(ca.c, 0) AS DOUBLE) / (SELECT sum(c) FROM ca) AS share_a,
+           |    CAST(COALESCE(cb.c, 0) AS DOUBLE) / (SELECT sum(c) FROM cb) AS share_b
+           |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term)
+           |SELECT term, ${pround("share_a", 6)} AS share_a,
+           |  ${pround("share_b", 6)} AS share_b,
+           |  ${pround("share_b - share_a", 6)} AS delta
+           |FROM j
+           |ORDER BY abs(share_b - share_a) DESC, term ASC LIMIT 20""".stripMargin,
 
       // prior-max over arrival order as a plain window (fine for an
       // oracle); lateness 0 or first event = on_time

@@ -115,6 +115,40 @@ object TfIdf {
     * analysis as `topTerms`' df join), then one per-doc aggregate.
     * Docs with no tokens produce no row.
     */
+  /** Vocabulary drift between two corpus snapshots (yesterday's crawl
+    * vs today's, train vs incoming): the `k` terms whose share of the
+    * token mass moved most. This is the distribution-shift monitor a
+    * continuously-ingesting pipeline alarms on — a sudden share spike
+    * for boilerplate/navigation tokens is how template pollution and
+    * scraper loops show up before any quality gate catches them.
+    *
+    * Two map-side-combined count tables (each bounded by vocabulary),
+    * full-outer-joined on term with absent terms at share 0; totals
+    * attach as one-row broadcast aggregates; the top-k cut
+    * (|delta| desc, term asc) plans as TakeOrderedAndProject.
+    */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String,
+                 k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    def counts(df: DataFrame, cn: String) = df
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(cn))
+    val ca = counts(a, "__ca")
+    val cb = counts(b, "__cb")
+    val ta = ca.agg(sum(col("__ca")).as("__ta"))
+    val tb = cb.agg(sum(col("__cb")).as("__tb"))
+    ca.join(cb, Seq("term"), "full_outer")
+      .join(broadcast(ta)).join(broadcast(tb))
+      .withColumn("share_a",
+        coalesce(col("__ca"), lit(0L)).cast("double") / col("__ta"))
+      .withColumn("share_b",
+        coalesce(col("__cb"), lit(0L)).cast("double") / col("__tb"))
+      .withColumn("delta", col("share_b") - col("share_a"))
+      .orderBy(abs(col("delta")).desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("share_a"), col("share_b"), col("delta"))
+  }
+
   def lmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val terms = docs.select(col(idCol),
       explode(TextFns.tokens(col(textCol))).as("term"))

@@ -80,4 +80,19 @@ class TfIdfSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "Window"
   }
+
+  test("vocabDrift ranks terms by absolute share shift, absent terms at zero") {
+    import spark.implicits._
+    // a: x x y (x share 2/3, y 1/3); b: x z z z (x 1/4, z 3/4)
+    // deltas: z +0.75, x -5/12, y -1/3
+    val a = Seq((1L, "x x y")).toDF("id", "text")
+    val b = Seq((2L, "x z z z")).toDF("id", "text")
+    val out = TfIdf.vocabDrift(a, b, "text", k = 3).collect()
+    out.map(_.getString(0)).toSeq shouldBe Seq("z", "x", "y")
+    val z = out.head
+    z.getDouble(1) shouldBe 0.0
+    z.getDouble(2) shouldBe 0.75 +- 1e-12
+    z.getDouble(3) shouldBe 0.75 +- 1e-12
+    out(2).getDouble(2) shouldBe 0.0 // y vanished from b
+  }
 }

@@ -63,7 +63,7 @@ class QueryPlanSpec extends SparkSpec {
   // driver-bounded
   private val bnljAllowed = Set(
     "q24_ann_bruteforce", "q25_ann_ivf", "q34_ann_kmeans",
-    "q77_tfidf_terms", "q93_mixture_plan")
+    "q77_tfidf_terms", "q93_mixture_plan", "q100_vocab_drift")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
