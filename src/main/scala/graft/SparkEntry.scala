@@ -235,6 +235,17 @@ object SparkEntry {
           col("n_events"))
     }),
 
+    // native session_window sessions (the streaming sessionizer's
+    // batch path — same code, same oracle-pinned boundary semantics:
+    // gap >= 3600 splits, session_end = last event + gap)
+    "q101_session_window" -> ((s, d) =>
+      streaming.StreamingSessionize.sessions(
+          t(s, d, "events"), "user_id", "ts", gapSeconds = 3600)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"))),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -1324,6 +1335,24 @@ object SparkEntry {
           |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
           |  count(*) AS n_events
           |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+      // session_window boundary semantics match q40's lag form: only a
+      // gap STRICTLY greater than 3600s starts a new session (verified
+      // by the exact-boundary spec); end = last event + gap
+      "q101_session_window" ->
+        """WITH g AS (
+          |  SELECT user_id, epoch_us(ts) AS t,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (
+          |  SELECT user_id, t,
+          |    sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM g)
+          |SELECT user_id, min(t) AS start_us, max(t) + 3600000000 AS end_us,
+          |  count(*) AS n_events
+          |FROM s GROUP BY user_id, sid""".stripMargin,
 
       "q41_median" ->
         s"""SELECT event_type, ${pround("quantile_cont(value, 0.5)", 4)} AS median_value
