@@ -1,0 +1,102 @@
+package graft.api
+
+import graft.operators._
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Fluent DataFrame syntax over the engine's operators — import
+  * `graft.api.syntax._` and chain curation stages the way the
+  * reference's users chain its pipeline calls:
+  *
+  * {{{
+  *   import graft.api.syntax._
+  *   val curated = docs
+  *     .scoreQuality("text", "doc_id")
+  *     .dropExactDups("text", "doc_id")
+  *     .decontaminateAgainst(evalSet, "text", "doc_id", n = 13)
+  *     .deterministicSample("doc_id", pct = 25)
+  * }}}
+  *
+  * Every method delegates 1:1 to a verified operator (the
+  * implementations, plans, and oracle contracts live with the
+  * operators — this file adds NO logic), so facade chains inherit the
+  * operators' scale shapes unchanged. Extension methods are value
+  * classes: zero allocation per call at the use site.
+  */
+object syntax {
+
+  implicit class GraftDocumentOps(private val df: DataFrame) extends AnyVal {
+
+    // ---- dedup ----
+    def dropExactDups(textCol: String, idCol: String): DataFrame =
+      Dedup.dropExactDups(df, textCol, idCol)
+    def minhashCandidates(textCol: String, idCol: String,
+                          bands: Int = 3, rowsPerBand: Int = 2): DataFrame =
+      Dedup.minhashCandidates(df, textCol, idCol, bands, rowsPerBand)
+    def dedupParagraphs(textCol: String, idCol: String, sep: String): DataFrame =
+      Dedup.dedupParagraphs(df, textCol, idCol, sep)
+    def dupSpans(textCol: String, idCol: String, n: Int,
+                 minDocs: Int = 2): DataFrame =
+      Dedup.dupSpans(df, textCol, idCol, n, minDocs)
+
+    // ---- curation / scoring ----
+    def curate(textCol: String, idCol: String,
+               cfg: CurationPipeline.Config = CurationPipeline.Config())
+        : CurationPipeline.Result =
+      CurationPipeline.run(df, textCol, idCol, cfg, withAudit = false)
+    def scoreQuality(textCol: String, idCol: String): DataFrame =
+      df.select(org.apache.spark.sql.functions.col(idCol),
+        TextFns.qualityScore(org.apache.spark.sql.functions.col(textCol))
+          .as("quality"))
+    def lmScore(textCol: String, idCol: String): DataFrame =
+      TfIdf.lmScore(df, textCol, idCol)
+
+    // ---- decontamination ----
+    def decontaminateAgainst(evalSet: DataFrame, textCol: String,
+                             idCol: String, n: Int,
+                             minShared: Int = 1): DataFrame =
+      Decontamination.decontaminate(df, evalSet, textCol, idCol, n, minShared)
+
+    // ---- sampling / mixing / ordering ----
+    def deterministicSample(keyCol: String, pct: Int): DataFrame =
+      Sampling.deterministicSample(df, keyCol, pct)
+    def stratifiedSample(keyCol: String, strataCol: String,
+                         pcts: Map[String, Int], defaultPct: Int): DataFrame =
+      Sampling.stratifiedSample(df, keyCol, strataCol, pcts, defaultPct)
+    def datasetSplit(keyCol: String): DataFrame =
+      Sampling.datasetSplit(df, keyCol)
+    def shuffleRank(keyCol: String, hexPrefix: Int = 3): DataFrame =
+      Sampling.shuffleRank(df, keyCol, hexPrefix)
+    def shardByRank(keyCol: String, shardSize: Long,
+                    hexPrefix: Int = 3): DataFrame =
+      Packing.shardByRank(df, keyCol, shardSize, hexPrefix)
+    def mixturePlan(strataCol: String, tokensCol: Column,
+                    targets: Map[String, Double]): DataFrame =
+      Sampling.mixturePlan(df, strataCol, tokensCol, targets)
+
+    // ---- shaping ----
+    def chunkDocs(textCol: String, idCol: String, size: Int,
+                  stride: Int): DataFrame =
+      Packing.chunkDocs(df, textCol, idCol, size, stride)
+    def packByConcat(tokensCol: Column, budget: Long, shardCol: String,
+                     orderCol: String): DataFrame =
+      Packing.packByConcat(df, tokensCol, budget, shardCol, orderCol)
+  }
+
+  implicit class GraftEventOps(private val df: DataFrame) extends AnyVal {
+    def sessionize(keyCol: String, tsCol: String, gapSeconds: Long): DataFrame =
+      Sessionize.sessions(df, keyCol, tsCol, gapSeconds)
+    def asOfJoinBackward(right: DataFrame, keys: Seq[String], tsCol: String,
+                         valCols: Map[String, String]): DataFrame =
+      AsOfJoin.backward(df, right, keys, tsCol, valCols)
+    def gapFill(keyCol: String, tsCol: String,
+                valCols: Map[String, String], stepSeconds: Long): DataFrame =
+      Resample.gapFill(df, keyCol, tsCol, valCols, stepSeconds)
+    def latenessAudit(tsCol: String, arrivalCol: String,
+                      boundsSeconds: Seq[Long] = Seq(60L, 900L)): DataFrame =
+      Audit.latenessAudit(df, tsCol, arrivalCol, boundsSeconds)
+    def robustOutliers(valCol: String, byCol: String,
+                       z: Double = 3.0): DataFrame =
+      Profile.robustOutliers(df, valCol, byCol, z)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Sampling, Sessionize}
+import org.apache.spark.sql.functions._
+
+class SyntaxSpec extends SparkSpec {
+
+  import syntax._
+
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  test("facade methods produce the same plans as direct operator calls") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "something else entirely here")).toDF("doc_id", "text")
+    // sameResult = canonicalized-plan equality: the facade adds NOTHING
+    docs.dropExactDups("text", "doc_id").queryExecution.analyzed
+      .sameResult(Dedup.dropExactDups(docs, "text", "doc_id")
+        .queryExecution.analyzed) shouldBe true
+    docs.deterministicSample("doc_id", 25).queryExecution.analyzed
+      .sameResult(Sampling.deterministicSample(docs, "doc_id", 25)
+        .queryExecution.analyzed) shouldBe true
+  }
+
+  test("a curation chain composes through the facade") {
+    val docs = Seq(
+      (1L, "the stream of data is clean and ready for the training corpus today"),
+      (2L, "the stream of data is clean and ready for the training corpus today"),
+      (3L, "a different document about the engine and its many moving parts in code"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "totally unrelated benchmark text avoiding collisions"))
+      .toDF("doc_id", "text")
+    val out = docs
+      .dropExactDups("text", "doc_id")
+      .decontaminateAgainst(evalSet, "text", "doc_id", n = 3)
+      .deterministicSample("doc_id", 100)
+    out.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+  }
+
+  test("event ops facade delegates to the verified operators") {
+    val ev = Seq((1L, 0L), (1L, 30L), (1L, 5000L)).toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    ev.sessionize("user_id", "ts", 3600).queryExecution.analyzed
+      .sameResult(Sessionize.sessions(ev, "user_id", "ts", 3600)
+        .queryExecution.analyzed) shouldBe true
+    ev.sessionize("user_id", "ts", 3600).count() shouldBe 2L
+  }
+}
