@@ -121,10 +121,23 @@ private class ReplayScanBuilder(rows: Long, partitions: Int, seed: Long)
 }
 
 private case class ReplayScan(rows: Long, partitions: Int, seed: Long,
-                              colIdx: Seq[Int]) extends Scan with Batch {
+                              colIdx: Seq[Int]) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType =
     StructType(colIdx.map(ReplaySource.schema.fields))
   override def toBatch: Batch = this
+
+  // per-column serialized widths (strings estimated at their generated
+  // lengths); accurate statistics let the planner auto-broadcast a
+  // small replay frame exactly like a parquet side with footer stats
+  private val colBytes = Array(8L, 8L, 8L, 8L, 8L, 12L)
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rowBytes = colIdx.map(colBytes).sum.max(1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * rowBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val perPart = (rows + partitions - 1) / partitions

@@ -49,6 +49,18 @@ class ReplaySourceSpec extends SparkSpec {
       full.sortBy(r => (r.getLong(0), r.getString(1)))
   }
 
+  test("reported statistics drive auto-broadcast like file footer stats") {
+    // a small replay frame joined to a big one must broadcast WITHOUT
+    // an explicit hint — possible only because estimateStatistics
+    // reports a real size (DSv2 defaults to 'unknown' = never
+    // broadcast); the pruned scan also reports the narrower row width
+    val small = read(100, 2).select(col("user_id")).distinct()
+    val big = read(100000, 8)
+    val plan = big.join(small, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
   test("feeds the snapshot pipeline end-to-end") {
     val curated = graft.operators.SnapshotPipeline.curateEvents(
       graft.operators.SnapshotPipeline.processEvents(read(2000, 8)))
