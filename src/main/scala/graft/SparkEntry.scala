@@ -933,6 +933,18 @@ object SparkEntry {
       operators.Profile.robustOutliers(
         t(s, d, "events"), "value", "event_type", z = 2.0)),
 
+    // C4-style blocklist screen: per-source doc counts vs docs hitting
+    // the blocklist (one native tally over the anchored alternation)
+    "q102_blocklist_screen" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("__hits",
+          functions.TextFns.blocklistCount(col("text"),
+            Seq("slow", "dup", "error")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__hits") > 0, 1L).otherwise(0L)).as("n_blocked"),
+          sum(col("__hits")).as("n_hits"))),
+
     // vocabulary drift between the even/odd corpus halves: top terms
     // by absolute token-share shift (the distribution-drift monitor)
     "q100_vocab_drift" -> ((s, d) => {
@@ -1879,6 +1891,18 @@ object SparkEntry {
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
           |GROUP BY e.event_type""".stripMargin,
+
+      // whole-word alternation, RE2-compatible; len(extract_all) is
+      // the portable form of the native tally
+      "q102_blocklist_screen" ->
+        """WITH h AS (
+          |  SELECT source,
+          |    CAST(len(regexp_extract_all(text, '\b(?:slow|dup|error)\b')) AS BIGINT) AS hits
+          |  FROM documents)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+          |  sum(hits) AS n_hits
+          |FROM h GROUP BY source""".stripMargin,
 
       // identical IEEE share arithmetic on both sides, so the
       // unrounded |delta| cut picks the same 20 terms

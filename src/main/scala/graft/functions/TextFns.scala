@@ -188,6 +188,21 @@ object TextFns {
   def urlCount(text: Column): Column =
     tally(text, "https?://[^\\s]+").cast("long")
 
+  /** Count of blocklisted words (C4-style "bad words" screen): one
+    * native tally over an anchored alternation, so a 100-word
+    * blocklist is still ONE scan-resident counter, not 100 contains()
+    * probes. Words are regex-quoted; matching is whole-word and
+    * case-sensitive (lower the column first for case-folded policy —
+    * keeping the fold explicit keeps the portable-oracle contract
+    * byte-exact).
+    */
+  def blocklistCount(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "blocklist must not be empty")
+    val pat = words.map(java.util.regex.Pattern.quote)
+      .mkString("\\b(?:", "|", ")\\b")
+    tally(text, pat).cast("long")
+  }
+
   /** PII redaction: rewrite email-shaped spans then http(s) URLs to
     * typed placeholders, using the SAME portable patterns as the count
     * surface above (both are RE2- and java.util.regex-compatible, so an

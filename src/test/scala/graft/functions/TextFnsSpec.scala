@@ -168,4 +168,22 @@ class TextFnsSpec extends SparkSpec {
     d.select(TextFns.emailCount(TextFns.redactPii(col("text")))).collect()
       .foreach(_.getLong(0) shouldBe 0L)
   }
+
+  test("blocklistCount matches whole words only, one tally for many words") {
+    import spark.implicits._
+    val df = Seq(
+      "the slow query and another slow scan",  // 2 whole-word hits
+      "slowness is not slow-ness hyphens split words here slow",  // slow-ness: 'slow' bounded by '-' IS a word boundary; slowness is not
+      "clean text").toDF("text")
+    val out = df.select(graft.functions.TextFns.blocklistCount(
+        org.apache.spark.sql.functions.col("text"), Seq("slow", "dup"))
+      .as("n")).collect().map(_.getLong(0))
+    out(0) shouldBe 2L
+    // "slowness" does not match; "slow-ness" and the trailing "slow" do
+    out(1) shouldBe 2L
+    out(2) shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      graft.functions.TextFns.blocklistCount(
+        org.apache.spark.sql.functions.col("text"), Nil)
+  }
 }
