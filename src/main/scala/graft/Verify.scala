@@ -24,6 +24,11 @@ object Verify {
     // always dump the full surface
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // a typo'd name must fail loudly (same contract as Bench) — an
+    // all-miss filter would write an empty dump that reads as success
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      sys.error(s"[verify] unknown queries in SPARK_GRAFT_QUERIES: ${unknown.mkString(",")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
