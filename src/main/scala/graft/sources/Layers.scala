@@ -124,6 +124,24 @@ object Layers {
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(path)
 
+  /** ORC layer (Spark-native columnar alternative for warehouses whose
+    * downstream readers are ORC-first — Hive/Presto estates): same
+    * pushdown/pruning behavior as the parquet layers, snappy by
+    * default. One format knob, not a separate code path — the layer
+    * API stays schema-and-partition-centric.
+    */
+  def writeOrc(df: DataFrame, path: String,
+               partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    spark.read.orc(path)
+  }
+
   /** JDBC append sink (reference S9: src/other/insert_data_to_db.py:43-74
     * bulk-loads curated CSVs into Postgres with rollback-on-error; a
     * Spark jdbc write is transactional per task and idempotent when the
