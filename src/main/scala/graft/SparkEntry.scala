@@ -683,6 +683,14 @@ object SparkEntry {
       operators.Dedup.dedupParagraphs(
         t(s, d, "documents"), "text", "doc_id", sep = " line ")),
 
+    // within-document span cleanup: same machinery as q88 but scoped
+    // per doc — repeated "paragraphs" inside one doc collapse, while
+    // cross-doc repeats survive
+    "q103_paragraph_dedup_local" -> ((s, d) =>
+      operators.Dedup.dedupParagraphs(
+        t(s, d, "documents"), "text", "doc_id", sep = " line ",
+        global = false)),
+
     // within-doc n-gram repetition stats (Gopher repetition-gate
     // signals) via the native one-pass expression; the oracle is the
     // relational explode -> count-per-gram -> re-aggregate form the
@@ -2190,6 +2198,20 @@ object SparkEntry {
           |kept AS (
           |  SELECT doc_id, idx, para FROM p
           |  QUALIFY row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) = 1)
+          |SELECT doc_id, string_agg(para, ' line ' ORDER BY idx) AS text_dedup,
+          |       count(*) AS n_paras_kept
+          |FROM kept GROUP BY doc_id""".stripMargin,
+
+      // q88's shape with the winner key scoped per document
+      "q103_paragraph_dedup_local" ->
+        """WITH p AS (
+          |  SELECT doc_id, u.para, u.idx
+          |  FROM (SELECT doc_id, string_split(text, ' line ') AS l FROM documents) d,
+          |  LATERAL (SELECT unnest(l) AS para, unnest(range(1, len(l)+1)) AS idx) u
+          |  WHERE trim(u.para) <> ''),
+          |kept AS (
+          |  SELECT doc_id, idx, para FROM p
+          |  QUALIFY row_number() OVER (PARTITION BY doc_id, md5(para) ORDER BY idx) = 1)
           |SELECT doc_id, string_agg(para, ' line ' ORDER BY idx) AS text_dedup,
           |       count(*) AS n_paras_kept
           |FROM kept GROUP BY doc_id""".stripMargin,

@@ -342,16 +342,24 @@ object Dedup {
     *
     * Output: (idCol, text_dedup, n_paras_kept), paragraph order
     * preserved, `sep` re-inserted between survivors.
+    *
+    * `global = false` scopes the dedup WITHIN each document (repeated
+    * headers/footers across pages of one doc — the C4 within-document
+    * span cleanup) instead of corpus-wide: the winner key gains the
+    * doc id, so the winner aggregate partitions by document and the
+    * corpus-wide hot-paragraph concern disappears entirely.
     */
   def dedupParagraphs(docs: DataFrame, textCol: String, idCol: String,
-                      sep: String): DataFrame = {
+                      sep: String, global: Boolean = true): DataFrame = {
     require(sep.nonEmpty, "separator must be non-empty")
     val paras = docs
       .select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__idx", "__para")))
       .filter(trim(col("__para")) =!= "")
-      .withColumn("__h", md5(col("__para")))
+      .withColumn("__h",
+        if (global) md5(col("__para"))
+        else md5(concat_ws("|", col(idCol).cast("string"), col("__para"))))
     val winners = paras
       .groupBy(col("__h"))
       .agg(min(struct(col(idCol).as("id"), col("__idx").as("idx"))).as("__w"))

@@ -179,4 +179,17 @@ class DedupSpec extends SparkSpec {
     out(1L) shouldBe "a\nb"
     out.contains(2L) shouldBe false // both its paragraphs lost to doc 1
   }
+
+  test("dedupParagraphs local scope collapses within-doc repeats only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "header\nbody one\nheader\nbody two"), // in-doc repeated header
+      (2L, "header\nbody three")                   // cross-doc repeat SURVIVES locally
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "text", "doc_id", sep = "\n",
+        global = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "header\nbody one\nbody two"
+    out(2L) shouldBe "header\nbody three"
+  }
 }
