@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   * {{{
   *   import graft.api.syntax._
   *   val curated = docs
-  *     .scoreQuality("text", "doc_id")
+  *     .scoreQuality("text")
   *     .dropExactDups("text", "doc_id")
   *     .decontaminateAgainst(evalSet, "text", "doc_id", n = 13)
   *     .deterministicSample("doc_id", pct = 25)
@@ -44,10 +44,11 @@ object syntax {
                cfg: CurationPipeline.Config = CurationPipeline.Config())
         : CurationPipeline.Result =
       CurationPipeline.run(df, textCol, idCol, cfg, withAudit = false)
-    def scoreQuality(textCol: String, idCol: String): DataFrame =
-      df.select(org.apache.spark.sql.functions.col(idCol),
-        TextFns.qualityScore(org.apache.spark.sql.functions.col(textCol))
-          .as("quality"))
+    // withColumn, not a projection: the class-level example chains
+    // further stages after scoring, so every input column must survive
+    def scoreQuality(textCol: String): DataFrame =
+      df.withColumn("quality",
+        TextFns.qualityScore(org.apache.spark.sql.functions.col(textCol)))
     def lmScore(textCol: String, idCol: String): DataFrame =
       TfIdf.lmScore(df, textCol, idCol)
 

@@ -76,7 +76,9 @@ object Audit {
     import org.apache.spark.sql.expressions.Window
     val keyed = events
       .select(col(arrivalCol).as("__a"), unix_micros(col(tsCol)).as("__t"))
-      .filter(col("__t").isNotNull)
+      // null arrival ids are unrankable in arrival order; without the
+      // filter they form a null bucket that NPEs the collected prefix
+      .filter(col("__t").isNotNull && col("__a").isNotNull)
       .withColumn("__b", floor(col("__a") / lit(bucketWidth)).cast("long"))
     val bmax = keyed.groupBy("__b").agg(max(col("__t")).as("__m")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

@@ -112,18 +112,21 @@ object Decontamination {
     import graft.expressions.GraftFunctions.distinctWordShingles
     val spark = corpus.sparkSession
     import spark.implicits._
-    val evalPairs = evalSet
+    // collected as generic Rows: the eval id keeps whatever type the
+    // caller's idCol has (benchmark names and UUIDs are as common as
+    // numeric ids), same contract as overlap/decontaminate
+    val pairsFrame = evalSet
       .select(col(idCol).as("eval_id"),
         explode(distinctWordShingles(col(textCol), n)).as("gram"))
-      .limit(maxEvalGrams + 1)
-      .as[(Long, String)]
-      .collect()
+    val evalPairs = pairsFrame.limit(maxEvalGrams + 1).collect()
     require(evalPairs.length <= maxEvalGrams,
       s"eval set exceeds maxEvalGrams=$maxEvalGrams (eval_id, gram) " +
         "pairs; the pairs are broadcast — shrink the eval set or raise " +
         "maxEvalGrams only if the driver can hold them")
-    val pairsDf = evalPairs.toSeq.toDF("eval_id", "gram")
-    val gramSet = evalPairs.map(_._2).distinct.toSeq.toDF("gram")
+    val pairsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(evalPairs.toSeq, 1), pairsFrame.schema)
+    val gramSet = evalPairs.map(_.get(1).asInstanceOf[String])
+      .distinct.toSeq.toDF("gram")
     val hits = corpus
       .select(explode(distinctWordShingles(col(textCol), n)).as("gram"))
       .join(broadcast(gramSet), "gram")

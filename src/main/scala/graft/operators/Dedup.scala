@@ -357,11 +357,13 @@ object Dedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__idx", "__para")))
       .filter(trim(col("__para")) =!= "")
-      .withColumn("__h",
-        if (global) md5(col("__para"))
-        else md5(concat_ws("|", col(idCol).cast("string"), col("__para"))))
+      .withColumn("__h", md5(col("__para")))
+    // local scope adds the doc id as a GROUPING key (not folded into
+    // the hash — a delimiter-ambiguous concat would let two documents'
+    // (id, paragraph) pairs collide and silently drop a paragraph)
+    val winnerKeys = if (global) Seq(col("__h")) else Seq(col(idCol), col("__h"))
     val winners = paras
-      .groupBy(col("__h"))
+      .groupBy(winnerKeys: _*)
       .agg(min(struct(col(idCol).as("id"), col("__idx").as("idx"))).as("__w"))
       .select(col("__h").as("__wh"), col("__w.id").as("__wid"),
         col("__w.idx").as("__widx"))

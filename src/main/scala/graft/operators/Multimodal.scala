@@ -114,6 +114,9 @@ object Multimodal {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val fmt = in.getFormat
+        // the short-pairing below is only meaningful for 16-bit PCM;
+        // an 8/24-bit WAV would decode into garbage features silently
+        if (fmt.getSampleSizeInBits != 16) return None
         val frames = in.getFrameLength
         val rate = fmt.getSampleRate.toInt
         val raw = in.readAllBytes()
@@ -190,9 +193,15 @@ object Multimodal {
           val kind = r.getAs[String]("kind")
           val (w, h, rate, durMs, feats) = kind match {
             case "image" =>
-              val (iw, ih) = Codec.imageDims(bytes).getOrElse((0, 0))
-              val f = Codec.decodeImage(bytes)
-                .map(Codec.imageFeatures(_, dims))
+              // ONE full decode per row: dims come from the header
+              // sniff when possible, else from the already-decoded
+              // image — never a second ImageIO.read
+              val img = Codec.decodeImage(bytes)
+              val (iw, ih) = Codec.pngDims(bytes)
+                .orElse(Codec.jpegDims(bytes))
+                .orElse(img.map(i => (i.getWidth, i.getHeight)))
+                .getOrElse((0, 0))
+              val f = img.map(Codec.imageFeatures(_, dims))
                 .getOrElse(new Array[Float](dims))
               (iw, ih, 0, 0L, f)
             case "audio" =>

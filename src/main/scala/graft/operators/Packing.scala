@@ -99,6 +99,11 @@ object Packing {
   def shardByRank(df: DataFrame, keyCol: String, shardSize: Long,
                   hexPrefix: Int = 3): DataFrame = {
     require(shardSize > 0, s"shardSize must be positive: $shardSize")
+    // same reserved-name discipline as packByConcat: re-sharding a
+    // frame that already carries shard_id would silently overwrite it
+    val clash = df.columns.toSet.intersect(Set("shard_id", "shuffle_rank"))
+    require(clash.isEmpty,
+      s"input columns collide with shardByRank output names: $clash")
     Sampling.shuffleRank(df, keyCol, hexPrefix)
       .withColumn("shard_id",
         floor(col("shuffle_rank") / lit(shardSize)).cast("long"))

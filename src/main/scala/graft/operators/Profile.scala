@@ -78,8 +78,11 @@ object Profile {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
       s"quantiles must be in [0,1]: $qs")
     val arr = qs.map(q => lit(q)).toArray
-    df.groupBy(col(byCol))
-      .agg(expr(s"percentile($valCol, array(${qs.mkString(", ")}))").as("__p"))
+    // rename before the expr splice (same discipline as robustOutliers):
+    // a caller's column name may need quoting the SQL string would break
+    df.select(col(byCol), col(valCol).as("__v"))
+      .groupBy(col(byCol))
+      .agg(expr(s"percentile(__v, array(${qs.mkString(", ")}))").as("__p"))
       .select(col(byCol),
         explode(arrays_zip(array(arr: _*).as("q"), col("__p").as("value")))
           .as("__z"))

@@ -99,22 +99,6 @@ object TfIdf {
       .withColumn("oov_rate", col("n_oov") * 1.0 / col("n_tokens"))
   }
 
-  /** Unigram-LM document fluency score (the CCNet/KenLM perplexity
-    * filter's self-contained stand-in): each document scored by the
-    * mean log10 corpus frequency of its tokens — rare and garbage
-    * vocabulary drags the mean down, so ranking by `lm_score`
-    * separates in-distribution text from noise exactly the way the
-    * perplexity filter does, without shipping a pretrained model.
-    * Real pipelines swap the corpus-derived count table for KenLM
-    * n-gram counts; the operator shape is identical.
-    *
-    * Shape: the count table is a map-side-combined aggregate; scoring
-    * re-joins it on the term SHUFFLE-join (not a count window — the
-    * ubiquitous-token hot key would pin a window partition; AQE splits
-    * an oversized join partition but cannot split a window key, same
-    * analysis as `topTerms`' df join), then one per-doc aggregate.
-    * Docs with no tokens produce no row.
-    */
   /** Vocabulary drift between two corpus snapshots (yesterday's crawl
     * vs today's, train vs incoming): the `k` terms whose share of the
     * token mass moved most. This is the distribution-shift monitor a
@@ -149,6 +133,22 @@ object TfIdf {
       .select(col("term"), col("share_a"), col("share_b"), col("delta"))
   }
 
+  /** Unigram-LM document fluency score (the CCNet/KenLM perplexity
+    * filter's self-contained stand-in): each document scored by the
+    * mean log10 corpus frequency of its tokens — rare and garbage
+    * vocabulary drags the mean down, so ranking by `lm_score`
+    * separates in-distribution text from noise exactly the way the
+    * perplexity filter does, without shipping a pretrained model.
+    * Real pipelines swap the corpus-derived count table for KenLM
+    * n-gram counts; the operator shape is identical.
+    *
+    * Shape: the count table is a map-side-combined aggregate; scoring
+    * re-joins it on the term SHUFFLE-join (not a count window — the
+    * ubiquitous-token hot key would pin a window partition; AQE splits
+    * an oversized join partition but cannot split a window key, same
+    * analysis as `topTerms`' df join), then one per-doc aggregate.
+    * Docs with no tokens produce no row.
+    */
   def lmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val terms = docs.select(col(idCol),
       explode(TextFns.tokens(col(textCol))).as("term"))

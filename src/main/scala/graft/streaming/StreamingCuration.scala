@@ -100,15 +100,21 @@ object StreamingCuration {
     // before any dedup state is touched: a contaminated doc must never
     // enter the accepted hash/band tables. The gram table is swap-
     // managed, so an eval-set replacement between batches is atomic.
+    // ONE state read per batch: the table is registration-guarded to
+    // fit the driver, so collect it whole and ship a local relation —
+    // the inert path (no state dir) costs a directory check only, and
+    // the armed path never re-scans the parquet for the join.
     val evalGrams = graft.sources.PathIO.readSwapState(
-      spark, s"$statePath/evalgrams", emptyGrams(spark))
-    val gramN = evalGrams.select("n").limit(1).collect()
-    val gated = if (gramN.isEmpty) qlGated else {
+      spark, s"$statePath/evalgrams", emptyGrams(spark)).collect()
+    val gated = if (evalGrams.isEmpty) qlGated else {
       import graft.expressions.GraftFunctions.distinctWordShingles
+      import spark.implicits._
+      val n = evalGrams(0).getInt(1)
+      val gramsDf = evalGrams.map(_.getString(0)).toSeq.toDF("gram")
       val contaminated = qlGated
         .select(col(idCol),
-          explode(distinctWordShingles(col(textCol), gramN(0).getInt(0))).as("gram"))
-        .join(broadcast(evalGrams.select("gram")), "gram")
+          explode(distinctWordShingles(col(textCol), n)).as("gram"))
+        .join(broadcast(gramsDf), "gram")
         .groupBy(col(idCol))
         .agg(count(lit(1)).as("__ns"))
         .filter(col("__ns") >= cfg.decontMinShared)
