@@ -941,6 +941,15 @@ object SparkEntry {
       operators.Profile.robustOutliers(
         t(s, d, "events"), "value", "event_type", z = 2.0)),
 
+    // canonical normalization pass: the dedup-prep transform, output
+    // as (id, normalized length, content hash) so the oracle pins the
+    // exact normalized bytes without shipping them twice
+    "q104_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        char_length(functions.TextFns.normalize(col("text"))).cast("long")
+          .as("norm_len"),
+        md5(functions.TextFns.normalize(col("text"))).as("norm_md5"))),
+
     // C4-style blocklist screen: per-source doc counts vs docs hitting
     // the blocklist (one native tally over the anchored alternation)
     "q102_blocklist_screen" -> ((s, d) =>
@@ -1899,6 +1908,14 @@ object SparkEntry {
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
           |GROUP BY e.event_type""".stripMargin,
+
+      // lower -> control chars to spaces -> collapse runs -> trim;
+      // \x escapes are RE2- and java.util.regex-identical here
+      "q104_normalize" ->
+        """SELECT doc_id,
+          |  CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len,
+          |  md5(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_md5
+          |FROM documents""".stripMargin,
 
       // whole-word alternation, RE2-compatible; len(extract_all) is
       // the portable form of the native tally

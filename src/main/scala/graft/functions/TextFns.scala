@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** Canonical text normalization — the preprocessing every dedup
+    * and scoring stage assumes upstream ran: lowercase, control chars
+    * to spaces, whitespace runs collapsed to one space, ends trimmed.
+    * Pure scan-resident column functions (codegen'd, RE2-portable
+    * patterns) so normalization rides the projection for free; apply
+    * BEFORE hashing/shingling so byte-level noise (CRLF vs LF, tabs,
+    * doubled spaces) stops defeating exact dedup.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " "),
+      "\\s+", " "))
+
   /** Lowercased whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)

@@ -186,4 +186,24 @@ class TextFnsSpec extends SparkSpec {
       graft.functions.TextFns.blocklistCount(
         org.apache.spark.sql.functions.col("text"), Nil)
   }
+
+  test("normalize canonicalizes case, control chars, and whitespace runs") {
+    import spark.implicits._
+    val df = Seq(
+      "  Hello\tWorld\r\nAgain  ",
+      "already clean",
+      "A\u0000B").toDF("text")
+    val out = df.select(graft.functions.TextFns.normalize(
+        org.apache.spark.sql.functions.col("text")).as("n"))
+      .collect().map(_.getString(0))
+    out(0) shouldBe "hello world again"
+    out(1) shouldBe "already clean"
+    out(2) shouldBe "a b"
+    // idempotence: normalizing twice changes nothing
+    val twice = df.select(graft.functions.TextFns.normalize(
+        graft.functions.TextFns.normalize(
+          org.apache.spark.sql.functions.col("text"))).as("n"))
+      .collect().map(_.getString(0))
+    twice shouldBe out
+  }
 }
