@@ -181,13 +181,14 @@ object ScaleSmoke {
     val paraStage = "paragraph dedup + reassembly"
     val lmStage = "unigram lm score"
     val bpeStage = "bpe pair stats"
+    val decontStage = "streaming screen + decontamination"
     val docsPath = java.nio.file.Files
       .createTempDirectory("graft_smoke_docs").toString + "/docs"
     // the docs write must run whenever any text-chain stage is
     // selected — they all read the parquet it produces
     val docsWrite = "write documents parquet"
     val textStages = Seq(docsWrite, simhashStage, tfidfStage, spansStage,
-      curationStage, screenStage, paraStage, lmStage, bpeStage)
+      curationStage, screenStage, paraStage, lmStage, bpeStage, decontStage)
     val anyText = textStages.exists(willRun)
     time(docsWrite, force = anyText) {
       docs(rows).write.mode("overwrite").parquet(docsPath); rows
@@ -242,6 +243,23 @@ object ScaleSmoke {
         docsPq.filter(col("doc_id") < half), "text", "doc_id", state).count()
       graft.streaming.StreamingCuration.acceptBatch(
         docsPq.filter(col("doc_id") >= half), "text", "doc_id", state).count()
+    }
+    // the screen with the decontamination stage ARMED: 0.1% of docs
+    // play the benchmark; the per-batch cost over the inert screen is
+    // the gram explode + broadcast join — the number that says what
+    // arming decontamination costs an ingest tick
+    time(decontStage) {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_smoke_decont").toString + "/state"
+      graft.streaming.StreamingCuration.registerEvalSet(
+        docsPq.filter(col("doc_id") % 1000 === 0), "text", state, n = 5)
+      val half = rows / 2
+      graft.streaming.StreamingCuration.acceptBatch(
+        docsPq.filter(col("doc_id") < half && col("doc_id") % 1000 =!= 0),
+        "text", "doc_id", state).count()
+      graft.streaming.StreamingCuration.acceptBatch(
+        docsPq.filter(col("doc_id") >= half && col("doc_id") % 1000 =!= 0),
+        "text", "doc_id", state).count()
     }
     spark.stop()
   }
