@@ -481,6 +481,16 @@ object SparkEntry {
         .withColumn("cos_sim", pround(col("cos_sim"), 4))
     }),
 
+    // ANN preprocessing: center on the corpus mean, L2-normalize;
+    // output pins the distance-to-mean and the first normalized
+    // component so the oracle hashes the whole transform
+    "q105_embed_center" -> ((s, d) =>
+      operators.Similarity.centerAndNormalize(
+          t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          pround(col("center_dist"), 4).as("center_dist"),
+          pround(element_at(col("embedding_cn"), 1), 4).as("first_dim"))),
+
     // minCosine is calibrated to the synthetic embeddings (max pairwise
     // cosine ~0.51, no planted near-dups): 0.3 keeps the gate NON-vacuous
     // (>0 pairs at sf0.01) so an all-rows-dropped regression can't pass.
@@ -1528,6 +1538,27 @@ object SparkEntry {
            |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
            |JOIN (SELECT doc_id, len(sset) AS n FROM shs) sa ON sa.doc_id = c.id_a
            |JOIN (SELECT doc_id, len(sset) AS n FROM shs) sb ON sb.doc_id = c.id_b""".stripMargin,
+
+      // per-dim means rebuilt in index order; centered list via the
+      // (x, i) index lambda; norm = in-order list_aggregate sum, same
+      // accumulation order as the Spark HOF
+      "q105_embed_center" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |m AS (SELECT i, avg(x) AS mx
+           |      FROM (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e)
+           |      GROUP BY i),
+           |mv AS (SELECT list(mx ORDER BY i) AS mvec FROM m),
+           |c AS (
+           |  SELECT vec_id,
+           |    list_transform(v, (x, i) -> x - mvec[i]) AS cv
+           |  FROM e, mv),
+           |n AS (
+           |  SELECT vec_id, cv,
+           |    sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum')) AS nrm
+           |  FROM c)
+           |SELECT vec_id, ${pround("nrm", 4)} AS center_dist,
+           |  ${pround("CASE WHEN nrm > 0 THEN cv[1] / nrm ELSE cv[1] END", 4)} AS first_dim
+           |FROM n""".stripMargin,
 
       "q24_ann_bruteforce" ->
         s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),

@@ -20,6 +20,43 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Mean-center and L2-normalize an embedding column — the standard
+    * preprocessing before cosine ANN (centering removes the corpus'
+    * common component, which otherwise dominates every dot product and
+    * compresses the useful cosine range; normalizing makes cosine a
+    * pure dot product downstream).
+    *
+    * The per-dimension mean is the same posexplode → per-pos aggregate
+    * → array rebuild shape as `ivfTopK`'s centroids (one narrow pass,
+    * dims-bounded result broadcast back); centering and normalization
+    * are per-row HOFs in the projection. Zero centered vectors (a row
+    * exactly at the mean) pass through unnormalized with
+    * `center_dist = 0` rather than dividing by zero.
+    *
+    * Output: idCol, `embedding_cn` (centered, unit-norm), `center_dist`
+    * (the row's distance to the corpus mean — itself a useful outlier
+    * signal).
+    */
+  def centerAndNormalize(emb: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val mean = emb
+      .select(posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(transform(col("pm"), x => x.getField("m")).as("__mean"))
+    emb
+      .join(broadcast(mean))
+      .withColumn("__c",
+        zip_with(col(vecCol).cast("array<double>"), col("__mean"), (a, b) => a - b))
+      .withColumn("center_dist", graft.functions.VectorFns.l2Norm(col("__c")))
+      .withColumn("embedding_cn",
+        when(col("center_dist") > 0,
+          transform(col("__c"), x => x / col("center_dist")))
+          .otherwise(col("__c")))
+      .select(col(idCol), col("embedding_cn"), col("center_dist"))
+  }
+
   /** Exact brute-force cosine top-k.
     *
     * @param queries small frame of (idCol, vecCol) — broadcast.

@@ -94,4 +94,20 @@ class SimilaritySpec extends SparkSpec {
     ex.getMessage should include("maxQueries=3")
     ex.getMessage should include("broadcast")
   }
+
+  test("centerAndNormalize: unit norms, mean-zero corpus, zero-vector passthrough") {
+    // corpus mean of {(2,0),(0,2),(1,1)} = (1,1); doc 3 sits AT the
+    // mean -> zero centered vector passes through with dist 0
+    val e = emb(1L -> Seq(2.0, 0.0), 2L -> Seq(0.0, 2.0), 3L -> Seq(1.0, 1.0))
+    val out = Similarity.centerAndNormalize(e, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1), r.getDouble(2)))).toMap
+    out(1L)._2 shouldBe math.sqrt(2.0) +- 1e-12
+    out(1L)._1(0) shouldBe (1.0 / math.sqrt(2.0)) +- 1e-12
+    out(1L)._1(1) shouldBe (-1.0 / math.sqrt(2.0)) +- 1e-12
+    out(3L)._2 shouldBe 0.0
+    out(3L)._1 shouldBe Seq(0.0, 0.0)
+    // non-degenerate rows come out unit-norm
+    math.sqrt(out(2L)._1.map(x => x * x).sum) shouldBe 1.0 +- 1e-12
+  }
 }
