@@ -491,6 +491,15 @@ object SparkEntry {
           pround(col("center_dist"), 4).as("center_dist"),
           pround(element_at(col("embedding_cn"), 1), 4).as("first_dim"))),
 
+    // int8 quantization audit: per-vector reconstruction RMSE and max
+    // abs error against the corpus' per-dim uint8 grid
+    "q106_quantize_error" -> ((s, d) =>
+      operators.Similarity.quantizeError8(
+          t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          pround(col("rmse"), 6).as("rmse"),
+          pround(col("max_abs_err"), 6).as("max_abs_err"))),
+
     // minCosine is calibrated to the synthetic embeddings (max pairwise
     // cosine ~0.51, no planted near-dups): 0.3 keeps the gate NON-vacuous
     // (>0 pairs at sf0.01) so an all-rows-dropped regression can't pass.
@@ -1559,6 +1568,25 @@ object SparkEntry {
            |SELECT vec_id, ${pround("nrm", 4)} AS center_dist,
            |  ${pround("CASE WHEN nrm > 0 THEN cv[1] / nrm ELSE cv[1] END", 4)} AS first_dim
            |FROM n""".stripMargin,
+
+      // token-for-token mirror of quantizeError8's arithmetic tree
+      "q106_quantize_error" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (SELECT i, min(x) AS lo, max(x) AS hi
+           |      FROM (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e)
+           |      GROUP BY i),
+           |bl AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM b),
+           |r AS (
+           |  SELECT vec_id,
+           |    list_transform(v, (x, i) ->
+           |      x - (lo[i] + (CASE WHEN hi[i] > lo[i]
+           |                    THEN floor((x - lo[i]) / (hi[i] - lo[i]) * 255.0 + 0.5)
+           |                    ELSE 0.0 END) / 255.0 * (hi[i] - lo[i]))) AS err
+           |  FROM e, bl)
+           |SELECT vec_id,
+           |  ${pround("sqrt(list_aggregate(list_transform(err, x -> x * x), 'sum') / len(err))", 6)} AS rmse,
+           |  ${pround("list_max(list_transform(err, x -> abs(x)))", 6)} AS max_abs_err
+           |FROM r""".stripMargin,
 
       "q24_ann_bruteforce" ->
         s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),

