@@ -1002,6 +1002,18 @@ object SparkEntry {
         t(s, d, "events"), "ts", "event_id",
         boundsSeconds = Seq(60L, 900L))),
 
+    // per-type winsorization report: clamp counts and the tamed mean
+    // (decimal-summed so the hash is order-independent)
+    "q107_winsorize" -> ((s, d) =>
+      operators.Profile.winsorize(
+          t(s, d, "events"), "value", "event_type", loQ = 0.05, hiQ = 0.95)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__clamped") === -1, 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("__clamped") === 1, 1L).otherwise(0L)).as("n_high"),
+          pround(sum(col("value_w").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 4).as("mean_w"))),
+
     // robust dispersion: median absolute deviation per event type —
     // the exact interpolated percentile (q41's verified primitive)
     // applied twice, group medians broadcast back between passes
@@ -1951,6 +1963,22 @@ object SparkEntry {
            |  sum(CASE WHEN node <> component THEN n ELSE 0 END) AS tokens_dropped
            |FROM comp JOIN tok ON tok.doc_id = comp.node
            |GROUP BY component""".stripMargin,
+
+      // exact percentile bounds, clamp, decimal-summed mean
+      "q107_winsorize" ->
+        s"""WITH b AS (
+           |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+           |         quantile_cont(value, 0.95) AS hi
+           |  FROM events GROUP BY event_type),
+           |w AS (
+           |  SELECT e.event_type, e.value, least(greatest(e.value, b.lo), b.hi) AS vw,
+           |    CASE WHEN e.value < b.lo THEN -1 WHEN e.value > b.hi THEN 1 ELSE 0 END AS c
+           |  FROM events e JOIN b USING (event_type))
+           |SELECT event_type, count(*) AS n,
+           |  CAST(sum(CASE WHEN c = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           |  ${pround("CAST(sum(CAST(vw AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 4)} AS mean_w
+           |FROM w GROUP BY event_type""".stripMargin,
 
       // modified z-score |v - med| / (1.4826 * mad) > 2; zero-MAD
       // groups report no outliers (score undefined)

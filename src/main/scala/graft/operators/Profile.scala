@@ -89,6 +89,31 @@ object Profile {
       .select(col(byCol), col("__z.q").as("q"), col("__z.value").as("value"))
   }
 
+  /** Per-group winsorization: clamp values into the group's exact
+    * [loQ, hiQ] percentile interval — the robust-cleaning transform
+    * that tames heavy tails WITHOUT dropping rows (training pipelines
+    * winsorize reward/score/length features where deletion would bias
+    * the sample). Adds `<valCol>_w` (clamped) and `__clamped` (-1 low,
+    * 0 untouched, 1 high); one percentile pass, bounds broadcast back,
+    * clamp in the projection.
+    */
+  def winsorize(df: DataFrame, valCol: String, byCol: String,
+                loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1: loQ=$loQ hiQ=$hiQ")
+    val bounds = df.select(col(byCol), col(valCol).as("__v"))
+      .groupBy(col(byCol))
+      .agg(expr(s"percentile(__v, $loQ)").as("__lo"),
+        expr(s"percentile(__v, $hiQ)").as("__hi"))
+    df.join(broadcast(bounds), Seq(byCol))
+      .withColumn(s"${valCol}_w",
+        least(greatest(col(valCol), col("__lo")), col("__hi")))
+      .withColumn("__clamped",
+        when(col(valCol) < col("__lo"), lit(-1))
+          .when(col(valCol) > col("__hi"), lit(1)).otherwise(lit(0)))
+      .drop("__lo", "__hi")
+  }
+
   def robustOutliers(df: DataFrame, valCol: String, byCol: String,
                      z: Double = 3.0): DataFrame = {
     require(z > 0, s"z must be positive: $z")

@@ -63,4 +63,19 @@ class ProfileSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Profile.quantileTable(df, "v", "grp", Nil)
   }
+
+  test("winsorize clamps into the exact percentile interval without dropping rows") {
+    import spark.implicits._
+    // 1..10: p10 = 1.9, p90 = 9.1 -> 1 clamps up, 10 clamps down
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Profile.winsorize(df, "v", "grp", loQ = 0.1, hiQ = 0.9)
+      .collect().map(r => r.getDouble(r.fieldIndex("v")) ->
+        ((r.getDouble(r.fieldIndex("v_w")), r.getInt(r.fieldIndex("__clamped"))))).toMap
+    out.size shouldBe 10 // nothing dropped
+    out(1.0) shouldBe ((1.9, -1))
+    out(10.0) shouldBe ((9.1, 1))
+    out(5.0) shouldBe ((5.0, 0))
+    an[IllegalArgumentException] should be thrownBy
+      Profile.winsorize(df, "v", "grp", loQ = 0.9, hiQ = 0.1)
+  }
 }
