@@ -489,7 +489,10 @@ object SparkEntry {
           t(s, d, "embeddings"), "vec_id", "embedding")
         .select(col("vec_id"),
           pround(col("center_dist"), 4).as("center_dist"),
-          pround(element_at(col("embedding_cn"), 1), 4).as("first_dim"))),
+          // guarded: ANSI element_at throws on an empty vector, where
+          // the oracle's cv[1] quietly yields null
+          pround(when(size(col("embedding_cn")) > 0,
+            element_at(col("embedding_cn"), 1)), 4).as("first_dim"))),
 
     // int8 quantization audit: per-vector reconstruction RMSE and max
     // abs error against the corpus' per-dim uint8 grid

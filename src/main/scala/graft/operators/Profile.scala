@@ -95,23 +95,34 @@ object Profile {
     * winsorize reward/score/length features where deletion would bias
     * the sample). Adds `<valCol>_w` (clamped) and `__clamped` (-1 low,
     * 0 untouched, 1 high); one percentile pass, bounds broadcast back,
-    * clamp in the projection.
+    * clamp in the projection. Null groups are regular groups (the
+    * join is null-safe), and null VALUES pass through null with
+    * `__clamped = 0` — winsorization tames tails, it never imputes.
     */
   def winsorize(df: DataFrame, valCol: String, byCol: String,
                 loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
       s"need 0 <= loQ < hiQ <= 1: loQ=$loQ hiQ=$hiQ")
-    val bounds = df.select(col(byCol), col(valCol).as("__v"))
-      .groupBy(col(byCol))
+    val reserved = Set(s"${valCol}_w", "__clamped", "__lo", "__hi", "__grp")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with winsorize bookkeeping names: $clash")
+    val bounds = df.select(col(byCol).as("__grp"), col(valCol).as("__v"))
+      .groupBy(col("__grp"))
       .agg(expr(s"percentile(__v, $loQ)").as("__lo"),
         expr(s"percentile(__v, $hiQ)").as("__hi"))
-    df.join(broadcast(bounds), Seq(byCol))
+    // null-SAFE group join (a null group is a regular group, and
+    // "without dropping rows" must include it); null VALUES stay null
+    // — least/greatest skip nulls, which would otherwise fabricate
+    // the low bound for a missing measurement
+    df.join(broadcast(bounds), col(byCol) <=> col("__grp"))
       .withColumn(s"${valCol}_w",
-        least(greatest(col(valCol), col("__lo")), col("__hi")))
+        when(col(valCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valCol), col("__lo")), col("__hi"))))
       .withColumn("__clamped",
         when(col(valCol) < col("__lo"), lit(-1))
           .when(col(valCol) > col("__hi"), lit(1)).otherwise(lit(0)))
-      .drop("__lo", "__hi")
+      .drop("__lo", "__hi", "__grp")
   }
 
   def robustOutliers(df: DataFrame, valCol: String, byCol: String,

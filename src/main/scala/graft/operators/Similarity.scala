@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFns._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,29 @@ import org.apache.spark.sql.functions._
   * label-IVF (coarse cells with centroid routing).
   */
 object Similarity {
+
+  /** Per-dimension aggregates rebuilt into index-ordered array
+    * columns: posexplode the vector, aggregate per (groupCols…, pos),
+    * and rebuild one array per aggregate — dimension order restored
+    * by the array_sort-over-(pos, fields…) struct trick. The ONE copy
+    * of this ordering-sensitive shape; centering, quantization ranges,
+    * and IVF centroids all express through it.
+    */
+  private[operators] def perDimArrays(df: DataFrame, vecCol: String,
+      groupCols: Seq[String],
+      aggs: Seq[(String, Column => Column)]): DataFrame = {
+    val perPos = df
+      .select(groupCols.map(col) :+ posexplode(col(vecCol).cast("array<double>")): _*)
+      .groupBy((groupCols :+ "pos").map(col): _*)
+      .agg(aggs.head._2(col("col")).as(aggs.head._1),
+        aggs.tail.map { case (n, f) => f(col("col")).as(n) }: _*)
+    perPos
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(
+        struct(col("pos") +: aggs.map(a => col(a._1)): _*))).as("__pf"))
+      .select(groupCols.map(col) ++ aggs.map { case (n, _) =>
+        transform(col("__pf"), x => x.getField(n)).as(n) }: _*)
+  }
 
   /** Mean-center and L2-normalize an embedding column — the standard
     * preprocessing before cosine ANN (centering removes the corpus'
@@ -39,12 +62,7 @@ object Similarity {
     */
   def centerAndNormalize(emb: DataFrame, idCol: String,
                          vecCol: String): DataFrame = {
-    val mean = emb
-      .select(posexplode(col(vecCol).cast("array<double>")))
-      .groupBy(col("pos")).agg(avg(col("col")).as("m"))
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(transform(col("pm"), x => x.getField("m")).as("__mean"))
+    val mean = perDimArrays(emb, vecCol, Nil, Seq("__mean" -> (c => avg(c))))
     emb
       .join(broadcast(mean))
       .withColumn("__c",
@@ -72,14 +90,8 @@ object Similarity {
     * reconstruct exactly.
     */
   def quantizeError8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val bounds = emb
-      .select(posexplode(col(vecCol).cast("array<double>")))
-      .groupBy(col("pos"))
-      .agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("plh"))
-      .select(transform(col("plh"), x => x.getField("lo")).as("__lo"),
-        transform(col("plh"), x => x.getField("hi")).as("__hi"))
+    val bounds = perDimArrays(emb, vecCol, Nil,
+      Seq("__lo" -> (c => min(c)), "__hi" -> (c => max(c))))
     // err_i = x - recon(quant(x)); the arithmetic tree mirrors the
     // oracle token for token so IEEE evaluation is bit-identical
     emb.join(broadcast(bounds))
@@ -93,8 +105,11 @@ object Similarity {
             x - (lo + code / 255.0 * (hi - lo))
           }))
       .select(col(idCol),
-        sqrt(aggregate(col("__err"), lit(0.0), (acc, e) => acc + e * e)
-          / size(col("__err"))).as("rmse"),
+        // empty vectors report null (matching SQL's empty-list sum),
+        // never NaN from a 0/0
+        when(size(col("__err")) > 0,
+          sqrt(aggregate(col("__err"), lit(0.0), (acc, e) => acc + e * e)
+            / size(col("__err")))).as("rmse"),
         array_max(transform(col("__err"), e => abs(e))).as("max_abs_err"))
   }
 
@@ -185,13 +200,9 @@ object Similarity {
         "is broadcast — batch the queries or raise maxQueries only if " +
         "the driver can hold queries*nprobe vectors")
     // element-wise mean per cell: (cell, dim) partial sums -> array rebuild
-    val centroids = corpus
-      .select(col(cellCol).as("cell"), posexplode(col(vecCol).cast("array<double>")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col")).as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    val centroids = perDimArrays(
+      corpus.select(col(cellCol).as("cell"), col(vecCol)),
+      vecCol, Seq("cell"), Seq("centroid" -> (c => avg(c))))
 
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // route each query to its nprobe nearest centroids (centroid set is tiny)
