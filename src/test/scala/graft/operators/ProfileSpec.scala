@@ -78,4 +78,20 @@ class ProfileSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Profile.winsorize(df, "v", "grp", loQ = 0.9, hiQ = 0.1)
   }
+
+  test("winsorize keeps null groups and passes null values through") {
+    import spark.implicits._
+    val df = Seq((Some("g"), Some(1.0)), (Some("g"), Some(2.0)),
+      (Some("g"), None), (None, Some(7.0)))
+      .toDF("grp", "v")
+    val out = Profile.winsorize(df, "v", "grp", loQ = 0.1, hiQ = 0.9)
+    out.count() shouldBe 4 // nothing dropped, including the null group
+    // null VALUE stays null and is marked untouched (no imputation)
+    val nullV = out.filter("v IS NULL").head()
+    nullV.isNullAt(nullV.fieldIndex("v_w")) shouldBe true
+    nullV.getInt(nullV.fieldIndex("__clamped")) shouldBe 0
+    // the null group's single value clamps against its own bounds
+    out.filter("grp IS NULL").head()
+      .getDouble(2) shouldBe 7.0
+  }
 }
