@@ -494,6 +494,19 @@ object SparkEntry {
           pround(when(size(col("embedding_cn")) > 0,
             element_at(col("embedding_cn"), 1)), 4).as("first_dim"))),
 
+    // streaming embedding near-dup: two ticks (vec_id parity), each
+    // screened against accepted band keys; q26's banding constants so
+    // the oracle reuses the literal plane SQL
+    "q108_streaming_embed_dedup" -> ((s, d) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_q108_state").toString + "/bands"
+      val emb = t(s, d, "embeddings")
+      def tick(parity: Int) = streaming.StreamingEmbedDedup.acceptBatch(
+        emb.filter(col("vec_id") % 2 === parity), "embedding", "vec_id",
+        state, bands = 4, planesPerBand = 8, dims = 64)
+      tick(0).unionByName(tick(1)).select("vec_id")
+    }),
+
     // int8 quantization audit: per-vector reconstruction RMSE and max
     // abs error against the corpus' per-dim uint8 grid
     "q106_quantize_error" -> ((s, d) =>
@@ -1138,7 +1151,9 @@ object SparkEntry {
     // pairs sharing any band key, verified by unrounded cosine in `p`.
     // Shared prefix for q26 (the pair list) and q70 (transitive
     // components over those pairs).
-    lazy val embeddingPairsSql: String = {
+    // the [band keys] list shared by q26/q70 (pairs) and q108 (stream):
+    // per-band packed sign bits with the literal plane constants
+    lazy val embBandKeyList: String = {
       def bandKeySql(b: Int, r: Int) = {
         val value = (0 until r).map { j =>
           val plane = (0 until 64).map(d => VectorFns.srpCoef(b * r + j, d))
@@ -1147,7 +1162,10 @@ object SparkEntry {
         }.mkString(" + ")
         s"'$b:' || CAST(($value) AS VARCHAR)"
       }
-      val keys = (0 until 4).map(b => bandKeySql(b, 8)).mkString(", ")
+      (0 until 4).map(b => bandKeySql(b, 8)).mkString(", ")
+    }
+    lazy val embeddingPairsSql: String = {
+      val keys = embBandKeyList
       s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |bk AS (SELECT vec_id, unnest([$keys]) AS band_key FROM e),
          |cand AS (
@@ -1583,6 +1601,41 @@ object SparkEntry {
            |SELECT vec_id, ${pround("nrm", 4)} AS center_dist,
            |  ${pround("CASE WHEN nrm > 0 THEN cv[1] / nrm ELSE cv[1] END", 4)} AS first_dim
            |FROM n""".stripMargin,
+
+      // two-phase restatement of the stream doctrine: tick-1 evens
+      // resolve transitively among themselves; tick-2 odds drop on ANY
+      // band collision with an accepted even OR lose the intra-tick
+      // transitive resolution among all odds
+      "q108_streaming_embed_dedup" ->
+        s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |bk AS (SELECT vec_id, unnest([$embBandKeyList]) AS band_key FROM e),
+           |bk1 AS (SELECT * FROM bk WHERE vec_id % 2 = 0),
+           |cand1 AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+           |          FROM bk1 a JOIN bk1 b ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+           |edges1 AS (SELECT src, dst FROM cand1 UNION SELECT dst, src FROM cand1),
+           |walk1(node, lab) AS (
+           |  SELECT src, src FROM edges1
+           |  UNION
+           |  SELECT e1.src, w.lab FROM edges1 e1 JOIN walk1 w ON w.node = e1.dst),
+           |losers1 AS (SELECT node AS vec_id FROM (SELECT node, min(lab) AS c FROM walk1 GROUP BY node) WHERE node <> c),
+           |acc1 AS (SELECT vec_id FROM e WHERE vec_id % 2 = 0
+           |         AND vec_id NOT IN (SELECT vec_id FROM losers1)),
+           |bk2 AS (SELECT * FROM bk WHERE vec_id % 2 = 1),
+           |hits2 AS (SELECT DISTINCT b2.vec_id FROM bk2 b2
+           |          JOIN (SELECT band_key FROM bk1 WHERE vec_id IN (SELECT vec_id FROM acc1)) k
+           |          ON b2.band_key = k.band_key),
+           |cand2 AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+           |          FROM bk2 a JOIN bk2 b ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
+           |edges2 AS (SELECT src, dst FROM cand2 UNION SELECT dst, src FROM cand2),
+           |walk2(node, lab) AS (
+           |  SELECT src, src FROM edges2
+           |  UNION
+           |  SELECT e2.src, w.lab FROM edges2 e2 JOIN walk2 w ON w.node = e2.dst),
+           |losers2 AS (SELECT node AS vec_id FROM (SELECT node, min(lab) AS c FROM walk2 GROUP BY node) WHERE node <> c),
+           |acc2 AS (SELECT vec_id FROM e WHERE vec_id % 2 = 1
+           |         AND vec_id NOT IN (SELECT vec_id FROM hits2)
+           |         AND vec_id NOT IN (SELECT vec_id FROM losers2))
+           |SELECT vec_id FROM acc1 UNION ALL SELECT vec_id FROM acc2""".stripMargin,
 
       // token-for-token mirror of quantizeError8's arithmetic tree
       "q106_quantize_error" ->
