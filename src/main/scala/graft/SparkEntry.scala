@@ -246,6 +246,26 @@ object SparkEntry {
           unix_micros(col("session_end")).as("end_us"),
           col("n_events"))),
 
+    // SCD2 dimension merge: each user's pre-split first event type is
+    // the open version; the post-split first event closes it (when the
+    // type changed) and opens a new one — history-keeping maintenance
+    // the reference's insert-only upsert (q37) cannot express
+    "q109_scd2_dim" -> ((s, d) => {
+      val split = lit("2024-01-15").cast("timestamp")
+      val ev = t(s, d, "events")
+      def firstRow(f: org.apache.spark.sql.DataFrame) = Dedup.keepFirst(
+        f.select("user_id", "event_type", "event_id", "ts"),
+        Seq("user_id"), Seq(col("event_id").asc))
+      val cur = firstRow(ev.filter(col("ts") < split))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from"),
+          lit(null).cast("long").as("valid_to"))
+      val inc = firstRow(ev.filter(col("ts") >= split))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("eff"))
+      operators.Dimensions.scd2Merge(cur, inc, "user_id", "event_type", "eff")
+    }),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -1416,6 +1436,26 @@ object SparkEntry {
           |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
           |  count(*) AS n_events
           |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+      // open version closes only on an attribute CHANGE; unchanged
+      // keys keep their open row, new keys open their first version
+      "q109_scd2_dim" ->
+        """WITH cur AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS vf FROM events
+          |  WHERE ts < TIMESTAMP '2024-01-15'
+          |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1),
+          |inc AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS vf FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-15'
+          |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1)
+          |SELECT c.user_id, c.event_type, c.vf AS valid_from,
+          |  CASE WHEN i.user_id IS NOT NULL AND i.event_type <> c.event_type
+          |       THEN i.vf END AS valid_to
+          |FROM cur c LEFT JOIN inc i USING (user_id)
+          |UNION ALL
+          |SELECT i.user_id, i.event_type, i.vf AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+          |FROM inc i LEFT JOIN cur c USING (user_id)
+          |WHERE c.user_id IS NULL OR i.event_type <> c.event_type""".stripMargin,
 
       // session_window boundary semantics match q40's lag form: only a
       // gap STRICTLY greater than 3600s starts a new session (verified

@@ -67,4 +67,43 @@ object Dimensions {
       StructType(Seq(StructField(idCol, StringType), StructField(nameCol, StringType))))
     dim.select(col(idCol), col(nameCol)).unionByName(na)
   }
+
+  /** SCD Type-2 merge — history-keeping dimension maintenance, the
+    * classic warehouse upgrade over the reference's insert-only upsert
+    * (D3): when an incoming row's tracked attribute differs from the
+    * key's OPEN version, the open version CLOSES at the incoming
+    * effective time and a new open version starts there; unchanged and
+    * absent keys pass through, closed history is never touched, and
+    * brand-new keys open their first version.
+    *
+    * Frames: `current` holds (key, attr, valid_from, valid_to) with
+    * `valid_to` null marking the open version; `incoming` holds
+    * (key, attr, effective_ts) — at most ONE row per key (pre-resolve
+    * with `Dedup.keepFirst`; enforcing it here would hide a caller
+    * bug). One equi-join on the key drives everything; history rows
+    * move through untouched, so at 100 TB the join cost is
+    * open-versions × incoming, never the full history.
+    */
+  def scd2Merge(current: DataFrame, incoming: DataFrame, keyCol: String,
+                attrCol: String, tsCol: String): DataFrame = {
+    val closed = current.filter(col("valid_to").isNotNull)
+    val open = current.filter(col("valid_to").isNull)
+    val inc = incoming.select(col(keyCol).as("__k"),
+      col(attrCol).as("__a"), col(tsCol).as("__ts"))
+    val joined = open.join(inc, col(keyCol) === col("__k"), "full_outer")
+    // open versions: unchanged keep their row; changed close at __ts
+    val fromOpen = joined.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), col(attrCol),
+        col("valid_from"),
+        when(col("__k").isNotNull && col("__a") =!= col(attrCol), col("__ts"))
+          .otherwise(col("valid_to")).as("valid_to"))
+    // new open versions: changed attrs and brand-new keys
+    val newOpen = joined
+      .filter(col("__k").isNotNull &&
+        (col(keyCol).isNull || col("__a") =!= col(attrCol)))
+      .select(col("__k").as(keyCol), col("__a").as(attrCol),
+        col("__ts").as("valid_from"),
+        lit(null).cast(fromOpen.schema("valid_to").dataType).as("valid_to"))
+    closed.unionByName(fromOpen).unionByName(newOpen)
+  }
 }
