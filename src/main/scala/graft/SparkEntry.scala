@@ -266,6 +266,20 @@ object SparkEntry {
       operators.Dimensions.scd2Merge(cur, inc, "user_id", "event_type", "eff")
     }),
 
+    // the range join SCD2 exists for: every event attributed to the
+    // dimension version in effect at its timestamp (half-open
+    // validity), unattributed events kept as the null bucket
+    "q110_point_in_time" -> ((s, d) => {
+      val versions = queries("q109_scd2_dim")(s, d)
+        .withColumnRenamed("event_type", "dim_type")
+      val facts = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      operators.Dimensions.pointInTime(
+          facts, versions, "user_id", "ts_us", Seq("dim_type"))
+        .groupBy("dim_type").agg(count(lit(1)).as("n_events"))
+    }),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -1456,6 +1470,31 @@ object SparkEntry {
           |SELECT i.user_id, i.event_type, i.vf AS valid_from, CAST(NULL AS BIGINT) AS valid_to
           |FROM inc i LEFT JOIN cur c USING (user_id)
           |WHERE c.user_id IS NULL OR i.event_type <> c.event_type""".stripMargin,
+
+      // q109's versions as CTEs + the half-open range attribution
+      "q110_point_in_time" ->
+        """WITH cur AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS vf FROM events
+          |  WHERE ts < TIMESTAMP '2024-01-15'
+          |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1),
+          |inc AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS vf FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-15'
+          |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1),
+          |v AS (
+          |  SELECT c.user_id, c.event_type, c.vf AS valid_from,
+          |    CASE WHEN i.user_id IS NOT NULL AND i.event_type <> c.event_type
+          |         THEN i.vf END AS valid_to
+          |  FROM cur c LEFT JOIN inc i USING (user_id)
+          |  UNION ALL
+          |  SELECT i.user_id, i.event_type, i.vf, CAST(NULL AS BIGINT)
+          |  FROM inc i LEFT JOIN cur c USING (user_id)
+          |  WHERE c.user_id IS NULL OR i.event_type <> c.event_type)
+          |SELECT v.event_type AS dim_type, count(*) AS n_events
+          |FROM events e LEFT JOIN v
+          |  ON e.user_id = v.user_id AND epoch_us(e.ts) >= v.valid_from
+          |     AND (v.valid_to IS NULL OR epoch_us(e.ts) < v.valid_to)
+          |GROUP BY 1""".stripMargin,
 
       // session_window boundary semantics match q40's lag form: only a
       // gap STRICTLY greater than 3600s starts a new session (verified

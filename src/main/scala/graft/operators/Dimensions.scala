@@ -84,6 +84,34 @@ object Dimensions {
     * move through untouched, so at 100 TB the join cost is
     * open-versions × incoming, never the full history.
     */
+  /** Point-in-time range join — the reason SCD2 history exists: each
+    * fact row picks up the dimension version in effect AT ITS event
+    * time, via the half-open validity interval
+    * `[valid_from, valid_to)` (open versions have null `valid_to`).
+    * Left join: facts with no matching version (a time before the
+    * key's first version, or an unknown key) keep null attributes
+    * rather than vanishing — attribution reports need the
+    * unattributed bucket.
+    *
+    * Plan shape: an EQUI join on the key with the range as a residual
+    * predicate — hash/sort-merge on the key, never a cartesian or a
+    * pure interval join; versions-per-key is small by construction
+    * (one row per attribute change), so the residual filter touches
+    * a handful of candidates per fact row at any scale.
+    */
+  def pointInTime(facts: DataFrame, versions: DataFrame, keyCol: String,
+                  factTsCol: String, versionCols: Seq[String]): DataFrame = {
+    val v = versions.select(
+      (col(keyCol).as("__vk") +: col("valid_from") +: col("valid_to") +:
+        versionCols.map(col)): _*)
+    facts.join(v,
+      facts(keyCol) === col("__vk") &&
+        facts(factTsCol) >= col("valid_from") &&
+        (col("valid_to").isNull || facts(factTsCol) < col("valid_to")),
+      "left")
+      .drop("__vk", "valid_from", "valid_to")
+  }
+
   def scd2Merge(current: DataFrame, incoming: DataFrame, keyCol: String,
                 attrCol: String, tsCol: String): DataFrame = {
     val closed = current.filter(col("valid_to").isNotNull)

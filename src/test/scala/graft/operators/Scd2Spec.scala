@@ -39,4 +39,33 @@ class Scd2Spec extends SparkSpec {
     once.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
       r.isNullAt(3))).toSet shouldBe Set((1L, "a", 10L, true))
   }
+
+  test("pointInTime attributes facts to the version in effect, half-open") {
+    val versions = cur(
+      (1L, "bronze", 100L, Some(500L)),
+      (1L, "silver", 500L, None))
+      .withColumnRenamed("attr", "tier")
+    val facts = Seq((10L, 1L, 100L), (11L, 1L, 499L), (12L, 1L, 500L),
+      (13L, 1L, 900L), (14L, 1L, 50L), (15L, 2L, 100L))
+      .toDF("fact_id", "k", "ts")
+    val out = Dimensions.pointInTime(facts, versions, "k", "ts", Seq("tier"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getString(3)))).toMap
+    out(10L) shouldBe Some("bronze") // valid_from inclusive
+    out(11L) shouldBe Some("bronze")
+    out(12L) shouldBe Some("silver") // valid_to exclusive -> next version
+    out(13L) shouldBe Some("silver") // open version
+    out(14L) shouldBe None           // before first version
+    out(15L) shouldBe None           // unknown key survives the left join
+    out.size shouldBe 6
+  }
+
+  test("pointInTime plans an equi join, never a cartesian") {
+    val versions = cur((1L, "a", 0L, None)).withColumnRenamed("attr", "t")
+    val facts = Seq((1L, 1L, 5L)).toDF("fact_id", "k", "ts")
+    val plan = Dimensions.pointInTime(facts, versions, "k", "ts", Seq("t"))
+      .queryExecution.executedPlan.toString
+    plan should not include "Cartesian"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
