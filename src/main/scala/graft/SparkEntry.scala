@@ -591,9 +591,10 @@ object SparkEntry {
     }),
 
     // rows-only check (binary media payloads have no SQL oracle): real
-    // javax.imageio PNG decode + javax.sound WAV decode over a
-    // deterministic synthetic media table; content (decoded dims/rate/
-    // duration vs generated payloads) is pinned by MultimodalSpec
+    // javax.imageio PNG decode + javax.sound WAV decode + RIFF/AVI
+    // MJPEG demux over a deterministic synthetic media table; content
+    // (decoded dims/rate/duration vs generated payloads) is pinned by
+    // MultimodalSpec
     "q29_media_features" -> ((s, _) =>
       operators.Multimodal.extractFeatures(
           operators.Multimodal.syntheticMedia(s, 200), dims = 16, batchSize = 32)
@@ -1463,13 +1464,13 @@ object SparkEntry {
           |  WHERE ts >= TIMESTAMP '2024-01-15'
           |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1)
           |SELECT c.user_id, c.event_type, c.vf AS valid_from,
-          |  CASE WHEN i.user_id IS NOT NULL AND i.event_type <> c.event_type
+          |  CASE WHEN i.user_id IS NOT NULL AND i.event_type IS DISTINCT FROM c.event_type
           |       THEN i.vf END AS valid_to
           |FROM cur c LEFT JOIN inc i USING (user_id)
           |UNION ALL
           |SELECT i.user_id, i.event_type, i.vf AS valid_from, CAST(NULL AS BIGINT) AS valid_to
           |FROM inc i LEFT JOIN cur c USING (user_id)
-          |WHERE c.user_id IS NULL OR i.event_type <> c.event_type""".stripMargin,
+          |WHERE c.user_id IS NULL OR i.event_type IS DISTINCT FROM c.event_type""".stripMargin,
 
       // q109's versions as CTEs + the half-open range attribution
       "q110_point_in_time" ->
@@ -1483,13 +1484,13 @@ object SparkEntry {
           |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1),
           |v AS (
           |  SELECT c.user_id, c.event_type, c.vf AS valid_from,
-          |    CASE WHEN i.user_id IS NOT NULL AND i.event_type <> c.event_type
+          |    CASE WHEN i.user_id IS NOT NULL AND i.event_type IS DISTINCT FROM c.event_type
           |         THEN i.vf END AS valid_to
           |  FROM cur c LEFT JOIN inc i USING (user_id)
           |  UNION ALL
           |  SELECT i.user_id, i.event_type, i.vf, CAST(NULL AS BIGINT)
           |  FROM inc i LEFT JOIN cur c USING (user_id)
-          |  WHERE c.user_id IS NULL OR i.event_type <> c.event_type)
+          |  WHERE c.user_id IS NULL OR i.event_type IS DISTINCT FROM c.event_type)
           |SELECT v.event_type AS dim_type, count(*) AS n_events
           |FROM events e LEFT JOIN v
           |  ON e.user_id = v.user_id AND epoch_us(e.ts) >= v.valid_from
@@ -2095,7 +2096,7 @@ object SparkEntry {
            |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n
            |  FROM documents)
            |SELECT component, count(*) AS n_docs, min(node) AS survivor_id,
-           |  sum(CASE WHEN node <> component THEN n ELSE 0 END) AS tokens_dropped
+           |  CAST(sum(CASE WHEN node <> component THEN n ELSE 0 END) AS BIGINT) AS tokens_dropped
            |FROM comp JOIN tok ON tok.doc_id = comp.node
            |GROUP BY component""".stripMargin,
 
@@ -2148,7 +2149,7 @@ object SparkEntry {
           |  FROM documents)
           |SELECT source, count(*) AS n_docs,
           |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
-          |  sum(hits) AS n_hits
+          |  CAST(sum(hits) AS BIGINT) AS n_hits
           |FROM h GROUP BY source""".stripMargin,
 
       // identical IEEE share arithmetic on both sides, so the
@@ -2354,7 +2355,7 @@ object SparkEntry {
            |  SELECT source,
            |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n
            |  FROM documents),
-           |s AS (SELECT source, sum(n) AS n_tokens FROM tok GROUP BY source),
+           |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM tok GROUP BY source),
            |t(src, w) AS (VALUES ('src0', 4.0), ('src1', 2.0), ('src2', 1.0), ('src3', 1.0)),
            |j AS (
            |  SELECT s.source, s.n_tokens,
@@ -2377,7 +2378,7 @@ object SparkEntry {
            |p AS (
            |  SELECT substr(w.w, CAST(t.i AS INT), 2) AS pair, w.w, w.cnt
            |  FROM w, LATERAL (SELECT unnest(range(1, len(w.w))) AS i) t)
-           |SELECT pair, count(DISTINCT w) AS n_words, sum(cnt) AS total
+           |SELECT pair, count(DISTINCT w) AS n_words, CAST(sum(cnt) AS BIGINT) AS total
            |FROM p GROUP BY pair
            |ORDER BY total DESC, pair ASC LIMIT 30""".stripMargin,
 
@@ -2391,7 +2392,7 @@ object SparkEntry {
           |      ORDER BY md5('shuffle' || '|' || CAST(doc_id AS VARCHAR)), doc_id)
           |      - 1 AS rk
           |  FROM documents)
-          |SELECT rk // 64 AS shard_id, count(*) AS n_docs, sum(n) AS tok_total
+          |SELECT rk // 64 AS shard_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok_total
           |FROM r GROUP BY 1""".stripMargin,
 
       // unigram counts re-join the exploded tokens; per-doc mean of

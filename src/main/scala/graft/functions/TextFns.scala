@@ -211,10 +211,28 @@ object TextFns {
     */
   def blocklistCount(text: Column, words: Seq[String]): Column = {
     require(words.nonEmpty, "blocklist must not be empty")
-    val pat = words.map(java.util.regex.Pattern.quote)
-      .mkString("\\b(?:", "|", ")\\b")
+    // \b is only a boundary next to word characters, so an entry that
+    // starts/ends with punctuation would silently never match
+    // whole-word; reject it rather than mis-screen
+    words.foreach { w =>
+      require(w.nonEmpty && isWordChar(w.head) && isWordChar(w.last),
+        s"blocklist entry '$w' must start and end with a word character" +
+          " for whole-word \\b anchoring")
+    }
+    val pat = words.map(escapeRegex).mkString("\\b(?:", "|", ")\\b")
     tally(text, pat).cast("long")
   }
+
+  private def isWordChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Per-character metacharacter escaping, portable to both RE2 and
+    * java.util.regex (Pattern.quote's \Q…\E is java-only).
+    */
+  private def escapeRegex(w: String): String =
+    w.flatMap { c =>
+      if ("\\.^$|?*+()[]{}".contains(c)) s"\\$c" else c.toString
+    }
 
   /** PII redaction: rewrite email-shaped spans then http(s) URLs to
     * typed placeholders, using the SAME portable patterns as the count

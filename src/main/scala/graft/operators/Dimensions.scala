@@ -123,12 +123,14 @@ object Dimensions {
     val fromOpen = joined.filter(col(keyCol).isNotNull)
       .select(col(keyCol), col(attrCol),
         col("valid_from"),
-        when(col("__k").isNotNull && col("__a") =!= col(attrCol), col("__ts"))
+        when(col("__k").isNotNull && !(col("__a") <=> col(attrCol)), col("__ts"))
           .otherwise(col("valid_to")).as("valid_to"))
-    // new open versions: changed attrs and brand-new keys
+    // new open versions: changed attrs and brand-new keys; the change
+    // test is null-safe (<=>) so NULL→value and value→NULL transitions
+    // close the open version and open a new one like any other change
     val newOpen = joined
       .filter(col("__k").isNotNull &&
-        (col(keyCol).isNull || col("__a") =!= col(attrCol)))
+        (col(keyCol).isNull || !(col("__a") <=> col(attrCol))))
       .select(col("__k").as(keyCol), col("__a").as(attrCol),
         col("__ts").as("valid_from"),
         lit(null).cast(fromOpen.schema("valid_to").dataType).as("valid_to"))

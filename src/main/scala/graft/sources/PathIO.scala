@@ -98,11 +98,38 @@ object PathIO {
     */
   def readSwapState(spark: SparkSession, target: String,
                     empty: => DataFrame): DataFrame = {
+    healSwap(spark, target)
+    readParquetOrEmpty(spark, target, empty)
+  }
+
+  /** The healing half of `readSwapState`, callable on its own (e.g.
+    * before fingerprinting the committed state).
+    */
+  def healSwap(spark: SparkSession, target: String): Unit = {
     val f = fs(spark, target)
     val t = new Path(target)
     val old = new Path(target + ".old")
     if (!f.exists(t) && f.exists(old))
       require(f.rename(old, t), s"failed to restore interrupted swap $old -> $t")
-    readParquetOrEmpty(spark, target, empty)
+  }
+
+  /** Identity of a state directory's committed contents: every file's
+    * (name, length, mtime), sorted. Two equal fingerprints mean the
+    * state is byte-identical for caching purposes — writeSwap replaces
+    * the whole directory, so any swap changes the listing. "" when the
+    * path is absent.
+    */
+  def dirFingerprint(spark: SparkSession, path: String): String = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) "" else {
+      val it = f.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        entries += s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+      }
+      entries.sorted.mkString(";")
+    }
   }
 }

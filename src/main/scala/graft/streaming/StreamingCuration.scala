@@ -48,6 +48,38 @@ object StreamingCuration {
     Seq.empty[(String, Int)].toDF("gram", "n")
   }
 
+  /** Driver-side cache of the collected eval-gram table, keyed by the
+    * swap directory's committed file listing: re-collect ONLY when a
+    * registerEvalSet swap changed the fingerprint. Safe under the
+    * PathIO swap CONCURRENCY CONTRACT (one owner loop per statePath;
+    * registration never overlaps a live batch), so a stale-read race
+    * cannot occur — and even a hypothetical raced entry would self-heal
+    * on the next batch's fingerprint check. The map is per-JVM and
+    * holds one entry per active curation stream.
+    */
+  private val gramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[String], Int)]()
+
+  /** Observable for specs: number of actual state-table collects. */
+  private[streaming] val gramStateReads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def cachedEvalGrams(spark: org.apache.spark.sql.SparkSession,
+                              path: String): (Array[String], Int) = {
+    graft.sources.PathIO.healSwap(spark, path)
+    val fp = graft.sources.PathIO.dirFingerprint(spark, path)
+    val hit = gramCache.get(path)
+    if (hit != null && hit._1 == fp) (hit._2, hit._3)
+    else {
+      gramStateReads.incrementAndGet()
+      val rows = graft.sources.PathIO.readParquetOrEmpty(
+        spark, path, emptyGrams(spark)).collect()
+      val grams = rows.map(_.getString(0))
+      val n = if (rows.isEmpty) 0 else rows(0).getInt(1)
+      gramCache.put(path, (fp, grams, n))
+      (grams, n)
+    }
+  }
+
   /** Register (or replace) the benchmark/eval set whose n-grams the
     * stream screens against: the eval texts' DISTINCT word `n`-grams
     * are persisted at `statePath/evalgrams` (via `PathIO.writeSwap` —
@@ -100,17 +132,19 @@ object StreamingCuration {
     // before any dedup state is touched: a contaminated doc must never
     // enter the accepted hash/band tables. The gram table is swap-
     // managed, so an eval-set replacement between batches is atomic.
-    // ONE state read per batch: the table is registration-guarded to
-    // fit the driver, so collect it whole and ship a local relation —
-    // the inert path (no state dir) costs a directory check only, and
-    // the armed path never re-scans the parquet for the join.
-    val evalGrams = graft.sources.PathIO.readSwapState(
-      spark, s"$statePath/evalgrams", emptyGrams(spark)).collect()
-    val gated = if (evalGrams.isEmpty) qlGated else {
+    // ZERO state reads per batch in steady state: the table only
+    // changes when registerEvalSet swaps it, so the collected gram set
+    // is cached on the driver keyed by the swap directory's committed
+    // file listing and re-collected only when that fingerprint moves —
+    // at the 10M-gram guard a per-batch collect would be hundreds of
+    // MB of driver strings + GC for a table that almost never changes.
+    val (evalGramSet, evalGramN) =
+      cachedEvalGrams(spark, s"$statePath/evalgrams")
+    val gated = if (evalGramSet.isEmpty) qlGated else {
       import graft.expressions.GraftFunctions.distinctWordShingles
       import spark.implicits._
-      val n = evalGrams(0).getInt(1)
-      val gramsDf = evalGrams.map(_.getString(0)).toSeq.toDF("gram")
+      val n = evalGramN
+      val gramsDf = evalGramSet.toSeq.toDF("gram")
       val contaminated = qlGated
         .select(col(idCol),
           explode(distinctWordShingles(col(textCol), n)).as("gram"))

@@ -185,6 +185,18 @@ class TextFnsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       graft.functions.TextFns.blocklistCount(
         org.apache.spark.sql.functions.col("text"), Nil)
+    // \b only anchors next to word characters: punctuation-edged
+    // entries would silently never match whole-word, so they're rejected
+    an[IllegalArgumentException] should be thrownBy
+      graft.functions.TextFns.blocklistCount(
+        org.apache.spark.sql.functions.col("text"), Seq("bad!"))
+    // interior metacharacters are escaped literally (portable
+    // per-character escaping, not java-only \Q...\E quoting)
+    val dotted = Seq("a.b c axb a.b").toDF("text")
+      .select(graft.functions.TextFns.blocklistCount(
+        org.apache.spark.sql.functions.col("text"), Seq("a.b")).as("n"))
+      .collect().map(_.getLong(0))
+    dotted(0) shouldBe 2L
   }
 
   test("normalize canonicalizes case, control chars, and whitespace runs") {

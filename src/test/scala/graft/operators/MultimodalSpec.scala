@@ -77,15 +77,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("video dims still round-trip the documented stub header") {
+  test("video dims and duration are DEMUXED from real MJPEG AVI payloads") {
+    // content check like the image/audio ones: extractFeatures never
+    // reads `meta`, so equality proves the RIFF walk parsed the actual
+    // avih header the writer emitted
     val out = Multimodal.extractFeatures(media).filter(col("kind") === "video")
       .orderBy("media_id").collect()
     val metas = media.filter(col("kind") === "video").orderBy("media_id")
-      .select("meta.width", "meta.height").collect()
+      .select("meta.width", "meta.height", "meta.duration_ms").collect()
+    out should not be empty
     out.zip(metas).foreach { case (o, m) =>
       o.getInt(o.fieldIndex("width")) shouldBe m.getInt(0)
       o.getInt(o.fieldIndex("height")) shouldBe m.getInt(1)
+      o.getLong(o.fieldIndex("duration_ms")) shouldBe m.getLong(2)
     }
+  }
+
+  test("video payloads are genuine RIFF/AVI and every frame is a JRE-decodable JPEG") {
+    val row = media.filter(col("kind") === "video").orderBy("media_id").head()
+    val bytes = row.getAs[Array[Byte]]("bytes")
+    new String(bytes.take(4), "ISO-8859-1") shouldBe "RIFF"
+    new String(bytes.slice(8, 12), "ISO-8859-1") shouldBe "AVI "
+    val Some((w, h, durMs, frames)) = Multimodal.Avi.decodeAvi(bytes)
+    val meta = row.getAs[org.apache.spark.sql.Row]("meta")
+    (w, h) shouldBe ((meta.getInt(0), meta.getInt(1)))
+    // 2 fps writer: frames x 500ms == metadata duration
+    frames.length.toLong * 500L shouldBe durMs
+    frames should not be empty
+    frames.foreach { f =>
+      val img = Multimodal.Codec.decodeImage(f)
+      img shouldBe defined
+      (img.get.getWidth, img.get.getHeight) shouldBe ((w, h))
+    }
+    // non-AVI bytes are rejected, not misparsed
+    Multimodal.Avi.decodeAvi("not a riff file at all".getBytes) shouldBe None
+  }
+
+  test("resizeImages transforms the actual payload and rewrites meta to match") {
+    val out = Multimodal.resizeImages(media, maxSide = 32).collect()
+    out should have length 30
+    out.foreach { r =>
+      val kind = r.getAs[String]("kind")
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      if (kind == "image") {
+        val img = Multimodal.Codec.decodeImage(bytes).get
+        img.getWidth should be <= 32
+        img.getHeight should be <= 32
+        // meta tracks the decoded payload, not the original
+        meta.getInt(0) shouldBe img.getWidth
+        meta.getInt(1) shouldBe img.getHeight
+      }
+    }
+    // non-image payloads pass through byte-identical
+    val origVideo = media.filter(col("kind") === "video").orderBy("media_id")
+      .head().getAs[Array[Byte]]("bytes")
+    val outVideo = out.filter(_.getAs[String]("kind") == "video")
+      .minBy(_.getAs[Long]("media_id")).getAs[Array[Byte]]("bytes")
+    outVideo shouldBe origVideo
   }
 
   test("extractFeatures is a narrow map (no shuffle in the plan)") {

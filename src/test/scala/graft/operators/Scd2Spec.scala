@@ -33,6 +33,31 @@ class Scd2Spec extends SparkSpec {
       (9L, "fresh", 500L, None))        // brand-new key opens
   }
 
+  test("scd2Merge treats NULL->value and value->NULL as real changes") {
+    // a null-propagating =!= would make the incoming row vanish here:
+    // neither close the open version nor open a new one
+    val current = Seq(
+      (1L, Option.empty[String], 100L, Option.empty[Long]), // NULL -> "a"
+      (2L, Option("b"), 100L, Option.empty[Long]),          // "b" -> NULL
+      (3L, Option.empty[String], 100L, Option.empty[Long])) // NULL -> NULL: no change
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val incoming = Seq(
+      (1L, Option("a"), 500L),
+      (2L, Option.empty[String], 500L),
+      (3L, Option.empty[String], 500L)).toDF("k", "attr", "eff")
+    val out = Dimensions.scd2Merge(current, incoming, "k", "attr", "eff")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getString(1)),
+        r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    out shouldBe Set(
+      (1L, None, 100L, Some(500L)),      // NULL version closed
+      (1L, Some("a"), 500L, None),       // value opens
+      (2L, Some("b"), 100L, Some(500L)), // value version closed
+      (2L, None, 500L, None),            // NULL opens
+      (3L, None, 100L, None))            // NULL == NULL: untouched
+  }
+
   test("scd2Merge is idempotent for an unchanged incoming snapshot") {
     val current = cur((1L, "a", 10L, None))
     val once = Dimensions.scd2Merge(current, inc((1L, "a", 20L)), "k", "attr", "eff")

@@ -112,6 +112,32 @@ class StreamingCurationSpec extends SparkSpec {
     a2 shouldBe Array(3L)
   }
 
+  test("eval-gram state is collected once, not per batch (fingerprint cache)") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("cur9").toString + "/state"
+    StreamingCuration.registerEvalSet(
+      Seq(Doc(100, "the secret benchmark answer is forty two exactly")).toDF(),
+      "text", state, n = 3)
+    val before = StreamingCuration.gramStateReads.get()
+    StreamingCuration.acceptBatch(Seq(Doc(1, good)).toDF(), "text", "doc_id", state)
+      .select("doc_id").collect()
+    StreamingCuration.acceptBatch(Seq(Doc(2, goodB)).toDF(), "text", "doc_id", state)
+      .select("doc_id").collect()
+    // steady state: ONE collect serves every subsequent batch
+    StreamingCuration.gramStateReads.get() - before shouldBe 1
+    // replacing the eval set moves the swap fingerprint -> exactly one
+    // re-collect, and the NEW grams take effect (not the cached ones)
+    StreamingCuration.registerEvalSet(
+      Seq(Doc(101, "a completely different evaluation suite phrase bank")).toDF(),
+      "text", state, n = 3)
+    val mid = StreamingCuration.gramStateReads.get()
+    val a = StreamingCuration.acceptBatch(
+      Seq(Doc(3, "writers used a completely different evaluation suite for their work")).toDF(),
+      "text", "doc_id", state).select("doc_id").collect()
+    a shouldBe empty // contaminated vs the REPLACED eval set
+    StreamingCuration.gramStateReads.get() - mid shouldBe 1
+  }
+
   test("decontamination stage is inert until an eval set is registered") {
     import spark.implicits._
     val state = Files.createTempDirectory("cur7").toString + "/state"

@@ -22,6 +22,58 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+def _kind(dtype) -> str:
+    s = str(dtype)
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    return "other"
+
+def compare(a: pd.DataFrame, b: pd.DataFrame):
+    """Dtype-strict column compare mirroring the driver's exact hash.
+
+    The driver stringifies values before hashing, so an int64 2861 on the
+    Spark side vs a float64 2861.0 from the oracle (DuckDB sum(BIGINT) →
+    HUGEINT → pandas float64) is a hard FAIL there. Tolerance applies
+    ONLY when both sides are genuinely float; any int-vs-float asymmetry
+    is reported as DTYPE_MISMATCH so the uncast-sum class of oracle bug
+    is caught locally (round-8 regression: q91/q92/q93/q98/q102).
+    Returns "OK" or a failure string."""
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        ka, kb = _kind(av.dtype), _kind(bv.dtype)
+        if (ka == "float") != (kb == "float"):
+            return (f"DTYPE_MISMATCH col={c} spark={av.dtype} oracle={bv.dtype}"
+                    f" (uncast aggregate in oracle SQL? CAST(... AS BIGINT))")
+        if ka == "float" and kb == "float":
+            av = pd.to_numeric(av, errors="coerce").astype(float)
+            bv = pd.to_numeric(bv, errors="coerce").astype(float)
+            ok = ((av - bv).abs() < 1e-6) | (av.isna() & bv.isna())
+        else:
+            ok = (av.astype(str) == bv.astype(str)) | (av.isna() & bv.isna())
+        if not ok.all():
+            i = int((~ok).idxmax())
+            return f"VALUE_MISMATCH col={c} row={i} spark={a[c].iloc[i]!r} oracle={b[c].iloc[i]!r}"
+    return "OK"
+
+def selftest():
+    """Regression for the round-8 miss: int64 vs float64 must FAIL even
+    when values are numerically identical, and float-float must still
+    tolerate sub-1e-6 noise."""
+    import numpy as np
+    i64 = pd.DataFrame({"n": pd.Series([2861, 7], dtype="int64")})
+    f64 = pd.DataFrame({"n": pd.Series([2861.0, 7.0], dtype="float64")})
+    r = compare(i64, f64)
+    assert r.startswith("DTYPE_MISMATCH"), f"int-vs-float must fail, got {r}"
+    r = compare(f64, f64.copy())
+    assert r == "OK", r
+    noisy = pd.DataFrame({"n": f64["n"] + 1e-9})
+    assert compare(f64, noisy) == "OK"
+    off = pd.DataFrame({"n": pd.Series([2861, 8], dtype="int64")})
+    assert compare(i64, off).startswith("VALUE_MISMATCH")
+    print("selfcheck selftest OK")
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -47,25 +99,14 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWCOUNT spark={len(sdf)} oracle={len(odf)}"
             continue
         a, b = canon(sdf), canon(odf)
-        # compare column-wise with float tolerance
-        bad = None
-        for c in a.columns:
-            av, bv = a[c], b[c]
-            if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
-                av = pd.to_numeric(av, errors="coerce").astype(float)
-                bv = pd.to_numeric(bv, errors="coerce").astype(float)
-                ok = ((av - bv).abs() < 1e-6) | (av.isna() & bv.isna())
-            else:
-                ok = (av.astype(str) == bv.astype(str)) | (av.isna() & bv.isna())
-            if not ok.all():
-                i = int((~ok).idxmax())
-                bad = f"VALUE_MISMATCH col={c} row={i} spark={a[c].iloc[i]!r} oracle={b[c].iloc[i]!r}"
-                break
-        results[name] = bad or "OK"
+        results[name] = compare(a, b)
     n_ok = sum(1 for v in results.values() if v == "OK")
     for k, v in results.items():
         print(f"{'✓' if v=='OK' else '✗'} {k}: {v}")
     print(f"\n{n_ok}/{len(results)} OK (+{len(set(glob.glob(out_dir+'/q*')) ) - len(results)} rows-only)")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
+    else:
+        main(sys.argv[1], sys.argv[2])
