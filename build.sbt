@@ -11,11 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// No "[success] Total time" trailer on stdout: the bench/verify driver
-// structurally parses the LAST stdout line, so graft.Bench's contract
-// JSON must be the final line of a `sbt runMain` invocation (exit code
-// still signals success/failure).
+// The bench/verify driver structurally parses the LAST stdout line, so
+// graft.Bench's contract JSON must end a `sbt runMain` invocation BARE:
+// no "[success] Total time" trailer and no "[info] " logger prefix on
+// the forked process's stdout (exit code still signals success).
 Global / showSuccess := false
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
