@@ -280,6 +280,101 @@ object SparkEntry {
         .groupBy("dim_type").agg(count(lit(1)).as("n_events"))
     }),
 
+    // Gopher-style duplicate-LINE screens (q67 is the n-gram half):
+    // one native scan-projection pass, no shuffle. The test corpus is
+    // single-line, so the query line-ifies deterministically (space
+    // runs -> '\n') to exercise duplicate counting; real multi-line
+    // semantics ('\r\n', exact-byte compare) are pinned by
+    // LineDupStatsSpec. keep thresholds compare the PROUNDED
+    // fractions so an engine-boundary ulp can't flip the decision.
+    "q111_line_dup_screen" -> ((s, d) => {
+      val lineified = regexp_replace(col("text"), " +", "\n")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.expressions.GraftFunctions.lineDupStats(lineified).as("st"))
+        .select(col("doc_id"),
+          col("st.n_lines").cast("long").as("n_lines"),
+          pround(when(col("st.n_lines") > 0,
+              (col("st.n_lines") - col("st.n_distinct")).cast("double") /
+                col("st.n_lines")).otherwise(lit(0.0)), 4).as("dup_line_frac"),
+          pround(when(col("st.line_chars") > 0,
+              col("st.dup_chars").cast("double") / col("st.line_chars"))
+            .otherwise(lit(0.0)), 4).as("dup_char_frac"))
+        .withColumn("keep",
+          when(col("dup_line_frac") <= 0.3 && col("dup_char_frac") <= 0.2, 1L)
+            .otherwise(0L))
+    }),
+
+    // temperature-scaled mixture (UniMax recipe) at tau=2: sqrt is the
+    // one power IEEE rounds exactly on both engines, so the shares
+    // hash-match; general tau is spec-covered in SamplingSpec
+    "q112_temperature_mix" -> ((s, d) =>
+      operators.Sampling.temperatureMixture(
+          t(s, d, "documents").select(col("source"),
+            TextFns.bpeishTokenCount(col("text")).as("n")),
+          "source", col("n"), temperature = 2.0)
+        .select(col("source"), col("n_tokens"),
+          pround(col("p"), 4).as("p"),
+          pround(col("epochs"), 4).as("epochs"))),
+
+    // tokenizer fertility per language: sub-word tokens per whitespace
+    // word + chars per sub-word token — the stats a tokenizer audit
+    // reads before committing a vocab to a multilingual corpus
+    "q113_fertility_by_lang" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFns.wsTokenCount(col("text"))).cast("long").as("ws_tokens"),
+          sum(TextFns.bpeishTokenCount(col("text"))).cast("long").as("bpe_tokens"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+          pround(when(col("ws_tokens") > 0,
+              col("bpe_tokens").cast("double") / col("ws_tokens"))
+            .otherwise(lit(0.0)), 4).as("fertility"),
+          pround(when(col("bpe_tokens") > 0,
+              col("sum_chars").cast("double") / col("bpe_tokens"))
+            .otherwise(lit(0.0)), 4).as("chars_per_token"))),
+
+    // length-based curriculum assignment: quartile phases over the
+    // sub-word token count (the standard easy->hard ordering signal),
+    // exact interpolated bounds as a ONE-ROW broadcast aggregate —
+    // same percentile≡quantile_cont parity q41/q107 rely on
+    "q114_curriculum_phases" -> ((s, d) => {
+      val tok = t(s, d, "documents").select(col("doc_id"),
+        TextFns.bpeishTokenCount(col("text")).as("n_tokens"))
+      val bounds = tok.agg(
+        expr("percentile(n_tokens, 0.25)").as("__q1"),
+        expr("percentile(n_tokens, 0.5)").as("__q2"),
+        expr("percentile(n_tokens, 0.75)").as("__q3"))
+      tok.join(broadcast(bounds))
+        .select(col("doc_id"), col("n_tokens"),
+          (when(col("n_tokens") > col("__q1"), 1L).otherwise(0L) +
+            when(col("n_tokens") > col("__q2"), 1L).otherwise(0L) +
+            when(col("n_tokens") > col("__q3"), 1L).otherwise(0L)).as("phase"))
+    }),
+
+    // per-source dataset card: the summary table a curator reads
+    // before admitting a source — volume, mean quality (decimal-summed
+    // for engine-order independence), exact-dup rate, language purity
+    "q115_source_report" -> ((s, d) => {
+      val perDoc = t(s, d, "documents").select(col("source"), col("lang"),
+        TextFns.bpeishTokenCount(col("text")).as("n"),
+        TextFns.qualityScore(col("text")).cast("decimal(18,8)").as("q"),
+        md5(lower(col("text"))).as("h"))
+      val base = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n").cast("long").as("n_tokens"),
+        sum("q").as("__qsum"),
+        countDistinct(col("h")).as("__nd"))
+      val langTop = perDoc.groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(max("c").as("__top"))
+      base.join(langTop, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          pround(col("__qsum").cast("double") / col("n_docs"), 4).as("mean_quality"),
+          pround((col("n_docs") - col("__nd")).cast("double") / col("n_docs"), 4).as("dup_rate"),
+          pround(col("__top").cast("double") / col("n_docs"), 4).as("top_lang_share"))
+    }),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -1496,6 +1591,108 @@ object SparkEntry {
           |  ON e.user_id = v.user_id AND epoch_us(e.ts) >= v.valid_from
           |     AND (v.valid_to IS NULL OR epoch_us(e.ts) < v.valid_to)
           |GROUP BY 1""".stripMargin,
+
+      // duplicate-line halves of the Gopher screens over the
+      // line-ified corpus (space runs -> '\n'); thresholds compare the
+      // prounded fractions, mirroring the Spark side exactly
+      "q111_line_dup_screen" ->
+        s"""WITH l AS (
+           |  SELECT doc_id,
+           |    unnest(list_filter(string_split(regexp_replace(text, ' +', chr(10), 'g'), chr(10)), x -> len(x) > 0)) AS line
+           |  FROM documents),
+           |lc AS (SELECT doc_id, line, count(*) AS c, len(line) AS ln
+           |       FROM l GROUP BY doc_id, line),
+           |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+           |        count(*) AS n_distinct,
+           |        sum(c * ln) AS line_chars, sum((c - 1) * ln) AS dup_chars
+           |      FROM lc GROUP BY doc_id),
+           |f AS (SELECT d.doc_id,
+           |        COALESCE(a.n_lines, 0) AS n_lines,
+           |        ${pround("CASE WHEN a.n_lines > 0 THEN CAST(a.n_lines - a.n_distinct AS DOUBLE) / a.n_lines ELSE 0.0 END", 4)} AS dup_line_frac,
+           |        ${pround("CASE WHEN a.line_chars > 0 THEN CAST(a.dup_chars AS DOUBLE) / a.line_chars ELSE 0.0 END", 4)} AS dup_char_frac
+           |      FROM documents d LEFT JOIN a USING (doc_id))
+           |SELECT doc_id, n_lines, dup_line_frac, dup_char_frac,
+           |  CAST(CASE WHEN dup_line_frac <= 0.3 AND dup_char_frac <= 0.2
+           |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM f""".stripMargin,
+
+      // tau=2 temperature mixture: sqrt + division only (IEEE-exact on
+      // both engines); epochs mirrors the Spark operand order
+      // ((w/wtot)*ntot)/n
+      "q112_temperature_mix" ->
+        s"""WITH s AS (
+           |  SELECT source,
+           |    CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source),
+           |t AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS wtot,
+           |        CAST(sum(n_tokens) AS DOUBLE) AS ntot FROM s)
+           |SELECT source, n_tokens,
+           |  ${pround("sqrt(CAST(n_tokens AS DOUBLE)) / t.wtot", 4)} AS p,
+           |  ${pround("CASE WHEN n_tokens > 0 THEN sqrt(CAST(n_tokens AS DOUBLE)) / t.wtot * t.ntot / n_tokens ELSE 0.0 END", 4)} AS epochs
+           |FROM s, t""".stripMargin,
+
+      // integer sums finished in one IEEE division per ratio
+      "q113_fertility_by_lang" ->
+        s"""WITH a AS (
+           |  SELECT lang, count(*) AS n_docs,
+           |    CAST(sum(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS BIGINT) AS ws_tokens,
+           |    CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) AS BIGINT) AS bpe_tokens,
+           |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |  FROM documents GROUP BY lang)
+           |SELECT lang, n_docs, ws_tokens, bpe_tokens,
+           |  ${pround("CASE WHEN ws_tokens > 0 THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens ELSE 0.0 END", 4)} AS fertility,
+           |  ${pround("CASE WHEN bpe_tokens > 0 THEN CAST(sum_chars AS DOUBLE) / bpe_tokens ELSE 0.0 END", 4)} AS chars_per_token
+           |FROM a""".stripMargin,
+
+      // interpolated quartile bounds (quantile_cont ≡ Spark percentile,
+      // the q41/q107 parity) + strict-greater phase arithmetic
+      "q114_curriculum_phases" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |b AS (SELECT quantile_cont(n_tokens, 0.25) AS q1,
+          |        quantile_cont(n_tokens, 0.5) AS q2,
+          |        quantile_cont(n_tokens, 0.75) AS q3 FROM tok)
+          |SELECT doc_id, n_tokens,
+          |  CAST(CASE WHEN n_tokens > b.q1 THEN 1 ELSE 0 END
+          |     + CASE WHEN n_tokens > b.q2 THEN 1 ELSE 0 END
+          |     + CASE WHEN n_tokens > b.q3 THEN 1 ELSE 0 END AS BIGINT) AS phase
+          |FROM tok, b""".stripMargin,
+
+      // q31's quality formula re-aggregated per source; the mean runs
+      // over DECIMAL(18,8) casts of bit-identical doubles so partial-
+      // agg order can't perturb it (q42/q107 discipline)
+      "q115_source_report" ->
+        s"""WITH base AS (SELECT doc_id, source, lang, text, $toksSql AS t FROM documents),
+           |feat AS (
+           |  SELECT source, lang, md5(lower(text)) AS h,
+           |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n,
+           |    len(t) AS n_tokens,
+           |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains($stopwordList, x))) AS DOUBLE) / len(t) ELSE 0.0 END AS swr,
+           |    CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE) / len(t) ELSE 0.0 END AS atl
+           |  FROM base),
+           |q AS (
+           |  SELECT source, lang, h, n,
+           |    greatest(least(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+           |      + (1.0 - abs(swr - 0.25) * 2.0) * 0.3
+           |      + (1.0 - least(abs(atl - 5.0) / 5.0, 1.0)) * 0.3, 1.0), 0.0) AS quality
+           |  FROM feat),
+           |agg AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(n) AS BIGINT) AS n_tokens,
+           |    sum(CAST(quality AS DECIMAL(18,8))) AS qsum,
+           |    count(DISTINCT h) AS nd
+           |  FROM q GROUP BY source),
+           |lt AS (
+           |  SELECT source, max(c) AS top FROM (
+           |    SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2)
+           |  GROUP BY source)
+           |SELECT a.source, a.n_docs, a.n_tokens,
+           |  ${pround("CAST(a.qsum AS DOUBLE) / a.n_docs", 4)} AS mean_quality,
+           |  ${pround("CAST(a.n_docs - a.nd AS DOUBLE) / a.n_docs", 4)} AS dup_rate,
+           |  ${pround("CAST(lt.top AS DOUBLE) / a.n_docs", 4)} AS top_lang_share
+           |FROM agg a JOIN lt USING (source)""".stripMargin,
 
       // session_window boundary semantics match q40's lag form: only a
       // gap STRICTLY greater than 3600s starts a new session (verified

@@ -142,4 +142,8 @@ object GraftFunctions {
   /** Typed handle on the native within-doc n-gram repetition stats. */
   def wordGramStats(text: Column, n: Int): Column =
     ColumnBridge.column(WordGramStats(ColumnBridge.expression(text), n))
+
+  /** Typed handle on the native within-doc duplicate-line stats. */
+  def lineDupStats(text: Column): Column =
+    ColumnBridge.column(LineDupStats(ColumnBridge.expression(text)))
 }

@@ -229,6 +229,44 @@ object Sampling {
     * Output: (strataCol, n_tokens, share, target_share, keep_frac),
     * keep_frac in [0,1], achieved mix = target wherever keep > 0.
     */
+  /** Temperature-scaled mixture weights (the UniMax/multilingual-T5
+    * recipe): sampling probability p_s ∝ n_s^(1/τ), flattening the
+    * source distribution as τ grows (τ=1 proportional, τ→∞ uniform).
+    * Alongside it the expected duplication factor a budget of
+    * `totalTokens` implies per source, `epochs_s = p_s · total / n_s` —
+    * the number the curator checks against an over-duplication cap.
+    *
+    * Same scale shape as `mixturePlan`: one corpus pass for per-source
+    * token sums, then everything is declarative over the one-row-per-
+    * source aggregate with a broadcast one-row total — no window, no
+    * driver action.
+    *
+    * Cross-engine portability: the hash-verified query surface uses
+    * τ = 2, where n^(1/τ) is `sqrt` — correctly rounded by IEEE 754 on
+    * both engines, unlike the libm `pow` chains a general τ needs
+    * (PERF "rational forms" discipline). The operator accepts any
+    * τ >= 1; non-sqrt temperatures are spec-tested, not hash-gated.
+    *
+    * Output: (strataCol, n_tokens, p, epochs), p summing to 1.
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String,
+                         tokensCol: Column, temperature: Double): DataFrame = {
+    require(temperature >= 1.0, s"temperature must be >= 1, got $temperature")
+    val bySrc = df.groupBy(col(strataCol))
+      .agg(sum(tokensCol.cast("long")).cast("long").as("n_tokens"))
+      .withColumn("__w",
+        if (temperature == 2.0) sqrt(col("n_tokens").cast("double"))
+        else pow(col("n_tokens").cast("double"), lit(1.0 / temperature)))
+    val tot = bySrc.agg(sum(col("__w")).as("__wtot"),
+      sum(col("n_tokens")).cast("double").as("__ntot"))
+    bySrc.join(broadcast(tot))
+      .withColumn("p", col("__w") / col("__wtot"))
+      .withColumn("epochs",
+        when(col("n_tokens") > 0, col("p") * col("__ntot") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .select(col(strataCol), col("n_tokens"), col("p"), col("epochs"))
+  }
+
   def mixturePlan(df: DataFrame, strataCol: String, tokensCol: Column,
                   targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty, "targets must not be empty")

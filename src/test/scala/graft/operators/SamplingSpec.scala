@@ -58,4 +58,31 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.mixturePlan(df, "src", col("n"), Map("A" -> 0.0))
   }
+
+  test("temperatureMixture: tau=1 proportional, tau=2 flattens, tau=inf-ish uniform") {
+    import spark.implicits._
+    // A: 900 tokens, B: 100 -> tau=1 shares .9/.1; tau=2 shares 3:1
+    val df = Seq(("A", 900L), ("B", 100L)).toDF("src", "n")
+    def mix(tau: Double) =
+      Sampling.temperatureMixture(df, "src", col("n"), tau)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val t1 = mix(1.0)
+    t1("A")._2 shouldBe 0.9 +- 1e-12
+    t1("B")._2 shouldBe 0.1 +- 1e-12
+    // proportional sampling duplicates nothing: every epochs factor = 1
+    t1("A")._3 shouldBe 1.0 +- 1e-12
+    t1("B")._3 shouldBe 1.0 +- 1e-12
+    val t2 = mix(2.0)
+    t2("A")._2 shouldBe 0.75 +- 1e-12 // sqrt(900):sqrt(100) = 3:1
+    t2("B")._2 shouldBe 0.25 +- 1e-12
+    // flattening up-samples the small source, down-samples the big one
+    t2("B")._3 shouldBe 2.5 +- 1e-12  // .25 * 1000 / 100
+    t2("A")._3 shouldBe (0.75 * 1000 / 900) +- 1e-12
+    val t100 = mix(100.0)
+    t100("A")._2 shouldBe 0.5 +- 1e-2 // near-uniform
+    // probabilities always sum to 1
+    Seq(t1, t2, t100).foreach(m => m.values.map(_._2).sum shouldBe 1.0 +- 1e-12)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureMixture(df, "src", col("n"), 0.5)
+  }
 }

@@ -61,11 +61,14 @@ class QueryPlanSpec extends SparkSpec {
   // tf-idf attaches the TakeOrdered vocab list, and the mixture plan
   // attaches two ONE-ROW aggregates (total, binding scale) — all
   // driver-bounded
-  // (q105/q106 attach the dims-bounded one-row mean/range aggregate)
+  // (q105/q106 attach the dims-bounded one-row mean/range aggregate;
+  // q112 attaches the one-row sqrt-weight/token total and q114 the
+  // one-row quartile bounds, same shape as q93's)
   private val bnljAllowed = Set(
     "q24_ann_bruteforce", "q25_ann_ivf", "q34_ann_kmeans",
     "q77_tfidf_terms", "q93_mixture_plan", "q100_vocab_drift",
-    "q105_embed_center", "q106_quantize_error")
+    "q105_embed_center", "q106_quantize_error", "q112_temperature_mix",
+    "q114_curriculum_phases")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
