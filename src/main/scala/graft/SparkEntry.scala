@@ -375,6 +375,41 @@ object SparkEntry {
           pround(col("__top").cast("double") / col("n_docs"), 4).as("top_lang_share"))
     }),
 
+    // leakage-safe splits: a near-dup pair straddling train/test leaks
+    // the answer into training, so the split key is the doc's CONNECTED
+    // COMPONENT representative in the MinHash candidate graph (q21's
+    // bands, q65's labeling) — every near-dup cluster lands whole in
+    // one split; singletons fall back to their own id
+    "q116_leakage_safe_splits" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      val comp = operators.Components.connectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      val withRep = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("rep"))
+      operators.Sampling.datasetSplit(withRep, "rep")
+        .select(col("doc_id"), col("rep"), col("split"))
+    }),
+
+    // q93's mixture PLAN materialized: per-source keep fractions turn
+    // into a deterministic per-doc filter (content-stable hash bucket
+    // vs the basis-point keep threshold) — the step that actually
+    // produces the rebalanced corpus, reported per source
+    "q117_mixture_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        TextFns.bpeishTokenCount(col("text")).as("n"))
+      val plan = operators.Sampling.mixturePlan(docs, "source", col("n"),
+          Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0))
+        .select(col("source"),
+          floor(col("keep_frac") * 10000 + 0.5).cast("long").as("__keep_bp"))
+      docs.join(broadcast(plan), "source")
+        .filter(operators.Sampling.hashBucket(col("doc_id"), 10000) < col("__keep_bp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n").cast("long").as("tok_kept"))
+    }),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -1693,6 +1728,61 @@ object SparkEntry {
            |  ${pround("CAST(a.n_docs - a.nd AS DOUBLE) / a.n_docs", 4)} AS dup_rate,
            |  ${pround("CAST(lt.top AS DOUBLE) / a.n_docs", 4)} AS top_lang_share
            |FROM agg a JOIN lt USING (source)""".stripMargin,
+
+      // q21's band CTE -> q65's recursive labeling -> q48's bucket
+      // arithmetic keyed on the component representative
+      "q116_leakage_safe_splits" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM cand UNION SELECT id_b, id_a FROM cand),
+           |walk(node, lab) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst),
+           |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+           |r AS (
+           |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+           |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+           |SELECT doc_id, rep,
+           |  CASE
+           |    WHEN (CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 100 + 100) % 100 < 80 THEN 'train'
+           |    WHEN (CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 100 + 100) % 100 < 90 THEN 'val'
+           |    ELSE 'test' END AS split
+           |FROM r""".stripMargin,
+
+      // q93's unrounded keep_frac chain -> basis-point threshold
+      // (floor(x*10^4 + 0.5), the pround form as an integer) -> q47's
+      // bucket predicate per doc
+      "q117_mixture_apply" ->
+        s"""WITH tokd AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n
+           |  FROM documents),
+           |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM tokd GROUP BY source),
+           |t(src, w) AS (VALUES ('src0', 4.0), ('src1', 2.0), ('src2', 1.0), ('src3', 1.0)),
+           |j AS (
+           |  SELECT s.source, s.n_tokens,
+           |    CAST(s.n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM s) AS share,
+           |    COALESCE(t.w / (SELECT sum(w) FROM t), 0.0) AS target_share
+           |  FROM s LEFT JOIN t ON s.source = t.src),
+           |sc AS (SELECT min(share / target_share) AS scale FROM j WHERE target_share > 0),
+           |kb AS (
+           |  SELECT source,
+           |    CAST(floor((CASE WHEN target_share > 0
+           |      THEN least(1.0, target_share * (SELECT scale FROM sc) / share)
+           |      ELSE 0.0 END) * 10000 + 0.5) AS BIGINT) AS keep_bp
+           |  FROM j)
+           |SELECT source, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS tok_kept
+           |FROM tokd JOIN kb USING (source)
+           |WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 + 10000) % 10000 < keep_bp
+           |GROUP BY source""".stripMargin,
 
       // session_window boundary semantics match q40's lag form: only a
       // gap STRICTLY greater than 3600s starts a new session (verified

@@ -85,4 +85,27 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.temperatureMixture(df, "src", col("n"), 0.5)
   }
+
+  test("leakage-safe split keeps every near-dup candidate pair in ONE split") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val splits = graft.SparkEntry.queries("q116_leakage_safe_splits")(spark, dir)
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+    pairs.count() should be > 0L // the planted near-dups produce edges
+    val a = splits.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+    val b = splits.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+    // the invariant the operator exists for: no candidate edge straddles
+    pairs.join(a, "id_a").join(b, "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .count() shouldBe 0L
+    // and the naive per-doc split DOES straddle on this corpus — the
+    // guard is not vacuous
+    val naive = Sampling.datasetSplit(docs.select("doc_id"), "doc_id")
+    val na = naive.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+    val nb = naive.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+    pairs.join(na, "id_a").join(nb, "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .count() should be > 0L
+  }
 }
