@@ -181,6 +181,8 @@ object ScaleSmoke {
     val paraStage = "paragraph dedup + reassembly"
     val lmStage = "unigram lm score"
     val bpeStage = "bpe pair stats"
+    val lineDupStage = "line dup screens"
+    val noveltyStage = "gram novelty"
     val decontStage = "streaming screen + decontamination"
     val docsPath = java.nio.file.Files
       .createTempDirectory("graft_smoke_docs").toString + "/docs"
@@ -188,7 +190,8 @@ object ScaleSmoke {
     // selected — they all read the parquet it produces
     val docsWrite = "write documents parquet"
     val textStages = Seq(docsWrite, simhashStage, tfidfStage, spansStage,
-      curationStage, screenStage, paraStage, lmStage, bpeStage, decontStage)
+      curationStage, screenStage, paraStage, lmStage, bpeStage,
+      lineDupStage, noveltyStage, decontStage)
     val anyText = textStages.exists(willRun)
     time(docsWrite, force = anyText) {
       docs(rows).write.mode("overwrite").parquet(docsPath); rows
@@ -226,6 +229,25 @@ object ScaleSmoke {
     // regardless of corpus rows
     time(bpeStage) {
       operators.Bpe.pairStats(docsPq, "text", k = 30).count()
+    }
+    // per-row native expression: must run at scan speed — the filter
+    // references the struct so the projection can't be pruned away by
+    // the count
+    time(lineDupStage) {
+      docsPq.select(graft.expressions.GraftFunctions.lineDupStats(
+          regexp_replace(col("text"), " +", "\n")).as("st"))
+        .filter(col("st.n_lines") >= 0).count()
+    }
+    // document-frequency join over distinct trigrams (~22 grams/doc →
+    // ~220M (doc, gram) rows through the df aggregate and back through
+    // the join); hot grams ride the AQE-splittable equi-join
+    time(noveltyStage) {
+      val g = docsPq.select(col("doc_id"),
+        explode(graft.expressions.GraftFunctions
+          .distinctWordShingles(col("text"), 3)).as("g"))
+      val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
+      g.join(dfreq, "g").groupBy("doc_id")
+        .agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("u")).count()
     }
     time(curationStage) {
       val r = CurationPipeline.run(docsPq, "text", "doc_id", withAudit = false)

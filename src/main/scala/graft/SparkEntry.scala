@@ -410,6 +410,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum("n").cast("long").as("tok_kept"))
     }),
 
+    // corpus-level n-gram novelty: the fraction of a doc's distinct
+    // trigrams appearing NOWHERE else — low novelty flags boilerplate
+    // and templated text that per-doc repetition screens (q67/q111)
+    // can't see. Document-frequency join, the q66/q77 shape (partial
+    // agg on the gram key; AQE splits hot grams)
+    "q118_gram_novelty" -> ((s, d) => {
+      val grams = t(s, d, "documents").select(col("doc_id"),
+        explode(graft.expressions.GraftFunctions
+          .distinctWordShingles(col("text"), 3)).as("g"))
+      val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+      val perDoc = grams.join(dfreq, "g").groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(when(col("__df") === 1, 1L).otherwise(0L)).cast("long").as("n_unique"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          pround(when(col("n_grams") > 0,
+              col("n_unique").cast("double") / col("n_grams"))
+            .otherwise(lit(0.0)), 4).as("novelty"))
+    }),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -1783,6 +1806,22 @@ object SparkEntry {
            |FROM tokd JOIN kb USING (source)
            |WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 + 10000) % 10000 < keep_bp
            |GROUP BY source""".stripMargin,
+
+      // distinct-gram document frequencies; df = 1 means corpus-unique
+      "q118_gram_novelty" ->
+        s"""WITH g AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |df AS (SELECT s, count(*) AS df FROM g GROUP BY s),
+           |a AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+           |  FROM g JOIN df USING (s) GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  COALESCE(a.n_grams, 0) AS n_grams,
+           |  COALESCE(a.n_unique, 0) AS n_unique,
+           |  ${pround("CASE WHEN a.n_grams > 0 THEN CAST(a.n_unique AS DOUBLE) / a.n_grams ELSE 0.0 END", 4)} AS novelty
+           |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
 
       // session_window boundary semantics match q40's lag form: only a
       // gap STRICTLY greater than 3600s starts a new session (verified
