@@ -433,6 +433,32 @@ object SparkEntry {
             .otherwise(lit(0.0)), 4).as("novelty"))
     }),
 
+    // character-distribution gibberish screen: one-pass native
+    // CharStats in the scan projection (no character explode — that
+    // shape shuffles ~5× the token volume). Derived screens are
+    // RATIONAL in the counts (top-char share; Simpson concentration
+    // 1 − Σp²) — no Shannon/libm log, so the oracle reproduces the
+    // doubles exactly. keep thresholds compare PROUNDED values so an
+    // engine-boundary ulp can't flip the decision.
+    "q119_char_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.expressions.GraftFunctions.charStats(col("text")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_cp").cast("long").as("n_cp"),
+          col("st.n_distinct").cast("long").as("n_distinct"),
+          pround(when(col("st.n_cp") > 0,
+              col("st.top_cnt").cast("double") / col("st.n_cp"))
+            .otherwise(lit(0.0)), 4).as("top_share"),
+          pround(when(col("st.n_cp") > 0,
+              lit(1.0) - col("st.sum_sq").cast("double") /
+                (col("st.n_cp").cast("double") * col("st.n_cp")))
+            .otherwise(lit(0.0)), 4).as("simpson"))
+        .withColumn("keep",
+          when(col("top_share") <= 0.4 && col("simpson") >= 0.5, 1L)
+            .otherwise(0L))
+    }),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -1822,6 +1848,29 @@ object SparkEntry {
            |  COALESCE(a.n_unique, 0) AS n_unique,
            |  ${pround("CASE WHEN a.n_grams > 0 THEN CAST(a.n_unique AS DOUBLE) / a.n_grams ELSE 0.0 END", 4)} AS novelty
            |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+      // char explode reproduces the native one-pass counts; derived
+      // screens are rational (no libm log) so doubles match exactly,
+      // operand order mirrored (1.0 − sum_sq/(n·n), division first)
+      "q119_char_stats" ->
+        s"""WITH c AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
+           |  FROM documents),
+           |cc AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
+           |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_cp,
+           |        CAST(count(*) AS BIGINT) AS n_distinct,
+           |        max(c) AS top_cnt, sum(c * c) AS sum_sq
+           |      FROM cc GROUP BY doc_id),
+           |f AS (SELECT d.doc_id,
+           |        COALESCE(a.n_cp, 0) AS n_cp,
+           |        COALESCE(a.n_distinct, 0) AS n_distinct,
+           |        ${pround("CASE WHEN a.n_cp > 0 THEN CAST(a.top_cnt AS DOUBLE) / a.n_cp ELSE 0.0 END", 4)} AS top_share,
+           |        ${pround("CASE WHEN a.n_cp > 0 THEN 1.0 - CAST(a.sum_sq AS DOUBLE) / (CAST(a.n_cp AS DOUBLE) * a.n_cp) ELSE 0.0 END", 4)} AS simpson
+           |      FROM documents d LEFT JOIN a USING (doc_id))
+           |SELECT doc_id, n_cp, n_distinct, top_share, simpson,
+           |  CAST(CASE WHEN top_share <= 0.4 AND simpson >= 0.5
+           |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM f""".stripMargin,
 
       // session_window boundary semantics match q40's lag form: only a
       // gap STRICTLY greater than 3600s starts a new session (verified

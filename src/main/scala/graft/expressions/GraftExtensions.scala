@@ -146,4 +146,8 @@ object GraftFunctions {
   /** Typed handle on the native within-doc duplicate-line stats. */
   def lineDupStats(text: Column): Column =
     ColumnBridge.column(LineDupStats(ColumnBridge.expression(text)))
+
+  /** Typed handle on the native character-distribution stats. */
+  def charStats(text: Column): Column =
+    ColumnBridge.column(CharStats(ColumnBridge.expression(text)))
 }
