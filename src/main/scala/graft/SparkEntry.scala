@@ -459,6 +459,16 @@ object SparkEntry {
             .otherwise(0L))
     }),
 
+    // per-source token-concentration card: type-token ratio + top-10
+    // share straight off one (source, term) aggregate — the Zipf-head
+    // health check, kept rational (no log-log slope) for portability
+    "q120_token_concentration" -> ((s, d) =>
+      operators.TfIdf.tokenConcentration(
+          t(s, d, "documents"), "text", "source", k = 10)
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          pround(col("ttr"), 4).as("ttr"),
+          pround(col("top_share"), 4).as("top_share"))),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -1871,6 +1881,24 @@ object SparkEntry {
            |  CAST(CASE WHEN top_share <= 0.4 AND simpson >= 0.5
            |       THEN 1 ELSE 0 END AS BIGINT) AS keep
            |FROM f""".stripMargin,
+
+      // top-10 cut tie-breaks (cnt DESC, term ASC) exactly as the
+      // Spark window; ratios are single IEEE divisions
+      "q120_token_concentration" ->
+        s"""WITH tok AS (SELECT source, unnest($toksSql) AS term FROM documents),
+           |c AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY source, term),
+           |r AS (SELECT source, cnt,
+           |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn
+           |      FROM c),
+           |top AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS top_tokens
+           |        FROM r WHERE rn <= 10 GROUP BY source),
+           |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           |          CAST(count(*) AS BIGINT) AS n_types
+           |        FROM c GROUP BY source)
+           |SELECT t.source, n_tokens, n_types,
+           |  ${pround("CAST(n_types AS DOUBLE) / n_tokens", 4)} AS ttr,
+           |  ${pround("CAST(COALESCE(top.top_tokens, 0) AS DOUBLE) / n_tokens", 4)} AS top_share
+           |FROM tot t LEFT JOIN top USING (source)""".stripMargin,
 
       // session_window boundary semantics match q40's lag form: only a
       // gap STRICTLY greater than 3600s starts a new session (verified

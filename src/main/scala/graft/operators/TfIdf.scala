@@ -159,4 +159,46 @@ object TfIdf {
       .agg(count(lit(1)).as("n_tokens"),
         avg(log10(col("__c"))).as("lm_score"))
   }
+
+  /** Per-group token-concentration card: total tokens, distinct types,
+    * type-token ratio, and the share of all tokens taken by the top-`k`
+    * most frequent types (ties broken by term ascending, so the cut is
+    * deterministic). A collapsed head (high top-k share, low TTR) flags
+    * templated or machine-generated sources; a healthy natural-language
+    * source sits near the Zipf profile. The ratios are RATIONAL in the
+    * counts — no log-log slope fit — so they cross-engine hash-match
+    * (the q120 oracle contract; libm `ln` would not).
+    *
+    * Shape: one (group, term) hash aggregate with map-side partial
+    * combine absorbs the corpus explode; the top-k is a rank-limited
+    * window over that aggregate — per-group DISTINCT-TYPE rows, which
+    * is vocabulary-bounded (not corpus-bounded) and plans as
+    * `WindowGroupLimit`, so each map task forwards at most k types per
+    * group before the window shuffle. Groups whose documents have no
+    * tokens produce no row.
+    */
+  def tokenConcentration(docs: DataFrame, textCol: String,
+                         groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val cnt = docs
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("term"))
+    val top = cnt
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(sum("cnt").cast("long").as("__top"))
+    cnt.groupBy(col(groupCol))
+      .agg(sum("cnt").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"))
+      .join(top, Seq(groupCol), "left")
+      .select(col(groupCol),
+        col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (coalesce(col("__top"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("top_share"))
+  }
 }
