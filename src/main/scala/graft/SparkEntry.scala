@@ -469,6 +469,14 @@ object SparkEntry {
           pround(col("ttr"), 4).as("ttr"),
           pround(col("top_share"), 4).as("top_share"))),
 
+    // token-aligned sliding windows (size 32, stride 24): the LM
+    // training counterpart of q72's character chunks — emission stops
+    // at the first window reaching the doc's end (no suffix-repeat
+    // tail windows)
+    "q121_token_windows" -> ((s, d) =>
+      operators.Packing.tokenWindows(
+        t(s, d, "documents"), "text", "doc_id", size = 32, stride = 24)),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -1899,6 +1907,23 @@ object SparkEntry {
            |  ${pround("CAST(n_types AS DOUBLE) / n_tokens", 4)} AS ttr,
            |  ${pround("CAST(COALESCE(top.top_tokens, 0) AS DOUBLE) / n_tokens", 4)} AS top_share
            |FROM tot t LEFT JOIN top USING (source)""".stripMargin,
+
+      // last emitted start is stride*ceil((n-size)/stride): the first
+      // window covering the end; list_slice caps at the list's length
+      "q121_token_windows" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |n AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+           |s AS (SELECT doc_id, t, n,
+           |        unnest(range(0,
+           |          CASE WHEN n <= 32 THEN 1
+           |               ELSE ((n - 32 + 23) // 24) * 24 + 1 END, 24)) AS start_tok
+           |      FROM n)
+           |SELECT doc_id,
+           |  CAST(start_tok / 24 AS BIGINT) AS win_idx,
+           |  CAST(start_tok AS BIGINT) AS start_tok,
+           |  CAST(len(list_slice(t, start_tok + 1, start_tok + 32)) AS BIGINT) AS win_tokens,
+           |  md5(array_to_string(list_slice(t, start_tok + 1, start_tok + 32), ' ')) AS win_md5
+           |FROM s""".stripMargin,
 
       // session_window boundary semantics match q40's lag form: only a
       // gap STRICTLY greater than 3600s starts a new session (verified

@@ -85,6 +85,50 @@ object Packing {
         md5(chunk).as("chunk_md5"))
   }
 
+  /** Explode each document into TOKEN-aligned overlapping context
+    * windows — the per-document sliding-window shape LM tokenizers
+    * feed (HF `return_overflowing_tokens` + stride): window i starts
+    * at token `i * stride` and spans `size` tokens, and emission STOPS
+    * at the first window that reaches the document's end, so no
+    * trailing window is a strict suffix of its predecessor (the tail
+    * rule `chunkDocs` deliberately lacks — character chunks keep every
+    * stride offset for RAG recall; training windows must not repeat
+    * tail tokens as near-identical examples). Every token is covered;
+    * the last window keeps between `size − stride + 1` and `size`
+    * tokens; documents with no tokens produce no row.
+    *
+    * Offsets are computed per-row (`sequence` + `posexplode`) like
+    * `chunkDocs` — embarrassingly parallel, no shuffle, output volume
+    * ≤ ceil(n / stride) windows per document.
+    *
+    * Output: `idCol`, `win_idx`, `start_tok`, `win_tokens`, `win_md5`
+    * (hash of the space-joined window payload, so downstream
+    * window-level exact dedup needs no second scan).
+    */
+  def tokenWindows(df: DataFrame, textCol: String, idCol: String,
+                   size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size: size=$size stride=$stride")
+    val toks = graft.functions.TextFns.tokens(col(textCol))
+    val win = slice(col("__toks"), col("start_tok") + 1, lit(size))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size2(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0),
+          when(size2(col("__toks")) <= size, lit(0)).otherwise(
+            floor((size2(col("__toks")) - size + (stride - 1)) /
+              lit(stride)).cast("int") * stride),
+          lit(stride))).as(Seq("win_idx", "start_tok")))
+      .select(col(idCol),
+        col("win_idx").cast("long").as("win_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size2(win).cast("long").as("win_tokens"),
+        md5(concat_ws(" ", win)).as("win_md5"))
+  }
+
+  // functions.size, renamed clear of Window/DataFrame method shadowing
+  private def size2(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Slice a hash-shuffled corpus into EXACT fixed-size training
     * shards: `shard_id = shuffle_rank / shardSize`, so every shard
     * holds exactly `shardSize` rows (the last one fewer) in the

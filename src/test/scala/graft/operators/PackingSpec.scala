@@ -57,6 +57,42 @@ class PackingSpec extends SparkSpec {
     lens shouldBe 1000L
   }
 
+  test("tokenWindows stops at the first window covering the end") {
+    // size 4, stride 3: n=10 -> lastStart = 3*ceil(6/3) = 6 ->
+    // starts 0,3,6 (window at 6 spans tokens 7..10); a start at 9
+    // would be a strict suffix of the previous window and must NOT
+    // be emitted
+    val docs = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")),
+      (2L, "a b"),       // n <= size: one full-doc window
+      (3L, "a b c d e"), // n=5 -> lastStart 3: starts 0,3; window 1 has 2 toks
+      (4L, "")           // no tokens -> no rows
+    ).toDF("doc_id", "text")
+    val out = Packing.tokenWindows(docs, "text", "doc_id", size = 4, stride = 3)
+      .select("doc_id", "win_idx", "start_tok", "win_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    out shouldBe Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L),
+      (2L, 0L, 0L, 2L),
+      (3L, 0L, 0L, 4L), (3L, 1L, 3L, 2L))
+  }
+
+  test("tokenWindows covers every token exactly: union of windows is the doc") {
+    val docs = Seq((1L, (1 to 23).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val wins = Packing.tokenWindows(docs, "text", "doc_id", size = 8, stride = 5)
+      .select("start_tok", "win_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // contiguous coverage: each window starts inside or at the end of
+    // the covered prefix, and the last reaches n
+    wins.head._1 shouldBe 0L
+    wins.sliding(2).foreach { case Array((s1, l1), (s2, _)) =>
+      s2 should be <= (s1 + l1); s2 should be > s1 }
+    wins.last._1 + wins.last._2 shouldBe 23L
+    // overlap is size - stride except the final short window
+    wins.init.foreach { case (_, l) => l shouldBe 8L }
+  }
+
   test("capPerGroup keeps a deterministic hash-chosen subset per group") {
     val docs = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
     val out = Sampling.capPerGroup(docs, "id", "g", cap = 10)
