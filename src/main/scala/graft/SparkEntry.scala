@@ -477,6 +477,23 @@ object SparkEntry {
       operators.Packing.tokenWindows(
         t(s, d, "documents"), "text", "doc_id", size = 32, stride = 24)),
 
+    // quality-proxy audit: Spearman rho between doc length and lexical
+    // diversity (per-doc type-token ratio), per source — row_number
+    // ranks with doc_id tie-break keep the statistic integer until one
+    // final division
+    "q122_rank_correlation" -> ((s, d) => {
+      val toks = graft.functions.TextFns.tokens(col("text"))
+      val withTtr = t(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          when(size(toks) > 0,
+            size(array_distinct(toks)).cast("double") / size(toks))
+            .otherwise(lit(0.0)).as("ttr"))
+      operators.Profile.rankCorrelation(
+          withTtr, "source", "n_chars", "ttr", "doc_id")
+        .select(col("source"), col("n_docs"),
+          pround(col("rho"), 4).as("rho"))
+    }),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -1924,6 +1941,26 @@ object SparkEntry {
            |  CAST(len(list_slice(t, start_tok + 1, start_tok + 32)) AS BIGINT) AS win_tokens,
            |  md5(array_to_string(list_slice(t, start_tok + 1, start_tok + 32), ' ')) AS win_md5
            |FROM s""".stripMargin,
+
+      // ranks are row_number with doc_id tie-break on both engines;
+      // rho = 1 - 6*sumd2/(n(n^2-1)) mirrored operand-for-operand
+      "q122_rank_correlation" ->
+        s"""WITH p AS (
+           |  SELECT source, doc_id, n_chars,
+           |    CASE WHEN len(t) > 0
+           |         THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+           |         ELSE 0.0 END AS ttr
+           |  FROM (SELECT source, doc_id, n_chars, $toksSql AS t FROM documents)),
+           |r AS (SELECT source,
+           |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS ra,
+           |        row_number() OVER (PARTITION BY source ORDER BY ttr, doc_id) AS rb
+           |      FROM p),
+           |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |        CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sumd2
+           |      FROM r GROUP BY source)
+           |SELECT source, n_docs,
+           |  ${pround("CASE WHEN n_docs > 1 THEN 1.0 - 6.0 * CAST(sumd2 AS DOUBLE) / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) * n_docs - 1.0)) ELSE 0.0 END", 4)} AS rho
+           |FROM a""".stripMargin,
 
       // session_window boundary semantics match q40's lag form: only a
       // gap STRICTLY greater than 3600s starts a new session (verified

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data profiling — the `ANALYZE TABLE` surface: per-column presence,
@@ -140,5 +141,41 @@ object Profile {
         sum(when(col("__mad") > 0 &&
             abs(col("__v") - col("__med")) / (lit(1.4826) * col("__mad")) > z,
           1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Spearman rank correlation between two per-row metrics, per group —
+    * the monotone-association audit ("is our quality score just a proxy
+    * for length?") that Pearson cannot answer on heavy-tailed corpus
+    * metrics. Ranks are `row_number` with `idCol` as the tie-break (NOT
+    * average ranks — the fractional tie correction would reintroduce
+    * cross-engine float summation; with a deterministic tie-break the
+    * statistic is integer until one final division, which is the q122
+    * oracle's portability contract), so
+    * rho = 1 − 6·Σd² / (n(n²−1)), d = rank_a − rank_b.
+    *
+    * Shape: two rank windows partitioned by the group — vocabulary of
+    * the SAME per-group sort a quantile table needs; Σd² and n then
+    * collapse in one hash aggregate. A group with a single row reports
+    * rho = 0. At extreme per-group cardinality (≫10⁷ rows) swap the
+    * windows for `Sampling.shuffleRank`-style bucketed ranks; the
+    * closed form is unchanged.
+    */
+  def rankCorrelation(df: DataFrame, groupCol: String, aCol: String,
+                      bCol: String, idCol: String): DataFrame = {
+    val wa = Window.partitionBy(col(groupCol)).orderBy(col(aCol), col(idCol))
+    val wb = Window.partitionBy(col(groupCol)).orderBy(col(bCol), col(idCol))
+    val d = col("__ra") - col("__rb")
+    val n = col("n_docs").cast("double")
+    df.select(col(groupCol), col(aCol), col(bCol), col(idCol))
+      .withColumn("__ra", row_number().over(wa))
+      .withColumn("__rb", row_number().over(wb))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum((d * d).cast("long")).cast("long").as("__sumd2"))
+      .select(col(groupCol), col("n_docs"),
+        when(col("n_docs") > 1,
+          lit(1.0) - lit(6.0) * col("__sumd2").cast("double") /
+            (n * (n * col("n_docs") - lit(1.0))))
+          .otherwise(lit(0.0)).as("rho"))
   }
 }

@@ -94,4 +94,31 @@ class ProfileSpec extends SparkSpec {
     out.filter("grp IS NULL").head()
       .getDouble(2) shouldBe 7.0
   }
+
+  test("rankCorrelation: +1 on monotone, -1 on reversed, 0 on singleton") {
+    import spark.implicits._
+    val rows =
+      (1 to 5).map(i => ("up", i.toLong, i.toDouble, i * 10.0)) ++   // same order
+      (1 to 5).map(i => ("down", i.toLong, i.toDouble, -i * 10.0)) ++ // reversed
+      Seq(("one", 1L, 3.0, 9.0))                                      // n = 1
+    val out = Profile.rankCorrelation(
+        rows.toDF("src", "id", "a", "b"), "src", "a", "b", "id")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    out("up") shouldBe 1.0
+    out("down") shouldBe -1.0
+    out("one") shouldBe 0.0
+  }
+
+  test("rankCorrelation matches the hand closed form with tie-break ranks") {
+    import spark.implicits._
+    // a-ranks by (a, id): 1,2,3,4 ; b-ranks by (b, id): b=5.0 tie
+    // broken by id -> ranks (1, 3, 4, 2) -> d = (0, -1, -1, 2),
+    // sumd2 = 6, rho = 1 - 36/(4*15) = 0.4
+    val rows = Seq(("g", 1L, 1.0, 1.0), ("g", 2L, 2.0, 5.0),
+      ("g", 3L, 3.0, 5.0), ("g", 4L, 4.0, 2.0))
+    val out = Profile.rankCorrelation(
+        rows.toDF("src", "id", "a", "b"), "src", "a", "b", "id").head()
+    out.getLong(1) shouldBe 4L
+    out.getDouble(2) shouldBe (0.4 +- 1e-12)
+  }
 }
