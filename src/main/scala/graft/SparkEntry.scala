@@ -494,6 +494,15 @@ object SparkEntry {
           pround(col("rho"), 4).as("rho"))
     }),
 
+    // per-label embedding diversity WITHOUT pairs: mean pairwise
+    // squared distance via 2(E||x||^2 - ||Ex||^2) on x2^20 fixed-point
+    // integer sums — O(n*d), the audit that is O(n^2*d) done naively
+    "q123_embed_diversity" -> ((s, d) =>
+      operators.Similarity.meanPairwiseSqDist(
+          t(s, d, "embeddings"), "label", "embedding")
+        .select(col("label"), col("n_vecs"),
+          pround(col("mean_sq_dist"), 6).as("mean_sq_dist"))),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -1961,6 +1970,28 @@ object SparkEntry {
            |SELECT source, n_docs,
            |  ${pround("CASE WHEN n_docs > 1 THEN 1.0 - 6.0 * CAST(sumd2 AS DOUBLE) / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) * n_docs - 1.0)) ELSE 0.0 END", 4)} AS rho
            |FROM a""".stripMargin,
+
+      // fixed-point x2^20 quantization (exact in IEEE: power-of-two
+      // multiply + 0.5 floor), HUGEINT integer sums, then the same
+      // double conversion and division chain as the Spark side
+      "q123_embed_diversity" ->
+        s"""WITH q AS (
+           |  SELECT label,
+           |    list_transform(CAST(embedding AS DOUBLE[]),
+           |      x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |s2 AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           |         sum(CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS HUGEINT)) AS s2
+           |       FROM q GROUP BY label),
+           |dims AS (SELECT label, k, sum(qv[k]) AS sk
+           |         FROM q, (SELECT unnest(range(1, 65)) AS k) ks
+           |         GROUP BY label, k),
+           |ss AS (SELECT label,
+           |         sum(CAST(sk AS HUGEINT) * CAST(sk AS HUGEINT)) AS ss
+           |       FROM dims GROUP BY label)
+           |SELECT s2.label, n_vecs,
+           |  ${pround("CAST(CAST(n_vecs AS HUGEINT) * s2 - ss AS DOUBLE) * 2.0 / n_vecs / n_vecs / 1099511627776.0", 6)} AS mean_sq_dist
+           |FROM s2 JOIN ss USING (label)""".stripMargin,
 
       // session_window boundary semantics match q40's lag form: only a
       // gap STRICTLY greater than 3600s starts a new session (verified

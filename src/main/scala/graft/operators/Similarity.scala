@@ -113,6 +113,51 @@ object Similarity {
         array_max(transform(col("__err"), e => abs(e))).as("max_abs_err"))
   }
 
+  /** Per-group embedding-diversity audit: the mean pairwise squared
+    * L2 distance over ALL n² ordered pairs in each group, WITHOUT
+    * forming a single pair — the identity
+    *
+    *   E‖x−y‖² = 2·(E‖x‖² − ‖E[x]‖²)
+    *
+    * reduces it to per-dimension sums, so the cost is O(n·d) where the
+    * naive self-join is O(n²·d): the difference between an audit you
+    * run on every corpus snapshot and one you cannot run at all (a
+    * mode-collapsed embedding space — near-zero diversity — is how
+    * duplicate-factory sources show up before any dedup pass).
+    *
+    * Arithmetic contract: elements are quantized to ×2²⁰ fixed-point
+    * BIGINTs first — multiplication by a power of two and the +0.5
+    * floor are EXACT in IEEE for |x|·2²⁰ < 2⁵², so the quantization is
+    * reproducible anywhere — and every sum after that is integer
+    * (DECIMAL(38,0) accumulators: Σq² per group reaches ~2⁴⁶·n, past
+    * BIGINT near n ≈ 10⁵·shards at web scale). One double conversion
+    * and three IEEE divisions at the very end, mirrored operand-for-
+    * operand by the q123 oracle.
+    *
+    * Shape: one posexplode to (group, dim) — n·d rows, map-side
+    * combined before the shuffle — then a d-row-per-group aggregate.
+    * Output: groupCol, `n_vecs`, `mean_sq_dist` (0.0 for n = 1).
+    */
+  def meanPairwiseSqDist(emb: DataFrame, groupCol: String,
+                         vecCol: String): DataFrame = {
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1048576.0) + lit(0.5)).cast("long"))
+    val perDim = emb.select(col(groupCol), posexplode(q).as(Seq("__k", "__q")))
+      .groupBy(col(groupCol), col("__k"))
+      .agg(sum(col("__q")).as("__sk"),
+        sum((col("__q") * col("__q")).cast("decimal(38,0)")).as("__s2k"))
+    val sums = perDim.groupBy(col(groupCol))
+      .agg(sum(col("__s2k")).as("__s2"),
+        sum(col("__sk").cast("decimal(19,0)") *
+          col("__sk").cast("decimal(19,0)")).as("__ss"))
+    emb.groupBy(col(groupCol)).agg(count(lit(1)).as("n_vecs"))
+      .join(sums, Seq(groupCol))
+      .select(col(groupCol), col("n_vecs"),
+        ((col("n_vecs") * col("__s2") - col("__ss")).cast("double")
+          * lit(2.0) / col("n_vecs") / col("n_vecs")
+          / lit(1099511627776.0)).as("mean_sq_dist"))
+  }
+
   /** Exact brute-force cosine top-k.
     *
     * @param queries small frame of (idCol, vecCol) — broadcast.

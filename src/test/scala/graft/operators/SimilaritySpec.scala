@@ -126,4 +126,37 @@ class SimilaritySpec extends SparkSpec {
     out(3L)._2 shouldBe math.abs(0.3 - 77 * step) +- 1e-12 // within half a step
     out(3L)._2 should be <= step / 2 + 1e-12
   }
+
+  test("meanPairwiseSqDist closed form equals the brute-force pairwise mean") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 30).map { i =>
+      (i % 3, Array.fill(8)((rng.nextDouble() - 0.5).toFloat))
+    }
+    val out = Similarity.meanPairwiseSqDist(
+        vecs.toDF("label", "embedding"), "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // brute force over ALL ordered pairs (incl. self), on the SAME
+    // fixed-point quantization the operator applies
+    for (g <- 0 until 3) {
+      val group = vecs.filter(_._1 == g).map(_._2.map(x =>
+        math.floor(x.toDouble * 1048576.0 + 0.5) / 1048576.0))
+      val n = group.size
+      val brute = (for (a <- group; b <- group) yield
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum).sum / (n.toLong * n)
+      out(g)._1 shouldBe n.toLong
+      out(g)._2 shouldBe brute +- 1e-9
+    }
+  }
+
+  test("meanPairwiseSqDist: singleton group reports zero, no pair join in the plan") {
+    import spark.implicits._
+    val df = Seq((1, Array(0.25f, -0.5f))).toDF("label", "embedding")
+    val res = Similarity.meanPairwiseSqDist(df, "label", "embedding")
+    res.head().getDouble(2) shouldBe 0.0
+    // the O(n*d) contract: no self-join of the embeddings relation
+    val plan = res.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
