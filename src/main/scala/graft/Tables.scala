@@ -17,13 +17,23 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read nanos as long and convert with integer
-      // division (a double intermediate would lose precision — epoch
-      // nanos exceed 2^53).
+      // `ts` encoding varies across testdata generations. Older files
+      // store TIMESTAMP(NANOS), which Spark's vectorized reader rejects:
+      // read nanos as long and convert with integer division (a double
+      // intermediate would lose precision — epoch nanos exceed 2^53).
+      // Newer files store TIMESTAMP(MICROS), which reads natively as
+      // TIMESTAMP_NTZ: cast to the session TimestampType (session tz is
+      // UTC everywhere, so the wall-clock values are unchanged) so every
+      // downstream consumer sees one timestamp type either way.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
