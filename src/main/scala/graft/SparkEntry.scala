@@ -503,6 +503,25 @@ object SparkEntry {
         .select(col("label"), col("n_vecs"),
           pround(col("mean_sq_dist"), 6).as("mean_sq_dist"))),
 
+    // canonical selection: near-dup clusters keep their BEST doc by the
+    // q31 quality score (desc, id asc) instead of keep-min-id — one
+    // max_by hash aggregate, no per-cluster sort window
+    "q124_canonical_reps" -> ((s, d) =>
+      Dedup.canonicalReps(t(s, d, "documents"), "text", "doc_id",
+          TextFns.qualityScore(col("text")))
+        .select(col("cluster"), col("rep_id"), col("n_members"),
+          pround(col("rep_quality"), 4).as("rep_quality"))),
+
+    // doc-inside-doc screen: per banded candidate pair, shingle-set
+    // containment (inter / min set size) alongside Jaccard; `contained`
+    // flags the engulfed pairs near-dup dedup would NOT collapse
+    "q125_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "text", "doc_id")
+        .select(col("id_a"), col("id_b"),
+          pround(col("containment"), 4).as("containment"),
+          pround(col("jaccard"), 4).as("jaccard"),
+          col("contained"))),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -2156,6 +2175,77 @@ object SparkEntry {
            |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
            |JOIN (SELECT doc_id, len(sset) AS n FROM shs) sa ON sa.doc_id = c.id_a
            |JOIN (SELECT doc_id, len(sset) AS n FROM shs) sb ON sb.doc_id = c.id_b""".stripMargin,
+
+      // q21's candidate CTE + q65's recursive min-reachable-id walk for
+      // clusters, then the q31 quality formula picks each cluster's
+      // representative (quality DESC, doc_id ASC); docs in no pair are
+      // their own cluster via the LEFT JOIN coalesce
+      "q124_canonical_reps" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
+           |walk(node, lab) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst),
+           |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+           |q AS (
+           |  SELECT doc_id,
+           |    greatest(least(least(CAST(len(t) AS DOUBLE) / 50.0, 1.0) * 0.4
+           |      + (1.0 - abs((CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains($stopwordList, x))) AS DOUBLE) / len(t) ELSE 0.0 END) - 0.25) * 2.0) * 0.3
+           |      + (1.0 - least(abs((CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE) / len(t) ELSE 0.0 END) - 5.0) / 5.0, 1.0)) * 0.3, 1.0), 0.0) AS quality
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |cl AS (
+           |  SELECT COALESCE(c.component, q.doc_id) AS cluster, q.doc_id, q.quality
+           |  FROM q LEFT JOIN comp c ON c.node = q.doc_id),
+           |sel AS (
+           |  SELECT cluster, doc_id, quality,
+           |    count(*) OVER (PARTITION BY cluster) AS n_members,
+           |    row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id ASC) AS rn
+           |  FROM cl)
+           |SELECT cluster, doc_id AS rep_id, CAST(n_members AS BIGINT) AS n_members,
+           |  ${pround("quality", 4)} AS rep_quality
+           |FROM sel WHERE rn = 1""".stripMargin,
+
+      // q23's verified-pair CTE extended with containment over the
+      // smaller shingle set — the doc-inside-doc statistic
+      "q125_containment" ->
+        s"""WITH shs AS (
+           |  SELECT doc_id, list_distinct($shinglesSql) AS sset
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |sh AS (SELECT doc_id, unnest(sset) AS s FROM shs),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c JOIN sh ea ON ea.doc_id = c.id_a JOIN sh eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+           |  GROUP BY c.id_a, c.id_b),
+           |j AS (
+           |  SELECT c.id_a, c.id_b,
+           |    CAST(COALESCE(i.i, 0) AS DOUBLE) AS inter,
+           |    CAST(sa.n AS DOUBLE) AS na, CAST(sb.n AS DOUBLE) AS nb
+           |  FROM cand c
+           |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+           |  JOIN (SELECT doc_id, len(sset) AS n FROM shs) sa ON sa.doc_id = c.id_a
+           |  JOIN (SELECT doc_id, len(sset) AS n FROM shs) sb ON sb.doc_id = c.id_b),
+           |m AS (
+           |  SELECT id_a, id_b,
+           |    CASE WHEN least(na, nb) > 0 THEN inter / least(na, nb) ELSE 0.0 END AS containment,
+           |    CASE WHEN na + nb - inter > 0 THEN inter / (na + nb - inter) ELSE 0.0 END AS jaccard
+           |  FROM j)
+           |SELECT id_a, id_b, ${pround("containment", 4)} AS containment,
+           |  ${pround("jaccard", 4)} AS jaccard,
+           |  CAST(CASE WHEN containment >= 0.8 AND jaccard < 0.5 THEN 1 ELSE 0 END AS BIGINT) AS contained
+           |FROM m""".stripMargin,
 
       // per-dim means rebuilt in index order; centered list via the
       // (x, i) index lambda; norm = in-order list_aggregate sum, same

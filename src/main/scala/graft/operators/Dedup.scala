@@ -136,6 +136,80 @@ object Dedup {
       pairs.select(col("id_b").as(idCol)).distinct()
     }
 
+  /** Canonical-document selection per near-dup cluster: instead of the
+    * keep-min-id policy (`nearDupLosers`), each connected component of
+    * the candidate graph keeps its BEST document by an explicit quality
+    * ordering (quality desc, then id asc so float ties stay
+    * deterministic). Docs in no candidate pair are their own
+    * single-member cluster.
+    *
+    * Output: one row per cluster — `cluster` (component id = min member
+    * id), `rep_id` (the kept doc), `n_members`, `rep_quality`.
+    *
+    * Scale shape: candidates and components are the banded machinery
+    * above (never all-pairs); the selection itself is ONE hash
+    * aggregate via `max_by(id, struct(quality, -id))` — no per-cluster
+    * sort window, so a pathological boilerplate cluster with millions
+    * of members costs a partial-aggregated scan, not a single-task
+    * sort. The labeling frame is released once the winners are
+    * checkpointed (q46 discipline).
+    */
+  def canonicalReps(docs: DataFrame, textCol: String, idCol: String,
+                    quality: org.apache.spark.sql.Column,
+                    bands: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+    val pairs = minhashCandidates(docs, textCol, idCol, bands, rowsPerBand)
+    val labels = Components.connectedComponents(pairs)
+    val clustered = docs
+      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(coalesce(col("component"), col(idCol)).as("cluster"),
+        col(idCol).as("__id"), quality.as("__q"))
+    val reps = clustered.groupBy(col("cluster"))
+      .agg(max_by(col("__id"), struct(col("__q"), -col("__id"))).as("rep_id"),
+        count(lit(1)).as("n_members"), max(col("__q")).as("rep_quality"))
+      .localCheckpoint(eager = true)
+    Components.free(labels)
+    reps
+  }
+
+  /** Containment screen: the doc-inside-doc case Jaccard misses. For
+    * banded candidate pairs, containment(A in B) = |A∩B| / |A| over
+    * distinct shingle sets — a long document that swallowed a short one
+    * whole scores near 1.0 on containment while the symmetric Jaccard
+    * can sit far below any near-dup threshold. Emits per-pair max
+    * containment alongside Jaccard plus a `contained` flag
+    * (containment >= minContainment AND jaccard < maxJaccard — pairs
+    * ordinary near-dup dedup would NOT collapse).
+    *
+    * Same cost bound as `ngramJaccard`: shingle sets join only for
+    * candidate docs, so pairwise work is O(candidates).
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, bands: Int = 3, rowsPerBand: Int = 2,
+                       minContainment: Double = 0.8,
+                       maxJaccard: Double = 0.5): DataFrame = {
+    val candidates = minhashCandidates(docs, textCol, idCol, bands, rowsPerBand)
+    val sets = docs.select(col(idCol).as("doc"),
+      graft.expressions.GraftFunctions.distinctWordShingles(col(textCol), n).as("sh"))
+    val both = candidates
+      .join(sets.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    both.select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
+        size(col("sh_a")).cast("double").as("na"),
+        size(col("sh_b")).cast("double").as("nb"))
+      .withColumn("containment",
+        when(least(col("na"), col("nb")) > 0,
+          col("inter") / least(col("na"), col("nb"))).otherwise(lit(0.0)))
+      .withColumn("jaccard",
+        when(col("na") + col("nb") - col("inter") > 0,
+          col("inter") / (col("na") + col("nb") - col("inter")))
+          .otherwise(lit(0.0)))
+      .withColumn("contained",
+        when(col("containment") >= minContainment &&
+          col("jaccard") < maxJaccard, 1L).otherwise(0L))
+      .select("id_a", "id_b", "containment", "jaccard", "contained")
+  }
+
   /** Exact n-gram Jaccard for candidate pairs: LSH candidates are
     * verified against true shingle-set Jaccard. The shingle sets are
     * joined only for candidate docs (semi-join pruning), so pairwise cost

@@ -192,4 +192,41 @@ class DedupSpec extends SparkSpec {
     out(1L) shouldBe "header\nbody one\nbody two"
     out(2L) shouldBe "header\nbody three"
   }
+
+  test("canonicalReps keeps the quality argmax, not the min id") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // doc 2 is the near-dup of doc 1 but much longer -> higher n_tokens
+    // leg of the quality score; the min-id policy would keep doc 1
+    val richer = base + " with considerably more useful additional context words"
+    val d = docs(1L -> base, 2L -> richer, 9L -> "unrelated standalone text entirely")
+    val q = graft.functions.TextFns.qualityScore(col("text"))
+    val out = Dedup.canonicalReps(d, "text", "doc_id", q)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // cluster id is the min member id; the representative is the argmax
+    out(1L)._2 shouldBe 2L // n_members
+    out(1L)._1 shouldBe 2L // rep_id: quality beat min-id
+    out(9L) shouldBe ((9L, 1L)) // singleton cluster keeps itself
+  }
+
+  test("canonicalReps breaks exact quality ties by min id") {
+    val txt = "identical content words repeated here for the tie case today ok"
+    val d = docs(7L -> txt, 4L -> txt)
+    val q = graft.functions.TextFns.qualityScore(col("text"))
+    val out = Dedup.canonicalReps(d, "text", "doc_id", q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array((4L, 4L, 2L))
+  }
+
+  test("containmentPairs flags the engulfed doc that Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " " + (1 to 40).map(i => s"filler$i word$i more$i").mkString(" ")
+    val d = docs(1L -> small, 2L -> big, 3L -> "totally unrelated content about other things")
+    val out = Dedup.containmentPairs(d, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val (cont, jac, flag) = out((1L, 2L))
+    cont shouldBe 1.0 // every small-doc shingle appears in the big doc
+    jac should be < 0.5 // symmetric similarity is low
+    flag shouldBe 1L
+  }
 }
