@@ -522,6 +522,19 @@ object SparkEntry {
           pround(col("jaccard"), 4).as("jaccard"),
           col("contained"))),
 
+    // LSH cost/skew audit: per band, bucket count + max bucket + the
+    // implied candidate-pair expansion — hot-bucket detection priced
+    // as one groupBy BEFORE any pairwise work
+    "q126_band_buckets" -> ((s, d) =>
+      Dedup.bandBucketStats(t(s, d, "documents"), "text", "doc_id")),
+
+    // near-dup graph authority: 5 rounds of integer-surfer PageRank
+    // over the banded candidate graph — all-BIGINT floor arithmetic,
+    // so the fixpoint is engine- and partitioning-exact
+    "q127_pagerank" -> ((s, d) =>
+      operators.PageRank.ranks(
+        Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id"))),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -2246,6 +2259,50 @@ object SparkEntry {
            |  ${pround("jaccard", 4)} AS jaccard,
            |  CAST(CASE WHEN containment >= 0.8 AND jaccard < 0.5 THEN 1 ELSE 0 END AS BIGINT) AS contained
            |FROM m""".stripMargin,
+
+      // bucket sizes per band key, then per-band rollup; n*(n-1) is
+      // even so integer // 2 is exact on both engines
+      "q126_band_buckets" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |bu AS (
+           |  SELECT split_part(band_key, '|', 1) AS band, count(*) AS n
+           |  FROM bk GROUP BY band_key)
+           |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+           |  CAST(sum(n) AS BIGINT) AS n_docs,
+           |  CAST(max(n) AS BIGINT) AS max_bucket,
+           |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+           |FROM bu GROUP BY band""".stripMargin,
+
+      // the same 5 integer-surfer rounds as PageRank.ranks, unrolled
+      // (aggregation inside a recursive term is not portable); `//` on
+      // positive BIGINTs = Spark's `div`
+      "q127_pagerank" -> {
+        val rounds = (1 to 5).map { k =>
+          s"""r$k AS (
+             |  SELECT n.node, n.deg, CAST(150000 + COALESCE(s.inflow, 0) AS BIGINT) AS rank
+             |  FROM (SELECT node, deg FROM r0) n
+             |  LEFT JOIN (
+             |    SELECT e.dst AS node, CAST(sum((r.rank * 85) // (100 * r.deg)) AS BIGINT) AS inflow
+             |    FROM edges e JOIN r${k - 1} r ON r.node = e.src
+             |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
+           |r0 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg, CAST(1000000 AS BIGINT) AS rank FROM edges GROUP BY src),
+           |$rounds
+           |SELECT node, deg, rank FROM r5""".stripMargin
+      },
 
       // per-dim means rebuilt in index order; centered list via the
       // (x, i) index lambda; norm = in-order list_aggregate sum, same

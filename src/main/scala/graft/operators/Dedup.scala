@@ -136,6 +136,30 @@ object Dedup {
       pairs.select(col("id_b").as(idCol)).distinct()
     }
 
+  /** LSH cost/skew audit: per band, the bucket-size distribution that
+    * prices the candidate-pair expansion BEFORE running it. At 100 TB
+    * the failure mode of banded dedup is a handful of hot buckets
+    * (empty-ish docs, boilerplate) whose n*(n-1)/2 pair blowup
+    * dominates the job; this report (max bucket, pair count per band)
+    * is the audit that catches it while it is still one groupBy.
+    * All-integer output, so the oracle comparison is exact.
+    */
+  def bandBucketStats(docs: DataFrame, textCol: String, idCol: String,
+                      bands: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, bands * rowsPerBand)
+    val keyed = minhashBandKeys(sigs, bands, rowsPerBand)
+    val buckets = keyed.groupBy(col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .select(substring_index(col("band_key"), "|", 1).as("band"), col("n"))
+    buckets.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_docs"),
+        max(col("n")).as("max_bucket"),
+        // n*(n-1) is even, so `div 2` is exact — stays integer all the
+        // way (a `/` would detour through double)
+        sum(expr("n * (n - 1) div 2")).as("candidate_pairs"))
+  }
+
   /** Canonical-document selection per near-dup cluster: instead of the
     * keep-min-id policy (`nearDupLosers`), each connected component of
     * the candidate graph keeps its BEST document by an explicit quality

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an undirected pair graph (near-dup
+  * candidates, co-citation, link graphs) in INTEGER arithmetic.
+  *
+  * Why integer: the classic damped power iteration in doubles depends
+  * on accumulation order, so two engines (or two partitionings) round
+  * differently and the result can't be hash-compared. Here every node
+  * starts with `unit` surfer micro-units and each round distributes
+  * floor(rank(u) * dampNum / (dampDen * deg(u))) to every neighbor —
+  * all BIGINT, so after k rounds the ranks are bit-identical on any
+  * engine and any partitioning (the DuckDB oracle replays the same k
+  * rounds as unrolled CTEs). Floor loses < 1 unit per edge per round:
+  * irrelevant for a ranking statistic, and exactly mirrored by the
+  * oracle.
+  *
+  * Scale shape: one symmetric edge list built from ONE scan of the
+  * pair frame (the pair plan is usually an expensive candidate
+  * generation), checkpointed once and reused every round; each round
+  * is edges ⋈ ranks (shuffle on src) + one hash aggregate on dst —
+  * the degree rides WITH the rank frame so a round joins the edge
+  * list against ONE small frame, and lineage is truncated per round
+  * (localCheckpoint) so the plan stays flat at any iteration count.
+  * No driver-side collect at any point; superseded round frames are
+  * freed eagerly.
+  */
+object PageRank {
+
+  // Dataset.unpersist only drops CacheManager entries; localCheckpoint
+  // blocks live as cached RDDs and must be released on their RDD. Every
+  // LogicalRDD inside a frame checkpointed HERE is one this object
+  // created (a checkpointed frame's plan is its own single LogicalRDD),
+  // so unlike Components no ownership bookkeeping is needed.
+  private def freeCkpt(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** Ranks after `iterations` rounds. Input: one row per undirected
+    * pair. Output: (node, deg, rank) for every node in the graph.
+    */
+  def ranks(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+            iterations: Int = 5, unit: Long = 1000000L,
+            dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst")).distinct()
+      .localCheckpoint(eager = true)
+    val base = unit * (dampDen - dampNum) / dampDen
+    // every node of an undirected pair graph has deg >= 1 — no
+    // dangling-mass redistribution term needed
+    var ranks = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"), lit(unit).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr(s"rank * ${dampNum}L div (${dampDen}L * deg)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      val stepped = ranks.select(col("node"), col("deg"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank"))
+        .localCheckpoint(eager = true)
+      freeCkpt(ranks)
+      ranks = stepped
+    }
+    freeCkpt(edges)
+    ranks
+  }
+}

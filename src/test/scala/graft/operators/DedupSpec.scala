@@ -217,6 +217,21 @@ class DedupSpec extends SparkSpec {
     out shouldBe Array((4L, 4L, 2L))
   }
 
+  test("bandBucketStats prices the pair expansion per band") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(1L -> txt, 2L -> txt, 3L -> "entirely different other words here today")
+    val out = Dedup.bandBucketStats(d, "text", "doc_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out.keySet shouldBe Set("b0", "b1", "b2")
+    for ((_, (nBuckets, nDocs, maxBucket, pairs)) <- out) {
+      nDocs shouldBe 3L        // every doc keys into every band
+      nBuckets shouldBe 2L     // the identical pair shares its bucket
+      maxBucket shouldBe 2L
+      pairs shouldBe 1L        // 2*(2-1)/2
+    }
+  }
+
   test("containmentPairs flags the engulfed doc that Jaccard misses") {
     val small = "alpha beta gamma delta epsilon zeta eta theta"
     val big = small + " " + (1 to 40).map(i => s"filler$i word$i more$i").mkString(" ")

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class PageRankSpec extends SparkSpec {
+
+  private def pairs(rows: (Long, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (a, b) => Row(a, b) }),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+
+  private def collectRanks(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("a regular graph is the integer fixpoint: every rank stays at unit") {
+    // triangle: deg 2 everywhere; one round maps 1e6 ->
+    // 150000 + 2*floor(1e6*85/200) = 1000000 exactly
+    val out = collectRanks(PageRank.ranks(pairs(1L -> 2L, 2L -> 3L, 1L -> 3L)))
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    for ((_, (deg, rank)) <- out) { deg shouldBe 2L; rank shouldBe 1000000L }
+  }
+
+  test("star center outranks leaves and collects their full damped mass") {
+    val out = collectRanks(PageRank.ranks(pairs(1L -> 2L, 1L -> 3L, 1L -> 4L)))
+    out(1L)._1 shouldBe 3L
+    val leafRanks = Seq(2L, 3L, 4L).map(out(_)._2).distinct
+    leafRanks should have size 1 // symmetry
+    out(1L)._2 should be > leafRanks.head
+    // closed form, replayed: r0 = 1e6 for all.
+    var (c, l) = (1000000L, 1000000L)
+    for (_ <- 1 to 5) {
+      val nc = 150000L + 3L * (l * 85L / 100L)      // leaves have deg 1
+      val nl = 150000L + (c * 85L / 100L) / 3L      // center deg 3, floor
+      c = nc; l = nl
+    }
+    out(1L)._2 shouldBe c
+    leafRanks.head shouldBe l
+  }
+
+  test("ranks are partitioning-independent") {
+    val p = pairs(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 2L -> 5L)
+    collectRanks(PageRank.ranks(p.repartition(7))) shouldBe
+      collectRanks(PageRank.ranks(p.coalesce(1)))
+  }
+
+  test("total integer mass never exceeds the initial endowment") {
+    val p = pairs(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 1L -> 3L)
+    val out = collectRanks(PageRank.ranks(p))
+    // floor-division distribution can only lose mass vs base + damp*unit
+    out.values.map(_._2).sum should be <= out.size * 1000000L
+  }
+}
