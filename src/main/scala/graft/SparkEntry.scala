@@ -535,6 +535,21 @@ object SparkEntry {
       operators.PageRank.ranks(
         Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id"))),
 
+    // behavioral-sequence grams: top-20 within-session action trigrams
+    // (q40's session assignment, total (ts, event_id) order, no
+    // cross-session sequences)
+    "q128_behavior_grams" -> ((s, d) =>
+      operators.Sessionize.behaviorTrigrams(t(s, d, "events"),
+        "user_id", "ts", "event_type", "event_id",
+        gapSeconds = 3600, k = 20)),
+
+    // model-based keep/drop gate in integer basis points: a linear
+    // quality classifier whose score is BIGINT-exact on any engine
+    "q129_linear_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextFns.linearQualityScore(col("text")).as("score"))
+        .withColumn("keep", when(col("score") >= 1000L, 1L).otherwise(0L))),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -2303,6 +2318,59 @@ object SparkEntry {
            |$rounds
            |SELECT node, deg, rank FROM r5""".stripMargin
       },
+
+      // q40's session CTE + a (ts, event_id)-ordered lead window per
+      // session; ORDER+LIMIT ties broken by the trigram string so the
+      // top-20 SET is engine-exact
+      "q128_behavior_grams" ->
+        """WITH g AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 3600
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |  FROM g),
+          |led AS (
+          |  SELECT event_type AS a1,
+          |    lead(event_type, 1) OVER w AS a2,
+          |    lead(event_type, 2) OVER w AS a3
+          |  FROM s WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)),
+          |tri AS (
+          |  SELECT a1 || '>' || a2 || '>' || a3 AS trigram FROM led
+          |  WHERE a3 IS NOT NULL)
+          |SELECT trigram, count(*) AS n FROM tri GROUP BY trigram
+          |ORDER BY n DESC, trigram ASC LIMIT 20""".stripMargin,
+
+      // same integer basis-point features and weights as
+      // TextFns.linearQualityScore; `//` on non-negative BIGINTs =
+      // Spark `div`, so the score is exact
+      "q129_linear_quality" ->
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+           |    CAST(len(list_filter($toksSql, x -> list_contains($stopwordList, x))) AS BIGINT) AS stop_cnt,
+           |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS punct_cnt,
+           |    CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS non_ws,
+           |    CAST(len(text) AS BIGINT) AS n_chars
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id,
+           |    (stop_cnt * 10000) // greatest(n_tok, 1) AS stop_bp,
+           |    (punct_cnt * 10000) // greatest(n_chars, 1) AS punct_bp,
+           |    (non_ws * 100) // greatest(n_tok, 1) AS atl_centi,
+           |    least(n_tok, 50) AS len_cap
+           |  FROM f),
+           |sc AS (
+           |  SELECT doc_id,
+           |    CAST(80 * len_cap - abs(stop_bp - 2500) - 2 * punct_bp
+           |      - abs(atl_centi - 500) AS BIGINT) AS score
+           |  FROM b)
+           |SELECT doc_id, score,
+           |  CAST(CASE WHEN score >= 1000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM sc""".stripMargin,
 
       // per-dim means rebuilt in index order; centered list via the
       // (x, i) index lambda; norm = in-order list_aggregate sum, same

@@ -291,6 +291,38 @@ object TextFns {
     greatest(least(lenScore * 0.4 + swScore * 0.3 + tlScore * 0.3, lit(1.0)), lit(0.0))
   }
 
+  /** Linear quality-classifier score on INTEGER basis-point features —
+    * the model-based keep/drop gate shape (a fastText-style linear
+    * scorer with hand-set weights), kept in pure BIGINT arithmetic so
+    * the score is bit-identical on any engine: every ratio becomes an
+    * integer-divided basis-point feature, every weight an integer.
+    *
+    * features: len_cap = min(tokens, 50); stop_bp / punct_bp =
+    * stopword-per-token / punct-per-char in 1/10000ths; atl_centi =
+    * non-ws chars per token in 1/100ths.
+    * score = 80*len_cap - |stop_bp - 2500| - 2*punct_bp
+    *         - |atl_centi - 500|
+    * — the same rewards as `qualityScore` (mid-length, ~25% stopwords,
+    * ~5-char tokens, low punctuation) with a comparable-not-equal
+    * decision surface; the classifier exists where the float score
+    * can't travel (cross-engine exactness, stable thresholds).
+    */
+  def linearQualityScore(text: Column): Column = {
+    val one = lit(1L)
+    val nTok = tokenCount(text).cast("long")
+    val stopCnt = tally(lower(text), tokenAlternation(enStopwords)).cast("long")
+    val punctCnt = (length(text) -
+      length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("long")
+    val nonWs = length(regexp_replace(text, "\\s", "")).cast("long")
+    val nChars = length(text).cast("long")
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val stopBp = idiv(stopCnt * 10000L, greatest(nTok, one))
+    val punctBp = idiv(punctCnt * 10000L, greatest(nChars, one))
+    val atlCenti = idiv(nonWs * 100L, greatest(nTok, one))
+    lit(80L) * least(nTok, lit(50L)) - abs(stopBp - 2500L) -
+      lit(2L) * punctBp - abs(atlCenti - 500L)
+  }
+
   // ---- token counting ------------------------------------------------------
 
   /** Whitespace token count. */

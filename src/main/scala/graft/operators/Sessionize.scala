@@ -43,4 +43,27 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
           .as("duration_s"))
+
+  /** Behavioral-sequence n-grams: the "user behavior language model"
+    * statistic — top-k most frequent within-session action trigrams.
+    * Sequences never cross a session boundary (the lead window is
+    * partitioned by (key, session)), and the within-session order is
+    * total ((ts, tieCol)) so the gram set is engine-exact under ties.
+    * Top-k is a global (count desc, trigram asc) head — collapses to
+    * TakeOrderedAndProject, no single-partition window.
+    */
+  def behaviorTrigrams(events: DataFrame, keyCol: String, tsCol: String,
+                       actionCol: String, tieCol: String,
+                       gapSeconds: Long, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col("session_id"))
+      .orderBy(col(tsCol), col(tieCol))
+    withSessionIds(events, keyCol, tsCol, gapSeconds)
+      .withColumn("__a2", lead(col(actionCol), 1).over(w))
+      .withColumn("__a3", lead(col(actionCol), 2).over(w))
+      .filter(col("__a3").isNotNull)
+      .select(concat_ws(">", col(actionCol), col("__a2"), col("__a3")).as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram").asc)
+      .limit(k)
+  }
 }

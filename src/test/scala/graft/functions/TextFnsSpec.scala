@@ -71,6 +71,18 @@ class TextFnsSpec extends SparkSpec {
     atl shouldBe 4.5 // (3 + 6("fish!!")) / 2 — tokens keep punctuation
   }
 
+  test("linearQualityScore is the documented integer closed form") {
+    // "the fish!!": n_tok=2, stop_cnt=1, punct=2, non_ws=9, n_chars=10
+    // stop_bp = 10000/2 = 5000; punct_bp = 20000/10 = 2000
+    // atl_centi = 900/2 = 450; len_cap = 2
+    // score = 160 - |5000-2500| - 4000 - |450-500| = 160-2500-4000-50
+    val d = docs("the fish!!")
+    d.select(TextFns.linearQualityScore(col("text"))).head().getLong(0) shouldBe -6390L
+    // empty text: every feature 0 -> score = -2500 - 500
+    docs("").select(TextFns.linearQualityScore(col("text"))).head()
+      .getLong(0) shouldBe -3000L
+  }
+
   test("regex token forms match the higher-order-function forms exactly") {
     // the regexp_count rewrites (codegen) must be value-identical to the
     // interpreted filter/aggregate-over-tokens originals on edge shapes:

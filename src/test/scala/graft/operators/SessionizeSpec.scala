@@ -36,4 +36,41 @@ class SessionizeSpec extends SparkSpec {
     out(1).getAs[Long]("n_events") shouldBe 1
     out(1).getAs[Long]("duration_s") shouldBe 0
   }
+
+  private def evT(rows: (Long, Long, String, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, u, t, a) =>
+        Row(id, u, Timestamp.valueOf(t), a) }),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_type", StringType))))
+
+  test("behaviorTrigrams never crosses a session boundary and ties break on event_id") {
+    val d = evT(
+      // session 1 of user 1: view,view,click,buy -> 2 trigrams
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:01:00", "view"),
+      // tie ts: event_id orders click before buy
+      (3L, 1L, "2024-01-01 10:02:00", "click"),
+      (4L, 1L, "2024-01-01 10:02:00", "buy"),
+      // session 2 (gap > 1h): would chain into the above if boundaries leaked
+      (5L, 1L, "2024-01-01 13:00:00", "view"),
+      (6L, 1L, "2024-01-01 13:01:00", "view"))
+    val out = Sessionize.behaviorTrigrams(d, "user_id", "ts", "event_type",
+        "event_id", gapSeconds = 3600, k = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map("view>view>click" -> 1L, "view>click>buy" -> 1L)
+  }
+
+  test("behaviorTrigrams top-k head is deterministic under count ties") {
+    val d = evT(
+      (1L, 1L, "2024-01-01 10:00:00", "a"), (2L, 1L, "2024-01-01 10:01:00", "b"),
+      (3L, 1L, "2024-01-01 10:02:00", "c"), (4L, 1L, "2024-01-01 10:03:00", "d"))
+    // trigrams a>b>c and b>c>d, both count 1 — k=1 must pick the
+    // lexicographically smaller one
+    val out = Sessionize.behaviorTrigrams(d, "user_id", "ts", "event_type",
+        "event_id", gapSeconds = 3600, k = 1).collect()
+    out should have length 1
+    out(0).getString(0) shouldBe "a>b>c"
+  }
 }
