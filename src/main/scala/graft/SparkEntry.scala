@@ -550,6 +550,27 @@ object SparkEntry {
           TextFns.linearQualityScore(col("text")).as("score"))
         .withColumn("keep", when(col("score") >= 1000L, 1L).otherwise(0L))),
 
+    // attribution interval join: ALL clicks in the hour before each
+    // purchase (vs q28's nearest-one as-of) — equi join on user with a
+    // residual time-range predicate, the stream-stream join shape
+    "q130_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      operators.IntervalJoin.within(clicks, purchases, "user_id",
+          "c_ts", "p_ts", maxLagSeconds = 3600)
+        .select("user_id", "click_id", "purchase_id")
+    }),
+
+    // LSH S-curve calibration: signature agreement count x true-Jaccard
+    // decile over the candidate pairs — the is-my-threshold-right table
+    "q131_minhash_calibration" -> ((s, d) =>
+      Dedup.minhashCalibration(t(s, d, "documents"), "text", "doc_id")),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -2371,6 +2392,46 @@ object SparkEntry {
            |SELECT doc_id, score,
            |  CAST(CASE WHEN score >= 1000 THEN 1 ELSE 0 END AS BIGINT) AS keep
            |FROM sc""".stripMargin,
+
+      "q130_attribution" ->
+        """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+          |FROM events c JOIN events p
+          |  ON c.user_id = p.user_id
+          | AND c.event_type = 'click' AND p.event_type = 'purchase'
+          | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS""".stripMargin,
+
+      // q23's verified-Jaccard CTEs + a signature self-join for the
+      // agreement count; decile capped at 9 so jaccard = 1.0 lands in
+      // the top bucket on both engines
+      "q131_minhash_calibration" ->
+        s"""WITH shs AS (
+           |  SELECT doc_id, list_distinct($shinglesSql) AS sset
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |sh AS (SELECT doc_id, unnest(sset) AS s FROM shs),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c JOIN sh ea ON ea.doc_id = c.id_a JOIN sh eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+           |  GROUP BY c.id_a, c.id_b),
+           |jac AS (
+           |  SELECT c.id_a, c.id_b,
+           |    CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - CAST(COALESCE(i.i, 0) AS DOUBLE)) AS jaccard
+           |  FROM cand c
+           |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+           |  JOIN (SELECT doc_id, len(sset) AS n FROM shs) sa ON sa.doc_id = c.id_a
+           |  JOIN (SELECT doc_id, len(sset) AS n FROM shs) sb ON sb.doc_id = c.id_b),
+           |cal AS (
+           |  SELECT
+           |    CAST(${(0 until 6).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS sig_matches,
+           |    least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS jaccard_decile
+           |  FROM jac JOIN sig sa ON sa.doc_id = jac.id_a JOIN sig sb ON sb.doc_id = jac.id_b)
+           |SELECT sig_matches, jaccard_decile, count(*) AS n_pairs
+           |FROM cal GROUP BY sig_matches, jaccard_decile""".stripMargin,
 
       // per-dim means rebuilt in index order; centered list via the
       // (x, i) index lambda; norm = in-order list_aggregate sum, same

@@ -234,6 +234,33 @@ object Dedup {
       .select("id_a", "id_b", "containment", "jaccard", "contained")
   }
 
+  /** MinHash estimator calibration: for every banded candidate pair,
+    * cross-tab the signature agreement count (0..k matching positions —
+    * the LSH similarity estimate) against the TRUE shingle Jaccard's
+    * decile. The table answers "is my banding threshold doing what the
+    * S-curve math says" on the actual corpus — e.g. how many 5-of-6
+    * pairs are really below 0.5 — before committing a threshold at
+    * full scale. Cost is O(candidates); the signature frame is reused
+    * for both the banding and the agreement count.
+    */
+  def minhashCalibration(docs: DataFrame, textCol: String, idCol: String,
+                         bands: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, textCol, idCol, k)
+    val cand = pairsInBuckets(minhashBandKeys(sigs, bands, rowsPerBand), "doc", "band_key")
+    val jac = ngramJaccard(docs, textCol, idCol, cand)
+    val sa = sigs.toDF("id_a" +: (0 until k).map(i => s"a$i"): _*)
+    val sb = sigs.toDF("id_b" +: (0 until k).map(i => s"b$i"): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    jac.join(sa, "id_a").join(sb, "id_b")
+      .select(matches.as("sig_matches"),
+        least(floor(col("jaccard") * 10).cast("long"), lit(9L)).as("jaccard_decile"))
+      .groupBy(col("sig_matches"), col("jaccard_decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Exact n-gram Jaccard for candidate pairs: LSH candidates are
     * verified against true shingle-set Jaccard. The shingle sets are
     * joined only for candidate docs (semi-join pruning), so pairwise cost

@@ -232,6 +232,14 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashCalibration puts an identical pair at full agreement, top decile") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(1L -> txt, 2L -> txt)
+    val out = Dedup.minhashCalibration(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array((6L, 9L, 1L)) // 6/6 signature positions, jaccard 1.0 capped into decile 9
+  }
+
   test("containmentPairs flags the engulfed doc that Jaccard misses") {
     val small = "alpha beta gamma delta epsilon zeta eta theta"
     val big = small + " " + (1 to 40).map(i => s"filler$i word$i more$i").mkString(" ")
