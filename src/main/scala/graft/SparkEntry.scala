@@ -571,6 +571,33 @@ object SparkEntry {
     "q131_minhash_calibration" -> ((s, d) =>
       Dedup.minhashCalibration(t(s, d, "documents"), "text", "doc_id")),
 
+    // cross-group neighbor mining (bitext-mining shape): each probe's
+    // best neighbor with a DIFFERENT label; threshold keeps the output
+    // pairs-not-noise
+    "q132_cross_mining" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.crossGroupTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", "label", k = 1, minCosine = 0.1)
+        .withColumn("cos_sim", pround(col("cos_sim"), 4))
+    }),
+
+    // reproducibility audit: per-shard order-independent content
+    // checksums — re-runs, replications, and migrations must reproduce
+    // these exactly; commutative sums make them partitioning-free
+    "q133_shard_checksums" -> ((s, d) =>
+      t(s, d, "documents")
+        .select((col("doc_id") % 16).as("shard"), col("doc_id"),
+          col("n_chars"),
+          // first 60 bits of md5(text), folded mod a prime so the
+          // per-shard SUM stays far inside BIGINT at any shard size
+          (conv(substring(md5(col("text")), 1, 15), 16, 10)
+            .cast("long") % 1000000007L).as("h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("h")).as("content_checksum"),
+          sum(col("n_chars")).as("char_checksum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+
     "q41_median" -> ((s, d) => {
       t(s, d, "events").groupBy("event_type")
         .agg(pround(expr("percentile(value, 0.5)"), 4).as("median_value"))
@@ -2432,6 +2459,33 @@ object SparkEntry {
            |  FROM jac JOIN sig sa ON sa.doc_id = jac.id_a JOIN sig sb ON sb.doc_id = jac.id_b)
            |SELECT sig_matches, jaccard_decile, count(*) AS n_pairs
            |FROM cal GROUP BY sig_matches, jaccard_decile""".stripMargin,
+
+      // q24's scoring CTE constrained to cross-label pairs, rank 1,
+      // thresholded
+      "q132_cross_mining" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, label AS query_group, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS neighbor_id, label AS neighbor_group, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           |scored AS (
+           |  SELECT query_id, query_group, neighbor_id, neighbor_group,
+           |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_sim
+           |  FROM q, c WHERE query_group <> neighbor_group),
+           |kept AS (SELECT * FROM scored WHERE cos_sim >= 0.1),
+           |ranked AS (
+           |  SELECT query_id, query_group, neighbor_id, neighbor_group, cos_sim,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+           |  FROM kept)
+           |SELECT query_id, query_group, rank, neighbor_id, neighbor_group,
+           |  ${pround("cos_sim", 4)} AS cos_sim
+           |FROM ranked WHERE rank <= 1""".stripMargin,
+
+      // same md5-half prime fold; every aggregate output cast so the
+      // engines agree on BIGINT
+      "q133_shard_checksums" ->
+        """SELECT doc_id % 16 AS shard, count(*) AS n_docs,
+          |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1000000007) AS BIGINT) AS content_checksum,
+          |  CAST(sum(n_chars) AS BIGINT) AS char_checksum,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM documents GROUP BY doc_id % 16""".stripMargin,
 
       // per-dim means rebuilt in index order; centered list via the
       // (x, i) index lambda; norm = in-order list_aggregate sum, same

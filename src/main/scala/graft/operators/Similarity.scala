@@ -177,6 +177,34 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** Cross-group neighbor mining — the bitext/alignment-mining shape:
+    * for each query vector, its top-k cosine neighbors whose group
+    * label DIFFERS (translation candidates across languages, near-pairs
+    * across sources), thresholded so non-matches don't flood the
+    * output. Same bounded-broadcast contract as `bruteForceTopK`
+    * (queries broadcast, corpus scanned once); at full scale route
+    * through the IVF/SRP variants first and apply the cross-group
+    * constraint to the candidate set.
+    */
+  def crossGroupTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, groupCol: String,
+                     k: Int, minCosine: Double): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(groupCol).as("query_group")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(groupCol).as("neighbor_group"))
+    val scored = q.join(c, col("query_group") =!= col("neighbor_group"))
+      .select(col("query_id"), col("query_group"), col("neighbor_id"),
+        col("neighbor_group"), cosineFast(col("qv"), col("cv")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_group", "rank", "neighbor_id",
+        "neighbor_group", "cos_sim")
+  }
+
   /** SRP-LSH top-k: corpus and queries bucketed by sign-random-projection;
     * only same-bucket candidates are scored. Approximate (recall < 1) but
     * the scored volume drops by ~2^planes.

@@ -35,6 +35,20 @@ class SimilaritySpec extends SparkSpec {
     out.filter("query_id = neighbor_id").count() shouldBe 0
   }
 
+  test("crossGroupTopK mines only cross-label neighbors above the threshold") {
+    val labeled = corpus.withColumn("label",
+      (col("vec_id") % 2).cast("int")) // odd ids label 1, even label 0
+    val out = Similarity.crossGroupTopK(labeled.filter("vec_id = 1"), labeled,
+        "vec_id", "embedding", "label", k = 2, minCosine = 0.05)
+      .orderBy("rank").collect()
+    // query 1 (label 1): same-label 3 and 5 are excluded even though 3
+    // would outrank nothing; eligible are 2 (cos ~0.994) and 4 (cos 0)
+    // — 4 falls under the threshold, so exactly one mined pair remains
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L)
+    out.head.getAs[Int]("query_group") shouldBe 1
+    out.head.getAs[Int]("neighbor_group") shouldBe 0
+  }
+
   test("kmeansIvfTopK recalls true neighbors on clustered data") {
     // three tight clusters around orthogonal axes; with nprobe covering
     // the query's own cluster, top-k must equal brute force

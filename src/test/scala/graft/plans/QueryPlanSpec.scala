@@ -68,7 +68,10 @@ class QueryPlanSpec extends SparkSpec {
     "q24_ann_bruteforce", "q25_ann_ivf", "q34_ann_kmeans",
     "q77_tfidf_terms", "q93_mixture_plan", "q100_vocab_drift",
     "q105_embed_center", "q106_quantize_error", "q112_temperature_mix",
-    "q114_curriculum_phases", "q117_mixture_apply")
+    "q114_curriculum_phases", "q117_mixture_apply",
+    // q132 broadcasts the guarded probe frame with a label-inequality
+    // condition — the q24 ANN-scoring shape
+    "q132_cross_mining")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
