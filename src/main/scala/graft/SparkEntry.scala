@@ -581,6 +581,19 @@ object SparkEntry {
         .withColumn("cos_sim", pround(col("cos_sim"), 4))
     }),
 
+    // exact heavy hitters: terms holding >= 3% of a source's token
+    // volume — integer cross-multiplication share test, no window
+    "q134_heavy_hitters" -> ((s, d) =>
+      operators.TfIdf.heavyHitters(
+        t(s, d, "documents"), "text", "source", minShareBp = 300L)),
+
+    // deterministic epoch shuffle: 2 epochs x 8 shards of fresh
+    // content-stable assignments — multi-epoch order variety without
+    // RNG state, scan-resident
+    "q135_epoch_shuffle" -> ((s, d) =>
+      operators.Sampling.epochShards(
+        t(s, d, "documents"), "doc_id", epochs = 2, shards = 8)),
+
     // reproducibility audit: per-shard order-independent content
     // checksums — re-runs, replications, and migrations must reproduce
     // these exactly; commutative sums make them partitioning-free
@@ -2477,6 +2490,30 @@ object SparkEntry {
            |SELECT query_id, query_group, rank, neighbor_id, neighbor_group,
            |  ${pround("cos_sim", 4)} AS cos_sim
            |FROM ranked WHERE rank <= 1""".stripMargin,
+
+      // integer cross-multiplication share test; // = Spark div on
+      // non-negative BIGINTs
+      "q134_heavy_hitters" ->
+        s"""WITH tok AS (
+           |  SELECT source, unnest($toksSql) AS term FROM documents),
+           |cnt AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY source, term),
+           |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total FROM cnt GROUP BY source)
+           |SELECT c.source, c.term, c.cnt, t.total,
+           |  CAST((c.cnt * 10000) // t.total AS BIGINT) AS share_bp
+           |FROM cnt c JOIN tot t ON c.source = t.source
+           |WHERE c.cnt * 10000 >= t.total * 300""".stripMargin,
+
+      // the epoch-salted saltedOrderKey derivation, mirrored
+      // byte-for-byte: md5('epoch<e>' || '|' || key)
+      "q135_epoch_shuffle" ->
+        """WITH e AS (SELECT doc_id, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch FROM documents),
+          |k AS (SELECT doc_id, epoch,
+          |        md5('epoch' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)) AS order_key
+          |      FROM e)
+          |SELECT doc_id, epoch,
+          |  CAST(('0x' || substr(order_key, 1, 15)) AS BIGINT) % 8 AS shard,
+          |  order_key
+          |FROM k""".stripMargin,
 
       // same md5-half prime fold; every aggregate output cast so the
       // engines agree on BIGINT

@@ -44,6 +44,35 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic epoch-wise shuffle plan: each training epoch gets a
+    * FRESH content-stable shard assignment and intra-shard order key
+    * per row, from the epoch-salted ordering hash (`saltedOrderKey`
+    * with tag `epoch<e>` — the derivation every oracle mirrors).
+    * Multi-epoch training wants a different data order per epoch
+    * without RNG state: this is that plan, one scan with the epochs
+    * exploded per row, fully scan-resident (no shuffle — the CONSUMER
+    * shuffles by (epoch, shard) when materializing).
+    */
+  def epochShards(df: DataFrame, keyCol: String, epochs: Int,
+                  shards: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1: $epochs")
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val e = explode(array((0 until epochs).map(i => lit(i.toLong)): _*))
+    val withEpoch = df.select(col(keyCol)).withColumn("epoch", e)
+      .withColumn("__ok",
+        saltedOrderKey_epoch(col("epoch"), col(keyCol)))
+    withEpoch.select(col(keyCol), col("epoch"),
+      pmod(conv(substring(col("__ok"), 1, 15), 16, 10).cast("long"),
+        lit(shards.toLong)).as("shard"),
+      col("__ok").as("order_key"))
+  }
+
+  // epoch-parameterized variant of `saltedOrderKey` (the tag is a
+  // column, not a literal): md5('epoch<e>' || '|' || key)
+  private def saltedOrderKey_epoch(epoch: Column, key: Column): Column =
+    md5(concat_ws("|", concat(lit("epoch"), epoch.cast("string")),
+      key.cast("string")))
+
   /** Deterministic per-group cap — keep at most `cap` rows of each
     * `groupCol` value, selected by the content-stable key hash rather
     * than arrival order (so the kept subset is a reproducible

@@ -177,6 +177,31 @@ object TfIdf {
     * group before the window shuffle. Groups whose documents have no
     * tokens produce no row.
     */
+  /** Exact per-group heavy hitters: the terms holding at least
+    * `minShareBp` basis points (1/10000ths) of a group's token volume.
+    * The share test is the integer cross-multiplication
+    * cnt * 10000 >= total * minShareBp — no double division anywhere,
+    * so the hitter SET is engine-exact. Two hash aggregates plus a
+    * broadcast of the one-row-per-group totals; nothing is ordered, so
+    * there is no window at any group size (the heavy-hitter question
+    * at 100 TB is a filter, not a sort).
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, groupCol: String,
+                   minShareBp: Long): DataFrame = {
+    require(minShareBp > 0 && minShareBp <= 10000,
+      s"minShareBp must be in (0,10000]: $minShareBp")
+    val cnt = docs
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cnt.groupBy(col(groupCol))
+      .agg(sum("cnt").cast("long").as("total"))
+    cnt.join(broadcast(totals), Seq(groupCol))
+      .filter(col("cnt") * 10000L >= col("total") * minShareBp)
+      .select(col(groupCol), col("term"), col("cnt"), col("total"),
+        call_function("div", col("cnt") * 10000L, col("total")).as("share_bp"))
+  }
+
   def tokenConcentration(docs: DataFrame, textCol: String,
                          groupCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")

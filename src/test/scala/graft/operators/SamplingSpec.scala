@@ -108,4 +108,25 @@ class SamplingSpec extends SparkSpec {
       .filter(col("split_a") =!= col("split_b"))
       .count() should be > 0L
   }
+
+  test("epochShards: every epoch covers all rows, orders differ across epochs") {
+    import spark.implicits._
+    val d = (1L to 200L).toDF("doc_id")
+    val out = Sampling.epochShards(d, "doc_id", epochs = 2, shards = 8)
+    out.count() shouldBe 400L
+    // per-epoch: every doc exactly once, all shards populated
+    val perEpoch = out.groupBy("epoch")
+      .agg(countDistinct(col("doc_id")).as("docs"),
+        countDistinct(col("shard")).as("shards"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    perEpoch(0L) shouldBe ((200L, 8L))
+    perEpoch(1L) shouldBe ((200L, 8L))
+    // the epochs are genuinely different plans: some doc changes shard
+    val e0 = out.filter(col("epoch") === 0).select(col("doc_id"), col("shard").as("s0"))
+    val e1 = out.filter(col("epoch") === 1).select(col("doc_id"), col("shard").as("s1"))
+    e0.join(e1, "doc_id").filter(col("s0") =!= col("s1")).count() should be > 0L
+    // and deterministic: same inputs, same assignments
+    val again = Sampling.epochShards(d, "doc_id", epochs = 2, shards = 8)
+    again.exceptAll(out).count() shouldBe 0L
+  }
 }

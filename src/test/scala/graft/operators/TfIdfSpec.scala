@@ -81,6 +81,21 @@ class TfIdfSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("heavyHitters keeps exactly the terms at or over the share threshold") {
+    import spark.implicits._
+    // src A: 10 tokens — "hot" x3 (3000bp), "warm" x2 (2000bp), 5 singles
+    val d = Seq(
+      ("A", "hot hot hot warm warm a b c d e"),
+      ("B", "u v")).toDF("source", "text")
+    val out = TfIdf.heavyHitters(d, "text", "source", minShareBp = 2000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out.keySet shouldBe Set("A" -> "hot", "A" -> "warm", "B" -> "u", "B" -> "v")
+    out("A" -> "hot") shouldBe ((3L, 10L, 3000L))
+    out("A" -> "warm") shouldBe ((2L, 10L, 2000L)) // boundary is inclusive
+    out("B" -> "u")._3 shouldBe 5000L
+  }
+
   test("vocabDrift ranks terms by absolute share shift, absent terms at zero") {
     import spark.implicits._
     // a: x x y (x share 2/3, y 1/3); b: x z z z (x 1/4, z 3/4)
