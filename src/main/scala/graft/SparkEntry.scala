@@ -594,6 +594,52 @@ object SparkEntry {
       operators.Sampling.epochShards(
         t(s, d, "documents"), "doc_id", epochs = 2, shards = 8)),
 
+    // operational SLA profile: exact daily p50/p95 value bands per
+    // event type (percentile ≡ quantile_cont parity, as q41/q114)
+    "q136_daily_bands" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          pround(expr("percentile(value, 0.5)"), 4).as("p50"),
+          pround(expr("percentile(value, 0.95)"), 4).as("p95"))),
+
+    // attribution rate: share of purchases with >= 1 click in the
+    // trailing hour (q130's join aggregated per day, basis points via
+    // integer division)
+    "q137_attribution_rate" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val attributed = operators.IntervalJoin.within(
+          clicks, purchases, "user_id", "c_ts", "p_ts", 3600)
+        .select("purchase_id").distinct().withColumn("__attr", lit(1L))
+      purchases.join(attributed, Seq("purchase_id"), "left")
+        .groupBy(date_format(col("p_ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(coalesce(col("__attr"), lit(0L))).cast("long").as("n_attributed"))
+        .select(col("day"), col("n_purchases"), col("n_attributed"),
+          call_function("div", col("n_attributed") * 10000L,
+            col("n_purchases")).as("rate_bp"))
+    }),
+
+    // context-length planning: power-of-two token-length histogram per
+    // source; the exponent is exact integer (length of the binary
+    // representation), no libm log2 near-boundary risk
+    "q138_length_histogram" -> ((s, d) => {
+      val n = TextFns.wsTokenCount(col("text"))
+      t(s, d, "documents").select(col("source"), n.as("n_tok"))
+        .withColumn("log2_bucket",
+          when(col("n_tok") > 0,
+            (length(bin(col("n_tok"))) - 1).cast("long")).otherwise(lit(-1L)))
+        .groupBy(col("source"), col("log2_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+    }),
+
     // reproducibility audit: per-shard order-independent content
     // checksums — re-runs, replications, and migrations must reproduce
     // these exactly; commutative sums make them partitioning-free
@@ -2514,6 +2560,38 @@ object SparkEntry {
           |  CAST(('0x' || substr(order_key, 1, 15)) AS BIGINT) % 8 AS shard,
           |  order_key
           |FROM k""".stripMargin,
+
+      "q136_daily_bands" ->
+        s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+           |  ${pround("quantile_cont(value, 0.5)", 4)} AS p50,
+           |  ${pround("quantile_cont(value, 0.95)", 4)} AS p95
+           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q137_attribution_rate" ->
+        """WITH a AS (
+          |  SELECT DISTINCT p.event_id
+          |  FROM events c JOIN events p
+          |    ON c.user_id = p.user_id
+          |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+          |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS),
+          |d AS (
+          |  SELECT strftime(p.ts, '%Y-%m-%d') AS day, count(*) AS n_purchases,
+          |    CAST(sum(CASE WHEN a.event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+          |  FROM events p LEFT JOIN a ON p.event_id = a.event_id
+          |  WHERE p.event_type = 'purchase' GROUP BY 1)
+          |SELECT day, n_purchases, n_attributed,
+          |  CAST((n_attributed * 10000) // n_purchases AS BIGINT) AS rate_bp
+          |FROM d""".stripMargin,
+
+      // len(bin(n)) - 1 is floor(log2(n)) exactly — integer on both
+      // engines, no libm near power-of-two boundaries
+      "q138_length_histogram" ->
+        s"""WITH f AS (
+           |  SELECT source, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents)
+           |SELECT source,
+           |  CAST(CASE WHEN n_tok > 0 THEN len(bin(n_tok)) - 1 ELSE -1 END AS BIGINT) AS log2_bucket,
+           |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           |FROM f GROUP BY 1, 2""".stripMargin,
 
       // same md5-half prime fold; every aggregate output cast so the
       // engines agree on BIGINT
