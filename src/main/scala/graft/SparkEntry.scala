@@ -640,6 +640,26 @@ object SparkEntry {
           sum(col("n_tok")).cast("long").as("n_tokens"))
     }),
 
+    // Z-order clustering key (OPTIMIZE ZORDER BY shape): bit
+    // interleave of (orderkey, partkey) — write-sorted by this key,
+    // parquet min/max prune on BOTH columns
+    "q139_zorder_key" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          plans.ZOrder.morton2(col("l_orderkey"), col("l_partkey"))
+            .as("zkey"))),
+
+    // sliding-window aggregates (1h window, 15min slide): Spark's
+    // native window() vs the oracle's 4-covering-slot restatement —
+    // the streaming windowing semantics verified relationally
+    "q140_sliding_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("n_events"), col("n_users"))),
+
     // reproducibility audit: per-shard order-independent content
     // checksums — re-runs, replications, and migrations must reproduce
     // these exactly; commutative sums make them partitioning-free
@@ -2592,6 +2612,29 @@ object SparkEntry {
            |  CAST(CASE WHEN n_tok > 0 THEN len(bin(n_tok)) - 1 ELSE -1 END AS BIGINT) AS log2_bucket,
            |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
            |FROM f GROUP BY 1, 2""".stripMargin,
+
+      // the same bit surgery, generated for 31 levels; >>, &, << are
+      // BIGINT-exact on both engines
+      "q139_zorder_key" -> {
+        val terms = (0 until 31).map { i =>
+          s"(((l_orderkey >> $i) & 1) << ${2 * i}) | (((l_partkey >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" | ")
+        s"""SELECT l_orderkey, l_partkey, l_linenumber,
+           |  CAST($terms AS BIGINT) AS zkey
+           |FROM lineitem""".stripMargin
+      },
+
+      // every event lies in exactly 4 epoch-aligned (1h, 15min)
+      // windows: starts (t//900 - k) * 900 for k = 0..3 — Spark's
+      // window() semantics restated with unnest
+      "q140_sliding_window" ->
+        """WITH e AS (
+          |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+          |w AS (SELECT user_id, t, unnest([0, 1, 2, 3]) AS k FROM e),
+          |win AS (SELECT user_id, ((t // 900) - k) * 900 AS window_start FROM w)
+          |SELECT window_start, count(*) AS n_events,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |FROM win GROUP BY window_start""".stripMargin,
 
       // same md5-half prime fold; every aggregate output cast so the
       // engines agree on BIGINT
