@@ -640,6 +640,37 @@ object SparkEntry {
           sum(col("n_tok")).cast("long").as("n_tokens"))
     }),
 
+    // cross-source-fair filtering primitive: each doc's quality
+    // percentile WITHIN its source, in integer basis points (a global
+    // threshold over pct_bp drops the same fraction of every source)
+    "q141_quality_percentile" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFns.qualityScore(col("text")).as("__q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("__q"), col("doc_id"))
+      val counts = base.groupBy("source").agg(count(lit(1)).as("__n"))
+      base.withColumn("__rn", row_number().over(w))
+        .join(broadcast(counts), "source")
+        .select(col("doc_id"), col("source"),
+          call_function("div", (col("__rn") - 1L) * 10000L,
+            greatest(col("__n") - 1L, lit(1L))).as("pct_bp"))
+    }),
+
+    // incremental materialized view: the (day, event_type) aggregate
+    // maintained across two micro-batches must equal the one-shot
+    // batch aggregate — additive partials, decimal-summed
+    "q142_streaming_daily_agg" -> ((s, d) => {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_q142_state").toString + "/mv"
+      val ev = t(s, d, "events")
+      def tick(p: Int) = streaming.StreamingAgg.acceptBatch(
+        ev.filter(col("event_id") % 2 === p), "ts", "event_type", "value", st)
+      tick(0)
+      tick(1).select(col("day"), col("event_type"), col("n"),
+        pround(col("total").cast("double"), 2).as("total"))
+    }),
+
     // Z-order clustering key (OPTIMIZE ZORDER BY shape): bit
     // interleave of (orderkey, partkey) — write-sorted by this key,
     // parquet min/max prune on BOTH columns
@@ -2612,6 +2643,32 @@ object SparkEntry {
            |  CAST(CASE WHEN n_tok > 0 THEN len(bin(n_tok)) - 1 ELSE -1 END AS BIGINT) AS log2_bucket,
            |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
            |FROM f GROUP BY 1, 2""".stripMargin,
+
+      // q31's quality formula ranked within source; integer basis
+      // points via // over greatest(n-1, 1) so singleton sources land
+      // at 0 instead of dividing by zero
+      "q141_quality_percentile" ->
+        s"""WITH q AS (
+           |  SELECT doc_id, source,
+           |    greatest(least(least(CAST(len(t) AS DOUBLE) / 50.0, 1.0) * 0.4
+           |      + (1.0 - abs((CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains($stopwordList, x))) AS DOUBLE) / len(t) ELSE 0.0 END) - 0.25) * 2.0) * 0.3
+           |      + (1.0 - least(abs((CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE) / len(t) ELSE 0.0 END) - 5.0) / 5.0, 1.0)) * 0.3, 1.0), 0.0) AS ql
+           |  FROM (SELECT doc_id, source, text, $toksSql AS t FROM documents)),
+           |r AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source ORDER BY ql, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY source) AS n
+           |  FROM q)
+           |SELECT doc_id, source,
+           |  CAST(((rn - 1) * 10000) // greatest(n - 1, 1) AS BIGINT) AS pct_bp
+           |FROM r""".stripMargin,
+
+      // the MV maintained over two ticks must equal the one-shot
+      // aggregate — q54's decimal-sum discipline
+      "q142_streaming_daily_agg" ->
+        s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+           |  ${pround("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS total
+           |FROM events GROUP BY 1, 2""".stripMargin,
 
       // the same bit surgery, generated for 31 levels; >>, &, << are
       // BIGINT-exact on both engines
