@@ -640,6 +640,14 @@ object SparkEntry {
           sum(col("n_tok")).cast("long").as("n_tokens"))
     }),
 
+    // exact-complete set-similarity self-join: prefix filtering
+    // (AllPairs) guarantees every Jaccard >= 0.5 pair is a candidate —
+    // the recall-1.0 alternative to q21's probabilistic banding
+    "q143_prefix_join" -> ((s, d) =>
+      Dedup.prefixFilterPairs(t(s, d, "documents"), "text", "doc_id",
+          minJaccard = 0.5)
+        .withColumn("jaccard", pround(col("jaccard"), 4))),
+
     // cross-source-fair filtering primitive: each doc's quality
     // percentile WITHIN its source, in integer basis points (a global
     // threshold over pct_bp drops the same fraction of every source)
@@ -2643,6 +2651,35 @@ object SparkEntry {
            |  CAST(CASE WHEN n_tok > 0 THEN len(bin(n_tok)) - 1 ELSE -1 END AS BIGINT) AS log2_bucket,
            |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
            |FROM f GROUP BY 1, 2""".stripMargin,
+
+      // same rarest-first prefix scheme: lpad(df)|token keys sort
+      // identically on both engines; ks[1:p] is DuckDB's inclusive
+      // slice = Spark's slice(ks, 1, p)
+      "q143_prefix_join" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_distinct($toksSql)) AS token FROM documents),
+           |freq AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+           |keyed AS (
+           |  SELECT doc_id, lpad(CAST(df AS VARCHAR), 10, '0') || '|' || token AS k
+           |  FROM toks JOIN freq USING (token)),
+           |sets AS (SELECT doc_id, list_sort(list(k)) AS ks FROM keyed GROUP BY doc_id),
+           |pfx AS (
+           |  SELECT doc_id,
+           |    unnest(ks[1 : CAST(len(ks) - ceil(0.5 * len(ks)) + 1 AS BIGINT)]) AS k
+           |  FROM sets),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM pfx a JOIN pfx b ON a.k = b.k AND a.doc_id < b.doc_id),
+           |j AS (
+           |  SELECT c.id_a, c.id_b,
+           |    CAST(len(list_intersect(sa.ks, sb.ks)) AS DOUBLE) AS i,
+           |    CAST(len(sa.ks) AS DOUBLE) AS na, CAST(len(sb.ks) AS DOUBLE) AS nb
+           |  FROM cand c
+           |  JOIN sets sa ON sa.doc_id = c.id_a
+           |  JOIN sets sb ON sb.doc_id = c.id_b),
+           |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
+           |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
+           |FROM v WHERE jaccard >= 0.5""".stripMargin,
 
       // q31's quality formula ranked within source; integer basis
       // points via // over greatest(n-1, 1) so singleton sources land

@@ -234,6 +234,59 @@ object Dedup {
       .select("id_a", "id_b", "containment", "jaccard", "contained")
   }
 
+  /** Prefix-filtered set-similarity self-join (AllPairs / PPJoin
+    * family, Bayardo et al. WWW'07) — the EXACT-complete alternative
+    * to MinHash banding: every pair with token-set Jaccard >= t is
+    * guaranteed a candidate (LSH only finds them with the S-curve's
+    * probability), while still never going all-pairs.
+    *
+    * Mechanics: tokens are globally ordered rarest-first (document
+    * frequency asc, token asc — encoded as one sortable string
+    * `lpad(df)|token` so both engines sort identically); each doc
+    * indexes only the FIRST |T| - ceil(t*|T|) + 1 tokens of its sorted
+    * distinct-token set (the prefix); two docs are candidates iff they
+    * share a PREFIX token. Rare tokens carry tiny postings lists, and
+    * any pair at Jaccard >= t provably collides in the prefixes.
+    * Candidates are then verified with exact set Jaccard and filtered
+    * to >= t.
+    *
+    * Scale shape: the prefix explode shuffles O(rows x prefix) keys
+    * whose postings are df-bounded by construction (the frequent
+    * tokens — the hot buckets that kill naive token joins — are
+    * exactly the ones the prefix drops); verification joins the token
+    * sets only for candidate docs.
+    */
+  def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
+                        minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0,1]: $minJaccard")
+    val toks = docs.select(col(idCol).as("doc"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val keyed = toks.join(freq, "token")
+      .select(col("doc"),
+        concat(lpad(col("df").cast("string"), 10, "0"), lit("|"),
+          col("token")).as("k"))
+    val sets = keyed.groupBy(col("doc"))
+      .agg(array_sort(collect_list(col("k"))).as("ks"))
+      .withColumn("__n", size(col("ks")))
+      .withColumn("__p",
+        (col("__n") - ceil(lit(minJaccard) * col("__n")) + 1).cast("int"))
+    val prefixes = sets.select(col("doc"),
+      explode(slice(col("ks"), lit(1), col("__p"))).as("k"))
+    val cand = pairsInBuckets(prefixes, "doc", "k")
+    val sa = sets.select(col("doc").as("id_a"), col("ks").as("ks_a"))
+    val sb = sets.select(col("doc").as("id_b"), col("ks").as("ks_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ks_a"), col("ks_b"))).cast("double").as("__i"),
+        size(col("ks_a")).cast("double").as("__na"),
+        size(col("ks_b")).cast("double").as("__nb"))
+      .withColumn("jaccard", col("__i") / (col("__na") + col("__nb") - col("__i")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash estimator calibration: for every banded candidate pair,
     * cross-tab the signature agreement count (0..k matching positions —
     * the LSH similarity estimate) against the TRUE shingle Jaccard's

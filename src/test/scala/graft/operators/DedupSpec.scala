@@ -54,6 +54,30 @@ class DedupSpec extends SparkSpec {
     all(out.values) should (be >= 0.0 and be <= 1.0)
   }
 
+  test("prefixFilterPairs is exact-complete: finds ALL pairs at Jaccard >= t") {
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "the quick brown fox leaps over a lazy dog",
+      4L -> "completely unrelated text about database systems",
+      5L -> "unrelated text about distributed database systems",
+      6L -> "the quick brown fox jumps over the lazy dog")
+    val d = docs(texts: _*)
+    val t = 0.5
+    val got = Dedup.prefixFilterPairs(d, "text", "doc_id", minJaccard = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth over distinct lowercase word sets
+    def toks(s: String) = s.toLowerCase.split("\\s+").toSet
+    val want = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      sa = toks(ta); sb = toks(tb)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= t
+    } yield (ia, ib)).toSet
+    got shouldBe want
+    want should contain((1L, 6L)) // sanity: the planted exact dup is in truth
+  }
+
   test("simhashPairs finds identical docs at hamming 0") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "unrelated words entirely different")
     val out = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 3)
