@@ -648,6 +648,20 @@ object SparkEntry {
           minJaccard = 0.5)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // record-linkage: each part's nearest other part by edit distance,
+    // blocked on the first name token (quadratic only within a block)
+    "q144_fuzzy_match" -> ((s, d) =>
+      operators.FuzzyJoin.nearestMatch(t(s, d, "part"), "p_name",
+        "p_partkey", maxDist = 3)),
+
+    // collocation mining: top-40 token pairs by document-cooccurrence
+    // PMI; ranked on the raw rational ratio (bit-reproducible), log10
+    // only in the displayed score
+    "q145_pmi_pairs" -> ((s, d) =>
+      operators.TfIdf.pmiPairs(t(s, d, "documents"), "text", "doc_id",
+          minDf = 5, k = 40)
+        .withColumn("pmi", pround(col("pmi"), 4))),
+
     // cross-source-fair filtering primitive: each doc's quality
     // percentile WITHIN its source, in integer basis points (a global
     // threshold over pct_bp drops the same fraction of every source)
@@ -2680,6 +2694,47 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // same first-token blocking + per-record best (dist, match_id)
+      // order; DuckDB levenshtein is the same unit-cost edit distance
+      // Spark computes (threshold arg only short-circuits the DP)
+      "q144_fuzzy_match" ->
+        """WITH p AS (
+          |  SELECT p_partkey AS id, lower(trim(p_name)) AS nm,
+          |    regexp_split_to_array(lower(trim(p_name)), '\s+')[1] AS blk
+          |  FROM part),
+          |s AS (
+          |  SELECT a.id, b.id AS match_id, levenshtein(a.nm, b.nm) AS dist
+          |  FROM p a JOIN p b ON a.blk = b.blk AND a.id <> b.id),
+          |f AS (
+          |  SELECT id, match_id, dist,
+          |    row_number() OVER (PARTITION BY id ORDER BY dist, match_id) AS rn
+          |  FROM s WHERE dist <= 3)
+          |SELECT id, match_id, dist FROM f WHERE rn = 1""".stripMargin,
+
+      // document-cooccurrence PMI; ORDER BY the raw rational ratio
+      // (one IEEE division of exact integers — bit-identical on both
+      // engines) so the LIMIT boundary cannot flip on a libm-log ulp
+      "q145_pmi_pairs" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(list_distinct($toksSql)) AS term FROM documents),
+           |dfc AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok
+           |  GROUP BY term HAVING count(*) >= 5),
+           |kept AS (SELECT doc_id, term, df FROM tok JOIN dfc USING (term)),
+           |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+           |pr AS (
+           |  SELECT a.term AS term_a, b.term AS term_b,
+           |    CAST(count(*) AS BIGINT) AS n_both,
+           |    max(a.df) AS df_a, max(b.df) AS df_b
+           |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT term_a, term_b, n_both,
+           |    CAST(n_both * n_docs AS DOUBLE) / CAST(df_a * df_b AS DOUBLE) AS ratio
+           |  FROM pr CROSS JOIN n)
+           |SELECT term_a, term_b, n_both, ${pround("log10(ratio)", 4)} AS pmi
+           |FROM r ORDER BY ratio DESC, term_a, term_b LIMIT 40""".stripMargin,
 
       // q31's quality formula ranked within source; integer basis
       // points via // over greatest(n-1, 1) so singleton sources land

@@ -202,6 +202,56 @@ object TfIdf {
         call_function("div", col("cnt") * 10000L, col("total")).as("share_bp"))
   }
 
+  /** Top-k token pairs by pointwise mutual information over document
+    * co-occurrence — the collocation/topic-signal table ("strongly
+    * associated term pairs") of classic corpus analytics.
+    *
+    * Counts are document-level: c_a = docs containing a, c_ab = docs
+    * containing both. PMI = log10(N*c_ab / (c_a*c_b)). Ranking uses
+    * the RAW RATIONAL ratio N*c_ab/(c_a*c_b) — monotone with PMI and
+    * a single IEEE division of exactly-representable integers (bit-
+    * reproducible across engines, N*c_ab < 2^53 by the minDf bound),
+    * where libm log10 could differ one ulp at the kth-rank boundary.
+    * log10 appears only in the DISPLAYED column, rounded to 4 places.
+    *
+    * Scale shape: pair generation is a doc_id self-equi-join of the
+    * per-doc distinct-token explode — O(rows x tokensPerDoc^2) pair
+    * instances, bounded by upstream chunking (q72) which caps tokens
+    * per doc; never a token-postings join (whose hot frequent-token
+    * buckets are quadratic in CORPUS size, not doc size). minDf
+    * filters the noise floor BEFORE the self-join, and the corpus size
+    * joins in as a broadcast one-row aggregate, as `topTerms` does.
+    * The final top-k is a global orderBy+limit = TakeOrderedAndProject
+    * (each task forwards at most k rows; no single-partition sort).
+    */
+  def pmiPairs(docs: DataFrame, textCol: String, idCol: String,
+               minDf: Int, k: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2: $minDf")
+    require(k > 0, s"k must be positive: $k")
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(TextFns.tokens(col(textCol)))).as("term"))
+    val dfc = tok.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= minDf)
+    val kept = tok.join(dfc, "term")
+    val n = docs.agg(countDistinct(col(idCol)).cast("long").as("n_docs"))
+    val pairs = kept.select(col("doc"), col("term").as("term_a"), col("df").as("df_a"))
+      .join(kept.select(col("doc"), col("term").as("term_b"), col("df").as("df_b")),
+        Seq("doc"))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).cast("long").as("n_both"),
+        max(col("df_a")).as("df_a"), max(col("df_b")).as("df_b"))
+    pairs.crossJoin(broadcast(n))
+      .withColumn("__ratio",
+        (col("n_both") * col("n_docs")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double"))
+      .orderBy(col("__ratio").desc, col("term_a"), col("term_b"))
+      .limit(k)
+      .select(col("term_a"), col("term_b"), col("n_both"),
+        log10(col("__ratio")).as("pmi"))
+  }
+
   def tokenConcentration(docs: DataFrame, textCol: String,
                          groupCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")

@@ -110,4 +110,27 @@ class TfIdfSpec extends SparkSpec {
     z.getDouble(3) shouldBe 0.75 +- 1e-12
     out(2).getDouble(2) shouldBe 0.0 // y vanished from b
   }
+
+  test("pmiPairs ranks the always-together pair above independent pairs") {
+    // "salt" and "pepper" co-occur in ALL their docs (df 2, both 2):
+    // ratio = 4*2/(2*2) = 2. "bread" (df 2) meets "salt" once:
+    // ratio = 4*1/(2*2) = 1 -> PMI 0. minDf=2 drops singletons.
+    val d = Seq(
+      (1L, "salt pepper bread"),
+      (2L, "salt pepper"),
+      (3L, "bread water"),
+      (4L, "water stone")).toDF("doc_id", "text")
+    val out = TfIdf.pmiPairs(d, "text", "doc_id", minDf = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val keys = out.keys.toSet
+    keys should contain(("pepper", "salt"))
+    out(("pepper", "salt"))._1 shouldBe 2L
+    out(("pepper", "salt"))._2 shouldBe math.log10(2.0) +- 1e-12
+    out(("bread", "salt"))._2 shouldBe 0.0 +- 1e-12
+    // top row by ratio must be the perfectly-correlated pair
+    val top = TfIdf.pmiPairs(d, "text", "doc_id", minDf = 2, k = 1)
+      .collect().head
+    (top.getString(0), top.getString(1)) shouldBe (("pepper", "salt"))
+  }
 }

@@ -71,7 +71,9 @@ class QueryPlanSpec extends SparkSpec {
     "q114_curriculum_phases", "q117_mixture_apply",
     // q132 broadcasts the guarded probe frame with a label-inequality
     // condition — the q24 ANN-scoring shape
-    "q132_cross_mining")
+    "q132_cross_mining",
+    // q145 attaches the one-row corpus-size aggregate, q77's shape
+    "q145_pmi_pairs")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
