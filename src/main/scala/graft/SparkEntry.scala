@@ -648,6 +648,28 @@ object SparkEntry {
           minJaccard = 0.5)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // per-source drift score vs the corpus baseline: PSI over
+    // power-of-two token-count bins, Laplace-smoothed, decimal-summed
+    "q146_psi_drift" -> ((s, d) =>
+      operators.Profile.psi(
+          t(s, d, "documents").select(col("source"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n_tok")),
+          "n_tok", "source")
+        .withColumnRenamed("grp", "source")),
+
+    // MOSS-style winnowing: doc pairs sharing >= 2 selected
+    // fingerprints (min md5 of each 4-window over char 8-grams);
+    // fingerprints in > 20 docs are boilerplate and dropped
+    "q147_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowedPairs(t(s, d, "documents"), "text", "doc_id",
+        k = 8, w = 4, minShared = 2, maxDf = 20)),
+
+    // within-session Markov transition matrix; probabilities in
+    // integer basis points so the table is engine-exact
+    "q148_transitions" -> ((s, d) =>
+      operators.Sessionize.transitionMatrix(t(s, d, "events"),
+        "user_id", "ts", "event_type", "event_id", gapSeconds = 3600)),
+
     // record-linkage: each part's nearest other part by edit distance,
     // blocked on the first name token (quadratic only within a block)
     "q144_fuzzy_match" -> ((s, d) =>
@@ -2694,6 +2716,93 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // same log2 binning (len(bin(v))-1 — integer on both engines),
+      // +1 Laplace smoothing from exact integer counts, per-bin
+      // contribution pround6 -> DECIMAL(18,6) summed exactly
+      "q146_psi_drift" ->
+        s"""WITH v AS (SELECT source AS grp, CAST(len($toksSql) AS BIGINT) AS val FROM documents),
+           |b AS (
+           |  SELECT grp,
+           |    CASE WHEN val > 0 THEN CAST(len(bin(val)) - 1 AS BIGINT)
+           |         ELSE -1 END AS bin
+           |  FROM v),
+           |gb AS (SELECT grp, bin, CAST(count(*) AS BIGINT) AS ca FROM b GROUP BY 1, 2),
+           |bb AS (SELECT bin, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+           |gt AS (SELECT grp, CAST(count(*) AS BIGINT) AS na FROM b GROUP BY 1),
+           |bt AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+           |              CAST(count(DISTINCT bin) AS BIGINT) AS nbins FROM b),
+           |grid AS (
+           |  SELECT gt.grp, gt.na, bb.bin, bb.cb, bt.nb, bt.nbins
+           |  FROM gt CROSS JOIN bb CROSS JOIN bt),
+           |j AS (
+           |  SELECT g.grp, g.na, g.bin, g.cb, g.nb, g.nbins,
+           |    COALESCE(gb.ca, 0) AS ca
+           |  FROM grid g LEFT JOIN gb ON gb.grp = g.grp AND gb.bin = g.bin),
+           |c AS (
+           |  SELECT grp, na,
+           |    CAST(${pround(
+               "(CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE) - " +
+               "CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE)) * " +
+               "log10(CAST((ca + 1) * (nb + nbins) AS DOUBLE) / " +
+               "CAST((cb + 1) * (na + nbins) AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS contrib
+           |  FROM j)
+           |SELECT grp AS source, max(na) AS n_rows,
+           |  CAST(sum(contrib) AS DOUBLE) AS psi
+           |FROM c GROUP BY grp""".stripMargin,
+
+      // same k=8 grams / w=4 windows / min-md5 selection; DuckDB list
+      // slice is inclusive so hs[j : j+3] is the 4-window at j
+      "q147_winnow_pairs" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |    list_transform(range(1, len(text) - 6),
+          |      i -> md5(substr(lower(text), i, 8))) AS hs
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(hs) >= 4 THEN
+          |      list_distinct(list_transform(range(1, len(hs) - 2),
+          |        j -> list_min(hs[j : j + 3])))
+          |    WHEN len(hs) >= 1 THEN [list_min(hs)]
+          |    ELSE CAST([] AS VARCHAR[]) END AS fps
+          |  FROM g),
+          |f AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+          |keep AS (
+          |  SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+          |p AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM f a JOIN f b USING (fp) JOIN keep USING (fp)
+          |  WHERE a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+          |FROM p GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+      // q40's session assignment (gap > 3600 splits, second-truncated
+      // timestamps), lead within (user, session) under the (ts,
+      // event_id) total order; p_bp by integer floor division
+      "q148_transitions" ->
+        """WITH g AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 3600
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+          |                  ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM g),
+          |t2 AS (
+          |  SELECT event_type AS from_type,
+          |    lead(event_type) OVER (PARTITION BY user_id, sid
+          |                           ORDER BY ts, event_id) AS to_type
+          |  FROM s),
+          |p AS (
+          |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          |  FROM t2 WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM p GROUP BY 1)
+          |SELECT p.from_type, p.to_type, p.n, (p.n * 10000) // tot.tot AS p_bp
+          |FROM p JOIN tot USING (from_type)""".stripMargin,
 
       // same first-token blocking + per-record best (dist, match_id)
       // order; DuckDB levenshtein is the same unit-cost edit distance

@@ -115,6 +115,10 @@ object GraftFunctions {
   def distinctGramCount(text: Column, k: Int): Column =
     ColumnBridge.column(DistinctGramCount(ColumnBridge.expression(text), k))
 
+  /** Typed handle on the native winnowing fingerprint selection. */
+  def winnowedFps(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowedFps(ColumnBridge.expression(text), k, w))
+
   /** Typed handle on the native regex match counter. */
   def regexpTally(text: Column, pattern: String): Column =
     ColumnBridge.column(RegexpTally(ColumnBridge.expression(text), pattern))

@@ -111,6 +111,64 @@ object GramExprs {
     }
     seen.size
   }
+
+  val EMPTY: org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[AnyRef])
+
+  private def toHex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      out(2 * j) = HEX((d(j) >> 4) & 0xF)
+      out(2 * j + 1) = HEX(d(j) & 0xF)
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Distinct winnowing-selected fingerprints: min md5 of every
+    * w-window over the k-char gram digests (whole gram set if fewer
+    * than w grams; empty if fewer than k chars). See `WinnowedFps`.
+    */
+  def winnowedFps(text: UTF8String, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val origChars = text.numChars
+    val windows = origChars - k + 1
+    if (windows <= 0) return EMPTY
+    val lower = text.toLowerCase
+    val b = lower.getBytes
+    val (offs, lowN) = walkOffsets(b)
+    val md = digest.get()
+    val ds = new Array[Array[Byte]](windows)
+    var s = 0
+    while (s < windows) {
+      val from = offs(math.min(s, lowN))
+      val until = offs(math.min(s + k, lowN))
+      md.reset()
+      md.update(b, from, until - from)
+      ds(s) = md.digest()
+      s += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val nSel = math.max(windows - w + 1, 1)
+    var j = 0
+    while (j < nSel) {
+      var best: Array[Byte] = null
+      var i = j
+      val end = math.min(j + w, windows)
+      while (i < end) {
+        if (best == null || unsignedLess(ds(i), best)) best = ds(i)
+        i += 1
+      }
+      seen.add(toHex(best))
+      j += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Native document fingerprint: min md5 over character k-grams — the
@@ -204,4 +262,73 @@ case class DistinctGramCount(child: Expression, k: Int) extends UnaryExpression 
     copy(child = newChild)
 
   override def prettyName: String = "distinct_gram_count"
+}
+
+/** Native winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03): the distinct min-md5 of every w-length sliding window
+  * over the character k-gram hashes — `Dedup.winnowedPairs`' per-doc
+  * selection step in ONE pass per row.
+  *
+  * Why native and not HOFs/window functions: the lambda forms re-inline
+  * the hash-array (and even the `lower(text)`) expression into every
+  * per-window evaluation — CollapseProject cannot see through a lambda
+  * body — giving O(n^2) digest/char work per document; the
+  * explode+sliding-window-min form fixes the asymptotics but pays a
+  * full shuffle on doc id plus a per-doc sort. Here: one lowercase, one
+  * offset walk, n digests, an O(n*w) min scan (w is a small constant),
+  * and one linked hash set, all inside the scan projection.
+  *
+  * Gram enumeration matches `charShingles`/`minGram` exactly (window
+  * count from the ORIGINAL char length, content from the lowered
+  * buffer, partial trailing grams on length-changing lowers). Docs with
+  * fewer than w grams winnow their whole gram set (one fingerprint);
+  * fewer than k chars -> empty. Selection keeps hash VALUES only, so
+  * window ties cannot produce engine-divergent sets; output order is
+  * first-selection order (consumers explode + aggregate — order-blind).
+  *
+  * Null semantics: null text -> EMPTY array (the HOF guard's
+  * `otherwise(empty)` branch), matching `DistinctWordShingles`.
+  */
+case class WinnowedFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 2, s"gram size must be >= 2, got $k")
+  require(w >= 1, s"window size must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnowed_fps expects a string input, got ${other.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) GramExprs.EMPTY
+    else GramExprs.winnowedFps(v.asInstanceOf[UTF8String], k, w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${c.isNull} ?
+          graft.expressions.GramExprs.EMPTY() :
+          graft.expressions.GramExprs.winnowedFps(${c.value}, $k, $w);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowedFps =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnowed_fps"
 }

@@ -287,6 +287,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): doc pairs sharing >= minShared
+    * SELECTED fingerprints, where each doc keeps only the minimum
+    * k-gram hash of every w-length sliding window instead of all
+    * k-gram hashes. Guarantees: any shared substring of length
+    * >= w+k-1 produces at least one shared selected fingerprint, and
+    * selection is position-local (no global state), so the fingerprint
+    * density is ~2/(w+1) of the full gram set — the index shrinks
+    * w-fold while long-match detection stays exact.
+    *
+    * Selection is by MIN HASH VALUE per window (md5 hex — identical
+    * lexicographic order on both engines); because only the hash VALUE
+    * is kept (not its position), window ties cannot produce
+    * engine-divergent fingerprint sets. Docs shorter than k grams
+    * winnow their whole gram set. Fingerprints present in more than
+    * maxDf docs are dropped before pairing (the stop-fingerprint rule:
+    * corpus boilerplate has no discrimination value, and its buckets
+    * are the quadratic blow-up), so the match guarantee applies to
+    * substrings that are not corpus-ubiquitous.
+    *
+    * Scale shape: selection runs entirely inside the scan projection
+    * via the native `WinnowedFps` expression — one lowercase, n
+    * digests, an O(n*w) min scan per row, no shuffle (the HOF and
+    * explode+window formulations are traps: lambda bodies re-inline
+    * the hash-array/lower(text) expressions per window — O(n^2)/doc —
+    * and the window form pays a doc-id shuffle plus per-doc sort).
+    * The pair count is a groupBy on fingerprint and the bounded
+    * `PairCombos` bucket expansion plus one (id_a, id_b) hash
+    * aggregate — identical shape to the banded MinHash join, with the
+    * winnowed density keeping postings ~w x smaller.
+    */
+  def winnowedPairs(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int = 8, w: Int = 4, minShared: Int = 2,
+                    maxDf: Int = 20): DataFrame = {
+    require(k >= 2 && w >= 1 && minShared >= 1 && maxDf >= 2,
+      s"bad winnowing params: k=$k w=$w minShared=$minShared maxDf=$maxDf")
+    val fps = docs.select(col(idCol).as("doc"),
+      explode(graft.expressions.GraftFunctions
+        .winnowedFps(col(textCol), k, w)).as("fp"))
+    // drop over-common fingerprints (boilerplate substrings shared by
+    // thousands of docs): they carry no discrimination signal and their
+    // buckets are the quadratic blow-up — the same stop-fingerprint
+    // rule production winnowing indexes apply. Bucket expansion is then
+    // bounded at maxDf^2/2 pairs per fingerprint BY CONSTRUCTION.
+    fps.groupBy(col("fp"))
+      .agg(array_sort(collect_set(col("doc"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
+      .select(explode(graft.expressions.GraftFunctions.pairCombos(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash estimator calibration: for every banded candidate pair,
     * cross-tab the signature agreement count (0..k matching positions —
     * the LSH similarity estimate) against the TRUE shingle Jaccard's

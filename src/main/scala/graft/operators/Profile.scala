@@ -178,4 +178,59 @@ object Profile {
             (n * (n * col("n_docs") - lit(1.0))))
           .otherwise(lit(0.0)).as("rho"))
   }
+
+  /** Population stability index per group vs the whole-table baseline —
+    * the drift score monitoring pipelines put on every numeric feature
+    * ("has this source's length distribution shifted?").
+    *
+    * Values bin into power-of-two buckets (floor(log2 v) computed as
+    * len(bin(v))-1 — INTEGER on both engines; v <= 0 lands in bucket
+    * -1), counts get +1 Laplace smoothing so a bin empty on one side
+    * stays finite, and each bin's contribution
+    * (p_grp - p_base) * log10(p_grp / p_base) is computed from exact
+    * integer counts: the two shares and their RATIO are single IEEE
+    * divisions of exactly-representable integers, log10 is the only
+    * libm call, and the per-bin contribution is rounded to 6 places
+    * and summed as DECIMAL(18,6) — exact, ORDER-INDEPENDENT addition,
+    * where a double sum would depend on Spark's partition merge order.
+    *
+    * Scale shape: two hash aggregates (per-(group,bin) and per-bin
+    * baseline) over the same scan, a broadcast bin-grid cross join
+    * (the grid is at most 65 log2 buckets — bounded by construction),
+    * and one final per-group aggregate. No windows, no skew exposure:
+    * the baseline joins on bin (tiny broadcast), never funneling a
+    * hot group anywhere.
+    */
+  def psi(df: DataFrame, valCol: String, byCol: String): DataFrame = {
+    val bucket = when(col(valCol) > 0,
+      (length(bin(col(valCol).cast("long"))) - 1).cast("long"))
+      .otherwise(lit(-1L))
+    val binned = df.select(col(byCol).as("grp"), bucket.as("bin"))
+    val grpBin = binned.groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("__ca"))
+    val baseBin = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("__cb"))
+    val grpTot = binned.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("__na"))
+    val baseTot = binned.agg(count(lit(1)).cast("long").as("__nb"),
+      countDistinct(col("bin")).cast("long").as("__nbins"))
+    // full (group x observed-bin) grid: a bin the group never hits
+    // still contributes its smoothed term
+    val grid = grpTot.crossJoin(broadcast(baseBin.crossJoin(baseTot)))
+    val pa = (col("__ca") + 1L).cast("double") /
+      (col("__na") + col("__nbins")).cast("double")
+    val pb = (col("__cb") + 1L).cast("double") /
+      (col("__nb") + col("__nbins")).cast("double")
+    val ratio = ((col("__ca") + 1L) * (col("__nb") + col("__nbins"))).cast("double") /
+      ((col("__cb") + 1L) * (col("__na") + col("__nbins"))).cast("double")
+    val contrib = (pa - pb) * log10(ratio)
+    grid.join(grpBin, Seq("grp", "bin"), "left")
+      .withColumn("__ca", coalesce(col("__ca"), lit(0L)))
+      .withColumn("__c",
+        (floor(contrib * 1e6 + 0.5) / 1e6).cast("decimal(18,6)"))
+      .groupBy(col("grp"))
+      .agg(max(col("__na")).as("n_rows"),
+        sum(col("__c")).cast("double").as("psi"))
+      .select(col("grp"), col("n_rows"), col("psi"))
+  }
 }

@@ -66,4 +66,39 @@ object Sessionize {
       .orderBy(col("n").desc, col("trigram").asc)
       .limit(k)
   }
+
+  /** First-order Markov transition matrix over within-session action
+    * sequences: for every (from, to) action pair, the transition count
+    * and probability — the "what do users do next" table behind funnel
+    * design, anomaly screens, and synthetic-session generators.
+    *
+    * Probabilities are INTEGER BASIS POINTS via floor division
+    * (n*10000 div row-total), so the matrix is engine-exact — no float
+    * division to disagree on. Transitions never cross a session
+    * boundary (lead is partitioned by (key, session)) and the
+    * within-session order is total ((ts, tieCol)).
+    *
+    * Scale shape: one windowed lead partitioned by (key, session) —
+    * millions of small partitions, no skew pileup — then a hash
+    * aggregate on (from, to) whose cardinality is |action-vocab|^2;
+    * the per-from row totals re-join as a broadcast aggregate (the
+    * action vocabulary is bounded; a window over partitionBy(from)
+    * would funnel every hot action's rows into one partition).
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       actionCol: String, tieCol: String,
+                       gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col("session_id"))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = withSessionIds(events, keyCol, tsCol, gapSeconds)
+      .withColumn("__to", lead(col(actionCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(actionCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).cast("long").as("__tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        call_function("div", col("n") * 10000L, col("__tot")).as("p_bp"))
+  }
 }

@@ -117,6 +117,51 @@ class GramExprsSpec extends SparkSpec {
     }
   }
 
+  // reference formulation for winnowing: full gram-hash array, min of
+  // every w-window, distinct — correct but O(n^2) via lambda inlining,
+  // which is exactly why the native expression exists
+  private def hofWinnow(text: org.apache.spark.sql.Column, k: Int, w: Int) = {
+    val hs = transform(TextFns.charShingles(text, k), g => md5(g))
+    val n = F.size(hs)
+    when(n >= w,
+      array_distinct(transform(sequence(lit(1), n - (w - 1)),
+        j => array_min(F.slice(hs, j, lit(w))))))
+      .when(n >= 1, array(array_min(hs)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  test("winnowed_fps matches the HOF winnowing on tricky and fuzz inputs") {
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = "abcXYZ 09.!\t\n  éßΔ中文😀İ"
+    val fuzz = Seq.fill(200) {
+      val n = rnd.nextInt(40)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    for ((k, w) <- Seq((3, 2), (8, 4))) {
+      val out = docs(tricky ++ fuzz).select(
+        array_sort(GraftFunctions.winnowedFps(col("text"), k, w)).as("native"),
+        array_sort(hofWinnow(col("text"), k, w)).as("hof"),
+        col("text")).collect()
+      out.foreach { r =>
+        withClue(s"k=$k w=$w text=${r.getString(2)}: ") {
+          r.getSeq[String](0) shouldBe r.getSeq[String](1)
+        }
+      }
+    }
+  }
+
+  test("winnowed_fps guarantees a shared fingerprint for long shared substrings") {
+    // two docs sharing a substring of length >= w+k-1 = 11 must share
+    // at least one selected fingerprint (the winnowing guarantee)
+    val shared = "zqxwvutsrpon" // 12 chars, unique enough not to collide
+    val d = docs(Seq(s"prefix one $shared tail a", s"other start $shared end b"))
+    val fps = d.select(col("doc_id"),
+        explode(GraftFunctions.winnowedFps(col("text"), 8, 4)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fps.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    byDoc(0L).intersect(byDoc(1L)) should not be empty
+  }
+
   test("interpreted eval path (no codegen) agrees with codegen") {
     val conf = spark.conf
     val saved = (conf.get("spark.sql.codegen.wholeStage", "true"),
@@ -126,10 +171,13 @@ class GramExprsSpec extends SparkSpec {
       conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val out = docs(tricky).select(
         GraftFunctions.md5MinGram(col("text"), 3).as("fp"),
-        hofFingerprint(col("text"), 3).as("hof")).collect()
+        hofFingerprint(col("text"), 3).as("hof"),
+        array_sort(GraftFunctions.winnowedFps(col("text"), 3, 2)).as("nw"),
+        array_sort(hofWinnow(col("text"), 3, 2)).as("hw")).collect()
       out.foreach { r =>
         if (r.isNullAt(1)) r.isNullAt(0) shouldBe true
         else r.getString(0) shouldBe r.getString(1)
+        r.getSeq[String](2) shouldBe r.getSeq[String](3)
       }
     } finally {
       conf.set("spark.sql.codegen.wholeStage", saved._1)

@@ -78,6 +78,24 @@ class DedupSpec extends SparkSpec {
     want should contain((1L, 6L)) // sanity: the planted exact dup is in truth
   }
 
+  test("winnowedPairs links docs sharing a long substring, drops boilerplate") {
+    val plagiarized = "the stolen paragraph verbatim copied entirely here"
+    val d = docs(
+      1L -> s"intro alpha $plagiarized outro one",
+      2L -> s"different beginning $plagiarized other ending",
+      3L -> "completely unrelated text with nothing in common at all")
+    val out = Dedup.winnowedPairs(d, "text", "doc_id",
+        k = 8, w = 4, minShared = 2, maxDf = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.keySet should contain((1L, 2L))
+    out((1L, 2L)) should be >= 2L
+    out.keySet should not contain ((1L, 3L))
+    out.keySet should not contain ((2L, 3L))
+    // the tightest legal cap still keeps 2-doc buckets -> pair survives
+    Dedup.winnowedPairs(d, "text", "doc_id", k = 8, w = 4,
+      minShared = 1, maxDf = 2).count() should be >= 1L
+  }
+
   test("simhashPairs finds identical docs at hamming 0") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "unrelated words entirely different")
     val out = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 3)

@@ -121,4 +121,25 @@ class ProfileSpec extends SparkSpec {
     out.getLong(1) shouldBe 4L
     out.getDouble(2) shouldBe (0.4 +- 1e-12)
   }
+
+  test("psi is exactly zero when the group IS the baseline") {
+    val df = Seq(("only", 1L), ("only", 3L), ("only", 16L), ("only", 0L))
+      .toDF("grp", "v")
+    val out = Profile.psi(df, "v", "grp").head()
+    out.getLong(1) shouldBe 4L
+    out.getDouble(2) shouldBe 0.0
+  }
+
+  test("psi matches the hand-computed smoothed value for a clean shift") {
+    // X: 4 rows in bin 0 (v=1); Y: 4 rows in bin 4 (v=16).
+    // Global bins {0:4, 4:4}, nb=8, nbins=2, na=4. For X:
+    //   bin0: (5/6 - 5/10) * log10(50/30) -> round6 = 0.073950
+    //   bin4: (1/6 - 5/10) * log10(10/30) -> round6 = 0.159040
+    val expected = 0.073950 + 0.159040
+    val rows = (1 to 4).map(i => ("x", 1L)) ++ (1 to 4).map(i => ("y", 16L))
+    val out = Profile.psi(rows.toDF("grp", "v"), "v", "grp")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    out("x") shouldBe (expected +- 1e-9)
+    out("y") shouldBe (expected +- 1e-9) // symmetric by construction
+  }
 }

@@ -73,4 +73,28 @@ class SessionizeSpec extends SparkSpec {
     out should have length 1
     out(0).getString(0) shouldBe "a>b>c"
   }
+
+  test("transitionMatrix counts within-session transitions with exact basis points") {
+    val d = evT(
+      // user 1, one session: a -> b -> a  (transitions a>b, b>a)
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (2L, 1L, "2024-01-01 10:01:00", "b"),
+      (3L, 1L, "2024-01-01 10:02:00", "a"),
+      // session break (> 1h) — a -> c in the new session; the boundary
+      // pair (a @10:02 -> a @12:00) must NOT be counted
+      (4L, 1L, "2024-01-01 12:00:00", "a"),
+      (5L, 1L, "2024-01-01 12:05:00", "c"),
+      // user 2: a -> b
+      (6L, 2L, "2024-01-01 10:00:00", "a"),
+      (7L, 2L, "2024-01-01 10:01:00", "b"))
+    val out = Sessionize.transitionMatrix(d, "user_id", "ts", "event_type",
+        "event_id", gapSeconds = 3600)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from 'a': 3 transitions total — a>b twice (6666 bp), a>c once (3333 bp)
+    out(("a", "b")) shouldBe ((2L, 6666L))
+    out(("a", "c")) shouldBe ((1L, 3333L))
+    out(("b", "a")) shouldBe ((1L, 10000L))
+    out.keySet should not contain (("a", "a"))
+  }
 }

@@ -73,7 +73,10 @@ class QueryPlanSpec extends SparkSpec {
     // condition — the q24 ANN-scoring shape
     "q132_cross_mining",
     // q145 attaches the one-row corpus-size aggregate, q77's shape
-    "q145_pmi_pairs")
+    "q145_pmi_pairs",
+    // q146 builds the (group x bin) grid: the broadcast side is the
+    // per-bin baseline — at most 65 log2 buckets by construction
+    "q146_psi_drift")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
