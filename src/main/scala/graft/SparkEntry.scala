@@ -648,6 +648,22 @@ object SparkEntry {
           minJaccard = 0.5)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // do the model gate (q129) and the length heuristic agree beyond
+    // chance? 2x2 confusion + kappa as ONE exact-integer division
+    "q149_rater_kappa" -> ((s, d) =>
+      operators.Audit.cohenKappa(
+        t(s, d, "documents").select(col("source"),
+          when(TextFns.linearQualityScore(col("text")) >= 1000L, 1L)
+            .otherwise(0L).as("ra"),
+          when(TextFns.wsTokenCount(col("text")) >= 20L, 1L)
+            .otherwise(0L).as("rb")),
+        "source", "ra", "rb")),
+
+    // day-over-day active-user stability: overlap + Jaccard in basis
+    // points (a population swap shows even when volumes look flat)
+    "q150_dau_overlap" -> ((s, d) =>
+      operators.Cohorts.dailyOverlap(t(s, d, "events"), "user_id", "ts")),
+
     // per-source drift score vs the corpus baseline: PSI over
     // power-of-two token-count bins, Laplace-smoothed, decimal-summed
     "q146_psi_drift" -> ((s, d) =>
@@ -2716,6 +2732,62 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // q129's integer linear score vs the n_tok >= 20 heuristic;
+      // kappa rearranged over a common denominator = one division of
+      // exact BIGINTs (den = 0 i.e. constant rater -> 0)
+      "q149_rater_kappa" ->
+        s"""WITH f AS (
+           |  SELECT doc_id, source,
+           |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+           |    CAST(len(list_filter($toksSql, x -> list_contains($stopwordList, x))) AS BIGINT) AS stop_cnt,
+           |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS punct_cnt,
+           |    CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS non_ws,
+           |    CAST(len(text) AS BIGINT) AS n_chars
+           |  FROM documents),
+           |r AS (
+           |  SELECT source,
+           |    CASE WHEN 80 * least(n_tok, 50)
+           |      - abs((stop_cnt * 10000) // greatest(n_tok, 1) - 2500)
+           |      - 2 * ((punct_cnt * 10000) // greatest(n_chars, 1))
+           |      - abs((non_ws * 100) // greatest(n_tok, 1) - 500) >= 1000
+           |      THEN 1 ELSE 0 END AS ra,
+           |    CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END AS rb
+           |  FROM f),
+           |k AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(ra * rb) AS BIGINT) AS a,
+           |    CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
+           |    CAST(sum((1 - ra) * rb) AS BIGINT) AS c,
+           |    CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS d
+           |  FROM r GROUP BY source),
+           |e AS (
+           |  SELECT source, n, a, d,
+           |    n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d)) AS num,
+           |    n * n - ((a + b) * (a + c) + (c + d) * (b + d)) AS den
+           |  FROM k)
+           |SELECT source, n, a AS n_both_keep, d AS n_both_drop,
+           |  CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+           |       ELSE 0.0 END AS kappa
+           |FROM e""".stripMargin,
+
+      // same distinct (day, user) base; DATE + 1 is next-day on both
+      // engines; jaccard by integer floor division
+      "q150_dau_overlap" ->
+        """WITH du AS (
+          |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+          |c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1),
+          |nx AS (
+          |  SELECT a.day, CAST(count(*) AS BIGINT) AS n_both
+          |  FROM du a JOIN du b ON b.user_id = a.user_id
+          |    AND b.day = strftime(CAST(a.day AS DATE) + 1, '%Y-%m-%d')
+          |  GROUP BY 1)
+          |SELECT c.day, c.n AS n_day, c2.n AS n_next,
+          |  COALESCE(nx.n_both, 0) AS n_both,
+          |  (COALESCE(nx.n_both, 0) * 10000)
+          |    // (c.n + c2.n - COALESCE(nx.n_both, 0)) AS jaccard_bp
+          |FROM c JOIN c c2 ON c2.day = strftime(CAST(c.day AS DATE) + 1, '%Y-%m-%d')
+          |LEFT JOIN nx ON nx.day = c.day""".stripMargin,
 
       // same log2 binning (len(bin(v))-1 — integer on both engines),
       // +1 Laplace smoothing from exact integer counts, per-bin

@@ -66,6 +66,43 @@ object Audit {
     *        beyond the last edge in `gt_<last>s`, and lateness 0 (in
     *        order, or the first event) in `on_time`.
     */
+  /** Cohen's kappa agreement between two binary raters, per group —
+    * "do my two keep/drop gates actually agree beyond chance?", the
+    * audit that catches a redundant (or contradictory) filter before
+    * it silently biases a corpus.
+    *
+    * Exactness: the 2x2 confusion counts are integer sums; kappa
+    * = (po - pe)/(1 - pe) is algebraically rearranged over a COMMON
+    * denominator to num = n*(a+d) - [(a+b)(a+c)+(c+d)(b+d)] and
+    * den = n^2 - [...], so the score is ONE IEEE division of two
+    * exactly-representable integers — bit-identical on any engine,
+    * no rounding ritual required. den = 0 (a rater is constant within
+    * the group: chance agreement is 1) reports kappa = 0.
+    *
+    * Scale shape: one hash aggregate per group over four conditional
+    * sums; nothing else. Raters are column expressions evaluated in
+    * the scan projection.
+    */
+  def cohenKappa(df: DataFrame, groupCol: String,
+                 aCol: String, bCol: String): DataFrame = {
+    val ra = col(aCol).cast("long")
+    val rb = col(bCol).cast("long")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(ra * rb).cast("long").as("__a"),
+        sum(ra * (lit(1L) - rb)).cast("long").as("__b"),
+        sum((lit(1L) - ra) * rb).cast("long").as("__c"),
+        sum((lit(1L) - ra) * (lit(1L) - rb)).cast("long").as("__d"))
+    val peNum = (col("__a") + col("__b")) * (col("__a") + col("__c")) +
+      (col("__c") + col("__d")) * (col("__b") + col("__d"))
+    val num = col("n") * (col("__a") + col("__d")) - peNum
+    val den = col("n") * col("n") - peNum
+    agg.select(col(groupCol), col("n"),
+      col("__a").as("n_both_keep"), col("__d").as("n_both_drop"),
+      when(den =!= 0L, num.cast("double") / den.cast("double"))
+        .otherwise(lit(0.0)).as("kappa"))
+  }
+
   def latenessAudit(events: DataFrame, tsCol: String, arrivalCol: String,
                     boundsSeconds: Seq[Long] = Seq(60L, 900L),
                     bucketWidth: Long = 65536L): DataFrame = {

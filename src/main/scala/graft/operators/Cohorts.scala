@@ -48,6 +48,46 @@ object Cohorts {
     * Comparisons are on microsecond epochs so the semantics are
     * engine-portable regardless of source timestamp resolution.
     */
+  /** Day-over-day active-set overlap: for every day with a successor
+    * day in the data, the two daily distinct-key counts, the overlap,
+    * and its Jaccard in INTEGER BASIS POINTS (floor division — engine-
+    * exact, no float set-similarity). The churn/stability audit next
+    * to `retention`'s cohort view: a sudden jaccard_bp drop is a
+    * population swap even when volumes look flat.
+    *
+    * Scale shape: one distinct on (day, key) — a hash aggregate — then
+    * a self equi-join on (key, next-day) whose both sides are the SAME
+    * deduped frame (each key meets only its own next-day row: postings
+    * are 1 per key-day, never quadratic), and two broadcast joins of
+    * the tiny per-day count table.
+    */
+  def dailyOverlap(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val du = events.select(
+      date_format(col(tsCol), "yyyy-MM-dd").as("day"),
+      col(userCol).as("k")).distinct()
+    val counts = du.groupBy(col("day")).agg(count(lit(1)).cast("long").as("n"))
+    val both = du.alias("a")
+      .join(du.alias("b"),
+        col("b.k") === col("a.k") &&
+          col("b.day") === date_format(date_add(to_date(col("a.day")), 1),
+            "yyyy-MM-dd"))
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).cast("long").as("n_both"))
+    counts.alias("c")
+      .join(broadcast(counts.alias("c2")),
+        col("c2.day") === date_format(date_add(to_date(col("c.day")), 1),
+          "yyyy-MM-dd"))
+      .join(broadcast(both), col("c.day") === both("day"), "left")
+      .select(col("c.day").as("day"),
+        col("c.n").as("n_day"), col("c2.n").as("n_next"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        call_function("div",
+          coalesce(col("n_both"), lit(0L)) * 10000L,
+          col("c.n") + col("c2.n") - coalesce(col("n_both"), lit(0L)))
+          .as("jaccard_bp"))
+  }
+
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, s"a funnel needs at least two steps: $steps")

@@ -66,4 +66,18 @@ class AuditSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Audit.latenessAudit(ev, "ts", "arrival", boundsSeconds = Seq(900L, 60L))
   }
+
+  test("cohenKappa matches the hand-computed 2x2 value; constant raters -> 0") {
+    // g: a=3 b=1 c=1 d=5, n=10 -> num = 10*8 - (4*4 + 6*6) = 28,
+    // den = 100 - 52 = 48, kappa = 28/48
+    val g = Seq.fill(3)(("g", 1L, 1L)) ++ Seq(("g", 1L, 0L), ("g", 0L, 1L)) ++
+      Seq.fill(5)(("g", 0L, 0L))
+    // h: both raters constant -> pe = 1 -> den = 0 -> kappa 0 by contract
+    val h = Seq.fill(2)(("h", 1L, 1L))
+    val out = Audit.cohenKappa((g ++ h).toDF("src", "ra", "rb"), "src", "ra", "rb")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    out("g") shouldBe ((10L, 3L, 5L, 28.0 / 48.0))
+    out("h") shouldBe ((2L, 2L, 0L, 0.0))
+  }
 }

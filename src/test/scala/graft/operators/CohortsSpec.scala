@@ -48,4 +48,21 @@ class CohortsSpec extends SparkSpec {
     out(3) shouldBe (("purchase", 1L)) // only u1 purchases after clicking
   }
 
+  test("dailyOverlap reports per-day-pair overlap in exact basis points") {
+    // day1: {1,2,3}; day2: {2,3,4,5}; day4: {9} (no successor rows).
+    // day1->day2: both={2,3}, union=5 -> 4000 bp.
+    // day2->day3: no day3 -> day2 has no output row; day3 absent too.
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (3L, "2024-01-01 12:00:00"), (3L, "2024-01-01 13:00:00"),
+      (2L, "2024-01-02 10:00:00"), (3L, "2024-01-02 11:00:00"),
+      (4L, "2024-01-02 12:00:00"), (5L, "2024-01-02 13:00:00"),
+      (9L, "2024-01-04 10:00:00"))
+      .toDF("user_id", "s").withColumn("ts", to_timestamp(col("s")))
+    val out = Cohorts.dailyOverlap(ev, "user_id", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out.keySet shouldBe Set("2024-01-01")
+    out("2024-01-01") shouldBe ((3L, 4L, 2L, 4000L))
+  }
 }
