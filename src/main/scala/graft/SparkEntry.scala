@@ -640,13 +640,31 @@ object SparkEntry {
           sum(col("n_tok")).cast("long").as("n_tokens"))
     }),
 
-    // exact-complete set-similarity self-join: prefix filtering
-    // (AllPairs) guarantees every Jaccard >= 0.5 pair is a candidate —
-    // the recall-1.0 alternative to q21's probabilistic banding
+    // exact-complete set-similarity self-join over word 3-shingle
+    // sets: prefix filtering (AllPairs) guarantees every Jaccard >=
+    // 0.5 pair is a candidate — recall 1.0 where q21's banding is
+    // probabilistic; shingles (not raw tokens) keep the set space
+    // discriminative on this small-vocab corpus
     "q143_prefix_join" -> ((s, d) =>
       Dedup.prefixFilterPairs(t(s, d, "documents"), "text", "doc_id",
-          minJaccard = 0.5)
+          minJaccard = 0.5, shingleN = 3)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
+
+    // streaming drift monitor: register a baseline token-count
+    // histogram (even doc_ids), score two odd-id batches against it
+    "q151_streaming_drift" -> ((s, d) => {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_q151_state").toString + "/baseline"
+      val v = t(s, d, "documents").select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      streaming.StreamingDrift.registerBaseline(
+        v.filter(col("doc_id") % 2 === 0), "n_tok", st)
+      def screen(m: Int) = streaming.StreamingDrift
+        .screenBatch(v.filter(col("doc_id") % 4 === m), "n_tok", st)
+        .withColumn("batch", lit(s"b$m"))
+      screen(1).unionByName(screen(3))
+        .select(col("batch"), col("n_rows"), col("n_bins"), col("psi"))
+    }),
 
     // do the model gate (q129) and the length heuristic agree beyond
     // chance? 2x2 confusion + kappa as ONE exact-integer division
@@ -2704,12 +2722,16 @@ object SparkEntry {
            |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
            |FROM f GROUP BY 1, 2""".stripMargin,
 
-      // same rarest-first prefix scheme: lpad(df)|token keys sort
-      // identically on both engines; ks[1:p] is DuckDB's inclusive
-      // slice = Spark's slice(ks, 1, p)
+      // same rarest-first prefix scheme over word 3-shingles:
+      // lpad(df)|shingle keys sort identically on both engines;
+      // ks[1:p] is DuckDB's inclusive slice = Spark's slice(ks, 1, p)
       "q143_prefix_join" ->
         s"""WITH toks AS (
-           |  SELECT doc_id, unnest(list_distinct($toksSql)) AS token FROM documents),
+           |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+           |    THEN list_transform(range(1, len(t) - 1),
+           |      i -> list_aggregate(t[i : i + 2], 'string_agg', ' '))
+           |    ELSE CAST([] AS VARCHAR[]) END)) AS token
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
            |freq AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
            |keyed AS (
            |  SELECT doc_id, lpad(CAST(df AS VARCHAR), 10, '0') || '|' || token AS k
@@ -2732,6 +2754,48 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // q146's binning/smoothing over the UNION bin domain (batch
+      // full-join baseline); batches are doc_id % 4 = 1 and 3, the
+      // baseline doc_id % 2 = 0 — labels derived as 'b' || (id % 4)
+      "q151_streaming_drift" ->
+        s"""WITH v AS (
+           |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS val FROM documents),
+           |b AS (
+           |  SELECT doc_id,
+           |    CASE WHEN val > 0 THEN CAST(len(bin(val)) - 1 AS BIGINT)
+           |         ELSE -1 END AS bin
+           |  FROM v),
+           |base AS (
+           |  SELECT bin, CAST(count(*) AS BIGINT) AS cb FROM b
+           |  WHERE doc_id % 2 = 0 GROUP BY 1),
+           |bh AS (
+           |  SELECT 'b' || CAST(doc_id % 4 AS VARCHAR) AS batch, bin,
+           |    CAST(count(*) AS BIGINT) AS ca
+           |  FROM b WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+           |labels AS (SELECT DISTINCT batch FROM bh),
+           |lb AS (SELECT l.batch, bb.bin, bb.cb FROM labels l CROSS JOIN base bb),
+           |g AS (
+           |  SELECT COALESCE(lb.batch, bh.batch) AS batch,
+           |    COALESCE(lb.bin, bh.bin) AS bin,
+           |    COALESCE(lb.cb, 0) AS cb, COALESCE(bh.ca, 0) AS ca
+           |  FROM lb FULL JOIN bh ON bh.batch = lb.batch AND bh.bin = lb.bin),
+           |tots AS (
+           |  SELECT batch, CAST(sum(ca) AS BIGINT) AS na,
+           |    CAST(sum(cb) AS BIGINT) AS nb,
+           |    CAST(count(*) AS BIGINT) AS nbins
+           |  FROM g GROUP BY 1),
+           |c AS (
+           |  SELECT g.batch, t.na, t.nbins,
+           |    CAST(${pround(
+               "(CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE) - " +
+               "CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE)) * " +
+               "log10(CAST((ca + 1) * (nb + nbins) AS DOUBLE) / " +
+               "CAST((cb + 1) * (na + nbins) AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS contrib
+           |  FROM g JOIN tots t USING (batch))
+           |SELECT batch, max(na) AS n_rows, max(nbins) AS n_bins,
+           |  CAST(sum(contrib) AS DOUBLE) AS psi
+           |FROM c GROUP BY batch""".stripMargin,
 
       // q129's integer linear score vs the n_tok >= 20 heuristic;
       // kappa rearranged over a common denominator = one division of

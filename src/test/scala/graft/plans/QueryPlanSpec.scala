@@ -76,7 +76,9 @@ class QueryPlanSpec extends SparkSpec {
     "q145_pmi_pairs",
     // q146 builds the (group x bin) grid: the broadcast side is the
     // per-bin baseline — at most 65 log2 buckets by construction
-    "q146_psi_drift")
+    "q146_psi_drift",
+    // q151 attaches the one-row histogram-total aggregate (q93 shape)
+    "q151_streaming_drift")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
