@@ -650,6 +650,39 @@ object SparkEntry {
           minJaccard = 0.5, shingleN = 3)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // conditional fluency: mean log10 Laplace-smoothed bigram
+    // probability per doc (q90's unigram score with sequence structure)
+    "q152_bigram_lm" -> ((s, d) =>
+      operators.TfIdf.lmScore2(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc").as("doc_id"), col("n_bigrams"),
+          pround(col("lm2_score"), 4).as("lm2_score"))),
+
+    // embedding-space health: per-label centroid distance from the
+    // global centroid (the representation-drift card next to q146)
+    "q153_centroid_drift" -> ((s, d) =>
+      operators.Similarity.centroidDrift(t(s, d, "embeddings"),
+          "embedding", "label")
+        .select(col("label"), col("n_vecs"),
+          pround(col("drift"), 4).as("drift"))),
+
+    // CDC changelog compaction: last op per user wins under the total
+    // (ts, event_id) order; a trailing 'purchase' is a tombstone
+    "q154_cdc_compact" -> ((s, d) =>
+      operators.Relational.cdcCompact(t(s, d, "events"), "user_id",
+          Seq(col("ts"), col("event_id")),
+          col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))),
+
+    // token-weighted median doc length per source: integer-exact
+    // selection (2*cumsum >= total), no interpolation
+    "q155_weighted_median" -> ((s, d) =>
+      operators.Profile.weightedMedian(
+        t(s, d, "documents").select(col("source"), col("doc_id"),
+          col("n_chars"), TextFns.wsTokenCount(col("text")).as("n_tok")),
+        "n_chars", "n_tok", "source", "doc_id")),
+
     // streaming drift monitor: register a baseline token-count
     // histogram (even doc_ids), score two odd-id batches against it
     "q151_streaming_drift" -> ((s, d) => {
@@ -2754,6 +2787,72 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // bigrams re-derived positionally (pos + 1 self-join = Spark's
+      // per-doc lead window); probabilities are ratios of exact
+      // integer counts, V attaches as the one-row vocab aggregate
+      "q152_bigram_lm" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok
+           |  FROM (SELECT doc_id, $toksSql AS tk FROM documents)),
+           |bg AS (
+           |  SELECT a.doc_id, a.tok AS ta, b.tok AS tb
+           |  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+           |c2 AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+           |c1 AS (SELECT ta, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+           |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vv FROM t)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  ${pround("avg(log10(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vv AS DOUBLE)))", 4)} AS lm2_score
+           |FROM bg JOIN c2 USING (ta, tb) JOIN c1 USING (ta) CROSS JOIN v
+           |GROUP BY doc_id""".stripMargin,
+
+      // per-dim means rebuilt in index order (q105's shape) for both
+      // the global and per-label centroids; the difference vector and
+      // its norm accumulate in dimension order on both engines
+      "q153_centroid_drift" ->
+        s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |x AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+           |g AS (SELECT i, avg(x) AS gx FROM x GROUP BY i),
+           |m AS (SELECT label, i, avg(x) AS mx FROM x GROUP BY 1, 2),
+           |d AS (
+           |  SELECT label, list(mx - gx ORDER BY i) AS dv
+           |  FROM m JOIN g USING (i) GROUP BY label),
+           |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM e GROUP BY label)
+           |SELECT label, n_vecs,
+           |  ${pround("sqrt(list_aggregate(list_transform(dv, z -> z * z), 'sum'))", 4)} AS drift
+           |FROM d JOIN c USING (label)""".stripMargin,
+
+      // last-writer-wins under (ts DESC, event_id DESC); a trailing
+      // 'purchase' op tombstones the key out of the final state
+      "q154_cdc_compact" ->
+        """WITH r AS (
+          |  SELECT user_id, event_id, event_type, value, ts,
+          |    row_number() OVER (PARTITION BY user_id
+          |                       ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events)
+          |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+          |  CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+          |FROM r WHERE rn = 1 AND event_type <> 'purchase'""".stripMargin,
+
+      // integer-exact weighted-median selection: running BIGINT weight
+      // under the (val, doc_id) total order, pick min val at 2*cum>=tot
+      "q155_weighted_median" ->
+        s"""WITH b AS (
+           |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS val,
+           |    CAST(len($toksSql) AS BIGINT) AS wgt
+           |  FROM documents),
+           |t2 AS (
+           |  SELECT source, CAST(sum(wgt) AS BIGINT) AS tot,
+           |    CAST(count(*) AS BIGINT) AS n_rows
+           |  FROM b GROUP BY 1),
+           |c AS (
+           |  SELECT source, val, wgt,
+           |    CAST(sum(wgt) OVER (PARTITION BY source ORDER BY val, doc_id
+           |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM b)
+           |SELECT c.source, max(t2.n_rows) AS n_rows, max(t2.tot) AS w_total,
+           |  min(CASE WHEN cum * 2 >= tot THEN val END) AS w_median
+           |FROM c JOIN t2 USING (source) GROUP BY c.source""".stripMargin,
 
       // q146's binning/smoothing over the UNION bin domain (batch
       // full-join baseline); batches are doc_id % 4 = 1 and 3, the

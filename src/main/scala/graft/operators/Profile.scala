@@ -179,6 +179,37 @@ object Profile {
           .otherwise(lit(0.0)).as("rho"))
   }
 
+  /** Exact weighted median per group: the smallest value whose running
+    * weight reaches half the group's total — "the token-weighted
+    * median document length", where the unweighted median (q41)
+    * over-represents short docs. INTEGER-EXACT selection: the
+    * condition is 2*cumsum >= total over BIGINT weights under the
+    * total (value, id) order; no interpolation, no floats.
+    *
+    * Scale shape: one group-partitioned running-sum window (the same
+    * sort a quantile table pays) + a broadcast join of the per-group
+    * weight totals + one min-aggregate. A group's rows stay splittable
+    * across the window partition only by group — same caveat and
+    * remedy as `rankCorrelation` at extreme per-group cardinality.
+    */
+  def weightedMedian(df: DataFrame, valCol: String, weightCol: String,
+                     byCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(byCol))
+      .orderBy(col(valCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.groupBy(col(byCol))
+      .agg(sum(col(weightCol).cast("long")).as("__tot"),
+        count(lit(1)).cast("long").as("n_rows"))
+    df.select(col(byCol), col(valCol), col(idCol), col(weightCol))
+      .withColumn("__cum", sum(col(weightCol).cast("long")).over(w))
+      .join(broadcast(tot), Seq(byCol))
+      .groupBy(col(byCol))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("__tot")).as("w_total"),
+        min(when(col("__cum") * 2L >= col("__tot"), col(valCol)))
+          .as("w_median"))
+  }
+
   /** Population stability index per group vs the whole-table baseline —
     * the drift score monitoring pipelines put on every numeric feature
     * ("has this source's length distribution shifted?").

@@ -27,6 +27,29 @@ object Relational {
   def upsertDelta(incoming: DataFrame, current: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(current, keys, "left_anti")
 
+  /** CDC changelog compaction — the lakehouse MERGE primitive: given a
+    * changelog of per-key operations in event order, materialize the
+    * final table state. The LAST operation per key wins (last-writer-
+    * wins under the caller's TOTAL ordering columns — pass enough
+    * columns to break ties, e.g. (ts, event_id)); a key whose last
+    * operation satisfies `isDelete` is absent from the result
+    * (tombstone).
+    *
+    * Scale shape: one key-partitioned row_number window — the same
+    * single Exchange + partition sort every CDC compactor pays; no
+    * joins, no driver state. Works identically as a foreachBatch body
+    * (merge batch-last rows into swap state via `upsertKeepFirst`).
+    */
+  def cdcCompact(log: DataFrame, keyCol: String, orderCols: Seq[Column],
+                 isDelete: Column): DataFrame = {
+    require(orderCols.nonEmpty, "cdcCompact needs at least one ordering column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.desc): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .filter(!isDelete)
+      .drop("__rn")
+  }
+
   /** Positional (rank-aligned) zip of two frames (reference J5: pandas
     * `concat(axis=1)`, src/other/create_category_group_messages.py:155).
     * No positional join exists in Spark; both sides get a row_number over

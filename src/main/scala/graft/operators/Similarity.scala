@@ -75,6 +75,35 @@ object Similarity {
       .select(col(idCol), col("embedding_cn"), col("center_dist"))
   }
 
+  /** Per-group embedding centroid drift: the L2 distance between each
+    * group's centroid and the global centroid — the embedding-space
+    * health card ("did source X's representation shift away from the
+    * corpus?") next to q146's feature-space PSI. A label whose
+    * centroid sits far from the global mean is a candidate for
+    * mixture rebalance or encoder-regression investigation.
+    *
+    * Both centroids come from the shared `perDimArrays` shape (per-
+    * dimension hash aggregates, arrays rebuilt in index order), so
+    * the difference vector and its norm accumulate in DIMENSION ORDER
+    * — deterministic given the per-dim means, whose cross-row avg()
+    * reassociation noise the downstream pround(4) absorbs (q105's
+    * precedent). The global centroid and per-group counts attach as
+    * broadcast aggregates.
+    */
+  def centroidDrift(emb: DataFrame, vecCol: String,
+                    labelCol: String): DataFrame = {
+    val global = perDimArrays(emb, vecCol, Nil, Seq("__g" -> (c => avg(c))))
+    val per = perDimArrays(emb, vecCol, Seq(labelCol),
+      Seq("__m" -> (c => avg(c))))
+    val cnt = emb.groupBy(col(labelCol))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    per.join(broadcast(global))
+      .withColumn("__d", zip_with(col("__m"), col("__g"), (a, b) => a - b))
+      .withColumn("drift", graft.functions.VectorFns.l2Norm(col("__d")))
+      .join(broadcast(cnt), labelCol)
+      .select(col(labelCol), col("n_vecs"), col("drift"))
+  }
+
   /** Int8 scalar quantization audit — the storage decision for an
     * embedding corpus: per-dimension [min, max] ranges over the corpus
     * define a uint8 grid (`code = floor((x-lo)/(hi-lo)*255 + 0.5)` —

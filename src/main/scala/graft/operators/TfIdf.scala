@@ -202,6 +202,46 @@ object TfIdf {
         call_function("div", col("cnt") * 10000L, col("total")).as("share_bp"))
   }
 
+  /** Bigram-LM fluency score — `lmScore`'s conditional upgrade: mean
+    * log10 of Laplace-smoothed bigram probabilities
+    * P(b|a) = (c(a,b)+1)/(c(a·)+V) over each doc's token sequence.
+    * Repetitive or formulaic text scores high, token-salad low — the
+    * perplexity-filter stand-in with actual sequence structure.
+    *
+    * Exactness follows q90's discipline: probabilities are RATIOS OF
+    * EXACT INTEGER COUNTS (one IEEE division each), log10 is the only
+    * libm call, and the per-doc mean rounds to 4 places downstream.
+    * V is the corpus unigram vocabulary (+V smoothing mass).
+    *
+    * Scale shape: bigrams come from a lead() window partitioned per
+    * doc (millions of tiny partitions, no skew); c(a,b) and c(a·) are
+    * hash aggregates re-joined on their keys — equi-joins that AQE
+    * skew-splits where a hot bigram would pile up (the same argument
+    * as `topTerms`' df join); V attaches as a broadcast one-row
+    * aggregate. Docs with fewer than two tokens are absent (no
+    * bigrams — inner semantics).
+    */
+  def lmScore2(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val big = toks
+      .withColumn("__b", lead(col("tok"), 1).over(w))
+      .filter(col("__b").isNotNull)
+      .select(col("doc"), col("tok").as("ta"), col("__b").as("tb"))
+    val c2 = big.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).cast("long").as("__c2"))
+    val c1 = big.groupBy(col("ta"))
+      .agg(count(lit(1)).cast("long").as("__c1"))
+    val v = toks.agg(countDistinct(col("tok")).cast("long").as("__v"))
+    big.join(c2, Seq("ta", "tb")).join(c1, Seq("ta"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        avg(log10((col("__c2") + 1L).cast("double") /
+          (col("__c1") + col("__v")).cast("double"))).as("lm2_score"))
+  }
+
   /** Top-k token pairs by pointwise mutual information over document
     * co-occurrence — the collocation/topic-signal table ("strongly
     * associated term pairs") of classic corpus analytics.

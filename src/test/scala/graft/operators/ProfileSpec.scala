@@ -122,6 +122,20 @@ class ProfileSpec extends SparkSpec {
     out.getDouble(2) shouldBe (0.4 +- 1e-12)
   }
 
+  test("weightedMedian selects the smallest value at half the total weight") {
+    // uniform weights reduce to the lower median; a heavy tail drags
+    // the weighted median to the heavy value
+    val df = Seq(
+      ("u", 1L, 1L, 10L), ("u", 2L, 1L, 11L), ("u", 3L, 1L, 12L),
+      ("h", 1L, 1L, 20L), ("h", 2L, 1L, 21L), ("h", 3L, 1L, 22L),
+      ("h", 4L, 5L, 23L)).toDF("grp", "v", "w", "id")
+    val out = Profile.weightedMedian(df, "v", "w", "grp", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out("u") shouldBe ((3L, 3L, 2L))  // cum 1,2,3; 2c>=3 first at v=2
+    out("h") shouldBe ((4L, 8L, 4L))  // cum 1,2,3,8; 2c>=8 first at v=4
+  }
+
   test("psi is exactly zero when the group IS the baseline") {
     val df = Seq(("only", 1L), ("only", 3L), ("only", 16L), ("only", 0L))
       .toDF("grp", "v")

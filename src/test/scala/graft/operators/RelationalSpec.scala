@@ -68,4 +68,20 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     out shouldBe Map("a" -> "NA", "b" -> "x", "c" -> "NA")
   }
+
+  test("cdcCompact keeps the last op per key and drops tombstoned keys") {
+    import spark.implicits._
+    val log = Seq(
+      // key 1: upsert v=1, then upsert v=2 (same ts, higher seq wins)
+      (1L, 10L, 1L, "up", 1.0), (1L, 10L, 2L, "up", 2.0),
+      // key 2: upsert then delete -> absent
+      (2L, 10L, 3L, "up", 5.0), (2L, 20L, 4L, "del", 0.0),
+      // key 3: delete then upsert (delete is NOT last) -> present
+      (3L, 10L, 5L, "del", 0.0), (3L, 20L, 6L, "up", 7.0))
+      .toDF("k", "ts", "seq", "op", "v")
+    val out = Relational.cdcCompact(log, "k",
+        Seq(col("ts"), col("seq")), col("op") === "del")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(4)))).toMap
+    out shouldBe Map(1L -> ((2L, 2.0)), 3L -> ((6L, 7.0)))
+  }
 }

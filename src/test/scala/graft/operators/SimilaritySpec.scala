@@ -173,4 +173,18 @@ class SimilaritySpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("centroidDrift is the L2 distance from each label centroid to the global") {
+    import spark.implicits._
+    // label 0: (0,0),(2,0) -> centroid (1,0); label 1: (0,2).
+    // global = (2/3, 2/3); drift0 = sqrt(5)/3, drift1 = sqrt(20)/3
+    val e = Seq((0, Array(0f, 0f)), (0, Array(2f, 0f)), (1, Array(0f, 2f)))
+      .toDF("label", "embedding")
+    val out = Similarity.centroidDrift(e, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out(0)._1 shouldBe 2L
+    out(1)._1 shouldBe 1L
+    out(0)._2 shouldBe (math.sqrt(5.0) / 3 +- 1e-9)
+    out(1)._2 shouldBe (math.sqrt(20.0) / 3 +- 1e-9)
+  }
 }

@@ -111,6 +111,19 @@ class TfIdfSpec extends SparkSpec {
     out(2).getDouble(2) shouldBe 0.0 // y vanished from b
   }
 
+  test("lmScore2 matches hand-computed smoothed bigram probabilities") {
+    // corpus bigrams: (a,b)x3, (b,a)x1; c1: a->3, b->1; V=3.
+    // doc1 "a b a b": mean log10 of [4/6, 2/4, 4/6]; doc2 "a b": log10(4/6);
+    // doc3 "c": no bigrams -> absent
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = TfIdf.lmScore2(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L)._1 shouldBe 3L
+    out(1L)._2 shouldBe ((2 * math.log10(4.0 / 6) + math.log10(2.0 / 4)) / 3 +- 1e-12)
+    out(2L)._2 shouldBe (math.log10(4.0 / 6) +- 1e-12)
+  }
+
   test("pmiPairs ranks the always-together pair above independent pairs") {
     // "salt" and "pepper" co-occur in ALL their docs (df 2, both 2):
     // ratio = 4*2/(2*2) = 2. "bread" (df 2) meets "salt" once:

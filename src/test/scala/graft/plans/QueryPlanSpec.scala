@@ -78,7 +78,10 @@ class QueryPlanSpec extends SparkSpec {
     // per-bin baseline — at most 65 log2 buckets by construction
     "q146_psi_drift",
     // q151 attaches the one-row histogram-total aggregate (q93 shape)
-    "q151_streaming_drift")
+    "q151_streaming_drift",
+    // q152 attaches the one-row vocabulary-size aggregate; q153 the
+    // one-row global-centroid aggregate (q105's shape)
+    "q152_bigram_lm", "q153_centroid_drift")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
