@@ -650,6 +650,27 @@ object SparkEntry {
           minJaccard = 0.5, shingleN = 3)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // anomaly baseline: per-type EWMA over the daily decimal-exact
+    // value sums; ordered fold, alpha = 0.5 (exact halvings)
+    "q156_ewma" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("dv"))
+      operators.Resample.ewma(daily, "event_type", "day", "dv", alpha = 0.5)
+        .select(col("event_type"), col("n_points").as("n_days"),
+          pround(col("last_val"), 2).as("last_day"),
+          pround(col("ewma"), 4).as("ewma"))
+    }),
+
+    // clustering structure of the q21 candidate graph: per-node
+    // triangle counts (dense boilerplate families close triangles)
+    "q157_triangles" -> ((s, d) =>
+      operators.Triangles.nodeTriangleCounts(
+        Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id",
+          bands = 3, rowsPerBand = 2),
+        "id_a", "id_b")),
+
     // conditional fluency: mean log10 Laplace-smoothed bigram
     // probability per doc (q90's unigram score with sequence structure)
     "q152_bigram_lm" -> ((s, d) =>
@@ -2787,6 +2808,44 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // same ordered fold: list(dv ORDER BY day) + list_reduce seeded
+      // with the first element — identical IEEE ops in identical order
+      "q156_ewma" ->
+        """WITH daily AS (
+          |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dv
+          |  FROM events GROUP BY 1, 2),
+          |v AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          |    list(dv ORDER BY day) AS l
+          |  FROM daily GROUP BY 1)
+          |SELECT event_type, n_days,
+          |  floor(l[-1] * 100 + 0.5) / 100 AS last_day,
+          |  floor(list_reduce(CAST(l AS DOUBLE[]),
+          |    (acc, x) -> acc * 0.5 + x * 0.5) * 10000 + 0.5) / 10000 AS ewma
+          |FROM v""".stripMargin,
+
+      // q21's banded-candidate chain + the sorted-order wedge close:
+      // (a,b)x(b,c) semi-joined against (a,c) finds each triangle once
+      "q157_triangles" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |e AS (
+           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |tri AS (
+           |  SELECT ab.a, ab.b, bc.b AS c
+           |  FROM e ab JOIN e bc ON bc.a = ab.b
+           |  WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.a = ab.a AND ac.b = bc.b)),
+           |n AS (
+           |  SELECT unnest([a, b, c]) AS node FROM tri)
+           |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM n GROUP BY node""".stripMargin,
 
       // bigrams re-derived positionally (pos + 1 self-join = Spark's
       // per-doc lead window); probabilities are ratios of exact

@@ -24,6 +24,37 @@ object Resample {
     * carried forward from the latest event at or before the slot.
     * Output grid column: `slot` = epoch SECONDS of the slot boundary.
     */
+  /** Exponentially weighted moving average per group over an ordered
+    * series: ewma = fold(acc*(1-alpha) + x*alpha), seeded with the
+    * first value — the smoothing baseline behind "is today's volume
+    * anomalous" alerts.
+    *
+    * Determinism: the fold runs over an array collected and sorted by
+    * the order column, so accumulation order is TOTAL and identical
+    * on both engines; with alpha = 0.5 (the default) each step is two
+    * exact halvings and one IEEE add — bit-reproducible. A recursive
+    * definition has no order-free aggregate form; the per-group array
+    * is the honest shape, and it bounds state at (groups x series
+    * length), e.g. types x days — collect only pre-aggregated series,
+    * never raw events.
+    */
+  def ewma(series: DataFrame, groupCol: String, ordCol: String,
+           valCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    val folded = series.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        array_sort(collect_list(
+          struct(col(ordCol), col(valCol).cast("double").as(valCol))))
+          .as("__a"))
+      .withColumn("__v", transform(col("__a"), x => x.getField(valCol)))
+    folded.select(col(groupCol), col("n_points"),
+      element_at(col("__v"), -1).as("last_val"),
+      aggregate(
+        slice(col("__v"), lit(2), greatest(size(col("__v")) - 1, lit(0))),
+        element_at(col("__v"), 1),
+        (acc, x) => acc * (1.0 - alpha) + x * alpha).as("ewma"))
+  }
+
   def gapFill(events: DataFrame, keyCol: String, tsCol: String,
               valCols: Map[String, String], stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"step must be positive: $stepSeconds")

@@ -80,4 +80,16 @@ class ResampleSpec extends SparkSpec {
     // boundary-sampling contract as the positive-epoch test above
     out.head.isNullAt(2) shouldBe true
   }
+
+  test("ewma folds in order-column order; single point returns itself") {
+    val s = Seq(
+      ("a", "d1", 1.0), ("a", "d2", 2.0), ("a", "d3", 3.0),
+      ("b", "d1", 7.0)).toDF("g", "day", "v")
+    val out = Resample.ewma(s, "g", "day", "v", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // a: seed 1, (1+2)/2 = 1.5, (1.5+3)/2 = 2.25
+    out("a") shouldBe ((3L, 3.0, 2.25))
+    out("b") shouldBe ((1L, 7.0, 7.0))
+  }
 }
