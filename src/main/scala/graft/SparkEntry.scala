@@ -650,6 +650,11 @@ object SparkEntry {
           minJaccard = 0.5, shingleN = 3)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // tokenizer induction actually run: 5 BPE merges learned in
+    // sequence over the vocabulary-bounded word table
+    "q158_bpe_merges" -> ((s, d) =>
+      operators.Bpe.learnMerges(t(s, d, "documents"), "text", rounds = 5)),
+
     // anomaly baseline: per-type EWMA over the daily decimal-exact
     // value sums; ordered fold, alpha = 0.5 (exact halvings)
     "q156_ewma" -> ((s, d) => {
@@ -2808,6 +2813,40 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // five unrolled merge rounds: pair stats over the sep-encoded
+      // vocab, best by (total desc, s1, s2), applied via literal
+      // replace("s1␁s2␁" -> "s1s2␁") — greedy left-to-right on both
+      // engines; chr(1) is the separator
+      "q158_bpe_merges" -> {
+        def rnd(r: Int): String = {
+          val prev = s"v${r - 1}"
+          s"""p$r AS (
+             |  SELECT ss[CAST(t.i AS INT)] AS s1, ss[CAST(t.i AS INT) + 1] AS s2,
+             |    CAST(sum(cnt) AS BIGINT) AS total
+             |  FROM (SELECT list_filter(string_split(enc, chr(1)), x -> len(x) > 0) AS ss, cnt
+             |        FROM $prev) s,
+             |    LATERAL (SELECT unnest(range(1, len(ss))) AS i) t
+             |  GROUP BY 1, 2),
+             |b$r AS (SELECT s1, s2, total FROM p$r
+             |        ORDER BY total DESC, s1, s2 LIMIT 1),
+             |v$r AS (
+             |  SELECT replace(enc, b$r.s1 || chr(1) || b$r.s2 || chr(1),
+             |                 b$r.s1 || b$r.s2 || chr(1)) AS enc, cnt
+             |  FROM v${r - 1}, b$r)""".stripMargin
+        }
+        s"""WITH w0 AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(t) AS w FROM (SELECT $toksSql AS t FROM documents))
+           |  GROUP BY w HAVING len(w) >= 2),
+           |v0 AS (
+           |  SELECT regexp_replace(w, '(.)', '\\1' || chr(1), 'g') AS enc, cnt
+           |  FROM w0),
+           |${(1 to 5).map(rnd).mkString(",\n")}
+           |${(1 to 5).map(r =>
+              s"SELECT CAST($r AS BIGINT) AS round, s1, s2, total FROM b$r")
+             .mkString("\nUNION ALL\n")}""".stripMargin
+      },
 
       // same ordered fold: list(dv ORDER BY day) + list_reduce seeded
       // with the first element — identical IEEE ops in identical order

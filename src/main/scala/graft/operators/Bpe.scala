@@ -45,4 +45,68 @@ object Bpe {
       .orderBy(col("total").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** Iterative BPE vocabulary induction — `pairStats`' loop actually
+    * run: `rounds` merges learned in sequence, each round counting
+    * adjacent SYMBOL pairs over the word-frequency table, taking the
+    * (total desc, s1 asc, s2 asc) best, and applying it greedily
+    * left-to-right. Output: (round, s1, s2, total) — the merge table a
+    * tokenizer ships.
+    *
+    * Symbol sequences are encoded as separator-joined strings
+    * ('\\u0001' after every symbol), which makes the greedy
+    * non-overlapping merge EXACTLY a literal string `replace` of
+    * "s1␁s2␁" with "s1s2␁" — both engines' replace scans left to
+    * right and resumes after each substitution, so "aaaa" under (a,a)
+    * becomes (aa)(aa), the standard BPE behavior, with no list-fold
+    * machinery. Words never contain the separator by construction
+    * (tokens are whitespace-split text).
+    *
+    * Scale shape: the corpus is touched ONCE (word-frequency hash
+    * aggregate); every round runs on the vocabulary-bounded frame —
+    * pair explode, hash aggregate, TakeOrderedAndProject(1) — and
+    * collects exactly ONE row to the driver (the merge to apply next,
+    * the same inherently-sequential driver step as an MLlib k-means
+    * iteration). `localCheckpoint` keeps the per-round lineage flat.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sep = "\u0001"
+    var vocab = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt"))
+      .filter(length(col("w")) >= 2)
+      .select(regexp_replace(col("w"), "(.)", "$1" + sep).as("enc"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = vocab
+        .select(col("cnt"),
+          filter(split(col("enc"), sep), s => length(s) > 0).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .withColumn("s1s", slice(col("ss"), lit(1), size(col("ss")) - 1))
+        .withColumn("s2s", slice(col("ss"), lit(2), size(col("ss")) - 1))
+        .select(col("cnt"), explode(arrays_zip(col("s1s"), col("s2s"))).as("p"))
+        .groupBy(col("p.s1s").as("s1"), col("p.s2s").as("s2"))
+        .agg(sum(col("cnt")).cast("long").as("total"))
+        .orderBy(col("total").desc, col("s1").asc, col("s2").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val b = best.head
+        val (s1, s2, tot) = (b.getString(0), b.getString(1), b.getLong(2))
+        merges += ((r.toLong, s1, s2, tot))
+        vocab = vocab.select(
+          replace(col("enc"), lit(s1 + sep + s2 + sep), lit(s1 + s2 + sep))
+            .as("enc"), col("cnt"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.result().toDF("round", "s1", "s2", "total")
+  }
 }

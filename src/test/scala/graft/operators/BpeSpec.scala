@@ -46,4 +46,18 @@ class BpeSpec extends SparkSpec {
     plan should include("TakeOrderedAndProject")
     plan should not include "Window"
   }
+
+  test("learnMerges runs the greedy loop with exact ties and early exhaustion") {
+    import spark.implicits._
+    // words: aaab x3, ab x1.
+    // r1: (a,a)=6 beats (a,b)=4 -> merge; greedy on aaab gives (aa)(a)(b)
+    // r2: (a,b)=4 beats (aa,a)=3 -> merge
+    // r3: (aa,ab)=3 — the only pair left
+    // r4: every word is one symbol -> exhausted at 3 of 5 rounds
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val out = Bpe.learnMerges(docs, "text", rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.sortBy(_._1) shouldBe Array(
+      (1L, "a", "a", 6L), (2L, "a", "b", 4L), (3L, "aa", "ab", 3L))
+  }
 }
