@@ -650,6 +650,42 @@ object SparkEntry {
           minJaccard = 0.5, shingleN = 3)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // q154's compaction maintained across two micro-batches; final
+    // view must equal one-shot compaction under any split
+    "q159_streaming_cdc" -> ((s, d) => {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_q159_state").toString + "/cdc"
+      val ev = t(s, d, "events")
+      def tick(p: Int) = streaming.StreamingCdc.acceptBatch(
+        ev.filter(col("event_id") % 2 === p), "user_id",
+        Seq("ts", "event_id"), col("event_type") === "purchase", st)
+      tick(0)
+      tick(1).select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    }),
+
+    // TPC-H Q5 shape: six-way star join, local-supplier condition,
+    // region + year filters, decimal-exact revenue
+    "q160_region_volume" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))),
+
     // tokenizer induction actually run: 5 BPE merges learned in
     // sequence over the vocabulary-bounded word table
     "q158_bpe_merges" -> ((s, d) =>
@@ -2813,6 +2849,34 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // IDENTICAL to q154's oracle — split-invariance is the property:
+      // two-tick streaming state must equal one-shot compaction
+      "q159_streaming_cdc" ->
+        """WITH r AS (
+          |  SELECT user_id, event_id, event_type, value, ts,
+          |    row_number() OVER (PARTITION BY user_id
+          |                       ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events)
+          |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+          |  CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+          |FROM r WHERE rn = 1 AND event_type <> 'purchase'""".stripMargin,
+
+      // q01's per-row decimal(18,4) disc-price discipline over the
+      // six-way join; date bounds as timestamp literals
+      "q160_region_volume" ->
+        """SELECT n_name, count(*) AS n_items,
+          |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY n_name""".stripMargin,
 
       // five unrolled merge rounds: pair stats over the sep-encoded
       // vocab, best by (total desc, s1, s2), applied via literal

@@ -40,15 +40,22 @@ object Relational {
     * joins, no driver state. Works identically as a foreachBatch body
     * (merge batch-last rows into swap state via `upsertKeepFirst`).
     */
-  def cdcCompact(log: DataFrame, keyCol: String, orderCols: Seq[Column],
-                 isDelete: Column): DataFrame = {
-    require(orderCols.nonEmpty, "cdcCompact needs at least one ordering column")
+  /** Last row per key under the caller's total order — `cdcCompact`
+    * WITH tombstones retained (what a CDC state table persists so a
+    * late-arriving older upsert cannot resurrect a deleted key).
+    */
+  def keepLast(log: DataFrame, keyCol: String,
+               orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "keepLast needs at least one ordering column")
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.desc): _*)
     log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .filter(!isDelete)
       .drop("__rn")
   }
+
+  def cdcCompact(log: DataFrame, keyCol: String, orderCols: Seq[Column],
+                 isDelete: Column): DataFrame =
+    keepLast(log, keyCol, orderCols).filter(!isDelete)
 
   /** Positional (rank-aligned) zip of two frames (reference J5: pandas
     * `concat(axis=1)`, src/other/create_category_group_messages.py:155).
