@@ -650,6 +650,19 @@ object SparkEntry {
           minJaccard = 0.5, shingleN = 3)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // synthetic-data diversity audit: distinct-1/2/3 per source in
+    // integer basis points (mode collapse shows as a low ratio)
+    "q161_distinct_n" -> ((s, d) =>
+      operators.TfIdf.distinctNgramRatios(t(s, d, "documents"), "text",
+        "source", maxN = 3)),
+
+    // robust per-dimension normalization table: exact median + MAD
+    // per embedding dimension (MAD ~ 0 = dead dimension)
+    "q162_embed_robust" -> ((s, d) =>
+      operators.Similarity.robustDimStats(t(s, d, "embeddings"), "embedding")
+        .select(col("dim").cast("long").as("dim"), col("n"),
+          pround(col("med"), 4).as("med"), pround(col("mad"), 4).as("mad"))),
+
     // q154's compaction maintained across two micro-batches; final
     // view must equal one-shot compaction under any split
     "q159_streaming_cdc" -> ((s, d) => {
@@ -2849,6 +2862,44 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // same 1/2/3-gram position sets; ratios by integer floor division
+      "q161_distinct_n" ->
+        s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),
+           |g1 AS (SELECT source, unnest(tk) AS g FROM t),
+           |g2 AS (
+           |  SELECT source, unnest(CASE WHEN len(tk) >= 2
+           |    THEN list_transform(range(1, len(tk)),
+           |      i -> list_aggregate(tk[i : i + 1], 'string_agg', ' '))
+           |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+           |g3 AS (
+           |  SELECT source, unnest(CASE WHEN len(tk) >= 3
+           |    THEN list_transform(range(1, len(tk) - 1),
+           |      i -> list_aggregate(tk[i : i + 2], 'string_agg', ' '))
+           |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+           |u AS (
+           |  SELECT source, 1 AS n, g FROM g1
+           |  UNION ALL SELECT source, 2, g FROM g2
+           |  UNION ALL SELECT source, 3, g FROM g3)
+           |SELECT source, CAST(n AS BIGINT) AS n,
+           |  CAST(count(*) AS BIGINT) AS total,
+           |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+           |  (count(DISTINCT g) * 10000) // greatest(count(*), 1) AS distinct_bp
+           |FROM u GROUP BY source, n""".stripMargin,
+
+      // percentile == quantile_cont parity (q41/q86/q136); dims are
+      // 1-based generate_subscripts on both engines
+      "q162_embed_robust" ->
+        s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |x AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e),
+           |m AS (
+           |  SELECT dim, quantile_cont(x, 0.5) AS med,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM x GROUP BY dim)
+           |SELECT CAST(x.dim AS BIGINT) AS dim, max(m.n) AS n,
+           |  ${pround("max(m.med)", 4)} AS med,
+           |  ${pround("quantile_cont(abs(x.x - m.med), 0.5)", 4)} AS mad
+           |FROM x JOIN m USING (dim) GROUP BY x.dim""".stripMargin,
 
       // IDENTICAL to q154's oracle — split-invariance is the property:
       // two-tick streaming state must equal one-shot compaction

@@ -104,6 +104,38 @@ object Similarity {
       .select(col(labelCol), col("n_vecs"), col("drift"))
   }
 
+  /** Per-dimension robust statistics of an embedding corpus: exact
+    * median and MAD for every dimension — the outlier-resistant
+    * normalization table (robust scaling) and the dead/saturated-
+    * dimension detector (MAD ≈ 0 means the dimension carries no
+    * signal; at int8 quantization time those dimensions waste range).
+    *
+    * Exactness: Spark's `percentile` is the exact interpolating
+    * quantile = DuckDB's `quantile_cont` (the q41/q86/q136 parity);
+    * MAD re-joins the per-dim medians and takes the exact median of
+    * absolute deviations. Dimensions are 1-based to match SQL
+    * `generate_subscripts`.
+    *
+    * Scale shape: posexplode to (dim, x) — rows x dims, the same
+    * fan-out every per-dim aggregate pays — then two per-dim exact
+    * percentiles (sort-based within each of the `dims` groups; dims
+    * is small and fixed, so each group is one shuffle partition's
+    * work; for billions of rows per dim switch to approx_percentile
+    * and accept the documented error).
+    */
+  def robustDimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    val x = emb.select(
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x"))
+    val med = x.groupBy(col("dim"))
+      .agg(expr("percentile(x, 0.5)").as("med"),
+        count(lit(1)).cast("long").as("n"))
+    x.join(med, "dim")
+      .groupBy(col("dim"))
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        expr("percentile(abs(x - med), 0.5)").as("mad"))
+  }
+
   /** Int8 scalar quantization audit — the storage decision for an
     * embedding corpus: per-dimension [min, max] ranges over the corpus
     * define a uint8 grid (`code = floor((x-lo)/(hi-lo)*255 + 0.5)` —

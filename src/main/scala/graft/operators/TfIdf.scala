@@ -292,6 +292,39 @@ object TfIdf {
         log10(col("__ratio")).as("pmi"))
   }
 
+  /** Distinct-n diversity ratios per group — the synthetic-data
+    * diversity audit (Li et al.'s distinct-1/2/3): of all n-gram
+    * POSITIONS a group's docs contain, what fraction are distinct
+    * n-grams? Mode-collapsed or templated sources score low while
+    * natural text stays high, and the ratio is comparable across
+    * groups of different sizes only as a set — report it per n so the
+    * reader sees the decay curve. Ratios are INTEGER BASIS POINTS by
+    * floor division: engine-exact.
+    *
+    * Scale shape: one explode + hash aggregate per n (count +
+    * count-distinct on (group, gram)); no joins, no windows. The
+    * n-gram explode multiplies the corpus by maxN — bounded fan-out,
+    * the same cost q67's gram stats already pay.
+    */
+  def distinctNgramRatios(docs: DataFrame, textCol: String,
+                          groupCol: String, maxN: Int): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1: $maxN")
+    val perN = (1 to maxN).map { n =>
+      val grams =
+        if (n == 1) TextFns.tokens(col(textCol))
+        else TextFns.wordShingles(TextFns.tokens(col(textCol)), n)
+      docs.select(col(groupCol), explode(grams).as("g"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).cast("long").as("total"),
+          countDistinct(col("g")).cast("long").as("n_distinct"))
+        .withColumn("n", lit(n.toLong))
+    }
+    perN.reduce(_ unionByName _)
+      .select(col(groupCol), col("n"), col("total"), col("n_distinct"),
+        call_function("div", col("n_distinct") * 10000L,
+          greatest(col("total"), lit(1L))).as("distinct_bp"))
+  }
+
   def tokenConcentration(docs: DataFrame, textCol: String,
                          groupCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
