@@ -650,6 +650,40 @@ object SparkEntry {
           minJaccard = 0.5, shingleN = 3)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // is daily volume rising? OLS slope per type from exact decimal/
+    // BIGINT sums — one engine-exact division
+    "q163_trend_slope" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).as("x"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("y"))
+      operators.Resample.trendSlope(daily, "event_type", "x", "y")
+        .select(col("event_type"), col("n").as("n_days"),
+          pround(col("slope"), 6).as("slope"))
+    }),
+
+    // how fast do clicks convert? per-day p50/p95 of the purchase's
+    // NEAREST preceding click lag (q130's join, max-reduced)
+    "q164_conversion_lag" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      operators.IntervalJoin.within(clicks, purchases, "user_id",
+          "c_ts", "p_ts", maxLagSeconds = 3600)
+        .groupBy(col("purchase_id"), col("p_ts"))
+        .agg(max(col("c_ts")).as("c_ts"))
+        .select(date_format(col("p_ts"), "yyyy-MM-dd").as("day"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+            .as("lag_s"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_conv"),
+          pround(expr("percentile(lag_s, 0.5)"), 4).as("p50_lag"),
+          pround(expr("percentile(lag_s, 0.95)"), 4).as("p95_lag"))
+    }),
+
     // synthetic-data diversity audit: distinct-1/2/3 per source in
     // integer basis points (mode collapse shows as a low ratio)
     "q161_distinct_n" -> ((s, d) =>
@@ -2862,6 +2896,45 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // same five exact sums; x = days-since-epoch integer on both
+      // engines; slope is one division of exact operands
+      "q163_trend_slope" ->
+        """WITH daily AS (
+          |  SELECT event_type,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+          |    sum(CAST(value AS DECIMAL(18,2))) AS y
+          |  FROM events GROUP BY 1, 2),
+          |a AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
+          |    sum(y * x) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+          |  FROM daily GROUP BY 1)
+          |SELECT event_type, n AS n_days,
+          |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0
+          |    THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+          |           / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) / 1000000
+          |    ELSE 0.0 END AS slope
+          |FROM a""".stripMargin,
+
+      // q130's trailing-hour join reduced to the nearest click per
+      // purchase, then percentile == quantile_cont lag bands
+      "q164_conversion_lag" ->
+        s"""WITH j AS (
+           |  SELECT p.event_id AS purchase_id, p.ts AS p_ts, max(c.ts) AS c_ts
+           |  FROM events p JOIN events c
+           |    ON c.user_id = p.user_id
+           |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+           |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS
+           |  GROUP BY 1, 2),
+           |l AS (
+           |  SELECT strftime(p_ts, '%Y-%m-%d') AS day,
+           |    floor(epoch(p_ts)) - floor(epoch(c_ts)) AS lag_s
+           |  FROM j)
+           |SELECT day, count(*) AS n_conv,
+           |  ${pround("quantile_cont(lag_s, 0.5)", 4)} AS p50_lag,
+           |  ${pround("quantile_cont(lag_s, 0.95)", 4)} AS p95_lag
+           |FROM l GROUP BY day""".stripMargin,
 
       // same 1/2/3-gram position sets; ratios by integer floor division
       "q161_distinct_n" ->

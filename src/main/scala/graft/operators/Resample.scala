@@ -55,6 +55,38 @@ object Resample {
         (acc, x) => acc * (1.0 - alpha) + x * alpha).as("ewma"))
   }
 
+  /** Per-group OLS trend slope over an integer-x series — "is this
+    * event type's daily volume rising?" as a number, engine-exact:
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) where y sums run in
+    * DECIMAL(18,2) (order-independent, exact) and x/x² sums in
+    * BIGINT, so both operands of the ONE final division are exact and
+    * the quotient is bit-identical on any engine. A constant-x group
+    * (denominator 0) reports slope 0.
+    *
+    * Scale shape: a single hash aggregate of five sums — no windows,
+    * no collected series (unlike `ewma`, OLS has a closed form).
+    * Overflow bound: nΣx² must stay under 2^63 — with day-index x
+    * (~2·10⁴) that holds to ~10⁸ points per group; recenter x
+    * upstream if your series is longer.
+    */
+  def trendSlope(series: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("decimal(18,2)")
+    val agg = series.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(x).cast("long").as("__sx"),
+        sum(y).as("__sy"),
+        sum(y * x).as("__sxy"),
+        sum(x * x).cast("long").as("__sxx"))
+    val num = (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val den = (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    agg.select(col(groupCol), col("n"),
+      when(den =!= 0.0, num / den).otherwise(lit(0.0)).as("slope"))
+  }
+
   def gapFill(events: DataFrame, keyCol: String, tsCol: String,
               valCols: Map[String, String], stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"step must be positive: $stepSeconds")

@@ -81,6 +81,15 @@ class ResampleSpec extends SparkSpec {
     out.head.isNullAt(2) shouldBe true
   }
 
+  test("trendSlope recovers an exact linear series; constant x reports 0") {
+    // y = 3x + 7 over x in 0..4 -> slope exactly 3; single-x group -> 0
+    val s = (0L to 4L).map(x => ("lin", x, 3.0 * x + 7)) :+ (("flat", 2L, 9.0)) :+ (("flat", 2L, 11.0))
+    val out = Resample.trendSlope(s.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out("lin") shouldBe ((5L, 3.0))
+    out("flat") shouldBe ((2L, 0.0))
+  }
+
   test("ewma folds in order-column order; single point returns itself") {
     val s = Seq(
       ("a", "d1", 1.0), ("a", "d2", 2.0), ("a", "d3", 3.0),
