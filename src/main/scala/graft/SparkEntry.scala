@@ -650,6 +650,38 @@ object SparkEntry {
           minJaccard = 0.5, shingleN = 3)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // curation knob table: per source, acceptance rate (bp) of the
+    // integer linear gate at each candidate threshold — the sweep a
+    // pipeline reads before pinning its cut
+    "q165_quality_sweep" -> ((s, d) => {
+      val scored = t(s, d, "documents").select(col("source"),
+        TextFns.linearQualityScore(col("text")).as("score"))
+      val thresholds = Seq(0L, 500L, 1000L, 1500L, 2000L, 2500L)
+      scored
+        .select(col("source"), col("score"),
+          explode(array(thresholds.map(lit): _*)).as("threshold"))
+        .groupBy(col("source"), col("threshold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+            .cast("long").as("n_keep"))
+        .withColumn("keep_bp",
+          call_function("div", col("n_keep") * 10000L, col("n_docs")))
+    }),
+
+    // embedding norm health per label: exact mean (decimal-summed,
+    // x2^20 fixed point) + p50/p95 of L2 norms
+    "q166_norm_bands" -> ((s, d) => {
+      val n = t(s, d, "embeddings").select(col("label"),
+        functions.VectorFns.l2Norm(col("embedding")).as("nrm"))
+      n.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          pround(sum(floor(col("nrm") * 1048576.0 + 0.5).cast("long"))
+              .cast("double") / (count(lit(1)) * 1048576.0).cast("double"), 4)
+            .as("mean_norm"),
+          pround(expr("percentile(nrm, 0.5)"), 4).as("p50_norm"),
+          pround(expr("percentile(nrm, 0.95)"), 4).as("p95_norm"))
+    }),
+
     // is daily volume rising? OLS slope per type from exact decimal/
     // BIGINT sums — one engine-exact division
     "q163_trend_slope" -> ((s, d) => {
@@ -2896,6 +2928,45 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // q129's integer score swept over the literal threshold grid;
+      // acceptance in basis points by floor division
+      "q165_quality_sweep" ->
+        s"""WITH f AS (
+           |  SELECT source,
+           |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+           |    CAST(len(list_filter($toksSql, x -> list_contains($stopwordList, x))) AS BIGINT) AS stop_cnt,
+           |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS punct_cnt,
+           |    CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS non_ws,
+           |    CAST(len(text) AS BIGINT) AS n_chars
+           |  FROM documents),
+           |s AS (
+           |  SELECT source,
+           |    80 * least(n_tok, 50)
+           |      - abs((stop_cnt * 10000) // greatest(n_tok, 1) - 2500)
+           |      - 2 * ((punct_cnt * 10000) // greatest(n_chars, 1))
+           |      - abs((non_ws * 100) // greatest(n_tok, 1) - 500) AS score
+           |  FROM f),
+           |t2 AS (SELECT CAST(unnest([0, 500, 1000, 1500, 2000, 2500]) AS BIGINT) AS threshold)
+           |SELECT source, threshold, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           |  CAST((sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) * 10000)
+           |    // count(*) AS BIGINT) AS keep_bp
+           |FROM s CROSS JOIN t2 GROUP BY 1, 2""".stripMargin,
+
+      // in-order norm accumulation (q105's parity); mean via x2^20
+      // fixed-point BIGINT sum, bands via quantile_cont parity
+      "q166_norm_bands" ->
+        s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (
+           |  SELECT label,
+           |    sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+           |  FROM e)
+           |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  ${pround("CAST(sum(CAST(floor(nrm * 1048576 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 1048576.0)", 4)} AS mean_norm,
+           |  ${pround("quantile_cont(nrm, 0.5)", 4)} AS p50_norm,
+           |  ${pround("quantile_cont(nrm, 0.95)", 4)} AS p95_norm
+           |FROM n GROUP BY label""".stripMargin,
 
       // same five exact sums; x = days-since-epoch integer on both
       // engines; slope is one division of exact operands
