@@ -301,22 +301,27 @@ object TfIdf {
     * reader sees the decay curve. Ratios are INTEGER BASIS POINTS by
     * floor division: engine-exact.
     *
-    * Scale shape: one explode + hash aggregate per n (count +
-    * count-distinct on (group, gram)); no joins, no windows. The
-    * n-gram explode multiplies the corpus by maxN — bounded fan-out,
-    * the same cost q67's gram stats already pay.
+    * Scale shape: the POSITION total has a closed form — Σ max(len −
+    * n + 1, 0) over per-doc token counts, one scan aggregate with no
+    * gram explode at all — and the distinct count explodes only each
+    * doc's DISTINCT shingle set (the native `DistinctWordShingles`
+    * one-pass expression), which is strictly smaller than the
+    * position stream. One tiny per-group join reunites them.
     */
   def distinctNgramRatios(docs: DataFrame, textCol: String,
                           groupCol: String, maxN: Int): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1: $maxN")
+    val nTok = TextFns.wsTokenCount(col(textCol))
     val perN = (1 to maxN).map { n =>
-      val grams =
-        if (n == 1) TextFns.tokens(col(textCol))
-        else TextFns.wordShingles(TextFns.tokens(col(textCol)), n)
-      docs.select(col(groupCol), explode(grams).as("g"))
+      val totals = docs.groupBy(col(groupCol))
+        .agg(sum(greatest(nTok - (n - 1), lit(0L))).cast("long").as("total"))
+      val distinct = docs.select(col(groupCol),
+          explode(graft.expressions.GraftFunctions
+            .distinctWordShingles(col(textCol), n)).as("g"))
         .groupBy(col(groupCol))
-        .agg(count(lit(1)).cast("long").as("total"),
-          countDistinct(col("g")).cast("long").as("n_distinct"))
+        .agg(countDistinct(col("g")).cast("long").as("n_distinct"))
+      totals.join(distinct, Seq(groupCol), "left")
+        .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
         .withColumn("n", lit(n.toLong))
     }
     perN.reduce(_ unionByName _)
