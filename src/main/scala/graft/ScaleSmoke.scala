@@ -189,9 +189,11 @@ object ScaleSmoke {
     // the docs write must run whenever any text-chain stage is
     // selected — they all read the parquet it produces
     val docsWrite = "write documents parquet"
+    val winnowStage = "winnowing fingerprint pairs"
+    val prefixStage = "prefix-filter join (3-shingles)"
     val textStages = Seq(docsWrite, simhashStage, tfidfStage, spansStage,
       curationStage, screenStage, paraStage, lmStage, bpeStage,
-      lineDupStage, noveltyStage, decontStage)
+      lineDupStage, noveltyStage, decontStage, winnowStage, prefixStage)
     val anyText = textStages.exists(willRun)
     time(docsWrite, force = anyText) {
       docs(rows).write.mode("overwrite").parquet(docsPath); rows
@@ -282,6 +284,37 @@ object ScaleSmoke {
       graft.streaming.StreamingCuration.acceptBatch(
         docsPq.filter(col("doc_id") >= half && col("doc_id") % 1000 =!= 0),
         "text", "doc_id", state).count()
+    }
+    // round-9 operators at volume. Winnowing: the planted 4-doc groups
+    // share 23 of 24 words -> long shared substrings guarantee shared
+    // selected fingerprints; the maxDf cap is what keeps the ubiquitous
+    // stopword-window fingerprints from going quadratic
+    time(winnowStage) {
+      Dedup.winnowedPairs(docsPq, "text", "doc_id",
+        k = 8, w = 4, minShared = 2, maxDf = 20).count()
+    }
+    // exact-complete prefix join over 3-shingle sets: the 20k-word
+    // vocabulary keeps shingle postings sparse (the q143 lesson — raw
+    // tokens on a tiny vocab make the TRUE output quadratic)
+    time(prefixStage) {
+      Dedup.prefixFilterPairs(docsPq, "text", "doc_id",
+        minJaccard = 0.5, shingleN = 3).count()
+    }
+    // value-compressed fuzzy match: 40x40 synthetic two-word names over
+    // n rows (duplication factor n/1600) — cost must track DISTINCT
+    // names, not rows (the q144 lesson)
+    time("fuzzy nearest match") {
+      val names = events(rows).select(col("event_id").as("id"),
+        concat(lit("w"), pmod(col("user_id"), lit(40)), lit(" x"),
+          pmod(col("event_id"), lit(40))).as("name"))
+      operators.FuzzyJoin.nearestMatch(names, "name", "id", maxDist = 3)
+        .count()
+    }
+    // CDC compaction: one key-partitioned window over the full log
+    time("cdc compaction") {
+      operators.Relational.cdcCompact(events(rows), "user_id",
+        Seq(col("ts"), col("event_id")),
+        col("event_type") === "purchase").count()
     }
     spark.stop()
   }
