@@ -650,6 +650,49 @@ object SparkEntry {
           minJaccard = 0.5, shingleN = 3)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // ops report: week-over-week volume deltas per event type in
+    // integer basis points (weeks = epoch-day div 7, engine-exact)
+    "q167_wow_delta" -> ((s, d) => {
+      val weekly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          call_function("div", unix_date(to_date(col("ts"))), lit(7L))
+            .as("week"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      weekly.alias("c")
+        .join(weekly.alias("p"),
+          col("p.event_type") === col("c.event_type") &&
+            col("p.week") === col("c.week") - 1L)
+        .select(col("c.event_type").as("event_type"), col("c.week").as("week"),
+          col("c.n").as("n"), col("p.n").as("n_prev"),
+          // deltas go NEGATIVE: integer div truncates toward zero on
+          // Spark but floors on DuckDB — floor of the exact double
+          // ratio is identical on both
+          floor(((col("c.n") - col("p.n")) * 10000L).cast("double") /
+            greatest(col("p.n"), lit(1L)).cast("double"))
+            .cast("long").as("delta_bp"))
+    }),
+
+    // which event types co-occur in the same session? distinct-type
+    // pairs per session, support in basis points of all sessions
+    "q168_type_affinity" -> ((s, d) => {
+      val sess = operators.Sessionize.withSessionIds(t(s, d, "events"),
+          "user_id", "ts", gapSeconds = 3600)
+        .select(concat_ws("#", col("user_id"), col("session_id")).as("sid"),
+          col("event_type"))
+        .distinct()
+      val total = sess.agg(countDistinct(col("sid")).cast("long").as("__tot"))
+      sess.groupBy(col("sid"))
+        .agg(array_sort(collect_set(col("event_type"))).as("ts2"))
+        .filter(size(col("ts2")) > 1)
+        .select(explode(graft.expressions.GraftFunctions.pairCombos(col("ts2"))).as("p"))
+        .groupBy(col("p.id_a").as("type_a"), col("p.id_b").as("type_b"))
+        .agg(count(lit(1)).cast("long").as("n_both"))
+        .crossJoin(broadcast(total))
+        .withColumn("support_bp",
+          call_function("div", col("n_both") * 10000L, col("__tot")))
+        .drop("__tot")
+    }),
+
     // curation knob table: per source, acceptance rate (bp) of the
     // integer linear gate at each candidate threshold — the sweep a
     // pipeline reads before pinning its cut
@@ -2928,6 +2971,50 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // weeks = epoch-day // 7; delta via floor of the exact double
+      // ratio (negative-safe on both engines)
+      "q167_wow_delta" ->
+        """WITH w AS (
+          |  SELECT event_type,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT c.event_type, c.week, c.n, p.n AS n_prev,
+          |  CAST(floor(CAST((c.n - p.n) * 10000 AS DOUBLE)
+          |    / CAST(greatest(p.n, 1) AS DOUBLE)) AS BIGINT) AS delta_bp
+          |FROM w c JOIN w p
+          |  ON p.event_type = c.event_type AND p.week = c.week - 1""".stripMargin,
+
+      // q40's session assignment; distinct (session, type) pairs with
+      // a < b; support over ALL sessions by integer floor division
+      "q168_type_affinity" ->
+        """WITH g AS (
+          |  SELECT user_id, ts, event_type,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 3600
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (
+          |  SELECT user_id, event_type,
+          |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+          |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |  FROM g),
+          |d AS (
+          |  SELECT DISTINCT
+          |    CAST(user_id AS VARCHAR) || '#' || CAST(session_id AS VARCHAR) AS sid,
+          |    event_type
+          |  FROM s),
+          |tot AS (SELECT CAST(count(DISTINCT sid) AS BIGINT) AS t FROM d),
+          |p AS (
+          |  SELECT a.event_type AS type_a, b.event_type AS type_b
+          |  FROM d a JOIN d b ON b.sid = a.sid AND a.event_type < b.event_type),
+          |c AS (
+          |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_both
+          |  FROM p GROUP BY 1, 2)
+          |SELECT type_a, type_b, n_both,
+          |  CAST((n_both * 10000) // t AS BIGINT) AS support_bp
+          |FROM c CROSS JOIN tot""".stripMargin,
 
       // q129's integer score swept over the literal threshold grid;
       // acceptance in basis points by floor division

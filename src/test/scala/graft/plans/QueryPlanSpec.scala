@@ -80,8 +80,9 @@ class QueryPlanSpec extends SparkSpec {
     // q151 attaches the one-row histogram-total aggregate (q93 shape)
     "q151_streaming_drift",
     // q152 attaches the one-row vocabulary-size aggregate; q153 the
-    // one-row global-centroid aggregate (q105's shape)
-    "q152_bigram_lm", "q153_centroid_drift")
+    // one-row global-centroid aggregate (q105's shape); q168 the
+    // one-row session-total aggregate
+    "q152_bigram_lm", "q153_centroid_drift", "q168_type_affinity")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
