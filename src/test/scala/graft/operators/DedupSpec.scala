@@ -78,6 +78,31 @@ class DedupSpec extends SparkSpec {
     want should contain((1L, 6L)) // sanity: the planted exact dup is in truth
   }
 
+  test("prefixFilterPairs over 3-shingles is exact-complete vs brute force") {
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta",
+      2L -> "alpha beta gamma delta epsilon zeta theta", // shares 4 of ~5 shingles
+      3L -> "alpha beta gamma other words here now",
+      4L -> "totally different text with no overlap at all",
+      5L -> "alpha beta gamma delta epsilon zeta eta") // exact dup of 1
+    val d = docs(texts: _*)
+    val t = 0.5
+    val got = Dedup.prefixFilterPairs(d, "text", "doc_id",
+        minJaccard = t, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def shingles(s: String) =
+      s.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val want = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      sa = shingles(ta); sb = shingles(tb)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= t
+    } yield (ia, ib)).toSet
+    got shouldBe want
+    want should contain((1L, 5L)) // sanity: the exact dup is in truth
+    want should contain((1L, 2L))
+  }
+
   test("winnowedPairs links docs sharing a long substring, drops boilerplate") {
     val plagiarized = "the stolen paragraph verbatim copied entirely here"
     val d = docs(

@@ -28,6 +28,21 @@ class FuzzyJoinSpec extends SparkSpec {
     best.contains(5L) shouldBe false // same block, but beyond maxDist
   }
 
+  test("duplicated names match at distance 0 with exact id tie rules") {
+    val d = recs(
+      7L -> "same name", 3L -> "same name", 9L -> "same name",
+      5L -> "same namX") // dist 1 from the trio
+    val best = FuzzyJoin.nearestMatch(d, "name", "id", maxDist = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // min-id record of the duplicated name takes the SECOND-min id;
+    // every other copy takes the min id
+    best(3L) shouldBe ((7L, 0))
+    best(7L) shouldBe ((3L, 0))
+    best(9L) shouldBe ((3L, 0))
+    // the near-miss record's best is the name's min id, at dist 1
+    best(5L) shouldBe ((3L, 1))
+  }
+
   test("nearestMatch normalizes case and surrounding whitespace") {
     val d = recs(1L -> "  Alpha Beta ", 2L -> "alpha beta")
     val best = FuzzyJoin.nearestMatch(d, "name", "id", maxDist = 2)
