@@ -82,6 +82,37 @@ object syntax {
     def packByConcat(tokensCol: Column, budget: Long, shardCol: String,
                      orderCol: String): DataFrame =
       Packing.packByConcat(df, tokensCol, budget, shardCol, orderCol)
+
+    // ---- round-9 additions ----
+    def prefixFilterPairs(textCol: String, idCol: String,
+                          minJaccard: Double = 0.5,
+                          shingleN: Int = 3): DataFrame =
+      Dedup.prefixFilterPairs(df, textCol, idCol, minJaccard, shingleN)
+    def winnowedPairs(textCol: String, idCol: String, k: Int = 8,
+                      w: Int = 4, minShared: Int = 2,
+                      maxDf: Int = 20): DataFrame =
+      Dedup.winnowedPairs(df, textCol, idCol, k, w, minShared, maxDf)
+    def fuzzyNearestMatch(nameCol: String, idCol: String,
+                          maxDist: Int): DataFrame =
+      FuzzyJoin.nearestMatch(df, nameCol, idCol, maxDist)
+    def psiDrift(valCol: String, byCol: String): DataFrame =
+      Profile.psi(df, valCol, byCol)
+    def weightedMedian(valCol: String, weightCol: String, byCol: String,
+                       idCol: String): DataFrame =
+      Profile.weightedMedian(df, valCol, weightCol, byCol, idCol)
+    def distinctNgramRatios(textCol: String, groupCol: String,
+                            maxN: Int = 3): DataFrame =
+      TfIdf.distinctNgramRatios(df, textCol, groupCol, maxN)
+    def pmiPairs(textCol: String, idCol: String, minDf: Int,
+                 k: Int): DataFrame =
+      TfIdf.pmiPairs(df, textCol, idCol, minDf, k)
+    def bigramLmScore(textCol: String, idCol: String): DataFrame =
+      TfIdf.lmScore2(df, textCol, idCol)
+    def learnBpeMerges(textCol: String, rounds: Int): DataFrame =
+      Bpe.learnMerges(df, textCol, rounds)
+    def cdcCompact(keyCol: String, orderCols: Seq[Column],
+                   isDelete: Column): DataFrame =
+      Relational.cdcCompact(df, keyCol, orderCols, isDelete)
   }
 
   implicit class GraftEventOps(private val df: DataFrame) extends AnyVal {
@@ -99,5 +130,18 @@ object syntax {
     def robustOutliers(valCol: String, byCol: String,
                        z: Double = 3.0): DataFrame =
       Profile.robustOutliers(df, valCol, byCol, z)
+    def transitionMatrix(keyCol: String, tsCol: String, actionCol: String,
+                         tieCol: String, gapSeconds: Long): DataFrame =
+      Sessionize.transitionMatrix(df, keyCol, tsCol, actionCol, tieCol,
+        gapSeconds)
+    def dailyOverlap(userCol: String, tsCol: String): DataFrame =
+      Cohorts.dailyOverlap(df, userCol, tsCol)
+    def ewma(groupCol: String, ordCol: String, valCol: String,
+             alpha: Double = 0.5): DataFrame =
+      Resample.ewma(df, groupCol, ordCol, valCol, alpha)
+    def trendSlope(groupCol: String, xCol: String, yCol: String): DataFrame =
+      Resample.trendSlope(df, groupCol, xCol, yCol)
+    def cohenKappa(groupCol: String, aCol: String, bCol: String): DataFrame =
+      Audit.cohenKappa(df, groupCol, aCol, bCol)
   }
 }

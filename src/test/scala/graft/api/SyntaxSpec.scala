@@ -38,6 +38,25 @@ class SyntaxSpec extends SparkSpec {
     out.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
   }
 
+  test("round-9 facade methods produce the same plans as direct calls") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma other"))
+      .toDF("doc_id", "text")
+    docs.prefixFilterPairs("text", "doc_id").queryExecution.analyzed
+      .sameResult(Dedup.prefixFilterPairs(docs, "text", "doc_id",
+          minJaccard = 0.5, shingleN = 3)
+        .queryExecution.analyzed) shouldBe true
+    docs.winnowedPairs("text", "doc_id").queryExecution.analyzed
+      .sameResult(Dedup.winnowedPairs(docs, "text", "doc_id")
+        .queryExecution.analyzed) shouldBe true
+    docs.distinctNgramRatios("text", "doc_id").count() shouldBe 6L // 2 docs x n=1..3
+    val ev = Seq((1L, 0L, "a", 1L), (1L, 30L, "b", 2L))
+      .toDF("user_id", "sec", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    ev.transitionMatrix("user_id", "ts", "event_type", "event_id", 3600)
+      .collect().map(r => (r.getString(0), r.getString(1))) shouldBe
+        Array(("a", "b"))
+  }
+
   test("event ops facade delegates to the verified operators") {
     val ev = Seq((1L, 0L), (1L, 30L), (1L, 5000L)).toDF("user_id", "sec")
       .withColumn("ts", timestamp_seconds(col("sec")))
