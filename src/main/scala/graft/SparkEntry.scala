@@ -650,6 +650,35 @@ object SparkEntry {
           minJaccard = 0.5, shingleN = 3)
         .withColumn("jaccard", pround(col("jaccard"), 4))),
 
+    // whale concentration: share of each nation's order revenue held
+    // by its top-1% customers (ceil(n/100), min 1), in basis points —
+    // decimal-exact spends, integer-exact rank cut
+    "q169_revenue_concentration" -> ((s, d) => {
+      val spend = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__spend"))
+      val byNation = spend
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_custkey"), col("__spend"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name"))
+        .orderBy(col("__spend").desc, col("o_custkey"))
+      val counts = byNation.groupBy(col("n_name"))
+        .agg(count(lit(1)).cast("long").as("__n"))
+      byNation
+        .withColumn("__rk", row_number().over(w))
+        .join(broadcast(counts), "n_name")
+        .withColumn("__k", greatest(ceil(col("__n") / 100.0).cast("long"), lit(1L)))
+        .groupBy(col("n_name"))
+        .agg(max(col("__n")).as("n_customers"), max(col("__k")).as("n_top"),
+          floor(sum(when(col("__rk") <= col("__k"), col("__spend"))
+              .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+              .cast("double") * 10000.0 /
+            sum(col("__spend")).cast("double")).cast("long").as("top_share_bp"))
+    }),
+
     // ops report: week-over-week volume deltas per event type in
     // integer basis points (weeks = epoch-day div 7, engine-exact)
     "q167_wow_delta" -> ((s, d) => {
@@ -2971,6 +3000,31 @@ object SparkEntry {
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
+
+      // same decimal spends + (spend desc, custkey) rank cut at
+      // ceil(n/100); share via floor of the exact double ratio
+      "q169_revenue_concentration" ->
+        """WITH sp AS (
+          |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+          |  FROM orders GROUP BY 1),
+          |bn AS (
+          |  SELECT n_name, o_custkey, spend
+          |  FROM sp JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey),
+          |r AS (
+          |  SELECT n_name, o_custkey, spend,
+          |    row_number() OVER (PARTITION BY n_name
+          |                       ORDER BY spend DESC, o_custkey) AS rk,
+          |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+          |  FROM bn),
+          |k AS (
+          |  SELECT n_name, spend, rk, n,
+          |    greatest(CAST(ceil(n / 100.0) AS BIGINT), 1) AS kk
+          |  FROM r)
+          |SELECT n_name, max(n) AS n_customers, max(kk) AS n_top,
+          |  CAST(floor(CAST(sum(CASE WHEN rk <= kk THEN spend ELSE 0 END) AS DOUBLE)
+          |    * 10000 / CAST(sum(spend) AS DOUBLE)) AS BIGINT) AS top_share_bp
+          |FROM k GROUP BY n_name""".stripMargin,
 
       // weeks = epoch-day // 7; delta via floor of the exact double
       // ratio (negative-safe on both engines)
