@@ -1827,7 +1827,58 @@ object SparkEntry {
       ev.join(broadcast(med), Seq("event_type"))
         .groupBy("event_type")
         .agg(pround(expr("percentile(abs(value - __med), 0.5)"), 4).as("mad"))
-    })
+    }),
+
+    // order-count distribution (TPC-H Q13 shape): how many customers
+    // placed exactly k orders — the two-level aggregate whose first
+    // level keeps the per-customer fan-in on the shuffle keys and whose
+    // second collapses to the tiny counts-of-counts table
+    "q170_custdist" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).cast("long").as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).cast("long").as("custdist"))
+    }),
+
+    // promo revenue share per ship month (TPC-H Q14 shape): revenue is
+    // decimal-exact; share in integer basis points via floor of the
+    // exact double ratio; part is the broadcast dimension
+    "q171_promo_share" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(
+          pround(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,4)")))
+            .cast("double"), 2).as("promo_rev"),
+          pround(sum(rev).cast("double"), 2).as("total_rev"),
+          floor(sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,4)")))
+              .cast("double") * 10000.0 / sum(rev).cast("double"))
+            .cast("long").as("promo_bp"))
+    }),
+
+    // seasonality screen: lag-1 autocorrelation of daily volume per
+    // event type — BIGINT-exact sums, IEEE-exact sqrt, one division
+    "q172_autocorr" -> ((s, d) =>
+      operators.Resample.autocorr1(
+        t(s, d, "events")
+          .groupBy(col("event_type"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(count(lit(1)).cast("long").as("n")),
+        "event_type", "day", "n")
+        .select(col("event_type"), col("n_pairs"),
+          pround(col("r1"), 6).as("r1"))),
+
+    // hot-key audit before the customer join: Gini of orders-per-
+    // customer fan-in per priority class, windowless counts-of-counts
+    "q173_key_skew" -> ((s, d) =>
+      operators.Profile.keySkew(
+        t(s, d, "orders"), "o_custkey", "o_orderpriority"))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -4453,7 +4504,79 @@ object SparkEntry {
       "q68_stratified_sample" ->
         """SELECT doc_id, lang FROM documents
           |WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 + 100) % 100
-          |  < CASE WHEN lang = 'en' THEN 60 WHEN lang = 'de' THEN 20 ELSE 5 END""".stripMargin
+          |  < CASE WHEN lang = 'en' THEN 60 WHEN lang = 'de' THEN 20 ELSE 5 END""".stripMargin,
+
+      // two-level aggregate: per-customer order counts, then the
+      // counts-of-counts distribution
+      "q170_custdist" ->
+        """WITH pc AS (
+          |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |  GROUP BY 1)
+          |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+          |FROM pc GROUP BY 1""".stripMargin,
+
+      // decimal-exact revenue; share = floor of the exact double ratio
+      "q171_promo_share" ->
+        s"""WITH r AS (
+           |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev,
+           |    p_type
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+           |SELECT ship_month,
+           |  ${pround("CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)", 2)} AS promo_rev,
+           |  ${pround("CAST(sum(rev) AS DOUBLE)", 2)} AS total_rev,
+           |  CAST(floor(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+           |    * 10000 / CAST(sum(rev) AS DOUBLE)) AS BIGINT) AS promo_bp
+           |FROM r GROUP BY 1""".stripMargin,
+
+      // six BIGINT-exact sums over the (day, day+1) pairs; operand
+      // order of the final expression mirrored exactly
+      "q172_autocorr" ->
+        s"""WITH ds AS (
+           |  SELECT event_type,
+           |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+           |    CAST(count(*) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |p AS (
+           |  SELECT c.event_type, c.y AS a, n.y AS b
+           |  FROM ds c JOIN ds n
+           |    ON n.event_type = c.event_type AND n.x = c.x + 1),
+           |g AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+           |    CAST(sum(a * b) AS BIGINT) AS sab,
+           |    CAST(sum(a * a) AS BIGINT) AS saa,
+           |    CAST(sum(b * b) AS BIGINT) AS sbb
+           |  FROM p GROUP BY 1)
+           |SELECT event_type, n_pairs,
+           |  ${pround("CASE WHEN CAST(n_pairs * saa - sa * sa AS DOUBLE) > 0 AND CAST(n_pairs * sbb - sb * sb AS DOUBLE) > 0 THEN CAST(n_pairs * sab - sa * sb AS DOUBLE) / (sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE)) * sqrt(CAST(n_pairs * sbb - sb * sb AS DOUBLE))) ELSE 0.0 END", 6)} AS r1
+           |FROM g""".stripMargin,
+
+      // counts-of-counts Gini: rank-weighted sum T from the histogram
+      // cumulative; f(f+1) is even so the integer halving is exact
+      "q173_key_skew" ->
+        """WITH kc AS (
+          |  SELECT o_orderpriority AS grp, o_custkey,
+          |    CAST(count(*) AS BIGINT) AS c
+          |  FROM orders GROUP BY 1, 2),
+          |h AS (SELECT grp, c, CAST(count(*) AS BIGINT) AS f
+          |      FROM kc GROUP BY 1, 2),
+          |cu AS (
+          |  SELECT a.grp, a.c, a.f,
+          |    COALESCE(CAST(sum(b.f) AS BIGINT), 0) AS cum
+          |  FROM h a LEFT JOIN h b ON b.grp = a.grp AND b.c < a.c
+          |  GROUP BY 1, 2, 3),
+          |g AS (
+          |  SELECT grp, CAST(sum(f) AS BIGINT) AS n_keys,
+          |    CAST(sum(c * f) AS BIGINT) AS n_rows,
+          |    CAST(max(c) AS BIGINT) AS max_per_key,
+          |    CAST(sum(c * (f * cum + f * (f + 1) // 2)) AS BIGINT) AS t
+          |  FROM cu GROUP BY 1)
+          |SELECT grp AS o_orderpriority, n_keys, n_rows, max_per_key,
+          |  CAST(floor(CAST(2 * t - (n_keys + 1) * n_rows AS DOUBLE) * 10000.0
+          |    / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))) AS BIGINT) AS gini_bp
+          |FROM g""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

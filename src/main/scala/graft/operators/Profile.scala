@@ -232,6 +232,48 @@ object Profile {
     * the baseline joins on bin (tiny broadcast), never funneling a
     * hot group anywhere.
     */
+  /** Per-group hot-key audit over the fan-in of `keyCol`: exact Gini
+    * coefficient of rows-per-key (basis points) plus the max fan-in —
+    * the skew report read BEFORE shuffling on a key ("will one reducer
+    * eat this join?"), quantifying what AQE's skew handling will face.
+    *
+    * Windowless and global-sort-free by construction: per-key counts →
+    * counts-of-COUNTS histogram (distinct fan-in values, bounded by the
+    * max key multiplicity, not by key count) → cumulative ranks via a
+    * broadcast non-equi self-join of that tiny histogram. With
+    * histogram rows (v, f_v) and C_v = Σ_{u<v} f_u, the rank-weighted
+    * sum is T = Σ_v v·(f_v·C_v + f_v(f_v+1)/2) — BIGINT-exact — and
+    * Gini = (2T − (n+1)S)/(nS) with n keys, S rows: one double
+    * division of exact integers, floored into basis points.
+    */
+  def keySkew(df: DataFrame, keyCol: String, byCol: String): DataFrame = {
+    val kc = df.groupBy(col(byCol).as("__g"), col(keyCol).as("__k"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val hist = kc.groupBy(col("__g"), col("__c"))
+      .agg(count(lit(1)).cast("long").as("__f"))
+    val lower = hist.select(col("__g").as("__g2"), col("__c").as("__c2"),
+      col("__f").as("__f2"))
+    val cum = hist
+      .join(broadcast(lower),
+        col("__g") === col("__g2") && col("__c2") < col("__c"), "left")
+      .groupBy(col("__g"), col("__c"), col("__f"))
+      .agg(coalesce(sum(col("__f2")), lit(0L)).cast("long").as("__cum"))
+    // f(f+1) is always even, so the integer halving below is exact
+    val rankSum = col("__c") * (col("__f") * col("__cum") +
+      call_function("div", col("__f") * (col("__f") + 1L), lit(2L)))
+    cum.groupBy(col("__g"))
+      .agg(sum(col("__f")).cast("long").as("n_keys"),
+        sum(col("__c") * col("__f")).cast("long").as("n_rows"),
+        max(col("__c")).as("max_per_key"),
+        sum(rankSum).cast("long").as("__t"))
+      .select(col("__g").as(byCol), col("n_keys"), col("n_rows"),
+        col("max_per_key"),
+        floor((lit(2L) * col("__t") - (col("n_keys") + 1L) * col("n_rows"))
+            .cast("double") * 10000.0 /
+          (col("n_keys").cast("double") * col("n_rows").cast("double")))
+          .cast("long").as("gini_bp"))
+  }
+
   def psi(df: DataFrame, valCol: String, byCol: String): DataFrame = {
     val bucket = when(col(valCol) > 0,
       (length(bin(col(valCol).cast("long"))) - 1).cast("long"))

@@ -87,6 +87,49 @@ object Resample {
       when(den =!= 0.0, num / den).otherwise(lit(0.0)).as("slope"))
   }
 
+  /** Lag-1 autocorrelation per group over an integer-indexed,
+    * integer-valued series — the seasonality/momentum screen read next
+    * to `trendSlope` ("volume is rising" vs "volume echoes yesterday").
+    * Pearson r over the (y_x, y_{x+1}) pairs:
+    * r = (nΣab − ΣaΣb) / (√(nΣa²−(Σa)²)·√(nΣb²−(Σb)²)).
+    *
+    * Engine-exact: pairs come from an equi-join on (group, x+1) — one
+    * posting per (group, x), so the join can never go quadratic — all
+    * six sums are BIGINT-exact, and the final expression is two
+    * IEEE-exact sqrts and one division over exactly-representable
+    * operands with the operand order mirrored in the oracle. Groups
+    * with a constant arm (zero variance) report r1 = 0.
+    *
+    * Overflow bound (same honesty as `trendSlope`): n·Σy² must stay
+    * under 2^63 — holds to ~10⁶ points per group at y ≈ 10⁶; recenter
+    * y (subtract a per-group baseline upstream) past that.
+    */
+  def autocorr1(series: DataFrame, groupCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    val cur = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val nxt = cur.select(col("__g").as("__g2"),
+      (col("__x") - 1L).as("__x2"), col("__y").as("__y2"))
+    val agg = cur
+      .join(nxt, col("__g") === col("__g2") && col("__x") === col("__x2"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("__y")).cast("long").as("__sa"),
+        sum(col("__y2")).cast("long").as("__sb"),
+        sum(col("__y") * col("__y2")).cast("long").as("__sab"),
+        sum(col("__y") * col("__y")).cast("long").as("__saa"),
+        sum(col("__y2") * col("__y2")).cast("long").as("__sbb"))
+    val num = (col("n_pairs") * col("__sab") - col("__sa") * col("__sb"))
+      .cast("double")
+    val da = (col("n_pairs") * col("__saa") - col("__sa") * col("__sa"))
+      .cast("double")
+    val db = (col("n_pairs") * col("__sbb") - col("__sb") * col("__sb"))
+      .cast("double")
+    agg.select(col("__g").as(groupCol), col("n_pairs"),
+      when(da > 0.0 && db > 0.0, num / (sqrt(da) * sqrt(db)))
+        .otherwise(lit(0.0)).as("r1"))
+  }
+
   def gapFill(events: DataFrame, keyCol: String, tsCol: String,
               valCols: Map[String, String], stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"step must be positive: $stepSeconds")

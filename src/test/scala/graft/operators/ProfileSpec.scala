@@ -136,6 +136,23 @@ class ProfileSpec extends SparkSpec {
     out("h") shouldBe ((4L, 8L, 4L))  // cum 1,2,3,8; 2c>=8 first at v=4
   }
 
+  test("keySkew: uniform fan-in gini 0; hand-checked histogram ginis") {
+    // "s": per-key counts [1,1,2] -> T = 1+2+6 = 9,
+    //      G = (2·9 − 4·4)/(3·4) = 2/12 -> 1666 bp
+    // "w": counts [1,1,8] -> T = 1+2+24 = 27,
+    //      G = (54 − 40)/30 = 14/30 -> 4666 bp
+    val rows =
+      Seq("a", "b", "c", "d").map(k => ("u", k)) ++
+      Seq("a", "b", "c", "c").map(k => ("s", k)) ++
+      (Seq("a", "b") ++ Seq.fill(8)("c")).map(k => ("w", k))
+    val out = Profile.keySkew(rows.toDF("grp", "k"), "k", "grp")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out("u") shouldBe ((4L, 4L, 1L, 0L))
+    out("s") shouldBe ((3L, 4L, 2L, 1666L))
+    out("w") shouldBe ((3L, 10L, 8L, 4666L))
+  }
+
   test("psi is exactly zero when the group IS the baseline") {
     val df = Seq(("only", 1L), ("only", 3L), ("only", 16L), ("only", 0L))
       .toDF("grp", "v")

@@ -90,6 +90,25 @@ class ResampleSpec extends SparkSpec {
     out("flat") shouldBe ((2L, 0.0))
   }
 
+  test("autocorr1: alternating series -1, rising series ~1, constant 0, gaps drop pairs") {
+    // alternating 1,2,1,2,... has EXACT r1 = -1 (hand-checked sums:
+    // n=5, sab=10, sa=7, sb=8, saa=11, sbb=14 -> -6/(√6·√6))
+    val rows =
+      (0L to 5L).map(x => ("alt", x, if (x % 2 == 0) 1L else 2L)) ++
+      (0L to 5L).map(x => ("lin", x, x)) ++
+      (0L to 5L).map(x => ("const", x, 7L)) ++
+      Seq(("gap", 0L, 3L), ("gap", 1L, 5L), ("gap", 3L, 9L))
+    val out = Resample.autocorr1(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out("alt")._1 shouldBe 5L
+    out("alt")._2 shouldBe (-1.0 +- 1e-9)
+    out("lin")._2 shouldBe (1.0 +- 1e-9)
+    out("const") shouldBe ((5L, 0.0))
+    // the x=1 -> x=3 jump is NOT a lag-1 pair; the lone surviving pair
+    // has zero variance per arm -> 0
+    out("gap") shouldBe ((1L, 0.0))
+  }
+
   test("ewma folds in order-column order; single point returns itself") {
     val s = Seq(
       ("a", "d1", 1.0), ("a", "d2", 2.0), ("a", "d3", 3.0),
