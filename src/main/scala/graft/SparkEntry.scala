@@ -1878,7 +1878,33 @@ object SparkEntry {
     // customer fan-in per priority class, windowless counts-of-counts
     "q173_key_skew" -> ((s, d) =>
       operators.Profile.keySkew(
-        t(s, d, "orders"), "o_custkey", "o_orderpriority"))
+        t(s, d, "orders"), "o_custkey", "o_orderpriority")),
+
+    // Zipf-tail card: types + token mass per power-of-two frequency
+    // class (hapax = class 0); two hash aggregates, no windows
+    "q174_freq_spectrum" -> ((s, d) =>
+      operators.TfIdf.freqSpectrum(t(s, d, "documents"), "text", "source")),
+
+    // is quality anti-correlated with duplication? exact-dup rate per
+    // linear-quality band — score bands via floor of the exact double
+    // ratio (negative-safe), dup membership by md5 multiplicity
+    "q175_dup_lift" -> ((s, d) => {
+      val scored = t(s, d, "documents").select(
+        col("doc_id"),
+        floor(TextFns.linearQualityScore(col("text")).cast("double") / 500.0)
+          .cast("long").as("band"),
+        md5(col("text")).as("__h"))
+      val mult = scored.groupBy(col("__h"))
+        .agg(count(lit(1)).cast("long").as("__n"))
+      scored.join(mult, "__h")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("__n") > 1L, 1L).otherwise(0L)).cast("long")
+            .as("n_dup"))
+        .select(col("band"), col("n_docs"), col("n_dup"),
+          call_function("div", col("n_dup") * 10000L, col("n_docs"))
+            .as("dup_bp"))
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -4576,7 +4602,49 @@ object SparkEntry {
           |SELECT grp AS o_orderpriority, n_keys, n_rows, max_per_key,
           |  CAST(floor(CAST(2 * t - (n_keys + 1) * n_rows AS DOUBLE) * 10000.0
           |    / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))) AS BIGINT) AS gini_bp
-          |FROM g""".stripMargin
+          |FROM g""".stripMargin,
+
+      // (source, term) counts -> power-of-two class rollup; the class
+      // is len(bin(c))-1, integer on both engines
+      "q174_freq_spectrum" ->
+        s"""WITH c AS (
+           |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source, unnest($toksSql) AS term FROM documents)
+           |  GROUP BY 1, 2)
+           |SELECT source,
+           |  CAST(len(bin(c)) - 1 AS BIGINT) AS freq_class,
+           |  CAST(count(*) AS BIGINT) AS n_types,
+           |  CAST(sum(c) AS BIGINT) AS token_mass
+           |FROM c GROUP BY 1, 2""".stripMargin,
+
+      // q129's exact integer score, banded by floor of the exact
+      // double ratio (negative-safe on both engines); dup membership
+      // by md5(text) multiplicity
+      "q175_dup_lift" ->
+        s"""WITH f AS (
+           |  SELECT doc_id, md5(text) AS h,
+           |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+           |    CAST(len(list_filter($toksSql, x -> list_contains($stopwordList, x))) AS BIGINT) AS stop_cnt,
+           |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS punct_cnt,
+           |    CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS non_ws,
+           |    CAST(len(text) AS BIGINT) AS n_chars
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id, h,
+           |    CAST(80 * least(n_tok, 50)
+           |      - abs((stop_cnt * 10000) // greatest(n_tok, 1) - 2500)
+           |      - 2 * ((punct_cnt * 10000) // greatest(n_chars, 1))
+           |      - abs((non_ws * 100) // greatest(n_tok, 1) - 500) AS BIGINT) AS score
+           |  FROM f),
+           |m AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1),
+           |b AS (
+           |  SELECT CAST(floor(CAST(score AS DOUBLE) / 500.0) AS BIGINT) AS band,
+           |    CASE WHEN m.n > 1 THEN 1 ELSE 0 END AS is_dup
+           |  FROM sc JOIN m USING (h))
+           |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+           |  (CAST(sum(is_dup) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT) AS dup_bp
+           |FROM b GROUP BY 1""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

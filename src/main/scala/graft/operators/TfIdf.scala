@@ -354,4 +354,31 @@ object TfIdf {
         (coalesce(col("__top"), lit(0L)).cast("double") / col("n_tokens"))
           .as("top_share"))
   }
+
+  /** Per-group vocabulary frequency spectrum: types and token mass per
+    * power-of-two frequency class (class = floor(log2 count), so
+    * hapax legomena are class 0) — the Zipf-tail card. A natural
+    * corpus puts roughly half its TYPES in class 0 while the MASS
+    * concentrates in the top classes; a templated/synthetic source
+    * shows a hollowed-out tail, and a boilerplate-heavy one an
+    * overweight head. Read next to `tokenConcentration` (one-number
+    * summary) and `distinctNgramRatios` (n-gram diversity).
+    *
+    * Exactness/scale: two hash aggregates — (group, term) counts, then
+    * (group, class) rollup; the class is `len(bin(c))-1`, INTEGER on
+    * both engines (the q146 primitive); no windows, no joins; output
+    * is groups × ≤ 64 classes.
+    */
+  def freqSpectrum(docs: DataFrame, textCol: String,
+                   groupCol: String): DataFrame = {
+    val cnt = docs
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    cnt
+      .withColumn("freq_class", (length(bin(col("__c"))) - 1).cast("long"))
+      .groupBy(col(groupCol), col("freq_class"))
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        sum(col("__c")).cast("long").as("token_mass"))
+  }
 }

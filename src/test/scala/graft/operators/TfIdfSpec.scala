@@ -146,4 +146,16 @@ class TfIdfSpec extends SparkSpec {
       .collect().head
     (top.getString(0), top.getString(1)) shouldBe (("pepper", "salt"))
   }
+
+  test("freqSpectrum bins types by floor(log2 count) with exact masses") {
+    // counts: a=4 (class 2), b=3, c=3 (class 1), d=1 (class 0)
+    val d = Seq((1L, "a a a a b b c", "s"), (2L, "c c b d", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TfIdf.freqSpectrum(d, "text", "source")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    out(0L) shouldBe ((1L, 1L))   // d
+    out(1L) shouldBe ((2L, 6L))   // b=3, c=3
+    out(2L) shouldBe ((1L, 4L))   // a
+    out.keySet shouldBe Set(0L, 1L, 2L)
+  }
 }
