@@ -1904,7 +1904,15 @@ object SparkEntry {
         .select(col("band"), col("n_docs"), col("n_dup"),
           call_function("div", col("n_dup") * 10000L, col("n_docs"))
             .as("dup_bp"))
-    })
+    }),
+
+    // graph-density screen: the 2-core of the banded candidate graph
+    // (4 peeling rounds — fixpoint on this corpus, spec-asserted) —
+    // duplicate FAMILIES survive, hub-and-spoke collision stars peel
+    "q176_kcore" -> ((s, d) =>
+      operators.KCore.kcore(
+        Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id"),
+        k = 2, rounds = 4))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -4644,7 +4652,33 @@ object SparkEntry {
            |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
            |  (CAST(sum(is_dup) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT) AS dup_bp
-           |FROM b GROUP BY 1""".stripMargin
+           |FROM b GROUP BY 1""".stripMargin,
+
+      // q127's candidate-graph CTEs + four unrolled peeling rounds:
+      // each round keeps nodes with degree >= 2 and induces the
+      // subgraph — integer-only, so round-for-round engine-exact
+      "q176_kcore" -> {
+        val rounds = (1 to 4).map { i =>
+          s"""k$i AS (SELECT src AS node FROM e${i - 1}
+             |  GROUP BY src HAVING count(*) >= 2),
+             |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+             |  JOIN k$i a ON a.node = e.src
+             |  JOIN k$i b ON b.node = e.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |  FROM bk a JOIN bk b
+           |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |e0 AS (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
+           |$rounds
+           |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           |FROM e4 GROUP BY src""".stripMargin
+      }
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared
