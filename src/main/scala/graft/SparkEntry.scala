@@ -1912,7 +1912,23 @@ object SparkEntry {
     "q176_kcore" -> ((s, d) =>
       operators.KCore.kcore(
         Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id"),
-        k = 2, rounds = 4))
+        k = 2, rounds = 4)),
+
+    // streaming exact top-k terms per source: additive (group, term)
+    // count state across two batches ≡ the one-shot table (additivity,
+    // spec-pinned), then the rank-limited view — ranks may REORDER as
+    // counts accrue, which windowed approximations lose
+    "q177_streaming_topk" -> ((s, d) => {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_q177_state").toString + "/state"
+      val docs = t(s, d, "documents")
+      streaming.StreamingTopK.acceptBatch(
+        docs.filter(col("doc_id") % 2 === 0), "text", "source", st)
+      val merged = streaming.StreamingTopK.acceptBatch(
+        docs.filter(col("doc_id") % 2 === 1), "text", "source", st)
+      streaming.StreamingTopK.topK(merged, k = 5)
+        .withColumnRenamed("grp", "source")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -4678,7 +4694,21 @@ object SparkEntry {
            |$rounds
            |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
            |FROM e4 GROUP BY src""".stripMargin
-      }
+      },
+
+      // the streaming state is the one-shot count table by additivity,
+      // so the oracle is the plain batch restatement of the top-5 view
+      "q177_streaming_topk" ->
+        s"""WITH c AS (
+           |  SELECT source, term, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT source, unnest($toksSql) AS term FROM documents)
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT source, term, n,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY n DESC, term) AS BIGINT) AS rk
+           |  FROM c)
+           |SELECT source, rk, term, n FROM r WHERE rk <= 5""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared
