@@ -1928,6 +1928,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), "text", "source", st)
       streaming.StreamingTopK.topK(merged, k = 5)
         .withColumnRenamed("grp", "source")
+    }),
+
+    // multi-probe SRP ANN: each query probes its home bucket + all 6
+    // Hamming-1 buckets — recall recovered query-side while the
+    // corpus index stays one bucket per vector
+    "q178_multiprobe_srp" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.srpMultiProbeTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 3, planes = 6, dims = 64)
+        .withColumn("cos_sim", pround(col("cos_sim"), 4))
     })
   )
 
@@ -4708,7 +4718,34 @@ object SparkEntry {
            |    CAST(row_number() OVER (PARTITION BY source
            |      ORDER BY n DESC, term) AS BIGINT) AS rk
            |  FROM c)
-           |SELECT source, rk, term, n FROM r WHERE rk <= 5""".stripMargin
+           |SELECT source, rk, term, n FROM r WHERE rk <= 5""".stripMargin,
+
+      // 6-plane SRP bucket (srpCoef-mirrored), probes = home bucket
+      // XOR one-bit masks; corpus keeps ONE bucket per vector
+      "q178_multiprobe_srp" -> {
+        val bucketExpr = (0 until 6).map { p =>
+          val plane = (0 until 64).map(d => VectorFns.srpCoef(p, d))
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS b0 FROM e),
+           |q AS (SELECT vec_id, v, b0 FROM b WHERE vec_id < 10),
+           |probes AS (
+           |  SELECT vec_id, v,
+           |    xor(b0, CAST(unnest([0, 1, 2, 4, 8, 16, 32]) AS BIGINT)) AS bucket
+           |  FROM q),
+           |scored AS (
+           |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    list_dot_product(p.v, c.v) / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+           |  FROM probes p JOIN b c ON c.b0 = p.bucket AND c.vec_id <> p.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos_sim,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, ${pround("cos_sim", 4)} AS cos_sim
+           |FROM ranked WHERE rank <= 3""".stripMargin
+      }
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

@@ -288,6 +288,45 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** Multi-probe SRP top-k (the Lv et al. VLDB'07 trade): each query
+    * probes its own SRP bucket PLUS the `planes` Hamming-1 buckets —
+    * a near-miss pair differs in few sign bits, so probing the
+    * adjacent buckets recovers most of single-bucket SRP's lost
+    * recall at (planes+1)× QUERY-side cost while the corpus index
+    * stays ONE bucket per vector (unlike band-amplification, which
+    * multiplies the indexed rows). Probe buckets are the home bucket
+    * XOR one-bit masks — distinct by construction, so no candidate
+    * dedup pass is needed.
+    *
+    * Scale shape identical to `srpTopK`: the (probes × queries) side
+    * broadcasts, the corpus is scanned once, and scoring volume is
+    * (planes+1)/2^planes of brute force in expectation.
+    */
+  def srpMultiProbeTopK(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        planes: Int = 6, dims: Int = 64): DataFrame = {
+    require(planes >= 1 && planes < 63, s"planes out of range: $planes")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      srpBucket(col(vecCol), planes, dims).as("bucket"))
+    val masks = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        srpBucket(col(vecCol), planes, dims).as("__b0"))
+      .select(col("query_id"), col("qv"), col("__b0"),
+        explode(masks).as("__m"))
+      .select(col("query_id"), col("qv"),
+        col("__b0").bitwiseXOR(col("__m")).as("bucket")))
+    val scored = probes.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFast(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
   /** IVF top-k with learned coarse cells: k-means (MLlib) fit on the
     * corpus assigns every vector a cell; queries route to their `nprobe`
     * nearest centroids and scan only those cells — the scanned fraction
