@@ -1938,6 +1938,57 @@ object SparkEntry {
       Similarity.srpMultiProbeTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 3, planes = 6, dims = 64)
         .withColumn("cos_sim", pround(col("cos_sim"), 4))
+    }),
+
+    // TPC-H Q17 shape (decorrelated): revenue from lineitems under 20%
+    // of their part's average quantity — the avg threshold as a
+    // cross-multiplied DECIMAL compare (qty*5*n < sum_qty), no division
+    "q179_small_order_parts" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val avgq = li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__sq"),
+          count(lit(1)).cast("long").as("__n"))
+      li.join(avgq, "l_partkey")
+        .filter(col("l_quantity").cast("decimal(18,2)") * 5L * col("__n")
+          < col("__sq"))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).cast("long").as("n_small"),
+          dsum(col("l_extendedprice")).as("small_revenue"))
+    }),
+
+    // what am I about to delete: per near-dup cluster size, keeper,
+    // quality and length spread — the pre-dedup review card (integer
+    // quality, so the whole row set is hash-exact)
+    "q180_cluster_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // default localEdgeLimit: the banded candidate set is far under
+      // the 2M-edge bound here, so the union-find fast path applies
+      // (q65/q69 pin the distributed min-label path explicitly)
+      val comp = operators.Components.connectedComponents(
+        Dedup.minhashCandidates(docs, "text", "doc_id"))
+      comp.join(docs.select(col("doc_id").as("node"),
+          TextFns.linearQualityScore(col("text")).as("__q"), col("n_chars")),
+          "node")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).cast("long").as("size"),
+          min(col("node")).as("keeper"),
+          min(col("__q")).cast("long").as("min_quality"),
+          max(col("__q")).cast("long").as("max_quality"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+    }),
+
+    // the manifest handed to the trainer: per (epoch, shard) doc and
+    // token totals of the q135 deterministic shuffle plan
+    "q181_epoch_manifest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Sampling.epochShards(docs, "doc_id", epochs = 2, shards = 8)
+        .join(docs.select(col("doc_id"),
+          TextFns.bpeishTokenCount(col("text")).as("__t")), "doc_id")
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("__t")).cast("long").as("n_tokens"))
     })
   )
 
@@ -4745,7 +4796,84 @@ object SparkEntry {
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, ${pround("cos_sim", 4)} AS cos_sim
            |FROM ranked WHERE rank <= 3""".stripMargin
-      }
+      },
+
+      // decorrelated avg-threshold: qty*5*n < sum_qty over DECIMALs —
+      // exact, divisionless
+      "q179_small_order_parts" ->
+        """WITH a AS (
+          |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM lineitem GROUP BY 1)
+          |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS small_revenue
+          |FROM lineitem
+          |JOIN a USING (l_partkey)
+          |JOIN part ON p_partkey = l_partkey
+          |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < sq
+          |GROUP BY 1""".stripMargin,
+
+      // q21's candidate CTEs + the q65 recursive min-label walk + the
+      // q129 integer score — per-cluster audit aggregates
+      "q180_cluster_audit" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |  FROM bk a JOIN bk b
+           |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
+           |walk(node, lab) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst),
+           |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+           |f AS (
+           |  SELECT doc_id,
+           |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+           |    CAST(len(list_filter($toksSql, x -> list_contains($stopwordList, x))) AS BIGINT) AS stop_cnt,
+           |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS punct_cnt,
+           |    CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS non_ws,
+           |    CAST(len(text) AS BIGINT) AS n_chars_t
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |    CAST(80 * least(n_tok, 50)
+           |      - abs((stop_cnt * 10000) // greatest(n_tok, 1) - 2500)
+           |      - 2 * ((punct_cnt * 10000) // greatest(n_chars_t, 1))
+           |      - abs((non_ws * 100) // greatest(n_tok, 1) - 500) AS BIGINT) AS score
+           |  FROM f)
+           |SELECT component, CAST(count(*) AS BIGINT) AS size,
+           |  CAST(min(c.node) AS BIGINT) AS keeper,
+           |  CAST(min(s.score) AS BIGINT) AS min_quality,
+           |  CAST(max(s.score) AS BIGINT) AS max_quality,
+           |  CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+           |  CAST(max(d.n_chars) AS BIGINT) AS max_chars
+           |FROM comp c
+           |JOIN sc s ON s.doc_id = c.node
+           |JOIN documents d ON d.doc_id = c.node
+           |GROUP BY component""".stripMargin,
+
+      // q135's epoch/shard assignment joined back to token counts —
+      // the per-(epoch, shard) training manifest
+      "q181_epoch_manifest" ->
+        """WITH e AS (SELECT doc_id, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch FROM documents),
+          |k AS (SELECT doc_id, epoch,
+          |        md5('epoch' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)) AS order_key
+          |      FROM e),
+          |a AS (SELECT doc_id, epoch,
+          |        CAST(('0x' || substr(order_key, 1, 15)) AS BIGINT) % 8 AS shard
+          |      FROM k),
+          |tok AS (SELECT doc_id,
+          |        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS t
+          |      FROM documents)
+          |SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(t) AS BIGINT) AS n_tokens
+          |FROM a JOIN tok USING (doc_id)
+          |GROUP BY 1, 2""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared
