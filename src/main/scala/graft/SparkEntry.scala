@@ -1979,6 +1979,14 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"))
     }),
 
+    // representation-collapse screen: dominant second-moment direction
+    // by INTEGER power iteration — quantized components, BIGINT matrix
+    // sums, max-abs renormalization; engine-exact where float PCA
+    // never is (driver holds only the 64x64 matrix)
+    "q182_dominant_direction" -> ((s, d) =>
+      operators.Pca.dominantDirection(
+        t(s, d, "embeddings"), "embedding", dims = 64)),
+
     // the manifest handed to the trainer: per (epoch, shard) doc and
     // token totals of the q135 deterministic shuffle plan
     "q181_epoch_manifest" -> ((s, d) => {
@@ -4873,7 +4881,32 @@ object SparkEntry {
           |SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(t) AS BIGINT) AS n_tokens
           |FROM a JOIN tok USING (doc_id)
-          |GROUP BY 1, 2""".stripMargin
+          |GROUP BY 1, 2""".stripMargin,
+
+      // mirrors Pca.dominantDirection: quantize -> BIGINT second-moment
+      // matrix -> five unrolled max-abs-normalized matvec rounds
+      "q182_dominant_direction" -> {
+        val rounds = (1 to 5).map { r =>
+          s"""w$r AS (SELECT p.i, CAST(sum(p.c * v${r - 1}.v) AS BIGINT) AS w
+             |  FROM p JOIN v${r - 1} ON v${r - 1}.i = p.j GROUP BY p.i),
+             |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+             |v$r AS (SELECT w$r.i,
+             |  CAST(CASE WHEN m$r.m > 0
+             |    THEN floor(CAST(w$r.w AS DOUBLE) * 4096.0 / CAST(m$r.m AS DOUBLE))
+             |    ELSE 0 END AS BIGINT) AS v
+             |  FROM w$r, m$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |q AS (SELECT list_transform(v, x -> CAST(floor(x * 128.0 + 0.5) AS BIGINT)) AS xq FROM e),
+           |idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 65)),
+           |p AS (SELECT i.i, j.i AS j,
+           |    CAST(sum(q.xq[i.i] * q.xq[j.i]) AS BIGINT) AS c
+           |  FROM q, idx i, idx j GROUP BY 1, 2),
+           |v0 AS (SELECT i, CAST(4096 AS BIGINT) AS v FROM idx),
+           |$rounds
+           |SELECT v5.i AS dim, v5.v AS loading, p.c AS energy
+           |FROM v5 JOIN p ON p.i = v5.i AND p.j = v5.i""".stripMargin
+      }
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared
