@@ -1979,6 +1979,61 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"))
     }),
 
+    // binless drift: exact two-sample KS per source vs the corpus —
+    // the max CDF gap found entirely in BIGINT cross-multiplication
+    "q183_ks_drift" -> ((s, d) =>
+      operators.Profile.ksByGroup(
+        t(s, d, "documents").select(col("source"),
+          TextFns.bpeishTokenCount(col("text")).as("__tok")),
+        "__tok", "source")
+        .withColumnRenamed("grp", "source")),
+
+    // purity card: conditional language entropy per source — exact
+    // integer count ratios, pround6 contributions, DECIMAL sum
+    "q184_lang_purity" -> ((s, d) =>
+      operators.Profile.labelEntropy(t(s, d, "documents"), "lang", "source")
+        .withColumnRenamed("grp", "source")),
+
+    // order-cadence bands: p50/p90 inter-order gap days per segment
+    // under the total (date, orderkey) per-customer order
+    "q185_order_cadence" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"))
+        .withColumn("__prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .withColumn("__gap",
+          (unix_date(to_date(col("o_orderdate"))) -
+            unix_date(to_date(col("__prev")))).cast("long"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n_gaps"),
+          pround(expr("percentile(__gap, 0.5)"), 4).as("p50_days"),
+          pround(expr("percentile(__gap, 0.9)"), 4).as("p90_days"))
+    }),
+
+    // Benford leading-digit screen on order totals — the synthetic-/
+    // fabricated-data tripwire; expected shares are integer constants
+    // (they sum to exactly 10000 bp), observed shares integer-divided
+    "q186_benford" -> ((s, d) => {
+      val expBp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+      val digit = substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("long")
+      val n = t(s, d, "orders")
+        .select(digit.as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      n.crossJoin(broadcast(n.agg(sum(col("n")).cast("long").as("__N"))))
+        .select(col("digit"), col("n"),
+          call_function("div", col("n") * 10000L, col("__N")).as("obs_bp"),
+          element_at(array(expBp.map(lit): _*), col("digit").cast("int"))
+            .as("exp_bp"))
+        .withColumn("dev_bp", col("obs_bp") - col("exp_bp"))
+    }),
+
     // representation-collapse screen: dominant second-moment direction
     // by INTEGER power iteration — quantized components, BIGINT matrix
     // sums, max-abs renormalization; engine-exact where float PCA
@@ -4906,7 +4961,90 @@ object SparkEntry {
            |$rounds
            |SELECT v5.i AS dim, v5.v AS loading, p.c AS energy
            |FROM v5 JOIN p ON p.i = v5.i AND p.j = v5.i""".stripMargin
-      }
+      },
+
+      // cumulatives over the bounded value histogram (the oracle may
+      // window them); gap maximized in BIGINT cross-multiplication
+      "q183_ks_drift" ->
+        """WITH tok AS (
+          |  SELECT source,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS v
+          |  FROM documents),
+          |gb AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+          |       FROM tok GROUP BY 1, 2),
+          |b AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM tok GROUP BY 1),
+          |bcum AS (SELECT v, CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb FROM b),
+          |gt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tok),
+          |grid AS (SELECT gt.source, gt.n, bc.v, bc.cumb, nn.nn
+          |         FROM gt CROSS JOIN bcum bc CROSS JOIN nn),
+          |gc AS (
+          |  SELECT g.source, g.n, g.v, g.cumb, g.nn,
+          |    COALESCE(CAST(sum(gb.c) AS BIGINT), 0) AS cumg
+          |  FROM grid g LEFT JOIN gb
+          |    ON gb.source = g.source AND gb.v <= g.v
+          |  GROUP BY 1, 2, 3, 4, 5),
+          |m AS (
+          |  SELECT source, max(n) AS n_rows, max(nn) AS nn,
+          |    max(abs(cumg * nn - cumb * n)) AS mg
+          |  FROM gc GROUP BY 1)
+          |SELECT source, n_rows,
+          |  CAST(floor(CAST(mg AS DOUBLE) * 10000.0
+          |    / (CAST(n_rows AS DOUBLE) * CAST(nn AS DOUBLE))) AS BIGINT) AS ks_bp
+          |FROM m""".stripMargin,
+
+      // (c/n)·log10(n/c) from exact integer ratios, pround6 per
+      // contribution, DECIMAL-exact sum (the q146 discipline)
+      "q184_lang_purity" ->
+        s"""WITH cl AS (
+           |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1, 2),
+           |gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+           |         CAST(count(*) AS BIGINT) AS nl
+           |       FROM cl GROUP BY 1),
+           |x AS (
+           |  SELECT cl.source, gt.n, gt.nl,
+           |    CAST(${pround(
+                 "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * log10(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))",
+                 6)} AS DECIMAL(18,6)) AS h
+           |  FROM cl JOIN gt ON gt.source = cl.source)
+           |SELECT source, max(n) AS n_rows, max(nl) AS n_labels,
+           |  CAST(sum(h) AS DOUBLE) AS h_label
+           |FROM x GROUP BY 1""".stripMargin,
+
+      // same total (date, orderkey) per-customer order; quantile_cont
+      // parity for the day-gap bands
+      "q185_order_cadence" ->
+        s"""WITH o AS (
+           |  SELECT c_mktsegment, o_custkey, o_orderkey,
+           |    CAST(o_orderdate AS DATE) AS d,
+           |    lag(CAST(o_orderdate AS DATE)) OVER (
+           |      PARTITION BY o_custkey
+           |      ORDER BY o_orderdate, o_orderkey) AS prev
+           |  FROM orders JOIN customer ON o_custkey = c_custkey),
+           |g AS (
+           |  SELECT c_mktsegment,
+           |    CAST(date_diff('day', prev, d) AS BIGINT) AS gap
+           |  FROM o WHERE prev IS NOT NULL)
+           |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+           |  ${pround("quantile_cont(gap, 0.5)", 4)} AS p50_days,
+           |  ${pround("quantile_cont(gap, 0.9)", 4)} AS p90_days
+           |FROM g GROUP BY 1""".stripMargin,
+
+      // expected shares are exact integer constants summing to 10000
+      "q186_benford" ->
+        """WITH d AS (
+          |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          |  FROM orders),
+          |n AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM n),
+          |e(digit, exp_bp) AS (VALUES
+          |  (1, CAST(3010 AS BIGINT)), (2, 1761), (3, 1249), (4, 969),
+          |  (5, 792), (6, 669), (7, 580), (8, 512), (9, 458))
+          |SELECT n.digit, n.n, (n.n * 10000) // t.nn AS obs_bp,
+          |  CAST(e.exp_bp AS BIGINT) AS exp_bp,
+          |  (n.n * 10000) // t.nn - e.exp_bp AS dev_bp
+          |FROM n, t JOIN e ON e.digit = n.digit""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

@@ -274,6 +274,82 @@ object Profile {
           .cast("long").as("gini_bp"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group vs the
+    * whole-table baseline — `psi`'s sharper sibling: PSI needs a bin
+    * grid and smoothing, KS is binless (the max CDF gap over observed
+    * values) and INTEGER-EXACT here: the gap at value v is
+    * |C_g(v)·N − C(v)·n_g| over exact cumulative counts, so the max
+    * is found entirely in BIGINT and only the final basis-point
+    * report divides (floor of the exact double ratio).
+    *
+    * Windowless like `keySkew`: cumulatives come from broadcast
+    * non-equi joins over the (group, value) and (value) count
+    * histograms, both bounded by the DISTINCT-VALUE count of the
+    * measure (token-length-like measures: tens to hundreds of values
+    * regardless of corpus size — that bound is the operator's
+    * contract; for continuous measures quantize first, e.g. the q146
+    * log2 bucket).
+    */
+  def ksByGroup(df: DataFrame, valCol: String, byCol: String): DataFrame = {
+    val v = df.select(col(byCol).as("grp"), col(valCol).cast("long").as("__v"))
+    val gb = v.groupBy(col("grp"), col("__v"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val baseCum = {
+      val b = v.groupBy(col("__v")).agg(count(lit(1)).cast("long").as("__cb"))
+      val b2 = b.select(col("__v").as("__v2"), col("__cb").as("__cb2"))
+      b.join(broadcast(b2), col("__v2") <= col("__v"))
+        .groupBy(col("__v"))
+        .agg(sum(col("__cb2")).cast("long").as("__cumb"))
+    }
+    val grpTot = v.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val total = v.agg(count(lit(1)).cast("long").as("__N"))
+    val grid = grpTot.crossJoin(broadcast(baseCum)).crossJoin(broadcast(total))
+    val gb2 = gb.select(col("grp").as("__g2"), col("__v").as("__v2"),
+      col("__c"))
+    grid
+      .join(broadcast(gb2),
+        col("grp") === col("__g2") && col("__v2") <= col("__v"), "left")
+      .groupBy(col("grp"), col("__v"), col("n_rows"), col("__cumb"), col("__N"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).cast("long").as("__cumg"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(abs(col("__cumg") * col("__N") - col("__cumb") * col("n_rows")))
+          .as("__maxgap"),
+        max(col("__N")).as("__NN"))
+      .select(col("grp"), col("n_rows"),
+        floor(col("__maxgap").cast("double") * 10000.0 /
+          (col("n_rows").cast("double") * col("__NN").cast("double")))
+          .cast("long").as("ks_bp"))
+  }
+
+  /** Conditional label entropy per group — the purity card
+    * H(label | group) behind "is this source monolingual?": 0 means
+    * one label, log10(k) means k uniform labels. Per-(group, label)
+    * contribution (c/n)·log10(n/c) follows the q146 exactness
+    * discipline: both operands of the single log10 and of the single
+    * multiply are ratios of EXACT integers, each contribution rounds
+    * to 6 places and sums as DECIMAL — order-independent where a
+    * double sum would hash-drift. Two hash aggregates, label
+    * cardinality bounded by nature.
+    */
+  def labelEntropy(df: DataFrame, labelCol: String, byCol: String): DataFrame = {
+    val cl = df.groupBy(col(byCol).as("grp"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val gt = cl.groupBy(col("grp"))
+      .agg(sum(col("__c")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_labels"))
+    val contrib = (col("__c").cast("double") / col("n_rows").cast("double")) *
+      log10(col("n_rows").cast("double") / col("__c").cast("double"))
+    cl.join(broadcast(gt), Seq("grp"))
+      .withColumn("__h",
+        (floor(contrib * 1e6 + 0.5) / 1e6).cast("decimal(18,6)"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("n_labels")).as("n_labels"),
+        sum(col("__h")).cast("double").as("h_label"))
+  }
+
   def psi(df: DataFrame, valCol: String, byCol: String): DataFrame = {
     val bucket = when(col(valCol) > 0,
       (length(bin(col(valCol).cast("long"))) - 1).cast("long"))

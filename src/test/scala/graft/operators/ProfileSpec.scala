@@ -153,6 +153,32 @@ class ProfileSpec extends SparkSpec {
     out("w") shouldBe ((3L, 10L, 8L, 4666L))
   }
 
+  test("ksByGroup: hand-checked max CDF gap; whole-corpus group scores 0") {
+    // A = {1,1}, B = {3,3}, baseline {1,1,3,3}: A's gap at v=1 is
+    // |2·4 − 2·2| = 4 -> 4/(2·4) = 0.5 -> 5000 bp (B symmetric)
+    val rows = Seq(("A", 1L), ("A", 1L), ("B", 3L), ("B", 3L))
+    val out = Profile.ksByGroup(rows.toDF("grp", "v"), "v", "grp")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out("A") shouldBe ((2L, 5000L))
+    out("B") shouldBe ((2L, 5000L))
+    val one = Profile.ksByGroup(
+      Seq(("only", 1L), ("only", 2L), ("only", 9L)).toDF("grp", "v"), "v", "grp")
+      .head()
+    one.getLong(2) shouldBe 0L
+  }
+
+  test("labelEntropy: single label 0, uniform pair log10(2), skew in between") {
+    val rows = Seq(("pure", "en"), ("pure", "en"),
+      ("half", "en"), ("half", "de"),
+      ("skew", "en"), ("skew", "en"), ("skew", "en"), ("skew", "de"))
+    val out = Profile.labelEntropy(rows.toDF("grp", "l"), "l", "grp")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out("pure") shouldBe ((2L, 1L, 0.0))
+    out("half")._3 shouldBe (math.log10(2.0) +- 1e-5)
+    out("skew")._3 should (be > 0.0 and be < out("half")._3)
+  }
+
   test("psi is exactly zero when the group IS the baseline") {
     val df = Seq(("only", 1L), ("only", 3L), ("only", 16L), ("only", 0L))
       .toDF("grp", "v")

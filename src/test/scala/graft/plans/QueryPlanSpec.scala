@@ -82,7 +82,14 @@ class QueryPlanSpec extends SparkSpec {
     // q152 attaches the one-row vocabulary-size aggregate; q153 the
     // one-row global-centroid aggregate (q105's shape); q168 the
     // one-row session-total aggregate
-    "q152_bigram_lm", "q153_centroid_drift", "q168_type_affinity")
+    "q152_bigram_lm", "q153_centroid_drift", "q168_type_affinity",
+    // q183 builds the (group x observed-value) grid plus the one-row
+    // corpus total, and windowlessly cumulates the value histogram by
+    // a non-equi self-join — every broadcast side is bounded by the
+    // measure's DISTINCT-VALUE count (the operator's contract)
+    "q183_ks_drift",
+    // q186 attaches the one-row digit-total aggregate (q93 shape)
+    "q186_benford")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
