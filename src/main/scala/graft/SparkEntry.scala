@@ -1979,6 +1979,40 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"))
     }),
 
+    // trailing 7-day volume per type: a RANGE-frame window over the
+    // daily aggregate — value-based framing (a missing day still
+    // shortens the window), distinct from q10's rows-frame running sum
+    "q187_rolling_7d" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      daily.withColumn("n_7d", sum(col("n")).over(w).cast("long"))
+    }),
+
+    // dedup knob table: pair and touched-doc counts of the ONE banded
+    // candidate set at four Jaccard thresholds — read before pinning
+    // a cut (q165's sweep idea applied to near-dup)
+    "q188_threshold_sweep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "text", "doc_id",
+        Dedup.minhashCandidates(docs, "text", "doc_id",
+          bands = 3, rowsPerBand = 2))
+      pairs
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          explode(array(lit(0.3), lit(0.5), lit(0.7), lit(0.9)))
+            .as("threshold"))
+        .filter(col("jaccard") >= col("threshold"))
+        .select(col("threshold"),
+          explode(array(col("id_a"), col("id_b"))).as("__doc"))
+        .groupBy(col("threshold"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("__doc")).cast("long").as("n_docs"))
+    }),
+
     // binless drift: exact two-sample KS per source vs the corpus —
     // the max CDF gap found entirely in BIGINT cross-multiplication
     "q183_ks_drift" -> ((s, d) =>
@@ -4962,6 +4996,54 @@ object SparkEntry {
            |SELECT v5.i AS dim, v5.v AS loading, p.c AS energy
            |FROM v5 JOIN p ON p.i = v5.i AND p.j = v5.i""".stripMargin
       },
+
+      // RANGE frame on the integer day axis — value-based framing on
+      // both engines
+      "q187_rolling_7d" ->
+        """WITH daily AS (
+          |  SELECT event_type,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, day, n,
+          |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+          |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+          |FROM daily""".stripMargin,
+
+      // q23's verified jaccard per candidate pair, swept at four
+      // thresholds; docs counted once per threshold via the pair
+      // explode (count(*)/2 pairs is exact — every pair adds 2 rows)
+      "q188_threshold_sweep" ->
+        s"""WITH shs AS (
+           |  SELECT doc_id, list_distinct($shinglesSql) AS sset
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |sh AS (SELECT doc_id, unnest(sset) AS s FROM shs),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c JOIN sh ea ON ea.doc_id = c.id_a JOIN sh eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+           |  GROUP BY c.id_a, c.id_b),
+           |j AS (
+           |  SELECT c.id_a, c.id_b,
+           |    CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - CAST(COALESCE(i.i, 0) AS DOUBLE)) AS jaccard
+           |  FROM cand c
+           |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+           |  JOIN (SELECT doc_id, len(sset) AS n FROM shs) sa ON sa.doc_id = c.id_a
+           |  JOIN (SELECT doc_id, len(sset) AS n FROM shs) sb ON sb.doc_id = c.id_b),
+           |sw AS (
+           |  SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS threshold, id_a, id_b, jaccard
+           |  FROM j),
+           |f AS (
+           |  SELECT threshold, unnest([id_a, id_b]) AS doc
+           |  FROM sw WHERE jaccard >= threshold)
+           |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+           |FROM f GROUP BY 1""".stripMargin,
 
       // cumulatives over the bounded value histogram (the oracle may
       // window them); gap maximized in BIGINT cross-multiplication
