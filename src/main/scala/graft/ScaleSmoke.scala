@@ -191,9 +191,11 @@ object ScaleSmoke {
     val docsWrite = "write documents parquet"
     val winnowStage = "winnowing fingerprint pairs"
     val prefixStage = "prefix-filter join (3-shingles)"
+    val ksStage = "ks drift by source"
     val textStages = Seq(docsWrite, simhashStage, tfidfStage, spansStage,
       curationStage, screenStage, paraStage, lmStage, bpeStage,
-      lineDupStage, noveltyStage, decontStage, winnowStage, prefixStage)
+      lineDupStage, noveltyStage, decontStage, winnowStage, prefixStage,
+      ksStage)
     val anyText = textStages.exists(willRun)
     time(docsWrite, force = anyText) {
       docs(rows).write.mode("overwrite").parquet(docsPath); rows
@@ -315,6 +317,35 @@ object ScaleSmoke {
       operators.Relational.cdcCompact(events(rows), "user_id",
         Seq(col("ts"), col("event_id")),
         col("event_type") === "purchase").count()
+    }
+    // round-9 second-session operators at volume.
+    // k-core over a random graph (mean degree ~4): per-round cost must
+    // track edges linearly — degree agg + two semi-joins, no blowup
+    time("kcore peeling (4 rounds)") {
+      val m = rows / 2
+      val edges = events(rows).select(
+        pmod(col("event_id") * 31L + 7L, lit(m)).as("id_a"),
+        pmod(col("user_id") * 131L + col("event_id"), lit(m)).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      operators.KCore.kcore(edges, "id_a", "id_b", k = 2, rounds = 4).count()
+    }
+    // binless KS: the broadcast histogram is bounded by DISTINCT
+    // token-length values — invariant to row count by construction
+    time(ksStage) {
+      operators.Profile.ksByGroup(
+        docsPq.select(pmod(col("doc_id"), lit(7)).as("source"),
+          graft.functions.TextFns.bpeishTokenCount(col("text")).as("v")),
+        "v", "source").count()
+    }
+    // dominant direction at rows/10 vectors x 64 dims: the O(n·d²)
+    // outer-product aggregate is the inherent covariance cost (the
+    // documented scale remedy is fitting on a sample)
+    time("dominant direction (n/10 x 64d)") {
+      val vecs = events(rows / 10).select(
+        transform(sequence(lit(1), lit(64)),
+          i => pmod(hash(col("event_id"), i), lit(1000)).cast("double")
+            / 500.0 - 1.0).as("embedding"))
+      operators.Pca.dominantDirection(vecs, "embedding", dims = 64).count()
     }
     spark.stop()
   }
