@@ -113,6 +113,24 @@ object syntax {
     def cdcCompact(keyCol: String, orderCols: Seq[Column],
                    isDelete: Column): DataFrame =
       Relational.cdcCompact(df, keyCol, orderCols, isDelete)
+
+    // ---- round-9 second-session additions ----
+    def freqSpectrum(textCol: String, groupCol: String): DataFrame =
+      TfIdf.freqSpectrum(df, textCol, groupCol)
+    def keySkew(keyCol: String, byCol: String): DataFrame =
+      Profile.keySkew(df, keyCol, byCol)
+    def ksDrift(valCol: String, byCol: String): DataFrame =
+      Profile.ksByGroup(df, valCol, byCol)
+    def labelEntropy(labelCol: String, byCol: String): DataFrame =
+      Profile.labelEntropy(df, labelCol, byCol)
+    def kcore(aCol: String = "id_a", bCol: String = "id_b", k: Int = 2,
+              rounds: Int = 4): DataFrame =
+      KCore.kcore(df, aCol, bCol, k, rounds)
+    def dominantDirection(vecCol: String, dims: Int,
+                          iterations: Int = 5): DataFrame =
+      Pca.dominantDirection(df, vecCol, dims, iterations)
+    def epochShards(keyCol: String, epochs: Int, shards: Int): DataFrame =
+      Sampling.epochShards(df, keyCol, epochs, shards)
   }
 
   implicit class GraftEventOps(private val df: DataFrame) extends AnyVal {
@@ -143,5 +161,7 @@ object syntax {
       Resample.trendSlope(df, groupCol, xCol, yCol)
     def cohenKappa(groupCol: String, aCol: String, bCol: String): DataFrame =
       Audit.cohenKappa(df, groupCol, aCol, bCol)
+    def autocorr1(groupCol: String, xCol: String, yCol: String): DataFrame =
+      Resample.autocorr1(df, groupCol, xCol, yCol)
   }
 }

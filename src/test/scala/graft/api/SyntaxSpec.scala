@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.SparkSpec
-import graft.operators.{Dedup, Sampling, Sessionize}
+import graft.operators.{Dedup, Profile, Sampling, Sessionize, TfIdf}
 import org.apache.spark.sql.functions._
 
 class SyntaxSpec extends SparkSpec {
@@ -55,6 +55,29 @@ class SyntaxSpec extends SparkSpec {
     ev.transitionMatrix("user_id", "ts", "event_type", "event_id", 3600)
       .collect().map(r => (r.getString(0), r.getString(1))) shouldBe
         Array(("a", "b"))
+  }
+
+  test("second-session facade methods produce the same plans as direct calls") {
+    val docs = Seq((1L, "a a b", "s"), (2L, "a c c", "s"))
+      .toDF("doc_id", "text", "source")
+    docs.freqSpectrum("text", "source").queryExecution.analyzed
+      .sameResult(TfIdf.freqSpectrum(docs, "text", "source")
+        .queryExecution.analyzed) shouldBe true
+    docs.labelEntropy("source", "doc_id").queryExecution.analyzed
+      .sameResult(Profile.labelEntropy(docs, "source", "doc_id")
+        .queryExecution.analyzed) shouldBe true
+    docs.keySkew("source", "doc_id").count() shouldBe 2L
+    // ksByGroup eagerly checkpoints its count table, so plans carry
+    // distinct RDD ids — compare RESULTS instead of plan identity
+    val sized = docs.withColumn("n_chars", expr("length(text)"))
+    sized.ksDrift("n_chars", "source").count() shouldBe
+      Profile.ksByGroup(sized, "n_chars", "source").count()
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    pairs.kcore().collect().length shouldBe 3
+    val emb = Seq(Tuple1(Seq(1.0, 0.0)), Tuple1(Seq(0.9, 0.1)))
+      .toDF("embedding")
+    emb.dominantDirection("embedding", dims = 2).count() shouldBe 2L
+    docs.epochShards("doc_id", 2, 4).count() shouldBe 4L
   }
 
   test("event ops facade delegates to the verified operators") {
