@@ -1979,6 +1979,80 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"))
     }),
 
+    // train/eval firewall: hash split, then drop from TRAIN anything
+    // sharing a distinct 3-shingle with the test slice — the static
+    // make-your-own-eval-safe op (q116 guards near-dup leakage; this
+    // guards verbatim n-gram leakage)
+    "q189_firewalled_split" -> ((s, d) => {
+      val split = operators.Sampling.datasetSplit(
+        t(s, d, "documents"), "doc_id")
+      val clean = operators.Decontamination.decontaminate(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "test").select("doc_id", "text"),
+        "text", "doc_id", n = 3)
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .join(broadcast(clean
+            .agg(count(lit(1)).cast("long").as("__clean"))
+            .withColumn("split", lit("train"))),
+          Seq("split"), "left")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("__clean"), col("n_docs")).as("n_after_firewall"))
+    }),
+
+    // which near-dup verifier disagrees: per banded candidate pair the
+    // three screens (Jaccard >= 0.5, SimHash Hamming <= 3, containment
+    // >= 0.8) as INTEGER-exact flags, cross-tabbed — 3i >= na+nb and
+    // 5i >= 4·min(na,nb) are cross-multiplied, divisionless
+    "q190_verifier_matrix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minhashCandidates(docs, "text", "doc_id")
+      val sets = docs.select(col("doc_id").as("doc"),
+        graft.expressions.GraftFunctions.distinctWordShingles(col("text"), 3)
+          .as("sh"))
+      val withSets = cand
+        .join(sets.withColumnRenamed("doc", "id_a")
+          .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("doc", "id_b")
+          .withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("__i"),
+          size(col("sh_a")).cast("long").as("__na"),
+          size(col("sh_b")).cast("long").as("__nb"))
+      val packed = Dedup.simhashSignatures64(docs, "text", "doc_id")
+        .select(col("doc"),
+          (0 until 4).map(b => shiftleft(col(s"s$b"), 16 * b))
+            .reduce(_ bitwiseOR _).as("__sig"))
+      withSets
+        .join(packed.select(col("doc").as("id_a"), col("__sig").as("__pa")), "id_a")
+        .join(packed.select(col("doc").as("id_b"), col("__sig").as("__pb")), "id_b")
+        .select(
+          when(col("__i") * 3L >= col("__na") + col("__nb"), 1L)
+            .otherwise(0L).as("jaccard_05"),
+          when(bit_count(col("__pa").bitwiseXOR(col("__pb"))) <= 3, 1L)
+            .otherwise(0L).as("hamming_3"),
+          when(col("__i") * 5L >= least(col("__na"), col("__nb")) * 4L, 1L)
+            .otherwise(0L).as("containment_08"))
+        .groupBy(col("jaccard_05"), col("hamming_3"), col("containment_08"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive (brand, size, quantity-band)
+    // predicate groups — the OR-of-ANDs pushdown workout
+    "q191_disjunctive_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(5, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+            col("l_quantity").between(20, 45)))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))),
+
     // trailing 7-day volume per type: a RANGE-frame window over the
     // daily aggregate — value-based framing (a missing day still
     // shortens the window), distinct from q10's rows-frame running sum
@@ -4996,6 +5070,96 @@ object SparkEntry {
            |SELECT v5.i AS dim, v5.v AS loading, p.c AS energy
            |FROM v5 JOIN p ON p.i = v5.i AND p.j = v5.i""".stripMargin
       },
+
+      // q68's hash-bucket split + q66's distinct-shingle overlap as
+      // the train-side anti-join
+      "q189_firewalled_split" ->
+        s"""WITH s AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, text,
+           |          (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 + 100) % 100 AS b
+           |        FROM documents)),
+           |g3 AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sgl
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |ev AS (
+           |  SELECT DISTINCT g3.sgl FROM g3
+           |  JOIN s ON s.doc_id = g3.doc_id AND s.split = 'test'),
+           |bad AS (
+           |  SELECT DISTINCT g3.doc_id FROM g3
+           |  JOIN ev USING (sgl)
+           |  JOIN s ON s.doc_id = g3.doc_id AND s.split = 'train'),
+           |base AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+           |         FROM s GROUP BY 1),
+           |cl AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s
+           |       WHERE split = 'train'
+           |         AND doc_id NOT IN (SELECT doc_id FROM bad))
+           |SELECT split, n_docs,
+           |  CASE WHEN split = 'train' THEN (SELECT c FROM cl)
+           |       ELSE n_docs END AS n_after_firewall
+           |FROM base""".stripMargin,
+
+      // q21 candidates + q23 intersection sizes + q27's 64-bit simhash
+      // sigs; all three flags integer-exact (cross-multiplied)
+      "q190_verifier_matrix" ->
+        s"""WITH shs AS (
+           |  SELECT doc_id, list_distinct($shinglesSql) AS sset
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |sh AS (SELECT doc_id, unnest(sset) AS s FROM shs),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+           |  FROM cand c JOIN sh ea ON ea.doc_id = c.id_a JOIN sh eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+           |  GROUP BY c.id_a, c.id_b),
+           |toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |votes AS (
+           |  SELECT doc_id, r1.b, r2.j,
+           |    sum(CASE WHEN (CAST(('0x' || substr(md5(token), r1.b * 4 + 1, 4)) AS BIGINT) >> r2.j) & 1 = 1
+           |             THEN 1 ELSE -1 END) AS v
+           |  FROM toks, unnest(range(0, 4)) AS r1(b), unnest(range(0, 16)) AS r2(j)
+           |  GROUP BY doc_id, r1.b, r2.j),
+           |bandsig AS (
+           |  SELECT doc_id, b, CAST(sum(CASE WHEN v >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS s
+           |  FROM votes GROUP BY doc_id, b),
+           |sigs4 AS (
+           |  SELECT doc_id,
+           |    max(CASE WHEN b = 0 THEN s END) AS s0, max(CASE WHEN b = 1 THEN s END) AS s1,
+           |    max(CASE WHEN b = 2 THEN s END) AS s2, max(CASE WHEN b = 3 THEN s END) AS s3
+           |  FROM bandsig GROUP BY doc_id),
+           |flags AS (
+           |  SELECT
+           |    CASE WHEN COALESCE(i.i, 0) * 3 >= sa.n + sb.n THEN 1 ELSE 0 END AS jaccard_05,
+           |    CASE WHEN bit_count(xor(pa.s0, pb.s0)) + bit_count(xor(pa.s1, pb.s1))
+           |            + bit_count(xor(pa.s2, pb.s2)) + bit_count(xor(pa.s3, pb.s3)) <= 3
+           |         THEN 1 ELSE 0 END AS hamming_3,
+           |    CASE WHEN COALESCE(i.i, 0) * 5 >= least(sa.n, sb.n) * 4 THEN 1 ELSE 0 END AS containment_08
+           |  FROM cand c
+           |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+           |  JOIN (SELECT doc_id, CAST(len(sset) AS BIGINT) AS n FROM shs) sa ON sa.doc_id = c.id_a
+           |  JOIN (SELECT doc_id, CAST(len(sset) AS BIGINT) AS n FROM shs) sb ON sb.doc_id = c.id_b
+           |  JOIN sigs4 pa ON pa.doc_id = c.id_a
+           |  JOIN sigs4 pb ON pb.doc_id = c.id_b)
+           |SELECT CAST(jaccard_05 AS BIGINT) AS jaccard_05,
+           |  CAST(hamming_3 AS BIGINT) AS hamming_3,
+           |  CAST(containment_08 AS BIGINT) AS containment_08,
+           |  CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM flags GROUP BY 1, 2, 3""".stripMargin,
+
+      // OR-of-ANDs predicate groups over the broadcast part dim
+      "q191_disjunctive_pricing" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_items,
+          |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)
+          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 45)""".stripMargin,
 
       // RANGE frame on the integer day axis — value-based framing on
       // both engines

@@ -89,7 +89,11 @@ class QueryPlanSpec extends SparkSpec {
     // measure's DISTINCT-VALUE count (the operator's contract)
     "q183_ks_drift",
     // q186 attaches the one-row digit-total aggregate (q93 shape)
-    "q186_benford")
+    "q186_benford",
+    // q189 attaches the one-row firewalled-train count; the literal
+    // split key folds out of the equi-condition, leaving a one-row
+    // broadcast loop join
+    "q189_firewalled_split")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
