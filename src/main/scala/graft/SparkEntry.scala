@@ -1979,6 +1979,50 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"))
     }),
 
+    // ops card: daily session bounce rate (single-event sessions)
+    "q192_bounce_rate" -> ((s, d) =>
+      operators.Sessionize.sessions(t(s, d, "events"), "user_id", "ts",
+          gapSeconds = 3600)
+        .groupBy(date_format(col("session_start"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L)).cast("long")
+            .as("n_bounce"))
+        .withColumn("bounce_bp",
+          call_function("div", col("n_bounce") * 10000L, col("n_sessions")))),
+
+    // tokenizer-budget knob: corpus token coverage at three vocab
+    // sizes — each cut is a TakeOrderedAndProject over the ONE
+    // checkpointed vocabulary-bounded count table
+    "q193_vocab_coverage" -> ((s, d) => {
+      val cnt = t(s, d, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).cast("long").as("__c"))
+        .localCheckpoint(true)
+      val tot = cnt.agg(sum(col("__c")).cast("long").as("__tot"))
+      Seq(100, 1000, 5000).map { k =>
+        cnt.orderBy(col("__c").desc, col("term")).limit(k)
+          .agg(sum(col("__c")).cast("long").as("covered"))
+          .select(lit(k.toLong).as("vocab_size"), col("covered"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(tot))
+        .select(col("vocab_size"), col("covered"),
+          call_function("div", col("covered") * 10000L, col("__tot"))
+            .as("coverage_bp"))
+    }),
+
+    // layout planner: exact range-partition boundaries (the
+    // repartitionByRange / SORTED-BY table a writer needs) at octile
+    // cuts of the fact key — percentile ≡ quantile_cont parity
+    "q194_range_boundaries" -> ((s, d) => {
+      val qs = (1 to 7).map(_ / 8.0)
+      t(s, d, "lineitem")
+        .agg(expr(s"percentile(l_orderkey, array(${qs.mkString(", ")}))")
+          .as("__b"))
+        .select(posexplode(col("__b")).as(Seq("__i", "boundary")))
+        .select((col("__i") + 1).cast("long").as("bucket"),
+          pround(col("boundary"), 4).as("boundary"))
+    }),
+
     // train/eval firewall: hash split, then drop from TRAIN anything
     // sharing a distinct 3-shingle with the test slice — the static
     // make-your-own-eval-safe op (q116 guards near-dup leakage; this
@@ -5070,6 +5114,55 @@ object SparkEntry {
            |SELECT v5.i AS dim, v5.v AS loading, p.c AS energy
            |FROM v5 JOIN p ON p.i = v5.i AND p.j = v5.i""".stripMargin
       },
+
+      // q40's session CTE rolled up to daily bounce shares
+      "q192_bounce_rate" ->
+        """WITH g AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 3600
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (
+          |  SELECT user_id, ts,
+          |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |  FROM g),
+          |se AS (
+          |  SELECT user_id, session_id, min(ts) AS session_start,
+          |    CAST(count(*) AS BIGINT) AS n_events
+          |  FROM s GROUP BY 1, 2)
+          |SELECT strftime(session_start, '%Y-%m-%d') AS day,
+          |  CAST(count(*) AS BIGINT) AS n_sessions,
+          |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+          |  (CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+          |    // CAST(count(*) AS BIGINT) AS bounce_bp
+          |FROM se GROUP BY 1""".stripMargin,
+
+      // rank the vocabulary once, sweep the three cuts
+      "q193_vocab_coverage" ->
+        s"""WITH c AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT unnest($toksSql) AS term FROM documents)
+           |  GROUP BY 1),
+           |t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c),
+           |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM c),
+           |k AS (SELECT unnest([100, 1000, 5000]) AS vocab_size),
+           |cov AS (
+           |  SELECT k.vocab_size,
+           |    CAST(sum(CASE WHEN r.rk <= k.vocab_size THEN r.c ELSE 0 END) AS BIGINT) AS covered
+           |  FROM r, k GROUP BY 1)
+           |SELECT CAST(vocab_size AS BIGINT) AS vocab_size, covered,
+           |  covered * 10000 // t.tot AS coverage_bp
+           |FROM cov, t""".stripMargin,
+
+      // quantile_cont parity at octile cuts
+      "q194_range_boundaries" ->
+        s"""WITH q AS (
+           |  SELECT quantile_cont(l_orderkey, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS b
+           |  FROM lineitem)
+           |SELECT CAST(i AS BIGINT) AS bucket,
+           |  ${pround("b[i]", 4)} AS boundary
+           |FROM q, unnest(range(1, 8)) AS t(i)""".stripMargin,
 
       // q68's hash-bucket split + q66's distinct-shingle overlap as
       // the train-side anti-join

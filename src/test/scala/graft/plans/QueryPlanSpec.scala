@@ -93,7 +93,9 @@ class QueryPlanSpec extends SparkSpec {
     // q189 attaches the one-row firewalled-train count; the literal
     // split key folds out of the equi-condition, leaving a one-row
     // broadcast loop join
-    "q189_firewalled_split")
+    "q189_firewalled_split",
+    // q193 attaches the one-row token-total aggregate (q93 shape)
+    "q193_vocab_coverage")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
