@@ -70,6 +70,104 @@ class OperatorLawsSpec extends SparkSpec {
     })
   }
 
+  test("keySkew: gini in [0, 10000), zero iff uniform, totals conserved") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      nKeys <- Gen.choose(1, 12)
+      counts <- Gen.listOfN(nKeys, Gen.choose(1, 9))
+    } yield counts
+    check(Prop.forAll(gen) { counts =>
+      val rows = counts.zipWithIndex.flatMap { case (c, k) =>
+        Seq.fill(c)(("g", s"k$k"))
+      }
+      val r = Profile.keySkew(rows.toDF("grp", "key"), "key", "grp").head()
+      val (nk, nr, mx, gini) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      nk == counts.length && nr == counts.sum && mx == counts.max &&
+        gini >= 0L && gini < 10000L &&
+        ((counts.distinct.length == 1) == (gini == 0L))
+    })
+  }
+
+  test("ksByGroup: bounded bp, zero for the whole-corpus group, symmetric split bound") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(2, 30)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 6L))
+      cut <- Gen.choose(1, n - 1)
+    } yield (vals, cut)
+    check(Prop.forAll(gen) { case (vals, cut) =>
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (if (i < cut) "a" else "b", v)
+      }
+      val out = Profile.ksByGroup(rows.toDF("grp", "v"), "v", "grp")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val bounded = out.values.forall(k => k >= 0L && k <= 10000L)
+      val whole = Profile.ksByGroup(
+        vals.map(("w", _)).toDF("grp", "v"), "v", "grp").head().getLong(2)
+      bounded && whole == 0L
+    })
+  }
+
+  test("autocorr1 stays in [-1, 1] and is exactly 0 for constant series") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(2, 25)
+      ys <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield ys
+    check(Prop.forAll(gen) { ys =>
+      val rows = ys.zipWithIndex.map { case (y, x) => ("s", x.toLong, y) } ++
+        ys.indices.map(x => ("const", x.toLong, 7L))
+      val out = Resample.autocorr1(rows.toDF("g", "x", "y"), "g", "x", "y")
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      out("s") >= -1.0 - 1e-9 && out("s") <= 1.0 + 1e-9 && out("const") == 0.0
+    })
+  }
+
+  test("freqSpectrum conserves types and token mass per group") {
+    val implicits = spark.implicits; import implicits._
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val doc = Gen.choose(1, 10).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val gen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, doc))
+    check(Prop.forAll(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") }
+        .toDF("doc_id", "text", "source")
+      val out = TfIdf.freqSpectrum(docs, "text", "source")
+        .collect().map(r => (r.getLong(2), r.getLong(3)))
+      val toks = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      out.map(_._1).sum == toks.distinct.length.toLong &&
+        out.map(_._2).sum == toks.length.toLong
+    })
+  }
+
+  test("kcore at the fixpoint: all surviving degrees >= k, never grows") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(4, 20)
+      m <- Gen.choose(3, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    check(Prop.forAll(gen) { edges =>
+      edges.isEmpty || {
+        val df = edges.toDF("id_a", "id_b")
+        // enough rounds to guarantee convergence on <= 20 nodes
+        val out = KCore.kcore(df, "id_a", "id_b", k = 2, rounds = 20)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        val nodes = out.map(_._1).toSet
+        out.forall(_._2 >= 2L) &&
+          // closed: every surviving node's surviving-neighbor count IS its deg
+          out.forall { case (v, deg) =>
+            edges.count { case (a, b) =>
+              (a == v && nodes(b)) || (b == v && nodes(a))
+            }.toLong == deg
+          }
+      }
+    })
+  }
+
   test("shuffleRank is a contiguous permutation for arbitrary sizes and widths") {
     val implicits = spark.implicits; import implicits._
     val gen = for {
