@@ -1979,6 +1979,52 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"))
     }),
 
+    // hub-structure card: degree assortativity of the candidate graph
+    // — Pearson over (deg(u), deg(v)) per directed edge; negative =
+    // hub-and-spoke (collision stars), positive = clique families.
+    // BIGINT-exact sums, IEEE sqrt, one division (q172's machinery)
+    "q195_assortativity" -> ((s, d) => {
+      val cand = Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id")
+      val edges = cand.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("long").as("deg"))
+      val agg = edges
+        .join(deg.select(col("src"), col("deg").as("__dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("__dy")), "dst")
+        .agg(count(lit(1)).cast("long").as("n_edges"),
+          sum(col("__dx")).cast("long").as("__sx"),
+          sum(col("__dy")).cast("long").as("__sy"),
+          sum(col("__dx") * col("__dy")).cast("long").as("__sxy"),
+          sum(col("__dx") * col("__dx")).cast("long").as("__sxx"),
+          sum(col("__dy") * col("__dy")).cast("long").as("__syy"))
+      val num = (col("n_edges") * col("__sxy") - col("__sx") * col("__sy"))
+        .cast("double")
+      val dx = (col("n_edges") * col("__sxx") - col("__sx") * col("__sx"))
+        .cast("double")
+      val dy = (col("n_edges") * col("__syy") - col("__sy") * col("__sy"))
+        .cast("double")
+      agg.select(col("n_edges"),
+        pround(when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy)))
+          .otherwise(lit(0.0)), 6).as("assortativity"))
+    }),
+
+    // golden-record merge: q144's fuzzy matches as edges, transitive
+    // components, one canonical record per entity cluster
+    "q196_golden_record" -> ((s, d) => {
+      val part = t(s, d, "part")
+      val pairs = operators.FuzzyJoin
+        .nearestMatch(part, "p_name", "p_partkey", maxDist = 3)
+        .select(col("id").as("id_a"), col("match_id").as("id_b"))
+      operators.Components.connectedComponents(pairs)
+        .join(part.select(col("p_partkey").as("node"),
+          lower(trim(col("p_name"))).as("__nm")), "node")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).cast("long").as("n_records"),
+          min(col("__nm")).as("canonical_name"))
+    }),
+
     // ops card: daily session bounce rate (single-event sessions)
     "q192_bounce_rate" -> ((s, d) =>
       operators.Sessionize.sessions(t(s, d, "events"), "user_id", "ts",
@@ -5114,6 +5160,57 @@ object SparkEntry {
            |SELECT v5.i AS dim, v5.v AS loading, p.c AS energy
            |FROM v5 JOIN p ON p.i = v5.i AND p.j = v5.i""".stripMargin
       },
+
+      // q21 candidates -> symmetric edges -> per-edge endpoint degrees
+      // -> the six exact sums; operand order mirrored
+      "q195_assortativity" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |  FROM bk a JOIN bk b
+           |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+           |g AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           |    CAST(sum(a.deg) AS BIGINT) AS sx, CAST(sum(b.deg) AS BIGINT) AS sy,
+           |    CAST(sum(a.deg * b.deg) AS BIGINT) AS sxy,
+           |    CAST(sum(a.deg * a.deg) AS BIGINT) AS sxx,
+           |    CAST(sum(b.deg * b.deg) AS BIGINT) AS syy
+           |  FROM edges e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst)
+           |SELECT n_edges,
+           |  ${pround("CASE WHEN CAST(n_edges * sxx - sx * sx AS DOUBLE) > 0 AND CAST(n_edges * syy - sy * sy AS DOUBLE) > 0 THEN CAST(n_edges * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))) ELSE 0.0 END", 6)} AS assortativity
+           |FROM g""".stripMargin,
+
+      // q144's nearest-match pairs as edges + the q65 recursive
+      // min-label walk; canonical = lexicographic min member name
+      "q196_golden_record" ->
+        """WITH RECURSIVE p AS (
+          |  SELECT p_partkey AS id, lower(trim(p_name)) AS nm,
+          |    regexp_split_to_array(lower(trim(p_name)), '\s+')[1] AS blk
+          |  FROM part),
+          |s AS (
+          |  SELECT a.id, b.id AS match_id, levenshtein(a.nm, b.nm) AS dist
+          |  FROM p a JOIN p b ON a.blk = b.blk AND a.id <> b.id),
+          |f AS (
+          |  SELECT id, match_id, dist,
+          |    row_number() OVER (PARTITION BY id ORDER BY dist, match_id) AS rn
+          |  FROM s WHERE dist <= 3),
+          |e0 AS (SELECT id AS src, match_id AS dst FROM f WHERE rn = 1),
+          |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+          |walk(node, lab) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT g.src, w.lab FROM edges g JOIN walk w ON w.node = g.dst),
+          |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node)
+          |SELECT component, CAST(count(*) AS BIGINT) AS n_records,
+          |  min(p.nm) AS canonical_name
+          |FROM comp JOIN p ON p.id = comp.node
+          |GROUP BY 1""".stripMargin,
 
       // q40's session CTE rolled up to daily bounce shares
       "q192_bounce_rate" ->
