@@ -1979,6 +1979,55 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"))
     }),
 
+    // TPC-H Q22 shape: above-average-balance customers with no orders
+    // per name suffix — the decorrelated scalar-subquery threshold as
+    // a cross-multiplied DECIMAL compare, then an anti-join
+    "q197_idle_balances" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("__s"),
+          count(lit(1)).cast("long").as("__n"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("__n") > col("__s"))
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy(expr("substring(c_name, length(c_name), 1)").as("name_digit"))
+        .agg(count(lit(1)).cast("long").as("n_cust"),
+          dsum(col("c_acctbal")).as("total_bal"))
+    }),
+
+    // skew-aware enrichment: the hot-key/cold-key two-path join —
+    // detected hot users take a broadcast path AQE cannot choose
+    // declaratively; result is identical to the plain join (which IS
+    // the oracle), whatever the tie-broken hot set
+    "q198_skew_enriched" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val hot = operators.SkewJoin.topKeys(ev, Seq("user_id"), 5)
+      operators.SkewJoin.hotColdJoin(ev, cust, Seq("user_id"), hot)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          dsum(col("value")).as("total_value"))
+    }),
+
+    // rolling 7-day distinct users (WAU): windowed COUNT DISTINCT has
+    // no decomposable aggregate — the correct distributed shape is the
+    // bounded 7x day-explode of the DAILY-DISTINCT pair table
+    "q199_rolling_wau" -> ((s, d) => {
+      val du = t(s, d, "events")
+        .select(unix_date(to_date(col("ts"))).cast("long").as("day"),
+          col("user_id"))
+        .distinct()
+      val days = du.select(col("day")).distinct()
+      du.withColumn("report_day",
+          explode(sequence(col("day"), col("day") + 6L)))
+        .join(days.withColumnRenamed("day", "report_day"),
+          Seq("report_day"), "left_semi")
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).cast("long").as("wau"))
+    }),
+
     // hub-structure card: degree assortativity of the candidate graph
     // — Pearson over (deg(u), deg(v)) per directed edge; negative =
     // hub-and-spoke (collision stars), positive = clique families.
@@ -5160,6 +5209,42 @@ object SparkEntry {
            |SELECT v5.i AS dim, v5.v AS loading, p.c AS energy
            |FROM v5 JOIN p ON p.i = v5.i AND p.j = v5.i""".stripMargin
       },
+
+      // scalar-subquery threshold decorrelated: bal*n > sum over
+      // exact DECIMALs; NOT EXISTS is the anti-join
+      "q197_idle_balances" ->
+        """WITH t AS (
+          |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM customer WHERE c_acctbal > 0)
+          |SELECT substr(c_name, len(c_name), 1) AS name_digit,
+          |  CAST(count(*) AS BIGINT) AS n_cust,
+          |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+          |FROM customer, t
+          |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * t.n > t.s
+          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |GROUP BY 1""".stripMargin,
+
+      // the two-path skew join is result-preserving — the oracle is
+      // the plain enrichment join
+      "q198_skew_enriched" ->
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+          |FROM events JOIN customer ON user_id = c_custkey
+          |GROUP BY 1""".stripMargin,
+
+      // trailing-window distinct restated as the day-grid range join
+      "q199_rolling_wau" ->
+        """WITH du AS (
+          |  SELECT DISTINCT
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+          |    user_id
+          |  FROM events),
+          |days AS (SELECT DISTINCT day FROM du)
+          |SELECT g.day AS report_day,
+          |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+          |FROM days g JOIN du u ON u.day BETWEEN g.day - 6 AND g.day
+          |GROUP BY 1""".stripMargin,
 
       // q21 candidates -> symmetric edges -> per-edge endpoint degrees
       // -> the six exact sums; operand order mirrored

@@ -95,7 +95,9 @@ class QueryPlanSpec extends SparkSpec {
     // broadcast loop join
     "q189_firewalled_split",
     // q193 attaches the one-row token-total aggregate (q93 shape)
-    "q193_vocab_coverage")
+    "q193_vocab_coverage",
+    // q197 attaches the one-row balance-threshold aggregate (q93 shape)
+    "q197_idle_balances")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
