@@ -2299,6 +2299,134 @@ object SparkEntry {
         .groupBy(col("epoch"), col("shard"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("__t")).cast("long").as("n_tokens"))
+    }),
+
+    // ranking-function suite on a deterministic per-segment total
+    // order (acctbal DESC, custkey): ntile quartiles, percent_rank,
+    // cume_dist — tie-free by the unique-key suffix so every value is
+    // rational and engine-exact; partitioned by segment, so the window
+    // state is the usual per-group slice, never a global sort
+    // (complements q50's plain ntile: the relative-position functions)
+    "q200_rank_suite" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+          col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          pround(percent_rank().over(w), 6).as("pct_rank"),
+          pround(cume_dist().over(w), 6).as("cume"))
+    }),
+
+    // TPC-H Q4 shape: per-priority count of orders with at least one
+    // late lineitem — EXISTS as a LEFT SEMI join whose condition is
+    // the equi-key plus the non-equi lateness predicate (the semi
+    // join dedups multi-late orders without a distinct)
+    "q201_late_exists" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).cast("long").as("n_late_orders"))),
+
+    // TPC-H Q7 shape: cross-nation trade volume by (supplier nation,
+    // customer nation, year). The two nation legs are broadcast; the
+    // cross-nation inequality filters on the KEYS before either
+    // dimension join runs
+    "q202_nation_volume" -> ((s, d) => {
+      val n1 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("__cnk"), col("n_name").as("cust_nation")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .join(n1, col("s_nationkey") === col("__snk"))
+        .join(n2, col("c_nationkey") === col("__cnk"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).cast("long").as("year"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("volume"))
+    }),
+
+    // TPC-H Q11 shape: parts whose revenue exceeds 1.25x the average
+    // part's — the HAVING-vs-scalar-subquery pattern decorrelated to
+    // a broadcast of ONE (total, count) row, compared by integer
+    // cross-multiplication on exact DECIMALs (rev*4n > 5*total)
+    "q203_part_concentration" -> ((s, d) => {
+      val pr = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("__rev"))
+      val tot = pr.agg(sum(col("__rev")).as("__tot"),
+        count(lit(1)).cast("long").as("__n"))
+      pr.crossJoin(broadcast(tot))
+        .filter(col("__rev") * col("__n") * 4 > col("__tot") * 5)
+        .select(col("l_partkey"),
+          round(col("__rev").cast("double"), 4).as("part_value"))
+    }),
+
+    // TPC-H Q15 shape: the top-revenue supplier(s) of one quarter —
+    // max as a one-row broadcast, selection by exact DECIMAL equality
+    // (double equality would be a cross-engine hazard; decimal is not)
+    "q204_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("__rev"))
+      val mx = rev.agg(max(col("__rev")).as("__mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("__rev") === col("__mx"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("__rev").cast("double"), 4).as("total_revenue"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — the grouped-HAVING IN
+    // subquery as an aggregate-then-join (the decorrelated plan
+    // Catalyst would produce); quantity summed in DECIMAL
+    "q205_big_orders" -> ((s, d) => {
+      val oq = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__qty"))
+        .filter(col("__qty") > 250)
+      t(s, d, "orders")
+        .join(oq, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"),
+          round(col("__qty").cast("double"), 2).as("total_qty"))
+    }),
+
+    // TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    // multi-supplier order — the EXISTS/NOT-EXISTS pair restated as
+    // two hash aggregates over (order, supplier) lateness flags; no
+    // correlated re-scans of lineitem
+    "q206_sole_late_supplier" -> ((s, d) => {
+      val ps = t(s, d, "lineitem")
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 45 DAYS"), 1L).otherwise(0L))
+          .as("__late"))
+      val po = ps.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__ns"), sum(col("__late")).as("__nl"))
+        .filter(col("__ns") >= 2 && col("__nl") === 1)
+        .select(col("l_orderkey"))
+      ps.filter(col("__late") === 1L)
+        .join(po, "l_orderkey", "left_semi")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
     })
   )
 
@@ -5565,7 +5693,92 @@ object SparkEntry {
           |SELECT n.digit, n.n, (n.n * 10000) // t.nn AS obs_bp,
           |  CAST(e.exp_bp AS BIGINT) AS exp_bp,
           |  (n.n * 10000) // t.nn - e.exp_bp AS dev_bp
-          |FROM n, t JOIN e ON e.digit = n.digit""".stripMargin
+          |FROM n, t JOIN e ON e.digit = n.digit""".stripMargin,
+
+      "q200_rank_suite" ->
+        s"""SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
+           |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           |  ${pround("percent_rank() OVER w", 6)} AS pct_rank,
+           |  ${pround("cume_dist() OVER w", 6)} AS cume
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_mktsegment
+           |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+
+      // the semi join IS the EXISTS
+      "q201_late_exists" ->
+        """SELECT o_orderpriority AS priority,
+          |  CAST(count(*) AS BIGINT) AS n_late_orders
+          |FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |  WHERE l_orderkey = o_orderkey
+          |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY 1""".stripMargin,
+
+      "q202_nation_volume" ->
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |  CAST(year(o_orderdate) AS BIGINT) AS year,
+          |  count(*) AS n_items,
+          |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS volume
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |WHERE s_nationkey <> c_nationkey
+          |GROUP BY 1, 2, 3""".stripMargin,
+
+      // scalar-subquery threshold cross-multiplied on exact DECIMALs:
+      // rev > 1.25 * (total/n)  ⟺  rev*n*4 > total*5
+      "q203_part_concentration" ->
+        """WITH pr AS (
+          |  SELECT l_partkey,
+          |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+          |  FROM lineitem GROUP BY 1),
+          |t AS (SELECT sum(rev) AS tot, CAST(count(*) AS BIGINT) AS n FROM pr)
+          |SELECT l_partkey, round(CAST(rev AS DOUBLE), 4) AS part_value
+          |FROM pr, t WHERE rev * n * 4 > tot * 5""".stripMargin,
+
+      // max as a one-row cross join; DECIMAL equality is exact
+      "q204_top_supplier" ->
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY 1),
+          |m AS (SELECT max(r) AS mx FROM rev)
+          |SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 4) AS total_revenue
+          |FROM rev, m JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE r = mx""".stripMargin,
+
+      "q205_big_orders" ->
+        """WITH oq AS (
+          |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+          |  FROM lineitem GROUP BY 1 HAVING qty > 250)
+          |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+          |  round(CAST(qty AS DOUBLE), 2) AS total_qty
+          |FROM oq JOIN orders ON o_orderkey = l_orderkey
+          |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+      // per-(order,supplier) lateness flags, then the sole-late filter
+      "q206_sole_late_supplier" ->
+        """WITH ps AS (
+          |  SELECT l_orderkey, l_suppkey,
+          |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+          |        THEN 1 ELSE 0 END) AS late
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2),
+          |po AS (
+          |  SELECT l_orderkey FROM ps
+          |  GROUP BY 1 HAVING count(*) >= 2 AND sum(late) = 1)
+          |SELECT s_name, CAST(count(*) AS BIGINT) AS n_orders
+          |FROM ps
+          |JOIN po USING (l_orderkey)
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE late = 1
+          |GROUP BY 1""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared
