@@ -2427,7 +2427,76 @@ object SparkEntry {
         .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).cast("long").as("n_orders"))
-    })
+    }),
+
+    // TPC-H Q16 shape: supplier census per (brand, size) with a NOT-IN
+    // exclusion — distinct (part, supplier) pairs from the fact table
+    // (the partsupp stand-in), negative-balance suppliers removed by
+    // an anti-join, then COUNT DISTINCT per group
+    "q207_supplier_census" -> ((s, d) => {
+      val psup = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excluded = t(s, d, "supplier")
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      psup.join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).cast("long").as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 shape inverted to a per-part dominance audit: the
+    // suppliers shipping MORE THAN HALF of a part's total quantity —
+    // the correlated per-group threshold as one extra hash aggregate
+    // joined back on the group key, compared in exact DECIMAL
+    // cross-multiplication (2*sq > tot)
+    "q208_dominant_supplier" -> ((s, d) => {
+      val sq = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__sq"))
+      val tot = sq.groupBy(col("l_partkey"))
+        .agg(sum(col("__sq")).as("__tot"),
+          count(lit(1)).cast("long").as("__nsupp"))
+      sq.join(tot, "l_partkey")
+        .filter(col("__nsupp") >= 2 && col("__sq") * 2 > col("__tot"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("__sq").cast("double"), 2).as("supp_qty"),
+          round(col("__tot").cast("double"), 2).as("part_qty"))
+    }),
+
+    // TPC-H Q2 shape: the cheapest supplier per part — correlated MIN
+    // decorrelated to a struct-min aggregate under the total
+    // (unit price, suppkey) order; unit price is one IEEE division,
+    // identical in any engine, so the argmin is deterministic
+    "q209_min_cost_supplier" -> ((s, d) => {
+      val unit = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("__mp"))
+      unit.groupBy(col("l_partkey"))
+        .agg(min(struct(col("__mp"), col("l_suppkey"))).as("__m"))
+        .select(col("l_partkey"),
+          col("__m.l_suppkey").as("best_suppkey"),
+          pround(col("__m.__mp"), 4).as("unit_price"))
+    }),
+
+    // graph-density screen over the near-dup candidate graph: local
+    // clustering coefficient — cliques (coeff 10000) are boilerplate
+    // families, low-coeff hubs are hot-bucket noise (q126's subject,
+    // measured per node instead of per bucket)
+    "q210_clustering_coeff" -> ((s, d) =>
+      operators.Triangles.localClusteringBp(
+        Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id",
+          bands = 3, rowsPerBand = 2),
+        "id_a", "id_b")),
+
+    // market-basket pair affinity over order lineitems: top-30
+    // co-purchased part pairs by support, lift in exact basis points;
+    // the head cut is a TakeOrderedAndProject under a total
+    // (support desc, pair) order
+    "q211_basket_affinity" -> ((s, d) =>
+      operators.Basket.pairAffinity(t(s, d, "lineitem"),
+          "l_orderkey", "l_partkey", minPairs = 2L)
+        .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+        .limit(30))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -5778,7 +5847,97 @@ object SparkEntry {
           |JOIN po USING (l_orderkey)
           |JOIN supplier ON l_suppkey = s_suppkey
           |WHERE late = 1
-          |GROUP BY 1""".stripMargin
+          |GROUP BY 1""".stripMargin,
+
+      // NOT IN as the anti-join over distinct fact pairs
+      "q207_supplier_census" ->
+        """SELECT p_brand, p_size,
+          |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+          |JOIN part ON l_partkey = p_partkey
+          |WHERE l_suppkey NOT IN
+          |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY 1, 2""".stripMargin,
+
+      // per-group threshold cross-multiplied on exact DECIMALs
+      "q208_dominant_supplier" ->
+        """WITH sq AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+          |  FROM lineitem GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT l_partkey, sum(q) AS tq, CAST(count(*) AS BIGINT) AS ns
+          |  FROM sq GROUP BY 1)
+          |SELECT sq.l_partkey, l_suppkey,
+          |  round(CAST(q AS DOUBLE), 2) AS supp_qty,
+          |  round(CAST(tq AS DOUBLE), 2) AS part_qty
+          |FROM sq JOIN tot ON sq.l_partkey = tot.l_partkey
+          |WHERE ns >= 2 AND q * 2 > tq""".stripMargin,
+
+      // the struct-min replayed as a rank-1 cut under the identical
+      // (unit price, suppkey) total order
+      "q209_min_cost_supplier" ->
+        s"""WITH unit AS (
+           |  SELECT l_partkey, l_suppkey,
+           |    min(l_extendedprice / l_quantity) AS mp
+           |  FROM lineitem GROUP BY 1, 2),
+           |r AS (
+           |  SELECT l_partkey, l_suppkey, mp,
+           |    row_number() OVER (PARTITION BY l_partkey
+           |                       ORDER BY mp, l_suppkey) AS rn
+           |  FROM unit)
+           |SELECT l_partkey, l_suppkey AS best_suppkey,
+           |  ${pround("mp", 4)} AS unit_price
+           |FROM r WHERE rn = 1""".stripMargin,
+
+      // q157's candidate-edge CTE + symmetric degrees; the coefficient
+      // is the same BIGINT floor expression (// in DuckDB, DIV in Spark)
+      "q210_clustering_coeff" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |e AS (
+           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |deg AS (
+           |  SELECT node, CAST(count(*) AS BIGINT) AS degree
+           |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+           |  GROUP BY 1),
+           |tri AS (
+           |  SELECT ab.a, ab.b, bc.b AS c
+           |  FROM e ab JOIN e bc ON bc.a = ab.b
+           |  WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.a = ab.a AND ac.b = bc.b)),
+           |nt AS (
+           |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+           |  FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+           |  GROUP BY 1)
+           |SELECT deg.node, degree, CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+           |  coalesce(n_tri, 0) * 20000 // (degree * (degree - 1)) AS coeff_bp
+           |FROM deg LEFT JOIN nt ON deg.node = nt.node
+           |WHERE degree >= 2""".stripMargin,
+
+      // pair supports from per-order distinct part pairs; lift by the
+      // identical BIGINT floor formula; same (support desc, pair) head
+      "q211_basket_affinity" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+          |ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY 1),
+          |p AS (
+          |  SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+          |    CAST(count(*) AS BIGINT) AS n_ab
+          |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+          |    AND x.l_partkey < y.l_partkey
+          |  GROUP BY 1, 2 HAVING n_ab >= 2)
+          |SELECT item_a, item_b, n_ab,
+          |  ia.ni AS n_a, ib.ni AS n_b,
+          |  n_ab * nb.n * 10000 // (ia.ni * ib.ni) AS lift_bp
+          |FROM p
+          |JOIN ic ia ON ia.l_partkey = item_a
+          |JOIN ic ib ON ib.l_partkey = item_b, nb
+          |ORDER BY n_ab DESC, item_a, item_b LIMIT 30""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket pair affinity — which items co-occur in the same
+  * basket more often than their popularity predicts. The co-purchase
+  * analog of q145's document-level PMI: support counts for each
+  * unordered item pair plus lift against the independence baseline.
+  *
+  * Lift is emitted in basis points by BIGINT floor arithmetic
+  * (n_ab * n_baskets * 10000 div (n_a * n_b)) so the value is exact
+  * and engine-portable — no float ratio enters the comparison; >10000
+  * means the pair attracts, <10000 means it repels.
+  *
+  * Scale shape: the pair expansion is per-basket (collect_set then the
+  * native `PairCombos` loop), so cost is sum over baskets of
+  * m*(m-1)/2 with m = DISTINCT items in that basket — bounded by the
+  * basket-size contract of the data (order forms, carts), never by
+  * corpus size; there is no item-level self-join. The item-count and
+  * basket-count attachments are one hash aggregate each; everything
+  * downstream of the explode is (item_a, item_b) hash aggregation.
+  * A degenerate giant basket would surface in the same way as a hot
+  * LSH bucket (q126's audit applies verbatim).
+  */
+object Basket {
+
+  /** Pair support + lift over (basket, item) rows. Items are
+    * de-duplicated within a basket; pairs below `minPairs` baskets are
+    * dropped before the dimension attachments.
+    */
+  def pairAffinity(items: DataFrame, basketCol: String, itemCol: String,
+                   minPairs: Long = 2L): DataFrame = {
+    require(minPairs >= 1L, s"minPairs must be >= 1, got $minPairs")
+    val b = items
+      .select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
+      .distinct()
+    val nBaskets = b.agg(count_distinct(col("__basket")).as("__nb"))
+    val itemCounts = b.groupBy(col("__item"))
+      .agg(count(lit(1)).as("__ni"))
+    val pairs = b.groupBy(col("__basket"))
+      .agg(array_sort(collect_set(col("__item"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(graft.expressions.GraftFunctions.pairCombos(col("__ids"))).as("p"))
+      .groupBy(col("p.id_a").as("item_a"), col("p.id_b").as("item_b"))
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    pairs
+      .join(itemCounts.select(col("__item").as("item_a"), col("__ni").as("__na")),
+        "item_a")
+      .join(itemCounts.select(col("__item").as("item_b"), col("__ni").as("__nb_i")),
+        "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        col("__na").cast("long").as("n_a"),
+        col("__nb_i").cast("long").as("n_b"),
+        expr("CAST(n_ab * __nb * 10000 DIV (__na * __nb_i) AS BIGINT)")
+          .as("lift_bp"))
+  }
+}

@@ -39,4 +39,30 @@ object Triangles {
       .groupBy(col("node"))
       .agg(count(lit(1)).cast("long").as("n_triangles"))
   }
+
+  /** Local clustering coefficient per node, in basis points: how many
+    * of a node's neighbor pairs are themselves connected —
+    * 2*tri / (deg*(deg-1)) as BIGINT floor arithmetic (tri*20000 div
+    * deg*(deg-1)), so the value is exact and engine-portable. 10000 =
+    * the node's neighborhood is a clique (boilerplate family); near 0
+    * at high degree = a hub whose neighbors are unrelated (hot-bucket
+    * noise). Degree-1 nodes have no neighbor pair and are excluded.
+    *
+    * Cost on top of `nodeTriangleCounts` is one symmetric-degree hash
+    * aggregate and a left join on node — no new quadratic term.
+    */
+  def localClusteringBp(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+    deg.filter(col("degree") >= 2L)
+      .join(nodeTriangleCounts(edges, aCol, bCol), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_tri"),
+        expr("CAST(coalesce(n_triangles, 0) * 20000 DIV (degree * (degree - 1)) AS BIGINT)")
+          .as("coeff_bp"))
+  }
 }

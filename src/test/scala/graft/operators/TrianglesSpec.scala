@@ -23,4 +23,33 @@ class TrianglesSpec extends SparkSpec {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     Triangles.nodeTriangleCounts(star, "id_a", "id_b").count() shouldBe 0L
   }
+
+  test("localClusteringBp: clique=10000, star center=0, leaves excluded") {
+    // triangle {1,2,3} is a 3-clique; star 10-(11,12,13) is triangle-free
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("id_a", "id_b")
+    val out = Triangles.localClusteringBp(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    out(1L) shouldBe ((2L, 1L, 10000L))
+    out(2L) shouldBe ((2L, 1L, 10000L))
+    out(3L) shouldBe ((2L, 1L, 10000L))
+    out(10L) shouldBe ((3L, 0L, 0L))
+    // degree-1 leaves have no neighbor pair: excluded, not zero
+    out.keySet shouldBe Set(1L, 2L, 3L, 10L)
+  }
+
+  test("localClusteringBp floor arithmetic on a shared-edge bowtie") {
+    // triangles {4,5,6} and {4,6,7} share edge 4-6: node 4 has degree 3
+    // and 2 triangles -> 2*2*10000/(3*2) = 6666 (floor)
+    val edges = Seq(
+      (4L, 5L), (5L, 6L), (4L, 6L), (4L, 7L), (6L, 7L)).toDF("id_a", "id_b")
+    val out = Triangles.localClusteringBp(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    out(4L) shouldBe 6666L
+    out(5L) shouldBe 10000L
+    out(6L) shouldBe 6666L
+    out(7L) shouldBe 10000L
+  }
 }

@@ -97,7 +97,11 @@ class QueryPlanSpec extends SparkSpec {
     // q193 attaches the one-row token-total aggregate (q93 shape)
     "q193_vocab_coverage",
     // q197 attaches the one-row balance-threshold aggregate (q93 shape)
-    "q197_idle_balances")
+    "q197_idle_balances",
+    // q203 attaches the one-row total-and-count aggregate (q93 shape);
+    // q211 the one-row basket-count aggregate (q204's max-attach
+    // becomes a BroadcastHashJoin: its DECIMAL equality is a join key)
+    "q203_part_concentration", "q211_basket_affinity")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
