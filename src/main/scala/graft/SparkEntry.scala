@@ -2496,7 +2496,42 @@ object SparkEntry {
       operators.Basket.pairAffinity(t(s, d, "lineitem"),
           "l_orderkey", "l_partkey", minPairs = 2L)
         .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
-        .limit(30))
+        .limit(30)),
+
+    // gaps-and-islands: longest consecutive-active-day streak per user
+    // — the island key is day minus per-user row_number (constant
+    // within a run, strictly dropping across a gap); two hash
+    // aggregates after one per-user window, all integer arithmetic
+    "q212_user_streaks" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      t(s, d, "events")
+        .select(col("user_id"), unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .distinct()
+        .withColumn("__isl", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("__isl"))
+        .agg(count(lit(1)).as("__len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("__len")).cast("long").as("n_active_days"),
+          max(col("__len")).cast("long").as("longest_streak"))
+    }),
+
+    // relational division (the FOR-ALL query): customers with orders
+    // in EVERY priority class — per-customer distinct-class count
+    // matched against the one-row global class count, broadcast; no
+    // per-class EXISTS chain, one aggregate each side
+    "q213_all_priorities" -> ((s, d) => {
+      val np = t(s, d, "orders")
+        .agg(count_distinct(col("o_orderpriority")).as("__np"))
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count_distinct(col("o_orderpriority")).as("__c"),
+          count(lit(1)).cast("long").as("n_orders"))
+        .crossJoin(broadcast(np))
+        .filter(col("__c") === col("__np"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_orders"))
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -5937,7 +5972,38 @@ object SparkEntry {
           |FROM p
           |JOIN ic ia ON ia.l_partkey = item_a
           |JOIN ic ib ON ib.l_partkey = item_b, nb
-          |ORDER BY n_ab DESC, item_a, item_b LIMIT 30""".stripMargin
+          |ORDER BY n_ab DESC, item_a, item_b LIMIT 30""".stripMargin,
+
+      // same island key: day - row_number is constant within a run
+      "q212_user_streaks" ->
+        """WITH du AS (
+          |  SELECT DISTINCT user_id,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+          |  FROM events),
+          |isl AS (
+          |  SELECT user_id, day,
+          |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS k
+          |  FROM du),
+          |runs AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+          |  FROM isl GROUP BY user_id, k)
+          |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+          |  CAST(max(len) AS BIGINT) AS longest_streak
+          |FROM runs GROUP BY 1""".stripMargin,
+
+      // division via distinct-count match against the global class count
+      "q213_all_priorities" ->
+        """WITH np AS (
+          |  SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n FROM orders),
+          |pc AS (
+          |  SELECT o_custkey,
+          |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS c,
+          |    CAST(count(*) AS BIGINT) AS n_orders
+          |  FROM orders GROUP BY 1)
+          |SELECT c_custkey, c_name, n_orders
+          |FROM pc, np
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE pc.c = np.n""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared
