@@ -2531,7 +2531,42 @@ object SparkEntry {
         .filter(col("__c") === col("__np"))
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("n_orders"))
-    })
+    }),
+
+    // bag-semantics set ops: (user, type) occurrence MULTISETS of the
+    // first vs second half-month, EXCEPT ALL (per-pair surplus kept
+    // with multiplicity) and INTERSECT ALL (common multiplicity) —
+    // then folded per type; the final stitch is a full outer join
+    "q214_bag_ops" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("__d"))
+      val first = ev.filter(col("__d") < lit("2024-01-16"))
+        .select(col("user_id"), col("event_type"))
+      val second = ev.filter(col("__d") >= lit("2024-01-16"))
+        .select(col("user_id"), col("event_type"))
+      val surplus = first.exceptAll(second)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_surplus"))
+      val common = first.intersectAll(second)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_common"))
+      surplus.join(common, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_surplus"), lit(0L)).as("n_surplus"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+    }),
+
+    // bipartite influence: HITS hubs (customers) / authorities
+    // (suppliers) over the who-buys-from-whom graph, two integer
+    // power-iteration rounds — q127's engine-exact discipline on a
+    // DIRECTED bipartite graph
+    "q215_hits" -> ((s, d) =>
+      operators.Hits.bipartiteHits(
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_suppkey")),
+        "o_custkey", "l_suppkey", iterations = 2))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -6003,7 +6038,53 @@ object SparkEntry {
           |SELECT c_custkey, c_name, n_orders
           |FROM pc, np
           |JOIN customer ON o_custkey = c_custkey
-          |WHERE pc.c = np.n""".stripMargin
+          |WHERE pc.c = np.n""".stripMargin,
+
+      // EXCEPT ALL / INTERSECT ALL carry multiplicities in both engines
+      "q214_bag_ops" ->
+        """WITH fst AS (
+          |  SELECT user_id, event_type FROM events
+          |  WHERE CAST(ts AS DATE) < DATE '2024-01-16'),
+          |snd AS (
+          |  SELECT user_id, event_type FROM events
+          |  WHERE CAST(ts AS DATE) >= DATE '2024-01-16'),
+          |ex AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_surplus
+          |  FROM (SELECT * FROM fst EXCEPT ALL SELECT * FROM snd)
+          |  GROUP BY 1),
+          |ix AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_common
+          |  FROM (SELECT * FROM fst INTERSECT ALL SELECT * FROM snd)
+          |  GROUP BY 1)
+          |SELECT coalesce(ex.event_type, ix.event_type) AS event_type,
+          |  CAST(coalesce(n_surplus, 0) AS BIGINT) AS n_surplus,
+          |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common
+          |FROM ex FULL JOIN ix ON ex.event_type = ix.event_type""".stripMargin,
+
+      // two HITS rounds unrolled; round-1 hub inflow is deg * unit
+      // because every authority starts at unit
+      "q215_hits" ->
+        """WITH e AS (
+          |  SELECT DISTINCT o_custkey AS h, l_suppkey AS a
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |h1 AS (SELECT h, CAST(count(*) AS BIGINT) * 1000000 AS raw FROM e GROUP BY 1),
+          |hm1 AS (SELECT max(raw) AS m FROM h1),
+          |h1n AS (SELECT h, raw * 1000000 // m AS score FROM h1, hm1),
+          |a1 AS (SELECT a, CAST(sum(score) AS BIGINT) AS raw
+          |  FROM e JOIN h1n USING (h) GROUP BY 1),
+          |am1 AS (SELECT max(raw) AS m FROM a1),
+          |a1n AS (SELECT a, raw * 1000000 // m AS score FROM a1, am1),
+          |h2 AS (SELECT h, CAST(sum(score) AS BIGINT) AS raw
+          |  FROM e JOIN a1n USING (a) GROUP BY 1),
+          |hm2 AS (SELECT max(raw) AS m FROM h2),
+          |h2n AS (SELECT h, raw * 1000000 // m AS score FROM h2, hm2),
+          |a2 AS (SELECT a, CAST(sum(score) AS BIGINT) AS raw
+          |  FROM e JOIN h2n USING (h) GROUP BY 1),
+          |am2 AS (SELECT max(raw) AS m FROM a2),
+          |a2n AS (SELECT a, raw * 1000000 // m AS score FROM a2, am2)
+          |SELECT 'hub' AS role, h AS node, score FROM h2n
+          |UNION ALL
+          |SELECT 'auth' AS role, a AS node, score FROM a2n""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

@@ -34,7 +34,7 @@ object PageRank {
   // LogicalRDD inside a frame checkpointed HERE is one this object
   // created (a checkpointed frame's plan is its own single LogicalRDD),
   // so unlike Components no ownership bookkeeping is needed.
-  private def freeCkpt(df: DataFrame): Unit =
+  private[operators] def freeCkpt(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
