@@ -2566,7 +2566,123 @@ object SparkEntry {
           .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey"), col("l_suppkey")),
-        "o_custkey", "l_suppkey", iterations = 2))
+        "o_custkey", "l_suppkey", iterations = 2)),
+
+    // TPC-H Q3 shape: top-10 not-yet-shipped orders of one segment by
+    // revenue — ranked on the EXACT decimal sum (ties broken by key)
+    // so the head cut is engine-portable, rounded only for output
+    "q216_unshipped_topk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("o_orderdate") < lit("1998-01-01") &&
+          col("l_shipdate") > lit("1998-01-01"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("__rev"))
+        .orderBy(col("__rev").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+          round(col("__rev").cast("double"), 4).as("revenue"))),
+
+    // TPC-H Q6 shape: the forecast-revenue-change scalar — one
+    // filter-only scan, one global aggregate, filters pushed to parquet
+    "q217_forecast_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))),
+
+    // TPC-H Q8 shape: one nation's share of a region's spend on one
+    // part type, per year — conditional numerator over the eight-way
+    // star; the share is ONE double division of two exact decimal
+    // sums, identically ordered in both engines
+    "q218_market_share" -> ((s, d) => {
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation"))
+          .select(col("n_nationkey").as("__cnk"), col("n_regionkey")),
+          col("c_nationkey") === col("__cnk"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation"))
+          .select(col("n_nationkey").as("__snk"), col("n_name").as("__sn")),
+          col("s_nationkey") === col("__snk"))
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_type") === "STANDARD").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(year(col("o_orderdate")).cast("long").as("year"))
+        .agg(sum(vol).as("__tot"),
+          sum(when(col("__sn") === "NATION_5", vol)
+            .otherwise(lit(0.0).cast("decimal(18,4)"))).as("__nat"))
+        .select(col("year"),
+          round(col("__tot").cast("double"), 4).as("total_volume"),
+          round(col("__nat").cast("double"), 4).as("nation_volume"),
+          pround(col("__nat").cast("double") / col("__tot").cast("double"), 6)
+            .as("share"))
+    }),
+
+    // TPC-H Q9 shape: per (supplier nation, year) profit on one part
+    // family — profit proxy keeps Q9's two-term form (revenue minus a
+    // cost rate) with p_retailprice standing in for ps_supplycost
+    "q219_product_profit" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_name").contains("widget")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("year"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("l_quantity") * col("p_retailprice") * lit(0.1), 4)
+            .as("profit"))),
+
+    // TPC-H Q10 shape: top-20 customers by returned revenue in one
+    // quarter — q216's exact-decimal rank discipline
+    "q220_returned_customers" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1997-04-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("__lost"))
+        .orderBy(col("__lost").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          round(col("__lost").cast("double"), 4).as("lost_revenue"))),
+
+    // TPC-H Q12 shape: priority mix per ship-delay band — the
+    // conditional two-counter aggregate over a derived band (the
+    // testdata has no shipmode column; the delay band is its analog)
+    "q221_shipdelay_mix" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("__delay", datediff(col("l_shipdate"), col("o_orderdate")))
+        .groupBy(when(col("__delay") <= 30, "fast")
+          .when(col("__delay") <= 60, "medium")
+          .otherwise("slow").as("delay_band"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).cast("long").as("n_high"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).cast("long").as("n_low")))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -6084,7 +6200,99 @@ object SparkEntry {
           |a2n AS (SELECT a, raw * 1000000 // m AS score FROM a2, am2)
           |SELECT 'hub' AS role, h AS node, score FROM h2n
           |UNION ALL
-          |SELECT 'auth' AS role, a AS node, score FROM a2n""".stripMargin
+          |SELECT 'auth' AS role, a AS node, score FROM a2n""".stripMargin,
+
+      // ranked on the exact DECIMAL sum, rounded after the cut
+      "q216_unshipped_topk" ->
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |  round(CAST(rev AS DOUBLE), 4) AS revenue
+          |FROM (
+          |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  WHERE c_mktsegment = 'BUILDING'
+          |    AND o_orderdate < TIMESTAMP '1998-01-01'
+          |    AND l_shipdate > TIMESTAMP '1998-01-01'
+          |  GROUP BY 1, 2, 3)
+          |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin,
+
+      "q217_forecast_revenue" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_items,
+          |  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount >= 0.05 AND l_discount <= 0.07
+          |  AND l_quantity < 24""".stripMargin,
+
+      // conditional numerator; the share division runs on the SAME two
+      // doubles in both engines
+      "q218_market_share" ->
+        s"""WITH j AS (
+           |  SELECT year(o_orderdate) AS yr,
+           |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol,
+           |    ns.n_name AS sn
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+           |  JOIN region ON nc.n_regionkey = r_regionkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+           |  JOIN part ON l_partkey = p_partkey
+           |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'),
+           |g AS (
+           |  SELECT CAST(yr AS BIGINT) AS year, sum(vol) AS tot,
+           |    sum(CASE WHEN sn = 'NATION_5' THEN vol
+           |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS nat
+           |  FROM j GROUP BY 1)
+           |SELECT year, round(CAST(tot AS DOUBLE), 4) AS total_volume,
+           |  round(CAST(nat AS DOUBLE), 4) AS nation_volume,
+           |  ${pround("CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE)", 6)} AS share
+           |FROM g""".stripMargin,
+
+      // the two-term profit expression keeps Spark's operand order
+      "q219_product_profit" ->
+        """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS year,
+          |  CAST(count(*) AS BIGINT) AS n_items,
+          |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |    - l_quantity * p_retailprice * 0.1 AS DECIMAL(18,4))) AS DOUBLE), 4) AS profit
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |WHERE p_name LIKE '%widget%'
+          |GROUP BY 1, 2""".stripMargin,
+
+      "q220_returned_customers" ->
+        """SELECT c_custkey, c_name, c_mktsegment,
+          |  round(CAST(lost AS DOUBLE), 4) AS lost_revenue
+          |FROM (
+          |  SELECT c_custkey, c_name, c_mktsegment,
+          |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS lost
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  WHERE l_returnflag = 'R'
+          |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+          |    AND o_orderdate < TIMESTAMP '1997-04-01'
+          |  GROUP BY 1, 2, 3)
+          |ORDER BY lost DESC, c_custkey LIMIT 20""".stripMargin,
+
+      "q221_shipdelay_mix" ->
+        """SELECT CASE WHEN d <= 30 THEN 'fast'
+          |  WHEN d <= 60 THEN 'medium' ELSE 'slow' END AS delay_band,
+          |  CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+          |  CAST(sum(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+          |FROM (
+          |  SELECT date_diff('day', CAST(o_orderdate AS DATE),
+          |      CAST(l_shipdate AS DATE)) AS d,
+          |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+          |GROUP BY 1""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared
