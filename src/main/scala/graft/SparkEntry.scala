@@ -2682,7 +2682,15 @@ object SparkEntry {
         .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L)).cast("long").as("n_high"),
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
-            .otherwise(1L)).cast("long").as("n_low")))
+            .otherwise(1L)).cast("long").as("n_low"))),
+
+    // label-noise screen: per-vector same-label agreement with its
+    // SRP-bucket neighbors (q26's banding config), exact basis points
+    // — low agree_bp flags mislabeling candidates for relabel triage
+    "q222_label_consistency" -> ((s, d) =>
+      operators.Similarity.labelConsistency(t(s, d, "embeddings"),
+        "embedding", "vec_id", "label",
+        bands = 4, planesPerBand = 8, dims = 64, minNeighbors = 3))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -6292,7 +6300,26 @@ object SparkEntry {
           |      CAST(l_shipdate AS DATE)) AS d,
           |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-          |GROUP BY 1""".stripMargin
+          |GROUP BY 1""".stripMargin,
+
+      // q26's e/bk/cand CTE prefix (the trailing cosine CTE is unused
+      // and unevaluated); neighbors symmetrized, labels joined twice
+      "q222_label_consistency" ->
+        s"""$embeddingPairsSql,
+           |nb AS (SELECT id_a AS doc, id_b AS nbr FROM cand
+           |       UNION ALL SELECT id_b, id_a FROM cand),
+           |l AS (SELECT vec_id, label FROM embeddings),
+           |j AS (
+           |  SELECT nb.doc, la.label,
+           |    CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS same
+           |  FROM nb
+           |  JOIN l la ON la.vec_id = nb.doc
+           |  JOIN l lb ON lb.vec_id = nb.nbr)
+           |SELECT doc AS vec_id, label,
+           |  CAST(count(*) AS BIGINT) AS n_neighbors,
+           |  CAST(sum(same) AS BIGINT) AS n_same,
+           |  CAST(sum(same) * 10000 // count(*) AS BIGINT) AS agree_bp
+           |FROM j GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

@@ -398,4 +398,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
+
+  /** Label-noise screen: per-vector agreement with the labels of its
+    * SRP-bucket neighbors, in exact basis points. A vector whose
+    * neighborhood overwhelmingly carries ANOTHER label is a
+    * mislabeling candidate (or sits on a class boundary) — the
+    * embedding-space analog of rater disagreement, ranked before
+    * manual relabeling passes.
+    *
+    * Neighbors are the banded SRP candidate pairs (`pairsInBuckets`
+    * over `srpBandKeysFast` buckets — never an all-pairs join), so a
+    * vector's neighborhood is its LSH-recallable cosine neighborhood;
+    * agreement is n_same * 10000 div n_neighbors, all BIGINT, so the
+    * screen is engine-exact. Vectors with fewer than `minNeighbors`
+    * candidates are excluded (agreement over a tiny sample is noise).
+    */
+  def labelConsistency(emb: DataFrame, vecCol: String, idCol: String,
+                       labelCol: String, bands: Int = 4,
+                       planesPerBand: Int = 16, dims: Int = 64,
+                       minNeighbors: Int = 3): DataFrame = {
+    require(minNeighbors >= 1, s"minNeighbors must be >= 1, got $minNeighbors")
+    val base = emb.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      col(labelCol).as("lab"))
+    val keyed = base.select(col("doc"),
+      explode(srpBandKeysFast(col("v"), bands, planesPerBand, dims))
+        .as("band_key"))
+    val cands = Dedup.pairsInBuckets(keyed, "doc", "band_key")
+    val nbrs = cands.select(col("id_a").as("doc"), col("id_b").as("nbr"))
+      .unionAll(cands.select(col("id_b").as("doc"), col("id_a").as("nbr")))
+    val labs = base.select(col("doc"), col("lab"))
+    nbrs.join(labs, "doc")
+      .join(labs.select(col("doc").as("nbr"), col("lab").as("nbr_lab")), "nbr")
+      .groupBy(col("doc"), col("lab"))
+      .agg(count(lit(1)).cast("long").as("n_neighbors"),
+        sum(when(col("lab") === col("nbr_lab"), 1L).otherwise(0L))
+          .cast("long").as("n_same"))
+      .filter(col("n_neighbors") >= minNeighbors)
+      .select(col("doc").as(idCol), col("lab").as(labelCol),
+        col("n_neighbors"), col("n_same"),
+        expr("CAST(n_same * 10000 DIV n_neighbors AS BIGINT)").as("agree_bp"))
+  }
 }

@@ -214,4 +214,24 @@ class SimilaritySpec extends SparkSpec {
     out(0)._2 shouldBe (math.sqrt(5.0) / 3 +- 1e-9)
     out(1)._2 shouldBe (math.sqrt(20.0) / 3 +- 1e-9)
   }
+
+  test("labelConsistency flags a planted mislabel with agree_bp 0") {
+    // six IDENTICAL vectors (one SRP bucket in every band): ids 1-5
+    // labeled 0, id 6 labeled 1 -> id 6 agrees with none of its five
+    // neighbors; each of 1-5 agrees with 4 of 5 (8000 bp)
+    val v = Seq.tabulate(64)(i => if (i % 7 == 0) 1.0 else 0.5)
+    val rows = (1L to 6L).map(i => Row(i, v, if (i == 6L) 1 else 0))
+    val e = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)),
+        StructField("label", IntegerType))))
+    val out = Similarity.labelConsistency(e, "embedding", "vec_id", "label",
+        bands = 2, planesPerBand = 8, dims = 64, minNeighbors = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    out(6L) shouldBe ((5L, 0L, 0L))
+    (1L to 5L).foreach { i => out(i) shouldBe ((5L, 4L, 8000L)) }
+  }
 }
