@@ -163,5 +163,20 @@ object syntax {
       Audit.cohenKappa(df, groupCol, aCol, bCol)
     def autocorr1(groupCol: String, xCol: String, yCol: String): DataFrame =
       Resample.autocorr1(df, groupCol, xCol, yCol)
+
+    // ---- graphs & baskets (round-9 continuation) ----
+    def basketPairAffinity(basketCol: String, itemCol: String,
+                           minPairs: Long = 2L): DataFrame =
+      Basket.pairAffinity(df, basketCol, itemCol, minPairs)
+    def localClustering(aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+      Triangles.localClusteringBp(df, aCol, bCol)
+    def bipartiteHits(hubCol: String, authCol: String,
+                      iterations: Int = 2): DataFrame =
+      Hits.bipartiteHits(df, hubCol, authCol, iterations)
+    def labelConsistency(vecCol: String, idCol: String, labelCol: String,
+                         bands: Int = 4, planesPerBand: Int = 16,
+                         dims: Int = 64, minNeighbors: Int = 3): DataFrame =
+      Similarity.labelConsistency(df, vecCol, idCol, labelCol, bands,
+        planesPerBand, dims, minNeighbors)
   }
 }

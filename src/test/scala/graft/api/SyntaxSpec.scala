@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.SparkSpec
-import graft.operators.{Dedup, Profile, Sampling, Sessionize, TfIdf}
+import graft.operators.{Basket, Dedup, Hits, Profile, Sampling, Sessionize, TfIdf, Triangles}
 import org.apache.spark.sql.functions._
 
 class SyntaxSpec extends SparkSpec {
@@ -78,6 +78,21 @@ class SyntaxSpec extends SparkSpec {
       .toDF("embedding")
     emb.dominantDirection("embedding", dims = 2).count() shouldBe 2L
     docs.epochShards("doc_id", 2, 4).count() shouldBe 4L
+  }
+
+  test("graph and basket facade methods delegate to the verified operators") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    pairs.localClustering().queryExecution.analyzed
+      .sameResult(Triangles.localClusteringBp(pairs, "id_a", "id_b")
+        .queryExecution.analyzed) shouldBe true
+    val items = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+      .toDF("basket", "item")
+    items.basketPairAffinity("basket", "item").queryExecution.analyzed
+      .sameResult(Basket.pairAffinity(items, "basket", "item", minPairs = 2L)
+        .queryExecution.analyzed) shouldBe true
+    // bipartiteHits checkpoints per round: compare results, not plans
+    items.bipartiteHits("basket", "item").count() shouldBe
+      Hits.bipartiteHits(items, "basket", "item", iterations = 2).count()
   }
 
   test("event ops facade delegates to the verified operators") {
