@@ -347,6 +347,35 @@ object ScaleSmoke {
             / 500.0 - 1.0).as("embedding"))
       operators.Pca.dominantDirection(vecs, "embedding", dims = 64).count()
     }
+    // round-9 continuation operators at volume.
+    // basket affinity: 8-item baskets over a 50k-item vocabulary —
+    // per-basket pair expansion is <= 28 pairs/basket by construction,
+    // so cost must track baskets linearly (the per-basket bound is the
+    // operator's whole scale contract)
+    time("basket affinity (8-item baskets)") {
+      operators.Basket.pairAffinity(
+        events(rows).select((col("event_id") / 8L).cast("long").as("basket"),
+          pmod(hash(col("event_id")), lit(50000)).as("item")),
+        "basket", "item", minPairs = 2L).count()
+    }
+    // bipartite HITS, 2 rounds: per round two edge-join shuffles + two
+    // hash aggregates + two one-row max attachments — linear in edges
+    time("bipartite hits (2 rounds)") {
+      operators.Hits.bipartiteHits(
+        events(rows).select(pmod(col("user_id"), lit(rows / 100)).as("h"),
+          pmod(hash(col("event_id")), lit(rows / 100)).as("a")),
+        "h", "a", iterations = 2).count()
+    }
+    // local clustering over the kcore random graph (mean degree ~4):
+    // wedge volume is sum(deg^2)/2 — bounded degrees keep it linear
+    time("local clustering (mean deg 4)") {
+      val m = rows / 2
+      val edges = events(rows).select(
+        pmod(col("event_id") * 31L + 7L, lit(m)).as("id_a"),
+        pmod(col("user_id") * 131L + col("event_id"), lit(m)).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      operators.Triangles.localClusteringBp(edges, "id_a", "id_b").count()
+    }
     spark.stop()
   }
 }
