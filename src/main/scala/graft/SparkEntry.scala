@@ -2690,7 +2690,25 @@ object SparkEntry {
     "q222_label_consistency" -> ((s, d) =>
       operators.Similarity.labelConsistency(t(s, d, "embeddings"),
         "embedding", "vec_id", "label",
-        bands = 4, planesPerBand = 8, dims = 64, minNeighbors = 3))
+        bands = 4, planesPerBand = 8, dims = 64, minNeighbors = 3)),
+
+    // streaming basket pair counts: additive (item_a, item_b) state
+    // across two ORDER-whole batches ≡ the one-shot pair table
+    // (additivity under the baskets-arrive-whole contract,
+    // spec-pinned), then the same (support desc, pair) head as q211
+    "q223_streaming_baskets" -> ((s, d) => {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_q223_state").toString + "/state"
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      streaming.StreamingBasket.acceptBatch(
+        li.filter(col("l_orderkey") % 2 === 0), "l_orderkey", "l_partkey", st)
+      val merged = streaming.StreamingBasket.acceptBatch(
+        li.filter(col("l_orderkey") % 2 === 1), "l_orderkey", "l_partkey", st)
+      merged.filter(col("n_ab") >= 2)
+        .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+        .limit(30)
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -6319,7 +6337,17 @@ object SparkEntry {
            |  CAST(count(*) AS BIGINT) AS n_neighbors,
            |  CAST(sum(same) AS BIGINT) AS n_same,
            |  CAST(sum(same) * 10000 // count(*) AS BIGINT) AS agree_bp
-           |FROM j GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+           |FROM j GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+      // additive across basket-whole batches ≡ the one-shot pair table
+      "q223_streaming_baskets" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          |SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+          |  CAST(count(*) AS BIGINT) AS n_ab
+          |FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+          |  AND x.l_partkey < y.l_partkey
+          |GROUP BY 1, 2 HAVING count(*) >= 2
+          |ORDER BY n_ab DESC, item_a, item_b LIMIT 30""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared
