@@ -2708,7 +2708,15 @@ object SparkEntry {
       merged.filter(col("n_ab") >= 2)
         .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
         .limit(30)
-    })
+    }),
+
+    // mixture-design diagnostic: pairwise Jensen–Shannon divergence
+    // between source unigram distributions, in bits — near-0 pairs are
+    // duplicate voices whose q93 mixture weights compete; pround6
+    // contributions, DECIMAL-exact sum (the q146 discipline)
+    "q224_source_divergence" -> ((s, d) =>
+      operators.Profile.jsDivergence(t(s, d, "documents"), "text", "source")
+        .withColumn("js_bits", pround(col("js_bits"), 4)))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -6347,7 +6355,44 @@ object SparkEntry {
           |FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
           |  AND x.l_partkey < y.l_partkey
           |GROUP BY 1, 2 HAVING count(*) >= 2
-          |ORDER BY n_ab DESC, item_a, item_b LIMIT 30""".stripMargin
+          |ORDER BY n_ab DESC, item_a, item_b LIMIT 30""".stripMargin,
+
+      // identical contribution formula and operand order; per-pair
+      // term grid = union of either side's terms
+      "q224_source_divergence" ->
+        s"""WITH c AS (
+           |  SELECT src, term, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source AS src, unnest($toksSql) AS term FROM documents)
+           |  GROUP BY 1, 2),
+           |t AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+           |p AS (
+           |  SELECT a.src AS src_a, b.src AS src_b, a.n AS na, b.n AS nb
+           |  FROM t a JOIN t b ON a.src < b.src),
+           |u AS (
+           |  SELECT p.src_a, p.src_b, c.term FROM p JOIN c ON c.src = p.src_a
+           |  UNION
+           |  SELECT p.src_a, p.src_b, c.term FROM p JOIN c ON c.src = p.src_b),
+           |g AS (
+           |  SELECT u.src_a, u.src_b, u.term,
+           |    CAST(COALESCE(ca.c, 0) AS DOUBLE) AS ca,
+           |    CAST(COALESCE(cb.c, 0) AS DOUBLE) AS cb,
+           |    CAST(p.na AS DOUBLE) AS na, CAST(p.nb AS DOUBLE) AS nb
+           |  FROM u
+           |  JOIN p ON p.src_a = u.src_a AND p.src_b = u.src_b
+           |  LEFT JOIN c ca ON ca.src = u.src_a AND ca.term = u.term
+           |  LEFT JOIN c cb ON cb.src = u.src_b AND cb.term = u.term),
+           |j AS (
+           |  SELECT src_a, src_b,
+           |    CAST(floor((
+           |      CASE WHEN ca > 0 THEN 0.5 * (ca / na)
+           |        * log2(2.0 * ca * nb / (ca * nb + cb * na)) ELSE 0.0 END +
+           |      CASE WHEN cb > 0 THEN 0.5 * (cb / nb)
+           |        * log2(2.0 * cb * na / (ca * nb + cb * na)) ELSE 0.0 END
+           |      ) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS jc
+           |  FROM g)
+           |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_terms,
+           |  ${pround("CAST(sum(jc) AS DOUBLE)", 4)} AS js_bits
+           |FROM j GROUP BY 1, 2""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

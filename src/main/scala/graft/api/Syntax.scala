@@ -178,5 +178,7 @@ object syntax {
                          dims: Int = 64, minNeighbors: Int = 3): DataFrame =
       Similarity.labelConsistency(df, vecCol, idCol, labelCol, bands,
         planesPerBand, dims, minNeighbors)
+    def jsDivergence(textCol: String, byCol: String): DataFrame =
+      Profile.jsDivergence(df, textCol, byCol)
   }
 }

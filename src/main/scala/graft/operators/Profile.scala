@@ -391,4 +391,59 @@ object Profile {
         sum(col("__c")).cast("double").as("psi"))
       .select(col("grp"), col("n_rows"), col("psi"))
   }
+
+  /** Jensen–Shannon divergence between every pair of sources' unigram
+    * token distributions, in bits — the mixture-design diagnostic
+    * beside q93/q112: JS near 0 means two sources are near-duplicate
+    * voices (their mixture weights compete for the same distribution);
+    * near 1 means disjoint vocabularies.
+    *
+    * Exactness is the q146/labelEntropy discipline: every per-(pair,
+    * term) contribution is built from ratios of EXACT integer counts
+    * evaluated in one fixed double operation order, passed through a
+    * single log2, rounded to 6 places, and summed as DECIMAL(18,6) —
+    * order-independent where a raw double sum would hash-drift. All
+    * products run in DOUBLE (not long) so no overflow at any corpus
+    * size; both engines round those products identically because the
+    * inputs are integers below 2^53 per side.
+    *
+    * Scale shape: one (src, term) count aggregate; the tiny pair table
+    * (|sources|²) broadcasts onto the per-source count tables; the
+    * full-outer term alignment shuffles on (pair, term) — total work
+    * is pairs × vocab, bounded by source cardinality (nature-bounded,
+    * like labels) times the Heaps-law vocabulary.
+    */
+  def jsDivergence(df: DataFrame, textCol: String, byCol: String): DataFrame = {
+    val c = df.select(col(byCol).as("src"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("__t"))
+      .groupBy(col("src"), col("__t"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val tot = c.groupBy(col("src")).agg(sum(col("__c")).cast("long").as("__n"))
+    val pairs = tot.select(col("src").as("src_a"), col("__n").as("__na"))
+      .crossJoin(tot.select(col("src").as("src_b"), col("__n").as("__nb")))
+      .filter(col("src_a") < col("src_b"))
+    val ja = c.select(col("src").as("src_a"), col("__t"), col("__c").as("__ca"))
+      .join(broadcast(pairs), "src_a")
+    val jb = c.select(col("src").as("src_b"), col("__t"), col("__c").as("__cb"))
+      .join(broadcast(pairs), "src_b")
+    val g = ja.select(col("src_a"), col("src_b"), col("__t"),
+        col("__ca"), col("__na"), col("__nb"))
+      .join(jb.select(col("src_a"), col("src_b"), col("__t"),
+        col("__cb"), col("__na").as("__na2"), col("__nb").as("__nb2")),
+        Seq("src_a", "src_b", "__t"), "full_outer")
+    val ca = coalesce(col("__ca"), lit(0L)).cast("double")
+    val cb = coalesce(col("__cb"), lit(0L)).cast("double")
+    val na = coalesce(col("__na"), col("__na2")).cast("double")
+    val nb = coalesce(col("__nb"), col("__nb2")).cast("double")
+    val den = ca * nb + cb * na
+    val contrib =
+      when(ca > 0, lit(0.5) * (ca / na) * log2(lit(2.0) * ca * nb / den))
+        .otherwise(lit(0.0)) +
+      when(cb > 0, lit(0.5) * (cb / nb) * log2(lit(2.0) * cb * na / den))
+        .otherwise(lit(0.0))
+    g.withColumn("__j", (floor(contrib * 1e6 + 0.5) / 1e6).cast("decimal(18,6)"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("__j")).cast("double").as("js_bits"))
+  }
 }

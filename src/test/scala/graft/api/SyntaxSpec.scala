@@ -93,6 +93,10 @@ class SyntaxSpec extends SparkSpec {
     // bipartiteHits checkpoints per round: compare results, not plans
     items.bipartiteHits("basket", "item").count() shouldBe
       Hits.bipartiteHits(items, "basket", "item", iterations = 2).count()
+    val docs = Seq((1L, "a b", "s"), (2L, "a c", "t")).toDF("doc_id", "text", "source")
+    docs.jsDivergence("text", "source").queryExecution.analyzed
+      .sameResult(Profile.jsDivergence(docs, "text", "source")
+        .queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

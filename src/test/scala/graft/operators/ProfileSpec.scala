@@ -199,4 +199,36 @@ class ProfileSpec extends SparkSpec {
     out("x") shouldBe (expected +- 1e-9)
     out("y") shouldBe (expected +- 1e-9) // symmetric by construction
   }
+
+  test("jsDivergence: identical distributions 0 bits, disjoint vocabularies 1 bit") {
+    val docs = Seq(
+      ("a", "cat dog cat"), ("b", "cat dog cat"), // b ≡ a
+      ("c", "fish bird fish")) // disjoint from both
+      .toDF("source", "text")
+    val out = Profile.jsDivergence(docs, "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    out(("a", "b"))._2 shouldBe 0.0 +- 1e-9 // log2(1) per term, exactly 0
+    out(("a", "b"))._1 shouldBe 2L // shared {cat, dog}
+    // every term one-sided: contribution 0.5*p*log2(2) = p/2, sums to 1
+    out(("a", "c"))._2 shouldBe 1.0 +- 1e-5 // pround6 per term
+    out(("a", "c"))._1 shouldBe 4L // union {cat, dog, fish, bird}
+    out(("b", "c"))._2 shouldBe 1.0 +- 1e-5
+  }
+
+  test("jsDivergence is monotone in overlap and bounded by (0, 1)") {
+    val docs = Seq(
+      ("a", "w x y z"), ("b", "w x y q"), ("c", "w q r s"))
+      .toDF("source", "text")
+    val out = Profile.jsDivergence(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    // a∩b = 3 of 4 tokens; a∩c = 1 of 4 — divergence must rank b closer
+    out(("a", "b")) should be < out(("a", "c"))
+    out.values.foreach { v =>
+      v should be >= 0.0
+      v should be <= 1.0 + 1e-9
+    }
+  }
 }

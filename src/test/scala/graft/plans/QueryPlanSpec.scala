@@ -101,7 +101,11 @@ class QueryPlanSpec extends SparkSpec {
     // q203 attaches the one-row total-and-count aggregate (q93 shape);
     // q211 the one-row basket-count aggregate (q204's max-attach
     // becomes a BroadcastHashJoin: its DECIMAL equality is a join key)
-    "q203_part_concentration", "q211_basket_affinity")
+    "q203_part_concentration", "q211_basket_affinity",
+    // q224 builds the source-pair table: |sources|² rows by a
+    // broadcast loop join under the src_a < src_b inequality —
+    // nature-bounded like q146's bin grid
+    "q224_source_divergence")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
