@@ -2716,7 +2716,21 @@ object SparkEntry {
     // contributions, DECIMAL-exact sum (the q146 discipline)
     "q224_source_divergence" -> ((s, d) =>
       operators.Profile.jsDivergence(t(s, d, "documents"), "text", "source")
-        .withColumn("js_bits", pround(col("js_bits"), 4)))
+        .withColumn("js_bits", pround(col("js_bits"), 4))),
+
+    // day-of-week seasonality index per event type: each weekday's
+    // event share against the uniform 1/7, in exact basis points by
+    // integer cross-multiplication (index 10000 = no weekly pattern)
+    "q225_weekday_seasonality" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("__tot",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"))))
+        .select(col("event_type"), col("dow"), col("n"),
+          expr("CAST(n * 7 * 10000 DIV __tot AS BIGINT)").as("index_bp")))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -6392,7 +6406,20 @@ object SparkEntry {
            |  FROM g)
            |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_terms,
            |  ${pround("CAST(sum(jc) AS DOUBLE)", 4)} AS js_bits
-           |FROM j GROUP BY 1, 2""".stripMargin
+           |FROM j GROUP BY 1, 2""".stripMargin,
+
+      // DuckDB dayofweek is Sunday=0; +1 aligns with Spark's Sunday=1
+      "q225_weekday_seasonality" ->
+        """WITH c AS (
+          |  SELECT event_type,
+          |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) + 1 AS dow,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+          |      FROM c GROUP BY 1)
+          |SELECT c.event_type, dow, n,
+          |  n * 7 * 10000 // tot AS index_bp
+          |FROM c JOIN t ON c.event_type = t.event_type""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

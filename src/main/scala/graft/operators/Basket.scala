@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * Lift is emitted in basis points by BIGINT floor arithmetic
   * (n_ab * n_baskets * 10000 div (n_a * n_b)) so the value is exact
   * and engine-portable — no float ratio enters the comparison; >10000
-  * means the pair attracts, <10000 means it repels.
+  * means the pair attracts, <10000 means it repels. Overflow
+  * contract: the numerator n_ab * n_baskets * 10^4 must stay below
+  * 2^63 — i.e. pair support × basket count < 9.2e14. At corpus sizes
+  * past that (1e10 baskets with 1e5-support pairs), compute lift on
+  * the per-shard pair tables and merge supports first, or drop to a
+  * DOUBLE ratio (losing the exact-hash property, not correctness).
   *
   * Scale shape: the pair expansion is per-basket (collect_set then the
   * native `PairCombos` loop), so cost is sum over baskets of
