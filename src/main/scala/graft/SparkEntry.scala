@@ -2718,6 +2718,14 @@ object SparkEntry {
       operators.Profile.jsDivergence(t(s, d, "documents"), "text", "source")
         .withColumn("js_bits", pround(col("js_bits"), 4))),
 
+    // k-anonymity release-risk audit over the (nation, segment)
+    // quasi-identifier: equivalence-class size histogram with per-size
+    // violation flags at k=10 — two hash aggregates (q173's
+    // counts-of-counts shape), all integers
+    "q226_k_anonymity" -> ((s, d) =>
+      operators.Audit.kAnonymity(t(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+
     // day-of-week seasonality index per event type: each weekday's
     // event share against the uniform 1/7, in exact basis points by
     // integer cross-multiplication (index 10000 = no weekly pattern)
@@ -6419,7 +6427,16 @@ object SparkEntry {
           |      FROM c GROUP BY 1)
           |SELECT c.event_type, dow, n,
           |  n * 7 * 10000 // tot AS index_bp
-          |FROM c JOIN t ON c.event_type = t.event_type""".stripMargin
+          |FROM c JOIN t ON c.event_type = t.event_type""".stripMargin,
+
+      "q226_k_anonymity" ->
+        """WITH ec AS (
+          |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+          |  FROM customer GROUP BY 1, 2)
+          |SELECT sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes,
+          |  CAST(sz * count(*) AS BIGINT) AS n_rows,
+          |  sz < 10 AS violates_k
+          |FROM ec GROUP BY sz""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

@@ -149,4 +149,30 @@ object Audit {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** k-anonymity audit over a quasi-identifier column set: the
+    * release-risk card for a dataset hand-off. Every row whose
+    * quasi-identifier combination is shared by fewer than k rows is
+    * re-identifiable at that k; the output is the equivalence-class
+    * size histogram (class-size → how many classes, how many rows)
+    * plus each size's violation flag, so both the headline number
+    * ("x% of rows below k") and the worst offending class sizes read
+    * off one table.
+    *
+    * Shape: one hash aggregate on the quasi-identifier tuple, then a
+    * counts-of-counts aggregate (q173's keySkew shape) — the second
+    * input is #equivalence-classes rows, already reduced. No windows,
+    * no driver state; skewed hot combos are ordinary AQE work.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2L, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__sz"))
+      .groupBy(col("__sz").as("class_size"))
+      .agg(count(lit(1)).cast("long").as("n_classes"))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).cast("long").as("n_rows"),
+        (col("class_size") < k).as("violates_k"))
+  }
 }

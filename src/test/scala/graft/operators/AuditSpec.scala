@@ -80,4 +80,18 @@ class AuditSpec extends SparkSpec {
     out("g") shouldBe ((10L, 3L, 5L, 28.0 / 48.0))
     out("h") shouldBe ((2L, 2L, 0L, 0.0))
   }
+
+  test("kAnonymity: class-size histogram with violation flags") {
+    // classes: (a,x)x1, (a,y)x3, (b,x)x3, (b,y)x5 -> sizes 1,3,3,5
+    val rows = Seq(("a", "x")) ++ Seq.fill(3)(("a", "y")) ++
+      Seq.fill(3)(("b", "x")) ++ Seq.fill(5)(("b", "y"))
+    val out = Audit.kAnonymity(rows.toDF("q1", "q2"), Seq("q1", "q2"), k = 3L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    out(1L) shouldBe ((1L, 1L, true))
+    out(3L) shouldBe ((2L, 6L, false))
+    out(5L) shouldBe ((1L, 5L, false))
+    out.size shouldBe 3
+  }
 }
