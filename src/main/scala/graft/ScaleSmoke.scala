@@ -366,14 +366,17 @@ object ScaleSmoke {
           pmod(hash(col("event_id")), lit(rows / 100)).as("a")),
         "h", "a", iterations = 2).count()
     }
-    // local clustering over the kcore random graph (mean degree ~4):
-    // wedge volume is sum(deg^2)/2 — bounded degrees keep it linear
+    // local clustering over a random graph (mean degree ~4): wedge
+    // volume is sum(deg^2)/2 — bounded degrees keep it linear. Edges
+    // are canonicalized (a<b, distinct) per Triangles' input contract
     time("local clustering (mean deg 4)") {
       val m = rows / 2
-      val edges = events(rows).select(
-        pmod(col("event_id") * 31L + 7L, lit(m)).as("id_a"),
-        pmod(col("user_id") * 131L + col("event_id"), lit(m)).as("id_b"))
-        .filter(col("id_a") =!= col("id_b"))
+      val raw = events(rows).select(
+        pmod(col("event_id") * 31L + 7L, lit(m)).as("x"),
+        pmod(col("user_id") * 131L + col("event_id"), lit(m)).as("y"))
+        .filter(col("x") =!= col("y"))
+      val edges = raw.select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b")).distinct()
       operators.Triangles.localClusteringBp(edges, "id_a", "id_b").count()
     }
     spark.stop()

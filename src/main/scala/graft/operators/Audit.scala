@@ -166,6 +166,8 @@ object Audit {
     */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(!quasiCols.contains("__sz"),
+      "quasi-identifier column name __sz collides with bookkeeping")
     require(k >= 2L, s"k must be >= 2, got $k")
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("__sz"))

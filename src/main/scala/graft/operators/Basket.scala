@@ -37,7 +37,12 @@ object Basket {
   def pairAffinity(items: DataFrame, basketCol: String, itemCol: String,
                    minPairs: Long = 2L): DataFrame = {
     require(minPairs >= 1L, s"minPairs must be >= 1, got $minPairs")
+    // NULL keys are dropped up front: a NULL basket would weld every
+    // keyless row into one phantom basket (inflating supports while
+    // count_distinct excludes it from n_baskets), and a NULL item can
+    // pair with nothing
     val b = items
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
       .distinct()
     val nBaskets = b.agg(count_distinct(col("__basket")).as("__nb"))

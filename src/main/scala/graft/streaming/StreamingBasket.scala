@@ -30,19 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object StreamingBasket {
 
-  private val reserved = Set("__b", "__ids", "__na", "__nb", "__n", "p")
-
   /** Merge one batch's basket pair counts into the state; returns the
     * post-merge pair table (item_a, item_b, n_ab). Caller must
-    * materialize before `commit` (acceptBatch does).
+    * materialize before `commit` (acceptBatch does). No reserved-name
+    * guard is needed: the first select projects the batch down to the
+    * two bookkeeping aliases, so caller columns cannot collide. NULL
+    * basket or item rows are dropped (a NULL basket key would weld all
+    * keyless rows into one phantom basket — see Basket.pairAffinity).
     */
   def mergeBatch(batch: DataFrame, basketCol: String, itemCol: String,
                  statePath: String): DataFrame = {
-    val clash = batch.columns.toSet.intersect(reserved)
-    require(clash.isEmpty,
-      s"batch columns collide with StreamingBasket bookkeeping names: $clash")
     val spark = batch.sparkSession
     val partial = batch
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
       .groupBy(col("__b"))

@@ -37,19 +37,27 @@ class StreamingBasketSpec extends SparkSpec {
       oneShot.select(col("id_a"), col("id_b"), col("count")))
   }
 
-  test("a replayed batch after commit does not double-count") {
+  test("failed-sink replay is idempotent; null-keyed rows are dropped") {
     val st = java.nio.file.Files
       .createTempDirectory("graft_sbasket2").toString + "/state"
-    val b0 = items.filter(col("basket") === 1L)
-    StreamingBasket.acceptBatch(b0, "basket", "item", st)
-    // replay: merge the SAME batch against the committed state would
-    // double-count — the retry protocol is merge-from-state, so a
-    // failed-sink replay re-reads the PRE-commit state; simulate by
-    // merging a fresh batch and checking counts stay exact
-    val merged = StreamingBasket.acceptBatch(
-      items.filter(col("basket") === 2L), "basket", "item", st)
+    StreamingBasket.acceptBatch(
+      items.filter(col("basket") === 1L), "basket", "item", st)
+    // simulate a failed sink: mergeBatch ran but commit never did —
+    // the state still holds only basket 1, so the RETRY (the full
+    // acceptBatch) merges basket 2 against the pre-failure state and
+    // counts each pair exactly once
+    val b2 = items.filter(col("basket") === 2L)
+    StreamingBasket.mergeBatch(b2, "basket", "item", st).count()
+    val merged = StreamingBasket.acceptBatch(b2, "basket", "item", st)
     pairsOf(merged) shouldBe Map(
       (10L, 11L) -> 2L, (10L, 12L) -> 1L, (11L, 12L) -> 1L)
+    // NOTE: replaying a batch after a SUCCESSFUL commit would
+    // double-count — exactly-once across commits is the caller's
+    // checkpointing contract, not this operator's
+    val nulls = Seq((Option.empty[Long], Option(10L)),
+      (Option(9L), Option.empty[Long])).toDF("basket", "item")
+    val after = StreamingBasket.acceptBatch(nulls, "basket", "item", st)
+    pairsOf(after) shouldBe pairsOf(merged)
   }
 
   test("state top pairs agree with Basket.pairAffinity supports") {
