@@ -2726,6 +2726,15 @@ object SparkEntry {
       operators.Audit.kAnonymity(t(s, d, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)),
 
+    // the homogeneity-attack companion: per (nation, segment) class,
+    // distinct order-priority diversity — big-but-homogeneous classes
+    // surface as (large class_size, diversity < l) rows
+    "q227_l_diversity" -> ((s, d) =>
+      operators.Audit.lDiversity(
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey")),
+        Seq("c_nationkey", "c_mktsegment"), "o_orderpriority", l = 3L)),
+
     // day-of-week seasonality index per event type: each weekday's
     // event share against the uniform 1/7, in exact basis points by
     // integer cross-multiplication (index 10000 = no weekly pattern)
@@ -6436,7 +6445,19 @@ object SparkEntry {
           |SELECT sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes,
           |  CAST(sz * count(*) AS BIGINT) AS n_rows,
           |  sz < 10 AS violates_k
-          |FROM ec GROUP BY sz""".stripMargin
+          |FROM ec GROUP BY sz""".stripMargin,
+
+      "q227_l_diversity" ->
+        """WITH ec AS (
+          |  SELECT c_nationkey, c_mktsegment,
+          |    CAST(count(*) AS BIGINT) AS sz,
+          |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS div
+          |  FROM customer JOIN orders ON c_custkey = o_custkey
+          |  GROUP BY 1, 2)
+          |SELECT sz AS class_size, div AS diversity,
+          |  CAST(count(*) AS BIGINT) AS n_classes,
+          |  div < 3 AS violates_l
+          |FROM ec GROUP BY 1, 2""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

@@ -177,4 +177,30 @@ object Audit {
         (col("class_size") * col("n_classes")).cast("long").as("n_rows"),
         (col("class_size") < k).as("violates_k"))
   }
+
+  /** l-diversity audit — k-anonymity's companion: a class can be
+    * large yet still leak if every member shares one sensitive value
+    * (the homogeneity attack). Per quasi-identifier equivalence
+    * class, the number of DISTINCT sensitive values; output is the
+    * (class_size-bucket × diversity) histogram with violation flags
+    * below l, so "how many big-but-homogeneous classes exist" is one
+    * row. Same two-hash-aggregate shape as [[kAnonymity]], with the
+    * distinct-count running inside the first aggregate.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    val clash = (quasiCols :+ sensitiveCol).toSet
+      .intersect(Set("__sz", "__div"))
+    require(clash.isEmpty,
+      s"column names collide with bookkeeping: $clash")
+    require(l >= 2L, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__sz"),
+        count_distinct(col(sensitiveCol)).cast("long").as("__div"))
+      .groupBy(col("__sz").as("class_size"), col("__div").as("diversity"))
+      .agg(count(lit(1)).cast("long").as("n_classes"))
+      .select(col("class_size"), col("diversity"), col("n_classes"),
+        (col("diversity") < l).as("violates_l"))
+  }
 }

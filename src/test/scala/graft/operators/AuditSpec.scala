@@ -94,4 +94,18 @@ class AuditSpec extends SparkSpec {
     out(5L) shouldBe ((1L, 5L, false))
     out.size shouldBe 3
   }
+
+  test("lDiversity flags big-but-homogeneous classes") {
+    // class (a): 4 rows, all sensitive 's1' -> diversity 1 (violates)
+    // class (b): 3 rows, sensitive {s1,s2,s3} -> diversity 3 (ok)
+    val rows = Seq.fill(4)(("a", "s1")) ++
+      Seq(("b", "s1"), ("b", "s2"), ("b", "s3"))
+    val out = Audit.lDiversity(rows.toDF("q", "sv"), Seq("q"), "sv", l = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    out((4L, 1L)) shouldBe ((1L, true))
+    out((3L, 3L)) shouldBe ((1L, false))
+    out.size shouldBe 2
+  }
 }
