@@ -2726,6 +2726,16 @@ object SparkEntry {
       operators.Audit.kAnonymity(t(s, d, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)),
 
+    // the skewness-attack companion (privacy trio with q226/q227):
+    // per-class total-variation distance of the priority distribution
+    // from the global one, pround6+DECIMAL-summed, flagged above 0.05
+    "q228_t_closeness" -> ((s, d) =>
+      operators.Audit.tCloseness(
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey")),
+        Seq("c_nationkey", "c_mktsegment"), "o_orderpriority", maxTv = 0.05)
+        .withColumn("tv", pround(col("tv"), 4))),
+
     // the homogeneity-attack companion: per (nation, segment) class,
     // distinct order-priority diversity — big-but-homogeneous classes
     // surface as (large class_size, diversity < l) rows
@@ -6457,7 +6467,40 @@ object SparkEntry {
           |SELECT sz AS class_size, div AS diversity,
           |  CAST(count(*) AS BIGINT) AS n_classes,
           |  div < 3 AS violates_l
-          |FROM ec GROUP BY 1, 2""".stripMargin
+          |FROM ec GROUP BY 1, 2""".stripMargin,
+
+      // identical contribution formula; the grid joins the
+      // nature-bounded sensitive-value table onto every class
+      "q228_t_closeness" ->
+        s"""WITH j AS (
+           |  SELECT c_nationkey, c_mktsegment, o_orderpriority
+           |  FROM customer JOIN orders ON c_custkey = o_custkey),
+           |cs AS (
+           |  SELECT c_nationkey, c_mktsegment, o_orderpriority,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM j GROUP BY 1, 2, 3),
+           |ct AS (
+           |  SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT) AS n
+           |  FROM cs GROUP BY 1, 2),
+           |gs AS (SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS cg
+           |       FROM cs GROUP BY 1),
+           |gt AS (SELECT CAST(sum(cg) AS BIGINT) AS nn FROM gs),
+           |grid AS (SELECT * FROM ct, gs, gt),
+           |tv AS (
+           |  SELECT g.c_nationkey, g.c_mktsegment, g.n,
+           |    CAST(floor(0.5 * abs(
+           |      CAST(COALESCE(cs.c, 0) AS DOUBLE) / CAST(g.n AS DOUBLE) -
+           |      CAST(g.cg AS DOUBLE) / CAST(g.nn AS DOUBLE)
+           |    ) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS tvc
+           |  FROM grid g
+           |  LEFT JOIN cs ON cs.c_nationkey = g.c_nationkey
+           |    AND cs.c_mktsegment = g.c_mktsegment
+           |    AND cs.o_orderpriority = g.o_orderpriority)
+           |SELECT c_nationkey, c_mktsegment,
+           |  CAST(max(n) AS BIGINT) AS class_size,
+           |  ${pround("CAST(sum(tvc) AS DOUBLE)", 4)} AS tv,
+           |  CAST(sum(tvc) AS DOUBLE) > 0.05 AS violates_t
+           |FROM tv GROUP BY 1, 2""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

@@ -203,4 +203,46 @@ object Audit {
       .select(col("class_size"), col("diversity"), col("n_classes"),
         (col("diversity") < l).as("violates_l"))
   }
+
+  /** t-closeness audit — the third privacy gate: a class can be large
+    * (k) and diverse (l) yet still leak if its sensitive-value
+    * DISTRIBUTION diverges from the global one (the skewness attack).
+    * Per quasi-identifier class: total-variation distance
+    * 0.5·Σ|p_class − p_global| over the sensitive values (= the EMD
+    * under uniform ground distance, the categorical t-closeness
+    * measure), flagged above `maxTv`.
+    *
+    * Exactness is the q146 discipline: each per-(class, value)
+    * contribution is ratios of exact integers through one fixed
+    * double operation order, rounded to 6 places, summed as
+    * DECIMAL(18,6). The (class × sensitive-value) grid crossJoins the
+    * nature-bounded sensitive-value table (like q146's 65-bin grid),
+    * so classes missing a value still pay its |0 − p_global| term.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, maxTv: Double = 0.2): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    val clash = (quasiCols :+ sensitiveCol).toSet
+      .intersect(Set("__c", "__n", "__cg", "__gtot", "__tv"))
+    require(clash.isEmpty, s"column names collide with bookkeeping: $clash")
+    require(maxTv > 0.0 && maxTv < 1.0, s"maxTv must be in (0,1): $maxTv")
+    val cs = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val ct = cs.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).cast("long").as("__n"))
+    val gs = cs.groupBy(col(sensitiveCol))
+      .agg(sum(col("__c")).cast("long").as("__cg"))
+    val gt = gs.agg(sum(col("__cg")).cast("long").as("__gtot"))
+    val grid = ct.crossJoin(broadcast(gs.crossJoin(gt)))
+    val joined = grid.join(cs, quasiCols :+ sensitiveCol, "left")
+    val contrib = lit(0.5) * abs(
+      coalesce(col("__c"), lit(0L)).cast("double") / col("__n").cast("double") -
+        col("__cg").cast("double") / col("__gtot").cast("double"))
+    joined
+      .withColumn("__tv", (floor(contrib * 1e6 + 0.5) / 1e6).cast("decimal(18,6)"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__n")).as("class_size"),
+        sum(col("__tv")).cast("double").as("tv"))
+      .withColumn("violates_t", col("tv") > maxTv)
+  }
 }

@@ -108,4 +108,29 @@ class AuditSpec extends SparkSpec {
     out((3L, 3L)) shouldBe ((1L, false))
     out.size shouldBe 2
   }
+
+  test("tCloseness: matching distribution 0, all-mass-on-one-value skew flagged") {
+    // global: s1 x4, s2 x4 (uniform). class a matches it exactly ->
+    // tv 0; class b holds only s1 -> tv = 0.5*(|1-0.5| + |0-0.5|) = 0.5
+    val rows = Seq(("a", "s1"), ("a", "s1"), ("a", "s2"), ("a", "s2"),
+      ("b", "s1"), ("b", "s1"), ("b", "s1"), ("b", "s1"))
+    // global: s1 6/8, s2 2/8; recompute: a = {s1:2, s2:2}, b = {s1:4}
+    // p_a = (.5, .5); p_g = (.75, .25) -> tv_a = .5*(|.5-.75|+|.5-.25|) = .25
+    // p_b = (1, 0) -> tv_b = .5*(|1-.75|+|0-.25|) = .25
+    val out = Audit.tCloseness(rows.toDF("q", "sv"), Seq("q"), "sv",
+        maxTv = 0.2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    out("a") shouldBe (("a", (4L, 0.25, true))._2)
+    out("b") shouldBe ((4L, 0.25, true))
+    // and a genuinely matching class is 0 and unflagged
+    val uniform = Seq(("a", "s1"), ("a", "s2"), ("b", "s1"), ("b", "s2"))
+    val out2 = Audit.tCloseness(uniform.toDF("q", "sv"), Seq("q"), "sv",
+        maxTv = 0.2)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    out2("a") shouldBe ((0.0, false))
+    out2("b") shouldBe ((0.0, false))
+  }
 }

@@ -105,7 +105,10 @@ class QueryPlanSpec extends SparkSpec {
     // q224 builds the source-pair table: |sources|² rows by a
     // broadcast loop join under the src_a < src_b inequality —
     // nature-bounded like q146's bin grid
-    "q224_source_divergence")
+    "q224_source_divergence",
+    // q228 grids every class against the nature-bounded
+    // sensitive-value table (q146's bin-grid shape)
+    "q228_t_closeness")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
