@@ -180,5 +180,15 @@ object syntax {
         planesPerBand, dims, minNeighbors)
     def jsDivergence(textCol: String, byCol: String): DataFrame =
       Profile.jsDivergence(df, textCol, byCol)
+
+    // ---- privacy release gates ----
+    def kAnonymity(quasiCols: Seq[String], k: Long): DataFrame =
+      Audit.kAnonymity(df, quasiCols, k)
+    def lDiversity(quasiCols: Seq[String], sensitiveCol: String,
+                   l: Long): DataFrame =
+      Audit.lDiversity(df, quasiCols, sensitiveCol, l)
+    def tCloseness(quasiCols: Seq[String], sensitiveCol: String,
+                   maxTv: Double = 0.2): DataFrame =
+      Audit.tCloseness(df, quasiCols, sensitiveCol, maxTv)
   }
 }

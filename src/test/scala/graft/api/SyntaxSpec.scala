@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.SparkSpec
-import graft.operators.{Basket, Dedup, Hits, Profile, Sampling, Sessionize, TfIdf, Triangles}
+import graft.operators.{Audit, Basket, Dedup, Hits, Profile, Sampling, Sessionize, TfIdf, Triangles}
 import org.apache.spark.sql.functions._
 
 class SyntaxSpec extends SparkSpec {
@@ -96,6 +96,16 @@ class SyntaxSpec extends SparkSpec {
     val docs = Seq((1L, "a b", "s"), (2L, "a c", "t")).toDF("doc_id", "text", "source")
     docs.jsDivergence("text", "source").queryExecution.analyzed
       .sameResult(Profile.jsDivergence(docs, "text", "source")
+        .queryExecution.analyzed) shouldBe true
+    val priv = Seq(("x", "m", "s1"), ("x", "m", "s2")).toDF("q1", "q2", "sv")
+    priv.kAnonymity(Seq("q1", "q2"), 5L).queryExecution.analyzed
+      .sameResult(Audit.kAnonymity(priv, Seq("q1", "q2"), 5L)
+        .queryExecution.analyzed) shouldBe true
+    priv.lDiversity(Seq("q1"), "sv", 2L).queryExecution.analyzed
+      .sameResult(Audit.lDiversity(priv, Seq("q1"), "sv", 2L)
+        .queryExecution.analyzed) shouldBe true
+    priv.tCloseness(Seq("q1"), "sv").queryExecution.analyzed
+      .sameResult(Audit.tCloseness(priv, Seq("q1"), "sv")
         .queryExecution.analyzed) shouldBe true
   }
 
