@@ -2726,6 +2726,13 @@ object SparkEntry {
       operators.Audit.kAnonymity(t(s, d, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)),
 
+    // sentence-respecting ~64-token chunks (the RAG-prep shape): the
+    // chunk id is floor(exact-prefix-sum / budget), so no sentence is
+    // ever split and the assignment is engine-replayable
+    "q229_sentence_chunks" -> ((s, d) =>
+      operators.Packing.sentenceChunks(t(s, d, "documents"),
+        "text", "doc_id", tokenBudget = 64L)),
+
     // the skewness-attack companion (privacy trio with q226/q227):
     // per-class total-variation distance of the priority distribution
     // from the global one, pround6+DECIMAL-summed, flagged above 0.05
@@ -6500,7 +6507,31 @@ object SparkEntry {
            |  CAST(max(n) AS BIGINT) AS class_size,
            |  ${pround("CAST(sum(tvc) AS DOUBLE)", 4)} AS tv,
            |  CAST(sum(tvc) AS DOUBLE) > 0.05 AS violates_t
-           |FROM tv GROUP BY 1, 2""".stripMargin
+           |FROM tv GROUP BY 1, 2""".stripMargin,
+
+      // same filtered-split order, same bpe-ish token count, same
+      // prefix-sum // budget chunk id
+      "q229_sentence_chunks" ->
+        """WITH s AS (
+          |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS sent_idx,
+          |    unnest(parts) AS sent
+          |  FROM (SELECT doc_id,
+          |          list_filter(regexp_split_to_array(text, '[.!?]\s+'),
+          |                      x -> len(x) > 0) AS parts
+          |        FROM documents)),
+          |t AS (
+          |  SELECT doc_id, sent_idx,
+          |    CAST(len(regexp_extract_all(sent, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok
+          |  FROM s),
+          |c AS (
+          |  SELECT doc_id, tok,
+          |    COALESCE(CAST(sum(tok) OVER (PARTITION BY doc_id ORDER BY sent_idx
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bef
+          |  FROM t)
+          |SELECT doc_id, CAST(bef // 64 AS BIGINT) AS chunk_id,
+          |  CAST(count(*) AS BIGINT) AS n_sentences,
+          |  CAST(sum(tok) AS BIGINT) AS n_tokens
+          |FROM c GROUP BY 1, 2""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

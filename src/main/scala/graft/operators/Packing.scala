@@ -126,6 +126,40 @@ object Packing {
         md5(concat_ws(" ", win)).as("win_md5"))
   }
 
+  /** Sentence-respecting chunking — the RAG/embedding prep step
+    * between q72's fixed-size character chunks and q121's token
+    * windows: documents split into sentences (portable RE2 split on
+    * `[.!?]\s+` — no lookbehind, so terminal punctuation rides with
+    * the NEXT boundary's delimiter and the last sentence keeps its
+    * own), each sentence assigned to chunk
+    * floor(cumulative-tokens-before / tokenBudget), so chunks are
+    * ~budget-sized and NEVER split a sentence. The division-based
+    * assignment (vs a greedy reset) is what keeps the operator
+    * engine-replayable: the chunk id is a pure function of the exact
+    * integer prefix sum.
+    *
+    * Scale shape: per-document sentence explode + ONE per-document
+    * window prefix sum (rows = sentences of that doc) + a hash
+    * aggregate on (doc, chunk). No global window, no driver state.
+    */
+  def sentenceChunks(df: DataFrame, textCol: String, idCol: String,
+                     tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sent_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol),
+        posexplode(filter(split(col(textCol), "[.!?]\\s+"),
+          s => length(s) > 0)).as(Seq("sent_idx", "__sent")))
+      .withColumn("__tok",
+        graft.functions.TextFns.bpeishTokenCount(col("__sent")))
+      .withColumn("__before", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("__before") / lit(tokenBudget)).cast("long"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).cast("long").as("n_sentences"),
+        sum(col("__tok")).cast("long").as("n_tokens"))
+  }
+
   // functions.size, renamed clear of Window/DataFrame method shadowing
   private def size2(c: Column): Column = org.apache.spark.sql.functions.size(c)
 

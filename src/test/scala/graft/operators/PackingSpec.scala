@@ -192,4 +192,22 @@ class PackingSpec extends SparkSpec {
       Sampling.shuffleRank(docs, "id", hexPrefix = 7)
     ex.getMessage should include("hexPrefix must be in [1,6]")
   }
+
+  test("sentenceChunks: division assignment never splits a sentence") {
+    val implicits = spark.implicits
+    import implicits._
+    // sentences: "one two three"(3), "four five"(2),
+    // "six seven eight nine"(4), "ten"(1); prefix-before 0,3,5,9;
+    // budget 4 -> chunks 0,0,1,2
+    val docs = Seq(
+      (1L, "one two three. four five! six seven eight nine? ten"))
+      .toDF("doc_id", "text")
+    val out = Packing.sentenceChunks(docs, "text", "doc_id", tokenBudget = 4L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    out(0L) shouldBe ((2L, 5L))
+    out(1L) shouldBe ((1L, 4L))
+    out(2L) shouldBe ((1L, 1L))
+    // totals conserved: every sentence lands in exactly one chunk
+    out.values.map(_._2).sum shouldBe 10L
+  }
 }
