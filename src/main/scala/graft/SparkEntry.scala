@@ -2726,6 +2726,18 @@ object SparkEntry {
       operators.Audit.kAnonymity(t(s, d, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)),
 
+    // co-purchase centrality: weighted PageRank over the basket-pair
+    // graph (edge weight = pair support) — which parts anchor the
+    // catalog; q127's BIGINT discipline with strength-normalized
+    // weighted mass, 3 rounds unrolled in the oracle
+    "q230_weighted_pagerank" -> ((s, d) =>
+      operators.PageRank.weightedRanks(
+        operators.Basket.pairAffinity(t(s, d, "lineitem"),
+            "l_orderkey", "l_partkey", minPairs = 2L)
+          .select(col("item_a").as("id_a"), col("item_b").as("id_b"),
+            col("n_ab").as("w")),
+        iterations = 3)),
+
     // sentence-respecting ~64-token chunks (the RAG-prep shape): the
     // chunk id is floor(exact-prefix-sum / budget), so no sentence is
     // ever split and the assignment is engine-replayable
@@ -6531,7 +6543,35 @@ object SparkEntry {
           |SELECT doc_id, CAST(bef // 64 AS BIGINT) AS chunk_id,
           |  CAST(count(*) AS BIGINT) AS n_sentences,
           |  CAST(sum(tok) AS BIGINT) AS n_tokens
-          |FROM c GROUP BY 1, 2""".stripMargin
+          |FROM c GROUP BY 1, 2""".stripMargin,
+
+      // q211's pair supports as weights; 3 weighted rounds unrolled
+      "q230_weighted_pagerank" -> {
+        val rounds = (1 to 3).map { k =>
+          s"""r$k AS (
+             |  SELECT n.node, n.strength,
+             |    CAST(150000 + COALESCE(s.inflow, 0) AS BIGINT) AS rank
+             |  FROM (SELECT node, strength FROM r0) n
+             |  LEFT JOIN (
+             |    SELECT e.dst AS node,
+             |      CAST(sum((r.rank * 85 * e.w) // (100 * r.strength)) AS BIGINT) AS inflow
+             |    FROM edges e JOIN r${k - 1} r ON r.node = e.src
+             |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |p AS (
+           |  SELECT x.l_partkey AS a, y.l_partkey AS b2,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+           |    AND x.l_partkey < y.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |edges AS (SELECT a AS src, b2 AS dst, w FROM p
+           |          UNION ALL SELECT b2, a, w FROM p),
+           |r0 AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS strength,
+           |       CAST(1000000 AS BIGINT) AS rank FROM edges GROUP BY 1),
+           |$rounds
+           |SELECT node, strength, rank FROM r3""".stripMargin
+      }
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

@@ -173,6 +173,9 @@ object syntax {
     def bipartiteHits(hubCol: String, authCol: String,
                       iterations: Int = 2): DataFrame =
       Hits.bipartiteHits(df, hubCol, authCol, iterations)
+    def weightedPageRank(aCol: String = "id_a", bCol: String = "id_b",
+                         wCol: String = "w", iterations: Int = 3): DataFrame =
+      PageRank.weightedRanks(df, aCol, bCol, wCol, iterations)
     def labelConsistency(vecCol: String, idCol: String, labelCol: String,
                          bands: Int = 4, planesPerBand: Int = 16,
                          dims: Int = 64, minNeighbors: Int = 3): DataFrame =

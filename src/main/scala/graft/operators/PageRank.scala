@@ -76,4 +76,52 @@ object PageRank {
     freeCkpt(edges)
     ranks
   }
+
+  /** Weighted ranks: each neighbor receives mass proportional to the
+    * edge weight over the node's STRENGTH (sum of incident weights) —
+    * floor(rank * dampNum * w / (dampDen * strength)), still all
+    * BIGINT, so the fixpoint stays engine- and partitioning-exact.
+    * Input: one row per undirected pair with a positive integer
+    * weight column (e.g. basket-pair supports). Overflow contract:
+    * rank * dampNum * maxWeight < 2^63 — rank is bounded by
+    * n_nodes * unit in the all-mass-on-one-hub worst case, so with
+    * the default unit keep n_nodes * maxWeight below ~10^11 or shrink
+    * `unit`. Same per-round plan and checkpoint hygiene as [[ranks]].
+    */
+  def weightedRanks(pairs: DataFrame, aCol: String = "id_a",
+                    bCol: String = "id_b", wCol: String = "w",
+                    iterations: Int = 3, unit: Long = 1000000L,
+                    dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst"), col(wCol).as("w")),
+        struct(col(bCol).as("src"), col(aCol).as("dst"), col(wCol).as("w"))))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.w").cast("long").as("w"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val base = unit * (dampDen - dampNum) / dampDen
+    var ranks = edges.groupBy(col("src"))
+      .agg(sum(col("w")).cast("long").as("strength"))
+      .select(col("src").as("node"), col("strength"), lit(unit).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr(s"rank * ${dampNum}L * w div (${dampDen}L * strength)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      val stepped = ranks.select(col("node"), col("strength"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("strength"),
+          (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank"))
+        .localCheckpoint(eager = true)
+      freeCkpt(ranks)
+      ranks = stepped
+    }
+    freeCkpt(edges)
+    ranks
+  }
 }

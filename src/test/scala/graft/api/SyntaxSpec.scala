@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.SparkSpec
-import graft.operators.{Audit, Basket, Dedup, Hits, Profile, Sampling, Sessionize, TfIdf, Triangles}
+import graft.operators.{Audit, Basket, Dedup, Hits, PageRank, Profile, Sampling, Sessionize, TfIdf, Triangles}
 import org.apache.spark.sql.functions._
 
 class SyntaxSpec extends SparkSpec {
@@ -90,9 +90,13 @@ class SyntaxSpec extends SparkSpec {
     items.basketPairAffinity("basket", "item").queryExecution.analyzed
       .sameResult(Basket.pairAffinity(items, "basket", "item", minPairs = 2L)
         .queryExecution.analyzed) shouldBe true
-    // bipartiteHits checkpoints per round: compare results, not plans
+    // bipartiteHits/weightedPageRank checkpoint per round: compare
+    // results, not plans
     items.bipartiteHits("basket", "item").count() shouldBe
       Hits.bipartiteHits(items, "basket", "item", iterations = 2).count()
+    val wp = Seq((1L, 2L, 3L), (2L, 3L, 1L)).toDF("id_a", "id_b", "w")
+    wp.weightedPageRank().count() shouldBe
+      PageRank.weightedRanks(wp, iterations = 3).count()
     val docs = Seq((1L, "a b", "s"), (2L, "a c", "t")).toDF("doc_id", "text", "source")
     docs.jsDivergence("text", "source").queryExecution.analyzed
       .sameResult(Profile.jsDivergence(docs, "text", "source")

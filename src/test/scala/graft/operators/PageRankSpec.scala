@@ -51,4 +51,28 @@ class PageRankSpec extends SparkSpec {
     // floor-division distribution can only lose mass vs base + damp*unit
     out.values.map(_._2).sum should be <= out.size * 1000000L
   }
+
+  private def wpairs(rows: (Long, Long, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (a, b, w) => Row(a, b, w) }),
+      StructType(Seq(StructField("id_a", LongType),
+        StructField("id_b", LongType), StructField("w", LongType))))
+
+  test("weightedRanks with uniform weights equals unweighted ranks") {
+    // w=1 everywhere: strength = deg, so the per-edge contribution
+    // rank*85*1 div (100*strength) is the unweighted formula exactly
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 5L, 1L -> 4L)
+    val unw = collectRanks(PageRank.ranks(pairs(es: _*), iterations = 3))
+    val w = collectRanks(PageRank.weightedRanks(
+      wpairs(es.map { case (a, b) => (a, b, 1L) }: _*), iterations = 3))
+    w.view.mapValues(_._2).toMap shouldBe unw.view.mapValues(_._2).toMap
+  }
+
+  test("weight skew routes mass along the heavy edge") {
+    // path 1-2-3 where edge 2-3 carries 9x the weight of 1-2: node 3
+    // must end with more mass than node 1 (symmetric under w=1)
+    val out = collectRanks(PageRank.weightedRanks(
+      wpairs((1L, 2L, 1L), (2L, 3L, 9L)), iterations = 3))
+    out(3L)._2 should be > out(1L)._2
+  }
 }
