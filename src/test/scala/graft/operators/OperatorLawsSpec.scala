@@ -181,4 +181,81 @@ class OperatorLawsSpec extends SparkSpec {
       ranks.toSeq == (0L until n.toLong)
     })
   }
+
+  test("kAnonymity histogram conserves rows and is permutation-invariant") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      qs <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 4), Gen.oneOf("x", "y")))
+    } yield qs
+    check(Prop.forAll(gen) { qs =>
+      val df = qs.map { case (a, b) => (a, b) }.toDF("q1", "q2")
+      val out = Audit.kAnonymity(df, Seq("q1", "q2"), k = 3L).collect()
+      val conserved = out.map(_.getLong(2)).sum == qs.length
+      val flags = out.forall(r => r.getBoolean(3) == (r.getLong(0) < 3L))
+      val shuffled = Audit.kAnonymity(
+        scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+          .shuffle(qs).toDF("q1", "q2"), Seq("q1", "q2"), k = 3L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      conserved && flags &&
+        shuffled == out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    })
+  }
+
+  test("tCloseness: tv in [0,1]; a single class always matches the global distribution") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0, 3)))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("q", "sv")
+      val out = Audit.tCloseness(df, Seq("q"), "sv", maxTv = 0.5).collect()
+      val bounded = out.forall { r =>
+        val tv = r.getDouble(2); tv >= 0.0 && tv <= 1.0 + 1e-6
+      }
+      val one = Audit.tCloseness(
+        rows.map { case (_, s) => ("only", s) }.toDF("q", "sv"),
+        Seq("q"), "sv", maxTv = 0.5).collect()
+      bounded && one.length == 1 && one.head.getDouble(2) == 0.0
+    })
+  }
+
+  test("basket pair supports: n_ab <= min(n_a, n_b) and lift_bp is the exact floor") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(2, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 8L), Gen.choose(1L, 6L)))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("basket", "item")
+      val nb = rows.map(_._1).distinct.length.toLong
+      Basket.pairAffinity(df, "basket", "item", minPairs = 1L)
+        .collect().forall { r =>
+          val (ab, na, nbi, lift) =
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+          ab <= math.min(na, nbi) && lift == ab * nb * 10000L / (na * nbi)
+        }
+    })
+  }
+
+  test("weightedRanks with uniform weights equals unweighted ranks on random graphs") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      m <- Gen.choose(1, 15)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(1L, 8L), Gen.choose(1L, 8L)))
+    } yield es.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    check(Prop.forAll(gen) { es =>
+      es.isEmpty || {
+        val p = es.toDF("id_a", "id_b")
+        val unw = PageRank.ranks(p, iterations = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val w = PageRank.weightedRanks(p.withColumn("w", lit(1L)),
+            iterations = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        w == unw
+      }
+    })
+  }
 }
