@@ -2726,6 +2726,23 @@ object SparkEntry {
       operators.Audit.kAnonymity(t(s, d, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)),
 
+    // rank-WITH-ties per group: the two most common order priorities
+    // per nation by dense_rank over the count alone — ties all
+    // survive the cut, so the result SET is deterministic without a
+    // tie-break column (q09's row_number/limit family drops ties)
+    "q231_dense_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name")).orderBy(col("n_orders").desc)
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+        .withColumn("rnk", dense_rank().over(w).cast("long"))
+        .filter(col("rnk") <= 2)
+    }),
+
     // co-purchase centrality: weighted PageRank over the basket-pair
     // graph (edge weight = pair support) — which parts anchor the
     // catalog; q127's BIGINT discipline with strength-normalized
@@ -6544,6 +6561,20 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_sentences,
           |  CAST(sum(tok) AS BIGINT) AS n_tokens
           |FROM c GROUP BY 1, 2""".stripMargin,
+
+      // dense_rank over the bare count keeps every tied priority
+      "q231_dense_topk" ->
+        """WITH c AS (
+          |  SELECT n_name, o_orderpriority AS priority,
+          |    CAST(count(*) AS BIGINT) AS n_orders
+          |  FROM orders
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  GROUP BY 1, 2)
+          |SELECT n_name, priority, n_orders,
+          |  CAST(dense_rank() OVER (PARTITION BY n_name
+          |    ORDER BY n_orders DESC) AS BIGINT) AS rnk
+          |FROM c QUALIFY rnk <= 2""".stripMargin,
 
       // q211's pair supports as weights; 3 weighted rounds unrolled
       "q230_weighted_pagerank" -> {
