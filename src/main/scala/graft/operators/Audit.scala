@@ -191,9 +191,10 @@ object Audit {
                  sensitiveCol: String, l: Long): DataFrame = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
     val clash = (quasiCols :+ sensitiveCol).toSet
-      .intersect(Set("__sz", "__div"))
+      .intersect(Set("__sz", "__div",
+        "class_size", "diversity", "n_classes", "violates_l"))
     require(clash.isEmpty,
-      s"column names collide with bookkeeping: $clash")
+      s"column names collide with bookkeeping/output names: $clash")
     require(l >= 2L, s"l must be >= 2, got $l")
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("__sz"),
@@ -222,11 +223,14 @@ object Audit {
   def tCloseness(df: DataFrame, quasiCols: Seq[String],
                  sensitiveCol: String, maxTv: Double = 0.2): DataFrame = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
-    val clash = (quasiCols :+ sensitiveCol).toSet
-      .intersect(Set("__c", "__n", "__cg", "__gtot", "__tv"))
-    require(clash.isEmpty, s"column names collide with bookkeeping: $clash")
+    val keyCols = quasiCols :+ sensitiveCol
+    val clash = keyCols.toSet
+      .intersect(Set("__c", "__n", "__cg", "__gtot", "__tv",
+        "class_size", "tv", "violates_t") ++ keyCols.map("__r_" + _))
+    require(clash.isEmpty,
+      s"column names collide with bookkeeping/output names: $clash")
     require(maxTv > 0.0 && maxTv < 1.0, s"maxTv must be in (0,1): $maxTv")
-    val cs = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+    val cs = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("__c"))
     val ct = cs.groupBy(quasiCols.map(col): _*)
       .agg(sum(col("__c")).cast("long").as("__n"))
@@ -234,7 +238,14 @@ object Audit {
       .agg(sum(col("__c")).cast("long").as("__cg"))
     val gt = gs.agg(sum(col("__cg")).cast("long").as("__gtot"))
     val grid = ct.crossJoin(broadcast(gs.crossJoin(gt)))
-    val joined = grid.join(cs, quasiCols :+ sensitiveCol, "left")
+    // null-SAFE re-attach of the class counts: a NULL quasi value is a
+    // real equivalence class and a NULL sensitive value a real
+    // distribution point — '=' joins would orphan both (the class
+    // would read as all-zero and flag spuriously)
+    val csr = cs.select(
+      keyCols.map(c => col(c).as("__r_" + c)) :+ col("__c"): _*)
+    val joined = grid.join(csr,
+      keyCols.map(c => col(c) <=> col("__r_" + c)).reduce(_ && _), "left")
     val contrib = lit(0.5) * abs(
       coalesce(col("__c"), lit(0L)).cast("double") / col("__n").cast("double") -
         col("__cg").cast("double") / col("__gtot").cast("double"))

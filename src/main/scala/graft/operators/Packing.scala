@@ -145,9 +145,14 @@ object Packing {
   def sentenceChunks(df: DataFrame, textCol: String, idCol: String,
                      tokenBudget: Long): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("sent_idx"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // chunk_id in particular: withColumn would silently REPLACE an
+    // id column of that name and merge chunks across documents
+    val reserved = Set("sent_idx", "__sent", "__tok", "__before",
+      "chunk_id", "n_sentences", "n_tokens")
+    require(!reserved(idCol) && !reserved(textCol),
+      s"idCol/textCol collide with bookkeeping/output names: $idCol/$textCol")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sent_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol),
         posexplode(filter(split(col(textCol), "[.!?]\\s+"),
           s => length(s) > 0)).as(Seq("sent_idx", "__sent")))

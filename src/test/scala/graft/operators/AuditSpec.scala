@@ -110,19 +110,17 @@ class AuditSpec extends SparkSpec {
   }
 
   test("tCloseness: matching distribution 0, all-mass-on-one-value skew flagged") {
-    // global: s1 x4, s2 x4 (uniform). class a matches it exactly ->
-    // tv 0; class b holds only s1 -> tv = 0.5*(|1-0.5| + |0-0.5|) = 0.5
+    // global: s1 6/8, s2 2/8. a = {s1:2, s2:2}, b = {s1:4}:
+    // p_a = (.5, .5) -> tv_a = .5*(|.5-.75|+|.5-.25|) = .25 (flagged)
+    // p_b = (1, 0)   -> tv_b = .5*(|1-.75|+|0-.25|)  = .25 (flagged)
     val rows = Seq(("a", "s1"), ("a", "s1"), ("a", "s2"), ("a", "s2"),
       ("b", "s1"), ("b", "s1"), ("b", "s1"), ("b", "s1"))
-    // global: s1 6/8, s2 2/8; recompute: a = {s1:2, s2:2}, b = {s1:4}
-    // p_a = (.5, .5); p_g = (.75, .25) -> tv_a = .5*(|.5-.75|+|.5-.25|) = .25
-    // p_b = (1, 0) -> tv_b = .5*(|1-.75|+|0-.25|) = .25
     val out = Audit.tCloseness(rows.toDF("q", "sv"), Seq("q"), "sv",
         maxTv = 0.2)
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
       .toMap
-    out("a") shouldBe (("a", (4L, 0.25, true))._2)
+    out("a") shouldBe ((4L, 0.25, true))
     out("b") shouldBe ((4L, 0.25, true))
     // and a genuinely matching class is 0 and unflagged
     val uniform = Seq(("a", "s1"), ("a", "s2"), ("b", "s1"), ("b", "s2"))
@@ -132,5 +130,22 @@ class AuditSpec extends SparkSpec {
       .toMap
     out2("a") shouldBe ((0.0, false))
     out2("b") shouldBe ((0.0, false))
+  }
+
+  test("tCloseness treats NULL quasi and sensitive values as real keys") {
+    // NULL-region class matches the global distribution exactly: its
+    // counts must re-attach (null-safe join), so tv = 0, unflagged;
+    // NULL sensitive values are a real distribution point in both
+    val rows = Seq(
+      (Option("a"), Option("s1")), (Option("a"), Option.empty[String]),
+      (Option.empty[String], Option("s1")),
+      (Option.empty[String], Option.empty[String]))
+    val out = Audit.tCloseness(rows.toDF("q", "sv"), Seq("q"), "sv",
+        maxTv = 0.2)
+      .collect()
+      .map(r => Option(r.getString(0)) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    out(Some("a")) shouldBe ((0.0, false))
+    out(None) shouldBe ((0.0, false))
   }
 }

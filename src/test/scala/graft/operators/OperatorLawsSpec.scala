@@ -189,7 +189,7 @@ class OperatorLawsSpec extends SparkSpec {
       qs <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 4), Gen.oneOf("x", "y")))
     } yield qs
     check(Prop.forAll(gen) { qs =>
-      val df = qs.map { case (a, b) => (a, b) }.toDF("q1", "q2")
+      val df = qs.toDF("q1", "q2")
       val out = Audit.kAnonymity(df, Seq("q1", "q2"), k = 3L).collect()
       val conserved = out.map(_.getLong(2)).sum == qs.length
       val flags = out.forall(r => r.getBoolean(3) == (r.getLong(0) < 3L))
