@@ -13,10 +13,12 @@ import org.apache.spark.sql.SparkSession
   * so without it a query that persists internally (q46) would have runs
   * 2-3 silently served from run 1's InMemoryRelation — timing a warm
   * cache read instead of the pipeline — and leftovers could taint other
-  * queries. A separate {"metric":"runs",...} line carries the three RAW
-  * per-run times per query, so a contaminated execution (external load
-  * inflating one run) is visible in the output instead of hiding inside
-  * the median; the final line is the compact driver-contract JSON.
+  * queries. A separate {"metric":"runs",...} stderr line carries the
+  * three RAW per-run times per query, so a contaminated execution
+  * (external load inflating one run) is visible in the output instead
+  * of hiding inside the median. The single stdout line is TOTALS-ONLY
+  * (the per-query median map moved to stderr and to BENCH_LOCAL.json
+  * after the 231-query map overflowed the driver's 2,000-char tail).
   *
   * SPARK_GRAFT_QUERIES (comma-separated names) restricts the run to a
   * subset — handy for timing one query while iterating.
@@ -70,25 +72,33 @@ object Bench {
     // per-run times (for spotting a contaminated run) go to STDERR —
     // round 7's totals line was lost because the runs line shared
     // stdout and 86 queries pushed "metric":"total" past the tail.
-    // The contract line is the ONLY stdout line and uses the unique
-    // qNN prefix as key (full names at 86 queries alone exceed the
-    // 2000-char tail: ~23 chars/query × 86 ≈ 1980 + JSON overhead).
     val raw = results.map { case (k, (_, runs)) =>
       s"\"" + k + "\":" + runs.map(r => f"$r%.4f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     System.err.println(s"""{"metric":"runs","queries":$raw,"sf":"$sfDir"}""")
     def fmt(d: Double) = f"$d%.2f"
-    def shortKey(name: String): String = {
-      val p = name.takeWhile(_ != '_')
-      if (results.keys.count(_.startsWith(p + "_")) <= 1) p else name
-    }
-    val qs = results.map { case (k, (m, _)) => s"\"" + shortKey(k) + "\":" + fmt(m) }
+    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     val total = results.values.collect { case (m, _) if m >= 0 => m }.sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    if (line.length > 1850) System.err.println(
-      s"[bench] contract line is ${line.length} chars — may overflow the 2000-char tail")
-    println(line)
+    // Per-query medians: to STDERR (visible next to the raw-runs line)
+    // and to a committed artifact file so regressions stay diffable
+    // across rounds without depending on the driver's stdout tail.
+    // Round 9's lesson: at 231 queries ANY per-query map in the contract
+    // line (~2,800 chars even with short keys) overflows the driver's
+    // 2,000-char stdout tail and truncates the "metric":"total" PREFIX,
+    // leaving parsed=null. So the single stdout line is totals-only
+    // (~100 chars — safely inside the tail at any query count).
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    System.err.println(fullJson)
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":{},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

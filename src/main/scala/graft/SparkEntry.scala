@@ -6493,11 +6493,17 @@ object SparkEntry {
           |  sz < 10 AS violates_k
           |FROM ec GROUP BY sz""".stripMargin,
 
+      // NULL sensitive values count as one distinct value (engine
+      // contract, matching t-closeness); o_orderpriority is NOT NULL
+      // so the correction term is 0 here, but the oracle carries it to
+      // keep the semantic contract aligned
       "q227_l_diversity" ->
         """WITH ec AS (
           |  SELECT c_nationkey, c_mktsegment,
           |    CAST(count(*) AS BIGINT) AS sz,
-          |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS div
+          |    CAST(count(DISTINCT o_orderpriority)
+          |         + CASE WHEN count(*) > count(o_orderpriority) THEN 1 ELSE 0 END
+          |         AS BIGINT) AS div
           |  FROM customer JOIN orders ON c_custkey = o_custkey
           |  GROUP BY 1, 2)
           |SELECT sz AS class_size, div AS diversity,

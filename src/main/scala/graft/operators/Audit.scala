@@ -186,10 +186,18 @@ object Audit {
     * below l, so "how many big-but-homogeneous classes exist" is one
     * row. Same two-hash-aggregate shape as [[kAnonymity]], with the
     * distinct-count running inside the first aggregate.
+    *
+    * NULL sensitive values count as ONE distinct value (the distinct
+    * runs over a null-tagged struct), matching [[tCloseness]]'s view
+    * of NULL as a real distribution point: an all-NULL class reads
+    * diversity 1 (homogeneous — it IS one observable value to an
+    * attacker), never the 0 that a bare count_distinct would emit.
     */
   def lDiversity(df: DataFrame, quasiCols: Seq[String],
                  sensitiveCol: String, l: Long): DataFrame = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitiveCol '$sensitiveCol' must not appear in quasiCols")
     val clash = (quasiCols :+ sensitiveCol).toSet
       .intersect(Set("__sz", "__div",
         "class_size", "diversity", "n_classes", "violates_l"))
@@ -198,7 +206,8 @@ object Audit {
     require(l >= 2L, s"l must be >= 2, got $l")
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("__sz"),
-        count_distinct(col(sensitiveCol)).cast("long").as("__div"))
+        count_distinct(struct(col(sensitiveCol).isNull, col(sensitiveCol)))
+          .cast("long").as("__div"))
       .groupBy(col("__sz").as("class_size"), col("__div").as("diversity"))
       .agg(count(lit(1)).cast("long").as("n_classes"))
       .select(col("class_size"), col("diversity"), col("n_classes"),
@@ -223,6 +232,8 @@ object Audit {
   def tCloseness(df: DataFrame, quasiCols: Seq[String],
                  sensitiveCol: String, maxTv: Double = 0.2): DataFrame = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitiveCol '$sensitiveCol' must not appear in quasiCols")
     val keyCols = quasiCols :+ sensitiveCol
     val clash = keyCols.toSet
       .intersect(Set("__c", "__n", "__cg", "__gtot", "__tv",

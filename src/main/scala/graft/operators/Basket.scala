@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * and engine-portable — no float ratio enters the comparison; >10000
   * means the pair attracts, <10000 means it repels. Overflow
   * contract: the numerator n_ab * n_baskets * 10^4 must stay below
-  * 2^63 — i.e. pair support × basket count < 9.2e14. At corpus sizes
-  * past that (1e10 baskets with 1e5-support pairs), compute lift on
-  * the per-shard pair tables and merge supports first, or drop to a
-  * DOUBLE ratio (losing the exact-hash property, not correctness).
+  * 2^63 — i.e. pair support × basket count < 9.2e14. The contract is
+  * ENFORCED at runtime: non-ANSI Spark would wrap the BIGINT multiply
+  * silently (where DuckDB raises), so each output row is guarded by an
+  * integer pre-check that calls raise_error before the multiply can
+  * wrap. At corpus sizes past the bound (1e10 baskets with
+  * 1e5-support pairs), compute lift on the per-shard pair tables and
+  * merge supports first, or drop to a DOUBLE ratio (losing the
+  * exact-hash property, not correctness).
   *
   * Scale shape: the pair expansion is per-basket (collect_set then the
   * native `PairCombos` loop), so cost is sum over baskets of
@@ -29,6 +33,27 @@ import org.apache.spark.sql.functions._
   * LSH bucket (q126's audit applies verbatim).
   */
 object Basket {
+
+  /** The guarded exact-lift expression over the internal projection
+    * (n_ab, __nb, __na, __nb_i). Exposed at package scope so the spec
+    * can exercise the overflow guard directly — the bound (pair
+    * support × basket count ≥ 9.2e14) is unreachable from realistic
+    * in-test row counts.
+    */
+  private[operators] def liftBpExpr: org.apache.spark.sql.Column =
+    // overflow guard BEFORE the multiply: in non-ANSI mode
+    // n_ab * __nb * 10000 wraps silently past 2^63, emitting a
+    // wrong lift with no signal. The pre-check is pure BIGINT
+    // division (never overflows) and stays inside codegen.
+    expr("""CASE
+              WHEN __nb > 922337203685477L
+                OR n_ab > 9223372036854775807L DIV (__nb * 10000)
+              THEN CAST(raise_error(CONCAT(
+                'Basket.pairAffinity lift_bp overflow: n_ab * n_baskets * 10^4 exceeds BIGINT (n_ab=',
+                CAST(n_ab AS STRING), ', n_baskets=', CAST(__nb AS STRING),
+                '); merge per-shard pair tables first')) AS BIGINT)
+              ELSE CAST(n_ab * __nb * 10000 DIV (__na * __nb_i) AS BIGINT)
+            END""")
 
   /** Pair support + lift over (basket, item) rows. Items are
     * de-duplicated within a basket; pairs below `minPairs` baskets are
@@ -64,7 +89,6 @@ object Basket {
       .select(col("item_a"), col("item_b"), col("n_ab"),
         col("__na").cast("long").as("n_a"),
         col("__nb_i").cast("long").as("n_b"),
-        expr("CAST(n_ab * __nb * 10000 DIV (__na * __nb_i) AS BIGINT)")
-          .as("lift_bp"))
+        liftBpExpr.as("lift_bp"))
   }
 }

@@ -109,6 +109,28 @@ class AuditSpec extends SparkSpec {
     out.size shouldBe 2
   }
 
+  test("lDiversity counts NULL as one distinct sensitive value (tCloseness-aligned)") {
+    // class (a): all-NULL sensitive -> diversity 1 (homogeneous, NOT 0)
+    // class (b): {s1, NULL} -> diversity 2: NULL is one observable value
+    val rows = Seq(
+      ("a", Option.empty[String]), ("a", Option.empty[String]),
+      ("b", Option("s1")), ("b", Option.empty[String]))
+    val out = Audit.lDiversity(rows.toDF("q", "sv"), Seq("q"), "sv", l = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    out((2L, 1L)) shouldBe true  // class a: size 2, diversity 1, violates
+    out((2L, 2L)) shouldBe false // class b: size 2, diversity 2, ok
+    out.size shouldBe 2
+  }
+
+  test("privacy trio rejects sensitiveCol inside quasiCols with a clear require") {
+    val df = Seq(("a", "s1")).toDF("q", "sv")
+    an[IllegalArgumentException] should be thrownBy
+      Audit.lDiversity(df, Seq("q", "sv"), "sv", l = 2L)
+    an[IllegalArgumentException] should be thrownBy
+      Audit.tCloseness(df, Seq("q", "sv"), "sv", maxTv = 0.2)
+  }
+
   test("tCloseness: matching distribution 0, all-mass-on-one-value skew flagged") {
     // global: s1 6/8, s2 2/8. a = {s1:2, s2:2}, b = {s1:4}:
     // p_a = (.5, .5) -> tv_a = .5*(|.5-.75|+|.5-.25|) = .25 (flagged)

@@ -37,4 +37,28 @@ class BasketSpec extends SparkSpec {
     out(("B", "C")) shouldBe 6666L
     out.size shouldBe 3
   }
+
+  test("lift overflow guard raises instead of wrapping past 2^63") {
+    // the guard bound (n_ab * n_baskets * 10^4 >= 2^63) is unreachable
+    // from realistic in-test basket rows, so exercise the shared
+    // expression over the internal projection directly
+    def lift(nAb: Long, nb: Long, na: Long, nbI: Long) =
+      Seq((nAb, nb, na, nbI)).toDF("n_ab", "__nb", "__na", "__nb_i")
+        .select(Basket.liftBpExpr.as("lift_bp"))
+    // in-bound: 2*4*10^4/(3*3) = 8888 — the normal path is unchanged
+    lift(2L, 4L, 3L, 3L).collect()(0).getLong(0) shouldBe 8888L
+    // just past the bound: 1e11 support × 1e10 baskets would wrap; the
+    // non-ANSI silent result would be a garbage BIGINT — must raise
+    val e = intercept[Exception] {
+      lift(100000000000L, 10000000000L, 200000000000L, 200000000000L)
+        .collect()
+    }
+    e.getMessage should include("lift_bp overflow")
+    // basket count alone past 9.2e14 (the __nb * 10000 pre-multiply
+    // bound) must also raise, not wrap inside the guard itself
+    val e2 = intercept[Exception] {
+      lift(1L, 922337203685478L, 2L, 2L).collect()
+    }
+    e2.getMessage should include("lift_bp overflow")
+  }
 }
