@@ -86,8 +86,10 @@ object syntax {
     // ---- round-9 additions ----
     def prefixFilterPairs(textCol: String, idCol: String,
                           minJaccard: Double = 0.5,
-                          shingleN: Int = 3): DataFrame =
-      Dedup.prefixFilterPairs(df, textCol, idCol, minJaccard, shingleN)
+                          shingleN: Int = 3,
+                          maxCandidates: Long = 10000000L): DataFrame =
+      Dedup.prefixFilterPairs(df, textCol, idCol, minJaccard, shingleN,
+        maxCandidates)
     def winnowedPairs(textCol: String, idCol: String, k: Int = 8,
                       w: Int = 4, minShared: Int = 2,
                       maxDf: Int = 20): DataFrame =

@@ -255,13 +255,28 @@ object Dedup {
     * tokens — the hot buckets that kill naive token joins — are
     * exactly the ones the prefix drops); verification joins the token
     * sets only for candidate docs.
+    *
+    * Adversarial-corpus contract: posting sparsity is a property of
+    * NATURAL shingle distributions. A corpus of near-identical docs
+    * shares its RARE units too, so the true >= t output — which any
+    * exact-complete join must emit — is quadratic. The operator
+    * therefore pre-estimates the candidate upper bound
+    * Σ_bucket m·(m−1)/2 from the prefix-posting sizes (one extra
+    * count-aggregate + a one-row collect, no recall impact) and
+    * throws IllegalStateException past `maxCandidates` instead of
+    * running quadratic without warning; remedies are in the message
+    * (raise shingleN/minJaccard, collapse exact dups first, or raise
+    * the cap to opt in).
     */
   def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
                         minJaccard: Double = 0.5,
-                        shingleN: Int = 1): DataFrame = {
+                        shingleN: Int = 1,
+                        maxCandidates: Long = 10000000L): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0,1]: $minJaccard")
     require(shingleN >= 1, s"shingleN must be >= 1: $shingleN")
+    require(maxCandidates >= 1L,
+      s"maxCandidates must be >= 1: $maxCandidates")
     // the set UNIT is the scale lever: raw tokens (shingleN = 1) stop
     // discriminating on small-vocabulary corpora — most doc pairs
     // share half their tokens, the TRUE result is quadratic, and no
@@ -287,6 +302,30 @@ object Dedup {
         (col("__n") - ceil(lit(minJaccard) * col("__n")) + 1).cast("int"))
     val prefixes = sets.select(col("doc"),
       explode(slice(col("ks"), lit(1), col("__p"))).as("k"))
+    // Adversarial-corpus guard: the postings are sparse for NATURAL
+    // shingle distributions (the frequent units are exactly the ones
+    // the prefix drops), but a corpus of near-identical docs shares
+    // rare units too — every doc lands in the same prefix buckets, the
+    // TRUE output is quadratic, and no exact-complete join can beat
+    // its own output size. Rather than silently degrade recall with a
+    // stop-unit cap (winnowing's rule — wrong here, where recall 1.0
+    // IS the contract), pre-estimate the candidate upper bound
+    // Σ_bucket m·(m−1)/2 from the posting sizes — one count-aggregate
+    // over the postings plus a one-row collect — and refuse loudly
+    // past `maxCandidates`: the caller should raise shingleN, raise
+    // minJaccard, pre-collapse exact dups (q20/q124), or accept the
+    // cost explicitly by raising the cap.
+    val bound = prefixes.groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("__m"))
+      .agg(sum(expr("__m * (__m - 1) DIV 2")).cast("long").as("__cand"))
+      .collect()(0)
+    val candBound = if (bound.isNullAt(0)) 0L else bound.getLong(0)
+    if (candBound > maxCandidates) throw new IllegalStateException(
+      s"prefixFilterPairs: prefix-posting candidate bound $candBound exceeds " +
+        s"maxCandidates=$maxCandidates — the corpus is too self-similar for an " +
+        s"exact-complete join at minJaccard=$minJaccard/shingleN=$shingleN. " +
+        "Raise shingleN or minJaccard, pre-collapse exact duplicates first, " +
+        "or raise maxCandidates to accept the quadratic output explicitly.")
     val cand = pairsInBuckets(prefixes, "doc", "k")
     val sa = sets.select(col("doc").as("id_a"), col("ks").as("ks_a"))
     val sb = sets.select(col("doc").as("id_b"), col("ks").as("ks_b"))

@@ -103,6 +103,35 @@ class DedupSpec extends SparkSpec {
     want should contain((1L, 2L))
   }
 
+  test("prefixFilterPairs refuses an adversarial near-identical corpus loudly") {
+    // 40 near-identical docs: every doc shares its RARE units with all
+    // others, so the true >= t output is quadratic (40*39/2 = 780
+    // pairs) — posting sparsity cannot hold and the candidate bound
+    // pre-estimate must trip instead of running quadratic silently
+    val texts = (1L to 40L).map(i =>
+      i -> s"shared boilerplate sentence repeated across documents number $i")
+    val d = docs(texts: _*)
+    val e = intercept[IllegalStateException] {
+      Dedup.prefixFilterPairs(d, "text", "doc_id", minJaccard = 0.5,
+        maxCandidates = 100L)
+    }
+    e.getMessage should include("maxCandidates=100")
+    e.getMessage should include("raise maxCandidates")
+    // raising the cap opts in and the result is still exact-complete
+    val got = Dedup.prefixFilterPairs(d, "text", "doc_id", minJaccard = 0.5,
+        maxCandidates = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def toks(s: String) = s.toLowerCase.split("\\s+").toSet
+    val want = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      sa = toks(ta); sb = toks(tb)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.5
+    } yield (ia, ib)).toSet
+    got shouldBe want
+    want.size shouldBe 780 // the quadratic truth the guard warned about
+  }
+
   test("winnowedPairs links docs sharing a long substring, drops boilerplate") {
     val plagiarized = "the stolen paragraph verbatim copied entirely here"
     val d = docs(
