@@ -2803,6 +2803,26 @@ object SparkEntry {
           .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey")),
         Seq("c_nationkey", "c_mktsegment"), "o_orderpriority", l = 3L)),
 
+    // Kaplan–Meier churn curve over customer active lifetimes:
+    // duration = days between a customer's first and last order,
+    // churned (event=1) iff the last order predates 1998-03-01 (a
+    // fixed cutoff ~5 months before the dataset's edge), else
+    // right-censored. Log-space pround6 contributions, DECIMAL-summed
+    // (the q146 discipline applied to a product); bucketWidth 256
+    // exercises the cross-bucket driver-prefix path on ~2.4k distinct
+    // day durations
+    "q232_kaplan_meier" -> ((s, d) =>
+      operators.Survival.kaplanMeier(
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(min(col("o_orderdate")).as("__first"),
+            max(col("o_orderdate")).as("__last"))
+          .select(
+            datediff(col("__last"), col("__first")).cast("long").as("dur"),
+            when(col("__last") < lit("1998-03-01").cast("date"), 1L)
+              .otherwise(0L).as("churned")),
+        "dur", "churned", bucketWidth = 256L)),
+
     // day-of-week seasonality index per event type: each weekday's
     // event share against the uniform 1/7, in exact basis points by
     // integer cross-multiplication (index 10000 = no weekly pattern)
@@ -6565,6 +6585,44 @@ object SparkEntry {
            |  ${pround("CAST(sum(tvc) AS DOUBLE)", 4)} AS tv,
            |  CAST(sum(tvc) AS DOUBLE) > 0.05 AS violates_t
            |FROM tv GROUP BY 1, 2""".stripMargin,
+
+      // KM product re-expressed as exp(sum(ln)) with the SAME pround6 +
+      // DECIMAL(18,6) contribution discipline; windows run over distinct
+      // durations so RANGE/ROWS framing cannot diverge. DuckDB ln() is
+      // natural log (log() is base-10 there — the reverse of Spark).
+      "q232_kaplan_meier" ->
+        """WITH per AS (
+          |  SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+          |    CASE WHEN max(o_orderdate) < DATE '1998-03-01' THEN 1 ELSE 0 END AS e
+          |  FROM orders GROUP BY o_custkey),
+          |g AS (
+          |  SELECT CAST(dur AS BIGINT) AS duration,
+          |    CAST(sum(e) AS BIGINT) AS n_events,
+          |    CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+          |  FROM per GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n FROM g),
+          |r AS (
+          |  SELECT g.*, t.n - CAST(COALESCE(sum(n_events + n_censored) OVER (
+          |    ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |    0) AS BIGINT) AS n_risk
+          |  FROM g, tot t),
+          |c AS (
+          |  SELECT *,
+          |    CASE WHEN n_risk = n_events THEN CAST(0 AS DECIMAL(18,6))
+          |      ELSE CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE) /
+          |        CAST(n_risk AS DOUBLE)) * 1000000 + 0.5) / 1000000
+          |        AS DECIMAL(18,6)) END AS contrib,
+          |    CASE WHEN n_risk = n_events THEN 1 ELSE 0 END AS z
+          |  FROM r),
+          |f AS (
+          |  SELECT duration, n_risk, n_events, n_censored,
+          |    CAST(sum(contrib) OVER (ORDER BY duration) AS DOUBLE) AS csum,
+          |    max(z) OVER (ORDER BY duration) AS zany
+          |  FROM c)
+          |SELECT duration, n_risk, n_events, n_censored,
+          |  CASE WHEN zany = 1 THEN 0.0
+          |    ELSE floor(exp(csum) * 1000000 + 0.5) / 1000000 END AS survival
+          |FROM f""".stripMargin,
 
       // same filtered-split order, same bpe-ish token count, same
       // prefix-sum // budget chunk id

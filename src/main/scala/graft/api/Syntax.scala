@@ -195,5 +195,10 @@ object syntax {
     def tCloseness(quasiCols: Seq[String], sensitiveCol: String,
                    maxTv: Double = 0.2): DataFrame =
       Audit.tCloseness(df, quasiCols, sensitiveCol, maxTv)
+
+    // ---- round-10 additions ----
+    def kaplanMeier(durationCol: String, eventCol: String,
+                    bucketWidth: Long = 4096L): DataFrame =
+      Survival.kaplanMeier(df, durationCol, eventCol, bucketWidth)
   }
 }

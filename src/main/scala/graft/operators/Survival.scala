@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier survival estimation — the churn/retention curve over
+  * right-censored durations ("how long do users stay?" when many are
+  * still active at observation time). The one aggregate family the
+  * rest of the surface lacks: a MULTIPLICATIVE running statistic,
+  * S(t_i) = Π_{j<=i} (1 − d_j / n_j), where d_j is the number of
+  * observed events (churns) at duration t_j and n_j the at-risk count
+  * just before t_j. Censored observations (event = 0) leave the
+  * product untouched but shrink the at-risk set — exactly how KM
+  * extracts an unbiased curve from incomplete follow-up.
+  *
+  * Exactness is the q146 discipline applied to a product: each
+  * factor's log contribution ln((n_j − d_j)/n_j) is a ratio of exact
+  * integers through ONE fixed double operation order, rounded to 6
+  * places (`floor(x·10^6 + 0.5)/10^6`), summed as DECIMAL(18,6) —
+  * associative, order-free, engine-portable — and exponentiated once
+  * at the end (then pround6 again). A duration where everyone at risk
+  * dies (d_j = n_j, ln 0 = −∞) is carried as a sticky zero FLAG
+  * instead of a log value: survival is exactly 0.0 from that point
+  * on, and the decimal sum never sees an infinity.
+  *
+  * Scale shape: one hash aggregate to the per-duration (d, c) table,
+  * whose row count is bounded by DISTINCT durations (days/weeks by
+  * nature), then TWO bucketed global prefix sums in the
+  * `latenessAudit`/`shuffleRank` style — durations bucket by
+  * `duration div bucketWidth`, per-bucket totals collect to the
+  * driver (#buckets rows, bounded), exclusive offsets broadcast back,
+  * and the within-bucket window partitions by bucket. No
+  * single-partition window at any scale; the driver holds two
+  * #buckets-row arrays, nothing row-scale. The phase-1 frame is
+  * localCheckpoint'd before phase 2 reads it twice (per-bucket
+  * contribution sums + the final row-level plan), so the at-risk
+  * chain computes once.
+  *
+  * Output, one row per distinct duration, ascending: `duration`,
+  * `n_risk`, `n_events`, `n_censored`, `survival` (double, 6 places).
+  * KM convention: censor-only durations (d_j = 0) emit a row with the
+  * survival carried unchanged — the curve steps only at event times.
+  */
+object Survival {
+
+  /** @param durationCol non-negative integral duration (days, weeks —
+    *        any unit; distinct values bound the output size)
+    * @param eventCol 1/true = event observed (churned), 0/false =
+    *        right-censored (still active at cutoff)
+    * @param bucketWidth duration units per prefix bucket; the driver
+    *        holds one (offset, flag) row per OCCUPIED bucket
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
+                  bucketWidth: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grouped = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(durationCol) >= 0)
+      .select(col(durationCol).cast("long").as("duration"),
+        when(col(eventCol).cast("long") =!= 0L, 1L).otherwise(0L).as("__e"))
+      .groupBy(col("duration"))
+      .agg(sum(col("__e")).cast("long").as("n_events"),
+        (count(lit(1)) - sum(col("__e"))).cast("long").as("n_censored"))
+      .withColumn("__b", (col("duration") / lit(bucketWidth))
+        .cast("long"))
+    // phase 1: at-risk counts. Exclusive per-bucket (d+c) offsets via a
+    // #buckets-row driver prefix (the latenessAudit pattern); inside a
+    // bucket, an ordinary partitioned window finishes the prefix.
+    val btot = grouped.groupBy(col("__b"))
+      .agg(sum(col("n_events") + col("n_censored")).cast("long").as("__s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var accN = 0L
+    val offs = btot.map { case (b, s) => val o = accN; accN += s; (b, o) }
+    val nTotal = accN
+    if (nTotal == 0L)
+      return grouped.select(col("duration"), col("duration").as("n_risk"),
+        col("n_events"), col("n_censored"), lit(0.0).as("survival"))
+    val offDf = broadcast(offs.toSeq.toDF("__b", "__off"))
+    val wPrior = Window.partitionBy(col("__b")).orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // factor ln((n−d)/n): subtraction in BIGINT, ONE double division,
+    // one ln, pround6 → DECIMAL(18,6). d = n (nobody survives the
+    // step) flags sticky-zero instead of producing −∞.
+    val risk = grouped.join(offDf, Seq("__b"))
+      .withColumn("n_risk", lit(nTotal) - (col("__off") +
+        coalesce(sum(col("n_events") + col("n_censored")).over(wPrior),
+          lit(0L))))
+      .withColumn("__z",
+        when(col("n_risk") === col("n_events"), 1L).otherwise(0L))
+      .withColumn("__contrib",
+        when(col("__z") === 1L, lit(0.0))
+          .otherwise(floor(
+            log((col("n_risk") - col("n_events")).cast("double") /
+              col("n_risk").cast("double")) * 1e6 + 0.5) / 1e6)
+          .cast("decimal(18,6)"))
+      .localCheckpoint(true)
+    // phase 2: the log-space running sum (and the sticky zero flag)
+    // across buckets — same driver-prefix shape, DECIMAL-exact.
+    val ctot = risk.groupBy(col("__b"))
+      .agg(sum(col("__contrib")).cast("decimal(18,6)").as("__cs"),
+        max(col("__z")).as("__zs"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getDecimal(1))
+        .fold(BigDecimal(0))(BigDecimal(_)), r.getLong(2)))
+      .sortBy(_._1)
+    var accC = BigDecimal(0)
+    var accZ = 0L
+    val offs2 = ctot.map { case (b, cs, zs) =>
+      val o = (b, accC, accZ); accC += cs; accZ = math.max(accZ, zs); o
+    }
+    val off2Df = broadcast(offs2.toSeq.toDF("__b", "__coff", "__zoff")
+      .withColumn("__coff", col("__coff").cast("decimal(18,6)")))
+    val wCum = Window.partitionBy(col("__b")).orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk.join(off2Df, Seq("__b"))
+      .withColumn("__csum",
+        (col("__coff") + sum(col("__contrib")).over(wCum))
+          .cast("decimal(18,6)"))
+      .withColumn("__zany", greatest(col("__zoff"), max(col("__z")).over(wCum)))
+      .select(col("duration"), col("n_risk"), col("n_events"),
+        col("n_censored"),
+        when(col("__zany") === 1L, lit(0.0))
+          .otherwise(floor(exp(col("__csum").cast("double")) * 1e6 + 0.5) / 1e6)
+          .as("survival"))
+  }
+}

@@ -111,6 +111,10 @@ class SyntaxSpec extends SparkSpec {
     priv.tCloseness(Seq("q1"), "sv").queryExecution.analyzed
       .sameResult(Audit.tCloseness(priv, Seq("q1"), "sv")
         .queryExecution.analyzed) shouldBe true
+    // kaplanMeier checkpoints its phase-1 frame: compare results
+    val obs = Seq((1L, 1L), (2L, 0L), (3L, 1L)).toDF("dur", "ev")
+    obs.kaplanMeier("dur", "ev").collect().toSeq shouldBe
+      graft.operators.Survival.kaplanMeier(obs, "dur", "ev").collect().toSeq
   }
 
   test("event ops facade delegates to the verified operators") {

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class SurvivalSpec extends SparkSpec {
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(10)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(prop: Prop): Unit = {
+    val r = SCTest.check(params, prop)
+    withClue(s"scalacheck: $r\n") { r.passed shouldBe true }
+  }
+
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  private def km(rows: Seq[(Long, Long)], bucketWidth: Long = 4096L) =
+    Survival.kaplanMeier(rows.toDF("dur", "ev"), "dur", "ev", bucketWidth)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+
+  test("hand-computed curve: events step the product, censors only shrink risk") {
+    // t=1: d=1 of n=4 -> S=3/4; t=2: c=1 (n_risk 3, S unchanged);
+    // t=3: d=1 of n=2 -> S=3/8
+    val out = km(Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 0L)))
+    out(1L) shouldBe ((4L, 1L, 0L, 0.75))
+    out(2L) shouldBe ((3L, 0L, 1L, 0.75))
+    out(3L) shouldBe ((2L, 1L, 1L, 0.375))
+    out.size shouldBe 3
+  }
+
+  test("a duration where everyone at risk dies pins survival to exactly 0 from then on") {
+    // t=1: d=1 of 3 -> 2/3; t=2: d=2 of 2 -> factor 0 -> S=0 (no -inf)
+    val out = km(Seq((1L, 1L), (2L, 1L), (2L, 1L)))
+    out(1L)._4 shouldBe 0.666667 +- 1e-9 // pround6 of 2/3
+    out(2L) shouldBe ((2L, 2L, 0L, 0.0))
+  }
+
+  test("results are bucketWidth-invariant (cross-bucket prefix path ≡ one bucket)") {
+    val rows = Seq((0L, 1L), (1L, 0L), (3L, 1L), (4L, 1L), (4L, 0L),
+      (7L, 1L), (9L, 0L), (12L, 1L), (15L, 1L), (15L, 1L))
+    val wide = km(rows) // all durations in one bucket
+    val narrow = km(rows, bucketWidth = 2L) // forces 8 buckets
+    narrow shouldBe wide // DECIMAL log-sums are associative-exact
+  }
+
+  test("law: survival is non-increasing in duration; equals empirical survival with no censoring") {
+    val durations = Gen.listOfN(40, Gen.choose(0L, 20L)).suchThat(_.nonEmpty)
+    check(Prop.forAll(durations) { ds =>
+      // all events observed (no censoring): KM telescopes to the
+      // empirical survivor function (#obs with duration > t) / n
+      val out = km(ds.map(d => (d, 1L))).toSeq.sortBy(_._1)
+      val survs = out.map(_._2._4)
+      val nonIncreasing = survs.zip(survs.drop(1)).forall { case (a, b) => b <= a }
+      val n = ds.size.toDouble
+      val matchesEmpirical = out.forall { case (t, (_, _, _, s)) =>
+        math.abs(s - ds.count(_ > t) / n) <= 1e-4 // pround6, <=21 steps
+      }
+      // the at-risk accounting: n_risk at the smallest duration is n
+      nonIncreasing && matchesEmpirical && out.head._2._1 == ds.size.toLong
+    })
+  }
+
+  test("NULL and negative durations are dropped, not welded into the curve") {
+    val rows = Seq((Option(1L), Option(1L)), (Option(2L), Option(1L)),
+      (Option.empty[Long], Option(1L)), (Option(-5L), Option(1L)),
+      (Option(2L), Option.empty[Long]))
+    val out = Survival.kaplanMeier(rows.toDF("dur", "ev"), "dur", "ev")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 2L, 2L -> 1L) // n_risk over the 2 valid obs
+  }
+}
