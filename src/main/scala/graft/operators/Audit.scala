@@ -169,14 +169,24 @@ object Audit {
     require(!quasiCols.contains("__sz"),
       "quasi-identifier column name __sz collides with bookkeeping")
     require(k >= 2L, s"k must be >= 2, got $k")
-    df.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).cast("long").as("__sz"))
-      .groupBy(col("__sz").as("class_size"))
+    kAnonymityHistogram(
+      df.groupBy(quasiCols.map(col): _*)
+        .agg(count(lit(1)).cast("long").as("__sz")),
+      "__sz", k)
+  }
+
+  /** The counts-of-counts tail of [[kAnonymity]] over an ALREADY
+    * aggregated (class, size) table — shared with the streaming
+    * monitor, whose maintained state IS that table.
+    */
+  private[graft] def kAnonymityHistogram(classSizes: DataFrame,
+                                         sizeCol: String, k: Long): DataFrame =
+    classSizes
+      .groupBy(col(sizeCol).cast("long").as("class_size"))
       .agg(count(lit(1)).cast("long").as("n_classes"))
       .select(col("class_size"), col("n_classes"),
         (col("class_size") * col("n_classes")).cast("long").as("n_rows"),
         (col("class_size") < k).as("violates_k"))
-  }
 
   /** l-diversity audit — k-anonymity's companion: a class can be
     * large yet still leak if every member shares one sensitive value
