@@ -2810,6 +2810,26 @@ object SparkEntry {
           .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey")),
         Seq("c_nationkey", "c_mktsegment"), "o_orderpriority", l = 3L)),
 
+    // boilerplate-hub ranking over the near-dup candidate graph: HITS
+    // on the doc <-> LSH-band-bucket bipartite graph (q21's banding
+    // config), restricted to buckets holding >= 2 docs — the template
+    // families the q126 skew audit only counts get ranked (bucket
+    // authority = how boilerplate-central the family is, doc hub = how
+    // template-saturated the doc is). Node ids are strings (docs cast)
+    // so both roles share one column; same BIGINT fixpoint as q215
+    "q234_neardup_hits" -> ((s, d) => {
+      val keyed = Dedup.minhashBandKeys(
+        Dedup.minhashSignatures(t(s, d, "documents"), "text", "doc_id", 6),
+        bands = 3, rowsPerBand = 2)
+      val crowded = keyed.groupBy(col("band_key"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2).select("band_key")
+      val edges = keyed.join(crowded, Seq("band_key"), "left_semi")
+        .select(col("doc").cast("string").as("doc_id"), col("band_key"))
+      operators.Hits.bipartiteHits(edges, "doc_id", "band_key",
+        iterations = 2)
+    }),
+
     // streaming k-anonymity monitor: additive (nation, segment) class
     // counts across two customer batches (split on c_custkey parity),
     // then the derived release gate at k=10 ≡ q226's one-shot card
@@ -6611,6 +6631,38 @@ object SparkEntry {
            |  ${pround("CAST(sum(tvc) AS DOUBLE)", 4)} AS tv,
            |  CAST(sum(tvc) AS DOUBLE) > 0.05 AS violates_t
            |FROM tv GROUP BY 1, 2""".stripMargin,
+
+      // q21's banding CTEs feed the crowded-bucket bipartite edge
+      // list; then q215's unrolled 2-round HITS fixpoint (BIGINT
+      // renorm with integer flooring — bit-identical on any engine)
+      "q234_neardup_hits" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |hh AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM hh GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |crowded AS (SELECT band_key FROM bk GROUP BY 1 HAVING count(*) >= 2),
+           |e AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS h, band_key AS a
+           |      FROM bk JOIN crowded USING (band_key)),
+           |s1h AS (SELECT h, CAST(count(*) AS BIGINT) * 1000000 AS raw FROM e GROUP BY 1),
+           |s1hm AS (SELECT max(raw) AS m FROM s1h),
+           |s1hn AS (SELECT h, raw * 1000000 // m AS score FROM s1h, s1hm),
+           |s1a AS (SELECT a, CAST(sum(score) AS BIGINT) AS raw
+           |  FROM e JOIN s1hn USING (h) GROUP BY 1),
+           |s1am AS (SELECT max(raw) AS m FROM s1a),
+           |s1an AS (SELECT a, raw * 1000000 // m AS score FROM s1a, s1am),
+           |s2h AS (SELECT h, CAST(sum(score) AS BIGINT) AS raw
+           |  FROM e JOIN s1an USING (a) GROUP BY 1),
+           |s2hm AS (SELECT max(raw) AS m FROM s2h),
+           |s2hn AS (SELECT h, raw * 1000000 // m AS score FROM s2h, s2hm),
+           |s2a AS (SELECT a, CAST(sum(score) AS BIGINT) AS raw
+           |  FROM e JOIN s2hn USING (h) GROUP BY 1),
+           |s2am AS (SELECT max(raw) AS m FROM s2a),
+           |s2an AS (SELECT a, raw * 1000000 // m AS score FROM s2a, s2am)
+           |SELECT 'hub' AS role, h AS node, score FROM s2hn
+           |UNION ALL
+           |SELECT 'auth' AS role, a AS node, score FROM s2an""".stripMargin,
 
       // the streaming monitor's two-batch state ≡ the one-shot class
       // table (additivity), so the oracle IS q226's card

@@ -37,4 +37,25 @@ class HitsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     a shouldBe b
   }
+
+  test("doc<->band composition (q234 shape): the biggest template family tops authority") {
+    // planted boilerplate: docs 1-4 share band bucket t1 (the big
+    // family), docs 5-6 share t2; doc 1 also sits in t2 — crowded
+    // buckets only, the q234 edge contract
+    val edges = Seq(
+      ("1", "t1"), ("2", "t1"), ("3", "t1"), ("4", "t1"),
+      ("5", "t2"), ("6", "t2"), ("1", "t2"))
+      .toDF("doc", "band_key")
+    val out = Hits.bipartiteHits(edges, "doc", "band_key",
+        iterations = 2, unit = 1000L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // t1's authority is the max; doc 1 (in both families) is the top hub
+    out(("auth", "t1")) shouldBe 1000L
+    out(("auth", "t2")) should be < 1000L
+    out(("hub", "1")) shouldBe 1000L
+    Seq("2", "3", "4", "5", "6").foreach { d =>
+      out(("hub", d)) should be < 1000L
+    }
+  }
 }
