@@ -379,6 +379,34 @@ object ScaleSmoke {
         greatest(col("x"), col("y")).as("id_b")).distinct()
       operators.Triangles.localClusteringBp(edges, "id_a", "id_b").count()
     }
+    // round-10 operators at volume.
+    // Kaplan–Meier: n observations collapse to <= 5000 distinct
+    // durations in ONE hash aggregate; both global prefix phases are
+    // bucketed (the driver holds ~80 offsets at bucketWidth 64), so
+    // cost tracks rows linearly with a constant curve-table tail
+    time("kaplan-meier churn (5k durations)") {
+      operators.Survival.kaplanMeier(
+        events(rows).select(
+          pmod(hash(col("event_id")), lit(5000)).cast("long").as("dur"),
+          pmod(col("event_id"), lit(2)).cast("long").as("ev")),
+        "dur", "ev", bucketWidth = 64L).count()
+    }
+    // streaming k-anonymity: two half-batches merged into state over a
+    // 100k quasi-class vocabulary — per batch one hash aggregate plus
+    // one full-outer merge bounded by the CLASS vocabulary, never by
+    // stream volume; the gate read is the counts-of-counts tail
+    time("streaming k-anonymity (2 batches)") {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_smoke_skanon").toString + "/state"
+      val ev = events(rows).select(
+        pmod(hash(col("user_id")), lit(1000)).as("q1"),
+        pmod(hash(col("event_id")), lit(100)).as("q2"))
+      streaming.StreamingKAnonymity.acceptBatch(
+        ev.filter(col("q2") < 50), Seq("q1", "q2"), st)
+      val merged = streaming.StreamingKAnonymity.mergeBatch(
+        ev.filter(col("q2") >= 50), Seq("q1", "q2"), st)
+      streaming.StreamingKAnonymity.kAnonymityView(merged, k = 10L).count()
+    }
     spark.stop()
   }
 }
