@@ -46,16 +46,29 @@ object SparkEntry {
     * mergeBatch, which never writes.
     */
   private val stateFixtures =
-    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), String]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), String]]()
 
   private def stateFixture(tag: String, s: SparkSession, d: String)
-                          (build: String => Unit): String =
-    stateFixtures.computeIfAbsent((tag, s, d), { _ =>
+                          (build: String => Unit): String = {
+    // WEAKLY keyed by session so a stopped SparkSession (and its map
+    // of temp-dir paths) is GC-reclaimable instead of pinned for the
+    // JVM's lifetime; the dirs themselves live under the OS temp root
+    val perSession = stateFixtures.synchronized {
+      var m = stateFixtures.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+        stateFixtures.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((tag, d), { _ =>
       val p = java.nio.file.Files
         .createTempDirectory(s"graft_${tag}_state").toString + "/state"
       build(p)
       p
     })
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -35,10 +35,12 @@ import org.apache.spark.sql.functions._
 object Basket {
 
   /** The guarded exact-lift expression over the internal projection
-    * (n_ab, __nb, __na, __nb_i). Exposed at package scope so the spec
-    * can exercise the overflow guard directly — the bound (pair
-    * support × basket count ≥ 9.2e14) is unreachable from realistic
-    * in-test row counts.
+    * (n_ab, __nb, __na, __nb_i). BOTH sides of the division are
+    * pre-checked: the numerator n_ab·n_baskets·10^4 and the
+    * denominator n_a·n_b can each wrap past 2^63 independently.
+    * Exposed at package scope so the spec can exercise the overflow
+    * guard directly — the bounds (≥ ~9.2e14 products) are unreachable
+    * from realistic in-test row counts.
     */
   private[operators] def liftBpExpr: org.apache.spark.sql.Column =
     // overflow guard BEFORE the multiply: in non-ANSI mode
@@ -48,9 +50,11 @@ object Basket {
     expr("""CASE
               WHEN __nb > 922337203685477L
                 OR n_ab > 9223372036854775807L DIV (__nb * 10000)
+                OR __na > 9223372036854775807L DIV __nb_i
               THEN CAST(raise_error(CONCAT(
-                'Basket.pairAffinity lift_bp overflow: n_ab * n_baskets * 10^4 exceeds BIGINT (n_ab=',
+                'Basket.pairAffinity lift_bp overflow: numerator n_ab * n_baskets * 10^4 or denominator n_a * n_b exceeds BIGINT (n_ab=',
                 CAST(n_ab AS STRING), ', n_baskets=', CAST(__nb AS STRING),
+                ', n_a=', CAST(__na AS STRING), ', n_b=', CAST(__nb_i AS STRING),
                 '); merge per-shard pair tables first')) AS BIGINT)
               ELSE CAST(n_ab * __nb * 10000 DIV (__na * __nb_i) AS BIGINT)
             END""")

@@ -261,8 +261,11 @@ object Dedup {
     * shares its RARE units too, so the true >= t output — which any
     * exact-complete join must emit — is quadratic. The operator
     * therefore pre-estimates the candidate upper bound
-    * Σ_bucket m·(m−1)/2 from the prefix-posting sizes (one extra
-    * count-aggregate + a one-row collect, no recall impact) and
+    * Σ_bucket m·(m−1)/2 from the prefix-posting sizes (a
+    * construction-time count-aggregate job that re-runs the
+    * keys-only posting pipeline once — measured cheaper than
+    * checkpoint-sharing it — plus a one-row collect; no recall
+    * impact) and
     * throws IllegalStateException past `maxCandidates` instead of
     * running quadratic without warning; remedies are in the message
     * (raise shingleN/minJaccard, collapse exact dups first, or raise
@@ -295,6 +298,13 @@ object Dedup {
       .select(col("doc"),
         concat(lpad(col("df").cast("string"), 10, "0"), lit("|"),
           col("token")).as("k"))
+    // The per-doc unit-set frame feeds three consumers in the MAIN job
+    // (prefix explode + both verification sides) — exchange reuse
+    // dedups those — plus the guard's bound-estimate JOB below, which
+    // re-executes the posting pipeline once (reuse does not span
+    // jobs). Checkpointing `sets` to share it across jobs was
+    // MEASURED SLOWER (q143 sf0.1 median 8.6s vs 7.1s): materializing
+    // the per-doc array frame costs more than one keys-only recompute.
     val sets = keyed.groupBy(col("doc"))
       .agg(array_sort(collect_list(col("k"))).as("ks"))
       .withColumn("__n", size(col("ks")))
@@ -310,8 +320,10 @@ object Dedup {
     // its own output size. Rather than silently degrade recall with a
     // stop-unit cap (winnowing's rule — wrong here, where recall 1.0
     // IS the contract), pre-estimate the candidate upper bound
-    // Σ_bucket m·(m−1)/2 from the posting sizes — one count-aggregate
-    // over the postings plus a one-row collect — and refuse loudly
+    // Σ_bucket m·(m−1)/2 from the posting sizes — a count-aggregate
+    // job that re-executes the posting pipeline once (measured
+    // cheaper than checkpoint-sharing it; see the `sets` note) plus a
+    // one-row collect — and refuse loudly
     // past `maxCandidates`: the caller should raise shingleN, raise
     // minJaccard, pre-collapse exact dups (q20/q124), or accept the
     // cost explicitly by raising the cap.

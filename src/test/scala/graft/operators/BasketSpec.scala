@@ -60,5 +60,12 @@ class BasketSpec extends SparkSpec {
       lift(1L, 922337203685478L, 2L, 2L).collect()
     }
     e2.getMessage should include("lift_bp overflow")
+    // DENOMINATOR overflow with an in-bound numerator: n_a * n_b wraps
+    // past 2^63 while n_ab * n_baskets * 10^4 does not — the guard
+    // must catch both sides of the division
+    val e3 = intercept[Exception] {
+      lift(100L, 5000000000L, 4000000000L, 4000000000L).collect()
+    }
+    e3.getMessage should include("lift_bp overflow")
   }
 }
