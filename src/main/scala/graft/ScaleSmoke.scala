@@ -391,6 +391,42 @@ object ScaleSmoke {
           pmod(col("event_id"), lit(2)).cast("long").as("ev")),
         "dur", "ev", bucketWidth = 64L).count()
     }
+    // Nelson–Aalen on the same synthetic durations: identical two-phase
+    // machinery with the additive d/n contribution — cost must match
+    // the KM stage (the shared riskWithCumsum path)
+    time("nelson-aalen hazard (5k durations)") {
+      operators.Survival.nelsonAalen(
+        events(rows).select(
+          pmod(hash(col("event_id")), lit(5000)).cast("long").as("dur"),
+          pmod(col("event_id"), lit(2)).cast("long").as("ev")),
+        "dur", "ev", bucketWidth = 64L).count()
+    }
+    // streaming survival: two half-batches of observations merged into
+    // duration-bounded state (<= 5000 rows regardless of stream
+    // volume), then the live KM curve derived from the state
+    time("streaming survival (2 batches + km view)") {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_smoke_ssurv").toString + "/state"
+      val ob = events(rows).select(
+        pmod(hash(col("event_id")), lit(5000)).cast("long").as("dur"),
+        pmod(col("event_id"), lit(2)).cast("long").as("ev"),
+        pmod(col("user_id"), lit(2)).as("half"))
+      streaming.StreamingSurvival.acceptBatch(
+        ob.filter(col("half") === 0), "dur", "ev", st)
+      val merged = streaming.StreamingSurvival.mergeBatch(
+        ob.filter(col("half") === 1), "dur", "ev", st)
+      streaming.StreamingSurvival.kmView(merged, bucketWidth = 64L).count()
+    }
+    // association rules: pairAffinity's per-basket bounded expansion
+    // plus a 2-element struct explode per pair — must track the basket
+    // affinity stage with a constant factor, never a second pipeline
+    // pass (the union-of-projections trap)
+    time("association rules (8-item baskets)") {
+      operators.Basket.associationRules(
+        events(rows).select((col("event_id") / 8L).cast("long").as("basket"),
+          pmod(hash(col("event_id")), lit(50000)).as("item")),
+        "basket", "item", minPairs = 2L).count()
+    }
     // streaming k-anonymity: two half-batches merged into state over a
     // 100k quasi-class vocabulary — per batch one hash aggregate plus
     // one full-outer merge bounded by the CLASS vocabulary, never by

@@ -2823,6 +2823,55 @@ object SparkEntry {
           .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey")),
         Seq("c_nationkey", "c_mktsegment"), "o_orderpriority", l = 3L)),
 
+    // Nelson–Aalen cumulative hazard over the SAME churn observations
+    // as q232 — the additive companion curve (no exp, no infinity
+    // path): cum_hazard = exact DECIMAL sum of pround6'd d/n steps
+    "q235_nelson_aalen" -> ((s, d) =>
+      operators.Survival.nelsonAalen(
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(min(col("o_orderdate")).as("__first"),
+            max(col("o_orderdate")).as("__last"))
+          .select(
+            datediff(col("__last"), col("__first")).cast("long").as("dur"),
+            when(col("__last") < lit("1998-03-01").cast("date"), 1L)
+              .otherwise(0L).as("churned")),
+        "dur", "churned", bucketWidth = 256L)),
+
+    // streaming survival state: additive per-duration (d, c) counts
+    // across two customer-whole batches (custkey parity), live KM
+    // curve derived from the state ≡ q232's one-shot curve
+    // (additivity spec-pinned; batch-0 state is a per-session fixture)
+    "q236_streaming_survival" -> ((s, d) => {
+      def batch(parity: Int) = t(s, d, "orders")
+        .filter(col("o_custkey") % 2 === parity)
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("__first"),
+          max(col("o_orderdate")).as("__last"))
+        .select(
+          datediff(col("__last"), col("__first")).cast("long").as("dur"),
+          when(col("__last") < lit("1998-03-01").cast("date"), 1L)
+            .otherwise(0L).as("churned"))
+      val st = stateFixture("q236", s, d) { p =>
+        streaming.StreamingSurvival.acceptBatch(batch(0), "dur", "churned", p)
+      }
+      val merged = streaming.StreamingSurvival.mergeBatch(
+        batch(1), "dur", "churned", st)
+      streaming.StreamingSurvival.kmView(merged, bucketWidth = 256L)
+    }),
+
+    // directed association rules over the q211 baskets: both
+    // orientations of every co-occurrence pair with asymmetric
+    // confidence (n_ab/n_antecedent in exact basis points) — the
+    // cross-sell view where A→B strong / B→A weak IS the signal;
+    // head = top-40 by (confidence desc, rule), a total order
+    "q237_association_rules" -> ((s, d) =>
+      operators.Basket.associationRules(t(s, d, "lineitem"),
+          "l_orderkey", "l_partkey", minPairs = 2L)
+        .orderBy(col("confidence_bp").desc, col("antecedent"),
+          col("consequent"))
+        .limit(40)),
+
     // boilerplate-hub ranking over the near-dup candidate graph: HITS
     // on the doc <-> LSH-band-bucket bipartite graph (q21's banding
     // config), restricted to buckets holding >= 2 docs — the template
@@ -6644,6 +6693,100 @@ object SparkEntry {
            |  ${pround("CAST(sum(tvc) AS DOUBLE)", 4)} AS tv,
            |  CAST(sum(tvc) AS DOUBLE) > 0.05 AS violates_t
            |FROM tv GROUP BY 1, 2""".stripMargin,
+
+      // q232's at-risk CTEs with the additive contribution d/n — the
+      // output is the exact decimal running sum, no exp
+      "q235_nelson_aalen" ->
+        """WITH per AS (
+          |  SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+          |    CASE WHEN max(o_orderdate) < DATE '1998-03-01' THEN 1 ELSE 0 END AS e
+          |  FROM orders GROUP BY o_custkey),
+          |g AS (
+          |  SELECT CAST(dur AS BIGINT) AS duration,
+          |    CAST(sum(e) AS BIGINT) AS n_events,
+          |    CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+          |  FROM per GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n FROM g),
+          |r AS (
+          |  SELECT g.*, t.n - CAST(COALESCE(sum(n_events + n_censored) OVER (
+          |    ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |    0) AS BIGINT) AS n_risk
+          |  FROM g, tot t),
+          |c AS (
+          |  SELECT *,
+          |    CAST(floor(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+          |      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS contrib
+          |  FROM r)
+          |SELECT duration, n_risk, n_events, n_censored,
+          |  CAST(sum(contrib) OVER (ORDER BY duration) AS DOUBLE) AS cum_hazard
+          |FROM c""".stripMargin,
+
+      // the streaming state's two-batch merge ≡ the one-shot counts
+      // (additivity), so the oracle IS q232's KM curve
+      "q236_streaming_survival" ->
+        """WITH per AS (
+          |  SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+          |    CASE WHEN max(o_orderdate) < DATE '1998-03-01' THEN 1 ELSE 0 END AS e
+          |  FROM orders GROUP BY o_custkey),
+          |g AS (
+          |  SELECT CAST(dur AS BIGINT) AS duration,
+          |    CAST(sum(e) AS BIGINT) AS n_events,
+          |    CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+          |  FROM per GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n FROM g),
+          |r AS (
+          |  SELECT g.*, t.n - CAST(COALESCE(sum(n_events + n_censored) OVER (
+          |    ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |    0) AS BIGINT) AS n_risk
+          |  FROM g, tot t),
+          |c AS (
+          |  SELECT *,
+          |    CASE WHEN n_risk = n_events THEN CAST(0 AS DECIMAL(18,6))
+          |      ELSE CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE) /
+          |        CAST(n_risk AS DOUBLE)) * 1000000 + 0.5) / 1000000
+          |        AS DECIMAL(18,6)) END AS contrib,
+          |    CASE WHEN n_risk = n_events THEN 1 ELSE 0 END AS z
+          |  FROM r),
+          |f AS (
+          |  SELECT duration, n_risk, n_events, n_censored,
+          |    CAST(sum(contrib) OVER (ORDER BY duration) AS DOUBLE) AS csum,
+          |    max(z) OVER (ORDER BY duration) AS zany
+          |  FROM c)
+          |SELECT duration, n_risk, n_events, n_censored,
+          |  CASE WHEN zany = 1 THEN 0.0
+          |    ELSE floor(exp(csum) * 1000000 + 0.5) / 1000000 END AS survival
+          |FROM f""".stripMargin,
+
+      // q211's pair CTEs, then both rule orientations with the
+      // asymmetric integer confidence; top-40 under a total order
+      "q237_association_rules" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+          |ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY 1),
+          |p AS (
+          |  SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+          |    CAST(count(*) AS BIGINT) AS n_ab
+          |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+          |    AND x.l_partkey < y.l_partkey
+          |  GROUP BY 1, 2 HAVING n_ab >= 2),
+          |e AS (
+          |  SELECT item_a, item_b, n_ab, ia.ni AS n_a, ib.ni AS n_b,
+          |    n_ab * nb.n * 10000 // (ia.ni * ib.ni) AS lift_bp
+          |  FROM p
+          |  JOIN ic ia ON ia.l_partkey = item_a
+          |  JOIN ic ib ON ib.l_partkey = item_b, nb),
+          |r AS (
+          |  SELECT item_a AS antecedent, item_b AS consequent, n_ab,
+          |    n_a AS n_antecedent, n_b AS n_consequent,
+          |    n_ab * 10000 // n_a AS confidence_bp, lift_bp
+          |  FROM e
+          |  UNION ALL
+          |  SELECT item_b, item_a, n_ab, n_b, n_a,
+          |    n_ab * 10000 // n_b, lift_bp
+          |  FROM e)
+          |SELECT * FROM r
+          |ORDER BY confidence_bp DESC, antecedent, consequent
+          |LIMIT 40""".stripMargin,
 
       // q21's banding CTEs feed the crowded-bucket bipartite edge
       // list; then q215's unrolled 2-round HITS fixpoint (BIGINT

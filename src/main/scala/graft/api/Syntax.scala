@@ -200,5 +200,11 @@ object syntax {
     def kaplanMeier(durationCol: String, eventCol: String,
                     bucketWidth: Long = 4096L): DataFrame =
       Survival.kaplanMeier(df, durationCol, eventCol, bucketWidth)
+    def nelsonAalen(durationCol: String, eventCol: String,
+                    bucketWidth: Long = 4096L): DataFrame =
+      Survival.nelsonAalen(df, durationCol, eventCol, bucketWidth)
+    def associationRules(basketCol: String, itemCol: String,
+                         minPairs: Long = 2L): DataFrame =
+      Basket.associationRules(df, basketCol, itemCol, minPairs)
   }
 }

@@ -95,4 +95,37 @@ object Basket {
         col("__nb_i").cast("long").as("n_b"),
         liftBpExpr.as("lift_bp"))
   }
+
+  /** Directed association rules over the pair-affinity table: each
+    * unordered co-occurrence pair emits BOTH orientations with the
+    * asymmetric confidence confidence_bp = n_ab * 10^4 div
+    * n_antecedent ("given the antecedent is in the cart, how often is
+    * the consequent?") alongside the symmetric lift — the
+    * cross-sell-rule view where A→B strong / B→A weak is exactly the
+    * signal (staple → accessory, not the reverse).
+    *
+    * Exactness: confidence in exact basis points by BIGINT floor
+    * arithmetic; n_ab * 10^4 cannot overflow once [[pairAffinity]]'s
+    * lift guard has passed (n_ab <= n_baskets and n_baskets * 10^4 is
+    * pre-checked there). Scale shape: ONE pass of [[pairAffinity]]
+    * plus a per-row 2-element struct explode — no union of two
+    * projections (which would execute the whole basket pipeline twice
+    * — the round-9 measured trap).
+    */
+  def associationRules(items: DataFrame, basketCol: String, itemCol: String,
+                       minPairs: Long = 2L): DataFrame =
+    pairAffinity(items, basketCol, itemCol, minPairs)
+      .select(explode(array(
+        struct(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+          col("n_a").as("n_antecedent"), col("n_b").as("n_consequent")),
+        struct(col("item_b").as("antecedent"), col("item_a").as("consequent"),
+          col("n_b").as("n_antecedent"), col("n_a").as("n_consequent"))))
+        .as("r"), col("n_ab"), col("lift_bp"))
+      .select(col("r.antecedent").as("antecedent"),
+        col("r.consequent").as("consequent"), col("n_ab"),
+        col("r.n_antecedent").as("n_antecedent"),
+        col("r.n_consequent").as("n_consequent"),
+        expr("CAST(n_ab * 10000 DIV r.n_antecedent AS BIGINT)")
+          .as("confidence_bp"),
+        col("lift_bp"))
 }

@@ -1,28 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Kaplan–Meier survival estimation — the churn/retention curve over
-  * right-censored durations ("how long do users stay?" when many are
-  * still active at observation time). The one aggregate family the
-  * rest of the surface lacks: a MULTIPLICATIVE running statistic,
-  * S(t_i) = Π_{j<=i} (1 − d_j / n_j), where d_j is the number of
-  * observed events (churns) at duration t_j and n_j the at-risk count
-  * just before t_j. Censored observations (event = 0) leave the
-  * product untouched but shrink the at-risk set — exactly how KM
-  * extracts an unbiased curve from incomplete follow-up.
+/** Survival estimation over right-censored durations ("how long do
+  * users stay?" when many are still active at observation time):
+  * Kaplan–Meier — the survival curve S(t_i) = Π_{j<=i} (1 − d_j/n_j),
+  * the one MULTIPLICATIVE running statistic on the surface — and its
+  * additive companion Nelson–Aalen, the cumulative hazard
+  * H(t_i) = Σ_{j<=i} d_j/n_j. d_j = observed events (churns) at
+  * duration t_j, n_j = at-risk count just before t_j; censored
+  * observations (event = 0) leave both statistics untouched but
+  * shrink the at-risk set — how both estimators extract an unbiased
+  * curve from incomplete follow-up.
   *
-  * Exactness is the q146 discipline applied to a product: each
-  * factor's log contribution ln((n_j − d_j)/n_j) is a ratio of exact
-  * integers through ONE fixed double operation order, rounded to 6
-  * places (`floor(x·10^6 + 0.5)/10^6`), summed as DECIMAL(18,6) —
-  * associative, order-free, engine-portable — and exponentiated once
-  * at the end (then pround6 again). A duration where everyone at risk
-  * dies (d_j = n_j, ln 0 = −∞) is carried as a sticky zero FLAG
-  * instead of a log value: survival is exactly 0.0 from that point
-  * on, and the decimal sum never sees an infinity.
+  * Exactness is the q146 discipline: each per-duration contribution
+  * (KM: ln((n_j − d_j)/n_j); NA: d_j/n_j) is exact integers through
+  * ONE fixed double operation order, rounded to 6 places
+  * (`floor(x·10^6 + 0.5)/10^6`), summed as DECIMAL(18,6) —
+  * associative, order-free, engine-portable. KM exponentiates once at
+  * the end (then pround6 again); a duration where everyone at risk
+  * dies (d_j = n_j, ln 0 = −∞) is carried as a sticky zero FLAG, so
+  * the decimal sum never sees an infinity. NA needs neither: its
+  * contribution is always finite and its output IS the exact decimal
+  * sum.
   *
   * Scale shape: one hash aggregate to the per-duration (d, c) table,
   * whose row count is bounded by DISTINCT durations (days/weeks by
@@ -37,35 +39,47 @@ import org.apache.spark.sql.functions._
   * contribution sums + the final row-level plan), so the at-risk
   * chain computes once.
   *
+  * The `...FromCounts` variants take an ALREADY aggregated
+  * (duration, n_events, n_censored) table — the streaming state shape
+  * (`streaming.StreamingSurvival` maintains exactly that table
+  * additively and derives the live curve through them).
+  *
   * Output, one row per distinct duration, ascending: `duration`,
-  * `n_risk`, `n_events`, `n_censored`, `survival` (double, 6 places).
-  * KM convention: censor-only durations (d_j = 0) emit a row with the
-  * survival carried unchanged — the curve steps only at event times.
+  * `n_risk`, `n_events`, `n_censored`, and `survival` (KM) /
+  * `cum_hazard` (NA), doubles at 6 places. Censor-only durations
+  * (d_j = 0) emit a row with the statistic carried unchanged — the
+  * curve steps only at event times.
   */
 object Survival {
 
-  /** @param durationCol non-negative integral duration (days, weeks —
-    *        any unit; distinct values bound the output size)
-    * @param eventCol 1/true = event observed (churned), 0/false =
-    *        right-censored (still active at cutoff)
-    * @param bucketWidth duration units per prefix bucket; the driver
-    *        holds one (offset, flag) row per OCCUPIED bucket
+  /** Raw observations → the per-duration (d, c) count table. NULL or
+    * negative durations and NULL event flags are dropped.
     */
-  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
-                  bucketWidth: Long = 4096L): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val grouped = df
-      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+  private def observationCounts(df: DataFrame, durationCol: String,
+                                eventCol: String): DataFrame =
+    df.filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
         col(durationCol) >= 0)
       .select(col(durationCol).cast("long").as("duration"),
         when(col(eventCol).cast("long") =!= 0L, 1L).otherwise(0L).as("__e"))
       .groupBy(col("duration"))
       .agg(sum(col("__e")).cast("long").as("n_events"),
         (count(lit(1)) - sum(col("__e"))).cast("long").as("n_censored"))
-      .withColumn("__b", (col("duration") / lit(bucketWidth))
-        .cast("long"))
+
+  /** Shared two-phase machinery: at-risk counts + the DECIMAL(18,6)
+    * running contribution sum, both as bucketed global prefixes.
+    * `contrib`/`zFlag` are column expressions over (n_risk, n_events)
+    * — bound after n_risk exists. Returns a frame with `duration`,
+    * `n_risk`, `n_events`, `n_censored`, `__csum` (inclusive decimal
+    * cumsum), `__zany` (inclusive max of the flag) — empty-input safe.
+    */
+  private def riskWithCumsum(counts: DataFrame, bucketWidth: Long,
+                             contrib: Column, zFlag: Column): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val grouped = counts
+      .filter(col("duration").isNotNull && col("duration") >= 0)
+      .withColumn("__b", (col("duration") / lit(bucketWidth)).cast("long"))
     // phase 1: at-risk counts. Exclusive per-bucket (d+c) offsets via a
     // #buckets-row driver prefix (the latenessAudit pattern); inside a
     // bucket, an ordinary partitioned window finishes the prefix.
@@ -76,28 +90,20 @@ object Survival {
     val offs = btot.map { case (b, s) => val o = accN; accN += s; (b, o) }
     val nTotal = accN
     if (nTotal == 0L)
-      return grouped.select(col("duration"), col("duration").as("n_risk"),
-        col("n_events"), col("n_censored"), lit(0.0).as("survival"))
+      return grouped.limit(0).select(col("duration"),
+        lit(0L).as("n_risk"), col("n_events"), col("n_censored"),
+        lit(null).cast("decimal(18,6)").as("__csum"), lit(0L).as("__zany"))
     val offDf = broadcast(offs.toSeq.toDF("__b", "__off"))
     val wPrior = Window.partitionBy(col("__b")).orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // factor ln((n−d)/n): subtraction in BIGINT, ONE double division,
-    // one ln, pround6 → DECIMAL(18,6). d = n (nobody survives the
-    // step) flags sticky-zero instead of producing −∞.
     val risk = grouped.join(offDf, Seq("__b"))
       .withColumn("n_risk", lit(nTotal) - (col("__off") +
         coalesce(sum(col("n_events") + col("n_censored")).over(wPrior),
           lit(0L))))
-      .withColumn("__z",
-        when(col("n_risk") === col("n_events"), 1L).otherwise(0L))
-      .withColumn("__contrib",
-        when(col("__z") === 1L, lit(0.0))
-          .otherwise(floor(
-            log((col("n_risk") - col("n_events")).cast("double") /
-              col("n_risk").cast("double")) * 1e6 + 0.5) / 1e6)
-          .cast("decimal(18,6)"))
+      .withColumn("__z", zFlag)
+      .withColumn("__contrib", contrib)
       .localCheckpoint(true)
-    // phase 2: the log-space running sum (and the sticky zero flag)
+    // phase 2: the contribution running sum (and the sticky flag)
     // across buckets — same driver-prefix shape, DECIMAL-exact.
     val ctot = risk.groupBy(col("__b"))
       .agg(sum(col("__contrib")).cast("decimal(18,6)").as("__cs"),
@@ -121,9 +127,64 @@ object Survival {
           .cast("decimal(18,6)"))
       .withColumn("__zany", greatest(col("__zoff"), max(col("__z")).over(wCum)))
       .select(col("duration"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("__csum"), col("__zany"))
+  }
+
+  // factor ln((n−d)/n): subtraction in BIGINT, ONE double division,
+  // one ln, pround6 → DECIMAL(18,6). d = n (nobody survives the step)
+  // flags sticky-zero instead of producing −∞.
+  private def kmContrib: Column =
+    when(col("n_risk") === col("n_events"), lit(0.0))
+      .otherwise(floor(
+        log((col("n_risk") - col("n_events")).cast("double") /
+          col("n_risk").cast("double")) * 1e6 + 0.5) / 1e6)
+      .cast("decimal(18,6)")
+
+  /** Kaplan–Meier over an already-aggregated
+    * (duration, n_events, n_censored) table.
+    */
+  def kaplanMeierFromCounts(counts: DataFrame,
+                            bucketWidth: Long = 4096L): DataFrame =
+    riskWithCumsum(counts, bucketWidth, kmContrib,
+      when(col("n_risk") === col("n_events"), 1L).otherwise(0L))
+      .select(col("duration"), col("n_risk"), col("n_events"),
         col("n_censored"),
         when(col("__zany") === 1L, lit(0.0))
           .otherwise(floor(exp(col("__csum").cast("double")) * 1e6 + 0.5) / 1e6)
           .as("survival"))
-  }
+
+  /** @param durationCol non-negative integral duration (days, weeks —
+    *        any unit; distinct values bound the output size)
+    * @param eventCol 1/true = event observed (churned), 0/false =
+    *        right-censored (still active at cutoff)
+    * @param bucketWidth duration units per prefix bucket; the driver
+    *        holds one (offset, flag) row per OCCUPIED bucket
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
+                  bucketWidth: Long = 4096L): DataFrame =
+    kaplanMeierFromCounts(observationCounts(df, durationCol, eventCol),
+      bucketWidth)
+
+  /** Nelson–Aalen cumulative hazard over an already-aggregated
+    * (duration, n_events, n_censored) table: the ADDITIVE survival
+    * statistic — `cum_hazard` is the exact DECIMAL sum of pround6'd
+    * d_j/n_j contributions, no exp and no infinity path.
+    */
+  def nelsonAalenFromCounts(counts: DataFrame,
+                            bucketWidth: Long = 4096L): DataFrame =
+    riskWithCumsum(counts, bucketWidth,
+      (floor(col("n_events").cast("double") / col("n_risk").cast("double")
+        * 1e6 + 0.5) / 1e6).cast("decimal(18,6)"),
+      lit(0L))
+      .select(col("duration"), col("n_risk"), col("n_events"),
+        col("n_censored"),
+        col("__csum").cast("double").as("cum_hazard"))
+
+  /** Nelson–Aalen from raw observations; same parameters as
+    * [[kaplanMeier]].
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String,
+                  bucketWidth: Long = 4096L): DataFrame =
+    nelsonAalenFromCounts(observationCounts(df, durationCol, eventCol),
+      bucketWidth)
 }

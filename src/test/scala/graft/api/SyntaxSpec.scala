@@ -111,10 +111,18 @@ class SyntaxSpec extends SparkSpec {
     priv.tCloseness(Seq("q1"), "sv").queryExecution.analyzed
       .sameResult(Audit.tCloseness(priv, Seq("q1"), "sv")
         .queryExecution.analyzed) shouldBe true
-    // kaplanMeier checkpoints its phase-1 frame: compare results
+    // kaplanMeier/nelsonAalen checkpoint their phase-1 frame: compare
+    // results, not plans
     val obs = Seq((1L, 1L), (2L, 0L), (3L, 1L)).toDF("dur", "ev")
     obs.kaplanMeier("dur", "ev").collect().toSeq shouldBe
       graft.operators.Survival.kaplanMeier(obs, "dur", "ev").collect().toSeq
+    obs.nelsonAalen("dur", "ev").collect().toSeq shouldBe
+      graft.operators.Survival.nelsonAalen(obs, "dur", "ev").collect().toSeq
+    val items2 = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+      .toDF("basket", "item")
+    items2.associationRules("basket", "item").queryExecution.analyzed
+      .sameResult(Basket.associationRules(items2, "basket", "item",
+        minPairs = 2L).queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

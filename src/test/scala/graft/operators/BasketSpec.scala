@@ -38,6 +38,22 @@ class BasketSpec extends SparkSpec {
     out.size shouldBe 3
   }
 
+  test("associationRules emits both directions with asymmetric confidence") {
+    val out = Basket.associationRules(rows, "basket", "item", minPairs = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // (B,C) pair: n_ab=1, n_b=3, n_c=2, lift=6666
+    // B->C conf = 1*10^4 div 3 = 3333; C->B conf = 1*10^4 div 2 = 5000
+    out(("B", "C")) shouldBe ((1L, 3L, 2L, 3333L, 6666L))
+    out(("C", "B")) shouldBe ((1L, 2L, 3L, 5000L, 6666L))
+    // symmetric example keeps equal confidence both ways
+    out(("A", "B")) shouldBe ((2L, 3L, 3L, 6666L, 8888L))
+    out(("B", "A")) shouldBe ((2L, 3L, 3L, 6666L, 8888L))
+    out.size shouldBe 6 // three pairs, two directions each
+  }
+
   test("lift overflow guard raises instead of wrapping past 2^63") {
     // the guard bound (n_ab * n_baskets * 10^4 >= 2^63) is unreachable
     // from realistic in-test basket rows, so exercise the shared

@@ -66,6 +66,48 @@ class SurvivalSpec extends SparkSpec {
     })
   }
 
+  test("nelsonAalen hand-computed hazard; FromCounts equals the raw path") {
+    // t=1: d=1 of n=4 -> 0.25; t=2: censor only -> unchanged;
+    // t=3: d=1 of n=2 -> +0.5 = 0.75
+    val rows = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 0L))
+    def haz(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val out = haz(Survival.nelsonAalen(rows.toDF("dur", "ev"), "dur", "ev"))
+    out(1L) shouldBe ((4L, 1L, 0L, 0.25))
+    out(2L) shouldBe ((3L, 0L, 1L, 0.25))
+    out(3L) shouldBe ((2L, 1L, 1L, 0.75))
+    // the pre-aggregated-counts path (the streaming state shape) is
+    // the same machinery: identical rows
+    val counts = Seq((1L, 1L, 0L), (2L, 0L, 1L), (3L, 1L, 1L))
+      .toDF("duration", "n_events", "n_censored")
+    haz(Survival.nelsonAalenFromCounts(counts)) shouldBe out
+  }
+
+  test("law: cum_hazard is non-decreasing and matches the at-risk recurrence") {
+    val durations = Gen.listOfN(30, Gen.choose(0L, 15L)).suchThat(_.nonEmpty)
+    check(Prop.forAll(durations) { ds =>
+      val out = Survival.nelsonAalen(ds.map(d => (d, 1L)).toDF("dur", "ev"),
+          "dur", "ev")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+        .sortBy(_._1)
+      // independent recurrence: walk distinct durations ascending,
+      // n_risk drops by the count at each step, hazard accumulates
+      // pround6(d/n)
+      var n = ds.size.toLong
+      var h = BigDecimal(0)
+      val expect = ds.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1).map { case (t, d) =>
+          h += BigDecimal(math.floor(d.toDouble / n * 1e6 + 0.5) / 1e6)
+            .setScale(6)
+          val row = (t, n, h.toDouble); n -= d; row
+        }
+      val hs = out.map(_._3)
+      hs.zip(hs.drop(1)).forall { case (a, b) => b >= a } &&
+        out.toSeq == expect
+    })
+  }
+
   test("NULL and negative durations are dropped, not welded into the curve") {
     val rows = Seq((Option(1L), Option(1L)), (Option(2L), Option(1L)),
       (Option.empty[Long], Option(1L)), (Option(-5L), Option(1L)),

@@ -99,9 +99,10 @@ class QueryPlanSpec extends SparkSpec {
     // q197 attaches the one-row balance-threshold aggregate (q93 shape)
     "q197_idle_balances",
     // q203 attaches the one-row total-and-count aggregate (q93 shape);
-    // q211 the one-row basket-count aggregate (q204's max-attach
+    // q211/q237 the one-row basket-count aggregate (q204's max-attach
     // becomes a BroadcastHashJoin: its DECIMAL equality is a join key)
     "q203_part_concentration", "q211_basket_affinity",
+    "q237_association_rules",
     // q224 builds the source-pair table: |sources|² rows by a
     // broadcast loop join under the src_a < src_b inequality —
     // nature-bounded like q146's bin grid
