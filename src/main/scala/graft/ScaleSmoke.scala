@@ -192,10 +192,11 @@ object ScaleSmoke {
     val winnowStage = "winnowing fingerprint pairs"
     val prefixStage = "prefix-filter join (3-shingles)"
     val ksStage = "ks drift by source"
+    val phraseStage = "phrase search (stopword posting)"
     val textStages = Seq(docsWrite, simhashStage, tfidfStage, spansStage,
       curationStage, screenStage, paraStage, lmStage, bpeStage,
       lineDupStage, noveltyStage, decontStage, winnowStage, prefixStage,
-      ksStage)
+      ksStage, phraseStage)
     val anyText = textStages.exists(willRun)
     time(docsWrite, force = anyText) {
       docs(rows).write.mode("overwrite").parquet(docsPath); rows
@@ -302,6 +303,13 @@ object ScaleSmoke {
       Dedup.prefixFilterPairs(docsPq, "text", "doc_id",
         minJaccard = 0.5, shingleN = 3).count()
     }
+    // phrase search with a STOPWORD first term — the worst-case common
+    // posting (~0.6 rows/doc) joined against a rare second term; cost
+    // must track the stop posting linearly, never the posting space
+    time(phraseStage) {
+      operators.TextIndex.phraseMatches(docsPq, "text", "doc_id",
+        "the w0").count()
+    }
     // value-compressed fuzzy match: 40x40 synthetic two-word names over
     // n rows (duplication factor n/1600) — cost must track DISTINCT
     // names, not rows (the q144 lesson)
@@ -378,6 +386,27 @@ object ScaleSmoke {
       val edges = raw.select(least(col("x"), col("y")).as("id_a"),
         greatest(col("x"), col("y")).as("id_b")).distinct()
       operators.Triangles.localClusteringBp(edges, "id_a", "id_b").count()
+    }
+    // CUSUM change-point: one hash aggregate to (group, day) counts,
+    // then windows over the DAY-bounded series — cost is the one
+    // row-scale aggregate, the rest is 150x20 rows
+    time("cusum change-point (150 days x 20 groups)") {
+      operators.Profile.cusumChangePoint(
+        events(rows).select(pmod(hash(col("user_id")), lit(20)).as("g"),
+          date_add(lit("2024-01-01").cast("date"),
+            pmod(col("event_id"), lit(150)).cast("int")).as("day")),
+        "g", "day").count()
+    }
+    // cohort LTV: one keyed first-purchase aggregate + one equi-join +
+    // the months^2-bounded matrix aggregate
+    time("cohort ltv (n/100 users, 24 months)") {
+      operators.Cohorts.cohortLtv(
+        events(rows).select(pmod(col("user_id"), lit(rows / 100)).as("u"),
+          date_add(lit("2023-01-01").cast("date"),
+            pmod(hash(col("event_id")), lit(720)).cast("int")).as("day"),
+          pmod(hash(col("event_id"), lit(7)), lit(100000))
+            .cast("decimal(18,2)").as("amt")),
+        "u", "day", "amt").count()
     }
     // round-10 operators at volume.
     // Kaplan–Meier: n observations collapse to <= 5000 distinct

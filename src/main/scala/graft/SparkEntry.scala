@@ -2823,6 +2823,33 @@ object SparkEntry {
           .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey")),
         Seq("c_nationkey", "c_mktsegment"), "o_orderpriority", l = 3L)),
 
+    // positional phrase search via the inverted-index join: postings
+    // filtered to the phrase's terms, adjacency = equi-join on
+    // (doc, pos − offset); exact occurrence counts per matching doc
+    "q238_phrase_search" -> ((s, d) =>
+      operators.TextIndex.phraseMatches(t(s, d, "documents"),
+        "text", "doc_id", "value table")),
+
+    // offline CUSUM change-point per event type: the day where the
+    // observed prefix deviates most from the uniform-rate line —
+    // |D·P_k − k·T| kept exact BIGINT by cross-multiplication, tie to
+    // the earliest day
+    "q239_cusum_changepoint" -> ((s, d) =>
+      operators.Profile.cusumChangePoint(
+        t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day")),
+        "event_type", "day")
+        .select(col("grp").as("event_type"),
+          col("change_day").cast("string").as("change_day"),
+          col("cusum"), col("n_days"), col("n_total"))),
+
+    // cohort LTV triangle: customers by first-purchase month, revenue
+    // by integer months-since-cohort age — exact DECIMAL sums, month
+    // arithmetic as year*12+month (no fractional intervals)
+    "q240_cohort_ltv" -> ((s, d) =>
+      operators.Cohorts.cohortLtv(t(s, d, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice")),
+
     // Nelson–Aalen cumulative hazard over the SAME churn observations
     // as q232 — the additive companion curve (no exp, no infinity
     // path): cum_hazard = exact DECIMAL sum of pround6'd d/n steps
@@ -6693,6 +6720,57 @@ object SparkEntry {
            |  ${pround("CAST(sum(tvc) AS DOUBLE)", 4)} AS tv,
            |  CAST(sum(tvc) AS DOUBLE) > 0.05 AS violates_t
            |FROM tv GROUP BY 1, 2""".stripMargin,
+
+      // sliding bigram check over the SAME token list the engine
+      // indexes — occurrence counts are exact integers
+      "q238_phrase_search" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS ts FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(len(list_filter(range(1, len(ts)),
+           |    i -> ts[i] = 'value' AND ts[i+1] = 'table')) AS BIGINT) AS n_matches
+           |  FROM d)
+           |SELECT doc_id, n_matches FROM m WHERE n_matches >= 1""".stripMargin,
+
+      // the integer cross-multiplied CUSUM: |D*prefix - k*total| per
+      // day, argmax with earliest-day tie-break via QUALIFY
+      "q239_cusum_changepoint" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+          |    CAST(sum(n) AS BIGINT) AS nt
+          |  FROM daily GROUP BY 1),
+          |s AS (
+          |  SELECT d.event_type, d.day, t.nd AS n_days, t.nt AS n_total,
+          |    abs(t.nd * sum(d.n) OVER (PARTITION BY d.event_type
+          |        ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      - (row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)) * t.nt)
+          |      AS cusum
+          |  FROM daily d JOIN tot t USING (event_type))
+          |SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+          |  CAST(cusum AS BIGINT) AS cusum, n_days, n_total
+          |FROM s
+          |QUALIFY row_number() OVER (PARTITION BY event_type
+          |  ORDER BY cusum DESC, day) = 1""".stripMargin,
+
+      // first-purchase month via one keyed aggregate; integer month
+      // age; exact DECIMAL revenue rounded only on output
+      "q240_cohort_ltv" ->
+        """WITH f AS (
+          |  SELECT o_custkey, min(o_orderdate) AS c FROM orders GROUP BY 1),
+          |j AS (
+          |  SELECT o.o_custkey, o.o_orderdate, o.o_totalprice, f.c
+          |  FROM orders o JOIN f USING (o_custkey))
+          |SELECT CAST(year(c) AS BIGINT) AS cohort_year,
+          |  CAST(month(c) AS BIGINT) AS cohort_month,
+          |  CAST(year(o_orderdate) * 12 + month(o_orderdate)
+          |    - year(c) * 12 - month(c) AS BIGINT) AS age_months,
+          |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+          |  CAST(count(*) AS BIGINT) AS n_orders,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+          |FROM j GROUP BY 1, 2, 3""".stripMargin,
 
       // q232's at-risk CTEs with the additive contribution d/n — the
       // output is the exact decimal running sum, no exp

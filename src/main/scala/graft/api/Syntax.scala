@@ -206,5 +206,13 @@ object syntax {
     def associationRules(basketCol: String, itemCol: String,
                          minPairs: Long = 2L): DataFrame =
       Basket.associationRules(df, basketCol, itemCol, minPairs)
+    def phraseMatches(textCol: String, idCol: String,
+                      phrase: String): DataFrame =
+      TextIndex.phraseMatches(df, textCol, idCol, phrase)
+    def cusumChangePoint(groupCol: String, dateCol: String): DataFrame =
+      Profile.cusumChangePoint(df, groupCol, dateCol)
+    def cohortLtv(userCol: String, dateCol: String,
+                  amountCol: String): DataFrame =
+      Cohorts.cohortLtv(df, userCol, dateCol, amountCol)
   }
 }

@@ -109,4 +109,40 @@ object Cohorts {
     }
     out
   }
+
+  /** Cohort lifetime-value matrix: customers grouped by the calendar
+    * month of their FIRST purchase (the cohort), revenue rolled up by
+    * months-since-cohort age — the (cohort × age) triangle a
+    * subscription/commerce business reads LTV curves off. `retention`
+    * counts who comes back; this sums what they spend.
+    *
+    * Month arithmetic is INTEGER (year·12 + month), never fractional
+    * month intervals — engine-portable and unambiguous on month
+    * boundaries. Revenue is the exact DECIMAL(18,2) sum, rounded to 2
+    * places only on output.
+    *
+    * Scale shape: one hash aggregate for first-purchase months (keyed
+    * by customer), one equi-join back on the customer key, one
+    * (cohort, age) hash aggregate — the matrix is months², a
+    * constant-bounded output at any volume.
+    */
+  def cohortLtv(orders: DataFrame, userCol: String, dateCol: String,
+                amountCol: String): DataFrame = {
+    val base = orders
+      .filter(col(userCol).isNotNull && col(dateCol).isNotNull)
+      .select(col(userCol).as("user"), col(dateCol).cast("date").as("day"),
+        col(amountCol).cast("decimal(18,2)").as("amt"))
+    val first = base.groupBy(col("user"))
+      .agg(min(col("day")).as("__c"))
+    base.join(first, "user")
+      .withColumn("__cm", year(col("__c")) * 12 + month(col("__c")))
+      .groupBy(
+        year(col("__c")).cast("long").as("cohort_year"),
+        month(col("__c")).cast("long").as("cohort_month"),
+        (year(col("day")) * 12 + month(col("day")) - col("__cm"))
+          .cast("long").as("age_months"))
+      .agg(countDistinct(col("user")).cast("long").as("n_customers"),
+        count(lit(1)).cast("long").as("n_orders"),
+        round(sum(col("amt")).cast("double"), 2).as("revenue"))
+  }
 }

@@ -446,4 +446,46 @@ object Profile {
       .agg(count(lit(1)).cast("long").as("n_terms"),
         sum(col("__j")).cast("double").as("js_bits"))
   }
+
+  /** Offline CUSUM change-point per group: the day where the observed
+    * event-count prefix deviates most from the uniform-rate line —
+    * "when did this stream's behavior change". The statistic is kept
+    * INTEGER by cross-multiplication: at day k of D with prefix P_k of
+    * total T, the deviation |P_k/T − k/D| scaled by D·T is
+    * |D·P_k − k·T| — exact BIGINT, engine-portable, no float enters
+    * the argmax. Ties break to the earliest day.
+    *
+    * Overflow contract: n_days · n_total < 2^63 (a million days of a
+    * trillion events is still inside). Scale shape: one hash aggregate
+    * to (group, day) counts — the only row-scale pass — then per-group
+    * windows over the DAY-bounded series and one equi-join of the
+    * per-group (D, T) aggregate; groups are the narrow side by nature
+    * (event types, sources).
+    *
+    * Output: `grp`, `change_day`, `cusum` (the scaled max deviation),
+    * `n_days`, `n_total`.
+    */
+  def cusumChangePoint(df: DataFrame, groupCol: String,
+                       dateCol: String): DataFrame = {
+    val daily = df
+      .filter(col(groupCol).isNotNull && col(dateCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(dateCol).cast("date").as("__day"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+    val tot = daily.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("__n")).cast("long").as("n_total"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy(col("__g")).orderBy(col("__day"))
+    daily.join(tot, Seq("__g"))
+      .withColumn("__k", row_number().over(wRank).cast("long"))
+      .withColumn("__pre", sum(col("__n")).over(wCum))
+      .withColumn("cusum",
+        abs(col("n_days") * col("__pre") - col("__k") * col("n_total")))
+      .withColumn("__r", row_number().over(Window.partitionBy(col("__g"))
+        .orderBy(col("cusum").desc, col("__day"))))
+      .filter(col("__r") === 1)
+      .select(col("__g").as("grp"), col("__day").as("change_day"),
+        col("cusum"), col("n_days"), col("n_total"))
+  }
 }

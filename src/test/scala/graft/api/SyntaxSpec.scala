@@ -123,6 +123,20 @@ class SyntaxSpec extends SparkSpec {
     items2.associationRules("basket", "item").queryExecution.analyzed
       .sameResult(Basket.associationRules(items2, "basket", "item",
         minPairs = 2L).queryExecution.analyzed) shouldBe true
+    val txt = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    txt.phraseMatches("text", "doc_id", "a b").queryExecution.analyzed
+      .sameResult(graft.operators.TextIndex.phraseMatches(txt, "text",
+        "doc_id", "a b").queryExecution.analyzed) shouldBe true
+    val ev2 = Seq(("g", java.sql.Date.valueOf("2024-01-01")))
+      .toDF("g", "day")
+    ev2.cusumChangePoint("g", "day").queryExecution.analyzed
+      .sameResult(Profile.cusumChangePoint(ev2, "g", "day")
+        .queryExecution.analyzed) shouldBe true
+    val ord = Seq(("u", java.sql.Date.valueOf("2024-01-01"), BigDecimal(1)))
+      .toDF("u", "day", "amt")
+    ord.cohortLtv("u", "day", "amt").queryExecution.analyzed
+      .sameResult(graft.operators.Cohorts.cohortLtv(ord, "u", "day", "amt")
+        .queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

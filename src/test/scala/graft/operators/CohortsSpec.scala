@@ -65,4 +65,25 @@ class CohortsSpec extends SparkSpec {
     out.keySet shouldBe Set("2024-01-01")
     out("2024-01-01") shouldBe ((3L, 4L, 2L, 4000L))
   }
+
+  test("cohortLtv buckets revenue by first-purchase month and integer month age") {
+    // u1 first buys Jan-24 (cohort 2024/1): 10.00 in Jan, 5.50 in Mar
+    //   (age 2), 2.25 in Jan-25 (age 12 — year boundary exact)
+    // u2 first buys Mar-24 (cohort 2024/3): 7.00 in Mar
+    val rows = Seq(
+      ("u1", "2024-01-15", "10.00"), ("u1", "2024-03-02", "5.50"),
+      ("u1", "2025-01-20", "2.25"), ("u2", "2024-03-30", "7.00"))
+    val df = rows.toDF("user", "ds", "amt")
+      .select(col("user"), to_date(col("ds")).as("day"),
+        col("amt").cast("decimal(18,2)").as("amt"))
+    val out = Cohorts.cohortLtv(df, "user", "day", "amt")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    out((2024L, 1L, 0L)) shouldBe ((1L, 1L, 10.00))
+    out((2024L, 1L, 2L)) shouldBe ((1L, 1L, 5.50))
+    out((2024L, 1L, 12L)) shouldBe ((1L, 1L, 2.25))
+    out((2024L, 3L, 0L)) shouldBe ((1L, 1L, 7.00))
+    out.size shouldBe 4
+  }
 }

@@ -231,4 +231,28 @@ class ProfileSpec extends SparkSpec {
       v should be <= 1.0 + 1e-9
     }
   }
+
+  test("cusumChangePoint finds the level-shift day with integer-exact scores") {
+    import org.apache.spark.sql.functions.{col, to_date, lit}
+    // group g: days 1-4 at 1 event/day, days 5-8 at 5 events/day.
+    // T=24, D=8; S_k = |8*P_k - 24k| peaks at k=4 (P=4): |32-96|=64.
+    val rows = (1 to 4).flatMap(d => Seq(("g", s"2024-01-0$d"))) ++
+      (5 to 8).flatMap(d => Seq.fill(5)(("g", s"2024-01-0$d")))
+    val df = rows.toDF("grp0", "ds")
+      .select(col("grp0"), to_date(col("ds")).as("day"))
+    val out = Profile.cusumChangePoint(df, "grp0", "day").collect()
+    out.length shouldBe 1
+    val r = out(0)
+    r.getString(0) shouldBe "g"
+    r.getDate(1).toString shouldBe "2024-01-04" // last quiet day
+    r.getLong(2) shouldBe 64L
+    r.getLong(3) shouldBe 8L
+    r.getLong(4) shouldBe 24L
+    // a perfectly uniform series has cusum 0 with the earliest day
+    val flat = (1 to 5).map(d => ("u", s"2024-02-0$d")).toDF("grp0", "ds")
+      .select(col("grp0"), to_date(col("ds")).as("day"))
+    val r2 = Profile.cusumChangePoint(flat, "grp0", "day").collect()(0)
+    r2.getLong(2) shouldBe 0L
+    r2.getDate(1).toString shouldBe "2024-02-01" // tie -> earliest
+  }
 }
