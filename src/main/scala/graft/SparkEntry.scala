@@ -2850,6 +2850,40 @@ object SparkEntry {
       operators.Cohorts.cohortLtv(t(s, d, "orders"),
         "o_custkey", "o_orderdate", "o_totalprice")),
 
+    // live change-point view over the q142 streaming MV state: the
+    // additive (day, type) counts merge across two batches, then
+    // cusumFromCounts scores the maintained series ≡ the one-shot
+    // q239 statistic (day strings sort as days)
+    "q241_streaming_cusum" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val st = stateFixture("q241", s, d) { p =>
+        streaming.StreamingAgg.acceptBatch(
+          ev.filter(col("event_id") % 2 === 0), "ts", "event_type",
+          "value", p)
+      }
+      val merged = streaming.StreamingAgg.mergeBatch(
+        ev.filter(col("event_id") % 2 === 1), "ts", "event_type",
+        "value", st)
+      operators.Profile.cusumFromCounts(merged, "event_type", "day", "n")
+        .select(col("grp").as("event_type"), col("change_day"),
+          col("cusum"), col("n_days"), col("n_total"))
+    }),
+
+    // Holt double-exponential forecast per event type over the q156
+    // daily series: level + trend fold (alpha = beta = 0.5, exact
+    // halvings in one fixed op order), one-step forecast = level+trend
+    "q242_holt_forecast" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("dv"))
+      operators.Resample.holt(daily, "event_type", "day", "dv")
+        .select(col("event_type"), col("n_points").as("n_days"),
+          pround(col("level"), 4).as("level"),
+          pround(col("trend"), 4).as("trend"),
+          pround(col("forecast"), 4).as("forecast"))
+    }),
+
     // Nelson–Aalen cumulative hazard over the SAME churn observations
     // as q232 — the additive companion curve (no exp, no infinity
     // path): cum_hazard = exact DECIMAL sum of pround6'd d/n steps
@@ -6720,6 +6754,56 @@ object SparkEntry {
            |  ${pround("CAST(sum(tvc) AS DOUBLE)", 4)} AS tv,
            |  CAST(sum(tvc) AS DOUBLE) > 0.05 AS violates_t
            |FROM tv GROUP BY 1, 2""".stripMargin,
+
+      // the streaming MV state ≡ one-shot daily counts (additivity),
+      // so the oracle is q239's statistic over string days
+      "q241_streaming_cusum" ->
+        """WITH daily AS (
+          |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+          |    CAST(sum(n) AS BIGINT) AS nt
+          |  FROM daily GROUP BY 1),
+          |s AS (
+          |  SELECT d.event_type, d.day, t.nd AS n_days, t.nt AS n_total,
+          |    abs(t.nd * sum(d.n) OVER (PARTITION BY d.event_type
+          |        ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      - (row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)) * t.nt)
+          |      AS cusum
+          |  FROM daily d JOIN tot t USING (event_type))
+          |SELECT event_type, day AS change_day,
+          |  CAST(cusum AS BIGINT) AS cusum, n_days, n_total
+          |FROM s
+          |QUALIFY row_number() OVER (PARTITION BY event_type
+          |  ORDER BY cusum DESC, day) = 1""".stripMargin,
+
+      // the identical level/trend recurrence replayed as a recursive
+      // CTE — newLevel recomputed verbatim in the trend slot, exactly
+      // as the engine's fold does (deterministic IEEE ops, same order)
+      "q242_holt_forecast" ->
+        s"""WITH RECURSIVE daily AS (
+           |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dv
+           |  FROM events GROUP BY 1, 2),
+           |v AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           |    list(dv ORDER BY day) AS l
+           |  FROM daily GROUP BY 1),
+           |h AS (
+           |  SELECT event_type, n_days, l, 1 AS k,
+           |    CAST(l[1] AS DOUBLE) AS lev, CAST(0 AS DOUBLE) AS tr
+           |  FROM v
+           |  UNION ALL
+           |  SELECT event_type, n_days, l, k + 1,
+           |    0.5 * l[k+1] + 0.5 * (lev + tr),
+           |    0.5 * ((0.5 * l[k+1] + 0.5 * (lev + tr)) - lev) + 0.5 * tr
+           |  FROM h WHERE k < n_days)
+           |SELECT event_type, n_days,
+           |  ${pround("lev", 4)} AS level, ${pround("tr", 4)} AS trend,
+           |  ${pround("lev + tr", 4)} AS forecast
+           |FROM h WHERE k = n_days""".stripMargin,
 
       // sliding bigram check over the SAME token list the engine
       // indexes — occurrence counts are exact integers

@@ -214,5 +214,8 @@ object syntax {
     def cohortLtv(userCol: String, dateCol: String,
                   amountCol: String): DataFrame =
       Cohorts.cohortLtv(df, userCol, dateCol, amountCol)
+    def holt(groupCol: String, ordCol: String, valCol: String,
+             alpha: Double = 0.5, beta: Double = 0.5): DataFrame =
+      Resample.holt(df, groupCol, ordCol, valCol, alpha, beta)
   }
 }

@@ -466,18 +466,33 @@ object Profile {
     * `n_days`, `n_total`.
     */
   def cusumChangePoint(df: DataFrame, groupCol: String,
-                       dateCol: String): DataFrame = {
-    val daily = df
-      .filter(col(groupCol).isNotNull && col(dateCol).isNotNull)
-      .groupBy(col(groupCol).as("__g"), col(dateCol).cast("date").as("__day"))
-      .agg(count(lit(1)).cast("long").as("__n"))
-    val tot = daily.groupBy(col("__g"))
+                       dateCol: String): DataFrame =
+    cusumFromCounts(
+      df.filter(col(groupCol).isNotNull && col(dateCol).isNotNull)
+        .groupBy(col(groupCol).as("__cg"), col(dateCol).cast("date").as("__cd"))
+        .agg(count(lit(1)).cast("long").as("__cn")),
+      "__cg", "__cd", "__cn")
+
+  /** [[cusumChangePoint]]'s scoring core over an ALREADY aggregated
+    * (group, period, count) table — the streaming state shape
+    * (`StreamingAgg` maintains exactly that MV additively, so the
+    * live change-point view is this over its state). `ordCol` may be
+    * any orderable period key (a date, or the 'yyyy-MM-dd' string the
+    * streaming MV carries — lexicographic order IS day order there).
+    */
+  def cusumFromCounts(daily: DataFrame, groupCol: String, ordCol: String,
+                      countCol: String): DataFrame = {
+    val d = daily
+      .filter(col(groupCol).isNotNull && col(ordCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(ordCol).as("__day"),
+        col(countCol).cast("long").as("__n"))
+    val tot = d.groupBy(col("__g"))
       .agg(count(lit(1)).cast("long").as("n_days"),
         sum(col("__n")).cast("long").as("n_total"))
     val wCum = Window.partitionBy(col("__g")).orderBy(col("__day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wRank = Window.partitionBy(col("__g")).orderBy(col("__day"))
-    daily.join(tot, Seq("__g"))
+    d.join(tot, Seq("__g"))
       .withColumn("__k", row_number().over(wRank).cast("long"))
       .withColumn("__pre", sum(col("__n")).over(wCum))
       .withColumn("cusum",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Time-series regularization: resample an irregular event stream onto
@@ -53,6 +53,50 @@ object Resample {
         slice(col("__v"), lit(2), greatest(size(col("__v")) - 1, lit(0))),
         element_at(col("__v"), 1),
         (acc, x) => acc * (1.0 - alpha) + x * alpha).as("ewma"))
+  }
+
+  /** Holt double-exponential smoothing per group — [[ewma]] with a
+    * TREND component: level l' = α·x + (1−α)·(l + b), trend
+    * b' = β·(l' − l) + (1−β)·b, seeded l₁ = x₁, b₁ = 0; the one-step
+    * forecast is l + b, which [[ewma]] (flat next = level) cannot
+    * express for a drifting series.
+    *
+    * Determinism is [[ewma]]'s contract: the fold runs over the
+    * sorted per-group array, so accumulation order is TOTAL; with
+    * α = β = 0.5 (the defaults) every step is halvings and IEEE adds
+    * in one fixed operation order — bit-reproducible, and the oracle
+    * replays the identical ops as a recursive CTE. Same state bound:
+    * groups × series length, pre-aggregated series only.
+    */
+  def holt(series: DataFrame, groupCol: String, ordCol: String,
+           valCol: String, alpha: Double = 0.5,
+           beta: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    require(beta > 0 && beta <= 1, s"beta must be in (0,1]: $beta")
+    val folded = series.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        array_sort(collect_list(
+          struct(col(ordCol), col(valCol).cast("double").as(valCol))))
+          .as("__a"))
+      .withColumn("__v", transform(col("__a"), x => x.getField(valCol)))
+    // newLevel appears in BOTH state fields; it is recomputed
+    // verbatim in the trend slot (deterministic expressions give
+    // identical bits) exactly as the oracle's recursive CTE must
+    def newLevel(acc: Column, x: Column) =
+      lit(alpha) * x + lit(1.0 - alpha) * (acc.getField("l") + acc.getField("t"))
+    folded.select(col(groupCol), col("n_points"),
+      element_at(col("__v"), -1).as("last_val"),
+      aggregate(
+        slice(col("__v"), lit(2), greatest(size(col("__v")) - 1, lit(0))),
+        struct(element_at(col("__v"), 1).as("l"), lit(0.0).as("t")),
+        (acc, x) => struct(
+          newLevel(acc, x).as("l"),
+          (lit(beta) * (newLevel(acc, x) - acc.getField("l")) +
+            lit(1.0 - beta) * acc.getField("t")).as("t")))
+        .as("__s"))
+      .select(col(groupCol), col("n_points"), col("last_val"),
+        col("__s.l").as("level"), col("__s.t").as("trend"),
+        (col("__s.l") + col("__s.t")).as("forecast"))
   }
 
   /** Per-group OLS trend slope over an integer-x series — "is this

@@ -137,6 +137,10 @@ class SyntaxSpec extends SparkSpec {
     ord.cohortLtv("u", "day", "amt").queryExecution.analyzed
       .sameResult(graft.operators.Cohorts.cohortLtv(ord, "u", "day", "amt")
         .queryExecution.analyzed) shouldBe true
+    val ser = Seq(("g", "d1", 1.0), ("g", "d2", 2.0)).toDF("g", "day", "v")
+    ser.holt("g", "day", "v").queryExecution.analyzed
+      .sameResult(graft.operators.Resample.holt(ser, "g", "day", "v")
+        .queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

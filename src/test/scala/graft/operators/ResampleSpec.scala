@@ -120,4 +120,25 @@ class ResampleSpec extends SparkSpec {
     out("a") shouldBe ((3L, 3.0, 2.25))
     out("b") shouldBe ((1L, 7.0, 7.0))
   }
+
+  test("holt tracks a drifting series with a trend component ewma misses") {
+    val implicits = spark.implicits; import implicits._
+    // a: [4, 8, 6] — l=4,t=0; x=8: l=6,t=1; x=6: l=6.5,t=0.75 -> 7.25
+    // b: single point — level = value, trend 0, forecast = value
+    val s = Seq(("a", "d1", 4.0), ("a", "d2", 8.0), ("a", "d3", 6.0),
+      ("b", "d1", 5.0)).toDF("g", "day", "v")
+    val out = Resample.holt(s, "g", "day", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    out("a") shouldBe ((3L, 6.5, 0.75, 7.25))
+    out("b") shouldBe ((1L, 5.0, 0.0, 5.0))
+    // a pure linear ramp is tracked exactly in the limit direction:
+    // forecast overshoots toward the next ramp value, ewma lags below
+    val ramp = (1 to 8).map(i => ("r", f"d$i%02d", i.toDouble)).toDF("g", "day", "v")
+    val h = Resample.holt(ramp, "g", "day", "v").collect()(0)
+    val e = Resample.ewma(ramp, "g", "day", "v").collect()(0)
+    h.getDouble(5) should be > e.getDouble(3) // forecast > flat ewma
+    h.getDouble(4) should be > 0.0 // positive trend detected
+  }
 }
