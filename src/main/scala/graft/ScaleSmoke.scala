@@ -408,6 +408,16 @@ object ScaleSmoke {
             .cast("decimal(18,2)").as("amt")),
         "u", "day", "amt").count()
     }
+    // ABC classification: one hash aggregate to n/100 key totals,
+    // then the bucketed DESC prefix — driver holds only bucket
+    // offsets, so cost tracks the aggregate linearly
+    time("abc classification (n/100 keys)") {
+      operators.Pareto.abcClassification(
+        events(rows).select(pmod(col("user_id"), lit(rows / 100)).as("k"),
+          (pmod(hash(col("event_id")), lit(100000)).cast("double") / 100.0)
+            .as("v")),
+        "k", "v", bucketWidth = 256.0).count()
+    }
     // round-10 operators at volume.
     // Kaplan–Meier: n observations collapse to <= 5000 distinct
     // durations in ONE hash aggregate; both global prefix phases are

@@ -2850,6 +2850,15 @@ object SparkEntry {
       operators.Cohorts.cohortLtv(t(s, d, "orders"),
         "o_custkey", "o_orderdate", "o_totalprice")),
 
+    // ABC/Pareto classification of parts by total extended price:
+    // global DESC-ordered running share via the bucketed driver-prefix
+    // (no single-partition window), BIGINT-cent boundary cuts at
+    // 80%/95% inclusive
+    "q243_abc_parts" -> ((s, d) =>
+      operators.Pareto.abcClassification(t(s, d, "lineitem"),
+        "l_partkey", "l_extendedprice", bucketWidth = 65536.0)
+        .withColumnRenamed("l_partkey", "partkey")),
+
     // live change-point view over the q142 streaming MV state: the
     // additive (day, type) counts merge across two batches, then
     // cusumFromCounts scores the maintained series ≡ the one-shot
@@ -6754,6 +6763,28 @@ object SparkEntry {
            |  ${pround("CAST(sum(tvc) AS DOUBLE)", 4)} AS tv,
            |  CAST(sum(tvc) AS DOUBLE) > 0.05 AS violates_t
            |FROM tv GROUP BY 1, 2""".stripMargin,
+
+      // plain global window on the oracle side (DuckDB's single node
+      // is fine with it); DECIMAL cum, BIGINT-cent boundary compares
+      "q243_abc_parts" ->
+        """WITH pv AS (
+          |  SELECT l_partkey AS partkey,
+          |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+          |  FROM lineitem GROUP BY 1),
+          |t AS (SELECT CAST(sum(val) * 100 AS BIGINT) AS totc FROM pv),
+          |c AS (
+          |  SELECT partkey, val,
+          |    CAST(sum(val) OVER (ORDER BY val DESC, partkey
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+          |      AS BIGINT) AS cumc
+          |  FROM pv)
+          |SELECT partkey, round(CAST(val AS DOUBLE), 2) AS value,
+          |  CASE WHEN totc = 0 THEN 0
+          |    ELSE CAST(cumc * 10000 // totc AS BIGINT) END AS share_bp,
+          |  CASE WHEN cumc * 5 <= totc * 4 THEN 'A'
+          |    WHEN cumc * 20 <= totc * 19 THEN 'B'
+          |    ELSE 'C' END AS abc_class
+          |FROM c, t""".stripMargin,
 
       // the streaming MV state ≡ one-shot daily counts (additivity),
       // so the oracle is q239's statistic over string days

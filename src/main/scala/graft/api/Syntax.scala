@@ -217,5 +217,8 @@ object syntax {
     def holt(groupCol: String, ordCol: String, valCol: String,
              alpha: Double = 0.5, beta: Double = 0.5): DataFrame =
       Resample.holt(df, groupCol, ordCol, valCol, alpha, beta)
+    def abcClassification(keyCol: String, valueCol: String,
+                          bucketWidth: Double = 65536.0): DataFrame =
+      Pareto.abcClassification(df, keyCol, valueCol, bucketWidth)
   }
 }

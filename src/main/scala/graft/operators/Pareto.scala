@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ABC (Pareto) classification — the warehouse contribution analysis:
+  * rank keys by total value descending and class them by CUMULATIVE
+  * share (A = the head covering 80% of total value, B = the next 15%,
+  * C = the tail). The q169 whale view counts a fixed top-k per group;
+  * ABC instead cuts at exact share boundaries over the WHOLE
+  * population, which needs a global value-ordered running sum.
+  *
+  * Exactness: per-key totals and the running sum are DECIMAL(18,2)
+  * (order-free, engine-exact); class boundaries compare in BIGINT
+  * cents by cross-multiplication (cum·5 ≤ tot·4 for the 80% cut,
+  * cum·20 ≤ tot·19 for 95%), and `share_bp` is BIGINT floor division
+  * — no float enters any decision. Overflow bound: total value must
+  * stay under ~9.2e14 in cents × 10^4, i.e. ~9.2e12 currency units;
+  * shard the analysis (per region/year) past that.
+  *
+  * Scale shape: the global DESC-ordered prefix is the bucketed
+  * driver-offset pattern (`Survival`/`latenessAudit`): keys bucket by
+  * value range (`floor(value / bucketWidth)` — monotone, so bucket
+  * order IS value order), per-bucket decimal sums collect to the
+  * driver (#buckets rows), exclusive offsets broadcast back, and the
+  * within-bucket window partitions by bucket. No single-partition
+  * window at any key count; ties order by (value desc, key) — total,
+  * engine-portable.
+  */
+object Pareto {
+
+  /** One row per key: `value` (rounded 2), `share_bp` (cumulative
+    * share of total in basis points, floor), `abc_class`.
+    * @param bucketWidth value units per prefix bucket (driver holds
+    *        one offset per OCCUPIED bucket — size it to value_range /
+    *        ~10^4)
+    */
+  def abcClassification(df: DataFrame, keyCol: String, valueCol: String,
+                        bucketWidth: Double = 65536.0): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perKey = df
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__b",
+        floor(col("__v").cast("double") / bucketWidth).cast("long"))
+    val btot = perKey.groupBy(col("__b"))
+      .agg(sum(col("__v")).cast("decimal(18,2)").as("__s"))
+      .collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1)))
+      .sortBy(-_._1) // DESC value order = DESC bucket order
+    var acc = BigDecimal(0)
+    val offs = btot.map { case (b, s) => val o = acc; acc += s; (b, o) }
+    val total = acc
+    if (btot.isEmpty)
+      return perKey.limit(0).select(col("__k").as(keyCol),
+        lit(0.0).as("value"), lit(0L).as("share_bp"),
+        lit("C").as("abc_class"))
+    val offDf = broadcast(offs.toSeq.toDF("__b", "__off")
+      .withColumn("__off", col("__off").cast("decimal(18,2)")))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("__v").desc, col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totC = lit((total * 100).toLongExact)
+    perKey.join(offDf, Seq("__b"))
+      .withColumn("__cum",
+        (col("__off") + sum(col("__v")).over(w)).cast("decimal(18,2)"))
+      .withColumn("__cumc", (col("__cum") * 100).cast("long"))
+      .select(col("__k").as(keyCol),
+        round(col("__v").cast("double"), 2).as("value"),
+        when(totC === 0L, lit(0L))
+          .otherwise(expr(s"CAST(__cumc * 10000 DIV ${(total * 100).toLongExact}L AS BIGINT)"))
+          .as("share_bp"),
+        when(col("__cumc") * 5 <= totC * 4, "A")
+          .when(col("__cumc") * 20 <= totC * 19, "B")
+          .otherwise("C").as("abc_class"))
+  }
+}

@@ -141,6 +141,10 @@ class SyntaxSpec extends SparkSpec {
     ser.holt("g", "day", "v").queryExecution.analyzed
       .sameResult(graft.operators.Resample.holt(ser, "g", "day", "v")
         .queryExecution.analyzed) shouldBe true
+    // abcClassification collects bucket offsets eagerly: compare results
+    val kv = Seq(("a", 60.0), ("b", 40.0)).toDF("k", "v")
+    kv.abcClassification("k", "v").collect().toSeq shouldBe
+      graft.operators.Pareto.abcClassification(kv, "k", "v").collect().toSeq
   }
 
   test("event ops facade delegates to the verified operators") {

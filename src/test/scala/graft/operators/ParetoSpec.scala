@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ParetoSpec extends SparkSpec {
+
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  private def abc(rows: Seq[(String, Double)], width: Double = 65536.0) =
+    Pareto.abcClassification(rows.toDF("k", "v"), "k", "v", width)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getString(3)))).toMap
+
+  test("classes cut at exact cumulative-share boundaries (inclusive)") {
+    // totals: a=50, b=30, c=15, d=5 -> cum shares 50/80/95/100%
+    // 80% boundary is INCLUSIVE (b is A), 95% inclusive (c is B)
+    val out = abc(Seq(("a", 20.0), ("a", 30.0), ("b", 30.0),
+      ("c", 15.0), ("d", 5.0)))
+    out("a") shouldBe ((50.0, 5000L, "A"))
+    out("b") shouldBe ((30.0, 8000L, "A"))
+    out("c") shouldBe ((15.0, 9500L, "B"))
+    out("d") shouldBe ((5.0, 10000L, "C"))
+  }
+
+  test("results are bucketWidth-invariant (cross-bucket DESC prefix ≡ one bucket)") {
+    val rows = (1 to 40).map(i => (s"k$i", (i * 7 % 13 + 1) * 10.0))
+    abc(rows, width = 20.0) shouldBe abc(rows, width = 1e9)
+  }
+
+  test("value ties order by key; null keys dropped; zero total guarded") {
+    // equal values: cum order is key order (k1 before k2)
+    val out = abc(Seq(("k1", 50.0), ("k2", 50.0)))
+    out("k1")._2 shouldBe 5000L
+    out("k2")._2 shouldBe 10000L
+    val withNull = Seq((Option("a"), 10.0), (Option.empty[String], 99.0))
+      .toDF("k", "v")
+    Pareto.abcClassification(withNull, "k", "v").count() shouldBe 1L
+    val zeros = abc(Seq(("a", 0.0), ("b", 0.0)))
+    zeros.values.foreach(_._2 shouldBe 0L)
+  }
+}
