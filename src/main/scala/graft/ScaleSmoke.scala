@@ -408,6 +408,14 @@ object ScaleSmoke {
             .cast("decimal(18,2)").as("amt")),
         "u", "day", "amt").count()
     }
+    // PPS sampling: one hash-order bucketing pass + bucketed prefix —
+    // cost is the single aggregate over n weighted rows
+    time("pps sample (1k of n rows)") {
+      operators.Sampling.ppsSample(
+        events(rows).select(col("event_id").as("k"),
+          (pmod(hash(col("event_id")), lit(500)) + 1).cast("long").as("w")),
+        "k", "w", n = 1000L).count()
+    }
     // ABC classification: one hash aggregate to n/100 key totals,
     // then the bucketed DESC prefix — driver holds only bucket
     // offsets, so cost tracks the aggregate linearly

@@ -2850,6 +2850,17 @@ object SparkEntry {
       operators.Cohorts.cohortLtv(t(s, d, "orders"),
         "o_custkey", "o_orderdate", "o_totalprice")),
 
+    // deterministic PPS systematic sample: ~100 docs proportional to
+    // token count — content-stable hash order, BIGINT stride-boundary
+    // crossings, no RNG (the reproducible "sample by size" primitive)
+    "q244_pps_sample" -> ((s, d) =>
+      operators.Sampling.ppsSample(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(functions.TextFns.tokens(col("text"))).cast("long")
+              .as("n_tok")),
+        "doc_id", "n_tok", n = 100L)),
+
     // ABC/Pareto classification of parts by total extended price:
     // global DESC-ordered running share via the bucketed driver-prefix
     // (no single-partition window), BIGINT-cent boundary cuts at
@@ -6763,6 +6774,25 @@ object SparkEntry {
            |  ${pround("CAST(sum(tvc) AS DOUBLE)", 4)} AS tv,
            |  CAST(sum(tvc) AS DOUBLE) > 0.05 AS violates_t
            |FROM tv GROUP BY 1, 2""".stripMargin,
+
+      // the same md5('pps|key') order and integer stride crossings —
+      // plain global window on DuckDB's single node
+      "q244_pps_sample" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w FROM documents),
+           |k AS (
+           |  SELECT doc_id, w, md5('pps' || '|' || CAST(doc_id AS VARCHAR)) AS sk
+           |  FROM d WHERE w > 0),
+           |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM k),
+           |c AS (
+           |  SELECT doc_id, w,
+           |    sum(w) OVER (ORDER BY sk, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM k)
+           |SELECT doc_id, w AS weight,
+           |  CAST(cum // (tot // 100) - (cum - w) // (tot // 100) AS BIGINT) AS n_hits
+           |FROM c, t
+           |WHERE cum // (tot // 100) > (cum - w) // (tot // 100)""".stripMargin,
 
       // plain global window on the oracle side (DuckDB's single node
       // is fine with it); DECIMAL cum, BIGINT-cent boundary compares

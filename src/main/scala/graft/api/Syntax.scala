@@ -220,5 +220,8 @@ object syntax {
     def abcClassification(keyCol: String, valueCol: String,
                           bucketWidth: Double = 65536.0): DataFrame =
       Pareto.abcClassification(df, keyCol, valueCol, bucketWidth)
+    def ppsSample(keyCol: String, weightCol: String, n: Long,
+                  hexPrefix: Int = 3): DataFrame =
+      Sampling.ppsSample(df, keyCol, weightCol, n, hexPrefix)
   }
 }

@@ -321,4 +321,60 @@ object Sampling {
       .select(col(strataCol), col("n_tokens"), col("share"),
         col("target_share"), col("keep_frac"))
   }
+
+  /** Deterministic PPS (probability-proportional-to-size) systematic
+    * sampling — "sample ~n documents proportional to token count,
+    * reproducibly": rows are laid out in the content-stable salted
+    * hash order, integer weights accumulate, and a row is selected
+    * once per stride boundary T = totalWeight div n its cumulative
+    * weight crosses (`n_hits` = boundary crossings, >= 2 when one
+    * heavy row spans several strides — the standard PPS multiplicity).
+    * No RNG: the same corpus gives the same sample on any engine, any
+    * partitioning, any run, and every selection decision is BIGINT
+    * arithmetic (floor-division boundary counting, exact).
+    *
+    * Scale shape is [[shuffleRank]]'s: hex-prefix buckets of the hash
+    * order (bucket order IS hash order), per-bucket weight sums
+    * collect to the driver (16^hexPrefix offsets, bounded), exclusive
+    * offsets broadcast back, within-bucket window finishes the prefix.
+    * Overflow contract: total weight < 2^63 (token counts at 10^11
+    * docs × 10^4 tokens = 10^15 — comfortable).
+    *
+    * Output: the selected rows as (key, weight, n_hits).
+    */
+  def ppsSample(df: DataFrame, keyCol: String, weightCol: String,
+                n: Long, hexPrefix: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(hexPrefix >= 1 && hexPrefix <= 6,
+      s"hexPrefix must be in [1,6]: $hexPrefix")
+    val keyed = df
+      .filter(col(keyCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(keyCol).as("__k"), col(weightCol).cast("long").as("__w"))
+      .withColumn("__sk", saltedOrderKey("pps", col("__k")))
+      .withColumn("__bkt",
+        conv(substring(col("__sk"), 1, hexPrefix), 16, 10).cast("long"))
+    val btot = keyed.groupBy(col("__bkt"))
+      .agg(sum(col("__w")).cast("long").as("__s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offs = btot.map { case (b, s) => val o = acc; acc += s; (b, o) }
+    val total = acc
+    require(total >= n,
+      s"total weight $total < n=$n — every unit would be a boundary")
+    val stride = total / n
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offs.toSeq.toDF("__bkt", "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col("__sk"), col("__k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    keyed.join(offDf, Seq("__bkt"))
+      .withColumn("__cum", col("__off") + sum(col("__w")).over(w))
+      .withColumn("n_hits",
+        expr(s"CAST(__cum DIV ${stride}L - (__cum - __w) DIV ${stride}L AS BIGINT)"))
+      .filter(col("n_hits") >= 1)
+      .select(col("__k").as(keyCol), col("__w").as("weight"), col("n_hits"))
+  }
 }

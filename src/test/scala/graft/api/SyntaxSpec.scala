@@ -141,10 +141,14 @@ class SyntaxSpec extends SparkSpec {
     ser.holt("g", "day", "v").queryExecution.analyzed
       .sameResult(graft.operators.Resample.holt(ser, "g", "day", "v")
         .queryExecution.analyzed) shouldBe true
-    // abcClassification collects bucket offsets eagerly: compare results
+    // abcClassification/ppsSample collect bucket offsets eagerly:
+    // compare results
     val kv = Seq(("a", 60.0), ("b", 40.0)).toDF("k", "v")
     kv.abcClassification("k", "v").collect().toSeq shouldBe
       graft.operators.Pareto.abcClassification(kv, "k", "v").collect().toSeq
+    val wts = Seq((1L, 5L), (2L, 5L)).toDF("k", "w")
+    wts.ppsSample("k", "w", 2L).collect().toSeq shouldBe
+      Sampling.ppsSample(wts, "k", "w", 2L).collect().toSeq
   }
 
   test("event ops facade delegates to the verified operators") {

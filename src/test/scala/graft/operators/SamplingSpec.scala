@@ -129,4 +129,50 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.epochShards(d, "doc_id", epochs = 2, shards = 8)
     again.exceptAll(out).count() shouldBe 0L
   }
+
+  test("ppsSample matches an independent hash-order crossing recurrence") {
+    val implicits = spark.implicits; import implicits._
+    val rows = (1L to 50L).map(i => (i, (i * 7 % 23 + 1)))
+    val df = rows.toDF("doc_id", "w")
+    val n = 10L
+    val out = Sampling.ppsSample(df, "doc_id", "w", n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // independent replication: md5("pps|<key>") order, integer stride
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = rows.sortBy { case (k, _) => (md5hex(s"pps|$k"), k) }
+    val total = rows.map(_._2).sum
+    val stride = total / n
+    var cum = 0L
+    val want = ordered.flatMap { case (k, w) =>
+      val before = cum / stride; cum += w
+      val hits = cum / stride - before
+      if (hits >= 1) Some(k -> ((w, hits))) else None
+    }.toMap
+    out shouldBe want
+    out.values.map(_._2).sum shouldBe total / stride // all crossings land
+  }
+
+  test("ppsSample: weight >= stride is always selected; hexPrefix-invariant") {
+    val implicits = spark.implicits; import implicits._
+    // one whale (w=1000) among 100 ants (w=1): stride = 1100/10 = 110,
+    // the whale crosses >= 9 boundaries and MUST be in every sample
+    val df = ((1L to 100L).map(i => (i, 1L)) :+ (999L, 1000L))
+      .toDF("doc_id", "w")
+    val out = Sampling.ppsSample(df, "doc_id", "w", n = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out(999L) should be >= 9L
+    // prefix width only changes the bucketing, never the hash order
+    val p1 = Sampling.ppsSample(df, "doc_id", "w", 10L, hexPrefix = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val p3 = Sampling.ppsSample(df, "doc_id", "w", 10L, hexPrefix = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    p1 shouldBe p3
+    // zero/negative/null weights are dropped, not boundary-welded
+    val dirty = Seq((1L, Option(5L)), (2L, Option(0L)), (3L, Option(-2L)),
+      (4L, Option.empty[Long])).toDF("doc_id", "w")
+    Sampling.ppsSample(dirty, "doc_id", "w", n = 5L)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+  }
 }
