@@ -408,6 +408,19 @@ object ScaleSmoke {
             .cast("decimal(18,2)").as("amt")),
         "u", "day", "amt").count()
     }
+    // BFS 3 layers over a random graph (mean degree ~4) from a 1%
+    // seed cohort: per round one frontier join + distinct + anti-join
+    // — frontier growth, not corpus size, drives each round
+    time("bfs layers (depth 3, 1% seeds)") {
+      val m = rows / 2
+      val ed = events(rows).select(
+        pmod(col("event_id") * 31L + 7L, lit(m)).as("id_a"),
+        pmod(col("user_id") * 131L + col("event_id"), lit(m)).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val sd = spark.range(m / 100).select((col("id") * 100L).as("n"))
+      operators.Bfs.layers(ed, "id_a", "id_b", sd, "n", maxDepth = 3)
+        .count()
+    }
     // PPS sampling: one hash-order bucketing pass + bucketed prefix —
     // cost is the single aggregate over n weighted rows
     time("pps sample (1k of n rows)") {

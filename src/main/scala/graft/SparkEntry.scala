@@ -2850,6 +2850,38 @@ object SparkEntry {
       operators.Cohorts.cohortLtv(t(s, d, "orders"),
         "o_custkey", "o_orderdate", "o_totalprice")),
 
+    // multi-source BFS layers over the near-dup candidate graph: how
+    // far a seed cohort (doc_id % 13 == 0 graph nodes) spreads through
+    // q21's banding in <= 3 hops — exact set computation, unrolled
+    // oracle rounds
+    "q245_bfs_layers" -> ((s, d) => {
+      val pairs = Dedup.minhashCandidates(t(s, d, "documents"),
+        "text", "doc_id", bands = 3, rowsPerBand = 2)
+      val nodes = pairs.select(col("id_a").as("n"))
+        .unionAll(pairs.select(col("id_b").as("n"))).distinct()
+      operators.Bfs.layers(pairs, "id_a", "id_b",
+        nodes.filter(col("n") % 13 === 0), "n", maxDepth = 3)
+        .withColumnRenamed("node", "doc_id")
+    }),
+
+    // top user-day event paths: the first three event types of each
+    // (user, day), ordered by (ts, event_id) — the sankey/funnel
+    // discovery view; top-20 by (count desc, path)
+    "q246_top_paths" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("__day"))
+        .agg(array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          col("event_type").as("et")))).as("__evs"))
+        .select(concat_ws(">",
+          slice(transform(col("__evs"), x => x.getField("et")), 1, 3))
+          .as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).cast("long").as("n_user_days"))
+        .orderBy(col("n_user_days").desc, col("path"))
+        .limit(20)),
+
     // deterministic PPS systematic sample: ~100 docs proportional to
     // token count — content-stable hash order, BIGINT stride-boundary
     // crossings, no RNG (the reproducible "sample by size" primitive)
@@ -6774,6 +6806,50 @@ object SparkEntry {
            |  ${pround("CAST(sum(tvc) AS DOUBLE)", 4)} AS tv,
            |  CAST(sum(tvc) AS DOUBLE) > 0.05 AS violates_t
            |FROM tv GROUP BY 1, 2""".stripMargin,
+
+      // q21's candidate pairs as a symmetric edge list, three unrolled
+      // frontier rounds (exact set computation — no scores, no ties)
+      "q245_bfs_layers" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |hh AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM hh GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |      FROM bk a JOIN bk b
+           |      ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM p
+           |      UNION SELECT id_b, id_a FROM p),
+           |l0 AS (SELECT DISTINCT src AS node FROM e WHERE src % 13 = 0),
+           |l1 AS (SELECT DISTINCT e.dst AS node FROM e
+           |       JOIN l0 ON e.src = l0.node
+           |       WHERE e.dst NOT IN (SELECT node FROM l0)),
+           |l2 AS (SELECT DISTINCT e.dst AS node FROM e
+           |       JOIN l1 ON e.src = l1.node
+           |       WHERE e.dst NOT IN (SELECT node FROM l0)
+           |         AND e.dst NOT IN (SELECT node FROM l1)),
+           |l3 AS (SELECT DISTINCT e.dst AS node FROM e
+           |       JOIN l2 ON e.src = l2.node
+           |       WHERE e.dst NOT IN (SELECT node FROM l0)
+           |         AND e.dst NOT IN (SELECT node FROM l1)
+           |         AND e.dst NOT IN (SELECT node FROM l2))
+           |SELECT node AS doc_id, CAST(0 AS BIGINT) AS dist FROM l0
+           |UNION ALL SELECT node, 1 FROM l1
+           |UNION ALL SELECT node, 2 FROM l2
+           |UNION ALL SELECT node, 3 FROM l3""".stripMargin,
+
+      // per-(user, day) first-three event types in (ts, event_id)
+      // order; exact path counts, top-20 under a total order
+      "q246_top_paths" ->
+        """WITH s AS (
+          |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+          |    list(event_type ORDER BY ts, event_id) AS evs
+          |  FROM events GROUP BY 1, 2),
+          |p AS (SELECT array_to_string(evs[1:3], '>') AS path FROM s)
+          |SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
+          |FROM p GROUP BY 1
+          |ORDER BY n_user_days DESC, path LIMIT 20""".stripMargin,
 
       // the same md5('pps|key') order and integer stride crossings —
       // plain global window on DuckDB's single node

@@ -223,5 +223,8 @@ object syntax {
     def ppsSample(keyCol: String, weightCol: String, n: Long,
                   hexPrefix: Int = 3): DataFrame =
       Sampling.ppsSample(df, keyCol, weightCol, n, hexPrefix)
+    def bfsLayers(aCol: String, bCol: String, seeds: DataFrame,
+                  seedCol: String, maxDepth: Int): DataFrame =
+      Bfs.layers(df, aCol, bCol, seeds, seedCol, maxDepth)
   }
 }

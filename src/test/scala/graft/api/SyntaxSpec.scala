@@ -149,6 +149,13 @@ class SyntaxSpec extends SparkSpec {
     val wts = Seq((1L, 5L), (2L, 5L)).toDF("k", "w")
     wts.ppsSample("k", "w", 2L).collect().toSeq shouldBe
       Sampling.ppsSample(wts, "k", "w", 2L).collect().toSeq
+    // bfsLayers checkpoints per round: compare results
+    val bedges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val bseeds = Seq(1L).toDF("n")
+    bedges.bfsLayers("a", "b", bseeds, "n", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      graft.operators.Bfs.layers(bedges, "a", "b", bseeds, "n", 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
   test("event ops facade delegates to the verified operators") {
