@@ -193,10 +193,11 @@ object ScaleSmoke {
     val prefixStage = "prefix-filter join (3-shingles)"
     val ksStage = "ks drift by source"
     val phraseStage = "phrase search (stopword posting)"
+    val coverageStage = "greedy coverage (3 rounds)"
     val textStages = Seq(docsWrite, simhashStage, tfidfStage, spansStage,
       curationStage, screenStage, paraStage, lmStage, bpeStage,
       lineDupStage, noveltyStage, decontStage, winnowStage, prefixStage,
-      ksStage, phraseStage)
+      ksStage, phraseStage, coverageStage)
     val anyText = textStages.exists(willRun)
     time(docsWrite, force = anyText) {
       docs(rows).write.mode("overwrite").parquet(docsPath); rows
@@ -309,6 +310,13 @@ object ScaleSmoke {
     time(phraseStage) {
       operators.TextIndex.phraseMatches(docsPq, "text", "doc_id",
         "the w0").count()
+    }
+    // greedy coverage, 3 rounds: the (doc, shingle) table computes
+    // once; each round is one broadcast anti-join + hash agg +
+    // TakeOrdered(1) — k-rounds driver shape, linear per round
+    time(coverageStage) {
+      operators.Selection.greedyCoverage(docsPq, "text", "doc_id",
+        k = 3, shingleN = 3).count()
     }
     // value-compressed fuzzy match: 40x40 synthetic two-word names over
     // n rows (duplication factor n/1600) — cost must track DISTINCT

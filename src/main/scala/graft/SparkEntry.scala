@@ -2850,6 +2850,15 @@ object SparkEntry {
       operators.Cohorts.cohortLtv(t(s, d, "orders"),
         "o_custkey", "o_orderdate", "o_totalprice")),
 
+    // greedy coverage-maximizing selection: the 3 docs that jointly
+    // cover the most 3-shingles (facility-location greedy, the
+    // diverse-subset selector) — exact integer gains, (gain desc, id)
+    // tie order, unrolled-round oracle
+    "q247_greedy_coverage" -> ((s, d) =>
+      operators.Selection.greedyCoverage(t(s, d, "documents"),
+        "text", "doc_id", k = 3, shingleN = 3)
+        .withColumnRenamed("doc", "doc_id")),
+
     // multi-source BFS layers over the near-dup candidate graph: how
     // far a seed cohort (doc_id % 13 == 0 graph nodes) spreads through
     // q21's banding in <= 3 hops — exact set computation, unrolled
@@ -6806,6 +6815,36 @@ object SparkEntry {
            |  ${pround("CAST(sum(tvc) AS DOUBLE)", 4)} AS tv,
            |  CAST(sum(tvc) AS DOUBLE) > 0.05 AS violates_t
            |FROM tv GROUP BY 1, 2""".stripMargin,
+
+      // the greedy rounds unrolled: argmax by (new-shingle count desc,
+      // id), covered set accumulates; a round with no positive-gain
+      // doc emits no row (the engine's early stop)
+      "q247_greedy_coverage" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |gr AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS g FROM d),
+           |w1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM gr
+           |       GROUP BY 1 ORDER BY nc DESC, doc_id LIMIT 1),
+           |c1 AS (SELECT DISTINCT g FROM gr JOIN w1 USING (doc_id)),
+           |w2 AS (SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS nc FROM gr
+           |       WHERE gr.g NOT IN (SELECT g FROM c1)
+           |         AND gr.doc_id NOT IN (SELECT doc_id FROM w1)
+           |       GROUP BY 1 ORDER BY nc DESC, doc_id LIMIT 1),
+           |c2 AS (SELECT g FROM c1
+           |       UNION SELECT gr.g FROM gr JOIN w2 USING (doc_id)),
+           |w3 AS (SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS nc FROM gr
+           |       WHERE gr.g NOT IN (SELECT g FROM c2)
+           |         AND gr.doc_id NOT IN (SELECT doc_id FROM w1)
+           |         AND gr.doc_id NOT IN (SELECT doc_id FROM w2)
+           |       GROUP BY 1 ORDER BY nc DESC, doc_id LIMIT 1),
+           |c3 AS (SELECT g FROM c2
+           |       UNION SELECT gr.g FROM gr JOIN w3 USING (doc_id))
+           |SELECT CAST(1 AS BIGINT) AS round, doc_id, nc AS new_grams,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c1) AS covered_total
+           |FROM w1
+           |UNION ALL SELECT 2, doc_id, nc,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c2) FROM w2
+           |UNION ALL SELECT 3, doc_id, nc,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c3) FROM w3""".stripMargin,
 
       // q21's candidate pairs as a symmetric edge list, three unrolled
       // frontier rounds (exact set computation — no scores, no ties)

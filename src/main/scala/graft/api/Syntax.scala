@@ -226,5 +226,8 @@ object syntax {
     def bfsLayers(aCol: String, bCol: String, seeds: DataFrame,
                   seedCol: String, maxDepth: Int): DataFrame =
       Bfs.layers(df, aCol, bCol, seeds, seedCol, maxDepth)
+    def greedyCoverage(textCol: String, idCol: String, k: Int,
+                       shingleN: Int = 3): DataFrame =
+      Selection.greedyCoverage(df, textCol, idCol, k, shingleN)
   }
 }

@@ -149,13 +149,18 @@ class SyntaxSpec extends SparkSpec {
     val wts = Seq((1L, 5L), (2L, 5L)).toDF("k", "w")
     wts.ppsSample("k", "w", 2L).collect().toSeq shouldBe
       Sampling.ppsSample(wts, "k", "w", 2L).collect().toSeq
-    // bfsLayers checkpoints per round: compare results
+    // bfsLayers/greedyCoverage run driver rounds: compare results
     val bedges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val bseeds = Seq(1L).toDF("n")
     bedges.bfsLayers("a", "b", bseeds, "n", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
       graft.operators.Bfs.layers(bedges, "a", "b", bseeds, "n", 2)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gdocs = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    gdocs.greedyCoverage("text", "doc_id", k = 2, shingleN = 1)
+      .collect().toSeq shouldBe
+      graft.operators.Selection.greedyCoverage(gdocs, "text", "doc_id",
+        k = 2, shingleN = 1).collect().toSeq
   }
 
   test("event ops facade delegates to the verified operators") {
