@@ -2859,6 +2859,42 @@ object SparkEntry {
         "text", "doc_id", k = 3, shingleN = 3)
         .withColumnRenamed("doc", "doc_id")),
 
+    // exact AUC (Mann–Whitney with midrank ties): does the event value
+    // separate purchases from the rest? Bucketed global prefix of
+    // per-distinct-score negative counts — no single-partition window;
+    // U accumulates as DECIMAL(38,0)
+    "q248_rank_auc" -> ((s, d) =>
+      operators.Metrics.rankAuc(
+        t(s, d, "events").withColumn("is_purchase",
+          (col("event_type") === "purchase").cast("long")),
+        "value", "is_purchase", bucketWidth = 16.0)),
+
+    // decile gains/lift: documents ranked desc by n_chars (doc_id
+    // tie-break), 10 equal-rank tiles, per-tile concentration of
+    // English docs — exact bp rates, one fixed-order double lift
+    "q249_gains_table" -> ((s, d) =>
+      operators.Metrics.gainsTable(
+        t(s, d, "documents").withColumn("is_en",
+          (col("lang") === "en").cast("long")),
+        "n_chars", "doc_id", "is_en", tiles = 10, bucketWidth = 16.0)),
+
+    // calibration/reliability bins of event value vs purchase rate:
+    // one hash aggregate, DECIMAL-exact bin means, floor-division bp
+    "q250_calibration_bins" -> ((s, d) =>
+      operators.Metrics.calibrationBins(
+        t(s, d, "events").withColumn("is_purchase",
+          (col("event_type") === "purchase").cast("long")),
+        "value", "is_purchase", binWidth = 50.0)),
+
+    // first-order Markov transition matrix of event types within each
+    // (user, day) sequence ordered by (ts, event_id): one partitioned
+    // window pass + two hash aggs; prob_bp exact floor division
+    "q251_markov_transitions" -> ((s, d) =>
+      operators.Markov.transitions(
+        t(s, d, "events").withColumn("__day",
+          date_format(col("ts"), "yyyy-MM-dd")),
+        Seq("user_id", "__day"), Seq("ts", "event_id"), "event_type")),
+
     // multi-source BFS layers over the near-dup candidate graph: how
     // far a seed cohort (doc_id % 13 == 0 graph nodes) spreads through
     // q21's banding in <= 3 hops — exact set computation, unrolled
@@ -6845,6 +6881,101 @@ object SparkEntry {
            |  (SELECT CAST(count(*) AS BIGINT) FROM c2) FROM w2
            |UNION ALL SELECT 3, doc_id, nc,
            |  (SELECT CAST(count(*) AS BIGINT) FROM c3) FROM w3""".stripMargin,
+
+      // per-distinct-score class counts, global prefix of negatives
+      // (plain window on DuckDB's single node), DECIMAL(38,0) U, one
+      // fixed-order double division + pround6
+      "q248_rank_auc" ->
+        """WITH e AS (
+          |  SELECT value AS s,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+          |  FROM events WHERE value IS NOT NULL),
+          |ps AS (
+          |  SELECT s, CAST(sum(p) AS BIGINT) AS np,
+          |    CAST(count(*) - sum(p) AS BIGINT) AS nn
+          |  FROM e GROUP BY 1),
+          |pre AS (
+          |  SELECT s, np, nn,
+          |    CAST(coalesce(sum(nn) OVER (ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS below
+          |  FROM ps),
+          |tot AS (
+          |  SELECT CAST(sum(np) AS BIGINT) AS npt,
+          |    CAST(sum(nn) AS BIGINT) AS nnt
+          |  FROM ps),
+          |u AS (
+          |  SELECT sum(CAST(np * (2 * below + nn) AS DECIMAL(38,0))) AS u2
+          |  FROM pre)
+          |SELECT npt AS n_pos, nnt AS n_neg,
+          |  floor(CAST(u2 AS DOUBLE) / (2.0 * npt * nnt) * 1000000 + 0.5)
+          |    / 1000000 AS auc
+          |FROM u, tot""".stripMargin,
+
+      // rank = row_number over (score desc, id) on the single node;
+      // tile = floor(rank*tiles/n); exact bp + one fixed-order lift
+      "q249_gains_table" ->
+        """WITH d AS (
+          |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS s,
+          |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, s, p,
+          |    CAST(row_number() OVER (ORDER BY s DESC, doc_id) - 1
+          |      AS BIGINT) AS rk
+          |  FROM d),
+          |tot AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(p) AS BIGINT) AS np
+          |  FROM d),
+          |g AS (
+          |  SELECT CAST(rk * 10 // n AS BIGINT) AS tile,
+          |    CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(sum(p) AS BIGINT) AS n_pos
+          |  FROM r, tot GROUP BY 1)
+          |SELECT tile, n_rows, n_pos,
+          |  CAST(n_pos * 10000 // n_rows AS BIGINT) AS pos_rate_bp,
+          |  floor((CAST(n_pos AS DOUBLE) * n) / (CAST(n_rows AS DOUBLE) * np)
+          |    * 1000000 + 0.5) / 1000000 AS lift
+          |FROM g, tot""".stripMargin,
+
+      // fixed-width score bins; DECIMAL(18,6) bin sums, one division +
+      // pround6, floor-division bp
+      "q250_calibration_bins" ->
+        """WITH e AS (
+          |  SELECT value AS s,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+          |  FROM events WHERE value IS NOT NULL),
+          |b AS (
+          |  SELECT CAST(floor(s / 50.0) AS BIGINT) AS bin,
+          |    CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(sum(p) AS BIGINT) AS n_pos,
+          |    sum(CAST(s AS DECIMAL(18,6))) AS ss
+          |  FROM e GROUP BY 1)
+          |SELECT bin, CAST(bin AS DOUBLE) * 50.0 AS bin_lo, n_rows, n_pos,
+          |  floor(CAST(ss AS DOUBLE) / CAST(n_rows AS DOUBLE) * 1000000 + 0.5)
+          |    / 1000000 AS mean_score,
+          |  CAST(n_pos * 10000 // n_rows AS BIGINT) AS pos_rate_bp
+          |FROM b""".stripMargin,
+
+      // lead() within (user, day) ordered by (ts, event_id); pair
+      // counts + per-from totals; prob_bp exact floor division
+      "q251_markov_transitions" ->
+        """WITH s AS (
+          |  SELECT event_type,
+          |    lead(event_type) OVER (
+          |      PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+          |      ORDER BY ts, event_id) AS nxt
+          |  FROM events),
+          |p AS (
+          |  SELECT event_type AS from_type, nxt AS to_type,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS ft
+          |      FROM p GROUP BY 1)
+          |SELECT p.from_type, p.to_type, p.n,
+          |  CAST(p.n * 10000 // f.ft AS BIGINT) AS prob_bp
+          |FROM p JOIN f USING (from_type)""".stripMargin,
 
       // q21's candidate pairs as a symmetric edge list, three unrolled
       // frontier rounds (exact set computation — no scores, no ties)

@@ -229,5 +229,17 @@ object syntax {
     def greedyCoverage(textCol: String, idCol: String, k: Int,
                        shingleN: Int = 3): DataFrame =
       Selection.greedyCoverage(df, textCol, idCol, k, shingleN)
+    def rankAuc(scoreCol: String, labelCol: String,
+                bucketWidth: Double = 1.0): DataFrame =
+      Metrics.rankAuc(df, scoreCol, labelCol, bucketWidth)
+    def gainsTable(scoreCol: String, idCol: String, labelCol: String,
+                   tiles: Int = 10, bucketWidth: Double = 1.0): DataFrame =
+      Metrics.gainsTable(df, scoreCol, idCol, labelCol, tiles, bucketWidth)
+    def calibrationBins(scoreCol: String, labelCol: String,
+                        binWidth: Double): DataFrame =
+      Metrics.calibrationBins(df, scoreCol, labelCol, binWidth)
+    def markovTransitions(groupCols: Seq[String], ordCols: Seq[String],
+                          typeCol: String): DataFrame =
+      Markov.transitions(df, groupCols, ordCols, typeCol)
   }
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality metrics over (score, label) columns — the model- and
+  * filter-evaluation queries a curation pipeline runs after scoring a
+  * corpus (does the quality score actually separate keep from drop?):
+  * exact AUC, the decile gains/lift table, and calibration bins.
+  *
+  * All three need GLOBAL ORDER over the score column, which at corpus
+  * scale must not become a single-partition sort or window. The shape
+  * here is the `shuffleRank`/`latenessAudit` two-phase bucketed prefix:
+  * scores bucket by `floor(score / bucketWidth)`, per-bucket totals
+  * collect to the driver (#occupied-buckets rows — bounded by score
+  * RANGE / bucketWidth, a data contract, never by row count), exclusive
+  * offsets broadcast back, and a window PARTITIONED BY BUCKET finishes
+  * the prefix. No stage sees more than one bucket's rows in one task.
+  *
+  * SNAPSHOT ASSUMPTION (same as `shuffleRank`): the per-bucket totals
+  * run as a driver job when the operator is CALLED, and the offsets are
+  * baked into the returned plan as a broadcast literal. The aggregated
+  * per-score/per-row frame is `localCheckpoint`ed first so both the
+  * driver job and the returned plan read one materialization.
+  *
+  * Numeric discipline: counts stay BIGINT; the rank-sum statistic
+  * accumulates as DECIMAL(38,0) (exact at any scale — no 2^63 ceiling
+  * on U = O(n_pos·n_neg)); ratios are ONE fixed-order double expression
+  * rounded with `floor(x·10^6 + 0.5)/10^6`, mirrored verbatim in the
+  * DuckDB oracles.
+  */
+object Metrics {
+
+  private def pround6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** Exact AUC (Mann–Whitney U with midrank tie handling): the
+    * probability a random positive outranks a random negative, plus
+    * half-credit for ties —
+    *   AUC = Σ_s np(s)·(2·negBelow(s) + nn(s)) / (2·NP·NN)
+    * summed over DISTINCT scores s. Computed from the per-score
+    * (n_pos, n_neg) table (first hash aggregate — ties collapse there,
+    * so no midrank bookkeeping survives to the prefix phase), with
+    * negBelow(s) as a bucketed global prefix of n_neg.
+    *
+    * Output: ONE row — `n_pos`, `n_neg` (BIGINT), `auc` (double at 6
+    * places; NULL when either class is empty and AUC is undefined).
+    *
+    * @param bucketWidth score units per prefix bucket; the driver holds
+    *        one offset per occupied bucket (score range / bucketWidth
+    *        rows — size it from the score domain, e.g. 1.0 for scores
+    *        in [0, 500])
+    */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String,
+              bucketWidth: Double = 1.0): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L).as("__p"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__p")).cast("long").as("__np"),
+        (count(lit(1)) - sum(col("__p"))).cast("long").as("__nn"))
+      .withColumn("__b", floor(col("__s") / lit(bucketWidth)).cast("long"))
+      .localCheckpoint(true)
+    val btot = perScore.groupBy(col("__b"))
+      .agg(sum(col("__nn")).cast("long").as("__n"),
+        sum(col("__np")).cast("long").as("__pp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accNeg = 0L; var npTot = 0L; var nnTot = 0L
+    val offs = btot.map { case (b, nns, nps) =>
+      val o = accNeg; accNeg += nns; npTot += nps; nnTot += nns; (b, o)
+    }
+    val offDf =
+      if (offs.isEmpty) Seq.empty[(Long, Long)].toDF("__b", "__off")
+      else offs.toSeq.toDF("__b", "__off")
+    val wPrior = Window.partitionBy(col("__b")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val den = 2.0 * npTot.toDouble * nnTot.toDouble
+    perScore.join(broadcast(offDf), Seq("__b"))
+      .withColumn("__below",
+        col("__off") + coalesce(sum(col("__nn")).over(wPrior), lit(0L)))
+      .agg(sum((col("__np") * (col("__below") * 2L + col("__nn")))
+        .cast("decimal(38,0)")).as("__u2"))
+      .select(lit(npTot).as("n_pos"), lit(nnTot).as("n_neg"),
+        (if (npTot > 0L && nnTot > 0L)
+          pround6(coalesce(col("__u2"), lit(0L)).cast("double") / lit(den))
+        else lit(null).cast("double")).as("auc"))
+  }
+
+  /** Decile (n-tile) gains/lift table: rows ranked DESCENDING by
+    * (score, then `idCol` ascending as the deterministic tie-break),
+    * rank sliced into `tiles` equal-width tiles, and each tile scored
+    * for positive concentration:
+    *   lift(t) = (n_pos(t)/n_rows(t)) / (NP/N)
+    * Rank is the bucketed global prefix (bucket on NEGATED score so
+    * bucket order = descending score order); the tie-break makes the
+    * rank — and therefore every tile boundary — engine-replayable.
+    *
+    * Output: one row per tile — `tile` (0-based BIGINT), `n_rows`,
+    * `n_pos` (BIGINT), `pos_rate_bp` (exact floor-division basis
+    * points), `lift` (double at 6 places).
+    *
+    * @param idCol a UNIQUE key (ties on (score, id) would make rank,
+    *        and thus tile boundaries, nondeterministic)
+    */
+  def gainsTable(df: DataFrame, scoreCol: String, idCol: String,
+                 labelCol: String, tiles: Int = 10,
+                 bucketWidth: Double = 1.0): DataFrame = {
+    require(tiles >= 2 && tiles <= 10000, s"tiles out of range: $tiles")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        (-col(scoreCol).cast("double")).as("__neg"),
+        when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L).as("__p"))
+      .withColumn("__b", floor(col("__neg") / lit(bucketWidth)).cast("long"))
+      .localCheckpoint(true)
+    val btot = keyed.groupBy(col("__b"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__p")).cast("long").as("__pp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var acc = 0L; var pTot = 0L
+    val offs = btot.map { case (b, n, p) =>
+      val o = acc; acc += n; pTot += p; (b, o)
+    }
+    val nTot = acc
+    val offDf =
+      if (offs.isEmpty) Seq.empty[(Long, Long)].toDF("__b", "__off")
+      else offs.toSeq.toDF("__b", "__off")
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("__neg"), col("__id"))
+    val base = if (pTot > 0L && nTot > 0L)
+      (col("n_pos").cast("double") * lit(nTot.toDouble)) /
+        (col("n_rows").cast("double") * lit(pTot.toDouble))
+    else lit(null).cast("double")
+    keyed.join(broadcast(offDf), Seq("__b"))
+      .withColumn("__rank",
+        col("__off") + row_number().over(w).cast("long") - 1L)
+      .groupBy(call_function("div", col("__rank") * lit(tiles.toLong),
+        lit(math.max(nTot, 1L))).as("tile"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("__p")).cast("long").as("n_pos"))
+      .withColumn("pos_rate_bp",
+        call_function("div", col("n_pos") * 10000L, col("n_rows")))
+      .withColumn("lift", pround6(base))
+  }
+
+  /** Calibration (reliability) bins: scores binned by fixed width, each
+    * bin reporting volume, exact mean score, and positive rate — the
+    * table a reliability diagram plots ("do rows scored ~0.8 convert
+    * ~80% of the time?"). One hash aggregate; the mean is a
+    * DECIMAL(18,6) sum divided once (exact, partial-agg-order-free).
+    *
+    * Output per occupied bin, `bin` ascending: `bin` (BIGINT,
+    * floor(score/binWidth)), `bin_lo` (double, bin·binWidth), `n_rows`,
+    * `n_pos` (BIGINT), `mean_score` (double at 6), `pos_rate_bp`.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L).as("__p"))
+      .groupBy(floor(col("__s") / lit(binWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("__p")).cast("long").as("n_pos"),
+        sum(col("__s").cast("decimal(18,6)")).as("__ssum"))
+      .select(col("bin"), (col("bin").cast("double") * lit(binWidth)).as("bin_lo"),
+        col("n_rows"), col("n_pos"),
+        pround6(col("__ssum").cast("double") / col("n_rows").cast("double"))
+          .as("mean_score"),
+        call_function("div", col("n_pos") * 10000L, col("n_rows"))
+          .as("pos_rate_bp"))
+  }
+}

@@ -163,6 +163,24 @@ class SyntaxSpec extends SparkSpec {
         k = 2, shingleN = 1).collect().toSeq
   }
 
+  test("metric ops facade delegates to the verified operators") {
+    // rankAuc/gainsTable collect bucket offsets eagerly: compare results
+    val sc = Seq(("a", 3.0, 1L), ("b", 2.0, 0L), ("c", 1.0, 1L))
+      .toDF("id", "s", "lab")
+    sc.rankAuc("s", "lab").collect().toSeq shouldBe
+      graft.operators.Metrics.rankAuc(sc, "s", "lab").collect().toSeq
+    sc.gainsTable("s", "id", "lab", tiles = 3).collect().toSet shouldBe
+      graft.operators.Metrics.gainsTable(sc, "s", "id", "lab", tiles = 3)
+        .collect().toSet
+    sc.calibrationBins("s", "lab", 1.0).queryExecution.analyzed
+      .sameResult(graft.operators.Metrics.calibrationBins(sc, "s", "lab", 1.0)
+        .queryExecution.analyzed) shouldBe true
+    val mk = Seq(("g", 1L, "a"), ("g", 2L, "b")).toDF("g", "ord", "t")
+    mk.markovTransitions(Seq("g"), Seq("ord"), "t").queryExecution.analyzed
+      .sameResult(graft.operators.Markov.transitions(mk, Seq("g"),
+        Seq("ord"), "t").queryExecution.analyzed) shouldBe true
+  }
+
   test("event ops facade delegates to the verified operators") {
     val ev = Seq((1L, 0L), (1L, 30L), (1L, 5000L)).toDF("user_id", "sec")
       .withColumn("ts", timestamp_seconds(col("sec")))

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed oracles for the ranking-metric operators. */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // scores: pos at {3.0, 2.0}, neg at {1.0, 2.0 (tie), 0.5}
+  // ordered scores: 0.5(n) 1.0(n) 2.0(p,n) 3.0(p)
+  // U2 = Σ np·(2·negBelow + nn):
+  //   s=2.0: np=1, negBelow=2, nn=1 → 1·(4+1)=5
+  //   s=3.0: np=1, negBelow=3, nn=0 → 1·6=6  → U2=11
+  // AUC = 11 / (2·2·3) = 0.916666…→ pround6 = 0.916667
+  test("rankAuc matches the hand-computed midrank U statistic") {
+    val df = Seq((3.0, 1L), (2.0, 1L), (1.0, 0L), (2.0, 0L), (0.5, 0L))
+      .toDF("s", "lab")
+    val r = Metrics.rankAuc(df, "s", "lab", bucketWidth = 1.0).collect()
+    r.length shouldBe 1
+    r.head.getLong(0) shouldBe 2L
+    r.head.getLong(1) shouldBe 3L
+    r.head.getDouble(2) shouldBe 0.916667 +- 1e-12
+  }
+
+  test("rankAuc is 1.0 for perfect separation and 0.5 for all-ties") {
+    val perfect = Seq((10.0, 1L), (9.0, 1L), (1.0, 0L), (2.0, 0L))
+      .toDF("s", "lab")
+    Metrics.rankAuc(perfect, "s", "lab").collect().head.getDouble(2) shouldBe 1.0
+    val ties = Seq((5.0, 1L), (5.0, 0L), (5.0, 1L), (5.0, 0L)).toDF("s", "lab")
+    Metrics.rankAuc(ties, "s", "lab").collect().head.getDouble(2) shouldBe 0.5
+  }
+
+  test("rankAuc is NULL when a class is empty, and invariant to bucket width") {
+    val onlyPos = Seq((1.0, 1L), (2.0, 1L)).toDF("s", "lab")
+    assert(Metrics.rankAuc(onlyPos, "s", "lab").collect().head.isNullAt(2))
+    val df = Seq.tabulate(50)(i => (i * 0.7, (i % 3 == 0))).toDF("s", "lab")
+    val a = Metrics.rankAuc(df, "s", "lab", 0.3).collect().head.getDouble(2)
+    val b = Metrics.rankAuc(df, "s", "lab", 50.0).collect().head.getDouble(2)
+    a shouldBe b
+  }
+
+  // 6 rows, 3 tiles → tiles of ranks {0,1},{2,3},{4,5}; desc by score:
+  // ids by score desc: (60,f) (50,e) (40,d) (30,c) (20,b) (10,a)
+  // labels:             1      1      0      1      0      0
+  // tile0: n=2 pos=2 rate=10000 lift=(2*6)/(2*3)=2.0
+  // tile1: n=2 pos=1 rate=5000  lift=(1*6)/(2*3)=1.0
+  // tile2: n=2 pos=0 rate=0     lift=0.0
+  test("gainsTable slices exact desc-rank tiles with exact bp and lift") {
+    val df = Seq(("a", 10.0, 0L), ("b", 20.0, 0L), ("c", 30.0, 1L),
+      ("d", 40.0, 0L), ("e", 50.0, 1L), ("f", 60.0, 1L))
+      .toDF("id", "s", "lab")
+    val r = Metrics.gainsTable(df, "s", "id", "lab", tiles = 3,
+      bucketWidth = 25.0).orderBy("tile").collect()
+    r.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L, 2L)
+    r.map(_.getLong(1)).toSeq shouldBe Seq(2L, 2L, 2L)
+    r.map(_.getLong(2)).toSeq shouldBe Seq(2L, 1L, 0L)
+    r.map(_.getLong(3)).toSeq shouldBe Seq(10000L, 5000L, 0L)
+    r.map(_.getDouble(4)).toSeq shouldBe Seq(2.0, 1.0, 0.0)
+  }
+
+  test("gainsTable breaks score ties by id deterministically") {
+    // all scores equal → order is pure id order a<b<c<d; 2 tiles
+    val df = Seq(("a", 1.0, 1L), ("b", 1.0, 1L), ("c", 1.0, 0L),
+      ("d", 1.0, 0L)).toDF("id", "s", "lab")
+    val r = Metrics.gainsTable(df, "s", "id", "lab", tiles = 2)
+      .orderBy("tile").collect()
+    r.map(_.getLong(2)).toSeq shouldBe Seq(2L, 0L)
+  }
+
+  test("calibrationBins reports exact bin means and rates") {
+    val df = Seq((0.25, 0L), (0.75, 1L), (1.5, 1L), (1.5, 1L))
+      .toDF("s", "lab")
+    val r = Metrics.calibrationBins(df, "s", "lab", binWidth = 1.0)
+      .orderBy("bin").collect()
+    r.length shouldBe 2
+    r(0).getLong(0) shouldBe 0L
+    r(0).getDouble(1) shouldBe 0.0
+    r(0).getLong(2) shouldBe 2L
+    r(0).getLong(3) shouldBe 1L
+    r(0).getDouble(4) shouldBe 0.5
+    r(0).getLong(5) shouldBe 5000L
+    r(1).getLong(0) shouldBe 1L
+    r(1).getDouble(4) shouldBe 1.5
+    r(1).getLong(5) shouldBe 10000L
+  }
+}
