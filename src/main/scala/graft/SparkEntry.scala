@@ -2895,6 +2895,24 @@ object SparkEntry {
           date_format(col("ts"), "yyyy-MM-dd")),
         Seq("user_id", "__day"), Seq("ts", "event_id"), "event_type")),
 
+    // Pearson chi-square independence of language vs source: the
+    // contingency grid with per-cell (o-e)^2/e contributions (pround6
+    // + DECIMAL sum) and the total statistic + dof on every row
+    "q252_chi_square" -> ((s, d) =>
+      operators.Profile.chiSquare(t(s, d, "documents"), "lang", "source")),
+
+    // mutual information (nats) between language and source with both
+    // marginal entropies — dependence STRENGTH next to q252's test
+    "q253_mutual_info" -> ((s, d) =>
+      operators.Profile.mutualInfo(t(s, d, "documents"), "lang", "source")),
+
+    // approximate-FD audit source -> lang: per source the majority
+    // language, g3 violation count, and strength in basis points;
+    // majority ties break to the smallest value (min(struct(-c, dep)))
+    "q254_fd_strength" -> ((s, d) =>
+      operators.Audit.fdStrength(t(s, d, "documents"),
+        Seq("source"), "lang")),
+
     // multi-source BFS layers over the near-dup candidate graph: how
     // far a seed cohort (doc_id % 13 == 0 graph nodes) spreads through
     // q21's banding in <= 3 hops — exact set computation, unrolled
@@ -6976,6 +6994,97 @@ object SparkEntry {
           |SELECT p.from_type, p.to_type, p.n,
           |  CAST(p.n * 10000 // f.ft AS BIGINT) AS prob_bp
           |FROM p JOIN f USING (from_type)""".stripMargin,
+
+      // observed cells + marginals; e and (o-e)^2/e in ONE fixed double
+      // order each, pround6 -> DECIMAL(18,6) sum for the statistic
+      "q252_chi_square" ->
+        """WITH c AS (
+          |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_obs
+          |  FROM documents GROUP BY 1, 2),
+          |ra AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS r
+          |       FROM c GROUP BY 1),
+          |cb AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS cc
+          |       FROM c GROUP BY 1),
+          |t AS (
+          |  SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+          |    CAST(count(DISTINCT lang) AS BIGINT) AS da,
+          |    CAST(count(DISTINCT source) AS BIGINT) AS db
+          |  FROM c),
+          |e AS (
+          |  SELECT c.lang, c.source, c.n_obs,
+          |    (CAST(r AS DOUBLE) * CAST(cc AS DOUBLE)) / CAST(n AS DOUBLE)
+          |      AS ex, da, db
+          |  FROM c JOIN ra USING (lang) JOIN cb USING (source), t),
+          |k AS (
+          |  SELECT lang, source, n_obs, ex, da, db,
+          |    CAST(floor(((CAST(n_obs AS DOUBLE) - ex) *
+          |      (CAST(n_obs AS DOUBLE) - ex)) / ex * 1000000 + 0.5)
+          |      / 1000000 AS DECIMAL(18,6)) AS c6
+          |  FROM e),
+          |tt AS (SELECT sum(c6) AS chi2 FROM k)
+          |SELECT lang, source, n_obs,
+          |  floor(ex * 1000000 + 0.5) / 1000000 AS expected,
+          |  CAST(c6 AS DOUBLE) AS contrib, CAST(chi2 AS DOUBLE) AS chi2,
+          |  CAST((da - 1) * (db - 1) AS BIGINT) AS dof
+          |FROM k, tt""".stripMargin,
+
+      // per-cell (o/n)*ln(o*n/(ra*cb)) and marginal -(r/n)*ln(r/n)
+      // contributions, pround6 -> DECIMAL(18,6) sums
+      "q253_mutual_info" ->
+        """WITH c AS (
+          |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_obs
+          |  FROM documents GROUP BY 1, 2),
+          |ra AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS r
+          |       FROM c GROUP BY 1),
+          |cb AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS cc
+          |       FROM c GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
+          |mi AS (
+          |  SELECT CAST(sum(CAST(floor(
+          |      (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)) *
+          |      ln((CAST(n_obs AS DOUBLE) * CAST(n AS DOUBLE)) /
+          |         (CAST(r AS DOUBLE) * CAST(cc AS DOUBLE)))
+          |      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)))
+          |      AS DOUBLE) AS mi_nats,
+          |    CAST(count(*) AS BIGINT) AS n_cells
+          |  FROM c JOIN ra USING (lang) JOIN cb USING (source), t),
+          |ha AS (
+          |  SELECT CAST(sum(CAST(floor(
+          |      -(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+          |      ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+          |      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)))
+          |      AS DOUBLE) AS h_a
+          |  FROM ra, t),
+          |hb AS (
+          |  SELECT CAST(sum(CAST(floor(
+          |      -(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)) *
+          |      ln(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))
+          |      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)))
+          |      AS DOUBLE) AS h_b
+          |  FROM cb, t)
+          |SELECT n AS n_rows, n_cells, mi_nats, h_a, h_b
+          |FROM mi, ha, hb, t""".stripMargin,
+
+      // majority via row_number over (count desc, lang) — the same
+      // (max count, tie -> smallest value) order as min(struct(-c, d))
+      "q254_fd_strength" ->
+        """WITH p AS (
+          |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+          |  FROM documents GROUP BY 1, 2),
+          |r AS (
+          |  SELECT source, lang, c,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY c DESC, lang) AS rn
+          |  FROM p),
+          |m AS (
+          |  SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
+          |    CAST(count(*) AS BIGINT) AS n_dep_values
+          |  FROM p GROUP BY 1)
+          |SELECT m.source, m.n_rows, m.n_dep_values,
+          |  r.lang AS majority_value, r.c AS n_majority,
+          |  CAST(m.n_rows - r.c AS BIGINT) AS n_violations,
+          |  CAST(r.c * 10000 // m.n_rows AS BIGINT) AS strength_bp
+          |FROM m JOIN r ON r.source = m.source AND r.rn = 1""".stripMargin,
 
       // q21's candidate pairs as a symmetric edge list, three unrolled
       // frontier rounds (exact set computation — no scores, no ties)

@@ -241,5 +241,11 @@ object syntax {
     def markovTransitions(groupCols: Seq[String], ordCols: Seq[String],
                           typeCol: String): DataFrame =
       Markov.transitions(df, groupCols, ordCols, typeCol)
+    def chiSquare(aCol: String, bCol: String): DataFrame =
+      Profile.chiSquare(df, aCol, bCol)
+    def mutualInfo(aCol: String, bCol: String): DataFrame =
+      Profile.mutualInfo(df, aCol, bCol)
+    def fdStrength(detCols: Seq[String], depCol: String): DataFrame =
+      Audit.fdStrength(df, detCols, depCol)
   }
 }

@@ -277,4 +277,53 @@ object Audit {
         sum(col("__tv")).cast("double").as("tv"))
       .withColumn("violates_t", col("tv") > maxTv)
   }
+
+  /** Approximate-functional-dependency strength audit: how close does
+    * `detCols → depCol` hold? Per determinant tuple: row volume,
+    * distinct dependent values, the majority dependent value (the FD's
+    * candidate right-hand side), and the g3 measure — rows that would
+    * have to change for the FD to hold exactly (`n_violations`), with
+    * its complement as `strength_bp`. The schema-discovery companion
+    * to the privacy trio: a strength_bp of 10000 certifies a derivable
+    * column; anything less localizes WHERE the dependency breaks.
+    *
+    * The majority value is deterministic under count ties: the
+    * smallest dependent value wins, via `min(struct(-count, dep))` —
+    * one aggregate, no window, engine-replayable. NULLs in determinant
+    * or dependent columns are dropped (an FD over NULLs is undefined).
+    *
+    * Scale shape: one (det, dep) hash aggregate over the data, then
+    * one det-keyed aggregate over the already-reduced pair table —
+    * the kAnonymity two-aggregate economics; output is one row per
+    * determinant tuple.
+    */
+  def fdStrength(df: DataFrame, detCols: Seq[String],
+                 depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "detCols must be non-empty")
+    require(!detCols.contains(depCol),
+      s"dependent column $depCol cannot also be a determinant")
+    val reserved = Seq("__c", "__m", "n_rows", "n_dep_values",
+      "majority_value", "n_majority", "n_violations", "strength_bp")
+    require((detCols :+ depCol).forall(c => !reserved.contains(c)),
+      s"column names collide with bookkeeping/output names $reserved")
+    val pairs = df
+      .filter((detCols :+ depCol).map(col(_).isNotNull).reduce(_ && _))
+      .groupBy((detCols :+ depCol).map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__c"))
+    pairs
+      .groupBy(detCols.map(col): _*)
+      .agg(sum(col("__c")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_dep_values"),
+        min(struct((-col("__c")).as("__negc"), col(depCol).as("__d")))
+          .as("__m"))
+      .select(detCols.map(col) ++ Seq(
+        col("n_rows"), col("n_dep_values"),
+        col("__m").getField("__d").as("majority_value"),
+        (-col("__m").getField("__negc")).cast("long").as("n_majority"),
+        (col("n_rows") + col("__m").getField("__negc")).cast("long")
+          .as("n_violations"),
+        call_function("div",
+          (-col("__m").getField("__negc")) * 10000L, col("n_rows"))
+          .as("strength_bp")): _*)
+  }
 }

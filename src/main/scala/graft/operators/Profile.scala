@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -445,6 +445,112 @@ object Profile {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).cast("long").as("n_terms"),
         sum(col("__j")).cast("double").as("js_bits"))
+  }
+
+  private def p6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  // shared contingency machinery for chiSquare/mutualInfo: observed
+  // cells + marginals + the one-row total, all from ONE cell aggregate.
+  // Cell/marginal tables are |a|·|b| / |a| / |b| rows — nature-bounded
+  // category cardinalities — so every attach is a broadcast.
+  private def contingency(df: DataFrame, aCol: String, bCol: String)
+      : (DataFrame, DataFrame) = {
+    require(aCol != bCol, s"independence test needs two distinct columns: $aCol")
+    val reserved = Seq("__ra", "__cb", "__n", "__da", "__db", "n_obs")
+    require(!reserved.contains(aCol) && !reserved.contains(bCol),
+      s"$aCol/$bCol collide with bookkeeping names $reserved")
+    // the one row-scale pass; the cell table it leaves is |a|·|b| rows,
+    // so it is checkpointed eagerly and every marginal/total/statistic
+    // below derives from the tiny materialization, not a re-scan
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).cast("long").as("n_obs"))
+      .localCheckpoint(true)
+    val ra = cells.groupBy(col(aCol))
+      .agg(sum(col("n_obs")).cast("long").as("__ra"))
+    val cb = cells.groupBy(col(bCol))
+      .agg(sum(col("n_obs")).cast("long").as("__cb"))
+    val tot = cells.agg(sum(col("n_obs")).cast("long").as("__n"),
+      count_distinct(col(aCol)).cast("long").as("__da"),
+      count_distinct(col(bCol)).cast("long").as("__db"))
+    (cells.join(broadcast(ra), Seq(aCol)).join(broadcast(cb), Seq(bCol))
+      .crossJoin(broadcast(tot)), tot)
+  }
+
+  /** Pearson chi-square independence audit between two categorical
+    * columns ("is language independent of source?") — the per-cell
+    * contingency view with the test statistic attached: observed vs
+    * expected counts, each cell's (o−e)²/e contribution, and the total
+    * χ² + degrees of freedom repeated on every row so one scan of the
+    * output reads both the grid and the verdict.
+    *
+    * Exactness: marginals and totals are exact BIGINTs; e and the
+    * contribution are ONE fixed-order double expression each, rounded
+    * to 6 places; χ² is the DECIMAL(18,6) sum of the rounded
+    * contributions (associative — partial-agg-order-free).
+    *
+    * Scale shape: one (a, b) hash aggregate over the data — the only
+    * row-scale pass — then broadcast marginal joins and two one-row
+    * attaches on the |a|·|b| cell grid.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val (g, _) = contingency(df, aCol, bCol)
+    val e = (col("__ra").cast("double") * col("__cb").cast("double")) /
+      col("__n").cast("double")
+    val od = col("n_obs").cast("double")
+    val withC = g
+      .withColumn("__e", e)
+      .withColumn("__c6",
+        p6(((od - col("__e")) * (od - col("__e"))) / col("__e"))
+          .cast("decimal(18,6)"))
+    val total = withC.agg(sum(col("__c6")).as("__chi2"))
+    withC.crossJoin(broadcast(total))
+      .select(col(aCol), col(bCol), col("n_obs"),
+        p6(col("__e")).as("expected"),
+        col("__c6").cast("double").as("contrib"),
+        col("__chi2").cast("double").as("chi2"),
+        ((col("__da") - 1L) * (col("__db") - 1L)).as("dof"))
+  }
+
+  /** Mutual information (nats) between two categorical columns, with
+    * both marginal entropies — the dependence-strength companion to
+    * [[chiSquare]] (χ² says "dependent or not at this n"; MI says "how
+    * many nats of one column the other reveals", and MI/min(H_a,H_b)
+    * is the normalized coupling). One row out:
+    * `n_rows`, `n_cells`, `mi_nats`, `h_a`, `h_b`.
+    *
+    * Same discipline as [[chiSquare]]: per-cell (o/n)·ln(o·n/(ra·cb))
+    * and per-marginal −(r/n)·ln(r/n) contributions are fixed-order
+    * double expressions rounded to 6 places and summed as
+    * DECIMAL(18,6). Cells with o=0 never appear (MI's 0·ln0 = 0 term
+    * is exactly their absence).
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val (g, tot) = contingency(df, aCol, bCol)
+    val od = col("n_obs").cast("double")
+    val nd = col("__n").cast("double")
+    val rad = col("__ra").cast("double")
+    val cbd = col("__cb").cast("double")
+    val miRow = g
+      .withColumn("__c6",
+        p6((od / nd) * log((od * nd) / (rad * cbd))).cast("decimal(18,6)"))
+      .agg(sum(col("__c6")).cast("double").as("mi_nats"),
+        count(lit(1)).cast("long").as("n_cells"),
+        max(col("__n")).as("n_rows"))
+    def marginalEntropy(cnt: Column, out: String)(marg: DataFrame) =
+      marg.crossJoin(broadcast(tot.select(col("__n").as("__nt"))))
+        .withColumn("__h6",
+          p6(-(cnt.cast("double") / col("__nt").cast("double")) *
+            log(cnt.cast("double") / col("__nt").cast("double")))
+            .cast("decimal(18,6)"))
+        .agg(sum(col("__h6")).cast("double").as(out))
+    val ha = marginalEntropy(col("__ra"), "h_a")(
+      g.groupBy(col(aCol)).agg(max(col("__ra")).as("__ra")))
+    val hb = marginalEntropy(col("__cb"), "h_b")(
+      g.groupBy(col(bCol)).agg(max(col("__cb")).as("__cb")))
+    miRow.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n_rows"), col("n_cells"), col("mi_nats"),
+        col("h_a"), col("h_b"))
   }
 
   /** Offline CUSUM change-point per group: the day where the observed

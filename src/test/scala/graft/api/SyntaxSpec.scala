@@ -179,6 +179,16 @@ class SyntaxSpec extends SparkSpec {
     mk.markovTransitions(Seq("g"), Seq("ord"), "t").queryExecution.analyzed
       .sameResult(graft.operators.Markov.transitions(mk, Seq("g"),
         Seq("ord"), "t").queryExecution.analyzed) shouldBe true
+    // chiSquare/mutualInfo checkpoint the cell table eagerly: compare
+    // results
+    val ct = Seq(("x", "u"), ("x", "v"), ("y", "u")).toDF("ca", "cb")
+    ct.chiSquare("ca", "cb").collect().toSet shouldBe
+      graft.operators.Profile.chiSquare(ct, "ca", "cb").collect().toSet
+    ct.mutualInfo("ca", "cb").collect().toSeq shouldBe
+      graft.operators.Profile.mutualInfo(ct, "ca", "cb").collect().toSeq
+    ct.fdStrength(Seq("ca"), "cb").queryExecution.analyzed
+      .sameResult(graft.operators.Audit.fdStrength(ct, Seq("ca"), "cb")
+        .queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

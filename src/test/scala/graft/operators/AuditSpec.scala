@@ -170,4 +170,34 @@ class AuditSpec extends SparkSpec {
     out(Some("a")) shouldBe ((0.0, false))
     out(None) shouldBe ((0.0, false))
   }
+
+  test("fdStrength reports majority, g3 violations, and deterministic ties") {
+    val df = Seq(
+      ("s1", "a"), ("s1", "a"), ("s1", "a"), ("s1", "b"), // 3:1 -> a
+      ("s2", "b"), ("s2", "b"), ("s2", "a"), ("s2", "a"), // tie -> a
+      ("s3", "c")) // exact FD
+      .toDF("src", "lang")
+    val out = Audit.fdStrength(df, Seq("src"), "lang")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))))
+      .toMap
+    out("s1") shouldBe ((4L, 2L, "a", 3L, 1L, 7500L))
+    out("s2") shouldBe ((4L, 2L, "a", 2L, 2L, 5000L))
+    out("s3") shouldBe ((1L, 1L, "c", 1L, 0L, 10000L))
+  }
+
+  test("fdStrength drops NULLs and rejects bad column configs") {
+    val df = Seq((Some("s1"), Some("a")), (Some("s1"), None),
+      (None, Some("b"))).toDF("src", "lang")
+    val r = Audit.fdStrength(df, Seq("src"), "lang").collect()
+    r.length shouldBe 1
+    r.head.getLong(1) shouldBe 1L
+    an[IllegalArgumentException] should be thrownBy
+      Audit.fdStrength(df, Seq("lang"), "lang")
+    an[IllegalArgumentException] should be thrownBy
+      Audit.fdStrength(df.withColumnRenamed("src", "n_rows"),
+        Seq("n_rows"), "lang")
+  }
 }

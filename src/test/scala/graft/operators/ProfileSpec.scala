@@ -255,4 +255,50 @@ class ProfileSpec extends SparkSpec {
     r2.getLong(2) shouldBe 0L
     r2.getDate(1).toString shouldBe "2024-02-01" // tie -> earliest
   }
+
+  // balanced 2x2 with a slight diagonal: every e = 1.5,
+  // every contrib = pround6(0.25/1.5) = 0.166667, chi2 = 0.666668, dof 1
+  private lazy val crossDf = Seq(
+    ("x", "u"), ("x", "u"), ("x", "v"),
+    ("y", "u"), ("y", "v"), ("y", "v")).toDF("a", "b")
+
+  test("chiSquare matches the hand-computed 2x2 grid") {
+    val r = Profile.chiSquare(crossDf, "a", "b").orderBy("a", "b").collect()
+    r.length shouldBe 4
+    all(r.map(_.getDouble(3))) shouldBe 1.5 // expected
+    all(r.map(_.getDouble(4))) shouldBe 0.166667 // contrib
+    all(r.map(_.getDouble(5))) shouldBe 0.666668 // chi2
+    all(r.map(_.getLong(6))) shouldBe 1L // dof
+    r.map(_.getLong(2)).toSeq shouldBe Seq(2L, 1L, 1L, 2L)
+  }
+
+  test("chiSquare is exactly zero under perfect independence") {
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val r = Profile.chiSquare(ind, "a", "b").collect()
+    all(r.map(_.getDouble(5))) shouldBe 0.0
+  }
+
+  test("mutualInfo matches the hand-computed nats and marginal entropies") {
+    val r = Profile.mutualInfo(crossDf, "a", "b").collect()
+    r.length shouldBe 1
+    r.head.getLong(0) shouldBe 6L
+    r.head.getLong(1) shouldBe 4L
+    r.head.getDouble(2) shouldBe 0.056632 +- 1e-9
+    r.head.getDouble(3) shouldBe 0.693148 +- 1e-12
+    r.head.getDouble(4) shouldBe 0.693148 +- 1e-12
+    // a fully determined pair (b = f(a)) has MI = H(a) = H(b)
+    val det = Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v"))
+      .toDF("a", "b")
+    val d = Profile.mutualInfo(det, "a", "b").collect().head
+    d.getDouble(2) shouldBe d.getDouble(3)
+    d.getDouble(2) shouldBe d.getDouble(4)
+  }
+
+  test("chiSquare rejects identical or bookkeeping-colliding columns") {
+    an[IllegalArgumentException] should be thrownBy
+      Profile.chiSquare(crossDf, "a", "a")
+    an[IllegalArgumentException] should be thrownBy
+      Profile.mutualInfo(crossDf.withColumnRenamed("a", "n_obs"), "n_obs", "b")
+  }
 }

@@ -109,7 +109,11 @@ class QueryPlanSpec extends SparkSpec {
     "q224_source_divergence",
     // q228 grids every class against the nature-bounded
     // sensitive-value table (q146's bin-grid shape)
-    "q228_t_closeness")
+    "q228_t_closeness",
+    // q252/q253 attach one-row contingency totals (statistic, dof,
+    // corpus size) onto the |a|·|b| cell grid — q93's one-row
+    // broadcast-attach shape, several times over
+    "q252_chi_square", "q253_mutual_info")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
