@@ -2913,6 +2913,43 @@ object SparkEntry {
       operators.Audit.fdStrength(t(s, d, "documents"),
         Seq("source"), "lang")),
 
+    // Zipf-law OLS fit on (ln rank, ln count) of the top-60 terms:
+    // exact (count desc, term) ranks via a K-row broadcast self-join
+    // (no single-partition window), pround6 + DECIMAL(18,6) sums
+    "q255_zipf_fit" -> ((s, d) =>
+      operators.TfIdf.zipfFit(t(s, d, "documents"), "text", topK = 60)),
+
+    // reciprocal-rank fusion of cosine and inner-product top-10
+    // rankings for the first 10 query vectors — the hybrid-retrieval
+    // combiner; fused order = (pround6 RRF score desc, neighbor)
+    "q256_rrf_fusion" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      operators.Similarity.rrfFuse(
+        operators.Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 10),
+        operators.Similarity.dotTopK(q, emb, "vec_id", "embedding",
+          k = 10),
+        k0 = 60, topN = 5)
+    }),
+
+    // streaming first-touch funnel card: per-(user, step) earliest
+    // micros merge additively across two batches (min-merge), the
+    // card derives reached-through-step counts from the state alone
+    "q257_streaming_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val steps = Seq("view", "click", "signup", "purchase")
+      val st = stateFixture("q257", s, d) { p =>
+        streaming.StreamingFunnel.acceptBatch(
+          ev.filter(col("event_id") % 2 === 0), "user_id", "ts",
+          "event_type", steps, p)
+      }
+      val merged = streaming.StreamingFunnel.mergeBatch(
+        ev.filter(col("event_id") % 2 === 1), "user_id", "ts",
+        "event_type", steps, st)
+      streaming.StreamingFunnel.funnelView(merged, steps)
+    }),
+
     // multi-source BFS layers over the near-dup candidate graph: how
     // far a seed cohort (doc_id % 13 == 0 graph nodes) spreads through
     // q21's banding in <= 3 hops — exact set computation, unrolled
@@ -7085,6 +7122,122 @@ object SparkEntry {
           |  CAST(m.n_rows - r.c AS BIGINT) AS n_violations,
           |  CAST(r.c * 10000 // m.n_rows AS BIGINT) AS strength_bp
           |FROM m JOIN r ON r.source = m.source AND r.rn = 1""".stripMargin,
+
+      // same (count desc, term) top-60 cut and rank; x/y/x2/xy/y2
+      // pround6 -> DECIMAL(18,6) sums; slope/intercept/r2 in the same
+      // fixed double operation order
+      "q255_zipf_fit" ->
+        s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+           |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM tok GROUP BY 1),
+           |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 60),
+           |r AS (SELECT cnt, CAST(row_number() OVER (
+           |        ORDER BY cnt DESC, term) AS BIGINT) AS rank FROM top),
+           |p AS (SELECT
+           |    floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS x,
+           |    floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS y
+           |  FROM r),
+           |sm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(floor(x * x * 1000000 + 0.5) / 1000000
+           |      AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(floor(x * y * 1000000 + 0.5) / 1000000
+           |      AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+           |    CAST(sum(CAST(floor(y * y * 1000000 + 0.5) / 1000000
+           |      AS DECIMAL(18,6))) AS DOUBLE) AS syy
+           |  FROM p)
+           |SELECT n AS n_terms,
+           |  floor((CAST(n AS DOUBLE) * sxy - sx * sy) /
+           |    (CAST(n AS DOUBLE) * sxx - sx * sx) * 1000000 + 0.5)
+           |    / 1000000 AS slope,
+           |  floor((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+           |    (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
+           |    CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS intercept,
+           |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) *
+           |    (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+           |    ((CAST(n AS DOUBLE) * sxx - sx * sx) *
+           |     (CAST(n AS DOUBLE) * syy - sy * sy)) * 1000000 + 0.5)
+           |    / 1000000 AS r2
+           |FROM sm""".stripMargin,
+
+      // q24's bit-exact cosine and the raw list_dot_product ranking,
+      // full-outer fused on (query, neighbor); fused order =
+      // (pround6 score desc, neighbor)
+      "q256_rrf_fusion" ->
+        """WITH q AS (SELECT vec_id AS query_id,
+          |    CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS neighbor_id,
+          |    CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          |ra AS (SELECT * FROM (
+          |    SELECT query_id, neighbor_id,
+          |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+          |        list_dot_product(qv, cv) /
+          |        (sqrt(list_dot_product(qv, qv)) *
+          |         sqrt(list_dot_product(cv, cv))) DESC, neighbor_id)
+          |        AS BIGINT) AS rank_a
+          |    FROM q, c WHERE query_id <> neighbor_id)
+          |  WHERE rank_a <= 10),
+          |rb AS (SELECT * FROM (
+          |    SELECT query_id, neighbor_id,
+          |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+          |        list_dot_product(qv, cv) DESC, neighbor_id)
+          |        AS BIGINT) AS rank_b
+          |    FROM q, c WHERE query_id <> neighbor_id)
+          |  WHERE rank_b <= 10),
+          |f AS (SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+          |    coalesce(ra.neighbor_id, rb.neighbor_id) AS neighbor_id,
+          |    ra.rank_a, rb.rank_b
+          |  FROM ra FULL OUTER JOIN rb
+          |    ON ra.query_id = rb.query_id
+          |   AND ra.neighbor_id = rb.neighbor_id),
+          |sc AS (SELECT query_id, neighbor_id, rank_a, rank_b,
+          |    floor((coalesce(1.0 / (60 + rank_a), 0.0) +
+          |           coalesce(1.0 / (60 + rank_b), 0.0)) * 1000000 + 0.5)
+          |      / 1000000 AS rrf_score
+          |  FROM f)
+          |SELECT * FROM (
+          |  SELECT query_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY rrf_score DESC, neighbor_id) AS BIGINT)
+          |      AS fused_rank,
+          |    neighbor_id, rank_a, rank_b, rrf_score
+          |  FROM sc)
+          |WHERE fused_rank <= 5""".stripMargin,
+
+      // one-shot first-occurrence funnel over ALL events — the state
+      // min-merge makes the two-batch streaming view equal to it
+      "q257_streaming_funnel" ->
+        """WITH m AS (
+          |  SELECT user_id AS u, event_type AS et, min(epoch_us(ts)) AS t
+          |  FROM events
+          |  WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+          |  GROUP BY 1, 2),
+          |p AS (
+          |  SELECT u,
+          |    min(CASE WHEN et = 'view' THEN t END) AS t0,
+          |    min(CASE WHEN et = 'click' THEN t END) AS t1,
+          |    min(CASE WHEN et = 'signup' THEN t END) AS t2,
+          |    min(CASE WHEN et = 'purchase' THEN t END) AS t3
+          |  FROM m GROUP BY 1),
+          |r AS (
+          |  SELECT CASE WHEN t0 IS NULL THEN 0
+          |    WHEN t1 IS NULL OR t1 <= t0 THEN 1
+          |    WHEN t2 IS NULL OR t2 <= t1 THEN 2
+          |    WHEN t3 IS NULL OR t3 <= t2 THEN 3
+          |    ELSE 4 END AS reached
+          |  FROM p)
+          |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+          |  CAST(count(*) FILTER (WHERE reached >= 1) AS BIGINT) AS n_users
+          |FROM r
+          |UNION ALL SELECT 2, 'click',
+          |  CAST(count(*) FILTER (WHERE reached >= 2) AS BIGINT) FROM r
+          |UNION ALL SELECT 3, 'signup',
+          |  CAST(count(*) FILTER (WHERE reached >= 3) AS BIGINT) FROM r
+          |UNION ALL SELECT 4, 'purchase',
+          |  CAST(count(*) FILTER (WHERE reached >= 4) AS BIGINT) FROM r"""
+        .stripMargin,
 
       // q21's candidate pairs as a symmetric edge list, three unrolled
       // frontier rounds (exact set computation — no scores, no ties)

@@ -247,5 +247,12 @@ object syntax {
       Profile.mutualInfo(df, aCol, bCol)
     def fdStrength(detCols: Seq[String], depCol: String): DataFrame =
       Audit.fdStrength(df, detCols, depCol)
+    def zipfFit(textCol: String, topK: Int = 100): DataFrame =
+      TfIdf.zipfFit(df, textCol, topK)
+    def dotTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int): DataFrame =
+      Similarity.dotTopK(df, corpus, idCol, vecCol, k)
+    def rrfFuse(other: DataFrame, k0: Int = 60, topN: Int = 5): DataFrame =
+      Similarity.rrfFuse(df, other, k0, topN)
   }
 }

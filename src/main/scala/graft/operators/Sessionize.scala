@@ -87,18 +87,11 @@ object Sessionize {
     */
   def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
                        actionCol: String, tieCol: String,
-                       gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(col(keyCol), col("session_id"))
-      .orderBy(col(tsCol), col(tieCol))
-    val pairs = withSessionIds(events, keyCol, tsCol, gapSeconds)
-      .withColumn("__to", lead(col(actionCol), 1).over(w))
-      .filter(col("__to").isNotNull)
-      .groupBy(col(actionCol).as("from_type"), col("__to").as("to_type"))
-      .agg(count(lit(1)).cast("long").as("n"))
-    val totals = pairs.groupBy(col("from_type"))
-      .agg(sum(col("n")).cast("long").as("__tot"))
-    pairs.join(broadcast(totals), "from_type")
-      .select(col("from_type"), col("to_type"), col("n"),
-        call_function("div", col("n") * 10000L, col("__tot")).as("p_bp"))
-  }
+                       gapSeconds: Long): DataFrame =
+    // sessionize, then the generic sequence-transition core: the
+    // session id becomes part of the sequence key so pairs never cross
+    // a gap boundary
+    Markov.transitions(withSessionIds(events, keyCol, tsCol, gapSeconds),
+        Seq(keyCol, "session_id"), Seq(tsCol, tieCol), actionCol)
+      .withColumnRenamed("prob_bp", "p_bp")
 }

@@ -238,6 +238,67 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** Inner-product top-k — `bruteForceTopK`'s unnormalized sibling
+    * (maximum-inner-product search, the retrieval scoring most rerankers
+    * train against). Rankings DIFFER from cosine whenever corpus norms
+    * vary, which is exactly why a fusion layer wants both. Same bounded-
+    * broadcast contract: queries broadcast, corpus scanned once, per-
+    * query WindowGroupLimit keeps k rows per map task.
+    */
+  def dotTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("cv")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dot")
+  }
+
+  /** Reciprocal-rank fusion of two per-query rankings — the standard
+    * hybrid-retrieval combiner (cosine + inner-product here; sparse +
+    * dense in a full retrieval stack): every candidate scores
+    * Σ_r 1/(k0 + rank_r), absent rankings contribute 0, and the fused
+    * top-N re-ranks on the combined score. Robust precisely because it
+    * never compares raw scores across rankers — only ranks.
+    *
+    * Inputs are any two frames with (query_id, neighbor_id, rank)
+    * (the `bruteForceTopK`/`dotTopK` contract). Determinism: the fused
+    * order is (pround6 score desc, neighbor_id) — the score is two
+    * exact reciprocal terms added in a fixed order, so ties and
+    * boundaries replay identically in any engine.
+    *
+    * Scale shape: one full-outer equi-join of two k-row-per-query
+    * tables on (query, neighbor), then a per-query window — both keyed
+    * by query, never corpus-scale.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60,
+              topN: Int = 5): DataFrame = {
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val fa = a.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("rank_a"))
+    val fb = b.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("rank_b"))
+    val score = floor((
+      coalesce(lit(1.0) / (lit(k0.toDouble) + col("rank_a").cast("double")),
+        lit(0.0)) +
+      coalesce(lit(1.0) / (lit(k0.toDouble) + col("rank_b").cast("double")),
+        lit(0.0))) * 1e6 + 0.5) / 1e6
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+    fa.join(fb, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_score", score)
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topN)
+      .select("query_id", "fused_rank", "neighbor_id", "rank_a", "rank_b",
+        "rrf_score")
+  }
+
   /** Cross-group neighbor mining — the bitext/alignment-mining shape:
     * for each query vector, its top-k cosine neighbors whose group
     * label DIFFERS (translation candidates across languages, near-pairs

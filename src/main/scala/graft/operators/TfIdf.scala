@@ -381,4 +381,61 @@ object TfIdf {
       .agg(count(lit(1)).cast("long").as("n_types"),
         sum(col("__c")).cast("long").as("token_mass"))
   }
+
+  /** Zipf-law fit over the top-K term frequencies: ordinary least
+    * squares on (ln rank, ln count) — the slope is the Zipf exponent
+    * (natural corpora sit near −1; a flat slope flags synthetic or
+    * templated text, a cliff flags boilerplate domination). The
+    * quantitative regression companion to `freqSpectrum`'s qualitative
+    * histogram. One row out: `n_terms`, `slope`, `intercept`, `r2`.
+    *
+    * Rank is exact and engine-replayable: the top-K cut and the rank
+    * both use (count desc, term asc). The rank itself is computed
+    * WITHOUT any single-partition window: the K-row top table (a
+    * distributed TakeOrdered, checkpointed — K is a contract constant)
+    * self-joins under the order predicate via broadcast, so rank =
+    * 1 + #rows-before. K² broadcast-loop pairs at K ≤ 10⁴ is driver
+    * noise; the corpus-scale work is exactly one token count.
+    *
+    * OLS exactness is the q146 discipline: x = pround6(ln rank),
+    * y = pround6(ln count), and the five sums Σx, Σy, Σx², Σxy, Σy²
+    * accumulate pround6'd products as DECIMAL(18,6); slope/intercept/r²
+    * are ONE fixed-order double expression over those exact sums,
+    * rounded to 6 places — the DuckDB oracle mirrors every step.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    require(topK >= 3 && topK <= 10000, s"topK out of range: $topK")
+    val counts = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(topK)
+      .localCheckpoint(true)
+    val o = broadcast(top.select(col("cnt").as("__c2"), col("term").as("__t2")))
+    val ranked = top.join(o,
+        col("__c2") > col("cnt") ||
+          (col("__c2") === col("cnt") && col("__t2") < col("term")), "left")
+      .groupBy(col("term"), col("cnt"))
+      .agg(count(col("__t2")).cast("long").as("__before"))
+      .withColumn("rank", col("__before") + 1L)
+    def p6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+    val xd = p6(log(col("rank").cast("double")))
+    val yd = p6(log(col("cnt").cast("double")))
+    val sums = ranked.agg(
+      count(lit(1)).cast("long").as("n_terms"),
+      sum(xd.cast("decimal(18,6)")).as("__sx"),
+      sum(yd.cast("decimal(18,6)")).as("__sy"),
+      sum(p6(xd * xd).cast("decimal(18,6)")).as("__sxx"),
+      sum(p6(xd * yd).cast("decimal(18,6)")).as("__sxy"),
+      sum(p6(yd * yd).cast("decimal(18,6)")).as("__syy"))
+    val nd = col("n_terms").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+    val syy = col("__syy").cast("double")
+    val num = nd * sxy - sx * sy
+    val den = nd * sxx - sx * sx
+    sums.select(col("n_terms"),
+      p6(num / den).as("slope"),
+      p6((sy - (num / den) * sx) / nd).as("intercept"),
+      p6((num * num) / (den * (nd * syy - sy * sy))).as("r2"))
+  }
 }

@@ -189,6 +189,15 @@ class SyntaxSpec extends SparkSpec {
     ct.fdStrength(Seq("ca"), "cb").queryExecution.analyzed
       .sameResult(graft.operators.Audit.fdStrength(ct, Seq("ca"), "cb")
         .queryExecution.analyzed) shouldBe true
+    // zipfFit checkpoints its top-K cut eagerly: compare results
+    val zd = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    zd.zipfFit("text", topK = 3).collect().toSeq shouldBe
+      graft.operators.TfIdf.zipfFit(zd, "text", topK = 3).collect().toSeq
+    val ra = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val rb = Seq((1L, 20L, 1)).toDF("query_id", "neighbor_id", "rank")
+    ra.rrfFuse(rb).queryExecution.analyzed
+      .sameResult(graft.operators.Similarity.rrfFuse(ra, rb)
+        .queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

@@ -234,4 +234,37 @@ class SimilaritySpec extends SparkSpec {
     out(6L) shouldBe ((5L, 0L, 0L))
     (1L to 5L).foreach { i => out(i) shouldBe ((5L, 4L, 8000L)) }
   }
+
+  test("dotTopK ranks by inner product where cosine would rank differently") {
+    // query [1,0]: dots: v2=[3,0]->3, v3=[0.9,0.1]->0.9, v4=[0,5]->0
+    // cosine: v3 (0.9939) ranks ABOVE v2 (1.0? no: v2 cos=1.0) —
+    // use v2=[3,4] (dot 3, cos 0.6) vs v3=[0.9,0.1] (dot 0.9, cos 0.994)
+    val e = emb(1L -> Seq(1.0, 0.0), 2L -> Seq(3.0, 4.0),
+      3L -> Seq(0.9, 0.1), 4L -> Seq(0.0, 5.0))
+    val q = e.filter(col("vec_id") === 1L)
+    val dots = Similarity.dotTopK(q, e, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    dots(1) shouldBe 2L // dot 3.0 first
+    dots(2) shouldBe 3L // dot 0.9
+    dots(3) shouldBe 4L // dot 0.0
+    val cos = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    cos(1) shouldBe 3L // cosine 0.9938… beats 0.6
+  }
+
+  test("rrfFuse combines ranks with absent-list zeros and deterministic order") {
+    val implicits = spark.implicits
+    import implicits._
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val r = Similarity.rrfFuse(a, b, k0 = 60, topN = 3).collect()
+      .map(x => x.getLong(1) ->
+        ((x.getLong(2), Option(x.get(3)), Option(x.get(4)), x.getDouble(5))))
+      .toMap
+    // d20 in both: 1/62 + 1/61 = 0.032522; d10 only in a: 1/61 =
+    // 0.016393; d30 only in b: 1/62 = 0.016129
+    r(1L) shouldBe ((20L, Some(2L), Some(1L), 0.032522))
+    r(2L) shouldBe ((10L, Some(1L), None, 0.016393))
+    r(3L) shouldBe ((30L, None, Some(2L), 0.016129))
+  }
 }

@@ -158,4 +158,31 @@ class TfIdfSpec extends SparkSpec {
     out(2L) shouldBe ((1L, 4L))   // a
     out.keySet shouldBe Set(0L, 1L, 2L)
   }
+
+  test("zipfFit recovers the exponent of an exact power law") {
+    // counts 12/rank: a=12 b=6 c=4 d=3 -> ln(cnt) = ln 12 - ln(rank),
+    // slope -1 and r2 ~ 1 up to the 6-place contribution rounding
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TfIdf.zipfFit(d, "text", topK = 4).collect().head
+    r.getLong(0) shouldBe 4L
+    r.getDouble(1) shouldBe -1.0 +- 1e-4
+    r.getDouble(3) should be > 0.99999
+  }
+
+  test("zipfFit matches the hand-computed 3-term OLS and breaks count ties by term") {
+    // counts: a=4, b=2, c=1 -> ranks 1,2,3
+    val d = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val r = TfIdf.zipfFit(d, "text", topK = 3).collect().head
+    r.getDouble(1) shouldBe -1.233662 +- 2e-6
+    r.getDouble(2) shouldBe 1.429955 +- 2e-6
+    r.getDouble(3) shouldBe 0.977653 +- 2e-6
+    // tie: b and a both x2 -> rank by term asc; identical count vector
+    // so the fit is the same whichever labels the ties carry
+    val tied = Seq((1L, "b b a a c")).toDF("doc_id", "text")
+    val rt = TfIdf.zipfFit(tied, "text", topK = 3).collect().head
+    rt.getLong(0) shouldBe 3L
+    an[IllegalArgumentException] should be thrownBy TfIdf.zipfFit(d, "text", 2)
+  }
 }

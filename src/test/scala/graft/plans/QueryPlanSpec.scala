@@ -113,7 +113,11 @@ class QueryPlanSpec extends SparkSpec {
     // q252/q253 attach one-row contingency totals (statistic, dof,
     // corpus size) onto the |a|·|b| cell grid — q93's one-row
     // broadcast-attach shape, several times over
-    "q252_chi_square", "q253_mutual_info")
+    "q252_chi_square", "q253_mutual_info",
+    // q255 ranks its K-row top-terms cut by a broadcast order-predicate
+    // self-join (K <= 10^4 contract constant); q256 is two q24-shaped
+    // ANN scorings (broadcast query set under an id-inequality)
+    "q255_zipf_fit", "q256_rrf_fusion")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
