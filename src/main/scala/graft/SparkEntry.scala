@@ -2950,6 +2950,46 @@ object SparkEntry {
       streaming.StreamingFunnel.funnelView(merged, steps)
     }),
 
+    // maximal-marginal-relevance pick of 3 vectors against query
+    // vec 0 (lambda 0.7): relevance vs redundancy greedy, every
+    // cosine bit-exact (q24 contract), unrolled-round oracle
+    "q258_mmr_selection" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      operators.Selection.mmr(emb.filter(col("vec_id") =!= 0),
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 3, lambda = 0.7)
+    }),
+
+    // deterministic weighted sample without replacement: 50 docs by
+    // Efraimidis-Spirakis keys with md5-derived u — ln(u)/w top-n,
+    // no RNG, engine-replayable
+    "q259_weighted_sample" -> ((s, d) =>
+      operators.Sampling.weightedSample(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(functions.TextFns.tokens(col("text"))).cast("long")
+              .as("n_tok")),
+        "doc_id", "n_tok", n = 50)),
+
+    // recency-weighted engagement leaderboard: top-10 users by
+    // half-life-decayed value sum (T = corpus max ts, 7-day half
+    // life); pround6 contributions, DECIMAL-exact totals
+    "q260_decayed_scores" -> ((s, d) =>
+      operators.Resample.decayedScores(t(s, d, "events"),
+        "user_id", "ts", "value", halfLifeDays = 7.0)
+        .orderBy(col("decayed").desc, col("user_id"))
+        .limit(10)),
+
+    // Theil-Sen robust daily-volume trend per event type — median of
+    // pairwise slopes over the day-bounded series, next to q163's OLS
+    "q261_theil_sen" -> ((s, d) =>
+      operators.Resample.theilSen(
+        t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("x"))
+          .agg(count(lit(1)).cast("long").as("y")),
+        "event_type", "x", "y")),
+
     // multi-source BFS layers over the near-dup candidate graph: how
     // far a seed cohort (doc_id % 13 == 0 graph nodes) spreads through
     // q21's banding in <= 3 hops — exact set computation, unrolled
@@ -7238,6 +7278,108 @@ object SparkEntry {
           |UNION ALL SELECT 4, 'purchase',
           |  CAST(count(*) FILTER (WHERE reached >= 4) AS BIGINT) FROM r"""
         .stripMargin,
+
+      // three unrolled MMR rounds; every cosine is the q24 bit-exact
+      // formula, scores on UNROUNDED doubles, (score desc, id) ties
+      "q258_mmr_selection" ->
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id <> 0),
+           |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q
+           |  FROM embeddings WHERE vec_id = 0),
+           |r AS (SELECT vec_id, v,
+           |    list_dot_product(q, v) / (sqrt(list_dot_product(q, q)) *
+           |      sqrt(list_dot_product(v, v))) AS rel
+           |  FROM c, qv),
+           |w1 AS (SELECT vec_id, v, rel, 0.0 AS ms,
+           |    0.7 * rel - (1.0 - 0.7) * 0.0 AS score
+           |  FROM r ORDER BY score DESC, vec_id LIMIT 1),
+           |s2 AS (SELECT r.vec_id, r.v, r.rel,
+           |    list_dot_product(w1.v, r.v) /
+           |      (sqrt(list_dot_product(w1.v, w1.v)) *
+           |       sqrt(list_dot_product(r.v, r.v))) AS ms
+           |  FROM r, w1 WHERE r.vec_id <> w1.vec_id),
+           |w2 AS (SELECT vec_id, v, rel, ms,
+           |    0.7 * rel - (1.0 - 0.7) * ms AS score
+           |  FROM s2 ORDER BY score DESC, vec_id LIMIT 1),
+           |s3 AS (SELECT r.vec_id, r.rel,
+           |    greatest(
+           |      list_dot_product(w1.v, r.v) /
+           |        (sqrt(list_dot_product(w1.v, w1.v)) *
+           |         sqrt(list_dot_product(r.v, r.v))),
+           |      list_dot_product(w2.v, r.v) /
+           |        (sqrt(list_dot_product(w2.v, w2.v)) *
+           |         sqrt(list_dot_product(r.v, r.v)))) AS ms
+           |  FROM r, w1, w2
+           |  WHERE r.vec_id <> w1.vec_id AND r.vec_id <> w2.vec_id),
+           |w3 AS (SELECT vec_id, rel, ms,
+           |    0.7 * rel - (1.0 - 0.7) * ms AS score
+           |  FROM s3 ORDER BY score DESC, vec_id LIMIT 1)
+           |SELECT CAST(1 AS BIGINT) AS round, vec_id,
+           |  ${pround("rel", 6)} AS relevance, ${pround("ms", 6)} AS max_sim,
+           |  ${pround("score", 6)} AS mmr_score FROM w1
+           |UNION ALL SELECT 2, vec_id, ${pround("rel", 6)},
+           |  ${pround("ms", 6)}, ${pround("score", 6)} FROM w2
+           |UNION ALL SELECT 3, vec_id, ${pround("rel", 6)},
+           |  ${pround("ms", 6)}, ${pround("score", 6)} FROM w3""".stripMargin,
+
+      // same md5('wrs|key') 48-bit u and ln(u)/w score; plain global
+      // top-50 on DuckDB's single node
+      "q259_weighted_sample" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w
+           |  FROM documents),
+           |k AS (
+           |  SELECT doc_id, w,
+           |    CAST(('0x' || substr(md5('wrs' || '|' ||
+           |      CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+           |  FROM d WHERE w > 0),
+           |s AS (
+           |  SELECT doc_id, w,
+           |    ln((CAST(h AS DOUBLE) + 1.0) / 281474976710656.0) /
+           |      CAST(w AS DOUBLE) AS sc
+           |  FROM k)
+           |SELECT doc_id, w AS weight, ${pround("sc", 6)} AS es_score
+           |FROM s ORDER BY sc DESC, doc_id LIMIT 50""".stripMargin,
+
+      // fixed T = max(ts); per-event pround6 contribution with the
+      // exact ln2 literal, DECIMAL(18,6) sums, top-10 total order
+      "q260_decayed_scores" ->
+        """WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+          |c AS (
+          |  SELECT user_id,
+          |    CAST(floor(value * exp(CAST(epoch_us(ts) - tmax AS DOUBLE) /
+          |      604800000000.0 * 0.6931471805599453) * 1000000 + 0.5)
+          |      / 1000000 AS DECIMAL(18,6)) AS c6
+          |  FROM events, t),
+          |g AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |    CAST(sum(c6) AS DOUBLE) AS decayed
+          |  FROM c GROUP BY 1)
+          |SELECT user_id, n_events, decayed
+          |FROM g ORDER BY decayed DESC, user_id LIMIT 10""".stripMargin,
+
+      // all pairwise slopes within each day-bounded series; median by
+      // row_number/count over (m+1)//2 and m//2+1; midpoint mean
+      "q261_theil_sen" ->
+        """WITH d AS (
+          |  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+          |    CAST(count(*) AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2),
+          |p AS (
+          |  SELECT a.event_type,
+          |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+          |  FROM d a JOIN d b
+          |    ON a.event_type = b.event_type AND a.x < b.x),
+          |r AS (
+          |  SELECT event_type, s,
+          |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY s)
+          |      AS BIGINT) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+          |  FROM p)
+          |SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+          |  floor(sum(s) / count(*) * 1000000 + 0.5) / 1000000 AS slope
+          |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+          |GROUP BY 1""".stripMargin,
 
       // q21's candidate pairs as a symmetric edge list, three unrolled
       // frontier rounds (exact set computation — no scores, no ties)

@@ -254,5 +254,15 @@ object syntax {
       Similarity.dotTopK(df, corpus, idCol, vecCol, k)
     def rrfFuse(other: DataFrame, k0: Int = 60, topN: Int = 5): DataFrame =
       Similarity.rrfFuse(df, other, k0, topN)
+    def mmr(query: DataFrame, idCol: String, vecCol: String, k: Int,
+            lambda: Double = 0.7): DataFrame =
+      Selection.mmr(df, query, idCol, vecCol, k, lambda)
+    def weightedSample(keyCol: String, weightCol: String, n: Int): DataFrame =
+      Sampling.weightedSample(df, keyCol, weightCol, n)
+    def decayedScores(keyCol: String, tsCol: String, valCol: String,
+                      halfLifeDays: Double): DataFrame =
+      Resample.decayedScores(df, keyCol, tsCol, valCol, halfLifeDays)
+    def theilSen(groupCol: String, xCol: String, yCol: String): DataFrame =
+      Resample.theilSen(df, groupCol, xCol, yCol)
   }
 }

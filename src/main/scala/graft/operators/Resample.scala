@@ -215,4 +215,89 @@ object Resample {
       .withColumn("slot", expr("__tus div 1000000"))
       .select((col(keyCol) +: col("slot") +: valCols.values.toSeq.sorted.map(col)): _*)
   }
+
+  /** Exponentially time-decayed score per key — the recency-weighted
+    * leaderboard/feature ("engagement that fades with a half-life"):
+    *   decayed = Σ value · 2^((t − T) / halfLife)
+    * with T = the corpus' max event time, so the newest event counts
+    * fully and one halfLife earlier counts half. T is attached as a
+    * ONE-ROW broadcast aggregate — a fixed reference makes the score a
+    * pure function of the data (re-runs reproduce it; a wall-clock
+    * "now" would not).
+    *
+    * Exactness: each event's contribution is ONE fixed-order double
+    * expression — exp((Δus / halfLifeUs) · ln 2) with both constants
+    * embedded as exact literals — rounded to 6 places and summed as
+    * DECIMAL(18,6) (associative; the q146 discipline), so per-key
+    * scores and any downstream top-k ordering are engine-exact.
+    *
+    * Scale shape: one row-scale scan with the decay in the projection,
+    * one hash aggregate on the key; the max-time attach is the q93
+    * one-row broadcast shape.
+    */
+  def decayedScores(events: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive: $halfLifeDays")
+    val halfUs = halfLifeDays * 86400.0e6
+    val ln2 = math.log(2.0)
+    val tmax = events.agg(max(unix_micros(col(tsCol))).as("__tmax"))
+    val contrib = col(valCol).cast("double") *
+      exp((col("__tus") - col("__tmax")).cast("double") / lit(halfUs) * lit(ln2))
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(keyCol), col(valCol), unix_micros(col(tsCol)).as("__tus"))
+      .crossJoin(broadcast(tmax))
+      .withColumn("__c",
+        (floor(contrib * 1e6 + 0.5) / 1e6).cast("decimal(18,6)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("__c")).cast("double").as("decayed"))
+  }
+
+  /** Theil–Sen robust trend per group — `trendSlope`'s outlier-immune
+    * sibling: the MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i),
+    * x_i < x_j. One wild day barely moves it where OLS swings; reading
+    * both slopes apart flags that outlier day.
+    *
+    * Exactness: each pairwise slope is exact-integer differences
+    * through ONE double division; the median is order-statistics on
+    * those doubles (window per group), with the even-count midpoint
+    * (a+b)/2 — commutative, engine-exact — and the result rounded to
+    * 6 places.
+    *
+    * Scale contract (same as `ewma`'s): inputs are PRE-AGGREGATED
+    * per-(group, x) series — days, weeks — so the within-group pair
+    * join is |series|² over a calendar-bounded count, never raw-event
+    * quadratic; `require`-guarded upstream by the daily aggregate
+    * shape. The pair join is an equi-join on the group key; windows
+    * partition by group.
+    */
+  def theilSen(series: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val a = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x1"), col(yCol).cast("long").as("__y1"))
+    val b = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x2"), col(yCol).cast("long").as("__y2"))
+    val slopes = a.join(b, Seq("__g"))
+      .filter(col("__x1") < col("__x2"))
+      .select(col("__g"),
+        ((col("__y2") - col("__y1")).cast("double") /
+          (col("__x2") - col("__x1")).cast("double")).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__s"))
+    val ranked = slopes
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__m",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__g"))).cast("long"))
+    ranked
+      .filter(col("__rn") === call_function("div", col("__m") + 1L, lit(2L)) ||
+        col("__rn") === call_function("div", col("__m"), lit(2L)) + 1L)
+      .groupBy(col("__g"))
+      .agg(max(col("__m")).as("n_pairs"),
+        (floor((sum(col("__s")) / count(lit(1))) * 1e6 + 0.5) / 1e6)
+          .as("slope"))
+      .select(col("__g").as(groupCol), col("n_pairs"), col("slope"))
+  }
 }

@@ -377,4 +377,42 @@ object Sampling {
       .filter(col("n_hits") >= 1)
       .select(col("__k").as(keyCol), col("__w").as("weight"), col("n_hits"))
   }
+
+  /** Deterministic weighted sample WITHOUT replacement — the
+    * Efraimidis–Spirakis reservoir scheme with the RNG replaced by the
+    * content-stable key hash: each row draws u(key) ∈ (0, 1] from the
+    * first 48 md5 bits of 'wrs|key' and scores ln(u)/w; the n LARGEST
+    * scores win. Inclusion probability tracks weight exactly as in the
+    * randomized scheme, but the sample is a pure function of the key
+    * set — reproducible across runs, engines, and partitionings, and
+    * stable under appends that don't touch the winners
+    * ([[ppsSample]]'s no-RNG philosophy for the without-replacement
+    * case; ppsSample draws WITH multiplicity, this never repeats a
+    * key).
+    *
+    * Scale shape: scan-resident score (hash + one ln per row), then a
+    * distributed TakeOrdered(n) — no shuffle beyond the top-n
+    * aggregation, no window, no driver state.
+    *
+    * Output: `keyCol`, `weight`, `es_score` (double at 6 places; the
+    * SELECTION runs on the unrounded score — one ln and one division,
+    * deterministic in any engine).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val keyed = df
+      .filter(col(keyCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(keyCol).as("__k"), col(weightCol).cast("long").as("__w"))
+      .withColumn("__h",
+        conv(substring(saltedOrderKey("wrs", col("__k")), 1, 12), 16, 10)
+          .cast("long"))
+      .withColumn("__score",
+        log((col("__h").cast("double") + 1.0) / 281474976710656.0) /
+          col("__w").cast("double"))
+    keyed.orderBy(col("__score").desc, col("__k")).limit(n)
+      .select(col("__k").as(keyCol), col("__w").as("weight"),
+        (floor(col("__score") * 1e6 + 0.5) / 1e6).as("es_score"))
+  }
 }

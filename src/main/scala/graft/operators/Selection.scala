@@ -94,4 +94,66 @@ object Selection {
         org.apache.spark.sql.types.StructField("covered_total",
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
+
+  /** Maximal-marginal-relevance selection over an embedding corpus —
+    * `greedyCoverage`'s dense-vector sibling (RAG context packing,
+    * eval-set picking): k rounds of
+    *   argmax  λ·cos(query, cand) − (1−λ)·max_{s∈picked} cos(s, cand)
+    * — relevance traded against redundancy with what is already
+    * picked. Ties break by (score desc, id asc); the score argmax runs
+    * on UNROUNDED doubles whose every factor is the bit-exact cosine
+    * (the q24 contract), so the pick sequence replays exactly in the
+    * oracle's unrolled rounds.
+    *
+    * Scale shape: the query vector and the ≤k picked vectors ride
+    * along as PLAN LITERALS, so every round is ONE corpus scan with
+    * all cosines in the scan projection (no join, no explode, nothing
+    * checkpointed — the q247 recompute-beats-materialize lesson) into
+    * a TakeOrdered(1). k driver rows total.
+    */
+  def mmr(corpus: DataFrame, query: DataFrame, idCol: String,
+          vecCol: String, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64]: $k (driver rounds)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    val spark = corpus.sparkSession
+    val qRows = query.select(col(vecCol)).limit(1).collect()
+    require(qRows.nonEmpty, "query frame is empty")
+    val qVec = qRows(0).getSeq[Float](0)
+    def vlit(v: Seq[Float]) = typedLit(v)
+    val cos = graft.expressions.GraftFunctions.cosineSim _
+    var picked = Vector.empty[(Long, Seq[Float], Double, Double, Double)]
+    var pickedIds = Set.empty[Long]
+    for (round <- 1 to k) {
+      val base = corpus
+        .filter(col(idCol).isNotNull &&
+          (if (pickedIds.isEmpty) lit(true)
+           else !col(idCol).isInCollection(pickedIds.toSeq)))
+        .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__cv"),
+          cos(vlit(qVec), col(vecCol)).as("__rel"))
+      val ms =
+        if (picked.isEmpty) lit(0.0)
+        else {
+          val sims = picked.map(p => cos(vlit(p._2), col("__cv")))
+          if (sims.size == 1) sims.head else greatest(sims: _*)
+        }
+      val w = base.withColumn("__ms", ms)
+        .withColumn("__score",
+          lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms"))
+        .orderBy(col("__score").desc, col("__id"))
+        .limit(1)
+        .collect()
+      if (w.nonEmpty) {
+        val r = w(0)
+        picked :+= ((r.getLong(0), r.getSeq[Float](1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+        pickedIds += r.getLong(0)
+      }
+    }
+    def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val spark2 = spark
+    import spark2.implicits._
+    picked.zipWithIndex.map { case ((id, _, rel, m, s), i) =>
+      ((i + 1).toLong, id, p6(rel), p6(m), p6(s))
+    }.toDF("round", "vec_id", "relevance", "max_sim", "mmr_score")
+  }
 }

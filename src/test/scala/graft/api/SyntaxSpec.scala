@@ -198,6 +198,21 @@ class SyntaxSpec extends SparkSpec {
     ra.rrfFuse(rb).queryExecution.analyzed
       .sameResult(graft.operators.Similarity.rrfFuse(ra, rb)
         .queryExecution.analyzed) shouldBe true
+    // weightedSample/theilSen/decayedScores are plan-equal; mmr runs
+    // driver rounds: compare results
+    val ws = Seq((1L, 3L), (2L, 5L)).toDF("k", "w")
+    ws.weightedSample("k", "w", 1).queryExecution.analyzed
+      .sameResult(graft.operators.Sampling.weightedSample(ws, "k", "w", 1)
+        .queryExecution.analyzed) shouldBe true
+    val srs = Seq(("g", 0L, 1L), ("g", 1L, 2L)).toDF("g", "x", "y")
+    srs.theilSen("g", "x", "y").queryExecution.analyzed
+      .sameResult(graft.operators.Resample.theilSen(srs, "g", "x", "y")
+        .queryExecution.analyzed) shouldBe true
+    val dev = Seq(("u", 0L, 1.0)).toDF("k", "us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    dev.decayedScores("k", "ts", "v", 1.0).queryExecution.analyzed
+      .sameResult(graft.operators.Resample.decayedScores(dev, "k", "ts",
+        "v", 1.0).queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

@@ -141,4 +141,47 @@ class ResampleSpec extends SparkSpec {
     h.getDouble(5) should be > e.getDouble(3) // forecast > flat ewma
     h.getDouble(4) should be > 0.0 // positive trend detected
   }
+
+  test("decayedScores halves a contribution per half-life with exact totals") {
+    // key a: 10 at T and 10 one half-life earlier -> 10 + 5 = 15
+    // key b: 8 two half-lives before T -> 2
+    val ev = Seq(
+      ("a", 86400000000L, 10.0), ("a", 0L, 10.0),
+      ("b", -86400000000L, 8.0))
+      .toDF("k", "us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Resample.decayedScores(ev, "k", "ts", "v", halfLifeDays = 1.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    out("a") shouldBe ((2L, 15.0))
+    out("b") shouldBe ((1L, 2.0))
+  }
+
+  test("theilSen takes the exact pairwise-slope median, odd and even") {
+    // odd: y = 1,2,4 at x = 0,1,2 -> slopes 1, 1.5, 2 -> median 1.5
+    val odd = Seq(("g", 0L, 1L), ("g", 1L, 2L), ("g", 2L, 4L))
+      .toDF("g", "x", "y")
+    val ro = Resample.theilSen(odd, "g", "x", "y").collect()(0)
+    ro.getLong(1) shouldBe 3L
+    ro.getDouble(2) shouldBe 1.5
+    // even: y = 0,1,3,4 -> sorted slopes 1,1,4/3,1.5,1.5,2 ->
+    // middles (4/3, 1.5) -> 1.416667
+    val even = Seq(("g", 0L, 0L), ("g", 1L, 1L), ("g", 2L, 3L),
+      ("g", 3L, 4L)).toDF("g", "x", "y")
+    val re = Resample.theilSen(even, "g", "x", "y").collect()(0)
+    re.getLong(1) shouldBe 6L
+    re.getDouble(2) shouldBe 1.416667
+  }
+
+  test("theilSen shrugs off the outlier day that swings OLS") {
+    // clean slope 1 with one wild final day (an end outlier tilts
+    // OLS hard; a center one would cancel)
+    val pts = (0L to 10L).map(x => ("g", x, if (x == 10L) 500L else x))
+    val ts = Resample.theilSen(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .collect()(0).getDouble(2)
+    val ols = Resample.trendSlope(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .collect()(0).getDouble(2)
+    ts shouldBe 1.0 +- 0.2
+    math.abs(ols - 1.0) should be > 5.0
+  }
 }

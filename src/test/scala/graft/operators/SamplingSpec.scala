@@ -175,4 +175,42 @@ class SamplingSpec extends SparkSpec {
     Sampling.ppsSample(dirty, "doc_id", "w", n = 5L)
       .collect().map(_.getLong(0)).toSet shouldBe Set(1L)
   }
+
+  // reference Efraimidis–Spirakis score replicated outside Spark
+  private def esScore(key: Long, w: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"wrs|$key".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    math.log((h.toDouble + 1.0) / 281474976710656.0) / w.toDouble
+  }
+
+  test("weightedSample picks exactly the reference top-n, no repeats") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(k => (k, (k % 7) + 1L))
+    val df = rows.toDF("k", "w")
+    val expect = rows.sortBy { case (k, w) => (-esScore(k, w), k) }
+      .take(10).map(_._1)
+    val got = Sampling.weightedSample(df, "k", "w", n = 10)
+      .collect().map(_.getLong(0))
+    got.sorted.toSeq shouldBe expect.sorted.toSeq
+    got.distinct.length shouldBe 10
+  }
+
+  test("weightedSample is monotone in weight and drops non-positive weights") {
+    import spark.implicits._
+    val base = (1L to 20L).map(k => (k, 2L))
+    val in10 = Sampling.weightedSample(base.toDF("k", "w"), "k", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    val loser = (1L to 20L).find(!in10.contains(_)).get
+    // boost the loser's weight far above the field: it must enter
+    val boosted = base.map { case (k, w) => (k, if (k == loser) 1000L else w) }
+    val in10b = Sampling.weightedSample(boosted.toDF("k", "w"), "k", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    in10b should contain(loser)
+    val dirty = Seq((1L, Option(5L)), (2L, Option(0L)),
+      (3L, Option.empty[Long])).toDF("k", "w")
+    Sampling.weightedSample(dirty, "k", "w", 5)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+  }
 }

@@ -117,7 +117,9 @@ class QueryPlanSpec extends SparkSpec {
     // q255 ranks its K-row top-terms cut by a broadcast order-predicate
     // self-join (K <= 10^4 contract constant); q256 is two q24-shaped
     // ANN scorings (broadcast query set under an id-inequality)
-    "q255_zipf_fit", "q256_rrf_fusion")
+    "q255_zipf_fit", "q256_rrf_fusion",
+    // q260 attaches the one-row max-timestamp reference (q93 shape)
+    "q260_decayed_scores")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
