@@ -511,6 +511,110 @@ object ScaleSmoke {
         ev.filter(col("q2") >= 50), Seq("q1", "q2"), st)
       streaming.StreamingKAnonymity.kAnonymityView(merged, k = 10L).count()
     }
+    // round-10 second-wave operators at volume.
+    // rank metrics: n rows collapse to <= 100k distinct scores in one
+    // hash aggregate; the bucketed prefix holds ~6k driver offsets at
+    // bucketWidth 16 — cost must track rows with a constant rank tail
+    time("rank auc + gains (100k scores)") {
+      val scored = events(rows).select(
+        col("event_id").as("id"),
+        (pmod(hash(col("event_id")), lit(100000)).cast("double") / 100.0)
+          .as("s"),
+        pmod(col("event_id"), lit(5)).cast("long").as("lab"))
+      operators.Metrics.rankAuc(scored, "s", "lab", bucketWidth = 16.0)
+        .count() +
+        operators.Metrics.gainsTable(scored, "s", "id", "lab",
+          tiles = 10, bucketWidth = 16.0).count()
+    }
+    // markov transitions: one window pass over n/100-user day
+    // sequences, then two vocabulary-bounded aggregates
+    time("markov transitions (n/100 groups)") {
+      operators.Markov.transitions(
+        events(rows).select(pmod(col("user_id"), lit(rows / 100)).as("g"),
+          col("event_id").as("o"),
+          concat(lit("t"), pmod(col("event_id"), lit(12))).as("t")),
+        Seq("g"), Seq("o"), "t").count()
+    }
+    // contingency statistics: the row-scale pass is ONE (a, b) cell
+    // aggregate (100 x 50 grid); everything after is grid-sized
+    time("chi-square + mutual info (100x50)") {
+      val cat = events(rows).select(
+        concat(lit("a"), pmod(hash(col("event_id")), lit(100))).as("ca"),
+        concat(lit("b"), pmod(hash(col("user_id")), lit(50))).as("cb"))
+      operators.Profile.chiSquare(cat, "ca", "cb").count() +
+        operators.Profile.mutualInfo(cat, "ca", "cb").count()
+    }
+    // FD strength: kAnonymity's two-aggregate economics over n/200
+    // determinant tuples
+    time("fd strength (n/200 determinants)") {
+      operators.Audit.fdStrength(
+        events(rows).select(pmod(col("user_id"), lit(rows / 200)).as("det"),
+          pmod(hash(col("event_id")), lit(7)).as("dep")),
+        Seq("det"), "dep").count()
+    }
+    // Zipf fit: one corpus-scale token count (3 tokens/row, 30k-term
+    // vocabulary), then the K-row rank join and a 5-sum aggregate
+    time("zipf fit (top-200 of 30k terms)") {
+      operators.TfIdf.zipfFit(
+        events(rows).select(concat_ws(" ",
+          concat(lit("t"), pmod(hash(col("event_id")), lit(30000))),
+          concat(lit("t"), pmod(hash(col("user_id")), lit(3000))),
+          concat(lit("t"), pmod(col("event_id"), lit(300)))).as("text")),
+        "text", topK = 200).count()
+    }
+    // deterministic weighted sample: scan-resident scores into one
+    // distributed TakeOrdered(1000) — no shuffle beyond top-n
+    time("weighted sample (1k of n rows)") {
+      operators.Sampling.weightedSample(
+        events(rows).select(col("event_id").as("k"),
+          (pmod(hash(col("event_id")), lit(100)) + 1).cast("long").as("w")),
+        "k", "w", n = 1000).count()
+    }
+    // decayed leaderboard: decay in the scan projection, one hash
+    // aggregate on n/100 keys, one-row max-ts broadcast
+    time("decayed scores (n/100 keys)") {
+      operators.Resample.decayedScores(
+        events(rows).select(pmod(col("user_id"), lit(rows / 100)).as("k"),
+          col("ts"), col("value")),
+        "k", "ts", "value", halfLifeDays = 7.0).count()
+    }
+    // Theil-Sen: n rows pre-aggregate to 20 groups x 150 days; the
+    // pair join is day-bounded (11k pairs/group), never row-quadratic
+    time("theil-sen (20 groups x 150 days)") {
+      operators.Resample.theilSen(
+        events(rows)
+          .groupBy(pmod(hash(col("user_id")), lit(20)).as("g"),
+            pmod(col("event_id"), lit(150)).as("x"))
+          .agg(count(lit(1)).cast("long").as("y")),
+        "g", "x", "y").count()
+    }
+    // streaming funnel: two half-batches min-merged into (user, step)
+    // state over n/100 users; the card reads state only
+    time("streaming funnel (2 batches)") {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sfunnel").toString + "/state"
+      val steps = Seq("s0", "s1", "s2")
+      val ev = events(rows).select(
+        pmod(col("user_id"), lit(rows / 100)).as("u"), col("ts"),
+        concat(lit("s"), pmod(col("event_id"), lit(4))).as("t"),
+        pmod(col("event_id"), lit(2)).as("half"))
+      streaming.StreamingFunnel.acceptBatch(
+        ev.filter(col("half") === 0), "u", "ts", "t", steps, st)
+      val merged = streaming.StreamingFunnel.mergeBatch(
+        ev.filter(col("half") === 1), "u", "ts", "t", steps, st)
+      streaming.StreamingFunnel.funnelView(merged, steps).count()
+    }
+    // MMR: k scans of an n/10-row 16-d corpus with all cosines as
+    // plan literals — cost = k x (generate + scan), nothing retained
+    time("mmr (3 rounds, n/10 vectors)") {
+      val vecs = events(rows).filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("event_id").as("vec_id"),
+          array((0 until 16).map(i =>
+            (pmod(hash(col("event_id") + i), lit(1000)).cast("float") /
+              1000.0f) + 0.001f): _*).as("embedding"))
+      operators.Selection.mmr(vecs.filter(col("vec_id") =!= 0),
+        vecs.limit(1), "vec_id", "embedding", k = 3).count()
+    }
     spark.stop()
   }
 }

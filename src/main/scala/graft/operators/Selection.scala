@@ -116,12 +116,23 @@ object Selection {
     require(k >= 1 && k <= 64, s"k must be in [1,64]: $k (driver rounds)")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
     val spark = corpus.sparkSession
+    // dtype-aware vector handling (float parquet embeddings or double
+    // arrays built in a projection), forced to plain JVM arrays:
+    // collected rows can surface catalyst-backed Seqs that Literal
+    // creation rejects
+    val isFloat = corpus.select(col(vecCol)).schema.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType
+    def vecOf(row: org.apache.spark.sql.Row, i: Int): Seq[Double] =
+      if (isFloat) row.getSeq[Float](i).toArray.map(_.toDouble).toSeq
+      else row.getSeq[Double](i).toArray.toSeq
+    def vlit(v: Seq[Double]) =
+      if (isFloat) typedLit(v.map(_.toFloat)) else typedLit(v)
     val qRows = query.select(col(vecCol)).limit(1).collect()
     require(qRows.nonEmpty, "query frame is empty")
-    val qVec = qRows(0).getSeq[Float](0)
-    def vlit(v: Seq[Float]) = typedLit(v)
+    val qVec = vecOf(qRows(0), 0)
     val cos = graft.expressions.GraftFunctions.cosineSim _
-    var picked = Vector.empty[(Long, Seq[Float], Double, Double, Double)]
+    var picked = Vector.empty[(Long, Seq[Double], Double, Double, Double)]
     var pickedIds = Set.empty[Long]
     for (round <- 1 to k) {
       val base = corpus
@@ -144,8 +155,8 @@ object Selection {
         .collect()
       if (w.nonEmpty) {
         val r = w(0)
-        picked :+= ((r.getLong(0), r.getSeq[Float](1), r.getDouble(2),
-          r.getDouble(3), r.getDouble(4)))
+        picked :+= ((r.getLong(0), vecOf(r, 1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4)))
         pickedIds += r.getLong(0)
       }
     }
