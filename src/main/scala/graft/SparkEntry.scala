@@ -2990,6 +2990,69 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("y")),
         "event_type", "x", "y")),
 
+    // view -> purchase conversion latency: first purchase strictly
+    // after the first view, exact micros; p50/p90 via the q136
+    // percentile ≡ quantile_cont parity
+    "q262_conversion_latency" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val first = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+        .join(first, "user_id")
+        .filter(col("tp") > col("t0"))
+        .groupBy(col("user_id"))
+        .agg(min(col("tp") - col("t0")).as("lat_us"))
+        .agg(count(lit(1)).cast("long").as("n_converted"),
+          pround(expr("percentile(lat_us, 0.5)"), 1).as("p50_us"),
+          pround(expr("percentile(lat_us, 0.9)"), 1).as("p90_us"))
+    }),
+
+    // last-touch revenue attribution: each purchase credited to the
+    // user's latest preceding non-purchase event type via the verified
+    // as-of backward join; exact DECIMAL revenue
+    "q263_last_touch" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      operators.AsOfJoin.backward(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts"), col("event_type")),
+        Seq("user_id"), "ts", Map("event_type" -> "channel"))
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          dsum(col("value")).as("revenue"))
+    }),
+
+    // RFM segmentation: per-user recency/frequency/monetary, quintile
+    // indexes by counting strict quantile-boundary crossings (q136
+    // percentile parity; idx 5 = largest values), segment-grid counts
+    "q264_rfm_segments" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val rfm = ev.groupBy(col("user_id"))
+        .agg(max(expr("unix_micros(ts) div 86400000000")).as("__ld"),
+          count(lit(1)).cast("long").as("freq"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("monetary"))
+        .crossJoin(broadcast(ev.agg(
+          max(expr("unix_micros(ts) div 86400000000")).as("__gd"))))
+        .withColumn("recency", (col("__gd") - col("__ld")).cast("long"))
+      val qs = rfm.agg(
+        expr("percentile(recency, array(0.2D,0.4D,0.6D,0.8D))").as("__rq"),
+        expr("percentile(freq, array(0.2D,0.4D,0.6D,0.8D))").as("__fq"),
+        expr("percentile(monetary, array(0.2D,0.4D,0.6D,0.8D))").as("__mq"))
+      def idx(bounds: String, v: Column) =
+        (size(filter(col(bounds), x => x < v)) + 1).cast("long")
+      rfm.crossJoin(broadcast(qs))
+        .select(idx("__rq", col("recency").cast("double")).as("r_idx"),
+          idx("__fq", col("freq").cast("double")).as("f_idx"),
+          idx("__mq", col("monetary")).as("m_idx"), col("monetary"))
+        .groupBy(col("r_idx"), col("f_idx"), col("m_idx"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          dsum(col("monetary")).as("total_value"))
+    }),
+
     // multi-source BFS layers over the near-dup candidate graph: how
     // far a seed cohort (doc_id % 13 == 0 graph nodes) spreads through
     // q21's banding in <= 3 hops — exact set computation, unrolled
@@ -7380,6 +7443,72 @@ object SparkEntry {
           |  floor(sum(s) / count(*) * 1000000 + 0.5) / 1000000 AS slope
           |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
           |GROUP BY 1""".stripMargin,
+
+      // per-user min purchase-after-first-view delta in exact micros;
+      // quantile_cont ≡ percentile (q136 parity), pround 1
+      "q262_conversion_latency" ->
+        s"""WITH f AS (
+           |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+           |  WHERE event_type = 'view' GROUP BY 1),
+           |l AS (
+           |  SELECT p.user_id, min(epoch_us(p.ts) - f.t0) AS lat_us
+           |  FROM events p JOIN f ON p.user_id = f.user_id
+           |  WHERE p.event_type = 'purchase' AND epoch_us(p.ts) > f.t0
+           |  GROUP BY 1)
+           |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           |  ${pround("quantile_cont(lat_us, 0.5)", 1)} AS p50_us,
+           |  ${pround("quantile_cont(lat_us, 0.9)", 1)} AS p90_us
+           |FROM l""".stripMargin,
+
+      // DuckDB ASOF: latest non-purchase touch with ts <= purchase ts
+      "q263_last_touch" ->
+        """WITH p AS (SELECT user_id, ts, value FROM events
+          |  WHERE event_type = 'purchase'),
+          |tch AS (SELECT user_id, ts, event_type FROM events
+          |  WHERE event_type <> 'purchase'),
+          |a AS (
+          |  SELECT p.value, t.event_type AS channel
+          |  FROM p ASOF LEFT JOIN tch t
+          |    ON p.user_id = t.user_id AND p.ts >= t.ts)
+          |SELECT coalesce(channel, 'none') AS channel,
+          |  CAST(count(*) AS BIGINT) AS n_purchases,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+          |    AS revenue
+          |FROM a GROUP BY 1""".stripMargin,
+
+      // same strict boundary-crossing quintile indexes over
+      // quantile_cont boundaries; exact DECIMAL totals
+      "q264_rfm_segments" ->
+        """WITH g AS (
+          |  SELECT max(epoch_us(ts) // 86400000000) AS gd FROM events),
+          |u AS (
+          |  SELECT user_id,
+          |    CAST(gd - max(epoch_us(ts) // 86400000000) AS BIGINT)
+          |      AS recency,
+          |    CAST(count(*) AS BIGINT) AS freq,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+          |  FROM events, g GROUP BY user_id, gd),
+          |q AS (
+          |  SELECT quantile_cont(CAST(recency AS DOUBLE),
+          |      [0.2, 0.4, 0.6, 0.8]) AS rq,
+          |    quantile_cont(CAST(freq AS DOUBLE),
+          |      [0.2, 0.4, 0.6, 0.8]) AS fq,
+          |    quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
+          |  FROM u),
+          |s AS (
+          |  SELECT
+          |    CAST(1 + len(list_filter(rq,
+          |      x -> x < CAST(recency AS DOUBLE))) AS BIGINT) AS r_idx,
+          |    CAST(1 + len(list_filter(fq,
+          |      x -> x < CAST(freq AS DOUBLE))) AS BIGINT) AS f_idx,
+          |    CAST(1 + len(list_filter(mq, x -> x < monetary)) AS BIGINT)
+          |      AS m_idx,
+          |    monetary
+          |  FROM u, q)
+          |SELECT r_idx, f_idx, m_idx, CAST(count(*) AS BIGINT) AS n_users,
+          |  round(CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE), 2)
+          |    AS total_value
+          |FROM s GROUP BY 1, 2, 3""".stripMargin,
 
       // q21's candidate pairs as a symmetric edge list, three unrolled
       // frontier rounds (exact set computation — no scores, no ties)

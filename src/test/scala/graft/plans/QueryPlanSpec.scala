@@ -118,8 +118,10 @@ class QueryPlanSpec extends SparkSpec {
     // self-join (K <= 10^4 contract constant); q256 is two q24-shaped
     // ANN scorings (broadcast query set under an id-inequality)
     "q255_zipf_fit", "q256_rrf_fusion",
-    // q260 attaches the one-row max-timestamp reference (q93 shape)
-    "q260_decayed_scores")
+    // q260 attaches the one-row max-timestamp reference (q93 shape);
+    // q264 attaches the one-row global-day and quintile-boundary
+    // aggregates onto the per-user RFM table (q93 shape, twice)
+    "q260_decayed_scores", "q264_rfm_segments")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
