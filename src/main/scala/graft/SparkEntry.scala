@@ -3025,6 +3025,32 @@ object SparkEntry {
           dsum(col("value")).as("revenue"))
     }),
 
+    // deterministic negative sampling: 2 md5-drawn candidate parts per
+    // (customer, bought-part) positive, user-positives rejected by
+    // anti-join — the reproducible training-pair generator
+    "q265_negative_samples" -> ((s, d) => {
+      val pos = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      operators.Sampling.negativeSamples(pos, "o_custkey", "l_partkey",
+        t(s, d, "part"), "p_partkey", k = 2)
+        .withColumnRenamed("o_custkey", "custkey")
+    }),
+
+    // sessions-as-baskets affinity: which event types co-occur within
+    // one 30-min session beyond their base rates (q211's machinery on
+    // the q101 session grain; exact bp lift)
+    "q266_session_affinity" -> ((s, d) =>
+      operators.Basket.pairAffinity(
+        operators.Sessionize.withSessionIds(
+          t(s, d, "events"), "user_id", "ts", gapSeconds = 1800)
+          .select(concat_ws("#", col("user_id"), col("session_id"))
+            .as("basket"), col("event_type")),
+        "basket", "event_type", minPairs = 2L)),
+
     // RFM segmentation: per-user recency/frequency/monetary, quintile
     // indexes by counting strict quantile-boundary crossings (q136
     // percentile parity; idx 5 = largest values), segment-grid counts
@@ -7475,6 +7501,57 @@ object SparkEntry {
           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
           |    AS revenue
           |FROM a GROUP BY 1""".stripMargin,
+
+      // same md5('neg|u|i|j') 48-bit draw modulo the max part id;
+      // rejection by NOT EXISTS against the user's positives
+      "q265_negative_samples" ->
+        """WITH pos AS (
+          |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          |mx AS (SELECT CAST(max(p_partkey) AS BIGINT) AS m FROM part),
+          |c AS (
+          |  SELECT u, i, j,
+          |    CAST(('0x' || substr(md5('neg' || '|' ||
+          |      CAST(u AS VARCHAR) || '|' || CAST(i AS VARCHAR) || '|' ||
+          |      CAST(j AS VARCHAR)), 1, 12)) AS BIGINT) % m + 1 AS cand
+          |  FROM pos, mx, (SELECT unnest([1, 2]) AS j) dr)
+          |SELECT u AS custkey, CAST(cand AS BIGINT) AS neg_item,
+          |  CAST(j AS BIGINT) AS draw
+          |FROM c WHERE NOT EXISTS (
+          |  SELECT 1 FROM pos p WHERE p.u = c.u AND p.i = c.cand)"""
+        .stripMargin,
+
+      // q148's session replication at a 1800s gap; sessions become
+      // baskets (user#sid), q211's affinity SQL over event types
+      "q266_session_affinity" ->
+        """WITH g AS (
+          |  SELECT user_id, ts, event_type,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+          |              > 1800
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (
+          |  SELECT user_id, event_type,
+          |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+          |                  ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM g),
+          |b AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || '#' ||
+          |    CAST(sid AS VARCHAR) AS bk, event_type FROM s),
+          |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM b),
+          |ic AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ni
+          |       FROM b GROUP BY 1),
+          |p AS (
+          |  SELECT x.event_type AS item_a, y.event_type AS item_b,
+          |    CAST(count(*) AS BIGINT) AS n_ab
+          |  FROM b x JOIN b y ON x.bk = y.bk
+          |    AND x.event_type < y.event_type
+          |  GROUP BY 1, 2 HAVING n_ab >= 2)
+          |SELECT item_a, item_b, n_ab, ia.ni AS n_a, ib.ni AS n_b,
+          |  CAST(n_ab * nb.n * 10000 // (ia.ni * ib.ni) AS BIGINT)
+          |    AS lift_bp
+          |FROM p JOIN ic ia ON ia.event_type = item_a
+          |JOIN ic ib ON ib.event_type = item_b, nb""".stripMargin,
 
       // same strict boundary-crossing quintile indexes over
       // quantile_cont boundaries; exact DECIMAL totals

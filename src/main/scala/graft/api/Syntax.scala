@@ -259,6 +259,9 @@ object syntax {
       Selection.mmr(df, query, idCol, vecCol, k, lambda)
     def weightedSample(keyCol: String, weightCol: String, n: Int): DataFrame =
       Sampling.weightedSample(df, keyCol, weightCol, n)
+    def negativeSamples(userCol: String, itemCol: String, items: DataFrame,
+                        itemKeyCol: String, k: Int): DataFrame =
+      Sampling.negativeSamples(df, userCol, itemCol, items, itemKeyCol, k)
     def decayedScores(keyCol: String, tsCol: String, valCol: String,
                       halfLifeDays: Double): DataFrame =
       Resample.decayedScores(df, keyCol, tsCol, valCol, halfLifeDays)

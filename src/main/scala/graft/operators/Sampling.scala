@@ -398,6 +398,49 @@ object Sampling {
     * SELECTION runs on the unrounded score — one ln and one division,
     * deterministic in any engine).
     */
+  /** Deterministic negative sampling for training-pair generation: for
+    * every observed (user, item) positive, `k` candidate negatives are
+    * drawn from the item id space [1, max item] by a content-stable
+    * md5 of (user, item, draw) — no RNG, so the training set is
+    * reproducible and append-stable — and any candidate that collides
+    * with one of the USER'S actual positives is rejected (dropped, not
+    * redrawn: expected yield is k·(1 − user density), and a redraw
+    * loop would break the one-expression determinism).
+    *
+    * Assumes dense integral item ids in [1, max(itemKeyCol)] (the
+    * dimension-table convention); sparse id spaces would need an id
+    * rank first (`shuffleRank`).
+    *
+    * Scale shape: one distinct on (user, item), a k-way explode of
+    * literal draw indexes in the scan projection, one anti equi-join
+    * on (user, candidate) — AQE handles hot users; the max-item attach
+    * is a one-row broadcast.
+    *
+    * Output: `userCol`, `neg_item` (BIGINT), `draw` (1-based BIGINT).
+    */
+  def negativeSamples(positives: DataFrame, userCol: String,
+                      itemCol: String, items: DataFrame,
+                      itemKeyCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in [1,16]: $k")
+    val pos = positives
+      .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(userCol).as("__u"), col(itemCol).cast("long").as("__i"))
+      .distinct()
+    val mx = broadcast(items.agg(max(col(itemKeyCol)).cast("long").as("__mx")))
+    val cand = pos.crossJoin(mx)
+      .withColumn("__j", explode(array((1 to k).map(j => lit(j.toLong)): _*)))
+      .withColumn("__cand",
+        conv(substring(md5(concat_ws("|", lit("neg"),
+          col("__u").cast("string"), col("__i").cast("string"),
+          col("__j").cast("string"))), 1, 12), 16, 10).cast("long") %
+          col("__mx") + 1L)
+    cand
+      .join(pos.select(col("__u"), col("__i").as("__cand")),
+        Seq("__u", "__cand"), "left_anti")
+      .select(col("__u").as(userCol), col("__cand").as("neg_item"),
+        col("__j").as("draw"))
+  }
+
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")

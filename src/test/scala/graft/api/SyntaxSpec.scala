@@ -213,6 +213,11 @@ class SyntaxSpec extends SparkSpec {
     dev.decayedScores("k", "ts", "v", 1.0).queryExecution.analyzed
       .sameResult(graft.operators.Resample.decayedScores(dev, "k", "ts",
         "v", 1.0).queryExecution.analyzed) shouldBe true
+    val np = Seq((1L, 1L)).toDF("u", "i")
+    val ni = Seq(1L, 2L).toDF("item")
+    np.negativeSamples("u", "i", ni, "item", 2).queryExecution.analyzed
+      .sameResult(Sampling.negativeSamples(np, "u", "i", ni, "item", 2)
+        .queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

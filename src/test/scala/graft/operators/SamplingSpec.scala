@@ -197,6 +197,29 @@ class SamplingSpec extends SparkSpec {
     got.distinct.length shouldBe 10
   }
 
+  test("negativeSamples rejects user positives and replays deterministically") {
+    import spark.implicits._
+    val pos = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("u", "i")
+    val items = Seq(1L, 2L, 3L, 4L).toDF("item")
+    val out = Sampling.negativeSamples(pos, "u", "i", items, "item", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every sampled negative is in the id space and NOT a positive of
+    // that user
+    all(out.map(_._2)) should (be >= 1L and be <= 4L)
+    out.foreach { case (u, ni, _) =>
+      withClue(s"user $u drew own positive $ni: ") {
+        Set((1L, 1L), (1L, 2L), (2L, 1L)) should not contain ((u, ni))
+      }
+    }
+    // at most k draws per positive, exact replay across invocations
+    out.length should be <= 3 * 3
+    val again = Sampling.negativeSamples(pos, "u", "i", items, "item", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    again.sorted.toSeq shouldBe out.sorted.toSeq
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.negativeSamples(pos, "u", "i", items, "item", k = 0)
+  }
+
   test("weightedSample is monotone in weight and drops non-positive weights") {
     import spark.implicits._
     val base = (1L to 20L).map(k => (k, 2L))

@@ -120,8 +120,11 @@ class QueryPlanSpec extends SparkSpec {
     "q255_zipf_fit", "q256_rrf_fusion",
     // q260 attaches the one-row max-timestamp reference (q93 shape);
     // q264 attaches the one-row global-day and quintile-boundary
-    // aggregates onto the per-user RFM table (q93 shape, twice)
-    "q260_decayed_scores", "q264_rfm_segments")
+    // aggregates onto the per-user RFM table (q93 shape, twice);
+    // q265 attaches the one-row max-item-id aggregate (q93 shape);
+    // q266 is q211's basket machinery (one-row basket-count attach)
+    "q260_decayed_scores", "q264_rfm_segments", "q265_negative_samples",
+    "q266_session_affinity")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
