@@ -3025,6 +3025,31 @@ object SparkEntry {
           dsum(col("value")).as("revenue"))
     }),
 
+    // streaming retention card: (user, active-week) presence merges
+    // additively across two batches; cohort = min week DERIVED in the
+    // view, so late data re-cohorts correctly; exact bp retention
+    "q267_streaming_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val st = stateFixture("q267", s, d) { p =>
+        streaming.StreamingRetention.acceptBatch(
+          ev.filter(col("event_id") % 2 === 0), "user_id", "ts", p)
+      }
+      val merged = streaming.StreamingRetention.mergeBatch(
+        ev.filter(col("event_id") % 2 === 1), "user_id", "ts", st)
+      streaming.StreamingRetention.retentionView(merged)
+    }),
+
+    // trailing-7-day volume deviation per event type: exact integer
+    // basis points vs the preceding week's sum — the no-doubles
+    // anomaly screen over the day-bounded daily series
+    "q268_volume_deviation" -> ((s, d) =>
+      operators.Resample.trailingDeviation(
+        t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).cast("long").as("c")),
+        "event_type", "day", "c", window = 7)),
+
     // deterministic negative sampling: 2 md5-drawn candidate parts per
     // (customer, bought-part) positive, user-positives rejected by
     // anti-join — the reproducible training-pair generator
@@ -7501,6 +7526,46 @@ object SparkEntry {
           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
           |    AS revenue
           |FROM a GROUP BY 1""".stripMargin,
+
+      // one-shot distinct (user, week) + min-week cohorts — the state
+      // min derives identically, so the two-batch view equals this
+      "q267_streaming_retention" ->
+        """WITH a AS (
+          |  SELECT DISTINCT user_id,
+          |    epoch_us(ts) // 86400000000 // 7 AS w
+          |  FROM events),
+          |f AS (SELECT user_id, min(w) AS cw FROM a GROUP BY 1),
+          |j AS (SELECT a.user_id, f.cw, a.w - f.cw AS o
+          |      FROM a JOIN f USING (user_id)),
+          |g AS (
+          |  SELECT CAST(cw AS BIGINT) AS cohort_week,
+          |    CAST(o AS BIGINT) AS offset_weeks,
+          |    CAST(count(*) AS BIGINT) AS n_active
+          |  FROM j GROUP BY 1, 2),
+          |sz AS (SELECT cohort_week, n_active AS s FROM g
+          |       WHERE offset_weeks = 0)
+          |SELECT g.cohort_week, g.offset_weeks, g.n_active,
+          |  CAST(g.n_active * 10000 // sz.s AS BIGINT) AS retention_bp
+          |FROM g JOIN sz USING (cohort_week)""".stripMargin,
+
+      // same ROWS BETWEEN window PRECEDING AND 1 PRECEDING trailing
+      // sum; integer bp, full-window + nonzero-sum rows only
+      "q268_volume_deviation" ->
+        """WITH d AS (
+          |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          |    CAST(count(*) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, 2),
+          |w AS (
+          |  SELECT event_type, day, c,
+          |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+          |      AS trailing_sum,
+          |    count(c) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tn
+          |  FROM d)
+          |SELECT event_type, day, c AS n, trailing_sum,
+          |  CAST(c * 7 * 10000 // trailing_sum - 10000 AS BIGINT) AS dev_bp
+          |FROM w WHERE tn = 7 AND trailing_sum > 0""".stripMargin,
 
       // same md5('neg|u|i|j') 48-bit draw modulo the max part id;
       // rejection by NOT EXISTS against the user's positives

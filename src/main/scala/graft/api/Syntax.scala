@@ -267,5 +267,8 @@ object syntax {
       Resample.decayedScores(df, keyCol, tsCol, valCol, halfLifeDays)
     def theilSen(groupCol: String, xCol: String, yCol: String): DataFrame =
       Resample.theilSen(df, groupCol, xCol, yCol)
+    def trailingDeviation(groupCol: String, ordCol: String, valCol: String,
+                          window: Int = 7): DataFrame =
+      Resample.trailingDeviation(df, groupCol, ordCol, valCol, window)
   }
 }

@@ -255,6 +255,41 @@ object Resample {
         sum(col("__c")).cast("double").as("decayed"))
   }
 
+  /** Trailing-window deviation screen — the volume-anomaly monitor
+    * ("did today's count break from its own recent past?"): each
+    * observation is scored against the SUM of its `window` preceding
+    * observations within the group, in exact integer basis points:
+    *   dev_bp = (v · window · 10⁴) div trailing_sum − 10⁴
+    * (0 = exactly on trend, +10000 = double, −10000 floor = silence).
+    * No doubles anywhere, so the flag thresholding downstream is
+    * engine-exact; rows without a full trailing window (the first
+    * `window` per group) or with a zero trailing sum are dropped —
+    * a ratio against nothing is noise, not signal.
+    *
+    * Scale shape: one window pass partitioned by group over the
+    * CALENDAR-bounded series (the ewma/theilSen pre-aggregation
+    * contract) — never raw events.
+    *
+    * Overflow contract: v · window · 10⁴ < 2^63 (a trillion-count day
+    * at window 400 is still inside).
+    */
+  def trailingDeviation(series: DataFrame, groupCol: String,
+                        ordCol: String, valCol: String,
+                        window: Int = 7): DataFrame = {
+    require(window >= 2 && window <= 400, s"window in [2,400]: $window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(ordCol))
+      .rowsBetween(-window, -1)
+    series
+      .select(col(groupCol), col(ordCol), col(valCol).cast("long").as("n"))
+      .withColumn("trailing_sum", sum(col("n")).over(w).cast("long"))
+      .withColumn("__tn", count(col("n")).over(w))
+      .filter(col("__tn") === window && col("trailing_sum") > 0L)
+      .select(col(groupCol), col(ordCol), col("n"), col("trailing_sum"),
+        (call_function("div", col("n") * lit(window.toLong) * 10000L,
+          col("trailing_sum")) - 10000L).as("dev_bp"))
+  }
+
   /** Theil–Sen robust trend per group — `trendSlope`'s outlier-immune
     * sibling: the MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i),
     * x_i < x_j. One wild day barely moves it where OLS swings; reading

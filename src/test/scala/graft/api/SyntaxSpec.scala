@@ -218,6 +218,11 @@ class SyntaxSpec extends SparkSpec {
     np.negativeSamples("u", "i", ni, "item", 2).queryExecution.analyzed
       .sameResult(Sampling.negativeSamples(np, "u", "i", ni, "item", 2)
         .queryExecution.analyzed) shouldBe true
+    val tdv = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L))
+      .toDF("g", "d", "v")
+    tdv.trailingDeviation("g", "d", "v", 2).queryExecution.analyzed
+      .sameResult(graft.operators.Resample.trailingDeviation(tdv, "g", "d",
+        "v", 2).queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

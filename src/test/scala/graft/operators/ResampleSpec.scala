@@ -157,6 +157,24 @@ class ResampleSpec extends SparkSpec {
     out("b") shouldBe ((1L, 2.0))
   }
 
+  test("trailingDeviation scores exact bp vs the preceding window") {
+    // window 2: day 3 has trail {1,2}=3, v=6 -> 6*2*1e4/3 - 1e4 = 30000
+    // day 4 has trail {2,6}=8, v=4 -> 4*2*1e4 div 8 - 1e4 = 0
+    val s = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 6L), ("g", 4L, 4L))
+      .toDF("g", "d", "v")
+    val out = Resample.trailingDeviation(s, "g", "d", "v", window = 2)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    out.keySet shouldBe Set(3L, 4L) // first `window` rows dropped
+    out(3L) shouldBe ((3L, 30000L))
+    out(4L) shouldBe ((8L, 0L))
+    // zero trailing sums are dropped, not divided
+    val z = Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 5L))
+      .toDF("g", "d", "v")
+    Resample.trailingDeviation(z, "g", "d", "v", window = 2)
+      .count() shouldBe 0L
+  }
+
   test("theilSen takes the exact pairwise-slope median, odd and even") {
     // odd: y = 1,2,4 at x = 0,1,2 -> slopes 1, 1.5, 2 -> median 1.5
     val odd = Seq(("g", 0L, 1L), ("g", 1L, 2L), ("g", 2L, 4L))
