@@ -604,6 +604,42 @@ object ScaleSmoke {
         ev.filter(col("half") === 1), "u", "ts", "t", steps, st)
       streaming.StreamingFunnel.funnelView(merged, steps).count()
     }
+    // streaming retention: two half-batches of (user, week) presence
+    // merged into key-bounded state (n/200 users x 52 weeks); the card
+    // read is two aggregates over the reduced state
+    time("streaming retention (2 batches)") {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sret").toString + "/state"
+      val ev = events(rows).select(
+        pmod(col("user_id"), lit(rows / 200)).as("u"), col("ts"),
+        pmod(col("event_id"), lit(2)).as("half"))
+      streaming.StreamingRetention.acceptBatch(
+        ev.filter(col("half") === 0), "u", "ts", st)
+      val merged = streaming.StreamingRetention.mergeBatch(
+        ev.filter(col("half") === 1), "u", "ts", st)
+      streaming.StreamingRetention.retentionView(merged).count()
+    }
+    // trailing deviation: one partitioned window over the 2k-group x
+    // 150-day pre-aggregated series
+    time("trailing deviation (2k groups)") {
+      operators.Resample.trailingDeviation(
+        events(rows)
+          .groupBy(pmod(hash(col("user_id")), lit(2000)).as("g"),
+            pmod(col("event_id"), lit(150)).as("d"))
+          .agg(count(lit(1)).cast("long").as("c")),
+        "g", "d", "c", window = 7).count()
+    }
+    // negative sampling: distinct positives, k-way literal explode,
+    // one anti equi-join on (user, candidate)
+    time("negative samples (k=2)") {
+      val posPairs = events(rows).select(
+        pmod(col("user_id"), lit(rows / 100)).as("u"),
+        pmod(hash(col("event_id")), lit(100000)).as("i"))
+      val dim = events(rows).filter(col("event_id") < 1000)
+        .select((pmod(col("event_id"), lit(100000)) + 1).as("item"))
+      operators.Sampling.negativeSamples(posPairs, "u", "i", dim,
+        "item", k = 2).count()
+    }
     // MMR: k scans of an n/10-row 16-d corpus with all cosines as
     // plan literals — cost = k x (generate + scan), nothing retained
     time("mmr (3 rounds, n/10 vectors)") {
