@@ -7114,7 +7114,8 @@ object SparkEntry {
           |    CAST(sum(nn) AS BIGINT) AS nnt
           |  FROM ps),
           |u AS (
-          |  SELECT sum(CAST(np * (2 * below + nn) AS DECIMAL(38,0))) AS u2
+          |  SELECT sum(CAST(CAST(np AS DECIMAL(19,0)) * (2 * below + nn)
+          |    AS DECIMAL(38,0))) AS u2
           |  FROM pre)
           |SELECT npt AS n_pos, nnt AS n_neg,
           |  floor(CAST(u2 AS DOUBLE) / (2.0 * npt * nnt) * 1000000 + 0.5)
@@ -7302,17 +7303,22 @@ object SparkEntry {
            |      AS DECIMAL(18,6))) AS DOUBLE) AS syy
            |  FROM p)
            |SELECT n AS n_terms,
-           |  floor((CAST(n AS DOUBLE) * sxy - sx * sy) /
-           |    (CAST(n AS DOUBLE) * sxx - sx * sx) * 1000000 + 0.5)
-           |    / 1000000 AS slope,
-           |  floor((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
-           |    (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
-           |    CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS intercept,
-           |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy) *
-           |    (CAST(n AS DOUBLE) * sxy - sx * sy)) /
-           |    ((CAST(n AS DOUBLE) * sxx - sx * sx) *
-           |     (CAST(n AS DOUBLE) * syy - sy * sy)) * 1000000 + 0.5)
-           |    / 1000000 AS r2
+           |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0 THEN
+           |    floor((CAST(n AS DOUBLE) * sxy - sx * sy) /
+           |      (CAST(n AS DOUBLE) * sxx - sx * sx) * 1000000 + 0.5)
+           |      / 1000000 END AS slope,
+           |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0 THEN
+           |    floor((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+           |      (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
+           |      CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 END
+           |    AS intercept,
+           |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0
+           |        AND CAST(n AS DOUBLE) * syy - sy * sy <> 0.0 THEN
+           |    floor(((CAST(n AS DOUBLE) * sxy - sx * sy) *
+           |      (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+           |      ((CAST(n AS DOUBLE) * sxx - sx * sx) *
+           |       (CAST(n AS DOUBLE) * syy - sy * sy)) * 1000000 + 0.5)
+           |      / 1000000 END AS r2
            |FROM sm""".stripMargin,
 
       // q24's bit-exact cosine and the raw list_dot_product ranking,

@@ -33,10 +33,13 @@ object Bfs {
     require(maxDepth >= 1 && maxDepth <= 12,
       s"maxDepth must be in [1,12]: $maxDepth (deeper probes want the " +
         "Components min-label loop, not layer-exact BFS)")
-    val e = edges
+    // filter BEFORE symmetrizing so the reversed half can't smuggle a
+    // NULL endpoint past the documented drop contract
+    val clean = edges
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val e = clean
       .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .unionAll(clean.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(eager = true)
     var visited = seeds
       .filter(col(seedCol).isNotNull)

@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
-  private def pround6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+  private def pround6(c: Column): Column = graft.functions.Rounding.p6(c)
 
   /** Exact AUC (Mann–Whitney U with midrank tie handling): the
     * probability a random positive outranks a random negative, plus
@@ -83,7 +83,11 @@ object Metrics {
     perScore.join(broadcast(offDf), Seq("__b"))
       .withColumn("__below",
         col("__off") + coalesce(sum(col("__nn")).over(wPrior), lit(0L)))
-      .agg(sum((col("__np") * (col("__below") * 2L + col("__nn")))
+      // cast BEFORE the multiply: np·(2·below+nn) can reach 2·NP·NN,
+      // which wraps a BIGINT product exactly at the scales the
+      // DECIMAL(38,0) accumulator exists for
+      .agg(sum((col("__np").cast("decimal(19,0)") *
+        (col("__below") * 2L + col("__nn")))
         .cast("decimal(38,0)")).as("__u2"))
       .select(lit(npTot).as("n_pos"), lit(nnTot).as("n_neg"),
         (if (npTot > 0L && nnTot > 0L)

@@ -447,7 +447,7 @@ object Profile {
         sum(col("__j")).cast("double").as("js_bits"))
   }
 
-  private def p6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+  private def p6(c: Column): Column = graft.functions.Rounding.p6(c)
 
   // shared contingency machinery for chiSquare/mutualInfo: observed
   // cells + marginals + the one-row total, all from ONE cell aggregate.

@@ -249,7 +249,7 @@ object Resample {
       .select(col(keyCol), col(valCol), unix_micros(col(tsCol)).as("__tus"))
       .crossJoin(broadcast(tmax))
       .withColumn("__c",
-        (floor(contrib * 1e6 + 0.5) / 1e6).cast("decimal(18,6)"))
+        graft.functions.Rounding.p6(contrib).cast("decimal(18,6)"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).cast("long").as("n_events"),
         sum(col("__c")).cast("double").as("decayed"))
@@ -331,7 +331,7 @@ object Resample {
         col("__rn") === call_function("div", col("__m"), lit(2L)) + 1L)
       .groupBy(col("__g"))
       .agg(max(col("__m")).as("n_pairs"),
-        (floor((sum(col("__s")) / count(lit(1))) * 1e6 + 0.5) / 1e6)
+        graft.functions.Rounding.p6(sum(col("__s")) / count(lit(1)))
           .as("slope"))
       .select(col("__g").as(groupCol), col("n_pairs"), col("slope"))
   }

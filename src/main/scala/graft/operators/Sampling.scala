@@ -333,6 +333,15 @@ object Sampling {
     * partitioning, any run, and every selection decision is BIGINT
     * arithmetic (floor-division boundary counting, exact).
     *
+    * SIZE CONTRACT — "~n" is an ORDER, not an exact count: with the
+    * floor stride T = totalWeight div n, total boundary crossings =
+    * totalWeight div T ∈ [n, 2n), reaching toward 2n as totalWeight
+    * approaches (but does not reach) a small multiple of n — and when
+    * totalWeight < 2n the stride floors to 1 and EVERY weight unit is
+    * a boundary. Callers needing an exact count should take the first
+    * n selections in hash order or use [[weightedSample]] (exact n,
+    * without replacement).
+    *
     * Scale shape is [[shuffleRank]]'s: hex-prefix buckets of the hash
     * order (bucket order IS hash order), per-bucket weight sums
     * collect to the driver (16^hexPrefix offsets, bounded), exclusive
@@ -378,26 +387,6 @@ object Sampling {
       .select(col("__k").as(keyCol), col("__w").as("weight"), col("n_hits"))
   }
 
-  /** Deterministic weighted sample WITHOUT replacement — the
-    * Efraimidis–Spirakis reservoir scheme with the RNG replaced by the
-    * content-stable key hash: each row draws u(key) ∈ (0, 1] from the
-    * first 48 md5 bits of 'wrs|key' and scores ln(u)/w; the n LARGEST
-    * scores win. Inclusion probability tracks weight exactly as in the
-    * randomized scheme, but the sample is a pure function of the key
-    * set — reproducible across runs, engines, and partitionings, and
-    * stable under appends that don't touch the winners
-    * ([[ppsSample]]'s no-RNG philosophy for the without-replacement
-    * case; ppsSample draws WITH multiplicity, this never repeats a
-    * key).
-    *
-    * Scale shape: scan-resident score (hash + one ln per row), then a
-    * distributed TakeOrdered(n) — no shuffle beyond the top-n
-    * aggregation, no window, no driver state.
-    *
-    * Output: `keyCol`, `weight`, `es_score` (double at 6 places; the
-    * SELECTION runs on the unrounded score — one ln and one division,
-    * deterministic in any engine).
-    */
   /** Deterministic negative sampling for training-pair generation: for
     * every observed (user, item) positive, `k` candidate negatives are
     * drawn from the item id space [1, max item] by a content-stable
@@ -441,6 +430,26 @@ object Sampling {
         col("__j").as("draw"))
   }
 
+  /** Deterministic weighted sample WITHOUT replacement — the
+    * Efraimidis–Spirakis reservoir scheme with the RNG replaced by the
+    * content-stable key hash: each row draws u(key) ∈ (0, 1] from the
+    * first 48 md5 bits of 'wrs|key' and scores ln(u)/w; the n LARGEST
+    * scores win. Inclusion probability tracks weight exactly as in the
+    * randomized scheme, but the sample is a pure function of the key
+    * set — reproducible across runs, engines, and partitionings, and
+    * stable under appends that don't touch the winners
+    * ([[ppsSample]]'s no-RNG philosophy for the without-replacement
+    * case; ppsSample draws WITH multiplicity, this never repeats a
+    * key).
+    *
+    * Scale shape: scan-resident score (hash + one ln per row), then a
+    * distributed TakeOrdered(n) — no shuffle beyond the top-n
+    * aggregation, no window, no driver state.
+    *
+    * Output: `keyCol`, `weight`, `es_score` (double at 6 places; the
+    * SELECTION runs on the unrounded score — one ln and one division,
+    * deterministic in any engine).
+    */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
@@ -456,6 +465,6 @@ object Sampling {
           col("__w").cast("double"))
     keyed.orderBy(col("__score").desc, col("__k")).limit(n)
       .select(col("__k").as(keyCol), col("__w").as("weight"),
-        (floor(col("__score") * 1e6 + 0.5) / 1e6).as("es_score"))
+        graft.functions.Rounding.p6(col("__score")).as("es_score"))
   }
 }

@@ -134,7 +134,10 @@ object Selection {
     val cos = graft.expressions.GraftFunctions.cosineSim _
     var picked = Vector.empty[(Long, Seq[Double], Double, Double, Double)]
     var pickedIds = Set.empty[Long]
-    for (round <- 1 to k) {
+    var round = 0
+    var exhausted = false
+    while (round < k && !exhausted) {
+      round += 1
       val base = corpus
         .filter(col(idCol).isNotNull &&
           (if (pickedIds.isEmpty) lit(true)
@@ -153,14 +156,15 @@ object Selection {
         .orderBy(col("__score").desc, col("__id"))
         .limit(1)
         .collect()
-      if (w.nonEmpty) {
+      if (w.isEmpty) exhausted = true // corpus smaller than k: stop scanning
+      else {
         val r = w(0)
         picked :+= ((r.getLong(0), vecOf(r, 1),
           r.getDouble(2), r.getDouble(3), r.getDouble(4)))
         pickedIds += r.getLong(0)
       }
     }
-    def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def p6(x: Double) = graft.functions.Rounding.p6d(x)
     val spark2 = spark
     import spark2.implicits._
     picked.zipWithIndex.map { case ((id, _, rel, m, s), i) =>

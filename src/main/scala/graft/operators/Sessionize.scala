@@ -84,6 +84,13 @@ object Sessionize {
     * the per-from row totals re-join as a broadcast aggregate (the
     * action vocabulary is bounded; a window over partitionBy(from)
     * would funnel every hot action's rows into one partition).
+    *
+    * NULL actions are DROPPED BEFORE pairing (the `Markov.transitions`
+    * contract): in a sequence A, NULL, B the null row is invisible and
+    * A→B counts as one transition — the "unknown event bridges" view,
+    * pinned by SessionizeSpec. (Before the round-10 delegation, null
+    * rows stayed in the window and blocked the bridge while emitting
+    * from_type = NULL rows.)
     */
   def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
                        actionCol: String, tieCol: String,

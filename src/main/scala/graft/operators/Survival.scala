@@ -77,9 +77,14 @@ object Survival {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     val spark = counts.sparkSession
     import spark.implicits._
+    // checkpoint the duration-bounded count table BEFORE the phase-1
+    // driver collect: without it the row-scale observation aggregate
+    // feeding `counts` executes twice (once for btot, once for risk) —
+    // the Metrics.rankAuc shape, review finding r10
     val grouped = counts
       .filter(col("duration").isNotNull && col("duration") >= 0)
       .withColumn("__b", (col("duration") / lit(bucketWidth)).cast("long"))
+      .localCheckpoint(true)
     // phase 1: at-risk counts. Exclusive per-bucket (d+c) offsets via a
     // #buckets-row driver prefix (the latenessAudit pattern); inside a
     // bucket, an ordinary partitioned window finishes the prefix.

@@ -417,7 +417,7 @@ object TfIdf {
       .groupBy(col("term"), col("cnt"))
       .agg(count(col("__t2")).cast("long").as("__before"))
       .withColumn("rank", col("__before") + 1L)
-    def p6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
     val xd = p6(log(col("rank").cast("double")))
     val yd = p6(log(col("cnt").cast("double")))
     val sums = ranked.agg(
@@ -433,9 +433,14 @@ object TfIdf {
     val syy = col("__syy").cast("double")
     val num = nd * sxy - sx * sy
     val den = nd * sxx - sx * sx
+    val dy = nd * syy - sy * sy
+    // degenerate fits (zero x- or y-variance — e.g. all top-K counts
+    // equal) report NULL, the rankAuc undefined convention, instead of
+    // letting a /0 leak NaN/Infinity into the output
     sums.select(col("n_terms"),
-      p6(num / den).as("slope"),
-      p6((sy - (num / den) * sx) / nd).as("intercept"),
-      p6((num * num) / (den * (nd * syy - sy * sy))).as("r2"))
+      when(den =!= 0.0, p6(num / den)).as("slope"),
+      when(den =!= 0.0, p6((sy - (num / den) * sx) / nd)).as("intercept"),
+      when(den =!= 0.0 && dy =!= 0.0, p6((num * num) / (den * dy)))
+        .as("r2"))
   }
 }

@@ -77,5 +77,9 @@ class SelectionSpec extends SparkSpec {
         k = 3, lambda = 1.0)
       .collect().map(_.getLong(1)).toSeq
     picks shouldBe Seq(1L, 2L, 3L) // cos desc order, redundancy ignored
+    // a corpus smaller than k stops early with |corpus| rows
+    val short = Selection.mmr(emb.filter(col("vec_id").isin(1L, 2L)),
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 5)
+    short.count() shouldBe 2L
   }
 }

@@ -97,4 +97,21 @@ class SessionizeSpec extends SparkSpec {
     out(("b", "a")) shouldBe ((1L, 10000L))
     out.keySet should not contain (("a", "a"))
   }
+
+  test("transitionMatrix drops NULL actions before pairing (unknown bridges)") {
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+        Row(2L, 1L, Timestamp.valueOf("2024-01-01 10:01:00"), null),
+        Row(3L, 1L, Timestamp.valueOf("2024-01-01 10:02:00"), "b"))),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_type", StringType))))
+    val out = Sessionize.transitionMatrix(d, "user_id", "ts", "event_type",
+        "event_id", gapSeconds = 3600)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // a, NULL, b pairs as one a->b transition; no NULL rows appear
+    out shouldBe Map(("a", "b") -> 1L)
+  }
 }

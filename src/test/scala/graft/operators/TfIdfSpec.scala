@@ -185,4 +185,13 @@ class TfIdfSpec extends SparkSpec {
     rt.getLong(0) shouldBe 3L
     an[IllegalArgumentException] should be thrownBy TfIdf.zipfFit(d, "text", 2)
   }
+
+  test("zipfFit reports NULL, not NaN, on a zero-variance fit") {
+    // all counts equal -> y-variance 0 -> r2 undefined; slope/intercept
+    // still well-defined (x varies)
+    val flat = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r = TfIdf.zipfFit(flat, "text", topK = 3).collect().head
+    r.getDouble(1) shouldBe 0.0 // slope of a flat log-log line
+    assert(r.isNullAt(3), "r2 must be NULL when y-variance is zero")
+  }
 }
