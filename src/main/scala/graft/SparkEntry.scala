@@ -3025,6 +3025,45 @@ object SparkEntry {
           dsum(col("value")).as("revenue"))
     }),
 
+    // ABC x XYZ inventory-policy matrix: q243's exact value ranking
+    // crossed with monthly-demand variability (zero months counted via
+    // the closed form sqrt(M*Sq2 - Sq^2)/Sq) — 9-cell policy grid
+    "q269_abc_xyz" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val abc = operators.Pareto.abcClassification(li,
+        "l_partkey", "l_extendedprice", bucketWidth = 65536.0)
+      val xyz = operators.Pareto.xyzClassification(
+        li.withColumn("__mon",
+          year(col("l_shipdate")) * 12 + month(col("l_shipdate"))),
+        "l_partkey", "__mon", "l_quantity")
+      abc.join(xyz, "l_partkey")
+        .groupBy(col("abc_class"), col("xyz_class"))
+        .agg(count(lit(1)).cast("long").as("n_parts"),
+          dsum(col("value")).as("total_value"))
+    }),
+
+    // exact rolling 7-day active users per day — the WAU curve by the
+    // coverage explode (no sketch, no self-join, no per-day rescan)
+    "q270_rolling_actives" -> ((s, d) =>
+      operators.Cohorts.rollingActives(t(s, d, "events"),
+        "user_id", "ts", window = 7)),
+
+    // per-day session conversion: share of 30-min sessions containing
+    // a purchase, by session-start day — exact bp floor division
+    "q271_session_conversion" -> ((s, d) =>
+      operators.Sessionize.withSessionIds(
+        t(s, d, "events"), "user_id", "ts", gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_micros(col("ts"))).as("__t0"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("__cv"))
+        .groupBy(call_function("div", col("__t0"), lit(86400000000L))
+          .as("day"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("__cv")).cast("long").as("n_converting"))
+        .withColumn("rate_bp", call_function("div",
+          col("n_converting") * 10000L, col("n_sessions")))),
+
     // streaming retention card: (user, active-week) presence merges
     // additively across two batches; cohort = min week DERIVED in the
     // view, so late data re-cohorts correctly; exact bp retention
@@ -7532,6 +7571,94 @@ object SparkEntry {
           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
           |    AS revenue
           |FROM a GROUP BY 1""".stripMargin,
+
+      // q243's exact ABC ranking crossed with the closed-form CV
+      // (zero months counted through the global month count M)
+      "q269_abc_xyz" ->
+        """WITH pv AS (
+          |  SELECT l_partkey,
+          |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+          |  FROM lineitem GROUP BY 1),
+          |t AS (SELECT CAST(sum(val) * 100 AS BIGINT) AS totc FROM pv),
+          |abc AS (
+          |  SELECT l_partkey, val,
+          |    CASE WHEN cumc * 5 <= totc * 4 THEN 'A'
+          |      WHEN cumc * 20 <= totc * 19 THEN 'B'
+          |      ELSE 'C' END AS abc_class
+          |  FROM (
+          |    SELECT l_partkey, val,
+          |      CAST(sum(val) OVER (ORDER BY val DESC, l_partkey
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+          |        AS BIGINT) AS cumc
+          |    FROM pv), t),
+          |per AS (
+          |  SELECT l_partkey, year(l_shipdate) * 12 + month(l_shipdate)
+          |      AS mon,
+          |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+          |  FROM lineitem GROUP BY 1, 2),
+          |m AS (SELECT CAST(count(DISTINCT mon) AS BIGINT) AS mm FROM per),
+          |xyz AS (
+          |  SELECT l_partkey,
+          |    CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+          |      ELSE 'Z' END AS xyz_class
+          |  FROM (
+          |    SELECT l_partkey,
+          |      sqrt(CAST(mm AS DOUBLE) * CAST(sqq AS DOUBLE) -
+          |        CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) /
+          |        CAST(sq AS DOUBLE) AS cv
+          |    FROM (
+          |      SELECT l_partkey, sum(q) AS sq,
+          |        sum(CAST(q * q AS DECIMAL(38,4))) AS sqq
+          |      FROM per GROUP BY 1) s, m
+          |    WHERE sq > 0))
+          |SELECT abc.abc_class, xyz.xyz_class,
+          |  CAST(count(*) AS BIGINT) AS n_parts,
+          |  round(CAST(sum(CAST(round(CAST(abc.val AS DOUBLE), 2)
+          |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+          |FROM abc JOIN xyz USING (l_partkey)
+          |GROUP BY 1, 2""".stripMargin,
+
+      // each distinct (user, day) covers days [d, d+7); day-d actives
+      // are the distinct covering users, trimmed at the data's max day
+      "q270_rolling_actives" ->
+        """WITH du AS (
+          |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+          |  FROM events),
+          |mx AS (SELECT max(d) AS m FROM du),
+          |cov AS (
+          |  SELECT DISTINCT user_id, d + g AS cd
+          |  FROM du, (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS g) w)
+          |SELECT cd AS day, CAST(count(*) AS BIGINT) AS n_active
+          |FROM cov, mx WHERE cd <= m GROUP BY 1""".stripMargin,
+
+      // q148's session replication at 1800s; per-session purchase
+      // flag max-reduced, per-start-day exact bp
+      "q271_session_conversion" ->
+        """WITH g AS (
+          |  SELECT user_id, ts, event_type,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+          |              > 1800
+          |         THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (
+          |  SELECT user_id, ts, event_type,
+          |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+          |                  ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM g),
+          |se AS (
+          |  SELECT user_id, sid, min(epoch_us(ts)) AS t0,
+          |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |      AS cv
+          |  FROM s GROUP BY 1, 2),
+          |dd AS (
+          |  SELECT t0 // 86400000000 AS day,
+          |    CAST(count(*) AS BIGINT) AS n_sessions,
+          |    CAST(sum(cv) AS BIGINT) AS n_converting
+          |  FROM se GROUP BY 1)
+          |SELECT day, n_sessions, n_converting,
+          |  CAST(n_converting * 10000 // n_sessions AS BIGINT) AS rate_bp
+          |FROM dd""".stripMargin,
 
       // one-shot distinct (user, week) + min-week cohorts — the state
       // min derives identically, so the two-batch view equals this

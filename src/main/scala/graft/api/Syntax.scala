@@ -270,5 +270,12 @@ object syntax {
     def trailingDeviation(groupCol: String, ordCol: String, valCol: String,
                           window: Int = 7): DataFrame =
       Resample.trailingDeviation(df, groupCol, ordCol, valCol, window)
+    def xyzClassification(keyCol: String, periodCol: String,
+                          valueCol: String, xMax: Double = 0.5,
+                          yMax: Double = 1.0): DataFrame =
+      Pareto.xyzClassification(df, keyCol, periodCol, valueCol, xMax, yMax)
+    def rollingActives(userCol: String, tsCol: String,
+                       window: Int = 7): DataFrame =
+      Cohorts.rollingActives(df, userCol, tsCol, window)
   }
 }

@@ -110,6 +110,38 @@ object Cohorts {
     out
   }
 
+  /** Rolling `window`-day active users (the WAU/MAU primitive): for
+    * every observed day, the count of distinct users active in the
+    * trailing window — computed EXACTLY, no sketches, by the coverage
+    * trick: each distinct (user, day) activity covers days
+    * [day, day + window), so day d's trailing-window actives are the
+    * distinct users covering d. Cost is a constant window-sized
+    * explode of the (user, day) DISTINCT table (calendar-bounded per
+    * user, never raw events) into two hash distincts — no self-join,
+    * no window function, no per-day rescan.
+    *
+    * Output: `day` (epoch day, BIGINT; days past the data's max are
+    * trimmed via a one-row max broadcast), `n_active`.
+    */
+  def rollingActives(events: DataFrame, userCol: String, tsCol: String,
+                     window: Int = 7): DataFrame = {
+    require(window >= 1 && window <= 60, s"window in [1,60]: $window")
+    val du = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        call_function("div", unix_micros(col(tsCol)), lit(86400000000L))
+          .as("__d"))
+      .distinct()
+    val mx = broadcast(du.agg(max(col("__d")).as("__mx")))
+    du.withColumn("__cd",
+        explode(sequence(col("__d"), col("__d") + lit((window - 1).toLong))))
+      .select(col("__u"), col("__cd")).distinct()
+      .crossJoin(mx)
+      .filter(col("__cd") <= col("__mx"))
+      .groupBy(col("__cd").as("day"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+  }
+
   /** Cohort lifetime-value matrix: customers grouped by the calendar
     * month of their FIRST purchase (the cohort), revenue rolled up by
     * months-since-cohort age — the (cohort × age) triangle a

@@ -79,4 +79,50 @@ object Pareto {
           .when(col("__cumc") * 20 <= totC * 19, "B")
           .otherwise("C").as("abc_class"))
   }
+
+  /** XYZ demand-variability classification — [[abcClassification]]'s
+    * companion axis: per key, the coefficient of variation of its
+    * per-period demand with ZERO-DEMAND PERIODS COUNTED (the textbook
+    * XYZ convention — an item selling once a year is erratic, not
+    * stable), via the closed form over the GLOBAL period count M:
+    *   cv = sqrt(M·Σq² − (Σq)²) / Σq
+    * (the 1/M of variance and mean cancel, so zero periods never need
+    * materializing). X = steady (cv < xMax), Y = variable, Z = erratic
+    * (cv ≥ yMax); joined with ABC this yields the classic 9-cell
+    * inventory-policy matrix.
+    *
+    * Exactness: Σq is the DECIMAL(18,2) period-sum total, Σq² the
+    * DECIMAL(38,4) sum of exact squares; cv is ONE fixed-order double
+    * expression (one sqrt, one division — the autocorr discipline),
+    * rounded to 6 on output while the class thresholds compare the
+    * unrounded value. Keys with zero total demand are dropped (no
+    * demand, no class). M attaches as a one-row broadcast.
+    *
+    * Scale shape: one (key, period) hash aggregate — the row-scale
+    * pass — then one key-level aggregate; output is one row per key.
+    */
+  def xyzClassification(df: DataFrame, keyCol: String, periodCol: String,
+                        valueCol: String, xMax: Double = 0.5,
+                        yMax: Double = 1.0): DataFrame = {
+    require(xMax > 0 && yMax > xMax, s"need 0 < xMax < yMax: $xMax, $yMax")
+    val per = df
+      .filter(col(keyCol).isNotNull && col(periodCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"), col(periodCol).as("__p"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__q"))
+    val m = per.agg(count_distinct(col("__p")).cast("long").as("__m"))
+    val cv = sqrt(col("__m").cast("double") * col("__sqq").cast("double") -
+      col("__sq").cast("double") * col("__sq").cast("double")) /
+      col("__sq").cast("double")
+    per.groupBy(col("__k"))
+      .agg(count(lit(1)).cast("long").as("n_periods"),
+        sum(col("__q")).as("__sq"),
+        sum((col("__q") * col("__q")).cast("decimal(38,4)")).as("__sqq"))
+      .filter(col("__sq") > 0)
+      .crossJoin(broadcast(m))
+      .select(col("__k").as(keyCol), col("n_periods"),
+        graft.functions.Rounding.p6(cv).as("cv"),
+        when(cv < xMax, "X").when(cv < yMax, "Y").otherwise("Z")
+          .as("xyz_class"))
+  }
 }

@@ -223,6 +223,15 @@ class SyntaxSpec extends SparkSpec {
     tdv.trailingDeviation("g", "d", "v", 2).queryExecution.analyzed
       .sameResult(graft.operators.Resample.trailingDeviation(tdv, "g", "d",
         "v", 2).queryExecution.analyzed) shouldBe true
+    val xz = Seq(("k", 1L, 2.0), ("k", 2L, 3.0)).toDF("k", "mon", "q")
+    xz.xyzClassification("k", "mon", "q").queryExecution.analyzed
+      .sameResult(graft.operators.Pareto.xyzClassification(xz, "k", "mon",
+        "q").queryExecution.analyzed) shouldBe true
+    val rav = Seq((1L, 0L)).toDF("user_id", "d")
+      .withColumn("ts", timestamp_micros(col("d")))
+    rav.rollingActives("user_id", "ts", 7).queryExecution.analyzed
+      .sameResult(graft.operators.Cohorts.rollingActives(rav, "user_id",
+        "ts", 7).queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

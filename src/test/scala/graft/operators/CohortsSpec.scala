@@ -86,4 +86,22 @@ class CohortsSpec extends SparkSpec {
     out((2024L, 3L, 0L)) shouldBe ((1L, 1L, 7.00))
     out.size shouldBe 4
   }
+
+  test("rollingActives covers the trailing window exactly and trims the tail") {
+    val DAY = 86400000000L
+    // u1 active d0 and d8; u2 active d0. window 7, max day 8.
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, 8L)).toDF("user_id", "d")
+      .withColumn("ts", timestamp_micros(col("d") * DAY))
+    val out = Cohorts.rollingActives(ev, "user_id", "ts", window = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 6L).foreach { d => out(d) shouldBe 2L } // both cover d0..d6
+    out.get(7L) shouldBe None // nobody active in (d1..d7]
+    out(8L) shouldBe 1L // u1's d8 activity; trim stops at max day
+    out.size shouldBe 8
+    // duplicate same-day events never double-count
+    val dup = Seq((1L, 0L), (1L, 0L)).toDF("user_id", "d")
+      .withColumn("ts", timestamp_micros(col("d") * DAY))
+    Cohorts.rollingActives(dup, "user_id", "ts", 7)
+      .collect().map(_.getLong(1)).max shouldBe 1L
+  }
 }

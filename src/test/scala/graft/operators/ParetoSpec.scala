@@ -40,4 +40,24 @@ class ParetoSpec extends SparkSpec {
     val zeros = abc(Seq(("a", 0.0), ("b", 0.0)))
     zeros.values.foreach(_._2 shouldBe 0L)
   }
+
+  test("xyzClassification counts zero periods via the closed form") {
+    // 3 global months. k1 steady 2/2/2 -> cv 0 (X); k2 all in one
+    // month -> cv = sqrt(3*36-36)/6 = 1.414214 (Z); k3 3/3 over two
+    // months -> cv = sqrt(3*18-36)/6 = 0.707107 (Y)
+    val df = Seq(
+      ("k1", 1L, 2.0), ("k1", 2L, 2.0), ("k1", 3L, 2.0),
+      ("k2", 1L, 6.0),
+      ("k3", 1L, 3.0), ("k3", 2L, 3.0))
+      .toDF("k", "mon", "q")
+    val out = Pareto.xyzClassification(df, "k", "mon", "q")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getString(3)))).toMap
+    out("k1") shouldBe ((3L, 0.0, "X"))
+    out("k2") shouldBe ((1L, 1.414214, "Z"))
+    out("k3") shouldBe ((2L, 0.707107, "Y"))
+    an[IllegalArgumentException] should be thrownBy
+      Pareto.xyzClassification(df, "k", "mon", "q", xMax = 1.0, yMax = 0.5)
+  }
 }

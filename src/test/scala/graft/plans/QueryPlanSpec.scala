@@ -124,7 +124,10 @@ class QueryPlanSpec extends SparkSpec {
     // q265 attaches the one-row max-item-id aggregate (q93 shape);
     // q266 is q211's basket machinery (one-row basket-count attach)
     "q260_decayed_scores", "q264_rfm_segments", "q265_negative_samples",
-    "q266_session_affinity")
+    "q266_session_affinity",
+    // q269 attaches the one-row global-month count; q270 the one-row
+    // max-day trim bound (q93 shape)
+    "q269_abc_xyz", "q270_rolling_actives")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
