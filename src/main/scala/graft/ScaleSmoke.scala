@@ -640,6 +640,22 @@ object ScaleSmoke {
       operators.Sampling.negativeSamples(posPairs, "u", "i", dim,
         "item", k = 2).count()
     }
+    // XYZ classification: one (key, period) aggregate over n rows,
+    // then a key-level aggregate — the two-hash-agg economics
+    time("xyz classification (n/100 keys)") {
+      operators.Pareto.xyzClassification(
+        events(rows).select(pmod(col("user_id"), lit(rows / 100)).as("k"),
+          pmod(col("event_id"), lit(12)).as("mon"), col("value")),
+        "k", "mon", "value").count()
+    }
+    // rolling actives: the coverage explode is 7x the DISTINCT
+    // (user, day) table (n/100 users x ~150 days), never raw events
+    time("rolling actives (n/100 users)") {
+      operators.Cohorts.rollingActives(
+        events(rows).select(pmod(col("user_id"), lit(rows / 100))
+          .as("u"), col("ts")),
+        "u", "ts", window = 7).count()
+    }
     // MMR: k scans of an n/10-row 16-d corpus with all cosines as
     // plan literals — cost = k x (generate + scan), nothing retained
     time("mmr (3 rounds, n/10 vectors)") {
