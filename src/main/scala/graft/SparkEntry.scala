@@ -3025,6 +3025,32 @@ object SparkEntry {
           dsum(col("value")).as("revenue"))
     }),
 
+    // live volume-deviation monitor: q241's maintained daily-count
+    // state read through the q268 trailing screen — the streaming
+    // anomaly view with zero extra state
+    "q272_streaming_deviation" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val st = stateFixture("q272", s, d) { p =>
+        streaming.StreamingAgg.acceptBatch(
+          ev.filter(col("event_id") % 2 === 0), "ts", "event_type",
+          "value", p)
+      }
+      val merged = streaming.StreamingAgg.mergeBatch(
+        ev.filter(col("event_id") % 2 === 1), "ts", "event_type",
+        "value", st)
+      operators.Resample.trailingDeviation(merged, "event_type", "day",
+        "n", window = 7)
+    }),
+
+    // leakage-safe temporal training table: features strictly before
+    // the 2024-01-21 wall, purchase label in the following week,
+    // label-window-only users excluded
+    "q273_temporal_labels" -> ((s, d) =>
+      operators.Cohorts.temporalLabels(t(s, d, "events"),
+        "user_id", "ts", "event_type", "purchase",
+        "2024-01-21", "2024-01-28")
+        .withColumnRenamed("user", "user_id")),
+
     // ABC x XYZ inventory-policy matrix: q243's exact value ranking
     // crossed with monthly-demand variability (zero months counted via
     // the closed form sqrt(M*Sq2 - Sq^2)/Sq) — 9-cell policy grid
@@ -7571,6 +7597,49 @@ object SparkEntry {
           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
           |    AS revenue
           |FROM a GROUP BY 1""".stripMargin,
+
+      // additivity makes the two-batch state ≡ one-shot daily counts;
+      // then q268's trailing screen over string days
+      "q272_streaming_deviation" ->
+        """WITH d AS (
+          |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          |    CAST(count(*) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, 2),
+          |w AS (
+          |  SELECT event_type, day, c,
+          |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+          |      AS trailing_sum,
+          |    count(c) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tn
+          |  FROM d)
+          |SELECT event_type, day, c AS n, trailing_sum,
+          |  CAST(c * 7 * 10000 // trailing_sum - 10000 AS BIGINT) AS dev_bp
+          |FROM w WHERE tn = 7 AND trailing_sum > 0""".stripMargin,
+
+      // fixed timestamp walls; label-window-only users excluded by the
+      // inner feature aggregate
+      "q273_temporal_labels" ->
+        """WITH fw AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+          |      END) AS BIGINT) AS n_target,
+          |    CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+          |      AS n_active_days,
+          |    max(epoch_us(ts) // 86400000000) AS ld
+          |  FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+          |  GROUP BY 1),
+          |lw AS (
+          |  SELECT DISTINCT user_id FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+          |    AND ts < TIMESTAMP '2024-01-28 00:00:00'
+          |    AND event_type = 'purchase')
+          |SELECT fw.user_id, fw.n_events, fw.n_target, fw.n_active_days,
+          |  CAST(date_diff('day', DATE '1970-01-01', DATE '2024-01-21')
+          |    - fw.ld AS BIGINT) AS recency_days,
+          |  CAST(CASE WHEN lw.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+          |    AS label
+          |FROM fw LEFT JOIN lw ON fw.user_id = lw.user_id""".stripMargin,
 
       // q243's exact ABC ranking crossed with the closed-form CV
       // (zero months counted through the global month count M)

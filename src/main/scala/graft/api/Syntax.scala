@@ -277,5 +277,10 @@ object syntax {
     def rollingActives(userCol: String, tsCol: String,
                        window: Int = 7): DataFrame =
       Cohorts.rollingActives(df, userCol, tsCol, window)
+    def temporalLabels(userCol: String, tsCol: String, typeCol: String,
+                       targetType: String, featureEnd: String,
+                       labelEnd: String): DataFrame =
+      Cohorts.temporalLabels(df, userCol, tsCol, typeCol, targetType,
+        featureEnd, labelEnd)
   }
 }

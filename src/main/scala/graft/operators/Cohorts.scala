@@ -142,6 +142,54 @@ object Cohorts {
       .agg(count(lit(1)).cast("long").as("n_active"))
   }
 
+  /** Temporal label generation — the leakage-safe training-table
+    * builder for churn/propensity models: features aggregate ONLY
+    * events before `featureEnd`, the binary label is "did the user
+    * produce a `targetType` event in [featureEnd, labelEnd)", and
+    * users with no feature-window activity are excluded (a row whose
+    * every feature is a null would leak the label-window's existence).
+    * The split is by EVENT TIME against fixed boundaries, so the table
+    * is reproducible and re-runs never move rows across the wall —
+    * the temporal analogue of `Sampling.datasetSplit`'s hash wall.
+    *
+    * Output per feature-window-active user: `user`, `n_events`,
+    * `n_target` (target-type events in the feature window),
+    * `n_active_days`, `recency_days` (days from last activity to the
+    * feature wall), `label` (0/1).
+    *
+    * Scale shape: one filtered user-keyed aggregate per window and a
+    * left equi-join on the user key — no windows, no state.
+    */
+  def temporalLabels(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, targetType: String,
+                     featureEnd: String, labelEnd: String): DataFrame = {
+    require(featureEnd < labelEnd,
+      s"featureEnd must precede labelEnd: $featureEnd vs $labelEnd")
+    val feDay = java.time.LocalDate.parse(featureEnd.take(10)).toEpochDay
+    val fe = to_timestamp(lit(featureEnd))
+    val le = to_timestamp(lit(labelEnd))
+    val day = call_function("div", unix_micros(col(tsCol)),
+      lit(86400000000L))
+    val fw = events
+      .filter(col(userCol).isNotNull && col(tsCol) < fe)
+      .groupBy(col(userCol).as("user"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(when(col(typeCol) === targetType, 1L).otherwise(0L))
+          .cast("long").as("n_target"),
+        countDistinct(day).cast("long").as("n_active_days"),
+        max(day).as("__ld"))
+    val lw = events
+      .filter(col(tsCol) >= fe && col(tsCol) < le &&
+        col(typeCol) === targetType)
+      .select(col(userCol).as("user")).distinct()
+      .withColumn("__lab", lit(1L))
+    fw.join(lw, Seq("user"), "left")
+      .select(col("user"), col("n_events"), col("n_target"),
+        col("n_active_days"),
+        (lit(feDay) - col("__ld")).cast("long").as("recency_days"),
+        coalesce(col("__lab"), lit(0L)).as("label"))
+  }
+
   /** Cohort lifetime-value matrix: customers grouped by the calendar
     * month of their FIRST purchase (the cohort), revenue rolled up by
     * months-since-cohort age — the (cohort × age) triangle a

@@ -232,6 +232,13 @@ class SyntaxSpec extends SparkSpec {
     rav.rollingActives("user_id", "ts", 7).queryExecution.analyzed
       .sameResult(graft.operators.Cohorts.rollingActives(rav, "user_id",
         "ts", 7).queryExecution.analyzed) shouldBe true
+    val tle = Seq((1L, 0L, "view")).toDF("user_id", "d", "event_type")
+      .withColumn("ts", timestamp_micros(col("d")))
+    tle.temporalLabels("user_id", "ts", "event_type", "buy",
+        "1970-01-03", "1970-01-05").queryExecution.analyzed
+      .sameResult(graft.operators.Cohorts.temporalLabels(tle, "user_id",
+        "ts", "event_type", "buy", "1970-01-03", "1970-01-05")
+        .queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

@@ -104,4 +104,28 @@ class CohortsSpec extends SparkSpec {
     Cohorts.rollingActives(dup, "user_id", "ts", 7)
       .collect().map(_.getLong(1)).max shouldBe 1L
   }
+
+  test("temporalLabels splits features and labels at the wall without leakage") {
+    // wall at 1970-01-03; label window to 1970-01-05
+    // u1: events d0,d1 (one buy d1) + buy d3 -> label 1
+    // u2: events d0,d0 -> no label-window buy -> label 0
+    // u3: ONLY a label-window buy -> excluded (leakage guard)
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 1L, "buy"), (1L, 3L, "buy"),
+      (2L, 0L, "view"), (2L, 0L, "click"),
+      (3L, 3L, "buy"))
+      .toDF("user_id", "d", "event_type")
+      .withColumn("ts", timestamp_micros(col("d") * 86400000000L))
+    val out = Cohorts.temporalLabels(ev, "user_id", "ts", "event_type",
+        "buy", "1970-01-03", "1970-01-05")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L) shouldBe ((2L, 1L, 2L, 1L, 1L)) // recency = wall(d2) - d1
+    out(2L) shouldBe ((2L, 0L, 1L, 2L, 0L))
+    an[IllegalArgumentException] should be thrownBy
+      Cohorts.temporalLabels(ev, "user_id", "ts", "event_type", "buy",
+        "1970-01-05", "1970-01-03")
+  }
 }
