@@ -440,7 +440,9 @@ object Sampling {
     * stable under appends that don't touch the winners
     * ([[ppsSample]]'s no-RNG philosophy for the without-replacement
     * case; ppsSample draws WITH multiplicity, this never repeats a
-    * key).
+    * key). INPUT CONTRACT: one row per key — duplicated key rows carry
+    * identical scores and would all enter the top-n (dedup upstream,
+    * the gainsTable idCol convention).
     *
     * Scale shape: scan-resident score (hash + one ln per row), then a
     * distributed TakeOrdered(n) — no shuffle beyond the top-n

@@ -258,4 +258,130 @@ class OperatorLawsSpec extends SparkSpec {
       }
     })
   }
+
+  test("rankAuc is invariant under monotone transforms and ~antisymmetric under label flip") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(4, 40)
+      rows <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(0, 50), Gen.oneOf(0L, 1L)))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val hasBoth = rows.exists(_._2 == 1L) && rows.exists(_._2 == 0L)
+      !hasBoth || {
+        val df = rows.map { case (s, l) => (s.toDouble, l) }.toDF("s", "lab")
+        def auc(d: org.apache.spark.sql.DataFrame) =
+          Metrics.rankAuc(d, "s", "lab", 8.0).collect().head.getDouble(2)
+        val base = auc(df)
+        // rank-preserving transform: same AUC to the bit
+        val mono = auc(df.withColumn("s", col("s") * 3.0 + 7.0))
+        // flipped labels: AUC mirrors (up to the 6-place rounding of
+        // the two complementary ratios)
+        val flip = auc(df.withColumn("lab", lit(1L) - col("lab")))
+        mono == base && math.abs(flip - (1.0 - base)) <= 1e-6
+      }
+    })
+  }
+
+  test("theilSen is shift-invariant and scale-equivariant in y") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(2, 12)
+      ys <- Gen.listOfN(n, Gen.choose(-20L, 20L))
+    } yield ys
+    check(Prop.forAll(gen) { ys =>
+      val s = ys.zipWithIndex.map { case (y, x) => ("g", x.toLong, y) }
+        .toDF("g", "x", "y")
+      def slope(d: org.apache.spark.sql.DataFrame) =
+        Resample.theilSen(d, "g", "x", "y").collect().head.getDouble(2)
+      val base = slope(s)
+      val shifted = slope(s.withColumn("y", col("y") + 100L))
+      val scaled = slope(s.withColumn("y", col("y") * 4L))
+      shifted == base && math.abs(scaled - 4.0 * base) <= 4e-6
+    })
+  }
+
+  test("decayedScores is exactly invariant under a whole-stream time shift") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L),
+        Gen.choose(0L, 20L), Gen.choose(1, 1000)))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      def scores(shiftDays: Long) = {
+        val df = rows.map { case (u, d, v) => (u, d + shiftDays, v / 10.0) }
+          .toDF("u", "d", "v")
+          .withColumn("ts", timestamp_micros(col("d") * 86400000000L))
+        Resample.decayedScores(df, "u", "ts", "v", halfLifeDays = 3.0)
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      }
+      scores(0L) == scores(365L)
+    })
+  }
+
+  test("markov transition counts conserve sequence length minus one per group") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      g1 <- Gen.choose(1, 15)
+      g2 <- Gen.choose(1, 15)
+      t1 <- Gen.listOfN(g1, Gen.oneOf("a", "b", "c"))
+      t2 <- Gen.listOfN(g2, Gen.oneOf("a", "b", "c"))
+    } yield (t1, t2)
+    check(Prop.forAll(gen) { case (t1, t2) =>
+      val rows = t1.zipWithIndex.map { case (t, i) => ("g1", i.toLong, t) } ++
+        t2.zipWithIndex.map { case (t, i) => ("g2", i.toLong, t) }
+      val out = Markov.transitions(rows.toDF("g", "o", "t"),
+        Seq("g"), Seq("o"), "t").collect()
+      out.map(_.getLong(2)).sum == (t1.length - 1) + (t2.length - 1) &&
+        out.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 10000L)
+    })
+  }
+
+  test("rollingActives at window 1 equals plain daily distinct actives") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 10L)))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("u", "d")
+        .withColumn("ts", timestamp_micros(col("d") * 86400000000L))
+      val w1 = Cohorts.rollingActives(df, "u", "ts", window = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val daily = rows.distinct.groupBy(_._2).view
+        .mapValues(_.map(_._1).distinct.size.toLong).toMap
+      w1 == daily
+    })
+  }
+
+  test("trailingDeviation is identically zero on constant series") {
+    val implicits = spark.implicits; import implicits._
+    val gen = Gen.zip(Gen.choose(3, 30), Gen.choose(1L, 500L))
+    check(Prop.forAll(gen) { case (n, v) =>
+      val s = (0 until n).map(d => ("g", d.toLong, v)).toDF("g", "d", "v")
+      val out = Resample.trailingDeviation(s, "g", "d", "v", window = 2)
+        .collect()
+      out.length == math.max(n - 2, 0) && out.forall(_.getLong(4) == 0L)
+    })
+  }
+
+  test("mutualInfo and chiSquare are symmetric in their arguments") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(2, 30)
+      rows <- Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("x", "y", "z"), Gen.oneOf("u", "v")))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("a", "b")
+      val m1 = Profile.mutualInfo(df, "a", "b").collect().head
+      val m2 = Profile.mutualInfo(df, "b", "a").collect().head
+      val c1 = Profile.chiSquare(df, "a", "b").collect().head.getDouble(5)
+      val c2 = Profile.chiSquare(df, "b", "a").collect().head.getDouble(5)
+      m1.getDouble(2) == m2.getDouble(2) && // MI symmetric
+        m1.getDouble(3) == m2.getDouble(4) && // H(a) swaps to H(b)
+        c1 == c2
+    })
+  }
 }
