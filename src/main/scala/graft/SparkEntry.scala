@@ -3025,6 +3025,22 @@ object SparkEntry {
           dsum(col("value")).as("revenue"))
     }),
 
+    // live rolling-actives card: the q267 state machinery at DAY grain
+    // read through the q270 coverage view — additive presence makes
+    // the two-batch card equal the one-shot WAU curve
+    "q274_streaming_actives" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val st = stateFixture("q274", s, d) { p =>
+        streaming.StreamingRetention.acceptBatch(
+          ev.filter(col("event_id") % 2 === 0), "user_id", "ts", p,
+          grainDays = 1)
+      }
+      val merged = streaming.StreamingRetention.mergeBatch(
+        ev.filter(col("event_id") % 2 === 1), "user_id", "ts", st,
+        grainDays = 1)
+      streaming.StreamingRetention.activesView(merged, window = 7)
+    }),
+
     // live volume-deviation monitor: q241's maintained daily-count
     // state read through the q268 trailing screen — the streaming
     // anomaly view with zero extra state
@@ -7597,6 +7613,19 @@ object SparkEntry {
           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
           |    AS revenue
           |FROM a GROUP BY 1""".stripMargin,
+
+      // additive day-grain presence ≡ one-shot distinct (user, day),
+      // so the card is exactly q270's coverage computation
+      "q274_streaming_actives" ->
+        """WITH du AS (
+          |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+          |  FROM events),
+          |mx AS (SELECT max(d) AS m FROM du),
+          |cov AS (
+          |  SELECT DISTINCT user_id, d + g AS cd
+          |  FROM du, (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS g) w)
+          |SELECT cd AS day, CAST(count(*) AS BIGINT) AS n_active
+          |FROM cov, mx WHERE cd <= m GROUP BY 1""".stripMargin,
 
       // additivity makes the two-batch state ≡ one-shot daily counts;
       // then q268's trailing screen over string days

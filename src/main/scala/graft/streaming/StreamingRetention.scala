@@ -30,12 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object StreamingRetention {
 
-  /** Merge one batch's (user, week) presence counts into the state;
-    * returns the post-merge state (user, week, n). Caller must
+  /** Merge one batch's (user, period) presence counts into the state;
+    * returns the post-merge state (user, week, n — the period column
+    * keeps its historical name whatever the grain). `grainDays` sets
+    * the period width: 7 (default) = the retention monitor's weeks,
+    * 1 = daily presence, the state [[activesView]] reads. Caller must
     * materialize before `commit` (acceptBatch does).
     */
   def mergeBatch(batch: DataFrame, userCol: String, tsCol: String,
-                 statePath: String): DataFrame = {
+                 statePath: String, grainDays: Int = 7): DataFrame = {
+    require(grainDays >= 1, s"grainDays must be >= 1: $grainDays")
     val spark = batch.sparkSession
     val partial = batch
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
@@ -43,7 +47,8 @@ object StreamingRetention {
         call_function("div", unix_micros(col(tsCol)), lit(86400000000L))
           .as("__pd"))
       .select(col("__pu"),
-        call_function("div", col("__pd"), lit(7L)).as("__pw"))
+        call_function("div", col("__pd"), lit(grainDays.toLong))
+          .as("__pw"))
       .groupBy(col("__pu"), col("__pw"))
       .agg(count(lit(1)).as("__pn"))
     val empty = partial.limit(0)
@@ -67,8 +72,8 @@ object StreamingRetention {
     * post-merge state.
     */
   def acceptBatch(batch: DataFrame, userCol: String, tsCol: String,
-                  statePath: String): DataFrame = {
-    val merged = mergeBatch(batch, userCol, tsCol, statePath)
+                  statePath: String, grainDays: Int = 7): DataFrame = {
+    val merged = mergeBatch(batch, userCol, tsCol, statePath, grainDays)
       .localCheckpoint(true)
     commit(statePath, merged)
     merged
@@ -94,5 +99,25 @@ object StreamingRetention {
       .select(col("cohort_week"), col("offset_weeks"), col("n_active"),
         call_function("div", col("n_active") * 10000L, col("__sz"))
           .as("retention_bp"))
+  }
+
+  /** The live rolling-actives card over a DAY-grain state (merge with
+    * `grainDays = 1`): `Cohorts.rollingActives`' coverage view read
+    * from the maintained (user, day) presence instead of raw events —
+    * additivity makes it equal the one-shot computation under any
+    * batch split. Output: `day`, `n_active`.
+    */
+  def activesView(state: DataFrame, window: Int = 7): DataFrame = {
+    require(window >= 1 && window <= 60, s"window in [1,60]: $window")
+    val du = state.filter(col("n") > 0L)
+      .select(col("user"), col("week").as("__d")).distinct()
+    val mx = broadcast(du.agg(max(col("__d")).as("__mx")))
+    du.withColumn("__cd",
+        explode(sequence(col("__d"), col("__d") + lit((window - 1).toLong))))
+      .select(col("user"), col("__cd")).distinct()
+      .crossJoin(mx)
+      .filter(col("__cd") <= col("__mx"))
+      .groupBy(col("__cd").as("day"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
   }
 }

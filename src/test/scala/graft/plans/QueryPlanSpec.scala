@@ -125,9 +125,9 @@ class QueryPlanSpec extends SparkSpec {
     // q266 is q211's basket machinery (one-row basket-count attach)
     "q260_decayed_scores", "q264_rfm_segments", "q265_negative_samples",
     "q266_session_affinity",
-    // q269 attaches the one-row global-month count; q270 the one-row
-    // max-day trim bound (q93 shape)
-    "q269_abc_xyz", "q270_rolling_actives")
+    // q269 attaches the one-row global-month count; q270/q274 the
+    // one-row max-day trim bound (q93 shape)
+    "q269_abc_xyz", "q270_rolling_actives", "q274_streaming_actives")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)

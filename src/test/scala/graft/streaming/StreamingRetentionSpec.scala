@@ -71,4 +71,28 @@ class StreamingRetentionSpec extends SparkSpec {
     // state is (user, week)-keyed presence, duplicates collapsed
     merged.count() shouldBe 6L
   }
+
+  test("day-grain state feeds the rolling-actives card, split-invariant") {
+    val DAY = 86400000000L
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, 8L), (3L, 2L))
+      .toDF("user_id", "d")
+      .withColumn("ts", timestamp_micros(col("d") * DAY))
+    val oneShot = graft.operators.Cohorts
+      .rollingActives(ev, "user_id", "ts", window = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (mod <- Seq(1L, 2L)) {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_sract").toString + "/state"
+      var merged: org.apache.spark.sql.DataFrame = null
+      for (b <- 0L until mod)
+        merged = StreamingRetention.acceptBatch(
+          ev.filter((col("user_id") + col("d")) % mod === b),
+          "user_id", "ts", st, grainDays = 1)
+      withClue(s"split mod $mod: ") {
+        StreamingRetention.activesView(merged, window = 7)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+          .toMap shouldBe oneShot
+      }
+    }
+  }
 }
