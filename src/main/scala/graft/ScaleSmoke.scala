@@ -604,6 +604,13 @@ object ScaleSmoke {
         ev.filter(col("half") === 1), "u", "ts", "t", steps, st)
       streaming.StreamingFunnel.funnelView(merged, steps).count()
     }
+    // exact global quantiles: two keys-only passes (count + filtered
+    // rank) over n values — the 100-TB path percentile() cannot take
+    time("exact quantiles (3 cuts)") {
+      operators.Metrics.exactQuantiles(
+        events(rows).select(col("value")),
+        "value", Seq(0.5, 0.95, 0.99), bucketWidth = 16.0).count()
+    }
     // streaming retention: two half-batches of (user, week) presence
     // merged into key-bounded state (n/200 users x 52 weeks); the card
     // read is two aggregates over the reduced state

@@ -3025,6 +3025,13 @@ object SparkEntry {
           dsum(col("value")).as("revenue"))
     }),
 
+    // exact global price quantiles WITHOUT a single-node sort or a
+    // memory-bound percentile buffer: bucketed-rank order statistics,
+    // R-7 interpolation — agrees with quantile_cont to the rounding
+    "q275_exact_quantiles" -> ((s, d) =>
+      operators.Metrics.exactQuantiles(t(s, d, "lineitem"),
+        "l_extendedprice", Seq(0.5, 0.95, 0.99), bucketWidth = 4096.0)),
+
     // live rolling-actives card: the q267 state machinery at DAY grain
     // read through the q270 coverage view — additive presence makes
     // the two-batch card equal the one-shot WAU curve
@@ -7613,6 +7620,19 @@ object SparkEntry {
           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
           |    AS revenue
           |FROM a GROUP BY 1""".stripMargin,
+
+      // quantile_cont shares the R-7 convention with the bucketed-rank
+      // order statistics; pround4 absorbs interpolation ulps
+      "q275_exact_quantiles" ->
+        s"""SELECT 0.5 AS q, CAST(count(*) AS BIGINT) AS n,
+           |  ${pround("quantile_cont(l_extendedprice, 0.5)", 4)} AS value
+           |FROM lineitem WHERE l_extendedprice IS NOT NULL
+           |UNION ALL SELECT 0.95, CAST(count(*) AS BIGINT),
+           |  ${pround("quantile_cont(l_extendedprice, 0.95)", 4)}
+           |FROM lineitem WHERE l_extendedprice IS NOT NULL
+           |UNION ALL SELECT 0.99, CAST(count(*) AS BIGINT),
+           |  ${pround("quantile_cont(l_extendedprice, 0.99)", 4)}
+           |FROM lineitem WHERE l_extendedprice IS NOT NULL""".stripMargin,
 
       // additive day-grain presence ≡ one-shot distinct (user, day),
       // so the card is exactly q270's coverage computation

@@ -238,6 +238,9 @@ object syntax {
     def calibrationBins(scoreCol: String, labelCol: String,
                         binWidth: Double): DataFrame =
       Metrics.calibrationBins(df, scoreCol, labelCol, binWidth)
+    def exactQuantiles(valCol: String, qs: Seq[Double],
+                       bucketWidth: Double): DataFrame =
+      Metrics.exactQuantiles(df, valCol, qs, bucketWidth)
     def markovTransitions(groupCols: Seq[String], ordCols: Seq[String],
                           typeCol: String): DataFrame =
       Markov.transitions(df, groupCols, ordCols, typeCol)

@@ -157,6 +157,67 @@ object Metrics {
       .withColumn("lift", pround6(base))
   }
 
+  /** EXACT global quantiles at corpus scale — the distributed
+    * alternative to `percentile()` (whose single aggregate buffers and
+    * sorts every value of the group: exact but memory-bound, fine per
+    * small group, wrong for a 10^11-row global quantile). Here the
+    * answer comes from ORDER STATISTICS over the bucketed global rank:
+    * per-bucket counts collect to the driver (#occupied buckets —
+    * value range / bucketWidth, a data contract), the two neighbor
+    * ranks of each requested quantile position (n−1)·q are computed,
+    * and ONE filtered pass materializes just those rows (a
+    * #quantiles-sized collect). Linear interpolation between the
+    * neighbors is the R-7 convention `percentile`/`quantile_cont`
+    * implement, so results agree with both to the rounding.
+    *
+    * SNAPSHOT ASSUMPTION (shuffleRank's): the counts job runs when the
+    * operator is CALLED and the rank pass re-reads the input — the
+    * input must be deterministic between the two evaluations (a
+    * parquet path, a checkpoint).
+    *
+    * Output: one row per requested quantile — `q` (double),
+    * `n` (BIGINT), `value` (double at 4 places).
+    */
+  def exactQuantiles(df: DataFrame, valCol: String, qs: Seq[Double],
+                     bucketWidth: Double): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.filter(col(valCol).isNotNull)
+      .select(col(valCol).cast("double").as("__v"))
+      .withColumn("__b", floor(col("__v") / lit(bucketWidth)).cast("long"))
+    val btot = vals.groupBy(col("__b"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offs = btot.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val n = acc
+    if (n == 0L)
+      return Seq.empty[(Double, Long, Double)].toDF("q", "n", "value")
+    // R-7 positions and the (at most 2 per quantile) ranks they need
+    val positions = qs.map { q =>
+      val pos = (n - 1).toDouble * q
+      val lo = math.floor(pos).toLong
+      (q, pos, lo, math.min(lo + 1L, n - 1L))
+    }
+    val needed = positions.flatMap(p => Seq(p._3, p._4)).distinct
+    val offDf = broadcast(offs.toSeq.toDF("__b", "__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val picked = vals.join(offDf, Seq("__b"))
+      .withColumn("__r",
+        col("__off") + row_number().over(w).cast("long") - 1L)
+      .filter(col("__r").isInCollection(needed))
+      .select(col("__r"), col("__v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    positions.map { case (q, pos, lo, hi) =>
+      val frac = pos - lo.toDouble
+      val v = picked(lo) + (picked(hi) - picked(lo)) * frac
+      (q, n, math.floor(v * 1e4 + 0.5) / 1e4)
+    }.toDF("q", "n", "value")
+  }
+
   /** Calibration (reliability) bins: scores binned by fixed width, each
     * bin reporting volume, exact mean score, and positive rate — the
     * table a reliability diagram plots ("do rows scored ~0.8 convert

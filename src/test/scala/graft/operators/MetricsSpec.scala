@@ -68,6 +68,31 @@ class MetricsSpec extends SparkSpec {
     r.map(_.getLong(2)).toSeq shouldBe Seq(2L, 0L)
   }
 
+  test("exactQuantiles matches percentile() order statistics exactly") {
+    // 5 values: p50 = 3.0; p75 at pos 3.0 -> 4.0; p90 at pos 3.6 ->
+    // 4 + 0.6*(5-4) = 4.6
+    val df = Seq(5.0, 1.0, 4.0, 2.0, 3.0).toDF("v")
+    val out = Metrics.exactQuantiles(df, "v", Seq(0.5, 0.75, 0.9), 1.0)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    out(0.5) shouldBe ((5L, 3.0))
+    out(0.75) shouldBe ((5L, 4.0))
+    out(0.9) shouldBe ((5L, 4.6))
+    // parity with the memory-bound aggregate on messier data
+    val big = Seq.tabulate(137)(i => ((i * 37) % 100) / 3.0).toDF("v")
+    val mine = Metrics.exactQuantiles(big, "v", Seq(0.25, 0.5, 0.95), 7.0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val ref = big.selectExpr(
+        "percentile(v, array(0.25D, 0.5D, 0.95D)) AS p")
+      .collect().head.getSeq[Double](0)
+      .map(x => math.floor(x * 1e4 + 0.5) / 1e4)
+    mine(0.25) shouldBe ref(0)
+    mine(0.5) shouldBe ref(1)
+    mine(0.95) shouldBe ref(2)
+    Metrics.exactQuantiles(df.limit(0), "v", Seq(0.5), 1.0)
+      .count() shouldBe 0L
+  }
+
   test("calibrationBins reports exact bin means and rates") {
     val df = Seq((0.25, 0L), (0.75, 1L), (1.5, 1L), (1.5, 1L))
       .toDF("s", "lab")
