@@ -3025,6 +3025,24 @@ object SparkEntry {
           dsum(col("value")).as("revenue"))
     }),
 
+    // live exact value quantiles: the additive class-count merge
+    // (q233's machinery — a (value, n) state bounded by the 2-decimal
+    // value vocabulary) read through weighted R-7 order statistics;
+    // two batches ≡ the one-shot quantiles by additivity
+    "q276_streaming_quantiles" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val st = stateFixture("q276", s, d) { p =>
+        streaming.StreamingKAnonymity.acceptBatch(
+          ev.filter(col("event_id") % 2 === 0).select(col("value")),
+          Seq("value"), p)
+      }
+      val merged = streaming.StreamingKAnonymity.mergeBatch(
+        ev.filter(col("event_id") % 2 === 1).select(col("value")),
+        Seq("value"), st)
+      operators.Metrics.quantilesFromCounts(merged, "value", "n",
+        Seq(0.5, 0.9, 0.99), bucketWidth = 16.0)
+    }),
+
     // exact global price quantiles WITHOUT a single-node sort or a
     // memory-bound percentile buffer: bucketed-rank order statistics,
     // R-7 interpolation — agrees with quantile_cont to the rounding
@@ -7620,6 +7638,19 @@ object SparkEntry {
           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
           |    AS revenue
           |FROM a GROUP BY 1""".stripMargin,
+
+      // additivity makes the two-batch value-count state ≡ the raw
+      // multiset, so the card is quantile_cont over the raw values
+      "q276_streaming_quantiles" ->
+        s"""SELECT 0.5 AS q, CAST(count(*) AS BIGINT) AS n,
+           |  ${pround("quantile_cont(value, 0.5)", 4)} AS value
+           |FROM events WHERE value IS NOT NULL
+           |UNION ALL SELECT 0.9, CAST(count(*) AS BIGINT),
+           |  ${pround("quantile_cont(value, 0.9)", 4)}
+           |FROM events WHERE value IS NOT NULL
+           |UNION ALL SELECT 0.99, CAST(count(*) AS BIGINT),
+           |  ${pround("quantile_cont(value, 0.99)", 4)}
+           |FROM events WHERE value IS NOT NULL""".stripMargin,
 
       // quantile_cont shares the R-7 convention with the bucketed-rank
       // order statistics; pround4 absorbs interpolation ulps

@@ -241,6 +241,9 @@ object syntax {
     def exactQuantiles(valCol: String, qs: Seq[Double],
                        bucketWidth: Double): DataFrame =
       Metrics.exactQuantiles(df, valCol, qs, bucketWidth)
+    def quantilesFromCounts(valCol: String, cntCol: String,
+                            qs: Seq[Double], bucketWidth: Double): DataFrame =
+      Metrics.quantilesFromCounts(df, valCol, cntCol, qs, bucketWidth)
     def markovTransitions(groupCols: Seq[String], ordCols: Seq[String],
                           typeCol: String): DataFrame =
       Markov.transitions(df, groupCols, ordCols, typeCol)

@@ -218,6 +218,66 @@ object Metrics {
     }.toDF("q", "n", "value")
   }
 
+  /** [[exactQuantiles]] over an ALREADY-REDUCED (value, count) table —
+    * the streaming-state shape: a maintained additive value-count
+    * table (bounded by the VALUE VOCABULARY, e.g. ≤ 50k distinct
+    * 2-decimal prices) yields exact live quantiles with no raw-event
+    * retention. Each value row owns the rank interval
+    * [cum − count, cum) of the expanded multiset; the rows whose
+    * intervals contain a requested R-7 neighbor rank are materialized
+    * by one filtered pass and interpolated on the driver.
+    *
+    * Same snapshot assumption and output schema as [[exactQuantiles]].
+    */
+  def quantilesFromCounts(counts: DataFrame, valCol: String,
+                          cntCol: String, qs: Seq[Double],
+                          bucketWidth: Double): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val vals = counts
+      .filter(col(valCol).isNotNull && col(cntCol) > 0L)
+      .select(col(valCol).cast("double").as("__v"),
+        col(cntCol).cast("long").as("__c"))
+      .withColumn("__b", floor(col("__v") / lit(bucketWidth)).cast("long"))
+    val btot = vals.groupBy(col("__b"))
+      .agg(sum(col("__c")).cast("long").as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offs = btot.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val n = acc
+    if (n == 0L)
+      return Seq.empty[(Double, Long, Double)].toDF("q", "n", "value")
+    val positions = qs.map { q =>
+      val pos = (n - 1).toDouble * q
+      val lo = math.floor(pos).toLong
+      (q, pos, lo, math.min(lo + 1L, n - 1L))
+    }
+    val needed = positions.flatMap(p => Seq(p._3, p._4)).distinct
+    val offDf = broadcast(offs.toSeq.toDF("__b", "__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hit = needed.map(r =>
+      col("__lo") <= lit(r) && lit(r) < col("__hi")).reduce(_ || _)
+    val rows = vals.join(offDf, Seq("__b"))
+      .withColumn("__hi", col("__off") + sum(col("__c")).over(w))
+      .withColumn("__lo", col("__hi") - col("__c"))
+      .filter(hit)
+      .select(col("__lo"), col("__hi"), col("__v"))
+      .collect()
+    val rankToV = needed.map { r =>
+      r -> rows.find(x => x.getLong(0) <= r && r < x.getLong(1)).get
+        .getDouble(2)
+    }.toMap
+    positions.map { case (q, pos, lo, hi) =>
+      val frac = pos - lo.toDouble
+      val v = rankToV(lo) + (rankToV(hi) - rankToV(lo)) * frac
+      (q, n, math.floor(v * 1e4 + 0.5) / 1e4)
+    }.toDF("q", "n", "value")
+  }
+
   /** Calibration (reliability) bins: scores binned by fixed width, each
     * bin reporting volume, exact mean score, and positive rate — the
     * table a reliability diagram plots ("do rows scored ~0.8 convert

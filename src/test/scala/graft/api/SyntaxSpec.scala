@@ -175,10 +175,15 @@ class SyntaxSpec extends SparkSpec {
     sc.calibrationBins("s", "lab", 1.0).queryExecution.analyzed
       .sameResult(graft.operators.Metrics.calibrationBins(sc, "s", "lab", 1.0)
         .queryExecution.analyzed) shouldBe true
-    // exactQuantiles assembles driver rows: compare results
+    // exactQuantiles/quantilesFromCounts assemble driver rows:
+    // compare results
     sc.exactQuantiles("s", Seq(0.5), 1.0).collect().toSeq shouldBe
       graft.operators.Metrics.exactQuantiles(sc, "s", Seq(0.5), 1.0)
         .collect().toSeq
+    val qc = Seq((1.0, 2L), (3.0, 1L)).toDF("v", "c")
+    qc.quantilesFromCounts("v", "c", Seq(0.5), 1.0).collect().toSeq shouldBe
+      graft.operators.Metrics.quantilesFromCounts(qc, "v", "c", Seq(0.5),
+        1.0).collect().toSeq
     val mk = Seq(("g", 1L, "a"), ("g", 2L, "b")).toDF("g", "ord", "t")
     mk.markovTransitions(Seq("g"), Seq("ord"), "t").queryExecution.analyzed
       .sameResult(graft.operators.Markov.transitions(mk, Seq("g"),

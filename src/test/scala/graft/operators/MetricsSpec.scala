@@ -93,6 +93,23 @@ class MetricsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("quantilesFromCounts equals exactQuantiles on the expanded multiset") {
+    // counts: 1.0 x3, 5.0 x1, 9.0 x2 -> multiset of 6
+    val counts = Seq((1.0, 3L), (5.0, 1L), (9.0, 2L)).toDF("v", "c")
+    val expanded = Seq.fill(3)(1.0) ++ Seq(5.0) ++ Seq.fill(2)(9.0)
+    val fromCounts = Metrics.quantilesFromCounts(counts, "v", "c",
+        Seq(0.0, 0.3, 0.5, 0.9, 1.0), 4.0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val direct = Metrics.exactQuantiles(expanded.toDF("v"), "v",
+        Seq(0.0, 0.3, 0.5, 0.9, 1.0), 4.0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    fromCounts shouldBe direct
+    // non-positive counts are ignored
+    Metrics.quantilesFromCounts(
+      counts.unionAll(Seq((99.0, 0L)).toDF("v", "c")), "v", "c",
+      Seq(1.0), 4.0).collect().head.getDouble(2) shouldBe 9.0
+  }
+
   test("calibrationBins reports exact bin means and rates") {
     val df = Seq((0.25, 0L), (0.75, 1L), (1.5, 1L), (1.5, 1L))
       .toDF("s", "lab")
