@@ -7752,8 +7752,8 @@ object SparkEntry {
           |      ELSE 'Z' END AS xyz_class
           |  FROM (
           |    SELECT l_partkey,
-          |      sqrt(CAST(mm AS DOUBLE) * CAST(sqq AS DOUBLE) -
-          |        CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) /
+          |      sqrt(greatest(0.0, CAST(mm AS DOUBLE) * CAST(sqq AS DOUBLE)
+          |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))) /
           |        CAST(sq AS DOUBLE) AS cv
           |    FROM (
           |      SELECT l_partkey, sum(q) AS sq,

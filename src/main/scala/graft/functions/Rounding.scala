@@ -26,4 +26,10 @@ object Rounding {
     * result rows on the driver — same bits as [[p6]]).
     */
   def p6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Driver-side scalar form at an arbitrary scale. */
+  def proundD(x: Double, scale: Int): Double = {
+    val f = math.pow(10, scale)
+    math.floor(x * f + 0.5) / f
+  }
 }

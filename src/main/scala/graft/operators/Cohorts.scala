@@ -124,14 +124,25 @@ object Cohorts {
     * trimmed via a one-row max broadcast), `n_active`.
     */
   def rollingActives(events: DataFrame, userCol: String, tsCol: String,
-                     window: Int = 7): DataFrame = {
+                     window: Int = 7): DataFrame =
+    coverageActives(
+      events
+        .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+        .select(col(userCol).as("__u"),
+          call_function("div", unix_micros(col(tsCol)), lit(86400000000L))
+            .as("__d")),
+      window)
+
+  /** The coverage core shared with `streaming.StreamingRetention
+    * .activesView` (ONE home for the explode/trim algorithm, so the
+    * streaming card cannot silently diverge from the one-shot operator
+    * it is spec-pinned to equal): input is any (`__u`, `__d`) frame —
+    * raw-event projections or maintained day-grain state.
+    */
+  private[graft] def coverageActives(presence: DataFrame,
+                                     window: Int): DataFrame = {
     require(window >= 1 && window <= 60, s"window in [1,60]: $window")
-    val du = events
-      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(userCol).as("__u"),
-        call_function("div", unix_micros(col(tsCol)), lit(86400000000L))
-          .as("__d"))
-      .distinct()
+    val du = presence.select(col("__u"), col("__d")).distinct()
     val mx = broadcast(du.agg(max(col("__d")).as("__mx")))
     du.withColumn("__cd",
         explode(sequence(col("__d"), col("__d") + lit((window - 1).toLong))))
@@ -165,9 +176,21 @@ object Cohorts {
                      featureEnd: String, labelEnd: String): DataFrame = {
     require(featureEnd < labelEnd,
       s"featureEnd must precede labelEnd: $featureEnd vs $labelEnd")
-    val feDay = java.time.LocalDate.parse(featureEnd.take(10)).toEpochDay
-    val fe = to_timestamp(lit(featureEnd))
-    val le = to_timestamp(lit(labelEnd))
+    // both walls parse EAGERLY on the driver (ISO date or datetime): a
+    // malformed wall must throw here, not become a silently-null
+    // to_timestamp that filters every row into an empty training table
+    def wallMicros(s: String): Long = {
+      val ldt =
+        if (s.length <= 10) java.time.LocalDate.parse(s).atStartOfDay()
+        else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+    }
+    val feUs = wallMicros(featureEnd)
+    val leUs = wallMicros(labelEnd)
+    val feDay = feUs / 86400000000L
+    val fe = timestamp_micros(lit(feUs))
+    val le = timestamp_micros(lit(leUs))
     val day = call_function("div", unix_micros(col(tsCol)),
       lit(86400000000L))
     val fw = events

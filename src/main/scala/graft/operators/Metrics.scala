@@ -157,6 +157,33 @@ object Metrics {
       .withColumn("lift", pround6(base))
   }
 
+  // shared R-7 quantile machinery for exactQuantiles /
+  // quantilesFromCounts: positions, the neighbor-rank set, and the
+  // driver-side interpolation — one home so a convention change (or a
+  // fix like the NaN guard) cannot miss a copy
+  private case class QPos(q: Double, pos: Double, lo: Long, hi: Long)
+
+  private def r7Positions(n: Long, qs: Seq[Double]): Seq[QPos] =
+    qs.map { q =>
+      val pos = (n - 1).toDouble * q
+      val lo = math.floor(pos).toLong
+      QPos(q, pos, lo, math.min(lo + 1L, n - 1L))
+    }
+
+  private def interpolate(n: Long, positions: Seq[QPos],
+                          rankToV: Map[Long, Double]): Seq[(Double, Long, Double)] =
+    positions.map { p =>
+      val frac = p.pos - p.lo.toDouble
+      val v = rankToV(p.lo) + (rankToV(p.hi) - rankToV(p.lo)) * frac
+      (p.q, n, graft.functions.Rounding.proundD(v, 4))
+    }
+
+  private def checkQs(qs: Seq[Double], bucketWidth: Double): Unit = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+  }
+
   /** EXACT global quantiles at corpus scale — the distributed
     * alternative to `percentile()` (whose single aggregate buffers and
     * sorts every value of the group: exact but memory-bound, fine per
@@ -180,12 +207,13 @@ object Metrics {
     */
   def exactQuantiles(df: DataFrame, valCol: String, qs: Seq[Double],
                      bucketWidth: Double): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
-      s"quantiles must be in [0,1]: $qs")
-    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    checkQs(qs, bucketWidth)
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.filter(col(valCol).isNotNull)
+    // NaN is dropped like NULL (a NaN would bucket to a null key and
+    // NPE the driver collect; percentile-family parity is over the
+    // ordered reals)
+    val vals = df.filter(col(valCol).isNotNull && !isnan(col(valCol)))
       .select(col(valCol).cast("double").as("__v"))
       .withColumn("__b", floor(col("__v") / lit(bucketWidth)).cast("long"))
     val btot = vals.groupBy(col("__b"))
@@ -196,13 +224,8 @@ object Metrics {
     val n = acc
     if (n == 0L)
       return Seq.empty[(Double, Long, Double)].toDF("q", "n", "value")
-    // R-7 positions and the (at most 2 per quantile) ranks they need
-    val positions = qs.map { q =>
-      val pos = (n - 1).toDouble * q
-      val lo = math.floor(pos).toLong
-      (q, pos, lo, math.min(lo + 1L, n - 1L))
-    }
-    val needed = positions.flatMap(p => Seq(p._3, p._4)).distinct
+    val positions = r7Positions(n, qs)
+    val needed = positions.flatMap(p => Seq(p.lo, p.hi)).distinct
     val offDf = broadcast(offs.toSeq.toDF("__b", "__off"))
     val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
     val picked = vals.join(offDf, Seq("__b"))
@@ -211,11 +234,7 @@ object Metrics {
       .filter(col("__r").isInCollection(needed))
       .select(col("__r"), col("__v"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    positions.map { case (q, pos, lo, hi) =>
-      val frac = pos - lo.toDouble
-      val v = picked(lo) + (picked(hi) - picked(lo)) * frac
-      (q, n, math.floor(v * 1e4 + 0.5) / 1e4)
-    }.toDF("q", "n", "value")
+    interpolate(n, positions, picked).toDF("q", "n", "value")
   }
 
   /** [[exactQuantiles]] over an ALREADY-REDUCED (value, count) table —
@@ -232,13 +251,12 @@ object Metrics {
   def quantilesFromCounts(counts: DataFrame, valCol: String,
                           cntCol: String, qs: Seq[Double],
                           bucketWidth: Double): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
-      s"quantiles must be in [0,1]: $qs")
-    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    checkQs(qs, bucketWidth)
     val spark = counts.sparkSession
     import spark.implicits._
     val vals = counts
-      .filter(col(valCol).isNotNull && col(cntCol) > 0L)
+      .filter(col(valCol).isNotNull && !isnan(col(valCol).cast("double")) &&
+        col(cntCol) > 0L)
       .select(col(valCol).cast("double").as("__v"),
         col(cntCol).cast("long").as("__c"))
       .withColumn("__b", floor(col("__v") / lit(bucketWidth)).cast("long"))
@@ -250,12 +268,8 @@ object Metrics {
     val n = acc
     if (n == 0L)
       return Seq.empty[(Double, Long, Double)].toDF("q", "n", "value")
-    val positions = qs.map { q =>
-      val pos = (n - 1).toDouble * q
-      val lo = math.floor(pos).toLong
-      (q, pos, lo, math.min(lo + 1L, n - 1L))
-    }
-    val needed = positions.flatMap(p => Seq(p._3, p._4)).distinct
+    val positions = r7Positions(n, qs)
+    val needed = positions.flatMap(p => Seq(p.lo, p.hi)).distinct
     val offDf = broadcast(offs.toSeq.toDF("__b", "__off"))
     val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -271,11 +285,7 @@ object Metrics {
       r -> rows.find(x => x.getLong(0) <= r && r < x.getLong(1)).get
         .getDouble(2)
     }.toMap
-    positions.map { case (q, pos, lo, hi) =>
-      val frac = pos - lo.toDouble
-      val v = rankToV(lo) + (rankToV(hi) - rankToV(lo)) * frac
-      (q, n, math.floor(v * 1e4 + 0.5) / 1e4)
-    }.toDF("q", "n", "value")
+    interpolate(n, positions, rankToV).toDF("q", "n", "value")
   }
 
   /** Calibration (reliability) bins: scores binned by fixed width, each

@@ -111,8 +111,14 @@ object Pareto {
       .groupBy(col(keyCol).as("__k"), col(periodCol).as("__p"))
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__q"))
     val m = per.agg(count_distinct(col("__p")).cast("long").as("__m"))
-    val cv = sqrt(col("__m").cast("double") * col("__sqq").cast("double") -
-      col("__sq").cast("double") * col("__sq").cast("double")) /
+    // clamp the radicand: for a perfectly steady key the true value is
+    // 0 but double arithmetic can land one ulp BELOW it (e.g. M=2,
+    // q=0.05/period), and sqrt(-1e-18) = NaN would fail both class
+    // thresholds and brand the steadiest item erratic. Mirrored in the
+    // oracle.
+    val cv = sqrt(greatest(lit(0.0),
+      col("__m").cast("double") * col("__sqq").cast("double") -
+        col("__sq").cast("double") * col("__sq").cast("double"))) /
       col("__sq").cast("double")
     per.groupBy(col("__k"))
       .agg(count(lit(1)).cast("long").as("n_periods"),

@@ -53,15 +53,23 @@ object StreamingRetention {
       .agg(count(lit(1)).as("__pn"))
     val empty = partial.limit(0)
       .select(col("__pu").as("user"), col("__pw").as("week"),
-        col("__pn").as("n"))
+        col("__pn").as("n"), lit(grainDays.toLong).as("grain"))
     val state = PathIO.readSwapState(spark, statePath, empty)
+    // the state RECORDS its grain: merging day-ids into a week-grain
+    // state (or vice versa) would silently weld two period keyspaces,
+    // so a mismatch fails loudly here instead
+    val existing = state.select(col("grain")).limit(1).collect()
+    require(existing.isEmpty || existing(0).getLong(0) == grainDays.toLong,
+      s"state at $statePath has grain ${existing.headOption.map(_.getLong(0))
+        .getOrElse("?")} days; this merge uses $grainDays")
     state.join(partial,
         col("user") === col("__pu") && col("week") === col("__pw"),
         "full_outer")
       .select(coalesce(col("user"), col("__pu")).as("user"),
         coalesce(col("week"), col("__pw")).as("week"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("__pn"), lit(0L)))
-          .cast("long").as("n"))
+          .cast("long").as("n"),
+        lit(grainDays.toLong).as("grain"))
   }
 
   /** Swap in the merged state (call AFTER materializing). */
@@ -108,16 +116,15 @@ object StreamingRetention {
     * batch split. Output: `day`, `n_active`.
     */
   def activesView(state: DataFrame, window: Int = 7): DataFrame = {
-    require(window >= 1 && window <= 60, s"window in [1,60]: $window")
-    val du = state.filter(col("n") > 0L)
-      .select(col("user"), col("week").as("__d")).distinct()
-    val mx = broadcast(du.agg(max(col("__d")).as("__mx")))
-    du.withColumn("__cd",
-        explode(sequence(col("__d"), col("__d") + lit((window - 1).toLong))))
-      .select(col("user"), col("__cd")).distinct()
-      .crossJoin(mx)
-      .filter(col("__cd") <= col("__mx"))
-      .groupBy(col("__cd").as("day"))
-      .agg(count(lit(1)).cast("long").as("n_active"))
+    // a rolling-DAYS card over week-ids would be silent nonsense —
+    // the recorded grain must be 1
+    val g = state.select(col("grain")).limit(1).collect()
+    require(g.isEmpty || g(0).getLong(0) == 1L,
+      s"activesView needs a day-grain state (grain 1), got " +
+        s"${g.headOption.map(_.getLong(0)).getOrElse("?")}")
+    graft.operators.Cohorts.coverageActives(
+      state.filter(col("n") > 0L)
+        .select(col("user").as("__u"), col("week").as("__d")),
+      window)
   }
 }

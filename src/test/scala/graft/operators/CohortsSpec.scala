@@ -127,5 +127,10 @@ class CohortsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Cohorts.temporalLabels(ev, "user_id", "ts", "event_type", "buy",
         "1970-01-05", "1970-01-03")
+    // malformed walls throw eagerly instead of silently filtering
+    // everything through a null to_timestamp
+    a[java.time.format.DateTimeParseException] should be thrownBy
+      Cohorts.temporalLabels(ev, "user_id", "ts", "event_type", "buy",
+        "1970-01-03 25:00:00", "1970-01-05")
   }
 }

@@ -57,6 +57,12 @@ class ParetoSpec extends SparkSpec {
     out("k1") shouldBe ((3L, 0.0, "X"))
     out("k2") shouldBe ((1L, 1.414214, "Z"))
     out("k3") shouldBe ((2L, 0.707107, "Y"))
+    // a steady FRACTIONAL demand whose radicand lands one ulp below 0
+    // in doubles must clamp to cv 0, not NaN -> 'Z'
+    val ulp = Seq(("k", 1L, 0.05), ("k", 2L, 0.05)).toDF("k", "mon", "q")
+    val r = Pareto.xyzClassification(ulp, "k", "mon", "q").collect().head
+    r.getDouble(2) shouldBe 0.0
+    r.getString(3) shouldBe "X"
     an[IllegalArgumentException] should be thrownBy
       Pareto.xyzClassification(df, "k", "mon", "q", xMax = 1.0, yMax = 0.5)
   }
