@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Static guards on the driver contract itself: the correctness gate
+  * hashes `queries` against `oracleSql`, so a TYPO in either map —
+  * an orphan oracle, a query silently missing its oracle, a reused
+  * number — would weaken the gate without failing anything. This spec
+  * makes the contract's shape load-bearing.
+  */
+class ContractSpec extends AnyFunSuite with Matchers {
+
+  // the three long-sanctioned rows-only entries (content-gated in
+  // their specs; see VERDICT round 9): adding a FOURTH requires
+  // updating this list deliberately
+  private val sanctionedRowsOnly = Set(
+    "q29_media_features", "q34_ann_kmeans", "q56_sketches")
+
+  test("every oracle belongs to a query; only the sanctioned three lack one") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    withClue("orphan oracles (no matching query): ") {
+      (o -- q) shouldBe empty
+    }
+    withClue("queries without an oracle beyond the sanctioned rows-only: ") {
+      (q -- o) shouldBe sanctionedRowsOnly
+    }
+  }
+
+  test("query names are well-formed and numbers are unique") {
+    val names = SparkEntry.queries.keySet
+    val pattern = "^q(\\d+)_[a-z0-9_]+$".r
+    val nums = names.toSeq.map { n =>
+      withClue(s"malformed query name $n: ") {
+        pattern.findFirstMatchIn(n).isDefined shouldBe true
+      }
+      pattern.findFirstMatchIn(n).get.group(1).toInt
+    }
+    withClue("reused query numbers: ") {
+      nums.groupBy(identity).filter(_._2.size > 1).keys.toSeq shouldBe empty
+    }
+  }
+
+  test("oracle SQL never references the Spark-side bookkeeping prefix") {
+    // a __-prefixed column leaking into an oracle means the Spark side
+    // exposed internals the driver would then hash
+    for ((name, sql) <- SparkEntry.oracleSql)
+      withClue(s"$name oracle references __ bookkeeping: ") {
+        sql.contains("__") shouldBe false
+      }
+  }
+}
