@@ -3025,6 +3025,30 @@ object SparkEntry {
           dsum(col("value")).as("revenue"))
     }),
 
+    // order-to-ship lead-time SLA: exact p50/p90/p99 of shipping days
+    // through the bucketed-rank quantile path on a join output
+    "q277_lead_time" -> ((s, d) =>
+      operators.Metrics.exactQuantiles(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          // lineitem/orders dates read as TIMESTAMP_NTZ; the session
+          // is UTC so the cast is a no-op relabeling for unix_micros
+          .select((expr("unix_micros(cast(l_shipdate as timestamp)) " +
+            "div 86400000000") -
+            expr("unix_micros(cast(o_orderdate as timestamp)) " +
+              "div 86400000000")).as("lead_days")),
+        "lead_days", Seq(0.5, 0.9, 0.99), bucketWidth = 8.0)),
+
+    // revenue concentration card: share of total order value held by
+    // the top 1% / 5% / 10% of customers — the Lorenz/whale view,
+    // cent-scaled BIGINT shares over the bucketed desc rank
+    "q278_revenue_whales" -> ((s, d) =>
+      operators.Pareto.topShares(t(s, d, "orders"),
+        "o_custkey", "o_totalprice", pctsBp = Seq(100L, 500L, 1000L))),
+
     // live exact value quantiles: the additive class-count merge
     // (q233's machinery — a (value, n) state bounded by the 2-decimal
     // value vocabulary) read through weighted R-7 order statistics;
@@ -7638,6 +7662,40 @@ object SparkEntry {
           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
           |    AS revenue
           |FROM a GROUP BY 1""".stripMargin,
+
+      // quantile_cont over the joined lead-day multiset (R-7 parity)
+      "q277_lead_time" ->
+        s"""WITH ld AS (
+           |  SELECT epoch_us(l.l_shipdate) // 86400000000 -
+           |    epoch_us(o.o_orderdate) // 86400000000 AS lead_days
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+           |SELECT 0.5 AS q, CAST(count(*) AS BIGINT) AS n,
+           |  ${pround("quantile_cont(lead_days, 0.5)", 4)} AS value
+           |FROM ld
+           |UNION ALL SELECT 0.9, CAST(count(*) AS BIGINT),
+           |  ${pround("quantile_cont(lead_days, 0.9)", 4)} FROM ld
+           |UNION ALL SELECT 0.99, CAST(count(*) AS BIGINT),
+           |  ${pround("quantile_cont(lead_days, 0.99)", 4)} FROM ld"""
+        .stripMargin,
+
+      // same (value desc, key) rank, ceil(n*p/1e4) cuts, cent-scaled
+      // BIGINT shares
+      "q278_revenue_whales" ->
+        """WITH pk AS (
+          |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |    AS v
+          |  FROM orders GROUP BY 1),
+          |t AS (SELECT CAST(sum(v) * 100 AS BIGINT) AS totc,
+          |      CAST(count(*) AS BIGINT) AS n FROM pk),
+          |r AS (SELECT v, CAST(row_number() OVER (
+          |        ORDER BY v DESC, o_custkey) - 1 AS BIGINT) AS rk
+          |      FROM pk)
+          |SELECT CAST(p.p AS BIGINT) AS pct_bp,
+          |  CAST((n * p.p + 9999) // 10000 AS BIGINT) AS n_top,
+          |  CAST(CAST((SELECT sum(v) FROM r
+          |      WHERE rk < (n * p.p + 9999) // 10000) * 100 AS BIGINT)
+          |    * 10000 // totc AS BIGINT) AS share_bp
+          |FROM (SELECT unnest([100, 500, 1000]) AS p) p, t""".stripMargin,
 
       // additivity makes the two-batch value-count state ≡ the raw
       // multiset, so the card is quantile_cont over the raw values

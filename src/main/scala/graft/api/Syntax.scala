@@ -280,6 +280,9 @@ object syntax {
                           valueCol: String, xMax: Double = 0.5,
                           yMax: Double = 1.0): DataFrame =
       Pareto.xyzClassification(df, keyCol, periodCol, valueCol, xMax, yMax)
+    def topShares(keyCol: String, valueCol: String, pctsBp: Seq[Long],
+                  bucketWidth: Double = 65536.0): DataFrame =
+      Pareto.topShares(df, keyCol, valueCol, pctsBp, bucketWidth)
     def rollingActives(userCol: String, tsCol: String,
                        window: Int = 7): DataFrame =
       Cohorts.rollingActives(df, userCol, tsCol, window)

@@ -80,6 +80,74 @@ object Pareto {
           .otherwise("C").as("abc_class"))
   }
 
+  /** Top-population-percent value concentration — the Lorenz/whale
+    * card beside [[abcClassification]] (which cuts at fixed VALUE
+    * shares, 80/95%): for each requested population percent p, the
+    * share of total value held by the top ⌈n·p⌉ keys. "1% of
+    * customers carry 38% of revenue" is this table's row.
+    *
+    * Exactness: per-key values are exact DECIMAL(18,2) sums; the
+    * descending rank is the bucketed driver-prefix (negated-value
+    * buckets, (value desc, key) tie order — [[abcClassification]]'s
+    * machinery); thresholds ⌈n·p⌉ are exact integers computed from
+    * the driver-collected bucket counts; shares are cent-scaled
+    * BIGINT floor-division basis points. One conditional aggregate
+    * serves every requested percent.
+    *
+    * Same snapshot assumption as the other bucketed-prefix operators.
+    * Output per percent, ascending: `pct_bp` (the requested percent in
+    * basis points), `n_top` (BIGINT keys included), `share_bp`.
+    */
+  def topShares(df: DataFrame, keyCol: String, valueCol: String,
+                pctsBp: Seq[Long], bucketWidth: Double = 65536.0): DataFrame = {
+    require(pctsBp.nonEmpty && pctsBp.forall(p => p >= 1L && p <= 10000L),
+      s"percents must be basis points in [1,10000]: $pctsBp")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perKey = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__v"))
+      .withColumn("__b",
+        floor((-col("__v")).cast("double") / lit(bucketWidth)).cast("long"))
+    val btot = perKey.groupBy(col("__b"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__v")).as("__s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getDecimal(2)).fold(BigDecimal(0))(BigDecimal(_))))
+      .sortBy(_._1)
+    var accN = 0L; var accV = BigDecimal(0)
+    val offs = btot.map { case (b, c, s) =>
+      val o = accN; accN += c; accV += s; (b, o)
+    }
+    val n = accN
+    val totC = (accV * 100).toLongExact
+    if (n == 0L)
+      return Seq.empty[(Long, Long, Long)].toDF("pct_bp", "n_top", "share_bp")
+    // ceil(n * p / 10^4) without doubles
+    val cuts = pctsBp.sorted.map(p => p -> ((n * p + 9999L) / 10000L))
+    val offDf = broadcast(offs.toSeq.toDF("__b", "__off"))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("__v").desc, col("__k"))
+    val ranked = perKey.join(offDf, Seq("__b"))
+      .withColumn("__r",
+        col("__off") + row_number().over(w).cast("long") - 1L)
+    val sums = ranked.agg(
+      cuts.map { case (p, t) =>
+        sum(when(col("__r") < t, col("__v"))).as(s"__s$p")
+      }.head, cuts.tail.map { case (p, t) =>
+        sum(when(col("__r") < t, col("__v"))).as(s"__s$p")
+      }: _*).collect()(0)
+    cuts.zipWithIndex.map { case ((p, t), i) =>
+      val topC = Option(sums.getDecimal(i))
+        .fold(BigDecimal(0))(BigDecimal(_)) * 100
+      val share = if (totC == 0L) 0L else topC.toLongExact * 10000L / totC
+      (p, t, share)
+    }.toDF("pct_bp", "n_top", "share_bp")
+  }
+
   /** XYZ demand-variability classification — [[abcClassification]]'s
     * companion axis: per key, the coefficient of variation of its
     * per-period demand with ZERO-DEMAND PERIODS COUNTED (the textbook

@@ -184,6 +184,10 @@ class SyntaxSpec extends SparkSpec {
     qc.quantilesFromCounts("v", "c", Seq(0.5), 1.0).collect().toSeq shouldBe
       graft.operators.Metrics.quantilesFromCounts(qc, "v", "c", Seq(0.5),
         1.0).collect().toSeq
+    val tsh = Seq(("a", 9.0), ("b", 1.0)).toDF("k", "v")
+    tsh.topShares("k", "v", Seq(5000L)).collect().toSeq shouldBe
+      graft.operators.Pareto.topShares(tsh, "k", "v", Seq(5000L))
+        .collect().toSeq
     val mk = Seq(("g", 1L, "a"), ("g", 2L, "b")).toDF("g", "ord", "t")
     mk.markovTransitions(Seq("g"), Seq("ord"), "t").queryExecution.analyzed
       .sameResult(graft.operators.Markov.transitions(mk, Seq("g"),

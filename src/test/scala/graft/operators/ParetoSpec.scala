@@ -41,6 +41,25 @@ class ParetoSpec extends SparkSpec {
     zeros.values.foreach(_._2 shouldBe 0L)
   }
 
+  test("topShares cuts ceil(n*p) keys and reports exact bp shares") {
+    // values 70/20/6/4 (n=4, total 100): top-25% = 1 key -> 7000 bp;
+    // top-50% = 2 -> 9000; top-100% = 4 -> 10000
+    val df = Seq(("a", 70.0), ("b", 20.0), ("c", 6.0), ("d", 4.0))
+      .toDF("k", "v")
+    val out = Pareto.topShares(df, "k", "v", Seq(2500L, 5000L, 10000L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    out(2500L) shouldBe ((1L, 7000L))
+    out(5000L) shouldBe ((2L, 9000L))
+    out(10000L) shouldBe ((4L, 10000L))
+    // value ties break by key: both orders give the same SHARE set
+    val tied = Seq(("a", 50.0), ("b", 50.0)).toDF("k", "v")
+    Pareto.topShares(tied, "k", "v", Seq(5000L))
+      .collect().head.getLong(2) shouldBe 5000L
+    an[IllegalArgumentException] should be thrownBy
+      Pareto.topShares(df, "k", "v", Seq(0L))
+  }
+
   test("xyzClassification counts zero periods via the closed form") {
     // 3 global months. k1 steady 2/2/2 -> cv 0 (X); k2 all in one
     // month -> cv = sqrt(3*36-36)/6 = 1.414214 (Z); k3 3/3 over two
