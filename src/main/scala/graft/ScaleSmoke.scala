@@ -674,6 +674,31 @@ object ScaleSmoke {
       operators.Selection.mmr(vecs.filter(col("vec_id") =!= 0),
         vecs.limit(1), "vec_id", "embedding", k = 3).count()
     }
+    // HHI: two keys-only hash aggregates (market x firm, then market)
+    time("hhi (25 markets, n/100 firms)") {
+      operators.Profile.hhi(
+        events(rows).select(pmod(col("user_id"), lit(25)).as("m"),
+          pmod(col("user_id"), lit(rows / 100)).as("f"), col("value")),
+        "m", "f", "value").count()
+    }
+    // item-item cosine top-k: pairAffinity's per-basket pair bound
+    // (~4 items/basket over a 2k-item vocabulary), then one window
+    // partitioned by item
+    time("cosine topk (n/4 baskets)") {
+      operators.Basket.cosineTopK(
+        events(rows).select(pmod(col("event_id"), lit(rows / 4)).as("b"),
+          pmod(hash(col("event_id")), lit(2000)).as("i")),
+        "b", "i", k = 5, minPairs = 2L).count()
+    }
+    // Wilson lower bound: ONE hash aggregate on the key, then
+    // row-local double arithmetic
+    time("wilson lower bound (n/100 keys)") {
+      operators.Metrics.wilsonLowerBound(
+        events(rows).select(pmod(col("user_id"), lit(rows / 100)).as("g"),
+          when(pmod(col("event_id"), lit(3)) === 0, 1L).otherwise(0L)
+            .as("ok")),
+        "g", "ok", minN = 5L).count()
+    }
     spark.stop()
   }
 }

@@ -3049,6 +3049,36 @@ object SparkEntry {
       operators.Pareto.topShares(t(s, d, "orders"),
         "o_custkey", "o_totalprice", pctsBp = Seq(100L, 500L, 1000L))),
 
+    // Herfindahl market concentration per supplier nation — exact
+    // DECIMAL(38,0) share-square arithmetic, 0–10000 points
+    "q279_market_hhi" -> ((s, d) =>
+      operators.Profile.hhi(
+        t(s, d, "lineitem")
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"),
+            col("s_suppkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("rev")),
+        "n_name", "s_suppkey", "rev")),
+
+    // "also bought" shelf: item-item cosine² top-5 over order-basket
+    // co-occurrence — rational score, exact-integer ranking
+    "q280_item_cosine" -> ((s, d) =>
+      operators.Basket.cosineTopK(t(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", k = 5, minPairs = 2L)),
+
+    // supplier return-rate leaderboard by Wilson lower bound — the
+    // small-n-aware worst-offender ranking
+    "q281_wilson_returns" -> ((s, d) =>
+      operators.Metrics.wilsonLowerBound(
+        t(s, d, "lineitem")
+          .select(col("l_suppkey").as("supp_key"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L)
+              .as("returned")),
+        "supp_key", "returned", minN = 20L)),
+
     // live exact value quantiles: the additive class-count merge
     // (q233's machinery — a (value, n) state bounded by the 2-decimal
     // value vocabulary) read through weighted R-7 order statistics;
@@ -7696,6 +7726,64 @@ object SparkEntry {
           |      WHERE rk < (n * p.p + 9999) // 10000) * 100 AS BIGINT)
           |    * 10000 // totc AS BIGINT) AS share_bp
           |FROM (SELECT unnest([100, 500, 1000]) AS p) p, t""".stripMargin,
+
+      "q279_market_hhi" ->
+        """WITH pf AS (
+          |  SELECT n_name AS market, s_suppkey,
+          |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |      AS DECIMAL(18,4))) AS v
+          |  FROM lineitem
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  GROUP BY 1, 2)
+          |SELECT market, CAST(count(*) AS BIGINT) AS n_firms,
+          |  CAST(sum(CAST(v * 10000 AS HUGEINT)
+          |      * CAST(v * 10000 AS HUGEINT)) * 10000
+          |    // (sum(CAST(v * 10000 AS HUGEINT))
+          |      * sum(CAST(v * 10000 AS HUGEINT))) AS BIGINT) AS hhi
+          |FROM pf GROUP BY 1 HAVING sum(v) > 0""".stripMargin,
+
+      "q280_item_cosine" ->
+        """WITH bi AS (
+          |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+          |  FROM lineitem),
+          |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
+          |       FROM bi GROUP BY 1),
+          |p AS (SELECT a.i AS ia, bb.i AS ib,
+          |        CAST(count(*) AS BIGINT) AS nab
+          |      FROM bi a JOIN bi bb ON a.b = bb.b AND a.i < bb.i
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |d AS (SELECT ia, ib, nab FROM p
+          |      UNION ALL SELECT ib, ia, nab FROM p),
+          |sc AS (SELECT d.ia AS item_id, d.ib AS partner, d.nab AS n_ab,
+          |        CAST(CAST(d.nab AS HUGEINT) * d.nab * 100000000
+          |          // (CAST(ca.ni AS HUGEINT) * cb.ni) AS BIGINT)
+          |          AS cos2_e8
+          |       FROM d JOIN ic ca ON d.ia = ca.i
+          |         JOIN ic cb ON d.ib = cb.i)
+          |SELECT item_id, partner, n_ab, cos2_e8,
+          |  CAST(rn AS BIGINT) AS rank
+          |FROM (SELECT *, row_number() OVER (PARTITION BY item_id
+          |        ORDER BY cos2_e8 DESC, n_ab DESC, partner) AS rn
+          |      FROM sc)
+          |WHERE rn <= 5""".stripMargin,
+
+      "q281_wilson_returns" ->
+        """WITH a AS (
+          |  SELECT l_suppkey AS supp_key,
+          |    CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS k
+          |  FROM lineitem GROUP BY 1)
+          |SELECT supp_key, n, k,
+          |  CAST(k * 10000 // n AS BIGINT) AS rate_bp,
+          |  floor(((CAST(k AS DOUBLE) / n + 1.959964 * 1.959964 / (2.0 * n)
+          |    - 1.959964 * sqrt(greatest(0.0,
+          |        (CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n)
+          |         + 1.959964 * 1.959964 / (4.0 * n)) / n)))
+          |   / (1.0 + 1.959964 * 1.959964 / n)) * 1e6 + 0.5) / 1e6
+          |    AS wilson_lb
+          |FROM a WHERE n >= 20""".stripMargin,
 
       // additivity makes the two-batch value-count state ≡ the raw
       // multiset, so the card is quantile_cont over the raw values

@@ -283,6 +283,14 @@ object syntax {
     def topShares(keyCol: String, valueCol: String, pctsBp: Seq[Long],
                   bucketWidth: Double = 65536.0): DataFrame =
       Pareto.topShares(df, keyCol, valueCol, pctsBp, bucketWidth)
+    def hhi(marketCol: String, firmCol: String, valueCol: String): DataFrame =
+      Profile.hhi(df, marketCol, firmCol, valueCol)
+    def cosineTopK(basketCol: String, itemCol: String, k: Int = 5,
+                   minPairs: Long = 2L): DataFrame =
+      Basket.cosineTopK(df, basketCol, itemCol, k, minPairs)
+    def wilsonLowerBound(keyCol: String, successCol: String,
+                         z: Double = 1.959964, minN: Long = 1L): DataFrame =
+      Metrics.wilsonLowerBound(df, keyCol, successCol, z, minN)
     def rollingActives(userCol: String, tsCol: String,
                        window: Int = 7): DataFrame =
       Cohorts.rollingActives(df, userCol, tsCol, window)

@@ -128,4 +128,48 @@ object Basket {
         expr("CAST(n_ab * 10000 DIV r.n_antecedent AS BIGINT)")
           .as("confidence_bp"),
         col("lift_bp"))
+
+  /** Item-item cosine² nearest neighbors over co-occurrence — the
+    * "customers who bought X also bought" recommender shelf. Over the
+    * binary basket-incidence vectors, cos(i,j)² = n_ij²/(n_i·n_j);
+    * squaring keeps the score RATIONAL so the ranking runs on exact
+    * integers (cos is monotone in cos² for non-negative counts, so
+    * the top-k order is identical). Emitted as `cos2_e8` =
+    * n_ab²·10⁸ div (n_a·n_b) in DECIMAL(38,0) floor arithmetic.
+    *
+    * Both orientations are emitted from ONE [[pairAffinity]] pass
+    * (the [[associationRules]] explode shape), then row_number per
+    * item over (cos2_e8 desc, n_ab desc, partner asc) — exact-integer
+    * keys with a unique suffix, so the cut is engine-replayable.
+    *
+    * Overflow: [[pairAffinity]]'s lift guard already enforces
+    * n_ab·n_baskets·10⁴ < 2⁶³; with n_ab ≤ n_baskets that gives
+    * n_ab² < 9.2·10¹⁴, so n_ab²·10⁸ < 10²³ ≪ 10³⁸ — the DECIMAL
+    * multiply cannot overflow once the guard has passed.
+    *
+    * Scale shape: pairAffinity's per-basket pair bound, one 2-element
+    * explode, one window PARTITIONED BY item (millions of small
+    * groups — no global sort). Output ≤ k rows per item.
+    */
+  def cosineTopK(items: DataFrame, basketCol: String, itemCol: String,
+                 k: Int = 5, minPairs: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("cos2_e8").desc, col("n_ab").desc, col("partner"))
+    pairAffinity(items, basketCol, itemCol, minPairs)
+      .select(explode(array(
+        struct(col("item_a").as("item_id"), col("item_b").as("partner"),
+          col("n_a").as("n_i"), col("n_b").as("n_j")),
+        struct(col("item_b").as("item_id"), col("item_a").as("partner"),
+          col("n_b").as("n_i"), col("n_a").as("n_j"))))
+        .as("r"), col("n_ab"))
+      .select(col("r.item_id").as("item_id"),
+        col("r.partner").as("partner"), col("n_ab"),
+        expr("""CAST(CAST(n_ab AS DECIMAL(38,0)) * n_ab * 100000000
+                DIV (CAST(r.n_i AS DECIMAL(38,0)) * r.n_j) AS BIGINT)""")
+          .as("cos2_e8"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

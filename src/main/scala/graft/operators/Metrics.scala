@@ -315,4 +315,45 @@ object Metrics {
         call_function("div", col("n_pos") * 10000L, col("n_rows"))
           .as("pos_rate_bp"))
   }
+
+  /** Wilson score-interval lower bound per key — the "worst offender"
+    * / "best rated" ranking that does not reward tiny-n flukes: a key
+    * with 2/2 failures ranks BELOW one with 80/100, because the bound
+    * prices in the sample size. The standard sort key for review
+    * scores, defect rates, and conversion leaderboards.
+    *
+    * lb = (p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n).
+    *
+    * Exactness: n and k are exact BIGINTs and `rate_bp` is exact floor
+    * basis points (contract: k·10⁴ < 2⁶³); the bound itself is double
+    * arithmetic written as ONE fixed expression text on both engine
+    * and oracle (the z literal is embedded via its shortest
+    * round-trip representation), rounded by the portable
+    * [[graft.functions.Rounding]] formula at 6 places. The radicand
+    * is clamped at 0 (one-ulp-negative at p̂∈{0,1} — the q269 lesson).
+    *
+    * Scale shape: ONE hash aggregate on the key, then row-local
+    * arithmetic — no window, no join; output = #keys.
+    * `successCol` must be a 0/1 (or boolean) indicator.
+    */
+  def wilsonLowerBound(df: DataFrame, keyCol: String, successCol: String,
+                       z: Double = 1.959964, minN: Long = 1L): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    require(minN >= 1, s"minN must be >= 1: $minN")
+    val zs = z.toString
+    df.filter(col(keyCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(successCol).cast("long")).cast("long").as("k"))
+      .filter(col("n") >= minN)
+      .select(col(keyCol), col("n"), col("k"),
+        expr("CAST(k * 10000 DIV n AS BIGINT)").as("rate_bp"),
+        pround6(expr(
+          s"""((CAST(k AS DOUBLE) / n + $zs * $zs / (2.0 * n)
+             |  - $zs * sqrt(greatest(0.0,
+             |      (CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n)
+             |       + $zs * $zs / (4.0 * n)) / n)))
+             | / (1.0 + $zs * $zs / n))""".stripMargin))
+          .as("wilson_lb"))
+  }
 }

@@ -609,4 +609,41 @@ object Profile {
       .select(col("__g").as("grp"), col("__day").as("change_day"),
         col("cusum"), col("n_days"), col("n_total"))
   }
+
+  /** Herfindahl–Hirschman concentration index per market — the
+    * antitrust-style "how monopolized is this market" card beside
+    * [[keySkew]]'s Gini (which measures key fan-in inequality, not
+    * value-share concentration). HHI = Σᵢ (100·sᵢ)² where sᵢ is firm
+    * i's share of the market's total value: 10000 = monopoly, →0 =
+    * atomized; the classic DOJ bands are <1500 unconcentrated,
+    * 1500–2500 moderate, >2500 high.
+    *
+    * Exactness: per-firm values are exact DECIMAL(18,4) sums scaled
+    * to integral e4 units; HHI = Σxᵢ²·10⁴ div X² in pure DECIMAL(38,0)
+    * floor arithmetic — no float share enters. Overflow contract:
+    * Σxᵢ² ≤ X² needs X < 10¹⁷ e4-units (10¹³ in value) per market;
+    * past that, rescale the value column first.
+    *
+    * Scale shape: one (market, firm) hash aggregate then one market
+    * hash aggregate — two shuffles on keys only, no window, no join.
+    * Markets with non-positive totals are dropped (shares undefined).
+    * Output per market: `n_firms`, `hhi` (BIGINT, 0–10000).
+    */
+  def hhi(df: DataFrame, marketCol: String, firmCol: String,
+          valueCol: String): DataFrame = {
+    val perFirm = df
+      .filter(col(marketCol).isNotNull && col(firmCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(marketCol).as("market"), col(firmCol).as("__f"))
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("__v"))
+      .withColumn("__x", (col("__v") * 10000).cast("decimal(38,0)"))
+    perFirm.groupBy(col("market"))
+      .agg(count(lit(1)).cast("long").as("n_firms"),
+        sum(col("__x") * col("__x")).as("__sumsq"),
+        sum(col("__x")).as("__tot"))
+      .filter(col("__tot") > 0)
+      .select(col("market"), col("n_firms"),
+        expr("CAST((__sumsq * 10000) DIV (__tot * __tot) AS BIGINT)")
+          .as("hhi"))
+  }
 }

@@ -252,6 +252,18 @@ class SyntaxSpec extends SparkSpec {
       .sameResult(graft.operators.Cohorts.temporalLabels(tle, "user_id",
         "ts", "event_type", "buy", "1970-01-03", "1970-01-05")
         .queryExecution.analyzed) shouldBe true
+    val mh = Seq(("m", "f", 1.0)).toDF("m", "f", "v")
+    mh.hhi("m", "f", "v").queryExecution.analyzed
+      .sameResult(graft.operators.Profile.hhi(mh, "m", "f", "v")
+        .queryExecution.analyzed) shouldBe true
+    val bk = Seq((1L, 2L)).toDF("b", "i")
+    bk.cosineTopK("b", "i", 3, 1L).queryExecution.analyzed
+      .sameResult(graft.operators.Basket.cosineTopK(bk, "b", "i", 3, 1L)
+        .queryExecution.analyzed) shouldBe true
+    val wl = Seq(("s", 1L)).toDF("grp", "ok")
+    wl.wilsonLowerBound("grp", "ok").queryExecution.analyzed
+      .sameResult(graft.operators.Metrics.wilsonLowerBound(wl, "grp", "ok")
+        .queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

@@ -84,4 +84,29 @@ class BasketSpec extends SparkSpec {
     }
     e3.getMessage should include("lift_bp overflow")
   }
+
+  test("cosineTopK ranks partners by hand-computed exact cos² e8") {
+    // baskets: {1,2} {1,2} {1,3} {2,3} -> n1=3 n2=3 n3=2;
+    // n12=2 n13=1 n23=1
+    // cos²(1,2) = 4e8 div 9 = 44444444
+    // cos²(1,3) = cos²(2,3) = 1e8 div 6 = 16666666
+    val df = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 2L), (13L, 3L)).toDF("b", "i")
+    val out = Basket.cosineTopK(df, "b", "i", k = 5, minPairs = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out((1L, 1L)) shouldBe ((2L, 2L, 44444444L))
+    out((1L, 2L)) shouldBe ((3L, 1L, 16666666L))
+    out((2L, 1L)) shouldBe ((1L, 2L, 44444444L))
+    out((2L, 2L)) shouldBe ((3L, 1L, 16666666L))
+    // item 3's two partners tie on cos² AND n_ab -> partner id breaks
+    out((3L, 1L)) shouldBe ((1L, 1L, 16666666L))
+    out((3L, 2L)) shouldBe ((2L, 1L, 16666666L))
+    out.size shouldBe 6
+    // k cuts per item, keeping the best-ranked partner
+    val top1 = Basket.cosineTopK(df, "b", "i", k = 1, minPairs = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top1 shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 1L)
+  }
 }

@@ -126,4 +126,40 @@ class MetricsSpec extends SparkSpec {
     r(1).getDouble(4) shouldBe 1.5
     r(1).getLong(5) shouldBe 10000L
   }
+
+  private def wilsonRef(k: Long, n: Long, z: Double = 1.959964): Double = {
+    // independent driver-side re-derivation of the interval formula
+    val p = k.toDouble / n
+    val lb = (p + z * z / (2.0 * n) - z * math.sqrt(math.max(0.0,
+      (p * (1.0 - p) + z * z / (4.0 * n)) / n))) / (1.0 + z * z / n)
+    graft.functions.Rounding.p6d(lb)
+  }
+
+  test("wilsonLowerBound prices in sample size: 2/2 ranks below 80/100") {
+    val df = (Seq.fill(2)(("small", 1L)) ++
+      (1 to 100).map(i => ("large", if (i <= 80) 1L else 0L)))
+      .toDF("grp", "success")
+    val out = Metrics.wilsonLowerBound(df, "grp", "success")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    out("small") shouldBe ((2L, 2L, 10000L, wilsonRef(2, 2)))
+    out("large") shouldBe ((100L, 80L, 8000L, wilsonRef(80, 100)))
+    // the whole point: the 100%-rate tiny sample ranks BELOW 80/100
+    out("small")._4 should be < out("large")._4
+    // sanity: the bound sits inside [0, p-hat]
+    out("large")._4 should (be > 0.7 and be < 0.8)
+  }
+
+  test("wilsonLowerBound edge rates and the minN cut") {
+    val df = ((1 to 30).map(i => ("none", 0L)) ++
+      (1 to 30).map(i => ("all", 1L)) ++ Seq(("tiny", 1L)))
+      .toDF("grp", "success")
+    val out = Metrics.wilsonLowerBound(df, "grp", "success", minN = 2L)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    out.keySet shouldBe Set("none", "all") // tiny fails minN
+    out("none") shouldBe 0.0 // k=0: the bound floors at zero
+    out("all") shouldBe wilsonRef(30, 30)
+    out("all") should be < 1.0 // never certain from a finite sample
+  }
 }

@@ -301,4 +301,27 @@ class ProfileSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Profile.mutualInfo(crossDf.withColumnRenamed("a", "n_obs"), "n_obs", "b")
   }
+
+  test("hhi matches hand-computed concentration points") {
+    // market A: firm shares 60/40 -> 3600 + 1600 = 5200;
+    // market B: monopoly -> 10000; market C: zero total -> dropped;
+    // per-firm rows are summed first (f1 = 30 + 30 = 60)
+    val df = Seq(("A", "f1", 30.0), ("A", "f1", 30.0), ("A", "f2", 40.0),
+      ("B", "g1", 7.5), ("C", "h1", 0.0))
+      .toDF("m", "f", "v")
+    val out = Profile.hhi(df, "m", "f", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out shouldBe Map("A" -> ((2L, 5200L)), "B" -> ((1L, 10000L)))
+  }
+
+  test("hhi of n equal firms is floor(10000/n); null keys dropped") {
+    val eq = (1 to 3).map(i => ("m", s"f$i", 10.0)).toDF("m", "f", "v")
+    Profile.hhi(eq, "m", "f", "v").collect().head.getLong(2) shouldBe 3333L
+    val withNull = Seq((Option("m"), Option("f"), 5.0),
+      (Option.empty[String], Option("f"), 5.0),
+      (Option("m"), Option.empty[String], 5.0)).toDF("m", "f", "v")
+    val r = Profile.hhi(withNull, "m", "f", "v").collect()
+    r.length shouldBe 1
+    r.head.getLong(2) shouldBe 10000L
+  }
 }

@@ -127,7 +127,9 @@ class QueryPlanSpec extends SparkSpec {
     "q266_session_affinity",
     // q269 attaches the one-row global-month count; q270/q274 the
     // one-row max-day trim bound (q93 shape)
-    "q269_abc_xyz", "q270_rolling_actives", "q274_streaming_actives")
+    "q269_abc_xyz", "q270_rolling_actives", "q274_streaming_actives",
+    // q280 is q211's basket machinery (one-row basket-count attach)
+    "q280_item_cosine")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
