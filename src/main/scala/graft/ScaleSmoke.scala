@@ -699,6 +699,34 @@ object ScaleSmoke {
             .as("ok")),
         "g", "ok", minN = 5L).count()
     }
+    // cross-correlation: the explode is 15x the PRE-AGGREGATED 1500-day
+    // series (never 15x raw events), one equi-join + one hash agg per lag
+    time("cross-corr (15 lags, 1500-day series)") {
+      val days = events(rows)
+        .groupBy(pmod(col("event_id"), lit(1500)).as("d"))
+        .agg(count(lit(1)).cast("long").as("v"))
+      operators.Resample.crossCorr(days, days, "d", "v", "v",
+        maxLag = 7).count()
+    }
+    // WoE/IV: one hash aggregate on the bin key plus a one-row totals
+    // attach — n/1000 bins regardless of row count
+    time("woe/iv (n/1000 bins)") {
+      operators.Metrics.woeIv(
+        events(rows).select(pmod(col("user_id"), lit(rows / 1000))
+          .as("bin"),
+          when(pmod(col("event_id"), lit(4)) === 0, 1L).otherwise(0L)
+            .as("y")),
+        "bin", "y").count()
+    }
+    // p-chart: one hash aggregate on the period key plus the one-row
+    // global-rate attach — output = #periods (1500 here)
+    time("p-chart (1500 periods)") {
+      operators.Audit.pChart(
+        events(rows).select(pmod(col("event_id"), lit(1500)).as("per"),
+          when(pmod(col("user_id"), lit(5)) === 0, 1L).otherwise(0L)
+            .as("bad")),
+        "per", "bad").count()
+    }
     spark.stop()
   }
 }

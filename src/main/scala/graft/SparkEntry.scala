@@ -3079,6 +3079,48 @@ object SparkEntry {
               .as("returned")),
         "supp_key", "returned", minN = 20L)),
 
+    // lead-lag discovery: cross-correlation of daily order placements
+    // against daily shipments at lags -7..7 — |r| peaks at the
+    // order-to-ship lead time
+    "q282_cross_corr" -> ((s, d) => {
+      val xs = t(s, d, "orders")
+        .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long")
+          .as("d"))
+        .agg(count(lit(1)).cast("long").as("x"))
+      val ys = t(s, d, "lineitem")
+        .groupBy(unix_date(to_date(col("l_shipdate"))).cast("long")
+          .as("d"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      operators.Resample.crossCorr(xs, ys, "d", "x", "y", maxLag = 7)
+        .select(col("lag"), col("n_pairs"), pround(col("r"), 6).as("r"))
+    }),
+
+    // credit-scoring feature screen: weight-of-evidence / information
+    // value of the quantity bin against the returned label
+    "q283_woe_iv" -> ((s, d) =>
+      operators.Metrics.woeIv(
+        t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("qty_bin"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L)
+              .as("returned")),
+        "qty_bin", "returned")
+        .select(col("bin"), col("n_pos"), col("n_neg"),
+          pround(col("woe"), 6).as("woe"),
+          pround(col("iv_contrib"), 6).as("iv_contrib"))),
+
+    // SPC p-chart over the daily returned-line proportion — all-integer
+    // control card, variable-n Shewhart limits around the global rate
+    "q284_p_chart" -> ((s, d) =>
+      operators.Audit.pChart(
+        t(s, d, "lineitem")
+          .select(unix_date(to_date(col("l_shipdate"))).cast("long")
+            .as("ship_day"),
+            when(col("l_returnflag") === "R", 1L)
+              .otherwise(0L).as("ret")),
+        "ship_day", "ret")
+        .withColumn("out_of_control",
+          col("out_of_control").cast("long"))),
+
     // live exact value quantiles: the additive class-count merge
     // (q233's machinery — a (value, n) state bounded by the 2-decimal
     // value vocabulary) read through weighted R-7 order statistics;
@@ -7784,6 +7826,77 @@ object SparkEntry {
           |   / (1.0 + 1.959964 * 1.959964 / n)) * 1e6 + 0.5) / 1e6
           |    AS wilson_lb
           |FROM a WHERE n >= 20""".stripMargin,
+
+      "q282_cross_corr" ->
+        s"""WITH xs AS (
+           |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+           |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+           |    CAST(count(*) AS BIGINT) AS x
+           |  FROM orders GROUP BY 1),
+           |ys AS (
+           |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+           |      CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+           |    CAST(count(*) AS BIGINT) AS y
+           |  FROM lineitem GROUP BY 1),
+           |l AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lag),
+           |g AS (
+           |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(xs.x) AS BIGINT) AS sa,
+           |    CAST(sum(ys.y) AS BIGINT) AS sb,
+           |    CAST(sum(xs.x * ys.y) AS BIGINT) AS sab,
+           |    CAST(sum(xs.x * xs.x) AS BIGINT) AS saa,
+           |    CAST(sum(ys.y * ys.y) AS BIGINT) AS sbb
+           |  FROM xs CROSS JOIN l JOIN ys ON ys.d = xs.d + l.lag
+           |  GROUP BY 1)
+           |SELECT lag, n_pairs,
+           |  ${pround("CASE WHEN CAST(n_pairs * saa - sa * sa AS DOUBLE) > 0 AND CAST(n_pairs * sbb - sb * sb AS DOUBLE) > 0 THEN CAST(n_pairs * sab - sa * sb AS DOUBLE) / (sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE)) * sqrt(CAST(n_pairs * sbb - sb * sb AS DOUBLE))) ELSE 0.0 END", 6)} AS r
+           |FROM g""".stripMargin,
+
+      "q283_woe_iv" ->
+        """WITH c AS (
+          |  SELECT CAST(l_quantity AS BIGINT) AS bin,
+          |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_pos,
+          |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+          |      AS BIGINT) AS n_neg
+          |  FROM lineitem GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+          |      CAST(sum(n_neg) AS BIGINT) AS tn FROM c)
+          |SELECT bin, n_pos, n_neg,
+          |  floor(ln(CAST(n_neg AS DOUBLE) * tp
+          |      / (CAST(n_pos AS DOUBLE) * tn)) * 1e6 + 0.5) / 1e6 AS woe,
+          |  floor((CAST(n_neg AS DOUBLE) / tn - CAST(n_pos AS DOUBLE) / tp)
+          |    * ln(CAST(n_neg AS DOUBLE) * tp
+          |      / (CAST(n_pos AS DOUBLE) * tn)) * 1e6 + 0.5) / 1e6
+          |    AS iv_contrib
+          |FROM c, t WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
+
+      "q284_p_chart" ->
+        """WITH pd AS (
+          |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+          |      CAST(l_shipdate AS DATE)) AS BIGINT) AS period,
+          |    CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN l_returnflag = 'R'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+          |  FROM lineitem GROUP BY 1),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+          |      CAST(sum(k) AS BIGINT) AS tk FROM pd),
+          |sel AS (
+          |  SELECT period, n, k,
+          |    CAST(k * 1000000 // n AS BIGINT) AS rate_e6,
+          |    CAST(floor((CAST(tk AS DOUBLE) / tn
+          |      + 3.0 * sqrt(CAST(tk AS DOUBLE) / tn
+          |        * (1.0 - CAST(tk AS DOUBLE) / tn) / n)) * 1e6 + 0.5)
+          |      AS BIGINT) AS ucl_e6,
+          |    CAST(floor(greatest(0.0, CAST(tk AS DOUBLE) / tn
+          |      - 3.0 * sqrt(CAST(tk AS DOUBLE) / tn
+          |        * (1.0 - CAST(tk AS DOUBLE) / tn) / n)) * 1e6 + 0.5)
+          |      AS BIGINT) AS lcl_e6
+          |  FROM pd, t)
+          |SELECT period, n, k, rate_e6, ucl_e6, lcl_e6,
+          |  CAST(CASE WHEN rate_e6 > ucl_e6 OR rate_e6 < lcl_e6
+          |    THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+          |FROM sel""".stripMargin,
 
       // additivity makes the two-batch value-count state ≡ the raw
       // multiset, so the card is quantile_cont over the raw values

@@ -291,6 +291,13 @@ object syntax {
     def wilsonLowerBound(keyCol: String, successCol: String,
                          z: Double = 1.959964, minN: Long = 1L): DataFrame =
       Metrics.wilsonLowerBound(df, keyCol, successCol, z, minN)
+    def crossCorr(ys: DataFrame, ordCol: String, xCol: String,
+                  yCol: String, maxLag: Int): DataFrame =
+      Resample.crossCorr(df, ys, ordCol, xCol, yCol, maxLag)
+    def woeIv(binCol: String, labelCol: String): DataFrame =
+      Metrics.woeIv(df, binCol, labelCol)
+    def pChart(periodCol: String, defectCol: String): DataFrame =
+      Audit.pChart(df, periodCol, defectCol)
     def rollingActives(userCol: String, tsCol: String,
                        window: Int = 7): DataFrame =
       Cohorts.rollingActives(df, userCol, tsCol, window)

@@ -326,4 +326,47 @@ object Audit {
           (-col("__m").getField("__negc")) * 10000L, col("n_rows"))
           .as("strength_bp")): _*)
   }
+
+  /** p-chart — the SPC (statistical process control) attribute chart
+    * over a defect proportion: per period, the defect rate against
+    * control limits p̄ ± 3·√(p̄(1−p̄)/n) around the GLOBAL center line,
+    * flagging periods whose process has statistically shifted (the
+    * Shewhart rule, variable-n form: wider limits on thin days).
+    *
+    * Exactness: the emitted columns are ALL integers — `rate_e6` is
+    * exact floor micro-units (k·10⁶ div n, contract k < 9.2·10¹²) and
+    * `ucl_e6`/`lcl_e6` are the double limits pinned by the portable
+    * rounding formula at 6 places; `out_of_control` compares those
+    * integers, so the flag is engine-replayable (no raw double ever
+    * crosses the output boundary). The LCL clamps at 0 before
+    * rounding.
+    *
+    * Scale shape: one hash aggregate on the period key plus a one-row
+    * global-totals attach — no window; output = #periods.
+    * `defectCol` must be a 0/1 (or boolean) indicator.
+    */
+  def pChart(df: DataFrame, periodCol: String,
+             defectCol: String): DataFrame = {
+    val perDay = df
+      .filter(col(periodCol).isNotNull && col(defectCol).isNotNull)
+      .select(col(periodCol).as("period"),
+        when(col(defectCol).cast("long") =!= 0L, 1L).otherwise(0L)
+          .as("__d"))
+      .groupBy(col("period"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__d")).cast("long").as("k"))
+    val tot = perDay.agg(sum(col("n")).cast("long").as("__tn"),
+      sum(col("k")).cast("long").as("__tk"))
+    val pbar = "CAST(__tk AS DOUBLE) / __tn"
+    val sig = s"sqrt($pbar * (1.0 - $pbar) / n)"
+    perDay.crossJoin(broadcast(tot))
+      .select(col("period"), col("n"), col("k"),
+        expr("CAST(k * 1000000 DIV n AS BIGINT)").as("rate_e6"),
+        expr(s"CAST(floor(($pbar + 3.0 * $sig) * 1e6 + 0.5) AS BIGINT)")
+          .as("ucl_e6"),
+        expr(s"CAST(floor(greatest(0.0, $pbar - 3.0 * $sig) * 1e6 + 0.5)" +
+          " AS BIGINT)").as("lcl_e6"))
+      .withColumn("out_of_control",
+        col("rate_e6") > col("ucl_e6") || col("rate_e6") < col("lcl_e6"))
+  }
 }

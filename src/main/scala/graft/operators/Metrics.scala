@@ -316,6 +316,48 @@ object Metrics {
           .as("pos_rate_bp"))
   }
 
+  /** Weight-of-evidence / information-value table per feature bin —
+    * the credit-scoring feature screen: how strongly does each bin of
+    * a feature separate positives from negatives, and how much
+    * predictive power does the feature carry in total (IV = Σ of the
+    * per-bin contributions; the folk bands are <0.02 useless, 0.1–0.3
+    * medium, >0.5 suspicious).
+    *
+    * woe(bin) = ln( (n_neg/T_neg) / (n_pos/T_pos) ),
+    * iv_contrib(bin) = (n_neg/T_neg − n_pos/T_pos) · woe.
+    *
+    * Exactness: all four counts are exact BIGINTs; woe/iv are double
+    * arithmetic over those exact operands with a fixed expression
+    * order (ln of the cross-multiplied ratio — ONE division). Bins
+    * where either class count is zero are DROPPED (WOE is ±∞ there;
+    * smooth upstream if you need those bins). Callers round with
+    * [[graft.functions.Rounding]] at the comparison boundary.
+    *
+    * Scale shape: one hash aggregate on the bin key plus a one-row
+    * totals attach — no window, no row-scale join; output = #bins.
+    * `labelCol` must be a 0/1 (or boolean) indicator.
+    */
+  def woeIv(df: DataFrame, binCol: String, labelCol: String): DataFrame = {
+    val counts = df
+      .filter(col(binCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(binCol).as("bin"),
+        when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__y")).cast("long").as("n_pos"),
+        sum(lit(1L) - col("__y")).cast("long").as("n_neg"))
+    val tot = counts.agg(sum(col("n_pos")).cast("long").as("__tp"),
+      sum(col("n_neg")).cast("long").as("__tn"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        expr("""ln(CAST(n_neg AS DOUBLE) * __tp
+                / (CAST(n_pos AS DOUBLE) * __tn))""").as("woe"),
+        expr("""(CAST(n_neg AS DOUBLE) / __tn
+                - CAST(n_pos AS DOUBLE) / __tp)
+               * ln(CAST(n_neg AS DOUBLE) * __tp
+                / (CAST(n_pos AS DOUBLE) * __tn))""").as("iv_contrib"))
+  }
+
   /** Wilson score-interval lower bound per key — the "worst offender"
     * / "best rated" ranking that does not reward tiny-n flukes: a key
     * with 2/2 failures ranks BELOW one with 80/100, because the bound

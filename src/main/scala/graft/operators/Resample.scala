@@ -174,6 +174,59 @@ object Resample {
         .otherwise(lit(0.0)).as("r1"))
   }
 
+  /** Lead-lag cross-correlation between TWO integer-indexed,
+    * integer-valued series — which one moves first, and by how many
+    * steps. For every lag ℓ in [-maxLag, maxLag], the Pearson r over
+    * pairs (x at t, y at t+ℓ): the lag where |r| peaks is the lead
+    * time ("shipments echo orders four days later"). The two-series
+    * generalization of [[autocorr1]] (which is crossCorr of a series
+    * with itself restricted to ℓ = 1).
+    *
+    * Engine-exact: pairs come from an equi-join of the lag-exploded x
+    * series against y on the shifted index — one posting per (ord),
+    * never quadratic; all six sums are BIGINT-exact per lag and the
+    * closing expression mirrors [[autocorr1]]'s operand order. Lags
+    * with a constant arm report r = 0.
+    *
+    * Scale shape: the explode is (2·maxLag+1)× the PRE-AGGREGATED x
+    * series (the [[ewma]] contract: feed daily partials, not raw
+    * events), so shuffle payload is lags × calendar-bounded keys; one
+    * hash aggregate per lag group closes it. Overflow honesty as
+    * [[trendSlope]]: n·Σy² under 2⁶³.
+    */
+  def crossCorr(xs: DataFrame, ys: DataFrame, ordCol: String,
+                xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0: $maxLag")
+    val lags = typedLit((-maxLag to maxLag).map(_.toLong))
+    val xl = xs
+      .filter(col(ordCol).isNotNull && col(xCol).isNotNull)
+      .select(col(ordCol).cast("long").as("__o"),
+        col(xCol).cast("long").as("__a"))
+      .select(col("__o"), col("__a"), explode(lags).as("lag"))
+    val yr = ys
+      .filter(col(ordCol).isNotNull && col(yCol).isNotNull)
+      .select(col(ordCol).cast("long").as("__o2"),
+        col(yCol).cast("long").as("__b"))
+    val agg = xl
+      .join(yr, col("__o") + col("lag") === col("__o2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("__a")).cast("long").as("__sa"),
+        sum(col("__b")).cast("long").as("__sb"),
+        sum(col("__a") * col("__b")).cast("long").as("__sab"),
+        sum(col("__a") * col("__a")).cast("long").as("__saa"),
+        sum(col("__b") * col("__b")).cast("long").as("__sbb"))
+    val num = (col("n_pairs") * col("__sab") - col("__sa") * col("__sb"))
+      .cast("double")
+    val da = (col("n_pairs") * col("__saa") - col("__sa") * col("__sa"))
+      .cast("double")
+    val db = (col("n_pairs") * col("__sbb") - col("__sb") * col("__sb"))
+      .cast("double")
+    agg.select(col("lag"), col("n_pairs"),
+      when(da > 0.0 && db > 0.0, num / (sqrt(da) * sqrt(db)))
+        .otherwise(lit(0.0)).as("r"))
+  }
+
   def gapFill(events: DataFrame, keyCol: String, tsCol: String,
               valCols: Map[String, String], stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"step must be positive: $stepSeconds")

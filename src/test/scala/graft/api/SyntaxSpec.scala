@@ -264,6 +264,19 @@ class SyntaxSpec extends SparkSpec {
     wl.wilsonLowerBound("grp", "ok").queryExecution.analyzed
       .sameResult(graft.operators.Metrics.wilsonLowerBound(wl, "grp", "ok")
         .queryExecution.analyzed) shouldBe true
+    val ccx = Seq((0L, 1L)).toDF("d", "x")
+    val ccy = Seq((0L, 2L)).toDF("d", "y")
+    ccx.crossCorr(ccy, "d", "x", "y", 2).queryExecution.analyzed
+      .sameResult(graft.operators.Resample.crossCorr(ccx, ccy, "d", "x",
+        "y", 2).queryExecution.analyzed) shouldBe true
+    val wv = Seq(("b", 1L)).toDF("bin", "y")
+    wv.woeIv("bin", "y").queryExecution.analyzed
+      .sameResult(graft.operators.Metrics.woeIv(wv, "bin", "y")
+        .queryExecution.analyzed) shouldBe true
+    val pc = Seq((1L, 0L)).toDF("day", "bad")
+    pc.pChart("day", "bad").queryExecution.analyzed
+      .sameResult(graft.operators.Audit.pChart(pc, "day", "bad")
+        .queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

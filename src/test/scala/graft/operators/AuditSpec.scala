@@ -200,4 +200,34 @@ class AuditSpec extends SparkSpec {
       Audit.fdStrength(df.withColumnRenamed("src", "n_rows"),
         Seq("n_rows"), "lang")
   }
+
+  test("pChart flags the days outside hand-computed Shewhart limits") {
+    // three 100-row days with k = 0 / 100 / 50 -> p-bar = 0.5,
+    // sigma(n=100) = 0.05, limits 0.35 / 0.65 in micro-units
+    val rows = (1 to 100).map(i => (1L, 0L)) ++
+      (1 to 100).map(i => (2L, 1L)) ++
+      (1 to 100).map(i => (3L, if (i <= 50) 1L else 0L))
+    val out = Audit.pChart(rows.toDF("day", "bad"), "day", "bad")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    out(1L) shouldBe ((100L, 0L, 0L, 650000L, 350000L, true))
+    out(2L) shouldBe ((100L, 100L, 1000000L, 650000L, 350000L, true))
+    out(3L) shouldBe ((100L, 50L, 500000L, 650000L, 350000L, false))
+  }
+
+  test("pChart widens limits on thin days and clamps the LCL at zero") {
+    // same p-bar = 0.5; a 4-row day has sigma = 0.25 -> raw limits
+    // -0.25 / 1.25: LCL clamps to 0, UCL passes 10^6 (nothing can
+    // trip on a day this thin)
+    val rows = (1 to 48).map(i => (1L, if (i <= 24) 1L else 0L)) ++
+      Seq((2L, 1L), (2L, 1L), (2L, 0L), (2L, 0L))
+    val out = Audit.pChart(rows.toDF("day", "bad"), "day", "bad")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    out(2L)._1 shouldBe 1250000L
+    out(2L)._2 shouldBe 0L
+    out(2L)._3 shouldBe false
+  }
 }

@@ -162,4 +162,27 @@ class MetricsSpec extends SparkSpec {
     out("all") shouldBe wilsonRef(30, 30)
     out("all") should be < 1.0 // never certain from a finite sample
   }
+
+  test("woeIv matches hand-computed evidence weights") {
+    // bin A: 1 pos / 3 neg; bin B: 3 pos / 1 neg; bin C: 0 pos / 2 neg
+    // totals (INCLUDING the dropped zero-cell bin C): T_pos=4, T_neg=6
+    // woe(A) = ln((3/6)/(1/4)) = ln 2; iv(A) = (3/6 - 1/4)·ln 2
+    // woe(B) = ln((1/6)/(3/4)) = ln(2/9); iv(B) = (1/6 - 3/4)·ln(2/9)
+    val df = Seq(("A", 1L), ("A", 0L), ("A", 0L), ("A", 0L),
+      ("B", 1L), ("B", 1L), ("B", 1L), ("B", 0L),
+      ("C", 0L), ("C", 0L)).toDF("bin", "y")
+    val out = Metrics.woeIv(df, "bin", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    out.keySet shouldBe Set("A", "B") // zero-cell bin dropped
+    out("A")._1 shouldBe 1L
+    out("A")._2 shouldBe 3L
+    out("A")._3 shouldBe math.log(2.0) +- 1e-12
+    out("A")._4 shouldBe 0.25 * math.log(2.0) +- 1e-12
+    out("B")._3 shouldBe math.log(2.0 / 9.0) +- 1e-12
+    out("B")._4 shouldBe (1.0 / 6.0 - 0.75) * math.log(2.0 / 9.0) +- 1e-9
+    // both contributions are non-negative (x - y and ln share sign)
+    out("A")._4 should be >= 0.0
+    out("B")._4 should be >= 0.0
+  }
 }

@@ -202,4 +202,33 @@ class ResampleSpec extends SparkSpec {
     ts shouldBe 1.0 +- 0.2
     math.abs(ols - 1.0) should be > 5.0
   }
+
+  test("crossCorr peaks at the planted lead and matches hand-computed r") {
+    // y at day d is 10x of x at day d-1: a one-step lead, r(lag=1) = 1
+    val xs = Seq((0L, 1L), (1L, 3L), (2L, 2L), (3L, 5L), (4L, 4L))
+      .toDF("d", "x")
+    val ys = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 50L), (5L, 40L))
+      .toDF("d", "y")
+    val out = Resample.crossCorr(xs, ys, "d", "x", "y", maxLag = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    out(1L)._1 shouldBe 5L
+    out(1L)._2 shouldBe 1.0 +- 1e-12
+    // lag 0 by hand: pairs a=(3,2,5,4), b=(10,30,20,50) ->
+    // num=20, da=20, db=3500 -> r = 20/sqrt(70000)
+    out(0L)._1 shouldBe 4L
+    out(0L)._2 shouldBe 20.0 / math.sqrt(70000.0) +- 1e-12
+    // lag -1 pairs x at d in {2,3,4} with y at d-1 in {1,2,3}
+    out(-1L)._1 shouldBe 3L
+  }
+
+  test("crossCorr: constant arms report r = 0; empty lags are absent") {
+    val xs = Seq((0L, 1L), (1L, 2L)).toDF("d", "x")
+    val flat = Seq((0L, 7L), (1L, 7L)).toDF("d", "y")
+    val out = Resample.crossCorr(xs, flat, "d", "x", "y", maxLag = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out(0L) shouldBe 0.0
+    // lags beyond the 2-day overlap produce no pairs -> no row
+    out.keySet shouldBe Set(-1L, 0L, 1L)
+  }
 }
