@@ -727,6 +727,47 @@ object ScaleSmoke {
             .as("bad")),
         "per", "bad").count()
     }
+    // gini: one (group, key) hash aggregate, bucket-grain offsets,
+    // one group aggregate — n/100 keys across 25 groups
+    time("gini (25 groups, n/100 keys)") {
+      operators.Pareto.gini(
+        events(rows).select(pmod(col("user_id"), lit(25)).as("g"),
+          pmod(col("user_id"), lit(rows / 100)).as("k"), col("value")),
+        "g", "k", "value").count()
+    }
+    // two-proportion z: ONE conditional hash aggregate on the key
+    time("ab z-test (n/1000 keys)") {
+      operators.Metrics.twoProportionZ(
+        events(rows).select(pmod(col("user_id"), lit(rows / 1000))
+          .as("t"), pmod(col("event_id"), lit(2)).as("arm"),
+          when(pmod(col("event_id"), lit(3)) === 0, 1L).otherwise(0L)
+            .as("ok")),
+        "t", "arm", "ok").count()
+    }
+    // dispersion index: (key, period) aggregate then key aggregate
+    // plus the one-row global-M attach
+    time("fano dispersion (n/100 keys)") {
+      operators.Profile.dispersionIndex(
+        events(rows).select(pmod(col("user_id"), lit(rows / 100)).as("k"),
+          pmod(col("event_id"), lit(1500)).as("per")),
+        "k", "per").count()
+    }
+    // streaming WoE: two half-batches of per-bin class counts merged
+    // into bin-vocabulary-bounded state; the card reads the state only
+    time("streaming woe (2 batches)") {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_smoke_swoe").toString + "/state"
+      val ev = events(rows).select(
+        pmod(col("user_id"), lit(1000)).as("bin"),
+        when(pmod(col("event_id"), lit(3)) === 0, 1L).otherwise(0L)
+          .as("y"),
+        pmod(col("event_id"), lit(2)).as("half"))
+      streaming.StreamingWoe.acceptBatch(
+        ev.filter(col("half") === 0), "bin", "y", st)
+      val merged = streaming.StreamingWoe.mergeBatch(
+        ev.filter(col("half") === 1), "bin", "y", st)
+      streaming.StreamingWoe.woeView(merged).count()
+    }
     spark.stop()
   }
 }

@@ -3121,6 +3121,60 @@ object SparkEntry {
         .withColumn("out_of_control",
           col("out_of_control").cast("long"))),
 
+    // revenue-inequality card: exact per-nation Gini over customer
+    // spend (zero-order customers included via the left join) — the
+    // bucketed-rank Σ r·x form, BIGINT-bp output
+    "q285_gini" -> ((s, d) =>
+      operators.Pareto.gini(
+        t(s, d, "customer")
+          .join(t(s, d, "orders"),
+            col("c_custkey") === col("o_custkey"), "left"),
+        "c_nationkey", "c_custkey", "o_totalprice")),
+
+    // live feature screen: the additive per-bin class-count state
+    // built from the even-orderkey half, merged with the odd half,
+    // read through the shared WoE/IV closing — additivity makes it
+    // equal q283's one-shot screen over the full table
+    "q286_streaming_woe" -> ((s, d) => {
+      val rows = t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("long").as("qty_bin"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L)
+            .as("returned"))
+      val st = stateFixture("q286", s, d) { p =>
+        streaming.StreamingWoe.acceptBatch(
+          rows.filter(col("l_orderkey") % 2 === 0),
+          "qty_bin", "returned", p)
+      }
+      val merged = streaming.StreamingWoe.mergeBatch(
+        rows.filter(col("l_orderkey") % 2 === 1), "qty_bin", "returned", st)
+      streaming.StreamingWoe.woeView(merged)
+        .select(col("bin"), col("n_pos"), col("n_neg"),
+          pround(col("woe"), 6).as("woe"),
+          pround(col("iv_contrib"), 6).as("iv_contrib"))
+    }),
+
+    // A/B card: pooled two-proportion z per ship year (arms = line
+    // number parity — a null experiment, so significance should be
+    // rare), significance decided by exact cross-multiplied integers
+    "q287_ab_test" -> ((s, d) =>
+      operators.Metrics.twoProportionZ(
+        t(s, d, "lineitem").select(
+          year(to_date(col("l_shipdate"))).cast("long").as("ship_year"),
+          (col("l_linenumber") % 2).cast("long").as("arm"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret")),
+        "ship_year", "arm", "ret")),
+
+    // burstiness screen: Fano factor of per-customer order arrivals
+    // over 30-day periods, zero periods included via the global M —
+    // 10^4 = Poisson-like, above = clumped ("bursty buyers")
+    "q288_dispersion" -> ((s, d) =>
+      operators.Profile.dispersionIndex(
+        t(s, d, "orders").select(col("o_custkey"),
+          expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT) DIV 30")
+            .as("per")),
+        "o_custkey", "per")),
+
     // live exact value quantiles: the additive class-count merge
     // (q233's machinery — a (value, n) state bounded by the 2-decimal
     // value vocabulary) read through weighted R-7 order statistics;
@@ -7897,6 +7951,92 @@ object SparkEntry {
           |  CAST(CASE WHEN rate_e6 > ucl_e6 OR rate_e6 < lcl_e6
           |    THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
           |FROM sel""".stripMargin,
+
+      // rank order within ties is arbitrary on both engines, but
+      // sum(rank * value) is tie-permutation-invariant; HUGEINT
+      // mirrors Spark's DECIMAL(38,0) and // mirrors DIV (numerator
+      // >= 0 by Chebyshev's sum inequality)
+      "q285_gini" ->
+        """WITH pk AS (
+          |  SELECT c.c_nationkey AS g, c.c_custkey AS k,
+          |    CAST(COALESCE(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+          |      * 100 AS BIGINT) AS cts
+          |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          |  GROUP BY 1, 2),
+          |r AS (
+          |  SELECT g, cts, CAST(row_number() OVER (
+          |    PARTITION BY g ORDER BY cts) AS HUGEINT) AS rr
+          |  FROM pk),
+          |a AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS n_keys,
+          |    CAST(sum(cts) AS HUGEINT) AS s,
+          |    CAST(sum(rr * cts) AS HUGEINT) AS srx
+          |  FROM r GROUP BY 1)
+          |SELECT g AS c_nationkey, n_keys,
+          |  CAST((20000 * srx - 10000 * (CAST(n_keys AS HUGEINT) + 1) * s)
+          |    // (CAST(n_keys AS HUGEINT) * s) AS BIGINT) AS gini_bp
+          |FROM a WHERE s > 0""".stripMargin,
+
+      // additivity makes the two-batch class-count state ≡ the raw
+      // table, so the card is q283's one-shot screen verbatim
+      "q286_streaming_woe" ->
+        """WITH c AS (
+          |  SELECT CAST(l_quantity AS BIGINT) AS bin,
+          |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_pos,
+          |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+          |      AS BIGINT) AS n_neg
+          |  FROM lineitem GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+          |      CAST(sum(n_neg) AS BIGINT) AS tn FROM c)
+          |SELECT bin, n_pos, n_neg,
+          |  floor(ln(CAST(n_neg AS DOUBLE) * tp
+          |      / (CAST(n_pos AS DOUBLE) * tn)) * 1e6 + 0.5) / 1e6 AS woe,
+          |  floor((CAST(n_neg AS DOUBLE) / tn - CAST(n_pos AS DOUBLE) / tp)
+          |    * ln(CAST(n_neg AS DOUBLE) * tp
+          |      / (CAST(n_pos AS DOUBLE) * tn)) * 1e6 + 0.5) / 1e6
+          |    AS iv_contrib
+          |FROM c, t WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
+
+      "q287_ab_test" ->
+        s"""WITH c AS (
+           |  SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT)
+           |      AS ship_year,
+           |    CAST(sum(CASE WHEN l_linenumber % 2 = 0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN l_linenumber % 2 = 0
+           |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+           |    CAST(sum(CASE WHEN l_linenumber % 2 = 1
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |    CAST(sum(CASE WHEN l_linenumber % 2 = 1
+           |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+           |  FROM lineitem GROUP BY 1)
+           |SELECT ship_year, n_a, k_a, n_b, k_b,
+           |  ${pround("CASE WHEN (k_a + k_b) = 0 OR (k_a + k_b) = (n_a + n_b) THEN 0.0 ELSE CAST(k_b * n_a - k_a * n_b AS DOUBLE) * sqrt(CAST(n_a + n_b AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(k_a + k_b AS DOUBLE) * CAST((n_a + n_b) - (k_a + k_b) AS DOUBLE))) END", 6)} AS z,
+           |  NOT ((k_a + k_b) = 0 OR (k_a + k_b) = (n_a + n_b))
+           |    AND 625 * CAST(k_b * n_a - k_a * n_b AS HUGEINT)
+           |          * CAST(k_b * n_a - k_a * n_b AS HUGEINT)
+           |          * (n_a + n_b)
+           |      > 2401 * CAST(n_a AS HUGEINT) * n_b * (k_a + k_b)
+           |          * ((n_a + n_b) - (k_a + k_b)) AS significant
+           |FROM c WHERE n_a > 0 AND n_b > 0""".stripMargin,
+
+      "q288_dispersion" ->
+        """WITH per AS (
+          |  SELECT o_custkey,
+          |    CAST(date_diff('day', DATE '1970-01-01',
+          |      CAST(o_orderdate AS DATE)) AS BIGINT) // 30 AS p,
+          |    CAST(count(*) AS BIGINT) AS c
+          |  FROM orders GROUP BY 1, 2),
+          |m AS (SELECT CAST(count(DISTINCT p) AS HUGEINT) AS m FROM per),
+          |a AS (
+          |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_periods,
+          |    CAST(sum(c) AS HUGEINT) AS s,
+          |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+          |  FROM per GROUP BY 1)
+          |SELECT o_custkey, n_periods, CAST(s AS BIGINT) AS n_events,
+          |  CAST((10000 * (m * q - s * s)) // (m * s) AS BIGINT) AS fano_bp
+          |FROM a, m""".stripMargin,
 
       // additivity makes the two-batch value-count state ≡ the raw
       // multiset, so the card is quantile_cont over the raw values

@@ -298,6 +298,14 @@ object syntax {
       Metrics.woeIv(df, binCol, labelCol)
     def pChart(periodCol: String, defectCol: String): DataFrame =
       Audit.pChart(df, periodCol, defectCol)
+    def gini(groupCol: String, keyCol: String, valueCol: String,
+             bucketWidthCents: Long = 1L << 20): DataFrame =
+      Pareto.gini(df, groupCol, keyCol, valueCol, bucketWidthCents)
+    def twoProportionZ(keyCol: String, armCol: String,
+                       successCol: String): DataFrame =
+      Metrics.twoProportionZ(df, keyCol, armCol, successCol)
+    def dispersionIndex(keyCol: String, periodCol: String): DataFrame =
+      Profile.dispersionIndex(df, keyCol, periodCol)
     def rollingActives(userCol: String, tsCol: String,
                        window: Int = 7): DataFrame =
       Cohorts.rollingActives(df, userCol, tsCol, window)

@@ -337,14 +337,23 @@ object Metrics {
     * totals attach — no window, no row-scale join; output = #bins.
     * `labelCol` must be a 0/1 (or boolean) indicator.
     */
-  def woeIv(df: DataFrame, binCol: String, labelCol: String): DataFrame = {
-    val counts = df
+  def woeIv(df: DataFrame, binCol: String, labelCol: String): DataFrame =
+    woeIvFromCounts(df
       .filter(col(binCol).isNotNull && col(labelCol).isNotNull)
       .select(col(binCol).as("bin"),
         when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L).as("__y"))
       .groupBy(col("bin"))
       .agg(sum(col("__y")).cast("long").as("n_pos"),
-        sum(lit(1L) - col("__y")).cast("long").as("n_neg"))
+        sum(lit(1L) - col("__y")).cast("long").as("n_neg")))
+
+  /** [[woeIv]]'s closing read over an ALREADY-AGGREGATED per-bin class
+    * count table (`bin`, `n_pos`, `n_neg`) — the entry point for
+    * maintained states (additive class counts ARE the per-bin table,
+    * so `StreamingWoe`'s live card and the one-shot screen share this
+    * one implementation). Totals derive from the counts table itself;
+    * the same exactness and zero-cell-drop contract as [[woeIv]].
+    */
+  def woeIvFromCounts(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("n_pos")).cast("long").as("__tp"),
       sum(col("n_neg")).cast("long").as("__tn"))
     counts.crossJoin(broadcast(tot))
@@ -356,6 +365,61 @@ object Metrics {
                 - CAST(n_pos AS DOUBLE) / __tp)
                * ln(CAST(n_neg AS DOUBLE) * __tp
                 / (CAST(n_pos AS DOUBLE) * __tn))""").as("iv_contrib"))
+  }
+
+  /** Pooled two-proportion z-test per experiment key — the A/B card:
+    * does arm 1's success rate differ from arm 0's beyond sampling
+    * noise?  z = (p₁ − p₀) / √(p̄(1−p̄)(1/n₀ + 1/n₁)) with the pooled
+    * p̄ = (k₀+k₁)/(n₀+n₁).
+    *
+    * Exactness: the four counts are exact BIGINTs; `z` is ONE
+    * fixed-order double expression over them — with A = k₁n₀ − k₀n₁,
+    * N = n₀+n₁, K = k₀+k₁:  z = A·√(N / (n₀·n₁·K·(N−K))) (one sqrt,
+    * one multiply — both engines replay it bit-for-bit). The
+    * `significant` flag NEVER reads the rounded double: z² > 1.96²
+    * cross-multiplies to 625·A²·N > 2401·n₀·n₁·K·(N−K) in
+    * DECIMAL(38,0) (1.96 = 49/25 exactly), with A cast to
+    * DECIMAL(19,0) BEFORE squaring. Degenerate keys — one arm empty,
+    * or K ∈ {0, N} (no variance) — report z = 0, not significant;
+    * one-arm keys are DROPPED (no comparison exists).
+    *
+    * Scale shape: ONE hash aggregate on the key — conditional sums
+    * make both arms' counts in the same pass; output = #keys, no
+    * join, no window. `armCol` and `successCol` must be 0/1 (or
+    * boolean) indicators.
+    */
+  def twoProportionZ(df: DataFrame, keyCol: String, armCol: String,
+                     successCol: String): DataFrame = {
+    val arm1 = when(col(armCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val succ = when(col(successCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val counts = df
+      .filter(col(keyCol).isNotNull && col(armCol).isNotNull &&
+        col(successCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(lit(1L) - arm1).cast("long").as("n_a"),
+        sum((lit(1L) - arm1) * succ).cast("long").as("k_a"),
+        sum(arm1).cast("long").as("n_b"),
+        sum(arm1 * succ).cast("long").as("k_b"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+    val aExpr = "(k_b * n_a - k_a * n_b)"
+    val nExpr = "(n_a + n_b)"
+    val kExpr = "(k_a + k_b)"
+    val degenerate = s"$kExpr = 0 OR $kExpr = $nExpr"
+    counts.select(col(keyCol), col("n_a"), col("k_a"), col("n_b"),
+      col("k_b"),
+      pround6(expr(s"""CASE WHEN $degenerate THEN 0.0
+        ELSE CAST($aExpr AS DOUBLE) * sqrt(CAST($nExpr AS DOUBLE)
+          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             * CAST($kExpr AS DOUBLE)
+             * CAST($nExpr - $kExpr AS DOUBLE))) END""")).as("z"),
+      expr(s"""NOT ($degenerate)
+        AND CAST(625 AS DECIMAL(38,0))
+            * CAST($aExpr AS DECIMAL(19,0)) * CAST($aExpr AS DECIMAL(19,0))
+            * CAST($nExpr AS DECIMAL(19,0))
+          > CAST(2401 AS DECIMAL(38,0))
+            * CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+            * CAST($kExpr AS DECIMAL(19,0))
+            * CAST($nExpr - $kExpr AS DECIMAL(19,0))""").as("significant"))
   }
 
   /** Wilson score-interval lower bound per key — the "worst offender"

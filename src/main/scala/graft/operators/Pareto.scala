@@ -148,6 +148,73 @@ object Pareto {
     }.toDF("pct_bp", "n_top", "share_bp")
   }
 
+  /** Exact per-group Gini coefficient over per-key value totals — the
+    * inequality number behind [[topShares]]'s Lorenz cuts: 0 = every
+    * key holds the same value, →1 = one key holds everything. Uses the
+    * rank form over values sorted ASCENDING within each group:
+    *   G = (2·Σ r·xᵣ − (n+1)·Σx) / (n·Σx)
+    * emitted as exact floor basis points (`gini_bp`), so the output is
+    * BIGINT-only and engine-replayable.
+    *
+    * Exactness: values are DECIMAL(18,2) sums carried as exact cents;
+    * ranks come from the bucketed global prefix — per-(group, bucket)
+    * counts (a bucket-grain frame bounded by #groups ×
+    * value-range/bucketWidth, the data contract), prefix offsets from
+    * a window over that TINY frame, then row_number windows
+    * PARTITIONED BY (group, bucket) over the keys. Ties between equal
+    * values get arbitrary rank order, but Σ r·xᵣ is
+    * tie-permutation-invariant, so the aggregate is deterministic.
+    * Σ r·x accumulates in DECIMAL(38,0) with the rank cast to
+    * DECIMAL(19,0) BEFORE the multiply (the rankAuc wrap lesson).
+    * Non-negative values are the formula's contract (negative totals
+    * make G meaningless); groups with Σx = 0 are dropped.
+    *
+    * Scale shape: one (group, key) hash aggregate — the row-scale pass
+    * — then bucket counts, one broadcast offset join, and one group
+    * aggregate. No window ever sees more than one (group, value
+    * bucket) slice of keys; the offset window runs at bucket grain.
+    */
+  def gini(df: DataFrame, groupCol: String, keyCol: String,
+           valueCol: String, bucketWidthCents: Long = 1L << 20): DataFrame = {
+    require(bucketWidthCents > 0,
+      s"bucketWidthCents must be positive: $bucketWidthCents")
+    val perKey = df
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(keyCol).as("__k"))
+      .agg((sum(coalesce(col(valueCol), lit(0)).cast("decimal(18,2)")) *
+        100).cast("long").as("__c"))
+      .withColumn("__b", call_function("div", col("__c"),
+        lit(bucketWidthCents)))
+      .localCheckpoint(true)
+    val wOff = Window.partitionBy(col("__g2")).orderBy(col("__b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = perKey.groupBy(col("__g").as("__g2"), col("__b").as("__b2"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .drop("__n")
+    val w = Window.partitionBy(col("__g"), col("__b")).orderBy(col("__c"))
+    perKey
+      .join(broadcast(offDf),
+        col("__g") <=> col("__g2") && col("__b") === col("__b2"))
+      .withColumn("__r", col("__off") + row_number().over(w).cast("long"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(col("__c").cast("decimal(38,0)")).as("__s"),
+        sum(col("__r").cast("decimal(19,0)") *
+          col("__c").cast("decimal(19,0)")).cast("decimal(38,0)")
+          .as("__srx"))
+      .filter(col("__s") > 0)
+      // integral DIV, not decimal '/' + floor: decimal division rounds
+      // HALF_UP at the result scale, which can cross an integer
+      // boundary the true quotient sits 1/(n·S) below
+      .select(col("__g").as(groupCol), col("n_keys"),
+        expr("""CAST((20000 * __srx
+                - 10000 * (CAST(n_keys AS DECIMAL(19,0)) + 1) * __s)
+                DIV (CAST(n_keys AS DECIMAL(19,0)) * __s) AS BIGINT)""")
+          .as("gini_bp"))
+  }
+
   /** XYZ demand-variability classification — [[abcClassification]]'s
     * companion axis: per key, the coefficient of variation of its
     * per-period demand with ZERO-DEMAND PERIODS COUNTED (the textbook

@@ -646,4 +646,48 @@ object Profile {
         expr("CAST((__sumsq * 10000) DIV (__tot * __tot) AS BIGINT)")
           .as("hhi"))
   }
+
+  /** Index of dispersion (Fano factor) per key — the burstiness
+    * screen over per-period event counts: variance-to-mean ratio of a
+    * key's per-period counts with ZERO-COUNT PERIODS INCLUDED via the
+    * global period count M (the XYZ convention — a key active one day
+    * in a thousand is bursty, not steady). Fano ≈ 1 is Poisson-like
+    * arrival, ≫ 1 bursty/clumped, < 1 more regular than random:
+    *   F = Var/Mean = (M·Σc² − (Σc)²) / (M·Σc)
+    * emitted as exact floor basis points (`fano_bp`, BIGINT — 10⁴ =
+    * Poisson).
+    *
+    * Exactness: per-period counts are exact BIGINTs; Σc² accumulates
+    * with c cast to DECIMAL(19,0) BEFORE squaring (the rankAuc wrap
+    * lesson — per-period counts square past 2⁶³ at cluster scale) and
+    * the closing ratio is one DECIMAL(38,0) floor division. The
+    * numerator is ≥ 0 by Cauchy–Schwarz, so floor = truncation on
+    * both engines. Keys with Σc = 0 cannot occur (a key only exists
+    * through its rows).
+    *
+    * Scale shape: one (key, period) hash aggregate — the row-scale
+    * pass — then one key-level aggregate; M attaches as a one-row
+    * broadcast (the [[Pareto.xyzClassification]] shape). Output = one
+    * row per key; zero periods never materialize.
+    */
+  def dispersionIndex(df: DataFrame, keyCol: String,
+                      periodCol: String): DataFrame = {
+    val per = df
+      .filter(col(keyCol).isNotNull && col(periodCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"), col(periodCol).as("__p"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val m = per.agg(count_distinct(col("__p")).cast("long").as("__m"))
+    per.groupBy(col("__k"))
+      .agg(count(lit(1)).cast("long").as("n_periods"),
+        sum(col("__c")).cast("decimal(38,0)").as("__s"),
+        sum(col("__c").cast("decimal(19,0)") *
+          col("__c").cast("decimal(19,0)")).cast("decimal(38,0)")
+          .as("__q"))
+      .crossJoin(broadcast(m))
+      .select(col("__k").as(keyCol), col("n_periods"),
+        col("__s").cast("long").as("n_events"),
+        expr("""CAST((10000 * (CAST(__m AS DECIMAL(19,0)) * __q - __s * __s))
+                DIV (CAST(__m AS DECIMAL(19,0)) * __s) AS BIGINT)""")
+          .as("fano_bp"))
+  }
 }

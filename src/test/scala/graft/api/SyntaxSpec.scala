@@ -277,6 +277,18 @@ class SyntaxSpec extends SparkSpec {
     pc.pChart("day", "bad").queryExecution.analyzed
       .sameResult(graft.operators.Audit.pChart(pc, "day", "bad")
         .queryExecution.analyzed) shouldBe true
+    // gini localCheckpoints internally, so compare results, not plans
+    val gd = Seq(("g", "k1", 1.0), ("g", "k2", 3.0)).toDF("g", "k", "v")
+    gd.gini("g", "k", "v").collect().toSeq shouldBe
+      graft.operators.Pareto.gini(gd, "g", "k", "v").collect().toSeq
+    val ab = Seq(("t", 0L, 1L)).toDF("t", "arm", "ok")
+    ab.twoProportionZ("t", "arm", "ok").queryExecution.analyzed
+      .sameResult(graft.operators.Metrics.twoProportionZ(ab, "t", "arm",
+        "ok").queryExecution.analyzed) shouldBe true
+    val di = Seq(("k", 1L)).toDF("k", "p")
+    di.dispersionIndex("k", "p").queryExecution.analyzed
+      .sameResult(graft.operators.Profile.dispersionIndex(di, "k", "p")
+        .queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

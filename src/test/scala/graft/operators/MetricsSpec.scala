@@ -185,4 +185,46 @@ class MetricsSpec extends SparkSpec {
     out("A")._4 should be >= 0.0
     out("B")._4 should be >= 0.0
   }
+
+  test("twoProportionZ matches the hand-computed pooled z and exact flag") {
+    // key t1: arm a 10/100 vs arm b 25/100 -> A = 25*100-10*100 = 1500,
+    // N=200, K=35: z = 1500*sqrt(200/(100*100*35*165)) = 2.791367...,
+    // z^2 = 7.79 > 3.8416 -> significant
+    // key t2: 10/100 vs 12/100 -> z small, not significant
+    val rows =
+      (1 to 100).map(i => ("t1", 0L, if (i <= 10) 1L else 0L)) ++
+      (1 to 100).map(i => ("t1", 1L, if (i <= 25) 1L else 0L)) ++
+      (1 to 100).map(i => ("t2", 0L, if (i <= 10) 1L else 0L)) ++
+      (1 to 100).map(i => ("t2", 1L, if (i <= 12) 1L else 0L))
+    val out = Metrics.twoProportionZ(rows.toDF("t", "arm", "ok"),
+      "t", "arm", "ok").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    out("t1")._1 shouldBe 100L
+    out("t1")._2 shouldBe 10L
+    out("t1")._4 shouldBe 25L
+    val z1 = 1500.0 * math.sqrt(200.0 / (100.0 * 100.0 * 35.0 * 165.0))
+    out("t1")._5 shouldBe math.floor(z1 * 1e6 + 0.5) / 1e6 +- 1e-12
+    out("t1")._6 shouldBe true
+    out("t2")._6 shouldBe false
+    math.abs(out("t2")._5) should be < 1.0
+  }
+
+  test("twoProportionZ handles degenerate and one-arm keys") {
+    // all-failure key -> z = 0, not significant; one-arm key dropped;
+    // negative direction carries its sign
+    val rows = Seq(("dead", 0L, 0L), ("dead", 1L, 0L),
+      ("solo", 0L, 1L), ("solo", 0L, 0L)) ++
+      (1 to 50).map(i => ("neg", 0L, if (i <= 30) 1L else 0L)) ++
+      (1 to 50).map(i => ("neg", 1L, if (i <= 5) 1L else 0L))
+    val out = Metrics.twoProportionZ(rows.toDF("t", "arm", "ok"),
+      "t", "arm", "ok").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    out.keySet shouldBe Set("dead", "neg")
+    out("dead") shouldBe ((0.0, false))
+    out("neg")._1 should be < 0.0
+    out("neg")._2 shouldBe true // 60% vs 10% on 50/50 is decisive
+  }
 }

@@ -85,4 +85,40 @@ class ParetoSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Pareto.xyzClassification(df, "k", "mon", "q", xMax = 1.0, yMax = 0.5)
   }
+
+  test("gini matches hand-computed rank-form coefficients") {
+    // group A values (dollars) 0/1/1/2 -> cents 0,100,100,200: n=4,
+    // S=400, sum r*x = 2*100 + 3*100 + 4*200 = 1300
+    // -> bp = 10^4*(2600 - 5*400)/(4*400) = 3750 (ties rank-invariant)
+    // group B all equal -> 0; group C one key holds all -> for n=3
+    // with (0,0,300): 10^4*(2*900 - 4*300)/(3*300) = 6666
+    val df = Seq(
+      ("A", "k1", 0.0), ("A", "k2", 1.0), ("A", "k3", 1.0),
+      ("A", "k4", 2.0),
+      ("B", "k1", 5.0), ("B", "k2", 5.0), ("B", "k3", 5.0),
+      ("C", "k1", 0.0), ("C", "k2", 0.0), ("C", "k3", 3.0))
+      .toDF("g", "k", "v")
+    val out = Pareto.gini(df, "g", "k", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out shouldBe Map("A" -> ((4L, 3750L)), "B" -> ((3L, 0L)),
+      "C" -> ((3L, 6666L)))
+    // per-key rows sum first, and a tiny bucket width (cross-bucket
+    // offsets in play) must not change any coefficient
+    val split = df.union(Seq(("A", "k4", 0.0)).toDF("g", "k", "v"))
+    Pareto.gini(split, "g", "k", "v", bucketWidthCents = 100L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap shouldBe out
+  }
+
+  test("gini drops zero-total groups and rejects bad widths") {
+    val df = Seq(("Z", "k1", 0.0), ("Z", "k2", 0.0), ("A", "k1", 1.0),
+      ("A", "k2", 3.0)).toDF("g", "k", "v")
+    // A: cents 100/300, S=400, srx = 100*1 + 300*2 = 700
+    // -> 10^4*(1400-1200)/(2*400) = 2500
+    val out = Pareto.gini(df, "g", "k", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    out shouldBe Map("A" -> 2500L)
+    an[IllegalArgumentException] should be thrownBy
+      Pareto.gini(df, "g", "k", "v", bucketWidthCents = 0L)
+  }
 }

@@ -324,4 +324,31 @@ class ProfileSpec extends SparkSpec {
     r.length shouldBe 1
     r.head.getLong(2) shouldBe 10000L
   }
+
+  test("dispersionIndex counts zero periods via the global M") {
+    // 4 global periods. Key a: 2 events in each of the 4 -> F = 0.
+    // Key b: 4 events all in one period -> S=4, Q=16,
+    // F_bp = 10^4*(4*16 - 16)/(4*4) = 30000 (bursty).
+    // Key c: one event in each of 2 periods -> S=2, Q=2,
+    // F_bp = 10^4*(4*2 - 4)/(4*2) = 5000 (regular presence, but
+    // absent half the calendar).
+    val rows = (1 to 4).flatMap(p => Seq(("a", p.toLong), ("a", p.toLong))) ++
+      (1 to 4).map(_ => ("b", 2L)) ++ Seq(("c", 1L), ("c", 3L))
+    val out = Profile.dispersionIndex(rows.toDF("k", "p"), "k", "p")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    out shouldBe Map("a" -> ((4L, 8L, 0L)), "b" -> ((1L, 4L, 30000L)),
+      "c" -> ((2L, 2L, 5000L)))
+  }
+
+  test("dispersionIndex drops null keys/periods and is split-size exact") {
+    val withNull = Seq((Option("k"), Option(1L)), (Option("k"), Option(1L)),
+      (Option.empty[String], Option(1L)), (Option("k"), Option.empty[Long]))
+      .toDF("k", "p")
+    // one key, one period -> M=1, S=2, Q=4: F_bp = 10^4*(4-4)/2 = 0
+    val r = Profile.dispersionIndex(withNull, "k", "p").collect()
+    r.length shouldBe 1
+    r.head.getLong(3) shouldBe 0L
+  }
 }

@@ -132,7 +132,10 @@ class QueryPlanSpec extends SparkSpec {
     "q280_item_cosine",
     // q283/q284 attach one-row class-totals / global-rate aggregates
     // (q93 shape)
-    "q283_woe_iv", "q284_p_chart")
+    "q283_woe_iv", "q284_p_chart",
+    // q286 reads the WoE state through the same one-row totals attach;
+    // q288 attaches the one-row global period count (q269 shape)
+    "q286_streaming_woe", "q288_dispersion")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
