@@ -752,6 +752,36 @@ object ScaleSmoke {
           pmod(col("event_id"), lit(1500)).as("per")),
         "k", "per").count()
     }
+    // log-log OLS: ONE hash aggregate over the pre-aggregated
+    // (group, day) series — the ewma feeding contract
+    time("elasticity (2k groups)") {
+      operators.Resample.logLogSlope(
+        events(rows)
+          .groupBy(pmod(hash(col("user_id")), lit(2000)).as("g"),
+            pmod(col("event_id"), lit(1500)).as("d"))
+          .agg((count(lit(1)) + 1L).cast("double").as("x"),
+            (sum(col("value").cast("decimal(18,2)")).cast("double")
+              + lit(1.0)).as("y"))
+          .select(col("g"), col("x"), col("y")),
+        "g", "x", "y").count()
+    }
+    // sweep-line concurrency: one day-keyed delta aggregate over 2n
+    // rows, then calendar-grain prefix work
+    time("concurrency (1500-day calendar)") {
+      operators.Resample.concurrency(
+        events(rows).select(pmod(col("event_id"), lit(1500)).as("s"),
+          (pmod(col("event_id"), lit(1500)) + 1L +
+            pmod(col("user_id"), lit(30))).as("e")),
+        "s", "e").count()
+    }
+    // segment migration: two filtered key aggregates + one full-outer
+    // key join + the tiny matrix aggregate
+    time("segment migration (n/100 keys)") {
+      operators.Cohorts.segmentMigration(
+        events(rows).select(pmod(col("user_id"), lit(rows / 100))
+          .as("u"), pmod(col("event_id"), lit(1500)).as("d")),
+        "u", "d", lit(750L)).count()
+    }
     // streaming WoE: two half-batches of per-bin class counts merged
     // into bin-vocabulary-bounded state; the card reads the state only
     time("streaming woe (2 batches)") {

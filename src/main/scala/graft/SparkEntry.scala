@@ -3175,6 +3175,49 @@ object SparkEntry {
             .as("per")),
         "o_custkey", "per")),
 
+    // demand elasticity per brand: log-log OLS of daily quantity on
+    // the daily average unit price (e4-cent units — slope and r² are
+    // scale-invariant), the zipfFit discipline grouped
+    "q289_price_elasticity" -> ((s, d) => {
+      val daily = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("__day"))
+        .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")) * 10000).cast("long").as("__rev"),
+          sum(col("l_quantity").cast("long")).cast("long").as("__qty"))
+      operators.Resample.logLogSlope(
+        daily.select(col("p_brand"),
+          (col("__rev").cast("double") / col("__qty").cast("double"))
+            .as("price"),
+          col("__qty").cast("double").as("qty")),
+        "p_brand", "price", "qty")
+        .select(col("p_brand"), col("n_points"),
+          col("slope").as("elasticity"), col("r2"))
+    }),
+
+    // period-over-period movement matrix: order-frequency bands
+    // before/after the 1995 wall, churn (to 0) and acquisition
+    // (from 0) cells included — deterministic integer cuts, no
+    // quantile boundary
+    "q290_segment_migration" -> ((s, d) =>
+      operators.Cohorts.segmentMigration(
+        t(s, d, "orders").select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("od")),
+        "o_custkey", "od", lit("1995-01-01").cast("date"))),
+
+    // operational in-flight card: open order lines (placed, not yet
+    // shipped) per delta day via the bucketed sweep-line prefix
+    "q291_open_orders" -> ((s, d) =>
+      operators.Resample.concurrency(
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(unix_date(to_date(col("o_orderdate"))).cast("long")
+            .as("start_day"),
+            unix_date(to_date(col("l_shipdate"))).cast("long")
+              .as("end_day")),
+        "start_day", "end_day")),
+
     // live exact value quantiles: the additive class-count merge
     // (q233's machinery — a (value, n) state bounded by the 2-decimal
     // value vocabulary) read through weighted R-7 order statistics;
@@ -8037,6 +8080,89 @@ object SparkEntry {
           |SELECT o_custkey, n_periods, CAST(s AS BIGINT) AS n_events,
           |  CAST((10000 * (m * q - s * s)) // (m * s) AS BIGINT) AS fano_bp
           |FROM a, m""".stripMargin,
+
+      "q289_price_elasticity" ->
+        """WITH daily AS (
+          |  SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+          |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |      AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev,
+          |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          |  FROM lineitem JOIN part ON p_partkey = l_partkey
+          |  GROUP BY 1, 2),
+          |p AS (
+          |  SELECT p_brand,
+          |    floor(ln(CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE))
+          |      * 1000000 + 0.5) / 1000000 AS x,
+          |    floor(ln(CAST(qty AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS y
+          |  FROM daily
+          |  WHERE CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE) > 0
+          |    AND qty > 0),
+          |sm AS (
+          |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_points,
+          |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+          |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+          |    CAST(sum(CAST(floor(x * x * 1000000 + 0.5) / 1000000
+          |      AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+          |    CAST(sum(CAST(floor(x * y * 1000000 + 0.5) / 1000000
+          |      AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+          |    CAST(sum(CAST(floor(y * y * 1000000 + 0.5) / 1000000
+          |      AS DECIMAL(18,6))) AS DOUBLE) AS syy
+          |  FROM p GROUP BY 1)
+          |SELECT p_brand, n_points,
+          |  CASE WHEN CAST(n_points AS DOUBLE) * sxx - sx * sx <> 0.0 THEN
+          |    floor((CAST(n_points AS DOUBLE) * sxy - sx * sy) /
+          |      (CAST(n_points AS DOUBLE) * sxx - sx * sx)
+          |      * 1000000 + 0.5) / 1000000 END AS elasticity,
+          |  CASE WHEN CAST(n_points AS DOUBLE) * sxx - sx * sx <> 0.0
+          |        AND CAST(n_points AS DOUBLE) * syy - sy * sy <> 0.0 THEN
+          |    floor(((CAST(n_points AS DOUBLE) * sxy - sx * sy) *
+          |      (CAST(n_points AS DOUBLE) * sxy - sx * sy)) /
+          |      ((CAST(n_points AS DOUBLE) * sxx - sx * sx) *
+          |       (CAST(n_points AS DOUBLE) * syy - sy * sy))
+          |      * 1000000 + 0.5) / 1000000 END AS r2
+          |FROM sm""".stripMargin,
+
+      "q290_segment_migration" ->
+        """WITH a AS (
+          |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+          |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+          |  GROUP BY 1),
+          |b AS (
+          |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+          |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+          |  GROUP BY 1),
+          |j AS (
+          |  SELECT COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+          |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+          |SELECT
+          |  CAST(CASE WHEN ca >= 1 THEN 1 ELSE 0 END
+          |    + CASE WHEN ca >= 2 THEN 1 ELSE 0 END
+          |    + CASE WHEN ca >= 4 THEN 1 ELSE 0 END
+          |    + CASE WHEN ca >= 7 THEN 1 ELSE 0 END AS BIGINT) AS seg_from,
+          |  CAST(CASE WHEN cb >= 1 THEN 1 ELSE 0 END
+          |    + CASE WHEN cb >= 2 THEN 1 ELSE 0 END
+          |    + CASE WHEN cb >= 4 THEN 1 ELSE 0 END
+          |    + CASE WHEN cb >= 7 THEN 1 ELSE 0 END AS BIGINT) AS seg_to,
+          |  CAST(count(*) AS BIGINT) AS n_keys
+          |FROM j GROUP BY 1, 2""".stripMargin,
+
+      "q291_open_orders" ->
+        """WITH iv AS (
+          |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+          |      CAST(o_orderdate AS DATE)) AS BIGINT) AS s,
+          |    CAST(date_diff('day', DATE '1970-01-01',
+          |      CAST(l_shipdate AS DATE)) AS BIGINT) AS e
+          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+          |d AS (
+          |  SELECT day, CAST(sum(dd) AS BIGINT) AS delta FROM (
+          |    SELECT s AS day, 1 AS dd FROM iv WHERE e > s
+          |    UNION ALL
+          |    SELECT e, -1 FROM iv WHERE e > s) u
+          |  GROUP BY 1)
+          |SELECT day, CAST(sum(delta) OVER (ORDER BY day
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |  AS n_open
+          |FROM d""".stripMargin,
 
       // additivity makes the two-batch value-count state ≡ the raw
       // multiset, so the card is quantile_cont over the raw values

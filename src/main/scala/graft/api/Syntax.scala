@@ -306,6 +306,16 @@ object syntax {
       Metrics.twoProportionZ(df, keyCol, armCol, successCol)
     def dispersionIndex(keyCol: String, periodCol: String): DataFrame =
       Profile.dispersionIndex(df, keyCol, periodCol)
+    def logLogSlope(groupCol: String, xCol: String,
+                    yCol: String): DataFrame =
+      Resample.logLogSlope(df, groupCol, xCol, yCol)
+    def concurrency(startCol: String, endCol: String,
+                    bucketWidth: Long = 256L): DataFrame =
+      Resample.concurrency(df, startCol, endCol, bucketWidth)
+    def segmentMigration(keyCol: String, ordCol: String,
+                         wall: org.apache.spark.sql.Column,
+                         thresholds: Seq[Long] = Seq(1L, 2L, 4L, 7L)): DataFrame =
+      Cohorts.segmentMigration(df, keyCol, ordCol, wall, thresholds)
     def rollingActives(userCol: String, tsCol: String,
                        window: Int = 7): DataFrame =
       Cohorts.rollingActives(df, userCol, tsCol, window)

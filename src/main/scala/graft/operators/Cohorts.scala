@@ -248,4 +248,41 @@ object Cohorts {
         count(lit(1)).cast("long").as("n_orders"),
         round(sum(col("amt")).cast("double"), 2).as("revenue"))
   }
+
+  /** Segment migration matrix across a wall — the period-over-period
+    * customer-movement card ("how many 'loyal' customers lapsed?"):
+    * each key gets an activity band from its event count BEFORE the
+    * wall and again AFTER, and the matrix counts keys per
+    * (band_from, band_to) cell. Band = the number of `thresholds` the
+    * count reaches (ascending thresholds; count 0 → band 0 = absent),
+    * so bands are deterministic integer cuts — no quantile boundary
+    * hazard, and the matrix includes churn (to band 0) and
+    * acquisition (from band 0) cells.
+    *
+    * Scale shape: two filtered (key) hash aggregates over the event
+    * scan, one full-outer equi-join on the key, one matrix aggregate
+    * — output ≤ (#bands+1)². NULL keys/ordinates are dropped; `wall`
+    * compares on the ordinate column's own type (pass a literal of
+    * the right type).
+    */
+  def segmentMigration(events: DataFrame, keyCol: String, ordCol: String,
+                       wall: org.apache.spark.sql.Column,
+                       thresholds: Seq[Long] = Seq(1L, 2L, 4L, 7L)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.distinct == thresholds && thresholds.head >= 1L,
+      s"thresholds must be ascending, distinct, >= 1: $thresholds")
+    val base = events.filter(col(keyCol).isNotNull && col(ordCol).isNotNull)
+    def band(cnt: org.apache.spark.sql.Column) =
+      thresholds.map(t => when(cnt >= t, 1L).otherwise(0L)).reduce(_ + _)
+    def side(pred: org.apache.spark.sql.Column, tag: String) = base
+      .filter(pred)
+      .groupBy(col(keyCol).as(s"__k$tag"))
+      .agg(count(lit(1)).cast("long").as(s"__c$tag"))
+    side(col(ordCol) < wall, "a")
+      .join(side(col(ordCol) >= wall, "b"),
+        col("__ka") === col("__kb"), "full_outer")
+      .groupBy(band(coalesce(col("__ca"), lit(0L))).as("seg_from"),
+        band(coalesce(col("__cb"), lit(0L))).as("seg_to"))
+      .agg(count(lit(1)).cast("long").as("n_keys"))
+  }
 }

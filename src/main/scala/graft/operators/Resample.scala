@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series regularization: resample an irregular event stream onto
@@ -387,5 +388,104 @@ object Resample {
         graft.functions.Rounding.p6(sum(col("__s")) / count(lit(1)))
           .as("slope"))
       .select(col("__g").as(groupCol), col("n_pairs"), col("slope"))
+  }
+
+  /** Per-group log-log OLS — the elasticity fit: the slope of
+    * ln(y) on ln(x) is the % change in y per % change in x
+    * ("demand drops 1.2% per 1% price increase" = elasticity −1.2).
+    * The grouped generalization of `TfIdf.zipfFit`'s closing; feed it
+    * PRE-AGGREGATED (group, x, y) series points (the [[ewma]]
+    * contract — daily partials, not raw events).
+    *
+    * Exactness is the q146 OLS discipline: both logs round to 6
+    * places first (pround6 — the one double the engines must agree
+    * on), all five sums accumulate in DECIMAL(18,6) (order-free), and
+    * slope/r² close in fixed-order double arithmetic. Points with
+    * x ≤ 0 or y ≤ 0 are DROPPED (no log exists); groups left with
+    * zero x- or y-variance report NULL slope/r², never NaN.
+    *
+    * Scale shape: ONE hash aggregate on the group key over the
+    * calendar-bounded series — no join, no window; output = #groups.
+    */
+  def logLogSlope(series: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val xd = p6(log(col(xCol).cast("double")))
+    val yd = p6(log(col(yCol).cast("double")))
+    val sums = series
+      .filter(col(groupCol).isNotNull &&
+        col(xCol).cast("double") > 0.0 && col(yCol).cast("double") > 0.0)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        sum(xd.cast("decimal(18,6)")).as("__sx"),
+        sum(yd.cast("decimal(18,6)")).as("__sy"),
+        sum(p6(xd * xd).cast("decimal(18,6)")).as("__sxx"),
+        sum(p6(xd * yd).cast("decimal(18,6)")).as("__sxy"),
+        sum(p6(yd * yd).cast("decimal(18,6)")).as("__syy"))
+    val nd = col("n_points").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val syy = col("__syy").cast("double")
+    val num = nd * sxy - sx * sy
+    val den = nd * sxx - sx * sx
+    val dy = nd * syy - sy * sy
+    sums.select(col(groupCol), col("n_points"),
+      when(den =!= 0.0, p6(num / den)).as("slope"),
+      when(den =!= 0.0 && dy =!= 0.0, p6((num * num) / (den * dy)))
+        .as("r2"))
+  }
+
+  /** Sweep-line concurrency over half-open integer intervals
+    * [start, end): for every day (integer slot) where the open count
+    * CHANGES, the number of intervals open on that day — the Little's
+    *-law operational card ("how many orders were in flight").
+    * Between emitted days the count is constant at the previous
+    * emitted value; rows with NULL endpoints or end ≤ start are
+    * dropped (zero-length intervals never open).
+    *
+    * Engine-exact: ±1 deltas hash-aggregate per day, and the running
+    * sum is the bucketed DRIVER-prefix (the `rankAuc`/`latenessAudit`
+    * pattern): per-bucket delta totals collect (#occupied buckets
+    * rows — a day-range/bucketWidth data contract), exclusive offsets
+    * broadcast back, then a within-bucket cumulative window
+    * PARTITIONED BY bucket. All BIGINT; no single-partition window at
+    * any day count.
+    *
+    * Scale shape: the row-scale work is one (day) hash aggregate over
+    * 2n delta rows; everything after runs at calendar grain.
+    * @param bucketWidth days per prefix bucket
+    */
+  def concurrency(intervals: DataFrame, startCol: String, endCol: String,
+                  bucketWidth: Long = 256L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol).cast("long") > col(startCol).cast("long"))
+    val deltas = iv
+      .select(col(startCol).cast("long").as("day"), lit(1L).as("__d"))
+      .unionAll(iv.select(col(endCol).cast("long").as("day"),
+        lit(-1L).as("__d")))
+      .groupBy(col("day"))
+      .agg(sum(col("__d")).cast("long").as("__delta"))
+      .withColumn("__b", call_function("div", col("day"), lit(bucketWidth)))
+      .localCheckpoint(true)
+    val btot = deltas.groupBy(col("__b"))
+      .agg(sum(col("__delta")).cast("long").as("__s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offs = btot.map { case (b, s) => val o = acc; acc += s; (b, o) }
+    val offDf =
+      if (offs.isEmpty) Seq.empty[(Long, Long)].toDF("__b2", "__off")
+      else offs.toSeq.toDF("__b2", "__off")
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas.join(broadcast(offDf), col("__b") === col("__b2"))
+      .select(col("day"),
+        (col("__off") + sum(col("__delta")).over(wIn)).cast("long")
+          .as("n_open"))
   }
 }

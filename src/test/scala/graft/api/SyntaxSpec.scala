@@ -289,6 +289,19 @@ class SyntaxSpec extends SparkSpec {
     di.dispersionIndex("k", "p").queryExecution.analyzed
       .sameResult(graft.operators.Profile.dispersionIndex(di, "k", "p")
         .queryExecution.analyzed) shouldBe true
+    val ll = Seq(("g", 2.0, 4.0)).toDF("g", "x", "y")
+    ll.logLogSlope("g", "x", "y").queryExecution.analyzed
+      .sameResult(graft.operators.Resample.logLogSlope(ll, "g", "x", "y")
+        .queryExecution.analyzed) shouldBe true
+    // concurrency localCheckpoints internally: compare results
+    val cv = Seq((0L, 2L), (1L, 3L)).toDF("s", "e")
+    cv.concurrency("s", "e").collect().toSeq shouldBe
+      graft.operators.Resample.concurrency(cv, "s", "e").collect().toSeq
+    val sm = Seq(("u", 1L), ("u", 9L)).toDF("u", "d")
+    val wall = org.apache.spark.sql.functions.lit(5L)
+    sm.segmentMigration("u", "d", wall).queryExecution.analyzed
+      .sameResult(graft.operators.Cohorts.segmentMigration(sm, "u", "d",
+        wall).queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

@@ -133,4 +133,22 @@ class CohortsSpec extends SparkSpec {
       Cohorts.temporalLabels(ev, "user_id", "ts", "event_type", "buy",
         "1970-01-03 25:00:00", "1970-01-05")
   }
+
+  test("segmentMigration counts hand-walked band moves incl. churn cells") {
+    // thresholds 1/2/4/7: u1 3-before 0-after -> (2,0) churn;
+    // u2 1/1 -> (1,1); u3 0/8 -> (0,4) acquisition; u4 4/2 -> (3,2)
+    val ev = (Seq.fill(3)(("u1", 1L)) ++ Seq(("u2", 1L), ("u2", 9L)) ++
+      (1 to 8).map(_ => ("u3", 9L)) ++
+      Seq.fill(4)(("u4", 1L)) ++ Seq.fill(2)(("u4", 9L)))
+      .toDF("u", "d")
+    val out = Cohorts.segmentMigration(ev, "u", "d",
+        org.apache.spark.sql.functions.lit(5L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out shouldBe Map((2L, 0L) -> 1L, (1L, 1L) -> 1L, (0L, 4L) -> 1L,
+      (3L, 2L) -> 1L)
+    an[IllegalArgumentException] should be thrownBy
+      Cohorts.segmentMigration(ev, "u", "d",
+        org.apache.spark.sql.functions.lit(5L), thresholds = Seq(2L, 1L))
+  }
 }

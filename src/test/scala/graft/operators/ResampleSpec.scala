@@ -231,4 +231,49 @@ class ResampleSpec extends SparkSpec {
     // lags beyond the 2-day overlap produce no pairs -> no row
     out.keySet shouldBe Set(-1L, 0L, 1L)
   }
+
+  test("logLogSlope recovers exact power-law exponents per group") {
+    // g2: y = x^2 -> slope 2, r2 1; gm: y = 1000/x -> slope -1;
+    // flat: zero y-variance -> slope ~0 (p6 rounding keeps den/dy a
+    // hair off exact zero); xone: x constant at 1 (ln = 0 EXACTLY) ->
+    // den = 0 -> NULL slope/r2; nonpositive x dropped
+    val df = Seq(
+      ("g2", 1.0, 1.0), ("g2", 2.0, 4.0), ("g2", 3.0, 9.0),
+      ("g2", 4.0, 16.0),
+      ("gm", 1.0, 1000.0), ("gm", 2.0, 500.0), ("gm", 4.0, 250.0),
+      ("gm", -5.0, 100.0), // dropped: no log of a negative price
+      ("flat", 1.0, 7.0), ("flat", 2.0, 7.0), ("flat", 3.0, 7.0),
+      ("xone", 1.0, 2.0), ("xone", 1.0, 8.0))
+      .toDF("g", "x", "y")
+    val out = Resample.logLogSlope(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    out("g2")._1 shouldBe 4L
+    out("g2")._2.get shouldBe 2.0 +- 1e-5
+    out("g2")._3.get shouldBe 1.0 +- 1e-5
+    out("gm")._1 shouldBe 3L
+    out("gm")._2.get shouldBe -1.0 +- 1e-5
+    out("flat")._2.get shouldBe 0.0 +- 1e-4
+    out("xone")._2 shouldBe None
+    out("xone")._3 shouldBe None
+  }
+
+  test("concurrency matches the hand-walked sweep line across buckets") {
+    // [0,2), [1,3), [2,4): deltas +1@0 +1@1 (+1-1)@2 -1@3 -1@4
+    // -> open 1/2/2/1/0; bucketWidth 2 forces cross-bucket offsets
+    val iv = Seq((0L, 2L), (1L, 3L), (2L, 4L)).toDF("s", "e")
+    val out = Resample.concurrency(iv, "s", "e", bucketWidth = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 0L)
+    // zero-length and inverted intervals never open; nulls drop
+    val bad = Seq((Option(5L), Option(5L)), (Option(9L), Option(8L)),
+      (Option.empty[Long], Option(1L)), (Option(6L), Option(7L)))
+      .toDF("s", "e")
+    Resample.concurrency(bad, "s", "e").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(6L -> 1L, 7L -> 0L)
+    an[IllegalArgumentException] should be thrownBy
+      Resample.concurrency(iv, "s", "e", bucketWidth = 0L)
+  }
 }
