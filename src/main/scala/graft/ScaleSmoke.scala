@@ -798,6 +798,23 @@ object ScaleSmoke {
         ev.filter(col("half") === 1), "bin", "y", st)
       streaming.StreamingWoe.woeView(merged).count()
     }
+    // streaming A/B: two half-batches of per-key arm counts merged
+    // into experiment-bounded state; the card reads the state only
+    time("streaming-ab (2 batches)") {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sab").toString + "/state"
+      val ev = events(rows).select(
+        pmod(col("user_id"), lit(200)).as("t"),
+        pmod(col("event_id"), lit(2)).as("arm"),
+        when(pmod(col("event_id"), lit(3)) === 0, 1L).otherwise(0L)
+          .as("ok"),
+        pmod(col("event_id") + col("user_id"), lit(2)).as("half"))
+      streaming.StreamingAbTest.acceptBatch(
+        ev.filter(col("half") === 0), "t", "arm", "ok", st)
+      val merged = streaming.StreamingAbTest.mergeBatch(
+        ev.filter(col("half") === 1), "t", "arm", "ok", st)
+      streaming.StreamingAbTest.abView(merged, "t").count()
+    }
     spark.stop()
   }
 }

@@ -3218,6 +3218,62 @@ object SparkEntry {
               .as("end_day")),
         "start_day", "end_day")),
 
+    // repeat-purchase velocity: days from first to second DISTINCT
+    // order day per customer, read through the exact-quantile path
+    "q292_second_order_lag" -> ((s, d) => {
+      val ords = t(s, d, "orders").select(col("o_custkey").as("k"),
+        to_date(col("o_orderdate")).as("od"))
+      val f = ords.groupBy(col("k")).agg(min(col("od")).as("m1"))
+      val second = ords.join(f, "k").filter(col("od") > col("m1"))
+        .groupBy(col("k"))
+        .agg(min(col("m1")).as("m1"), min(col("od")).as("m2"))
+      operators.Metrics.exactQuantiles(
+        second.select(datediff(col("m2"), col("m1")).cast("long")
+          .as("lag")),
+        "lag", Seq(0.5, 0.9, 0.99), bucketWidth = 16.0)
+    }),
+
+    // live A/B significance watch: the additive arm-count state built
+    // from the even-orderkey half, merged with the odd half, read
+    // through the shared two-proportion closing — equals q287's
+    // one-shot test over the full table
+    "q293_streaming_ab" -> ((s, d) => {
+      val rows = t(s, d, "lineitem").select(col("l_orderkey"),
+        year(to_date(col("l_shipdate"))).cast("long").as("ship_year"),
+        (col("l_linenumber") % 2).cast("long").as("arm"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      val st = stateFixture("q293", s, d) { p =>
+        streaming.StreamingAbTest.acceptBatch(
+          rows.filter(col("l_orderkey") % 2 === 0),
+          "ship_year", "arm", "ret", p)
+      }
+      val merged = streaming.StreamingAbTest.mergeBatch(
+        rows.filter(col("l_orderkey") % 2 === 1),
+        "ship_year", "arm", "ret", st)
+      streaming.StreamingAbTest.abView(merged, "ship_year")
+    }),
+
+    // TextRank keyword centrality: weighted PageRank over the
+    // adjacent-token co-occurrence graph (undirected, pair-count
+    // weights, singleton pairs pruned) — q230's integer fixpoint on
+    // a text-derived graph
+    "q294_textrank" -> ((s, d) => {
+      val bi = t(s, d, "documents")
+        .select(functions.TextFns.tokens(col("text")).as("__t"))
+        .select(explode(functions.TextFns.wordShingles(col("__t"), 2))
+          .as("s"))
+        .select(split(col("s"), " ").as("p"))
+        .select(least(element_at(col("p"), 1), element_at(col("p"), 2))
+          .as("id_a"),
+          greatest(element_at(col("p"), 1), element_at(col("p"), 2))
+            .as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).cast("long").as("w"))
+        .filter(col("w") >= 2L)
+      operators.PageRank.weightedRanks(bi, iterations = 3)
+    }),
+
     // live exact value quantiles: the additive class-count merge
     // (q233's machinery — a (value, n) state bounded by the 2-decimal
     // value vocabulary) read through weighted R-7 order statistics;
@@ -8163,6 +8219,81 @@ object SparkEntry {
           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           |  AS n_open
           |FROM d""".stripMargin,
+
+      "q292_second_order_lag" ->
+        s"""WITH f AS (
+           |  SELECT o_custkey AS k, min(CAST(o_orderdate AS DATE)) AS m1
+           |  FROM orders GROUP BY 1),
+           |s2 AS (
+           |  SELECT o.o_custkey AS k,
+           |    min(CAST(o.o_orderdate AS DATE)) AS m2
+           |  FROM orders o JOIN f ON f.k = o.o_custkey
+           |    AND CAST(o.o_orderdate AS DATE) > f.m1
+           |  GROUP BY 1),
+           |lg AS (
+           |  SELECT CAST(date_diff('day', f.m1, s2.m2) AS BIGINT) AS lag
+           |  FROM s2 JOIN f ON f.k = s2.k)
+           |SELECT 0.5 AS q, CAST(count(*) AS BIGINT) AS n,
+           |  ${pround("quantile_cont(lag, 0.5)", 4)} AS value FROM lg
+           |UNION ALL SELECT 0.9, CAST(count(*) AS BIGINT),
+           |  ${pround("quantile_cont(lag, 0.9)", 4)} FROM lg
+           |UNION ALL SELECT 0.99, CAST(count(*) AS BIGINT),
+           |  ${pround("quantile_cont(lag, 0.99)", 4)} FROM lg""".stripMargin,
+
+      // additivity makes the two-batch arm-count state ≡ the raw
+      // table, so the card is q287's one-shot test verbatim
+      "q293_streaming_ab" ->
+        s"""WITH c AS (
+           |  SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT)
+           |      AS ship_year,
+           |    CAST(sum(CASE WHEN l_linenumber % 2 = 0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN l_linenumber % 2 = 0
+           |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+           |    CAST(sum(CASE WHEN l_linenumber % 2 = 1
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |    CAST(sum(CASE WHEN l_linenumber % 2 = 1
+           |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+           |  FROM lineitem GROUP BY 1)
+           |SELECT ship_year, n_a, k_a, n_b, k_b,
+           |  ${pround("CASE WHEN (k_a + k_b) = 0 OR (k_a + k_b) = (n_a + n_b) THEN 0.0 ELSE CAST(k_b * n_a - k_a * n_b AS DOUBLE) * sqrt(CAST(n_a + n_b AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(k_a + k_b AS DOUBLE) * CAST((n_a + n_b) - (k_a + k_b) AS DOUBLE))) END", 6)} AS z,
+           |  NOT ((k_a + k_b) = 0 OR (k_a + k_b) = (n_a + n_b))
+           |    AND 625 * CAST(k_b * n_a - k_a * n_b AS HUGEINT)
+           |          * CAST(k_b * n_a - k_a * n_b AS HUGEINT)
+           |          * (n_a + n_b)
+           |      > 2401 * CAST(n_a AS HUGEINT) * n_b * (k_a + k_b)
+           |          * ((n_a + n_b) - (k_a + k_b)) AS significant
+           |FROM c WHERE n_a > 0 AND n_b > 0""".stripMargin,
+
+      "q294_textrank" -> {
+        val rounds = (1 to 3).map { k =>
+          s"""r$k AS (
+             |  SELECT n.node, n.strength,
+             |    CAST(150000 + COALESCE(s.inflow, 0) AS BIGINT) AS rank
+             |  FROM (SELECT node, strength FROM r0) n
+             |  LEFT JOIN (
+             |    SELECT e.dst AS node,
+             |      CAST(sum((r.rank * 85 * e.w) // (100 * r.strength)) AS BIGINT) AS inflow
+             |    FROM edges e JOIN r${k - 1} r ON r.node = e.src
+             |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tk AS (SELECT $toksSql AS t FROM documents),
+           |bg AS (
+           |  SELECT unnest(list_transform(range(1, len(t)),
+           |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+           |  FROM tk),
+           |pr AS (
+           |  SELECT least(p.w1, p.w2) AS a, greatest(p.w1, p.w2) AS b2,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM bg WHERE p.w1 <> p.w2
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |edges AS (SELECT a AS src, b2 AS dst, w FROM pr
+           |          UNION ALL SELECT b2, a, w FROM pr),
+           |r0 AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS strength,
+           |       CAST(1000000 AS BIGINT) AS rank FROM edges GROUP BY 1),
+           |$rounds
+           |SELECT node, strength, rank FROM r3""".stripMargin
+      },
 
       // additivity makes the two-batch value-count state ≡ the raw
       // multiset, so the card is quantile_cont over the raw values

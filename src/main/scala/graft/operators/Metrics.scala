@@ -392,15 +392,25 @@ object Metrics {
                      successCol: String): DataFrame = {
     val arm1 = when(col(armCol).cast("long") =!= 0L, 1L).otherwise(0L)
     val succ = when(col(successCol).cast("long") =!= 0L, 1L).otherwise(0L)
-    val counts = df
+    twoProportionZFromCounts(df
       .filter(col(keyCol).isNotNull && col(armCol).isNotNull &&
         col(successCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(sum(lit(1L) - arm1).cast("long").as("n_a"),
         sum((lit(1L) - arm1) * succ).cast("long").as("k_a"),
         sum(arm1).cast("long").as("n_b"),
-        sum(arm1 * succ).cast("long").as("k_b"))
-      .filter(col("n_a") > 0L && col("n_b") > 0L)
+        sum(arm1 * succ).cast("long").as("k_b")), keyCol)
+  }
+
+  /** [[twoProportionZ]]'s closing read over an ALREADY-AGGREGATED
+    * per-key arm-count table (`keyCol`, `n_a`, `k_a`, `n_b`, `k_b`) —
+    * the entry point for maintained states (`StreamingAbTest`'s live
+    * card and the one-shot test share this one implementation). Same
+    * exactness contract: the rounded z never decides `significant`.
+    */
+  def twoProportionZFromCounts(counts0: DataFrame,
+                               keyCol: String): DataFrame = {
+    val counts = counts0.filter(col("n_a") > 0L && col("n_b") > 0L)
     val aExpr = "(k_b * n_a - k_a * n_b)"
     val nExpr = "(n_a + n_b)"
     val kExpr = "(k_a + k_b)"
