@@ -798,6 +798,39 @@ object ScaleSmoke {
         ev.filter(col("half") === 1), "bin", "y", st)
       streaming.StreamingWoe.woeView(merged).count()
     }
+    // revenue bridge: one (key, period) aggregate then ONE full-outer
+    // shifted self-join at key grain — n/100 keys x 50 periods
+    time("revenue bridge (n/100 keys)") {
+      operators.Cohorts.revenueBridge(
+        events(rows).select(pmod(col("user_id"), lit(rows / 100)).as("k"),
+          pmod(col("event_id"), lit(50)).as("mon"), col("value")),
+        "k", "mon", "value").count()
+    }
+    // proximity pairs: 3x explode + one equi-join on (keys, bucket);
+    // pair cost bounded by per-cell multiplicity (n/5000 cells)
+    time("proximity pairs (n/5000 cells)") {
+      operators.FuzzyJoin.proximatePairs(
+        events(rows).select(col("event_id").as("id"),
+          pmod(hash(col("user_id")), lit(rows / 5000)).as("cell"),
+          pmod(col("event_id"), lit(1500)).as("day")),
+        Seq("cell"), "id", "day", window = 2L).count()
+    }
+    // streaming concurrency: two half-batches of day deltas merged
+    // into calendar-bounded state; the card reads the state only
+    time("streaming concur (2 batches)") {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sconc").toString + "/state"
+      val ev = events(rows).select(
+        pmod(col("event_id"), lit(1500)).as("s"),
+        (pmod(col("event_id"), lit(1500)) + 1L +
+          pmod(col("user_id"), lit(30))).as("e"),
+        pmod(col("event_id") + col("user_id"), lit(2)).as("half"))
+      streaming.StreamingConcurrency.acceptBatch(
+        ev.filter(col("half") === 0), "s", "e", st)
+      val merged = streaming.StreamingConcurrency.mergeBatch(
+        ev.filter(col("half") === 1), "s", "e", st)
+      streaming.StreamingConcurrency.concurrencyView(merged).count()
+    }
     // streaming A/B: two half-batches of per-key arm counts merged
     // into experiment-bounded state; the card reads the state only
     time("streaming-ab (2 batches)") {

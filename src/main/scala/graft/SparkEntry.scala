@@ -3274,6 +3274,47 @@ object SparkEntry {
       operators.PageRank.weightedRanks(bi, iterations = 3)
     }),
 
+    // NRR waterfall: month-over-month customer revenue decomposed into
+    // new / expansion / contraction / churned cents — the bridge
+    // identity reconciles adjacent month totals exactly
+    "q295_revenue_bridge" -> ((s, d) =>
+      operators.Cohorts.revenueBridge(
+        t(s, d, "orders").select(col("o_custkey"),
+          (year(to_date(col("o_orderdate"))) * 12 +
+            month(to_date(col("o_orderdate")))).cast("long").as("mon"),
+          col("o_totalprice")),
+        "o_custkey", "mon", "o_totalprice")),
+
+    // double-billing screen: line pairs with the SAME (part, quantity)
+    // shipped within 7 days of each other — banded by day bucket, so
+    // the join never goes quadratic in the calendar
+    "q296_double_billing" -> ((s, d) =>
+      operators.FuzzyJoin.proximatePairs(
+        t(s, d, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+            .as("line_id"),
+          col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("day")),
+        Seq("l_partkey", "qty"), "line_id", "day", window = 7L)),
+
+    // live in-flight monitor: the additive per-day delta state built
+    // from even-orderkey lines, merged with the odd half, read through
+    // the shared sweep-line closing — equals q291's one-shot card
+    "q297_streaming_concurrency" -> ((s, d) => {
+      val iv = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("s0"),
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("e0"))
+      val st = stateFixture("q297", s, d) { p =>
+        streaming.StreamingConcurrency.acceptBatch(
+          iv.filter(col("l_orderkey") % 2 === 0), "s0", "e0", p)
+      }
+      val merged = streaming.StreamingConcurrency.mergeBatch(
+        iv.filter(col("l_orderkey") % 2 === 1), "s0", "e0", st)
+      streaming.StreamingConcurrency.concurrencyView(merged)
+    }),
+
     // live exact value quantiles: the additive class-count merge
     // (q233's machinery — a (value, n) state bounded by the 2-decimal
     // value vocabulary) read through weighted R-7 order statistics;
@@ -8294,6 +8335,75 @@ object SparkEntry {
            |$rounds
            |SELECT node, strength, rank FROM r3""".stripMargin
       },
+
+      "q295_revenue_bridge" ->
+        """WITH kv AS (
+          |  SELECT o_custkey AS k,
+          |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+          |      + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS p,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+          |      AS BIGINT) AS c
+          |  FROM orders GROUP BY 1, 2),
+          |j AS (
+          |  SELECT COALESCE(cur.p, prev.p + 1) AS period,
+          |    cur.c AS vc, prev.c AS vp
+          |  FROM kv cur FULL OUTER JOIN kv prev
+          |    ON cur.k = prev.k AND cur.p = prev.p + 1),
+          |m AS (SELECT CAST(max(p) AS BIGINT) AS mx FROM kv)
+          |SELECT period,
+          |  CAST(sum(CASE WHEN vp IS NULL THEN vc ELSE 0 END) AS BIGINT)
+          |    AS new_cents,
+          |  CAST(sum(CASE WHEN vc IS NOT NULL AND vp IS NOT NULL
+          |    AND vc > vp THEN vc - vp ELSE 0 END) AS BIGINT)
+          |    AS expansion_cents,
+          |  CAST(sum(CASE WHEN vc IS NOT NULL AND vp IS NOT NULL
+          |    AND vc < vp THEN vp - vc ELSE 0 END) AS BIGINT)
+          |    AS contraction_cents,
+          |  CAST(sum(CASE WHEN vc IS NULL THEN vp ELSE 0 END) AS BIGINT)
+          |    AS churned_cents,
+          |  CAST(sum(CASE WHEN vp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_new,
+          |  CAST(sum(CASE WHEN vc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_churned
+          |FROM j, m WHERE period <= mx GROUP BY 1""".stripMargin,
+
+      "q296_double_billing" ->
+        """SELECT a.l_partkey, CAST(a.l_quantity AS BIGINT) AS qty,
+          |  CAST(a.l_orderkey * 10 + a.l_linenumber AS BIGINT) AS id_a,
+          |  CAST(b.l_orderkey * 10 + b.l_linenumber AS BIGINT) AS id_b,
+          |  CAST(date_diff('day', DATE '1970-01-01',
+          |    CAST(a.l_shipdate AS DATE)) AS BIGINT) AS day_a,
+          |  CAST(date_diff('day', DATE '1970-01-01',
+          |    CAST(b.l_shipdate AS DATE)) AS BIGINT) AS day_b,
+          |  CAST(abs(date_diff('day', CAST(b.l_shipdate AS DATE),
+          |    CAST(a.l_shipdate AS DATE))) AS BIGINT) AS gap_days
+          |FROM lineitem a JOIN lineitem b
+          |  ON a.l_partkey = b.l_partkey
+          |  AND CAST(a.l_quantity AS BIGINT) = CAST(b.l_quantity AS BIGINT)
+          |  AND a.l_orderkey * 10 + a.l_linenumber
+          |    < b.l_orderkey * 10 + b.l_linenumber
+          |  AND abs(date_diff('day', CAST(b.l_shipdate AS DATE),
+          |    CAST(a.l_shipdate AS DATE))) <= 7""".stripMargin,
+
+      // additivity makes the two-batch delta state ≡ the one-shot
+      // delta table, so the card is q291's sweep line verbatim
+      "q297_streaming_concurrency" ->
+        """WITH iv AS (
+          |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+          |      CAST(o_orderdate AS DATE)) AS BIGINT) AS s,
+          |    CAST(date_diff('day', DATE '1970-01-01',
+          |      CAST(l_shipdate AS DATE)) AS BIGINT) AS e
+          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+          |d AS (
+          |  SELECT day, CAST(sum(dd) AS BIGINT) AS delta FROM (
+          |    SELECT s AS day, 1 AS dd FROM iv WHERE e > s
+          |    UNION ALL
+          |    SELECT e, -1 FROM iv WHERE e > s) u
+          |  GROUP BY 1)
+          |SELECT day, CAST(sum(delta) OVER (ORDER BY day
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |  AS n_open
+          |FROM d""".stripMargin,
 
       // additivity makes the two-batch value-count state ≡ the raw
       // multiset, so the card is quantile_cont over the raw values

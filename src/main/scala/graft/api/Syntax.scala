@@ -316,6 +316,12 @@ object syntax {
                          wall: org.apache.spark.sql.Column,
                          thresholds: Seq[Long] = Seq(1L, 2L, 4L, 7L)): DataFrame =
       Cohorts.segmentMigration(df, keyCol, ordCol, wall, thresholds)
+    def revenueBridge(keyCol: String, periodCol: String,
+                      valueCol: String): DataFrame =
+      Cohorts.revenueBridge(df, keyCol, periodCol, valueCol)
+    def proximatePairs(matchCols: Seq[String], idCol: String,
+                       dayCol: String, window: Long): DataFrame =
+      FuzzyJoin.proximatePairs(df, matchCols, idCol, dayCol, window)
     def rollingActives(userCol: String, tsCol: String,
                        window: Int = 7): DataFrame =
       Cohorts.rollingActives(df, userCol, tsCol, window)

@@ -265,6 +265,65 @@ object Cohorts {
     * compares on the ordinate column's own type (pass a literal of
     * the right type).
     */
+  /** Revenue bridge (NRR waterfall) between ADJACENT integer periods —
+    * the MRR-movement card: for every period p, how much of the
+    * period-over-period revenue change came from NEW keys (absent in
+    * p−1), EXPANSION (both periods, grew), CONTRACTION (both periods,
+    * shrank), and CHURN (absent in p). new − churned + expansion −
+    * contraction exactly reconciles the period totals — the waterfall
+    * identity `CohortsSpec` pins.
+    *
+    * Exactness: per-(key, period) revenue sums are DECIMAL(18,2)
+    * carried as exact cents BIGINTs; every component is a conditional
+    * BIGINT sum. Periods must be CONSECUTIVE integers at the grain you
+    * mean (month index, week index) — a key with revenue in p and
+    * p+2 churns in p+1 and re-enters as NEW in p+2, which is the
+    * month-grain NRR convention.
+    *
+    * Scale shape: one (key, period) hash aggregate — the row-scale
+    * pass — then ONE full-outer self equi-join on (key, period+1) and
+    * one period aggregate; the phantom max+1 churn-only row the shift
+    * creates is trimmed by a one-row max-period attach (q93 shape).
+    * Output = #periods.
+    */
+  def revenueBridge(df: DataFrame, keyCol: String, periodCol: String,
+                    valueCol: String): DataFrame = {
+    val kv = df
+      .filter(col(keyCol).isNotNull && col(periodCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"), col(periodCol).cast("long").as("__p"))
+      .agg((sum(coalesce(col(valueCol), lit(0)).cast("decimal(18,2)")) *
+        100).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val cur = kv.select(col("__k").as("__kc"), col("__p").as("__pc"),
+      col("__c").as("__vc"))
+    val prev = kv.select(col("__k").as("__kp"),
+      (col("__p") + 1L).as("__pp"), col("__c").as("__vp"))
+    cur.join(prev,
+        col("__kc") <=> col("__kp") && col("__pc") === col("__pp"),
+        "full_outer")
+      .select(coalesce(col("__pc"), col("__pp")).as("period"),
+        when(col("__vp").isNull, col("__vc")).otherwise(0L).as("__new"),
+        when(col("__vc").isNull, col("__vp")).otherwise(0L).as("__chn"),
+        when(col("__vc").isNotNull && col("__vp").isNotNull &&
+          col("__vc") > col("__vp"), col("__vc") - col("__vp"))
+          .otherwise(0L).as("__exp"),
+        when(col("__vc").isNotNull && col("__vp").isNotNull &&
+          col("__vc") < col("__vp"), col("__vp") - col("__vc"))
+          .otherwise(0L).as("__con"),
+        when(col("__vp").isNull, 1L).otherwise(0L).as("__nn"),
+        when(col("__vc").isNull, 1L).otherwise(0L).as("__nc"))
+      .groupBy(col("period"))
+      .agg(sum(col("__new")).cast("long").as("new_cents"),
+        sum(col("__exp")).cast("long").as("expansion_cents"),
+        sum(col("__con")).cast("long").as("contraction_cents"),
+        sum(col("__chn")).cast("long").as("churned_cents"),
+        sum(col("__nn")).cast("long").as("n_new"),
+        sum(col("__nc")).cast("long").as("n_churned"))
+      .crossJoin(broadcast(kv.agg(max(col("__p")).as("__mx"))))
+      .filter(col("period") <= col("__mx"))
+      .drop("__mx")
+  }
+
   def segmentMigration(events: DataFrame, keyCol: String, ordCol: String,
                        wall: org.apache.spark.sql.Column,
                        thresholds: Seq[Long] = Seq(1L, 2L, 4L, 7L)): DataFrame = {

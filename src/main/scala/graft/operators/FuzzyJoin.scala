@@ -96,4 +96,52 @@ object FuzzyJoin {
           .otherwise(col("__cross_dist")).as("dist"))
       .filter(col("match_id").isNotNull)
   }
+
+  /** Temporal-proximity duplicate screen — the double-billing /
+    * duplicate-invoice detector: pairs of records with the SAME exact
+    * match keys (customer, amount) whose integer ordinates (days) lie
+    * within `window` of each other. Emits each qualifying pair once as
+    * (id_a < id_b) with both ordinates and the gap.
+    *
+    * The quadratic trap and its block: candidate generation joins on
+    * (matchCols, day-bucket) with the LEFT side exploded to its 3
+    * adjacent buckets of width window+1 — any within-window pair lands
+    * in exactly one (leftBucket, rightBucket) combination, so no
+    * dedup pass is needed, and the (a,b)/(b,a) double-find resolves by
+    * keeping the id_a < id_b orientation only. Pair cost is bounded by
+    * the per-(matchKeys, ±window) multiplicity — the screen's nature:
+    * exact-amount collisions are rare, and a hot (key, amount) cell is
+    * itself the finding.
+    *
+    * Scale shape: one explode(3×) projection, one equi-join, no
+    * window; NULL keys/ordinates drop.
+    */
+  def proximatePairs(df: DataFrame, matchCols: Seq[String], idCol: String,
+                     dayCol: String, window: Long): DataFrame = {
+    require(matchCols.nonEmpty, "proximatePairs needs match columns")
+    require(window >= 1L, s"window must be >= 1: $window")
+    val bw = window + 1L
+    val base = df
+      .filter(col(idCol).isNotNull && col(dayCol).isNotNull &&
+        matchCols.map(col(_).isNotNull).reduce(_ && _))
+    val left = base.select(
+      matchCols.map(col) :+ col(idCol).as("id_a") :+
+        col(dayCol).cast("long").as("day_a") :+
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("__o"): _*)
+      .withColumn("__bkt",
+        call_function("div", col("day_a"), lit(bw)) + col("__o"))
+      .drop("__o")
+    val right = base.select(
+      matchCols.map(col) :+ col(idCol).as("id_b") :+
+        col(dayCol).cast("long").as("day_b"): _*)
+      .withColumn("__bkt", call_function("div", col("day_b"), lit(bw)))
+    left.join(right,
+        matchCols.map(c => left(c) <=> right(c))
+          .reduce(_ && _) && left("__bkt") === right("__bkt"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("day_a") - col("day_b")) <= window)
+      .select(matchCols.map(left(_)) :+ col("id_a") :+ col("id_b") :+
+        col("day_a") :+ col("day_b") :+
+        abs(col("day_a") - col("day_b")).as("gap_days"): _*)
+  }
 }

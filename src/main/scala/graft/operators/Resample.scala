@@ -458,18 +458,31 @@ object Resample {
     */
   def concurrency(intervals: DataFrame, startCol: String, endCol: String,
                   bucketWidth: Long = 256L): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val spark = intervals.sparkSession
-    import spark.implicits._
     val iv = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(endCol).cast("long") > col(startCol).cast("long"))
-    val deltas = iv
+    concurrencyFromDeltas(iv
       .select(col(startCol).cast("long").as("day"), lit(1L).as("__d"))
       .unionAll(iv.select(col(endCol).cast("long").as("day"),
         lit(-1L).as("__d")))
       .groupBy(col("day"))
-      .agg(sum(col("__d")).cast("long").as("__delta"))
+      .agg(sum(col("__d")).cast("long").as("delta")), bucketWidth)
+  }
+
+  /** [[concurrency]]'s closing read over an ALREADY-AGGREGATED per-day
+    * delta table (`day`, `delta`) — the entry point for maintained
+    * states (`StreamingConcurrency`'s live card and the one-shot sweep
+    * share this one implementation). Zero-delta days still emit (their
+    * n_open repeats the running value).
+    */
+  def concurrencyFromDeltas(deltaTable: DataFrame,
+                            bucketWidth: Long = 256L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = deltaTable.sparkSession
+    import spark.implicits._
+    val deltas = deltaTable
+      .select(col("day").cast("long").as("day"),
+        col("delta").cast("long").as("__delta"))
       .withColumn("__b", call_function("div", col("day"), lit(bucketWidth)))
       .localCheckpoint(true)
     val btot = deltas.groupBy(col("__b"))

@@ -302,6 +302,15 @@ class SyntaxSpec extends SparkSpec {
     sm.segmentMigration("u", "d", wall).queryExecution.analyzed
       .sameResult(graft.operators.Cohorts.segmentMigration(sm, "u", "d",
         wall).queryExecution.analyzed) shouldBe true
+    // revenueBridge localCheckpoints internally: compare results
+    val rbr = Seq(("u", 1L, 3.0), ("u", 2L, 5.0)).toDF("u", "mon", "v")
+    rbr.revenueBridge("u", "mon", "v").collect().toSeq shouldBe
+      graft.operators.Cohorts.revenueBridge(rbr, "u", "mon", "v")
+        .collect().toSeq
+    val pp = Seq((1L, "c", 10L), (2L, "c", 11L)).toDF("id", "cell", "day")
+    pp.proximatePairs(Seq("cell"), "id", "day", 3L).queryExecution.analyzed
+      .sameResult(graft.operators.FuzzyJoin.proximatePairs(pp, Seq("cell"),
+        "id", "day", 3L).queryExecution.analyzed) shouldBe true
   }
 
   test("event ops facade delegates to the verified operators") {

@@ -151,4 +151,43 @@ class CohortsSpec extends SparkSpec {
       Cohorts.segmentMigration(ev, "u", "d",
         org.apache.spark.sql.functions.lit(5L), thresholds = Seq(2L, 1L))
   }
+
+  test("revenueBridge decomposes hand-walked month-over-month movement") {
+    // month 1: u1 $10, u2 $5. month 2: u1 $16 (expand +6), u3 $3 (new),
+    // u2 absent (churn -5). month 3: only u1 at $4 (contract -12,
+    // u3 churns -3). month 1 is all-new; the max+1 phantom is trimmed.
+    val rows = Seq(("u1", 1L, 10.0), ("u2", 1L, 5.0),
+      ("u1", 2L, 16.0), ("u3", 2L, 3.0), ("u1", 3L, 4.0))
+      .toDF("k", "mon", "v")
+    val out = Cohorts.revenueBridge(rows, "k", "mon", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L) shouldBe ((1500L, 0L, 0L, 0L, 2L, 0L))
+    out(2L) shouldBe ((300L, 600L, 0L, 500L, 1L, 1L))
+    out(3L) shouldBe ((0L, 0L, 1200L, 300L, 0L, 1L))
+    // waterfall identity: total(p) - total(p-1) =
+    //   new - churned + expansion - contraction, for every period
+    val totals = rows.groupBy(col("mon"))
+      .agg(org.apache.spark.sql.functions.sum(
+        (col("v") * 100).cast("long")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (p <- Seq(2L, 3L)) {
+      val (nw, ex, con, chn, _, _) = out(p)
+      totals(p) - totals(p - 1L) shouldBe nw - chn + ex - con
+    }
+  }
+
+  test("revenueBridge: per-key rows sum first; gap months churn and re-enter") {
+    // u1 active months 1 and 3 (two rows in month 1 summing to $7):
+    // month 2 churns $7, month 3 is new $2
+    val rows = Seq(("u1", 1L, 3.0), ("u1", 1L, 4.0), ("u1", 3L, 2.0))
+      .toDF("k", "mon", "v")
+    val out = Cohorts.revenueBridge(rows, "k", "mon", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    out(1L) shouldBe ((700L, 0L, 1L, 0L))
+    out(2L) shouldBe ((0L, 700L, 0L, 1L))
+    out(3L) shouldBe ((200L, 0L, 1L, 0L))
+  }
 }

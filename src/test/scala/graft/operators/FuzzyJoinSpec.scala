@@ -50,4 +50,27 @@ class FuzzyJoinSpec extends SparkSpec {
     best(1L) shouldBe 0
     best(2L) shouldBe 0
   }
+
+  test("proximatePairs finds each within-window pair once, across buckets") {
+    val implicits = spark.implicits
+    import implicits._
+    // key (c1, 500): ids 1@day10, 2@day13, 3@day25 -> (1,2) gap 3 only
+    // key (c1, 700): id 4@day12 — different amount, never pairs
+    // key (c2, 500): ids 5@day7, 6@day8 — bucket boundary (w=3 -> bw=4:
+    //   day7 in bucket 1, day8 in bucket 2) still pairs, gap 1
+    val df = Seq(
+      (1L, "c1", 500L, 10L), (2L, "c1", 500L, 13L), (3L, "c1", 500L, 25L),
+      (4L, "c1", 700L, 12L),
+      (5L, "c2", 500L, 7L), (6L, "c2", 500L, 8L))
+      .toDF("id", "cust", "amt", "day")
+    val out = FuzzyJoin.proximatePairs(df, Seq("cust", "amt"), "id",
+        "day", window = 3L)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(6)).toMap
+    out shouldBe Map((1L, 2L) -> 3L, (5L, 6L) -> 1L)
+    an[IllegalArgumentException] should be thrownBy
+      FuzzyJoin.proximatePairs(df, Seq("cust"), "id", "day", window = 0L)
+    an[IllegalArgumentException] should be thrownBy
+      FuzzyJoin.proximatePairs(df, Seq.empty, "id", "day", window = 3L)
+  }
 }

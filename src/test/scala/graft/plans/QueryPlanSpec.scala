@@ -135,7 +135,10 @@ class QueryPlanSpec extends SparkSpec {
     "q283_woe_iv", "q284_p_chart",
     // q286 reads the WoE state through the same one-row totals attach;
     // q288 attaches the one-row global period count (q269 shape)
-    "q286_streaming_woe", "q288_dispersion")
+    "q286_streaming_woe", "q288_dispersion",
+    // q295 trims the phantom max+1 churn row with a one-row max-period
+    // attach (q93 shape)
+    "q295_revenue_bridge")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
