@@ -384,4 +384,161 @@ class OperatorLawsSpec extends SparkSpec {
         c1 == c2
     })
   }
+
+  test("gini: in [0, 10000), 0 iff uniform, scale- and bucket-invariant") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(1, 15)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 200L))
+      scale <- Gen.choose(1L, 7L)
+    } yield (vals, scale)
+    check(Prop.forAll(gen) { case (vals, scale) =>
+      def run(vs: Seq[Long], bw: Long) = Pareto.gini(
+        vs.zipWithIndex.map { case (v, i) => ("g", i.toLong, v.toDouble) }
+          .toDF("g", "k", "v"), "g", "k", "v", bucketWidthCents = bw)
+        .collect().map(_.getLong(2)).headOption
+      val base = run(vals, 1L << 20)
+      if (vals.sum == 0L) base.isEmpty
+      else {
+        val g = base.get
+        val uniform = vals.distinct.length == 1
+        g >= 0L && g < 10000L && (g == 0L) == uniform &&
+          // scaling every value by a constant changes nothing
+          run(vals.map(_ * scale), 1L << 20).get == g &&
+          // the bucketed rank is bucket-width-independent
+          run(vals, 50L).get == g
+      }
+    })
+  }
+
+  test("crossCorr(x,y) at lag l equals crossCorr(y,x) at -l") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(3, 20)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 50L))
+      ys <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield (xs, ys)
+    check(Prop.forAll(gen) { case (xs, ys) =>
+      val xdf = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("d", "x")
+      val ydf = ys.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("d", "y")
+      val ab = Resample.crossCorr(xdf, ydf, "d", "x", "y", maxLag = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val ba = Resample.crossCorr(ydf, xdf, "d", "y", "x", maxLag = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      ab.keySet == ba.keySet.map(-_) &&
+        ab.forall { case (l, r) => r == ba(-l) }
+    })
+  }
+
+  test("twoProportionZ: swapping arms negates z, significance unchanged") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      na <- Gen.choose(1, 40); ka <- Gen.choose(0, na)
+      nb <- Gen.choose(1, 40); kb <- Gen.choose(0, nb)
+    } yield (na, ka, nb, kb)
+    check(Prop.forAll(gen) { case (na, ka, nb, kb) =>
+      def rows(swap: Boolean) =
+        ((1 to na).map(i => ("t", if (swap) 1L else 0L,
+          if (i <= ka) 1L else 0L)) ++
+          (1 to nb).map(i => ("t", if (swap) 0L else 1L,
+            if (i <= kb) 1L else 0L))).toDF("t", "arm", "ok")
+      def run(swap: Boolean) = Metrics.twoProportionZ(rows(swap),
+        "t", "arm", "ok").collect().head
+      val f = run(false); val s = run(true)
+      f.getDouble(5) == -s.getDouble(5) &&
+        f.getBoolean(6) == s.getBoolean(6)
+    })
+  }
+
+  test("dispersionIndex: nonnegative, 0 iff constant across ALL periods") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      m <- Gen.choose(1, 8)
+      counts <- Gen.listOfN(m, Gen.choose(1, 6))
+    } yield counts
+    check(Prop.forAll(gen) { counts =>
+      val rows = counts.zipWithIndex.flatMap { case (c, p) =>
+        (1 to c).map(_ => ("k", p.toLong)) }.toDF("k", "p")
+      val f = Profile.dispersionIndex(rows, "k", "p").collect()
+        .head.getLong(3)
+      val uniform = counts.distinct.length == 1
+      f >= 0L && (f == 0L) == uniform
+    })
+  }
+
+  test("revenueBridge: the waterfall identity reconciles every period") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L),
+        Gen.choose(1L, 5L), Gen.choose(0L, 50L)))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.map { case (k, p, v) => (s"u$k", p, v.toDouble) }
+        .toDF("k", "p", "v")
+      val out = Cohorts.revenueBridge(df, "k", "p", "v").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val totals = rows.groupBy(_._2)
+        .view.mapValues(_.map(_._3 * 100).sum).toMap
+      out.forall { case (p, (nw, ex, con, chn)) =>
+        totals.getOrElse(p, 0L) - totals.getOrElse(p - 1L, 0L) ==
+          nw - chn + ex - con
+      }
+    })
+  }
+
+  test("concurrency: counts nonnegative, close at 0, bucket-width invariant") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      ivs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 40L),
+        Gen.choose(1L, 15L)))
+    } yield ivs.map { case (s, len) => (s, s + len) }
+    check(Prop.forAll(gen) { ivs =>
+      val df = ivs.toDF("s", "e")
+      val out = Resample.concurrency(df, "s", "e").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      out.forall(_._2 >= 0L) && out.last._2 == 0L &&
+        Resample.concurrency(df, "s", "e", bucketWidth = 3L).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+          .sameElements(out)
+    })
+  }
+
+  test("proximatePairs equals the brute-force quadratic reference") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 3L),
+        Gen.choose(0L, 30L)))
+    } yield rows.zipWithIndex.map { case ((c, d), i) => (i.toLong, c, d) }
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("id", "cell", "day")
+      val out = FuzzyJoin.proximatePairs(df, Seq("cell"), "id", "day",
+          window = 4L)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        a <- rows; b <- rows
+        if a._2 == b._2 && a._1 < b._1 && math.abs(a._3 - b._3) <= 4L
+      } yield (a._1, b._1)).toSet
+      out == brute
+    })
+  }
+
+  test("woeIv: total information value is nonnegative") {
+    val implicits = spark.implicits; import implicits._
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.oneOf(0L, 1L)))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val out = Metrics.woeIv(rows.toDF("bin", "y"), "bin", "y")
+        .collect().map(_.getDouble(4))
+      out.forall(_ >= -1e-12)
+    })
+  }
 }
