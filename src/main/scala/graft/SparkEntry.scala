@@ -8012,12 +8012,16 @@ object SparkEntry {
           |      AS BIGINT) AS k
           |  FROM lineitem GROUP BY 1)
           |SELECT supp_key, n, k,
-          |  CAST(k * 10000 // n AS BIGINT) AS rate_bp,
-          |  floor(((CAST(k AS DOUBLE) / n + 1.959964 * 1.959964 / (2.0 * n)
-          |    - 1.959964 * sqrt(greatest(0.0,
+          |  CAST(CAST(k AS HUGEINT) * 10000 // n AS BIGINT) AS rate_bp,
+          |  floor(((CAST(k AS DOUBLE) / n
+          |    + CAST(1.959964 AS DOUBLE) * CAST(1.959964 AS DOUBLE)
+          |      / (2.0 * n)
+          |    - CAST(1.959964 AS DOUBLE) * sqrt(greatest(0.0,
           |        (CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n)
-          |         + 1.959964 * 1.959964 / (4.0 * n)) / n)))
-          |   / (1.0 + 1.959964 * 1.959964 / n)) * 1e6 + 0.5) / 1e6
+          |         + CAST(1.959964 AS DOUBLE) * CAST(1.959964 AS DOUBLE)
+          |           / (4.0 * n)) / n)))
+          |   / (1.0 + CAST(1.959964 AS DOUBLE) * CAST(1.959964 AS DOUBLE)
+          |     / n)) * 1e6 + 0.5) / 1e6
           |    AS wilson_lb
           |FROM a WHERE n >= 20""".stripMargin,
 

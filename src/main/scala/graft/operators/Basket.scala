@@ -59,12 +59,15 @@ object Basket {
               ELSE CAST(n_ab * __nb * 10000 DIV (__na * __nb_i) AS BIGINT)
             END""")
 
-  /** Pair support + lift over (basket, item) rows. Items are
-    * de-duplicated within a basket; pairs below `minPairs` baskets are
-    * dropped before the dimension attachments.
+  /** Shared pair-support core: deduplicated (basket, item) incidence,
+    * per-pair supports, and per-item counts attached — everything
+    * BEFORE the basket-count attachment, so callers that never read
+    * lift ([[cosineTopK]]) don't execute the count_distinct aggregate
+    * and its one-row broadcast. Returns (supports, incidence).
     */
-  def pairAffinity(items: DataFrame, basketCol: String, itemCol: String,
-                   minPairs: Long = 2L): DataFrame = {
+  private def pairSupports(items: DataFrame, basketCol: String,
+                           itemCol: String,
+                           minPairs: Long): (DataFrame, DataFrame) = {
     require(minPairs >= 1L, s"minPairs must be >= 1, got $minPairs")
     // NULL keys are dropped up front: a NULL basket would weld every
     // keyless row into one phantom basket (inflating supports while
@@ -74,7 +77,6 @@ object Basket {
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
       .distinct()
-    val nBaskets = b.agg(count_distinct(col("__basket")).as("__nb"))
     val itemCounts = b.groupBy(col("__item"))
       .agg(count(lit(1)).as("__ni"))
     val pairs = b.groupBy(col("__basket"))
@@ -84,11 +86,22 @@ object Basket {
       .groupBy(col("p.id_a").as("item_a"), col("p.id_b").as("item_b"))
       .agg(count(lit(1)).cast("long").as("n_ab"))
       .filter(col("n_ab") >= minPairs)
-    pairs
+    (pairs
       .join(itemCounts.select(col("__item").as("item_a"), col("__ni").as("__na")),
         "item_a")
       .join(itemCounts.select(col("__item").as("item_b"), col("__ni").as("__nb_i")),
-        "item_b")
+        "item_b"), b)
+  }
+
+  /** Pair support + lift over (basket, item) rows. Items are
+    * de-duplicated within a basket; pairs below `minPairs` baskets are
+    * dropped before the dimension attachments.
+    */
+  def pairAffinity(items: DataFrame, basketCol: String, itemCol: String,
+                   minPairs: Long = 2L): DataFrame = {
+    val (supports, b) = pairSupports(items, basketCol, itemCol, minPairs)
+    val nBaskets = b.agg(count_distinct(col("__basket")).as("__nb"))
+    supports
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("n_ab"),
         col("__na").cast("long").as("n_a"),
@@ -133,23 +146,28 @@ object Basket {
     * "customers who bought X also bought" recommender shelf. Over the
     * binary basket-incidence vectors, cos(i,j)² = n_ij²/(n_i·n_j);
     * squaring keeps the score RATIONAL so the ranking runs on exact
-    * integers (cos is monotone in cos² for non-negative counts, so
-    * the top-k order is identical). Emitted as `cos2_e8` =
-    * n_ab²·10⁸ div (n_a·n_b) in DECIMAL(38,0) floor arithmetic.
+    * integers. cos is monotone in cos², so the top-k order matches
+    * the true cosine order UP TO the e8 resolution: partners whose
+    * exact cos² values collapse to the same `cos2_e8` floor are
+    * ordered by the (n_ab desc, partner asc) tiebreak, not by their
+    * sub-1e-8 difference. Emitted as `cos2_e8` = n_ab²·10⁸ div
+    * (n_a·n_b) in DECIMAL(38,0) floor arithmetic.
     *
-    * Both orientations are emitted from ONE [[pairAffinity]] pass
-    * (the [[associationRules]] explode shape), then row_number per
-    * item over (cos2_e8 desc, n_ab desc, partner asc) — exact-integer
-    * keys with a unique suffix, so the cut is engine-replayable.
+    * Both orientations are emitted from ONE pair-support pass (the
+    * [[associationRules]] explode shape, WITHOUT [[pairAffinity]]'s
+    * basket-count attachment — nothing here reads lift), then
+    * row_number per item over (cos2_e8 desc, n_ab desc, partner asc)
+    * — exact-integer keys with a unique suffix, so the cut is
+    * engine-replayable.
     *
-    * Overflow: [[pairAffinity]]'s lift guard already enforces
-    * n_ab·n_baskets·10⁴ < 2⁶³; with n_ab ≤ n_baskets that gives
-    * n_ab² < 9.2·10¹⁴, so n_ab²·10⁸ < 10²³ ≪ 10³⁸ — the DECIMAL
-    * multiply cannot overflow once the guard has passed.
+    * Overflow: guarded HERE (this plan never executes pairAffinity's
+    * lift guard): n_ab²·10⁸ needs n_ab < 10¹⁵ to stay inside
+    * DECIMAL(38,0) — past it the row raises instead of letting
+    * non-ANSI decimal overflow null the score silently.
     *
-    * Scale shape: pairAffinity's per-basket pair bound, one 2-element
-    * explode, one window PARTITIONED BY item (millions of small
-    * groups — no global sort). Output ≤ k rows per item.
+    * Scale shape: the per-basket pair bound, one 2-element explode,
+    * one window PARTITIONED BY item (millions of small groups — no
+    * global sort). Output ≤ k rows per item.
     */
   def cosineTopK(items: DataFrame, basketCol: String, itemCol: String,
                  k: Int = 5, minPairs: Long = 2L): DataFrame = {
@@ -157,7 +175,10 @@ object Basket {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("item_id"))
       .orderBy(col("cos2_e8").desc, col("n_ab").desc, col("partner"))
-    pairAffinity(items, basketCol, itemCol, minPairs)
+    pairSupports(items, basketCol, itemCol, minPairs)._1
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        col("__na").cast("long").as("n_a"),
+        col("__nb_i").cast("long").as("n_b"))
       .select(explode(array(
         struct(col("item_a").as("item_id"), col("item_b").as("partner"),
           col("n_a").as("n_i"), col("n_b").as("n_j")),
@@ -166,8 +187,14 @@ object Basket {
         .as("r"), col("n_ab"))
       .select(col("r.item_id").as("item_id"),
         col("r.partner").as("partner"), col("n_ab"),
-        expr("""CAST(CAST(n_ab AS DECIMAL(38,0)) * n_ab * 100000000
-                DIV (CAST(r.n_i AS DECIMAL(38,0)) * r.n_j) AS BIGINT)""")
+        expr("""CASE WHEN n_ab > 1000000000000000L
+                THEN CAST(raise_error(CONCAT(
+                  'Basket.cosineTopK overflow: n_ab^2 * 10^8 exceeds DECIMAL(38,0) (n_ab=',
+                  CAST(n_ab AS STRING), '); shard the basket table first'))
+                  AS BIGINT)
+                ELSE CAST(CAST(n_ab AS DECIMAL(38,0)) * n_ab * 100000000
+                DIV (CAST(r.n_i AS DECIMAL(38,0)) * r.n_j) AS BIGINT)
+                END""")
           .as("cos2_e8"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -456,14 +456,24 @@ object Metrics {
                        z: Double = 1.959964, minN: Long = 1L): DataFrame = {
     require(z > 0, s"z must be positive: $z")
     require(minN >= 1, s"minN must be >= 1: $minN")
-    val zs = z.toString
+    require(!Set("n", "k", "rate_bp", "wilson_lb")(keyCol.toLowerCase),
+      s"keyCol collides with a wilsonLowerBound output column: $keyCol")
+    // the literal must be DOUBLE-typed in the expression TEXT: a bare
+    // 1.959964 parses as DECIMAL(7,6) and the engines then coerce the
+    // mixed decimal/double arithmetic in different orders — same text,
+    // different ulps. CAST pins both to one IEEE sequence.
+    val zs = s"CAST(${z.toString} AS DOUBLE)"
     df.filter(col(keyCol).isNotNull && col(successCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col(successCol).cast("long")).cast("long").as("k"))
       .filter(col("n") >= minN)
       .select(col(keyCol), col("n"), col("k"),
-        expr("CAST(k * 10000 DIV n AS BIGINT)").as("rate_bp"),
+        // k casts to DECIMAL BEFORE the 10^4 multiply (casting the
+        // product is too late — non-ANSI BIGINT wraps silently where
+        // DuckDB raises)
+        expr("CAST(CAST(k AS DECIMAL(19,0)) * 10000 DIV n AS BIGINT)")
+          .as("rate_bp"),
         pround6(expr(
           s"""((CAST(k AS DOUBLE) / n + $zs * $zs / (2.0 * n)
              |  - $zs * sqrt(greatest(0.0,

@@ -620,9 +620,15 @@ object Profile {
     *
     * Exactness: per-firm values are exact DECIMAL(18,4) sums scaled
     * to integral e4 units; HHI = Σxᵢ²·10⁴ div X² in pure DECIMAL(38,0)
-    * floor arithmetic — no float share enters. Overflow contract:
-    * Σxᵢ² ≤ X² needs X < 10¹⁷ e4-units (10¹³ in value) per market;
-    * past that, rescale the value column first.
+    * floor arithmetic — no float share enters. Both contract edges are
+    * ENFORCED at runtime (raise_error, the pairAffinity discipline),
+    * because both fail silently otherwise: a NEGATIVE per-firm total
+    * (net value with refunds) squares into the numerator against a
+    * smaller squared total and pushes HHI past 10000 with no signal
+    * on either engine, and a firm past x ≤ 10¹⁸ e4-units (10¹⁴ in
+    * value) overflows the non-ANSI DECIMAL x² to NULL, which sum()
+    * silently skips while the DuckDB oracle raises. Net-negative
+    * firms: aggregate to a coarser firm key or clamp upstream.
     *
     * Scale shape: one (market, firm) hash aggregate then one market
     * hash aggregate — two shuffles on keys only, no window, no join.
@@ -640,11 +646,25 @@ object Profile {
     perFirm.groupBy(col("market"))
       .agg(count(lit(1)).cast("long").as("n_firms"),
         sum(col("__x") * col("__x")).as("__sumsq"),
-        sum(col("__x")).as("__tot"))
+        sum(col("__x")).as("__tot"),
+        min(col("__x")).as("__mnx"),
+        max(col("__x")).as("__mxx"))
       .filter(col("__tot") > 0)
       .select(col("market"), col("n_firms"),
-        expr("CAST((__sumsq * 10000) DIV (__tot * __tot) AS BIGINT)")
-          .as("hhi"))
+        expr("""CASE
+                 WHEN __mnx < 0 THEN CAST(raise_error(CONCAT(
+                   'Profile.hhi: negative per-firm total in market ',
+                   CAST(market AS STRING),
+                   ' — shares are undefined and HHI would exceed 10000; ',
+                   'aggregate or clamp net-negative firms upstream'))
+                   AS BIGINT)
+                 WHEN __mxx > 1000000000000000000
+                 THEN CAST(raise_error(CONCAT(
+                   'Profile.hhi: firm value exceeds the 10^18 e4-unit ',
+                   'overflow bound in market ', CAST(market AS STRING),
+                   '; rescale the value column first')) AS BIGINT)
+                 ELSE CAST((__sumsq * 10000) DIV (__tot * __tot) AS BIGINT)
+               END""").as("hhi"))
   }
 
   /** Index of dispersion (Fano factor) per key — the burstiness

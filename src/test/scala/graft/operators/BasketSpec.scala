@@ -108,5 +108,13 @@ class BasketSpec extends SparkSpec {
     val top1 = Basket.cosineTopK(df, "b", "i", k = 1, minPairs = 1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     top1 shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 1L)
+    // the plan must carry cosineTopK's OWN overflow guard (the
+    // inherited lift guard is pruned from this plan — round-10
+    // review finding) and must NOT run pairAffinity's basket-count
+    // attach (dead compute: nothing here reads lift)
+    val plan = Basket.cosineTopK(df, "b", "i", k = 1, minPairs = 1L)
+      .queryExecution.optimizedPlan.toString
+    plan should include("cosineTopK overflow")
+    plan.toLowerCase should not include "count(distinct"
   }
 }

@@ -186,6 +186,12 @@ class MetricsSpec extends SparkSpec {
     out("B")._4 should be >= 0.0
   }
 
+  test("wilsonLowerBound rejects key columns that collide with outputs") {
+    val df = Seq(("g", 1L)).toDF("n", "ok")
+    an[IllegalArgumentException] should be thrownBy
+      Metrics.wilsonLowerBound(df, "n", "ok")
+  }
+
   test("twoProportionZ matches the hand-computed pooled z and exact flag") {
     // key t1: arm a 10/100 vs arm b 25/100 -> A = 25*100-10*100 = 1500,
     // N=200, K=35: z = 1500*sqrt(200/(100*100*35*165)) = 2.791367...,

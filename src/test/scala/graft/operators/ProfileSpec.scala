@@ -314,6 +314,17 @@ class ProfileSpec extends SparkSpec {
     out shouldBe Map("A" -> ((2L, 5200L)), "B" -> ((1L, 10000L)))
   }
 
+  test("hhi raises loudly on net-negative firms instead of exceeding 10000") {
+    // +150/-50: total 100 > 0 passes the old filter but the true
+    // "hhi" would be 25000 — out of the documented range with no
+    // signal on either engine (round-10 review finding)
+    val df = Seq(("m", "a", 150.0), ("m", "b", -50.0)).toDF("m", "f", "v")
+    val e = intercept[Exception] {
+      Profile.hhi(df, "m", "f", "v").collect()
+    }
+    e.getMessage should include("negative per-firm total")
+  }
+
   test("hhi of n equal firms is floor(10000/n); null keys dropped") {
     val eq = (1 to 3).map(i => ("m", s"f$i", 10.0)).toDF("m", "f", "v")
     Profile.hhi(eq, "m", "f", "v").collect().head.getLong(2) shouldBe 3333L

@@ -128,8 +128,6 @@ class QueryPlanSpec extends SparkSpec {
     // q269 attaches the one-row global-month count; q270/q274 the
     // one-row max-day trim bound (q93 shape)
     "q269_abc_xyz", "q270_rolling_actives", "q274_streaming_actives",
-    // q280 is q211's basket machinery (one-row basket-count attach)
-    "q280_item_cosine",
     // q283/q284 attach one-row class-totals / global-rate aggregates
     // (q93 shape)
     "q283_woe_iv", "q284_p_chart",
