@@ -8081,7 +8081,7 @@ object SparkEntry {
           |      CAST(sum(k) AS BIGINT) AS tk FROM pd),
           |sel AS (
           |  SELECT period, n, k,
-          |    CAST(k * 1000000 // n AS BIGINT) AS rate_e6,
+          |    CAST(CAST(k AS HUGEINT) * 1000000 // n AS BIGINT) AS rate_e6,
           |    CAST(floor((CAST(tk AS DOUBLE) / tn
           |      + 3.0 * sqrt(CAST(tk AS DOUBLE) / tn
           |        * (1.0 - CAST(tk AS DOUBLE) / tn) / n)) * 1e6 + 0.5)

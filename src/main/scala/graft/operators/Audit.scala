@@ -334,7 +334,8 @@ object Audit {
     * Shewhart rule, variable-n form: wider limits on thin days).
     *
     * Exactness: the emitted columns are ALL integers — `rate_e6` is
-    * exact floor micro-units (k·10⁶ div n, contract k < 9.2·10¹²) and
+    * exact floor micro-units (k DECIMAL-cast BEFORE the 10⁶ multiply,
+    * so there is no BIGINT wrap at any k) and
     * `ucl_e6`/`lcl_e6` are the double limits pinned by the portable
     * rounding formula at 6 places; `out_of_control` compares those
     * integers, so the flag is engine-replayable (no raw double ever
@@ -361,7 +362,8 @@ object Audit {
     val sig = s"sqrt($pbar * (1.0 - $pbar) / n)"
     perDay.crossJoin(broadcast(tot))
       .select(col("period"), col("n"), col("k"),
-        expr("CAST(k * 1000000 DIV n AS BIGINT)").as("rate_e6"),
+        expr("CAST(CAST(k AS DECIMAL(19,0)) * 1000000 DIV n AS BIGINT)")
+          .as("rate_e6"),
         expr(s"CAST(floor(($pbar + 3.0 * $sig) * 1e6 + 0.5) AS BIGINT)")
           .as("ucl_e6"),
         expr(s"CAST(floor(greatest(0.0, $pbar - 3.0 * $sig) * 1e6 + 0.5)" +

@@ -187,7 +187,9 @@ object Basket {
         .as("r"), col("n_ab"))
       .select(col("r.item_id").as("item_id"),
         col("r.partner").as("partner"), col("n_ab"),
-        expr("""CASE WHEN n_ab > 1000000000000000L
+        // >= not >: at n_ab = 10^15 exactly, n_ab^2*10^8 = 10^38 which
+        // already exceeds DECIMAL(38,0)'s 10^38-1 max
+        expr("""CASE WHEN n_ab >= 1000000000000000L
                 THEN CAST(raise_error(CONCAT(
                   'Basket.cosineTopK overflow: n_ab^2 * 10^8 exceeds DECIMAL(38,0) (n_ab=',
                   CAST(n_ab AS STRING), '); shard the basket table first'))

@@ -249,22 +249,6 @@ object Cohorts {
         round(sum(col("amt")).cast("double"), 2).as("revenue"))
   }
 
-  /** Segment migration matrix across a wall — the period-over-period
-    * customer-movement card ("how many 'loyal' customers lapsed?"):
-    * each key gets an activity band from its event count BEFORE the
-    * wall and again AFTER, and the matrix counts keys per
-    * (band_from, band_to) cell. Band = the number of `thresholds` the
-    * count reaches (ascending thresholds; count 0 → band 0 = absent),
-    * so bands are deterministic integer cuts — no quantile boundary
-    * hazard, and the matrix includes churn (to band 0) and
-    * acquisition (from band 0) cells.
-    *
-    * Scale shape: two filtered (key) hash aggregates over the event
-    * scan, one full-outer equi-join on the key, one matrix aggregate
-    * — output ≤ (#bands+1)². NULL keys/ordinates are dropped; `wall`
-    * compares on the ordinate column's own type (pass a literal of
-    * the right type).
-    */
   /** Revenue bridge (NRR waterfall) between ADJACENT integer periods —
     * the MRR-movement card: for every period p, how much of the
     * period-over-period revenue change came from NEW keys (absent in
@@ -324,6 +308,22 @@ object Cohorts {
       .drop("__mx")
   }
 
+  /** Segment migration matrix across a wall — the period-over-period
+    * customer-movement card ("how many 'loyal' customers lapsed?"):
+    * each key gets an activity band from its event count BEFORE the
+    * wall and again AFTER, and the matrix counts keys per
+    * (band_from, band_to) cell. Band = the number of `thresholds` the
+    * count reaches (ascending thresholds; count 0 → band 0 = absent),
+    * so bands are deterministic integer cuts — no quantile boundary
+    * hazard, and the matrix includes churn (to band 0) and
+    * acquisition (from band 0) cells.
+    *
+    * Scale shape: two filtered (key) hash aggregates over the event
+    * scan, one full-outer equi-join on the key, one matrix aggregate
+    * — output ≤ (#bands+1)². NULL keys/ordinates are dropped; `wall`
+    * compares on the ordinate column's own type (pass a literal of
+    * the right type).
+    */
   def segmentMigration(events: DataFrame, keyCol: String, ordCol: String,
                        wall: org.apache.spark.sql.Column,
                        thresholds: Seq[Long] = Seq(1L, 2L, 4L, 7L)): DataFrame = {

@@ -378,10 +378,14 @@ object Metrics {
     * one multiply — both engines replay it bit-for-bit). The
     * `significant` flag NEVER reads the rounded double: z² > 1.96²
     * cross-multiplies to 625·A²·N > 2401·n₀·n₁·K·(N−K) in
-    * DECIMAL(38,0) (1.96 = 49/25 exactly), with A cast to
-    * DECIMAL(19,0) BEFORE squaring. Degenerate keys — one arm empty,
-    * or K ∈ {0, N} (no variance) — report z = 0, not significant;
-    * one-arm keys are DROPPED (no comparison exists).
+    * DECIMAL(38,0) (1.96 = 49/25 exactly), with A itself computed in
+    * DECIMAL (k₁n₀ wraps a raw BIGINT once both arms pass ~3·10⁹).
+    * Either cross-product approaching DECIMAL(38,0) capacity RAISES
+    * (double-estimate pre-guard with a 10% margin) instead of letting
+    * the non-ANSI decimal overflow read back as a silent NULL flag.
+    * Degenerate keys — one arm empty, or K ∈ {0, N} (no variance) —
+    * report z = 0, not significant; one-arm keys are DROPPED (no
+    * comparison exists).
     *
     * Scale shape: ONE hash aggregate on the key — conditional sums
     * make both arms' counts in the same pass; output = #keys, no
@@ -411,25 +415,45 @@ object Metrics {
   def twoProportionZFromCounts(counts0: DataFrame,
                                keyCol: String): DataFrame = {
     val counts = counts0.filter(col("n_a") > 0L && col("n_b") > 0L)
-    val aExpr = "(k_b * n_a - k_a * n_b)"
+    // A computes in DECIMAL from the first multiply: k_b·n_a wraps a
+    // raw BIGINT once both arms pass ~3·10⁹ rows (silent in non-ANSI
+    // Spark, a raise in DuckDB)
+    val aDec = "(CAST(k_b AS DECIMAL(19,0)) * n_a" +
+      " - CAST(k_a AS DECIMAL(19,0)) * n_b)"
+    val aDbl = s"CAST($aDec AS DOUBLE)"
     val nExpr = "(n_a + n_b)"
     val kExpr = "(k_a + k_b)"
     val degenerate = s"$kExpr = 0 OR $kExpr = $nExpr"
+    // overflow guard for the exact cross-multiplication: estimate both
+    // sides in DOUBLE and refuse loudly within a 10% margin of the
+    // DECIMAL(38,0) capacity — past it the non-ANSI decimal product
+    // would NULL and 'significant' would silently read NULL exactly
+    // when the test matters (round-10 second-pass review finding).
+    // The double estimate's ~1e-16 relative error is 15 orders below
+    // the margin.
+    val lhsD = s"625.0 * $aDbl * $aDbl * CAST($nExpr AS DOUBLE)"
+    val rhsD = "2401.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)" +
+      s" * CAST($kExpr AS DOUBLE) * CAST($nExpr - $kExpr AS DOUBLE)"
     counts.select(col(keyCol), col("n_a"), col("k_a"), col("n_b"),
       col("k_b"),
       pround6(expr(s"""CASE WHEN $degenerate THEN 0.0
-        ELSE CAST($aExpr AS DOUBLE) * sqrt(CAST($nExpr AS DOUBLE)
+        ELSE $aDbl * sqrt(CAST($nExpr AS DOUBLE)
           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
              * CAST($kExpr AS DOUBLE)
              * CAST($nExpr - $kExpr AS DOUBLE))) END""")).as("z"),
-      expr(s"""NOT ($degenerate)
-        AND CAST(625 AS DECIMAL(38,0))
-            * CAST($aExpr AS DECIMAL(19,0)) * CAST($aExpr AS DECIMAL(19,0))
+      expr(s"""CASE
+        WHEN $degenerate THEN false
+        WHEN $lhsD > 9e37 OR $rhsD > 9e37
+        THEN CAST(raise_error(
+          'Metrics.twoProportionZ: cross-multiplied significance operands approach DECIMAL(38,0) capacity; pre-aggregate or shard the experiment rows first') AS BOOLEAN)
+        ELSE CAST(625 AS DECIMAL(38,0))
+            * $aDec * $aDec
             * CAST($nExpr AS DECIMAL(19,0))
           > CAST(2401 AS DECIMAL(38,0))
             * CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
             * CAST($kExpr AS DECIMAL(19,0))
-            * CAST($nExpr - $kExpr AS DECIMAL(19,0))""").as("significant"))
+            * CAST($nExpr - $kExpr AS DECIMAL(19,0))
+        END""").as("significant"))
   }
 
   /** Wilson score-interval lower bound per key — the "worst offender"

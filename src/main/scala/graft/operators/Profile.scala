@@ -625,10 +625,16 @@ object Profile {
     * because both fail silently otherwise: a NEGATIVE per-firm total
     * (net value with refunds) squares into the numerator against a
     * smaller squared total and pushes HHI past 10000 with no signal
-    * on either engine, and a firm past x ≤ 10¹⁸ e4-units (10¹⁴ in
-    * value) overflows the non-ANSI DECIMAL x² to NULL, which sum()
-    * silently skips while the DuckDB oracle raises. Net-negative
-    * firms: aggregate to a coarser firm key or clamp upstream.
+    * on either engine, and a market total past X < 10¹⁷ e4-units
+    * (10¹³ in value) overflows Σx²·10⁴ or X² in non-ANSI DECIMAL to
+    * NULL silently while the DuckDB oracle raises. X bounds EVERY
+    * overflowing term once negatives are excluded (each x ≤ X, so
+    * Σx² ≤ X² and Σx²·10⁴ < 10³⁸ exactly when X < 10¹⁷) — guarding
+    * the total is both necessary and sufficient; a per-firm max is
+    * neither (a monopoly at 2·10¹⁷ passes a per-firm 10¹⁸ check and
+    * still nulls — the round-10 second-pass review finding).
+    * Net-negative firms: aggregate to a coarser firm key or clamp
+    * upstream; past the total bound, rescale the value column.
     *
     * Scale shape: one (market, firm) hash aggregate then one market
     * hash aggregate — two shuffles on keys only, no window, no join.
@@ -647,8 +653,7 @@ object Profile {
       .agg(count(lit(1)).cast("long").as("n_firms"),
         sum(col("__x") * col("__x")).as("__sumsq"),
         sum(col("__x")).as("__tot"),
-        min(col("__x")).as("__mnx"),
-        max(col("__x")).as("__mxx"))
+        min(col("__x")).as("__mnx"))
       .filter(col("__tot") > 0)
       .select(col("market"), col("n_firms"),
         expr("""CASE
@@ -658,9 +663,9 @@ object Profile {
                    ' — shares are undefined and HHI would exceed 10000; ',
                    'aggregate or clamp net-negative firms upstream'))
                    AS BIGINT)
-                 WHEN __mxx > 1000000000000000000
+                 WHEN __tot >= 100000000000000000
                  THEN CAST(raise_error(CONCAT(
-                   'Profile.hhi: firm value exceeds the 10^18 e4-unit ',
+                   'Profile.hhi: market total exceeds the 10^17 e4-unit ',
                    'overflow bound in market ', CAST(market AS STRING),
                    '; rescale the value column first')) AS BIGINT)
                  ELSE CAST((__sumsq * 10000) DIV (__tot * __tot) AS BIGINT)

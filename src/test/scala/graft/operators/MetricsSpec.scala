@@ -217,6 +217,25 @@ class MetricsSpec extends SparkSpec {
     math.abs(out("t2")._5) should be < 1.0
   }
 
+  test("twoProportionZFromCounts: giant-arm counts raise, big in-range counts don't") {
+    // arms of 4e9 with a real difference: A = k_b*n_a - k_a*n_b would
+    // wrap raw BIGINT, and 625*A^2*N would blow DECIMAL(38,0) — the
+    // guard must raise loudly, not emit a NULL flag
+    val giant = Seq(("t", 4000000000L, 1000000000L, 4000000000L,
+      3000000000L)).toDF("t", "n_a", "k_a", "n_b", "k_b")
+    val e = intercept[Exception] {
+      Metrics.twoProportionZFromCounts(giant, "t").collect()
+    }
+    e.getMessage should include("DECIMAL(38,0) capacity")
+    // 1M per arm with a 2pp difference stays exact and significant
+    // (625*A^2*N ~ 5e29, well inside capacity)
+    val big = Seq(("t", 1000000L, 100000L, 1000000L, 120000L))
+      .toDF("t", "n_a", "k_a", "n_b", "k_b")
+    val r = Metrics.twoProportionZFromCounts(big, "t").collect().head
+    r.getBoolean(6) shouldBe true
+    r.getDouble(5) should be > 40.0
+  }
+
   test("twoProportionZ handles degenerate and one-arm keys") {
     // all-failure key -> z = 0, not significant; one-arm key dropped;
     // negative direction carries its sign
