@@ -76,6 +76,53 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- hypothesis testing (round-10 fifth wave) ---------------------
+
+    // distribution-free A/B on a continuous metric: Mann–Whitney
+    // rank-sum of event value per event type, arms = user-id parity (a
+    // null experiment, so significance should be rare); midrank ties
+    // from the per-value count table, significance decided by exact
+    // cross-multiplied DECIMAL(38,0) — never the rounded z
+    "q298_mann_whitney" -> ((s, d) =>
+      operators.Hypothesis.mannWhitneyU(
+        t(s, d, "events").select(col("event_type"),
+          (col("user_id") % 2).cast("long").as("arm"), col("value")),
+        "event_type", "arm", "value")),
+
+    // monotone association of two ordinal columns per return flag:
+    // Kendall tau-b from the (quantity, discount-pct) contingency —
+    // C−D exact via the bounded cells self-join, ties kept doubled so
+    // no division ever happens before the final double
+    "q299_kendall_tau" -> ((s, d) =>
+      operators.Hypothesis.kendallTau(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+            .as("disc_pct")),
+        "l_returnflag", "qty", "disc_pct")),
+
+    // do BUILDING-segment customers churn differently? two-arm
+    // log-rank over the q232 churn observations: O−E and V as exact
+    // DECIMAL(18,6) sums of pround6 hypergeometric contributions,
+    // significance decided entirely in DECIMAL against the χ²₁ 5%
+    // critical value
+    "q302_logrank" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+          .as("arm"))
+      val obs = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("__first"),
+          max(col("o_orderdate")).as("__last"))
+        .select(col("o_custkey"),
+          datediff(col("__last"), col("__first")).cast("long").as("dur"),
+          when(col("__last") < lit("1998-03-01").cast("date"), 1L)
+            .otherwise(0L).as("churned"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      operators.Survival.logRank(obs, "dur", "churned", "arm",
+        bucketWidth = 256L)
+    }),
+
     // ---- core relational (SURVEY §2.2-2.7) ----------------------------
 
     "q01_pricing_summary" -> ((s, d) => {
@@ -3844,6 +3891,141 @@ object SparkEntry {
     }
 
     val base = Map(
+      // midrank ties via the per-value count table; z text mirrors the
+      // operator's fixed double order; significance via HUGEINT
+      // cross-multiplication (the engine uses DECIMAL(38,0) — same
+      // exact integers)
+      "q298_mann_whitney" ->
+        s"""WITH cells AS (
+           |  SELECT event_type AS g, value AS v,
+           |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS na,
+           |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nb
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+           |r AS (
+           |  SELECT g, na, nb, na + nb AS f,
+           |    COALESCE(CAST(sum(na + nb) OVER (PARTITION BY g ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS BIGINT), 0) AS cum
+           |  FROM cells),
+           |a AS (
+           |  SELECT g, CAST(sum(na) AS BIGINT) AS n_a,
+           |    CAST(sum(nb) AS BIGINT) AS n_b,
+           |    CAST(sum(CAST(nb AS HUGEINT) * (2 * cum + f + 1))
+           |      AS HUGEINT) AS r2b,
+           |    CAST(sum(CAST(f AS HUGEINT) * f * f - f) AS HUGEINT) AS t
+           |  FROM r GROUP BY 1),
+           |b AS (
+           |  SELECT g, n_a, n_b,
+           |    r2b - CAST(n_b AS HUGEINT) * (n_b + 1)
+           |      - CAST(n_a AS HUGEINT) * n_b AS a2,
+           |    CAST(n_a + n_b AS HUGEINT) * (n_a + n_b - 1)
+           |      * (n_a + n_b + 1) - t AS v
+           |  FROM a WHERE n_a > 0 AND n_b > 0)
+           |SELECT g AS event_type, n_a, n_b,
+           |  CAST(a2 + CAST(n_a AS HUGEINT) * n_b AS BIGINT) AS u_x2,
+           |  ${pround("CASE WHEN v = 0 THEN 0.0 ELSE CAST(a2 AS DOUBLE) / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(v AS DOUBLE) / (12.0 * CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))) END", 6)} AS z,
+           |  CASE WHEN v = 0 THEN false
+           |    ELSE 1875 * a2 * a2 * (n_a + n_b) * (n_a + n_b - 1)
+           |      > 2401 * CAST(n_a AS HUGEINT) * n_b * v END AS significant
+           |FROM b""".stripMargin,
+
+      // the cells self-join computes C−D exactly; tie terms stay
+      // doubled (D2x = n(n−1) − Σ t(t−1)) so no division precedes the
+      // one double expression
+      "q299_kendall_tau" ->
+        s"""WITH cells AS (
+           |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+           |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS y,
+           |    CAST(count(*) AS BIGINT) AS f
+           |  FROM lineitem GROUP BY 1, 2, 3),
+           |meta AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS m,
+           |    CAST(sum(f) AS BIGINT) AS n
+           |  FROM cells GROUP BY 1),
+           |sx AS (
+           |  SELECT g, CAST(sum(CAST(tx AS HUGEINT) * (tx - 1)) AS HUGEINT)
+           |    AS sxv
+           |  FROM (SELECT g, x, CAST(sum(f) AS BIGINT) AS tx
+           |        FROM cells GROUP BY 1, 2) GROUP BY 1),
+           |sy AS (
+           |  SELECT g, CAST(sum(CAST(ty AS HUGEINT) * (ty - 1)) AS HUGEINT)
+           |    AS syv
+           |  FROM (SELECT g, y, CAST(sum(f) AS BIGINT) AS ty
+           |        FROM cells GROUP BY 1, 2) GROUP BY 1),
+           |s AS (
+           |  SELECT a.g,
+           |    CAST(sum((CASE WHEN a.y < b.y THEN 1 ELSE -1 END)
+           |      * CAST(a.f AS HUGEINT) * b.f) AS HUGEINT) AS sv
+           |  FROM cells a JOIN cells b
+           |    ON a.g = b.g AND a.x < b.x AND a.y <> b.y
+           |  GROUP BY 1),
+           |j AS (
+           |  SELECT meta.g, n, m, COALESCE(sv, 0) AS sv,
+           |    CAST(n AS HUGEINT) * (n - 1) - sxv AS d2x,
+           |    CAST(n AS HUGEINT) * (n - 1) - syv AS d2y
+           |  FROM meta JOIN sx ON meta.g = sx.g JOIN sy ON meta.g = sy.g
+           |  LEFT JOIN s ON meta.g = s.g)
+           |SELECT g AS l_returnflag, n, m AS n_cells,
+           |  CAST(sv AS BIGINT) AS s,
+           |  ${pround("CASE WHEN d2x = 0 OR d2y = 0 THEN 0.0 ELSE 2.0 * CAST(sv AS DOUBLE) / sqrt(CAST(d2x AS DOUBLE) * CAST(d2y AS DOUBLE)) END", 6)} AS tau_b
+           |FROM j""".stripMargin,
+
+      // at-risk chains as suffix counts over the per-duration arm
+      // table; E and V contributions pround6 into DECIMAL(18,6) sums,
+      // the flag decided on the exact decimals
+      "q302_logrank" ->
+        s"""WITH per AS (
+           |  SELECT date_diff('day', min(o_orderdate), max(o_orderdate))
+           |      AS dur,
+           |    CASE WHEN max(o_orderdate) < DATE '1998-03-01'
+           |      THEN 1 ELSE 0 END AS e,
+           |    o_custkey
+           |  FROM orders GROUP BY o_custkey),
+           |j AS (
+           |  SELECT CAST(dur AS BIGINT) AS duration, e,
+           |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS arm
+           |  FROM per JOIN customer ON o_custkey = c_custkey),
+           |cnt AS (
+           |  SELECT duration,
+           |    CAST(sum(CASE WHEN arm = 0 AND e = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS d_a,
+           |    CAST(sum(CASE WHEN arm = 0 AND e = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS c_a,
+           |    CAST(sum(CASE WHEN arm = 1 AND e = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS d_b,
+           |    CAST(sum(CASE WHEN arm = 1 AND e = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS c_b
+           |  FROM j GROUP BY 1),
+           |tot AS (SELECT CAST(sum(d_a + c_a) AS BIGINT) AS ta,
+           |  CAST(sum(d_b + c_b) AS BIGINT) AS tb FROM cnt),
+           |r AS (
+           |  SELECT duration, d_a, d_b,
+           |    ta - COALESCE(CAST(sum(d_a + c_a) OVER (ORDER BY duration
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS BIGINT), 0) AS na,
+           |    tb - COALESCE(CAST(sum(d_b + c_b) OVER (ORDER BY duration
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS BIGINT), 0) AS nb
+           |  FROM cnt, tot),
+           |k AS (
+           |  SELECT d_a, d_b, na, nb, d_a + d_b AS d, na + nb AS n FROM r),
+           |ag AS (
+           |  SELECT CAST(sum(d_a) AS BIGINT) AS o_a,
+           |    CAST(sum(d_b) AS BIGINT) AS o_b,
+           |    sum(CAST(${pround("CASE WHEN d = 0 THEN 0.0 ELSE CAST(d AS DOUBLE) * CAST(na AS DOUBLE) / CAST(n AS DOUBLE) END", 6)} AS DECIMAL(18,6))) AS ea,
+           |    sum(CAST(${pround("CASE WHEN d = 0 OR n <= 1 THEN 0.0 ELSE CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)) END", 6)} AS DECIMAL(18,6))) AS v
+           |  FROM k)
+           |SELECT ta AS n_a, tb AS n_b, o_a, o_b,
+           |  CAST(ea AS DOUBLE) AS e_a,
+           |  ${pround("CASE WHEN v = 0 THEN 0.0 ELSE CAST(CAST(o_a AS DECIMAL(18,6)) - ea AS DOUBLE) * CAST(CAST(o_a AS DECIMAL(18,6)) - ea AS DOUBLE) / CAST(v AS DOUBLE) END", 6)} AS chi2,
+           |  CASE WHEN v = 0 THEN false
+           |    ELSE (CAST(o_a AS DECIMAL(18,6)) - ea)
+           |        * (CAST(o_a AS DECIMAL(18,6)) - ea)
+           |      > CAST(3.841459 AS DECIMAL(7,6)) * v END AS significant
+           |FROM ag, tot""".stripMargin,
+
       "q01_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
           |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,

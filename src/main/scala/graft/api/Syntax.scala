@@ -330,5 +330,14 @@ object syntax {
                        labelEnd: String): DataFrame =
       Cohorts.temporalLabels(df, userCol, tsCol, typeCol, targetType,
         featureEnd, labelEnd)
+    def mannWhitneyU(groupCol: String, armCol: String,
+                     valCol: String): DataFrame =
+      Hypothesis.mannWhitneyU(df, groupCol, armCol, valCol)
+    def kendallTau(groupCol: String, xCol: String, yCol: String,
+                   maxCells: Long = 20000L): DataFrame =
+      Hypothesis.kendallTau(df, groupCol, xCol, yCol, maxCells)
+    def logRank(durationCol: String, eventCol: String, armCol: String,
+                bucketWidth: Long = 4096L): DataFrame =
+      Survival.logRank(df, durationCol, eventCol, armCol, bucketWidth)
   }
 }

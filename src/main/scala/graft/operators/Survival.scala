@@ -52,6 +52,8 @@ import org.apache.spark.sql.functions._
   */
 object Survival {
 
+  import graft.functions.Rounding.p6
+
   /** Raw observations → the per-duration (d, c) count table. NULL or
     * negative durations and NULL event flags are dropped.
     */
@@ -192,4 +194,114 @@ object Survival {
                   bucketWidth: Long = 4096L): DataFrame =
     nelsonAalenFromCounts(observationCounts(df, durationCol, eventCol),
       bucketWidth)
+
+  /** Two-arm log-rank test over an already-aggregated per-duration
+    * arm-count table (`duration`, `d_a`, `c_a`, `d_b`, `c_b`) — "do
+    * the two cohorts churn at the same rate?", the calibrated
+    * comparison the two KM curves (q232 per arm) only eyeball. At
+    * each event time: observed arm-A events d_a vs the hypergeometric
+    * expectation d·n_a/n and variance d·(n_a/n)·(n_b/n)·(n−d)/(n−1);
+    * chi² = (O_A − E_A)² / V with one degree of freedom.
+    *
+    * Exactness is the class discipline: at-risk counts are exact
+    * BIGINTs from the bucketed driver-prefix (no single-partition
+    * window); each per-duration E and V contribution is exact
+    * integers through one fixed double operation order, pround6, and
+    * summed as DECIMAL(18,6) — so O_A − E_A and V are DECIMAL-exact,
+    * and `significant` compares (O_A − E_A)² > 3.841459·V entirely in
+    * DECIMAL (3.841459 = the χ²₁ 5% critical value, exact at 6
+    * places) — the rounded chi² double is never load-bearing.
+    * Degenerate inputs (no events, or V = 0) report chi² = 0, not
+    * significant.
+    *
+    * Output is ONE row: `n_a`, `n_b` (cohort sizes), `o_a`, `o_b`
+    * (observed events), `e_a` (expected arm-A events, 6 places),
+    * `chi2`, `significant`.
+    *
+    * The FromCounts split is the streaming seam: the per-duration arm
+    * counts are ADDITIVE, so two `streaming.StreamingSurvival` states
+    * (one per arm) joined on duration feed this closing directly —
+    * the live test and the one-shot test share this implementation.
+    */
+  def logRankFromCounts(counts: DataFrame,
+                        bucketWidth: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val grouped = counts
+      .filter(col("duration").isNotNull && col("duration") >= 0)
+      .withColumn("__b", (col("duration") / lit(bucketWidth)).cast("long"))
+      .localCheckpoint(true)
+    // phase 1: per-arm at-risk chains — one collect carries BOTH arms'
+    // bucket totals (the riskWithCumsum shape, doubled)
+    val btot = grouped.groupBy(col("__b"))
+      .agg(sum(col("d_a") + col("c_a")).cast("long").as("__sa"),
+        sum(col("d_b") + col("c_b")).cast("long").as("__sb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accA = 0L; var accB = 0L
+    val offs = btot.map { case (b, sa, sb) =>
+      val o = (b, accA, accB); accA += sa; accB += sb; o
+    }
+    val (totA, totB) = (accA, accB)
+    val empty = grouped.limit(0).select(
+      lit(0L).as("n_a"), lit(0L).as("n_b"), lit(0L).as("o_a"),
+      lit(0L).as("o_b"), lit(0.0).as("e_a"), lit(0.0).as("chi2"),
+      lit(false).as("significant"))
+    if (totA == 0L || totB == 0L) return empty
+    val offDf = broadcast(offs.toSeq.toDF("__b", "__offa", "__offb"))
+    val wPrior = Window.partitionBy(col("__b")).orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = grouped.join(offDf, Seq("__b"))
+      .withColumn("__na", lit(totA) - (col("__offa") +
+        coalesce(sum(col("d_a") + col("c_a")).over(wPrior), lit(0L))))
+      .withColumn("__nb", lit(totB) - (col("__offb") +
+        coalesce(sum(col("d_b") + col("c_b")).over(wPrior), lit(0L))))
+      .withColumn("__d", col("d_a") + col("d_b"))
+      .withColumn("__n", col("__na") + col("__nb"))
+    // per-duration contributions: exact integers → ONE fixed double
+    // operation order → pround6 → DECIMAL(18,6) (order-free sums)
+    val eContrib = "CASE WHEN __d = 0 THEN 0.0 ELSE " +
+      "CAST(__d AS DOUBLE) * CAST(__na AS DOUBLE) / CAST(__n AS DOUBLE) END"
+    val vContrib = "CASE WHEN __d = 0 OR __n <= 1 THEN 0.0 ELSE " +
+      "CAST(__d AS DOUBLE) * (CAST(__na AS DOUBLE) / CAST(__n AS DOUBLE))" +
+      " * (CAST(__nb AS DOUBLE) / CAST(__n AS DOUBLE))" +
+      " * (CAST(__n - __d AS DOUBLE) / CAST(__n - 1 AS DOUBLE)) END"
+    val agg = risk.agg(
+      sum(col("d_a")).cast("long").as("o_a"),
+      sum(col("d_b")).cast("long").as("o_b"),
+      sum(p6(expr(eContrib)).cast("decimal(18,6)")).as("__ea"),
+      sum(p6(expr(vContrib)).cast("decimal(18,6)")).as("__v"))
+    val dd = "(CAST(o_a AS DECIMAL(18,6)) - __ea)"
+    agg.select(lit(totA).as("n_a"), lit(totB).as("n_b"),
+      col("o_a"), col("o_b"),
+      col("__ea").cast("double").as("e_a"),
+      p6(expr(s"""CASE WHEN __v = 0 THEN 0.0
+        ELSE CAST($dd AS DOUBLE) * CAST($dd AS DOUBLE)
+          / CAST(__v AS DOUBLE) END""")).as("chi2"),
+      expr(s"""CASE WHEN __v = 0 THEN false
+        ELSE $dd * $dd > CAST(3.841459 AS DECIMAL(7,6)) * __v
+        END""").as("significant"))
+  }
+
+  /** Log-rank from raw observations: `armCol` (0/1 or boolean) splits
+    * the cohorts; other parameters as [[kaplanMeier]].
+    */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+              armCol: String, bucketWidth: Long = 4096L): DataFrame = {
+    val arm = when(col(armCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val e = when(col(eventCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    logRankFromCounts(
+      df.filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+          col(armCol).isNotNull && col(durationCol) >= 0)
+        .select(col(durationCol).cast("long").as("duration"),
+          arm.as("__arm"), e.as("__e"))
+        .groupBy(col("duration"))
+        .agg(sum((lit(1L) - col("__arm")) * col("__e")).cast("long").as("d_a"),
+          sum((lit(1L) - col("__arm")) * (lit(1L) - col("__e")))
+            .cast("long").as("c_a"),
+          sum(col("__arm") * col("__e")).cast("long").as("d_b"),
+          sum(col("__arm") * (lit(1L) - col("__e"))).cast("long").as("c_b")),
+      bucketWidth)
+  }
 }

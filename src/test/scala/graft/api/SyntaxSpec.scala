@@ -311,6 +311,20 @@ class SyntaxSpec extends SparkSpec {
     pp.proximatePairs(Seq("cell"), "id", "day", 3L).queryExecution.analyzed
       .sameResult(graft.operators.FuzzyJoin.proximatePairs(pp, Seq("cell"),
         "id", "day", 3L).queryExecution.analyzed) shouldBe true
+    val mw = Seq(("g", 0L, 1.0), ("g", 1L, 2.0)).toDF("g", "arm", "v")
+    mw.mannWhitneyU("g", "arm", "v").queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.mannWhitneyU(mw, "g", "arm",
+        "v").queryExecution.analyzed) shouldBe true
+    // kendallTau localCheckpoints the cells table: compare results
+    val kt = Seq(("g", 1L, 1L), ("g", 2L, 2L)).toDF("g", "x", "y")
+    kt.kendallTau("g", "x", "y").collect().toSeq shouldBe
+      graft.operators.Hypothesis.kendallTau(kt, "g", "x", "y")
+        .collect().toSeq
+    // logRank localCheckpoints the count table: compare results
+    val lr = Seq((1L, 1L, 0L), (2L, 1L, 1L)).toDF("dur", "ev", "arm")
+    lr.logRank("dur", "ev", "arm").collect().toSeq shouldBe
+      graft.operators.Survival.logRank(lr, "dur", "ev", "arm")
+        .collect().toSeq
   }
 
   test("event ops facade delegates to the verified operators") {

@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Rounding.p6d
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class HypothesisSpec extends SparkSpec {
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(10)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(prop: Prop): Unit = {
+    val r = SCTest.check(params, prop)
+    withClue(s"scalacheck: $r\n") { r.passed shouldBe true }
+  }
+
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  // ---- Mann–Whitney U -------------------------------------------------
+
+  private def mwu(rows: Seq[(String, Long, Double)]) =
+    Hypothesis.mannWhitneyU(rows.toDF("g", "arm", "v"), "g", "arm", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+
+  test("mannWhitneyU hand-computed: midrank ties, exact 2U, tie-corrected z") {
+    // arm0 = {1,2,4}, arm1 = {2,3,5}: ranks 1, 2.5, 2.5, 4, 5, 6
+    // R_b = 2.5+4+6 = 12.5, U_b = 12.5 - 6 = 6.5 -> u_x2 = 13
+    // T = 2^3-2 = 6, V = 6*5*7 - 6 = 204, Var = 9*204/(12*30) = 5.1
+    // z = (6.5 - 4.5)/sqrt(5.1)
+    val out = mwu(Seq(("g", 0L, 1.0), ("g", 0L, 2.0), ("g", 0L, 4.0),
+      ("g", 1L, 2.0), ("g", 1L, 3.0), ("g", 1L, 5.0)))
+    val (na, nb, u2, z, sig) = out("g")
+    (na, nb, u2) shouldBe ((3L, 3L, 13L))
+    z shouldBe p6d(2.0 / math.sqrt(5.1))
+    sig shouldBe false
+  }
+
+  test("mannWhitneyU tie-free hand case and one-arm groups dropped") {
+    // arm0 = {1,3}, arm1 = {2,4}: R_b = 6, U_b = 3, u_x2 = 6
+    // V = 4*3*5 = 60, Var = 4*60/(12*12) = 5/3, z = 1/sqrt(5/3)
+    val out = mwu(Seq(("g", 0L, 1.0), ("g", 0L, 3.0), ("g", 1L, 2.0),
+      ("g", 1L, 4.0), ("lone", 1L, 9.0)))
+    out.keySet shouldBe Set("g")
+    val (_, _, u2, z, _) = out("g")
+    u2 shouldBe 6L
+    z shouldBe p6d(1.0 / math.sqrt(5.0 / 3.0))
+  }
+
+  test("mannWhitneyU: all-tied group reports z = 0, not significant") {
+    val out = mwu(Seq(("g", 0L, 7.0), ("g", 0L, 7.0), ("g", 1L, 7.0)))
+    // midrank 2 for every row: R_b = 2, U_b = 2 - 1 = 1 -> u_x2 = 2
+    out("g") shouldBe ((2L, 1L, 2L, 0.0, false))
+  }
+
+  test("mannWhitneyU detects a clean shift as significant") {
+    // arm1 uniformly above arm0, n = 40: |z| far beyond 1.96
+    val rows = (1 to 20).flatMap(i =>
+      Seq(("g", 0L, i.toDouble), ("g", 1L, 100.0 + i)))
+    val (_, _, _, z, sig) = mwu(rows)("g")
+    z should be > 1.96
+    sig shouldBe true
+  }
+
+  test("law: U_a + U_b = n_a*n_b (arm swap) and z flips sign; monotone-transform invariant") {
+    val gen = for {
+      n <- Gen.choose(4, 30)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 12L))
+      arms <- Gen.listOfN(n, Gen.oneOf(0L, 1L))
+    } yield vs.zip(arms)
+    check(Prop.forAll(gen) { data =>
+      val both = data.exists(_._2 == 0L) && data.exists(_._2 == 1L)
+      val rows = data.map { case (v, a) => ("g", a, v.toDouble) }
+      val swapped = data.map { case (v, a) => ("g", 1L - a, v.toDouble) }
+      // exp preserves order: the rank test must be exactly invariant
+      val mono = data.map { case (v, a) => ("g", a, math.exp(v / 3.0)) }
+      (!both) || {
+        val (na, nb, u2, z, sig) = mwu(rows)("g")
+        val (_, _, u2s, zs, sigs) = mwu(swapped)("g")
+        val (_, _, u2m, zm, sigm) = mwu(mono)("g")
+        u2 + u2s == 2L * na * nb && zs == -z && sigs == sig &&
+          u2m == u2 && zm == z && sigm == sig
+      }
+    })
+  }
+
+  // ---- Kendall tau-b --------------------------------------------------
+
+  private def tau(rows: Seq[(String, Long, Long)], maxCells: Long = 20000L) =
+    Hypothesis.kendallTau(rows.toDF("g", "x", "y"), "g", "x", "y", maxCells)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))))
+      .toMap
+
+  test("kendallTau hand-computed with x- and y-ties") {
+    // cells (1,1),(1,2),(2,1),(2,2),(3,3): C = 5, D = 1, S = 4
+    // D2x = D2y = 5*4 - 4 = 16 -> tau_b = 8/16 = 0.5
+    val out = tau(Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 2L, 1L),
+      ("g", 2L, 2L), ("g", 3L, 3L)))
+    out("g") shouldBe ((5L, 5L, 4L, 0.5))
+  }
+
+  test("kendallTau weights cell multiplicities and hits ±1 on perfect monotone data") {
+    // (1,1) x2 and (2,2) x1: S = 2*1 = 2, D2x = D2y = 6-2 = 4, tau = 1
+    tau(Seq(("g", 1L, 1L), ("g", 1L, 1L), ("g", 2L, 2L)))("g") shouldBe
+      ((3L, 2L, 2L, 1.0))
+    // reversed: tau = -1
+    tau(Seq(("g", 1L, 2L), ("g", 1L, 2L), ("g", 2L, 1L)))("g") shouldBe
+      ((3L, 2L, -2L, -1.0))
+  }
+
+  test("kendallTau: constant column reports tau 0; independence near 0") {
+    tau(Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L)))("g")._4 shouldBe 0.0
+  }
+
+  test("kendallTau raises when a group exceeds maxCells") {
+    val rows = (1L to 9L).map(i => ("g", i, i * 7 % 5))
+    val e = intercept[Exception] {
+      tau(rows, maxCells = 4L)
+    }
+    e.getMessage should include("kendallTau")
+  }
+
+  test("law: tau_b is antisymmetric under y negation and invariant to strictly monotone relabeling") {
+    val gen = for {
+      n <- Gen.choose(3, 25)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 6L))
+      ys <- Gen.listOfN(n, Gen.choose(0L, 6L))
+    } yield xs.zip(ys)
+    check(Prop.forAll(gen) { data =>
+      val rows = data.map { case (x, y) => ("g", x, y) }
+      val neg = data.map { case (x, y) => ("g", x, -y) }
+      val mono = data.map { case (x, y) => ("g", x * 10 + 3, y * y + y) }
+      val (n, m, s, t) = tau(rows)("g")
+      val (_, _, sn, tn) = tau(neg)("g")
+      val (_, _, sm, tm) = tau(mono)("g")
+      n == data.size.toLong && sn == -s && tn == -t &&
+        sm == s && tm == t && m == data.distinct.size.toLong
+    })
+  }
+
+  // ---- log-rank (Survival) -------------------------------------------
+
+  test("logRank hand-computed two-arm card") {
+    // A: (1,ev),(3,cens),(5,ev); B: (2,ev),(4,ev),(6,cens)
+    // E_A = .5 + .4 + 1/3 + .5 = 1.733333; V = .25+.24+2/9+.25 = .962222
+    val rows = Seq((1L, 1L, 0L), (3L, 0L, 0L), (5L, 1L, 0L),
+      (2L, 1L, 1L), (4L, 1L, 1L), (6L, 0L, 1L))
+    val out = Survival.logRank(rows.toDF("dur", "ev", "arm"),
+      "dur", "ev", "arm").collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe
+      ((3L, 3L, 2L, 2L))
+    r.getDouble(4) shouldBe 1.733333
+    val dd = 2.0 - 1.733333
+    r.getDouble(5) shouldBe p6d(dd * dd / 0.962222)
+    r.getBoolean(6) shouldBe false
+  }
+
+  test("logRank: identical arms give chi2 = 0 shape; separated arms go significant") {
+    // every duration has one event in each arm: O_A = E_A exactly
+    val same = (1L to 10L).flatMap(d => Seq((d, 1L, 0L), (d, 1L, 1L)))
+    val r0 = Survival.logRank(same.toDF("dur", "ev", "arm"),
+      "dur", "ev", "arm").collect().head
+    r0.getDouble(5) shouldBe 0.0
+    r0.getBoolean(6) shouldBe false
+    // arm A all churns early, arm B all censored late
+    val split = (1L to 15L).map(d => (d, 1L, 0L)) ++
+      (16L to 30L).map(d => (d, 0L, 1L))
+    val r1 = Survival.logRank(split.toDF("dur", "ev", "arm"),
+      "dur", "ev", "arm").collect().head
+    r1.getBoolean(6) shouldBe true
+  }
+
+  test("logRank is bucketWidth-invariant and arm-relabel symmetric in chi2") {
+    val gen = for {
+      n <- Gen.choose(4, 40)
+      rows <- Gen.listOfN(n, for {
+        d <- Gen.choose(0L, 20L)
+        e <- Gen.oneOf(0L, 1L)
+        a <- Gen.oneOf(0L, 1L)
+      } yield (d, e, a))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val both = rows.exists(_._3 == 0L) && rows.exists(_._3 == 1L)
+      (!both) || {
+        val df = rows.toDF("dur", "ev", "arm")
+        val wide = Survival.logRank(df, "dur", "ev", "arm").collect().head
+        val narrow = Survival.logRank(df, "dur", "ev", "arm",
+          bucketWidth = 3L).collect().head
+        val flipped = Survival.logRank(
+          rows.map { case (d, e, a) => (d, e, 1L - a) }
+            .toDF("dur", "ev", "arm"), "dur", "ev", "arm").collect().head
+        wide.getDouble(5) == narrow.getDouble(5) &&
+          wide.getBoolean(6) == narrow.getBoolean(6) &&
+          flipped.getDouble(5) == wide.getDouble(5) &&
+          flipped.getLong(0) == wide.getLong(1) &&
+          flipped.getLong(2) == wide.getLong(3)
+      }
+    })
+  }
+
+  test("logRankFromCounts: two additive half-states reproduce the raw path (the streaming seam)") {
+    val rows = Seq((1L, 1L, 0L), (2L, 1L, 1L), (2L, 0L, 0L), (4L, 1L, 1L),
+      (5L, 0L, 1L), (5L, 1L, 0L), (7L, 1L, 1L), (9L, 0L, 0L))
+    val df = rows.toDF("dur", "ev", "arm")
+    val raw = Survival.logRank(df, "dur", "ev", "arm").collect().head
+    def counts(part: Seq[(Long, Long, Long)]) = part
+      .groupBy(_._1).toSeq.map { case (d, rs) =>
+        (d, rs.count(r => r._3 == 0L && r._2 == 1L).toLong,
+          rs.count(r => r._3 == 0L && r._2 == 0L).toLong,
+          rs.count(r => r._3 == 1L && r._2 == 1L).toLong,
+          rs.count(r => r._3 == 1L && r._2 == 0L).toLong)
+      }
+    val (h1, h2) = rows.splitAt(4)
+    val merged = (counts(h1) ++ counts(h2))
+      .groupBy(_._1).toSeq.map { case (d, rs) =>
+        (d, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum,
+          rs.map(_._5).sum)
+      }
+    val fc = Survival.logRankFromCounts(
+      merged.toDF("duration", "d_a", "c_a", "d_b", "c_b")).collect().head
+    fc shouldBe raw
+  }
+}
