@@ -52,6 +52,13 @@ object Bench {
       // drop anything a query persisted and didn't release: runs must
       // not feed each other (or later queries) through the CacheManager
       spark.catalog.clearCache()
+      // and delete the run's per-invocation streaming state dirs: 900
+      // invocations would otherwise pile thousands of parquet state
+      // dirs into the OS temp root for the box to carry across rounds
+      SparkEntry.drainInvocationStateDirs().foreach { dir =>
+        try graft.sources.PathIO.deleteDir(spark, dir)
+        catch { case _: Throwable => () }
+      }
       dt
     }
     // a typo'd name in the subset env var must fail loudly — an all-miss

@@ -848,6 +848,52 @@ object ScaleSmoke {
         ev.filter(col("half") === 1), "t", "arm", "ok", st)
       streaming.StreamingAbTest.abView(merged, "t").count()
     }
+    time("mann-whitney (200 groups)") {
+      operators.Hypothesis.mannWhitneyU(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("arm"),
+          pmod(col("event_id"), lit(1000)).as("v")),
+        "g", "arm", "v").count()
+    }
+    time("cliffs delta (200 groups)") {
+      operators.Hypothesis.cliffsDelta(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("arm"),
+          pmod(col("event_id"), lit(1000)).as("v")),
+        "g", "arm", "v").count()
+    }
+    time("kruskal-wallis (200 groups, 5 arms)") {
+      operators.Hypothesis.kruskalWallis(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(5)).as("arm"),
+          pmod(col("event_id"), lit(1000)).as("v")),
+        "g", "arm", "v").count()
+    }
+    time("kendall tau (200 groups, 40x40)") {
+      operators.Hypothesis.kendallTau(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(40)).as("x"),
+          pmod(col("user_id") + col("event_id"), lit(40)).as("y")),
+        "g", "x", "y").count()
+    }
+    time("lloyd ivf (2 rounds, n/10 vectors)") {
+      val vecs = events(rows).filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("event_id").as("vec_id"),
+          array((0 until 16).map(i =>
+            (pmod(hash(col("event_id") + i), lit(1000)).cast("float") /
+              1000.0f) + 0.001f): _*).as("embedding"))
+      operators.Similarity.sphericalLloydIvfTopK(
+        vecs.filter(col("vec_id") < 100), vecs, "vec_id", "embedding",
+        k = 3, nCells = 16, nprobe = 2, iters = 2).count()
+    }
+    time("logrank (3000 durations)") {
+      operators.Survival.logRank(
+        events(rows).select(pmod(col("event_id"), lit(3000)).as("dur"),
+          when(pmod(col("event_id"), lit(3)) === 0, 1L).otherwise(0L)
+            .as("ev"),
+          pmod(col("user_id"), lit(2)).as("arm")),
+        "dur", "ev", "arm", bucketWidth = 256L).count()
+    }
     spark.stop()
   }
 }

@@ -70,6 +70,35 @@ object SparkEntry {
     })
   }
 
+  /** Per-invocation streaming state dirs created by entries since the
+    * last drain. Unlike `stateFixture` dirs (read-only, shared by all
+    * three Bench runs of a query), these are created FRESH on every
+    * invocation — a three-run 300-query bench would otherwise leave
+    * thousands of parquet state dirs in the OS temp root (~3k dirs
+    * observed after a few rounds of local runs). The harness drains
+    * and deletes after each timed run; nothing else reads a drained
+    * path (each invocation's dir dies with the invocation).
+    */
+  private val invocationStateDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def invocationStateDir(tag: String, leaf: String): String = {
+    val p = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_state").toString
+    invocationStateDirs.add(p)
+    p + "/" + leaf
+  }
+
+  /** Drain the per-invocation state dirs created since the last call
+    * (harness cleanup hook — see [[invocationStateDirs]]).
+    */
+  private[graft] def drainInvocationStateDirs(): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    var p = invocationStateDirs.poll()
+    while (p != null) { b += p; p = invocationStateDirs.poll() }
+    b.result()
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q03_star_join")(spark, "/root/testdata/sf0.001")
@@ -100,6 +129,30 @@ object SparkEntry {
           (col("l_discount").cast("decimal(4,2)") * 100).cast("long")
             .as("disc_pct")),
         "l_returnflag", "qty", "disc_pct")),
+
+    // effect size behind a rank test: does a deep discount move the
+    // quantity DISTRIBUTION, and by how much? Cliff's delta per
+    // return flag (arms = discount >= 5%), delta from the exact
+    // midrank A = 2U−n_a·n_b, magnitude via integer
+    // cross-multiplication against the Romano thresholds
+    "q300_cliffs_delta" -> ((s, d) =>
+      operators.Hypothesis.cliffsDelta(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("arm"),
+          col("l_quantity").cast("long").as("qty")),
+        "l_returnflag", "arm", "qty")),
+
+    // k-arm rank ANOVA: does event value differ across three user-id
+    // cohorts per event type? (a null experiment — significance
+    // should be rare.) Midranks from the per-value table; the exact
+    // micro-unit quotient split keeps Σ R²/n integral, so the χ²
+    // comparison runs in DECIMAL(38,0) with a raise-on-borderline
+    // band instead of a rounded double
+    "q301_kruskal_wallis" -> ((s, d) =>
+      operators.Hypothesis.kruskalWallis(
+        t(s, d, "events").select(col("event_type"),
+          (col("user_id") % 3).cast("long").as("arm"), col("value")),
+        "event_type", "arm", "value")),
 
     // do BUILDING-segment customers churn differently? two-arm
     // log-rank over the q232 churn observations: O−E and V as exact
@@ -884,8 +937,7 @@ object SparkEntry {
     // q154's compaction maintained across two micro-batches; final
     // view must equal one-shot compaction under any split
     "q159_streaming_cdc" -> ((s, d) => {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_q159_state").toString + "/cdc"
+      val st = invocationStateDir("q159", "cdc")
       val ev = t(s, d, "events")
       def tick(p: Int) = streaming.StreamingCdc.acceptBatch(
         ev.filter(col("event_id") % 2 === p), "user_id",
@@ -979,8 +1031,7 @@ object SparkEntry {
     // streaming drift monitor: register a baseline token-count
     // histogram (even doc_ids), score two odd-id batches against it
     "q151_streaming_drift" -> ((s, d) => {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_q151_state").toString + "/baseline"
+      val st = invocationStateDir("q151", "baseline")
       val v = t(s, d, "documents").select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
       streaming.StreamingDrift.registerBaseline(
@@ -1065,8 +1116,7 @@ object SparkEntry {
     // maintained across two micro-batches must equal the one-shot
     // batch aggregate — additive partials, decimal-summed
     "q142_streaming_daily_agg" -> ((s, d) => {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_q142_state").toString + "/mv"
+      val st = invocationStateDir("q142", "mv")
       val ev = t(s, d, "events")
       def tick(p: Int) = streaming.StreamingAgg.acceptBatch(
         ev.filter(col("event_id") % 2 === p), "ts", "event_type", "value", st)
@@ -1165,8 +1215,7 @@ object SparkEntry {
     // per-invocation temp dir; acceptBatch materializes the result
     // eagerly before committing state.
     "q64_streaming_curation" -> ((s, d) => {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_q64_state").toString + "/state"
+      val state = invocationStateDir("q64", "state")
       streaming.StreamingCuration.acceptBatch(
           t(s, d, "documents"), "text", "doc_id", state)
         .select("doc_id", "lang", "n_chars")
@@ -1179,8 +1228,7 @@ object SparkEntry {
     // synthetic docs; EAGER like q64/q82 (registerEvalSet commits the
     // gram table before the screen runs)
     "q87_streaming_decontamination" -> ((s, d) => {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_q87_state").toString + "/state"
+      val state = invocationStateDir("q87", "state")
       val docs = t(s, d, "documents")
       streaming.StreamingCuration.registerEvalSet(
         docs.filter(col("doc_id") % 10 === 0), "text", state, n = 3)
@@ -1338,12 +1386,17 @@ object SparkEntry {
         .withColumn("cos_sim", pround(col("cos_sim"), 4))
     }),
 
-    // rows-only: learned-cell IVF (k-means centroids are seed-stable in
-    // Spark but not reproducible in SQL)
+    // learned-cell IVF, GRADUATED to a hash oracle (round 11): the
+    // replayable spherical-Lloyd fit (deterministic smallest-id init,
+    // two unrollable assignment rounds) replaces the MLlib k-means||
+    // fit in the ENTRY — the oracle replays both rounds as CTEs, the
+    // PageRank discipline. `kmeansIvfTopK` (the MLlib path) remains
+    // the production alternative, recall-gated in SimilaritySpec.
     "q34_ann_kmeans" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.kmeansIvfTopK(emb.filter(col("vec_id") < 10), emb,
-          "vec_id", "embedding", k = 3, nCells = 8, nprobe = 3)
+      Similarity.sphericalLloydIvfTopK(emb.filter(col("vec_id") < 10),
+          emb, "vec_id", "embedding", k = 3, nCells = 8, nprobe = 3,
+          iters = 2)
         .withColumn("cos_sim", pround(col("cos_sim"), 4))
     }),
 
@@ -1364,8 +1417,7 @@ object SparkEntry {
     // screened against accepted band keys; q26's banding constants so
     // the oracle reuses the literal plane SQL
     "q108_streaming_embed_dedup" -> ((s, d) => {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_q108_state").toString + "/bands"
+      val state = invocationStateDir("q108", "bands")
       val emb = t(s, d, "embeddings")
       def tick(parity: Int) = streaming.StreamingEmbedDedup.acceptBatch(
         emb.filter(col("vec_id") % 2 === parity), "embedding", "vec_id",
@@ -1621,8 +1673,7 @@ object SparkEntry {
     // must equal the one-shot solve, so q69 shares q65's oracle. State
     // lands in a per-invocation temp dir.
     "q69_streaming_components" -> ((s, d) => {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_q69_state").toString + "/components"
+      val st = invocationStateDir("q69", "components")
       def part(cond: org.apache.spark.sql.Column) =
         t(s, d, "documents").filter(cond)
           .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
@@ -1749,8 +1800,7 @@ object SparkEntry {
     // screen itself — Bench times the builder call + the action
     // together, so its q82 number includes the real work.
     "q82_streaming_budget" -> ((s, d) => {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_q82_state").toString + "/spent"
+      val st = invocationStateDir("q82", "spent")
       val toks = t(s, d, "documents")
         .withColumn("n", functions.TextFns.bpeishTokenCount(col("text")))
         .select("doc_id", "source", "n")
@@ -1999,8 +2049,7 @@ object SparkEntry {
     // spec-pinned), then the rank-limited view — ranks may REORDER as
     // counts accrue, which windowed approximations lose
     "q177_streaming_topk" -> ((s, d) => {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_q177_state").toString + "/state"
+      val st = invocationStateDir("q177", "state")
       val docs = t(s, d, "documents")
       streaming.StreamingTopK.acceptBatch(
         docs.filter(col("doc_id") % 2 === 0), "text", "source", st)
@@ -3972,6 +4021,109 @@ object SparkEntry {
            |  ${pround("CASE WHEN d2x = 0 OR d2y = 0 THEN 0.0 ELSE 2.0 * CAST(sv AS DOUBLE) / sqrt(CAST(d2x AS DOUBLE) * CAST(d2y AS DOUBLE)) END", 6)} AS tau_b
            |FROM j""".stripMargin,
 
+      // the q298 midrank shape minus the variance: A = 2U−n_a·n_b
+      // exact, delta one double, magnitude via HUGEINT
+      // cross-multiplication against the ×1000 Romano thresholds
+      "q300_cliffs_delta" ->
+        s"""WITH cells AS (
+           |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+           |    CAST(sum(CASE WHEN l_discount >= 0.05 THEN 0 ELSE 1 END)
+           |      AS BIGINT) AS na,
+           |    CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nb
+           |  FROM lineitem GROUP BY 1, 2),
+           |r AS (
+           |  SELECT g, na, nb, na + nb AS f,
+           |    COALESCE(CAST(sum(na + nb) OVER (PARTITION BY g ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS BIGINT), 0) AS cum
+           |  FROM cells),
+           |a AS (
+           |  SELECT g, CAST(sum(na) AS BIGINT) AS n_a,
+           |    CAST(sum(nb) AS BIGINT) AS n_b,
+           |    CAST(sum(CAST(nb AS HUGEINT) * (2 * cum + f + 1))
+           |      AS HUGEINT) AS r2b
+           |  FROM r GROUP BY 1),
+           |b AS (
+           |  SELECT g, n_a, n_b,
+           |    r2b - CAST(n_b AS HUGEINT) * (n_b + 1)
+           |      - CAST(n_a AS HUGEINT) * n_b AS a2
+           |  FROM a WHERE n_a > 0 AND n_b > 0)
+           |SELECT g AS l_returnflag, n_a, n_b,
+           |  ${pround("CAST(a2 AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))", 6)} AS delta,
+           |  CASE
+           |    WHEN 1000 * abs(a2) < 147 * CAST(n_a AS HUGEINT) * n_b
+           |      THEN 'negligible'
+           |    WHEN 1000 * abs(a2) < 330 * CAST(n_a AS HUGEINT) * n_b
+           |      THEN 'small'
+           |    WHEN 1000 * abs(a2) < 474 * CAST(n_a AS HUGEINT) * n_b
+           |      THEN 'medium'
+           |    ELSE 'large' END AS magnitude
+           |FROM b""".stripMargin,
+
+      // the exact micro-unit quotient split mirrored in HUGEINT //:
+      // S6u is bit-identical to the engine's DECIMAL(38,0), the h
+      // text shares the one fixed double order, and the three-way
+      // significance CASE (low bound / high bound / error on the
+      // borderline band) is the same decision procedure
+      "q301_kruskal_wallis" ->
+        s"""WITH cells AS (
+           |  SELECT event_type AS g, user_id % 3 AS arm, value AS v,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+           |perv AS (
+           |  SELECT g, v, CAST(sum(c) AS BIGINT) AS f
+           |  FROM cells GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT g, v, f,
+           |    COALESCE(CAST(sum(f) OVER (PARTITION BY g ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS BIGINT), 0) AS cum
+           |  FROM perv),
+           |ties AS (
+           |  SELECT g, CAST(sum(CAST(f AS HUGEINT) * f * f - f)
+           |    AS HUGEINT) AS t
+           |  FROM ranked GROUP BY 1),
+           |perarm AS (
+           |  SELECT c.g, c.arm, CAST(sum(c.c) AS BIGINT) AS ng,
+           |    CAST(sum(CAST(c.c AS HUGEINT) * (2 * r.cum + r.f + 1))
+           |      AS HUGEINT) AS r2g
+           |  FROM cells c JOIN ranked r ON c.g = r.g AND c.v = r.v
+           |  GROUP BY 1, 2),
+           |qsplit AS (
+           |  SELECT g, arm, ng,
+           |    (r2g * r2g) % ng AS rem,
+           |    (r2g * r2g) // ng AS q
+           |  FROM perarm),
+           |s6 AS (
+           |  SELECT g,
+           |    CAST(sum(q * 1000000 + (rem * 1000000) // ng) AS HUGEINT)
+           |      AS s6u,
+           |    CAST(sum(ng) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS k_arms
+           |  FROM qsplit GROUP BY 1),
+           |j AS (
+           |  SELECT s6.g, s6u, n, k_arms, t,
+           |    CAST(n AS HUGEINT) * (n - 1) * (n + 1) - t AS w,
+           |    3 * CAST(n - 1 AS HUGEINT) * s6u
+           |      - 3000000 * CAST(n AS HUGEINT) * (n - 1) * (n + 1)
+           |        * (n + 1) AS lhslow,
+           |    CASE k_arms WHEN 2 THEN 3841459 WHEN 3 THEN 5991465
+           |      WHEN 4 THEN 7814728 WHEN 5 THEN 9487729
+           |      WHEN 6 THEN 11070498 WHEN 7 THEN 12591587
+           |      WHEN 8 THEN 14067140 WHEN 9 THEN 15507313
+           |      ELSE error('more than 9 arms') END AS c6
+           |  FROM s6 JOIN ties ON s6.g = ties.g WHERE k_arms >= 2)
+           |SELECT g AS event_type, n, k_arms,
+           |  ${pround("CASE WHEN w = 0 THEN 0.0 ELSE (3.0 * CAST(n - 1 AS DOUBLE) * (CAST(s6u AS DOUBLE) / 1000000.0) - 3.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * CAST(n + 1 AS DOUBLE) * CAST(n + 1 AS DOUBLE)) / CAST(w AS DOUBLE) END", 6)} AS h,
+           |  CASE WHEN w = 0 THEN false
+           |    WHEN lhslow > CAST(c6 AS HUGEINT) * w THEN true
+           |    WHEN lhslow + 3 * CAST(n - 1 AS HUGEINT) * k_arms
+           |      <= CAST(c6 AS HUGEINT) * w THEN false
+           |    ELSE error('borderline beyond exact resolution')
+           |  END AS significant
+           |FROM j""".stripMargin,
+
       // at-risk chains as suffix counts over the per-duration arm
       // table; E and V contributions pround6 into DECIMAL(18,6) sums,
       // the flag decided on the exact decimals
@@ -5838,6 +5990,60 @@ object SparkEntry {
            |    list_dot_product(p.qv, e.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos_sim
            |  FROM probes p JOIN e ON e.label = p.cell
            |  WHERE p.query_id <> e.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos_sim,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, ${pround("cos_sim", 4)} AS cos_sim
+           |FROM ranked WHERE rank <= 3""".stripMargin,
+
+      // the replayable spherical-Lloyd fit unrolled round-by-round
+      // (the PageRank discipline): smallest-id init, argmax-cosine
+      // assignment (ties -> smallest cell, same order as the engine's
+      // max(struct(sim, -cell))), per-dim mean rebuild, then the q25
+      // routing/scan body over the final assignment
+      "q34_ann_kmeans" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |init AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+           |  FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+           |a0 AS (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT e.vec_id, e.v, i.cell,
+           |      list_dot_product(e.v, i.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(i.c, i.c))) AS s
+           |    FROM e, init i)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1),
+           |cx1 AS (
+           |  SELECT cell, pos, avg(x) AS m
+           |  FROM (SELECT cell, unnest(v) AS x,
+           |          unnest(range(1, 1 + len(v))) AS pos FROM a0)
+           |  GROUP BY cell, pos),
+           |cent1 AS (SELECT cell, list(m ORDER BY pos) AS c FROM cx1 GROUP BY cell),
+           |a1 AS (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT e.vec_id, e.v, c1.cell,
+           |      list_dot_product(e.v, c1.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.c, c1.c))) AS s
+           |    FROM e, cent1 c1)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) = 1),
+           |cx2 AS (
+           |  SELECT cell, pos, avg(x) AS m
+           |  FROM (SELECT cell, unnest(v) AS x,
+           |          unnest(range(1, 1 + len(v))) AS pos FROM a1)
+           |  GROUP BY cell, pos),
+           |cent2 AS (SELECT cell, list(m ORDER BY pos) AS c FROM cx2 GROUP BY cell),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+           |routed AS (
+           |  SELECT query_id, qv, cell,
+           |    list_dot_product(qv, c) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c, c))) AS c_sim
+           |  FROM q, cent2),
+           |probes AS (
+           |  SELECT query_id, qv, cell FROM routed
+           |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, cell ASC) <= 3),
+           |scored AS (
+           |  SELECT p.query_id, a1.vec_id AS neighbor_id,
+           |    list_dot_product(p.qv, a1.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a1.v, a1.v))) AS cos_sim
+           |  FROM probes p JOIN a1 ON a1.cell = p.cell
+           |  WHERE p.query_id <> a1.vec_id),
            |ranked AS (
            |  SELECT query_id, neighbor_id, cos_sim,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank

@@ -44,6 +44,12 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    // all dumps are finished: delete the per-invocation streaming
+    // state dirs before exit (same hygiene hook as Bench)
+    SparkEntry.drainInvocationStateDirs().foreach { dir =>
+      try graft.sources.PathIO.deleteDir(spark, dir)
+      catch { case _: Throwable => () }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -260,6 +260,11 @@ object syntax {
       Similarity.dotTopK(df, corpus, idCol, vecCol, k)
     def rrfFuse(other: DataFrame, k0: Int = 60, topN: Int = 5): DataFrame =
       Similarity.rrfFuse(df, other, k0, topN)
+    def sphericalLloydIvfTopK(corpus: DataFrame, idCol: String,
+                              vecCol: String, k: Int, nCells: Int = 16,
+                              nprobe: Int = 2, iters: Int = 2): DataFrame =
+      Similarity.sphericalLloydIvfTopK(df, corpus, idCol, vecCol, k,
+        nCells, nprobe, iters)
     def mmr(query: DataFrame, idCol: String, vecCol: String, k: Int,
             lambda: Double = 0.7): DataFrame =
       Selection.mmr(df, query, idCol, vecCol, k, lambda)
@@ -336,6 +341,12 @@ object syntax {
     def kendallTau(groupCol: String, xCol: String, yCol: String,
                    maxCells: Long = 20000L): DataFrame =
       Hypothesis.kendallTau(df, groupCol, xCol, yCol, maxCells)
+    def cliffsDelta(groupCol: String, armCol: String,
+                    valCol: String): DataFrame =
+      Hypothesis.cliffsDelta(df, groupCol, armCol, valCol)
+    def kruskalWallis(groupCol: String, armCol: String,
+                      valCol: String): DataFrame =
+      Hypothesis.kruskalWallis(df, groupCol, armCol, valCol)
     def logRank(durationCol: String, eventCol: String, armCol: String,
                 bucketWidth: Long = 4096L): DataFrame =
       Survival.logRank(df, durationCol, eventCol, armCol, bucketWidth)

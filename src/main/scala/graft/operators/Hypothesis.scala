@@ -207,4 +207,180 @@ object Hypothesis {
             / sqrt(CAST($d2x AS DOUBLE) * CAST($d2y AS DOUBLE)) END"""))
           .as("tau_b"))
   }
+
+  /** Cliff's delta (≡ the rank-biserial correlation for two samples)
+    * per group: the EFFECT SIZE companion to [[mannWhitneyU]] — a
+    * significant U on a large corpus can reflect a trivially small
+    * shift, and delta is the calibrated "how big": P(b > a) −
+    * P(a > b) in [−1, 1], positive when arm 1 stochastically
+    * dominates.
+    *
+    * Shares the midrank contingency identity: with A = 2·U_b −
+    * n_a·n_b (exact DECIMAL(38,0), ties cancelling), delta =
+    * A / (n_a·n_b) — ONE fixed-order double, pround6. The reported
+    * `magnitude` (Romano et al. thresholds: negligible < 0.147 ≤
+    * small < 0.330 ≤ medium < 0.474 ≤ large) is decided by exact
+    * integer cross-multiplication — 1000·|A| vs threshold·n_a·n_b —
+    * never the rounded double.
+    *
+    * Scale shape: identical to [[mannWhitneyU]] (one hash aggregate
+    * to the per-value arm counts, one window over distinct values
+    * per group, one final aggregate; no joins). One-arm groups are
+    * dropped — no comparison exists.
+    */
+  def cliffsDelta(df: DataFrame, groupCol: String, armCol: String,
+                  valCol: String): DataFrame = {
+    val arm = when(col(armCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(armCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), arm.as("__arm"),
+        col(valCol).as("__v"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(sum(lit(1L) - col("__arm")).cast("long").as("__na"),
+        sum(col("__arm")).cast("long").as("__nb"))
+    val wPrior = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("__f", col("__na") + col("__nb"))
+      .withColumn("__cum",
+        coalesce(sum(col("__f")).over(wPrior), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cum") + col("__f") + lit(1L))
+    val g = ranked.groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__na")).cast("long").as("n_a"),
+        sum(col("__nb")).cast("long").as("n_b"),
+        sum(col("__nb").cast("decimal(38,0)") * col("__r2")).as("__r2b"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+    val aDec = "(__r2b - CAST(n_b AS DECIMAL(38,0)) * (n_b + 1)" +
+      " - CAST(n_a AS DECIMAL(38,0)) * n_b)"
+    val prod = "(CAST(n_a AS DECIMAL(38,0)) * n_b)"
+    g.select(col(groupCol), col("n_a"), col("n_b"),
+      p6(expr(s"CAST($aDec AS DOUBLE)" +
+        s" / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")).as("delta"),
+      expr(s"""CASE
+        WHEN 1000 * abs($aDec) < 147 * $prod THEN 'negligible'
+        WHEN 1000 * abs($aDec) < 330 * $prod THEN 'small'
+        WHEN 1000 * abs($aDec) < 474 * $prod THEN 'medium'
+        ELSE 'large' END""").as("magnitude"))
+  }
+
+  /** χ²₁ 5% critical values ×10⁶ for df = k−1 in 1..8 — the
+    * `kruskalWallis` significance table, kept integral so the
+    * comparison c·W runs in DECIMAL(38,0) micro-units.
+    */
+  private val chi2Crit6: Map[Int, Long] = Map(
+    1 -> 3841459L, 2 -> 5991465L, 3 -> 7814728L, 4 -> 9487729L,
+    5 -> 11070498L, 6 -> 12591587L, 7 -> 14067140L, 8 -> 15507313L)
+
+  /** Kruskal–Wallis H per group: the k-arm generalization of
+    * [[mannWhitneyU]] — "does ANY of these k cohorts' metric
+    * distribution differ?", the distribution-free one-way ANOVA. With
+    * midranks R_g per arm, H = 12/(n(n+1))·Σ R_g²/n_g − 3(n+1),
+    * tie-corrected H' = H / (1 − ΣT/(n³−n)), compared to the
+    * χ²_{k−1} 5% critical value.
+    *
+    * Exactness under DIVISION: Σ R_g²/n_g is not integral, so the
+    * per-arm quotient is split exactly — q = (2R_g)² div n_g and a
+    * FLOORED micro-unit remainder (rem·10⁶) div n_g — giving S6u =
+    * Σ (q·10⁶ + rem6u), an exact integer within k micro-units below
+    * the true Σ (2R_g)²/n_g · 10⁶. Both the reported `h` (one
+    * fixed-order double over S6u, pround6) and `significant` derive
+    * from it: via H'·W·10⁶ = 3(n−1)·S4u − 3n(n−1)(n+1)²·10⁶, the
+    * test compares LHSlow = the S6u version against c₆·W exactly in
+    * DECIMAL(38,0); the ≤ k·3(n−1) wide uncertainty band between
+    * LHSlow and LHSlow + 3(n−1)·k RAISES as borderline (≈10⁻⁶ of a
+    * χ² unit — unreachable off adversarial inputs) instead of
+    * guessing. W = n³−n−ΣT = 0 (all values tied) reports h = 0, not
+    * significant. One-arm groups are dropped; more than 9 arms
+    * raises (the critical table covers df ≤ 8 — bucket the arm
+    * column first).
+    *
+    * Overflow: every operand is ≤ ~12·10⁶·n⁴, inside DECIMAL(38,0)
+    * for n ≤ 5·10⁷ rows per group; a double pre-guard RAISES within
+    * 10% of capacity (the q287/mannWhitneyU pattern) — past that,
+    * test per finer group key.
+    *
+    * Scale shape: one hash aggregate to (group, value, arm) cells,
+    * one window over distinct values per group, two per-group
+    * aggregates (per-arm, then closing). No joins beyond the final
+    * per-group assembly of broadcast-size frames.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, armCol: String,
+                    valCol: String): DataFrame = {
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(armCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(armCol).as("__arm"),
+        col(valCol).as("__v"))
+      .groupBy(col("__g"), col("__arm"), col("__v"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    // per-(group,value) totals drive BOTH the midrank window and the
+    // tie term — the arm dimension folds out first
+    val perV = cells.groupBy(col("__g"), col("__v"))
+      .agg(sum(col("__c")).cast("long").as("__f"))
+    val wPrior = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("__cum",
+        coalesce(sum(col("__f")).over(wPrior), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cum") + col("__f") + lit(1L))
+    val ties = ranked.groupBy(col("__g"))
+      .agg(sum(col("__f").cast("decimal(38,0)") * col("__f") * col("__f")
+        - col("__f")).as("__t"))
+    // per-arm: n_g and the EXACT micro-unit quotient (2R_g)²/n_g
+    val perArm = cells
+      .join(ranked.select(col("__g"), col("__v"), col("__r2")),
+        Seq("__g", "__v"))
+      .groupBy(col("__g"), col("__arm"))
+      .agg(sum(col("__c")).cast("long").as("__ng"),
+        sum(col("__c").cast("decimal(38,0)") * col("__r2")).as("__r2g"))
+      .withColumn("__r2sq", col("__r2g") * col("__r2g"))
+      .withColumn("__rem", expr("CAST(pmod(__r2sq, __ng) AS DECIMAL(38,0))"))
+      .withColumn("__q",
+        expr("CAST((__r2sq - __rem) / __ng AS DECIMAL(38,0))"))
+      .withColumn("__rem6",
+        expr("CAST((CAST(__rem * 1000000 AS DECIMAL(38,0))" +
+          " - pmod(__rem * 1000000, __ng)) / __ng AS DECIMAL(38,0))"))
+    val g = perArm.groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__ng")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("k_arms"),
+        sum(col("__q") * 1000000 + col("__rem6")).as("__s6u"))
+      .filter(col("k_arms") >= 2L)
+    val assembled = g.join(
+      ties.withColumnRenamed("__g", groupCol), Seq(groupCol))
+    val w = "(CAST(n AS DECIMAL(38,0)) * (n - 1) * (n + 1) - __t)"
+    // LHSlow = 3(n−1)·S6u − 3n(n−1)(n+1)²·10⁶ ≤ H'·W·10⁶ < LHSlow + 3(n−1)·k
+    val lhsLow = s"(CAST(3 AS DECIMAL(38,0)) * (n - 1) * __s6u" +
+      s" - CAST(3000000 AS DECIMAL(38,0)) * n * (n - 1) * (n + 1) * (n + 1))"
+    val c6 = "(CASE k_arms " +
+      chi2Crit6.toSeq.sorted.map { case (df, c) =>
+        s"WHEN ${df + 1} THEN CAST($c AS DECIMAL(38,0)) "
+      }.mkString +
+      "ELSE CAST(raise_error('Hypothesis.kruskalWallis: more than 9 arms" +
+      " — the chi-square critical table covers df <= 8; bucket the arm" +
+      " column first') AS DECIMAL(38,0)) END)"
+    // double pre-guard: both comparison sides stay well inside
+    // DECIMAL(38,0); ~12e6·n⁴ crosses 9e37 near n = 5e7 per group
+    val guardD = "(12.0e6 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)" +
+      " * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    assembled.select(col(groupCol), col("n"), col("k_arms"),
+      p6(expr(s"""CASE WHEN $w = 0 THEN 0.0
+        ELSE (3.0 * CAST(n - 1 AS DOUBLE)
+            * (CAST(__s6u AS DOUBLE) / 1000000.0)
+          - 3.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+            * CAST(n + 1 AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+          / CAST($w AS DOUBLE) END""")).as("h"),
+      expr(s"""CASE
+        WHEN $w = 0 THEN false
+        WHEN $guardD > 8.1e37
+        THEN CAST(raise_error(
+          'Hypothesis.kruskalWallis: significance operands approach DECIMAL(38,0) capacity; test per finer group') AS BOOLEAN)
+        WHEN $lhsLow > $c6 * $w THEN true
+        WHEN $lhsLow + CAST(3 AS DECIMAL(38,0)) * (n - 1) * k_arms
+          <= $c6 * $w THEN false
+        ELSE CAST(raise_error(
+          'Hypothesis.kruskalWallis: statistic within the floored micro-unit band of the critical value — borderline beyond exact resolution') AS BOOLEAN)
+        END""").as("significant"))
+  }
 }

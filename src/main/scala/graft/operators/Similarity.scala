@@ -413,6 +413,67 @@ object Similarity {
     ivfTopK(queries, assigned, idCol, vecCol, "cell", k, nprobe)
   }
 
+  /** IVF top-k with REPLAYABLE learned cells: spherical Lloyd's with a
+    * deterministic init — the `iters`-assignment fit an oracle can
+    * unroll CTE-by-CTE (the PageRank discipline), where MLlib's
+    * k-means|| init is engine-private and only recall-gateable.
+    *
+    * Init: the `nCells` smallest-id vectors are the round-0 centroids
+    * (cell i = rank i by id). Each round assigns every vector to its
+    * max-cosine centroid (ties → smallest cell — exact doubles on both
+    * engines per the q24 `list_dot_product` precedent) and recomputes
+    * centroids as per-dimension means of the new assignment; after
+    * `iters` assignments the final partition feeds [[ivfTopK]]
+    * unchanged (whose routing re-derives means of the final
+    * assignment, exactly as the q25 oracle does).
+    *
+    * Scale shape per round: one broadcast of nCells centroid rows
+    * against the corpus (no corpus shuffle), one argmax HASH aggregate
+    * per vector (max(struct(sim, −cell)) — no per-id window), one
+    * dims-bounded mean rebuild. Rounds are data-independent
+    * (`iters` fixed), so the 100 TB cost is iters × (one corpus scan +
+    * one keys+vector aggregate). Cells that lose every member simply
+    * drop out (k-means' standard empty-cell shrink).
+    */
+  def sphericalLloydIvfTopK(queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            nCells: Int = 16, nprobe: Int = 2,
+                            iters: Int = 2): DataFrame = {
+    require(nCells >= 1 && nCells <= 256,
+      s"nCells must be in [1, 256] (centroids are broadcast): $nCells")
+    require(iters >= 1 && iters <= 8,
+      s"iters must be in [1, 8] (each is a full corpus scan): $iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol), col(vecCol).cast("array<double>")
+      .as(vecCol))
+    // round-0 centroids: the nCells smallest-id vectors, cell = id rank
+    val init = vecs.orderBy(col(idCol)).limit(nCells).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](1).toArray.toSeq)
+      }.toSeq
+    var centroids = init.toDF("cell", "__cv")
+    var assigned: DataFrame = null
+    for (t <- 1 to iters) {
+      val sims = vecs.join(broadcast(centroids))
+        .select(col(idCol), col(vecCol), col("cell"),
+          cosineFast(col(vecCol), col("__cv")).as("__sim"))
+      assigned = sims.groupBy(col(idCol))
+        .agg(first(col(vecCol)).as(vecCol),
+          max(struct(col("__sim"), (lit(0) - col("cell")).as("__negc")))
+            .as("__m"))
+        .select(col(idCol), col(vecCol),
+          (lit(0) - col("__m.__negc")).as("cell"))
+        .localCheckpoint(true)
+      // the LAST assignment's means are ivfTopK's routing centroids —
+      // recomputing them here would be a dead aggregate
+      if (t < iters)
+        centroids = perDimArrays(assigned.select(col("cell"), col(vecCol)),
+          vecCol, Seq("cell"), Seq("__cv" -> (c => avg(c))))
+    }
+    ivfTopK(queries, assigned, idCol, vecCol, "cell", k, nprobe)
+  }
+
   /** IVF-style top-k using a coarse-cell column (here: the provided
     * `label` as the cell; `kmeansIvfTopK` slots a learned assignment into
     * the same shape). Centroids are computed by element-wise mean

@@ -222,6 +222,21 @@ object Survival {
     * counts are ADDITIVE, so two `streaming.StreamingSurvival` states
     * (one per arm) joined on duration feed this closing directly —
     * the live test and the one-shot test share this implementation.
+    * That join is typically FULL OUTER (a duration with events in only
+    * one arm), so NULL arm counts are coalesced to 0 here — the same
+    * missing-key-means-zero convention every full-outer streaming
+    * merge in this codebase uses. Without it a NULL d_a would turn
+    * __d = d_a + d_b NULL and silently drop that duration's E and V
+    * contribution while its events still count in o_a/o_b — a biased
+    * chi² with no error.
+    *
+    * One-arm inputs (every observation in arm A, or in arm B) are a
+    * DEGENERATE CARD, not an empty frame: the contract above says one
+    * row, so the single row carries the populated n/o columns with
+    * e_a = o_a (the one-arm expectation is trivially the observation),
+    * chi2 = 0, significant = false. A caller doing `.head` on a
+    * one-arm slice gets the honest "no comparison possible" card
+    * instead of a NoSuchElementException.
     */
   def logRankFromCounts(counts: DataFrame,
                         bucketWidth: Long = 4096L): DataFrame = {
@@ -230,25 +245,37 @@ object Survival {
     import spark.implicits._
     val grouped = counts
       .filter(col("duration").isNotNull && col("duration") >= 0)
+      .withColumn("d_a", coalesce(col("d_a").cast("long"), lit(0L)))
+      .withColumn("c_a", coalesce(col("c_a").cast("long"), lit(0L)))
+      .withColumn("d_b", coalesce(col("d_b").cast("long"), lit(0L)))
+      .withColumn("c_b", coalesce(col("c_b").cast("long"), lit(0L)))
       .withColumn("__b", (col("duration") / lit(bucketWidth)).cast("long"))
       .localCheckpoint(true)
     // phase 1: per-arm at-risk chains — one collect carries BOTH arms'
     // bucket totals (the riskWithCumsum shape, doubled)
     val btot = grouped.groupBy(col("__b"))
       .agg(sum(col("d_a") + col("c_a")).cast("long").as("__sa"),
-        sum(col("d_b") + col("c_b")).cast("long").as("__sb"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        sum(col("d_b") + col("c_b")).cast("long").as("__sb"),
+        sum(col("d_a")).cast("long").as("__da"),
+        sum(col("d_b")).cast("long").as("__db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
       .sortBy(_._1)
     var accA = 0L; var accB = 0L
-    val offs = btot.map { case (b, sa, sb) =>
+    val offs = btot.map { case (b, sa, sb, _, _) =>
       val o = (b, accA, accB); accA += sa; accB += sb; o
     }
     val (totA, totB) = (accA, accB)
-    val empty = grouped.limit(0).select(
-      lit(0L).as("n_a"), lit(0L).as("n_b"), lit(0L).as("o_a"),
-      lit(0L).as("o_b"), lit(0.0).as("e_a"), lit(0.0).as("chi2"),
-      lit(false).as("significant"))
-    if (totA == 0L || totB == 0L) return empty
+    if (totA == 0L || totB == 0L) {
+      // one-arm (or empty) input: the contract's single row, as a
+      // degenerate card — no comparison possible, so e_a = o_a,
+      // chi2 = 0, never significant (see scaladoc)
+      val (oa, ob) = (btot.map(_._4).sum, btot.map(_._5).sum)
+      return Seq((totA, totB, oa, ob)).toDF("n_a", "n_b", "o_a", "o_b")
+        .select(col("n_a"), col("n_b"), col("o_a"), col("o_b"),
+          col("o_a").cast("double").as("e_a"), lit(0.0).as("chi2"),
+          lit(false).as("significant"))
+    }
     val offDf = broadcast(offs.toSeq.toDF("__b", "__offa", "__offb"))
     val wPrior = Window.partitionBy(col("__b")).orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)

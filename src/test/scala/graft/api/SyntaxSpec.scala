@@ -211,6 +211,16 @@ class SyntaxSpec extends SparkSpec {
     ra.rrfFuse(rb).queryExecution.analyzed
       .sameResult(graft.operators.Similarity.rrfFuse(ra, rb)
         .queryExecution.analyzed) shouldBe true
+    // sphericalLloydIvfTopK collects its init and localCheckpoints
+    // each assignment: compare results
+    val sv = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.1, 0.9))).toDF("id", "v")
+    sv.filter(col("id") === 1L)
+      .sphericalLloydIvfTopK(sv, "id", "v", k = 2, nCells = 2,
+        nprobe = 1, iters = 2).collect().toSeq shouldBe
+      graft.operators.Similarity.sphericalLloydIvfTopK(
+        sv.filter(col("id") === 1L), sv, "id", "v", k = 2, nCells = 2,
+        nprobe = 1, iters = 2).collect().toSeq
     // weightedSample/theilSen/decayedScores are plan-equal; mmr runs
     // driver rounds: compare results
     val ws = Seq((1L, 3L), (2L, 5L)).toDF("k", "w")
@@ -319,6 +329,15 @@ class SyntaxSpec extends SparkSpec {
     val kt = Seq(("g", 1L, 1L), ("g", 2L, 2L)).toDF("g", "x", "y")
     kt.kendallTau("g", "x", "y").collect().toSeq shouldBe
       graft.operators.Hypothesis.kendallTau(kt, "g", "x", "y")
+        .collect().toSeq
+    mw.cliffsDelta("g", "arm", "v").queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.cliffsDelta(mw, "g", "arm",
+        "v").queryExecution.analyzed) shouldBe true
+    // kruskalWallis localCheckpoints the cells table: compare results
+    val kw = Seq(("g", 0L, 1.0), ("g", 1L, 2.0), ("g", 2L, 3.0))
+      .toDF("g", "arm", "v")
+    kw.kruskalWallis("g", "arm", "v").collect().toSeq shouldBe
+      graft.operators.Hypothesis.kruskalWallis(kw, "g", "arm", "v")
         .collect().toSeq
     // logRank localCheckpoints the count table: compare results
     val lr = Seq((1L, 1L, 0L), (2L, 1L, 1L)).toDF("dur", "ev", "arm")

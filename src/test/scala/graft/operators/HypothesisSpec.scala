@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.functions.Rounding.p6d
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 class HypothesisSpec extends SparkSpec {
@@ -227,5 +228,161 @@ class HypothesisSpec extends SparkSpec {
     val fc = Survival.logRankFromCounts(
       merged.toDF("duration", "d_a", "c_a", "d_b", "c_b")).collect().head
     fc shouldBe raw
+  }
+
+  test("logRankFromCounts coalesces NULL arm counts (full-outer-join input)") {
+    // the same rows as the streaming-seam test, but merged the way two
+    // per-arm states actually arrive: a FULL OUTER join on duration,
+    // leaving NULLs where only one arm has that duration
+    val rows = Seq((1L, 1L, 0L), (2L, 1L, 1L), (2L, 0L, 0L), (4L, 1L, 1L),
+      (5L, 0L, 1L), (5L, 1L, 0L), (7L, 1L, 1L), (9L, 0L, 0L))
+    val raw = Survival.logRank(rows.toDF("dur", "ev", "arm"),
+      "dur", "ev", "arm").collect().head
+    val armA = rows.filter(_._3 == 0L).groupBy(_._1).toSeq.map {
+      case (d, rs) => (d, rs.count(_._2 == 1L).toLong,
+        rs.count(_._2 == 0L).toLong)
+    }.toDF("duration", "d_a", "c_a")
+    val armB = rows.filter(_._3 == 1L).groupBy(_._1).toSeq.map {
+      case (d, rs) => (d, rs.count(_._2 == 1L).toLong,
+        rs.count(_._2 == 0L).toLong)
+    }.toDF("duration", "d_b", "c_b")
+    val joined = armA.join(armB, Seq("duration"), "full_outer")
+    // sanity: the join really produced NULLs (else this test is vacuous)
+    joined.filter(col("d_a").isNull || col("d_b").isNull)
+      .count() should be > 0L
+    Survival.logRankFromCounts(joined).collect().head shouldBe raw
+  }
+
+  test("logRankFromCounts one-arm input emits ONE degenerate card, not zero rows") {
+    val oneArm = Seq((1L, 2L, 1L, 0L, 0L), (3L, 1L, 0L, 0L, 0L))
+      .toDF("duration", "d_a", "c_a", "d_b", "c_b")
+    val out = Survival.logRankFromCounts(oneArm).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe
+      ((4L, 0L, 3L, 0L))
+    r.getDouble(4) shouldBe 3.0 // e_a = o_a: no comparison possible
+    r.getDouble(5) shouldBe 0.0
+    r.getBoolean(6) shouldBe false
+    // and the fully-empty frame still honors the one-row contract
+    val empty = Survival.logRankFromCounts(
+      oneArm.limit(0)).collect()
+    empty.length shouldBe 1
+    empty.head.getLong(0) shouldBe 0L
+    empty.head.getBoolean(6) shouldBe false
+  }
+
+  // ---- Cliff's delta --------------------------------------------------
+
+  test("cliffsDelta hand-computed card") {
+    // arm0 {1,2,3} vs arm1 {2,3,4}: of the 9 pairs, 6 have b>a, 1 has
+    // a>b, 2 tie -> delta = 5/9, 'large' (>= 0.474)
+    val rows = Seq(("g", 0L, 1L), ("g", 0L, 2L), ("g", 0L, 3L),
+      ("g", 1L, 2L), ("g", 1L, 3L), ("g", 1L, 4L))
+    val out = Hypothesis.cliffsDelta(rows.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getLong(1), r.getLong(2)) shouldBe ((3L, 3L))
+    r.getDouble(3) shouldBe p6d(5.0 / 9.0)
+    r.getString(4) shouldBe "large"
+  }
+
+  test("cliffsDelta magnitude boundaries and degenerate groups") {
+    // identical arms -> delta 0, negligible; full separation -> 1, large
+    val rows = Seq(("t", 0L, 5L), ("t", 1L, 5L),
+      ("s", 0L, 1L), ("s", 1L, 2L),
+      ("lone", 0L, 7L)) // one-arm group: dropped
+    val out = Hypothesis.cliffsDelta(rows.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().map(r => r.getString(0) -> r).toMap
+    out.keySet shouldBe Set("t", "s")
+    out("t").getDouble(3) shouldBe 0.0
+    out("t").getString(4) shouldBe "negligible"
+    out("s").getDouble(3) shouldBe 1.0
+    out("s").getString(4) shouldBe "large"
+  }
+
+  test("cliffsDelta arm flip negates delta, keeps magnitude") {
+    val gen = for {
+      n <- Gen.choose(4, 30)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.oneOf(0L, 1L)
+        v <- Gen.choose(0L, 8L)
+      } yield ("g", a, v))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val both = rows.exists(_._2 == 0L) && rows.exists(_._2 == 1L)
+      (!both) || {
+        val d = Hypothesis.cliffsDelta(rows.toDF("g", "arm", "v"),
+          "g", "arm", "v").collect().head
+        val f = Hypothesis.cliffsDelta(
+          rows.map { case (g, a, v) => (g, 1L - a, v) }
+            .toDF("g", "arm", "v"), "g", "arm", "v").collect().head
+        f.getDouble(3) == -d.getDouble(3) &&
+          f.getString(4) == d.getString(4) &&
+          f.getLong(1) == d.getLong(2) && f.getLong(2) == d.getLong(1)
+      }
+    })
+  }
+
+  // ---- Kruskal–Wallis -------------------------------------------------
+
+  test("kruskalWallis hand-computed cards") {
+    // no ties, three arms {1,2},{3,4},{5,6}: H = 12/42*89.5 - 21
+    val clean = Seq(("g", 0L, 1.0), ("g", 0L, 2.0), ("g", 1L, 3.0),
+      ("g", 1L, 4.0), ("g", 2L, 5.0), ("g", 2L, 6.0))
+    val r0 = Hypothesis.kruskalWallis(clean.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    (r0.getLong(1), r0.getLong(2)) shouldBe ((6L, 3L))
+    r0.getDouble(3) shouldBe p6d(12.0 / 42.0 * 89.5 - 21.0)
+    r0.getBoolean(4) shouldBe false
+    // heavy ties, two arms {1,2,2} vs {2,3}: tie-corrected H' = 5/3
+    val tied = Seq(("g", 0L, 1.0), ("g", 0L, 2.0), ("g", 0L, 2.0),
+      ("g", 1L, 2.0), ("g", 1L, 3.0))
+    val r1 = Hypothesis.kruskalWallis(tied.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    r1.getDouble(3) shouldBe 1.666667
+    r1.getBoolean(4) shouldBe false
+    // full separation {1 x5} vs {2 x5}: H' = 9.0 > 3.841459
+    val split = (1 to 5).map(_ => ("g", 0L, 1.0)) ++
+      (1 to 5).map(_ => ("g", 1L, 2.0))
+    val r2 = Hypothesis.kruskalWallis(split.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    r2.getDouble(3) shouldBe 9.0
+    r2.getBoolean(4) shouldBe true
+    // all values tied: W = 0 -> degenerate, never significant
+    val flat = Seq(("g", 0L, 1.0), ("g", 1L, 1.0), ("g", 2L, 1.0))
+    val r3 = Hypothesis.kruskalWallis(flat.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    r3.getDouble(3) shouldBe 0.0
+    r3.getBoolean(4) shouldBe false
+    // one-arm groups are dropped
+    Hypothesis.kruskalWallis(
+      Seq(("lone", 0L, 1.0), ("lone", 0L, 2.0)).toDF("g", "arm", "v"),
+      "g", "arm", "v").collect() shouldBe empty
+  }
+
+  test("kruskalWallis with two arms squares the Mann-Whitney z") {
+    // H' (tie-corrected) == z^2 exactly for k = 2 — the two operators
+    // share the midrank contingency, so this pins both derivations
+    val gen = for {
+      n <- Gen.choose(6, 40)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.oneOf(0L, 1L)
+        v <- Gen.choose(0L, 10L)
+      } yield ("g", a, v))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val both = rows.exists(_._2 == 0L) && rows.exists(_._2 == 1L)
+      (!both) || {
+        val df = rows.map { case (g, a, v) => (g, a, v.toDouble) }
+          .toDF("g", "arm", "v")
+        val h = Hypothesis.kruskalWallis(df, "g", "arm", "v")
+          .collect().head.getDouble(3)
+        val z = Hypothesis.mannWhitneyU(df, "g", "arm", "v")
+          .collect().head.getDouble(4)
+        math.abs(h - z * z) < 1e-4
+      }
+    })
   }
 }

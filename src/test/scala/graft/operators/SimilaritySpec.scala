@@ -68,6 +68,28 @@ class SimilaritySpec extends SparkSpec {
     km shouldBe bf
   }
 
+  test("sphericalLloydIvfTopK converges on clustered data and matches brute force") {
+    // same three orthogonal clusters; ids cycle i % 3, so the
+    // smallest-id init (vectors 0, 1, 2) seeds one centroid per
+    // cluster and max-cosine assignment separates them in round one
+    // (cross-cluster cosine ~0); with nprobe = 1 the probe scans
+    // exactly the query's own cluster and top-k equals brute force
+    val rnd = new scala.util.Random(11)
+    def around(base: Seq[Double]) = base.map(_ + rnd.nextGaussian() * 0.01)
+    val rows = (0 until 30).map { i =>
+      val base = Seq(Seq(10.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0))(i % 3)
+      (i.toLong, around(base))
+    }
+    val corpus3 = emb(rows: _*)
+    val q = corpus3.filter("vec_id = 0")
+    val bf = Similarity.bruteForceTopK(q, corpus3, "vec_id", "embedding", k = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val ll = Similarity.sphericalLloydIvfTopK(q, corpus3, "vec_id",
+        "embedding", k = 5, nCells = 3, nprobe = 1, iters = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    ll shouldBe bf
+  }
+
   test("ivfTopK with exhaustive probes matches brute force ordering") {
     // 2 cells; nprobe = 2 probes all cells -> exact
     val labeled = corpus.withColumn("label", (col("vec_id") % 2).cast("int"))
@@ -79,25 +101,29 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe bf
   }
 
-  test("q34 k-means IVF recall@3 vs hash-verified q24 brute force") {
-    // q34 is un-oracle-able (seeded MLlib fit), so its CORRECTNESS
-    // contract is this recall gate against q24's exact top-k on the
-    // same driver-generated testdata and the q34 entry's own
-    // parameters (k=3, nCells=8, nprobe=3, seed fixed). Measured
-    // recall is 0.77 at sf0.001 / 0.60 at sf0.01; the 0.5 floor
+  test("k-means IVF (MLlib and Lloyd) recall@3 vs hash-verified q24 brute force") {
+    // the q34 ENTRY graduated to a hash oracle (replayable
+    // spherical-Lloyd fit); this recall gate stays as the CORRECTNESS
+    // contract for the MLlib production path (seeded k-means|| fit,
+    // un-oracle-able in SQL) and as a usefulness floor for both fits
+    // at the entry's parameters (k=3, nCells=8, nprobe=3). Measured
+    // MLlib recall is 0.77 at sf0.001 / 0.60 at sf0.01; the 0.5 floor
     // leaves margin for testdata regeneration while still failing on
     // a broken routing or assignment (random cells recall ~nprobe/8).
     val d = "/root/testdata/sf0.001"
-    def pairs(name: String) =
-      graft.SparkEntry.queries(name)(spark, d)
-        .select("query_id", "neighbor_id").collect()
+    val emb = graft.Tables.load(spark, d, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val bf = pairs("q24_ann_bruteforce")
-    val km = pairs("q34_ann_kmeans")
+    val bf = pairs(graft.SparkEntry.queries("q24_ann_bruteforce")(spark, d))
     bf.size shouldBe 30 // 10 queries x k=3
+    val km = pairs(Similarity.kmeansIvfTopK(emb.filter(col("vec_id") < 10),
+      emb, "vec_id", "embedding", k = 3, nCells = 8, nprobe = 3))
     km.size shouldBe 30
-    val recall = (km & bf).size.toDouble / bf.size
-    recall should be >= 0.5
+    (km & bf).size.toDouble / bf.size should be >= 0.5
+    val lloyd = pairs(graft.SparkEntry.queries("q34_ann_kmeans")(spark, d))
+    lloyd.size shouldBe 30
+    (lloyd & bf).size.toDouble / bf.size should be >= 0.5
   }
 
   test("multi-probe SRP recall@3 dominates single-bucket SRP on real embeddings") {
