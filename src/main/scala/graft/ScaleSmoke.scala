@@ -876,6 +876,32 @@ object ScaleSmoke {
           pmod(col("user_id") + col("event_id"), lit(40)).as("y")),
         "g", "x", "y").count()
     }
+    time("cohens kappa (200 groups)") {
+      operators.Metrics.cohensKappa(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(5)).cast("string").as("a"),
+          pmod(col("event_id") + col("user_id"), lit(5)).cast("string")
+            .as("b")),
+        "g", "a", "b").count()
+    }
+    time("wasserstein (200 groups)") {
+      operators.Profile.wasserstein1d(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("arm"),
+          pmod(col("event_id"), lit(1000)).cast("double").as("v")),
+        "g", "arm", "v").count()
+    }
+    time("personalized pagerank (4 rounds)") {
+      val prs = events(rows)
+        .select(pmod(col("event_id"), lit(rows / 4)).as("id_a"),
+          pmod(col("event_id") * 31 + col("user_id"), lit(rows / 4))
+            .as("id_b"))
+        .filter(col("id_a") =!= col("id_b")).limit(2000000)
+      operators.PageRank.personalizedRanks(prs,
+        events(rows).select(pmod(col("event_id"), lit(100)).as("node"))
+          .limit(50),
+        iterations = 4).count()
+    }
     time("lloyd ivf (2 rounds, n/10 vectors)") {
       val vecs = events(rows).filter(pmod(col("event_id"), lit(10)) === 0)
         .select(col("event_id").as("vec_id"),

@@ -154,6 +154,41 @@ object SparkEntry {
           (col("user_id") % 3).cast("long").as("arm"), col("value")),
         "event_type", "arm", "value")),
 
+    // label-quality audit: does the stored language tag agree with
+    // the recomputed marker-token language id beyond chance? Cohen's
+    // kappa per source — numerator/denominator exact DECIMAL(38,0)
+    // rationals in the confusion-cell counts, Landis–Koch strength
+    // band by 5·A vs k·B cross-multiplication
+    "q303_cohens_kappa" -> ((s, d) =>
+      operators.Metrics.cohensKappa(
+        t(s, d, "documents").select(col("source"),
+          col("lang").as("lang_actual"),
+          functions.TextFns.langId(col("text")).as("lang_pred")),
+        "source", "lang_actual", "lang_pred")),
+
+    // distribution drift in VALUE units: exact 1-D Wasserstein
+    // between open and non-open line items' quantity distributions
+    // per return flag — |cumA·n_b − cumB·n_a| exact, one fixed-order
+    // double per grid step into a DECIMAL(18,6) sum
+    "q304_wasserstein" -> ((s, d) =>
+      operators.Profile.wasserstein1d(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          when(col("l_linestatus") === "O", 1L).otherwise(0L).as("arm"),
+          col("l_quantity")),
+        "l_returnflag", "arm", "l_quantity")),
+
+    // graph proximity to a known batch: personalized PageRank over
+    // the q127 near-dup candidate graph, restart mass confined to
+    // the doc_id % 7 seed set — same BIGINT fixpoint, unrolled-CTE
+    // oracle, 4 rounds
+    "q305_personalized_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.PageRank.personalizedRanks(
+        Dedup.minhashCandidates(docs, "text", "doc_id"),
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+        iterations = 4)
+    }),
+
     // do BUILDING-segment customers churn differently? two-arm
     // log-rank over the q232 churn observations: O−E and V as exact
     // DECIMAL(18,6) sums of pround6 hypergeometric contributions,
@@ -4177,6 +4212,117 @@ object SparkEntry {
            |        * (CAST(o_a AS DECIMAL(18,6)) - ea)
            |      > CAST(3.841459 AS DECIMAL(7,6)) * v END AS significant
            |FROM ag, tot""".stripMargin,
+
+      // q30's marker-token prediction chain feeding the exact
+      // rational kappa: A = n·agree − Σ ra·rb, B = n² − Σ ra·rb in
+      // HUGEINT, the Landis–Koch band by 5·A vs k·B
+      "q303_cohens_kappa" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |m(lang, w) AS (VALUES $markerValues),
+           |scores AS (
+           |  SELECT t.doc_id, m.lang, count(*) AS sc
+           |  FROM toks t JOIN m ON t.token = m.w GROUP BY t.doc_id, m.lang),
+           |best AS (
+           |  SELECT doc_id, lang FROM scores
+           |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1),
+           |pred AS (
+           |  SELECT d.source, d.lang AS a, COALESCE(b.lang, 'und') AS b
+           |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+           |  WHERE d.source IS NOT NULL AND d.lang IS NOT NULL),
+           |cells AS (
+           |  SELECT source AS g, a, b, CAST(count(*) AS BIGINT) AS c
+           |  FROM pred GROUP BY 1, 2, 3),
+           |per AS (
+           |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+           |      AS agree
+           |  FROM cells GROUP BY 1),
+           |ra AS (SELECT g, a AS l, CAST(sum(c) AS BIGINT) AS rra
+           |  FROM cells GROUP BY 1, 2),
+           |rb AS (SELECT g, b AS l, CAST(sum(c) AS BIGINT) AS rrb
+           |  FROM cells GROUP BY 1, 2),
+           |pe AS (
+           |  SELECT ra.g, CAST(sum(CAST(rra AS HUGEINT) * rrb) AS HUGEINT)
+           |    AS pev
+           |  FROM ra JOIN rb ON ra.g = rb.g AND ra.l = rb.l GROUP BY 1),
+           |j AS (
+           |  SELECT per.g, n, agree,
+           |    CAST(n AS HUGEINT) * agree - pev AS a2,
+           |    CAST(n AS HUGEINT) * n - pev AS b2
+           |  FROM per JOIN pe ON per.g = pe.g)
+           |SELECT g AS source, n, agree,
+           |  ${pround("CASE WHEN b2 = 0 THEN 0.0 ELSE CAST(a2 AS DOUBLE) / CAST(b2 AS DOUBLE) END", 6)} AS kappa,
+           |  CASE WHEN b2 = 0 THEN 'degenerate'
+           |    WHEN 5 * a2 <= 0 THEN 'poor'
+           |    WHEN 5 * a2 <= 1 * b2 THEN 'slight'
+           |    WHEN 5 * a2 <= 2 * b2 THEN 'fair'
+           |    WHEN 5 * a2 <= 3 * b2 THEN 'moderate'
+           |    WHEN 5 * a2 <= 4 * b2 THEN 'substantial'
+           |    ELSE 'almost perfect' END AS strength
+           |FROM j""".stripMargin,
+
+      // discrete EMD closed form on the shared quantity grid; the
+      // per-step term text mirrors the engine's one fixed double
+      // order, summed as DECIMAL(18,6)
+      "q304_wasserstein" ->
+        s"""WITH cells AS (
+           |  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v,
+           |    CAST(sum(CASE WHEN l_linestatus = 'O' THEN 0 ELSE 1 END)
+           |      AS BIGINT) AS na,
+           |    CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nb
+           |  FROM lineitem GROUP BY 1, 2),
+           |st AS (
+           |  SELECT g, v, na, nb,
+           |    CAST(sum(na) OVER (PARTITION BY g) AS BIGINT) AS ta,
+           |    CAST(sum(nb) OVER (PARTITION BY g) AS BIGINT) AS tb,
+           |    CAST(sum(na) OVER (PARTITION BY g ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cuma,
+           |    CAST(sum(nb) OVER (PARTITION BY g ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cumb,
+           |    lead(v) OVER (PARTITION BY g ORDER BY v) - v AS gap
+           |  FROM cells)
+           |SELECT g AS l_returnflag,
+           |  CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+           |  CAST(CAST(sum(CAST(CASE WHEN gap IS NOT NULL AND ta > 0 AND tb > 0 THEN ${pround("CAST(abs(CAST(cuma AS HUGEINT) * tb - CAST(cumb AS HUGEINT) * ta) AS DOUBLE) / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) * gap", 6)} ELSE 0.0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS emd
+           |FROM st GROUP BY 1
+           |HAVING max(ta) > 0 AND max(tb) > 0""".stripMargin,
+
+      // q127's candidate-graph CTEs with restart mass confined to the
+      // doc_id % 7 seeds, 4 unrolled rounds
+      "q305_personalized_pagerank" -> {
+        val rounds = (1 to 4).map { k =>
+          s"""r$k AS (
+             |  SELECT n.node, n.deg, n.is_seed,
+             |    CAST((CASE WHEN n.is_seed THEN 150000 ELSE 0 END)
+             |      + COALESCE(s.inflow, 0) AS BIGINT) AS rank
+             |  FROM (SELECT node, deg, is_seed FROM r0) n
+             |  LEFT JOIN (
+             |    SELECT e.dst AS node, CAST(sum((r.rank * 85) // (100 * r.deg)) AS BIGINT) AS inflow
+             |    FROM edges e JOIN r${k - 1} r ON r.node = e.src
+             |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
+           |seeds AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id % 7 = 0),
+           |r0 AS (
+           |  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg,
+           |    s.node IS NOT NULL AS is_seed,
+           |    CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+           |  FROM edges e LEFT JOIN seeds s ON e.src = s.node
+           |  GROUP BY e.src, s.node),
+           |$rounds
+           |SELECT node, deg, is_seed, rank FROM r4""".stripMargin
+      },
 
       "q01_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,

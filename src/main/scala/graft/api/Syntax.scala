@@ -175,6 +175,10 @@ object syntax {
     def bipartiteHits(hubCol: String, authCol: String,
                       iterations: Int = 2): DataFrame =
       Hits.bipartiteHits(df, hubCol, authCol, iterations)
+    def personalizedPageRank(seeds: DataFrame, aCol: String = "id_a",
+                             bCol: String = "id_b",
+                             iterations: Int = 4): DataFrame =
+      PageRank.personalizedRanks(df, seeds, aCol, bCol, iterations)
     def weightedPageRank(aCol: String = "id_a", bCol: String = "id_b",
                          wCol: String = "w", iterations: Int = 3): DataFrame =
       PageRank.weightedRanks(df, aCol, bCol, wCol, iterations)
@@ -301,6 +305,12 @@ object syntax {
       Resample.crossCorr(df, ys, ordCol, xCol, yCol, maxLag)
     def woeIv(binCol: String, labelCol: String): DataFrame =
       Metrics.woeIv(df, binCol, labelCol)
+    def cohensKappa(groupCol: String, aCol: String,
+                    bCol: String): DataFrame =
+      Metrics.cohensKappa(df, groupCol, aCol, bCol)
+    def wasserstein1d(groupCol: String, armCol: String,
+                      valCol: String): DataFrame =
+      Profile.wasserstein1d(df, groupCol, armCol, valCol)
     def pChart(periodCol: String, defectCol: String): DataFrame =
       Audit.pChart(df, periodCol, defectCol)
     def gini(groupCol: String, keyCol: String, valueCol: String,

@@ -506,4 +506,64 @@ object Metrics {
              | / (1.0 + $zs * $zs / n))""".stripMargin))
           .as("wilson_lb"))
   }
+
+  /** Cohen's kappa per group: chance-corrected agreement between two
+    * categorical labelings of the same items — the label-quality audit
+    * for training data ("does the stored language tag agree with the
+    * recomputed language id beyond what marginal frequencies would
+    * produce by luck?"). Raw accuracy rewards a labeler that always
+    * answers the majority class; kappa subtracts that.
+    *
+    * Entirely rational in the cell counts: with n items, `agree` =
+    * Σ_c n_cc diagonal matches and marginals ra(c)/rb(c),
+    *   kappa = (n·agree − Σ_c ra(c)·rb(c)) / (n² − Σ_c ra(c)·rb(c))
+    * — numerator A and denominator B exact DECIMAL(38,0), kappa ONE
+    * fixed-order double (pround6), and the Landis–Koch `strength`
+    * band decided by exact cross-multiplication 5·A vs k·B (bands at
+    * 0 / 0.2 / 0.4 / 0.6 / 0.8), never the rounded double. B = 0
+    * (both labelings constant — chance agreement is certain) reports
+    * kappa 0 with strength 'degenerate'.
+    *
+    * Scale shape: one hash aggregate to (group, a, b) cells, two
+    * vocabulary-bounded marginal aggregates equi-joined on (group,
+    * label), one closing per-group aggregate. No windows.
+    */
+  def cohensKappa(df: DataFrame, groupCol: String, aCol: String,
+                  bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(aCol).isNotNull &&
+        col(bCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(aCol).as("__a"),
+        col(bCol).as("__b"))
+      .groupBy(col("__g"), col("__a"), col("__b"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val per = cells.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("n"),
+        sum(when(col("__a") === col("__b"), col("__c"))
+          .otherwise(lit(0L))).cast("long").as("agree"))
+    val ra = cells.groupBy(col("__g"), col("__a").as("__l"))
+      .agg(sum(col("__c")).cast("long").as("__ra"))
+    val rb = cells.groupBy(col("__g"), col("__b").as("__l"))
+      .agg(sum(col("__c")).cast("long").as("__rb"))
+    val pe = ra.join(rb, Seq("__g", "__l"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__ra").cast("decimal(38,0)") * col("__rb"))
+        .as("__pe"))
+    val aExpr = "(CAST(n AS DECIMAL(38,0)) * agree - __pe)"
+    val bExpr = "(CAST(n AS DECIMAL(38,0)) * n - __pe)"
+    per.join(pe, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("agree"),
+        pround6(expr(s"""CASE WHEN $bExpr = 0 THEN 0.0
+          ELSE CAST($aExpr AS DOUBLE) / CAST($bExpr AS DOUBLE) END"""))
+          .as("kappa"),
+        expr(s"""CASE
+          WHEN $bExpr = 0 THEN 'degenerate'
+          WHEN 5 * $aExpr <= 0 THEN 'poor'
+          WHEN 5 * $aExpr <= 1 * $bExpr THEN 'slight'
+          WHEN 5 * $aExpr <= 2 * $bExpr THEN 'fair'
+          WHEN 5 * $aExpr <= 3 * $bExpr THEN 'moderate'
+          WHEN 5 * $aExpr <= 4 * $bExpr THEN 'substantial'
+          ELSE 'almost perfect' END""").as("strength"))
+  }
 }

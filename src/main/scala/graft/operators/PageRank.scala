@@ -124,4 +124,64 @@ object PageRank {
     freeCkpt(edges)
     ranks
   }
+
+  /** Personalized PageRank: the random surfer restarts only at the
+    * SEED nodes, so rank measures graph proximity to the seed set —
+    * "which documents sit in the near-dup neighborhood of this known
+    * batch?" where the global [[ranks]] answers "which documents are
+    * hubs at all?". Same integer fixpoint discipline: seeds start
+    * with `unit` micro-units (others 0), each round distributes
+    * floor(rank·dampNum / (dampDen·deg)) along edges, and the restart
+    * mass floor(unit·(dampDen−dampNum)/dampDen) returns ONLY to
+    * seeds — bit-identical on any engine/partitioning, replayed by
+    * the oracle as unrolled CTEs.
+    *
+    * `seeds` is one column of node ids (ids absent from the graph
+    * are ignored — they have no edges to receive or send mass). It
+    * joins the node frame once as a flag; per-round plans are
+    * otherwise identical to [[ranks]], including the checkpoint-and-
+    * free hygiene. Output: (node, deg, is_seed, rank).
+    */
+  def personalizedRanks(pairs: DataFrame, seeds: DataFrame,
+                        aCol: String = "id_a", bCol: String = "id_b",
+                        iterations: Int = 4, unit: Long = 1000000L,
+                        dampNum: Long = 85L,
+                        dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst")).distinct()
+      .localCheckpoint(eager = true)
+    val base = unit * (dampDen - dampNum) / dampDen
+    val seedSet = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().withColumn("__seed", lit(true))
+    var ranks = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("__seed"), lit(false)).as("is_seed"),
+        when(coalesce(col("__seed"), lit(false)), lit(unit))
+          .otherwise(lit(0L)).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr(s"rank * ${dampNum}L div (${dampDen}L * deg)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      val stepped = ranks.select(col("node"), col("deg"), col("is_seed"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L))
+            + coalesce(col("inflow"), lit(0L))).as("rank"))
+        .localCheckpoint(eager = true)
+      freeCkpt(ranks)
+      ranks = stepped
+    }
+    freeCkpt(edges)
+    ranks
+  }
 }

@@ -715,4 +715,58 @@ object Profile {
                 DIV (CAST(__m AS DECIMAL(19,0)) * __s) AS BIGINT)""")
           .as("fano_bp"))
   }
+
+  /** Exact 1-D Wasserstein distance (earth mover's) between two arms'
+    * value distributions per group — the drift metric that reports
+    * HOW FAR mass moved in value units, where KS (q183) reports the
+    * max CDF gap and PSI/JS (q146/q224) report bin-weighted
+    * divergences blind to distance. The metric of choice for "did
+    * the score distribution shift, and by how much?".
+    *
+    * Discrete closed form over the shared value grid: with cumulative
+    * arm counts cumA/cumB at each distinct value v and gap = next(v)
+    * − v, EMD = Σ_v |cumA·n_b − cumB·n_a| / (n_a·n_b) · gap. The
+    * numerator |cumA·n_b − cumB·n_a| is exact DECIMAL(38,0); each
+    * term is ONE fixed-order double (pround6) into an order-free
+    * DECIMAL(18,6) sum — the mannWhitneyU/logRank discipline. The
+    * last value contributes nothing (both CDFs are 1 there).
+    *
+    * Scale shape: one hash aggregate to (group, value) arm counts,
+    * one window over DISTINCT values per group (vocabulary-bounded —
+    * the weightedMedian contract; bucket continuous metrics first),
+    * one closing aggregate. One-arm groups are dropped.
+    */
+  def wasserstein1d(df: DataFrame, groupCol: String, armCol: String,
+                    valCol: String): DataFrame = {
+    val arm = when(col(armCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(armCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), arm.as("__arm"),
+        col(valCol).cast("double").as("__v"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(sum(lit(1L) - col("__arm")).cast("long").as("__na"),
+        sum(col("__arm")).cast("long").as("__nb"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    val stepped = cells
+      .withColumn("__ta", sum(col("__na")).over(wAll).cast("long"))
+      .withColumn("__tb", sum(col("__nb")).over(wAll).cast("long"))
+      .withColumn("__cuma", sum(col("__na")).over(wCum))
+      .withColumn("__cumb", sum(col("__nb")).over(wCum))
+      .withColumn("__gap", lead(col("__v"), 1).over(w) - col("__v"))
+    stepped.groupBy(col("__g").as(groupCol))
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        sum(when(col("__gap").isNotNull && col("__ta") > 0L &&
+            col("__tb") > 0L,
+          p6(expr("""CAST(abs(CAST(__cuma AS DECIMAL(38,0)) * __tb
+                 - CAST(__cumb AS DECIMAL(38,0)) * __ta) AS DOUBLE)
+               / (CAST(__ta AS DOUBLE) * CAST(__tb AS DOUBLE))
+               * __gap""")))
+          .otherwise(lit(0.0)).cast("decimal(18,6)")).as("__emd"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        col("__emd").cast("double").as("emd"))
+  }
 }

@@ -97,6 +97,10 @@ class SyntaxSpec extends SparkSpec {
     val wp = Seq((1L, 2L, 3L), (2L, 3L, 1L)).toDF("id_a", "id_b", "w")
     wp.weightedPageRank().count() shouldBe
       PageRank.weightedRanks(wp, iterations = 3).count()
+    val seeds = Seq(1L).toDF("node")
+    pairs.personalizedPageRank(seeds).collect().toSet shouldBe
+      PageRank.personalizedRanks(pairs, seeds, iterations = 4)
+        .collect().toSet
     val docs = Seq((1L, "a b", "s"), (2L, "a c", "t")).toDF("doc_id", "text", "source")
     docs.jsDivergence("text", "source").queryExecution.analyzed
       .sameResult(Profile.jsDivergence(docs, "text", "source")
@@ -184,6 +188,15 @@ class SyntaxSpec extends SparkSpec {
     qc.quantilesFromCounts("v", "c", Seq(0.5), 1.0).collect().toSeq shouldBe
       graft.operators.Metrics.quantilesFromCounts(qc, "v", "c", Seq(0.5),
         1.0).collect().toSeq
+    // cohensKappa localCheckpoints the cell table: compare results
+    val ck = Seq(("g", "x", "x"), ("g", "x", "y")).toDF("g", "a", "b")
+    ck.cohensKappa("g", "a", "b").collect().toSeq shouldBe
+      graft.operators.Metrics.cohensKappa(ck, "g", "a", "b")
+        .collect().toSeq
+    val wd = Seq(("g", 0L, 1.0), ("g", 1L, 2.0)).toDF("g", "arm", "v")
+    wd.wasserstein1d("g", "arm", "v").queryExecution.analyzed
+      .sameResult(graft.operators.Profile.wasserstein1d(wd, "g", "arm",
+        "v").queryExecution.analyzed) shouldBe true
     val tsh = Seq(("a", 9.0), ("b", 1.0)).toDF("k", "v")
     tsh.topShares("k", "v", Seq(5000L)).collect().toSeq shouldBe
       graft.operators.Pareto.topShares(tsh, "k", "v", Seq(5000L))

@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Hand-computed oracles for the ranking-metric operators. */
 class MetricsSpec extends SparkSpec {
+
+  private val scParams = org.scalacheck.Test.Parameters.default
+    .withMinSuccessfulTests(10)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(prop: org.scalacheck.Prop): Unit = {
+    val r = org.scalacheck.Test.check(scParams, prop)
+    withClue(s"scalacheck: $r\n") { r.passed shouldBe true }
+  }
+
   import spark.implicits._
 
   // scores: pos at {3.0, 2.0}, neg at {1.0, 2.0 (tie), 0.5}
@@ -251,5 +261,56 @@ class MetricsSpec extends SparkSpec {
     out("dead") shouldBe ((0.0, false))
     out("neg")._1 should be < 0.0
     out("neg")._2 shouldBe true // 60% vs 10% on 50/50 is decisive
+  }
+  test("cohensKappa hand-computed confusion matrix") {
+    // 20 yy, 5 yn, 10 ny, 15 nn: n=50, agree=35, po=0.7
+    // marginals a: y 25 / n 25; b: y 30 / n 20 -> pe-sum = 1250
+    // A = 50*35 - 1250 = 500, B = 2500 - 1250 = 1250 -> kappa = 0.4
+    // Landis-Koch 0.4 closes the 'fair' band (5A = 2500 = 2B)
+    val rows =
+      Seq.fill(20)(("g", "y", "y")) ++ Seq.fill(5)(("g", "y", "n")) ++
+      Seq.fill(10)(("g", "n", "y")) ++ Seq.fill(15)(("g", "n", "n"))
+    val r = Metrics.cohensKappa(rows.toDF("g", "a", "b"), "g", "a", "b")
+      .collect().head
+    (r.getLong(1), r.getLong(2)) shouldBe ((50L, 35L))
+    r.getDouble(3) shouldBe 0.4
+    r.getString(4) shouldBe "fair"
+  }
+
+  test("cohensKappa: perfect agreement, constant labelers, chance-level") {
+    val perfect = Seq(("p", "x", "x"), ("p", "y", "y"), ("p", "z", "z"))
+    val rp = Metrics.cohensKappa(perfect.toDF("g", "a", "b"),
+      "g", "a", "b").collect().head
+    rp.getDouble(3) shouldBe 1.0
+    rp.getString(4) shouldBe "almost perfect"
+    // both labelers constant: chance agreement certain -> degenerate
+    val const = Seq(("c", "x", "x"), ("c", "x", "x"))
+    val rc = Metrics.cohensKappa(const.toDF("g", "a", "b"),
+      "g", "a", "b").collect().head
+    rc.getDouble(3) shouldBe 0.0
+    rc.getString(4) shouldBe "degenerate"
+    // independent 50/50 labelers at exactly chance: kappa 0, poor
+    val chance = Seq(("h", "x", "x"), ("h", "x", "y"),
+      ("h", "y", "x"), ("h", "y", "y"))
+    val rh = Metrics.cohensKappa(chance.toDF("g", "a", "b"),
+      "g", "a", "b").collect().head
+    rh.getDouble(3) shouldBe 0.0
+    rh.getString(4) shouldBe "poor"
+  }
+
+  test("cohensKappa is symmetric in the two labelings") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = Gen.listOfN(20, for {
+      a <- Gen.oneOf("x", "y", "z"); b <- Gen.oneOf("x", "y", "z")
+    } yield ("g", a, b))
+    check(Prop.forAll(gen) { rows =>
+      val k1 = Metrics.cohensKappa(rows.toDF("g", "a", "b"),
+        "g", "a", "b").collect().head
+      val k2 = Metrics.cohensKappa(
+        rows.map { case (g, a, b) => (g, b, a) }.toDF("g", "a", "b"),
+        "g", "a", "b").collect().head
+      k1.getDouble(3) == k2.getDouble(3) &&
+        k1.getString(4) == k2.getString(4)
+    })
   }
 }

@@ -75,4 +75,42 @@ class PageRankSpec extends SparkSpec {
       wpairs((1L, 2L, 1L), (2L, 3L, 9L)), iterations = 3))
     out(3L)._2 should be > out(1L)._2
   }
+
+  private def seedDf(ids: Long*) = {
+    val s = spark
+    import s.implicits._
+    ids.toDF("doc_id") // any column name: personalizedRanks takes head
+  }
+
+  private def collectPpr(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+
+  test("personalizedRanks hand-computed path: mass stays near the seed") {
+    // path 1-2-3, seed {1}, two rounds:
+    //   r1: 1 -> 150000, 2 -> floor(1e6*85/100) = 850000, 3 -> 0
+    //   r2: 1 -> 150000 + floor(850000*85/200) = 511250,
+    //       2 -> floor(150000*85/100) = 127500, 3 -> 361250
+    val out = collectPpr(PageRank.personalizedRanks(
+      pairs(1L -> 2L, 2L -> 3L), seedDf(1L), iterations = 2))
+    out(1L) shouldBe ((1L, true, 511250L))
+    out(2L) shouldBe ((2L, false, 127500L))
+    out(3L) shouldBe ((1L, false, 361250L))
+  }
+
+  test("personalizedRanks: no seeds in graph means zero mass everywhere") {
+    val out = collectPpr(PageRank.personalizedRanks(
+      pairs(1L -> 2L, 2L -> 3L), seedDf(99L), iterations = 3))
+    out.values.map(_._3).toSet shouldBe Set(0L)
+    out.values.map(_._2).toSet shouldBe Set(false)
+  }
+
+  test("personalizedRanks with ALL nodes seeded equals global ranks") {
+    // restart mass to every node = the ordinary damped walk
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 5L, 1L -> 4L)
+    val global = collectRanks(PageRank.ranks(pairs(es: _*), iterations = 3))
+    val ppr = collectPpr(PageRank.personalizedRanks(
+      pairs(es: _*), seedDf(1L, 2L, 3L, 4L, 5L), iterations = 3))
+    ppr.view.mapValues(v => (v._1, v._3)).toMap shouldBe global
+  }
 }

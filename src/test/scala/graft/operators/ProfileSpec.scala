@@ -4,6 +4,16 @@ import graft.SparkSpec
 
 class ProfileSpec extends SparkSpec {
 
+  private val scParams = org.scalacheck.Test.Parameters.default
+    .withMinSuccessfulTests(10)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(prop: org.scalacheck.Prop): Unit = {
+    val r = org.scalacheck.Test.check(scParams, prop)
+    withClue(s"scalacheck: $r\n") { r.passed shouldBe true }
+  }
+
+
   private lazy val implicits = spark.implicits
   import implicits._
 
@@ -361,5 +371,48 @@ class ProfileSpec extends SparkSpec {
     val r = Profile.dispersionIndex(withNull, "k", "p").collect()
     r.length shouldBe 1
     r.head.getLong(3) shouldBe 0L
+  }
+  test("wasserstein1d hand-computed two-arm distance") {
+    // arm0 {0,0,1}, arm1 {1,2}: CDF gaps |2/3-0|*1 + |1-1/2|*1 = 7/6
+    val rows = Seq(("g", 0L, 0.0), ("g", 0L, 0.0), ("g", 0L, 1.0),
+      ("g", 1L, 1.0), ("g", 1L, 2.0))
+    val r = Profile.wasserstein1d(rows.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    (r.getLong(1), r.getLong(2)) shouldBe ((3L, 2L))
+    r.getDouble(3) shouldBe 1.166667
+  }
+
+  test("wasserstein1d: identical arms 0, shifted arms = the shift, one-arm dropped") {
+    val same = Seq(("s", 0L, 1.0), ("s", 1L, 1.0), ("s", 0L, 5.0),
+      ("s", 1L, 5.0))
+    Profile.wasserstein1d(same.toDF("g", "arm", "v"), "g", "arm", "v")
+      .collect().head.getDouble(3) shouldBe 0.0
+    // point mass at 3 vs point mass at 10: EMD = 7
+    val shift = Seq(("t", 0L, 3.0), ("t", 1L, 10.0))
+    Profile.wasserstein1d(shift.toDF("g", "arm", "v"), "g", "arm", "v")
+      .collect().head.getDouble(3) shouldBe 7.0
+    Profile.wasserstein1d(Seq(("lone", 0L, 1.0)).toDF("g", "arm", "v"),
+      "g", "arm", "v").collect() shouldBe empty
+  }
+
+  test("wasserstein1d is arm-symmetric and translation-invariant") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      n <- Gen.choose(4, 30)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.oneOf(0L, 1L); v <- Gen.choose(0L, 9L)
+      } yield ("g", a, v.toDouble))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val both = rows.exists(_._2 == 0L) && rows.exists(_._2 == 1L)
+      (!both) || {
+        def emd(rs: Seq[(String, Long, Double)]) =
+          Profile.wasserstein1d(rs.toDF("g", "arm", "v"), "g", "arm", "v")
+            .collect().head.getDouble(3)
+        val base = emd(rows)
+        emd(rows.map { case (g, a, v) => (g, 1L - a, v) }) == base &&
+          emd(rows.map { case (g, a, v) => (g, a, v + 100.0) }) == base
+      }
+    })
   }
 }
