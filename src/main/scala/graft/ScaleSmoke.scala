@@ -876,6 +876,31 @@ object ScaleSmoke {
           pmod(col("user_id") + col("event_id"), lit(40)).as("y")),
         "g", "x", "y").count()
     }
+    time("ndcg@10 (200 queries)") {
+      operators.Metrics.ndcgAtK(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("q"),
+          col("value").cast("double").as("s"), col("event_id"),
+          pmod(col("event_id"), lit(4)).as("rel")),
+        "q", "s", "event_id", "rel", k = 10).count()
+    }
+    time("mrr (200 groups x 20 queries)") {
+      operators.Metrics.meanReciprocalRank(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("user_id"), lit(4000)).as("qq"),
+          col("value").cast("double").as("s"), col("event_id"),
+          pmod(col("event_id"), lit(7)).as("rel")),
+        "g", "qq", "s", "event_id", "rel").count()
+    }
+    time("fleiss kappa (200 groups, 3 raters)") {
+      operators.Metrics.fleissKappa(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          col("event_id").as("i"),
+          pmod(col("event_id"), lit(5)).cast("string").as("r1"),
+          pmod(col("event_id") + 1, lit(5)).cast("string").as("r2"),
+          pmod(col("event_id") + col("user_id"), lit(5)).cast("string")
+            .as("r3")),
+        "g", "i", Seq("r1", "r2", "r3")).count()
+    }
     time("cohens kappa (200 groups)") {
       operators.Metrics.cohensKappa(
         events(rows).select(pmod(col("user_id"), lit(200)).as("g"),

@@ -189,6 +189,40 @@ object SparkEntry {
         iterations = 4)
     }),
 
+    // graded ranking quality: does event value rank the high-grade
+    // events first? NDCG@10 per event type (grades = user-id mod 4,
+    // a null model, so ndcg should sit near the random baseline);
+    // 2^rel−1 exact BIGINT gains, discounts as SHARED double
+    // literals (no engine log), WindowGroupLimit top-k shape
+    "q306_ndcg" -> ((s, d) =>
+      operators.Metrics.ndcgAtK(
+        t(s, d, "events").select(col("event_type"), col("value"),
+          col("event_id"), (col("user_id") % 4).as("rel")),
+        "event_type", "value", "event_id", "rel", k = 10)),
+
+    // navigation quality: how high does the first every-7th event
+    // rank per (event type, user-bucket) query? MRR per event type,
+    // misses counting 0 — first ranks exact BIGINT, 1/rank pround6
+    // into a DECIMAL(18,6) sum
+    "q307_mrr" -> ((s, d) =>
+      operators.Metrics.meanReciprocalRank(
+        t(s, d, "events").select(col("event_type"),
+          (col("user_id") % 50).as("qq"), col("value"), col("event_id"),
+          when(col("event_id") % 7 === 0, 1L).otherwise(0L).as("rel")),
+        "event_type", "qq", "value", "event_id", "rel")),
+
+    // three language 'raters' voting per document (stored tag, marker
+    // lang-id, trigram lang-id): Fleiss' kappa per source — cubic
+    // rationals exact in DECIMAL(38,0), Landis–Koch band by
+    // cross-multiplication, M-guard raises near capacity
+    "q308_fleiss_kappa" -> ((s, d) =>
+      operators.Metrics.fleissKappa(
+        t(s, d, "documents").select(col("source"), col("doc_id"),
+          col("lang").as("r1"),
+          functions.TextFns.langId(col("text")).as("r2"),
+          functions.TextFns.langIdNgram(col("text")).as("r3")),
+        "source", "doc_id", Seq("r1", "r2", "r3"))),
+
     // do BUILDING-segment customers churn differently? two-arm
     // log-rank over the q232 churn observations: O−E and V as exact
     // DECIMAL(18,6) sums of pround6 hypergeometric contributions,
@@ -4322,6 +4356,126 @@ object SparkEntry {
            |  GROUP BY e.src, s.node),
            |$rounds
            |SELECT node, deg, is_seed, rank FROM r4""".stripMargin
+      },
+
+      // gains exact via << ; the per-position discounts are the SAME
+      // literal strings the engine embeds (Metrics.dcgDiscounts), so
+      // no engine log is ever compared against another engine's
+      "q306_ndcg" -> {
+        val disc = "CASE rn " + operators.Metrics.dcgDiscounts(10)
+          .zipWithIndex.map { case (dv, i) =>
+            s"WHEN ${i + 1} THEN CAST($dv AS DOUBLE) "
+          }.mkString + "END"
+        val term = pround(
+          s"CAST((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1 AS DOUBLE) * ($disc)", 6)
+        s"""WITH base AS (
+           |  SELECT event_type AS q, value AS s, event_id AS id,
+           |    CAST(user_id % 4 AS BIGINT) AS rel
+           |  FROM events WHERE value IS NOT NULL),
+           |sc AS (SELECT q, id, rel,
+           |    row_number() OVER (PARTITION BY q ORDER BY s DESC, id ASC) AS rn
+           |  FROM base),
+           |idl AS (SELECT q, id, rel,
+           |    row_number() OVER (PARTITION BY q ORDER BY rel DESC, id ASC) AS rn
+           |  FROM base),
+           |nq AS (SELECT q, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+           |dcg AS (
+           |  SELECT q, CAST(sum(CAST($term AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS dcg
+           |  FROM sc WHERE rn <= 10 GROUP BY 1),
+           |idcg AS (
+           |  SELECT q, CAST(sum(CAST($term AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS idcg
+           |  FROM idl WHERE rn <= 10 GROUP BY 1)
+           |SELECT nq.q AS event_type, n,
+           |  CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
+           |  ${pround("CASE WHEN idcg = 0 THEN 0.0 ELSE CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END", 6)} AS ndcg
+           |FROM nq JOIN dcg ON nq.q = dcg.q JOIN idcg ON nq.q = idcg.q""".stripMargin
+      },
+
+      // first relevant rank exact per (group, query); misses are 0
+      // terms in the DECIMAL(18,6) reciprocal sum
+      "q307_mrr" ->
+        s"""WITH base AS (
+           |  SELECT event_type AS g, user_id % 50 AS qq, value AS s,
+           |    event_id AS id,
+           |    CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS hit
+           |  FROM events WHERE value IS NOT NULL),
+           |r AS (SELECT g, qq, hit,
+           |    row_number() OVER (PARTITION BY g, qq ORDER BY s DESC, id ASC) AS rn
+           |  FROM base),
+           |pq AS (SELECT g, qq,
+           |    min(CASE WHEN hit = 1 THEN rn END) AS frst
+           |  FROM r GROUP BY 1, 2)
+           |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_queries,
+           |  CAST(sum(CASE WHEN frst IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  ${pround("CAST(CAST(sum(CAST(CASE WHEN frst IS NOT NULL THEN " + pround("1.0 / CAST(frst AS DOUBLE)", 6) + " ELSE 0.0 END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mrr
+           |FROM pq GROUP BY 1""".stripMargin,
+
+      // the q30 marker chain and q57 trigram chain as two of three
+      // raters beside the stored tag; cubic Fleiss rationals in
+      // HUGEINT mirror the engine's DECIMAL(38,0)
+      "q308_fleiss_kappa" -> {
+        val langs = TextFns.langTrigramProfiles.keys.toSeq.sorted
+        def profile(l: String) =
+          TextFns.langTrigramProfiles(l).map(g => "'" + g + "'").mkString("[", ", ", "]")
+        val scoreCols = langs.map(l =>
+          s"len(list_filter(grams, g -> list_contains(${profile(l)}, g))) AS s_$l").mkString(",\n  ")
+        val caseExpr = langs.zipWithIndex.map { case (l, i) =>
+          val laterGe = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+          val conds = (laterGe :+ s"s_$l > 0").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n    ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |mk(lang, w) AS (VALUES $markerValues),
+           |msc AS (
+           |  SELECT t.doc_id, mk.lang, count(*) AS sc
+           |  FROM toks t JOIN mk ON t.token = mk.w GROUP BY t.doc_id, mk.lang),
+           |best AS (
+           |  SELECT doc_id, lang FROM msc
+           |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1),
+           |gr AS (
+           |  SELECT doc_id,
+           |    list_transform(range(1, len(' ' || lower(text) || ' ') - 1),
+           |      i -> substr(' ' || lower(text) || ' ', i, 3)) AS grams
+           |  FROM documents),
+           |sc2 AS (SELECT doc_id, $scoreCols FROM gr),
+           |pred AS (
+           |  SELECT d.source, d.doc_id, d.lang AS r1,
+           |    COALESCE(b.lang, 'und') AS r2,
+           |    CASE $caseExpr ELSE 'und' END AS r3
+           |  FROM documents d
+           |  LEFT JOIN best b ON d.doc_id = b.doc_id
+           |  JOIN sc2 ON sc2.doc_id = d.doc_id
+           |  WHERE d.source IS NOT NULL AND d.lang IS NOT NULL),
+           |cells AS (
+           |  SELECT source AS g, doc_id AS i, unnest([r1, r2, r3]) AS r
+           |  FROM pred),
+           |cnt AS (SELECT g, i, r, CAST(count(*) AS BIGINT) AS c
+           |  FROM cells GROUP BY 1, 2, 3),
+           |per AS (SELECT g, CAST(sum(c) // 3 AS BIGINT) AS n_items,
+           |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+           |  FROM cnt GROUP BY 1),
+           |tc AS (SELECT g, CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS t2
+           |  FROM (SELECT g, r, CAST(sum(c) AS BIGINT) AS t
+           |        FROM cnt GROUP BY 1, 2) GROUP BY 1),
+           |f AS (
+           |  SELECT per.g, n_items,
+           |    (ss - CAST(n_items AS HUGEINT) * 3)
+           |      * (CAST(n_items AS HUGEINT) * 3) * (CAST(n_items AS HUGEINT) * 3)
+           |      - (CAST(n_items AS HUGEINT) * 3) * 2 * t2 AS num,
+           |    (CAST(n_items AS HUGEINT) * 3) * 2
+           |      * ((CAST(n_items AS HUGEINT) * 3) * (CAST(n_items AS HUGEINT) * 3) - t2) AS den
+           |  FROM per JOIN tc ON per.g = tc.g)
+           |SELECT g AS source, n_items, CAST(3 AS BIGINT) AS k_raters,
+           |  ${pround("CASE WHEN den = 0 THEN 0.0 ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END", 6)} AS kappa,
+           |  CASE WHEN den = 0 THEN 'degenerate'
+           |    WHEN 5 * num <= 0 THEN 'poor'
+           |    WHEN 5 * num <= 1 * den THEN 'slight'
+           |    WHEN 5 * num <= 2 * den THEN 'fair'
+           |    WHEN 5 * num <= 3 * den THEN 'moderate'
+           |    WHEN 5 * num <= 4 * den THEN 'substantial'
+           |    ELSE 'almost perfect' END AS strength
+           |FROM f""".stripMargin
       },
 
       "q01_pricing_summary" ->

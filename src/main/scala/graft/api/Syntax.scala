@@ -308,6 +308,17 @@ object syntax {
     def cohensKappa(groupCol: String, aCol: String,
                     bCol: String): DataFrame =
       Metrics.cohensKappa(df, groupCol, aCol, bCol)
+    def ndcgAtK(queryCol: String, scoreCol: String, idCol: String,
+                relCol: String, k: Int = 10): DataFrame =
+      Metrics.ndcgAtK(df, queryCol, scoreCol, idCol, relCol, k)
+    def meanReciprocalRank(groupCol: String, queryCol: String,
+                           scoreCol: String, idCol: String,
+                           relCol: String): DataFrame =
+      Metrics.meanReciprocalRank(df, groupCol, queryCol, scoreCol, idCol,
+        relCol)
+    def fleissKappa(groupCol: String, itemCol: String,
+                    ratingCols: Seq[String]): DataFrame =
+      Metrics.fleissKappa(df, groupCol, itemCol, ratingCols)
     def wasserstein1d(groupCol: String, armCol: String,
                       valCol: String): DataFrame =
       Profile.wasserstein1d(df, groupCol, armCol, valCol)

@@ -566,4 +566,190 @@ object Metrics {
           WHEN 5 * $aExpr <= 4 * $bExpr THEN 'substantial'
           ELSE 'almost perfect' END""").as("strength"))
   }
+
+  /** Position discounts 1/log₂(i+1) for ranks 1..k as shortest-
+    * round-trip double literals. PUBLIC ON PURPOSE: the engine and
+    * the DuckDB oracle both embed THESE LITERAL STRINGS, so the two
+    * sides never call an engine log whose last ULP could differ —
+    * the literal parses to the identical double everywhere.
+    */
+  def dcgDiscounts(k: Int): Seq[String] =
+    (1 to k).map(i => (1.0 / (math.log(i + 1.0) / math.log(2.0))).toString)
+
+  private def discountCase(rnCol: String, k: Int): String =
+    s"CASE $rnCol " + dcgDiscounts(k).zipWithIndex.map {
+      case (d, i) => s"WHEN ${i + 1} THEN CAST($d AS DOUBLE) "
+    }.mkString + "END"
+
+  /** NDCG@k per query: graded-relevance ranking quality — "did the
+    * score put the MOST relevant items at the TOP?", where rankAuc
+    * (binary) and gainsTable (deciles) cannot see grade order. DCG =
+    * Σ_{i≤k} (2^rel − 1)/log₂(i+1) over the score ranking, IDCG the
+    * same sum over the ideal (relevance-sorted) ranking, ndcg their
+    * ratio.
+    *
+    * Engine-exactness: the gain 2^rel − 1 is an exact BIGINT
+    * (shiftleft — `rel` must be in [0, 30], enforced with
+    * raise_error); the discount is a SHARED LITERAL per position
+    * ([[dcgDiscounts]] — no engine log in the plan); each term is one
+    * fixed-order double, pround6, summed as DECIMAL(18,6); ndcg is
+    * the one closing double. Ties in score break by ascending id on
+    * both rankings, so the top-k SET is engine-exact.
+    *
+    * Scale shape: two row_number windows per query (score ranking +
+    * ideal ranking), both filtered to rank ≤ k — the WindowGroupLimit
+    * shape the q09 plan gate pins, so no query's full ranking ever
+    * materializes past the per-partition group limit. Queries with
+    * IDCG = 0 (no relevant item at all) report ndcg 0.
+    */
+  def ndcgAtK(df: DataFrame, queryCol: String, scoreCol: String,
+              idCol: String, relCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1, 100]: $k")
+    val base = df
+      .filter(col(queryCol).isNotNull && col(scoreCol).isNotNull &&
+        col(idCol).isNotNull && col(relCol).isNotNull)
+      .select(col(queryCol).as("__q"), col(scoreCol).as("__s"),
+        col(idCol).as("__id"),
+        when(col(relCol).cast("long").between(0L, 30L),
+          col(relCol).cast("long"))
+          .otherwise(expr("CAST(raise_error('Metrics.ndcgAtK: relevance " +
+            "grade outside [0, 30] — 2^rel would overflow the exact " +
+            "BIGINT gain') AS BIGINT)")).as("__rel"))
+      .localCheckpoint(true)
+    val wScore = Window.partitionBy(col("__q"))
+      .orderBy(col("__s").desc, col("__id").asc)
+    val wIdeal = Window.partitionBy(col("__q"))
+      .orderBy(col("__rel").desc, col("__id").asc)
+    val disc = discountCase("__rn", k)
+    def sumTerms(ranked: DataFrame, alias: String) = ranked
+      .filter(col("__rn") <= k)
+      .withColumn("__gain", expr("shiftleft(1L, CAST(__rel AS INT)) - 1L"))
+      .groupBy(col("__q"))
+      .agg(sum(pround6(expr(s"CAST(__gain AS DOUBLE) * ($disc)"))
+        .cast("decimal(18,6)")).as(alias))
+    val n = base.groupBy(col("__q")).agg(count(lit(1)).cast("long").as("n"))
+    val dcg = sumTerms(base.withColumn("__rn", row_number().over(wScore)),
+      "__dcg")
+    val idcg = sumTerms(base.withColumn("__rn", row_number().over(wIdeal)),
+      "__idcg")
+    n.join(dcg, Seq("__q")).join(idcg, Seq("__q"))
+      .select(col("__q").as(queryCol), col("n"),
+        col("__dcg").cast("double").as("dcg"),
+        col("__idcg").cast("double").as("idcg"),
+        pround6(expr("""CASE WHEN __idcg = 0 THEN 0.0
+          ELSE CAST(__dcg AS DOUBLE) / CAST(__idcg AS DOUBLE) END"""))
+          .as("ndcg"))
+  }
+
+  /** Mean reciprocal rank per group: across this group's queries,
+    * how high does the FIRST relevant item sit? The navigation-style
+    * companion to [[ndcgAtK]] (which rewards the whole graded top-k).
+    * Queries with no relevant item contribute 0 (the standard
+    * convention — a miss is a rank of ∞).
+    *
+    * Exactness: the first relevant rank is an exact BIGINT (min over
+    * a row_number window ordered by score desc, id asc); each 1/rank
+    * is one pround6 double into a DECIMAL(18,6) sum; mrr is the one
+    * closing double over n_queries.
+    *
+    * Scale shape: one row_number window per query (rows-per-query
+    * bounded), one (group, query) aggregate, one group aggregate.
+    */
+  def meanReciprocalRank(df: DataFrame, groupCol: String,
+                         queryCol: String, scoreCol: String,
+                         idCol: String, relCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(queryCol).isNotNull &&
+        col(scoreCol).isNotNull && col(idCol).isNotNull &&
+        col(relCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(queryCol).as("__qq"),
+        col(scoreCol).as("__s"), col(idCol).as("__id"),
+        (col(relCol).cast("long") =!= 0L).as("__hit"))
+    val w = Window.partitionBy(col("__g"), col("__qq"))
+      .orderBy(col("__s").desc, col("__id").asc)
+    val perQuery = base.withColumn("__rn", row_number().over(w))
+      .groupBy(col("__g"), col("__qq"))
+      .agg(min(when(col("__hit"), col("__rn"))).as("__first"))
+    perQuery.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        sum(when(col("__first").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_hit"),
+        sum(when(col("__first").isNotNull,
+          pround6(expr("1.0 / CAST(__first AS DOUBLE)")))
+          .otherwise(lit(0.0)).cast("decimal(18,6)")).as("__rr"))
+      .select(col(groupCol), col("n_queries"), col("n_hit"),
+        pround6(expr("CAST(__rr AS DOUBLE) / CAST(n_queries AS DOUBLE)"))
+          .as("mrr"))
+  }
+
+  /** Fleiss' kappa per group: chance-corrected agreement among k ≥ 2
+    * raters per item — the multi-rater extension of [[cohensKappa]]
+    * (three labeling pipelines voting on a document's language, k
+    * annotators on a rubric). Each rating column is one rater.
+    *
+    * Entirely rational in the counts: with N items, M = N·k total
+    * ratings, category totals T_c, and per-item-category counts n_ic,
+    *   kappa = [ (ΣΣn_ic² − M)·M² − M(k−1)·ΣT_c² ]
+    *         / [ M(k−1)·(M² − ΣT_c²) ]
+    * — numerator and denominator exact DECIMAL(38,0), kappa ONE
+    * fixed-order double (pround6), the Landis–Koch band by 5·Num vs
+    * band·Den cross-multiplication. Den = 0 (every rating in one
+    * category) reports 'degenerate'. Rows with ANY null rating are
+    * dropped (the per-item count identity Σ_c n_ic = k must hold).
+    *
+    * Scale shape: one explode to (group, item, rating), two hash
+    * aggregates (per-item-category, then per-group), plus the
+    * category-total aggregate equi-joined on the group key.
+    */
+  def fleissKappa(df: DataFrame, groupCol: String, itemCol: String,
+                  ratingCols: Seq[String]): DataFrame = {
+    require(ratingCols.size >= 2,
+      s"fleissKappa needs >= 2 raters, got ${ratingCols.size}")
+    val k = ratingCols.size
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull &&
+        ratingCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(groupCol).as("__g"), col(itemCol).as("__i"),
+        explode(array(ratingCols.map(col(_).cast("string")): _*))
+          .as("__r"))
+      .groupBy(col("__g"), col("__i"), col("__r"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val per = cells.groupBy(col("__g"))
+      .agg((sum(col("__c")).cast("decimal(38,0)") / lit(k))
+        .cast("long").as("n_items"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__ss"))
+    val tc = cells.groupBy(col("__g"), col("__r"))
+      .agg(sum(col("__c")).cast("long").as("__t"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__t").cast("decimal(38,0)") * col("__t")).as("__t2"))
+    val m = s"(CAST(n_items AS DECIMAL(38,0)) * $k)"
+    val num = s"((__ss - $m) * $m * $m - $m * ${k - 1} * __t2)"
+    val den = s"($m * ${k - 1} * ($m * $m - __t2))"
+    // overflow pre-guard (the q287 pattern): num/den scale as M³, so
+    // M past 10¹² would push 5·num beyond DECIMAL(38,0) — raise in
+    // EVERY consuming column (a guard in one column gets pruned when
+    // a caller selects only the other — round-10 lesson)
+    val guard = s"WHEN $m > CAST(1000000000000 AS DECIMAL(38,0)) " +
+      "THEN %s(raise_error('Metrics.fleissKappa: M = N*k exceeds 10^12; " +
+      "the cubic kappa operands would overflow DECIMAL(38,0) — " +
+      "compute per finer group'))"
+    per.join(tc, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_items"),
+        lit(k.toLong).as("k_raters"),
+        pround6(expr(s"""CASE
+          ${guard.format("double")}
+          WHEN $den = 0 THEN 0.0
+          ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END"""))
+          .as("kappa"),
+        expr(s"""CASE
+          ${guard.format("string")}
+          WHEN $den = 0 THEN 'degenerate'
+          WHEN 5 * $num <= 0 THEN 'poor'
+          WHEN 5 * $num <= 1 * $den THEN 'slight'
+          WHEN 5 * $num <= 2 * $den THEN 'fair'
+          WHEN 5 * $num <= 3 * $den THEN 'moderate'
+          WHEN 5 * $num <= 4 * $den THEN 'substantial'
+          ELSE 'almost perfect' END""").as("strength"))
+  }
 }

@@ -193,6 +193,22 @@ class SyntaxSpec extends SparkSpec {
     ck.cohensKappa("g", "a", "b").collect().toSeq shouldBe
       graft.operators.Metrics.cohensKappa(ck, "g", "a", "b")
         .collect().toSeq
+    // ndcgAtK/fleissKappa localCheckpoint: compare results
+    val nd = Seq(("g", 2.0, 1L, 1L), ("g", 1.0, 2L, 0L))
+      .toDF("q", "s", "id", "rel")
+    nd.ndcgAtK("q", "s", "id", "rel", k = 2).collect().toSeq shouldBe
+      graft.operators.Metrics.ndcgAtK(nd, "q", "s", "id", "rel", k = 2)
+        .collect().toSeq
+    val mr = Seq(("g", 1L, 2.0, 1L, 1L), ("g", 1L, 1.0, 2L, 0L))
+      .toDF("g", "qq", "s", "id", "rel")
+    mr.meanReciprocalRank("g", "qq", "s", "id", "rel")
+      .queryExecution.analyzed
+      .sameResult(graft.operators.Metrics.meanReciprocalRank(mr, "g",
+        "qq", "s", "id", "rel").queryExecution.analyzed) shouldBe true
+    val fk = Seq(("g", 1L, "x", "x", "y")).toDF("g", "i", "r1", "r2", "r3")
+    fk.fleissKappa("g", "i", Seq("r1", "r2", "r3")).collect().toSeq shouldBe
+      graft.operators.Metrics.fleissKappa(fk, "g", "i",
+        Seq("r1", "r2", "r3")).collect().toSeq
     val wd = Seq(("g", 0L, 1.0), ("g", 1L, 2.0)).toDF("g", "arm", "v")
     wd.wasserstein1d("g", "arm", "v").queryExecution.analyzed
       .sameResult(graft.operators.Profile.wasserstein1d(wd, "g", "arm",

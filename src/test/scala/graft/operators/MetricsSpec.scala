@@ -313,4 +313,105 @@ class MetricsSpec extends SparkSpec {
         k1.getString(4) == k2.getString(4)
     })
   }
+  test("ndcgAtK hand-computed graded ranking") {
+    // score ranking 1,2,3 with rels 3,0,2: DCG = 7 + 0 + 3*0.5 = 8.5
+    // ideal 1,3,2: IDCG = 7 + 3/log2(3) = 8.892789 -> ndcg = ratio
+    val rows = Seq(("g", 5.0, 1L, 3L), ("g", 4.0, 2L, 0L),
+      ("g", 3.0, 3L, 2L))
+    val r = Metrics.ndcgAtK(rows.toDF("q", "s", "id", "rel"),
+      "q", "s", "id", "rel", k = 10).collect().head
+    r.getLong(1) shouldBe 3L
+    r.getDouble(2) shouldBe 8.5
+    r.getDouble(3) shouldBe 8.892789
+    r.getDouble(4) shouldBe graft.functions.Rounding.p6d(8.5 / 8.892789)
+  }
+
+  test("ndcgAtK: perfect ranking 1.0, no relevant items 0.0, k truncates") {
+    // score equals relevance: the ranking IS ideal
+    val perfect = Seq(("p", 3.0, 1L, 3L), ("p", 2.0, 2L, 2L),
+      ("p", 1.0, 3L, 1L))
+    Metrics.ndcgAtK(perfect.toDF("q", "s", "id", "rel"),
+      "q", "s", "id", "rel").collect().head.getDouble(4) shouldBe 1.0
+    val none = Seq(("z", 2.0, 1L, 0L), ("z", 1.0, 2L, 0L))
+    val rz = Metrics.ndcgAtK(none.toDF("q", "s", "id", "rel"),
+      "q", "s", "id", "rel").collect().head
+    rz.getDouble(3) shouldBe 0.0
+    rz.getDouble(4) shouldBe 0.0
+    // k = 1 sees only the top item: a relevant item at rank 2 is lost
+    val trunc = Seq(("t", 2.0, 1L, 0L), ("t", 1.0, 2L, 3L))
+    Metrics.ndcgAtK(trunc.toDF("q", "s", "id", "rel"),
+      "q", "s", "id", "rel", k = 1).collect().head.getDouble(2) shouldBe 0.0
+  }
+
+  test("ndcgAtK is 1.0 whenever score is a monotone function of relevance") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = Gen.listOfN(12, Gen.choose(0L, 4L))
+    check(Prop.forAll(gen) { rels =>
+      (!rels.exists(_ > 0L)) || {
+        val rows = rels.zipWithIndex.map { case (rel, i) =>
+          ("g", rel.toDouble * 10.0, i.toLong, rel)
+        }
+        Metrics.ndcgAtK(rows.toDF("q", "s", "id", "rel"),
+          "q", "s", "id", "rel", k = 5)
+          .collect().head.getDouble(4) == 1.0
+      }
+    })
+  }
+
+  test("meanReciprocalRank hand-computed with a missing query") {
+    val rows = Seq(("g", 1L, 3.0, 1L, 0L), ("g", 1L, 2.0, 2L, 1L),
+      ("g", 1L, 1.0, 3L, 0L),
+      ("g", 2L, 9.0, 4L, 0L), ("g", 2L, 8.0, 5L, 0L))
+    val r = Metrics.meanReciprocalRank(rows.toDF("g", "qq", "s", "id", "rel"),
+      "g", "qq", "s", "id", "rel").collect().head
+    (r.getLong(1), r.getLong(2)) shouldBe ((2L, 1L))
+    r.getDouble(3) shouldBe 0.25 // (1/2 + 0) / 2
+  }
+
+  test("fleissKappa hand-computed three-rater cards") {
+    // item1 xxx, item2 xyy: Pbar = 2/3, Pe = 5/9 -> kappa = 1/4, fair
+    val rows = Seq(("g", 1L, "x", "x", "x"), ("g", 2L, "x", "y", "y"))
+    val r = Metrics.fleissKappa(rows.toDF("g", "i", "r1", "r2", "r3"),
+      "g", "i", Seq("r1", "r2", "r3")).collect().head
+    (r.getLong(1), r.getLong(2)) shouldBe ((2L, 3L))
+    r.getDouble(3) shouldBe 0.25
+    r.getString(4) shouldBe "fair"
+    // unanimous raters across two categories: kappa 1
+    val perfect = Seq(("p", 1L, "x", "x", "x"), ("p", 2L, "y", "y", "y"))
+    val rpr = Metrics.fleissKappa(perfect.toDF("g", "i", "r1", "r2", "r3"),
+      "g", "i", Seq("r1", "r2", "r3")).collect().head
+    rpr.getDouble(3) shouldBe 1.0
+    rpr.getString(4) shouldBe "almost perfect"
+    // single category everywhere: chance agreement certain
+    val const = Seq(("c", 1L, "x", "x", "x"), ("c", 2L, "x", "x", "x"))
+    val rc = Metrics.fleissKappa(const.toDF("g", "i", "r1", "r2", "r3"),
+      "g", "i", Seq("r1", "r2", "r3")).collect().head
+    rc.getDouble(3) shouldBe 0.0
+    rc.getString(4) shouldBe "degenerate"
+  }
+
+  test("fleissKappa is invariant to rater column order and label renaming") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = Gen.listOfN(8, for {
+      a <- Gen.oneOf("x", "y"); b <- Gen.oneOf("x", "y")
+      c <- Gen.oneOf("x", "y")
+    } yield (a, b, c))
+    check(Prop.forAll(gen) { rs =>
+      val rows = rs.zipWithIndex.map { case ((a, b, c), i) =>
+        ("g", i.toLong, a, b, c)
+      }
+      val df = rows.toDF("g", "i", "r1", "r2", "r3")
+      val k1 = Metrics.fleissKappa(df, "g", "i", Seq("r1", "r2", "r3"))
+        .collect().head
+      val k2 = Metrics.fleissKappa(df, "g", "i", Seq("r3", "r1", "r2"))
+        .collect().head
+      val ren = rows.map { case (g, i, a, b, c) =>
+        def m(s: String) = if (s == "x") "u" else "v"
+        (g, i, m(a), m(b), m(c))
+      }.toDF("g", "i", "r1", "r2", "r3")
+      val k3 = Metrics.fleissKappa(ren, "g", "i", Seq("r1", "r2", "r3"))
+        .collect().head
+      k1.getDouble(3) == k2.getDouble(3) && k1.getDouble(3) == k3.getDouble(3)
+    })
+  }
 }
