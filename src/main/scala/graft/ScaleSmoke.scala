@@ -876,6 +876,26 @@ object ScaleSmoke {
           pmod(col("user_id") + col("event_id"), lit(40)).as("y")),
         "g", "x", "y").count()
     }
+    time("weekday seasonality (200 keys)") {
+      operators.Resample.weekdaySeasonality(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("k"),
+          col("ts")),
+        "k", "ts").count()
+    }
+    time("seasonal naive (200 keys)") {
+      operators.Resample.seasonalNaiveError(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("k"),
+          col("ts")),
+        "k", "ts").count()
+    }
+    time("topk drift (200 groups)") {
+      operators.Profile.topKDrift(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("arm"),
+          pmod(col("event_id"), lit(5000)).as("key"),
+          col("value").cast("double").as("v")),
+        "g", "arm", "key", "v", k = 50).count()
+    }
     time("ndcg@10 (200 queries)") {
       operators.Metrics.ndcgAtK(
         events(rows).select(pmod(col("user_id"), lit(200)).as("q"),

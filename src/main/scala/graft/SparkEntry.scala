@@ -223,6 +223,32 @@ object SparkEntry {
           functions.TextFns.langIdNgram(col("text")).as("r3")),
         "source", "doc_id", Seq("r1", "r2", "r3"))),
 
+    // weekly-cycle screen: eta² of daily event counts across the 7
+    // epoch-day-mod-7 groups per event type — the kruskalWallis
+    // micro-unit split keeps the seasonal flag an exact DECIMAL
+    // comparison against the 0.2 threshold
+    "q309_weekday_seasonality" -> ((s, d) =>
+      operators.Resample.weekdaySeasonality(
+        t(s, d, "events"), "event_type", "ts")),
+
+    // is a seasonal model worth it? sum |x_d − x_{d−7}| vs
+    // |x_d − x_{d−1}| over each type's daily counts — all-BIGINT
+    // error sums, one closing double ratio
+    "q310_seasonal_naive" -> ((s, d) =>
+      operators.Resample.seasonalNaiveError(
+        t(s, d, "events"), "event_type", "ts")),
+
+    // leaderboard stability: top-50 parts by revenue, 1995+ vs
+    // before, per return flag — set intersection and Jaccard in
+    // exact ppm, no doubles anywhere
+    "q311_topk_drift" -> ((s, d) =>
+      operators.Profile.topKDrift(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          when(year(col("l_shipdate")) >= 1995, 1L).otherwise(0L)
+            .as("arm"),
+          col("l_partkey"), col("l_extendedprice")),
+        "l_returnflag", "arm", "l_partkey", "l_extendedprice", k = 50)),
+
     // do BUILDING-segment customers churn differently? two-arm
     // log-rank over the q232 churn observations: O−E and V as exact
     // DECIMAL(18,6) sums of pround6 hypergeometric contributions,
@@ -4477,6 +4503,112 @@ object SparkEntry {
            |    ELSE 'almost perfect' END AS strength
            |FROM f""".stripMargin
       },
+
+      // the kruskalWallis micro-unit split over 7 weekday groups;
+      // HUGEINT // mirrors the engine's DECIMAL floor division
+      "q309_weekday_seasonality" ->
+        s"""WITH daily AS (
+           |  SELECT event_type AS k,
+           |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |perw AS (
+           |  SELECT k, day % 7 AS w, CAST(count(*) AS BIGINT) AS mw,
+           |    CAST(sum(c) AS HUGEINT) AS sw
+           |  FROM daily GROUP BY 1, 2),
+           |qs AS (
+           |  SELECT k, mw, (sw * sw) % mw AS rem, (sw * sw) // mw AS qq
+           |  FROM perw),
+           |t6 AS (
+           |  SELECT k,
+           |    CAST(sum(qq * 1000000 + (rem * 1000000) // mw) AS HUGEINT)
+           |      AS t6u,
+           |    CAST(count(*) AS BIGINT) AS nw
+           |  FROM qs GROUP BY 1),
+           |tot AS (
+           |  SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+           |    CAST(sum(c) AS HUGEINT) AS s,
+           |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q2
+           |  FROM daily GROUP BY 1),
+           |j AS (
+           |  SELECT tot.k, n_days, s, t6u, nw,
+           |    CAST(n_days AS HUGEINT) * q2 - s * s AS d,
+           |    CAST(n_days AS HUGEINT) * t6u - s * s * 1000000 AS numlow
+           |  FROM tot JOIN t6 ON tot.k = t6.k)
+           |SELECT k AS event_type, n_days,
+           |  ${pround("CASE WHEN d = 0 THEN 0.0 ELSE (CAST(n_days AS DOUBLE) * (CAST(t6u AS DOUBLE) / 1000000.0) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(d AS DOUBLE) END", 6)} AS eta2,
+           |  CASE WHEN d = 0 THEN false
+           |    WHEN 5 * numlow >= d * 1000000 THEN true
+           |    WHEN 5 * (numlow + CAST(nw AS HUGEINT) * n_days)
+           |      < d * 1000000 THEN false
+           |    ELSE error('borderline beyond exact resolution')
+           |  END AS seasonal
+           |FROM j""".stripMargin,
+
+      // day±lag self equi-joins — missing days form no pair; both
+      // error sums BIGINT, one closing double
+      "q310_seasonal_naive" ->
+        s"""WITH daily AS (
+           |  SELECT event_type AS k,
+           |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |l1 AS (
+           |  SELECT a.k, CAST(count(*) AS BIGINT) AS n_pairs1,
+           |    CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sae1
+           |  FROM daily a JOIN daily b ON a.k = b.k AND a.day = b.day + 1
+           |  GROUP BY 1),
+           |l7 AS (
+           |  SELECT a.k, CAST(count(*) AS BIGINT) AS n_pairs7,
+           |    CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sae7
+           |  FROM daily a JOIN daily b ON a.k = b.k AND a.day = b.day + 7
+           |  GROUP BY 1),
+           |n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_days
+           |  FROM daily GROUP BY 1),
+           |j AS (
+           |  SELECT n.k, n_days,
+           |    COALESCE(n_pairs1, 0) AS n_pairs1, COALESCE(sae1, 0) AS sae1,
+           |    COALESCE(n_pairs7, 0) AS n_pairs7, COALESCE(sae7, 0) AS sae7
+           |  FROM n LEFT JOIN l1 ON n.k = l1.k LEFT JOIN l7 ON n.k = l7.k)
+           |SELECT k AS event_type, n_days, n_pairs1, sae1, n_pairs7, sae7,
+           |  ${pround("CASE WHEN n_pairs1 = 0 OR n_pairs7 = 0 OR sae1 = 0 THEN NULL ELSE (CAST(sae7 AS DOUBLE) / CAST(n_pairs7 AS DOUBLE)) / (CAST(sae1 AS DOUBLE) / CAST(n_pairs1 AS DOUBLE)) END", 6)} AS ratio
+           |FROM j""".stripMargin,
+
+      // cent-exact revenue totals, (total desc, key asc) top-50 per
+      // (flag, era), then pure set arithmetic — no doubles
+      "q311_topk_drift" ->
+        """WITH perkey AS (
+          |  SELECT l_returnflag AS g,
+          |    CASE WHEN year(l_shipdate) >= 1995 THEN 1 ELSE 0 END AS arm,
+          |    l_partkey AS key,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          |      AS DECIMAL(38,2)) AS tot
+          |  FROM lineitem GROUP BY 1, 2, 3),
+          |top AS (
+          |  SELECT g, arm, key FROM perkey
+          |  QUALIFY row_number() OVER (PARTITION BY g, arm
+          |    ORDER BY tot DESC, key ASC) <= 50),
+          |sizes AS (
+          |  SELECT g,
+          |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_top_a,
+          |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_top_b
+          |  FROM top GROUP BY 1),
+          |com AS (
+          |  SELECT a.g, CAST(count(*) AS BIGINT) AS n_common
+          |  FROM (SELECT g, key FROM top WHERE arm = 0) a
+          |  JOIN (SELECT g, key FROM top WHERE arm = 1) b
+          |    ON a.g = b.g AND a.key = b.key
+          |  GROUP BY 1)
+          |SELECT s.g AS l_returnflag, n_top_a, n_top_b,
+          |  COALESCE(n_common, 0) AS n_common,
+          |  CAST(COALESCE(n_common, 0) * 1000000
+          |    // (n_top_a + n_top_b - COALESCE(n_common, 0)) AS BIGINT)
+          |    AS jaccard_ppm,
+          |  n_top_b - COALESCE(n_common, 0) AS n_new
+          |FROM sizes s LEFT JOIN com ON s.g = com.g
+          |WHERE n_top_a + n_top_b > 0""".stripMargin,
 
       "q01_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,

@@ -322,6 +322,13 @@ object syntax {
     def wasserstein1d(groupCol: String, armCol: String,
                       valCol: String): DataFrame =
       Profile.wasserstein1d(df, groupCol, armCol, valCol)
+    def topKDrift(groupCol: String, armCol: String, keyCol: String,
+                  valCol: String, k: Int = 50): DataFrame =
+      Profile.topKDrift(df, groupCol, armCol, keyCol, valCol, k)
+    def weekdaySeasonality(keyCol: String, tsCol: String): DataFrame =
+      Resample.weekdaySeasonality(df, keyCol, tsCol)
+    def seasonalNaiveError(keyCol: String, tsCol: String): DataFrame =
+      Resample.seasonalNaiveError(df, keyCol, tsCol)
     def pChart(periodCol: String, defectCol: String): DataFrame =
       Audit.pChart(df, periodCol, defectCol)
     def gini(groupCol: String, keyCol: String, valueCol: String,

@@ -769,4 +769,61 @@ object Profile {
       .select(col(groupCol), col("n_a"), col("n_b"),
         col("__emd").cast("double").as("emd"))
   }
+
+  /** Top-k set drift per group: how much did the top-k keys (by
+    * summed value) change between two periods? The rank-stability
+    * audit behind "did our best-selling parts change this year?" —
+    * distribution metrics (PSI/EMD) see mass move, this sees the
+    * LEADERBOARD move. Output per group: the two top-list sizes
+    * (≤ k — a period can have fewer keys), the intersection size,
+    * exact Jaccard in ppm (BIGINT — no doubles anywhere), and how
+    * many of arm 1's top keys are new entrants.
+    *
+    * Determinism: per-key value totals sum as DECIMAL(18,2) cents;
+    * ranking breaks ties by ascending key, so the top-k SET is
+    * engine-exact. jaccard_ppm = |∩|·10⁶ div |∪| — exact floor.
+    *
+    * Scale shape: one (group, arm, key) hash aggregate, one
+    * row_number window per (group, arm) filtered to rank ≤ k (the
+    * WindowGroupLimit shape), then a tiny top-list self-join on the
+    * group+key — every frame past the window holds ≤ 2k rows per
+    * group.
+    */
+  def topKDrift(df: DataFrame, groupCol: String, armCol: String,
+                keyCol: String, valCol: String, k: Int = 50): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000]: $k")
+    val arm = when(col(armCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val perKey = df
+      .filter(col(groupCol).isNotNull && col(armCol).isNotNull &&
+        col(keyCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), arm.as("__arm"),
+        col(keyCol).as("__key"),
+        col(valCol).cast("decimal(18,2)").as("__v"))
+      .groupBy(col("__g"), col("__arm"), col("__key"))
+      .agg(sum(col("__v")).as("__tot"))
+    val w = Window.partitionBy(col("__g"), col("__arm"))
+      .orderBy(col("__tot").desc, col("__key").asc)
+    val top = perKey.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__g"), col("__arm"), col("__key"))
+      .localCheckpoint(true)
+    val a = top.filter(col("__arm") === 0L).drop("__arm")
+    val b = top.filter(col("__arm") === 1L).drop("__arm")
+    val sizes = top.groupBy(col("__g"))
+      .agg(sum(when(col("__arm") === 0L, 1L).otherwise(0L))
+        .cast("long").as("n_top_a"),
+        sum(when(col("__arm") === 1L, 1L).otherwise(0L))
+        .cast("long").as("n_top_b"))
+    val common = a.join(b, Seq("__g", "__key"))
+      .groupBy(col("__g")).agg(count(lit(1)).cast("long").as("n_common"))
+    sizes.join(common, Seq("__g"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .filter(col("n_top_a") + col("n_top_b") > 0L)
+      .select(col("__g").as(groupCol), col("n_top_a"), col("n_top_b"),
+        col("n_common"),
+        expr("""CAST(CAST(n_common AS DECIMAL(19,0)) * 1000000
+          DIV (n_top_a + n_top_b - n_common) AS BIGINT)""")
+          .as("jaccard_ppm"),
+        (col("n_top_b") - col("n_common")).as("n_new"))
+  }
 }

@@ -501,4 +501,120 @@ object Resample {
         (col("__off") + sum(col("__delta")).over(wIn)).cast("long")
           .as("n_open"))
   }
+
+  /** Weekday seasonality strength per key: how much of the daily-count
+    * variance does the day-of-week explain? η² = SS_between/SS_total
+    * over the 7 weekday groups — the "is there a weekly cycle worth
+    * modeling?" screen before anyone fits a seasonal forecaster.
+    *
+    * Weekday is the ENGINE-NEUTRAL epoch-day mod 7 (Spark's
+    * dayofweek and DuckDB's disagree on numbering; datediff from
+    * 1970-01-01 does not). Exactness: with per-weekday day-counts
+    * M_w and count-sums S_w, η² = (M·Σ S_w²/M_w − S²)/(M·Q − S²);
+    * the only division Σ S_w²/M_w runs through the kruskalWallis
+    * micro-unit quotient split (q·10⁶ + rem·10⁶ div M_w, ≤ 7
+    * micro-units low), so the `seasonal` flag (η² ≥ 0.2) is decided
+    * in DECIMAL(38,0) with a raise-on-borderline band; the reported
+    * eta2 is ONE fixed-order double. SS_total = 0 (constant daily
+    * counts) reports 0, not seasonal.
+    *
+    * Scale shape: one hash aggregate to (key, day) counts — the
+    * calendar-bounded series every operator in this file rides —
+    * then two tiny per-key aggregates. No windows, no joins beyond
+    * the per-key assembly.
+    */
+  def weekdaySeasonality(df: DataFrame, keyCol: String,
+                         tsCol: String): DataFrame = {
+    val daily = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"),
+        unix_date(to_date(col(tsCol))).cast("long").as("__day"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val perW = daily
+      .withColumn("__w", pmod(col("__day"), lit(7L)))
+      .groupBy(col("__k"), col("__w"))
+      .agg(count(lit(1)).cast("long").as("__mw"),
+        sum(col("__c")).cast("decimal(38,0)").as("__sw"))
+      .withColumn("__sw2", col("__sw") * col("__sw"))
+      .withColumn("__rem", expr("CAST(pmod(__sw2, __mw) AS DECIMAL(38,0))"))
+      .withColumn("__q",
+        expr("CAST((__sw2 - __rem) / __mw AS DECIMAL(38,0))"))
+      .withColumn("__rem6",
+        expr("CAST((CAST(__rem * 1000000 AS DECIMAL(38,0))" +
+          " - pmod(__rem * 1000000, __mw)) / __mw AS DECIMAL(38,0))"))
+    val t6 = perW.groupBy(col("__k"))
+      .agg(sum(col("__q") * 1000000 + col("__rem6")).as("__t6u"),
+        count(lit(1)).cast("long").as("__nw"))
+    val tot = daily.groupBy(col("__k"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("__c")).cast("decimal(38,0)").as("__s"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__q2"))
+    val d = "(CAST(n_days AS DECIMAL(38,0)) * __q2 - __s * __s)"
+    // N·10⁶ ∈ [numLow, numLow + n_weekdays·n_days) micro-units
+    val numLow = "(CAST(n_days AS DECIMAL(38,0)) * __t6u" +
+      " - __s * __s * 1000000)"
+    tot.join(t6, Seq("__k"))
+      .select(col("__k").as(keyCol), col("n_days"),
+        graft.functions.Rounding.p6(expr(s"""CASE WHEN $d = 0 THEN 0.0
+          ELSE (CAST(n_days AS DOUBLE) * (CAST(__t6u AS DOUBLE) / 1000000.0)
+            - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE))
+            / CAST($d AS DOUBLE) END""")).as("eta2"),
+        expr(s"""CASE
+          WHEN $d = 0 THEN false
+          WHEN 5 * $numLow >= $d * 1000000 THEN true
+          WHEN 5 * ($numLow + CAST(__nw AS DECIMAL(38,0)) * n_days)
+            < $d * 1000000 THEN false
+          ELSE CAST(raise_error(
+            'Resample.weekdaySeasonality: eta-squared within the floored micro-unit band of the 0.2 threshold — borderline beyond exact resolution') AS BOOLEAN)
+          END""").as("seasonal"))
+  }
+
+  /** Seasonal-naive error ratio per key: does "same day last week"
+    * predict today's count better than "yesterday"? Sum of absolute
+    * one-day and seven-day differences over the daily-count series —
+    * ratio < 1 means the weekly naive wins and a seasonal model is
+    * worth its keep (the MASE idea, with the roles laid bare).
+    *
+    * ENTIRELY integer except the closing ratio: daily counts join
+    * their day−1 and day−7 counterparts by exact day arithmetic
+    * (missing days simply form no pair — no imputation), both error
+    * sums are BIGINT, and the ratio (sae7/n7)/(sae1/n1) is ONE
+    * fixed-order double, pround6, NULL when either pair set is empty
+    * or the lag-1 error is exactly 0 (a constant series has nothing
+    * to beat).
+    *
+    * Scale shape: one hash aggregate to the calendar-bounded daily
+    * series, two self equi-joins on (key, day±lag), one closing
+    * aggregate.
+    */
+  def seasonalNaiveError(df: DataFrame, keyCol: String,
+                         tsCol: String): DataFrame = {
+    val daily = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"),
+        unix_date(to_date(col(tsCol))).cast("long").as("__day"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    def lagged(lag: Int, tag: String) = daily
+      .join(daily.select(col("__k"), (col("__day") + lag).as("__day"),
+          col("__c").as("__cl")),
+        Seq("__k", "__day"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).cast("long").as(s"n_pairs$tag"),
+        sum(abs(col("__c") - col("__cl"))).cast("long").as(s"sae$tag"))
+    val n = daily.groupBy(col("__k"))
+      .agg(count(lit(1)).cast("long").as("n_days"))
+    n.join(lagged(1, "1"), Seq("__k"), "left")
+      .join(lagged(7, "7"), Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n_days"),
+        coalesce(col("n_pairs1"), lit(0L)).as("n_pairs1"),
+        coalesce(col("sae1"), lit(0L)).as("sae1"),
+        coalesce(col("n_pairs7"), lit(0L)).as("n_pairs7"),
+        coalesce(col("sae7"), lit(0L)).as("sae7"))
+      .withColumn("ratio",
+        graft.functions.Rounding.p6(expr("""CASE
+          WHEN n_pairs1 = 0 OR n_pairs7 = 0 OR sae1 = 0 THEN NULL
+          ELSE (CAST(sae7 AS DOUBLE) / CAST(n_pairs7 AS DOUBLE))
+             / (CAST(sae1 AS DOUBLE) / CAST(n_pairs1 AS DOUBLE))
+          END""")))
+  }
 }

@@ -209,6 +209,21 @@ class SyntaxSpec extends SparkSpec {
     fk.fleissKappa("g", "i", Seq("r1", "r2", "r3")).collect().toSeq shouldBe
       graft.operators.Metrics.fleissKappa(fk, "g", "i",
         Seq("r1", "r2", "r3")).collect().toSeq
+    // topKDrift/weekdaySeasonality/seasonalNaiveError localCheckpoint:
+    // compare results
+    val td = Seq(("g", 0L, "a", 1.0), ("g", 1L, "a", 2.0))
+      .toDF("g", "arm", "key", "v")
+    td.topKDrift("g", "arm", "key", "v", k = 2).collect().toSeq shouldBe
+      graft.operators.Profile.topKDrift(td, "g", "arm", "key", "v", k = 2)
+        .collect().toSeq
+    val wts = Seq(("g", new java.sql.Timestamp(43200000L)),
+      ("g", new java.sql.Timestamp(86400000L + 43200000L))).toDF("k", "ts")
+    wts.weekdaySeasonality("k", "ts").collect().toSeq shouldBe
+      graft.operators.Resample.weekdaySeasonality(wts, "k", "ts")
+        .collect().toSeq
+    wts.seasonalNaiveError("k", "ts").collect().toSeq shouldBe
+      graft.operators.Resample.seasonalNaiveError(wts, "k", "ts")
+        .collect().toSeq
     val wd = Seq(("g", 0L, 1.0), ("g", 1L, 2.0)).toDF("g", "arm", "v")
     wd.wasserstein1d("g", "arm", "v").queryExecution.analyzed
       .sameResult(graft.operators.Profile.wasserstein1d(wd, "g", "arm",

@@ -415,4 +415,32 @@ class ProfileSpec extends SparkSpec {
       }
     })
   }
+  test("topKDrift hand-computed leaderboard move") {
+    // arm0 totals a:10 b:5 c:1 -> top2 {a,b}; arm1 b:10 d:8 a:1 ->
+    // top2 {b,d}; common {b}, jaccard 1/3, one new entrant
+    val rows = Seq(("g", 0L, "a", 10.0), ("g", 0L, "b", 5.0),
+      ("g", 0L, "c", 1.0), ("g", 1L, "b", 10.0), ("g", 1L, "d", 8.0),
+      ("g", 1L, "a", 1.0))
+    val r = Profile.topKDrift(rows.toDF("g", "arm", "key", "v"),
+      "g", "arm", "key", "v", k = 2).collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((2L, 2L, 1L))
+    r.getLong(4) shouldBe 333333L
+    r.getLong(5) shouldBe 1L
+  }
+
+  test("topKDrift: identical arms score ppm 10^6; value ties break by key") {
+    val same = Seq(("s", 0L, "x", 5.0), ("s", 0L, "y", 3.0),
+      ("s", 1L, "x", 5.0), ("s", 1L, "y", 3.0))
+    Profile.topKDrift(same.toDF("g", "arm", "key", "v"),
+      "g", "arm", "key", "v", k = 2).collect().head
+      .getLong(4) shouldBe 1000000L
+    // all totals tied: top-2 must be the two smallest keys in BOTH arms
+    val tied = Seq(("t", 0L, "x", 5.0), ("t", 0L, "y", 5.0),
+      ("t", 0L, "z", 5.0), ("t", 1L, "x", 5.0), ("t", 1L, "y", 5.0),
+      ("t", 1L, "z", 5.0))
+    val rt = Profile.topKDrift(tied.toDF("g", "arm", "key", "v"),
+      "g", "arm", "key", "v", k = 2).collect().head
+    rt.getLong(3) shouldBe 2L
+    rt.getLong(4) shouldBe 1000000L
+  }
 }

@@ -276,4 +276,60 @@ class ResampleSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Resample.concurrency(iv, "s", "e", bucketWidth = 0L)
   }
+  private def tsRows(key: String, dayCounts: Seq[(Int, Int)]) =
+    dayCounts.flatMap { case (day, n) =>
+      Seq.fill(n)((key,
+        new java.sql.Timestamp(day.toLong * 86400000L + 43200000L)))
+    }
+
+  test("weekdaySeasonality hand-computed eta-squared cards") {
+    // two weeks where day%7==0 carries 10 events, the rest 1:
+    // within-weekday counts are constant -> eta2 exactly 1, seasonal
+    val strong = tsRows("g", (0 until 14).map(d =>
+      (d, if (d % 7 == 0) 10 else 1)))
+    val r = Resample.weekdaySeasonality(strong.toDF("k", "ts"), "k", "ts")
+      .collect().head
+    r.getLong(1) shouldBe 14L
+    r.getDouble(2) shouldBe 1.0
+    r.getBoolean(3) shouldBe true
+    // constant series: SS_total = 0 -> degenerate, not seasonal
+    val flat = tsRows("f", (0 until 14).map((_, 2)))
+    val rf = Resample.weekdaySeasonality(flat.toDF("k", "ts"), "k", "ts")
+      .collect().head
+    rf.getDouble(2) shouldBe 0.0
+    rf.getBoolean(3) shouldBe false
+    // one bump on day 0/7's weekday: eta2 = 24/52
+    val mixed = tsRows("m", (0 until 14).map(d => (d, if (d == 0) 3 else 1)))
+    val rm = Resample.weekdaySeasonality(mixed.toDF("k", "ts"), "k", "ts")
+      .collect().head
+    rm.getDouble(2) shouldBe graft.functions.Rounding.p6d(24.0 / 52.0)
+    rm.getBoolean(3) shouldBe true
+  }
+
+  test("seasonalNaiveError hand-computed with a gap (missing days pair nothing)") {
+    // days 0,1,2,7,8 with counts 5,3,9,5,4:
+    //   lag1 pairs (1,0)(2,1)(8,7): sae1 = 2+6+1 = 9 over 3
+    //   lag7 pairs (7,0)(8,1): sae7 = 0+1 = 1 over 2
+    //   ratio = (1/2)/(9/3) = 0.166667
+    val rows = tsRows("g", Seq((0, 5), (1, 3), (2, 9), (7, 5), (8, 4)))
+    val r = Resample.seasonalNaiveError(rows.toDF("k", "ts"), "k", "ts")
+      .collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) shouldBe ((5L, 3L, 9L, 2L, 1L))
+    r.getDouble(6) shouldBe 0.166667
+  }
+
+  test("seasonalNaiveError: constant series and pairless series report NULL ratio") {
+    val const = tsRows("c", Seq((0, 2), (1, 2), (2, 2)))
+    val rc = Resample.seasonalNaiveError(const.toDF("k", "ts"), "k", "ts")
+      .collect().head
+    rc.getLong(3) shouldBe 0L // sae1 = 0
+    assert(rc.isNullAt(6))
+    // single day: no lag pairs at all
+    val single = tsRows("s", Seq((5, 4)))
+    val rs = Resample.seasonalNaiveError(single.toDF("k", "ts"), "k", "ts")
+      .collect().head
+    (rs.getLong(2), rs.getLong(4)) shouldBe ((0L, 0L))
+    assert(rs.isNullAt(6))
+  }
 }
