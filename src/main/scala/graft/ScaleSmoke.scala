@@ -876,6 +876,28 @@ object ScaleSmoke {
           pmod(col("user_id") + col("event_id"), lit(40)).as("y")),
         "g", "x", "y").count()
     }
+    time("mcnemar (200 groups)") {
+      operators.Hypothesis.mcnemar(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("a"),
+          pmod(col("event_id") + col("user_id"), lit(2)).as("b")),
+        "g", "a", "b").count()
+    }
+    time("cochran q (200 groups)") {
+      operators.Hypothesis.cochranQ(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("t1"),
+          pmod(col("event_id"), lit(3)).as("t2"),
+          pmod(col("event_id") + col("user_id"), lit(2)).as("t3")),
+        "g", Seq("t1", "t2", "t3")).count()
+    }
+    time("cochran-armitage (200 groups)") {
+      operators.Hypothesis.cochranArmitage(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(10)).as("w"),
+          pmod(col("event_id") + col("user_id"), lit(2)).as("s")),
+        "g", "w", "s").count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

@@ -249,6 +249,39 @@ object SparkEntry {
           col("l_partkey"), col("l_extendedprice")),
         "l_returnflag", "arm", "l_partkey", "l_extendedprice", k = 50)),
 
+    // paired filter-flip audit: deep-discount vs high-tax 'keep'
+    // decisions on the same line items — McNemar over the discordant
+    // cells only, significance by exact DECIMAL cross-multiplication
+    "q312_mcnemar" -> ((s, d) =>
+      operators.Hypothesis.mcnemar(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("a"),
+          when(col("l_tax") >= 0.05, 1L).otherwise(0L).as("b")),
+        "l_returnflag", "a", "b")),
+
+    // three paired screens per document (length, English, token
+    // budget): Cochran's Q per source — binary data keeps every term
+    // integral, so significance is fully exact against chi2_2
+    "q313_cochran_q" -> ((s, d) =>
+      operators.Hypothesis.cochranQ(
+        t(s, d, "documents").select(col("source"),
+          when(col("n_chars") > 200, 1L).otherwise(0L).as("t1"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("t2"),
+          when(functions.TextFns.bpeishTokenCount(col("text")) > 40, 1L)
+            .otherwise(0L).as("t3")),
+        "source", Seq("t1", "t2", "t3"))),
+
+    // does the return rate TREND with the discount band? Cochran-
+    // Armitage over cent buckets per line status — one-degree
+    // monotone alternative, exact cross-multiplied significance
+    "q314_cochran_armitage" -> ((s, d) =>
+      operators.Hypothesis.cochranArmitage(
+        t(s, d, "lineitem").select(col("l_linestatus"),
+          (col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+            .as("bucket"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret")),
+        "l_linestatus", "bucket", "ret")),
+
     // do BUILDING-segment customers churn differently? two-arm
     // log-rank over the q232 churn observations: O−E and V as exact
     // DECIMAL(18,6) sums of pround6 hypergeometric contributions,
@@ -4609,6 +4642,88 @@ object SparkEntry {
           |  n_top_b - COALESCE(n_common, 0) AS n_new
           |FROM sizes s LEFT JOIN com ON s.g = com.g
           |WHERE n_top_a + n_top_b > 0""".stripMargin,
+
+      // discordant cells only; 10^6-scaled HUGEINT cross-mult
+      "q312_mcnemar" ->
+        s"""WITH g AS (
+           |  SELECT l_returnflag,
+           |    CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS a,
+           |    CASE WHEN l_tax >= 0.05 THEN 1 ELSE 0 END AS b
+           |  FROM lineitem),
+           |agg AS (
+           |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS b01,
+           |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS b10
+           |  FROM g GROUP BY 1)
+           |SELECT l_returnflag, n, b01, b10,
+           |  ${pround("CASE WHEN b01 + b10 = 0 THEN 0.0 ELSE CAST(b01 - b10 AS DOUBLE) * CAST(b01 - b10 AS DOUBLE) / CAST(b01 + b10 AS DOUBLE) END", 6)} AS chi2,
+           |  CASE WHEN b01 + b10 = 0 THEN false
+           |    ELSE 1000000 * CAST(b01 - b10 AS HUGEINT) * (b01 - b10)
+           |      > 3841459 * CAST(b01 + b10 AS HUGEINT) END AS significant
+           |FROM agg""".stripMargin,
+
+      // binary data keeps Q's terms integral: T_c sums and row-sum
+      // squares in HUGEINT, chi2_2 critical value x10^6
+      "q313_cochran_q" ->
+        s"""WITH g AS (
+           |  SELECT source,
+           |    CASE WHEN n_chars > 200 THEN 1 ELSE 0 END AS t1,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t2,
+           |    CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) > 40 THEN 1 ELSE 0 END AS t3
+           |  FROM documents WHERE source IS NOT NULL),
+           |agg AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+           |    CAST(sum(t1) AS HUGEINT) AS ta,
+           |    CAST(sum(t2) AS HUGEINT) AS tb,
+           |    CAST(sum(t3) AS HUGEINT) AS tc,
+           |    CAST(sum(t1 + t2 + t3) AS HUGEINT) AS sr,
+           |    CAST(sum(CAST(t1 + t2 + t3 AS HUGEINT) * (t1 + t2 + t3))
+           |      AS HUGEINT) AS sr2
+           |  FROM g GROUP BY 1),
+           |f AS (
+           |  SELECT source, n_items,
+           |    3 * (ta * ta + tb * tb + tc * tc)
+           |      - (ta + tb + tc) * (ta + tb + tc) AS num,
+           |    3 * sr - sr2 AS den
+           |  FROM agg)
+           |SELECT source, n_items, CAST(3 AS BIGINT) AS k_treatments,
+           |  ${pround("CASE WHEN den = 0 THEN 0.0 ELSE 2.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END", 6)} AS q,
+           |  CASE WHEN den = 0 THEN false
+           |    ELSE 1000000 * CAST(2 AS HUGEINT) * num
+           |      > 5991465 * CAST(den AS HUGEINT) END AS significant
+           |FROM f""".stripMargin,
+
+      // bucket weights = the cent value itself; N*A^2 vs K(N-K)B in
+      // HUGEINT, 3.841459 x10^6
+      "q314_cochran_armitage" ->
+        s"""WITH per AS (
+           |  SELECT l_linestatus AS g,
+           |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS w,
+           |    CAST(count(*) AS BIGINT) AS nb,
+           |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS kb
+           |  FROM lineitem GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT g, CAST(sum(nb) AS BIGINT) AS n,
+           |    CAST(sum(kb) AS BIGINT) AS k_succ,
+           |    CAST(sum(CAST(w AS HUGEINT) * kb) AS HUGEINT) AS swk,
+           |    CAST(sum(CAST(w AS HUGEINT) * nb) AS HUGEINT) AS swn,
+           |    CAST(sum(CAST(w AS HUGEINT) * w * nb) AS HUGEINT) AS sw2n
+           |  FROM per GROUP BY 1),
+           |f AS (
+           |  SELECT g, n, k_succ,
+           |    CAST(n AS HUGEINT) * swk - CAST(k_succ AS HUGEINT) * swn AS a2,
+           |    CAST(n AS HUGEINT) * sw2n - swn * swn AS b2,
+           |    CAST(k_succ AS HUGEINT) * (n - k_succ) AS kk
+           |  FROM agg)
+           |SELECT g AS l_linestatus, n, k_succ,
+           |  ${pround("CASE WHEN kk = 0 OR b2 = 0 THEN 0.0 ELSE CAST(n AS DOUBLE) * CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) / (CAST(kk AS DOUBLE) * CAST(b2 AS DOUBLE)) END", 6)} AS chi2,
+           |  CASE WHEN kk = 0 OR b2 = 0 THEN false
+           |    ELSE 1000000 * CAST(n AS HUGEINT) * a2 * a2
+           |      > 3841459 * kk * b2 END AS significant
+           |FROM f""".stripMargin,
 
       "q01_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,

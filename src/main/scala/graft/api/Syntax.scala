@@ -375,6 +375,13 @@ object syntax {
     def kruskalWallis(groupCol: String, armCol: String,
                       valCol: String): DataFrame =
       Hypothesis.kruskalWallis(df, groupCol, armCol, valCol)
+    def mcnemar(groupCol: String, aCol: String, bCol: String): DataFrame =
+      Hypothesis.mcnemar(df, groupCol, aCol, bCol)
+    def cochranQ(groupCol: String, treatmentCols: Seq[String]): DataFrame =
+      Hypothesis.cochranQ(df, groupCol, treatmentCols)
+    def cochranArmitage(groupCol: String, bucketCol: String,
+                        successCol: String): DataFrame =
+      Hypothesis.cochranArmitage(df, groupCol, bucketCol, successCol)
     def logRank(durationCol: String, eventCol: String, armCol: String,
                 bucketWidth: Long = 4096L): DataFrame =
       Survival.logRank(df, durationCol, eventCol, armCol, bucketWidth)

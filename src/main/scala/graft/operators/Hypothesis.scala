@@ -383,4 +383,151 @@ object Hypothesis {
           'Hypothesis.kruskalWallis: statistic within the floored micro-unit band of the critical value — borderline beyond exact resolution') AS BOOLEAN)
         END""").as("significant"))
   }
+
+  /** McNemar's test per group: did two PAIRED binary decisions
+    * disagree beyond symmetric noise? The filter-migration audit —
+    * "the new quality gate flips some keeps to drops and some drops
+    * to keeps; is the flip asymmetric (a real behavior change) or
+    * coin-flip churn?" Only the discordant cells matter: with b01 =
+    * (a=0, b=1) and b10 = (a=1, b=0), χ²₁ = (b01−b10)²/(b01+b10).
+    *
+    * ENTIRELY exact: both counts are BIGINTs and `significant`
+    * cross-multiplies 10⁶·(b01−b10)² > 3841459·(b01+b10) in
+    * DECIMAL(38,0) — the rounded chi2 double is never load-bearing.
+    * No discordant pairs (b01+b10 = 0) reports chi2 0, not
+    * significant. Scale shape: ONE hash aggregate. Nothing else.
+    */
+  def mcnemar(df: DataFrame, groupCol: String, aCol: String,
+              bCol: String): DataFrame = {
+    val a = col(aCol).cast("long") =!= 0L
+    val b = col(bCol).cast("long") =!= 0L
+    df.filter(col(groupCol).isNotNull && col(aCol).isNotNull &&
+        col(bCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(!a && b, 1L).otherwise(0L)).cast("long").as("b01"),
+        sum(when(a && !b, 1L).otherwise(0L)).cast("long").as("b10"))
+      .select(col(groupCol), col("n"), col("b01"), col("b10"),
+        p6(expr("""CASE WHEN b01 + b10 = 0 THEN 0.0
+          ELSE CAST(b01 - b10 AS DOUBLE) * CAST(b01 - b10 AS DOUBLE)
+            / CAST(b01 + b10 AS DOUBLE) END""")).as("chi2"),
+        expr("""CASE WHEN b01 + b10 = 0 THEN false
+          ELSE CAST(1000000 AS DECIMAL(38,0)) * (b01 - b10) * (b01 - b10)
+            > CAST(3841459 AS DECIMAL(38,0)) * (b01 + b10) END""")
+          .as("significant"))
+  }
+
+  /** Cochran's Q per group: do k PAIRED binary treatments (k screens
+    * over the same documents, k model versions' keep decisions)
+    * differ in success rate? The k-treatment generalization of
+    * [[mcnemar]]. With per-treatment success totals T_c and per-item
+    * row sums R_i,
+    *   Q = (k−1)·(k·ΣT_c² − (ΣT_c)²) / (k·ΣR_i − ΣR_i²)
+    * compared to χ²_{k−1}.
+    *
+    * ENTIRELY exact — binary data makes every term integral:
+    * `significant` compares 10⁶·(k−1)·num > c₆·den in DECIMAL(38,0)
+    * against the ×10⁶ critical table (df ≤ 8 — more raises, as
+    * kruskalWallis). Items where every treatment agrees contribute
+    * nothing to den; an all-agree group (den = 0) is degenerate:
+    * Q = 0, not significant. Rows with any NULL treatment are
+    * dropped (pairing must be complete).
+    *
+    * Scale shape: one per-item projection (row sums are row-local —
+    * k is the column count), one hash aggregate per group. No
+    * explode, no window, no join.
+    */
+  def cochranQ(df: DataFrame, groupCol: String,
+               treatmentCols: Seq[String]): DataFrame = {
+    val k = treatmentCols.size
+    require(k >= 2 && k <= 9,
+      s"cochranQ needs 2..9 treatments (chi-square table df <= 8): $k")
+    val bits = treatmentCols.map(c =>
+      when(col(c).cast("long") =!= 0L, 1L).otherwise(0L))
+    val rowSum = bits.reduce(_ + _)
+    val base = df.filter(col(groupCol).isNotNull &&
+        treatmentCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(groupCol).as("__g") +: rowSum.as("__r") +:
+        bits.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+    val agg = base.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        Seq(sum(col("__r")).cast("decimal(38,0)").as("__sr"),
+          sum(col("__r").cast("decimal(38,0)") * col("__r")).as("__sr2")) ++
+        bits.indices.map(i =>
+          sum(col(s"__t$i")).cast("long").as(s"__T$i")): _*)
+    val st = bits.indices.map(i => s"CAST(__T$i AS DECIMAL(38,0))")
+    val sumT = st.mkString("(", " + ", ")")
+    val sumT2 = st.map(t => s"$t * $t").mkString("(", " + ", ")")
+    val num = s"($k * $sumT2 - $sumT * $sumT)"
+    val den = s"($k * __sr - __sr2)"
+    val c6 = chi2Crit6(k - 1)
+    agg.select(col("__g").as(groupCol), col("n_items"),
+      lit(k.toLong).as("k_treatments"),
+      p6(expr(s"""CASE WHEN $den = 0 THEN 0.0
+        ELSE ${k - 1}.0 * CAST($num AS DOUBLE) / CAST($den AS DOUBLE)
+        END""")).as("q"),
+      expr(s"""CASE WHEN $den = 0 THEN false
+        ELSE CAST(1000000 AS DECIMAL(38,0)) * ${k - 1} * $num
+          > CAST($c6 AS DECIMAL(38,0)) * $den END""").as("significant"))
+  }
+
+  /** Cochran–Armitage trend test per group: does a binary outcome's
+    * rate TREND across ordered buckets (discount bands, quality
+    * deciles, dose levels)? The chi-square independence test (q252)
+    * sees "different somewhere"; this scores the one-degree
+    * "monotone in the bucket index" alternative, which is almost
+    * always the question.
+    *
+    * With bucket weights w = the bucket's own integer value, per-
+    * bucket trials n_i and successes k_i, N = Σn, K = Σk:
+    *   A = N·Σw·k − K·Σw·n,   B = N·Σw²·n − (Σw·n)²
+    *   z² = N·A² / (K·(N−K)·B)
+    * — all exact DECIMAL(38,0); `significant` cross-multiplies
+    * 10⁶·N·A² > 3841459·K·(N−K)·B with a double pre-guard that
+    * RAISES within 10% of DECIMAL(38,0) capacity (the q287
+    * pattern). Degenerate inputs (all success/all failure: K·(N−K)
+    * = 0, or a single bucket: B = 0) report chi2 0, not significant.
+    *
+    * Scale shape: one (group, bucket) hash aggregate, one per-group
+    * aggregate. No windows, no joins.
+    */
+  def cochranArmitage(df: DataFrame, groupCol: String, bucketCol: String,
+                      successCol: String): DataFrame = {
+    val s = when(col(successCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val per = df.filter(col(groupCol).isNotNull &&
+        col(bucketCol).isNotNull && col(successCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(bucketCol).cast("long").as("__w"), s.as("__s"))
+      .groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__s")).cast("long").as("__k"))
+    val agg = per.groupBy(col("__g"))
+      .agg(sum(col("__n")).cast("long").as("n"),
+        sum(col("__k")).cast("long").as("k_succ"),
+        sum(col("__w").cast("decimal(38,0)") * col("__k")).as("__swk"),
+        sum(col("__w").cast("decimal(38,0)") * col("__n")).as("__swn"),
+        sum(col("__w").cast("decimal(38,0)") * col("__w") * col("__n"))
+          .as("__sw2n"))
+    val aX = "(CAST(n AS DECIMAL(38,0)) * __swk" +
+      " - CAST(k_succ AS DECIMAL(38,0)) * __swn)"
+    val bX = "(CAST(n AS DECIMAL(38,0)) * __sw2n - __swn * __swn)"
+    val kk = "(CAST(k_succ AS DECIMAL(38,0)) * (n - k_succ))"
+    // double pre-guard: 10⁶·N·A² is the largest operand
+    val guardD = "(1.0e6 * CAST(n AS DOUBLE)" +
+      s" * CAST($aX AS DOUBLE) * CAST($aX AS DOUBLE))"
+    agg.select(col("__g").as(groupCol), col("n"), col("k_succ"),
+      p6(expr(s"""CASE WHEN $kk = 0 OR $bX = 0 THEN 0.0
+        ELSE CAST(n AS DOUBLE) * CAST($aX AS DOUBLE)
+          * CAST($aX AS DOUBLE)
+          / (CAST($kk AS DOUBLE) * CAST($bX AS DOUBLE)) END"""))
+        .as("chi2"),
+      expr(s"""CASE
+        WHEN $kk = 0 OR $bX = 0 THEN false
+        WHEN $guardD > 8.1e37
+        THEN CAST(raise_error(
+          'Hypothesis.cochranArmitage: cross-multiplied significance operands approach DECIMAL(38,0) capacity; recenter the bucket weights or test per finer group') AS BOOLEAN)
+        ELSE CAST(1000000 AS DECIMAL(38,0)) * n * $aX * $aX
+          > CAST(3841459 AS DECIMAL(38,0)) * $kk * $bX END""")
+        .as("significant"))
+  }
 }

@@ -383,6 +383,18 @@ class SyntaxSpec extends SparkSpec {
     kw.kruskalWallis("g", "arm", "v").collect().toSeq shouldBe
       graft.operators.Hypothesis.kruskalWallis(kw, "g", "arm", "v")
         .collect().toSeq
+    val mn = Seq(("g", 0L, 1L), ("g", 1L, 0L)).toDF("g", "a", "b")
+    mn.mcnemar("g", "a", "b").queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.mcnemar(mn, "g", "a", "b")
+        .queryExecution.analyzed) shouldBe true
+    val cq = Seq(("g", 1L, 0L, 1L)).toDF("g", "t1", "t2", "t3")
+    cq.cochranQ("g", Seq("t1", "t2", "t3")).queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.cochranQ(cq, "g",
+        Seq("t1", "t2", "t3")).queryExecution.analyzed) shouldBe true
+    val cam = Seq(("g", 1L, 1L), ("g", 2L, 0L)).toDF("g", "w", "s")
+    cam.cochranArmitage("g", "w", "s").queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.cochranArmitage(cam, "g",
+        "w", "s").queryExecution.analyzed) shouldBe true
     // logRank localCheckpoints the count table: compare results
     val lr = Seq((1L, 1L, 0L), (2L, 1L, 1L)).toDF("dur", "ev", "arm")
     lr.logRank("dur", "ev", "arm").collect().toSeq shouldBe

@@ -385,4 +385,93 @@ class HypothesisSpec extends SparkSpec {
       }
     })
   }
+  // ---- McNemar / Cochran Q / Cochran-Armitage ------------------------
+
+  test("mcnemar hand-computed discordant cells") {
+    // 8 flips one way, 2 the other, 10 concordant: chi2 = 36/10 = 3.6
+    // (just under 3.841459); 9 vs 1 gives 6.4 (significant)
+    def rows(b01: Int, b10: Int) =
+      Seq.fill(5)(("g", 1L, 1L)) ++ Seq.fill(5)(("g", 0L, 0L)) ++
+        Seq.fill(b01)(("g", 0L, 1L)) ++ Seq.fill(b10)(("g", 1L, 0L))
+    val r1 = Hypothesis.mcnemar(rows(8, 2).toDF("g", "a", "b"),
+      "g", "a", "b").collect().head
+    (r1.getLong(1), r1.getLong(2), r1.getLong(3)) shouldBe ((20L, 8L, 2L))
+    r1.getDouble(4) shouldBe 3.6
+    r1.getBoolean(5) shouldBe false
+    val r2 = Hypothesis.mcnemar(rows(9, 1).toDF("g", "a", "b"),
+      "g", "a", "b").collect().head
+    r2.getDouble(4) shouldBe 6.4
+    r2.getBoolean(5) shouldBe true
+    // fully concordant: nothing to test
+    val r0 = Hypothesis.mcnemar(rows(0, 0).toDF("g", "a", "b"),
+      "g", "a", "b").collect().head
+    r0.getDouble(4) shouldBe 0.0
+    r0.getBoolean(5) shouldBe false
+  }
+
+  test("cochranQ hand-computed three-treatment cards") {
+    // items (1,1,0)(1,1,0)(1,0,0)(0,0,0): T=(3,2,0), R=(2,2,1,0)
+    // num = 3*13 - 25 = 14, den = 15 - 9 = 6 -> Q = 2*14/6 = 4.666667
+    val rows = Seq(("g", 1L, 1L, 0L), ("g", 1L, 1L, 0L),
+      ("g", 1L, 0L, 0L), ("g", 0L, 0L, 0L))
+    val r = Hypothesis.cochranQ(rows.toDF("g", "t1", "t2", "t3"),
+      "g", Seq("t1", "t2", "t3")).collect().head
+    (r.getLong(1), r.getLong(2)) shouldBe ((4L, 3L))
+    r.getDouble(3) shouldBe p6d(2.0 * 14.0 / 6.0)
+    r.getBoolean(4) shouldBe false
+    // t1 always fires, t2/t3 never: Q = 12 > chi2_2 = 5.991465
+    val split = Seq.fill(6)(("s", 1L, 0L, 0L))
+    val rs = Hypothesis.cochranQ(split.toDF("g", "t1", "t2", "t3"),
+      "g", Seq("t1", "t2", "t3")).collect().head
+    rs.getDouble(3) shouldBe 12.0
+    rs.getBoolean(4) shouldBe true
+    // every item unanimous: den = 0, degenerate
+    val flat = Seq(("f", 1L, 1L, 1L), ("f", 0L, 0L, 0L))
+    val rf = Hypothesis.cochranQ(flat.toDF("g", "t1", "t2", "t3"),
+      "g", Seq("t1", "t2", "t3")).collect().head
+    rf.getDouble(3) shouldBe 0.0
+    rf.getBoolean(4) shouldBe false
+  }
+
+  test("cochranArmitage hand-computed dose-response trend") {
+    // buckets 0/1/2 with rates 1/10, 5/10, 9/10: chi2 = 12.8
+    val rows = (Seq.fill(1)(1L) ++ Seq.fill(9)(0L)).map(s => ("g", 0L, s)) ++
+      (Seq.fill(5)(1L) ++ Seq.fill(5)(0L)).map(s => ("g", 1L, s)) ++
+      (Seq.fill(9)(1L) ++ Seq.fill(1)(0L)).map(s => ("g", 2L, s))
+    val r = Hypothesis.cochranArmitage(rows.toDF("g", "w", "s"),
+      "g", "w", "s").collect().head
+    (r.getLong(1), r.getLong(2)) shouldBe ((30L, 15L))
+    r.getDouble(3) shouldBe 12.8
+    r.getBoolean(4) shouldBe true
+    // flat rates: A = 0 -> no trend
+    val flat = (0L to 2L).flatMap(w =>
+      (Seq.fill(5)(1L) ++ Seq.fill(5)(0L)).map(s => ("f", w, s)))
+    val rf = Hypothesis.cochranArmitage(flat.toDF("g", "w", "s"),
+      "g", "w", "s").collect().head
+    rf.getDouble(3) shouldBe 0.0
+    rf.getBoolean(4) shouldBe false
+    // single bucket: B = 0 -> degenerate
+    val one = Seq(("o", 3L, 1L), ("o", 3L, 0L))
+    Hypothesis.cochranArmitage(one.toDF("g", "w", "s"), "g", "w", "s")
+      .collect().head.getBoolean(4) shouldBe false
+  }
+
+  test("cochranArmitage is invariant to affine bucket-weight shifts") {
+    val gen = for {
+      n <- Gen.choose(6, 40)
+      rows <- Gen.listOfN(n, for {
+        w <- Gen.choose(0L, 4L); s <- Gen.oneOf(0L, 1L)
+      } yield ("g", w, s))
+      shift <- Gen.choose(1L, 50L)
+    } yield (rows, shift)
+    check(Prop.forAll(gen) { case (rows, shift) =>
+      val base = Hypothesis.cochranArmitage(rows.toDF("g", "w", "s"),
+        "g", "w", "s").collect().head
+      val moved = Hypothesis.cochranArmitage(
+        rows.map { case (g, w, s) => (g, w + shift, s) }
+          .toDF("g", "w", "s"), "g", "w", "s").collect().head
+      base.getDouble(3) == moved.getDouble(3) &&
+        base.getBoolean(4) == moved.getBoolean(4)
+    })
+  }
 }
