@@ -876,6 +876,35 @@ object ScaleSmoke {
           pmod(col("user_id") + col("event_id"), lit(40)).as("y")),
         "g", "x", "y").count()
     }
+    time("linkage quality (n/20 pairs)") {
+      val pred = events(rows).filter(pmod(col("event_id"), lit(20)) === 0)
+        .select(col("event_id").as("id_a"),
+          (col("event_id") + pmod(col("user_id"), lit(3)) + 1).as("id_b"))
+      val truth = events(rows).filter(pmod(col("event_id"), lit(20)) === 0)
+        .select(col("event_id").as("id_a"),
+          (col("event_id") + 1).as("id_b"))
+      operators.Metrics.linkageQuality(pred, truth).count()
+    }
+    time("reshard churn (32 -> 40)") {
+      operators.Packing.reshardChurn(
+        events(rows).select(pmod(col("event_id"), lit(rows / 8)).as("k")),
+        "k", 32, 40).count()
+    }
+    time("streaming topk drift (2 batches)") {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_smoke_stkd").toString + "/state"
+      val ev = events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+        pmod(col("event_id"), lit(2)).as("arm"),
+        pmod(col("event_id"), lit(5000)).as("key"),
+        col("value").cast("double").as("v"), col("event_id"))
+      streaming.StreamingTopKDrift.acceptBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        "g", "arm", "key", "v", st)
+      val merged = streaming.StreamingTopKDrift.acceptBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "g", "arm", "key", "v", st)
+      streaming.StreamingTopKDrift.driftView(merged, "g", k = 50).count()
+    }
     time("mcnemar (200 groups)") {
       operators.Hypothesis.mcnemar(
         events(rows).select(pmod(col("user_id"), lit(200)).as("g"),

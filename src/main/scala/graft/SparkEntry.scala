@@ -282,6 +282,43 @@ object SparkEntry {
           when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret")),
         "l_linestatus", "bucket", "ret")),
 
+    // q311's leaderboard card maintained LIVE: two order-parity ticks
+    // fold per-key DECIMAL totals into swap-managed state; the view
+    // reads through the SHARED topKDriftFromTotals closing, so the
+    // streamed card provably equals the one-shot card (same oracle)
+    "q315_streaming_topk_drift" -> ((s, d) => {
+      val st = invocationStateDir("q315", "totals")
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        when(year(col("l_shipdate")) >= 1995, 1L).otherwise(0L)
+          .as("arm"),
+        col("l_partkey"), col("l_extendedprice"), col("l_orderkey"))
+      def tick(p: Int) = streaming.StreamingTopKDrift.acceptBatch(
+        li.filter(col("l_orderkey") % 2 === p), "l_returnflag", "arm",
+        "l_partkey", "l_extendedprice", st)
+      tick(0)
+      val merged = tick(1)
+      streaming.StreamingTopKDrift.driftView(merged, "l_returnflag",
+        k = 50)
+    }),
+
+    // is the banding config any good? precision/recall/F1 of the q21
+    // MinHash candidate pairs against the exact-duplicate truth
+    // pairs — all-BIGINT set arithmetic, ppm floor divisions
+    "q316_linkage_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Metrics.linkageQuality(
+        Dedup.minhashCandidates(docs, "text", "doc_id"),
+        Dedup.exactDupPairs(docs, "text", "doc_id"))
+    }),
+
+    // can the doc-shard layout grow 16 -> 20 without a full rewrite?
+    // churn under modulo vs rendezvous placement, both on the md5
+    // house hash — rendezvous should move ~ 4/20 of keys, modulo
+    // nearly everything; exact ppm integers, one row
+    "q317_reshard_churn" -> ((s, d) =>
+      operators.Packing.reshardChurn(
+        t(s, d, "documents"), "doc_id", 16, 20)),
+
     // do BUILDING-segment customers churn differently? two-arm
     // log-rank over the q232 churn observations: O−E and V as exact
     // DECIMAL(18,6) sums of pround6 hypergeometric contributions,
@@ -4724,6 +4761,82 @@ object SparkEntry {
            |    ELSE 1000000 * CAST(n AS HUGEINT) * a2 * a2
            |      > 3841459 * kk * b2 END AS significant
            |FROM f""".stripMargin,
+
+      // the q21 banding chain as predictions, md5-equality pairs as
+      // truth; pure set counts and ppm floor divisions
+      "q316_linkage_quality" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b
+           |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |truth AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM documents a JOIN documents b
+           |    ON md5(lower(a.text)) = md5(lower(b.text))
+           |      AND a.doc_id < b.doc_id),
+           |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM cand),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+           |tpc AS (SELECT CAST(count(*) AS BIGINT) AS tp
+           |  FROM cand JOIN truth USING (id_a, id_b))
+           |SELECT n_pred, n_true, tp,
+           |  n_pred - tp AS fp, n_true - tp AS fn,
+           |  CASE WHEN n_pred = 0 THEN NULL
+           |    ELSE CAST(tp * 1000000 // n_pred AS BIGINT) END
+           |    AS precision_ppm,
+           |  CASE WHEN n_true = 0 THEN NULL
+           |    ELSE CAST(tp * 1000000 // n_true AS BIGINT) END
+           |    AS recall_ppm,
+           |  CASE WHEN n_pred + n_true = 0 THEN NULL
+           |    ELSE CAST(tp * 2000000 // (n_pred + n_true) AS BIGINT) END
+           |    AS f1_ppm
+           |FROM np, nt, tpc""".stripMargin,
+
+      // same md5 house hash, same (weight, shard) lexicographic
+      // winner; churn as exact ppm floor divisions
+      "q317_reshard_churn" ->
+        """WITH keys AS (
+          |  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS key
+          |  FROM documents WHERE doc_id IS NOT NULL),
+          |kh AS (
+          |  SELECT key,
+          |    CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) AS h
+          |  FROM keys),
+          |w AS (
+          |  SELECT key, r.s,
+          |    CAST(('0x' || substr(md5(key || ':' || CAST(r.s AS VARCHAR)), 1, 15)) AS BIGINT) AS wt
+          |  FROM kh, unnest(range(0, 20)) AS r(s)),
+          |fa AS (
+          |  SELECT key, CAST(s AS BIGINT) AS ha FROM w WHERE s < 16
+          |  QUALIFY row_number() OVER (PARTITION BY key
+          |    ORDER BY wt DESC, s DESC) = 1),
+          |fb AS (
+          |  SELECT key, CAST(s AS BIGINT) AS hb FROM w WHERE s < 20
+          |  QUALIFY row_number() OVER (PARTITION BY key
+          |    ORDER BY wt DESC, s DESC) = 1),
+          |j AS (
+          |  SELECT kh.key, kh.h % 16 AS ma, kh.h % 20 AS mb, ha, hb
+          |  FROM kh JOIN fa ON kh.key = fa.key JOIN fb ON kh.key = fb.key),
+          |agg AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |    CAST(sum(CASE WHEN ma <> mb THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS moved_mod,
+          |    CAST(sum(CASE WHEN ha <> hb THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS moved_hrw
+          |  FROM j)
+          |SELECT n_keys, moved_mod,
+          |  CASE WHEN n_keys = 0 THEN NULL
+          |    ELSE CAST(moved_mod * 1000000 // n_keys AS BIGINT) END
+          |    AS churn_mod_ppm,
+          |  moved_hrw,
+          |  CASE WHEN n_keys = 0 THEN NULL
+          |    ELSE CAST(moved_hrw * 1000000 // n_keys AS BIGINT) END
+          |    AS churn_hrw_ppm
+          |FROM agg""".stripMargin,
 
       "q01_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -10081,6 +10194,10 @@ object SparkEntry {
         evalWhere = Some("doc_id % 10 = 0"))) +
       // incremental maintenance over a batch split must end where the
       // one-shot solve ends — same edge set, same oracle as q65
-      ("q69_streaming_components" -> base("q65_components"))
+      ("q69_streaming_components" -> base("q65_components")) +
+      // additive per-key totals under any batch split = the one-shot
+      // totals, and both cards read the shared FromTotals closing —
+      // so the live drift card shares q311's oracle verbatim
+      ("q315_streaming_topk_drift" -> base("q311_topk_drift"))
   }
 }

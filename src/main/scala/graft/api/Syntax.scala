@@ -325,6 +325,15 @@ object syntax {
     def topKDrift(groupCol: String, armCol: String, keyCol: String,
                   valCol: String, k: Int = 50): DataFrame =
       Profile.topKDrift(df, groupCol, armCol, keyCol, valCol, k)
+    def linkageQuality(truth: DataFrame, idACol: String = "id_a",
+                       idBCol: String = "id_b"): DataFrame =
+      Metrics.linkageQuality(df, truth, idACol, idBCol)
+    def exactDupPairs(textCol: String, idCol: String,
+                      maxClusterSize: Long = 10000L): DataFrame =
+      Dedup.exactDupPairs(df, textCol, idCol, maxClusterSize)
+    def reshardChurn(keyCol: String, fromShards: Int,
+                     toShards: Int): DataFrame =
+      Packing.reshardChurn(df, keyCol, fromShards, toShards)
     def weekdaySeasonality(keyCol: String, tsCol: String): DataFrame =
       Resample.weekdaySeasonality(df, keyCol, tsCol)
     def seasonalNaiveError(keyCol: String, tsCol: String): DataFrame =

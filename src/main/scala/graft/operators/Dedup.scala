@@ -26,6 +26,36 @@ object Dedup {
     docs.groupBy(md5(lower(col(textCol))).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** All within-cluster exact-duplicate pairs (id_a < id_b) — the
+    * labeled TRUTH set for evaluating a near-dup candidate generator
+    * (`Metrics.linkageQuality`). Pairs are quadratic in CLUSTER size,
+    * so a cluster past `maxClusterSize` RAISES (guard evaluated on
+    * the join input rows — a pruned-column guard never fires) instead
+    * of silently exploding; real corpora's exact-dup clusters are
+    * small, and one that is not is a data bug worth the loud stop.
+    */
+  def exactDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                    maxClusterSize: Long = 10000L): DataFrame = {
+    require(maxClusterSize >= 2, s"maxClusterSize >= 2: $maxClusterSize")
+    val hashed = docs.select(md5(lower(col(textCol))).as("__h"),
+      col(idCol))
+    val sizes = hashed.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+    val guarded = hashed.join(sizes, Seq("__h"))
+      .withColumn("__hg",
+        when(col("__n") > maxClusterSize,
+          expr(s"CAST(raise_error(concat('Dedup.exactDupPairs: ', " +
+            s"CAST(__n AS STRING), ' docs share one content hash — " +
+            s"pairs would be quadratic past maxClusterSize=" +
+            s"$maxClusterSize')) AS STRING)"))
+          .otherwise(col("__h")))
+    guarded.select(col("__hg"), col(idCol).as("id_a"))
+      .join(guarded.select(col("__hg"), col(idCol).as("id_b")),
+        Seq("__hg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Drop exact duplicates, keeping the minimum-id doc per content hash.
     * Window formulation (not dropDuplicates) so "which row survives" is
     * deterministic — pandas keep="first" depends on input order, Spark

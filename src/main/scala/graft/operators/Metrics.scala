@@ -752,4 +752,51 @@ object Metrics {
           WHEN 5 * $num <= 4 * $den THEN 'substantial'
           ELSE 'almost perfect' END""").as("strength"))
   }
+
+  /** Pair-set quality of a candidate generator against labeled truth
+    * pairs: precision / recall / F1 of PREDICTED near-dup pairs vs
+    * TRUE duplicate pairs — the evaluation every banding config
+    * (bands × rows-per-band, SimHash radius, prefix threshold) needs
+    * before it screens a corpus. Pairs are unordered: both inputs are
+    * canonicalized to (least, greatest) and de-duplicated, so a
+    * generator emitting (a,b) and (b,a) is not rewarded twice.
+    *
+    * ENTIRELY exact: tp/fp/fn are BIGINT set counts (one inner join,
+    * two anti-join-free subtractions), and the three rates are
+    * ·10⁶ integer floor divisions — no doubles. Empty denominators
+    * (no predictions / no truth / both empty) report NULL ppm, not a
+    * fake 0 or 10⁶.
+    *
+    * Scale shape: two distinct aggregates on the canonical pair key
+    * + one pair-keyed equi-join. Output is ONE row.
+    */
+  def linkageQuality(predicted: DataFrame, truth: DataFrame,
+                     idACol: String = "id_a",
+                     idBCol: String = "id_b"): DataFrame = {
+    def canon(df: DataFrame) = df
+      .filter(col(idACol).isNotNull && col(idBCol).isNotNull &&
+        col(idACol) =!= col(idBCol))
+      .select(least(col(idACol), col(idBCol)).as("__a"),
+        greatest(col(idACol), col(idBCol)).as("__b"))
+      .distinct()
+    val p = canon(predicted).localCheckpoint(true)
+    val t = canon(truth).localCheckpoint(true)
+    val np = p.agg(count(lit(1)).cast("long").as("n_pred"))
+    val nt = t.agg(count(lit(1)).cast("long").as("n_true"))
+    val tp = p.join(t, Seq("__a", "__b"))
+      .agg(count(lit(1)).cast("long").as("tp"))
+    np.crossJoin(broadcast(nt)).crossJoin(broadcast(tp))
+      .select(col("n_pred"), col("n_true"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_true") - col("tp")).as("fn"),
+        expr("""CASE WHEN n_pred = 0 THEN NULL
+          ELSE CAST(CAST(tp AS DECIMAL(19,0)) * 1000000 DIV n_pred
+            AS BIGINT) END""").as("precision_ppm"),
+        expr("""CASE WHEN n_true = 0 THEN NULL
+          ELSE CAST(CAST(tp AS DECIMAL(19,0)) * 1000000 DIV n_true
+            AS BIGINT) END""").as("recall_ppm"),
+        expr("""CASE WHEN n_pred + n_true = 0 THEN NULL
+          ELSE CAST(CAST(tp AS DECIMAL(19,0)) * 2000000
+            DIV (n_pred + n_true) AS BIGINT) END""").as("f1_ppm"))
+  }
 }

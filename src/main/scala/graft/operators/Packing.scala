@@ -191,4 +191,71 @@ object Packing {
       .withColumn("shard_id",
         floor(col("shuffle_rank") / lit(shardSize)).cast("long"))
   }
+
+  /** Reshard-churn audit: what fraction of keys MOVE when the shard
+    * count changes from `fromShards` to `toShards`, under (a) plain
+    * modulo placement and (b) rendezvous (highest-random-weight)
+    * hashing? The capacity-planning card behind "can we grow the
+    * bucketed layout without rewriting everything": modulo reshuffles
+    * nearly everything (only keys with h ≡ same residue mod lcm
+    * stay), rendezvous moves ≈ (m−n)/m — exactly the keys a new
+    * shard wins.
+    *
+    * ENTIRELY exact and engine-neutral: the key hash is the md5
+    * 15-hex-digit prefix (the `deterministicSample` house hash — no
+    * engine-private Murmur), per-shard rendezvous weights are
+    * md5(key ‖ ':' ‖ shard) prefixes, the winner is the
+    * lexicographically greatest (weight, shard) pair, and the churn
+    * rates are ·10⁶ integer floor divisions. Output is ONE row.
+    *
+    * Scale shape: one explode of max(from, to) weight rows per key —
+    * `require`d ≤ 256 shards, so the explode is a bounded constant —
+    * then one per-key argmax hash aggregate (both placements answered
+    * by conditional maxes over the same explode) and one global
+    * aggregate. No windows, no joins.
+    */
+  def reshardChurn(df: DataFrame, keyCol: String, fromShards: Int,
+                   toShards: Int): DataFrame = {
+    require(fromShards >= 1 && fromShards <= 256 &&
+      toShards >= 1 && toShards <= 256,
+      s"shard counts must be in [1, 256]: $fromShards -> $toShards")
+    require(fromShards != toShards,
+      "fromShards == toShards: nothing can move")
+    val mx = math.max(fromShards, toShards)
+    val keys = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__key")).distinct()
+      .withColumn("__h",
+        conv(substring(md5(col("__key")), 1, 15), 16, 10).cast("long"))
+    val weighted = keys
+      .select(col("__key"), col("__h"),
+        explode(sequence(lit(0), lit(mx - 1))).as("__s"))
+      .withColumn("__w",
+        conv(substring(md5(concat(col("__key"), lit(":"),
+          col("__s").cast("string"))), 1, 15), 16, 10).cast("long"))
+    val perKey = weighted.groupBy(col("__key"))
+      .agg(first(col("__h")).as("__h"),
+        max(when(col("__s") < fromShards,
+          struct(col("__w"), col("__s").cast("long").as("__s"))))
+          .as("__mf"),
+        max(when(col("__s") < toShards,
+          struct(col("__w"), col("__s").cast("long").as("__s"))))
+          .as("__mt"))
+      .select(col("__key"),
+        pmod(col("__h"), lit(fromShards.toLong)).as("__ma"),
+        pmod(col("__h"), lit(toShards.toLong)).as("__mb"),
+        col("__mf.__s").as("__ha"), col("__mt.__s").as("__hb"))
+    perKey.agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(when(col("__ma") =!= col("__mb"), 1L).otherwise(0L))
+          .cast("long").as("moved_mod"),
+        sum(when(col("__ha") =!= col("__hb"), 1L).otherwise(0L))
+          .cast("long").as("moved_hrw"))
+      .select(col("n_keys"), col("moved_mod"),
+        expr("""CASE WHEN n_keys = 0 THEN NULL
+          ELSE CAST(CAST(moved_mod AS DECIMAL(19,0)) * 1000000
+            DIV n_keys AS BIGINT) END""").as("churn_mod_ppm"),
+        col("moved_hrw"),
+        expr("""CASE WHEN n_keys = 0 THEN NULL
+          ELSE CAST(CAST(moved_hrw AS DECIMAL(19,0)) * 1000000
+            DIV n_keys AS BIGINT) END""").as("churn_hrw_ppm"))
+  }
 }

@@ -791,35 +791,49 @@ object Profile {
     */
   def topKDrift(df: DataFrame, groupCol: String, armCol: String,
                 keyCol: String, valCol: String, k: Int = 50): DataFrame = {
-    require(k >= 1 && k <= 10000, s"k must be in [1, 10000]: $k")
     val arm = when(col(armCol).cast("long") =!= 0L, 1L).otherwise(0L)
     val perKey = df
       .filter(col(groupCol).isNotNull && col(armCol).isNotNull &&
         col(keyCol).isNotNull && col(valCol).isNotNull)
-      .select(col(groupCol).as("__g"), arm.as("__arm"),
-        col(keyCol).as("__key"),
+      .select(col(groupCol).as("__g"), arm.as("arm"),
+        col(keyCol).as("key"),
         col(valCol).cast("decimal(18,2)").as("__v"))
-      .groupBy(col("__g"), col("__arm"), col("__key"))
-      .agg(sum(col("__v")).as("__tot"))
-    val w = Window.partitionBy(col("__g"), col("__arm"))
-      .orderBy(col("__tot").desc, col("__key").asc)
+      .groupBy(col("__g"), col("arm"), col("key"))
+      .agg(sum(col("__v")).cast("decimal(38,2)").as("tot"))
+      .withColumnRenamed("__g", groupCol)
+    topKDriftFromTotals(perKey, groupCol, k)
+  }
+
+  /** The [[topKDrift]] closing over an ALREADY-AGGREGATED per-key
+    * totals table (`groupCol`, `arm` 0/1, `key`, `tot`) — the
+    * streaming seam: per-key value totals are ADDITIVE, so
+    * `streaming.StreamingTopKDrift`'s maintained state feeds this
+    * directly and the live card equals the one-shot card by
+    * construction.
+    */
+  def topKDriftFromTotals(perKey: DataFrame, groupCol: String,
+                          k: Int = 50): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000]: $k")
+    val w = Window.partitionBy(col(groupCol), col("arm"))
+      .orderBy(col("tot").desc, col("key").asc)
     val top = perKey.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(col("__g"), col("__arm"), col("__key"))
+      .select(col(groupCol), col("arm"), col("key"))
       .localCheckpoint(true)
-    val a = top.filter(col("__arm") === 0L).drop("__arm")
-    val b = top.filter(col("__arm") === 1L).drop("__arm")
-    val sizes = top.groupBy(col("__g"))
-      .agg(sum(when(col("__arm") === 0L, 1L).otherwise(0L))
+    val a = top.filter(col("arm") === 0L).drop("arm")
+    val b = top.filter(col("arm") === 1L).drop("arm")
+    val sizes = top.groupBy(col(groupCol))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L))
         .cast("long").as("n_top_a"),
-        sum(when(col("__arm") === 1L, 1L).otherwise(0L))
+        sum(when(col("arm") === 1L, 1L).otherwise(0L))
         .cast("long").as("n_top_b"))
-    val common = a.join(b, Seq("__g", "__key"))
-      .groupBy(col("__g")).agg(count(lit(1)).cast("long").as("n_common"))
-    sizes.join(common, Seq("__g"), "left")
+    val common = a.join(b, Seq(groupCol, "key"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    sizes.join(common, Seq(groupCol), "left")
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
       .filter(col("n_top_a") + col("n_top_b") > 0L)
-      .select(col("__g").as(groupCol), col("n_top_a"), col("n_top_b"),
+      .select(col(groupCol), col("n_top_a"), col("n_top_b"),
         col("n_common"),
         expr("""CAST(CAST(n_common AS DECIMAL(19,0)) * 1000000
           DIV (n_top_a + n_top_b - n_common) AS BIGINT)""")

@@ -216,6 +216,18 @@ class SyntaxSpec extends SparkSpec {
     td.topKDrift("g", "arm", "key", "v", k = 2).collect().toSeq shouldBe
       graft.operators.Profile.topKDrift(td, "g", "arm", "key", "v", k = 2)
         .collect().toSeq
+    // linkageQuality/exactDupPairs/reshardChurn: plan or result parity
+    val lp = Seq((1L, 2L)).toDF("id_a", "id_b")
+    lp.linkageQuality(lp).collect().toSeq shouldBe
+      graft.operators.Metrics.linkageQuality(lp, lp).collect().toSeq
+    val dd = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text")
+    dd.exactDupPairs("text", "doc_id").queryExecution.analyzed
+      .sameResult(graft.operators.Dedup.exactDupPairs(dd, "text",
+        "doc_id").queryExecution.analyzed) shouldBe true
+    val rk = Seq(Tuple1(1L), Tuple1(2L)).toDF("k")
+    rk.reshardChurn("k", 4, 5).queryExecution.analyzed
+      .sameResult(graft.operators.Packing.reshardChurn(rk, "k", 4, 5)
+        .queryExecution.analyzed) shouldBe true
     val wts = Seq(("g", new java.sql.Timestamp(43200000L)),
       ("g", new java.sql.Timestamp(86400000L + 43200000L))).toDF("k", "ts")
     wts.weekdaySeasonality("k", "ts").collect().toSeq shouldBe

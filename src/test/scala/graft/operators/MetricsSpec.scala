@@ -414,4 +414,35 @@ class MetricsSpec extends SparkSpec {
       k1.getDouble(3) == k2.getDouble(3) && k1.getDouble(3) == k3.getDouble(3)
     })
   }
+  test("linkageQuality hand-computed pair sets with canonicalization") {
+    // predicted {(1,2),(2,3),(3,4)} (one emitted reversed + a dup),
+    // truth {(1,2),(4,3)}: tp=2, fp=1, fn=0
+    val pred = Seq((1L, 2L), (3L, 2L), (3L, 4L), (2L, 1L))
+      .toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L), (4L, 3L)).toDF("id_a", "id_b")
+    val r = Metrics.linkageQuality(pred, truth).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) shouldBe ((3L, 2L, 2L, 1L, 0L))
+    r.getLong(5) shouldBe 666666L // precision 2/3
+    r.getLong(6) shouldBe 1000000L // recall 2/2
+    r.getLong(7) shouldBe 800000L // f1 = 4/5
+    // self-pairs are dropped, empty truth reports NULL recall
+    val selfy = Seq((5L, 5L)).toDF("id_a", "id_b")
+    val r2 = Metrics.linkageQuality(selfy, truth.limit(0)).collect().head
+    r2.getLong(0) shouldBe 0L
+    assert(r2.isNullAt(5) && r2.isNullAt(6) && r2.isNullAt(7))
+  }
+
+  test("linkageQuality against exactDupPairs truth on a planted corpus") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "Same Text"),
+      (4L, "other")).toDF("doc_id", "text")
+    // md5(lower(.)) collapses 1,2,3 -> truth pairs (1,2)(1,3)(2,3)
+    val truth = graft.operators.Dedup.exactDupPairs(docs, "text", "doc_id")
+    truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((1L, 2L), (1L, 3L), (2L, 3L))
+    // a perfect predictor scores 10^6 across the board
+    val r = Metrics.linkageQuality(truth, truth).collect().head
+    (r.getLong(5), r.getLong(6), r.getLong(7)) shouldBe
+      ((1000000L, 1000000L, 1000000L))
+  }
 }

@@ -210,4 +210,34 @@ class PackingSpec extends SparkSpec {
     // totals conserved: every sentence lands in exactly one chunk
     out.values.map(_._2).sum shouldBe 10L
   }
+  test("reshardChurn: rendezvous moves far fewer keys than modulo, symmetrically") {
+    val keys = (1L to 200L).map(i => Tuple1(i)).toDF("k")
+    val up = Packing.reshardChurn(keys, "k", 16, 20).collect().head
+    up.getLong(0) shouldBe 200L
+    // modulo reshuffles nearly everything; rendezvous ~ (20-16)/20
+    up.getLong(1) should be > up.getLong(3)
+    up.getLong(3) should be < 100L // ~40 expected of 200
+    up.getLong(3) should be > 0L
+    // churn is symmetric: moving 20 -> 16 relocates the same key set
+    val down = Packing.reshardChurn(keys, "k", 20, 16).collect().head
+    (down.getLong(1), down.getLong(3)) shouldBe
+      ((up.getLong(1), up.getLong(3)))
+    // duplicate keys count once
+    val dup = keys.unionAll(keys)
+    Packing.reshardChurn(dup, "k", 16, 20).collect().head
+      .getLong(0) shouldBe 200L
+  }
+
+  test("reshardChurn rejects degenerate shard arguments") {
+    val keys = Seq(Tuple1(1L)).toDF("k")
+    intercept[IllegalArgumentException] {
+      Packing.reshardChurn(keys, "k", 8, 8)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.reshardChurn(keys, "k", 0, 8)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.reshardChurn(keys, "k", 8, 500)
+    }
+  }
 }

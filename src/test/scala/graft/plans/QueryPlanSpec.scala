@@ -136,7 +136,10 @@ class QueryPlanSpec extends SparkSpec {
     "q286_streaming_woe", "q288_dispersion",
     // q295 trims the phantom max+1 churn row with a one-row max-period
     // attach (q93 shape)
-    "q295_revenue_bridge")
+    "q295_revenue_bridge",
+    // q316 attaches TWO one-row set-count aggregates (n_true, tp)
+    // onto the one-row n_pred aggregate (q93's shape, twice)
+    "q316_linkage_quality")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
