@@ -876,6 +876,27 @@ object ScaleSmoke {
           pmod(col("user_id") + col("event_id"), lit(40)).as("y")),
         "g", "x", "y").count()
     }
+    time("isotonic calibration (200 groups)") {
+      operators.Metrics.isotonicCalibration(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          col("value").cast("double").as("s"),
+          pmod(col("event_id"), lit(3)).as("y")),
+        "g", "s", "y", binWidth = 25.0).count()
+    }
+    time("calibration card (200 groups)") {
+      operators.Metrics.calibrationCard(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          col("value").cast("double").as("s"),
+          pmod(col("event_id"), lit(3)).as("y")),
+        "g", "s", "y", binWidth = 25.0).count()
+    }
+    time("pr curve (5 thresholds)") {
+      operators.Metrics.prCurve(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          col("value").cast("double").as("s"),
+          pmod(col("event_id"), lit(3)).as("y")),
+        "g", "s", "y", Seq(50L, 100L, 200L, 300L, 400L)).count()
+    }
     time("linkage quality (n/20 pairs)") {
       val pred = events(rows).filter(pmod(col("event_id"), lit(20)) === 0)
         .select(col("event_id").as("id_a"),

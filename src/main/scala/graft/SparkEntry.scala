@@ -319,6 +319,35 @@ object SparkEntry {
       operators.Packing.reshardChurn(
         t(s, d, "documents"), "doc_id", 16, 20)),
 
+    // monotone recalibration of event value against a user-bucket
+    // label: the PAV fit via the interval-minimax identity over the
+    // B² bin grid — every pooled rate one double division of exact
+    // prefix differences, maxBins raise-guarded
+    "q318_isotonic_calibration" -> ((s, d) =>
+      operators.Metrics.isotonicCalibration(
+        t(s, d, "events").select(col("event_type"), col("value"),
+          when(col("user_id") % 3 === 0, 1L).otherwise(0L).as("y")),
+        "event_type", "value", "y", binWidth = 25.0)),
+
+    // is the value honest as a probability-like score? ECE + Brier
+    // reliability/resolution/uncertainty per event type — per-bin
+    // fixed-order doubles from exact DECIMAL/BIGINT sums, pround6
+    // into order-free DECIMAL(18,6)
+    "q319_calibration_card" -> ((s, d) =>
+      operators.Metrics.calibrationCard(
+        t(s, d, "events").select(col("event_type"), col("value"),
+          when(col("user_id") % 3 === 0, 1L).otherwise(0L).as("y")),
+        "event_type", "value", "y", binWidth = 25.0)),
+
+    // operating-point table: precision/recall/F1 at five fixed value
+    // cutoffs per event type — conditional BIGINT counts off ONE
+    // pass, exact ppm floor divisions
+    "q320_pr_curve" -> ((s, d) =>
+      operators.Metrics.prCurve(
+        t(s, d, "events").select(col("event_type"), col("value"),
+          when(col("user_id") % 3 === 0, 1L).otherwise(0L).as("y")),
+        "event_type", "value", "y", Seq(50L, 100L, 200L, 300L, 400L))),
+
     // do BUILDING-segment customers churn differently? two-arm
     // log-rank over the q232 churn observations: O−E and V as exact
     // DECIMAL(18,6) sums of pround6 hypergeometric contributions,
@@ -4761,6 +4790,104 @@ object SparkEntry {
            |    ELSE 1000000 * CAST(n AS HUGEINT) * a2 * a2
            |      > 3841459 * kk * b2 END AS significant
            |FROM f""".stripMargin,
+
+      // the same minimax chain: rates are quotients of exact prefix
+      // differences, so min/max see identical doubles
+      "q318_isotonic_calibration" ->
+        s"""WITH bins AS (
+           |  SELECT event_type AS g,
+           |    CAST(floor(value / 25.0) AS BIGINT) AS b,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS p
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT g, b, n, p,
+           |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+           |    CAST(sum(p) OVER w AS BIGINT) AS cp,
+           |    COALESCE(CAST(sum(n) OVER wp AS BIGINT), 0) AS en,
+           |    COALESCE(CAST(sum(p) OVER wp AS BIGINT), 0) AS ep
+           |  FROM bins
+           |  WINDOW w AS (PARTITION BY g ORDER BY b
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |    wp AS (PARTITION BY g ORDER BY b
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |grid AS (
+           |  SELECT j.g, j.b AS jb, k.b AS kb,
+           |    CAST(k.cp - j.ep AS DOUBLE) / CAST(k.cn - j.en AS DOUBLE)
+           |      AS rate
+           |  FROM cum j JOIN cum k ON j.g = k.g AND j.b <= k.b),
+           |mn AS (
+           |  SELECT g, jb, kb AS i,
+           |    min(rate) OVER (PARTITION BY g, jb ORDER BY kb DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mnr
+           |  FROM grid),
+           |iso AS (SELECT g, i, max(mnr) AS iso FROM mn GROUP BY 1, 2)
+           |SELECT bins.g AS event_type, bins.b AS bin, n, p AS n_pos,
+           |  CAST(p * 1000000 // n AS BIGINT) AS raw_rate_ppm,
+           |  ${pround("iso", 6)} AS iso_rate
+           |FROM bins JOIN iso ON bins.g = iso.g AND bins.b = iso.i""".stripMargin,
+
+      // per-bin fixed-order doubles over exact DECIMAL(18,6)/BIGINT
+      // sums, pround6 into DECIMAL(18,6) — the dsum discipline
+      "q319_calibration_card" -> {
+        val conf = "(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE))"
+        val rate = "(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))"
+        val wt = "(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))"
+        val bs = "(CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))"
+        s"""WITH bins AS (
+           |  SELECT event_type AS g,
+           |    CAST(floor(value / 25.0) AS BIGINT) AS b,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS p,
+           |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           |      AS ss
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT g, b, n, p, ss,
+           |    CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS nn,
+           |    CAST(sum(p) OVER (PARTITION BY g) AS BIGINT) AS kk
+           |  FROM bins)
+           |SELECT g AS event_type,
+           |  CAST(max(nn) AS BIGINT) AS n, CAST(max(kk) AS BIGINT) AS n_pos,
+           |  CAST(CAST(sum(CAST(${pround(s"$wt * abs($conf - $rate)", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS ece,
+           |  CAST(CAST(sum(CAST(${pround(s"$wt * ($conf - $rate) * ($conf - $rate)", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS brier_rel,
+           |  CAST(CAST(sum(CAST(${pround(s"$wt * ($rate - $bs) * ($rate - $bs)", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS brier_res,
+           |  max(${pround(s"$bs * (1.0 - $bs)", 6)}) AS unc
+           |FROM tot GROUP BY 1""".stripMargin
+      },
+
+      // thresholds unnest from the same literal list; all counts
+      // conditional BIGINTs, rates ppm floor divisions
+      "q320_pr_curve" ->
+        s"""WITH base AS (
+           |  SELECT event_type AS g, value AS s,
+           |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
+           |  FROM events WHERE value IS NOT NULL),
+           |x AS (SELECT g, s, y, unnest([50, 100, 200, 300, 400]) AS th
+           |  FROM base),
+           |agg AS (
+           |  SELECT g, CAST(th AS BIGINT) AS threshold,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN s >= th AND y = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS tp,
+           |    CAST(sum(CASE WHEN s >= th AND y = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS fp,
+           |    CAST(sum(CASE WHEN s < th AND y = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS fn
+           |  FROM x GROUP BY 1, 2)
+           |SELECT g AS event_type, threshold, n, tp, fp, fn,
+           |  CASE WHEN tp + fp = 0 THEN NULL
+           |    ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+           |    AS precision_ppm,
+           |  CASE WHEN tp + fn = 0 THEN NULL
+           |    ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
+           |    AS recall_ppm,
+           |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+           |    ELSE CAST(tp * 2000000 // (2 * tp + fp + fn) AS BIGINT) END
+           |    AS f1_ppm
+           |FROM agg""".stripMargin,
 
       // the q21 banding chain as predictions, md5-equality pairs as
       // truth; pure set counts and ppm floor divisions

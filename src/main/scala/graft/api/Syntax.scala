@@ -328,6 +328,17 @@ object syntax {
     def linkageQuality(truth: DataFrame, idACol: String = "id_a",
                        idBCol: String = "id_b"): DataFrame =
       Metrics.linkageQuality(df, truth, idACol, idBCol)
+    def isotonicCalibration(groupCol: String, scoreCol: String,
+                            labelCol: String, binWidth: Double,
+                            maxBins: Int = 512): DataFrame =
+      Metrics.isotonicCalibration(df, groupCol, scoreCol, labelCol,
+        binWidth, maxBins)
+    def calibrationCard(groupCol: String, scoreCol: String,
+                        labelCol: String, binWidth: Double): DataFrame =
+      Metrics.calibrationCard(df, groupCol, scoreCol, labelCol, binWidth)
+    def prCurve(groupCol: String, scoreCol: String, labelCol: String,
+                thresholds: Seq[Long]): DataFrame =
+      Metrics.prCurve(df, groupCol, scoreCol, labelCol, thresholds)
     def exactDupPairs(textCol: String, idCol: String,
                       maxClusterSize: Long = 10000L): DataFrame =
       Dedup.exactDupPairs(df, textCol, idCol, maxClusterSize)

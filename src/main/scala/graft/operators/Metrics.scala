@@ -753,6 +753,195 @@ object Metrics {
           ELSE 'almost perfect' END""").as("strength"))
   }
 
+  /** Isotonic (monotone) calibration curve per group — the PAV fit of
+    * label rate against score bin, computed by the interval-minimax
+    * identity instead of the sequential pool-adjacent-violators loop:
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} rate(j, k)
+    * where rate(j, k) is the pooled positive rate over bins j..k.
+    * This is what turns a raw quality score into a usable keep
+    * probability when the score is honest about ORDER but not about
+    * LEVEL.
+    *
+    * Determinism: every rate(j, k) is one double division of exact
+    * BIGINT prefix differences — identical bits on any engine — and
+    * min/max over identical doubles are engine-free; the reported
+    * iso_rate is pround6. The raw per-bin rate stays an exact ppm
+    * integer.
+    *
+    * Scale shape: bins are vocabulary-bounded (score range /
+    * binWidth); the minimax runs over the j ≤ k bin-pair grid — B²
+    * rows per group, with a `maxBins` guard that RAISES on the grid
+    * input rows (the pruned-guard lesson) before B² materializes.
+    * Windows partition by (group, j) and (group, i): never more than
+    * B rows per partition.
+    */
+  def isotonicCalibration(df: DataFrame, groupCol: String,
+                          scoreCol: String, labelCol: String,
+                          binWidth: Double, maxBins: Int = 512): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    require(maxBins >= 1, s"maxBins must be >= 1: $maxBins")
+    val y = when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val bins = df
+      .filter(col(groupCol).isNotNull && col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(scoreCol).cast("double") / binWidth).cast("long")
+          .as("__b"), y.as("__y"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__y")).cast("long").as("__p"))
+      .localCheckpoint(true)
+    val nb = bins.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("__nb"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrior = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bins
+      .withColumn("__cn", sum(col("__n")).over(wCum))
+      .withColumn("__cp", sum(col("__p")).over(wCum))
+      .withColumn("__en", coalesce(sum(col("__n")).over(wPrior), lit(0L)))
+      .withColumn("__ep", coalesce(sum(col("__p")).over(wPrior), lit(0L)))
+    // guard ON the grid input rows: an over-vocabulary group raises
+    // while scanning, before the B² pair grid exists downstream
+    val guarded = cum.join(nb, Seq("__g"))
+      .withColumn("__bg",
+        when(col("__nb") > maxBins,
+          expr(s"CAST(raise_error(concat('Metrics.isotonicCalibration: ', " +
+            s"CAST(__nb AS STRING), ' score bins in one group exceed " +
+            s"maxBins=$maxBins; widen binWidth')) AS BIGINT)"))
+          .otherwise(col("__b")))
+    // fresh aliases (new exprIds) on both grid sides — j and kf share
+    // `guarded`'s lineage, and a bare self-join on __g is ambiguous
+    val j = guarded.select(col("__g").as("__gj"), col("__bg").as("__j"),
+      col("__en"), col("__ep"))
+    val kf = guarded.select(col("__g").as("__gk"), col("__bg").as("__k"),
+      col("__cn"), col("__cp"))
+    val grid = j.join(kf,
+        col("__gj") === col("__gk") && col("__j") <= col("__k"))
+      .withColumn("__rate",
+        (col("__cp") - col("__ep")).cast("double") /
+          (col("__cn") - col("__en")).cast("double"))
+    // min over k >= i, per starting bin j: a desc-ordered running min
+    val wSuffix = Window.partitionBy(col("__gj"), col("__j"))
+      .orderBy(col("__k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mn = grid.withColumn("__mn", min(col("__rate")).over(wSuffix))
+      .select(col("__gj"), col("__j"), col("__k").as("__i"), col("__mn"))
+    val iso = mn.groupBy(col("__gj"), col("__i"))
+      .agg(max(col("__mn")).as("__iso"))
+    bins.join(iso, bins("__g") === iso("__gj") &&
+        bins("__b") === iso("__i"))
+      .select(bins("__g").as(groupCol), col("__b").as("bin"),
+        col("__n").as("n"), col("__p").as("n_pos"),
+        expr("CAST(CAST(__p AS DECIMAL(19,0)) * 1000000 DIV __n AS BIGINT)")
+          .as("raw_rate_ppm"),
+        pround6(col("__iso")).as("iso_rate"))
+  }
+
+  /** Calibration quality card per group: expected calibration error
+    * plus the Brier decomposition (reliability / resolution /
+    * uncertainty) over score bins — "is the keep-probability the
+    * model reports actually the rate at which kept items are good?"
+    * ECE = Σ_b (n_b/N)·|conf_b − rate_b|; REL = Σ (n_b/N)(conf_b −
+    * rate_b)²; RES = Σ (n_b/N)(rate_b − base)²; UNC = base(1−base);
+    * Brier ≈ REL − RES + UNC.
+    *
+    * Determinism: per-bin score sums are exact DECIMAL(18,6) (the
+    * dsum discipline), counts BIGINT, so conf_b and rate_b are
+    * identical doubles on both engines; each bin term is ONE
+    * fixed-order double, pround6, summed as DECIMAL(18,6); N and the
+    * base rate attach via full-partition windows (no one-row
+    * crossJoin). Scale shape: one (group, bin) hash aggregate + one
+    * group aggregate.
+    */
+  def calibrationCard(df: DataFrame, groupCol: String, scoreCol: String,
+                      labelCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val y = when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val bins = df
+      .filter(col(groupCol).isNotNull && col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        floor(col(scoreCol).cast("double") / binWidth).cast("long")
+          .as("__b"),
+        col(scoreCol).cast("decimal(18,6)").as("__s"), y.as("__y"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__y")).cast("long").as("__p"),
+        sum(col("__s")).cast("decimal(38,6)").as("__ss"))
+    // totals named with NO case-insensitive collision against __n/__p:
+    // Spark resolves SQL-text column references case-insensitively,
+    // so "__N" beside "__n" is ambiguous and silently mis-resolves
+    val wAll = Window.partitionBy(col("__g"))
+    val tot = bins
+      .withColumn("__tn", sum(col("__n")).over(wAll).cast("long"))
+      .withColumn("__tk", sum(col("__p")).over(wAll).cast("long"))
+    val conf = "(CAST(__ss AS DOUBLE) / CAST(__n AS DOUBLE))"
+    val rate = "(CAST(__p AS DOUBLE) / CAST(__n AS DOUBLE))"
+    val wt = "(CAST(__n AS DOUBLE) / CAST(__tn AS DOUBLE))"
+    val base = "(CAST(__tk AS DOUBLE) / CAST(__tn AS DOUBLE))"
+    tot.groupBy(col("__g").as(groupCol))
+      .agg(max(col("__tn")).as("n"), max(col("__tk")).as("n_pos"),
+        sum(pround6(expr(s"$wt * abs($conf - $rate)"))
+          .cast("decimal(18,6)")).as("__ece"),
+        sum(pround6(expr(s"$wt * ($conf - $rate) * ($conf - $rate)"))
+          .cast("decimal(18,6)")).as("__rel"),
+        sum(pround6(expr(s"$wt * ($rate - $base) * ($rate - $base)"))
+          .cast("decimal(18,6)")).as("__res"),
+        max(pround6(expr(s"$base * (1.0 - $base)"))).as("unc"))
+      .select(col(groupCol), col("n"), col("n_pos"),
+        col("__ece").cast("double").as("ece"),
+        col("__rel").cast("double").as("brier_rel"),
+        col("__res").cast("double").as("brier_res"),
+        col("unc"))
+  }
+
+  /** Precision/recall sweep per group over FIXED integer thresholds:
+    * at each threshold t, predict positive where score ≥ t — the
+    * operating-point table behind "where do we set the keep cutoff?".
+    * ENTIRELY exact: tp/fp/fn are conditional BIGINT counts, the
+    * three rates exact ppm floor divisions; one (group, threshold)
+    * row each. Thresholds explode a bounded constant (≤ 64
+    * `require`d) — one pass over the data, no per-threshold rescans.
+    */
+  def prCurve(df: DataFrame, groupCol: String, scoreCol: String,
+              labelCol: String, thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 64,
+      s"1..64 thresholds: ${thresholds.size}")
+    require(thresholds.distinct.size == thresholds.size,
+      "duplicate thresholds")
+    val y = when(col(labelCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val base = df
+      .filter(col(groupCol).isNotNull && col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(scoreCol).cast("double").as("__s"), y.as("__y"))
+    // thresholds ride as an exploded array LITERAL — no broadcast
+    // loop join for a compile-time-bounded constant list
+    base.withColumn("threshold",
+        explode(typedLit(thresholds.sorted)))
+      .groupBy(col("__g"), col("threshold"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("__s") >= col("threshold") && col("__y") === 1L, 1L)
+          .otherwise(0L)).cast("long").as("tp"),
+        sum(when(col("__s") >= col("threshold") && col("__y") === 0L, 1L)
+          .otherwise(0L)).cast("long").as("fp"),
+        sum(when(col("__s") < col("threshold") && col("__y") === 1L, 1L)
+          .otherwise(0L)).cast("long").as("fn"))
+      .select(col("__g").as(groupCol), col("threshold"), col("n"),
+        col("tp"), col("fp"), col("fn"),
+        expr("""CASE WHEN tp + fp = 0 THEN NULL
+          ELSE CAST(CAST(tp AS DECIMAL(19,0)) * 1000000 DIV (tp + fp)
+            AS BIGINT) END""").as("precision_ppm"),
+        expr("""CASE WHEN tp + fn = 0 THEN NULL
+          ELSE CAST(CAST(tp AS DECIMAL(19,0)) * 1000000 DIV (tp + fn)
+            AS BIGINT) END""").as("recall_ppm"),
+        expr("""CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+          ELSE CAST(CAST(tp AS DECIMAL(19,0)) * 2000000
+            DIV (2 * tp + fp + fn) AS BIGINT) END""").as("f1_ppm"))
+  }
+
   /** Pair-set quality of a candidate generator against labeled truth
     * pairs: precision / recall / F1 of PREDICTED near-dup pairs vs
     * TRUE duplicate pairs — the evaluation every banding config

@@ -220,6 +220,16 @@ class SyntaxSpec extends SparkSpec {
     val lp = Seq((1L, 2L)).toDF("id_a", "id_b")
     lp.linkageQuality(lp).collect().toSeq shouldBe
       graft.operators.Metrics.linkageQuality(lp, lp).collect().toSeq
+    val cal = Seq(("g", 1.0, 1L), ("g", 2.0, 0L)).toDF("g", "s", "y")
+    cal.isotonicCalibration("g", "s", "y", 1.0).collect().toSeq shouldBe
+      graft.operators.Metrics.isotonicCalibration(cal, "g", "s", "y", 1.0)
+        .collect().toSeq
+    cal.calibrationCard("g", "s", "y", 1.0).queryExecution.analyzed
+      .sameResult(graft.operators.Metrics.calibrationCard(cal, "g", "s",
+        "y", 1.0).queryExecution.analyzed) shouldBe true
+    cal.prCurve("g", "s", "y", Seq(1L)).queryExecution.analyzed
+      .sameResult(graft.operators.Metrics.prCurve(cal, "g", "s", "y",
+        Seq(1L)).queryExecution.analyzed) shouldBe true
     val dd = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text")
     dd.exactDupPairs("text", "doc_id").queryExecution.analyzed
       .sameResult(graft.operators.Dedup.exactDupPairs(dd, "text",

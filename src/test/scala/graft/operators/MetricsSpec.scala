@@ -445,4 +445,78 @@ class MetricsSpec extends SparkSpec {
     (r.getLong(5), r.getLong(6), r.getLong(7)) shouldBe
       ((1000000L, 1000000L, 1000000L))
   }
+  test("isotonicCalibration pools adjacent violators (hand minimax)") {
+    // bin rates [1.0, 0.0, 1.0] with equal weights: PAV pools the
+    // first two to 0.5 and leaves the third at 1.0
+    val rows = Seq(("g", 0.0, 1L), ("g", 10.0, 1L),
+      ("g", 30.0, 0L), ("g", 40.0, 0L),
+      ("g", 60.0, 1L), ("g", 70.0, 1L))
+    val out = Metrics.isotonicCalibration(rows.toDF("g", "s", "y"),
+      "g", "s", "y", binWidth = 25.0).orderBy("bin").collect()
+    out.map(_.getLong(1)).toSeq shouldBe Seq(0L, 1L, 2L)
+    out.map(_.getLong(4)).toSeq shouldBe Seq(1000000L, 0L, 1000000L)
+    out.map(_.getDouble(5)).toSeq shouldBe Seq(0.5, 0.5, 1.0)
+    // already-monotone rates pass through unchanged
+    val mono = Seq(("m", 0.0, 0L), ("m", 10.0, 0L),
+      ("m", 30.0, 1L), ("m", 40.0, 0L),
+      ("m", 60.0, 1L), ("m", 70.0, 1L))
+    Metrics.isotonicCalibration(mono.toDF("g", "s", "y"),
+      "g", "s", "y", binWidth = 25.0).orderBy("bin").collect()
+      .map(_.getDouble(5)).toSeq shouldBe Seq(0.0, 0.5, 1.0)
+  }
+
+  test("isotonicCalibration: monotone, mean-preserving, and maxBins-guarded") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = Gen.listOfN(30, for {
+      s <- Gen.choose(0, 199); y <- Gen.oneOf(0L, 1L)
+    } yield (s.toDouble, y))
+    check(Prop.forAll(gen) { data =>
+      val out = Metrics.isotonicCalibration(
+        data.map { case (s, y) => ("g", s, y) }.toDF("g", "s", "y"),
+        "g", "s", "y", binWidth = 20.0).orderBy("bin").collect()
+      val iso = out.map(_.getDouble(5))
+      val monotone = iso.zip(iso.drop(1)).forall { case (a, b) => a <= b }
+      // PAV preserves the weighted mean: sum iso*n = sum pos
+      val mass = out.map(r => r.getDouble(5) * r.getLong(2)).sum
+      monotone && math.abs(mass - data.count(_._2 == 1L)) < 1e-3
+    })
+    val e = intercept[Exception] {
+      Metrics.isotonicCalibration(
+        (1 to 20).map(i => ("g", i * 10.0, 1L)).toDF("g", "s", "y"),
+        "g", "s", "y", binWidth = 10.0, maxBins = 5).collect()
+    }
+    e.getMessage should include("isotonicCalibration")
+  }
+
+  test("calibrationCard hand-computed ECE and Brier decomposition") {
+    // bin0: conf 0.2 rate 0.5; bin1: conf 1.5 rate 1.0; base 0.75
+    val rows = Seq(("g", 0.2, 1L), ("g", 0.2, 0L),
+      ("g", 1.5, 1L), ("g", 1.5, 1L))
+    val r = Metrics.calibrationCard(rows.toDF("g", "s", "y"),
+      "g", "s", "y", binWidth = 1.0).collect().head
+    (r.getLong(1), r.getLong(2)) shouldBe ((4L, 3L))
+    r.getDouble(3) shouldBe 0.4 // 0.5*0.3 + 0.5*0.5
+    r.getDouble(4) shouldBe 0.17 // 0.5*0.09 + 0.5*0.25
+    r.getDouble(5) shouldBe 0.0625
+    r.getDouble(6) shouldBe 0.1875
+  }
+
+  test("prCurve hand-computed operating points") {
+    val rows = Seq(("g", 10.0, 1L), ("g", 20.0, 0L), ("g", 30.0, 1L))
+    val out = Metrics.prCurve(rows.toDF("g", "s", "y"), "g", "s", "y",
+        Seq(15L, 25L))
+      .orderBy("threshold").collect()
+    val t15 = out(0)
+    (t15.getLong(3), t15.getLong(4), t15.getLong(5)) shouldBe ((1L, 1L, 1L))
+    (t15.getLong(6), t15.getLong(7), t15.getLong(8)) shouldBe
+      ((500000L, 500000L, 500000L))
+    val t25 = out(1)
+    (t25.getLong(3), t25.getLong(4), t25.getLong(5)) shouldBe ((1L, 0L, 1L))
+    (t25.getLong(6), t25.getLong(7), t25.getLong(8)) shouldBe
+      ((1000000L, 500000L, 666666L))
+    // a threshold below every score predicts all positive: recall 10^6
+    val lo = Metrics.prCurve(rows.toDF("g", "s", "y"), "g", "s", "y",
+      Seq(0L)).collect().head
+    lo.getLong(7) shouldBe 1000000L
+  }
 }
