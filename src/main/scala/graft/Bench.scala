@@ -56,8 +56,13 @@ object Bench {
       // invocations would otherwise pile thousands of parquet state
       // dirs into the OS temp root for the box to carry across rounds
       SparkEntry.drainInvocationStateDirs().foreach { dir =>
+        // NonFatal only (an InterruptedException must still cancel),
+        // and failures print — a silently dead cleanup would let the
+        // /tmp pile-up this hook exists to prevent come back unseen
         try graft.sources.PathIO.deleteDir(spark, dir)
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] state-dir cleanup failed for $dir: ${e.getMessage}")
+        }
       }
       dt
     }

@@ -897,6 +897,14 @@ object ScaleSmoke {
           pmod(col("event_id"), lit(3)).as("y")),
         "g", "s", "y", Seq(50L, 100L, 200L, 300L, 400L)).count()
     }
+    time("exact dup pairs (n/4 dup groups)") {
+      // every 4 consecutive ids share a text -> clusters of 4, pairs
+      // bounded at 6 per cluster; singletons (none here) pre-filtered
+      operators.Dedup.exactDupPairs(
+        events(rows).select(col("event_id").as("doc_id"),
+          concat_ws(" ", lit("t"), call_function("div", col("event_id"), lit(4L))).as("text")),
+        "text", "doc_id").count()
+    }
     time("linkage quality (n/20 pairs)") {
       val pred = events(rows).filter(pmod(col("event_id"), lit(20)) === 0)
         .select(col("event_id").as("id_a"),

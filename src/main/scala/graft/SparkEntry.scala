@@ -4002,12 +4002,14 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (driver runs these on the same
     * parquet tables and hash-compares). Omitted keys are driver
     * rows-only checks, each genuinely un-oracle-able: q29 (binary media
-    * payloads), q34 (seeded MLlib k-means; recall-verified against
-    * hash-verified q24 in SimilaritySpec), q56 (engine-specific sketch
-    * estimates). Two former rows-only queries are now hash-verified by
-    * construction: q35 regenerates the replay source's LCG rows in SQL
-    * (`range()` + chained Park–Miller steps, see ReplaySource.row), and
-    * q18 replays the greedy packing loop as a recursive CTE.
+    * payloads) and q56 (engine-specific sketch estimates). Three former
+    * rows-only queries are now hash-verified by construction: q35
+    * regenerates the replay source's LCG rows in SQL (`range()` +
+    * chained Park–Miller steps, see ReplaySource.row), q18 replays the
+    * greedy packing loop as a recursive CTE, and q34 (round 11)
+    * switched to the replayable spherical-Lloyd fit whose rounds
+    * unroll as CTEs — the seeded MLlib path remains recall-gated in
+    * SimilaritySpec as the production alternative.
     */
   def oracleSql: Map[String, String] = {
     val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -4612,7 +4614,8 @@ object SparkEntry {
            |    CAST(count(*) AS BIGINT) AS c
            |  FROM events GROUP BY 1, 2),
            |perw AS (
-           |  SELECT k, day % 7 AS w, CAST(count(*) AS BIGINT) AS mw,
+           |  SELECT k, ((day % 7) + 7) % 7 AS w,
+           |    CAST(count(*) AS BIGINT) AS mw,
            |    CAST(sum(c) AS HUGEINT) AS sw
            |  FROM daily GROUP BY 1, 2),
            |qs AS (

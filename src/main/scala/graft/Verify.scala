@@ -47,8 +47,13 @@ object Verify {
     // all dumps are finished: delete the per-invocation streaming
     // state dirs before exit (same hygiene hook as Bench)
     SparkEntry.drainInvocationStateDirs().foreach { dir =>
+      // NonFatal only (an InterruptedException must still cancel),
+      // and failures print — a silently dead cleanup would let the
+      // /tmp pile-up this hook exists to prevent come back unseen
       try graft.sources.PathIO.deleteDir(spark, dir)
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] state-dir cleanup failed for $dir: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -41,7 +41,12 @@ object Dedup {
       col(idCol))
     val sizes = hashed.groupBy(col("__h"))
       .agg(count(lit(1)).as("__n"))
+    // singleton hashes (the bulk of a mostly-unique corpus) can never
+    // pair — drop them BEFORE the self-join instead of shuffling the
+    // whole corpus through it; guard rows all have __n >= 2, so the
+    // raise still fires
     val guarded = hashed.join(sizes, Seq("__h"))
+      .filter(col("__n") >= 2L)
       .withColumn("__hg",
         when(col("__n") > maxClusterSize,
           expr(s"CAST(raise_error(concat('Dedup.exactDupPairs: ', " +

@@ -364,8 +364,15 @@ object Hypothesis {
     // DECIMAL(38,0); ~12e6·n⁴ crosses 9e37 near n = 5e7 per group
     val guardD = "(12.0e6 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)" +
       " * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    // the capacity guard lives in BOTH output columns: a caller that
+    // selects only `h` prunes `significant` and any guard inside it
+    // (the round-10 pruned-guard lesson), so `h` must carry its own
     assembled.select(col(groupCol), col("n"), col("k_arms"),
-      p6(expr(s"""CASE WHEN $w = 0 THEN 0.0
+      p6(expr(s"""CASE
+        WHEN $guardD > 8.1e37
+        THEN double(raise_error(
+          'Hypothesis.kruskalWallis: operands approach DECIMAL(38,0) capacity; test per finer group'))
+        WHEN $w = 0 THEN 0.0
         ELSE (3.0 * CAST(n - 1 AS DOUBLE)
             * (CAST(__s6u AS DOUBLE) / 1000000.0)
           - 3.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)

@@ -9,6 +9,19 @@ import org.scalatest.matchers.should.Matchers
   */
 trait SparkSpec extends AnyFunSuite with Matchers {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Shared ScalaCheck harness (seeded, 10 cases) — one policy for
+    * every property spec instead of per-file copies that can drift.
+    */
+  protected lazy val scParams: org.scalacheck.Test.Parameters =
+    org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(10)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  protected def check(prop: org.scalacheck.Prop): Unit = {
+    val r = org.scalacheck.Test.check(scParams, prop)
+    withClue(s"scalacheck: $r\n") { r.passed shouldBe true }
+  }
 }
 
 object SparkSpec {

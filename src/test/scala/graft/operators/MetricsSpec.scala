@@ -6,14 +6,6 @@ import org.apache.spark.sql.functions._
 /** Hand-computed oracles for the ranking-metric operators. */
 class MetricsSpec extends SparkSpec {
 
-  private val scParams = org.scalacheck.Test.Parameters.default
-    .withMinSuccessfulTests(10)
-    .withInitialSeed(org.scalacheck.rng.Seed(42L))
-
-  private def check(prop: org.scalacheck.Prop): Unit = {
-    val r = org.scalacheck.Test.check(scParams, prop)
-    withClue(s"scalacheck: $r\n") { r.passed shouldBe true }
-  }
 
   import spark.implicits._
 

@@ -11,14 +11,6 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
   */
 class OperatorLawsSpec extends SparkSpec {
 
-  private val params = SCTest.Parameters.default
-    .withMinSuccessfulTests(10)
-    .withInitialSeed(org.scalacheck.rng.Seed(42L))
-
-  private def check(prop: Prop): Unit = {
-    val r = SCTest.check(params, prop)
-    withClue(s"scalacheck: $r\n") { r.passed shouldBe true }
-  }
 
   test("sessionize partitions events: gaps within <= gap, sum of sessions = n") {
     val implicits = spark.implicits; import implicits._

@@ -4,14 +4,6 @@ import graft.SparkSpec
 
 class ProfileSpec extends SparkSpec {
 
-  private val scParams = org.scalacheck.Test.Parameters.default
-    .withMinSuccessfulTests(10)
-    .withInitialSeed(org.scalacheck.rng.Seed(42L))
-
-  private def check(prop: org.scalacheck.Prop): Unit = {
-    val r = org.scalacheck.Test.check(scParams, prop)
-    withClue(s"scalacheck: $r\n") { r.passed shouldBe true }
-  }
 
 
   private lazy val implicits = spark.implicits

@@ -5,14 +5,6 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 class SurvivalSpec extends SparkSpec {
 
-  private val params = SCTest.Parameters.default
-    .withMinSuccessfulTests(10)
-    .withInitialSeed(org.scalacheck.rng.Seed(42L))
-
-  private def check(prop: Prop): Unit = {
-    val r = SCTest.check(params, prop)
-    withClue(s"scalacheck: $r\n") { r.passed shouldBe true }
-  }
 
   private lazy val implicits = spark.implicits
   import implicits._
