@@ -934,6 +934,18 @@ object ScaleSmoke {
         "g", "arm", "key", "v", st)
       streaming.StreamingTopKDrift.driftView(merged, "g", k = 50).count()
     }
+    time("next-action entropy (sessions)") {
+      operators.Sessionize.nextActionEntropy(events(rows),
+        "user_id", "ts", "event_type", "event_id", 3600).count()
+    }
+    time("burstiness (per user)") {
+      operators.Resample.burstiness(events(rows),
+        "user_id", "ts", "event_id").count()
+    }
+    time("streaks (per user)") {
+      operators.Sessionize.streaks(events(rows),
+        "user_id", "ts", "event_type", "event_id").count()
+    }
     time("mcnemar (200 groups)") {
       operators.Hypothesis.mcnemar(
         events(rows).select(pmod(col("user_id"), lit(200)).as("g"),

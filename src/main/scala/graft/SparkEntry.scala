@@ -348,6 +348,27 @@ object SparkEntry {
           when(col("user_id") % 3 === 0, 1L).otherwise(0L).as("y")),
         "event_type", "value", "y", Seq(50L, 100L, 200L, 300L, 400L))),
 
+    // how predictable is the NEXT action given the current one?
+    // per-state conditional entropy over q148's sessionized pairs —
+    // labelEntropy's per-term pround6 discipline
+    "q321_next_entropy" -> ((s, d) =>
+      operators.Sessionize.nextActionEntropy(t(s, d, "events"),
+        "user_id", "ts", "event_type", "event_id", gapSeconds = 3600)),
+
+    // metronome or bursts? B = (sigma−mu)/(sigma+mu) over per-user
+    // inter-event gaps — ONE sqrt over an exact integer, everything
+    // else BIGINT/DECIMAL
+    "q322_burstiness" -> ((s, d) =>
+      operators.Resample.burstiness(t(s, d, "events"),
+        "user_id", "ts", "event_id")),
+
+    // longest same-action run per user (gaps-and-islands): the
+    // automation screen; champion streak tie-broken by (action,
+    // island) so the row is engine-exact
+    "q323_streaks" -> ((s, d) =>
+      operators.Sessionize.streaks(t(s, d, "events"),
+        "user_id", "ts", "event_type", "event_id")),
+
     // do BUILDING-segment customers churn differently? two-arm
     // log-rank over the q232 churn observations: O−E and V as exact
     // DECIMAL(18,6) sums of pround6 hypergeometric contributions,
@@ -4793,6 +4814,86 @@ object SparkEntry {
            |    ELSE 1000000 * CAST(n AS HUGEINT) * a2 * a2
            |      > 3841459 * kk * b2 END AS significant
            |FROM f""".stripMargin,
+
+      // q148's session CTE chain, folded to per-state entropy with
+      // the labelEntropy per-term pround6 discipline
+      "q321_next_entropy" ->
+        s"""WITH g AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 3600
+           |         THEN 1 ELSE 0 END AS ns
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |s AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+           |                  ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM g),
+           |t2 AS (
+           |  SELECT event_type AS from_type,
+           |    lead(event_type) OVER (PARTITION BY user_id, sid
+           |                           ORDER BY ts, event_id) AS to_type
+           |  FROM s),
+           |p AS (
+           |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           |  FROM t2 WHERE to_type IS NOT NULL GROUP BY 1, 2),
+           |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS ft,
+           |    CAST(count(*) AS BIGINT) AS nt
+           |  FROM p GROUP BY 1)
+           |SELECT p.from_type, max(ft) AS n_out, max(nt) AS n_to_types,
+           |  CAST(CAST(sum(CAST(${pround("(CAST(n AS DOUBLE) / CAST(ft AS DOUBLE)) * log10(CAST(ft AS DOUBLE) / CAST(n AS DOUBLE))", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS h_next
+           |FROM p JOIN tot USING (from_type) GROUP BY 1""".stripMargin,
+
+      // epoch-second gaps along one per-user order; B from one sqrt
+      // over the exact nQ−S²
+      "q322_burstiness" ->
+        s"""WITH e AS (
+           |  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS tus,
+           |    event_id
+           |  FROM events),
+           |gp AS (
+           |  SELECT k,
+           |    lead(tus) OVER (PARTITION BY k ORDER BY tus, event_id)
+           |      - tus AS gap
+           |  FROM e),
+           |agg AS (
+           |  SELECT k, CAST(count(*) AS BIGINT) AS n_events,
+           |    CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_gaps,
+           |    CAST(sum(COALESCE(gap, 0)) AS HUGEINT) AS s,
+           |    CAST(sum(CAST(COALESCE(gap, 0) AS HUGEINT)
+           |      * COALESCE(gap, 0)) AS HUGEINT) AS q
+           |  FROM gp GROUP BY 1)
+           |SELECT k AS user_id, n_events, n_gaps,
+           |  CASE WHEN n_gaps = 0 THEN NULL
+           |    ELSE CAST(s // n_gaps AS BIGINT) END AS mean_gap_s,
+           |  CASE WHEN n_gaps = 0 OR s = 0 THEN NULL
+           |    ELSE ${pround("(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) - CAST(s AS DOUBLE)) / (sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) + CAST(s AS DOUBLE))", 6)} END AS b
+           |FROM agg""".stripMargin,
+
+      // gaps-and-islands with the SAME total order on both rankings;
+      // champion tie-break (len desc, action asc, island asc)
+      "q323_streaks" ->
+        """WITH e AS (
+          |  SELECT user_id AS k, ts, event_id, event_type AS a
+          |  FROM events),
+          |r AS (
+          |  SELECT k, a,
+          |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+          |      - row_number() OVER (PARTITION BY k, a ORDER BY ts, event_id)
+          |      AS isl
+          |  FROM e),
+          |runs AS (SELECT k, a, isl, CAST(count(*) AS BIGINT) AS len
+          |  FROM r GROUP BY 1, 2, 3),
+          |tot AS (SELECT k, CAST(sum(len) AS BIGINT) AS n_events
+          |  FROM runs GROUP BY 1),
+          |best AS (
+          |  SELECT k, a, len FROM runs
+          |  QUALIFY row_number() OVER (PARTITION BY k
+          |    ORDER BY len DESC, a ASC, isl ASC) = 1)
+          |SELECT best.k AS user_id, n_events, len AS max_streak,
+          |  a AS streak_action
+          |FROM best JOIN tot ON best.k = tot.k""".stripMargin,
 
       // the same minimax chain: rates are quotients of exact prefix
       // differences, so min/max see identical doubles

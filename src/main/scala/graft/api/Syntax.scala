@@ -349,6 +349,17 @@ object syntax {
       Resample.weekdaySeasonality(df, keyCol, tsCol)
     def seasonalNaiveError(keyCol: String, tsCol: String): DataFrame =
       Resample.seasonalNaiveError(df, keyCol, tsCol)
+    def burstiness(keyCol: String, tsCol: String,
+                   tieCol: String): DataFrame =
+      Resample.burstiness(df, keyCol, tsCol, tieCol)
+    def nextActionEntropy(keyCol: String, tsCol: String,
+                          actionCol: String, tieCol: String,
+                          gapSeconds: Long): DataFrame =
+      Sessionize.nextActionEntropy(df, keyCol, tsCol, actionCol, tieCol,
+        gapSeconds)
+    def streaks(keyCol: String, tsCol: String, actionCol: String,
+                tieCol: String): DataFrame =
+      Sessionize.streaks(df, keyCol, tsCol, actionCol, tieCol)
     def pChart(periodCol: String, defectCol: String): DataFrame =
       Audit.pChart(df, periodCol, defectCol)
     def gini(groupCol: String, keyCol: String, valueCol: String,

@@ -32,11 +32,25 @@ object Markov {
     */
   def transitions(events: DataFrame, groupCols: Seq[String],
                   ordCols: Seq[String], typeCol: String): DataFrame = {
+    val pairs = pairCounts(events, groupCols, ordCols, typeCol)
+    val fromTot = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).cast("long").as("__ft"))
+    pairs.join(broadcast(fromTot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        call_function("div", col("n") * 10000L, col("__ft")).as("prob_bp"))
+  }
+
+  /** The shared (from, to, n) pair-count core of [[transitions]] and
+    * [[nextEntropy]] — one window pass, one hash aggregate.
+    */
+  private def pairCounts(events: DataFrame, groupCols: Seq[String],
+                         ordCols: Seq[String],
+                         typeCol: String): DataFrame = {
     require(groupCols.nonEmpty, "transitions needs at least one group column")
     require(ordCols.nonEmpty, "transitions needs at least one order column")
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(ordCols.map(col): _*)
-    val pairs = events
+    events
       .filter(col(typeCol).isNotNull &&
         groupCols.map(col(_).isNotNull).reduce(_ && _))
       .select((groupCols ++ ordCols).map(col) :+ col(typeCol).as("__t"): _*)
@@ -44,10 +58,33 @@ object Markov {
       .filter(col("__next").isNotNull)
       .groupBy(col("__t").as("from_type"), col("__next").as("to_type"))
       .agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  /** Conditional next-event entropy per current state — "after a
+    * click, how PREDICTABLE is what happens next?" Low entropy means
+    * the state funnels (a good place for prefetching or a suspicious
+    * place for bot traffic); high entropy means the state branches.
+    * H(next | from = f) = Σ_t (n_ft/n_f)·log₁₀(n_f/n_ft), the
+    * `labelEntropy` discipline: each term is ONE fixed-order double
+    * over exact BIGINT counts, pround6, summed as DECIMAL(18,6).
+    *
+    * Scale shape: the [[transitions]] pair core plus one broadcast
+    * totals join over the |types|²-bounded pair table.
+    */
+  def nextEntropy(events: DataFrame, groupCols: Seq[String],
+                  ordCols: Seq[String], typeCol: String): DataFrame = {
+    val pairs = pairCounts(events, groupCols, ordCols, typeCol)
     val fromTot = pairs.groupBy(col("from_type"))
-      .agg(sum(col("n")).cast("long").as("__ft"))
+      .agg(sum(col("n")).cast("long").as("__ft"),
+        count(lit(1)).cast("long").as("__nt"))
+    val contrib = (col("n").cast("double") / col("__ft").cast("double")) *
+      log10(col("__ft").cast("double") / col("n").cast("double"))
     pairs.join(broadcast(fromTot), Seq("from_type"))
-      .select(col("from_type"), col("to_type"), col("n"),
-        call_function("div", col("n") * 10000L, col("__ft")).as("prob_bp"))
+      .withColumn("__h",
+        (floor(contrib * 1e6 + 0.5) / 1e6).cast("decimal(18,6)"))
+      .groupBy(col("from_type"))
+      .agg(max(col("__ft")).as("n_out"),
+        max(col("__nt")).as("n_to_types"),
+        sum(col("__h")).cast("double").as("h_next"))
   }
 }

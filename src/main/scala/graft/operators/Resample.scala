@@ -569,6 +569,47 @@ object Resample {
           END""").as("seasonal"))
   }
 
+  /** Burstiness of a key's event cadence: B = (σ − μ)/(σ + μ) over
+    * the inter-event gaps — −1 for a metronome, 0 for a Poisson
+    * process, → 1 for heavy bursts. The bot/automation screen read
+    * next to `streaks` (same cadence, different lens).
+    *
+    * Exact to the last step: gaps are epoch-second BIGINT differences
+    * along one per-key window; with n gaps, S = Σgap and Q = Σgap²
+    * exact DECIMAL(38,0), the identity B = (√(nQ−S²) − S)/(√(nQ−S²)
+    * + S) needs ONE sqrt over an exact integer — pround6. Keys with
+    * no gaps, or all-zero gaps (every event in the same second),
+    * report NULL. mean_gap_s is the exact floor division S div n.
+    *
+    * Scale shape: one window pass per key, one hash aggregate.
+    */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__tie"))
+    val gaps = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        col(tsCol).cast("long").as("__ts"), col(tieCol).as("__tie"))
+      .withColumn("__gap", lead(col("__ts"), 1).over(w) - col("__ts"))
+    gaps.groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("__gap").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_gaps"),
+        sum(coalesce(col("__gap"), lit(0L)).cast("decimal(38,0)"))
+          .as("__s"),
+        sum(coalesce(col("__gap"), lit(0L)).cast("decimal(38,0)") *
+          coalesce(col("__gap"), lit(0L))).as("__q"))
+      .select(col(keyCol), col("n_events"), col("n_gaps"),
+        expr("""CASE WHEN n_gaps = 0 THEN NULL
+          ELSE CAST(__s DIV n_gaps AS BIGINT) END""").as("mean_gap_s"),
+        graft.functions.Rounding.p6(expr(
+          """CASE WHEN n_gaps = 0 OR __s = 0 THEN NULL
+          ELSE (sqrt(CAST(n_gaps * __q - __s * __s AS DOUBLE))
+              - CAST(__s AS DOUBLE))
+            / (sqrt(CAST(n_gaps * __q - __s * __s AS DOUBLE))
+              + CAST(__s AS DOUBLE)) END""")).as("b"))
+  }
+
   /** Seasonal-naive error ratio per key: does "same day last week"
     * predict today's count better than "yesterday"? Sum of absolute
     * one-day and seven-day differences over the daily-count series —

@@ -101,4 +101,50 @@ object Sessionize {
     Markov.transitions(withSessionIds(events, keyCol, tsCol, gapSeconds),
         Seq(keyCol, "session_id"), Seq(tsCol, tieCol), actionCol)
       .withColumnRenamed("prob_bp", "p_bp")
+
+  /** [[transitionMatrix]]'s sessionized pairs folded to the per-state
+    * predictability card: H(next action | current action) within
+    * sessions — see `Markov.nextEntropy`.
+    */
+  def nextActionEntropy(events: DataFrame, keyCol: String, tsCol: String,
+                        actionCol: String, tieCol: String,
+                        gapSeconds: Long): DataFrame =
+    Markov.nextEntropy(withSessionIds(events, keyCol, tsCol, gapSeconds),
+      Seq(keyCol, "session_id"), Seq(tsCol, tieCol), actionCol)
+
+  /** Longest same-action streak per key (gaps-and-islands): the
+    * engagement/bot screen "does any user fire the same action N
+    * times in a row?". Island id = overall row_number − per-action
+    * row_number (both ordered by the SAME total order, so the
+    * difference is constant exactly along a run); the reported
+    * champion streak breaks length ties by ascending action then
+    * island — engine-exact. One window pass per ranking, then a
+    * (key, action, island) hash aggregate; rows per key bound every
+    * partition.
+    */
+  def streaks(events: DataFrame, keyCol: String, tsCol: String,
+              actionCol: String, tieCol: String): DataFrame = {
+    val base = events.filter(col(keyCol).isNotNull &&
+        col(tsCol).isNotNull && col(actionCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), col(actionCol).as("__a"))
+    val wAll = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__tie"))
+    val wAct = Window.partitionBy(col("__k"), col("__a"))
+      .orderBy(col("__ts"), col("__tie"))
+    val runs = base
+      .withColumn("__isl",
+        row_number().over(wAll) - row_number().over(wAct))
+      .groupBy(col("__k"), col("__a"), col("__isl"))
+      .agg(count(lit(1)).cast("long").as("__len"))
+    val wTot = Window.partitionBy(col("__k"))
+    val wBest = Window.partitionBy(col("__k"))
+      .orderBy(col("__len").desc, col("__a").asc, col("__isl").asc)
+    runs
+      .withColumn("n_events", sum(col("__len")).over(wTot).cast("long"))
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("__k").as(keyCol), col("n_events"),
+        col("__len").as("max_streak"), col("__a").as("streak_action"))
+  }
 }

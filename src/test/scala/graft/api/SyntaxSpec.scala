@@ -246,6 +246,22 @@ class SyntaxSpec extends SparkSpec {
     wts.seasonalNaiveError("k", "ts").collect().toSeq shouldBe
       graft.operators.Resample.seasonalNaiveError(wts, "k", "ts")
         .collect().toSeq
+    val bev = Seq((1L, new java.sql.Timestamp(1000L), 1L),
+      (1L, new java.sql.Timestamp(2000L), 2L)).toDF("k", "ts", "tie")
+    bev.burstiness("k", "ts", "tie").queryExecution.analyzed
+      .sameResult(graft.operators.Resample.burstiness(bev, "k", "ts",
+        "tie").queryExecution.analyzed) shouldBe true
+    val sev = Seq((1L, new java.sql.Timestamp(1000L), 1L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    sev.nextActionEntropy("user_id", "ts", "event_type", "event_id",
+        3600L).queryExecution.analyzed
+      .sameResult(graft.operators.Sessionize.nextActionEntropy(sev,
+        "user_id", "ts", "event_type", "event_id", 3600L)
+        .queryExecution.analyzed) shouldBe true
+    sev.streaks("user_id", "ts", "event_type", "event_id")
+      .queryExecution.analyzed
+      .sameResult(graft.operators.Sessionize.streaks(sev, "user_id",
+        "ts", "event_type", "event_id").queryExecution.analyzed) shouldBe true
     val wd = Seq(("g", 0L, 1.0), ("g", 1L, 2.0)).toDF("g", "arm", "v")
     wd.wasserstein1d("g", "arm", "v").queryExecution.analyzed
       .sameResult(graft.operators.Profile.wasserstein1d(wd, "g", "arm",

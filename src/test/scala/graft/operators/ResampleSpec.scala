@@ -332,4 +332,21 @@ class ResampleSpec extends SparkSpec {
     (rs.getLong(2), rs.getLong(4)) shouldBe ((0L, 0L))
     assert(rs.isNullAt(6))
   }
+  test("burstiness: metronome -1, Poisson-boundary 0, degenerate NULL") {
+    def evs(key: Long, secs: Seq[Long]) = secs.zipWithIndex.map {
+      case (t, i) => (key, new java.sql.Timestamp(t * 1000L), i.toLong)
+    }
+    // gaps 10,10: sigma 0 -> B = -1; gaps 0,100: CV = 1 -> B = 0
+    val rows = evs(1L, Seq(0L, 10L, 20L)) ++ evs(2L, Seq(0L, 0L, 100L)) ++
+      evs(3L, Seq(5L, 5L, 5L)) ++ evs(4L, Seq(42L))
+    val out = Resample.burstiness(rows.toDF("k", "ts", "tie"),
+        "k", "ts", "tie")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getDouble(4) shouldBe -1.0
+    out(1L).getLong(3) shouldBe 10L // exact mean gap
+    out(2L).getDouble(4) shouldBe 0.0
+    assert(out(3L).isNullAt(4)) // all gaps zero
+    assert(out(4L).isNullAt(4)) // single event: no gaps
+    (out(4L).getLong(1), out(4L).getLong(2)) shouldBe ((1L, 0L))
+  }
 }

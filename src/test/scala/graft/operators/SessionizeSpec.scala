@@ -114,4 +114,52 @@ class SessionizeSpec extends SparkSpec {
     // a, NULL, b pairs as one a->b transition; no NULL rows appear
     out shouldBe Map(("a", "b") -> 1L)
   }
+
+  test("nextActionEntropy hand-computed per-state cards") {
+    // one session A B A C: pairs A->B, B->A, A->C
+    // H(next|A) = 2 * 0.5*log10(2) = log10(2); H(next|B) = 0
+    val d = evT(
+      (1L, 1L, "2024-01-01 10:00:00", "A"),
+      (2L, 1L, "2024-01-01 10:00:10", "B"),
+      (3L, 1L, "2024-01-01 10:00:20", "A"),
+      (4L, 1L, "2024-01-01 10:00:30", "C"))
+    val out = Sessionize.nextActionEntropy(d, "user_id", "ts",
+        "event_type", "event_id", 3600)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out.keySet shouldBe Set("A", "B")
+    out("A")._1 shouldBe 2L
+    out("A")._2 shouldBe 2L
+    out("A")._3 shouldBe 2 * graft.functions.Rounding.p6d(0.5 * math.log10(2.0))
+    out("B") shouldBe ((1L, 1L, 0.0))
+    // a session boundary breaks the pair: no output at all
+    val split = evT(
+      (1L, 1L, "2024-01-01 10:00:00", "A"),
+      (2L, 1L, "2024-01-01 13:00:00", "B"))
+    Sessionize.nextActionEntropy(split, "user_id", "ts",
+      "event_type", "event_id", 3600).collect() shouldBe empty
+  }
+
+  test("streaks finds the longest run with deterministic tie-breaks") {
+    val d = evT(
+      (1L, 1L, "2024-01-01 10:00:00", "A"),
+      (2L, 1L, "2024-01-01 10:00:01", "A"),
+      (3L, 1L, "2024-01-01 10:00:02", "A"),
+      (4L, 1L, "2024-01-01 10:00:03", "B"),
+      (5L, 1L, "2024-01-01 10:00:04", "B"),
+      (6L, 1L, "2024-01-01 10:00:05", "A"))
+    val r = Sessionize.streaks(d, "user_id", "ts", "event_type",
+      "event_id").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)) shouldBe
+      ((1L, 6L, 3L, "A"))
+    // equal-length runs: the alphabetically-first action wins
+    val tie = evT(
+      (1L, 2L, "2024-01-01 10:00:00", "B"),
+      (2L, 2L, "2024-01-01 10:00:01", "B"),
+      (3L, 2L, "2024-01-01 10:00:02", "A"),
+      (4L, 2L, "2024-01-01 10:00:03", "A"))
+    val rt = Sessionize.streaks(tie, "user_id", "ts", "event_type",
+      "event_id").collect().head
+    (rt.getLong(2), rt.getString(3)) shouldBe ((2L, "A"))
+  }
 }
