@@ -968,6 +968,25 @@ object ScaleSmoke {
           pmod(col("event_id") + col("user_id"), lit(2)).as("s")),
         "g", "w", "s").count()
     }
+    time("effect size (200 groups)") {
+      operators.Hypothesis.effectSize(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("arm"), col("value")),
+        "g", "arm", "value").count()
+    }
+    time("risk card (200 groups)") {
+      operators.Hypothesis.riskCard(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("e"),
+          pmod(col("event_id") + col("user_id"), lit(2)).as("o")),
+        "g", "e", "o").count()
+    }
+    time("vocab richness (8 sources)") {
+      operators.TfIdf.vocabRichness(
+        docsPq.select(col("text"),
+          pmod(col("doc_id"), lit(8)).cast("string").as("source")),
+        "text", "source").count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

@@ -369,6 +369,33 @@ object SparkEntry {
       operators.Sessionize.streaks(t(s, d, "events"),
         "user_id", "ts", "event_type", "event_id")),
 
+    // how much vocabulary is each source still hiding? Chao1 /
+    // Good-Turing coverage / Simpson / Shannon per source — exact
+    // spectrum integers, fixed-order doubles, labelEntropy discipline
+    // on the shannon sum
+    "q324_vocab_richness" -> ((s, d) =>
+      operators.TfIdf.vocabRichness(t(s, d, "documents"),
+        "text", "source")),
+
+    // is the even/odd-user value shift big enough to CARE about?
+    // Cohen's d + Hedges g per event type over exact DECIMAL moment
+    // sums — the magnitude companion to q298's significance
+    "q325_effect_size" -> ((s, d) =>
+      operators.Hypothesis.effectSize(
+        t(s, d, "events").select(col("event_type"),
+          pmod(col("user_id"), lit(2L)).as("arm"), col("value")),
+        "event_type", "arm", "value")),
+
+    // does a deep discount change the RETURN risk? 2x2 odds-ratio /
+    // relative-risk / risk-difference card per line status — every
+    // ratio an exact floored micro-unit quotient, no doubles at all
+    "q326_risk_card" -> ((s, d) =>
+      operators.Hypothesis.riskCard(
+        t(s, d, "lineitem").select(col("l_linestatus"),
+          when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("exposed"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("outcome")),
+        "l_linestatus", "exposed", "outcome")),
+
     // do BUILDING-segment customers churn differently? two-arm
     // log-rank over the q232 churn observations: O−E and V as exact
     // DECIMAL(18,6) sums of pround6 hypergeometric contributions,
@@ -4894,6 +4921,104 @@ object SparkEntry {
           |SELECT best.k AS user_id, n_events, len AS max_streak,
           |  a AS streak_action
           |FROM best JOIN tot ON best.k = tot.k""".stripMargin,
+
+      // spectrum integers exact; chao1/coverage/simpson fixed-order
+      // doubles; shannon mirrors q321's per-term pround6 sum
+      "q324_vocab_richness" ->
+        s"""WITH toks AS (
+           |  SELECT source, unnest($toksSql) AS term
+           |  FROM documents WHERE source IS NOT NULL),
+           |c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+           |  FROM toks GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    CAST(count(*) AS BIGINT) AS n_types,
+           |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           |    sum(CAST(c AS HUGEINT) * (c - 1)) AS m2
+           |  FROM c GROUP BY 1),
+           |sh AS (
+           |  SELECT c.source,
+           |    CAST(sum(CAST(${pround("(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * log10(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE))", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS hs
+           |  FROM c JOIN tot USING (source) GROUP BY 1)
+           |SELECT tot.source, n_tokens, n_types, f1, f2,
+           |  ${pround("CAST(n_types AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)", 6)} AS chao1,
+           |  ${pround("1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS coverage,
+           |  CASE WHEN n_tokens >= 2
+           |    THEN ${pround("CAST(m2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))", 6)} END AS simpson,
+           |  CAST(hs AS DOUBLE) AS shannon
+           |FROM tot JOIN sh ON tot.source = sh.source""".stripMargin,
+
+      // q42's exact decimal moment sums per arm, finished by ONE
+      // fixed-order double chain for d and the Hedges J correction
+      "q325_effect_size" -> {
+        val mt = "(CAST(st AS DOUBLE) / CAST(n_t AS DOUBLE))"
+        val mc = "(CAST(sc AS DOUBLE) / CAST(n_c AS DOUBLE))"
+        val ssT = "(CAST(qt AS DOUBLE)" +
+          " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n_t AS DOUBLE))"
+        val ssC = "(CAST(qc AS DOUBLE)" +
+          " - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n_c AS DOUBLE))"
+        val s2p = s"(($ssT + $ssC) / CAST(n_t + n_c - 2 AS DOUBLE))"
+        val dRaw = s"(($mt - $mc) / sqrt($s2p))"
+        val jFac = "(1.0 - 3.0 / CAST(4 * (n_t + n_c) - 9 AS DOUBLE))"
+        s"""WITH g AS (
+           |  SELECT event_type, ((user_id % 2) + 2) % 2 AS arm, value
+           |  FROM events WHERE value IS NOT NULL),
+           |agg AS (
+           |  SELECT event_type,
+           |    CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           |    sum(CASE WHEN arm <> 0 THEN CAST(value AS DECIMAL(28,2))
+           |      ELSE CAST(0 AS DECIMAL(28,2)) END) AS st,
+           |    sum(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(28,2))
+           |      ELSE CAST(0 AS DECIMAL(28,2)) END) AS sc,
+           |    sum(CASE WHEN arm <> 0 THEN CAST(value * value AS DECIMAL(28,4))
+           |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS qt,
+           |    sum(CASE WHEN arm = 0 THEN CAST(value * value AS DECIMAL(28,4))
+           |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS qc
+           |  FROM g GROUP BY 1)
+           |SELECT event_type, n_t, n_c,
+           |  CASE WHEN n_t = 0 THEN NULL ELSE ${pround(mt, 6)} END AS mean_t,
+           |  CASE WHEN n_c = 0 THEN NULL ELSE ${pround(mc, 6)} END AS mean_c,
+           |  CASE WHEN n_t < 2 OR n_c < 2 OR $s2p <= 0.0 THEN NULL
+           |    ELSE ${pround(dRaw, 6)} END AS cohens_d,
+           |  CASE WHEN n_t < 2 OR n_c < 2 OR $s2p <= 0.0 THEN NULL
+           |    ELSE ${pround(s"$jFac * $dRaw", 6)} END AS hedges_g
+           |FROM agg""".stripMargin
+      },
+
+      // every ratio an exact floored micro-unit quotient over HUGEINT
+      // cross-products; zero denominators report NULL per ratio
+      "q326_risk_card" ->
+        """WITH g AS (
+          |  SELECT l_linestatus,
+          |    CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS e,
+          |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o
+          |  FROM lineitem),
+          |agg AS (
+          |  SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n11,
+          |    CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n10,
+          |    CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n01,
+          |    CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n00
+          |  FROM g GROUP BY 1)
+          |SELECT l_linestatus, n, n11, n10, n01, n00,
+          |  CASE WHEN n10 = 0 OR n01 = 0 THEN NULL
+          |    ELSE CAST(1000000 * CAST(n11 AS HUGEINT) * n00
+          |      // (CAST(n10 AS HUGEINT) * n01) AS BIGINT) END AS or_ppm,
+          |  CASE WHEN n11 + n10 = 0 OR n01 = 0 THEN NULL
+          |    ELSE CAST(1000000 * CAST(n11 AS HUGEINT) * (n01 + n00)
+          |      // (CAST(n11 + n10 AS HUGEINT) * n01) AS BIGINT) END AS rr_ppm,
+          |  CASE WHEN n11 + n10 = 0 OR n01 + n00 = 0 THEN NULL
+          |    ELSE CAST(1000000 * CAST(n11 AS HUGEINT) // (n11 + n10)
+          |        AS BIGINT)
+          |      - CAST(1000000 * CAST(n01 AS HUGEINT) // (n01 + n00)
+          |        AS BIGINT) END AS risk_diff_ppm
+          |FROM agg""".stripMargin,
 
       // the same minimax chain: rates are quotients of exact prefix
       // differences, so min/max see identical doubles

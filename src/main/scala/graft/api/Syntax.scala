@@ -413,6 +413,14 @@ object syntax {
     def cochranArmitage(groupCol: String, bucketCol: String,
                         successCol: String): DataFrame =
       Hypothesis.cochranArmitage(df, groupCol, bucketCol, successCol)
+    def effectSize(groupCol: String, armCol: String,
+                   valueCol: String): DataFrame =
+      Hypothesis.effectSize(df, groupCol, armCol, valueCol)
+    def riskCard(groupCol: String, exposedCol: String,
+                 outcomeCol: String): DataFrame =
+      Hypothesis.riskCard(df, groupCol, exposedCol, outcomeCol)
+    def vocabRichness(textCol: String, groupCol: String): DataFrame =
+      TfIdf.vocabRichness(df, textCol, groupCol)
     def logRank(durationCol: String, eventCol: String, armCol: String,
                 bucketWidth: Long = 4096L): DataFrame =
       Survival.logRank(df, durationCol, eventCol, armCol, bucketWidth)

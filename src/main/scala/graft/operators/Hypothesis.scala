@@ -537,4 +537,110 @@ object Hypothesis {
           > CAST(3841459 AS DECIMAL(38,0)) * $kk * $bX END""")
         .as("significant"))
   }
+
+  /** Two-arm standardized effect size per group: Cohen's d with the
+    * Hedges small-sample correction — the "is the shift big enough to
+    * CARE about?" companion to [[mannWhitneyU]]'s "is it real?". A
+    * significant test on a huge sample can describe a trivial shift;
+    * d expresses the mean difference in pooled-standard-deviation
+    * units (0.2 small / 0.5 medium / 0.8 large by the usual reading),
+    * and g = J·d with J = 1 − 3/(4(n_t+n_c)−9) removes d's upward
+    * small-sample bias.
+    *
+    * Exactness (the q42 moments contract): values are 2-decimal, so
+    * Σx accumulates as DECIMAL(28,2) and Σx² as DECIMAL(28,4) —
+    * partial-aggregation order can't perturb them — and every double
+    * (means, pooled variance, d, g) is ONE fixed-order expression
+    * over those exact sums, pround6. Arms with n < 2, or a zero
+    * pooled variance (both arms constant), report NULL d/g rather
+    * than leaking an Infinity/NaN.
+    *
+    * Scale shape: ONE hash aggregate (conditional sums fold both arms
+    * into the same pass). Nothing else.
+    */
+  def effectSize(df: DataFrame, groupCol: String, armCol: String,
+                 valueCol: String): DataFrame = {
+    val a = col(armCol).cast("long") =!= 0L
+    val v = col(valueCol).cast("double")
+    val agg = df.filter(col(groupCol).isNotNull && col(armCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(a, 1L).otherwise(0L)).cast("long").as("n_t"),
+        sum(when(!a, 1L).otherwise(0L)).cast("long").as("n_c"),
+        sum(when(a, v.cast("decimal(28,2)"))
+          .otherwise(lit(0).cast("decimal(28,2)"))).as("__st"),
+        sum(when(!a, v.cast("decimal(28,2)"))
+          .otherwise(lit(0).cast("decimal(28,2)"))).as("__sc"),
+        sum(when(a, (v * v).cast("decimal(28,4)"))
+          .otherwise(lit(0).cast("decimal(28,4)"))).as("__qt"),
+        sum(when(!a, (v * v).cast("decimal(28,4)"))
+          .otherwise(lit(0).cast("decimal(28,4)"))).as("__qc"))
+    val mt = "(CAST(__st AS DOUBLE) / CAST(n_t AS DOUBLE))"
+    val mc = "(CAST(__sc AS DOUBLE) / CAST(n_c AS DOUBLE))"
+    val ssT = "(CAST(__qt AS DOUBLE)" +
+      s" - CAST(__st AS DOUBLE) * CAST(__st AS DOUBLE) / CAST(n_t AS DOUBLE))"
+    val ssC = "(CAST(__qc AS DOUBLE)" +
+      s" - CAST(__sc AS DOUBLE) * CAST(__sc AS DOUBLE) / CAST(n_c AS DOUBLE))"
+    val s2p = s"(($ssT + $ssC) / CAST(n_t + n_c - 2 AS DOUBLE))"
+    val dRaw = s"(($mt - $mc) / sqrt($s2p))"
+    val jFac = "(1.0 - 3.0 / CAST(4 * (n_t + n_c) - 9 AS DOUBLE))"
+    agg.select(col(groupCol), col("n_t"), col("n_c"),
+      p6(expr(s"CASE WHEN n_t = 0 THEN NULL ELSE $mt END")).as("mean_t"),
+      p6(expr(s"CASE WHEN n_c = 0 THEN NULL ELSE $mc END")).as("mean_c"),
+      p6(expr(s"""CASE WHEN n_t < 2 OR n_c < 2 OR $s2p <= 0.0 THEN NULL
+        ELSE $dRaw END""")).as("cohens_d"),
+      p6(expr(s"""CASE WHEN n_t < 2 OR n_c < 2 OR $s2p <= 0.0 THEN NULL
+        ELSE $jFac * $dRaw END""")).as("hedges_g"))
+  }
+
+  /** 2×2 exposure/outcome risk card per group: odds ratio, relative
+    * risk, and risk difference — the epidemiology-style readout a
+    * pipeline wants when "exposed" is a curation treatment (a filter
+    * version, a dedup pass) and "outcome" is a binary event (kept,
+    * returned, churned). Cells follow the standard table: n11 =
+    * exposed with outcome, n10 = exposed without, n01 = unexposed
+    * with, n00 = neither.
+    *
+    * ENTIRELY exact — no doubles anywhere: every ratio is a floored
+    * micro-unit quotient of cross-multiplied BIGINT cells in
+    * DECIMAL(38,0) (OR = 10⁶·n11·n00 div n10·n01, RR = 10⁶·n11·
+    * (n01+n00) div (n11+n10)·n01, risk diff = the difference of the
+    * two per-arm floored rates). A zero denominator reports NULL for
+    * exactly that ratio — a zero-cell table is a real state (a
+    * perfectly protective exposure), not an error. Pair with the
+    * q252 chi-square / q312 McNemar family when a calibrated
+    * significance flag is needed; this card is the effect MAGNITUDE.
+    *
+    * Scale shape: ONE hash aggregate. Nothing else.
+    */
+  def riskCard(df: DataFrame, groupCol: String, exposedCol: String,
+               outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("long") =!= 0L
+    val o = col(outcomeCol).cast("long") =!= 0L
+    df.filter(col(groupCol).isNotNull && col(exposedCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(e && o, 1L).otherwise(0L)).cast("long").as("n11"),
+        sum(when(e && !o, 1L).otherwise(0L)).cast("long").as("n10"),
+        sum(when(!e && o, 1L).otherwise(0L)).cast("long").as("n01"),
+        sum(when(!e && !o, 1L).otherwise(0L)).cast("long").as("n00"))
+      .select(col(groupCol), col("n"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        expr("""CASE WHEN n10 = 0 OR n01 = 0 THEN NULL
+          ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * n11 * n00
+            DIV (CAST(n10 AS DECIMAL(38,0)) * n01) AS BIGINT) END""")
+          .as("or_ppm"),
+        expr("""CASE WHEN n11 + n10 = 0 OR n01 = 0 THEN NULL
+          ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * n11 * (n01 + n00)
+            DIV (CAST(n11 + n10 AS DECIMAL(38,0)) * n01) AS BIGINT) END""")
+          .as("rr_ppm"),
+        expr("""CASE WHEN n11 + n10 = 0 OR n01 + n00 = 0 THEN NULL
+          ELSE CAST(CAST(1000000 AS DECIMAL(19,0)) * n11
+              DIV (n11 + n10) AS BIGINT)
+            - CAST(CAST(1000000 AS DECIMAL(19,0)) * n01
+              DIV (n01 + n00) AS BIGINT) END""")
+          .as("risk_diff_ppm"))
+  }
 }

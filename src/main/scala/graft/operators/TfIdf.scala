@@ -443,4 +443,71 @@ object TfIdf {
       when(den =!= 0.0 && dy =!= 0.0, p6((num * num) / (den * dy)))
         .as("r2"))
   }
+
+  /** Per-group vocabulary-richness card — the "how much vocabulary is
+    * this source still hiding?" estimate a corpus-mixing plan reads
+    * before upweighting a source. Per group: token count N, observed
+    * type count V, singleton/doubleton spectrum counts f1/f2, and four
+    * standard richness/diversity estimates over the term-frequency
+    * distribution:
+    *   - `chao1` = V + f1(f1−1)/(2(f2+1)) — bias-corrected Chao1 lower
+    *     bound on TRUE vocabulary size;
+    *   - `coverage` = 1 − f1/N — Good–Turing sample coverage (the mass
+    *     NOT in unseen types; low coverage = sampling more will keep
+    *     finding new words);
+    *   - `simpson` = Σc(c−1)/(N(N−1)) — repeat-probability
+    *     (concentration; 1/simpson is an effective vocab size);
+    *   - `shannon` = Σ(c/N)·log₁₀(N/c) — the labelEntropy discipline:
+    *     each term's contribution is ONE fixed-order double over exact
+    *     BIGINT counts, pround6, summed as DECIMAL(18,6).
+    *
+    * Exactness: N, V, f1, f2 are BIGINT; Σc(c−1) accumulates as
+    * DECIMAL(38,0) (cast BEFORE the multiply); chao1/coverage/simpson
+    * are single fixed-order double expressions over those exact
+    * integers, pround6. Groups need N ≥ 2 for simpson (else NULL);
+    * f2 = 0 is handled by Chao1's +1 smoothing.
+    *
+    * Scale shape: one (group, term) hash aggregate off the tokenize
+    * projection, one group rollup, and one broadcast totals join back
+    * onto the term counts for the entropy pass — no windows, no skewed
+    * window partitions (same rationale as [[topTerms]]'s df join).
+    */
+  def vocabRichness(docs: DataFrame, textCol: String,
+                    groupCol: String): DataFrame = {
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val cnt = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val tot = cnt.groupBy(col(groupCol))
+      .agg(sum(col("__c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).cast("long").as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).cast("long").as("f2"),
+        sum(col("__c").cast("decimal(38,0)") * (col("__c") - lit(1L)))
+          .as("__m2"))
+    val contrib =
+      (col("__c").cast("double") / col("n_tokens").cast("double")) *
+        log10(col("n_tokens").cast("double") / col("__c").cast("double"))
+    val shannon = cnt
+      .join(broadcast(tot.select(col(groupCol), col("n_tokens"))),
+        Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(sum(p6(contrib).cast("decimal(18,6)")).cast("decimal(38,6)")
+        .as("__h"))
+    tot.join(shannon, Seq(groupCol))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        col("f1"), col("f2"),
+        p6(col("n_types").cast("double") +
+          col("f1").cast("double") * (col("f1") - lit(1L)).cast("double") /
+            (lit(2L) * (col("f2") + lit(1L))).cast("double")).as("chao1"),
+        p6(lit(1.0) -
+          col("f1").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage"),
+        when(col("n_tokens") >= 2L,
+          p6(col("__m2").cast("double") /
+            (col("n_tokens").cast("double") *
+              (col("n_tokens") - lit(1L)).cast("double")))).as("simpson"),
+        col("__h").cast("double").as("shannon"))
+  }
 }

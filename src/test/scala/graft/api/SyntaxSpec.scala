@@ -262,6 +262,18 @@ class SyntaxSpec extends SparkSpec {
       .queryExecution.analyzed
       .sameResult(graft.operators.Sessionize.streaks(sev, "user_id",
         "ts", "event_type", "event_id").queryExecution.analyzed) shouldBe true
+    val es = Seq(("g", 1L, 2.0), ("g", 0L, 1.0)).toDF("g", "arm", "v")
+    es.effectSize("g", "arm", "v").queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.effectSize(es, "g", "arm",
+        "v").queryExecution.analyzed) shouldBe true
+    val rc = Seq(("g", 1L, 1L)).toDF("g", "e", "o")
+    rc.riskCard("g", "e", "o").queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.riskCard(rc, "g", "e", "o")
+        .queryExecution.analyzed) shouldBe true
+    val vr = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")
+    vr.vocabRichness("text", "source").queryExecution.analyzed
+      .sameResult(graft.operators.TfIdf.vocabRichness(vr, "text",
+        "source").queryExecution.analyzed) shouldBe true
     val wd = Seq(("g", 0L, 1.0), ("g", 1L, 2.0)).toDF("g", "arm", "v")
     wd.wasserstein1d("g", "arm", "v").queryExecution.analyzed
       .sameResult(graft.operators.Profile.wasserstein1d(wd, "g", "arm",

@@ -466,4 +466,50 @@ class HypothesisSpec extends SparkSpec {
         base.getBoolean(4) == moved.getBoolean(4)
     })
   }
+
+  test("effectSize matches the hand-computed pooled d and Hedges g") {
+    import graft.functions.Rounding.p6d
+    // arm1 {2,4}, arm0 {1,3}: means 3/2, SS 2+2, s2p = 4/2 = 2
+    // d = 1/sqrt(2); J = 1 - 3/7
+    val d = Seq(("g", 1L, 2.0), ("g", 1L, 4.0),
+      ("g", 0L, 1.0), ("g", 0L, 3.0))
+    val r = Hypothesis.effectSize(d.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    (r.getLong(1), r.getLong(2)) shouldBe ((2L, 2L))
+    r.getDouble(3) shouldBe 3.0
+    r.getDouble(4) shouldBe 2.0
+    r.getDouble(5) shouldBe p6d(1.0 / math.sqrt(2.0))
+    r.getDouble(6) shouldBe p6d((1.0 - 3.0 / 7.0) * (1.0 / math.sqrt(2.0)))
+    // constant arms: zero pooled variance -> NULL d/g, means intact
+    val flat = Seq(("f", 1L, 5.0), ("f", 1L, 5.0),
+      ("f", 0L, 5.0), ("f", 0L, 5.0))
+    val rf = Hypothesis.effectSize(flat.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    assert(rf.isNullAt(5) && rf.isNullAt(6))
+    rf.getDouble(3) shouldBe 5.0
+    // one-arm group: control mean NULL, effect NULL
+    val one = Seq(("o", 1L, 2.0), ("o", 1L, 3.0))
+    val ro = Hypothesis.effectSize(one.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    assert(ro.isNullAt(4) && ro.isNullAt(5))
+  }
+
+  test("riskCard computes exact ppm OR/RR/risk-diff with NULL zero cells") {
+    // n11=2 n10=1 n01=1 n00=2: OR = 4, RR = 2, diff = 2/3 - 1/3
+    val d = Seq(("g", 1L, 1L), ("g", 1L, 1L), ("g", 1L, 0L),
+      ("g", 0L, 1L), ("g", 0L, 0L), ("g", 0L, 0L))
+    val r = Hypothesis.riskCard(d.toDF("g", "e", "o"), "g", "e", "o")
+      .collect().head
+    (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) shouldBe
+      ((2L, 1L, 1L, 2L))
+    r.getLong(6) shouldBe 4000000L
+    r.getLong(7) shouldBe 2000000L
+    r.getLong(8) shouldBe (666666L - 333333L)
+    // protective exposure: n01 = 0 -> OR/RR NULL, risk diff defined
+    val z = Seq(("z", 1L, 1L), ("z", 1L, 0L), ("z", 0L, 0L))
+    val rz = Hypothesis.riskCard(z.toDF("g", "e", "o"), "g", "e", "o")
+      .collect().head
+    assert(rz.isNullAt(6) && rz.isNullAt(7))
+    rz.getLong(8) shouldBe 500000L
+  }
 }

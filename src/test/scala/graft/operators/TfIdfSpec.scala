@@ -194,4 +194,35 @@ class TfIdfSpec extends SparkSpec {
     r.getDouble(1) shouldBe 0.0 // slope of a flat log-log line
     assert(r.isNullAt(3), "r2 must be NULL when y-variance is zero")
   }
+
+  test("vocabRichness matches the hand-computed spectrum card") {
+    import graft.functions.Rounding.p6d
+    // s1: counts a:2 b:2 c:1 -> N=5 V=3 f1=1 f2=2 m2=4
+    val docs = Seq((1L, "a a b", "s1"), (2L, "b c", "s1"),
+      (3L, "x y z", "s2"), (4L, "w", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = TfIdf.vocabRichness(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    (s1.getLong(1), s1.getLong(2), s1.getLong(3), s1.getLong(4)) shouldBe
+      ((5L, 3L, 1L, 2L))
+    s1.getDouble(5) shouldBe 3.0 // chao1: f1(f1-1) = 0
+    s1.getDouble(6) shouldBe 0.8 // coverage: 1 - 1/5
+    s1.getDouble(7) shouldBe 0.2 // simpson: 4/(5*4)
+    // the engine sums terms as DECIMAL(18,6) — mirror that exactness
+    s1.getDouble(8) shouldBe
+      (BigDecimal(p6d(0.4 * math.log10(2.5))) * 2 +
+        BigDecimal(p6d(0.2 * math.log10(5.0)))).toDouble
+    // s2: all singletons -> chao1 = V + f1(f1-1)/2 = 3 + 3 = 6,
+    // coverage 0, simpson 0 (no repeats)
+    val s2 = out("s2")
+    s2.getDouble(5) shouldBe 6.0
+    s2.getDouble(6) shouldBe 0.0
+    s2.getDouble(7) shouldBe 0.0
+    // s3: one token -> simpson undefined (NULL), shannon 0
+    val s3 = out("s3")
+    assert(s3.isNullAt(7))
+    s3.getDouble(5) shouldBe 1.0
+    s3.getDouble(8) shouldBe 0.0
+  }
 }
