@@ -987,6 +987,31 @@ object ScaleSmoke {
           pmod(col("doc_id"), lit(8)).cast("string").as("source")),
         "text", "source").count()
     }
+    time("rmst (event durations)") {
+      operators.Survival.rmst(
+        events(rows).select(pmod(col("event_id"), lit(2000)).as("dur"),
+          pmod(col("user_id"), lit(2)).as("e")),
+        "dur", "e", tau = 1500L, bucketWidth = 256L).count()
+    }
+    time("friedman (200 groups)") {
+      operators.Hypothesis.friedman(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          col("value").as("t1"),
+          pmod(col("event_id"), lit(97)).cast("double").as("t2"),
+          pmod(col("event_id") + col("user_id"), lit(89)).cast("double")
+            .as("t3")),
+        "g", Seq("t1", "t2", "t3")).count()
+    }
+    time("link prediction (capped candidate graph)") {
+      operators.Triangles.linkPrediction(
+        events(rows)
+          .select(pmod(col("event_id"), lit(200000)).as("id_a"),
+            (pmod(col("event_id"), lit(200000)) +
+              pmod(col("user_id"), lit(50)) + 1L).as("id_b"))
+          .distinct(),
+        "id_a", "id_b", maxHubDegree = 128L,
+        maxCandidates = 100000000L).count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

@@ -396,6 +396,48 @@ object SparkEntry {
           when(col("l_returnflag") === "R", 1L).otherwise(0L).as("outcome")),
         "l_linestatus", "exposed", "outcome")),
 
+    // average retained days inside the first 1000 — the one-number
+    // summary of q232's churn curve via the jump decomposition
+    // tau − Σ J_i(tau − t_i): no curve-ordering window, plain sums
+    // over the same log-space prefix chain
+    "q327_rmst" -> ((s, d) =>
+      operators.Survival.rmst(
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(min(col("o_orderdate")).as("__first"),
+            max(col("o_orderdate")).as("__last"))
+          .select(
+            datediff(col("__last"), col("__first")).cast("long").as("dur"),
+            when(col("__last") < lit("1998-03-01").cast("date"), 1L)
+              .otherwise(0L).as("churned")),
+        "dur", "churned", tau = 1000L, bucketWidth = 256L)),
+
+    // do the first three line positions of an order get systematically
+    // different quantities? Friedman over per-order doubled midranks,
+    // sliced 4 ways by order-key hash — the slices should agree
+    "q328_friedman" -> ((s, d) =>
+      operators.Hypothesis.friedman(
+        t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(
+            max(when(col("l_linenumber") === 1, col("l_quantity"))).as("t1"),
+            max(when(col("l_linenumber") === 2, col("l_quantity"))).as("t2"),
+            max(when(col("l_linenumber") === 3, col("l_quantity"))).as("t3"))
+          .filter(col("t1").isNotNull && col("t2").isNotNull &&
+            col("t3").isNotNull)
+          .select(pmod(col("l_orderkey"), lit(4L)).as("slice"),
+            col("t1"), col("t2"), col("t3")),
+        "slice", Seq("t1", "t2", "t3"))),
+
+    // which near-dup pairs did the q21 banding MISS? common-neighbor
+    // and Adamic-Adar completion over the candidate graph, hub-capped
+    // middles, wedge bound pre-estimated and refused past 10M
+    "q329_link_prediction" -> ((s, d) =>
+      operators.Triangles.linkPrediction(
+        Dedup.minhashCandidates(t(s, d, "documents"), "text", "doc_id",
+          bands = 3, rowsPerBand = 2),
+        "id_a", "id_b")),
+
     // do BUILDING-segment customers churn differently? two-arm
     // log-rank over the q232 churn observations: O−E and V as exact
     // DECIMAL(18,6) sums of pround6 hypergeometric contributions,
@@ -5019,6 +5061,132 @@ object SparkEntry {
           |      - CAST(1000000 * CAST(n01 AS HUGEINT) // (n01 + n00)
           |        AS BIGINT) END AS risk_diff_ppm
           |FROM agg""".stripMargin,
+
+      // q232's CTE chain kept one step further: S_prev = exp(csum −
+      // contrib), jump terms pround6'd into a DECIMAL(28,6) sum,
+      // rmst = tau − that sum (exact decimal subtraction)
+      "q327_rmst" ->
+        s"""WITH per AS (
+           |  SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+           |    CASE WHEN max(o_orderdate) < DATE '1998-03-01' THEN 1 ELSE 0 END AS e
+           |  FROM orders GROUP BY o_custkey),
+           |g AS (
+           |  SELECT CAST(dur AS BIGINT) AS duration,
+           |    CAST(sum(e) AS BIGINT) AS n_events,
+           |    CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+           |  FROM per GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n FROM g),
+           |r AS (
+           |  SELECT g.*, t.n - CAST(COALESCE(sum(n_events + n_censored) OVER (
+           |    ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |    0) AS BIGINT) AS n_risk
+           |  FROM g, tot t),
+           |c AS (
+           |  SELECT *,
+           |    CASE WHEN n_risk = n_events THEN CAST(0 AS DECIMAL(18,6))
+           |      ELSE CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE) /
+           |        CAST(n_risk AS DOUBLE)) * 1000000 + 0.5) / 1000000
+           |        AS DECIMAL(18,6)) END AS contrib,
+           |    CASE WHEN n_risk = n_events THEN 1 ELSE 0 END AS z
+           |  FROM r),
+           |f AS (
+           |  SELECT duration, n_events, n_censored, contrib, z,
+           |    sum(contrib) OVER (ORDER BY duration) AS csum,
+           |    max(z) OVER (ORDER BY duration) AS zany
+           |  FROM c),
+           |s AS (
+           |  SELECT duration, n_events, n_censored,
+           |    CASE WHEN zany = 1 AND z = 0 THEN 0.0
+           |      ELSE floor(exp(CAST(csum - contrib AS DOUBLE)) * 1000000 + 0.5)
+           |        / 1000000 END AS s_prev,
+           |    CASE WHEN zany = 1 THEN 0.0
+           |      ELSE floor(exp(CAST(csum AS DOUBLE)) * 1000000 + 0.5)
+           |        / 1000000 END AS s_cur
+           |  FROM f)
+           |SELECT CAST(1000 AS BIGINT) AS tau,
+           |  CAST(sum(n_events + n_censored) AS BIGINT) AS n_obs,
+           |  CAST(sum(n_events) AS BIGINT) AS n_events,
+           |  CAST(CAST(1000 AS DECIMAL(28,6)) - sum(CASE WHEN duration < 1000
+           |    THEN CAST(floor((s_prev - s_cur)
+           |      * CAST(1000 - duration AS DOUBLE) * 1000000 + 0.5) / 1000000
+           |      AS DECIMAL(28,6))
+           |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS rmst
+           |FROM s""".stripMargin,
+
+      // doubled midranks keep every Friedman term integral; the /4
+      // cancels in the tie-corrected ratio, significance vs chi2_2 x10^6
+      "q328_friedman" ->
+        s"""WITH piv AS (
+           |  SELECT l_orderkey,
+           |    max(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS t1,
+           |    max(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS t2,
+           |    max(CASE WHEN l_linenumber = 3 THEN l_quantity END) AS t3
+           |  FROM lineitem GROUP BY 1),
+           |b AS (
+           |  SELECT ((l_orderkey % 4) + 4) % 4 AS slice,
+           |    (CASE WHEN t1 < t1 THEN 2 ELSE 0 END + CASE WHEN t1 = t1 THEN 1 ELSE 0 END
+           |     + CASE WHEN t2 < t1 THEN 2 ELSE 0 END + CASE WHEN t2 = t1 THEN 1 ELSE 0 END
+           |     + CASE WHEN t3 < t1 THEN 2 ELSE 0 END + CASE WHEN t3 = t1 THEN 1 ELSE 0 END
+           |     + 1) AS r0,
+           |    (CASE WHEN t1 < t2 THEN 2 ELSE 0 END + CASE WHEN t1 = t2 THEN 1 ELSE 0 END
+           |     + CASE WHEN t2 < t2 THEN 2 ELSE 0 END + CASE WHEN t2 = t2 THEN 1 ELSE 0 END
+           |     + CASE WHEN t3 < t2 THEN 2 ELSE 0 END + CASE WHEN t3 = t2 THEN 1 ELSE 0 END
+           |     + 1) AS r1,
+           |    (CASE WHEN t1 < t3 THEN 2 ELSE 0 END + CASE WHEN t1 = t3 THEN 1 ELSE 0 END
+           |     + CASE WHEN t2 < t3 THEN 2 ELSE 0 END + CASE WHEN t2 = t3 THEN 1 ELSE 0 END
+           |     + CASE WHEN t3 < t3 THEN 2 ELSE 0 END + CASE WHEN t3 = t3 THEN 1 ELSE 0 END
+           |     + 1) AS r2
+           |  FROM piv
+           |  WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL),
+           |agg AS (
+           |  SELECT slice, CAST(count(*) AS BIGINT) AS n_blocks,
+           |    CAST(sum(CAST(r0 AS HUGEINT) * r0 + CAST(r1 AS HUGEINT) * r1
+           |      + CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS sr2,
+           |    CAST(sum(r0) AS HUGEINT) AS s0,
+           |    CAST(sum(r1) AS HUGEINT) AS s1,
+           |    CAST(sum(r2) AS HUGEINT) AS s2
+           |  FROM b GROUP BY 1),
+           |fin AS (
+           |  SELECT slice, n_blocks,
+           |    (s0 * s0 + s1 * s1 + s2 * s2
+           |      - CAST(n_blocks AS HUGEINT) * n_blocks * 48) AS num,
+           |    (sr2 - CAST(n_blocks AS HUGEINT) * 48) AS den
+           |  FROM agg)
+           |SELECT slice, n_blocks, CAST(3 AS BIGINT) AS k_treatments,
+           |  ${pround("CASE WHEN den = 0 THEN 0.0 ELSE 2.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END", 6)} AS chi2,
+           |  CASE WHEN den = 0 THEN false
+           |    ELSE 1000000 * 2 * num > 5991465 * den END AS significant
+           |FROM fin""".stripMargin,
+
+      // q157's candidate-edge chain; hub-capped middles, wedge pairs
+      // anti-joined against existing edges, per-middle 1/log10(deg)
+      // pround6 into a DECIMAL sum
+      "q329_link_prediction" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
+           |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
+           |e AS (
+           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+           |deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS deg_z
+           |  FROM sym GROUP BY 1),
+           |kept AS (SELECT z, deg_z FROM deg WHERE deg_z <= 64),
+           |adj AS (SELECT sym.a AS z, sym.b AS u, deg_z
+           |  FROM sym JOIN kept ON sym.a = kept.z),
+           |wd AS (
+           |  SELECT x.z, x.deg_z, x.u, y.u AS w
+           |  FROM adj x JOIN adj y ON x.z = y.z WHERE x.u < y.u),
+           |nc AS (
+           |  SELECT u, w, deg_z FROM wd
+           |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = wd.u AND e.b = wd.w))
+           |SELECT u AS id_a, w AS id_b,
+           |  CAST(count(*) AS BIGINT) AS common_neighbors,
+           |  CAST(CAST(sum(CAST(${pround("1.0 / log10(CAST(deg_z AS DOUBLE))", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS aa_score
+           |FROM nc GROUP BY 1, 2""".stripMargin,
 
       // the same minimax chain: rates are quotients of exact prefix
       // differences, so min/max see identical doubles

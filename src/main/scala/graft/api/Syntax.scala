@@ -424,5 +424,14 @@ object syntax {
     def logRank(durationCol: String, eventCol: String, armCol: String,
                 bucketWidth: Long = 4096L): DataFrame =
       Survival.logRank(df, durationCol, eventCol, armCol, bucketWidth)
+    def rmst(durationCol: String, eventCol: String, tau: Long,
+             bucketWidth: Long = 4096L): DataFrame =
+      Survival.rmst(df, durationCol, eventCol, tau, bucketWidth)
+    def friedman(groupCol: String, treatmentCols: Seq[String]): DataFrame =
+      Hypothesis.friedman(df, groupCol, treatmentCols)
+    def linkPrediction(aCol: String, bCol: String,
+                       maxHubDegree: Long = 64L,
+                       maxCandidates: Long = 10000000L): DataFrame =
+      Triangles.linkPrediction(df, aCol, bCol, maxHubDegree, maxCandidates)
   }
 }

@@ -538,6 +538,71 @@ object Hypothesis {
         .as("significant"))
   }
 
+  /** Friedman test per group: do k PAIRED numeric treatments (k
+    * ranking functions scored on the same documents, k line positions'
+    * quantities on the same orders) have systematically different
+    * values? The rank-based repeated-measures analogue of
+    * [[cochranQ]] (which needs binary data) and the paired
+    * counterpart of [[kruskalWallis]] (which assumes independent
+    * arms). Each block ranks its own k values (midranks on ties), so
+    * block-level scale differences cancel by construction.
+    *
+    * ENTIRELY exact via DOUBLED midranks, which are integers:
+    * 2·r_ij = 2·#{l: v_l < v_j} + #{l: v_l = v_j} + 1 — row-local, k²
+    * comparisons per block. With S_j = Σ_i 2r_ij and the tie-corrected
+    * statistic
+    *   χ² = (k−1)·(ΣS_j² − n²k(k+1)²) / (Σ(2r_ij)² − nk(k+1)²)
+    * every term is integral (the ÷4 cancels), so `significant`
+    * cross-multiplies 10⁶·(k−1)·num > c₆·den in DECIMAL(38,0)
+    * against the χ²_{k−1} ×10⁶ critical table, with the
+    * cochranArmitage double pre-guard that RAISES near DECIMAL
+    * capacity. All-tied blocks contribute nothing to den; a fully
+    * degenerate group (den = 0) reports χ² 0, not significant.
+    *
+    * Scale shape: one row-local doubled-rank projection (k ≤ 9), ONE
+    * hash aggregate per group. No windows, no joins, no explode.
+    */
+  def friedman(df: DataFrame, groupCol: String,
+               treatmentCols: Seq[String]): DataFrame = {
+    val k = treatmentCols.size
+    require(k >= 2 && k <= 9,
+      s"friedman needs 2..9 treatments (chi-square table df <= 8): $k")
+    val vs = treatmentCols.map(c => col(c).cast("double"))
+    def r2(j: Int) = vs.map(v =>
+      when(v < vs(j), 2L).otherwise(0L) +
+        when(v === vs(j), 1L).otherwise(0L)).reduce(_ + _) + lit(1L)
+    val base = df.filter(col(groupCol).isNotNull &&
+        treatmentCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(groupCol).as("__g") +:
+        treatmentCols.indices.map(j => r2(j).as(s"__r$j")): _*)
+    val sq = treatmentCols.indices.map(j =>
+      col(s"__r$j").cast("decimal(38,0)") * col(s"__r$j"))
+    val agg = base.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        Seq(sum(sq.reduce(_ + _)).as("__sr2")) ++
+          treatmentCols.indices.map(j =>
+            sum(col(s"__r$j")).cast("decimal(38,0)").as(s"__S$j")): _*)
+    val sumS2 = treatmentCols.indices
+      .map(j => s"__S$j * __S$j").mkString("(", " + ", ")")
+    val kk1 = k.toLong * (k + 1) * (k + 1)
+    val num = s"($sumS2 - CAST(n_blocks AS DECIMAL(38,0)) * n_blocks * $kk1)"
+    val den = s"(__sr2 - CAST(n_blocks AS DECIMAL(38,0)) * $kk1)"
+    val c6 = chi2Crit6(k - 1)
+    val guardD = s"(1.0e6 * ${k - 1}.0 * CAST($num AS DOUBLE))"
+    agg.select(col("__g").as(groupCol), col("n_blocks"),
+      lit(k.toLong).as("k_treatments"),
+      p6(expr(s"""CASE WHEN $den = 0 THEN 0.0
+        ELSE ${k - 1}.0 * CAST($num AS DOUBLE) / CAST($den AS DOUBLE)
+        END""")).as("chi2"),
+      expr(s"""CASE
+        WHEN $den = 0 THEN false
+        WHEN $guardD > 8.1e37
+        THEN CAST(raise_error(
+          'Hypothesis.friedman: cross-multiplied significance operands approach DECIMAL(38,0) capacity; test per finer group') AS BOOLEAN)
+        ELSE CAST(1000000 AS DECIMAL(38,0)) * ${k - 1} * $num
+          > CAST($c6 AS DECIMAL(38,0)) * $den END""").as("significant"))
+  }
+
   /** Two-arm standardized effect size per group: Cohen's d with the
     * Hedges small-sample correction — the "is the shift big enough to
     * CARE about?" companion to [[mannWhitneyU]]'s "is it real?". A

@@ -99,7 +99,8 @@ object Survival {
     if (nTotal == 0L)
       return grouped.limit(0).select(col("duration"),
         lit(0L).as("n_risk"), col("n_events"), col("n_censored"),
-        lit(null).cast("decimal(18,6)").as("__csum"), lit(0L).as("__zany"))
+        lit(null).cast("decimal(18,6)").as("__csum"), lit(0L).as("__zany"),
+        lit(null).cast("decimal(18,6)").as("__contrib"), lit(0L).as("__z"))
     val offDf = broadcast(offs.toSeq.toDF("__b", "__off"))
     val wPrior = Window.partitionBy(col("__b")).orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -134,7 +135,8 @@ object Survival {
           .cast("decimal(18,6)"))
       .withColumn("__zany", greatest(col("__zoff"), max(col("__z")).over(wCum)))
       .select(col("duration"), col("n_risk"), col("n_events"),
-        col("n_censored"), col("__csum"), col("__zany"))
+        col("n_censored"), col("__csum"), col("__zany"),
+        col("__contrib"), col("__z"))
   }
 
   // factor ln((n−d)/n): subtraction in BIGINT, ONE double division,
@@ -330,5 +332,54 @@ object Survival {
           sum(col("__arm") * col("__e")).cast("long").as("d_b"),
           sum(col("__arm") * (lit(1L) - col("__e"))).cast("long").as("c_b")),
       bucketWidth)
+  }
+
+  /** Restricted mean survival time: RMST(τ) = ∫₀^τ S(t)dt — "average
+    * days retained inside the first τ days", the one-number summary a
+    * cohort comparison wants when a median survival is undefined
+    * (fewer than half churn) and a full curve is too much. Computed
+    * WITHOUT any curve-ordering window via the jump decomposition
+    *   ∫₀^τ S dt = τ − Σ_{t_i < τ} J_i·(τ − t_i),
+    * where J_i = S(t_{i−1}) − S(t_i) is the KM step at t_i — a plain
+    * SUM, order-free, so the only ordered machinery is the
+    * [[kaplanMeier]] prefix chain itself. S(t_{i−1}) falls out of the
+    * same chain as exp(csum_i − contrib_i): no lag, no self-join.
+    *
+    * Exactness: S_prev/S_cur are pround6'd exp's of the exact
+    * DECIMAL(18,6) log-space prefix (the q232 discipline, identical
+    * bits cross-engine); each term pround6(J·(τ−t)) accumulates as
+    * DECIMAL(28,6); the output is τ minus that exact sum, as a
+    * double. A duration where everyone dies (the sticky-zero flag —
+    * provably only possible at the LAST event row) takes S_cur = 0.
+    * Empty input reports n_obs = 0 with NULL rmst.
+    *
+    * Output, ONE row: `tau`, `n_obs`, `n_events`, `rmst`.
+    */
+  def rmst(df: DataFrame, durationCol: String, eventCol: String,
+           tau: Long, bucketWidth: Long = 4096L): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    val f = riskWithCumsum(observationCounts(df, durationCol, eventCol),
+      bucketWidth, kmContrib,
+      when(col("n_risk") === col("n_events"), 1L).otherwise(0L))
+    val sPrev = when(col("__zany") === 1L && col("__z") === 0L, lit(0.0))
+      .otherwise(floor(
+        exp((col("__csum") - col("__contrib")).cast("double"))
+          * 1e6 + 0.5) / 1e6)
+    val sCur = when(col("__zany") === 1L, lit(0.0))
+      .otherwise(floor(exp(col("__csum").cast("double")) * 1e6 + 0.5) / 1e6)
+    val term = (floor((sPrev - sCur) *
+      (lit(tau) - col("duration")).cast("double") * 1e6 + 0.5) / 1e6)
+      .cast("decimal(28,6)")
+    f.agg(
+      sum(col("n_events") + col("n_censored")).cast("long").as("__n"),
+      sum(col("n_events")).cast("long").as("__e"),
+      sum(when(col("duration") < tau, term)
+        .otherwise(lit(0).cast("decimal(28,6)"))).as("__jsum"))
+      .select(lit(tau).as("tau"),
+        coalesce(col("__n"), lit(0L)).as("n_obs"),
+        coalesce(col("__e"), lit(0L)).as("n_events"),
+        when(col("__n").isNotNull,
+          (lit(tau).cast("decimal(28,6)") - col("__jsum")).cast("double"))
+          .as("rmst"))
   }
 }

@@ -65,4 +65,64 @@ object Triangles {
         expr("CAST(coalesce(n_triangles, 0) * 20000 DIV (degree * (degree - 1)) AS BIGINT)")
           .as("coeff_bp"))
   }
+
+  /** Link prediction over the candidate graph: for every UNCONNECTED
+    * pair sharing at least one neighbor, the common-neighbor count and
+    * the Adamic–Adar score Σ_z 1/log₁₀(deg z) — "which near-dup pairs
+    * did LSH probably MISS?" (a missing edge whose endpoints share
+    * many low-degree neighbors is likely a banding false negative) and
+    * the standard affinity-completion primitive.
+    *
+    * Input edges deduplicated with `id_a < id_b` (the
+    * `minhashCandidates` contract). Wedges u—z—w with u < w come from
+    * the symmetrized adjacency self-joined on the middle vertex;
+    * already-connected pairs leave by an anti-join on the canonical
+    * edge (both orders ascending, so (u,w) matches (id_a,id_b)
+    * directly). Each wedge term 1/log₁₀(deg z) is ONE fixed-order
+    * double over the exact BIGINT degree, pround6, summed as
+    * DECIMAL(18,6) — deg z ≥ 2 by wedge construction, so the log is
+    * never zero.
+    *
+    * Scale discipline (the prefixFilterPairs lesson): wedge count is
+    * Σ_z deg(z)·(deg(z)−1)/2 — quadratic in HUB degree. Middle
+    * vertices with deg > `maxHubDegree` are EXCLUDED (standard AA
+    * practice: a hub says nothing about affinity, and its 1/log term
+    * is near-noise anyway — a documented semantic, mirrored by the
+    * oracle), and the remaining wedge bound is pre-estimated from the kept
+    * degree table (#nodes-row aggregate, one-row collect) and REFUSED
+    * loudly past `maxCandidates` rather than silently exploding.
+    */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     maxHubDegree: Long = 64L,
+                     maxCandidates: Long = 10000000L): DataFrame = {
+    require(maxHubDegree >= 2 && maxHubDegree <= 4096,
+      s"maxHubDegree out of range: $maxHubDegree")
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("z"))
+      .agg(count(lit(1)).cast("long").as("deg_z"))
+    val kept = deg.filter(col("deg_z") <= maxHubDegree)
+    val bound = kept
+      .agg(sum(expr("deg_z * (deg_z - 1) DIV 2")).cast("long").as("__w"))
+      .collect()(0)
+    val wedgeBound = if (bound.isNullAt(0)) 0L else bound.getLong(0)
+    if (wedgeBound > maxCandidates) throw new IllegalStateException(
+      s"linkPrediction: wedge bound $wedgeBound exceeds " +
+        s"maxCandidates=$maxCandidates at maxHubDegree=$maxHubDegree — " +
+        "lower maxHubDegree, pre-collapse exact duplicates, or raise " +
+        "maxCandidates to accept the cost explicitly.")
+    val adj = sym.join(kept.withColumnRenamed("z", "a"), Seq("a"))
+      .select(col("a").as("z"), col("b").as("u"), col("deg_z"))
+    val wedges = adj.join(
+        adj.select(col("z"), col("u").as("w")), Seq("z"))
+      .filter(col("u") < col("w"))
+    wedges
+      .join(e.select(col("a").as("u"), col("b").as("w")),
+        Seq("u", "w"), "left_anti")
+      .groupBy(col("u").as("id_a"), col("w").as("id_b"))
+      .agg(count(lit(1)).cast("long").as("common_neighbors"),
+        sum((floor(lit(1.0) / log10(col("deg_z").cast("double"))
+          * 1e6 + 0.5) / 1e6).cast("decimal(18,6)"))
+          .cast("double").as("aa_score"))
+  }
 }

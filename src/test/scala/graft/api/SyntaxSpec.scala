@@ -274,6 +274,18 @@ class SyntaxSpec extends SparkSpec {
     vr.vocabRichness("text", "source").queryExecution.analyzed
       .sameResult(graft.operators.TfIdf.vocabRichness(vr, "text",
         "source").queryExecution.analyzed) shouldBe true
+    val rmd = Seq((1L, 1L), (2L, 0L)).toDF("dur", "ev")
+    rmd.rmst("dur", "ev", tau = 10L).collect().toSeq shouldBe
+      graft.operators.Survival.rmst(rmd, "dur", "ev", tau = 10L)
+        .collect().toSeq
+    val fr = Seq(("g", 1.0, 2.0)).toDF("g", "t1", "t2")
+    fr.friedman("g", Seq("t1", "t2")).queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.friedman(fr, "g",
+        Seq("t1", "t2")).queryExecution.analyzed) shouldBe true
+    val lpd = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    lpd.linkPrediction("id_a", "id_b").collect().toSeq shouldBe
+      graft.operators.Triangles.linkPrediction(lpd, "id_a", "id_b")
+        .collect().toSeq
     val wd = Seq(("g", 0L, 1.0), ("g", 1L, 2.0)).toDF("g", "arm", "v")
     wd.wasserstein1d("g", "arm", "v").queryExecution.analyzed
       .sameResult(graft.operators.Profile.wasserstein1d(wd, "g", "arm",

@@ -494,6 +494,37 @@ class HypothesisSpec extends SparkSpec {
     assert(ro.isNullAt(4) && ro.isNullAt(5))
   }
 
+  test("friedman matches hand-computed tie-corrected chi2") {
+    // blocks (1,2,3) and (3,2,1): perfectly opposed orders -> chi2 0
+    val opposed = Seq(("g", 1.0, 2.0, 3.0), ("g", 3.0, 2.0, 1.0))
+    val r0 = Hypothesis.friedman(opposed.toDF("g", "t1", "t2", "t3"),
+      "g", Seq("t1", "t2", "t3")).collect().head
+    r0.getDouble(3) shouldBe 0.0
+    r0.getBoolean(4) shouldBe false
+    // add a tied block (1,1,2): S=(11,11,14), sr2=166 ->
+    // chi2 = 2*6/22 = 0.545455
+    val mixed = opposed :+ (("g", 1.0, 1.0, 2.0))
+    val r1 = Hypothesis.friedman(mixed.toDF("g", "t1", "t2", "t3"),
+      "g", Seq("t1", "t2", "t3")).collect().head
+    r1.getLong(1) shouldBe 3L
+    r1.getDouble(3) shouldBe graft.functions.Rounding.p6d(12.0 / 22.0)
+    r1.getBoolean(4) shouldBe false
+    // three perfectly consistent blocks: chi2 = 2n = 6 > 5.991 -> sig
+    val consistent = Seq.fill(3)(("c", 1.0, 2.0, 3.0))
+    val rc = Hypothesis.friedman(consistent.toDF("g", "t1", "t2", "t3"),
+      "g", Seq("t1", "t2", "t3")).collect().head
+    rc.getDouble(3) shouldBe 6.0
+    rc.getBoolean(4) shouldBe true
+    // all-tied blocks: den = 0 -> degenerate
+    val flat = Seq(("f", 5.0, 5.0, 5.0), ("f", 2.0, 2.0, 2.0))
+    val rf = Hypothesis.friedman(flat.toDF("g", "t1", "t2", "t3"),
+      "g", Seq("t1", "t2", "t3")).collect().head
+    rf.getDouble(3) shouldBe 0.0
+    rf.getBoolean(4) shouldBe false
+    an[IllegalArgumentException] should be thrownBy
+      Hypothesis.friedman(flat.toDF("g", "t1", "t2", "t3"), "g", Seq("t1"))
+  }
+
   test("riskCard computes exact ppm OR/RR/risk-diff with NULL zero cells") {
     // n11=2 n10=1 n01=1 n00=2: OR = 4, RR = 2, diff = 2/3 - 1/3
     val d = Seq(("g", 1L, 1L), ("g", 1L, 1L), ("g", 1L, 0L),

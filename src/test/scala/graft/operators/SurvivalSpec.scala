@@ -108,4 +108,33 @@ class SurvivalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out shouldBe Map(1L -> 2L, 2L -> 1L) // n_risk over the 2 valid obs
   }
+
+  test("rmst equals the hand-integrated KM step area") {
+    import graft.functions.Rounding.p6d
+    // S: 1 on [0,1), 0.666667 on [1,3), 0 from 3 (d=n sticky zero)
+    val obs = Seq((1L, 1L), (2L, 0L), (3L, 1L))
+    val r = Survival.rmst(obs.toDF("dur", "ev"), "dur", "ev", tau = 5L)
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((5L, 3L, 2L))
+    val s1 = p6d(math.exp(p6d(math.log(2.0 / 3.0))))
+    r.getDouble(3) shouldBe
+      (BigDecimal(5) - BigDecimal(p6d((1.0 - s1) * 4.0)) -
+        BigDecimal(p6d(s1 * 2.0))).toDouble
+    // tau before the sticky step: only the first jump contributes
+    val r2 = Survival.rmst(obs.toDF("dur", "ev"), "dur", "ev", tau = 2L)
+      .collect().head
+    r2.getDouble(3) shouldBe
+      (BigDecimal(2) - BigDecimal(p6d(1.0 - s1))).toDouble
+    // no events at all: S = 1 everywhere, rmst = tau
+    val cen = Seq((4L, 0L), (9L, 0L))
+    Survival.rmst(cen.toDF("dur", "ev"), "dur", "ev", tau = 7L)
+      .collect().head.getDouble(3) shouldBe 7.0
+    // empty input: one degenerate row
+    val e = Survival.rmst(Seq.empty[(Long, Long)].toDF("dur", "ev"),
+      "dur", "ev", tau = 7L).collect().head
+    (e.getLong(1), e.getLong(2)) shouldBe ((0L, 0L))
+    assert(e.isNullAt(3))
+    an[IllegalArgumentException] should be thrownBy
+      Survival.rmst(cen.toDF("dur", "ev"), "dur", "ev", tau = 0L)
+  }
 }

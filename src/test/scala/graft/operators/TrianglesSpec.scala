@@ -52,4 +52,39 @@ class TrianglesSpec extends SparkSpec {
     out(6L) shouldBe 6666L
     out(7L) shouldBe 10000L
   }
+
+  test("linkPrediction scores unconnected wedge pairs, skips connected ones") {
+    import graft.functions.Rounding.p6d
+    // wedge 2-1-3: deg(1)=2 -> AA(2,3) = 1/log10(2)
+    val v = Triangles.linkPrediction(
+      Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect()
+    v.length shouldBe 1
+    (v.head.getLong(0), v.head.getLong(1), v.head.getLong(2)) shouldBe
+      ((2L, 3L, 1L))
+    v.head.getDouble(3) shouldBe p6d(1.0 / math.log10(2.0))
+    // a closed triangle has no unconnected pairs left
+    Triangles.linkPrediction(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b"),
+      "id_a", "id_b").collect() shouldBe empty
+    // two common neighbors: terms sum as decimals (deg 2 and deg 3)
+    val two = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 3L))
+    // pairs: via 1 (deg 2): (2,3); via 2 (deg 3): (1,3)x,(1,4),(3,4)
+    val m = Triangles.linkPrediction(two.toDF("id_a", "id_b"),
+        "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    m((1L, 4L)) shouldBe ((1L, p6d(1.0 / math.log10(3.0))))
+    m((3L, 4L)) shouldBe ((1L, p6d(1.0 / math.log10(3.0))))
+    m.contains((2L, 3L)) shouldBe false // connected
+    m.contains((1L, 3L)) shouldBe false // connected
+    // hub cap: a star center past maxHubDegree is not a valid middle
+    val star = (2L to 6L).map(l => (1L, l))
+    Triangles.linkPrediction(star.toDF("id_a", "id_b"), "id_a", "id_b",
+      maxHubDegree = 4L).collect() shouldBe empty
+    // wedge-bound refusal fires BEFORE the quadratic join
+    an[IllegalStateException] should be thrownBy
+      Triangles.linkPrediction(two.toDF("id_a", "id_b"), "id_a", "id_b",
+        maxCandidates = 1L)
+  }
 }
