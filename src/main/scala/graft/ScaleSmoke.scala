@@ -1012,6 +1012,29 @@ object ScaleSmoke {
         "id_a", "id_b", maxHubDegree = 128L,
         maxCandidates = 100000000L).count()
     }
+    time("readability (8 sources)") {
+      operators.TfIdf.readability(
+        docsPq.select(col("text"),
+          pmod(col("doc_id"), lit(8)).cast("string").as("source")),
+        "text", "source").count()
+    }
+    time("theil (200 groups)") {
+      operators.Pareto.theil(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          col("value")),
+        "g", "value").count()
+    }
+    time("streaming burstiness (2 ticks)") {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sburst").toString + "/state"
+      val ev = events(rows)
+      streaming.StreamingBurstiness.acceptBatch(
+        ev.filter(col("ts") < lit("2024-01-15").cast("timestamp")),
+        "user_id", "ts", "event_id", st)
+      streaming.StreamingBurstiness.acceptBatch(
+        ev.filter(col("ts") >= lit("2024-01-15").cast("timestamp")),
+        "user_id", "ts", "event_id", st).count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

@@ -438,6 +438,42 @@ object SparkEntry {
           bands = 3, rowsPerBand = 2),
         "id_a", "id_b")),
 
+    // textbook prose or boilerplate? pooled Flesch / FK-grade per
+    // source from exact word/sentence/vowel-run counts — row-local
+    // regexp counting, one hash aggregate, no explode
+    "q330_readability" -> ((s, d) =>
+      operators.TfIdf.readability(t(s, d, "documents"),
+        "text", "source")),
+
+    // the q322 cadence screen kept live: per-key gap statistics merge
+    // additively across time-ordered batches (one stitched boundary
+    // gap per key), card via the shared burstinessFromStats closing
+    "q331_streaming_burstiness" -> ((s, d) => {
+      val st = invocationStateDir("q331", "gapstats")
+      val ev = t(s, d, "events")
+      val cut = lit("2024-01-15").cast("timestamp")
+      streaming.StreamingBurstiness.acceptBatch(
+        ev.filter(col("ts") < cut), "user_id", "ts", "event_id", st)
+      val merged = streaming.StreamingBurstiness.acceptBatch(
+        ev.filter(col("ts") >= cut), "user_id", "ts", "event_id", st)
+      streaming.StreamingBurstiness.burstinessView(merged, "user_id")
+    }),
+
+    // how unequal is customer revenue WITHIN each market segment?
+    // Theil-T + MLD over per-customer revenue — the decomposable
+    // inequality pair next to q285's Gini
+    "q332_theil_index" -> ((s, d) =>
+      operators.Pareto.theil(
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .as("revenue"))
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("revenue")),
+        "c_mktsegment", "revenue")),
+
     // do BUILDING-segment customers churn differently? two-arm
     // log-rank over the q232 churn observations: O−E and V as exact
     // DECIMAL(18,6) sums of pround6 hypergeometric contributions,
@@ -5187,6 +5223,49 @@ object SparkEntry {
            |  CAST(count(*) AS BIGINT) AS common_neighbors,
            |  CAST(CAST(sum(CAST(${pround("1.0 / log10(CAST(deg_z AS DOUBLE))", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS aa_score
            |FROM nc GROUP BY 1, 2""".stripMargin,
+
+      // row-local regexp counts pooled per source; both scores one
+      // fixed-order double over exact BIGINTs, constants CAST AS DOUBLE
+      "q330_readability" ->
+        s"""WITH c AS (
+           |  SELECT source,
+           |    CAST(COALESCE(len($toksSql), 0) AS BIGINT) AS w,
+           |    CAST(COALESCE(len(regexp_extract_all(text, '[.!?]+')), 0)
+           |      AS BIGINT) AS s,
+           |    CAST(COALESCE(len(regexp_extract_all(lower(text),
+           |      '[aeiouy]+')), 0) AS BIGINT) AS y
+           |  FROM documents WHERE source IS NOT NULL),
+           |agg AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(w) AS BIGINT) AS n_words,
+           |    CAST(sum(s) AS BIGINT) AS n_sentences,
+           |    CAST(sum(y) AS BIGINT) AS n_syllables
+           |  FROM c GROUP BY 1)
+           |SELECT source, n_docs, n_words, n_sentences, n_syllables,
+           |  CASE WHEN n_sentences > 0 AND n_words > 0
+           |    THEN ${pround("CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))", 6)}
+           |    END AS flesch,
+           |  CASE WHEN n_sentences > 0 AND n_words > 0
+           |    THEN ${pround("CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - CAST(15.59 AS DOUBLE)", 6)}
+           |    END AS fk_grade
+           |FROM agg""".stripMargin,
+
+      // per-customer revenue exact DECIMAL; per-entity Theil/MLD terms
+      // pround6 into DECIMAL(18,6) sums (the labelEntropy discipline)
+      "q332_theil_index" ->
+        s"""WITH per AS (
+           |  SELECT c_mktsegment AS g,
+           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  GROUP BY o_custkey, c_mktsegment),
+           |kept AS (SELECT g, x FROM per WHERE g IS NOT NULL AND x > 0),
+           |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS DECIMAL(38,2)) AS xx
+           |  FROM kept GROUP BY 1)
+           |SELECT g AS c_mktsegment, CAST(max(n) AS BIGINT) AS n,
+           |  CAST(CAST(sum(CAST(${pround("(CAST(x AS DOUBLE) / CAST(xx AS DOUBLE)) * ln(CAST(n AS DOUBLE) * CAST(x AS DOUBLE) / CAST(xx AS DOUBLE))", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS theil,
+           |  CAST(CAST(sum(CAST(${pround("ln(CAST(xx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(x AS DOUBLE))) / CAST(n AS DOUBLE)", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS mld
+           |FROM kept JOIN tot USING (g) GROUP BY 1""".stripMargin,
 
       // the same minimax chain: rates are quotients of exact prefix
       // differences, so min/max see identical doubles
@@ -10722,6 +10801,10 @@ object SparkEntry {
       // additive per-key totals under any batch split = the one-shot
       // totals, and both cards read the shared FromTotals closing —
       // so the live drift card shares q311's oracle verbatim
-      ("q315_streaming_topk_drift" -> base("q311_topk_drift"))
+      ("q315_streaming_topk_drift" -> base("q311_topk_drift")) +
+      // time-ordered batch split + one stitched boundary gap per key
+      // reproduces the one-shot gap statistics, and both cards read
+      // the shared burstinessFromStats closing — q322's oracle verbatim
+      ("q331_streaming_burstiness" -> base("q322_burstiness"))
   }
 }

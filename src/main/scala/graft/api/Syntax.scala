@@ -421,6 +421,10 @@ object syntax {
       Hypothesis.riskCard(df, groupCol, exposedCol, outcomeCol)
     def vocabRichness(textCol: String, groupCol: String): DataFrame =
       TfIdf.vocabRichness(df, textCol, groupCol)
+    def readability(textCol: String, groupCol: String): DataFrame =
+      TfIdf.readability(df, textCol, groupCol)
+    def theil(groupCol: String, valueCol: String): DataFrame =
+      Pareto.theil(df, groupCol, valueCol)
     def logRank(durationCol: String, eventCol: String, armCol: String,
                 bucketWidth: Long = 4096L): DataFrame =
       Survival.logRank(df, durationCol, eventCol, armCol, bucketWidth)

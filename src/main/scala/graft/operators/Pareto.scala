@@ -215,6 +215,50 @@ object Pareto {
           .as("gini_bp"))
   }
 
+  /** Theil-T and mean-log-deviation inequality per group — [[gini]]'s
+    * decomposable cousins: with per-entity positive values x_i, total
+    * X and count n,
+    *   T = Σ (x_i/X)·ln(n·x_i/X)   (top-sensitive)
+    *   MLD = Σ (1/n)·ln(X/(n·x_i)) (bottom-sensitive)
+    * Both are 0 at perfect equality and grow with concentration, and
+    * both decompose additively across subgroups — which Gini does not,
+    * and which is why a mixture plan reads them: "how much of the
+    * corpus-level inequality is WITHIN sources vs BETWEEN them" is an
+    * exact arithmetic question for Theil.
+    *
+    * Exactness (the labelEntropy discipline): x_i stays an exact
+    * DECIMAL through the totals aggregate; each entity's term is ONE
+    * fixed-order double over (x_i, X, n), pround6, summed as
+    * DECIMAL(18,6). Non-positive values are EXCLUDED (ln undefined —
+    * the standard Theil domain), n counts kept entities; groups with
+    * nothing kept vanish.
+    *
+    * Scale shape: one group-totals aggregate, broadcast back onto the
+    * entity rows (|groups| rows — never a window over a group
+    * partition), one closing group aggregate.
+    */
+  def theil(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val kept = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(valueCol) > 0)
+      .select(col(groupCol), col(valueCol).cast("decimal(28,2)").as("__x"))
+    val tot = kept.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__x")).cast("decimal(38,2)").as("__xx"))
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val xd = col("__x").cast("double"); val xxd = col("__xx").cast("double")
+    val nd = col("n").cast("double")
+    kept.join(broadcast(tot), Seq(groupCol))
+      .select(col(groupCol), col("n"),
+        p6((xd / xxd) * log(nd * xd / xxd)).cast("decimal(18,6)")
+          .as("__t"),
+        p6(log(xxd / (nd * xd)) / nd).cast("decimal(18,6)").as("__m"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        sum(col("__t")).cast("double").as("theil"),
+        sum(col("__m")).cast("double").as("mld"))
+  }
+
   /** XYZ demand-variability classification — [[abcClassification]]'s
     * companion axis: per key, the coefficient of variation of its
     * per-period demand with ZERO-DEMAND PERIODS COUNTED (the textbook

@@ -584,7 +584,20 @@ object Resample {
     * Scale shape: one window pass per key, one hash aggregate.
     */
   def burstiness(df: DataFrame, keyCol: String, tsCol: String,
-                 tieCol: String): DataFrame = {
+                 tieCol: String): DataFrame =
+    burstinessFromStats(gapStats(df, keyCol, tsCol, tieCol), keyCol)
+
+  /** The per-key inter-event gap-statistic core of [[burstiness]]:
+    * one window pass, one hash aggregate, yielding per key the event
+    * count, gap count, exact DECIMAL(38,0) gap sum/sum-of-squares,
+    * and the first/last epoch seconds (what a streaming state needs
+    * to stitch gaps across batch boundaries — the gap MULTISET of a
+    * (ts, tie)-ordered sequence depends only on the sorted epoch
+    * seconds, since equal-ts runs contribute zero gaps in any tie
+    * order).
+    */
+  def gapStats(df: DataFrame, keyCol: String, tsCol: String,
+               tieCol: String): DataFrame = {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__tie"))
     val gaps = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
@@ -598,17 +611,26 @@ object Resample {
         sum(coalesce(col("__gap"), lit(0L)).cast("decimal(38,0)"))
           .as("__s"),
         sum(coalesce(col("__gap"), lit(0L)).cast("decimal(38,0)") *
-          coalesce(col("__gap"), lit(0L))).as("__q"))
-      .select(col(keyCol), col("n_events"), col("n_gaps"),
-        expr("""CASE WHEN n_gaps = 0 THEN NULL
-          ELSE CAST(__s DIV n_gaps AS BIGINT) END""").as("mean_gap_s"),
-        graft.functions.Rounding.p6(expr(
-          """CASE WHEN n_gaps = 0 OR __s = 0 THEN NULL
-          ELSE (sqrt(CAST(n_gaps * __q - __s * __s AS DOUBLE))
-              - CAST(__s AS DOUBLE))
-            / (sqrt(CAST(n_gaps * __q - __s * __s AS DOUBLE))
-              + CAST(__s AS DOUBLE)) END""")).as("b"))
+          coalesce(col("__gap"), lit(0L))).as("__q"),
+        min(col("__ts")).cast("long").as("__min_ts"),
+        max(col("__ts")).cast("long").as("__max_ts"))
   }
+
+  /** The shared burstiness closing over a per-key
+    * (n_events, n_gaps, __s, __q) statistic table — [[burstiness]]
+    * and `streaming.StreamingBurstiness` both read through it, so
+    * the batch and live cards cannot diverge.
+    */
+  def burstinessFromStats(stats: DataFrame, keyCol: String): DataFrame =
+    stats.select(col(keyCol), col("n_events"), col("n_gaps"),
+      expr("""CASE WHEN n_gaps = 0 THEN NULL
+        ELSE CAST(__s DIV n_gaps AS BIGINT) END""").as("mean_gap_s"),
+      graft.functions.Rounding.p6(expr(
+        """CASE WHEN n_gaps = 0 OR __s = 0 THEN NULL
+        ELSE (sqrt(CAST(n_gaps * __q - __s * __s AS DOUBLE))
+            - CAST(__s AS DOUBLE))
+          / (sqrt(CAST(n_gaps * __q - __s * __s AS DOUBLE))
+            + CAST(__s AS DOUBLE)) END""")).as("b"))
 
   /** Seasonal-naive error ratio per key: does "same day last week"
     * predict today's count better than "yesterday"? Sum of absolute

@@ -510,4 +510,52 @@ object TfIdf {
               (col("n_tokens") - lit(1L)).cast("double")))).as("simpson"),
         col("__h").cast("double").as("shannon"))
   }
+
+  /** Per-group readability card: pooled word / sentence / syllable
+    * counts and the Flesch reading-ease + Flesch–Kincaid grade level
+    * computed from the POOLED ratios — the corpus-curation screen
+    * "is this source textbook prose or legal boilerplate?", read next
+    * to the per-doc quality gate (which keeps/drops) as the
+    * source-level dial (which reweights).
+    *
+    * Counting is deterministic and engine-portable: words are
+    * `TextFns.tokens` (whitespace splits), sentences are maximal
+    * `[.!?]+` runs, syllables the standard proxy of maximal vowel
+    * runs `[aeiouy]+` on the lowered text — all three are row-local
+    * regexp counts, exact BIGINTs. Flesch = 206.835 − 1.015·(W/S) −
+    * 84.6·(Y/W) and FK grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59 are
+    * ONE fixed-order double expression each over the pooled exact
+    * counts, pround6; a group with zero sentences or zero words
+    * reports NULL scores (counts intact).
+    *
+    * Scale shape: ONE hash aggregate over the row-local projection.
+    * No explode — the token ARRAY is never materialized per element,
+    * only its size.
+    */
+  def readability(docs: DataFrame, textCol: String,
+                  groupCol: String): DataFrame = {
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val agg = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol),
+        coalesce(size(TextFns.tokens(col(textCol))), lit(0))
+          .cast("long").as("__w"),
+        coalesce(size(regexp_extract_all(col(textCol),
+          lit("[.!?]+"), lit(0))), lit(0)).cast("long").as("__s"),
+        coalesce(size(regexp_extract_all(lower(col(textCol)),
+          lit("[aeiouy]+"), lit(0))), lit(0)).cast("long").as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__w")).cast("long").as("n_words"),
+        sum(col("__s")).cast("long").as("n_sentences"),
+        sum(col("__y")).cast("long").as("n_syllables"))
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val ypw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    val ok = col("n_sentences") > 0L && col("n_words") > 0L
+    agg.select(col(groupCol), col("n_docs"), col("n_words"),
+      col("n_sentences"), col("n_syllables"),
+      when(ok, p6(lit(206.835) - lit(1.015) * wps - lit(84.6) * ypw))
+        .as("flesch"),
+      when(ok, p6(lit(0.39) * wps + lit(11.8) * ypw - lit(15.59)))
+        .as("fk_grade"))
+  }
 }

@@ -274,6 +274,13 @@ class SyntaxSpec extends SparkSpec {
     vr.vocabRichness("text", "source").queryExecution.analyzed
       .sameResult(graft.operators.TfIdf.vocabRichness(vr, "text",
         "source").queryExecution.analyzed) shouldBe true
+    vr.readability("text", "source").queryExecution.analyzed
+      .sameResult(graft.operators.TfIdf.readability(vr, "text",
+        "source").queryExecution.analyzed) shouldBe true
+    val th = Seq(("g", 2.0), ("g", 3.0)).toDF("g", "v")
+    th.theil("g", "v").queryExecution.analyzed
+      .sameResult(graft.operators.Pareto.theil(th, "g", "v")
+        .queryExecution.analyzed) shouldBe true
     val rmd = Seq((1L, 1L), (2L, 0L)).toDF("dur", "ev")
     rmd.rmst("dur", "ev", tau = 10L).collect().toSeq shouldBe
       graft.operators.Survival.rmst(rmd, "dur", "ev", tau = 10L)

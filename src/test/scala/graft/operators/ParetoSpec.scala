@@ -121,4 +121,23 @@ class ParetoSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Pareto.gini(df, "g", "k", "v", bucketWidthCents = 0L)
   }
+
+  test("theil/mld: zero at equality, hand-computed under concentration") {
+    import graft.functions.Rounding.p6d
+    val df = Seq(("E", 5.0), ("E", 5.0), ("E", 5.0),
+      ("C", 1.0), ("C", 3.0),
+      ("Z", -2.0), ("Z", 4.0)).toDF("g", "v")
+    val out = Pareto.theil(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    out("E") shouldBe ((3L, 0.0, 0.0)) // perfect equality
+    // C: x = 1,3; X = 4, n = 2: T = .25*ln(.5) + .75*ln(1.5)
+    val t = (BigDecimal(p6d((1.0 / 4.0) * math.log(2.0 * 1.0 / 4.0))) +
+      BigDecimal(p6d((3.0 / 4.0) * math.log(2.0 * 3.0 / 4.0)))).toDouble
+    val m = (BigDecimal(p6d(math.log(4.0 / (2.0 * 1.0)) / 2.0)) +
+      BigDecimal(p6d(math.log(4.0 / (2.0 * 3.0)) / 2.0))).toDouble
+    out("C") shouldBe ((2L, t, m))
+    // non-positive values are excluded from the domain
+    out("Z") shouldBe ((1L, 0.0, 0.0))
+  }
 }

@@ -225,4 +225,25 @@ class TfIdfSpec extends SparkSpec {
     s3.getDouble(5) shouldBe 1.0
     s3.getDouble(8) shouldBe 0.0
   }
+
+  test("readability pools exact counts and scores the pooled ratios") {
+    import graft.functions.Rounding.p6d
+    val docs = Seq(
+      (1L, "One two three. Four five!", "s1"),
+      (2L, "no punctuation here", "s2")).toDF("doc_id", "text", "source")
+    val out = TfIdf.readability(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    // words 5; sentence runs "." and "!"; vowel runs: o-e,o,ee,ou,i-e = 7
+    (s1.getLong(1), s1.getLong(2), s1.getLong(3), s1.getLong(4)) shouldBe
+      ((1L, 5L, 2L, 7L))
+    s1.getDouble(5) shouldBe
+      p6d(206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (7.0 / 5.0))
+    s1.getDouble(6) shouldBe
+      p6d(0.39 * (5.0 / 2.0) + 11.8 * (7.0 / 5.0) - 15.59)
+    // zero sentences: counts intact, scores NULL
+    val s2 = out("s2")
+    (s2.getLong(2), s2.getLong(3)) shouldBe ((3L, 0L))
+    assert(s2.isNullAt(5) && s2.isNullAt(6))
+  }
 }
