@@ -1035,6 +1035,24 @@ object ScaleSmoke {
         ev.filter(col("ts") >= lit("2024-01-15").cast("timestamp")),
         "user_id", "ts", "event_id", st).count()
     }
+    time("hellinger (200 groups)") {
+      operators.Profile.hellinger(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("arm"), col("value")),
+        "g", "arm", "value").count()
+    }
+    time("v-measure (200 groups)") {
+      operators.Metrics.vMeasure(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(16)).as("c"),
+          pmod(col("event_id") + col("user_id"), lit(8)).as("l")),
+        "g", "c", "l").count()
+    }
+    time("hill tail (top 500)") {
+      operators.Pareto.hillTail(
+        events(rows).select(col("value"), col("event_id")),
+        "value", "event_id", k = 500).count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

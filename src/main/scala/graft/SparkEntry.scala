@@ -459,6 +459,33 @@ object SparkEntry {
       streaming.StreamingBurstiness.burstinessView(merged, "user_id")
     }),
 
+    // did the even/odd-user arms draw from the same value histogram?
+    // Bhattacharyya + Hellinger per event type — the metric-valued
+    // drift distance beside q146's PSI, no smoothing needed
+    "q333_hellinger" -> ((s, d) =>
+      operators.Profile.hellinger(
+        t(s, d, "events").select(col("event_type"),
+          pmod(col("user_id"), lit(2L)).as("arm"), col("value")),
+        "event_type", "arm", "value")),
+
+    // does each source carry ONE language (homogeneity) and each
+    // language live in ONE source (completeness)? V-measure per
+    // length band — the entropy-calibrated upgrade of q184's purity
+    "q334_v_measure" -> ((s, d) =>
+      operators.Metrics.vMeasure(
+        t(s, d, "documents").select(
+          when(col("n_chars") > 250, "long").otherwise("short")
+            .as("band"),
+          col("source"), col("lang")),
+        "band", "source", "lang")),
+
+    // how heavy is the order-revenue tail? Hill estimator over the
+    // top-500 order statistics — ties excluded by VALUE, so the
+    // estimate is order-deterministic
+    "q335_hill_tail" -> ((s, d) =>
+      operators.Pareto.hillTail(t(s, d, "orders"),
+        "o_totalprice", "o_orderkey", k = 500)),
+
     // how unequal is customer revenue WITHIN each market segment?
     // Theil-T + MLD over per-customer revenue — the decomposable
     // inequality pair next to q285's Gini
@@ -5266,6 +5293,100 @@ object SparkEntry {
            |  CAST(CAST(sum(CAST(${pround("(CAST(x AS DOUBLE) / CAST(xx AS DOUBLE)) * ln(CAST(n AS DOUBLE) * CAST(x AS DOUBLE) / CAST(xx AS DOUBLE))", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS theil,
            |  CAST(CAST(sum(CAST(${pround("ln(CAST(xx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(x AS DOUBLE))) / CAST(n AS DOUBLE)", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS mld
            |FROM kept JOIN tot USING (g) GROUP BY 1""".stripMargin,
+
+      // per-bin sqrt(p*q) terms pround6 into a DECIMAL sum; 1-BC
+      // clamped at 0 before the final sqrt (both engines mirror)
+      "q333_hellinger" ->
+        s"""WITH g AS (
+           |  SELECT event_type,
+           |    CASE WHEN ((user_id % 2) + 2) % 2 <> 0 THEN 1 ELSE 0 END AS a,
+           |    CASE WHEN value > 0
+           |      THEN CAST(length(bin(CAST(floor(value) AS BIGINT))) - 1
+           |        AS BIGINT)
+           |      ELSE -1 END AS b
+           |  FROM events),
+           |cells AS (
+           |  SELECT event_type, b,
+           |    CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           |    CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           |  FROM g GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+           |    CAST(sum(cb) AS BIGINT) AS n_b
+           |  FROM cells GROUP BY 1),
+           |agg AS (
+           |  SELECT cells.event_type, max(n_a) AS na, max(n_b) AS nb,
+           |    CAST(sum(CAST(${pround("sqrt((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)) * (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)))", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS bcs
+           |  FROM cells JOIN tot USING (event_type) GROUP BY 1)
+           |SELECT event_type, CAST(na AS BIGINT) AS n_a,
+           |  CAST(nb AS BIGINT) AS n_b,
+           |  CASE WHEN na > 0 AND nb > 0 THEN CAST(bcs AS DOUBLE) END AS bc,
+           |  CASE WHEN na > 0 AND nb > 0
+           |    THEN ${pround("sqrt(greatest(0.0, 1.0 - CAST(bcs AS DOUBLE)))", 6)}
+           |    END AS hellinger
+           |FROM agg""".stripMargin,
+
+      // four entropies as pround6 DECIMAL sums over one contingency;
+      // h/c/v fixed-order doubles with the sklearn edge conventions
+      "q334_v_measure" -> {
+        val hX = "CASE WHEN CAST(hl AS DOUBLE) = 0.0 THEN 1.0" +
+          " ELSE 1.0 - CAST(hlc AS DOUBLE) / CAST(hl AS DOUBLE) END"
+        val cX = "CASE WHEN CAST(hc AS DOUBLE) = 0.0 THEN 1.0" +
+          " ELSE 1.0 - CAST(hcl AS DOUBLE) / CAST(hc AS DOUBLE) END"
+        def entSql(num: String, den: String) =
+          s"CAST(${pround(s"(CAST($num AS DOUBLE) / CAST(tn AS DOUBLE)) * log10(CAST($den AS DOUBLE) / CAST($num AS DOUBLE))", 6)} AS DECIMAL(18,6))"
+        s"""WITH cells AS (
+           |  SELECT CASE WHEN n_chars > 250 THEN 'long' ELSE 'short' END
+           |      AS band,
+           |    source AS c, lang AS l, CAST(count(*) AS BIGINT) AS n
+           |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+           |  GROUP BY 1, 2, 3),
+           |wt AS (
+           |  SELECT band, c, l, n,
+           |    CAST(sum(n) OVER (PARTITION BY band) AS BIGINT) AS tn,
+           |    CAST(sum(n) OVER (PARTITION BY band, c) AS BIGINT) AS ac,
+           |    CAST(sum(n) OVER (PARTITION BY band, l) AS BIGINT) AS bl
+           |  FROM cells),
+           |cond AS (
+           |  SELECT band, CAST(max(tn) AS BIGINT) AS n,
+           |    CAST(sum(${entSql("n", "ac")}) AS DECIMAL(38,6)) AS hlc,
+           |    CAST(sum(${entSql("n", "bl")}) AS DECIMAL(38,6)) AS hcl
+           |  FROM wt GROUP BY 1),
+           |hcx AS (
+           |  SELECT band,
+           |    CAST(sum(${entSql("ac", "tn")}) AS DECIMAL(38,6)) AS hc
+           |  FROM (SELECT DISTINCT band, c, ac, tn FROM wt) GROUP BY 1),
+           |hlx AS (
+           |  SELECT band,
+           |    CAST(sum(${entSql("bl", "tn")}) AS DECIMAL(38,6)) AS hl
+           |  FROM (SELECT DISTINCT band, l, bl, tn FROM wt) GROUP BY 1)
+           |SELECT band, n,
+           |  ${pround(hX, 6)} AS homogeneity,
+           |  ${pround(cX, 6)} AS completeness,
+           |  ${pround(s"CASE WHEN ($hX) + ($cX) = 0.0 THEN 0.0 ELSE 2.0 * ($hX) * ($cX) / (($hX) + ($cX)) END", 6)} AS v_measure
+           |FROM cond JOIN hcx USING (band) JOIN hlx USING (band)""".stripMargin
+      },
+
+      // top-(k+1) under (value desc, tie asc); the threshold ROW drops
+      // (min value, max tie), terms read values only
+      "q335_hill_tail" ->
+        s"""WITH top AS (
+           |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+           |    o_orderkey AS tie
+           |  FROM orders WHERE o_totalprice > 0
+           |  ORDER BY x DESC, tie ASC LIMIT 501),
+           |mn AS (SELECT min(x) AS xmin FROM top),
+           |dt AS (SELECT max(tie) AS dropt FROM top, mn WHERE x = xmin),
+           |kept AS (
+           |  SELECT x, xmin FROM top, mn, dt
+           |  WHERE NOT (x = xmin AND tie = dropt))
+           |SELECT CAST(500 AS BIGINT) AS k,
+           |  CAST(count(*) AS BIGINT) AS n_top,
+           |  max(CAST(xmin AS DOUBLE)) AS x_min,
+           |  CASE WHEN count(*) > 0 AND CAST(CAST(sum(CAST(${pround("ln(CAST(x AS DOUBLE) / CAST(xmin AS DOUBLE))", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) > 0.0
+           |    THEN ${pround("CAST(count(*) AS DOUBLE) / CAST(CAST(sum(CAST(" + pround("ln(CAST(x AS DOUBLE) / CAST(xmin AS DOUBLE))", 6) + " AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)", 6)}
+           |    END AS alpha
+           |FROM kept""".stripMargin,
 
       // the same minimax chain: rates are quotients of exact prefix
       // differences, so min/max see identical doubles

@@ -425,6 +425,15 @@ object syntax {
       TfIdf.readability(df, textCol, groupCol)
     def theil(groupCol: String, valueCol: String): DataFrame =
       Pareto.theil(df, groupCol, valueCol)
+    def hellinger(groupCol: String, armCol: String,
+                  valCol: String): DataFrame =
+      Profile.hellinger(df, groupCol, armCol, valCol)
+    def vMeasure(groupCol: String, clusterCol: String,
+                 labelCol: String): DataFrame =
+      Metrics.vMeasure(df, groupCol, clusterCol, labelCol)
+    def hillTail(valueCol: String, tieCol: String,
+                 k: Int = 500): DataFrame =
+      Pareto.hillTail(df, valueCol, tieCol, k)
     def logRank(durationCol: String, eventCol: String, armCol: String,
                 bucketWidth: Long = 4096L): DataFrame =
       Survival.logRank(df, durationCol, eventCol, armCol, bucketWidth)

@@ -988,4 +988,74 @@ object Metrics {
           ELSE CAST(CAST(tp AS DECIMAL(19,0)) * 2000000
             DIV (n_pred + n_true) AS BIGINT) END""").as("f1_ppm"))
   }
+
+  /** V-measure per group: homogeneity, completeness and their
+    * harmonic mean over a (cluster, label) contingency — the
+    * entropy-calibrated clustering scorecard ("does each source carry
+    * ONE language; does each language live in ONE source?"), the
+    * information-theoretic upgrade of q184's purity (which a
+    * many-tiny-clusters solution can game; V-measure cannot).
+    *   h = 1 − H(label|cluster)/H(label),  c = 1 − H(cluster|label)/
+    *   H(cluster),  v = 2hc/(h+c)
+    * with the sklearn edge conventions: a zero unconditional entropy
+    * (one label, or one cluster) makes the corresponding score 1;
+    * h + c = 0 makes v 0.
+    *
+    * Exactness (labelEntropy discipline): every entropy is a
+    * DECIMAL(18,6) sum of per-cell/per-total pround6'd terms over
+    * exact BIGINT counts — H(K|C) per cell is (n_ck/N)·log₁₀(a_c/
+    * n_ck) with a_c from a (group, cluster)-partitioned window (never
+    * a group-wide one); h/c/v are fixed-order doubles over the four
+    * exact sums, pround6.
+    *
+    * Scale shape: ONE (group, cluster, label) hash aggregate is the
+    * row-scale pass; everything after runs on contingency-bounded
+    * tables (cells ≤ |C|·|L| per group) — two rollups, partitioned
+    * windows, and three joins on the group key.
+    */
+  def vMeasure(df: DataFrame, groupCol: String, clusterCol: String,
+               labelCol: String): DataFrame = {
+    val cells = df.filter(col(groupCol).isNotNull &&
+        col(clusterCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(clusterCol).as("__c"),
+        col(labelCol).as("__l"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .localCheckpoint(true)
+    val wG = Window.partitionBy(col("__g"))
+    val wC = Window.partitionBy(col("__g"), col("__c"))
+    val wL = Window.partitionBy(col("__g"), col("__l"))
+    val withTot = cells
+      .withColumn("__tn", sum(col("__n")).over(wG).cast("long"))
+      .withColumn("__ac", sum(col("__n")).over(wC).cast("long"))
+      .withColumn("__bl", sum(col("__n")).over(wL).cast("long"))
+    def ent(num: Column, den: Column) = pround6(
+      (num.cast("double") / col("__tn").cast("double")) *
+        log10(den.cast("double") / num.cast("double")))
+      .cast("decimal(18,6)")
+    // conditional entropies from the cells; unconditional from the
+    // per-cluster / per-label DISTINCT rows of the same frame
+    val cond = withTot.groupBy(col("__g"))
+      .agg(max(col("__tn")).as("n"),
+        sum(ent(col("__n"), col("__ac"))).as("__hlc"),
+        sum(ent(col("__n"), col("__bl"))).as("__hcl"))
+    val hc = withTot.select(col("__g"), col("__c"), col("__ac"),
+        col("__tn")).distinct()
+      .groupBy(col("__g"))
+      .agg(sum(ent(col("__ac"), col("__tn"))).as("__hc"))
+    val hl = withTot.select(col("__g"), col("__l"), col("__bl"),
+        col("__tn")).distinct()
+      .groupBy(col("__g"))
+      .agg(sum(ent(col("__bl"), col("__tn"))).as("__hl"))
+    val hX = "CASE WHEN CAST(__hl AS DOUBLE) = 0.0 THEN 1.0" +
+      " ELSE 1.0 - CAST(__hlc AS DOUBLE) / CAST(__hl AS DOUBLE) END"
+    val cX = "CASE WHEN CAST(__hc AS DOUBLE) = 0.0 THEN 1.0" +
+      " ELSE 1.0 - CAST(__hcl AS DOUBLE) / CAST(__hc AS DOUBLE) END"
+    cond.join(hc, Seq("__g")).join(hl, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"),
+        pround6(expr(hX)).as("homogeneity"),
+        pround6(expr(cX)).as("completeness"),
+        pround6(expr(s"""CASE WHEN ($hX) + ($cX) = 0.0 THEN 0.0
+          ELSE 2.0 * ($hX) * ($cX) / (($hX) + ($cX)) END"""))
+          .as("v_measure"))
+  }
 }

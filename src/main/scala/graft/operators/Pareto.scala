@@ -259,6 +259,59 @@ object Pareto {
         sum(col("__m")).cast("double").as("mld"))
   }
 
+  /** Hill tail-index estimator over the top-k order statistics:
+    * α = k_kept / Σ ln(x_i / x_threshold) — "how heavy is the revenue
+    * (or demand, or document-length) tail?" α ≈ 1 is Zipf-heavy
+    * (whale-dominated: top-N caps and stratified sampling are
+    * mandatory), α > 2 has finite variance (means are trustworthy).
+    * The order-statistics companion to [[gini]] (whole-distribution)
+    * and `TfIdf.zipfFit` (rank-frequency regression).
+    *
+    * Determinism: the top-(k+1) set is taken under the total order
+    * (value desc, tie asc) — a distributed TakeOrdered, k a contract
+    * constant ≤ 10⁴ — and the threshold row (the LAST of that order:
+    * among minimum-value rows, the max tie) is excluded from the
+    * terms; everything the terms read is a VALUE, so ties cannot
+    * perturb the estimate. Non-positive values are excluded (ln
+    * domain). Each term is pround6(ln(x/xmin)) summed as
+    * DECIMAL(18,6); α is ONE double division, pround6; all top
+    * values equal (Σ = 0) reports NULL.
+    *
+    * Scale shape: one TakeOrdered pass (checkpointed), two one-row
+    * aggregate attaches (threshold value, then threshold tie) — the
+    * linkageQuality shape — and one closing aggregate over ≤ k+1
+    * rows. Output ONE row: `k`, `n_top`, `x_min`, `alpha`.
+    */
+  def hillTail(df: DataFrame, valueCol: String, tieCol: String,
+               k: Int = 500): DataFrame = {
+    require(k >= 2 && k <= 10000, s"k out of range: $k")
+    val top = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0 &&
+        col(tieCol).isNotNull)
+      .select(col(valueCol).cast("decimal(18,2)").as("__x"),
+        col(tieCol).as("__tie"))
+      .orderBy(col("__x").desc, col("__tie").asc)
+      .limit(k + 1)
+      .localCheckpoint(true)
+    val xmin = top.agg(min(col("__x")).as("__xmin"))
+    val withMin = top.crossJoin(broadcast(xmin))
+    val dropTie = withMin.filter(col("__x") === col("__xmin"))
+      .agg(max(col("__tie")).as("__dropt"))
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    withMin.crossJoin(broadcast(dropTie))
+      .filter(!(col("__x") === col("__xmin") &&
+        col("__tie") === col("__dropt")))
+      .agg(count(lit(1)).cast("long").as("n_top"),
+        sum(p6(log(col("__x").cast("double") /
+          col("__xmin").cast("double"))).cast("decimal(18,6)"))
+          .as("__lsum"),
+        max(col("__xmin").cast("double")).as("x_min"))
+      .select(lit(k.toLong).as("k"), col("n_top"), col("x_min"),
+        when(col("n_top") > 0L && col("__lsum").cast("double") > 0.0,
+          p6(col("n_top").cast("double") / col("__lsum").cast("double")))
+          .as("alpha"))
+  }
+
   /** XYZ demand-variability classification — [[abcClassification]]'s
     * companion axis: per key, the coefficient of variation of its
     * per-period demand with ZERO-DEMAND PERIODS COUNTED (the textbook

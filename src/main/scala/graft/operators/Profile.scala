@@ -840,4 +840,62 @@ object Profile {
           .as("jaccard_ppm"),
         (col("n_top_b") - col("n_common")).as("n_new"))
   }
+
+  /** Bhattacharyya coefficient and Hellinger distance between the two
+    * ARMS' value-bucket histograms, per group — the drift metric that
+    * is a true METRIC (symmetric, triangle inequality), read beside
+    * PSI (asymmetric, unbounded) and KS (max-gap): BC = Σ√(p_i·q_i)
+    * is 1 for identical histograms and 0 for disjoint support;
+    * H = √(1−BC) ∈ [0,1]. No smoothing is NEEDED — a bin absent from
+    * one arm contributes √(p·0) = 0 — which is exactly why BC is the
+    * right pick for sparse histograms where PSI's smoothing term
+    * dominates.
+    *
+    * Buckets are the q146 power-of-two primitive (`len(bin(x))−1`,
+    * −1 for NULL/non-positive). Exactness: per-bin p/q are doubles of
+    * exact BIGINT counts; each √(p·q) term is ONE fixed-order double,
+    * pround6, summed as DECIMAL(18,6); H's 1−BC is clamped at 0
+    * before the final sqrt (rounded terms can overshoot 1 by ≤
+    * #bins·5·10⁻⁷ — the clamp is mirrored by the oracle). A group
+    * with an empty arm reports NULL bc/hellinger.
+    *
+    * Scale shape: one (group, bin) conditional-count hash aggregate,
+    * one group-totals rollup broadcast back, one closing group
+    * aggregate. ≤ 64 buckets by construction.
+    */
+  def hellinger(df: DataFrame, groupCol: String, armCol: String,
+                valCol: String): DataFrame = {
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val arm = col(armCol).cast("long") =!= 0L
+    // explicit floor before the integral cast: Spark's double->long
+    // cast truncates while DuckDB's CAST rounds half-even — floor is
+    // the one both engines agree on
+    val bucket = when(col(valCol) > 0,
+      (length(bin(floor(col(valCol)).cast("long"))) - 1).cast("long"))
+      .otherwise(lit(-1L))
+    val cells = df.filter(col(groupCol).isNotNull && col(armCol).isNotNull)
+      .select(col(groupCol), arm.as("__a"), bucket.as("__b"))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).cast("long").as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).cast("long").as("__cb"))
+    val tot = cells.groupBy(col(groupCol))
+      .agg(sum(col("__ca")).cast("long").as("n_a"),
+        sum(col("__cb")).cast("long").as("n_b"))
+    // ANSI guard: an empty arm would divide by zero inside the term;
+    // such groups report NULL below, so the term is a dead 0 there
+    val term = when(col("n_a") > 0L && col("n_b") > 0L, sqrt(
+      (col("__ca").cast("double") / col("n_a").cast("double")) *
+        (col("__cb").cast("double") / col("n_b").cast("double"))))
+      .otherwise(lit(0.0))
+    cells.join(broadcast(tot), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(p6(term).cast("decimal(18,6)")).as("__bc"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          col("__bc").cast("double")).as("bc"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          p6(sqrt(greatest(lit(0.0),
+            lit(1.0) - col("__bc").cast("double"))))).as("hellinger"))
+  }
 }

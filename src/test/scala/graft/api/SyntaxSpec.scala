@@ -281,6 +281,18 @@ class SyntaxSpec extends SparkSpec {
     th.theil("g", "v").queryExecution.analyzed
       .sameResult(graft.operators.Pareto.theil(th, "g", "v")
         .queryExecution.analyzed) shouldBe true
+    val hg = Seq(("g", 1L, 2.0), ("g", 0L, 2.0)).toDF("g", "arm", "v")
+    hg.hellinger("g", "arm", "v").queryExecution.analyzed
+      .sameResult(graft.operators.Profile.hellinger(hg, "g", "arm", "v")
+        .queryExecution.analyzed) shouldBe true
+    val vm = Seq(("g", "c", "l")).toDF("g", "c", "l")
+    vm.vMeasure("g", "c", "l").collect().toSeq shouldBe
+      graft.operators.Metrics.vMeasure(vm, "g", "c", "l")
+        .collect().toSeq
+    val ht = Seq((4.0, 1L), (2.0, 2L), (1.0, 3L)).toDF("v", "tie")
+    ht.hillTail("v", "tie", k = 2).collect().toSeq shouldBe
+      graft.operators.Pareto.hillTail(ht, "v", "tie", k = 2)
+        .collect().toSeq
     val rmd = Seq((1L, 1L), (2L, 0L)).toDF("dur", "ev")
     rmd.rmst("dur", "ev", tau = 10L).collect().toSeq shouldBe
       graft.operators.Survival.rmst(rmd, "dur", "ev", tau = 10L)

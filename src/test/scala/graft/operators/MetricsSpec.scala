@@ -511,4 +511,32 @@ class MetricsSpec extends SparkSpec {
       Seq(0L)).collect().head
     lo.getLong(7) shouldBe 1000000L
   }
+
+  test("vMeasure: perfect clustering scores 1, one-cluster scores h=0 c=1") {
+    val perfect = Seq(("g", "c1", "l1"), ("g", "c1", "l1"),
+      ("g", "c2", "l2"), ("g", "c2", "l2"))
+    val rp = Metrics.vMeasure(perfect.toDF("g", "c", "l"), "g", "c", "l")
+      .collect().head
+    (rp.getLong(1), rp.getDouble(2), rp.getDouble(3), rp.getDouble(4)) shouldBe
+      ((4L, 1.0, 1.0, 1.0))
+    // everything in one cluster, two labels: nothing homogeneous,
+    // trivially complete
+    val lump = Seq(("g", "c1", "l1"), ("g", "c1", "l2"))
+    val rl = Metrics.vMeasure(lump.toDF("g", "c", "l"), "g", "c", "l")
+      .collect().head
+    (rl.getDouble(2), rl.getDouble(3), rl.getDouble(4)) shouldBe
+      ((0.0, 1.0, 0.0))
+    // one label only: H(label) = 0 -> h = 1 by convention
+    val mono = Seq(("g", "c1", "l1"), ("g", "c2", "l1"))
+    val rm = Metrics.vMeasure(mono.toDF("g", "c", "l"), "g", "c", "l")
+      .collect().head
+    (rm.getDouble(2), rm.getDouble(3), rm.getDouble(4)) shouldBe
+      ((1.0, 0.0, 0.0))
+    // two independent groups score independently
+    val multi = perfect.map { case (_, c, l) => ("a", c, l) } ++
+      lump.map { case (_, c, l) => ("b", c, l) }
+    val mm = Metrics.vMeasure(multi.toDF("g", "c", "l"), "g", "c", "l")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    mm shouldBe Map("a" -> 1.0, "b" -> 0.0)
+  }
 }

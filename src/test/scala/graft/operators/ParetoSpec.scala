@@ -140,4 +140,28 @@ class ParetoSpec extends SparkSpec {
     // non-positive values are excluded from the domain
     out("Z") shouldBe ((1L, 0.0, 0.0))
   }
+
+  test("hillTail recovers the hand value; threshold row drops by (value, tie)") {
+    import graft.functions.Rounding.p6d
+    val df = Seq((16.0, 1L), (8.0, 2L), (4.0, 3L), (2.0, 4L))
+      .toDF("v", "tie")
+    val r = Pareto.hillTail(df, "v", "tie", k = 3).collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2)) shouldBe ((3L, 3L, 2.0))
+    val lsum = BigDecimal(p6d(math.log(8.0))) +
+      BigDecimal(p6d(math.log(4.0))) + BigDecimal(p6d(math.log(2.0)))
+    r.getDouble(3) shouldBe p6d(3.0 / lsum.toDouble)
+    // ties at the threshold value: only the max-tie row drops
+    val tied = Seq((4.0, 1L), (4.0, 2L), (2.0, 3L), (2.0, 4L), (2.0, 5L))
+      .toDF("v", "tie")
+    val rt = Pareto.hillTail(tied, "v", "tie", k = 2).collect().head
+    (rt.getLong(1), rt.getDouble(2)) shouldBe ((2L, 2.0))
+    rt.getDouble(3) shouldBe
+      p6d(2.0 / (BigDecimal(p6d(math.log(2.0))) * 2).toDouble)
+    // flat top: every term ln(1) = 0 -> undefined alpha
+    val flat = Seq((5.0, 1L), (5.0, 2L), (5.0, 3L)).toDF("v", "tie")
+    assert(Pareto.hillTail(flat, "v", "tie", k = 2).collect().head
+      .isNullAt(3))
+    an[IllegalArgumentException] should be thrownBy
+      Pareto.hillTail(flat, "v", "tie", k = 1)
+  }
 }

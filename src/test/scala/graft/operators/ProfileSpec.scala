@@ -435,4 +435,34 @@ class ProfileSpec extends SparkSpec {
     rt.getLong(3) shouldBe 2L
     rt.getLong(4) shouldBe 1000000L
   }
+
+  test("hellinger: 0 on identical histograms, 1 on disjoint, hand value between") {
+    import graft.functions.Rounding.p6d
+    // identical: both arms split 50/50 over buckets 0 and 1
+    val same = Seq(("g", 1L, 1.0), ("g", 1L, 2.0),
+      ("g", 0L, 1.0), ("g", 0L, 2.0))
+    val rs = Profile.hellinger(same.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    rs.getDouble(3) shouldBe 1.0 // bc
+    rs.getDouble(4) shouldBe 0.0 // hellinger
+    // disjoint supports
+    val dis = Seq(("g", 1L, 1.0), ("g", 0L, 2.0))
+    val rd = Profile.hellinger(dis.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    rd.getDouble(3) shouldBe 0.0
+    rd.getDouble(4) shouldBe 1.0
+    // p = (.5,.5), q = (1,0): bc = sqrt(.5), H = sqrt(1-bc)
+    val half = Seq(("g", 1L, 1.0), ("g", 1L, 2.0),
+      ("g", 0L, 1.0), ("g", 0L, 1.0))
+    val rh = Profile.hellinger(half.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    rh.getDouble(3) shouldBe p6d(math.sqrt(0.5 * 1.0))
+    rh.getDouble(4) shouldBe p6d(math.sqrt(1.0 - p6d(math.sqrt(0.5))))
+    // one empty arm: NULL card, counts intact
+    val one = Seq(("g", 1L, 1.0), ("g", 1L, 2.0))
+    val ro = Profile.hellinger(one.toDF("g", "arm", "v"),
+      "g", "arm", "v").collect().head
+    (ro.getLong(1), ro.getLong(2)) shouldBe ((2L, 0L))
+    assert(ro.isNullAt(3) && ro.isNullAt(4))
+  }
 }

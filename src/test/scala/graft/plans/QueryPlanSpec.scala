@@ -139,7 +139,10 @@ class QueryPlanSpec extends SparkSpec {
     "q295_revenue_bridge",
     // q316 attaches TWO one-row set-count aggregates (n_true, tp)
     // onto the one-row n_pred aggregate (q93's shape, twice)
-    "q316_linkage_quality")
+    "q316_linkage_quality",
+    // q335 attaches the one-row threshold-value and threshold-tie
+    // aggregates onto the ≤(k+1)-row top table (q316's shape)
+    "q335_hill_tail")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
