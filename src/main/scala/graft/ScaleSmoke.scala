@@ -1053,6 +1053,29 @@ object ScaleSmoke {
         events(rows).select(col("value"), col("event_id")),
         "value", "event_id", k = 500).count()
     }
+    time("sprt (200 groups)") {
+      operators.Hypothesis.sprt(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(3)).as("y")),
+        "g", "y", p0 = 0.25, p1 = 0.35).count()
+    }
+    time("cmh (200 groups x 8 strata)") {
+      operators.Hypothesis.cmh(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(8)).as("st"),
+          pmod(col("event_id"), lit(2)).as("e"),
+          pmod(col("event_id") + col("user_id"), lit(2)).as("o")),
+        "g", "st", "e", "o").count()
+    }
+    time("mann-kendall (200 daily series)") {
+      operators.Hypothesis.mannKendall(
+        events(rows)
+          .groupBy(pmod(col("user_id"), lit(200)).as("g"),
+            call_function("div", col("ts").cast("long"), lit(86400L))
+              .as("day"))
+          .agg(count(lit(1)).cast("long").as("cnt")),
+        "g", "day", "cnt").count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

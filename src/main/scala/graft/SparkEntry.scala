@@ -486,6 +486,38 @@ object SparkEntry {
       operators.Pareto.hillTail(t(s, d, "orders"),
         "o_totalprice", "o_orderkey", k = 500)),
 
+    // where does the evidence stand NOW? Wald SPRT per event type on
+    // the high-value rate — boundaries and LLR coefficients computed
+    // once as shortest-roundtrip doubles, shared with the oracle
+    "q336_sprt" -> ((s, d) =>
+      operators.Hypothesis.sprt(
+        t(s, d, "events").select(col("event_type"),
+          when(col("value") > 100.0, 1L).otherwise(0L).as("hi")),
+        "event_type", "hi", p0 = 0.25, p1 = 0.35)),
+
+    // does deep discount associate with high tax AFTER controlling
+    // for line status? CMH pooled 2x2 evidence per return flag —
+    // micro-unit E/V floors, bracketed exact significance
+    "q337_cmh" -> ((s, d) =>
+      operators.Hypothesis.cmh(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_linestatus"),
+          when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("exposed"),
+          when(col("l_tax") >= 0.05, 1L).otherwise(0L).as("outcome")),
+        "l_returnflag", "l_linestatus", "exposed", "outcome")),
+
+    // is daily activity trending per event type? Mann-Kendall over
+    // the daily-count series — S from the kendall pair machinery,
+    // tie-corrected 18V fully integral, continuity-corrected z
+    "q338_mann_kendall" -> ((s, d) =>
+      operators.Hypothesis.mannKendall(
+        t(s, d, "events")
+          .groupBy(col("event_type"),
+            call_function("div", col("ts").cast("long"), lit(86400L))
+              .as("day"))
+          .agg(count(lit(1)).cast("long").as("cnt")),
+        "event_type", "day", "cnt")),
+
     // how unequal is customer revenue WITHIN each market segment?
     // Theil-T + MLD over per-customer revenue — the decomposable
     // inequality pair next to q285's Gini
@@ -5366,6 +5398,100 @@ object SparkEntry {
            |  ${pround(s"CASE WHEN ($hX) + ($cX) = 0.0 THEN 0.0 ELSE 2.0 * ($hX) * ($cX) / (($hX) + ($cX)) END", 6)} AS v_measure
            |FROM cond JOIN hcx USING (band) JOIN hlx USING (band)""".stripMargin
       },
+
+      // SAME shortest-roundtrip constants as the engine (computed once
+      // in Scala); decision compares the raw LLR double
+      "q336_sprt" -> {
+        val c1 = math.log(0.35 / 0.25)
+        val c0 = math.log((1.0 - 0.35) / (1.0 - 0.25))
+        val up = math.log((1.0 - 0.2) / 0.05)
+        val lo = math.log(0.2 / (1.0 - 0.05))
+        val llr = s"(CAST(k AS DOUBLE) * ($c1) + CAST(n - k AS DOUBLE) * ($c0))"
+        s"""WITH g AS (
+           |  SELECT event_type,
+           |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS hi
+           |  FROM events),
+           |agg AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(hi) AS BIGINT) AS k
+           |  FROM g GROUP BY 1)
+           |SELECT event_type, n, k, ${pround(llr, 6)} AS llr,
+           |  CASE WHEN $llr >= ($up) THEN 'accept_h1'
+           |    WHEN $llr <= ($lo) THEN 'accept_h0'
+           |    ELSE 'continue' END AS decision
+           |FROM agg""".stripMargin
+      },
+
+      // micro-unit E/V floors in HUGEINT; bracketed significance with
+      // the K-strata slack band (raises borderline — none at these SFs)
+      "q337_cmh" -> {
+        val eMu = "(CAST(a + b AS HUGEINT) * (a + c) * 1000000 // n)"
+        val vMu = "(CAST(a + b AS HUGEINT) * (n - a - b) * (a + c)" +
+          " * (n - a - c) * 1000000 // (CAST(n AS HUGEINT) * n * (n - 1)))"
+        s"""WITH g AS (
+           |  SELECT l_returnflag AS grp, l_linestatus AS st,
+           |    CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS e,
+           |    CASE WHEN l_tax >= 0.05 THEN 1 ELSE 0 END AS o
+           |  FROM lineitem),
+           |cells AS (
+           |  SELECT grp, st, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS a,
+           |    CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS b,
+           |    CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS c
+           |  FROM g GROUP BY 1, 2 HAVING count(*) >= 2),
+           |agg AS (
+           |  SELECT grp, CAST(sum(n) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS k_strata,
+           |    CAST(sum(CAST(a AS HUGEINT) * 1000000 - $eMu) AS HUGEINT)
+           |      AS dd,
+           |    CAST(sum($vMu) AS HUGEINT) AS vv
+           |  FROM cells GROUP BY 1)
+           |SELECT grp AS l_returnflag, n, k_strata,
+           |  CASE WHEN vv = 0 THEN 0.0
+           |    ELSE ${pround("CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE) / (CAST(vv AS DOUBLE) * 1.0e6)", 6)} END AS chi2,
+           |  CASE WHEN vv = 0 THEN false
+           |    WHEN abs(dd) > k_strata AND (abs(dd) - k_strata)
+           |        * (abs(dd) - k_strata) > 3841459 * (vv + k_strata)
+           |      THEN true
+           |    WHEN (abs(dd) + k_strata) * (abs(dd) + k_strata)
+           |        <= 3841459 * vv THEN false
+           |    ELSE error('cmh oracle borderline') END AS significant
+           |FROM agg""".stripMargin
+      },
+
+      // daily series is <= 31 points/group: the pairwise S re-derives
+      // by a plain self-join; 18V stays integral, z continuity-corrected
+      "q338_mann_kendall" ->
+        s"""WITH d AS (
+           |  SELECT event_type AS g,
+           |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS x,
+           |    CAST(count(*) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |meta AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+           |ties AS (
+           |  SELECT g, CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+           |    AS HUGEINT) AS ty
+           |  FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t
+           |        FROM d GROUP BY 1, 2) GROUP BY 1),
+           |s AS (
+           |  SELECT a.g, CAST(sum(CASE WHEN a.y < b.y THEN 1 ELSE -1 END)
+           |    AS HUGEINT) AS s
+           |  FROM d a JOIN d b ON a.g = b.g AND a.x < b.x AND a.y <> b.y
+           |  GROUP BY 1),
+           |f AS (
+           |  SELECT meta.g, n, COALESCE(s.s, 0) AS s,
+           |    CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - ty AS v18
+           |  FROM meta JOIN ties USING (g) LEFT JOIN s ON meta.g = s.g)
+           |SELECT g AS event_type, n, CAST(s AS BIGINT) AS s_stat,
+           |  CASE WHEN v18 = 0 OR s = 0 THEN 0.0
+           |    ELSE ${pround("(CAST(s AS DOUBLE) - CAST(sign(CAST(s AS DOUBLE)) AS DOUBLE)) / sqrt(CAST(v18 AS DOUBLE) / 18.0)", 6)} END AS z,
+           |  CASE WHEN v18 = 0 OR s = 0 THEN false
+           |    ELSE 18000000 * (abs(s) - 1) * (abs(s) - 1)
+           |      > 3841459 * v18 END AS significant
+           |FROM f""".stripMargin,
 
       // top-(k+1) under (value desc, tie asc); the threshold ROW drops
       // (min value, max tie), terms read values only

@@ -442,6 +442,15 @@ object syntax {
       Survival.rmst(df, durationCol, eventCol, tau, bucketWidth)
     def friedman(groupCol: String, treatmentCols: Seq[String]): DataFrame =
       Hypothesis.friedman(df, groupCol, treatmentCols)
+    def sprt(groupCol: String, successCol: String, p0: Double, p1: Double,
+             alpha: Double = 0.05, beta: Double = 0.2): DataFrame =
+      Hypothesis.sprt(df, groupCol, successCol, p0, p1, alpha, beta)
+    def cmh(groupCol: String, strataCol: String, exposedCol: String,
+            outcomeCol: String): DataFrame =
+      Hypothesis.cmh(df, groupCol, strataCol, exposedCol, outcomeCol)
+    def mannKendall(groupCol: String, xCol: String, yCol: String,
+                    maxCells: Long = 20000L): DataFrame =
+      Hypothesis.mannKendall(df, groupCol, xCol, yCol, maxCells)
     def linkPrediction(aCol: String, bCol: String,
                        maxHubDegree: Long = 64L,
                        maxCandidates: Long = 10000000L): DataFrame =

@@ -538,6 +538,212 @@ object Hypothesis {
         .as("significant"))
   }
 
+  /** Wald's SPRT (sequential probability ratio test) card per group:
+    * given a designed null rate p0 and alternative p1, where does the
+    * accumulated evidence stand NOW — `accept_h1` (the rate shifted),
+    * `accept_h0` (it did not), or `continue` (keep collecting)? The
+    * sequential companion to the fixed-horizon q287 z-test: a
+    * curation rollout reads this card per batch and STOPS EARLY the
+    * moment a boundary is crossed, instead of waiting for a
+    * pre-committed sample size.
+    *
+    * With k successes in n trials, the log-likelihood ratio is
+    *   LLR = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))
+    * against Wald's boundaries upper = ln((1−β)/α), lower =
+    * ln(β/(1−α)). The four transcendentals are computed ONCE here (on
+    * the driver) and embedded as shortest-roundtrip double literals —
+    * the oracle embeds the SAME literals, so both engines compare
+    * identical doubles (the q306 DCG-discount discipline). LLR is ONE
+    * fixed-order double over the exact BIGINT (k, n), pround6 for
+    * display; the DECISION compares the raw double.
+    *
+    * Scale shape: ONE hash aggregate. Nothing else.
+    */
+  def sprt(df: DataFrame, groupCol: String, successCol: String,
+           p0: Double, p1: Double, alpha: Double = 0.05,
+           beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p1 > 0 && p0 < 1 && p1 < 1 && p0 != p1,
+      s"need 0 < p0,p1 < 1 and p0 != p1: p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need 0 < alpha,beta < 1: alpha=$alpha beta=$beta")
+    val c1 = math.log(p1 / p0)
+    val c0 = math.log((1.0 - p1) / (1.0 - p0))
+    val up = math.log((1.0 - beta) / alpha)
+    val lo = math.log(beta / (1.0 - alpha))
+    val s = when(col(successCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val llr = "(CAST(k AS DOUBLE) * (" + c1 + ")" +
+      s" + CAST(n - k AS DOUBLE) * ($c0))"
+    df.filter(col(groupCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(s).cast("long").as("k"))
+      .select(col(groupCol), col("n"), col("k"),
+        p6(expr(llr)).as("llr"),
+        expr(s"""CASE WHEN $llr >= ($up) THEN 'accept_h1'
+          WHEN $llr <= ($lo) THEN 'accept_h0'
+          ELSE 'continue' END""").as("decision"))
+  }
+
+  /** Cochran–Mantel–Haenszel test per group: does an exposure
+    * associate with a binary outcome AFTER CONTROLLING for a
+    * confounding stratum? The stratified upgrade of the q252
+    * chi-square and the significance companion to [[riskCard]]'s
+    * magnitudes — "discounted lines return more often" can be pure
+    * Simpson's paradox unless the line status is held fixed; CMH
+    * pools the per-stratum 2×2 evidence without ever mixing strata.
+    *
+    * Per stratum (cells a=exposed∧outcome, margins r1=a+b, r2=c+d,
+    * k1=a+c, k2=b+d, n): E = r1·k1/n and V = r1·r2·k1·k2/(n²(n−1))
+    * are rationals — both are floored to EXACT micro-units in
+    * DECIMAL(38,0) (the kruskalWallis split), summed per group, and
+    *   χ² = D²/(V·10⁶),   D = Σ(a·10⁶ − E_μ)
+    * `significant` brackets the per-stratum floor slack (< 1
+    * micro-unit each, K strata): sure-true when (|D|−K)² beats
+    * c₆·(V+K) with |D| > K, sure-false when (|D|+K)² fails c₆·V, and
+    * RAISES in the borderline band beyond exact resolution. Strata
+    * with n < 2 are dropped (V undefined; their D contribution is 0
+    * only when degenerate anyway); a group with ΣV = 0 reports χ² 0.
+    * A double pre-guard RAISES near DECIMAL(38,0) capacity.
+    *
+    * Scale shape: one (group, stratum) 2×2 hash aggregate, one group
+    * rollup. No windows, no joins.
+    */
+  def cmh(df: DataFrame, groupCol: String, strataCol: String,
+          exposedCol: String, outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("long") =!= 0L
+    val o = col(outcomeCol).cast("long") =!= 0L
+    val cells = df.filter(col(groupCol).isNotNull &&
+        col(strataCol).isNotNull && col(exposedCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(strataCol).as("__s"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(when(e && o, 1L).otherwise(0L)).cast("long").as("__a"),
+        sum(when(e && !o, 1L).otherwise(0L)).cast("long").as("__b"),
+        sum(when(!e && o, 1L).otherwise(0L)).cast("long").as("__c"))
+      .filter(col("__n") >= 2L)
+    val r1 = "(CAST(__a AS DECIMAL(38,0)) + __b)"
+    val k1 = "(CAST(__a AS DECIMAL(38,0)) + __c)"
+    val r2 = "(CAST(__n AS DECIMAL(38,0)) - __a - __b)"
+    val k2 = "(CAST(__n AS DECIMAL(38,0)) - __a - __c)"
+    val eMu = s"($r1 * $k1 * 1000000 DIV __n)"
+    val vMu = s"($r1 * $r2 * $k1 * $k2 * 1000000" +
+      " DIV (CAST(__n AS DECIMAL(38,0)) * __n * (__n - 1)))"
+    val agg = cells
+      .select(col("__g"), col("__n"), col("__a"),
+        expr(s"CAST(__a AS DECIMAL(38,0)) * 1000000 - $eMu").as("__d"),
+        expr(vMu).as("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__n")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("k_strata"),
+        sum(col("__d")).cast("decimal(38,0)").as("__dd"),
+        sum(col("__v")).cast("decimal(38,0)").as("__vv"))
+    // double pre-guard: (|D|+K)² is the largest operand
+    val guardD = "((abs(CAST(__dd AS DOUBLE)) + CAST(k_strata AS DOUBLE))" +
+      " * (abs(CAST(__dd AS DOUBLE)) + CAST(k_strata AS DOUBLE)))"
+    val absD = "(abs(__dd))"
+    agg.select(col("__g").as(groupCol), col("n"), col("k_strata"),
+      p6(expr(s"""CASE
+        WHEN $guardD > 8.1e37
+        THEN double(raise_error(
+          'Hypothesis.cmh: operands approach DECIMAL(38,0) capacity; test per finer group'))
+        WHEN __vv = 0 THEN 0.0
+        ELSE CAST(__dd AS DOUBLE) * CAST(__dd AS DOUBLE)
+          / (CAST(__vv AS DOUBLE) * 1.0e6) END""")).as("chi2"),
+      expr(s"""CASE
+        WHEN __vv = 0 THEN false
+        WHEN $guardD > 8.1e37
+        THEN CAST(raise_error(
+          'Hypothesis.cmh: significance operands approach DECIMAL(38,0) capacity; test per finer group') AS BOOLEAN)
+        WHEN $absD > k_strata AND ($absD - k_strata) * ($absD - k_strata)
+          > CAST(3841459 AS DECIMAL(38,0)) * (__vv + k_strata) THEN true
+        WHEN ($absD + k_strata) * ($absD + k_strata)
+          <= CAST(3841459 AS DECIMAL(38,0)) * __vv THEN false
+        ELSE CAST(raise_error(
+          'Hypothesis.cmh: statistic within the floored micro-unit band of the critical value — borderline beyond exact resolution') AS BOOLEAN)
+        END""").as("significant"))
+  }
+
+  /** Mann–Kendall trend test per group: is a TIME SERIES
+    * monotonically trending? S = Σ_{i<j} sign(y_j − y_i) over the
+    * time order — [[kendallTau]]'s numerator against time itself —
+    * with the tie-corrected variance
+    *   18·V = n(n−1)(2n+5) − Σ_y t(t−1)(2t+5)
+    * which keeps EVERYTHING integral: `significant` compares
+    * 18·10⁶·(|S|−1)² > 3841459·V18 in exact DECIMAL(38,0) (the
+    * continuity-corrected z², no floor anywhere), and the reported z
+    * is one fixed-order double. The trend-direction companion to
+    * q163's slope (which sizes the trend) and q261's Theil–Sen
+    * (which fits it robustly): MK answers "is it REAL?".
+    *
+    * The series contract: ONE observation per (group, time) — the
+    * operator RAISES on duplicate times (aggregate to a period
+    * first), so x-ties never enter the variance. Pair counting rides
+    * [[kendallTau]]'s guarded cell self-join machinery — distinct
+    * (x, y) cells per group are capped by `maxCells` and an
+    * over-budget group raises while scanning.
+    *
+    * Output: group, `n`, `s_stat`, `z`, `significant`.
+    */
+  def mannKendall(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, maxCells: Long = 20000L): DataFrame = {
+    require(maxCells >= 1L, s"maxCells must be >= 1, got $maxCells")
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+      .groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).cast("long").as("__cx"),
+        max(col("__y")).as("__y"))
+      .withColumn("__y",
+        when(col("__cx") > 1L,
+          expr("raise_error('Hypothesis.mannKendall: duplicate " +
+            "observations at one time point — aggregate to a period " +
+            "first (one row per (group, time))')"))
+          .otherwise(col("__y")))
+      .localCheckpoint(true)
+    val meta = cells.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+    val ties = cells.groupBy(col("__g"), col("__y"))
+      .agg(count(lit(1)).cast("long").as("__t"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__t").cast("decimal(38,0)") * (col("__t") - 1) *
+        (lit(2L) * col("__t") + lit(5L))).as("__ty"))
+    val guarded = cells.join(broadcast(meta), Seq("__g"))
+      .withColumn("__k",
+        when(col("__n") > maxCells,
+          expr(s"CAST(raise_error(concat('Hypothesis.mannKendall: ', " +
+            s"CAST(__n AS STRING), ' time points in one group exceed " +
+            s"maxCells=$maxCells; aggregate to a coarser period')) " +
+            "AS BIGINT)"))
+          .otherwise(lit(1L)))
+    val a = guarded.select(col("__g"), col("__x").as("__xa"),
+      col("__y").as("__ya"), col("__k").as("__ka"))
+    val b = guarded.select(col("__g"), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__k").as("__kb"))
+    val s = a.join(b, Seq("__g"))
+      .filter(col("__xa") < col("__xb") && col("__ya") =!= col("__yb"))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__ya") < col("__yb"), lit(1L)).otherwise(lit(-1L))
+        * col("__ka").cast("decimal(38,0)") * col("__kb")).as("__s"))
+    val v18 = "(CAST(__n AS DECIMAL(38,0)) * (__n - 1)" +
+      " * (2 * __n + 5) - __ty)"
+    meta.join(ties, Seq("__g")).join(s, Seq("__g"), "left")
+      .withColumn("__s",
+        coalesce(col("__s"), lit(0).cast("decimal(38,0)")))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        col("__s").cast("long").as("s_stat"),
+        p6(expr(s"""CASE WHEN $v18 = 0 OR __s = 0 THEN 0.0
+          ELSE (CAST(__s AS DOUBLE)
+              - CAST(sign(CAST(__s AS DOUBLE)) AS DOUBLE))
+            / sqrt(CAST($v18 AS DOUBLE) / 18.0) END""")).as("z"),
+        expr(s"""CASE WHEN $v18 = 0 OR __s = 0 THEN false
+          ELSE CAST(18000000 AS DECIMAL(38,0))
+              * (abs(__s) - 1) * (abs(__s) - 1)
+            > CAST(3841459 AS DECIMAL(38,0)) * $v18 END""")
+          .as("significant"))
+  }
+
   /** Friedman test per group: do k PAIRED numeric treatments (k
     * ranking functions scored on the same documents, k line positions'
     * quantities on the same orders) have systematically different

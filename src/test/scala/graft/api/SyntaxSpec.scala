@@ -301,6 +301,19 @@ class SyntaxSpec extends SparkSpec {
     fr.friedman("g", Seq("t1", "t2")).queryExecution.analyzed
       .sameResult(graft.operators.Hypothesis.friedman(fr, "g",
         Seq("t1", "t2")).queryExecution.analyzed) shouldBe true
+    val sp = Seq(("g", 1L), ("g", 0L)).toDF("g", "y")
+    sp.sprt("g", "y", p0 = 0.2, p1 = 0.4).queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.sprt(sp, "g", "y", 0.2, 0.4)
+        .queryExecution.analyzed) shouldBe true
+    val cm = Seq(("g", "s", 1L, 1L), ("g", "s", 0L, 0L))
+      .toDF("g", "st", "e", "o")
+    cm.cmh("g", "st", "e", "o").queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.cmh(cm, "g", "st", "e", "o")
+        .queryExecution.analyzed) shouldBe true
+    val mkd = Seq(("g", 1L, 1L), ("g", 2L, 2L)).toDF("g", "x", "y")
+    mkd.mannKendall("g", "x", "y").collect().toSeq shouldBe
+      graft.operators.Hypothesis.mannKendall(mkd, "g", "x", "y")
+        .collect().toSeq
     val lpd = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     lpd.linkPrediction("id_a", "id_b").collect().toSeq shouldBe
       graft.operators.Triangles.linkPrediction(lpd, "id_a", "id_b")

@@ -494,6 +494,80 @@ class HypothesisSpec extends SparkSpec {
     assert(ro.isNullAt(4) && ro.isNullAt(5))
   }
 
+  test("sprt crosses Wald boundaries on decisive evidence, else continues") {
+    import graft.functions.Rounding.p6d
+    def run(rows: Seq[(String, Long)]) =
+      Hypothesis.sprt(rows.toDF("g", "y"), "g", "y",
+        p0 = 0.2, p1 = 0.4).collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getString(4)))).toMap
+    val c1 = math.log(0.4 / 0.2); val c0 = math.log(0.6 / 0.8)
+    val out = run(
+      Seq.fill(10)(("h1", 1L)) ++ Seq.fill(20)(("h0", 0L)) ++
+        Seq(("mid", 1L), ("mid", 0L)))
+    out("h1")._4 shouldBe "accept_h1"
+    out("h1")._3 shouldBe p6d(10.0 * c1 + 0.0 * c0)
+    out("h0")._4 shouldBe "accept_h0"
+    out("mid")._4 shouldBe "continue"
+    out("mid")._3 shouldBe p6d(1.0 * c1 + 1.0 * c0)
+    an[IllegalArgumentException] should be thrownBy
+      Hypothesis.sprt(Seq(("g", 1L)).toDF("g", "y"), "g", "y", 0.3, 0.3)
+  }
+
+  test("cmh pools stratified 2x2 evidence with exact micro-unit floors") {
+    // balanced stratum contributes nothing; a perfectly associated
+    // 5/0/0/5 stratum carries chi2 = 9 on its own
+    val bal = for (e <- 0 to 1; o <- 0 to 1; _ <- 1 to 10)
+      yield ("g", "s1", e.toLong, o.toLong)
+    val assoc = (1 to 5).flatMap(_ =>
+      Seq(("g", "s2", 1L, 1L), ("g", "s2", 0L, 0L)))
+    val r = Hypothesis.cmh((bal ++ assoc).toDF("g", "st", "e", "o"),
+      "g", "st", "e", "o").collect().head
+    (r.getLong(1), r.getLong(2)) shouldBe ((50L, 2L))
+    // dd = 2500000, vv = 2564102 + 694444
+    val dd = 2500000.0; val vv = 2564102.0 + 694444.0
+    r.getDouble(3) shouldBe
+      graft.functions.Rounding.p6d(dd * dd / (vv * 1.0e6))
+    r.getBoolean(4) shouldBe false // chi2 ~ 1.92 < 3.84
+    // the associated stratum alone is significant at chi2 = 9
+    val ra = Hypothesis.cmh(assoc.toDF("g", "st", "e", "o"),
+      "g", "st", "e", "o").collect().head
+    ra.getDouble(3) shouldBe // floored V micro-units: 625e6 DIV 900
+      graft.functions.Rounding.p6d(2500000.0 * 2500000.0 / (694444.0 * 1.0e6))
+    ra.getBoolean(4) shouldBe true
+    // single-row strata drop; all dropped -> group vanishes
+    Hypothesis.cmh(Seq(("g", "s1", 1L, 1L)).toDF("g", "st", "e", "o"),
+      "g", "st", "e", "o").collect() shouldBe empty
+  }
+
+  test("mannKendall detects monotone trends with integral significance") {
+    import graft.functions.Rounding.p6d
+    def series(g: String, ys: Seq[Long]) =
+      ys.zipWithIndex.map { case (y, i) => (g, i.toLong, y) }
+    val d = series("up", Seq(1L, 2L, 3L, 4L, 5L)) ++
+      series("down", Seq(5L, 4L, 3L, 2L, 1L)) ++
+      series("flat", Seq(7L, 7L, 7L, 7L, 7L))
+    val out = Hypothesis.mannKendall(d.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    out("up") shouldBe
+      ((5L, 10L, p6d(9.0 / math.sqrt(300.0 / 18.0)), true))
+    out("down") shouldBe
+      ((5L, -10L, p6d(-9.0 / math.sqrt(300.0 / 18.0)), true))
+    out("flat") shouldBe ((5L, 0L, 0.0, false))
+    // duplicate time points violate the series contract
+    val dup = Seq(("g", 1L, 1L), ("g", 1L, 2L))
+    an[Exception] should be thrownBy
+      Hypothesis.mannKendall(dup.toDF("g", "x", "y"), "g", "x", "y")
+        .collect()
+    // over-budget series raise while scanning
+    an[Exception] should be thrownBy
+      Hypothesis.mannKendall(
+        series("g", Seq(1L, 2L, 3L)).toDF("g", "x", "y"),
+        "g", "x", "y", maxCells = 2L).collect()
+  }
+
   test("friedman matches hand-computed tie-corrected chi2") {
     // blocks (1,2,3) and (3,2,1): perfectly opposed orders -> chi2 0
     val opposed = Seq(("g", 1.0, 2.0, 3.0), ("g", 3.0, 2.0, 1.0))
