@@ -1076,6 +1076,24 @@ object ScaleSmoke {
           .agg(count(lit(1)).cast("long").as("cnt")),
         "g", "day", "cnt").count()
     }
+    time("poisson rate test (200 groups)") {
+      operators.Hypothesis.poissonRateTest(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("arm")),
+        "g", "arm", exposure0 = 1209600L, exposure1 = 1468800L).count()
+    }
+    time("neyman allocation (200 x 8)") {
+      operators.Sampling.neymanAllocation(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(8)).as("st"), col("value")),
+        "g", "st", "value", totalN = 1000L).count()
+    }
+    time("median survival (event durations)") {
+      operators.Survival.medianSurvival(
+        events(rows).select(pmod(col("event_id"), lit(2000)).as("dur"),
+          pmod(col("user_id"), lit(2)).as("e")),
+        "dur", "e", bucketWidth = 256L).count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

@@ -518,6 +518,39 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("cnt")),
         "event_type", "day", "cnt")),
 
+    // did the event RATE change between the month's first 14 days and
+    // the rest? two-window Poisson score test per event type, exact
+    // integral significance over caller-supplied exposures
+    "q339_rate_test" -> ((s, d) =>
+      operators.Hypothesis.poissonRateTest(
+        t(s, d, "events").select(col("event_type"),
+          when(col("ts") >= lit("2024-01-15").cast("timestamp"), 1L)
+            .otherwise(0L).as("arm")),
+        "event_type", "arm",
+        exposure0 = 14L * 86400L, exposure1 = 17L * 86400L)),
+
+    // where should a fixed audit budget land? Neyman allocation of
+    // 1000 samples per order status across priority strata — big AND
+    // volatile strata earn samples
+    "q340_neyman_allocation" -> ((s, d) =>
+      operators.Sampling.neymanAllocation(t(s, d, "orders"),
+        "o_orderstatus", "o_orderpriority", "o_totalprice",
+        totalN = 1000L)),
+
+    // by what day has half the cohort churned? the q232 curve's
+    // headline number — one order-free min over the KM output
+    "q341_median_survival" -> ((s, d) =>
+      operators.Survival.medianSurvival(
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(min(col("o_orderdate")).as("__first"),
+            max(col("o_orderdate")).as("__last"))
+          .select(
+            datediff(col("__last"), col("__first")).cast("long").as("dur"),
+            when(col("__last") < lit("1998-03-01").cast("date"), 1L)
+              .otherwise(0L).as("churned")),
+        "dur", "churned", bucketWidth = 256L)),
+
     // how unequal is customer revenue WITHIN each market segment?
     // Theil-T + MLD over per-customer revenue — the decomposable
     // inequality pair next to q285's Gini
@@ -5492,6 +5525,112 @@ object SparkEntry {
            |    ELSE 18000000 * (abs(s) - 1) * (abs(s) - 1)
            |      > 3841459 * v18 END AS significant
            |FROM f""".stripMargin,
+
+      // fully integral score test; rates/ratio exact floored
+      // micro-units over the fixed design exposures
+      "q339_rate_test" -> {
+        val e0 = 14L * 86400L; val e1 = 17L * 86400L
+        val dX = s"(CAST(k1 AS HUGEINT) * $e0 - CAST(k0 AS HUGEINT) * $e1)"
+        val vX = s"(CAST($e0 AS HUGEINT) * $e1 * (k0 + k1))"
+        s"""WITH g AS (
+           |  SELECT event_type,
+           |    CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+           |      THEN 1 ELSE 0 END AS arm
+           |  FROM events),
+           |agg AS (
+           |  SELECT event_type,
+           |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS k0,
+           |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS k1
+           |  FROM g GROUP BY 1)
+           |SELECT event_type, k0, k1,
+           |  CAST(CAST(k0 AS HUGEINT) * 1000000 // $e0 AS BIGINT)
+           |    AS rate0_upm,
+           |  CAST(CAST(k1 AS HUGEINT) * 1000000 // $e1 AS BIGINT)
+           |    AS rate1_upm,
+           |  CASE WHEN k0 = 0 THEN NULL
+           |    ELSE CAST(CAST(k1 AS HUGEINT) * $e0 * 1000000
+           |      // (CAST(k0 AS HUGEINT) * $e1) AS BIGINT) END AS ratio_ppm,
+           |  CASE WHEN k0 + k1 = 0 THEN 0.0
+           |    ELSE ${pround(s"CAST($dX AS DOUBLE) * CAST($dX AS DOUBLE) / CAST($vX AS DOUBLE)", 6)} END AS chi2,
+           |  CASE WHEN k0 + k1 = 0 THEN false
+           |    ELSE 1000000 * $dX * $dX > 3841459 * $vX END AS significant
+           |FROM agg""".stripMargin
+      },
+
+      // q42 moment discipline per stratum; w_h pround6 -> DECIMAL sum,
+      // shares/counts half-up-rounded doubles of exact operands
+      "q340_neyman_allocation" -> {
+        val sdX = "sqrt(CAST(q AS DOUBLE) / CAST(n_pop AS DOUBLE)" +
+          " - (CAST(s AS DOUBLE) / CAST(n_pop AS DOUBLE))" +
+          " * (CAST(s AS DOUBLE) / CAST(n_pop AS DOUBLE)))"
+        val share = "(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE))"
+        s"""WITH per AS (
+           |  SELECT o_orderstatus, o_orderpriority,
+           |    CAST(count(*) AS BIGINT) AS n_pop,
+           |    sum(CAST(o_totalprice AS DECIMAL(28,2))) AS s,
+           |    sum(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS q
+           |  FROM orders GROUP BY 1, 2),
+           |wt AS (
+           |  SELECT *, CAST(${pround(s"CAST(n_pop AS DOUBLE) * $sdX", 6)}
+           |    AS DECIMAL(18,6)) AS w
+           |  FROM per),
+           |tot AS (
+           |  SELECT o_orderstatus, CAST(sum(w) AS DECIMAL(38,6)) AS sw
+           |  FROM wt GROUP BY 1)
+           |SELECT wt.o_orderstatus, o_orderpriority, n_pop,
+           |  ${pround(sdX, 6)} AS sd,
+           |  CASE WHEN sw = 0 THEN NULL
+           |    ELSE CAST(floor($share * 1000000 + 0.5) AS BIGINT)
+           |    END AS alloc_ppm,
+           |  CASE WHEN sw = 0 THEN NULL
+           |    ELSE CAST(floor(CAST(1000 AS DOUBLE) * $share + 0.5)
+           |      AS BIGINT) END AS n_alloc
+           |FROM wt JOIN tot USING (o_orderstatus)""".stripMargin
+      },
+
+      // the q232 chain's headline number: min duration with S <= 0.5
+      "q341_median_survival" ->
+        """WITH per AS (
+          |  SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+          |    CASE WHEN max(o_orderdate) < DATE '1998-03-01' THEN 1 ELSE 0 END AS e
+          |  FROM orders GROUP BY o_custkey),
+          |g AS (
+          |  SELECT CAST(dur AS BIGINT) AS duration,
+          |    CAST(sum(e) AS BIGINT) AS n_events,
+          |    CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+          |  FROM per GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n FROM g),
+          |r AS (
+          |  SELECT g.*, t.n - CAST(COALESCE(sum(n_events + n_censored) OVER (
+          |    ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |    0) AS BIGINT) AS n_risk
+          |  FROM g, tot t),
+          |c AS (
+          |  SELECT *,
+          |    CASE WHEN n_risk = n_events THEN CAST(0 AS DECIMAL(18,6))
+          |      ELSE CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE) /
+          |        CAST(n_risk AS DOUBLE)) * 1000000 + 0.5) / 1000000
+          |        AS DECIMAL(18,6)) END AS contrib,
+          |    CASE WHEN n_risk = n_events THEN 1 ELSE 0 END AS z
+          |  FROM r),
+          |f AS (
+          |  SELECT duration, n_events, n_censored,
+          |    CAST(sum(contrib) OVER (ORDER BY duration) AS DOUBLE) AS csum,
+          |    max(z) OVER (ORDER BY duration) AS zany
+          |  FROM c),
+          |s AS (
+          |  SELECT duration, n_events, n_censored,
+          |    CASE WHEN zany = 1 THEN 0.0
+          |      ELSE floor(exp(csum) * 1000000 + 0.5) / 1000000 END AS surv
+          |  FROM f)
+          |SELECT CAST(COALESCE(sum(n_events + n_censored), 0) AS BIGINT)
+          |    AS n_obs,
+          |  CAST(COALESCE(sum(n_events), 0) AS BIGINT) AS n_events,
+          |  CAST(min(CASE WHEN surv <= 0.5 THEN duration END) AS BIGINT)
+          |    AS median_duration
+          |FROM s""".stripMargin,
 
       // top-(k+1) under (value desc, tie asc); the threshold ROW drops
       // (min value, max tie), terms read values only

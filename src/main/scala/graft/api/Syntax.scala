@@ -440,6 +440,16 @@ object syntax {
     def rmst(durationCol: String, eventCol: String, tau: Long,
              bucketWidth: Long = 4096L): DataFrame =
       Survival.rmst(df, durationCol, eventCol, tau, bucketWidth)
+    def medianSurvival(durationCol: String, eventCol: String,
+                       bucketWidth: Long = 4096L): DataFrame =
+      Survival.medianSurvival(df, durationCol, eventCol, bucketWidth)
+    def poissonRateTest(groupCol: String, armCol: String,
+                        exposure0: Long, exposure1: Long): DataFrame =
+      Hypothesis.poissonRateTest(df, groupCol, armCol, exposure0,
+        exposure1)
+    def neymanAllocation(groupCol: String, strataCol: String,
+                         valueCol: String, totalN: Long): DataFrame =
+      Sampling.neymanAllocation(df, groupCol, strataCol, valueCol, totalN)
     def friedman(groupCol: String, treatmentCols: Seq[String]): DataFrame =
       Hypothesis.friedman(df, groupCol, treatmentCols)
     def sprt(groupCol: String, successCol: String, p0: Double, p1: Double,

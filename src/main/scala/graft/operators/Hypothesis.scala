@@ -744,6 +744,63 @@ object Hypothesis {
           .as("significant"))
   }
 
+  /** Two-window Poisson rate test per group: did the event RATE (per
+    * unit exposure) change between two observation windows? The
+    * conditional score test: with k0/k1 events over exposures e0/e1,
+    *   χ² = (k1·e0 − k0·e1)² / (e0·e1·(k0+k1))
+    * — EVERYTHING integral, so `significant` cross-multiplies
+    * 10⁶·(k1e0−k0e1)² > 3841459·e0·e1·(k0+k1) in exact DECIMAL(38,0)
+    * with a double capacity pre-guard that RAISES. The rate-change
+    * companion to q287 (which tests a PROPORTION, not a rate): use
+    * this when the denominators are time, not trials. Rates and the
+    * rate ratio report as exact floored micro-units per exposure
+    * unit; k0 = 0 makes the ratio NULL (a new behavior, not an
+    * error). k0+k1 = 0 is degenerate: χ² 0, not significant.
+    *
+    * Exposures are CALLER-SUPPLIED constants (window lengths are a
+    * design choice, not data — deriving them from observed min/max
+    * timestamps would bias the rate). Scale shape: ONE hash
+    * aggregate. Nothing else.
+    */
+  def poissonRateTest(df: DataFrame, groupCol: String, armCol: String,
+                      exposure0: Long, exposure1: Long): DataFrame = {
+    require(exposure0 > 0 && exposure1 > 0,
+      s"exposures must be positive: $exposure0, $exposure1")
+    val a = col(armCol).cast("long") =!= 0L
+    val dX = s"(CAST(k1 AS DECIMAL(38,0)) * $exposure0" +
+      s" - CAST(k0 AS DECIMAL(38,0)) * $exposure1)"
+    val vX = s"(CAST($exposure0 AS DECIMAL(38,0)) * $exposure1 * (k0 + k1))"
+    val guardD = s"(1.0e6 * CAST($dX AS DOUBLE) * CAST($dX AS DOUBLE))"
+    df.filter(col(groupCol).isNotNull && col(armCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sum(when(!a, 1L).otherwise(0L)).cast("long").as("k0"),
+        sum(when(a, 1L).otherwise(0L)).cast("long").as("k1"))
+      .select(col(groupCol), col("k0"), col("k1"),
+        expr(s"CAST(CAST(k0 AS DECIMAL(38,0)) * 1000000 DIV $exposure0" +
+          " AS BIGINT)").as("rate0_upm"),
+        expr(s"CAST(CAST(k1 AS DECIMAL(38,0)) * 1000000 DIV $exposure1" +
+          " AS BIGINT)").as("rate1_upm"),
+        expr(s"""CASE WHEN k0 = 0 THEN NULL
+          ELSE CAST(CAST(k1 AS DECIMAL(38,0)) * $exposure0 * 1000000
+            DIV (CAST(k0 AS DECIMAL(38,0)) * $exposure1) AS BIGINT)
+          END""").as("ratio_ppm"),
+        p6(expr(s"""CASE
+          WHEN $guardD > 8.1e37
+          THEN double(raise_error(
+            'Hypothesis.poissonRateTest: operands approach DECIMAL(38,0) capacity; test per finer group'))
+          WHEN k0 + k1 = 0 THEN 0.0
+          ELSE CAST($dX AS DOUBLE) * CAST($dX AS DOUBLE)
+            / CAST($vX AS DOUBLE) END""")).as("chi2"),
+        expr(s"""CASE
+          WHEN k0 + k1 = 0 THEN false
+          WHEN $guardD > 8.1e37
+          THEN CAST(raise_error(
+            'Hypothesis.poissonRateTest: significance operands approach DECIMAL(38,0) capacity; test per finer group') AS BOOLEAN)
+          ELSE CAST(1000000 AS DECIMAL(38,0)) * $dX * $dX
+            > CAST(3841459 AS DECIMAL(38,0)) * $vX END""")
+          .as("significant"))
+  }
+
   /** Friedman test per group: do k PAIRED numeric treatments (k
     * ranking functions scored on the same documents, k line positions'
     * quantities on the same orders) have systematically different

@@ -469,4 +469,53 @@ object Sampling {
       .select(col("__k").as(keyCol), col("__w").as("weight"),
         graft.functions.Rounding.p6(col("__score")).as("es_score"))
   }
+
+  /** Neyman optimal allocation per (group, stratum): how many of a
+    * fixed audit/eval budget `totalN` should land in each stratum?
+    * Optimal for estimating the group mean: n_h ∝ N_h·σ_h — big AND
+    * volatile strata earn samples; a huge but constant stratum earns
+    * almost none (where proportional allocation overspends). The
+    * sampling-design card read before q68's stratified draw.
+    *
+    * Exactness: per-stratum population moments via the q42 DECIMAL
+    * discipline (Σx DECIMAL(28,2), Σx² DECIMAL(28,4)); the weight
+    * w_h = N_h·σ_h is ONE fixed-order double, pround6 → DECIMAL(18,6)
+    * so the group total Σw is an exact decimal sum (a raw double
+    * total would be order-dependent); shares and counts are
+    * half-up-rounded doubles of exact operands, mirrored by the
+    * oracle. An all-constant group (Σw = 0) reports NULL allocations.
+    *
+    * Scale shape: one (group, stratum) hash aggregate, one group
+    * rollup broadcast back. Output: group, stratum, `n_pop`,
+    * `sd` (pround6), `alloc_ppm`, `n_alloc`.
+    */
+  def neymanAllocation(df: DataFrame, groupCol: String, strataCol: String,
+                       valueCol: String, totalN: Long): DataFrame = {
+    require(totalN > 0, s"totalN must be positive: $totalN")
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val per = df.filter(col(groupCol).isNotNull && col(strataCol).isNotNull
+        && col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(strataCol))
+      .agg(count(lit(1)).cast("long").as("n_pop"),
+        sum(col(valueCol).cast("decimal(28,2)")).as("__s"),
+        sum((col(valueCol) * col(valueCol)).cast("decimal(28,4)"))
+          .as("__q"))
+    val sdX = "sqrt(CAST(__q AS DOUBLE) / CAST(n_pop AS DOUBLE)" +
+      " - (CAST(__s AS DOUBLE) / CAST(n_pop AS DOUBLE))" +
+      " * (CAST(__s AS DOUBLE) / CAST(n_pop AS DOUBLE)))"
+    val weighted = per.withColumn("__w",
+      p6(expr(s"CAST(n_pop AS DOUBLE) * $sdX")).cast("decimal(18,6)"))
+    val tot = weighted.groupBy(col(groupCol))
+      .agg(sum(col("__w")).cast("decimal(38,6)").as("__sw"))
+    val share = "(CAST(__w AS DOUBLE) / CAST(__sw AS DOUBLE))"
+    weighted.join(broadcast(tot), Seq(groupCol))
+      .select(col(groupCol), col(strataCol), col("n_pop"),
+        p6(expr(sdX)).as("sd"),
+        expr(s"""CASE WHEN __sw = 0 THEN NULL
+          ELSE CAST(floor($share * 1000000 + 0.5) AS BIGINT)
+          END""").as("alloc_ppm"),
+        expr(s"""CASE WHEN __sw = 0 THEN NULL
+          ELSE CAST(floor(CAST($totalN AS DOUBLE) * $share + 0.5)
+            AS BIGINT) END""").as("n_alloc"))
+  }
 }

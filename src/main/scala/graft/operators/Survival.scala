@@ -334,6 +334,27 @@ object Survival {
       bucketWidth)
   }
 
+  /** Median survival time: the smallest duration where the KM curve
+    * reaches S(t) ≤ 0.5 — "by what day has HALF the cohort churned?",
+    * the headline number over q232's full curve. NULL when the curve
+    * never crosses 0.5 inside the observed window (fewer than half
+    * churn — exactly the situation [[rmst]] is for; read them
+    * together). Computed as ONE order-free aggregate over the
+    * [[kaplanMeier]] output — min() needs no curve ordering.
+    * Output ONE row: `n_obs`, `n_events`, `median_duration`.
+    */
+  def medianSurvival(df: DataFrame, durationCol: String, eventCol: String,
+                     bucketWidth: Long = 4096L): DataFrame =
+    kaplanMeier(df, durationCol, eventCol, bucketWidth)
+      .agg(
+        sum(col("n_events") + col("n_censored")).cast("long").as("__n"),
+        sum(col("n_events")).cast("long").as("__e"),
+        min(when(col("survival") <= 0.5, col("duration")))
+          .cast("long").as("median_duration"))
+      .select(coalesce(col("__n"), lit(0L)).as("n_obs"),
+        coalesce(col("__e"), lit(0L)).as("n_events"),
+        col("median_duration"))
+
   /** Restricted mean survival time: RMST(τ) = ∫₀^τ S(t)dt — "average
     * days retained inside the first τ days", the one-number summary a
     * cohort comparison wants when a median survival is undefined

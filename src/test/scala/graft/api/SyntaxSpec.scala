@@ -297,6 +297,17 @@ class SyntaxSpec extends SparkSpec {
     rmd.rmst("dur", "ev", tau = 10L).collect().toSeq shouldBe
       graft.operators.Survival.rmst(rmd, "dur", "ev", tau = 10L)
         .collect().toSeq
+    rmd.medianSurvival("dur", "ev").collect().toSeq shouldBe
+      graft.operators.Survival.medianSurvival(rmd, "dur", "ev")
+        .collect().toSeq
+    val pr = Seq(("g", 0L), ("g", 1L)).toDF("g", "arm")
+    pr.poissonRateTest("g", "arm", 10L, 10L).queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.poissonRateTest(pr, "g",
+        "arm", 10L, 10L).queryExecution.analyzed) shouldBe true
+    val ny = Seq(("g", "a", 1.0), ("g", "a", 2.0)).toDF("g", "st", "v")
+    ny.neymanAllocation("g", "st", "v", 10L).queryExecution.analyzed
+      .sameResult(graft.operators.Sampling.neymanAllocation(ny, "g",
+        "st", "v", 10L).queryExecution.analyzed) shouldBe true
     val fr = Seq(("g", 1.0, 2.0)).toDF("g", "t1", "t2")
     fr.friedman("g", Seq("t1", "t2")).queryExecution.analyzed
       .sameResult(graft.operators.Hypothesis.friedman(fr, "g",

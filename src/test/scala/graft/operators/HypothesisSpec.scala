@@ -494,6 +494,27 @@ class HypothesisSpec extends SparkSpec {
     assert(ro.isNullAt(4) && ro.isNullAt(5))
   }
 
+  test("poissonRateTest: exact rates, ratio, and integral significance") {
+    val rows = Seq.fill(10)(("g", 0L)) ++ Seq.fill(30)(("g", 1L)) ++
+      Seq.fill(5)(("e", 0L)) ++ Seq.fill(5)(("e", 1L)) ++
+      Seq.fill(3)(("z", 1L))
+    val out = Hypothesis.poissonRateTest(rows.toDF("g", "arm"),
+      "g", "arm", exposure0 = 100L, exposure1 = 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    (g.getLong(3), g.getLong(4), g.getLong(5)) shouldBe
+      ((100000L, 300000L, 3000000L))
+    // chi2 = 2000^2 / (100*100*40) = 10
+    g.getDouble(6) shouldBe 10.0
+    g.getBoolean(7) shouldBe true
+    val eq = out("e")
+    (eq.getDouble(6), eq.getBoolean(7)) shouldBe ((0.0, false))
+    eq.getLong(5) shouldBe 1000000L
+    assert(out("z").isNullAt(5)) // no baseline events: NULL ratio
+    an[IllegalArgumentException] should be thrownBy
+      Hypothesis.poissonRateTest(rows.toDF("g", "arm"), "g", "arm", 0L, 1L)
+  }
+
   test("sprt crosses Wald boundaries on decisive evidence, else continues") {
     import graft.functions.Rounding.p6d
     def run(rows: Seq[(String, Long)]) =

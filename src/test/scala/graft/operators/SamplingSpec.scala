@@ -236,4 +236,29 @@ class SamplingSpec extends SparkSpec {
     Sampling.weightedSample(dirty, "k", "w", 5)
       .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
   }
+
+  test("neymanAllocation sends the budget to big-and-volatile strata") {
+    val implicits = spark.implicits
+    import implicits._
+    // A: n=2 sd=5 -> w=10; B: constant -> w=0; C: n=2 sd=10 -> w=20
+    val rows = Seq(("G", "A", 0.0), ("G", "A", 10.0),
+      ("G", "B", 7.0), ("G", "B", 7.0), ("G", "B", 7.0),
+      ("G", "C", 0.0), ("G", "C", 20.0))
+    val out = Sampling.neymanAllocation(rows.toDF("g", "st", "v"),
+        "g", "st", "v", totalN = 100L)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    out("A") shouldBe ((2L, 5.0, 333333L, 33L))
+    out("B") shouldBe ((3L, 0.0, 0L, 0L))
+    out("C") shouldBe ((2L, 10.0, 666667L, 67L))
+    // an all-constant group cannot allocate: NULL, not a crash
+    val flat = Seq(("F", "A", 3.0), ("F", "A", 3.0))
+    val rf = Sampling.neymanAllocation(flat.toDF("g", "st", "v"),
+      "g", "st", "v", 10L).collect().head
+    assert(rf.isNullAt(4) && rf.isNullAt(5))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.neymanAllocation(flat.toDF("g", "st", "v"), "g", "st",
+        "v", 0L)
+  }
 }

@@ -109,6 +109,24 @@ class SurvivalSpec extends SparkSpec {
     out shouldBe Map(1L -> 2L, 2L -> 1L) // n_risk over the 2 valid obs
   }
 
+  test("medianSurvival finds the first S <= 0.5 crossing, NULL when none") {
+    // S: 0.75 at t=1, 0.375 at t=3 -> median 3
+    val obs = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 0L))
+    val r = Survival.medianSurvival(obs.toDF("dur", "ev"), "dur", "ev")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((4L, 2L, 3L))
+    // fewer than half churn: no crossing
+    val few = Seq((1L, 1L), (2L, 0L), (3L, 0L), (4L, 0L))
+    assert(Survival.medianSurvival(few.toDF("dur", "ev"), "dur", "ev")
+      .collect().head.isNullAt(2))
+    // empty input: degenerate one-row card
+    val e = Survival.medianSurvival(
+      Seq.empty[(Long, Long)].toDF("dur", "ev"), "dur", "ev")
+      .collect().head
+    (e.getLong(0), e.getLong(1)) shouldBe ((0L, 0L))
+    assert(e.isNullAt(2))
+  }
+
   test("rmst equals the hand-integrated KM step area") {
     import graft.functions.Rounding.p6d
     // S: 1 on [0,1), 0.666667 on [1,3), 0 from 3 (d=n sticky zero)
