@@ -5562,9 +5562,10 @@ object SparkEntry {
       // q42 moment discipline per stratum; w_h pround6 -> DECIMAL sum,
       // shares/counts half-up-rounded doubles of exact operands
       "q340_neyman_allocation" -> {
-        val sdX = "sqrt(CAST(q AS DOUBLE) / CAST(n_pop AS DOUBLE)" +
+        val sdX = "sqrt(greatest(CAST(0.0 AS DOUBLE)," +
+          " CAST(q AS DOUBLE) / CAST(n_pop AS DOUBLE)" +
           " - (CAST(s AS DOUBLE) / CAST(n_pop AS DOUBLE))" +
-          " * (CAST(s AS DOUBLE) / CAST(n_pop AS DOUBLE)))"
+          " * (CAST(s AS DOUBLE) / CAST(n_pop AS DOUBLE))))"
         val share = "(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE))"
         s"""WITH per AS (
            |  SELECT o_orderstatus, o_orderpriority,

@@ -628,10 +628,18 @@ object Hypothesis {
     val eMu = s"($r1 * $k1 * 1000000 DIV __n)"
     val vMu = s"($r1 * $r2 * $k1 * $k2 * 1000000" +
       " DIV (CAST(__n AS DECIMAL(38,0)) * __n * (__n - 1)))"
+    // the V-side product r1·r2·k1·k2·10⁶ (≤ n⁴/16·10⁶) dominates every
+    // overflowing term, so ITS bound is the guard (the round-10
+    // dominating-operand lesson): n ≤ 1.5e8 keeps it under 3.3e37.
+    // The guard lives in the __v column the group rollup always sums.
+    val vGuarded = s"""CASE WHEN __n > 150000000
+      THEN CAST(raise_error(
+        'Hypothesis.cmh: stratum of more than 1.5e8 rows would overflow DECIMAL(38,0) in the variance product; sub-stratify first') AS DECIMAL(38,0))
+      ELSE $vMu END"""
     val agg = cells
       .select(col("__g"), col("__n"), col("__a"),
         expr(s"CAST(__a AS DECIMAL(38,0)) * 1000000 - $eMu").as("__d"),
-        expr(vMu).as("__v"))
+        expr(vGuarded).as("__v"))
       .groupBy(col("__g"))
       .agg(sum(col("__n")).cast("long").as("n"),
         count(lit(1)).cast("long").as("k_strata"),
@@ -770,7 +778,12 @@ object Hypothesis {
     val dX = s"(CAST(k1 AS DECIMAL(38,0)) * $exposure0" +
       s" - CAST(k0 AS DECIMAL(38,0)) * $exposure1)"
     val vX = s"(CAST($exposure0 AS DECIMAL(38,0)) * $exposure1 * (k0 + k1))"
-    val guardD = s"(1.0e6 * CAST($dX AS DOUBLE) * CAST($dX AS DOUBLE))"
+    // both comparison sides get a double pre-guard — dX² can be tiny
+    // under the null while e0·e1·(k0+k1) alone overflows (the
+    // dominating-operand lesson), so V is watched separately
+    val guardD = s"(1.0e6 * CAST($dX AS DOUBLE) * CAST($dX AS DOUBLE)" +
+      s" + CAST($exposure0 AS DOUBLE) * CAST($exposure1 AS DOUBLE)" +
+      " * CAST(k0 + k1 AS DOUBLE))"
     df.filter(col(groupCol).isNotNull && col(armCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(sum(when(!a, 1L).otherwise(0L)).cast("long").as("k0"),
@@ -851,17 +864,28 @@ object Hypothesis {
     val num = s"($sumS2 - CAST(n_blocks AS DECIMAL(38,0)) * n_blocks * $kk1)"
     val den = s"(__sr2 - CAST(n_blocks AS DECIMAL(38,0)) * $kk1)"
     val c6 = chi2Crit6(k - 1)
-    val guardD = s"(1.0e6 * ${k - 1}.0 * CAST($num AS DOUBLE))"
+    // guard the DOMINATING operand: ΣS_j² ≤ 4k³·n², times the 10⁶(k−1)
+    // cross-multiplier — watching num alone misses a null-hypothesis
+    // group where num ≈ 0 but the squares overflow; and the guard
+    // lives in BOTH output columns (the pruned-guard lesson)
+    val gCoef = 1.0e6 * (k - 1).toDouble *
+      (4.0 * k * k * k + k.toDouble * (k + 1) * (k + 1))
+    val guardD = s"($gCoef * CAST(n_blocks AS DOUBLE)" +
+      " * CAST(n_blocks AS DOUBLE))"
     agg.select(col("__g").as(groupCol), col("n_blocks"),
       lit(k.toLong).as("k_treatments"),
-      p6(expr(s"""CASE WHEN $den = 0 THEN 0.0
+      p6(expr(s"""CASE
+        WHEN $guardD > 8.1e37
+        THEN double(raise_error(
+          'Hypothesis.friedman: operands approach DECIMAL(38,0) capacity; test per finer group'))
+        WHEN $den = 0 THEN 0.0
         ELSE ${k - 1}.0 * CAST($num AS DOUBLE) / CAST($den AS DOUBLE)
         END""")).as("chi2"),
       expr(s"""CASE
-        WHEN $den = 0 THEN false
         WHEN $guardD > 8.1e37
         THEN CAST(raise_error(
           'Hypothesis.friedman: cross-multiplied significance operands approach DECIMAL(38,0) capacity; test per finer group') AS BOOLEAN)
+        WHEN $den = 0 THEN false
         ELSE CAST(1000000 AS DECIMAL(38,0)) * ${k - 1} * $num
           > CAST($c6 AS DECIMAL(38,0)) * $den END""").as("significant"))
   }

@@ -81,7 +81,7 @@ object Markov {
       log10(col("__ft").cast("double") / col("n").cast("double"))
     pairs.join(broadcast(fromTot), Seq("from_type"))
       .withColumn("__h",
-        (floor(contrib * 1e6 + 0.5) / 1e6).cast("decimal(18,6)"))
+        graft.functions.Rounding.p6(contrib).cast("decimal(18,6)"))
       .groupBy(col("from_type"))
       .agg(max(col("__ft")).as("n_out"),
         max(col("__nt")).as("n_to_types"),

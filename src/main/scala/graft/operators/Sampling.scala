@@ -500,9 +500,13 @@ object Sampling {
         sum(col(valueCol).cast("decimal(28,2)")).as("__s"),
         sum((col(valueCol) * col(valueCol)).cast("decimal(28,4)"))
           .as("__q"))
-    val sdX = "sqrt(CAST(__q AS DOUBLE) / CAST(n_pop AS DOUBLE)" +
+    // greatest(0, ·) clamp: a near-constant stratum's double rounding
+    // can land one ulp negative and sqrt would emit NaN (the
+    // xyzClassification precedent)
+    val sdX = "sqrt(greatest(CAST(0.0 AS DOUBLE)," +
+      " CAST(__q AS DOUBLE) / CAST(n_pop AS DOUBLE)" +
       " - (CAST(__s AS DOUBLE) / CAST(n_pop AS DOUBLE))" +
-      " * (CAST(__s AS DOUBLE) / CAST(n_pop AS DOUBLE)))"
+      " * (CAST(__s AS DOUBLE) / CAST(n_pop AS DOUBLE))))"
     val weighted = per.withColumn("__w",
       p6(expr(s"CAST(n_pop AS DOUBLE) * $sdX")).cast("decimal(18,6)"))
     val tot = weighted.groupBy(col(groupCol))

@@ -121,8 +121,9 @@ object Triangles {
         Seq("u", "w"), "left_anti")
       .groupBy(col("u").as("id_a"), col("w").as("id_b"))
       .agg(count(lit(1)).cast("long").as("common_neighbors"),
-        sum((floor(lit(1.0) / log10(col("deg_z").cast("double"))
-          * 1e6 + 0.5) / 1e6).cast("decimal(18,6)"))
+        sum(graft.functions.Rounding.p6(
+          lit(1.0) / log10(col("deg_z").cast("double")))
+          .cast("decimal(18,6)"))
           .cast("double").as("aa_score"))
   }
 }
