@@ -1094,6 +1094,32 @@ object ScaleSmoke {
           pmod(col("user_id"), lit(2)).as("e")),
         "dur", "e", bucketWidth = 256L).count()
     }
+    time("cramers v (200 groups)") {
+      operators.Profile.cramersV(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(8)).as("a"),
+          col("event_type").as("b")),
+        "g", "a", "b").count()
+    }
+    time("effective sample size (200 groups)") {
+      operators.Sampling.effectiveSampleSize(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(997)).as("w")),
+        "g", "w").count()
+    }
+    time("streaming risk (2 ticks)") {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_smoke_srisk").toString + "/state"
+      val ev = events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+        pmod(col("event_id"), lit(2)).as("e"),
+        pmod(col("event_id") + col("user_id"), lit(2)).as("o"),
+        col("event_id"))
+      streaming.StreamingRisk.acceptBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), "g", "e", "o", st)
+      streaming.StreamingRisk.acceptBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), "g", "e", "o", st)
+        .count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

@@ -551,6 +551,45 @@ object SparkEntry {
               .otherwise(0L).as("churned")),
         "dur", "churned", bucketWidth = 256L)),
 
+    // q326's risk card kept live: additive 2x2 cells per group across
+    // any batch split, card via the shared riskCardFromCells closing
+    "q342_streaming_risk" -> ((s, d) => {
+      val st = invocationStateDir("q342", "cells")
+      val li = t(s, d, "lineitem").select(col("l_linestatus"),
+        when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("exposed"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("outcome"),
+        col("l_orderkey"))
+      streaming.StreamingRisk.acceptBatch(
+        li.filter(col("l_orderkey") % 2 === 0), "l_linestatus",
+        "exposed", "outcome", st)
+      val merged = streaming.StreamingRisk.acceptBatch(
+        li.filter(col("l_orderkey") % 2 === 1), "l_linestatus",
+        "exposed", "outcome", st)
+      streaming.StreamingRisk.riskView(merged, "l_linestatus")
+    }),
+
+    // does order priority associate with line status, and HOW
+    // strongly? Cramer's V per return flag — the categorical effect
+    // size beside q252's chi-square
+
+    "q343_cramers_v" -> ((s, d) =>
+      operators.Profile.cramersV(
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders").select(col("o_orderkey"),
+            col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_returnflag"), col("o_orderpriority"),
+            col("l_linestatus")),
+        "l_returnflag", "o_orderpriority", "l_linestatus")),
+
+    // how much statistical information does the length-weighted corpus
+    // really carry? ESS/(n) per source over n_chars weights — equal
+    // weights = n, one whale = 1
+    "q344_ess" -> ((s, d) =>
+      operators.Sampling.effectiveSampleSize(
+        t(s, d, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars")),
+
     // how unequal is customer revenue WITHIN each market segment?
     // Theil-T + MLD over per-customer revenue — the decomposable
     // inequality pair next to q285's Gini
@@ -5589,6 +5628,62 @@ object SparkEntry {
            |    ELSE CAST(floor(CAST(1000 AS DOUBLE) * $share + 0.5)
            |      AS BIGINT) END AS n_alloc
            |FROM wt JOIN tot USING (o_orderstatus)""".stripMargin
+      },
+
+      // per-cell (o-e)^2/e terms pround6 into a DECIMAL sum; V one
+      // closing sqrt; degenerate single-level tables NULL
+      "q343_cramers_v" ->
+        s"""WITH j AS (
+           |  SELECT l_returnflag AS g, o_orderpriority AS a,
+           |    l_linestatus AS b
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |cells AS (
+           |  SELECT g, a, b, CAST(count(*) AS BIGINT) AS o
+           |  FROM j GROUP BY 1, 2, 3),
+           |meta AS (
+           |  SELECT g, CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
+           |    CAST(count(DISTINCT b) AS BIGINT) AS c_levels,
+           |    CAST(sum(o) AS BIGINT) AS tn
+           |  FROM cells GROUP BY 1),
+           |ra AS (SELECT g, a, CAST(sum(o) AS BIGINT) AS ra
+           |  FROM cells GROUP BY 1, 2),
+           |cb AS (SELECT g, b, CAST(sum(o) AS BIGINT) AS cb
+           |  FROM cells GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT ra.g, ra.a, cb.b, ra.ra, cb.cb, tn,
+           |    COALESCE(o, 0) AS o
+           |  FROM ra JOIN cb ON ra.g = cb.g
+           |  JOIN meta ON ra.g = meta.g
+           |  LEFT JOIN cells ON cells.g = ra.g AND cells.a = ra.a
+           |    AND cells.b = cb.b),
+           |agg AS (
+           |  SELECT g, CAST(max(tn) AS BIGINT) AS n,
+           |    CAST(sum(CAST(${pround("(CAST(o AS DOUBLE) - (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tn AS DOUBLE))) * (CAST(o AS DOUBLE) - (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tn AS DOUBLE))) / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(tn AS DOUBLE))", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS chi
+           |  FROM grid GROUP BY 1)
+           |SELECT agg.g AS l_returnflag, n, r_levels, c_levels,
+           |  CAST(chi AS DOUBLE) AS chi2,
+           |  CASE WHEN least(r_levels - 1, c_levels - 1) > 0
+           |    THEN ${pround("sqrt(CAST(chi AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE)))", 6)}
+           |    END AS cramers_v
+           |FROM agg JOIN meta ON agg.g = meta.g""".stripMargin,
+
+      // q42 moment discipline on the weights; ESS one fixed-order
+      // double, efficiency a half-up ppm of exact operands
+      "q344_ess" -> {
+        val essX = "(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
+          " / CAST(q AS DOUBLE))"
+        s"""WITH g AS (
+           |  SELECT source, n_chars FROM documents
+           |  WHERE source IS NOT NULL AND n_chars > 0),
+           |agg AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(n_chars AS DECIMAL(28,6))) AS s,
+           |    sum(CAST(n_chars * n_chars AS DECIMAL(38,6))) AS q
+           |  FROM g GROUP BY 1)
+           |SELECT source, n, ${pround(essX, 6)} AS ess,
+           |  CAST(floor($essX / CAST(n AS DOUBLE) * 1000000 + 0.5)
+           |    AS BIGINT) AS efficiency_ppm
+           |FROM agg""".stripMargin
       },
 
       // the q232 chain's headline number: min duration with S <= 0.5
@@ -11192,6 +11287,9 @@ object SparkEntry {
       // time-ordered batch split + one stitched boundary gap per key
       // reproduces the one-shot gap statistics, and both cards read
       // the shared burstinessFromStats closing — q322's oracle verbatim
-      ("q331_streaming_burstiness" -> base("q322_burstiness"))
+      ("q331_streaming_burstiness" -> base("q322_burstiness")) +
+      // additive 2x2 cells under any batch split = the one-shot cells,
+      // and both cards read the shared riskCardFromCells closing
+      ("q342_streaming_risk" -> base("q326_risk_card"))
   }
 }

@@ -428,6 +428,12 @@ object syntax {
     def hellinger(groupCol: String, armCol: String,
                   valCol: String): DataFrame =
       Profile.hellinger(df, groupCol, armCol, valCol)
+    def cramersV(groupCol: String, aCol: String, bCol: String,
+                 maxCells: Long = 20000L): DataFrame =
+      Profile.cramersV(df, groupCol, aCol, bCol, maxCells)
+    def effectiveSampleSize(groupCol: String,
+                            weightCol: String): DataFrame =
+      Sampling.effectiveSampleSize(df, groupCol, weightCol)
     def vMeasure(groupCol: String, clusterCol: String,
                  labelCol: String): DataFrame =
       Metrics.vMeasure(df, groupCol, clusterCol, labelCol)

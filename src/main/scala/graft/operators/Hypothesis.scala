@@ -970,14 +970,27 @@ object Hypothesis {
                outcomeCol: String): DataFrame = {
     val e = col(exposedCol).cast("long") =!= 0L
     val o = col(outcomeCol).cast("long") =!= 0L
-    df.filter(col(groupCol).isNotNull && col(exposedCol).isNotNull &&
-        col(outcomeCol).isNotNull)
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("long").as("n"),
-        sum(when(e && o, 1L).otherwise(0L)).cast("long").as("n11"),
-        sum(when(e && !o, 1L).otherwise(0L)).cast("long").as("n10"),
-        sum(when(!e && o, 1L).otherwise(0L)).cast("long").as("n01"),
-        sum(when(!e && !o, 1L).otherwise(0L)).cast("long").as("n00"))
+    riskCardFromCells(
+      df.filter(col(groupCol).isNotNull && col(exposedCol).isNotNull &&
+          col(outcomeCol).isNotNull)
+        .groupBy(col(groupCol))
+        .agg(
+          sum(when(e && o, 1L).otherwise(0L)).cast("long").as("n11"),
+          sum(when(e && !o, 1L).otherwise(0L)).cast("long").as("n10"),
+          sum(when(!e && o, 1L).otherwise(0L)).cast("long").as("n01"),
+          sum(when(!e && !o, 1L).otherwise(0L)).cast("long").as("n00")),
+      groupCol)
+  }
+
+  /** The shared risk-card closing over an already-aggregated per-group
+    * 2×2 cell table (groupCol, n11, n10, n01, n00) — [[riskCard]] and
+    * `streaming.StreamingRisk` both read through it, so the batch and
+    * live cards cannot diverge.
+    */
+  def riskCardFromCells(cells: DataFrame, groupCol: String): DataFrame =
+    cells
+      .withColumn("n",
+        (col("n11") + col("n10") + col("n01") + col("n00")).cast("long"))
       .select(col(groupCol), col("n"), col("n11"), col("n10"),
         col("n01"), col("n00"),
         expr("""CASE WHEN n10 = 0 OR n01 = 0 THEN NULL
@@ -994,5 +1007,4 @@ object Hypothesis {
             - CAST(CAST(1000000 AS DECIMAL(19,0)) * n01
               DIV (n01 + n00) AS BIGINT) END""")
           .as("risk_diff_ppm"))
-  }
 }

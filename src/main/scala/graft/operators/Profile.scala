@@ -898,4 +898,79 @@ object Profile {
           p6(sqrt(greatest(lit(0.0),
             lit(1.0) - col("__bc").cast("double"))))).as("hellinger"))
   }
+
+  /** Cramér's V per group: the calibrated EFFECT SIZE for a
+    * categorical×categorical association — the q252 chi-square says
+    * "dependent somewhere", V ∈ [0,1] says HOW MUCH, comparable
+    * across tables of different size and shape (V = √(χ²/(N·min(r−1,
+    * c−1)))). The categorical row in the effect-size family beside
+    * Cohen's d (means) and Cliff's delta (ranks).
+    *
+    * Exactness: the contingency is exact BIGINT; each cell's
+    * (o−e)²/e term is ONE fixed-order double over exact integers
+    * (e = rowTot·colTot/N), pround6, summed as DECIMAL(18,6) — the
+    * labelEntropy discipline — and V is one closing sqrt, pround6. A
+    * degenerate table (one row or one column level) has no
+    * association to measure: NULL V, χ² still reported. Distinct
+    * (a, b) cells per group are capped by `maxCells` with a raise ON
+    * the scanned rows (the kendallTau guard placement).
+    *
+    * Scale shape: ONE (group, a, b) hash aggregate is the row-scale
+    * pass; totals come from windows PARTITIONED by (group, a) /
+    * (group, b) / (group) over the contingency-bounded cell table,
+    * plus one broadcast level-count join.
+    */
+  def cramersV(df: DataFrame, groupCol: String, aCol: String,
+               bCol: String, maxCells: Long = 20000L): DataFrame = {
+    require(maxCells >= 1L, s"maxCells must be >= 1, got $maxCells")
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val cells = df.filter(col(groupCol).isNotNull && col(aCol).isNotNull &&
+        col(bCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(aCol).as("__a"),
+        col(bCol).as("__b"))
+      .agg(count(lit(1)).cast("long").as("__o"))
+      .localCheckpoint(true)
+    val meta = cells.groupBy(col("__g"))
+      .agg(countDistinct(col("__a")).cast("long").as("r_levels"),
+        countDistinct(col("__b")).cast("long").as("c_levels"),
+        sum(col("__o")).cast("long").as("__tn"))
+    val ra = cells.groupBy(col("__g"), col("__a"))
+      .agg(sum(col("__o")).cast("long").as("__ra"))
+    val cb = cells.groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__o")).cast("long").as("__cb"))
+    // the FULL r×c grid — an UNOBSERVED cell still contributes its
+    // (0−e)²/e = e term; summing observed cells only silently
+    // underestimates χ² on sparse tables (and the hash gate cannot
+    // catch a mirrored omission — the hhi lesson). The guard lives on
+    // the grid's build input so an over-budget group raises before
+    // r×c rows exist.
+    val raGuarded = ra.join(broadcast(meta), Seq("__g"))
+      .withColumn("__rag",
+        when(col("r_levels") * col("c_levels") > maxCells,
+          expr(s"CAST(raise_error(concat('Profile.cramersV: ', " +
+            s"CAST(r_levels * c_levels AS STRING), ' grid cells in one " +
+            s"group exceed maxCells=$maxCells; bucket the columns " +
+            "first')) AS BIGINT)"))
+          .otherwise(col("__ra")))
+    val grid = raGuarded.join(cb, Seq("__g"))
+      .join(cells, Seq("__g", "__a", "__b"), "left")
+      .withColumn("__og", coalesce(col("__o"), lit(0L)))
+    val eX = "(CAST(__rag AS DOUBLE) * CAST(__cb AS DOUBLE)" +
+      " / CAST(__tn AS DOUBLE))"
+    val agg = grid.groupBy(col("__g"))
+      .agg(max(col("__tn")).as("n"),
+        max(col("r_levels")).as("r_levels"),
+        max(col("c_levels")).as("c_levels"),
+        sum(p6(expr(s"(CAST(__og AS DOUBLE) - $eX)" +
+          s" * (CAST(__og AS DOUBLE) - $eX) / $eX"))
+          .cast("decimal(18,6)")).as("__chi"))
+    agg.select(col("__g").as(groupCol), col("n"),
+      col("r_levels"), col("c_levels"),
+      col("__chi").cast("double").as("chi2"),
+      when(least(col("r_levels") - 1, col("c_levels") - 1) > 0L,
+        p6(sqrt(col("__chi").cast("double") /
+          (col("n").cast("double") *
+            least(col("r_levels") - 1, col("c_levels") - 1)
+              .cast("double"))))).as("cramers_v"))
+  }
 }

@@ -470,6 +470,40 @@ object Sampling {
         graft.functions.Rounding.p6(col("__score")).as("es_score"))
   }
 
+  /** Effective sample size of a weighted mixture per group:
+    * ESS = (Σw)²/Σw² — "a corpus of n weighted documents carries the
+    * statistical information of ESS unweighted ones". The mixture-
+    * design health check beside q93/q112: a temperature schedule that
+    * drives efficiency (ESS/n) toward 0 is spending tokens on a
+    * handful of dominant examples. Equal weights give ESS = n
+    * exactly; one dominant weight drives ESS toward 1.
+    *
+    * Exactness: weights (≥ 6-decimal contract — token counts, ppm
+    * mixture weights) accumulate as Σw DECIMAL(28,6) and Σw²
+    * DECIMAL(38,6) (the q42 discipline); ESS is ONE fixed-order
+    * double, pround6, and efficiency an exact-operand half-up-rounded
+    * ppm. NULL and non-positive weights are dropped.
+    *
+    * Scale shape: ONE hash aggregate. Nothing else.
+    */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+                          weightCol: String): DataFrame = {
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val essX = "(CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE)" +
+      " / CAST(__q AS DOUBLE))"
+    df.filter(col(groupCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(weightCol).cast("decimal(28,6)")).as("__s"),
+        sum((col(weightCol) * col(weightCol)).cast("decimal(38,6)"))
+          .as("__q"))
+      .select(col(groupCol), col("n"),
+        p6(expr(essX)).as("ess"),
+        expr(s"CAST(floor($essX / CAST(n AS DOUBLE) * 1000000 + 0.5)" +
+          " AS BIGINT)").as("efficiency_ppm"))
+  }
+
   /** Neyman optimal allocation per (group, stratum): how many of a
     * fixed audit/eval budget `totalN` should land in each stratum?
     * Optimal for estimating the group mean: n_h ∝ N_h·σ_h — big AND

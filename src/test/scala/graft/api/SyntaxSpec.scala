@@ -285,6 +285,14 @@ class SyntaxSpec extends SparkSpec {
     hg.hellinger("g", "arm", "v").queryExecution.analyzed
       .sameResult(graft.operators.Profile.hellinger(hg, "g", "arm", "v")
         .queryExecution.analyzed) shouldBe true
+    val crv = Seq(("g", "x", "p"), ("g", "y", "q")).toDF("g", "a", "b")
+    crv.cramersV("g", "a", "b").collect().toSeq shouldBe
+      graft.operators.Profile.cramersV(crv, "g", "a", "b")
+        .collect().toSeq
+    val ew = Seq(("g", 2L), ("g", 3L)).toDF("g", "w")
+    ew.effectiveSampleSize("g", "w").queryExecution.analyzed
+      .sameResult(graft.operators.Sampling.effectiveSampleSize(ew, "g",
+        "w").queryExecution.analyzed) shouldBe true
     val vm = Seq(("g", "c", "l")).toDF("g", "c", "l")
     vm.vMeasure("g", "c", "l").collect().toSeq shouldBe
       graft.operators.Metrics.vMeasure(vm, "g", "c", "l")

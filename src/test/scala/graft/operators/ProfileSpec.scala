@@ -465,4 +465,37 @@ class ProfileSpec extends SparkSpec {
     (ro.getLong(1), ro.getLong(2)) shouldBe ((2L, 0L))
     assert(ro.isNullAt(3) && ro.isNullAt(4))
   }
+
+  test("cramersV: 1 on perfect association (even sparse), 0 on independence") {
+    // dense perfect 2x2: diag 10/10 -> chi2 20, V = 1
+    val perfect = Seq.fill(10)(("g", "x", "p")) ++
+      Seq.fill(10)(("g", "y", "q"))
+    val rp = Profile.cramersV(perfect.toDF("g", "a", "b"), "g", "a", "b")
+      .collect().head
+    (rp.getLong(1), rp.getLong(2), rp.getLong(3)) shouldBe ((20L, 2L, 2L))
+    rp.getDouble(4) shouldBe 20.0
+    rp.getDouble(5) shouldBe 1.0
+    // SPARSE perfect association: the unobserved cells' e terms must
+    // count — chi2 = 4 (not 2), V exactly 1
+    val sparse = Seq(("s", "x", "p"), ("s", "x", "p"),
+      ("s", "y", "q"), ("s", "y", "q"))
+    val rs = Profile.cramersV(sparse.toDF("g", "a", "b"), "g", "a", "b")
+      .collect().head
+    rs.getDouble(4) shouldBe 4.0
+    rs.getDouble(5) shouldBe 1.0
+    // independence: all four cells equal -> chi2 0
+    val ind = for (a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5)
+      yield ("i", a, b)
+    val ri = Profile.cramersV(ind.toDF("g", "a", "b"), "g", "a", "b")
+      .collect().head
+    (ri.getDouble(4), ri.getDouble(5)) shouldBe ((0.0, 0.0))
+    // one column level: no association to measure
+    val mono = Seq(("m", "x", "p"), ("m", "y", "p"))
+    assert(Profile.cramersV(mono.toDF("g", "a", "b"), "g", "a", "b")
+      .collect().head.isNullAt(5))
+    // grid budget raises before the r x c build
+    an[Exception] should be thrownBy
+      Profile.cramersV(perfect.toDF("g", "a", "b"), "g", "a", "b",
+        maxCells = 3L).collect()
+  }
 }

@@ -237,6 +237,23 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
   }
 
+  test("effectiveSampleSize: n on equal weights, collapses on a whale") {
+    val implicits = spark.implicits
+    import implicits._
+    import graft.functions.Rounding.p6d
+    val rows = Seq(("eq", 10L), ("eq", 10L), ("eq", 10L),
+      ("wh", 1000L), ("wh", 1L), ("wh", 1L),
+      ("dirty", 5L), ("dirty", -1L), ("dirty", 0L))
+    val out = Sampling.effectiveSampleSize(rows.toDF("g", "w"), "g", "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    out("eq") shouldBe ((3L, 3.0, 1000000L))
+    val essW = 1002.0 * 1002.0 / 1000002.0
+    out("wh") shouldBe ((3L, p6d(essW),
+      math.floor(essW / 3.0 * 1000000 + 0.5).toLong))
+    out("dirty") shouldBe ((1L, 1.0, 1000000L))
+  }
+
   test("neymanAllocation sends the budget to big-and-volatile strata") {
     val implicits = spark.implicits
     import implicits._
