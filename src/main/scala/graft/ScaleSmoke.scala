@@ -1120,6 +1120,32 @@ object ScaleSmoke {
         ev.filter(pmod(col("event_id"), lit(2)) === 1), "g", "e", "o", st)
         .count()
     }
+    time("qq shift (200 groups)") {
+      operators.Metrics.qqShift(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("arm"), col("value")),
+        "g", "arm", "value", qs = Seq(0.25, 0.5, 0.75)).count()
+    }
+    time("pearson matrix (200 groups)") {
+      operators.Profile.pearsonMatrix(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          col("value").as("v1"),
+          pmod(col("event_id"), lit(97)).cast("double").as("v2"),
+          pmod(col("event_id") + col("user_id"), lit(89)).cast("double")
+            .as("v3")),
+        "g", Seq("v1", "v2", "v3")).count()
+    }
+    time("streaming ess (2 ticks)") {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_smoke_sess").toString + "/state"
+      val ev = events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+        pmod(col("event_id"), lit(997)).as("w"), col("event_id"))
+      streaming.StreamingEss.acceptBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), "g", "w", st)
+      streaming.StreamingEss.acceptBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), "g", "w", st)
+        .count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

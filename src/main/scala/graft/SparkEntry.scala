@@ -590,6 +590,36 @@ object SparkEntry {
         t(s, d, "documents").select(col("source"), col("n_chars")),
         "source", "n_chars")),
 
+    // WHERE in the distribution did the arms diverge? side-by-side
+    // exact interpolated quantiles + per-quantile shift, riding the
+    // pinned percentile ≡ quantile_cont parity
+    "q345_qq_shift" -> ((s, d) =>
+      operators.Metrics.qqShift(
+        t(s, d, "events").select(col("event_type"),
+          pmod(col("user_id"), lit(2L)).as("arm"), col("value")),
+        "event_type", "arm", "value",
+        qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9))),
+
+    // do quantity, price, and discount carry the same signal? one-pass
+    // Pearson matrix per return flag over exact decimal moment sums
+    "q346_pearson_matrix" -> ((s, d) =>
+      operators.Profile.pearsonMatrix(t(s, d, "lineitem"),
+        "l_returnflag",
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // q344's mixture health check kept live: additive (n, Σw, Σw²)
+    // per source, card via the shared essFromStats closing
+    "q347_streaming_ess" -> ((s, d) => {
+      val st = invocationStateDir("q347", "wstats")
+      val docs = t(s, d, "documents").select(col("source"),
+        col("n_chars"), col("doc_id"))
+      streaming.StreamingEss.acceptBatch(
+        docs.filter(col("doc_id") % 2 === 0), "source", "n_chars", st)
+      val merged = streaming.StreamingEss.acceptBatch(
+        docs.filter(col("doc_id") % 2 === 1), "source", "n_chars", st)
+      streaming.StreamingEss.essView(merged, "source")
+    }),
+
     // how unequal is customer revenue WITHIN each market segment?
     // Theil-T + MLD over per-customer revenue — the decomposable
     // inequality pair next to q285's Gini
@@ -5628,6 +5658,63 @@ object SparkEntry {
            |    ELSE CAST(floor(CAST(1000 AS DOUBLE) * $share + 0.5)
            |      AS BIGINT) END AS n_alloc
            |FROM wt JOIN tot USING (o_orderstatus)""".stripMargin
+      },
+
+      // per-arm quantile_cont mirrors percentile (q136 parity); shift
+      // is the fixed-order raw difference, each output pround6
+      "q345_qq_shift" -> {
+        val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+        val perQ = qs.zipWithIndex.map { case (q, i) =>
+          s"""SELECT event_type, CAST($q AS DOUBLE) AS q, n_0, n_1,
+             |  ${pround(s"p0_$i", 6)} AS v0, ${pround(s"p1_$i", 6)} AS v1,
+             |  ${pround(s"p1_$i - p0_$i", 6)} AS shift
+             |FROM agg""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH g AS (
+           |  SELECT event_type, ((user_id % 2) + 2) % 2 AS arm, value
+           |  FROM events WHERE value IS NOT NULL),
+           |agg AS (
+           |  SELECT event_type,
+           |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_0,
+           |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_1,
+           |    ${qs.zipWithIndex.map { case (q, i) =>
+                s"quantile_cont(CASE WHEN arm = 0 THEN value END, $q) AS p0_$i, " +
+                s"quantile_cont(CASE WHEN arm = 1 THEN value END, $q) AS p1_$i"
+              }.mkString(",\n|    ")}
+           |  FROM g GROUP BY 1)
+           |$perQ""".stripMargin
+      },
+
+      // q42 moment sums per pair; r one fixed-order double chain;
+      // listwise NULL deletion mirrored
+      "q346_pearson_matrix" -> {
+        val pc = Seq("l_quantity", "l_extendedprice", "l_discount")
+        def d(k: Int) = s"(CAST(n AS DOUBLE) * CAST(q$k AS DOUBLE)" +
+          s" - CAST(s$k AS DOUBLE) * CAST(s$k AS DOUBLE))"
+        val pairSelects = (for {
+          i <- pc.indices; j <- pc.indices if i < j
+        } yield {
+          val num = s"(CAST(n AS DOUBLE) * CAST(x${i}_$j AS DOUBLE)" +
+            s" - CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE))"
+          s"""SELECT l_returnflag, '${pc(i)}' AS col_a, '${pc(j)}' AS col_b,
+             |  n, CASE WHEN ${d(i)} <= 0.0 OR ${d(j)} <= 0.0 THEN NULL
+             |    ELSE ${pround(s"$num / sqrt(${d(i)} * ${d(j)})", 6)}
+             |    END AS r
+             |FROM agg""".stripMargin
+        }).mkString("\nUNION ALL\n")
+        s"""WITH agg AS (
+           |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           |    ${pc.zipWithIndex.map { case (c, i) =>
+                s"sum(CAST($c AS DECIMAL(28,2))) AS s$i, " +
+                s"sum(CAST($c * $c AS DECIMAL(38,4))) AS q$i"
+              }.mkString(",\n|    ")},
+           |    ${(for { i <- pc.indices; j <- pc.indices if i < j } yield
+                s"sum(CAST(${pc(i)} * ${pc(j)} AS DECIMAL(38,4))) AS x${i}_$j")
+                .mkString(",\n|    ")}
+           |  FROM lineitem GROUP BY 1)
+           |$pairSelects""".stripMargin
       },
 
       // per-cell (o-e)^2/e terms pround6 into a DECIMAL sum; V one
@@ -11290,6 +11377,9 @@ object SparkEntry {
       ("q331_streaming_burstiness" -> base("q322_burstiness")) +
       // additive 2x2 cells under any batch split = the one-shot cells,
       // and both cards read the shared riskCardFromCells closing
-      ("q342_streaming_risk" -> base("q326_risk_card"))
+      ("q342_streaming_risk" -> base("q326_risk_card")) +
+      // additive (n, Σw, Σw²) under any batch split = the one-shot
+      // statistics, and both cards read the shared essFromStats closing
+      ("q347_streaming_ess" -> base("q344_ess"))
   }
 }

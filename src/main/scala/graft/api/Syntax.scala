@@ -434,6 +434,11 @@ object syntax {
     def effectiveSampleSize(groupCol: String,
                             weightCol: String): DataFrame =
       Sampling.effectiveSampleSize(df, groupCol, weightCol)
+    def qqShift(groupCol: String, armCol: String, valCol: String,
+                qs: Seq[Double]): DataFrame =
+      Metrics.qqShift(df, groupCol, armCol, valCol, qs)
+    def pearsonMatrix(groupCol: String, cols: Seq[String]): DataFrame =
+      Profile.pearsonMatrix(df, groupCol, cols)
     def vMeasure(groupCol: String, clusterCol: String,
                  labelCol: String): DataFrame =
       Metrics.vMeasure(df, groupCol, clusterCol, labelCol)

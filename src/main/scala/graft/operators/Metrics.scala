@@ -989,6 +989,57 @@ object Metrics {
             DIV (n_pred + n_true) AS BIGINT) END""").as("f1_ppm"))
   }
 
+  /** Quantile–quantile shift table per group: the two arms' exact
+    * interpolated quantiles side by side at fixed probabilities, with
+    * the per-quantile shift — WHERE in the distribution did the
+    * treatment move mass? A mean shift (q325's d) can hide a pure
+    * tail effect; the QQ table localizes it ("the median moved 2%,
+    * the p90 moved 40%" reads very differently from a uniform
+    * shift). Probabilities are contract constants (≤ 32, strictly
+    * inside (0,1), ascending).
+    *
+    * Exactness rides the pinned Spark `percentile` ≡ DuckDB
+    * `quantile_cont` parity (the q136 precedent): each quantile is
+    * one interpolated double over the arm's ordered values, pround6;
+    * the shift is the fixed-order difference of the RAW quantiles,
+    * pround6. An empty arm reports NULL quantiles/shift with counts
+    * intact. NaN values are dropped like NULL (the exactQuantiles
+    * convention).
+    *
+    * Scale shape: ONE hash aggregate (2·|qs| percentile aggregates
+    * fold into the same pass), then a |qs|-element inline explode on
+    * the one-row-per-group result.
+    */
+  def qqShift(df: DataFrame, groupCol: String, armCol: String,
+              valCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.size <= 32, s"need 1..32 qs: ${qs.size}")
+    require(qs.forall(q => q > 0 && q < 1) && qs == qs.sorted &&
+      qs.distinct.size == qs.size,
+      s"qs must be distinct, ascending, inside (0,1): $qs")
+    val a = col(armCol).cast("long") =!= 0L
+    val agg = df.filter(col(groupCol).isNotNull && col(armCol).isNotNull &&
+        col(valCol).isNotNull && !isnan(col(valCol).cast("double")))
+      .select(col(groupCol), a.as("__a"),
+        col(valCol).cast("double").as("__v"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(!col("__a"), 1L).otherwise(0L)).cast("long").as("n_0"),
+        (sum(when(col("__a"), 1L).otherwise(0L)).cast("long").as("n_1") +:
+          qs.indices.flatMap(i => Seq(
+            expr(s"percentile(CASE WHEN NOT __a THEN __v END, ${qs(i)})")
+              .as(s"__p0$i"),
+            expr(s"percentile(CASE WHEN __a THEN __v END, ${qs(i)})")
+              .as(s"__p1$i")))): _*)
+    val rows = qs.indices.map(i => struct(
+      lit(qs(i)).as("q"), col(s"__p0$i").as("r0"), col(s"__p1$i").as("r1")))
+    agg.select(col(groupCol), col("n_0"), col("n_1"),
+        explode(array(rows: _*)).as("__r"))
+      .select(col(groupCol), col("__r.q").as("q"), col("n_0"), col("n_1"),
+        pround6(col("__r.r0")).as("v0"),
+        pround6(col("__r.r1")).as("v1"),
+        pround6(col("__r.r1") - col("__r.r0")).as("shift"))
+  }
+
   /** V-measure per group: homogeneity, completeness and their
     * harmonic mean over a (cluster, label) contingency — the
     * entropy-calibrated clustering scorecard ("does each source carry

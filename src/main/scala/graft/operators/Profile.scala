@@ -899,6 +899,64 @@ object Profile {
             lit(1.0) - col("__bc").cast("double"))))).as("hellinger"))
   }
 
+  /** Pairwise Pearson correlation matrix per group over a fixed set
+    * of ≤ 8 numeric columns — the one-pass multicollinearity screen a
+    * feature table gets before model training ("quantity and price
+    * carry the same signal; drop one"). One row per unordered column
+    * pair, names in the declared order.
+    *
+    * Exactness (the q42 moment discipline, 2-decimal input contract):
+    * Σx accumulate as DECIMAL(28,2) and every product Σxy as
+    * DECIMAL(38,4) — partial-aggregation order cannot perturb them —
+    * and r = (n·Σxy − Σx·Σy)/√((n·Σx²−Σx²)(n·Σy²−Σy²)) is ONE
+    * fixed-order double chain over those exact sums, pround6. A
+    * zero-variance column reports NULL r for its pairs. Rows with ANY
+    * NULL among the columns are dropped (listwise deletion — the
+    * matrix stays positive semi-definite).
+    *
+    * Scale shape: ONE hash aggregate (k + k(k+1)/2 conditional sums
+    * fold into the same pass), then a k(k−1)/2-element inline explode
+    * on the one-row-per-group result.
+    */
+  def pearsonMatrix(df: DataFrame, groupCol: String,
+                    cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"need 2..8 columns: ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val vs = cols.map(c => col(c).cast("double"))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val agg = df.filter(col(groupCol).isNotNull &&
+        cols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        (cols.indices.flatMap(i => Seq(
+          sum(vs(i).cast("decimal(28,2)")).as(s"__s$i"),
+          sum((vs(i) * vs(i)).cast("decimal(38,4)")).as(s"__q$i"))) ++
+          pairs.map { case (i, j) =>
+            sum((vs(i) * vs(j)).cast("decimal(38,4)")).as(s"__x${i}_$j")
+          }): _*)
+    def rExpr(i: Int, j: Int) = {
+      val num = s"(CAST(n AS DOUBLE) * CAST(__x${i}_$j AS DOUBLE)" +
+        s" - CAST(__s$i AS DOUBLE) * CAST(__s$j AS DOUBLE))"
+      def d(k: Int) = s"(CAST(n AS DOUBLE) * CAST(__q$k AS DOUBLE)" +
+        s" - CAST(__s$k AS DOUBLE) * CAST(__s$k AS DOUBLE))"
+      expr(s"""CASE WHEN ${d(i)} <= 0.0 OR ${d(j)} <= 0.0 THEN NULL
+        ELSE $num / sqrt(${d(i)} * ${d(j)}) END""")
+    }
+    val rows = pairs.map { case (i, j) => struct(
+      lit(cols(i)).as("ca"), lit(cols(j)).as("cb"),
+      rExpr(i, j).as("rr"))
+    }
+    agg.select(col(groupCol), col("n"),
+        explode(array(rows: _*)).as("__r"))
+      .select(col(groupCol), col("__r.ca").as("col_a"),
+        col("__r.cb").as("col_b"), col("n"),
+        p6(col("__r.rr")).as("r"))
+  }
+
   /** Cramér's V per group: the calibrated EFFECT SIZE for a
     * categorical×categorical association — the q252 chi-square says
     * "dependent somewhere", V ∈ [0,1] says HOW MUCH, comparable

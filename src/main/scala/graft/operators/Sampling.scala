@@ -487,21 +487,30 @@ object Sampling {
     * Scale shape: ONE hash aggregate. Nothing else.
     */
   def effectiveSampleSize(df: DataFrame, groupCol: String,
-                          weightCol: String): DataFrame = {
+                          weightCol: String): DataFrame =
+    essFromStats(
+      df.filter(col(groupCol).isNotNull && col(weightCol).isNotNull &&
+          col(weightCol) > 0)
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col(weightCol).cast("decimal(28,6)")).as("__s"),
+          sum((col(weightCol) * col(weightCol)).cast("decimal(38,6)"))
+            .as("__q")),
+      groupCol)
+
+  /** The shared ESS closing over a per-group (n, Σw, Σw²) statistic
+    * table — [[effectiveSampleSize]] and `streaming.StreamingEss`
+    * both read through it, so the batch and live cards cannot
+    * diverge.
+    */
+  def essFromStats(stats: DataFrame, groupCol: String): DataFrame = {
     def p6(c: Column) = graft.functions.Rounding.p6(c)
     val essX = "(CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE)" +
       " / CAST(__q AS DOUBLE))"
-    df.filter(col(groupCol).isNotNull && col(weightCol).isNotNull &&
-        col(weightCol) > 0)
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("long").as("n"),
-        sum(col(weightCol).cast("decimal(28,6)")).as("__s"),
-        sum((col(weightCol) * col(weightCol)).cast("decimal(38,6)"))
-          .as("__q"))
-      .select(col(groupCol), col("n"),
-        p6(expr(essX)).as("ess"),
-        expr(s"CAST(floor($essX / CAST(n AS DOUBLE) * 1000000 + 0.5)" +
-          " AS BIGINT)").as("efficiency_ppm"))
+    stats.select(col(groupCol), col("n"),
+      p6(expr(essX)).as("ess"),
+      expr(s"CAST(floor($essX / CAST(n AS DOUBLE) * 1000000 + 0.5)" +
+        " AS BIGINT)").as("efficiency_ppm"))
   }
 
   /** Neyman optimal allocation per (group, stratum): how many of a

@@ -293,6 +293,14 @@ class SyntaxSpec extends SparkSpec {
     ew.effectiveSampleSize("g", "w").queryExecution.analyzed
       .sameResult(graft.operators.Sampling.effectiveSampleSize(ew, "g",
         "w").queryExecution.analyzed) shouldBe true
+    val qq = Seq(("g", 0L, 1.0), ("g", 1L, 2.0)).toDF("g", "arm", "v")
+    qq.qqShift("g", "arm", "v", Seq(0.5)).collect().toSeq shouldBe
+      graft.operators.Metrics.qqShift(qq, "g", "arm", "v", Seq(0.5))
+        .collect().toSeq
+    val pm = Seq(("g", 1.0, 2.0), ("g", 2.0, 3.0)).toDF("g", "x", "y")
+    pm.pearsonMatrix("g", Seq("x", "y")).collect().toSeq shouldBe
+      graft.operators.Profile.pearsonMatrix(pm, "g", Seq("x", "y"))
+        .collect().toSeq
     val vm = Seq(("g", "c", "l")).toDF("g", "c", "l")
     vm.vMeasure("g", "c", "l").collect().toSeq shouldBe
       graft.operators.Metrics.vMeasure(vm, "g", "c", "l")

@@ -512,6 +512,30 @@ class MetricsSpec extends SparkSpec {
     lo.getLong(7) shouldBe 1000000L
   }
 
+  test("qqShift reports per-quantile arm gaps with R-7 interpolation") {
+    val rows = (0 to 4).map(i => ("g", 0L, i * 10.0)) ++
+      (0 to 4).map(i => ("g", 1L, i * 10.0 + 100.0)) ++
+      Seq(("one", 0L, 5.0), ("one", 0L, 7.0))
+    val out = Metrics.qqShift(rows.toDF("g", "arm", "v"), "g", "arm",
+        "v", qs = Seq(0.1, 0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r).toMap
+    val g5 = out(("g", 0.5))
+    (g5.getLong(2), g5.getLong(3)) shouldBe ((5L, 5L))
+    (g5.getDouble(4), g5.getDouble(5), g5.getDouble(6)) shouldBe
+      ((20.0, 120.0, 100.0))
+    // p10 interpolates: (n-1)*q = 0.4 -> 0 + 0.4*10
+    out(("g", 0.1)).getDouble(4) shouldBe 4.0
+    out(("g", 0.1)).getDouble(6) shouldBe 100.0
+    // an empty arm: NULL quantile and shift, counts intact
+    val o = out(("one", 0.5))
+    (o.getLong(2), o.getLong(3)) shouldBe ((2L, 0L))
+    o.getDouble(4) shouldBe 6.0
+    assert(o.isNullAt(5) && o.isNullAt(6))
+    an[IllegalArgumentException] should be thrownBy
+      Metrics.qqShift(rows.toDF("g", "arm", "v"), "g", "arm", "v",
+        Seq(0.5, 0.1))
+  }
+
   test("vMeasure: perfect clustering scores 1, one-cluster scores h=0 c=1") {
     val perfect = Seq(("g", "c1", "l1"), ("g", "c1", "l1"),
       ("g", "c2", "l2"), ("g", "c2", "l2"))

@@ -466,6 +466,24 @@ class ProfileSpec extends SparkSpec {
     assert(ro.isNullAt(3) && ro.isNullAt(4))
   }
 
+  test("pearsonMatrix: exact ±1 on linear columns, NULL on constants") {
+    val rows = Seq(("g", 1.0, 6.0, 5.0), ("g", 2.0, 4.0, 5.0),
+      ("g", 3.0, 2.0, 5.0))
+    val out = Profile.pearsonMatrix(rows.toDF("g", "x", "y", "c"),
+        "g", Seq("x", "y", "c"))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r).toMap
+    out.keySet shouldBe Set(("x", "y"), ("x", "c"), ("y", "c"))
+    out(("x", "y")).getDouble(4) shouldBe -1.0
+    assert(out(("x", "c")).isNullAt(4))
+    assert(out(("y", "c")).isNullAt(4))
+    // hand value: x=(1,2,3) y=(1,3,2) -> r = 3/6 = 0.5
+    val half = Seq(("h", 1.0, 1.0), ("h", 2.0, 3.0), ("h", 3.0, 2.0))
+    Profile.pearsonMatrix(half.toDF("g", "x", "y"), "g", Seq("x", "y"))
+      .collect().head.getDouble(4) shouldBe 0.5
+    an[IllegalArgumentException] should be thrownBy
+      Profile.pearsonMatrix(half.toDF("g", "x", "y"), "g", Seq("x"))
+  }
+
   test("cramersV: 1 on perfect association (even sparse), 0 on independence") {
     // dense perfect 2x2: diag 10/10 -> chi2 20, V = 1
     val perfect = Seq.fill(10)(("g", "x", "p")) ++
