@@ -1146,6 +1146,26 @@ object ScaleSmoke {
         ev.filter(pmod(col("event_id"), lit(2)) === 1), "g", "w", st)
         .count()
     }
+    time("partial correlation (200 groups)") {
+      operators.Profile.partialCorrelation(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          col("value").as("x"),
+          pmod(col("event_id"), lit(97)).cast("double").as("y"),
+          pmod(col("event_id"), lit(89)).cast("double").as("z")),
+        "g", "x", "y", "z").count()
+    }
+    time("burrows delta (8 sources)") {
+      operators.TfIdf.burrowsDelta(
+        docsPq.select(col("text"),
+          pmod(col("doc_id"), lit(8)).cast("string").as("source")),
+        "text", "source", topK = 50).count()
+    }
+    time("keyness (8 sources)") {
+      operators.TfIdf.keyness(
+        docsPq.select(col("text"),
+          pmod(col("doc_id"), lit(8)).cast("string").as("source")),
+        "text", "source", k = 10).count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

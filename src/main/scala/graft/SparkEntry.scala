@@ -620,6 +620,27 @@ object SparkEntry {
       streaming.StreamingEss.essView(merged, "source")
     }),
 
+    // is the price–discount correlation real, or is it just quantity?
+    // first-order partial correlation per return flag, computed from
+    // RAW r's over exact moment sums
+    "q348_partial_correlation" -> ((s, d) =>
+      operators.Profile.partialCorrelation(t(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_discount", "l_quantity")),
+
+    // which sources share a VOICE? Burrows' Delta over top-50
+    // function-word z-profiles — low delta = same template/author,
+    // the style companion to near-dup detection
+    "q349_burrows_delta" -> ((s, d) =>
+      operators.TfIdf.burrowsDelta(t(s, d, "documents"),
+        "text", "source", topK = 50)),
+
+    // which words does each source use significantly MORE than the
+    // rest? Dunning G² keyness top-10, over-representation gated by
+    // exact integer cross-multiplication
+    "q350_keyness" -> ((s, d) =>
+      operators.TfIdf.keyness(t(s, d, "documents"),
+        "text", "source", k = 10)),
+
     // how unequal is customer revenue WITHIN each market segment?
     // Theil-T + MLD over per-customer revenue — the decomposable
     // inequality pair next to q285's Gini
@@ -5715,6 +5736,113 @@ object SparkEntry {
                 .mkString(",\n|    ")}
            |  FROM lineitem GROUP BY 1)
            |$pairSelects""".stripMargin
+      },
+
+      // three raw r's and the partial in one fixed-order double chain
+      // over exact moment sums; pround6 only at output
+      "q348_partial_correlation" -> {
+        def d(kk: Int) = s"(CAST(n AS DOUBLE) * CAST(q$kk AS DOUBLE)" +
+          s" - CAST(s$kk AS DOUBLE) * CAST(s$kk AS DOUBLE))"
+        def r(i: Int, j: Int) =
+          s"((CAST(n AS DOUBLE) * CAST(x${i}_$j AS DOUBLE)" +
+            s" - CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE))" +
+            s" / sqrt(${d(i)} * ${d(j)}))"
+        val den = s"((1.0 - ${r(0, 2)} * ${r(0, 2)})" +
+          s" * (1.0 - ${r(1, 2)} * ${r(1, 2)}))"
+        val defined = s"(${d(0)} > 0.0 AND ${d(1)} > 0.0 AND ${d(2)} > 0.0)"
+        val pc = Seq("l_extendedprice", "l_discount", "l_quantity")
+        s"""WITH agg AS (
+           |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           |    ${pc.zipWithIndex.map { case (c, i) =>
+                s"sum(CAST($c AS DECIMAL(28,2))) AS s$i, " +
+                s"sum(CAST($c * $c AS DECIMAL(38,4))) AS q$i"
+              }.mkString(",\n|    ")},
+           |    ${Seq((0, 1), (0, 2), (1, 2)).map { case (i, j) =>
+                s"sum(CAST(${pc(i)} * ${pc(j)} AS DECIMAL(38,4))) AS x${i}_$j"
+              }.mkString(",\n|    ")}
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, n,
+           |  ${pround(s"CASE WHEN $defined THEN ${r(0, 1)} END", 6)} AS r_xy,
+           |  ${pround(s"CASE WHEN $defined AND $den > 0.0 THEN (${r(0, 1)} - ${r(0, 2)} * ${r(1, 2)}) / sqrt($den) END", 6)} AS r_xy_z
+           |FROM agg""".stripMargin
+      },
+
+      // canonical pround6 frequency features; per-word mean/sigma over
+      // exact decimal sums; z pround6 so pair gaps are exact decimals
+      "q349_burrows_delta" -> {
+        val sig = "sqrt(CAST(ng AS DOUBLE) * CAST(qf AS DOUBLE)" +
+          " - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))" +
+          " / CAST(ng AS DOUBLE)"
+        val mu = "(CAST(sf AS DOUBLE) / CAST(ng AS DOUBLE))"
+        s"""WITH cnt AS (
+           |  SELECT source AS g, unnest($toksSql) AS t, 1 AS one
+           |  FROM documents WHERE source IS NOT NULL),
+           |c AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c
+           |  FROM cnt GROUP BY 1, 2),
+           |gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS gtot
+           |  FROM c GROUP BY 1),
+           |top AS (SELECT t FROM (
+           |    SELECT t, CAST(sum(c) AS BIGINT) AS tc FROM c GROUP BY 1)
+           |  ORDER BY tc DESC, t LIMIT 50),
+           |grid AS (
+           |  SELECT gt.g, gt.gtot, top.t, COALESCE(c.c, 0) AS c
+           |  FROM gt CROSS JOIN top
+           |  LEFT JOIN c ON c.g = gt.g AND c.t = top.t),
+           |f AS (
+           |  SELECT g, t, CAST(${pround("CAST(c AS DOUBLE) / CAST(gtot AS DOUBLE)", 6)} AS DECIMAL(18,6)) AS f6
+           |  FROM grid),
+           |stats AS (
+           |  SELECT t, CAST(count(*) AS BIGINT) AS ng,
+           |    CAST(sum(f6) AS DECIMAL(28,6)) AS sf,
+           |    CAST(sum(CAST(CAST(f6 AS DOUBLE) * CAST(f6 AS DOUBLE)
+           |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS qf
+           |  FROM f GROUP BY 1),
+           |z AS (
+           |  SELECT g, f.t,
+           |    CAST(${pround(s"CASE WHEN $sig <= 0.0 THEN 0.0 ELSE (CAST(f6 AS DOUBLE) - $mu) / ($sig) END", 6)} AS DECIMAL(18,6)) AS z
+           |  FROM f JOIN stats ON f.t = stats.t)
+           |SELECT a.g AS group_a, b.g AS group_b,
+           |  CAST(count(*) AS BIGINT) AS n_terms,
+           |  ${pround("CAST(CAST(sum(abs(a.z - b.z)) AS DECIMAL(28,6)) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS delta
+           |FROM z a JOIN z b ON a.t = b.t AND a.g < b.g
+           |GROUP BY 1, 2""".stripMargin
+      },
+
+      // the same 2x2 margin algebra; over-representation gate by exact
+      // HUGEINT cross-multiplication; rank on the RAW g2 double
+      "q350_keyness" -> {
+        def t(o: String, e: String) =
+          s"(CASE WHEN $o > 0 THEN CAST($o AS DOUBLE)" +
+            s" * ln(CAST($o AS DOUBLE) / ($e)) ELSE 0.0 END)"
+        val o12 = "(tt - c)"; val o21 = "(gtot - c)"
+        val o22 = "(nn - tt - gtot + c)"
+        val nD = "CAST(nn AS DOUBLE)"
+        val e11 = s"(CAST(tt AS DOUBLE) * CAST(gtot AS DOUBLE) / $nD)"
+        val e12 = s"(CAST(tt AS DOUBLE) * CAST(nn - gtot AS DOUBLE) / $nD)"
+        val e21 = s"(CAST(nn - tt AS DOUBLE) * CAST(gtot AS DOUBLE) / $nD)"
+        val e22 =
+          s"(CAST(nn - tt AS DOUBLE) * CAST(nn - gtot AS DOUBLE) / $nD)"
+        val g2 = s"(2.0 * (${t("c", e11)} + ${t(o12, e12)}" +
+          s" + ${t(o21, e21)} + ${t(o22, e22)}))"
+        s"""WITH cnt AS (
+           |  SELECT source AS g, unnest($toksSql) AS t
+           |  FROM documents WHERE source IS NOT NULL),
+           |c AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c
+           |  FROM cnt GROUP BY 1, 2),
+           |tt AS (SELECT t, CAST(sum(c) AS BIGINT) AS tt FROM c GROUP BY 1),
+           |gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS gtot FROM c GROUP BY 1),
+           |nn AS (SELECT CAST(sum(gtot) AS BIGINT) AS nn FROM gt),
+           |scored AS (
+           |  SELECT g, c.t, c, $g2 AS g2d
+           |  FROM c JOIN tt USING (t) JOIN gt USING (g) CROSS JOIN nn
+           |  WHERE CAST(c AS HUGEINT) * nn > CAST(tt AS HUGEINT) * gtot),
+           |r AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY g ORDER BY g2d DESC, t) AS rk
+           |  FROM scored)
+           |SELECT g AS source, t AS term, c AS n_in,
+           |  ${pround("g2d", 6)} AS g2, CAST(rk AS BIGINT) AS rank
+           |FROM r WHERE rk <= 10""".stripMargin
       },
 
       // per-cell (o-e)^2/e terms pround6 into a DECIMAL sum; V one

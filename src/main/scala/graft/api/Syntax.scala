@@ -439,6 +439,15 @@ object syntax {
       Metrics.qqShift(df, groupCol, armCol, valCol, qs)
     def pearsonMatrix(groupCol: String, cols: Seq[String]): DataFrame =
       Profile.pearsonMatrix(df, groupCol, cols)
+    def partialCorrelation(groupCol: String, xCol: String, yCol: String,
+                           zCol: String): DataFrame =
+      Profile.partialCorrelation(df, groupCol, xCol, yCol, zCol)
+    def burrowsDelta(textCol: String, groupCol: String, topK: Int = 50,
+                     maxGroups: Int = 64): DataFrame =
+      TfIdf.burrowsDelta(df, textCol, groupCol, topK, maxGroups)
+    def keyness(textCol: String, groupCol: String,
+                k: Int = 10): DataFrame =
+      TfIdf.keyness(df, textCol, groupCol, k)
     def vMeasure(groupCol: String, clusterCol: String,
                  labelCol: String): DataFrame =
       Metrics.vMeasure(df, groupCol, clusterCol, labelCol)

@@ -957,6 +957,57 @@ object Profile {
         p6(col("__r.rr")).as("r"))
   }
 
+  /** First-order partial correlation per group: the x–y association
+    * with a confounder z HELD FIXED — r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)). The "is the correlation real or is it
+    * just z?" screen ([[pearsonMatrix]]'s follow-up question): price
+    * and discount may correlate only because both track quantity.
+    *
+    * Exactness rides [[pearsonMatrix]]'s moment discipline (exact
+    * DECIMAL sums; the three raw r's and the partial are ONE
+    * fixed-order double chain, pround6 only at output — the partial
+    * is computed from the RAW r's, never the rounded ones). Any
+    * zero-variance column, or |r_xz| = 1 / |r_yz| = 1 (z explains a
+    * variable completely — the partial is undefined), reports NULL.
+    * Listwise NULL deletion as [[pearsonMatrix]].
+    *
+    * Scale shape: ONE hash aggregate. Nothing else.
+    */
+  def partialCorrelation(df: DataFrame, groupCol: String, xCol: String,
+                         yCol: String, zCol: String): DataFrame = {
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val cs = Seq(xCol, yCol, zCol)
+    val vs = cs.map(c => col(c).cast("double"))
+    val agg = df.filter(col(groupCol).isNotNull &&
+        cs.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        (cs.indices.flatMap(i => Seq(
+          sum(vs(i).cast("decimal(28,2)")).as(s"__s$i"),
+          sum((vs(i) * vs(i)).cast("decimal(38,4)")).as(s"__q$i"))) ++
+          Seq((0, 1), (0, 2), (1, 2)).map { case (i, j) =>
+            sum((vs(i) * vs(j)).cast("decimal(38,4)")).as(s"__x${i}_$j")
+          }): _*)
+    def d(k: Int) = s"(CAST(n AS DOUBLE) * CAST(__q$k AS DOUBLE)" +
+      s" - CAST(__s$k AS DOUBLE) * CAST(__s$k AS DOUBLE))"
+    def r(i: Int, j: Int) =
+      s"((CAST(n AS DOUBLE) * CAST(__x${i}_$j AS DOUBLE)" +
+        s" - CAST(__s$i AS DOUBLE) * CAST(__s$j AS DOUBLE))" +
+        s" / sqrt(${d(i)} * ${d(j)}))"
+    val den = s"((1.0 - ${r(0, 2)} * ${r(0, 2)})" +
+      s" * (1.0 - ${r(1, 2)} * ${r(1, 2)}))"
+    val defined = s"(${d(0)} > 0.0 AND ${d(1)} > 0.0 AND ${d(2)} > 0.0)"
+    // nested CASE: the den/r expressions divide by the variance terms,
+    // and ANSI mode raises on a zero divisor — `defined` must gate
+    // their EVALUATION (outer branch), not just AND into one condition
+    agg.select(col(groupCol), col("n"),
+      p6(expr(s"CASE WHEN $defined THEN ${r(0, 1)} END")).as("r_xy"),
+      p6(expr(s"""CASE WHEN $defined THEN
+        CASE WHEN $den > 0.0
+          THEN (${r(0, 1)} - ${r(0, 2)} * ${r(1, 2)}) / sqrt($den)
+        END END""")).as("r_xy_z"))
+  }
+
   /** Cramér's V per group: the calibrated EFFECT SIZE for a
     * categorical×categorical association — the q252 chi-square says
     * "dependent somewhere", V ∈ [0,1] says HOW MUCH, comparable

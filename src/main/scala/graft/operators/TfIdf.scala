@@ -511,6 +511,155 @@ object TfIdf {
         col("__h").cast("double").as("shannon"))
   }
 
+  /** Burrows' Delta between every pair of groups: the classic
+    * stylometry distance — z-score each group's relative frequency of
+    * the corpus's top-K words (function words dominate that list, and
+    * function-word profiles are the closest thing text has to a
+    * fingerprint), then average the absolute z-gaps over the K words.
+    * Low delta = same "voice" (same template, same scraper, same
+    * author) — the source-level companion to near-dup detection,
+    * which only sees COPIED text, where Delta sees shared STYLE.
+    *
+    * Exactness: the canonical per-(group, word) feature is
+    * pround6(count/group_tokens) as DECIMAL(18,6); per-word mean/σ
+    * across groups use exact decimal sums of those features (squares
+    * of 6-dp values are exact in double and stored DECIMAL(38,12));
+    * z is one fixed-order double, pround6 → DECIMAL(18,6), so the
+    * pairwise |z_a − z_b| sums are EXACT decimal arithmetic and only
+    * the closing /K is a rounded double. A word with σ = 0
+    * contributes z = 0 for every group (no discriminating power).
+    * Missing (group, word) cells count as frequency 0 — the full
+    * G×K grid is materialized (nature-bounded; `maxGroups` is
+    * enforced with a driver-side count before the grid builds).
+    *
+    * Scale shape: one (group, term) hash aggregate is the row-scale
+    * pass; the top-K cut is a distributed TakeOrdered; everything
+    * after runs on G·K-bounded tables (grid ≤ maxGroups·topK, pair
+    * table ≤ G²·K).
+    */
+  def burrowsDelta(docs: DataFrame, textCol: String, groupCol: String,
+                   topK: Int = 50, maxGroups: Int = 64): DataFrame = {
+    require(topK >= 2 && topK <= 200, s"topK out of range: $topK")
+    require(maxGroups >= 2 && maxGroups <= 256,
+      s"maxGroups out of range: $maxGroups")
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val cnt = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(TextFns.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val gTot = cnt.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("__gt"))
+      .localCheckpoint(true)
+    val nGroups = gTot.count()
+    if (nGroups > maxGroups) throw new IllegalStateException(
+      s"burrowsDelta: $nGroups groups exceed maxGroups=$maxGroups — " +
+        "the G²·K pair table would explode; bucket the group column " +
+        "or raise maxGroups to accept the cost explicitly.")
+    val top = cnt.groupBy(col("__t"))
+      .agg(sum(col("__c")).cast("long").as("__tc"))
+      .orderBy(col("__tc").desc, col("__t")).limit(topK)
+      .select(col("__t"))
+      .localCheckpoint(true)
+    val grid = gTot.crossJoin(broadcast(top))
+      .join(cnt, Seq("__g", "__t"), "left")
+      .withColumn("__f",
+        p6(coalesce(col("__c"), lit(0L)).cast("double") /
+          col("__gt").cast("double")).cast("decimal(18,6)"))
+    val stats = grid.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("long").as("__ng"),
+        sum(col("__f")).cast("decimal(28,6)").as("__sf"),
+        sum((col("__f").cast("double") * col("__f").cast("double"))
+          .cast("decimal(38,12)")).as("__qf"))
+    val sig = "sqrt(CAST(__ng AS DOUBLE) * CAST(__qf AS DOUBLE)" +
+      " - CAST(__sf AS DOUBLE) * CAST(__sf AS DOUBLE))" +
+      " / CAST(__ng AS DOUBLE)"
+    val mu = "(CAST(__sf AS DOUBLE) / CAST(__ng AS DOUBLE))"
+    val z = grid.join(broadcast(stats), Seq("__t"))
+      .withColumn("__z", p6(expr(s"""CASE WHEN $sig <= 0.0 THEN 0.0
+        ELSE (CAST(__f AS DOUBLE) - $mu) / ($sig) END"""))
+        .cast("decimal(18,6)"))
+      .select(col("__g"), col("__t"), col("__z"))
+    val a = z.select(col("__g").as("group_a"), col("__t"),
+      col("__z").as("__za"))
+    val b = z.select(col("__g").as("group_b"), col("__t"),
+      col("__z").as("__zb"))
+    a.join(b, Seq("__t"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(abs(col("__za") - col("__zb"))).as("__sd"))
+      .select(col("group_a"), col("group_b"), col("n_terms"),
+        p6(col("__sd").cast("double") / col("n_terms").cast("double"))
+          .as("delta"))
+  }
+
+  /** Log-likelihood keyness (Dunning's G²) — the top-k KEYWORDS of
+    * each group against the rest of the corpus: which words does this
+    * source use significantly MORE than everyone else? The calibrated
+    * alternative to [[topTerms]]'s tf-idf (G² is a real significance
+    * statistic, comparable across words of very different frequency,
+    * where tf-idf conflates rarity with salience).
+    *
+    * Per (group, word): the 2×2 table (word-in-group o11, word
+    * elsewhere, other-words-in-group, rest), G² = 2·Σ o·ln(o/e) over
+    * the four cells (zero cells contribute 0; a zero e with a
+    * positive o is impossible by the margin algebra). Only
+    * OVER-represented words qualify (o11·N > rowTot·colTot — an
+    * exact integer comparison, never the rounded double). G² is ONE
+    * fixed-order double over exact BIGINT margins, pround6; top-k by
+    * (G² desc, word asc) via a rank-limited window (planned as
+    * WindowGroupLimit).
+    *
+    * Scale shape: one (group, term) hash aggregate; term totals
+    * equi-join back on term (AQE splits hot words); group totals and
+    * the one-row corpus total attach as broadcasts (the q77 shape).
+    */
+  def keyness(docs: DataFrame, textCol: String, groupCol: String,
+              k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 100, s"k out of range: $k")
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val cnt = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(TextFns.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val termTot = cnt.groupBy(col("__t"))
+      .agg(sum(col("__c")).cast("long").as("__tt"))
+    val grpTot = cnt.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("__gt"))
+    val nTot = grpTot.agg(sum(col("__gt")).cast("long").as("__nn"))
+    def t(o: String, e: String) =
+      s"(CASE WHEN $o > 0 THEN CAST($o AS DOUBLE)" +
+        s" * ln(CAST($o AS DOUBLE) / ($e)) ELSE 0.0 END)"
+    val o12 = "(__tt - __c)"; val o21 = "(__gt - __c)"
+    val o22 = "(__nn - __tt - __gt + __c)"
+    val nD = "CAST(__nn AS DOUBLE)"
+    val e11 = s"(CAST(__tt AS DOUBLE) * CAST(__gt AS DOUBLE) / $nD)"
+    val e12 = s"(CAST(__tt AS DOUBLE) * CAST(__nn - __gt AS DOUBLE) / $nD)"
+    val e21 = s"(CAST(__nn - __tt AS DOUBLE) * CAST(__gt AS DOUBLE) / $nD)"
+    val e22 =
+      s"(CAST(__nn - __tt AS DOUBLE) * CAST(__nn - __gt AS DOUBLE) / $nD)"
+    val g2 = s"(2.0 * (${t("__c", e11)} + ${t(o12, e12)}" +
+      s" + ${t(o21, e21)} + ${t(o22, e22)}))"
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__g2d").desc, col("__t"))
+    cnt.join(termTot, Seq("__t"))
+      .join(broadcast(grpTot), Seq("__g"))
+      .crossJoin(broadcast(nTot))
+      // over-representation gate: exact integer cross-multiplication
+      .filter(expr(
+        "CAST(__c AS DECIMAL(38,0)) * __nn > CAST(__tt AS DECIMAL(38,0)) * __gt"))
+      .withColumn("__g2d", expr(g2))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("__g").as(groupCol), col("__t").as("term"),
+        col("__c").as("n_in"), p6(col("__g2d")).as("g2"),
+        col("__rk").cast("long").as("rank"))
+  }
+
   /** Per-group readability card: pooled word / sentence / syllable
     * counts and the Flesch reading-ease + Flesch–Kincaid grade level
     * computed from the POOLED ratios — the corpus-curation screen

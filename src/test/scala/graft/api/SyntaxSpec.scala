@@ -301,6 +301,19 @@ class SyntaxSpec extends SparkSpec {
     pm.pearsonMatrix("g", Seq("x", "y")).collect().toSeq shouldBe
       graft.operators.Profile.pearsonMatrix(pm, "g", Seq("x", "y"))
         .collect().toSeq
+    val pq = Seq(("g", 1.0, 2.0, 3.0), ("g", 2.0, 3.0, 4.0))
+      .toDF("g", "x", "y", "z")
+    pq.partialCorrelation("g", "x", "y", "z").queryExecution.analyzed
+      .sameResult(graft.operators.Profile.partialCorrelation(pq, "g",
+        "x", "y", "z").queryExecution.analyzed) shouldBe true
+    val bd = Seq((1L, "a b", "s1"), (2L, "b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    bd.burrowsDelta("text", "source", topK = 2).collect().toSeq shouldBe
+      graft.operators.TfIdf.burrowsDelta(bd, "text", "source", topK = 2)
+        .collect().toSeq
+    bd.keyness("text", "source", k = 1).collect().toSeq shouldBe
+      graft.operators.TfIdf.keyness(bd, "text", "source", k = 1)
+        .collect().toSeq
     val vm = Seq(("g", "c", "l")).toDF("g", "c", "l")
     vm.vMeasure("g", "c", "l").collect().toSeq shouldBe
       graft.operators.Metrics.vMeasure(vm, "g", "c", "l")

@@ -484,6 +484,36 @@ class ProfileSpec extends SparkSpec {
       Profile.pearsonMatrix(half.toDF("g", "x", "y"), "g", Seq("x"))
   }
 
+  test("partialCorrelation removes the confounder's share") {
+    import graft.functions.Rounding.p6d
+    // x and y both track z plus orthogonal noise
+    val rows = Seq(("g", -1.0, 1.0, 0.0), ("g", 1.0, -1.0, 0.0),
+      ("g", 1.0, 1.0, 1.0), ("g", 3.0, 3.0, 1.0))
+    val r = Profile.partialCorrelation(rows.toDF("g", "x", "y", "z"),
+      "g", "x", "y", "z").collect().head
+    def rr(n: Double, sx: Double, sy: Double, sxy: Double,
+           qx: Double, qy: Double) =
+      (n * sxy - sx * sy) /
+        math.sqrt((n * qx - sx * sx) * (n * qy - sy * sy))
+    // moments: sx=4 sy=4 qx=12 qy=12 sxy=8 sxz=4 syz=4 qz=2 sz=2
+    val rxy = rr(4, 4, 4, 8, 12, 12)
+    val rxz = rr(4, 4, 2, 4, 12, 2)
+    val ryz = rr(4, 4, 2, 4, 12, 2)
+    r.getDouble(2) shouldBe p6d(rxy)
+    r.getDouble(3) shouldBe p6d((rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)))
+    // z = x: the partial is undefined
+    val dz = Seq(("d", 1.0, 2.0, 1.0), ("d", 2.0, 1.0, 2.0),
+      ("d", 3.0, 3.0, 3.0))
+    assert(Profile.partialCorrelation(dz.toDF("g", "x", "y", "z"),
+      "g", "x", "y", "z").collect().head.isNullAt(3))
+    // constant column: everything NULL
+    val flat = Seq(("f", 1.0, 2.0, 5.0), ("f", 2.0, 1.0, 5.0))
+    val rf = Profile.partialCorrelation(flat.toDF("g", "x", "y", "z"),
+      "g", "x", "y", "z").collect().head
+    assert(rf.isNullAt(2) && rf.isNullAt(3))
+  }
+
   test("cramersV: 1 on perfect association (even sparse), 0 on independence") {
     // dense perfect 2x2: diag 10/10 -> chi2 20, V = 1
     val perfect = Seq.fill(10)(("g", "x", "p")) ++

@@ -226,6 +226,46 @@ class TfIdfSpec extends SparkSpec {
     s3.getDouble(8) shouldBe 0.0
   }
 
+  test("burrowsDelta: 0 for identical profiles, orders style distance") {
+    val docs = Seq(
+      (1L, "a a b c", "s1"), (2L, "a a b c", "s2"), // identical voices
+      (3L, "c c c b", "s3")).toDF("doc_id", "text", "source")
+    val out = TfIdf.burrowsDelta(docs, "text", "source", topK = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    out.keySet shouldBe Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3"))
+    out(("s1", "s2"))._2 shouldBe 0.0
+    out(("s1", "s2"))._1 shouldBe 3L
+    out(("s1", "s3"))._2 should be > 0.0
+    out(("s1", "s3"))._2 shouldBe out(("s2", "s3"))._2 // same profile
+    // too many groups refuses before the pair table builds
+    an[IllegalStateException] should be thrownBy
+      TfIdf.burrowsDelta(docs, "text", "source", topK = 3,
+        maxGroups = 2)
+  }
+
+  test("keyness surfaces over-represented words with the hand G2") {
+    import graft.functions.Rounding.p6d
+    val docs = Seq(
+      (1L, "x x x common common", "s1"),
+      (2L, "common common common y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TfIdf.keyness(docs, "text", "source", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // 'common' is UNDER-represented in s1 (2*9 < 5*5) and filtered
+    out.keySet shouldBe Set(("s1", "x"), ("s2", "y"), ("s2", "common"))
+    val g2x = 2.0 * (3.0 * math.log(3.0 / (3.0 * 5.0 / 9.0)) +
+      2.0 * math.log(2.0 / (6.0 * 5.0 / 9.0)) +
+      4.0 * math.log(4.0 / (6.0 * 4.0 / 9.0)))
+    out(("s1", "x")) shouldBe ((3L, p6d(g2x), 1L))
+    // y's exclusivity beats common's extra mass: y ranks first in s2
+    out(("s2", "y"))._3 shouldBe 1L
+    out(("s2", "common"))._3 shouldBe 2L
+    an[IllegalArgumentException] should be thrownBy
+      TfIdf.keyness(docs, "text", "source", k = 0)
+  }
+
   test("readability pools exact counts and scores the pooled ratios") {
     import graft.functions.Rounding.p6d
     val docs = Seq(

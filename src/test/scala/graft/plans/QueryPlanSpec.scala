@@ -142,7 +142,13 @@ class QueryPlanSpec extends SparkSpec {
     "q316_linkage_quality",
     // q335 attaches the one-row threshold-value and threshold-tie
     // aggregates onto the ≤(k+1)-row top table (q316's shape)
-    "q335_hill_tail")
+    "q335_hill_tail",
+    // q349 builds the G×K grid by crossing the ≤maxGroups group-total
+    // table with the broadcast top-K word cut — nature-bounded like
+    // q146's bin grid (a driver count pre-checks G ≤ maxGroups)
+    "q349_burrows_delta",
+    // q350 attaches the one-row corpus-token total (q77/q93 shape)
+    "q350_keyness")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
