@@ -1166,6 +1166,21 @@ object ScaleSmoke {
           pmod(col("doc_id"), lit(8)).cast("string").as("source")),
         "text", "source", k = 10).count()
     }
+    time("mh odds ratio (200 groups x 8 strata)") {
+      operators.Hypothesis.mhOddsRatio(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(8)).as("st"),
+          pmod(col("event_id"), lit(2)).as("e"),
+          pmod(col("event_id") + col("user_id"), lit(2)).as("o")),
+        "g", "st", "e", "o").count()
+    }
+    time("rbo (200 groups, top 50)") {
+      operators.Metrics.rbo(
+        events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
+          pmod(col("event_id"), lit(2)).as("arm"),
+          pmod(col("event_id"), lit(5000)).as("item"), col("value")),
+        "g", "arm", "item", "value", k = 50).count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

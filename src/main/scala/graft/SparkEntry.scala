@@ -641,6 +641,29 @@ object SparkEntry {
       operators.TfIdf.keyness(t(s, d, "documents"),
         "text", "source", k = 10)),
 
+    // and HOW BIG is the q337 association? Mantel-Haenszel pooled
+    // odds ratio per return flag — micro-unit stratum terms, one
+    // exact closing ppm division
+    "q351_mh_odds_ratio" -> ((s, d) =>
+      operators.Hypothesis.mhOddsRatio(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_linestatus"),
+          when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("exposed"),
+          when(col("l_tax") >= 0.05, 1L).otherwise(0L).as("outcome")),
+        "l_returnflag", "l_linestatus", "exposed", "outcome")),
+
+    // did the top-50 revenue parts CHANGE between eras? rank-biased
+    // overlap per line status — head-weighted, unlike q311's flat
+    // jaccard; suffix-sum constants shared with the oracle
+    "q352_rbo" -> ((s, d) =>
+      operators.Metrics.rbo(
+        t(s, d, "lineitem").select(col("l_linestatus"),
+          when(year(col("l_shipdate")) >= 1995, 1L).otherwise(0L)
+            .as("arm"),
+          col("l_partkey"), col("l_extendedprice")),
+        "l_linestatus", "arm", "l_partkey", "l_extendedprice",
+        k = 50, p = 0.9)),
+
     // how unequal is customer revenue WITHIN each market segment?
     // Theil-T + MLD over per-customer revenue — the decomposable
     // inequality pair next to q285's Gini
@@ -5736,6 +5759,80 @@ object SparkEntry {
                 .mkString(",\n|    ")}
            |  FROM lineitem GROUP BY 1)
            |$pairSelects""".stripMargin
+      },
+
+      // per-stratum ad/n and bc/n micro-unit floors in HUGEINT; the
+      // closing ratio one exact floored ppm division
+      "q351_mh_odds_ratio" ->
+        s"""WITH g AS (
+           |  SELECT l_returnflag AS grp, l_linestatus AS st,
+           |    CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS e,
+           |    CASE WHEN l_tax >= 0.05 THEN 1 ELSE 0 END AS o
+           |  FROM lineitem),
+           |cells AS (
+           |  SELECT grp, st, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS a,
+           |    CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS b,
+           |    CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS c
+           |  FROM g GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT grp, CAST(sum(n) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS k_strata,
+           |    CAST(sum(CAST(a AS HUGEINT) * (n - a - b - c) * 1000000
+           |      // n) AS HUGEINT) AS sn,
+           |    CAST(sum(CAST(b AS HUGEINT) * c * 1000000 // n)
+           |      AS HUGEINT) AS sd
+           |  FROM cells GROUP BY 1)
+           |SELECT grp AS l_returnflag, n, k_strata,
+           |  CASE WHEN sd = 0 THEN NULL
+           |    ELSE CAST(sn * 1000000 // sd AS BIGINT) END AS or_mh_ppm
+           |FROM agg""".stripMargin,
+
+      // identical rankings, identical suffix-sum constants (computed
+      // by the same Scala fold), per-item pround6 terms
+      "q352_rbo" -> {
+        val k = 50; val p = 0.9
+        val weights = Array.tabulate(k + 1)(d =>
+          if (d == 0) 0.0 else math.pow(p, d - 1) / d)
+        val suffix = (1 to k).map(m => (m, (m to k).map(weights).sum))
+        val sufValues = suffix.map { case (m, s) =>
+          s"($m, CAST($s AS DOUBLE))" }.mkString(", ")
+        s"""WITH scored AS (
+           |  SELECT l_linestatus AS g,
+           |    CASE WHEN year(l_shipdate) >= 1995 THEN 1 ELSE 0 END AS arm,
+           |    l_partkey AS i,
+           |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sc
+           |  FROM lineitem GROUP BY 1, 2, 3),
+           |ranked AS (
+           |  SELECT g, arm, i,
+           |    row_number() OVER (PARTITION BY g, arm
+           |                       ORDER BY sc DESC, i) AS r
+           |  FROM scored QUALIFY r <= $k),
+           |counts AS (
+           |  SELECT g,
+           |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b
+           |  FROM ranked GROUP BY 1),
+           |suf(m, sfx) AS (VALUES $sufValues),
+           |joint AS (
+           |  SELECT a.g, CAST(count(*) AS BIGINT) AS n_common,
+           |    CAST(sum(CAST(${pround("sfx", 6)} AS DECIMAL(18,6)))
+           |      AS DECIMAL(28,6)) AS ss
+           |  FROM ranked a JOIN ranked b
+           |    ON a.g = b.g AND a.i = b.i AND a.arm = 0 AND b.arm = 1
+           |  JOIN suf ON suf.m = greatest(a.r, b.r)
+           |  GROUP BY 1)
+           |SELECT counts.g AS l_linestatus, n_a, n_b,
+           |  COALESCE(n_common, 0) AS n_common,
+           |  CASE WHEN n_a > 0 AND n_b > 0
+           |    THEN ${pround(s"CAST(${1.0 - p} AS DOUBLE) * CAST(COALESCE(ss, 0) AS DOUBLE)", 6)}
+           |    END AS rbo
+           |FROM counts LEFT JOIN joint ON counts.g = joint.g""".stripMargin
       },
 
       // three raw r's and the partial in one fixed-order double chain

@@ -478,6 +478,13 @@ object syntax {
     def cmh(groupCol: String, strataCol: String, exposedCol: String,
             outcomeCol: String): DataFrame =
       Hypothesis.cmh(df, groupCol, strataCol, exposedCol, outcomeCol)
+    def mhOddsRatio(groupCol: String, strataCol: String,
+                    exposedCol: String, outcomeCol: String): DataFrame =
+      Hypothesis.mhOddsRatio(df, groupCol, strataCol, exposedCol,
+        outcomeCol)
+    def rbo(groupCol: String, armCol: String, itemCol: String,
+            scoreCol: String, k: Int = 50, p: Double = 0.9): DataFrame =
+      Metrics.rbo(df, groupCol, armCol, itemCol, scoreCol, k, p)
     def mannKendall(groupCol: String, xCol: String, yCol: String,
                     maxCells: Long = 20000L): DataFrame =
       Hypothesis.mannKendall(df, groupCol, xCol, yCol, maxCells)

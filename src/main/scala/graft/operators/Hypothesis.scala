@@ -671,6 +671,54 @@ object Hypothesis {
         END""").as("significant"))
   }
 
+  /** Mantel–Haenszel pooled odds ratio per group — [[cmh]]'s effect
+    * MAGNITUDE: the common odds ratio across strata, OR_MH =
+    * Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ), weighting each stratum by its
+    * information. Read the pair together: cmh says "the association
+    * survives the confounder", this says "and it is a ×1.8 odds
+    * shift". Unlike a naive pooled-table OR, OR_MH cannot be
+    * Simpson-flipped by imbalanced strata.
+    *
+    * Exactness: each stratum's aᵢdᵢ/nᵢ and bᵢcᵢ/nᵢ floor to exact
+    * micro-units in DECIMAL(38,0) (the kruskalWallis split), the
+    * micro-unit sums are exact, and the closing ratio is one exact
+    * floored ppm division (the scales cancel). A zero discordant sum
+    * (no stratum has any b·c mass) reports NULL — an infinite OR is
+    * a real state, not an error. Strata with n < 1 cannot exist;
+    * nothing is dropped.
+    *
+    * Scale shape: one (group, stratum) 2×2 hash aggregate, one group
+    * rollup. No windows, no joins.
+    */
+  def mhOddsRatio(df: DataFrame, groupCol: String, strataCol: String,
+                  exposedCol: String, outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("long") =!= 0L
+    val o = col(outcomeCol).cast("long") =!= 0L
+    val cells = df.filter(col(groupCol).isNotNull &&
+        col(strataCol).isNotNull && col(exposedCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(strataCol).as("__s"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(when(e && o, 1L).otherwise(0L)).cast("long").as("__a"),
+        sum(when(e && !o, 1L).otherwise(0L)).cast("long").as("__b"),
+        sum(when(!e && o, 1L).otherwise(0L)).cast("long").as("__c"))
+    val dCell = "(__n - __a - __b - __c)"
+    val numMu = s"(CAST(__a AS DECIMAL(38,0)) * $dCell * 1000000 DIV __n)"
+    val denMu = "(CAST(__b AS DECIMAL(38,0)) * __c * 1000000 DIV __n)"
+    cells
+      .select(col("__g"), col("__n"),
+        expr(numMu).as("__num"), expr(denMu).as("__den"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__n")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("k_strata"),
+        sum(col("__num")).cast("decimal(38,0)").as("__sn"),
+        sum(col("__den")).cast("decimal(38,0)").as("__sd"))
+      .select(col("__g").as(groupCol), col("n"), col("k_strata"),
+        expr("""CASE WHEN __sd = 0 THEN NULL
+          ELSE CAST(__sn * 1000000 DIV __sd AS BIGINT) END""")
+          .as("or_mh_ppm"))
+  }
+
   /** Mann–Kendall trend test per group: is a TIME SERIES
     * monotonically trending? S = Σ_{i<j} sign(y_j − y_i) over the
     * time order — [[kendallTau]]'s numerator against time itself —

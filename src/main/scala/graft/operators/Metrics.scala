@@ -989,6 +989,78 @@ object Metrics {
             DIV (n_pred + n_true) AS BIGINT) END""").as("f1_ppm"))
   }
 
+  /** Rank-biased overlap (Webber et al.) between the two arms' top-k
+    * rankings, per group — the top-weighted alternative to q311's
+    * flat Jaccard: two rankings that agree on the head and scramble
+    * the tail score high, which is exactly how a human reads "did
+    * the top sellers change?". Truncated at depth k (the residual is
+    * not extrapolated — documented), with persistence p:
+    *   RBO = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d.
+    *
+    * Items rank per (group, arm) by (score desc, item asc) — a
+    * rank-limited window Spark plans as WindowGroupLimit, so each
+    * map task forwards ≤ k items. The depth sum folds per ITEM: an
+    * item at ranks (r_a, r_b) joins every prefix from depth
+    * m = max(r_a, r_b) on, so its contribution is the SUFFIX sum
+    * S(m) = Σ_{d=m..k} p^{d−1}/d — k constants computed ONCE here
+    * and embedded as shortest-roundtrip doubles in both engines (the
+    * q306 discipline). Per-item terms pround6 → DECIMAL(18,6), so
+    * the sum is exact; the closing (1−p)·Σ is one double, pround6.
+    *
+    * Exactness of the RANKINGS: scores accumulate as DECIMAL(18,2)
+    * sums per (group, arm, item), so rank order is engine-exact.
+    * Output: group, `n_a`, `n_b` (items actually ranked, ≤ k),
+    * `n_common`, `rbo`. A group missing an arm reports rbo NULL.
+    */
+  def rbo(df: DataFrame, groupCol: String, armCol: String,
+          itemCol: String, scoreCol: String, k: Int = 50,
+          p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 200, s"k out of range: $k")
+    require(p > 0 && p < 1, s"p out of range: $p")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // suffix sums S(m) = sum_{d=m..k} p^(d-1)/d, computed once
+    val weights = Array.tabulate(k + 1)(d =>
+      if (d == 0) 0.0 else math.pow(p, d - 1) / d)
+    val suffix = (1 to k).map(m => (m.toLong,
+      (m to k).map(weights).sum))
+    val sufDf = broadcast(suffix.toDF("__m", "__sfx"))
+    val a = col(armCol).cast("long") =!= 0L
+    val scored = df.filter(col(groupCol).isNotNull &&
+        col(armCol).isNotNull && col(itemCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), a.as("__arm"),
+        col(itemCol).as("__i"))
+      .agg(sum(col(scoreCol).cast("decimal(18,2)")).as("__sc"))
+    val w = Window.partitionBy(col("__g"), col("__arm"))
+      .orderBy(col("__sc").desc, col("__i"))
+    val ranked = scored
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .localCheckpoint(true)
+    val counts = ranked.groupBy(col("__g"))
+      .agg(sum(when(!col("__arm"), 1L).otherwise(0L)).cast("long")
+        .as("n_a"),
+        sum(when(col("__arm"), 1L).otherwise(0L)).cast("long").as("n_b"))
+    val ra = ranked.filter(!col("__arm"))
+      .select(col("__g"), col("__i"), col("__r").as("__ra"))
+    val rb = ranked.filter(col("__arm"))
+      .select(col("__g"), col("__i"), col("__r").as("__rb"))
+    val joint = ra.join(rb, Seq("__g", "__i"))
+      .withColumn("__m", greatest(col("__ra"), col("__rb")).cast("long"))
+      .join(sufDf, Seq("__m"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_common"),
+        sum(pround6(col("__sfx")).cast("decimal(18,6)")).as("__ss"))
+    counts.join(joint, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          pround6(lit(1.0 - p) *
+            coalesce(col("__ss"), lit(0).cast("decimal(18,6)"))
+              .cast("double"))).as("rbo"))
+  }
+
   /** Quantile–quantile shift table per group: the two arms' exact
     * interpolated quantiles side by side at fixed probabilities, with
     * the per-quantile shift — WHERE in the distribution did the

@@ -350,6 +350,14 @@ class SyntaxSpec extends SparkSpec {
     cm.cmh("g", "st", "e", "o").queryExecution.analyzed
       .sameResult(graft.operators.Hypothesis.cmh(cm, "g", "st", "e", "o")
         .queryExecution.analyzed) shouldBe true
+    cm.mhOddsRatio("g", "st", "e", "o").queryExecution.analyzed
+      .sameResult(graft.operators.Hypothesis.mhOddsRatio(cm, "g", "st",
+        "e", "o").queryExecution.analyzed) shouldBe true
+    val rbd = Seq(("g", 0L, 1L, 2.0), ("g", 1L, 1L, 2.0))
+      .toDF("g", "arm", "item", "s")
+    rbd.rbo("g", "arm", "item", "s", k = 5).collect().toSeq shouldBe
+      graft.operators.Metrics.rbo(rbd, "g", "arm", "item", "s", k = 5)
+        .collect().toSeq
     val mkd = Seq(("g", 1L, 1L), ("g", 2L, 2L)).toDF("g", "x", "y")
     mkd.mannKendall("g", "x", "y").collect().toSeq shouldBe
       graft.operators.Hypothesis.mannKendall(mkd, "g", "x", "y")

@@ -561,6 +561,27 @@ class HypothesisSpec extends SparkSpec {
       "g", "st", "e", "o").collect() shouldBe empty
   }
 
+  test("mhOddsRatio pools stratum odds with exact micro-unit floors") {
+    // one stratum a=2 b=1 c=1 d=2: num_mu=666666, den_mu=166666
+    val s1 = Seq(("g", "s", 1L, 1L), ("g", "s", 1L, 1L),
+      ("g", "s", 1L, 0L), ("g", "s", 0L, 1L),
+      ("g", "s", 0L, 0L), ("g", "s", 0L, 0L))
+    val r = Hypothesis.mhOddsRatio(s1.toDF("g", "st", "e", "o"),
+      "g", "st", "e", "o").collect().head
+    (r.getLong(1), r.getLong(2)) shouldBe ((6L, 1L))
+    r.getLong(3) shouldBe
+      (BigInt(666666) * 1000000 / BigInt(166666)).toLong
+    // duplicating the stratum doubles both sums: the ratio holds
+    val s2 = s1 ++ s1.map { case (g, _, e, o) => (g, "t", e, o) }
+    Hypothesis.mhOddsRatio(s2.toDF("g", "st", "e", "o"),
+      "g", "st", "e", "o").collect().head.getLong(3) shouldBe
+      r.getLong(3)
+    // no discordant mass anywhere: infinite OR reports NULL
+    val inf = Seq(("z", "s", 1L, 1L), ("z", "s", 0L, 0L))
+    assert(Hypothesis.mhOddsRatio(inf.toDF("g", "st", "e", "o"),
+      "g", "st", "e", "o").collect().head.isNullAt(3))
+  }
+
   test("mannKendall detects monotone trends with integral significance") {
     import graft.functions.Rounding.p6d
     def series(g: String, ys: Seq[Long]) =

@@ -512,6 +512,36 @@ class MetricsSpec extends SparkSpec {
     lo.getLong(7) shouldBe 1000000L
   }
 
+  test("rbo: head-weighted overlap — identical 0.75, reversed 0.25 at k=2 p=0.5") {
+    import graft.functions.Rounding.p6d
+    def run(rows: Seq[(String, Long, Long, Double)]) =
+      Metrics.rbo(rows.toDF("g", "arm", "item", "s"), "g", "arm",
+        "item", "s", k = 2, p = 0.5)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    val out = run(Seq(
+      // same: identical rankings (A first, B second) in both arms
+      ("same", 0L, 1L, 10.0), ("same", 0L, 2L, 5.0),
+      ("same", 1L, 1L, 10.0), ("same", 1L, 2L, 5.0),
+      // rev: the two arms reverse the order
+      ("rev", 0L, 1L, 10.0), ("rev", 0L, 2L, 5.0),
+      ("rev", 1L, 1L, 5.0), ("rev", 1L, 2L, 10.0),
+      // disj: disjoint item sets
+      ("disj", 0L, 1L, 10.0), ("disj", 1L, 2L, 10.0),
+      // one: a single arm
+      ("one", 0L, 1L, 10.0)))
+    // S(1) = 1 + 0.25 = 1.25, S(2) = 0.25
+    out("same") shouldBe ((2L, 2L, 2L,
+      p6d(0.5 * (BigDecimal(p6d(1.25)) + BigDecimal(p6d(0.25))).toDouble)))
+    out("rev")._4 shouldBe p6d(0.5 * (BigDecimal(p6d(0.25)) * 2).toDouble)
+    out("disj") shouldBe ((1L, 1L, 0L, 0.0))
+    out("one")._4 shouldBe -1.0 // NULL: nothing to compare
+    an[IllegalArgumentException] should be thrownBy
+      Metrics.rbo(Seq(("g", 0L, 1L, 1.0)).toDF("g", "arm", "item", "s"),
+        "g", "arm", "item", "s", k = 0)
+  }
+
   test("qqShift reports per-quantile arm gaps with R-7 interpolation") {
     val rows = (0 to 4).map(i => ("g", 0L, i * 10.0)) ++
       (0 to 4).map(i => ("g", 1L, i * 10.0 + 100.0)) ++
