@@ -1181,6 +1181,16 @@ object ScaleSmoke {
           pmod(col("event_id"), lit(5000)).as("item"), col("value")),
         "g", "arm", "item", "value", k = 50).count()
     }
+    time("lexical dispersion (8 sources)") {
+      operators.TfIdf.lexicalDispersion(
+        docsPq.select(col("text"),
+          pmod(col("doc_id"), lit(8)).cast("string").as("source")),
+        "text", "source", topK = 50).count()
+    }
+    time("hour entropy (per user)") {
+      operators.Sessionize.hourEntropy(events(rows), "user_id", "ts")
+        .count()
+    }
     time("weekday seasonality (200 keys)") {
       operators.Resample.weekdaySeasonality(
         events(rows).select(pmod(col("user_id"), lit(200)).as("k"),

@@ -664,6 +664,20 @@ object SparkEntry {
         "l_linestatus", "arm", "l_partkey", "l_extendedprice",
         k = 50, p = 0.9)),
 
+    // which top words belong to NO source? Juilland's D over the
+    // shared G x K frequency grid — 1 = a true function word, near 0
+    // = a topic word hiding behind raw frequency
+    "q353_lexical_dispersion" -> ((s, d) =>
+      operators.TfIdf.lexicalDispersion(t(s, d, "documents"),
+        "text", "source", topK = 50)),
+
+    // human, cron, or bot farm? hour-of-day activity entropy per
+    // user — the third behavioral lens beside q322's burstiness and
+    // q323's streaks
+    "q354_hour_entropy" -> ((s, d) =>
+      operators.Sessionize.hourEntropy(t(s, d, "events"),
+        "user_id", "ts")),
+
     // how unequal is customer revenue WITHIN each market segment?
     // Theil-T + MLD over per-customer revenue — the decomposable
     // inequality pair next to q285's Gini
@@ -5760,6 +5774,65 @@ object SparkEntry {
            |  FROM lineitem GROUP BY 1)
            |$pairSelects""".stripMargin
       },
+
+      // the q349 grid re-read: per-word cv over exact decimal sums,
+      // D = 1 − cv/sqrt(G−1) one fixed-order double
+      "q353_lexical_dispersion" -> {
+        val sig = "sqrt(CAST(ng AS DOUBLE) * CAST(qf AS DOUBLE)" +
+          " - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))" +
+          " / CAST(ng AS DOUBLE)"
+        val mu = "(CAST(sf AS DOUBLE) / CAST(ng AS DOUBLE))"
+        s"""WITH cnt AS (
+           |  SELECT source AS g, unnest($toksSql) AS t
+           |  FROM documents WHERE source IS NOT NULL),
+           |c AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c
+           |  FROM cnt GROUP BY 1, 2),
+           |gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS gtot
+           |  FROM c GROUP BY 1),
+           |top AS (SELECT t FROM (
+           |    SELECT t, CAST(sum(c) AS BIGINT) AS tc FROM c GROUP BY 1)
+           |  ORDER BY tc DESC, t LIMIT 50),
+           |grid AS (
+           |  SELECT gt.g, gt.gtot, top.t, COALESCE(c.c, 0) AS c
+           |  FROM gt CROSS JOIN top
+           |  LEFT JOIN c ON c.g = gt.g AND c.t = top.t),
+           |f AS (
+           |  SELECT g, t, c,
+           |    CAST(${pround("CAST(c AS DOUBLE) / CAST(gtot AS DOUBLE)", 6)} AS DECIMAL(18,6)) AS f6
+           |  FROM grid),
+           |stats AS (
+           |  SELECT t AS term, CAST(count(*) AS BIGINT) AS n_groups,
+           |    CAST(sum(c) AS BIGINT) AS n_total,
+           |    CAST(sum(f6) AS DECIMAL(28,6)) AS sf,
+           |    CAST(sum(CAST(CAST(f6 AS DOUBLE) * CAST(f6 AS DOUBLE)
+           |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS qf,
+           |    CAST(count(*) AS BIGINT) AS ng
+           |  FROM f GROUP BY 1)
+           |SELECT term, n_groups, n_total,
+           |  CASE WHEN ng < 2 OR $mu <= 0.0 THEN NULL
+           |    ELSE ${pround(s"1.0 - (($sig) / ($mu)) / sqrt(CAST(ng - 1 AS DOUBLE))", 6)}
+           |    END AS d
+           |FROM stats""".stripMargin
+      },
+
+      // engine-neutral hour buckets; per-key totals from a <=24-row
+      // window; labelEntropy per-term pround6 discipline
+      "q354_hour_entropy" ->
+        s"""WITH h AS (
+           |  SELECT user_id,
+           |    ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 + 24) % 24
+           |      AS hr
+           |  FROM events),
+           |c AS (SELECT user_id, hr, CAST(count(*) AS BIGINT) AS c
+           |  FROM h GROUP BY 1, 2),
+           |t2 AS (
+           |  SELECT user_id, hr, c,
+           |    CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+           |  FROM c)
+           |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           |  CAST(count(*) AS BIGINT) AS n_hours,
+           |  CAST(CAST(sum(CAST(${pround("(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * log10(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS h_hour
+           |FROM t2 GROUP BY 1""".stripMargin,
 
       // per-stratum ad/n and bc/n micro-unit floors in HUGEINT; the
       // closing ratio one exact floored ppm division

@@ -448,6 +448,12 @@ object syntax {
     def keyness(textCol: String, groupCol: String,
                 k: Int = 10): DataFrame =
       TfIdf.keyness(df, textCol, groupCol, k)
+    def lexicalDispersion(textCol: String, groupCol: String,
+                          topK: Int = 50,
+                          maxGroups: Int = 64): DataFrame =
+      TfIdf.lexicalDispersion(df, textCol, groupCol, topK, maxGroups)
+    def hourEntropy(keyCol: String, tsCol: String): DataFrame =
+      Sessionize.hourEntropy(df, keyCol, tsCol)
     def vMeasure(groupCol: String, clusterCol: String,
                  labelCol: String): DataFrame =
       Metrics.vMeasure(df, groupCol, clusterCol, labelCol)

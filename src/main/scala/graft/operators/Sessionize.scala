@@ -112,6 +112,43 @@ object Sessionize {
     Markov.nextEntropy(withSessionIds(events, keyCol, tsCol, gapSeconds),
       Seq(keyCol, "session_id"), Seq(tsCol, tieCol), actionCol)
 
+  /** Hour-of-day entropy per key: how spread is a key's activity over
+    * the 24 UTC hours? H = Σ (c_h/n)·log₁₀(n/c_h) — a human sleeps
+    * (H well below log₁₀ 24 ≈ 1.38), a cron job fires in one slot
+    * (H ≈ 0 with high volume), a distributed bot farm is flat
+    * (H ≈ 1.38). The third behavioral-biometric lens beside
+    * `Resample.burstiness` (cadence) and [[streaks]] (repetition).
+    *
+    * Exactness: hours are engine-neutral integer arithmetic
+    * (epoch div 3600 mod 24); each term is the labelEntropy pround6
+    * double over exact BIGINT counts, summed as DECIMAL(18,6). The
+    * per-key total comes from a window PARTITIONED BY KEY over the
+    * ≤ 24 hour rows — never a global partition.
+    *
+    * Scale shape: one (key, hour) hash aggregate, one ≤24-row
+    * partitioned window, one per-key rollup.
+    */
+  def hourEntropy(events: DataFrame, keyCol: String,
+                  tsCol: String): DataFrame = {
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val hour = pmod(call_function("div",
+      col(tsCol).cast("long"), lit(3600L)), lit(24L))
+    val cnt = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), hour.as("__h"))
+      .groupBy(col("__k"), col("__h"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val wK = Window.partitionBy(col("__k"))
+    val contrib =
+      (col("__c").cast("double") / col("__n").cast("double")) *
+        log10(col("__n").cast("double") / col("__c").cast("double"))
+    cnt.withColumn("__n", sum(col("__c")).over(wK).cast("long"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(max(col("__n")).as("n_events"),
+        count(lit(1)).cast("long").as("n_hours"),
+        sum(p6(contrib).cast("decimal(18,6)")).cast("double")
+          .as("h_hour"))
+  }
+
   /** Longest same-action streak per key (gaps-and-islands): the
     * engagement/bot screen "does any user fire the same action N
     * times in a row?". Island id = overall row_number − per-action

@@ -539,34 +539,9 @@ object TfIdf {
     */
   def burrowsDelta(docs: DataFrame, textCol: String, groupCol: String,
                    topK: Int = 50, maxGroups: Int = 64): DataFrame = {
-    require(topK >= 2 && topK <= 200, s"topK out of range: $topK")
-    require(maxGroups >= 2 && maxGroups <= 256,
-      s"maxGroups out of range: $maxGroups")
     def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
-    val cnt = docs.filter(col(groupCol).isNotNull)
-      .select(col(groupCol).as("__g"),
-        explode(TextFns.tokens(col(textCol))).as("__t"))
-      .groupBy(col("__g"), col("__t"))
-      .agg(count(lit(1)).cast("long").as("__c"))
-      .localCheckpoint(true)
-    val gTot = cnt.groupBy(col("__g"))
-      .agg(sum(col("__c")).cast("long").as("__gt"))
-      .localCheckpoint(true)
-    val nGroups = gTot.count()
-    if (nGroups > maxGroups) throw new IllegalStateException(
-      s"burrowsDelta: $nGroups groups exceed maxGroups=$maxGroups — " +
-        "the G²·K pair table would explode; bucket the group column " +
-        "or raise maxGroups to accept the cost explicitly.")
-    val top = cnt.groupBy(col("__t"))
-      .agg(sum(col("__c")).cast("long").as("__tc"))
-      .orderBy(col("__tc").desc, col("__t")).limit(topK)
-      .select(col("__t"))
-      .localCheckpoint(true)
-    val grid = gTot.crossJoin(broadcast(top))
-      .join(cnt, Seq("__g", "__t"), "left")
-      .withColumn("__f",
-        p6(coalesce(col("__c"), lit(0L)).cast("double") /
-          col("__gt").cast("double")).cast("decimal(18,6)"))
+    val grid = freqGrid(docs, textCol, groupCol, topK, maxGroups,
+      "burrowsDelta")
     val stats = grid.groupBy(col("__t"))
       .agg(count(lit(1)).cast("long").as("__ng"),
         sum(col("__f")).cast("decimal(28,6)").as("__sf"),
@@ -593,6 +568,87 @@ object TfIdf {
       .select(col("group_a"), col("group_b"), col("n_terms"),
         p6(col("__sd").cast("double") / col("n_terms").cast("double"))
           .as("delta"))
+  }
+
+  /** Shared G×K relative-frequency grid: the corpus's top-K words
+    * crossed against every group, each cell carrying the group's
+    * pround6(count/group_tokens) as DECIMAL(18,6) (`__f`), with
+    * missing cells at frequency 0. `maxGroups` is enforced with a
+    * driver-side count BEFORE the grid builds. Used by
+    * [[burrowsDelta]] and [[lexicalDispersion]].
+    */
+  private def freqGrid(docs: DataFrame, textCol: String,
+                       groupCol: String, topK: Int, maxGroups: Int,
+                       caller: String): DataFrame = {
+    require(topK >= 2 && topK <= 200, s"topK out of range: $topK")
+    require(maxGroups >= 2 && maxGroups <= 256,
+      s"maxGroups out of range: $maxGroups")
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val cnt = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(TextFns.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val gTot = cnt.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("__gt"))
+      .localCheckpoint(true)
+    val nGroups = gTot.count()
+    if (nGroups > maxGroups) throw new IllegalStateException(
+      s"$caller: $nGroups groups exceed maxGroups=$maxGroups — " +
+        "the grid/pair tables would explode; bucket the group column " +
+        "or raise maxGroups to accept the cost explicitly.")
+    val top = cnt.groupBy(col("__t"))
+      .agg(sum(col("__c")).cast("long").as("__tc"))
+      .orderBy(col("__tc").desc, col("__t")).limit(topK)
+      .select(col("__t"))
+      .localCheckpoint(true)
+    gTot.crossJoin(broadcast(top))
+      .join(cnt, Seq("__g", "__t"), "left")
+      .withColumn("__f",
+        p6(coalesce(col("__c"), lit(0L)).cast("double") /
+          col("__gt").cast("double")).cast("decimal(18,6)"))
+  }
+
+  /** Juilland's D lexical dispersion for the corpus's top-K words:
+    * how EVENLY does each word spread across the groups? With the
+    * per-group relative frequencies f_g (zeros included),
+    * D = 1 − cv/√(G−1) where cv = σ/μ — 1 means perfectly even
+    * (a true function word), near 0 means the word lives in one
+    * group (a topic word wearing a high raw frequency). The
+    * corpus-linguistics companion to [[keyness]]: keyness finds
+    * words that BELONG to a group, dispersion finds words that
+    * belong to NO group. D can dip below 0 at extreme concentration
+    * (cv > √(G−1)); it is reported raw, not clamped.
+    *
+    * Exactness rides the [[burrowsDelta]] grid: canonical pround6
+    * frequency features, per-word mean/σ from exact decimal sums,
+    * the closing D one fixed-order double, pround6. A word whose
+    * features all round to 0 (μ = 0) reports NULL.
+    *
+    * Scale shape: the shared G×K grid + one per-word aggregate.
+    */
+  def lexicalDispersion(docs: DataFrame, textCol: String,
+                        groupCol: String, topK: Int = 50,
+                        maxGroups: Int = 64): DataFrame = {
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val grid = freqGrid(docs, textCol, groupCol, topK, maxGroups,
+      "lexicalDispersion")
+    val sig = "sqrt(CAST(__ng AS DOUBLE) * CAST(__qf AS DOUBLE)" +
+      " - CAST(__sf AS DOUBLE) * CAST(__sf AS DOUBLE))" +
+      " / CAST(__ng AS DOUBLE)"
+    val mu = "(CAST(__sf AS DOUBLE) / CAST(__ng AS DOUBLE))"
+    grid.groupBy(col("__t").as("term"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(coalesce(col("__c"), lit(0L))).cast("long").as("n_total"),
+        sum(col("__f")).cast("decimal(28,6)").as("__sf"),
+        sum((col("__f").cast("double") * col("__f").cast("double"))
+          .cast("decimal(38,12)")).as("__qf"),
+        count(lit(1)).cast("long").as("__ng"))
+      .select(col("term"), col("n_groups"), col("n_total"),
+        p6(expr(s"""CASE WHEN __ng < 2 OR $mu <= 0.0 THEN NULL
+          ELSE 1.0 - (($sig) / ($mu)) / sqrt(CAST(__ng - 1 AS DOUBLE))
+          END""")).as("d"))
   }
 
   /** Log-likelihood keyness (Dunning's G²) — the top-k KEYWORDS of

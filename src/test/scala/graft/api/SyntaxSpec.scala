@@ -314,6 +314,13 @@ class SyntaxSpec extends SparkSpec {
     bd.keyness("text", "source", k = 1).collect().toSeq shouldBe
       graft.operators.TfIdf.keyness(bd, "text", "source", k = 1)
         .collect().toSeq
+    bd.lexicalDispersion("text", "source", topK = 2)
+      .collect().toSeq shouldBe
+      graft.operators.TfIdf.lexicalDispersion(bd, "text", "source",
+        topK = 2).collect().toSeq
+    sev.hourEntropy("user_id", "ts").queryExecution.analyzed
+      .sameResult(graft.operators.Sessionize.hourEntropy(sev, "user_id",
+        "ts").queryExecution.analyzed) shouldBe true
     val vm = Seq(("g", "c", "l")).toDF("g", "c", "l")
     vm.vMeasure("g", "c", "l").collect().toSeq shouldBe
       graft.operators.Metrics.vMeasure(vm, "g", "c", "l")

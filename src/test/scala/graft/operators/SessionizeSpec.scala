@@ -140,6 +140,29 @@ class SessionizeSpec extends SparkSpec {
       "event_type", "event_id", 3600).collect() shouldBe empty
   }
 
+  test("hourEntropy: 0 for one-slot keys, labelEntropy sums otherwise") {
+    import graft.functions.Rounding.p6d
+    // user 1: both events in UTC hour 10; user 2: hours 10 and 11;
+    // user 3: counts (2,1) over hours 10 and 22
+    val d = evT(
+      (1L, 1L, "2024-01-01 10:00:00", "A"),
+      (2L, 1L, "2024-01-01 10:30:00", "A"),
+      (3L, 2L, "2024-01-01 10:00:00", "A"),
+      (4L, 2L, "2024-01-01 11:00:00", "A"),
+      (5L, 3L, "2024-01-01 10:00:00", "A"),
+      (6L, 3L, "2024-01-01 10:10:00", "A"),
+      (7L, 3L, "2024-01-01 22:00:00", "A"))
+    val out = Sessionize.hourEntropy(d, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((2L, 1L, 0.0))
+    out(2L) shouldBe ((2L, 2L,
+      (BigDecimal(p6d(0.5 * math.log10(2.0))) * 2).toDouble))
+    out(3L) shouldBe ((3L, 2L,
+      (BigDecimal(p6d((2.0 / 3.0) * math.log10(3.0 / 2.0))) +
+        BigDecimal(p6d((1.0 / 3.0) * math.log10(3.0)))).toDouble))
+  }
+
   test("streaks finds the longest run with deterministic tie-breaks") {
     val d = evT(
       (1L, 1L, "2024-01-01 10:00:00", "A"),

@@ -244,6 +244,18 @@ class TfIdfSpec extends SparkSpec {
         maxGroups = 2)
   }
 
+  test("lexicalDispersion: 1 for evenly spread words, 0 for one-group words") {
+    val docs = Seq((1L, "a a b b", "s1"), (2L, "a a c c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TfIdf.lexicalDispersion(docs, "text", "source", topK = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out.keySet shouldBe Set("a", "b", "c")
+    out("a") shouldBe ((2L, 4L, 1.0)) // f = 0.5 in both: cv = 0
+    out("b") shouldBe ((2L, 2L, 0.0)) // one group: cv = 1 = sqrt(G-1)
+    out("c") shouldBe ((2L, 2L, 0.0))
+  }
+
   test("keyness surfaces over-represented words with the hand G2") {
     import graft.functions.Rounding.p6d
     val docs = Seq(

@@ -148,7 +148,9 @@ class QueryPlanSpec extends SparkSpec {
     // q146's bin grid (a driver count pre-checks G ≤ maxGroups)
     "q349_burrows_delta",
     // q350 attaches the one-row corpus-token total (q77/q93 shape)
-    "q350_keyness")
+    "q350_keyness",
+    // q353 reads the same G×K freqGrid crossJoin(broadcast) as q349
+    "q353_lexical_dispersion")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
