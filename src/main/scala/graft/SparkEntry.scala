@@ -5757,7 +5757,8 @@ object SparkEntry {
           val num = s"(CAST(n AS DOUBLE) * CAST(x${i}_$j AS DOUBLE)" +
             s" - CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE))"
           s"""SELECT l_returnflag, '${pc(i)}' AS col_a, '${pc(j)}' AS col_b,
-             |  n, CASE WHEN ${d(i)} <= 0.0 OR ${d(j)} <= 0.0 THEN NULL
+             |  n, CASE WHEN mn$i = mx$i OR mn$j = mx$j THEN NULL
+             |    WHEN ${d(i)} <= 0.0 OR ${d(j)} <= 0.0 THEN NULL
              |    ELSE ${pround(s"$num / sqrt(${d(i)} * ${d(j)})", 6)}
              |    END AS r
              |FROM agg""".stripMargin
@@ -5766,7 +5767,8 @@ object SparkEntry {
            |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
            |    ${pc.zipWithIndex.map { case (c, i) =>
                 s"sum(CAST($c AS DECIMAL(28,2))) AS s$i, " +
-                s"sum(CAST($c * $c AS DECIMAL(38,4))) AS q$i"
+                s"sum(CAST($c * $c AS DECIMAL(38,4))) AS q$i, " +
+                s"min($c) AS mn$i, max($c) AS mx$i"
               }.mkString(",\n|    ")},
            |    ${(for { i <- pc.indices; j <- pc.indices if i < j } yield
                 s"sum(CAST(${pc(i)} * ${pc(j)} AS DECIMAL(38,4))) AS x${i}_$j")
@@ -5778,8 +5780,10 @@ object SparkEntry {
       // the q349 grid re-read: per-word cv over exact decimal sums,
       // D = 1 − cv/sqrt(G−1) one fixed-order double
       "q353_lexical_dispersion" -> {
-        val sig = "sqrt(CAST(ng AS DOUBLE) * CAST(qf AS DOUBLE)" +
-          " - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))" +
+        // same clamped-radicand sigma as q349 (TfIdf.sigSql mirror)
+        val sig = "sqrt(greatest(CAST(0.0 AS DOUBLE)," +
+          " CAST(ng AS DOUBLE) * CAST(qf AS DOUBLE)" +
+          " - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE)))" +
           " / CAST(ng AS DOUBLE)"
         val mu = "(CAST(sf AS DOUBLE) / CAST(ng AS DOUBLE))"
         s"""WITH cnt AS (
@@ -5801,14 +5805,13 @@ object SparkEntry {
            |    CAST(${pround("CAST(c AS DOUBLE) / CAST(gtot AS DOUBLE)", 6)} AS DECIMAL(18,6)) AS f6
            |  FROM grid),
            |stats AS (
-           |  SELECT t AS term, CAST(count(*) AS BIGINT) AS n_groups,
+           |  SELECT t AS term, CAST(count(*) AS BIGINT) AS ng,
            |    CAST(sum(c) AS BIGINT) AS n_total,
            |    CAST(sum(f6) AS DECIMAL(28,6)) AS sf,
            |    CAST(sum(CAST(CAST(f6 AS DOUBLE) * CAST(f6 AS DOUBLE)
-           |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS qf,
-           |    CAST(count(*) AS BIGINT) AS ng
+           |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS qf
            |  FROM f GROUP BY 1)
-           |SELECT term, n_groups, n_total,
+           |SELECT term, ng AS n_groups, n_total,
            |  CASE WHEN ng < 2 OR $mu <= 0.0 THEN NULL
            |    ELSE ${pround(s"1.0 - (($sig) / ($mu)) / sqrt(CAST(ng - 1 AS DOUBLE))", 6)}
            |    END AS d
@@ -5919,13 +5922,15 @@ object SparkEntry {
             s" / sqrt(${d(i)} * ${d(j)}))"
         val den = s"((1.0 - ${r(0, 2)} * ${r(0, 2)})" +
           s" * (1.0 - ${r(1, 2)} * ${r(1, 2)}))"
-        val defined = s"(${d(0)} > 0.0 AND ${d(1)} > 0.0 AND ${d(2)} > 0.0)"
+        val defined = "(mn0 <> mx0 AND mn1 <> mx1 AND mn2 <> mx2" +
+          s" AND ${d(0)} > 0.0 AND ${d(1)} > 0.0 AND ${d(2)} > 0.0)"
         val pc = Seq("l_extendedprice", "l_discount", "l_quantity")
         s"""WITH agg AS (
            |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
            |    ${pc.zipWithIndex.map { case (c, i) =>
                 s"sum(CAST($c AS DECIMAL(28,2))) AS s$i, " +
-                s"sum(CAST($c * $c AS DECIMAL(38,4))) AS q$i"
+                s"sum(CAST($c * $c AS DECIMAL(38,4))) AS q$i, " +
+                s"min($c) AS mn$i, max($c) AS mx$i"
               }.mkString(",\n|    ")},
            |    ${Seq((0, 1), (0, 2), (1, 2)).map { case (i, j) =>
                 s"sum(CAST(${pc(i)} * ${pc(j)} AS DECIMAL(38,4))) AS x${i}_$j"
@@ -5940,12 +5945,16 @@ object SparkEntry {
       // canonical pround6 frequency features; per-word mean/sigma over
       // exact decimal sums; z pround6 so pair gaps are exact decimals
       "q349_burrows_delta" -> {
-        val sig = "sqrt(CAST(ng AS DOUBLE) * CAST(qf AS DOUBLE)" +
-          " - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))" +
+        // radicand clamped at 0 (evenly-dispersed word = exact-zero
+        // variance one ulp negative; DuckDB sqrt RAISES on it) —
+        // mirrors TfIdf.sigSql
+        val sig = "sqrt(greatest(CAST(0.0 AS DOUBLE)," +
+          " CAST(ng AS DOUBLE) * CAST(qf AS DOUBLE)" +
+          " - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE)))" +
           " / CAST(ng AS DOUBLE)"
         val mu = "(CAST(sf AS DOUBLE) / CAST(ng AS DOUBLE))"
         s"""WITH cnt AS (
-           |  SELECT source AS g, unnest($toksSql) AS t, 1 AS one
+           |  SELECT source AS g, unnest($toksSql) AS t
            |  FROM documents WHERE source IS NOT NULL),
            |c AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c
            |  FROM cnt GROUP BY 1, 2),

@@ -934,16 +934,22 @@ object Profile {
       .agg(count(lit(1)).cast("long").as("n"),
         (cols.indices.flatMap(i => Seq(
           sum(vs(i).cast("decimal(28,2)")).as(s"__s$i"),
-          sum((vs(i) * vs(i)).cast("decimal(38,4)")).as(s"__q$i"))) ++
+          sum((vs(i) * vs(i)).cast("decimal(38,4)")).as(s"__q$i"),
+          min(vs(i)).as(s"__mn$i"), max(vs(i)).as(s"__mx$i"))) ++
           pairs.map { case (i, j) =>
             sum((vs(i) * vs(j)).cast("decimal(38,4)")).as(s"__x${i}_$j")
           }): _*)
+    // zero variance is detected EXACTLY (min = max) — the double
+    // radicand n·Σx²−(Σx)² is ulp-fragile at large magnitudes and can
+    // land positive for a constant column (round-11 review finding);
+    // the d ≤ 0 check remains as the inner NaN guard
     def rExpr(i: Int, j: Int) = {
       val num = s"(CAST(n AS DOUBLE) * CAST(__x${i}_$j AS DOUBLE)" +
         s" - CAST(__s$i AS DOUBLE) * CAST(__s$j AS DOUBLE))"
       def d(k: Int) = s"(CAST(n AS DOUBLE) * CAST(__q$k AS DOUBLE)" +
         s" - CAST(__s$k AS DOUBLE) * CAST(__s$k AS DOUBLE))"
-      expr(s"""CASE WHEN ${d(i)} <= 0.0 OR ${d(j)} <= 0.0 THEN NULL
+      expr(s"""CASE WHEN __mn$i = __mx$i OR __mn$j = __mx$j THEN NULL
+        WHEN ${d(i)} <= 0.0 OR ${d(j)} <= 0.0 THEN NULL
         ELSE $num / sqrt(${d(i)} * ${d(j)}) END""")
     }
     val rows = pairs.map { case (i, j) => struct(
@@ -984,7 +990,8 @@ object Profile {
       .agg(count(lit(1)).cast("long").as("n"),
         (cs.indices.flatMap(i => Seq(
           sum(vs(i).cast("decimal(28,2)")).as(s"__s$i"),
-          sum((vs(i) * vs(i)).cast("decimal(38,4)")).as(s"__q$i"))) ++
+          sum((vs(i) * vs(i)).cast("decimal(38,4)")).as(s"__q$i"),
+          min(vs(i)).as(s"__mn$i"), max(vs(i)).as(s"__mx$i"))) ++
           Seq((0, 1), (0, 2), (1, 2)).map { case (i, j) =>
             sum((vs(i) * vs(j)).cast("decimal(38,4)")).as(s"__x${i}_$j")
           }): _*)
@@ -996,7 +1003,11 @@ object Profile {
         s" / sqrt(${d(i)} * ${d(j)}))"
     val den = s"((1.0 - ${r(0, 2)} * ${r(0, 2)})" +
       s" * (1.0 - ${r(1, 2)} * ${r(1, 2)}))"
-    val defined = s"(${d(0)} > 0.0 AND ${d(1)} > 0.0 AND ${d(2)} > 0.0)"
+    // constant columns detected EXACTLY (min = max — see pearsonMatrix)
+    // plus the double d > 0 inner check against ulp pathologies
+    val defined = "(__mn0 <> __mx0 AND __mn1 <> __mx1" +
+      " AND __mn2 <> __mx2" +
+      s" AND ${d(0)} > 0.0 AND ${d(1)} > 0.0 AND ${d(2)} > 0.0)"
     // nested CASE: the den/r expressions divide by the variance terms,
     // and ANSI mode raises on a zero divisor — `defined` must gate
     // their EVALUATION (outer branch), not just AND into one condition
@@ -1073,13 +1084,23 @@ object Profile {
         sum(p6(expr(s"(CAST(__og AS DOUBLE) - $eX)" +
           s" * (CAST(__og AS DOUBLE) - $eX) / $eX"))
           .cast("decimal(18,6)")).as("__chi"))
-    agg.select(col("__g").as(groupCol), col("n"),
+    // the grid-input raise above protects the chi path, but a caller
+    // that prunes __chi prunes it too (the pruned-guard lesson) — so
+    // every value column carries its own budget guard as well
+    val over = col("r_levels") * col("c_levels") > lit(maxCells)
+    val msg = s"'Profile.cramersV: grid cells in one group exceed " +
+      s"maxCells=$maxCells; bucket the columns first'"
+    def guarded(c: Column, sqlType: String) =
+      when(over, expr(s"CAST(raise_error($msg) AS $sqlType)"))
+        .otherwise(c)
+    agg.select(col("__g").as(groupCol),
+      guarded(col("n"), "BIGINT").as("n"),
       col("r_levels"), col("c_levels"),
-      col("__chi").cast("double").as("chi2"),
-      when(least(col("r_levels") - 1, col("c_levels") - 1) > 0L,
+      guarded(col("__chi").cast("double"), "DOUBLE").as("chi2"),
+      guarded(when(least(col("r_levels") - 1, col("c_levels") - 1) > 0L,
         p6(sqrt(col("__chi").cast("double") /
           (col("n").cast("double") *
             least(col("r_levels") - 1, col("c_levels") - 1)
-              .cast("double"))))).as("cramers_v"))
+              .cast("double"))))), "DOUBLE").as("cramers_v"))
   }
 }

@@ -542,18 +542,10 @@ object TfIdf {
     def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
     val grid = freqGrid(docs, textCol, groupCol, topK, maxGroups,
       "burrowsDelta")
-    val stats = grid.groupBy(col("__t"))
-      .agg(count(lit(1)).cast("long").as("__ng"),
-        sum(col("__f")).cast("decimal(28,6)").as("__sf"),
-        sum((col("__f").cast("double") * col("__f").cast("double"))
-          .cast("decimal(38,12)")).as("__qf"))
-    val sig = "sqrt(CAST(__ng AS DOUBLE) * CAST(__qf AS DOUBLE)" +
-      " - CAST(__sf AS DOUBLE) * CAST(__sf AS DOUBLE))" +
-      " / CAST(__ng AS DOUBLE)"
-    val mu = "(CAST(__sf AS DOUBLE) / CAST(__ng AS DOUBLE))"
+    val stats = freqStats(grid)
     val z = grid.join(broadcast(stats), Seq("__t"))
-      .withColumn("__z", p6(expr(s"""CASE WHEN $sig <= 0.0 THEN 0.0
-        ELSE (CAST(__f AS DOUBLE) - $mu) / ($sig) END"""))
+      .withColumn("__z", p6(expr(s"""CASE WHEN $sigSql <= 0.0 THEN 0.0
+        ELSE (CAST(__f AS DOUBLE) - $muSql) / ($sigSql) END"""))
         .cast("decimal(18,6)"))
       .select(col("__g"), col("__t"), col("__z"))
     val a = z.select(col("__g").as("group_a"), col("__t"),
@@ -569,6 +561,31 @@ object TfIdf {
         p6(col("__sd").cast("double") / col("n_terms").cast("double"))
           .as("delta"))
   }
+
+  /** The per-word (count, Σf, Σf²) stats aggregate over a [[freqGrid]]
+    * — the one home of the mean/σ closing [[burrowsDelta]] and
+    * [[lexicalDispersion]] (and their oracles) share.
+    */
+  private def freqStats(grid: DataFrame): DataFrame =
+    grid.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("long").as("__ng"),
+        sum(coalesce(col("__c"), lit(0L))).cast("long").as("__nt"),
+        sum(col("__f")).cast("decimal(28,6)").as("__sf"),
+        sum((col("__f").cast("double") * col("__f").cast("double"))
+          .cast("decimal(38,12)")).as("__qf"))
+
+  /** σ of the grid features across groups — the radicand is CLAMPED
+    * at 0 (greatest) because an evenly-dispersed word's exact-zero
+    * variance can land one ulp NEGATIVE in double arithmetic: sqrt
+    * would yield NaN here and RAISE in DuckDB (the xyzClassification
+    * precedent; round-11 review finding). Mirror this text in every
+    * oracle.
+    */
+  private val sigSql = "sqrt(greatest(CAST(0.0 AS DOUBLE)," +
+    " CAST(__ng AS DOUBLE) * CAST(__qf AS DOUBLE)" +
+    " - CAST(__sf AS DOUBLE) * CAST(__sf AS DOUBLE)))" +
+    " / CAST(__ng AS DOUBLE)"
+  private val muSql = "(CAST(__sf AS DOUBLE) / CAST(__ng AS DOUBLE))"
 
   /** Shared G×K relative-frequency grid: the corpus's top-K words
     * crossed against every group, each cell carrying the group's
@@ -634,20 +651,12 @@ object TfIdf {
     def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
     val grid = freqGrid(docs, textCol, groupCol, topK, maxGroups,
       "lexicalDispersion")
-    val sig = "sqrt(CAST(__ng AS DOUBLE) * CAST(__qf AS DOUBLE)" +
-      " - CAST(__sf AS DOUBLE) * CAST(__sf AS DOUBLE))" +
-      " / CAST(__ng AS DOUBLE)"
-    val mu = "(CAST(__sf AS DOUBLE) / CAST(__ng AS DOUBLE))"
-    grid.groupBy(col("__t").as("term"))
-      .agg(count(lit(1)).cast("long").as("n_groups"),
-        sum(coalesce(col("__c"), lit(0L))).cast("long").as("n_total"),
-        sum(col("__f")).cast("decimal(28,6)").as("__sf"),
-        sum((col("__f").cast("double") * col("__f").cast("double"))
-          .cast("decimal(38,12)")).as("__qf"),
-        count(lit(1)).cast("long").as("__ng"))
-      .select(col("term"), col("n_groups"), col("n_total"),
-        p6(expr(s"""CASE WHEN __ng < 2 OR $mu <= 0.0 THEN NULL
-          ELSE 1.0 - (($sig) / ($mu)) / sqrt(CAST(__ng - 1 AS DOUBLE))
+    freqStats(grid)
+      .select(col("__t").as("term"), col("__ng").as("n_groups"),
+        col("__nt").as("n_total"),
+        p6(expr(s"""CASE WHEN __ng < 2 OR $muSql <= 0.0 THEN NULL
+          ELSE 1.0 - (($sigSql) / ($muSql))
+            / sqrt(CAST(__ng - 1 AS DOUBLE))
           END""")).as("d"))
   }
 

@@ -254,6 +254,16 @@ class TfIdfSpec extends SparkSpec {
     out("a") shouldBe ((2L, 4L, 1.0)) // f = 0.5 in both: cv = 0
     out("b") shouldBe ((2L, 2L, 0.0)) // one group: cv = 1 = sqrt(G-1)
     out("c") shouldBe ((2L, 2L, 0.0))
+    // regression (round-11 review): f6 = 0.007 in both groups makes
+    // the unclamped variance radicand one ulp NEGATIVE — sqrt must
+    // see the clamped 0, not NaN, and D must be exactly 1
+    val text7 = (Seq.fill(7)("aa") ++ Seq.fill(993)("x")).mkString(" ")
+    val ulp = Seq((1L, text7, "s1"), (2L, text7, "s2"))
+      .toDF("doc_id", "text", "source")
+    val ru = TfIdf.lexicalDispersion(ulp, "text", "source", topK = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    ru("aa") shouldBe 1.0
+    ru("x") shouldBe 1.0
   }
 
   test("keyness surfaces over-represented words with the hand G2") {
