@@ -27,6 +27,18 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // every smoke temp dir (docs corpus parquet + the streaming state
+    // stores) is recorded here and drained before spark.stop() — the
+    // same /tmp pile-up class Bench/Verify's drainInvocationStateDirs
+    // hook prevents; ~15 dirs per run would otherwise accumulate on
+    // the box across rounds
+    val smokeTmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def smokeTmp(prefix: String, suffix: String): String = {
+      val parent = java.nio.file.Files.createTempDirectory(prefix).toString
+      smokeTmpDirs += parent
+      parent + suffix
+    }
+
     def events(n: Long) = spark.read.format("graft.sources.ReplaySource")
       .option("rows", n).option("partitions", cpus.toInt * 4)
       .option("seed", 7).load()
@@ -133,8 +145,7 @@ object ScaleSmoke {
     // later ticks fold into the state table it creates
     val anyTick = Seq(tick1, tick2, tick3).exists(willRun)
     time(tick1, force = anyTick) {
-      val ccState = java.nio.file.Files
-        .createTempDirectory("graft_smoke_cc").toString + "/components"
+      val ccState = smokeTmp("graft_smoke_cc", "/components")
       ccStatePath = ccState
       val chains = events(rows).select(col("event_id").as("id_a"))
         .filter(pmod(col("id_a"), lit(8)) < 5)
@@ -184,8 +195,7 @@ object ScaleSmoke {
     val lineDupStage = "line dup screens"
     val noveltyStage = "gram novelty"
     val decontStage = "streaming screen + decontamination"
-    val docsPath = java.nio.file.Files
-      .createTempDirectory("graft_smoke_docs").toString + "/docs"
+    val docsPath = smokeTmp("graft_smoke_docs", "/docs")
     // the docs write must run whenever any text-chain stage is
     // selected — they all read the parquet it produces
     val docsWrite = "write documents parquet"
@@ -264,8 +274,7 @@ object ScaleSmoke {
     // of an incremental ingest tick at scale (state tables + anti-joins
     // + band screen, not just the stateless pipeline above)
     time(screenStage) {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_smoke_state").toString + "/state"
+      val state = smokeTmp("graft_smoke_state", "/state")
       val half = rows / 2
       graft.streaming.StreamingCuration.acceptBatch(
         docsPq.filter(col("doc_id") < half), "text", "doc_id", state).count()
@@ -277,8 +286,7 @@ object ScaleSmoke {
     // the gram explode + broadcast join — the number that says what
     // arming decontamination costs an ingest tick
     time(decontStage) {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_smoke_decont").toString + "/state"
+      val state = smokeTmp("graft_smoke_decont", "/state")
       graft.streaming.StreamingCuration.registerEvalSet(
         docsPq.filter(col("doc_id") % 1000 === 0), "text", state, n = 5)
       val half = rows / 2
@@ -473,8 +481,7 @@ object ScaleSmoke {
     // duration-bounded state (<= 5000 rows regardless of stream
     // volume), then the live KM curve derived from the state
     time("streaming survival (2 batches + km view)") {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_smoke_ssurv").toString + "/state"
+      val st = smokeTmp("graft_smoke_ssurv", "/state")
       val ob = events(rows).select(
         pmod(hash(col("event_id")), lit(5000)).cast("long").as("dur"),
         pmod(col("event_id"), lit(2)).cast("long").as("ev"),
@@ -500,8 +507,7 @@ object ScaleSmoke {
     // one full-outer merge bounded by the CLASS vocabulary, never by
     // stream volume; the gate read is the counts-of-counts tail
     time("streaming k-anonymity (2 batches)") {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_smoke_skanon").toString + "/state"
+      val st = smokeTmp("graft_smoke_skanon", "/state")
       val ev = events(rows).select(
         pmod(hash(col("user_id")), lit(1000)).as("q1"),
         pmod(hash(col("event_id")), lit(100)).as("q2"))
@@ -591,8 +597,7 @@ object ScaleSmoke {
     // streaming funnel: two half-batches min-merged into (user, step)
     // state over n/100 users; the card reads state only
     time("streaming funnel (2 batches)") {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_smoke_sfunnel").toString + "/state"
+      val st = smokeTmp("graft_smoke_sfunnel", "/state")
       val steps = Seq("s0", "s1", "s2")
       val ev = events(rows).select(
         pmod(col("user_id"), lit(rows / 100)).as("u"), col("ts"),
@@ -615,8 +620,7 @@ object ScaleSmoke {
     // merged into key-bounded state (n/200 users x 52 weeks); the card
     // read is two aggregates over the reduced state
     time("streaming retention (2 batches)") {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_smoke_sret").toString + "/state"
+      val st = smokeTmp("graft_smoke_sret", "/state")
       val ev = events(rows).select(
         pmod(col("user_id"), lit(rows / 200)).as("u"), col("ts"),
         pmod(col("event_id"), lit(2)).as("half"))
@@ -785,8 +789,7 @@ object ScaleSmoke {
     // streaming WoE: two half-batches of per-bin class counts merged
     // into bin-vocabulary-bounded state; the card reads the state only
     time("streaming woe (2 batches)") {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_smoke_swoe").toString + "/state"
+      val st = smokeTmp("graft_smoke_swoe", "/state")
       val ev = events(rows).select(
         pmod(col("user_id"), lit(1000)).as("bin"),
         when(pmod(col("event_id"), lit(3)) === 0, 1L).otherwise(0L)
@@ -818,8 +821,7 @@ object ScaleSmoke {
     // streaming concurrency: two half-batches of day deltas merged
     // into calendar-bounded state; the card reads the state only
     time("streaming concur (2 batches)") {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_smoke_sconc").toString + "/state"
+      val st = smokeTmp("graft_smoke_sconc", "/state")
       val ev = events(rows).select(
         pmod(col("event_id"), lit(1500)).as("s"),
         (pmod(col("event_id"), lit(1500)) + 1L +
@@ -834,8 +836,7 @@ object ScaleSmoke {
     // streaming A/B: two half-batches of per-key arm counts merged
     // into experiment-bounded state; the card reads the state only
     time("streaming-ab (2 batches)") {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_smoke_sab").toString + "/state"
+      val st = smokeTmp("graft_smoke_sab", "/state")
       val ev = events(rows).select(
         pmod(col("user_id"), lit(200)).as("t"),
         pmod(col("event_id"), lit(2)).as("arm"),
@@ -920,8 +921,7 @@ object ScaleSmoke {
         "k", 32, 40).count()
     }
     time("streaming topk drift (2 batches)") {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_smoke_stkd").toString + "/state"
+      val st = smokeTmp("graft_smoke_stkd", "/state")
       val ev = events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
         pmod(col("event_id"), lit(2)).as("arm"),
         pmod(col("event_id"), lit(5000)).as("key"),
@@ -1025,8 +1025,7 @@ object ScaleSmoke {
         "g", "value").count()
     }
     time("streaming burstiness (2 ticks)") {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_smoke_sburst").toString + "/state"
+      val st = smokeTmp("graft_smoke_sburst", "/state")
       val ev = events(rows)
       streaming.StreamingBurstiness.acceptBatch(
         ev.filter(col("ts") < lit("2024-01-15").cast("timestamp")),
@@ -1108,8 +1107,7 @@ object ScaleSmoke {
         "g", "w").count()
     }
     time("streaming risk (2 ticks)") {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_smoke_srisk").toString + "/state"
+      val st = smokeTmp("graft_smoke_srisk", "/state")
       val ev = events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
         pmod(col("event_id"), lit(2)).as("e"),
         pmod(col("event_id") + col("user_id"), lit(2)).as("o"),
@@ -1136,8 +1134,7 @@ object ScaleSmoke {
         "g", Seq("v1", "v2", "v3")).count()
     }
     time("streaming ess (2 ticks)") {
-      val st = java.nio.file.Files
-        .createTempDirectory("graft_smoke_sess").toString + "/state"
+      val st = smokeTmp("graft_smoke_sess", "/state")
       val ev = events(rows).select(pmod(col("user_id"), lit(200)).as("g"),
         pmod(col("event_id"), lit(997)).as("w"), col("event_id"))
       streaming.StreamingEss.acceptBatch(
@@ -1279,6 +1276,14 @@ object ScaleSmoke {
             .as("ev"),
           pmod(col("user_id"), lit(2)).as("arm")),
         "dur", "ev", "arm", bucketWidth = 256L).count()
+    }
+    smokeTmpDirs.foreach { dir =>
+      // NonFatal only (an InterruptedException must still cancel);
+      // failures print so a dead cleanup cannot go unseen
+      try graft.sources.PathIO.deleteDir(spark, dir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[smoke] temp-dir cleanup failed for $dir: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

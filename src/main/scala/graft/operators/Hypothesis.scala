@@ -571,16 +571,19 @@ object Hypothesis {
     val up = math.log((1.0 - beta) / alpha)
     val lo = math.log(beta / (1.0 - alpha))
     val s = when(col(successCol).cast("long") =!= 0L, 1L).otherwise(0L)
-    val llr = "(CAST(k AS DOUBLE) * (" + c1 + ")" +
-      s" + CAST(n - k AS DOUBLE) * ($c0))"
+    // every embedded Scala double is CAST(... AS DOUBLE)-pinned: a bare
+    // decimal literal in SQL text parses as DECIMAL first and relies on
+    // value-preserving coercion (the wilsonLowerBound discipline)
+    val llr = s"(CAST(k AS DOUBLE) * CAST($c1 AS DOUBLE)" +
+      s" + CAST(n - k AS DOUBLE) * CAST($c0 AS DOUBLE))"
     df.filter(col(groupCol).isNotNull && col(successCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(s).cast("long").as("k"))
       .select(col(groupCol), col("n"), col("k"),
         p6(expr(llr)).as("llr"),
-        expr(s"""CASE WHEN $llr >= ($up) THEN 'accept_h1'
-          WHEN $llr <= ($lo) THEN 'accept_h0'
+        expr(s"""CASE WHEN $llr >= CAST($up AS DOUBLE) THEN 'accept_h1'
+          WHEN $llr <= CAST($lo AS DOUBLE) THEN 'accept_h0'
           ELSE 'continue' END""").as("decision"))
   }
 

@@ -61,9 +61,12 @@ object StreamingBurstiness {
     val both = col("last_ts").isNotNull && col("__min_ts").isNotNull
     val bRaw = col("__min_ts") - col("last_ts")
     val bGap = when(!both, lit(0L)).otherwise(
+      // no apostrophe in the message: Spark SQL escapes with backslash
+      // and treats adjacent 'a''b' literals as CONCATENATION, so a
+      // doubled quote would silently garble the text
       when(bRaw < 0L, expr("raise_error(" +
-        "'StreamingBurstiness: batch begins before the state''s last " +
-        "seen second for this key — batches must be event-time ordered " +
+        "'StreamingBurstiness: batch begins before the state last-seen " +
+        "second for this key — batches must be event-time ordered " +
         "per key')").cast("long"))
         .otherwise(bRaw))
     state.join(partial, col("key") <=> col("__k"), "full_outer")
