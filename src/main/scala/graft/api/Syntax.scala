@@ -243,8 +243,9 @@ object syntax {
                         binWidth: Double): DataFrame =
       Metrics.calibrationBins(df, scoreCol, labelCol, binWidth)
     def exactQuantiles(valCol: String, qs: Seq[Double],
-                       bucketWidth: Double): DataFrame =
-      Metrics.exactQuantiles(df, valCol, qs, bucketWidth)
+                       bucketWidth: Double,
+                       leafCap: Int = 1 << 16): DataFrame =
+      Metrics.exactQuantiles(df, valCol, qs, bucketWidth, leafCap)
     def quantilesFromCounts(valCol: String, cntCol: String,
                             qs: Seq[Double], bucketWidth: Double): DataFrame =
       Metrics.quantilesFromCounts(df, valCol, cntCol, qs, bucketWidth)

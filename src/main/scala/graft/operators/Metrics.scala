@@ -192,22 +192,40 @@ object Metrics {
     * per-bucket counts collect to the driver (#occupied buckets —
     * value range / bucketWidth, a data contract), the two neighbor
     * ranks of each requested quantile position (n−1)·q are computed,
-    * and ONE filtered pass materializes just those rows (a
-    * #quantiles-sized collect). Linear interpolation between the
-    * neighbors is the R-7 convention `percentile`/`quantile_cont`
-    * implement, so results agree with both to the rounding.
+    * and only the ≤ 2·|qs| buckets whose rank interval [off, off+cnt)
+    * actually CONTAINS a needed rank are ever read again — every other
+    * bucket is done after the counts pass (no sort, no shuffle).
+    * Linear interpolation between the neighbors is the R-7 convention
+    * `percentile`/`quantile_cont` implement, so results agree with
+    * both to the rounding.
+    *
+    * SCALE: bucket count = value range / bucketWidth is FIXED by the
+    * data domain, so a needed bucket's row count grows linearly with
+    * data — a naive per-bucket sort would become one multi-billion-row
+    * task at the 100-TB design point. Needed buckets over `leafCap`
+    * rows are therefore REFINED instead of sorted: each splits into 16
+    * value cells anchored at its EXACT collected [min, max] (cell id
+    * `floor((v − lo)/step)` is monotone in v, so lexicographic cell
+    * order IS value order and offsets stay exact), one cheap
+    * counts+extrema pass per level, geometric ≥ 8× range shrink per
+    * level. A cell whose min equals its max is a run of ONE value and
+    * resolves on the driver with no sort at all (the constant-column /
+    * heavy-ties case). Only cells still holding a needed rank recurse;
+    * the final rank pass window-sorts at most 2·|qs| buckets of
+    * ≤ `leafCap` rows each — bounded at ANY data scale.
     *
     * SNAPSHOT ASSUMPTION (shuffleRank's): the counts job runs when the
-    * operator is CALLED and the rank pass re-reads the input — the
-    * input must be deterministic between the two evaluations (a
-    * parquet path, a checkpoint).
+    * operator is CALLED and every later pass re-reads the input — the
+    * input must be deterministic between evaluations (a parquet path,
+    * a checkpoint).
     *
     * Output: one row per requested quantile — `q` (double),
     * `n` (BIGINT), `value` (double at 4 places).
     */
   def exactQuantiles(df: DataFrame, valCol: String, qs: Seq[Double],
-                     bucketWidth: Double): DataFrame = {
+                     bucketWidth: Double, leafCap: Int = 1 << 16): DataFrame = {
     checkQs(qs, bucketWidth)
+    require(leafCap > 0, s"leafCap must be positive: $leafCap")
     val spark = df.sparkSession
     import spark.implicits._
     // NaN is dropped like NULL (a NaN would bucket to a null key and
@@ -216,25 +234,107 @@ object Metrics {
     val vals = df.filter(col(valCol).isNotNull && !isnan(col(valCol)))
       .select(col(valCol).cast("double").as("__v"))
       .withColumn("__b", floor(col("__v") / lit(bucketWidth)).cast("long"))
+    // exact per-bucket extrema ride along with the counts: they anchor
+    // the refinement cells and give the O(1) single-value resolution
     val btot = vals.groupBy(col("__b"))
-      .agg(count(lit(1)).cast("long").as("__n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offs = btot.map { case (b, c) => val o = acc; acc += c; (b, o) }
-    val n = acc
+      .agg(count(lit(1)).cast("long").as("__n"),
+        min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val n = btot.map(_._2).sum
     if (n == 0L)
       return Seq.empty[(Double, Long, Double)].toDF("q", "n", "value")
     val positions = r7Positions(n, qs)
     val needed = positions.flatMap(p => Seq(p.lo, p.hi)).distinct
-    val offDf = broadcast(offs.toSeq.toDF("__b", "__off"))
-    val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
-    val picked = vals.join(offDf, Seq("__b"))
-      .withColumn("__r",
-        col("__off") + row_number().over(w).cast("long") - 1L)
-      .filter(col("__r").isInCollection(needed))
-      .select(col("__r"), col("__v"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    interpolate(n, positions, picked).toDF("q", "n", "value")
+    def owns(off: Long, cnt: Long): Seq[Long] =
+      needed.filter(r => off <= r && r < off + cnt)
+    // (lo, hi, off, cnt): a disjoint CLOSED value interval holding rows
+    // of ranks [off, off+cnt). Disjointness is structural — level-0
+    // buckets are disjoint floor intervals, refinement cells partition
+    // a parent by a monotone function of the value — so `__v BETWEEN
+    // lo AND hi` is an exact membership test at every level.
+    var acc = 0L
+    val level0 = btot.map { case (b, c, blo, bhi) =>
+      val o = acc; acc += c; (b, blo, bhi, o, c)
+    }
+    // THE PRUNE: buckets not owning a needed rank never appear again
+    var active = level0.collect {
+      case (_, blo, bhi, off, cnt) if owns(off, cnt).nonEmpty =>
+        (blo, bhi, off, cnt)
+    }.toSeq
+    // every later pass pre-filters the scan to the ≤ 2·|qs| needed
+    // level-0 buckets before any range test
+    val level0Ids = level0.collect {
+      case (b, _, _, off, cnt) if owns(off, cnt).nonEmpty => b
+    }.toSeq
+    val pre = vals.filter(col("__b").isInCollection(level0Ids))
+    val resolved = scala.collection.mutable.Map.empty[Long, Double]
+    def resolveConstants(): Unit = {
+      val (const, rest) = active.partition { case (lo, hi, _, _) => lo == hi }
+      const.foreach { case (lo, _, off, cnt) =>
+        owns(off, cnt).foreach(r => resolved(r) = lo)
+      }
+      active = rest
+    }
+    resolveConstants()
+    // refinement loop: 64 levels of ≥ 8× range shrink cover any real
+    // distribution (exhausting them needs > leafCap rows clustered
+    // within 8^-64 of a bucket's span at every level); if they ARE
+    // exhausted the final pass sorts what remains — correct, merely
+    // unbounded, on that adversarial tail
+    var level = 0
+    while (active.exists(_._4 > leafCap) && level < 64) {
+      level += 1
+      val (big, small) = active.partition(_._4 > leafCap)
+      val bigDf = broadcast(big.map { case (lo, hi, off, _) =>
+        // a step that underflowed to 0 (sub-ulp span) still indexes
+        // correctly at MIN_VALUE: (v−lo)/step ≤ 16 by construction
+        (lo, hi, off, math.max((hi - lo) / 16.0, java.lang.Double.MIN_VALUE))
+      }.toDF("__plo", "__phi", "__poff", "__step"))
+      val cells = pre
+        .join(bigDf, col("__v") >= col("__plo") && col("__v") <= col("__phi"))
+        .groupBy(col("__plo"), col("__poff"),
+          least(floor((col("__v") - col("__plo")) / col("__step")),
+            lit(15.0)).cast("long").as("__i"))
+        .agg(count(lit(1)).cast("long").as("__n"),
+          min(col("__v")).as("__clo"), max(col("__v")).as("__chi"))
+        .collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      val children = cells.groupBy(c => (c._1, c._2)).toSeq.flatMap {
+        case ((_, poff), cs) =>
+          var o = poff
+          cs.sortBy(_._3).map { case (_, _, _, cnt, clo, chi) =>
+            val c = (clo, chi, o, cnt); o += cnt; c
+          }
+      }
+      active = small ++ children.filter { case (_, _, off, cnt) =>
+        owns(off, cnt).nonEmpty
+      }
+      resolveConstants()
+    }
+    // final rank pass over ONLY the surviving needed buckets: each is
+    // ≤ leafCap rows (or the documented adversarial fallback), so the
+    // per-partition window sort is bounded at any scale. The partition
+    // key is the interval's lo — distinct across disjoint intervals.
+    val picked: Map[Long, Double] =
+      if (active.isEmpty) Map.empty
+      else {
+        val actDf = broadcast(active.map { case (lo, hi, off, _) =>
+          (lo, hi, off)
+        }.toDF("__plo", "__phi", "__poff"))
+        val w = Window.partitionBy(col("__plo")).orderBy(col("__v"))
+        pre.join(actDf,
+            col("__v") >= col("__plo") && col("__v") <= col("__phi"))
+          .withColumn("__r",
+            col("__poff") + row_number().over(w).cast("long") - 1L)
+          .filter(col("__r").isInCollection(needed))
+          .select(col("__r"), col("__v"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+    interpolate(n, positions, resolved.toMap ++ picked)
+      .toDF("q", "n", "value")
   }
 
   /** [[exactQuantiles]] over an ALREADY-REDUCED (value, count) table —
@@ -264,18 +364,27 @@ object Metrics {
       .agg(sum(col("__c")).cast("long").as("__n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
-    val offs = btot.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val offs = btot.map { case (b, c) => val o = acc; acc += c; (b, o, c) }
     val n = acc
     if (n == 0L)
       return Seq.empty[(Double, Long, Double)].toDF("q", "n", "value")
     val positions = r7Positions(n, qs)
     val needed = positions.flatMap(p => Seq(p.lo, p.hi)).distinct
-    val offDf = broadcast(offs.toSeq.toDF("__b", "__off"))
+    // THE PRUNE (exactQuantiles'): only buckets whose rank interval
+    // [off, off+cnt) contains a needed rank join the cumulative pass —
+    // at most 2·|qs| of them can; the rest are done after the counts
+    val keep = offs.filter { case (_, off, cnt) =>
+      needed.exists(r => off <= r && r < off + cnt)
+    }
+    val offDf = broadcast(keep.map { case (b, off, _) => (b, off) }
+      .toSeq.toDF("__b", "__off"))
     val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hit = needed.map(r =>
       col("__lo") <= lit(r) && lit(r) < col("__hi")).reduce(_ || _)
-    val rows = vals.join(offDf, Seq("__b"))
+    val rows = vals
+      .filter(col("__b").isInCollection(keep.map(_._1).toSeq))
+      .join(offDf, Seq("__b"))
       .withColumn("__hi", col("__off") + sum(col("__c")).over(w))
       .withColumn("__lo", col("__hi") - col("__c"))
       .filter(hit)

@@ -112,6 +112,78 @@ class MetricsSpec extends SparkSpec {
       Seq(1.0), 4.0).collect().head.getDouble(2) shouldBe 9.0
   }
 
+  // R-7 ground truth over a driver-side sort — the memory-bound shape
+  // the distributed bucketed-rank path must agree with exactly
+  private def r7Truth(vs: Seq[Double], q: Double): Double = {
+    val x = vs.sorted
+    val pos = (x.size - 1).toDouble * q
+    val lo = math.floor(pos).toInt
+    val hi = math.min(lo + 1, x.size - 1)
+    graft.functions.Rounding.proundD(x(lo) + (x(hi) - x(lo)) * (pos - lo), 4)
+  }
+
+  test("exactQuantiles refines oversized buckets instead of sorting them") {
+    // ONE width-1000 bucket holds all 500 values; leafCap 8 forces
+    // several refinement levels, and the ·0.125 tie structure puts
+    // constant runs inside cells (the min==max driver resolution)
+    val vs = Seq.tabulate(500)(i =>
+      ((i * 131) % 97).toDouble + (i % 7) * 0.125)
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val out = Metrics.exactQuantiles(vs.toDF("v"), "v", qs, 1000.0,
+        leafCap = 8)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    qs.foreach(q => out(q) shouldBe r7Truth(vs, q))
+  }
+
+  test("exactQuantiles ranks landing in the first, last, and one shared bucket") {
+    // 300 values across 30 width-1 buckets: q=0/0.003 live in the
+    // FIRST bucket, q=0.997/1 in the LAST — the prune must keep
+    // exactly those edges alive
+    val vs = Seq.tabulate(300)(i => i / 10.0)
+    val edges = Seq(0.0, 0.003, 0.997, 1.0)
+    val oute = Metrics.exactQuantiles(vs.toDF("v"), "v", edges, 1.0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    edges.foreach(q => oute(q) shouldBe r7Truth(vs, q))
+    // every neighbor rank of these quantiles falls in ONE mid bucket
+    // (ranks 122–149 of width-1 bucket [12,13)) — a single survivor
+    val mids = Seq(0.41, 0.45, 0.49)
+    val outm = Metrics.exactQuantiles(vs.toDF("v"), "v", mids, 1.0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    mids.foreach(q => outm(q) shouldBe r7Truth(vs, q))
+  }
+
+  test("exactQuantiles resolves constant and two-valued runs with no rank pass") {
+    // a constant column: the only bucket has min == max and resolves
+    // on the driver even though its count dwarfs leafCap
+    val const = Seq.fill(100)(42.5)
+    Metrics.exactQuantiles(const.toDF("v"), "v", Seq(0.0, 0.5, 1.0),
+        8.0, leafCap = 2)
+      .collect().foreach { r =>
+        r.getLong(1) shouldBe 100L
+        r.getDouble(2) shouldBe 42.5
+      }
+    // two heavy runs: refinement splits them into two constant cells,
+    // both resolved driver-side; the median interpolates across them
+    val two = Seq.fill(50)(1.0) ++ Seq.fill(50)(2.0)
+    Metrics.exactQuantiles(two.toDF("v"), "v", Seq(0.5), 8.0,
+        leafCap = 2)
+      .collect().head.getDouble(2) shouldBe 1.5
+  }
+
+  test("exactQuantiles equals the driver-sort truth under forced recursion") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      vs <- Gen.nonEmptyListOf(Gen.chooseNum(-50, 50).map(i => i * 0.25))
+      qs <- Gen.nonEmptyListOf(Gen.oneOf(0.0, 0.1, 0.37, 0.5, 0.9, 1.0))
+    } yield (vs, qs.distinct)
+    check(Prop.forAll(gen) { case (vs, qs) =>
+      val out = Metrics.exactQuantiles(vs.toDF("v"), "v", qs, 7.0,
+          leafCap = 4)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+      qs.forall(q => out(q) == r7Truth(vs, q))
+    })
+  }
+
   test("calibrationBins reports exact bin means and rates") {
     val df = Seq((0.25, 0L), (0.75, 1L), (1.5, 1L), (1.5, 1L))
       .toDF("s", "lab")
