@@ -3,12 +3,20 @@
 
 The per-round driver artifact (BENCH_r{N}.json) carries a totals-only
 stdout line, so the per-query medians live in BENCH_LOCAL.json — one
-committed snapshot per round. This tool walks that file's git history
-(plus the working-tree copy), lines the snapshots up per query, and
-flags any round-over-round move beyond --ratio (default 1.5x, either
-direction). A q87-class anomaly (14.1s vs a 2.3s committed median,
-code untouched) then surfaces in the builder's own loop instead of the
-judge's.
+committed snapshot per round (quiet-box medians, the CANONICAL numbers
+per PERF.md "Bench-noise policy"; a plain Bench run writes to target/
+and only SPARK_GRAFT_RECORD_MEDIANS=1 refreshes the committed file).
+This tool walks that file's git history (plus the working-tree copy),
+lines the snapshots up per query, and flags any round-over-round move
+beyond --ratio (default 1.5x, either direction).
+
+Since round 12 the artifact also carries the RAW per-run triples
+("runs"). A flagged move is then CLASSIFIED: if the faster side's
+median is within ratio of the slower side's MINIMUM run, the move is
+explainable as one or two contaminated runs on a shared box and is
+reported as noise-suspect, not a regression — exactly the q87/q277
+adjudications of rounds 10-11, now decided from the artifact instead
+of a judge re-run.
 
 Usage:
   tools/bench_trend.py                  # last 4 committed snapshots + worktree
@@ -21,10 +29,11 @@ Explicit files may be raw bench lines ({"metric":"total",...,"queries":
 wrappers the tool reads parsed.queries and falls back to regex-mining
 the stdout tail (partial coverage, better than nothing).
 
-Exit status: 0 when no query moved beyond the ratio, 1 otherwise — so
-a pre-commit loop can gate on it. Queries present in only one of two
-adjacent snapshots (newly added / removed) are reported but never
-flagged.
+Exit status (the PERF.md policy): 0 when every move beyond the ratio
+is noise-suspect per the raw runs (or nothing moved), 1 when at least
+one move is a CONFIRMED regression (no runs evidence excusing it) — so
+a pre-commit loop gates on real regressions without flapping on
+shared-box contention.
 """
 import argparse
 import json
@@ -33,25 +42,33 @@ import subprocess
 import sys
 
 
-def queries_from_obj(d):
-    """Per-query medians from either bench-line or driver-wrapper JSON."""
+def snapshot_from_obj(d):
+    """(medians, runs) from either bench-line or driver-wrapper JSON;
+    runs is {} when the snapshot predates the raw-triples artifact."""
+    queries, runs = {}, {}
     if isinstance(d.get("queries"), dict) and d["queries"]:
-        return {k: float(v) for k, v in d["queries"].items()}
-    parsed = d.get("parsed") or {}
-    if isinstance(parsed.get("queries"), dict) and parsed["queries"]:
-        return {k: float(v) for k, v in parsed["queries"].items()}
-    tail = d.get("tail", "")
-    mined = re.findall(r'"(q\d+[a-z0-9_]*)":([0-9.]+)', tail)
-    return {k: float(v) for k, v in mined}
+        queries = {k: float(v) for k, v in d["queries"].items()}
+    else:
+        parsed = d.get("parsed") or {}
+        if isinstance(parsed.get("queries"), dict) and parsed["queries"]:
+            queries = {k: float(v) for k, v in parsed["queries"].items()}
+        else:
+            tail = d.get("tail", "")
+            mined = re.findall(r'"(q\d+[a-z0-9_]*)":([0-9.]+)', tail)
+            queries = {k: float(v) for k, v in mined}
+    if isinstance(d.get("runs"), dict):
+        runs = {k: [float(x) for x in v] for k, v in d["runs"].items()
+                if isinstance(v, list) and v}
+    return queries, runs
 
 
 def load_file(path):
     with open(path) as f:
-        return queries_from_obj(json.load(f))
+        return snapshot_from_obj(json.load(f))
 
 
 def git_snapshots(depth):
-    """(label, queries) for the last `depth` commits touching
+    """(label, medians, runs) for the last `depth` commits touching
     BENCH_LOCAL.json, oldest first, plus the worktree copy if it
     differs from HEAD's."""
     log = subprocess.run(
@@ -65,14 +82,32 @@ def git_snapshots(depth):
             capture_output=True, text=True)
         if show.returncode != 0:
             continue
-        out.append((sha, queries_from_obj(json.loads(show.stdout))))
+        q, r = snapshot_from_obj(json.loads(show.stdout))
+        out.append((sha, q, r))
     try:
-        wt = load_file("BENCH_LOCAL.json")
-        if not out or wt != out[-1][1]:
-            out.append(("worktree", wt))
+        q, r = load_file("BENCH_LOCAL.json")
+        if not out or (q, r) != (out[-1][1], out[-1][2]):
+            out.append(("worktree", q, r))
     except (OSError, json.JSONDecodeError):
         pass
     return out
+
+
+def classify(a, b, runs_a, runs_b, ratio):
+    """Is an a->b move beyond ratio a regression, a speedup, or noise?
+
+    Noise-suspect when the calm side's median sits within ratio of the
+    inflated side's BEST (minimum) run — i.e. at least one run on the
+    inflated side saw a quiet box and agreed with the other round.
+    A slower move without runs evidence excusing it stays a REGRESSION
+    (evidence, not benefit of the doubt); a faster move is a speedup —
+    printed so a query that quietly stopped doing work is still
+    visible, but never an exit-1 condition."""
+    hi_runs = runs_b if b > a else runs_a
+    calm = min(a, b)
+    if hi_runs and min(hi_runs) <= calm * ratio:
+        return "noise-suspect"
+    return "REGRESSION" if b > a else "speedup"
 
 
 def main():
@@ -90,7 +125,7 @@ def main():
     args = ap.parse_args()
 
     if args.files:
-        snaps = [(p, load_file(p)) for p in args.files]
+        snaps = [(p,) + load_file(p) for p in args.files]
     else:
         snaps = git_snapshots(args.depth)
     if len(snaps) < 2:
@@ -98,7 +133,7 @@ def main():
         return 2
 
     flagged = []
-    for (la, qa), (lb, qb) in zip(snaps, snaps[1:]):
+    for (la, qa, ra), (lb, qb, rb) in zip(snaps, snaps[1:]):
         for name in sorted(set(qa) | set(qb)):
             a, b = qa.get(name), qb.get(name)
             if a is None or b is None:
@@ -108,12 +143,14 @@ def main():
             lo = max(min(a, b), 1e-9)
             r = max(a, b) / lo
             if r > args.ratio:
-                flagged.append((r, name, la, a, lb, b))
+                kind = classify(a, b, ra.get(name), rb.get(name), args.ratio)
+                flagged.append((r, name, la, a, lb, b, kind,
+                                rb.get(name) if b > a else ra.get(name)))
 
-    labels = " -> ".join(l for l, _ in snaps)
-    sizes = ", ".join(str(len(q)) for _, q in snaps)
+    labels = " -> ".join(s[0] for s in snaps)
+    sizes = ", ".join(str(len(s[1])) for s in snaps)
     print(f"snapshots: {labels}  (queries: {sizes})")
-    totals = ", ".join(f"{sum(q.values()):.1f}s" for _, q in snaps)
+    totals = ", ".join(f"{sum(s[1].values()):.1f}s" for s in snaps)
     print(f"totals:    {totals}")
     added = set(snaps[-1][1]) - set(snaps[0][1])
     removed = set(snaps[0][1]) - set(snaps[-1][1])
@@ -126,11 +163,17 @@ def main():
         print(f"no per-query move beyond {args.ratio}x "
               f"(floor {args.min_sec}s) — trend clean")
         return 0
-    print(f"\n{len(flagged)} move(s) beyond {args.ratio}x:")
-    for r, name, la, a, lb, b in sorted(flagged, reverse=True):
+    regressions = [f for f in flagged if f[6] == "REGRESSION"]
+    print(f"\n{len(flagged)} move(s) beyond {args.ratio}x "
+          f"({len(regressions)} confirmed regression(s), "
+          f"{len(flagged) - len(regressions)} speedup/noise-suspect):")
+    for r, name, la, a, lb, b, kind, hi_runs in sorted(flagged, reverse=True):
         arrow = "SLOWER" if b > a else "faster"
-        print(f"  {r:5.2f}x {arrow:6s} {name:40s} {la} {a:7.2f}s -> {lb} {b:7.2f}s")
-    return 1
+        runs = ("  runs=" + ",".join(f"{x:.2f}" for x in hi_runs)
+                if hi_runs else "")
+        print(f"  {r:5.2f}x {arrow:6s} {kind:13s} {name:40s} "
+              f"{la} {a:7.2f}s -> {lb} {b:7.2f}s{runs}")
+    return 1 if regressions else 0
 
 
 if __name__ == "__main__":
