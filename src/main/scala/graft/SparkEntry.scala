@@ -8481,12 +8481,41 @@ object SparkEntry {
            |FROM comp JOIN tok ON tok.doc_id = comp.node
            |GROUP BY component""".stripMargin,
 
-      // exact percentile bounds, clamp, decimal-summed mean
+      // exact percentile bounds, clamp, decimal-summed mean.
+      // The bounds mirror Spark's Percentile ARITHMETIC, not just its
+      // R-7 convention: when both neighbor ranks land in one tie run
+      // Spark short-circuits to the stored value, while quantile_cont
+      // computes v·(1−f)+v·f which can round ONE ULP off it — and a
+      // cutoff used in a strict < flips the whole run (50 rows at
+      // sf1.0, where every value exists ×10; caught by the scale
+      // ratchet, invisible at SFs whose cutoffs miss tie runs). The
+      // explicit (ceil−pos)·lo + (pos−floor)·hi form below is
+      // Spark's exact expression tree, so the doubles agree bitwise.
       "q107_winsorize" ->
-        s"""WITH b AS (
-           |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
-           |         quantile_cont(value, 0.95) AS hi
-           |  FROM events GROUP BY event_type),
+        s"""WITH r AS (
+           |  SELECT event_type, value,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM events WHERE value IS NOT NULL),
+           |b AS (
+           |  SELECT event_type,
+           |    CASE WHEN min(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE)*0.05) AS BIGINT)+1 THEN value END)
+           |            = min(CASE WHEN rn = CAST(ceiling(CAST(n-1 AS DOUBLE)*0.05) AS BIGINT)+1 THEN value END)
+           |      THEN min(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE)*0.05) AS BIGINT)+1 THEN value END)
+           |      ELSE (ceiling(CAST(n-1 AS DOUBLE)*0.05) - CAST(n-1 AS DOUBLE)*0.05)
+           |             * min(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE)*0.05) AS BIGINT)+1 THEN value END)
+           |           + (CAST(n-1 AS DOUBLE)*0.05 - floor(CAST(n-1 AS DOUBLE)*0.05))
+           |             * min(CASE WHEN rn = CAST(ceiling(CAST(n-1 AS DOUBLE)*0.05) AS BIGINT)+1 THEN value END)
+           |      END AS lo,
+           |    CASE WHEN min(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE)*0.95) AS BIGINT)+1 THEN value END)
+           |            = min(CASE WHEN rn = CAST(ceiling(CAST(n-1 AS DOUBLE)*0.95) AS BIGINT)+1 THEN value END)
+           |      THEN min(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE)*0.95) AS BIGINT)+1 THEN value END)
+           |      ELSE (ceiling(CAST(n-1 AS DOUBLE)*0.95) - CAST(n-1 AS DOUBLE)*0.95)
+           |             * min(CASE WHEN rn = CAST(floor(CAST(n-1 AS DOUBLE)*0.95) AS BIGINT)+1 THEN value END)
+           |           + (CAST(n-1 AS DOUBLE)*0.95 - floor(CAST(n-1 AS DOUBLE)*0.95))
+           |             * min(CASE WHEN rn = CAST(ceiling(CAST(n-1 AS DOUBLE)*0.95) AS BIGINT)+1 THEN value END)
+           |      END AS hi
+           |  FROM r GROUP BY event_type, n),
            |w AS (
            |  SELECT e.event_type, e.value, least(greatest(e.value, b.lo), b.hi) AS vw,
            |    CASE WHEN e.value < b.lo THEN -1 WHEN e.value > b.hi THEN 1 ELSE 0 END AS c

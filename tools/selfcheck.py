@@ -80,29 +80,53 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    import time
+    def emit(name, v, dt):
+        # incremental + flushed so a pathological oracle at a big SF is
+        # identifiable WHILE it runs (the culprit is the line after the
+        # last printed one), and slow oracles carry their timing
+        print(f"{'OK' if v=='OK' else 'XX'} {name}: {v} [{dt:.1f}s]",
+              flush=True)
+    import os
+    skip = set(filter(None,
+        os.environ.get("SPARK_GRAFT_ORACLE_SKIP", "").split(",")))
     for name in sorted(oracle):
+        if name in skip:
+            # documented exclusion (an oracle whose SQL form is
+            # infeasible at this SF, e.g. a transitive-closure CTE) —
+            # reported, never counted as a failure
+            print(f"-- {name}: SKIPPED (SPARK_GRAFT_ORACLE_SKIP)",
+                  flush=True)
+            continue
         sql = oracle[name]
+        t0 = time.time()
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             results[name] = "MISSING_SPARK_OUTPUT"
+            emit(name, results[name], time.time() - t0)
             continue
         try:
             odf = con.execute(sql).df()
         except Exception as e:
             results[name] = f"ORACLE_ERROR: {e}"
+            emit(name, results[name], time.time() - t0)
             continue
         sdf = pd.concat([pd.read_parquet(f) for f in spark_files])
         if sorted(odf.columns) != sorted(sdf.columns):
             results[name] = f"SCHEMA_MISMATCH spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+            emit(name, results[name], time.time() - t0)
             continue
         if len(odf) != len(sdf):
             results[name] = f"ROWCOUNT spark={len(sdf)} oracle={len(odf)}"
+            emit(name, results[name], time.time() - t0)
             continue
         a, b = canon(sdf), canon(odf)
         results[name] = compare(a, b)
+        emit(name, results[name], time.time() - t0)
     n_ok = sum(1 for v in results.values() if v == "OK")
     for k, v in results.items():
-        print(f"{'✓' if v=='OK' else '✗'} {k}: {v}")
+        if v != "OK":
+            print(f"✗ {k}: {v}")
     print(f"\n{n_ok}/{len(results)} OK (+{len(set(glob.glob(out_dir+'/q*')) ) - len(results)} rows-only)")
 
 if __name__ == "__main__":
