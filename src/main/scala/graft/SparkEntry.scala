@@ -7891,20 +7891,41 @@ object SparkEntry {
 
       // same first-token blocking + per-record best (dist, match_id)
       // order; DuckDB levenshtein is the same unit-cost edit distance
-      // Spark computes (threshold arg only short-circuits the DP)
+      // Spark computes (threshold arg only short-circuits the DP).
+      // Pairs over DISTINCT NAMES, mirroring the operator — the
+      // record-level self-join this replaced was quadratic in block
+      // DENSITY (100× pairs for 10× rows at sf1.0, where every name
+      // exists ×10) while the distinct-name pair space is constant.
+      // Record-level best decomposes exactly: a duplicated name's best
+      // is its min other id at dist 0 (cross-name dist ≥ 1 can never
+      // win); a unique name's best is the min (dist, id1) cross-name.
       "q144_fuzzy_match" ->
         """WITH p AS (
-          |  SELECT p_partkey AS id, lower(trim(p_name)) AS nm,
-          |    regexp_split_to_array(lower(trim(p_name)), '\s+')[1] AS blk
-          |  FROM part),
-          |s AS (
-          |  SELECT a.id, b.id AS match_id, levenshtein(a.nm, b.nm) AS dist
-          |  FROM p a JOIN p b ON a.blk = b.blk AND a.id <> b.id),
-          |f AS (
-          |  SELECT id, match_id, dist,
-          |    row_number() OVER (PARTITION BY id ORDER BY dist, match_id) AS rn
-          |  FROM s WHERE dist <= 3)
-          |SELECT id, match_id, dist FROM f WHERE rn = 1""".stripMargin,
+          |  SELECT p_partkey AS id, lower(trim(p_name)) AS nm FROM part),
+          |d AS (
+          |  SELECT nm, min(id) AS id1,
+          |    min(CASE WHEN rn = 2 THEN id END) AS id2,
+          |    count(*) AS c
+          |  FROM (SELECT nm, id,
+          |          row_number() OVER (PARTITION BY nm ORDER BY id) AS rn
+          |        FROM p)
+          |  GROUP BY nm),
+          |dn AS (SELECT d.*, regexp_split_to_array(nm, '\s+')[1] AS blk FROM d),
+          |x AS (
+          |  SELECT a.nm, b.id1 AS xid, levenshtein(a.nm, b.nm) AS dist
+          |  FROM dn a JOIN dn b ON a.blk = b.blk AND a.nm <> b.nm),
+          |bx AS (
+          |  SELECT nm, xid, dist,
+          |    row_number() OVER (PARTITION BY nm ORDER BY dist, xid) AS rn
+          |  FROM x WHERE dist <= 3)
+          |SELECT p.id,
+          |  CASE WHEN d.c > 1
+          |       THEN (CASE WHEN p.id = d.id1 THEN d.id2 ELSE d.id1 END)
+          |       ELSE bx.xid END AS match_id,
+          |  CASE WHEN d.c > 1 THEN 0 ELSE bx.dist END AS dist
+          |FROM p JOIN d USING (nm)
+          |LEFT JOIN (SELECT nm, xid, dist FROM bx WHERE rn = 1) bx USING (nm)
+          |WHERE d.c > 1 OR bx.xid IS NOT NULL""".stripMargin,
 
       // document-cooccurrence PMI; ORDER BY the raw rational ratio
       // (one IEEE division of exact integers — bit-identical on both
@@ -9235,20 +9256,36 @@ object SparkEntry {
            |FROM g""".stripMargin,
 
       // q144's nearest-match pairs as edges + the q65 recursive
-      // min-label walk; canonical = lexicographic min member name
+      // min-label walk; canonical = lexicographic min member name.
+      // The edge CTE uses q144's distinct-name form (same rationale:
+      // the record-level self-join was quadratic in block density)
       "q196_golden_record" ->
         """WITH RECURSIVE p AS (
-          |  SELECT p_partkey AS id, lower(trim(p_name)) AS nm,
-          |    regexp_split_to_array(lower(trim(p_name)), '\s+')[1] AS blk
-          |  FROM part),
-          |s AS (
-          |  SELECT a.id, b.id AS match_id, levenshtein(a.nm, b.nm) AS dist
-          |  FROM p a JOIN p b ON a.blk = b.blk AND a.id <> b.id),
-          |f AS (
-          |  SELECT id, match_id, dist,
-          |    row_number() OVER (PARTITION BY id ORDER BY dist, match_id) AS rn
-          |  FROM s WHERE dist <= 3),
-          |e0 AS (SELECT id AS src, match_id AS dst FROM f WHERE rn = 1),
+          |  SELECT p_partkey AS id, lower(trim(p_name)) AS nm FROM part),
+          |d AS (
+          |  SELECT nm, min(id) AS id1,
+          |    min(CASE WHEN rn = 2 THEN id END) AS id2,
+          |    count(*) AS c
+          |  FROM (SELECT nm, id,
+          |          row_number() OVER (PARTITION BY nm ORDER BY id) AS rn
+          |        FROM p)
+          |  GROUP BY nm),
+          |dn AS (SELECT d.*, regexp_split_to_array(nm, '\s+')[1] AS blk FROM d),
+          |x AS (
+          |  SELECT a.nm, b.id1 AS xid, levenshtein(a.nm, b.nm) AS dist
+          |  FROM dn a JOIN dn b ON a.blk = b.blk AND a.nm <> b.nm),
+          |bx AS (
+          |  SELECT nm, xid, dist,
+          |    row_number() OVER (PARTITION BY nm ORDER BY dist, xid) AS rn
+          |  FROM x WHERE dist <= 3),
+          |e0 AS (
+          |  SELECT p.id AS src,
+          |    CASE WHEN d.c > 1
+          |         THEN (CASE WHEN p.id = d.id1 THEN d.id2 ELSE d.id1 END)
+          |         ELSE bx.xid END AS dst
+          |  FROM p JOIN d USING (nm)
+          |  LEFT JOIN (SELECT nm, xid FROM bx WHERE rn = 1) bx USING (nm)
+          |  WHERE d.c > 1 OR bx.xid IS NOT NULL),
           |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
           |walk(node, lab) AS (
           |  SELECT src, src FROM edges
