@@ -4341,7 +4341,83 @@ object SparkEntry {
           sum(col("n")).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("event_type"))))
         .select(col("event_type"), col("dow"), col("n"),
-          expr("CAST(n * 7 * 10000 DIV __tot AS BIGINT)").as("index_bp")))
+          expr("CAST(n * 7 * 10000 DIV __tot AS BIGINT)").as("index_bp"))),
+
+    // ---- resampling inference (round-12) -------------------------------
+
+    // how sure are we of each segment's mean order value? Poisson
+    // bootstrap (Chamandy et al.): 32 hash-seeded replicates from one
+    // fanned scan — never a resampled copy of the data — giving the
+    // bootstrap SE and a nearest-rank 90% interval beside the
+    // observed mean
+    "q355_poisson_bootstrap" -> ((s, d) =>
+      operators.Bootstrap.poissonBootstrapMean(
+        t(s, d, "orders")
+          .join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"),
+            col("o_totalprice")),
+        "c_mktsegment", "o_orderkey", "o_totalprice")),
+
+    // is the per-unit price stable if any one ship MONTH vanishes?
+    // delete-one-group jackknife of the ratio estimator
+    // Σ(price)/Σ(quantity) per return flag, leave-out blocks = ship
+    // months — block totals only, two group-bys end to end
+    "q356_jackknife" -> ((s, d) =>
+      operators.Bootstrap.jackknifeRatio(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("blk"),
+          col("l_extendedprice"), col("l_quantity")),
+        "l_returnflag", "blk", "l_extendedprice", "l_quantity")),
+
+    // does a deep discount MOVE quantity, or is the gap noise? 32
+    // hash-coin relabelings of the discount arm in one scan; the
+    // Monte-Carlo p-value counts replicates whose |mean difference|
+    // reaches the observed one
+    "q357_randomization_test" -> ((s, d) =>
+      operators.Bootstrap.randomizationTest(
+        t(s, d, "lineitem").select(col("l_linestatus"),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("k"),
+          when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("arm"),
+          col("l_quantity")),
+        "l_linestatus", "k", "arm", "l_quantity")),
+
+    // ---- series diagnostics (round-12) ---------------------------------
+
+    // is each event type's daily volume white noise, or does it
+    // remember yesterday? Ljung–Box Q over lags 1..7 of the
+    // row-indexed daily-count series; exact DECIMAL autocovariances,
+    // decided against the shared χ²₇ 95% literal
+    "q361_ljung_box" -> ((s, d) =>
+      operators.SeriesTests.ljungBox(
+        t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).cast("long").as("y")),
+        "event_type", "day", "y", maxLag = 7)),
+
+    // does daily revenue FLIP randomly around its mean, or wander in
+    // regimes? Wald–Wolfowitz runs test per order priority — signs
+    // from the exact n·y vs S cross-multiplication, normal-z closing
+    "q362_runs_test" -> ((s, d) =>
+      operators.SeriesTests.runsTest(
+        t(s, d, "orders")
+          .groupBy(col("o_orderpriority"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("rev")),
+        "o_orderpriority", "day", "rev")),
+
+    // if daily order volume level-shifted, WHEN? Pettitt rank
+    // changepoint per priority — doubled-midrank integer U_t,
+    // earliest argmax, the classic 2·exp(−6K²/(n³+n²)) significance
+    "q363_pettitt" -> ((s, d) =>
+      operators.SeriesTests.pettitt(
+        t(s, d, "orders")
+          .groupBy(col("o_orderpriority"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).cast("long").as("y")),
+        "o_orderpriority", "day", "y"))
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -11722,7 +11798,297 @@ object SparkEntry {
            |       CAST(1000000 AS BIGINT) AS rank FROM edges GROUP BY 1),
            |$rounds
            |SELECT node, strength, rank FROM r3""".stripMargin
-      }
+      },
+
+      // Poisson bootstrap: the shared uniform is the md5 48-bit prefix
+      // of 'pb|b|key' over 2^48 (exact in double), the Poisson(1)
+      // inverse-CDF thresholds are the literal constants mirrored from
+      // Bootstrap.poissonCdf1; replicate means pround6, SE from exact
+      // DECIMAL moment sums, CI = nearest-rank 5%/95% order statistics
+      "q355_poisson_bootstrap" -> {
+        val u = "CAST(CAST(('0x' || substr(md5('pb' || '|' || " +
+          "CAST(b AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 12)) " +
+          "AS BIGINT) AS DOUBLE) / 281474976710656.0"
+        val ladder = operators.Bootstrap.poissonCdf1.zipWithIndex
+          .map { case (c, i) => s"WHEN u < $c THEN $i" }.mkString(" ")
+        s"""WITH base AS (
+           |  SELECT c_mktsegment AS g, o_orderkey AS k,
+           |    CAST(o_totalprice AS DECIMAL(18,2)) AS x
+           |  FROM orders JOIN customer ON o_custkey = c_custkey),
+           |uu AS (
+           |  SELECT g, k, x, b, $u AS u
+           |  FROM base CROSS JOIN (SELECT unnest(range(32)) AS b)),
+           |w AS (SELECT g, b, x, CASE $ladder ELSE 7 END AS w FROM uu),
+           |tot AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum(x) AS DECIMAL(38,2)) AS sx
+           |  FROM base GROUP BY 1),
+           |rep AS (
+           |  SELECT g, b, CAST(sum(w) AS BIGINT) AS sw,
+           |    CAST(sum(w * x) AS DECIMAL(38,2)) AS swx
+           |  FROM w GROUP BY 1, 2),
+           |m AS (
+           |  SELECT g, b,
+           |    ${pround("CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)", 6)} AS m6
+           |  FROM rep WHERE sw > 0),
+           |ranked AS (
+           |  SELECT g, b, m6,
+           |    row_number() OVER (PARTITION BY g ORDER BY m6, b) AS r,
+           |    count(*) OVER (PARTITION BY g) AS used
+           |  FROM m),
+           |rr AS (
+           |  SELECT g, m6, r, used,
+           |    greatest(CAST(ceil(used * 0.05) AS BIGINT), 1) AS lo_r,
+           |    CAST(ceil(used * 0.95) AS BIGINT) AS hi_r
+           |  FROM ranked),
+           |agg AS (
+           |  SELECT g, CAST(max(used) AS BIGINT) AS reps_used,
+           |    CAST(sum(CAST(m6 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sm,
+           |    CAST(sum(CAST(CAST(m6 AS DECIMAL(19,6)) *
+           |      CAST(m6 AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+           |      AS DECIMAL(38,12)) AS sq,
+           |    max(CASE WHEN r = lo_r THEN m6 END) AS ci_lo,
+           |    max(CASE WHEN r = hi_r THEN m6 END) AS ci_hi
+           |  FROM rr GROUP BY 1)
+           |SELECT g AS c_mktsegment, t.n_rows,
+           |  ${pround("CAST(t.sx AS DOUBLE) / CAST(t.n_rows AS DOUBLE)", 6)}
+           |    AS mean_obs,
+           |  a.reps_used,
+           |  ${pround("sqrt(greatest(CAST(0.0 AS DOUBLE), " +
+             "(CAST(a.sq AS DOUBLE) - CAST(a.sm AS DOUBLE) * " +
+             "CAST(a.sm AS DOUBLE) / CAST(a.reps_used AS DOUBLE)) / " +
+             "(CAST(a.reps_used AS DOUBLE) - 1.0)))", 6)} AS boot_se,
+           |  a.ci_lo, a.ci_hi
+           |FROM agg a JOIN tot t USING (g)""".stripMargin
+      },
+
+      // leave-one-out estimates from block totals only; th_i pround6,
+      // SE and bias-corrected estimate from exact DECIMAL moment sums
+      "q356_jackknife" ->
+        s"""WITH b AS (
+           |  SELECT l_returnflag AS g, strftime(l_shipdate, '%Y-%m') AS blk,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+           |      AS DECIMAL(38,4)) AS sn,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+           |      AS DECIMAL(38,4)) AS sd
+           |  FROM lineitem GROUP BY 1, 2),
+           |t AS (
+           |  SELECT g, sn, sd,
+           |    CAST(sum(sn) OVER (PARTITION BY g) AS DECIMAL(38,4)) AS tn,
+           |    CAST(sum(sd) OVER (PARTITION BY g) AS DECIMAL(38,4)) AS td
+           |  FROM b),
+           |loo AS (
+           |  SELECT g, tn, td,
+           |    ${pround("CAST(tn - sn AS DOUBLE) / CAST(td - sd AS DOUBLE)", 6)}
+           |      AS th
+           |  FROM t WHERE (td - sd) > 0),
+           |agg AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS g_blocks,
+           |    ${pround("CAST(max(tn) AS DOUBLE) / CAST(max(td) AS DOUBLE)", 6)}
+           |      AS theta,
+           |    CAST(sum(CAST(th AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sm,
+           |    CAST(sum(CAST(CAST(th AS DECIMAL(19,6)) *
+           |      CAST(th AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+           |      AS DECIMAL(38,12)) AS sq
+           |  FROM loo GROUP BY 1)
+           |SELECT g AS l_returnflag, g_blocks, theta,
+           |  ${pround("CAST(g_blocks AS DOUBLE) * theta - " +
+             "(CAST(g_blocks AS DOUBLE) - 1.0) * " +
+             "(CAST(sm AS DOUBLE) / CAST(g_blocks AS DOUBLE))", 6)}
+           |    AS theta_jack,
+           |  ${pround("sqrt(greatest(CAST(0.0 AS DOUBLE), " +
+             "(CAST(g_blocks AS DOUBLE) - 1.0) / CAST(g_blocks AS DOUBLE) * " +
+             "(CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / " +
+             "CAST(g_blocks AS DOUBLE))))", 6)} AS jack_se
+           |FROM agg""".stripMargin,
+
+      // unconditional randomization null: replicate b relabels each
+      // row by the md5 coin u < 0.5; both sides drop empty-arm
+      // replicates and count |d_b| >= |d_obs| on pround6 differences
+      "q357_randomization_test" -> {
+        val u = "CAST(CAST(('0x' || substr(md5('rt' || '|' || " +
+          "CAST(b AS VARCHAR) || '|' || k), 1, 12)) AS BIGINT) " +
+          "AS DOUBLE) / 281474976710656.0"
+        s"""WITH base AS (
+           |  SELECT l_linestatus AS g,
+           |    CAST(l_orderkey AS VARCHAR) || ':' ||
+           |      CAST(l_linenumber AS VARCHAR) AS k,
+           |    CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS arm,
+           |    CAST(l_quantity AS DECIMAL(18,2)) AS x
+           |  FROM lineitem),
+           |obs AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(arm) AS BIGINT) AS n1,
+           |    CAST(sum(x) AS DECIMAL(38,2)) AS sx,
+           |    CAST(sum(arm * x) AS DECIMAL(38,2)) AS sx1
+           |  FROM base GROUP BY 1),
+           |lab AS (
+           |  SELECT g, b, x,
+           |    CASE WHEN $u < 0.5 THEN 1 ELSE 0 END AS lb
+           |  FROM base CROSS JOIN (SELECT unnest(range(32)) AS b)),
+           |rep AS (
+           |  SELECT g, b, CAST(sum(lb) AS BIGINT) AS nb,
+           |    CAST(sum(lb * x) AS DECIMAL(38,2)) AS sb
+           |  FROM lab GROUP BY 1, 2),
+           |d AS (
+           |  SELECT r.g, o.n, o.n1,
+           |    ${pround("CAST(o.sx1 AS DOUBLE) / CAST(o.n1 AS DOUBLE) - " +
+             "CAST(o.sx - o.sx1 AS DOUBLE) / CAST(o.n - o.n1 AS DOUBLE)", 6)}
+           |      AS d_obs,
+           |    ${pround("CAST(r.sb AS DOUBLE) / CAST(r.nb AS DOUBLE) - " +
+             "CAST(o.sx - r.sb AS DOUBLE) / CAST(o.n - r.nb AS DOUBLE)", 6)}
+           |      AS d_b
+           |  FROM rep r JOIN obs o ON o.g = r.g
+           |  WHERE r.nb > 0 AND r.nb < o.n),
+           |agg AS (
+           |  SELECT g, CAST(max(n) AS BIGINT) AS n,
+           |    CAST(max(n1) AS BIGINT) AS n1, max(d_obs) AS d_obs,
+           |    CAST(count(*) AS BIGINT) AS reps_used,
+           |    CAST(sum(CASE WHEN abs(d_b) >= abs(d_obs) THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_extreme
+           |  FROM d GROUP BY 1)
+           |SELECT g AS l_linestatus, n, n1, d_obs, reps_used, n_extreme,
+           |  ${pround("(CAST(n_extreme AS DOUBLE) + 1.0) / " +
+             "(CAST(reps_used AS DOUBLE) + 1.0)", 6)} AS p_value
+           |FROM agg""".stripMargin
+      },
+
+      // row_number-indexed daily series; HUGEINT autocovariance
+      // cross-multiplication mirrors the Spark DECIMAL(38,0) algebra;
+      // rho/terms pround6; the χ²₇ literal is SeriesTests.chi2Crit95(7)
+      "q361_ljung_box" ->
+        s"""WITH s AS (
+           |  SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS day,
+           |    CAST(count(*) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |i AS (
+           |  SELECT g, y, CAST(row_number() OVER (PARTITION BY g
+           |    ORDER BY day) AS BIGINT) AS t
+           |  FROM s),
+           |tot AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(y) AS HUGEINT) AS sy,
+           |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+           |  FROM i GROUP BY 1),
+           |lags AS (SELECT unnest(range(1, 8)) AS k),
+           |pl AS (
+           |  SELECT a.g, l.k,
+           |    CAST(sum(CAST(a.y AS HUGEINT) * b.y) AS HUGEINT) AS c,
+           |    CAST(sum(a.y) AS HUGEINT) AS head,
+           |    CAST(sum(b.y) AS HUGEINT) AS tail
+           |  FROM i a CROSS JOIN lags l
+           |  JOIN i b ON b.g = a.g AND b.t = a.t + l.k
+           |  GROUP BY 1, 2),
+           |rho AS (
+           |  SELECT pl.g, pl.k, tot.n,
+           |    CAST(tot.n AS HUGEINT) * tot.n * pl.c
+           |      - CAST(tot.n AS HUGEINT) * tot.sy * (pl.head + pl.tail)
+           |      + (tot.n - pl.k) * tot.sy * tot.sy AS covn2,
+           |    CAST(tot.n AS HUGEINT) * tot.n * tot.syy
+           |      - CAST(tot.n AS HUGEINT) * tot.sy * tot.sy AS varn2
+           |  FROM pl JOIN tot ON tot.g = pl.g),
+           |tm AS (
+           |  SELECT g, k, n,
+           |    ${pround("(CASE WHEN varn2 > 0 THEN " +
+             pround("CAST(covn2 AS DOUBLE) / CAST(varn2 AS DOUBLE)", 6) +
+             " ELSE 0.0 END) * (CASE WHEN varn2 > 0 THEN " +
+             pround("CAST(covn2 AS DOUBLE) / CAST(varn2 AS DOUBLE)", 6) +
+             " ELSE 0.0 END) / CAST(n - k AS DOUBLE)", 6)} AS term6
+           |  FROM rho),
+           |agg AS (
+           |  SELECT g, CAST(max(n) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS m_lags,
+           |    ${pround("CAST(max(n) AS DOUBLE) * " +
+             "(CAST(max(n) AS DOUBLE) + 2.0) * " +
+             "CAST(CAST(sum(CAST(term6 AS DECIMAL(18,6))) AS DECIMAL(38,6)) " +
+             "AS DOUBLE)", 6)} AS q_stat
+           |  FROM tm GROUP BY 1)
+           |SELECT g AS event_type, n, m_lags, q_stat,
+           |  CAST(CASE WHEN q_stat >= 14.067140449340169 THEN 1 ELSE 0 END
+           |    AS BIGINT) AS reject
+           |FROM agg""".stripMargin,
+
+      // sign against the exact n·y > S cross-multiplication (equality
+      // counts below); E/Var products in HUGEINT, z pround6
+      "q362_runs_test" ->
+        s"""WITH s AS (
+           |  SELECT o_orderpriority AS g, strftime(o_orderdate, '%Y-%m-%d') AS d,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           |      AS DECIMAL(18,2)) AS y
+           |  FROM orders GROUP BY 1, 2),
+           |w AS (
+           |  SELECT g, d, y,
+           |    CAST(count(*) OVER (PARTITION BY g) AS DECIMAL(19,0)) AS n,
+           |    CAST(sum(y) OVER (PARTITION BY g) AS DECIMAL(28,2)) AS sy
+           |  FROM s),
+           |sgn AS (
+           |  SELECT g, d,
+           |    CASE WHEN y * n > sy THEN 1 ELSE 0 END AS above
+           |  FROM w),
+           |fl AS (
+           |  SELECT g, above,
+           |    CASE WHEN lag(above) OVER (PARTITION BY g ORDER BY d)
+           |      IS NULL THEN 1
+           |      WHEN lag(above) OVER (PARTITION BY g ORDER BY d)
+           |        <> above THEN 1
+           |      ELSE 0 END AS flip
+           |  FROM sgn),
+           |agg AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(above) AS BIGINT) AS n_above,
+           |    CAST(sum(flip) AS BIGINT) AS runs
+           |  FROM fl GROUP BY 1),
+           |v AS (
+           |  SELECT g, n, n_above, runs,
+           |    CAST(2 AS HUGEINT) * n_above * (n - n_above) AS ern,
+           |    CAST(2 AS HUGEINT) * n_above * (n - n_above) *
+           |      (CAST(2 AS HUGEINT) * n_above * (n - n_above) - n) AS vn,
+           |    CAST(n AS HUGEINT) * n * (n - 1) AS vd
+           |  FROM agg)
+           |SELECT g AS o_orderpriority, n, n_above, runs,
+           |  CASE WHEN vd > 0 AND vn > 0 THEN
+           |    ${pround("(CAST(runs AS DOUBLE) - 1.0 - " +
+             "CAST(ern AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+             "sqrt(CAST(vn AS DOUBLE) / CAST(vd AS DOUBLE))", 6)}
+           |    ELSE 0.0 END AS z
+           |FROM v""".stripMargin,
+
+      // doubled-midrank integer U_t; earliest argmax; the closing
+      // approximation's operand order mirrors SeriesTests.pettitt
+      "q363_pettitt" ->
+        s"""WITH s AS (
+           |  SELECT o_orderpriority AS g, strftime(o_orderdate, '%Y-%m-%d') AS d,
+           |    CAST(count(*) AS DECIMAL(18,2)) AS y
+           |  FROM orders GROUP BY 1, 2),
+           |r AS (
+           |  SELECT g, d,
+           |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+           |    CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+           |      + count(*) OVER (PARTITION BY g, y) - 1 AS BIGINT) AS mid2
+           |  FROM s),
+           |u AS (
+           |  SELECT g, d, n,
+           |    CAST(row_number() OVER (PARTITION BY g ORDER BY d)
+           |      AS BIGINT) AS t,
+           |    CAST(sum(mid2) OVER (PARTITION BY g ORDER BY d
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS w2
+           |  FROM r),
+           |uu AS (
+           |  SELECT g, d, n, t, w2 - t * (n + 1) AS u_t
+           |  FROM u WHERE t < n),
+           |best AS (
+           |  SELECT g, n, t, d, u_t,
+           |    row_number() OVER (PARTITION BY g
+           |      ORDER BY abs(u_t) DESC, t) AS rn
+           |  FROM uu)
+           |SELECT g AS o_orderpriority, n,
+           |  CAST(abs(u_t) AS BIGINT) AS k_stat, t AS t_star,
+           |  d AS ord_star,
+           |  ${pround("least(1.0, 2.0 * exp(-6.0 * CAST(u_t AS DOUBLE) * " +
+             "CAST(u_t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +
+             "CAST(n AS DOUBLE) + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))", 6)}
+           |    AS p_approx
+           |FROM best WHERE rn = 1""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared

@@ -73,8 +73,21 @@ class ShuffleBudgetSpec extends SparkSpec {
 
   private def measured(): Map[String, Long] = {
     assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
+    // record mode honors SPARK_GRAFT_QUERIES so a change adding a few
+    // entries can record just those and MERGE into the committed file
+    // (the gate itself always measures the full surface)
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .filter(_ => record)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset match {
+      case Some(qs) =>
+        val unknown = qs -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries in subset: $unknown")
+        SparkEntry.queries.filter { case (n, _) => qs(n) }
+      case None => SparkEntry.queries
+    }
     spark.sparkContext.addSparkListener(tally)
-    try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    try selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       tally.drain()
       tally.bytes.set(0L)
       fn(spark, sfDir).count()
@@ -94,7 +107,9 @@ class ShuffleBudgetSpec extends SparkSpec {
   test("every query's total shuffle-write bytes stay within its committed budget") {
     val got = measured()
     if (record) {
-      val json = got.toSeq.sortBy(_._1)
+      val prior = if (budgetFile.exists()) readBudgets() else Map.empty[String, Long]
+      val merged = prior ++ got // re-measured keys win; others keep theirs
+      val json = merged.toSeq.sortBy(_._1)
         .map { case (n, b) => s"""  "$n": $b""" }
         .mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.createDirectories(budgetFile.toPath.getParent)
