@@ -1058,4 +1058,236 @@ object Hypothesis {
             - CAST(CAST(1000000 AS DECIMAL(19,0)) * n01
               DIV (n01 + n00) AS BIGINT) END""")
           .as("risk_diff_ppm"))
+
+  /** Levene's test (mean-centered) for variance homogeneity across
+    * arms: the one-way ANOVA F computed on the absolute deviations
+    * z_ij = |x_ij − mean_i|. Deviations avoid the inexact per-arm
+    * mean by cross-multiplication: |x·n_i − S_i| is an exact DECIMAL,
+    * divided once and p6-rounded; the F statistic then closes over
+    * exact DECIMAL sums of z and z². Reported as the statistic card
+    * (W, dfs) — F critical values depend on both dfs, so the verdict
+    * belongs to the caller's table, not a hidden constant.
+    *
+    * Scale shape: two hash aggregates (arm moments, then deviation
+    * moments) and one k-row-per-group closing — no joins beyond the
+    * broadcast-sized arm-moment table.
+    *
+    * Output: group, n, k_arms, df1, df2, w_stat.
+    */
+  def levene(df: DataFrame, groupCol: String, armCol: String,
+             valCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(armCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(armCol).as("__a"),
+        col(valCol).cast("decimal(18,2)").as("__x"))
+    val arms = base.groupBy(col("__g"), col("__a"))
+      .agg(count(lit(1)).cast("long").as("__na"),
+        sum(col("__x")).cast("decimal(38,2)").as("__sa"))
+    val dev = base
+      .join(broadcast(arms), Seq("__g", "__a"))
+      .withColumn("__z6",
+        p6(abs(col("__x") * col("__na") - col("__sa")).cast("double") /
+          col("__na").cast("double")))
+    val perArm = dev.groupBy(col("__g"), col("__a"))
+      .agg(count(lit(1)).cast("long").as("na"),
+        sum(col("__z6").cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("sz"),
+        sum((col("__z6").cast("decimal(18,6)") *
+          col("__z6").cast("decimal(18,6)")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("szz"))
+    // between = Σ sz_i²/n_i − (Σsz)²/N ; within = Σszz − Σ sz_i²/n_i
+    perArm.groupBy(col("__g"))
+      .agg(sum(col("na")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("k_arms"),
+        sum(col("sz")).cast("decimal(38,6)").as("tz"),
+        sum(col("szz")).cast("decimal(38,12)").as("tzz"),
+        sum(p6(col("sz").cast("double") * col("sz").cast("double") /
+          col("na").cast("double")).cast("decimal(30,6)"))
+          .cast("decimal(38,6)").as("bsum"))
+      .filter(col("k_arms") >= 2L && col("n") > col("k_arms"))
+      .select(col("__g").as(groupCol), col("n"), col("k_arms"),
+        (col("k_arms") - 1L).as("df1"), (col("n") - col("k_arms")).as("df2"),
+        p6(
+          ((col("n") - col("k_arms")).cast("double") *
+            (col("bsum").cast("double") -
+              col("tz").cast("double") * col("tz").cast("double") /
+                col("n").cast("double"))) /
+          ((col("k_arms") - 1L).cast("double") *
+            greatest(col("tzz").cast("double") - col("bsum").cast("double"),
+              lit(1e-12)))).as("w_stat"))
+  }
+
+  /** Welch's heteroscedastic one-way ANOVA across arms: per-arm
+    * means/variances from exact DECIMAL moment sums, then the
+    * Welch–James statistic with its Satterthwaite-style df2. Every
+    * cross-arm reduction (Σw, Σw·m, Σ terms) is a DECIMAL sum of
+    * p6-rounded per-arm values, so accumulation order never shows.
+    * Arms with fewer than 2 rows or zero variance are dropped (their
+    * weight is undefined); groups need k ≥ 2 surviving arms.
+    *
+    * Output: group, n, k_arms, f_stat, df1, df2.
+    */
+  def welchAnova(df: DataFrame, groupCol: String, armCol: String,
+                 valCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(armCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(armCol).as("__a"),
+        col(valCol).cast("decimal(18,2)").as("__x"))
+    val arms = base.groupBy(col("__g"), col("__a"))
+      .agg(count(lit(1)).cast("long").as("na"),
+        sum(col("__x")).cast("decimal(38,2)").as("sa"),
+        sum((col("__x") * col("__x")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("qa"))
+      .filter(col("na") >= 2L)
+      .withColumn("m6", p6(col("sa").cast("double") /
+        col("na").cast("double")))
+      // s² = (Q − S²/n)/(n−1), exact operands, p6 closing
+      .withColumn("v6", p6(
+        (col("qa").cast("double") -
+          col("sa").cast("double") * col("sa").cast("double") /
+            col("na").cast("double")) /
+          (col("na").cast("double") - 1.0)))
+      .filter(col("v6") > 0.0)
+      .withColumn("w6", p6(col("na").cast("double") / col("v6")))
+    val wAll = Window.partitionBy(col("__g"))
+    val withGrand = arms
+      .withColumn("sw", sum(col("w6").cast("decimal(18,6)")).over(wAll)
+        .cast("decimal(38,6)"))
+      .withColumn("swm", sum((col("w6").cast("decimal(18,6)") *
+        col("m6").cast("decimal(18,6)")).cast("decimal(38,12)")).over(wAll)
+        .cast("decimal(38,12)"))
+      .withColumn("k", count(lit(1)).over(wAll).cast("long"))
+      .where(col("k") >= 2L && col("sw") > 0)
+      .withColumn("grand6",
+        p6(col("swm").cast("double") / col("sw").cast("double")))
+      // numerator term w·(m−grand)² and df term (1−w/W)²/(n−1)
+      .withColumn("t6", p6(col("w6") * (col("m6") - col("grand6")) *
+        (col("m6") - col("grand6"))))
+      .withColumn("u6", p6(
+        (lit(1.0) - col("w6") / col("sw").cast("double")) *
+          (lit(1.0) - col("w6") / col("sw").cast("double")) /
+          (col("na").cast("double") - 1.0)))
+    withGrand.groupBy(col("__g"))
+      .agg(sum(col("na")).cast("long").as("n"),
+        max(col("k")).as("k_arms"),
+        sum(col("t6").cast("decimal(18,6)")).cast("decimal(38,6)").as("st"),
+        sum(col("u6").cast("decimal(18,6)")).cast("decimal(38,6)").as("su"))
+      .select(col("__g").as(groupCol), col("n"), col("k_arms"),
+        p6(
+          (col("st").cast("double") / (col("k_arms").cast("double") - 1.0)) /
+            (lit(1.0) + lit(2.0) * (col("k_arms").cast("double") - 2.0) /
+              (col("k_arms").cast("double") * col("k_arms").cast("double") -
+                1.0) * col("su").cast("double"))).as("f_stat"),
+        (col("k_arms") - 1L).as("df1"),
+        when(col("su").cast("double") > 0.0,
+          p6((col("k_arms").cast("double") * col("k_arms").cast("double") -
+            1.0) / (lit(3.0) * col("su").cast("double"))))
+          .otherwise(lit(0.0)).as("df2"))
+  }
+
+  /** Jonckheere–Terpstra trend test: do values shift MONOTONICALLY
+    * with an ordered arm index (discount tier, severity bucket)?
+    * JT = Σ_{i<j} U_ij over ordered arm pairs, kept integral as
+    * JT2 = 2·JT. Computed without a pairwise join: each value-level
+    * cell (arm a, value v, count c) is exploded to every higher arm
+    * j ∈ (a, maxArm] as a "lower-arm" contribution and to itself as
+    * the "self" row; a single window over values per (group, target
+    * arm) then yields the dominance counts — cost k·|cells|, never
+    * row-quadratic. The normal approximation uses the full
+    * Hollander–Wolfe tie-corrected variance from exact DECIMAL(38,0)
+    * integer sums.
+    *
+    * `maxArm` bounds the explode (arm values outside [0, maxArm]
+    * raise — the caller buckets first, same contract as
+    * kruskalWallis' chi-square table).
+    *
+    * Output: group, n, k_arms, jt2, e2, z.
+    */
+  def jonckheere(df: DataFrame, groupCol: String, armCol: String,
+                 valCol: String, maxArm: Int = 8): DataFrame = {
+    require(maxArm >= 1 && maxArm <= 16, s"maxArm must be in [1,16]: $maxArm")
+    val guardedArm = when(
+      col(armCol).cast("long").between(0L, maxArm.toLong),
+      col(armCol).cast("long"))
+      .otherwise(expr(s"CAST(raise_error('Hypothesis.jonckheere: arm " +
+        s"outside [0,$maxArm] — bucket the arm column first') AS BIGINT)"))
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(armCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), guardedArm.as("__a"),
+        col(valCol).cast("decimal(18,2)").as("__v"))
+      .groupBy(col("__g"), col("__a"), col("__v"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    // one row per (g, target arm j, v): lower-arm count lc, self count sc
+    val fan = cells.select(col("__g"), col("__v"), col("__c"),
+      explode(sequence(col("__a"), lit(maxArm.toLong))).as("__j"),
+      col("__a"))
+      .select(col("__g"), col("__j"), col("__v"),
+        when(col("__a") < col("__j"), col("__c")).otherwise(0L).as("__cl"),
+        when(col("__a") === col("__j"), col("__c")).otherwise(0L).as("__cs"))
+      .groupBy(col("__g"), col("__j"), col("__v"))
+      .agg(sum(col("__cl")).cast("long").as("lc"),
+        sum(col("__cs")).cast("long").as("sc"))
+    val wPrior = Window.partitionBy(col("__g"), col("__j"))
+      .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = fan
+      .withColumn("tlt", coalesce(sum(col("lc")).over(wPrior), lit(0L)))
+      .where(col("sc") > 0L)
+      .select(col("__g"),
+        (col("sc").cast("decimal(38,0)") *
+          (lit(2L) * col("tlt") + col("lc"))).as("jt2c"))
+      .groupBy(col("__g")).agg(sum(col("jt2c"))
+        .cast("decimal(38,0)").as("jt2"))
+    // exact moment ingredients: per-arm n_i and per-value tie t_v
+    val d1 = lit(1L)
+    val perArm = cells.groupBy(col("__g"), col("__a"))
+      .agg(sum(col("__c")).cast("decimal(38,0)").as("ni"))
+      .groupBy(col("__g"))
+      .agg(sum(col("ni")).cast("decimal(38,0)").as("n"),
+        count(lit(1)).cast("long").as("k_arms"),
+        sum(col("ni") * col("ni")).cast("decimal(38,0)").as("sn2"),
+        sum(col("ni") * (col("ni") - d1) * (lit(2L) * col("ni") + lit(5L)))
+          .cast("decimal(38,0)").as("sn25"),
+        sum(col("ni") * (col("ni") - d1)).cast("decimal(38,0)").as("sn11"),
+        sum(col("ni") * (col("ni") - d1) * (col("ni") - lit(2L)))
+          .cast("decimal(38,0)").as("sn12"))
+    val perVal = cells.groupBy(col("__g"), col("__v"))
+      .agg(sum(col("__c")).cast("decimal(38,0)").as("tv"))
+      .groupBy(col("__g"))
+      .agg(sum(col("tv") * (col("tv") - d1) * (lit(2L) * col("tv") + lit(5L)))
+        .cast("decimal(38,0)").as("st25"),
+        sum(col("tv") * (col("tv") - d1)).cast("decimal(38,0)").as("st11"),
+        sum(col("tv") * (col("tv") - d1) * (col("tv") - lit(2L)))
+          .cast("decimal(38,0)").as("st12"))
+    val joined = contrib
+      .join(perArm, Seq("__g")).join(perVal, Seq("__g"))
+      .filter(col("k_arms") >= 2L)
+      .withColumn("e2",
+        ((col("n") * col("n") - col("sn2")) / lit(2L))
+          .cast("decimal(38,0)"))
+    val nD = col("n").cast("double")
+    // the two quotient terms guard their own denominators (ANSI mode
+    // raises on /0 even when the consuming CASE branch is dead): for
+    // n <= 2 the z output is 0 regardless, so the 0.0 stand-ins are
+    // never read
+    val varD =
+      (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) - col("sn25").cast("double") -
+        col("st25").cast("double")) / 72.0 +
+      when(nD > 2.0,
+        col("sn12").cast("double") * col("st12").cast("double") /
+          (lit(36.0) * nD * (nD - 1.0) * (nD - 2.0))).otherwise(lit(0.0)) +
+      when(nD > 1.0,
+        col("sn11").cast("double") * col("st11").cast("double") /
+          (lit(8.0) * nD * (nD - 1.0))).otherwise(lit(0.0))
+    joined.select(col("__g").as(groupCol),
+      col("n").cast("long").as("n"), col("k_arms"),
+      col("jt2").cast("long").as("jt2"), col("e2").cast("long").as("e2"),
+      when(varD > 0.0 && nD > 2.0,
+        p6((col("jt2").cast("double") - col("e2").cast("double")) /
+          (lit(2.0) * sqrt(varD))))
+        .otherwise(lit(0.0)).as("z"))
+  }
 }

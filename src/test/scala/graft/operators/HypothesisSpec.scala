@@ -659,4 +659,81 @@ class HypothesisSpec extends SparkSpec {
     assert(rz.isNullAt(6) && rz.isNullAt(7))
     rz.getLong(8) shouldBe 500000L
   }
+
+  test("levene matches the driver mirror and ranks unequal spread high") {
+    import graft.functions.Rounding.p6d
+    // arm a: (1,5,3) mean 3 -> |z| = 2,2,0 ; arm b: (10,20,30,20)
+    // mean 20 -> |z| = 10,0,10,0
+    val df = Seq(("g", "a", 1.0), ("g", "a", 5.0), ("g", "a", 3.0),
+      ("g", "b", 10.0), ("g", "b", 20.0), ("g", "b", 30.0),
+      ("g", "b", 20.0)).toDF("g", "arm", "x")
+    val r = Hypothesis.levene(df, "g", "arm", "x").collect().head
+    r.getAs[Long]("n") shouldBe 7L
+    r.getAs[Long]("df1") shouldBe 1L
+    r.getAs[Long]("df2") shouldBe 5L
+    // mirror: sz_a=4 szz_a=8 na=3; sz_b=20 szz_b=200 nb=4
+    val bsum = BigDecimal(p6d(4.0 * 4.0 / 3.0)).setScale(6) +
+      BigDecimal(p6d(20.0 * 20.0 / 4.0)).setScale(6)
+    val tz = 24.0; val tzz = 208.0
+    val between = bsum.toDouble - tz * tz / 7.0
+    val within = math.max(tzz - bsum.toDouble, 1e-12)
+    r.getAs[Double]("w_stat") shouldBe p6d((5.0 * between) / (1.0 * within))
+    // same spread in both arms: W near zero
+    val same = Seq(("h", "a", 1.0), ("h", "a", 3.0),
+      ("h", "b", 11.0), ("h", "b", 13.0)).toDF("g", "arm", "x")
+    Hypothesis.levene(same, "g", "arm", "x").collect()
+      .head.getAs[Double]("w_stat") shouldBe 0.0 +- 1e-6
+  }
+
+  test("welchAnova matches the driver mirror on exact moments") {
+    import graft.functions.Rounding.p6d
+    // arm a: (10,14) n=2 ; arm b: (1,2,3) n=3 ; arm c: dropped (n=1)
+    val df = Seq(("g", "a", 10.0), ("g", "a", 14.0), ("g", "b", 1.0),
+      ("g", "b", 2.0), ("g", "b", 3.0), ("g", "c", 99.0))
+      .toDF("g", "arm", "x")
+    val r = Hypothesis.welchAnova(df, "g", "arm", "x").collect().head
+    r.getAs[Long]("n") shouldBe 5L
+    r.getAs[Long]("k_arms") shouldBe 2L
+    // mirror with the same p6 stations
+    val (ma, va) = (p6d(24.0 / 2), p6d((296.0 - 288.0) / 1.0)) // 12, 8
+    val (mb, vb) = (p6d(6.0 / 3), p6d((14.0 - 12.0) / 2.0))    // 2, 1
+    val (wa, wb) = (p6d(2.0 / va), p6d(3.0 / vb))
+    val sw = BigDecimal(wa).setScale(6) + BigDecimal(wb).setScale(6)
+    val swm = BigDecimal(p6d(wa) * p6d(ma)) + BigDecimal(wb * mb)
+    val grand = p6d(swm.toDouble / sw.toDouble)
+    val st = BigDecimal(p6d(wa * (ma - grand) * (ma - grand))).setScale(6) +
+      BigDecimal(p6d(wb * (mb - grand) * (mb - grand))).setScale(6)
+    val su = BigDecimal(p6d((1.0 - wa / sw.toDouble) * (1.0 - wa / sw.toDouble) / 1.0))
+      .setScale(6) +
+      BigDecimal(p6d((1.0 - wb / sw.toDouble) * (1.0 - wb / sw.toDouble) / 2.0))
+        .setScale(6)
+    val f = p6d((st.toDouble / 1.0) /
+      (1.0 + 2.0 * 0.0 / 3.0 * su.toDouble))
+    r.getAs[Double]("f_stat") shouldBe f
+    r.getAs[Long]("df1") shouldBe 1L
+    r.getAs[Double]("df2") shouldBe p6d(3.0 / (3.0 * su.toDouble))
+  }
+
+  test("jonckheere counts doubled dominance exactly and guards the arm range") {
+    // arms 0:[1,2] 1:[3,4] -> every cross pair ascends: U=4, JT2=8
+    val up = Seq(("g", 0L, 1.0), ("g", 0L, 2.0), ("g", 1L, 3.0),
+      ("g", 1L, 4.0)).toDF("g", "arm", "v")
+    val r = Hypothesis.jonckheere(up, "g", "arm", "v", maxArm = 5)
+      .collect().head
+    r.getAs[Long]("jt2") shouldBe 8L
+    r.getAs[Long]("e2") shouldBe 4L // (16 - 8) / 2
+    r.getAs[Double]("z") should be > 0.0
+    // a full tie across arms: JT2 = ties only = E2 -> z = 0
+    val tie = Seq(("g", 0L, 7.0), ("g", 1L, 7.0)).toDF("g", "arm", "v")
+    val rt = Hypothesis.jonckheere(tie, "g", "arm", "v", maxArm = 5)
+      .collect().head
+    rt.getAs[Long]("jt2") shouldBe 1L
+    rt.getAs[Long]("e2") shouldBe 1L
+    rt.getAs[Double]("z") shouldBe 0.0
+    // out-of-range arm raises
+    val bad = Seq(("g", 9L, 1.0)).toDF("g", "arm", "v")
+    intercept[Exception] {
+      Hypothesis.jonckheere(bad, "g", "arm", "v", maxArm = 5).collect()
+    }.getMessage should include("bucket the arm column")
+  }
 }
