@@ -144,4 +144,65 @@ object FuzzyJoin {
         col("day_a") :+ col("day_b") :+
         abs(col("day_a") - col("day_b")).as("gap_days"): _*)
   }
+
+  /** Blocked sorted-neighborhood entity-resolution candidates: sort
+    * records by a normalized key, pair each record with its next
+    * `window` neighbors in key order, and keep pairs within `maxDist`
+    * edits. The classic alternative to LSH blocking when typos cluster
+    * lexicographically (catalog names, addresses).
+    *
+    * Distributed contract: the sort runs WITHIN first-letter blocks
+    * (the window is partitioned, never global), so pairs crossing a
+    * first-letter boundary are out of scope BY DEFINITION — the
+    * documented "blocked" variant. A global rank would serialize the
+    * sort through one partition at any scale; typo pairs that disagree
+    * on the first letter belong to [[nearestMatch]]'s edit-blocked
+    * path instead.
+    *
+    * Value compression as [[nearestMatch]]: the neighborhood runs over
+    * DISTINCT normalized keys (rank = dense key order, ids carried as
+    * min-id representatives), so duplicated names cost one row.
+    *
+    * Output: id_a, id_b (min-id representatives, id_a < id_b by key
+    * order), key_a, key_b, rank_gap, dist — inner (only in-threshold
+    * pairs).
+    */
+  def sortedNeighborhood(df: DataFrame, nameCol: String, idCol: String,
+                         window: Int = 5, maxDist: Int = 3): DataFrame = {
+    require(window >= 1 && window <= 32, s"window must be 1..32: $window")
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val keyed = df
+      .filter(col(nameCol).isNotNull)
+      .select(
+        regexp_replace(lower(trim(col(nameCol))), "[^a-z0-9 ]", "")
+          .as("__key"),
+        col(idCol).cast("long").as("__id"))
+      .filter(length(col("__key")) > 0)
+      .groupBy(col("__key"))
+      .agg(min(col("__id")).as("__mid"))
+      .withColumn("__blk", substring(col("__key"), 1, 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__blk")).orderBy(col("__key"))
+    // the neighborhood is `window` lead() columns exploded — exactly
+    // O(keys · window) rows, never a per-block pair join (an equi-join
+    // on the block key enumerates |block|² pairs before any range
+    // filter can prune)
+    val leadCols = Seq(col("__key"), col("__mid")) ++
+      (1 to window).flatMap(i => Seq(
+        lead(col("__key"), i).over(w).as(s"__kb$i"),
+        lead(col("__mid"), i).over(w).as(s"__ib$i")))
+    val neighbors = keyed
+      .select(leadCols: _*) // windows first: a generator can't host them
+      .select(col("__key").as("key_a"), col("__mid").as("id_a"),
+        explode(array((1 to window).map(i => struct(
+          col(s"__kb$i").as("key_b"), col(s"__ib$i").as("id_b"),
+          lit(i.toLong).as("rank_gap"))): _*)).as("__n"))
+      .where(col("__n.key_b").isNotNull)
+    neighbors
+      .withColumn("dist", levenshtein(col("key_a"), col("__n.key_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("__n.id_b").as("id_b"), col("key_a"),
+        col("__n.key_b").as("key_b"), col("__n.rank_gap").as("rank_gap"),
+        col("dist").cast("long").as("dist"))
+  }
 }

@@ -1103,4 +1103,52 @@ object Profile {
             least(col("r_levels") - 1, col("c_levels") - 1)
               .cast("double"))))), "DOUBLE").as("cramers_v"))
   }
+
+  /** Chapman capture–recapture estimate of a population's true size
+    * from TWO observation windows: with n1 keys seen in capture A,
+    * n2 in capture B, and m in both,
+    *   N̂ = (n1+1)(n2+1)/(m+1) − 1   (Chapman's bias-corrected form)
+    *   Var ≈ (n1+1)(n2+1)(n1−m)(n2−m) / ((m+1)²(m+2))
+    * The dedup-adjacent estimator: "how many distinct users/documents
+    * exist, given two partial crawls?" — the answer two overlapping
+    * snapshots give without ever seeing the whole population.
+    *
+    * `inA`/`inB` are 0/1 indicator columns (a key may be in either,
+    * both, or — rows outside both are ignored). The estimate is an
+    * exact floored integer (DECIMAL(38,0) cross-multiplication); the
+    * SE is the one p6 double. Groups with m = 0 report NULL estimate
+    * (disjoint captures carry no overlap information).
+    *
+    * Scale shape: one hash aggregate per (group, key) for the two
+    * indicators, one per group for the four counts — no joins.
+    *
+    * Output: group, n1, n2, m, n_hat, se.
+    */
+  def captureRecapture(df: DataFrame, groupCol: String, keyCol: String,
+                       inACol: String, inBCol: String): DataFrame = {
+    val perKey = df
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(max(col(inACol).cast("long")).as("__a"),
+        max(col(inBCol).cast("long")).as("__b"))
+      .filter(col("__a") === 1L || col("__b") === 1L)
+    val counts = perKey.groupBy(col(groupCol))
+      .agg(sum(col("__a")).cast("long").as("n1"),
+        sum(col("__b")).cast("long").as("n2"),
+        sum(when(col("__a") === 1L && col("__b") === 1L, 1L)
+          .otherwise(0L)).cast("long").as("m"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    counts.select(col(groupCol), col("n1"), col("n2"), col("m"),
+      when(col("m") > 0L,
+        expr("""CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)
+          - pmod(CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1), m + 1))
+          / (m + 1) - 1 AS BIGINT)"""))
+        .as("n_hat"),
+      when(col("m") > 0L, graft.functions.Rounding.p6(sqrt(
+        (d(col("n1") + 1L) * (col("n2") + 1L) * (col("n1") - col("m")) *
+          (col("n2") - col("m"))).cast("double") /
+          (d(col("m") + 1L) * (col("m") + 1L) * (col("m") + 2L))
+            .cast("double"))))
+        .as("se"))
+  }
 }

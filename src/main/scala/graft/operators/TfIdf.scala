@@ -772,4 +772,60 @@ object TfIdf {
       when(ok, p6(lit(0.39) * wps + lit(11.8) * ypw - lit(15.59)))
         .as("fk_grade"))
   }
+
+  /** BM25 ranked retrieval for a FIXED query-term list (Robertson/
+    * Sparck Jones, the Okapi formulation): per matched (doc, term),
+    *   idf(t) = ln((N − df + 0.5)/(df + 0.5))
+    *   w(d,t) = idf(t) · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/T)
+    * with N docs, T total tokens (so dl·N/T = dl/avgdl without a
+    * division by a non-integer), df counted on matched docs. The
+    * classic idf can go negative for terms in most docs — kept, as in
+    * the reference formulation. Per-term contributions are p6 doubles
+    * summed in DECIMAL; top-k closes by (score desc, id) through
+    * TakeOrderedAndProject.
+    *
+    * Scale shape: the scan explodes tokens but filters to the query
+    * list IMMEDIATELY (scan-resident), so only matched (doc, term)
+    * rows shuffle; df and the one-row (N, T) aggregate broadcast back.
+    *
+    * Output: id, n_terms, score — top `k` docs.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 32,
+      s"queryTerms must be 1..32 terms: ${queryTerms.size}")
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val toks = docs.select(col(idCol),
+      TextFns.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).cast("long").as("__dl"),
+        col("__t"))
+    val totals = toks.agg(count(lit(1)).cast("long").as("__nd"),
+      sum(col("__dl")).cast("long").as("__tl"))
+    val terms = toks
+      .select(col(idCol), col("__dl"), explode(col("__t")).as("__w"))
+      .where(col("__w").isInCollection(queryTerms))
+      .groupBy(col(idCol), col("__dl"), col("__w"))
+      .agg(count(lit(1)).cast("long").as("__tf"))
+    val dfs = terms.groupBy(col("__w"))
+      .agg(count(lit(1)).cast("long").as("__df"))
+    val contrib = terms
+      .join(broadcast(dfs), Seq("__w"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__c6", p6(
+        log((col("__nd").cast("double") - col("__df").cast("double") + 0.5) /
+          (col("__df").cast("double") + 0.5)) *
+          (col("__tf").cast("double") * lit(k1 + 1)) /
+          (col("__tf").cast("double") + lit(k1 * (1 - b)) +
+            lit(k1 * b) * ((col("__dl") * col("__nd")).cast("double") /
+              col("__tl").cast("double")))))
+    contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("__c6").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .as("__s"))
+      .select(col(idCol), col("n_terms"),
+        col("__s").cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

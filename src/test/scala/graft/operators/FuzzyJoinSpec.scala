@@ -73,4 +73,34 @@ class FuzzyJoinSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       FuzzyJoin.proximatePairs(df, Seq.empty, "id", "day", window = 3L)
   }
+
+  test("sortedNeighborhood pairs only within the rank window and threshold") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "apple pie"), (2L, "apple pig"), (3L, "apple ZIG"),
+      (4L, "azzzzzzzzz"), (5L, "banana"), (6L, "bananas"))
+      .toDF("id", "name")
+    val out = FuzzyJoin.sortedNeighborhood(df, "name", "id",
+      window = 5, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet
+    // normalized: "apple zig" (3) sorts between pie/pig? keys:
+    // apple pie(1) < apple pig(2) < apple zig(3) < azzzzzzzzz(4);
+    // banana(5) < bananas(6). Cross-letter a->b pairs are OUT of scope
+    out should contain((1L, 2L, 1L))   // pie ~ pig, dist 1
+    out should contain((2L, 3L, 1L))   // pig ~ zig, dist 1 (p->z)
+    out should contain((1L, 3L, 2L))   // pie ~ zig, dist 2
+    out should contain((5L, 6L, 1L))   // banana ~ bananas
+    // azzzzzzzzz is far from everything within its block
+    out.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
+    // no pair crosses the first-letter boundary
+    out.exists(p => Set(1L, 2L, 3L, 4L)(p._1) && Set(5L, 6L)(p._2)) shouldBe false
+  }
+
+  test("sortedNeighborhood compresses duplicate names to min-id reps") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((9L, "gamma ray"), (3L, "gamma ray"), (5L, "gamma raz"))
+      .toDF("id", "name")
+    val out = FuzzyJoin.sortedNeighborhood(df, "name", "id", 5, 3).collect()
+    out.length shouldBe 1
+    (out.head.getLong(0), out.head.getLong(1)) shouldBe ((3L, 5L))
+  }
 }

@@ -546,4 +546,23 @@ class ProfileSpec extends SparkSpec {
       Profile.cramersV(perfect.toDF("g", "a", "b"), "g", "a", "b",
         maxCells = 3L).collect()
   }
+
+  test("captureRecapture computes the exact Chapman card") {
+    val sp = spark; import sp.implicits._
+    import graft.functions.Rounding.p6d
+    // capture A: keys 1..6 ; capture B: keys 4..9 -> n1=6 n2=6 m=3
+    val rows = (1 to 6).map(k => ("g", k.toLong, 1L, 0L)) ++
+      (4 to 9).map(k => ("g", k.toLong, 0L, 1L))
+    val r = Profile.captureRecapture(rows.toDF("g", "k", "a", "b"),
+      "g", "k", "a", "b").collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((6L, 6L, 3L))
+    r.getLong(4) shouldBe (7L * 7L / 4L - 1L) // floor(49/4) - 1 = 11
+    r.getDouble(5) shouldBe
+      p6d(math.sqrt(7.0 * 7 * 3 * 3 / (4.0 * 4 * 5)))
+    // disjoint captures: m = 0 -> NULL estimate
+    val d = Seq(("h", 1L, 1L, 0L), ("h", 2L, 0L, 1L))
+    val rd = Profile.captureRecapture(d.toDF("g", "k", "a", "b"),
+      "g", "k", "a", "b").collect().head
+    assert(rd.isNullAt(4) && rd.isNullAt(5))
+  }
 }

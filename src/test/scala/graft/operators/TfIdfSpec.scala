@@ -308,4 +308,35 @@ class TfIdfSpec extends SparkSpec {
     (s2.getLong(2), s2.getLong(3)) shouldBe ((3L, 0L))
     assert(s2.isNullAt(5) && s2.isNullAt(6))
   }
+
+  test("bm25 scores by the Okapi formula and ranks the heavier match first") {
+    import graft.functions.Rounding.p6d
+    val sp = spark; import sp.implicits._
+    // 3 docs; query {cat}: df(cat)=2, N=3, T=9
+    // d1: "cat cat dog" tf=2 dl=3 ; d2: "cat mouse" tf=1 dl=2 ; d3: 4 toks
+    val docs = Seq((1L, "cat cat dog"), (2L, "cat mouse"),
+      (3L, "a b c d")).toDF("id", "text")
+    val out = TfIdf.bm25(docs, "text", "id", Seq("cat"), k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    out.keySet shouldBe Set(1L, 2L)
+    val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def w(tf: Double, dl: Double) =
+      p6d(idf * (tf * 2.2) / (tf + 0.3 + 0.9 * (dl * 3.0 / 9.0)))
+    out(1L) shouldBe ((1L, w(2, 3)))
+    out(2L) shouldBe ((1L, w(1, 2)))
+    // tf=2 at equal-ish length outranks tf=1 (idf < 0 here is fine:
+    // both scores share the sign, the RATIO ranks)
+    val ranked = TfIdf.bm25(docs, "text", "id", Seq("cat"), k = 1)
+      .collect().head.getLong(0)
+    ranked shouldBe (if (w(2, 3) >= w(1, 2)) 1L else 2L)
+  }
+
+  test("bm25 sums per-term contributions and keeps only matching docs") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "x y"), (2L, "x z"), (3L, "q q")).toDF("id", "text")
+    val out = TfIdf.bm25(docs, "text", "id", Seq("x", "z"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 2L) // doc 3 matches nothing
+  }
 }

@@ -150,7 +150,10 @@ class QueryPlanSpec extends SparkSpec {
     // q350 attaches the one-row corpus-token total (q77/q93 shape)
     "q350_keyness",
     // q353 reads the same G×K freqGrid crossJoin(broadcast) as q349
-    "q353_lexical_dispersion")
+    "q353_lexical_dispersion",
+    // q364 attaches the one-row (N, total-tokens) corpus aggregate
+    // (q77/q93 shape)
+    "q364_bm25")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
