@@ -1290,4 +1290,71 @@ object Metrics {
           ELSE 2.0 * ($hX) * ($cX) / (($hX) + ($cX)) END"""))
           .as("v_measure"))
   }
+
+  /** Cronbach's alpha — internal-consistency reliability of k "items"
+    * measured per person: alpha = k/(k−1) · (1 − Σ var_i / var_total),
+    * with var_i the per-item variance over persons and var_total the
+    * variance of per-person totals. The standard gate before trusting
+    * a composite score (rater batteries, multi-probe quality panels).
+    *
+    * Missing (person, item) cells count as 0 — the caller feeds
+    * presence-counts or zero-defaulted scores, so every variance runs
+    * over the SAME person universe N (persons appearing in the group
+    * at all). Moments are exact DECIMAL sums over present cells (zero
+    * cells contribute nothing); variances and the closing alpha are
+    * p6 doubles. Groups need k >= 2 items and N >= 2 persons;
+    * var_total = 0 reports NULL (no signal to be consistent about).
+    *
+    * Scale shape: two hash aggregates (per person, per item) and a
+    * broadcast one-row-per-group totals attach — no wide pivot.
+    *
+    * Output: group, n_persons, k_items, alpha.
+    */
+  def cronbachAlpha(df: DataFrame, groupCol: String, personCol: String,
+                    itemCol: String, valCol: String): DataFrame = {
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val base = df
+      .filter(col(groupCol).isNotNull && col(personCol).isNotNull &&
+        col(itemCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(personCol).as("__p"),
+        col(itemCol).as("__i"), col(valCol).cast("decimal(18,2)").as("__x"))
+    val perPerson = base.groupBy(col("__g"), col("__p"))
+      .agg(sum(col("__x")).cast("decimal(38,2)").as("__t"))
+    val gTot = perPerson.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_persons"),
+        sum(col("__t")).cast("decimal(38,2)").as("__st"),
+        sum((col("__t").cast("decimal(19,2)") *
+          col("__t").cast("decimal(19,2)")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("__qt"))
+    val perItem = base.groupBy(col("__g"), col("__i"))
+      .agg(sum(col("__x")).cast("decimal(38,2)").as("__si"),
+        sum((col("__x").cast("decimal(19,2)") *
+          col("__x").cast("decimal(19,2)")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("__qi"))
+    val nD = col("n_persons").cast("double")
+    val itemVars = perItem
+      .join(broadcast(gTot), Seq("__g"))
+      .withColumn("__vi6", p6(
+        (col("__qi").cast("double") -
+          col("__si").cast("double") * col("__si").cast("double") / nD) /
+          (nD - 1.0)))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("k_items"),
+        max(col("n_persons")).as("n_persons"),
+        max(col("__st")).as("__st"), max(col("__qt")).as("__qt"),
+        sum(col("__vi6").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .as("__sv"))
+    itemVars
+      .filter(col("k_items") >= 2L && col("n_persons") >= 2L)
+      .withColumn("__vt6", p6(
+        (col("__qt").cast("double") -
+          col("__st").cast("double") * col("__st").cast("double") / nD) /
+          (nD - 1.0)))
+      .select(col("__g").as(groupCol), col("n_persons"), col("k_items"),
+        when(col("__vt6") > 0.0, p6(
+          col("k_items").cast("double") /
+            (col("k_items").cast("double") - 1.0) *
+            (lit(1.0) - col("__sv").cast("double") / col("__vt6"))))
+          .as("alpha"))
+  }
 }

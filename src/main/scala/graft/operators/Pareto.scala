@@ -363,4 +363,55 @@ object Pareto {
         when(cv < xMax, "X").when(cv < yMax, "Y").otherwise("Z")
           .as("xyz_class"))
   }
+
+  /** Mean-excess (peaks-over-threshold) tail card with a GPD
+    * method-of-moments fit per threshold: for each literal u,
+    * e(u) = mean(x − u | x > u), and with s² the excess variance,
+    *   ξ̂ = ½·(1 − e²/s²),  σ̂ = ½·e·(e²/s² + 1)
+    * — a rising e(u) means a heavy (Pareto-ish) tail; ξ̂ > 0 says so
+    * quantitatively. The EVT companion to the Hill estimator: Hill
+    * assumes the power law, this MEASURES whether one holds above u.
+    *
+    * One scan, thresholds exploded before the aggregate (the
+    * [[graft.operators.Bootstrap]] fan shape): moments are exact
+    * DECIMAL sums of (x − u), closings p6. Thresholds with fewer than
+    * 2 exceedances or zero variance report NULL fit.
+    *
+    * Output: group, u, n_exceed, mean_excess, xi, sigma.
+    */
+  def meanExcess(df: DataFrame, groupCol: String, valCol: String,
+                 thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 16,
+      s"thresholds must be 1..16 values: ${thresholds.size}")
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val fan = df
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valCol).cast("decimal(18,2)").as("__x"),
+        explode(typedLit(thresholds)).as("u"))
+      .where(col("__x") > col("u"))
+      .withColumn("__e", (col("__x") - col("u").cast("decimal(18,2)"))
+        .cast("decimal(18,2)"))
+    val agg = fan.groupBy(col("__g"), col("u"))
+      .agg(count(lit(1)).cast("long").as("n_exceed"),
+        sum(col("__e")).cast("decimal(38,2)").as("__se"),
+        sum((col("__e").cast("decimal(19,2)") *
+          col("__e").cast("decimal(19,2)")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("__sq"))
+    val nD = col("n_exceed").cast("double")
+    val withM = agg
+      .withColumn("mean_excess", p6(col("__se").cast("double") / nD))
+      .withColumn("__s2", when(col("n_exceed") >= 2L, p6(
+        (col("__sq").cast("double") -
+          col("__se").cast("double") * col("__se").cast("double") / nD) /
+          (nD - 1.0))))
+    withM.select(col("__g").as(groupCol), col("u"), col("n_exceed"),
+      col("mean_excess"),
+      when(col("__s2") > 0.0, p6(lit(0.5) *
+        (lit(1.0) - col("mean_excess") * col("mean_excess") / col("__s2"))))
+        .as("xi"),
+      when(col("__s2") > 0.0, p6(lit(0.5) * col("mean_excess") *
+        (col("mean_excess") * col("mean_excess") / col("__s2") + 1.0)))
+        .as("sigma"))
+  }
 }

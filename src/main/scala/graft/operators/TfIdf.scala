@@ -828,4 +828,46 @@ object TfIdf {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Simpson diversity card per group over tokens: with n_i the count
+    * of token i and N the group total,
+    *   λ = Σ n_i(n_i−1) / (N(N−1))   (probability two random tokens
+    *                                  match — concentration)
+    *   inverse Simpson = 1/λ          (effective vocabulary size)
+    * plus Berger–Parker dominance (top token share, exact basis
+    * points). The ecology-standard trio beside [[vocabRichness]]'s
+    * Chao1: richness asks how many types EXIST, diversity asks how
+    * evenly they are USED — a bot corpus can be rich but concentrated.
+    *
+    * λ's numerator and denominator are exact DECIMAL(38,0); both
+    * ratios divide once, p6. Groups with N < 2 report NULL λ (no
+    * pair to draw); a single-token group has λ = 1.
+    *
+    * Output: group, n_tokens, n_distinct, simpson, inv_simpson,
+    * top_share_bp.
+    */
+  def simpsonDiversity(docs: DataFrame, textCol: String,
+                       groupCol: String): DataFrame = {
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val counts = docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(TextFns.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val agg = counts.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("decimal(38,0)").as("__n"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("__c").cast("decimal(38,0)") * (col("__c") - 1L))
+          .cast("decimal(38,0)").as("__num"),
+        max(col("__c")).cast("decimal(38,0)").as("__top"))
+    agg.select(col("__g").as(groupCol),
+      col("__n").cast("long").as("n_tokens"), col("n_distinct"),
+      when(col("__n") > 1L, p6(col("__num").cast("double") /
+        (col("__n") * (col("__n") - 1L)).cast("double"))).as("simpson"),
+      when(col("__num") > 0L, p6(
+        (col("__n") * (col("__n") - 1L)).cast("double") /
+          col("__num").cast("double"))).as("inv_simpson"),
+      expr("CAST(__top * 10000 DIV __n AS BIGINT)").as("top_share_bp"))
+  }
 }

@@ -665,4 +665,27 @@ class MetricsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     mm shouldBe Map("a" -> 1.0, "b" -> 0.0)
   }
+
+  test("cronbachAlpha matches the closed form with zero-filled cells") {
+    import graft.functions.Rounding.p6d
+    val sp = spark; import sp.implicits._
+    // 3 persons x 2 items; person p3 misses item b (counts as 0)
+    // a: (2,4,3)  b: (1,3,0)  totals: (3,7,3)
+    val rows = Seq(("g", "p1", "a", 2.0), ("g", "p2", "a", 4.0),
+      ("g", "p3", "a", 3.0), ("g", "p1", "b", 1.0), ("g", "p2", "b", 3.0))
+    val r = Metrics.cronbachAlpha(rows.toDF("g", "p", "i", "x"),
+      "g", "p", "i", "x").collect().head
+    r.getAs[Long]("n_persons") shouldBe 3L
+    r.getAs[Long]("k_items") shouldBe 2L
+    val va = p6d((29.0 - 81.0 / 3) / 2) // var(2,4,3) = 1
+    val vb = p6d((10.0 - 16.0 / 3) / 2) // var(1,3,0) = 7/3
+    val vt = p6d((67.0 - 169.0 / 3) / 2) // var(3,7,3) = 16/3
+    val sv = BigDecimal(va).setScale(6) + BigDecimal(vb).setScale(6)
+    r.getAs[Double]("alpha") shouldBe
+      p6d(2.0 / 1.0 * (1.0 - sv.toDouble / vt))
+    // a single item carries no consistency question: group dropped
+    val one = Seq(("h", "p1", "a", 1.0), ("h", "p2", "a", 2.0))
+    Metrics.cronbachAlpha(one.toDF("g", "p", "i", "x"),
+      "g", "p", "i", "x").count() shouldBe 0L
+  }
 }

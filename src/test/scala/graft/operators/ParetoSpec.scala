@@ -164,4 +164,24 @@ class ParetoSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Pareto.hillTail(flat, "v", "tie", k = 1)
   }
+
+  test("meanExcess fits GPD moments per threshold, exponential sanity") {
+    import graft.functions.Rounding.p6d
+    val sp = spark; import sp.implicits._
+    // excesses over u=10 from (12, 14, 18): e = (2, 4, 8)
+    val df = Seq(("g", 12.0), ("g", 14.0), ("g", 18.0), ("g", 5.0))
+      .toDF("g", "x")
+    val r = Pareto.meanExcess(df, "g", "x", Seq(10.0)).collect().head
+    r.getAs[Long]("n_exceed") shouldBe 3L
+    val me = p6d(14.0 / 3)
+    r.getAs[Double]("mean_excess") shouldBe me
+    val s2 = p6d((84.0 - 196.0 / 3) / 2) // var(2,4,8)
+    r.getAs[Double]("xi") shouldBe p6d(0.5 * (1.0 - me * me / s2))
+    r.getAs[Double]("sigma") shouldBe p6d(0.5 * me * (me * me / s2 + 1.0))
+    // a single exceedance has no variance: NULL fit, mean still real
+    val one = Pareto.meanExcess(df, "g", "x", Seq(16.0)).collect().head
+    one.getAs[Long]("n_exceed") shouldBe 1L
+    one.getAs[Double]("mean_excess") shouldBe 2.0
+    assert(one.isNullAt(4) && one.isNullAt(5))
+  }
 }

@@ -339,4 +339,23 @@ class TfIdfSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out shouldBe Map(1L -> 1L, 2L -> 2L) // doc 3 matches nothing
   }
+
+  test("simpsonDiversity computes exact pair probabilities and dominance") {
+    import graft.functions.Rounding.p6d
+    val sp = spark; import sp.implicits._
+    // tokens: a a a b -> N=4, lambda = (3*2 + 0)/(4*3) = 0.5
+    val docs = Seq(("s1", "a a a b"), ("s2", "x")).toDF("src", "text")
+    val out = TfIdf.simpsonDiversity(docs, "text", "src")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    s1.getAs[Long]("n_tokens") shouldBe 4L
+    s1.getAs[Long]("n_distinct") shouldBe 2L
+    s1.getAs[Double]("simpson") shouldBe p6d(6.0 / 12.0)
+    s1.getAs[Double]("inv_simpson") shouldBe 2.0
+    s1.getAs[Long]("top_share_bp") shouldBe 7500L
+    // single token: N = 1 -> NULL lambda, dominance 100%
+    val s2 = out("s2")
+    assert(s2.isNullAt(3) && s2.isNullAt(4))
+    s2.getAs[Long]("top_share_bp") shouldBe 10000L
+  }
 }
