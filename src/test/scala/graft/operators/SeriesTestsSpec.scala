@@ -108,4 +108,61 @@ class SeriesTestsSpec extends SparkSpec {
     r.getAs[Long]("t_star") shouldBe 1L
     r.getAs[Double]("p_approx") shouldBe 1.0
   }
+
+  test("acf exposes the lag table: alternation is -1 at lag 1, +1 at lag 2") {
+    val alt = series((1 to 40).map(i => if (i % 2 == 0) 10L else 0L))
+    val rho = SeriesTests.acf(alt, "g", "o", "y", maxLag = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    rho(1L) should be(-1.0 +- 0.06) // full-mean ACF edge effects
+    rho(2L) should be(1.0 +- 0.06)
+    // constant series: zero variance -> rho pinned to 0
+    val const = SeriesTests.acf(series(Seq.fill(10)(5L)), "g", "o", "y", 2)
+      .collect().map(_.getDouble(3)).toSet
+    const shouldBe Set(0.0)
+  }
+
+  test("seasonalDecompose centers indices and finds the boosted weekday") {
+    val sp = spark; import sp.implicits._
+    // 10 weeks of contiguous days, dow 1..7 cycling; dow 3 runs +70
+    val rows = (0 until 70).map { i =>
+      val dow = i % 7 + 1
+      ("g", f"day$i%03d", dow.toLong,
+        100L + (if (dow == 3) 70L else 0L))
+    }.toDF("g", "o", "dow", "y")
+    val out = SeriesTests.seasonalDecompose(rows, "g", "o", "dow", "y")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    out.size shouldBe 7
+    // indices sum to ~0 and the boosted dow dominates
+    out.values.sum shouldBe 0.0 +- 1e-4
+    out.maxBy(_._2)._1 shouldBe 3L
+    out(3L) should be > 50.0
+  }
+
+  test("seasonalDecompose flat series gives all-zero indices") {
+    val sp = spark; import sp.implicits._
+    val flat = (0 until 35).map(i =>
+      ("h", f"day$i%03d", (i % 7 + 1).toLong, 42L))
+      .toDF("g", "o", "dow", "y")
+    val out = SeriesTests.seasonalDecompose(flat, "g", "o", "dow", "y")
+      .collect().map(_.getDouble(3)).toSet
+    out shouldBe Set(0.0)
+  }
+
+  test("hurstRS separates a ramp from hash noise") {
+    // pure ramp: strongly persistent, H near 1
+    val ramp = series((1 to 256).map(_.toLong * 3))
+    val hr = SeriesTests.hurstRS(ramp, "g", "o", "y").collect().head
+    hr.getAs[Long]("n_points") shouldBe 256L
+    hr.getAs[Long]("n_sizes") shouldBe 4L
+    hr.getAs[Double]("hurst") should be > 0.85
+    // md5-derived iid noise: H near 0.5
+    val noise = series((1 to 512).map { i =>
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"h|$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 3), 16)
+    })
+    val hn = SeriesTests.hurstRS(noise, "g", "o", "y").collect().head
+    hn.getAs[Double]("hurst") should be(0.5 +- 0.2)
+  }
 }
