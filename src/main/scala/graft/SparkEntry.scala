@@ -4549,7 +4549,27 @@ object SparkEntry {
           .groupBy(col("o_orderpriority"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
           .agg(count(lit(1)).cast("long").as("y")),
-        "o_orderpriority", "day", "y"))
+        "o_orderpriority", "day", "y")),
+
+    // q366's population gauge kept live: per-(type, user) capture
+    // indicators max-merged across batches, card via the shared
+    // chapmanFromIndicators closing
+    "q373_streaming_capture" -> ((s, d) => {
+      val st = invocationStateDir("q373", "capture")
+      val ev = t(s, d, "events").select(col("event_type"), col("user_id"),
+        col("event_id"),
+        (expr("unix_micros(ts) div 86400000000") % 2 === 0)
+          .cast("long").as("in_a"),
+        (expr("unix_micros(ts) div 86400000000") % 2 === 1)
+          .cast("long").as("in_b"))
+      streaming.StreamingCapture.acceptBatch(
+        ev.filter(col("event_id") % 2 === 0), "event_type", "user_id",
+        "in_a", "in_b", st)
+      val merged = streaming.StreamingCapture.acceptBatch(
+        ev.filter(col("event_id") % 2 === 1), "event_type", "user_id",
+        "in_a", "in_b", st)
+      streaming.StreamingCapture.captureView(merged, "event_type")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -12782,6 +12802,11 @@ object SparkEntry {
       ("q342_streaming_risk" -> base("q326_risk_card")) +
       // additive (n, Σw, Σw²) under any batch split = the one-shot
       // statistics, and both cards read the shared essFromStats closing
-      ("q347_streaming_ess" -> base("q344_ess"))
+      ("q347_streaming_ess" -> base("q344_ess")) +
+      // 0/1 capture indicators max-merge (associative, commutative,
+      // idempotent) under any batch split = the one-shot indicator
+      // table, and both cards read the shared chapmanFromIndicators
+      // closing
+      ("q373_streaming_capture" -> base("q366_capture_recapture"))
   }
 }

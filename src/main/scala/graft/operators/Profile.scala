@@ -1131,8 +1131,19 @@ object Profile {
       .groupBy(col(groupCol), col(keyCol))
       .agg(max(col(inACol).cast("long")).as("__a"),
         max(col(inBCol).cast("long")).as("__b"))
+    chapmanFromIndicators(perKey, groupCol)
+  }
+
+  /** The Chapman closing over a per-(group, key) indicator table with
+    * columns `__a`/`__b` — shared verbatim by the streaming capture
+    * monitor, whose state IS this table maintained across batches
+    * (indicators merge by max, so any batch split lands here equal).
+    */
+  def chapmanFromIndicators(perKey: DataFrame,
+                            groupCol: String): DataFrame = {
+    val counts = perKey
       .filter(col("__a") === 1L || col("__b") === 1L)
-    val counts = perKey.groupBy(col(groupCol))
+      .groupBy(col(groupCol))
       .agg(sum(col("__a")).cast("long").as("n1"),
         sum(col("__b")).cast("long").as("n2"),
         sum(when(col("__a") === 1L && col("__b") === 1L, 1L)
