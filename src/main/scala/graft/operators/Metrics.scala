@@ -1357,4 +1357,137 @@ object Metrics {
             (lit(1.0) - col("__sv").cast("double") / col("__vt6"))))
           .as("alpha"))
   }
+
+  /** Linear-weighted Cohen's kappa for two ORDINAL labelings on the
+    * same rows: disagreement weights w_ij = |i−j|/(R−1) make a
+    * one-step disagreement cheap and an R-step one maximal — the
+    * ordinal upgrade of [[cohensKappa]]'s all-or-nothing view. With
+    * integer labels in [0, maxLevel],
+    *   κ_w = 1 − N·Σ|i−j|·n_ij / Σ|i−j|·r_i·c_j
+    * — both operands exact DECIMAL(38,0) (the weight denominators
+    * R−1 and N² cancel), so the statistic is ONE p6 division. Labels
+    * outside the range raise (the kruskalWallis bucketing contract);
+    * a zero expected-disagreement (a constant labeling) reports NULL.
+    *
+    * Scale shape: one hash aggregate to the (a, b) grid (≤ (R+1)²
+    * cells per group), margins fold from it, one ≤(R+1)²-row margin
+    * join per group.
+    *
+    * Output: group, n, n_agree, kappa_w.
+    */
+  def weightedKappa(df: DataFrame, groupCol: String, aCol: String,
+                    bCol: String, maxLevel: Int): DataFrame = {
+    require(maxLevel >= 1 && maxLevel <= 32,
+      s"maxLevel must be in [1,32]: $maxLevel")
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    def guarded(c: String) = {
+      val v = col(c).cast("long")
+      when(v.between(0L, maxLevel.toLong), v)
+        .otherwise(expr(s"CAST(raise_error('Metrics.weightedKappa: label " +
+          s"outside [0,$maxLevel] — bucket the label columns first') " +
+          "AS BIGINT)"))
+    }
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(aCol).isNotNull &&
+        col(bCol).isNotNull)
+      .select(col(groupCol).as("__g"), guarded(aCol).as("__a"),
+        guarded(bCol).as("__b"))
+      .groupBy(col("__g"), col("__a"), col("__b"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val obs = cells.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("decimal(38,0)").as("n"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+          .cast("long").as("n_agree"),
+        sum(abs(col("__a") - col("__b")).cast("decimal(38,0)") *
+          col("__c")).cast("decimal(38,0)").as("__od"))
+    val ra = cells.groupBy(col("__g"), col("__a"))
+      .agg(sum(col("__c")).cast("decimal(38,0)").as("__ri"))
+    val cb = cells.groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__c")).cast("decimal(38,0)").as("__cj"))
+    val exp = ra.join(cb, Seq("__g"))
+      .select(col("__g"),
+        (abs(col("__a") - col("__b")).cast("decimal(38,0)") *
+          col("__ri") * col("__cj")).as("__e"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__e")).cast("decimal(38,0)").as("__ed"))
+    obs.join(exp, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n").cast("long").as("n"),
+        col("n_agree"),
+        when(col("__ed") > 0,
+          p6(lit(1.0) - col("n").cast("double") *
+            col("__od").cast("double") / col("__ed").cast("double")))
+          .as("kappa_w"))
+  }
+
+  /** Kendall's coefficient of concordance W: do m raters rank the
+    * same n items the same way? Ranks per rater come from the item's
+    * per-rater score (midranks for ties, kept integral DOUBLED —
+    * the [[graft.operators.SeriesTests.pettitt]] device), rank sums
+    * fold per item, and the tie-corrected Legendre form closes it:
+    *   W = (3·ΣR2² − 3·m²·n·(n+1)²) / (m²·n·(n²−1) − m·ΣT)
+    * with R2 the doubled rank sums and T = Σ(t³−t) per rater — every
+    * operand an exact DECIMAL(38,0). Only items scored by ALL m
+    * raters rank (a partial grid has no common ranking to agree on);
+    * the degenerate all-tied denominator reports NULL.
+    *
+    * Output: group, m_raters, n_items, w.
+    */
+  def kendallsW(df: DataFrame, groupCol: String, raterCol: String,
+                itemCol: String, scoreCol: String): DataFrame = {
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val base = df
+      .filter(col(groupCol).isNotNull && col(raterCol).isNotNull &&
+        col(itemCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(raterCol).as("__r"),
+        col(itemCol).as("__i"),
+        col(scoreCol).cast("decimal(18,2)").as("__s"))
+      .groupBy(col("__g"), col("__r"), col("__i"))
+      .agg(sum(col("__s")).cast("decimal(38,2)").as("__sc"))
+    val wAll = Window.partitionBy(col("__g"))
+    val mPer = base.select(col("__g"), col("__r")).distinct()
+      .withColumn("__m", count(lit(1)).over(wAll))
+    val m = mPer.select(col("__g"), col("__m")).distinct()
+    // common items only: scored by every rater
+    val common = base.groupBy(col("__g"), col("__i"))
+      .agg(count(lit(1)).cast("long").as("__nr"))
+      .join(m, Seq("__g"))
+      .where(col("__nr") === col("__m"))
+      .select(col("__g"), col("__i"))
+    val kept = base.join(common, Seq("__g", "__i"))
+      .localCheckpoint(true)
+    val wVal = Window.partitionBy(col("__g"), col("__r"))
+      .orderBy(col("__sc"))
+    val wEq = Window.partitionBy(col("__g"), col("__r"), col("__sc"))
+    val ranked = kept
+      .withColumn("__mid2",
+        lit(2L) * rank().over(wVal).cast("long") +
+          count(lit(1)).over(wEq).cast("long") - 1L)
+    val r2 = ranked.groupBy(col("__g"), col("__i"))
+      .agg(sum(col("__mid2")).cast("decimal(38,0)").as("__r2"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("nI"),
+        sum(col("__r2") * col("__r2")).cast("decimal(38,0)").as("__sr2"))
+    val ties = ranked.groupBy(col("__g"), col("__r"), col("__sc"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__t"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .cast("decimal(38,0)").as("__tt"))
+    val d1 = lit(1L)
+    r2.join(ties, Seq("__g")).join(m, Seq("__g"))
+      .withColumn("__md", col("__m").cast("decimal(38,0)"))
+      .withColumn("__num",
+        lit(3L) * col("__sr2") -
+          lit(3L) * col("__md") * col("__md") * col("nI") *
+            (col("nI") + d1) * (col("nI") + d1))
+      .withColumn("__den",
+        col("__md") * col("__md") * col("nI") *
+          (col("nI") * col("nI") - d1) - col("__md") * col("__tt"))
+      .select(col("__g").as(groupCol),
+        col("__m").cast("long").as("m_raters"),
+        col("nI").cast("long").as("n_items"),
+        when(col("__den") > 0,
+          p6(col("__num").cast("double") / col("__den").cast("double")))
+          .as("w"))
+  }
 }

@@ -1162,4 +1162,60 @@ object Profile {
             .cast("double"))))
         .as("se"))
   }
+
+  /** Theil's uncertainty coefficient between two categorical columns:
+    * U(X|Y) = (H(X) + H(Y) − H(X,Y)) / H(X) — the share of X's
+    * entropy that Y explains, in [0,1] and (unlike [[cramersV]])
+    * ASYMMETRIC, so it answers "which way does the information flow".
+    * Both directions plus the symmetric average are reported.
+    *
+    * Entropies are DECIMAL sums of p6 per-level contributions
+    * (n_i/N)·ln(N/n_i) over exact counts — order-free accumulation,
+    * ln the one engine-portable transcendental per term. Degenerate
+    * H = 0 marginals report NULL for the direction that divides by
+    * them.
+    *
+    * Scale shape: one hash aggregate to the (x, y) cell table
+    * (bounded by the level-pair vocabulary), margins and entropies
+    * fold from it — no joins beyond the per-group closing.
+    *
+    * Output: group, n, h_x, h_y, u_x_given_y, u_y_given_x, u_sym.
+    */
+  def theilU(df: DataFrame, groupCol: String, xCol: String,
+             yCol: String): DataFrame = {
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val n = cells.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("n"))
+    def entropy(keyed: DataFrame, out: String): DataFrame = keyed
+      .join(broadcast(n), Seq("__g"))
+      .withColumn("__t6", p6(
+        col("__c").cast("double") / col("n").cast("double") *
+          log(col("n").cast("double") / col("__c").cast("double"))))
+      .groupBy(col("__g"))
+      .agg(p6(sum(col("__t6").cast("decimal(18,6)"))
+        .cast("decimal(38,6)").cast("double")).as(out))
+    val hx = entropy(cells.groupBy(col("__g"), col("__x"))
+      .agg(sum(col("__c")).cast("long").as("__c")), "h_x")
+    val hy = entropy(cells.groupBy(col("__g"), col("__y"))
+      .agg(sum(col("__c")).cast("long").as("__c")), "h_y")
+    val hxy = entropy(cells.select(col("__g"), col("__c")), "h_xy")
+    n.join(hx, Seq("__g")).join(hy, Seq("__g")).join(hxy, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("h_x"), col("h_y"),
+        when(col("h_x") > 0.0,
+          p6((col("h_x") + col("h_y") - col("h_xy")) / col("h_x")))
+          .as("u_x_given_y"),
+        when(col("h_y") > 0.0,
+          p6((col("h_x") + col("h_y") - col("h_xy")) / col("h_y")))
+          .as("u_y_given_x"),
+        when(col("h_x") + col("h_y") > 0.0,
+          p6(lit(2.0) * (col("h_x") + col("h_y") - col("h_xy")) /
+            (col("h_x") + col("h_y")))).as("u_sym"))
+  }
 }

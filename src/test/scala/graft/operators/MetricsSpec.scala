@@ -688,4 +688,57 @@ class MetricsSpec extends SparkSpec {
     Metrics.cronbachAlpha(one.toDF("g", "p", "i", "x"),
       "g", "p", "i", "x").count() shouldBe 0L
   }
+
+  test("weightedKappa: 1 on agreement, -1 on 2-level anti-agreement, guard raises") {
+    val sp = spark; import sp.implicits._
+    val agree = Seq(("g", 0L, 0L), ("g", 1L, 1L), ("g", 2L, 2L))
+      .toDF("g", "a", "b")
+    val ra = Metrics.weightedKappa(agree, "g", "a", "b", maxLevel = 5)
+      .collect().head
+    ra.getAs[Long]("n_agree") shouldBe 3L
+    ra.getAs[Double]("kappa_w") shouldBe 1.0
+    val anti = Seq(("g", 0L, 1L), ("g", 1L, 0L)).toDF("g", "a", "b")
+    Metrics.weightedKappa(anti, "g", "a", "b", 5)
+      .collect().head.getAs[Double]("kappa_w") shouldBe -1.0
+    // one-step vs two-step disagreement: linear weights see the gap
+    val near = Seq(("g", 0L, 1L), ("g", 1L, 0L), ("g", 2L, 2L))
+      .toDF("g", "a", "b")
+    val far = Seq(("g", 0L, 2L), ("g", 2L, 0L), ("g", 1L, 1L))
+      .toDF("g", "a", "b")
+    val kn = Metrics.weightedKappa(near, "g", "a", "b", 5)
+      .collect().head.getAs[Double]("kappa_w")
+    val kf = Metrics.weightedKappa(far, "g", "a", "b", 5)
+      .collect().head.getAs[Double]("kappa_w")
+    kn should be > kf
+    intercept[Exception] {
+      Metrics.weightedKappa(Seq(("g", 9L, 0L)).toDF("g", "a", "b"),
+        "g", "a", "b", 5).collect()
+    }.getMessage should include("bucket the label columns")
+  }
+
+  test("kendallsW: 1 on identical rankings, 0 on a reversed pair, common-item gate") {
+    val sp = spark; import sp.implicits._
+    // two raters, identical scores over 4 items
+    val same = (for (r <- Seq("r1", "r2"); i <- 1 to 4)
+      yield ("g", r, i.toLong, i * 10.0)).toDF("g", "r", "i", "s")
+    val rs = Metrics.kendallsW(same, "g", "r", "i", "s").collect().head
+    rs.getAs[Long]("m_raters") shouldBe 2L
+    rs.getAs[Long]("n_items") shouldBe 4L
+    rs.getAs[Double]("w") shouldBe 1.0
+    // reversed rankings: W = 0 for m = 2
+    val rev = ((1 to 4).map(i => ("g", "r1", i.toLong, i * 10.0)) ++
+      (1 to 4).map(i => ("g", "r2", i.toLong, (5 - i) * 10.0)))
+      .toDF("g", "r", "i", "s")
+    Metrics.kendallsW(rev, "g", "r", "i", "s")
+      .collect().head.getAs[Double]("w") shouldBe 0.0
+    // an item unseen by r2 is excluded from the common ranking
+    val partial = same.union(Seq(("g", "r1", 9L, 99.0)).toDF("g", "r", "i", "s"))
+    Metrics.kendallsW(partial, "g", "r", "i", "s")
+      .collect().head.getAs[Long]("n_items") shouldBe 4L
+    // all scores tied: denominator 0 -> NULL
+    val flat = (for (r <- Seq("r1", "r2"); i <- 1 to 3)
+      yield ("g", r, i.toLong, 5.0)).toDF("g", "r", "i", "s")
+    assert(Metrics.kendallsW(flat, "g", "r", "i", "s")
+      .collect().head.isNullAt(3))
+  }
 }

@@ -565,4 +565,26 @@ class ProfileSpec extends SparkSpec {
       "g", "k", "a", "b").collect().head
     assert(rd.isNullAt(4) && rd.isNullAt(5))
   }
+
+  test("theilU is 1 under determinism, near 0 under independence") {
+    val sp = spark; import sp.implicits._
+    // X determines Y exactly
+    val det = Seq(("g", "a", "p"), ("g", "a", "p"), ("g", "b", "q"),
+      ("g", "c", "r")).toDF("g", "x", "y")
+    val rd = Profile.theilU(det, "g", "x", "y").collect().head
+    rd.getAs[Double]("u_x_given_y") shouldBe 1.0
+    rd.getAs[Double]("u_y_given_x") shouldBe 1.0
+    rd.getAs[Double]("u_sym") shouldBe 1.0
+    // balanced independent grid: H(X,Y) = H(X) + H(Y) -> U = 0
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("p", "q"))
+      yield ("g", x, y)).toDF("g", "x", "y")
+    val ri = Profile.theilU(ind, "g", "x", "y").collect().head
+    ri.getAs[Double]("u_x_given_y") shouldBe 0.0 +- 1e-5
+    ri.getAs[Double]("u_sym") shouldBe 0.0 +- 1e-5
+    // constant X: H(X) = 0 -> that direction is NULL
+    val cx = Seq(("g", "a", "p"), ("g", "a", "q")).toDF("g", "x", "y")
+    val rc = Profile.theilU(cx, "g", "x", "y").collect().head
+    assert(rc.isNullAt(4)) // u_x_given_y divides by H(X) = 0
+    rc.getAs[Double]("u_y_given_x") shouldBe 0.0 +- 1e-5
+  }
 }
