@@ -4606,7 +4606,40 @@ object SparkEntry {
           dayofweek(col("ts")).cast("long").as("dow"),
           col("event_type"), hour(col("ts")).cast("long").as("hr"),
           lit(1L).as("one")),
-        "dow", "event_type", "hr", "one"))
+        "dow", "event_type", "hr", "one")),
+
+    // ---- keywording & vocabulary-growth tier (round-12) -----------------
+
+    // what PHRASES define this corpus? RAKE top-20: stopword-free
+    // runs by window cumsum, word degree/frequency scores, phrase =
+    // sum of member words — the multi-word companion to q77's tf-idf
+    "q377_rake_keywords" -> ((s, d) =>
+      operators.TfIdf.rakeKeywords(t(s, d, "documents"),
+        "text", "doc_id", k = 20, minWords = 2)),
+
+    // will the vocabulary SATURATE? Heaps'-law fit per source over 8
+    // id-order checkpoints — β near 1 means every new doc brings new
+    // tokens (and the tokenizer budget never stabilizes)
+    "q378_heaps_law" -> ((s, d) =>
+      operators.TfIdf.heapsLaw(t(s, d, "documents"),
+        "text", "doc_id", "source", points = 8)),
+
+    // q368's tail gauge kept live: additive (n, Σe, Σe²) per
+    // (flag, threshold), card via the shared meanExcessFromMoments
+    // closing
+    "q379_streaming_tail" -> ((s, d) => {
+      val st = invocationStateDir("q379", "tail")
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice"), col("l_orderkey"))
+      val th = Seq(20000.0, 40000.0, 60000.0, 80000.0)
+      streaming.StreamingTail.acceptBatch(
+        li.filter(col("l_orderkey") % 2 === 0), "l_returnflag",
+        "l_extendedprice", th, st)
+      val merged = streaming.StreamingTail.acceptBatch(
+        li.filter(col("l_orderkey") % 2 === 1), "l_returnflag",
+        "l_extendedprice", th, st)
+      streaming.StreamingTail.tailView(merged, "l_returnflag")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -12928,7 +12961,112 @@ object SparkEntry {
            |  CASE WHEN den > 0 THEN
            |    ${pround("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 6)}
            |    END AS w
-           |FROM fin""".stripMargin
+           |FROM fin""".stripMargin,
+
+      // phrase boundaries by the stopword-indicator cumsum (1-based
+      // positions here, 0-based in Spark — only the ORDER matters);
+      // word scores exact-rational p6, phrase scores DECIMAL sums of
+      // the member-word scores (duplicates within a phrase count)
+      "q377_rake_keywords" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |pos AS (
+           |  SELECT doc_id, pos, t[pos] AS w
+           |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos
+           |        FROM d)),
+           |st AS (
+           |  SELECT doc_id, pos, w,
+           |    CASE WHEN list_contains($stopwordList, w) THEN 1 ELSE 0 END
+           |      AS isstop
+           |  FROM pos),
+           |ph AS (
+           |  SELECT doc_id, pos, w, isstop,
+           |    CAST(sum(isstop) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phid
+           |  FROM st),
+           |phr AS (
+           |  SELECT doc_id, phid,
+           |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+           |    CAST(count(*) AS BIGINT) AS len
+           |  FROM ph WHERE isstop = 0 GROUP BY 1, 2),
+           |wstat AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+           |    CAST(sum(len) AS BIGINT) AS deg
+           |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len
+           |        FROM phr)
+           |  GROUP BY 1),
+           |wsc AS (
+           |  SELECT w, ${pround("CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)",
+             6)} AS ws6
+           |  FROM wstat),
+           |dp AS (
+           |  SELECT phrase, CAST(max(len) AS BIGINT) AS n_words,
+           |    CAST(count(*) AS BIGINT) AS n_occurrences
+           |  FROM phr GROUP BY 1 HAVING max(len) >= 2),
+           |sc AS (
+           |  SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+           |    CAST(max(n_occurrences) AS BIGINT) AS n_occurrences,
+           |    CAST(CAST(sum(CAST(ws6 AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           |      AS DOUBLE) AS score
+           |  FROM (SELECT phrase, n_words, n_occurrences,
+           |          unnest(string_split(phrase, ' ')) AS w
+           |        FROM dp) x
+           |  JOIN wsc USING (w) GROUP BY 1)
+           |SELECT phrase, n_words, n_occurrences, score
+           |FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
+
+      // id-proportional checkpoints by exact integer division; V from
+      // token first-ids, N from per-doc totals; DISTINCT (x, y) pairs
+      // fit once (small ids repeat checkpoints); the hurst fit shape
+      "q378_heaps_law" ->
+        s"""WITH d AS (
+           |  SELECT source AS g, doc_id AS id, $toksSql AS t
+           |  FROM documents WHERE source IS NOT NULL),
+           |mx AS (SELECT g, CAST(max(id) AS BIGINT) AS mx FROM d GROUP BY 1),
+           |cps AS (
+           |  SELECT g, i, mx * i // 8 AS c
+           |  FROM mx CROSS JOIN (SELECT unnest(range(1, 9)) AS i)),
+           |fs AS (
+           |  SELECT g, w, CAST(min(id) AS BIGINT) AS fid
+           |  FROM (SELECT g, id, unnest(t) AS w FROM d) GROUP BY 1, 2),
+           |v AS (
+           |  SELECT fs.g, cps.c, CAST(count(*) AS BIGINT) AS v
+           |  FROM fs JOIN cps ON cps.g = fs.g WHERE fs.fid <= cps.c
+           |  GROUP BY 1, 2),
+           |pd AS (SELECT g, id, CAST(len(t) AS BIGINT) AS n FROM d),
+           |nt AS (
+           |  SELECT pd.g, cps.c, CAST(sum(n) AS BIGINT) AS nt
+           |  FROM pd JOIN cps ON cps.g = pd.g WHERE pd.id <= cps.c
+           |  GROUP BY 1, 2),
+           |xy AS (
+           |  SELECT DISTINCT v.g,
+           |    ${pround("ln(CAST(nt AS DOUBLE))", 6)} AS x6,
+           |    ${pround("ln(CAST(v AS DOUBLE))", 6)} AS y6
+           |  FROM v JOIN nt ON nt.g = v.g AND nt.c = v.c
+           |  WHERE v > 0 AND nt > 0),
+           |ft AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS n_checkpoints,
+           |    CAST(sum(CAST(x6 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sx,
+           |    CAST(sum(CAST(y6 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sy,
+           |    CAST(sum(CAST(CAST(x6 AS DECIMAL(19,6)) *
+           |      CAST(y6 AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+           |      AS DECIMAL(38,12)) AS sxy,
+           |    CAST(sum(CAST(CAST(x6 AS DECIMAL(19,6)) *
+           |      CAST(x6 AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+           |      AS DECIMAL(38,12)) AS sxx
+           |  FROM xy GROUP BY 1 HAVING count(*) >= 2),
+           |bt AS (
+           |  SELECT g, n_checkpoints, sx, sy,
+           |    ${pround("(CAST(n_checkpoints AS DOUBLE) * " +
+             "CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+             "CAST(sy AS DOUBLE)) / (CAST(n_checkpoints AS DOUBLE) * " +
+             "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+             "CAST(sx AS DOUBLE))", 6)} AS beta
+           |  FROM ft)
+           |SELECT g AS source, n_checkpoints, beta,
+           |  ${pround("exp((CAST(sy AS DOUBLE) - beta * " +
+             "CAST(sx AS DOUBLE)) / CAST(n_checkpoints AS DOUBLE))", 6)}
+           |    AS k_coef
+           |FROM bt""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared
@@ -12964,6 +13102,10 @@ object SparkEntry {
       // idempotent) under any batch split = the one-shot indicator
       // table, and both cards read the shared chapmanFromIndicators
       // closing
-      ("q373_streaming_capture" -> base("q366_capture_recapture"))
+      ("q373_streaming_capture" -> base("q366_capture_recapture")) +
+      // additive (n, Σe, Σe²) per fixed threshold under any batch
+      // split = the one-shot excess moments, and both cards read the
+      // shared meanExcessFromMoments closing
+      ("q379_streaming_tail" -> base("q368_mean_excess"))
   }
 }

@@ -380,24 +380,17 @@ object Pareto {
     * Output: group, u, n_exceed, mean_excess, xi, sigma.
     */
   def meanExcess(df: DataFrame, groupCol: String, valCol: String,
-                 thresholds: Seq[Double]): DataFrame = {
-    require(thresholds.nonEmpty && thresholds.size <= 16,
-      s"thresholds must be 1..16 values: ${thresholds.size}")
+                 thresholds: Seq[Double]): DataFrame =
+    meanExcessFromMoments(
+      excessMoments(df, groupCol, valCol, thresholds), groupCol)
+
+  /** The GPD-moment closing over a per-(group, threshold) excess
+    * moment table (__g, u, n_exceed, __se, __sq) — shared verbatim by
+    * the streaming tail monitor, whose state IS this table maintained
+    * additively across batches.
+    */
+  def meanExcessFromMoments(agg: DataFrame, groupCol: String): DataFrame = {
     def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
-    val fan = df
-      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
-      .select(col(groupCol).as("__g"),
-        col(valCol).cast("decimal(18,2)").as("__x"),
-        explode(typedLit(thresholds)).as("u"))
-      .where(col("__x") > col("u"))
-      .withColumn("__e", (col("__x") - col("u").cast("decimal(18,2)"))
-        .cast("decimal(18,2)"))
-    val agg = fan.groupBy(col("__g"), col("u"))
-      .agg(count(lit(1)).cast("long").as("n_exceed"),
-        sum(col("__e")).cast("decimal(38,2)").as("__se"),
-        sum((col("__e").cast("decimal(19,2)") *
-          col("__e").cast("decimal(19,2)")).cast("decimal(38,4)"))
-          .cast("decimal(38,4)").as("__sq"))
     val nD = col("n_exceed").cast("double")
     val withM = agg
       .withColumn("mean_excess", p6(col("__se").cast("double") / nD))
@@ -413,5 +406,29 @@ object Pareto {
       when(col("__s2") > 0.0, p6(lit(0.5) * col("mean_excess") *
         (col("mean_excess") * col("mean_excess") / col("__s2") + 1.0)))
         .as("sigma"))
+  }
+
+  /** The per-(group, threshold) excess moment table [[meanExcess]]
+    * aggregates — exposed so the streaming twin computes batch
+    * partials through the identical fan + DECIMAL moment path.
+    */
+  def excessMoments(df: DataFrame, groupCol: String, valCol: String,
+                    thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 16,
+      s"thresholds must be 1..16 values: ${thresholds.size}")
+    val fan = df
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valCol).cast("decimal(18,2)").as("__x"),
+        explode(typedLit(thresholds)).as("u"))
+      .where(col("__x") > col("u"))
+      .withColumn("__e", (col("__x") - col("u").cast("decimal(18,2)"))
+        .cast("decimal(18,2)"))
+    fan.groupBy(col("__g"), col("u"))
+      .agg(count(lit(1)).cast("long").as("n_exceed"),
+        sum(col("__e")).cast("decimal(38,2)").as("__se"),
+        sum((col("__e").cast("decimal(19,2)") *
+          col("__e").cast("decimal(19,2)")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("__sq"))
   }
 }

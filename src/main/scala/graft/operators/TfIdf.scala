@@ -870,4 +870,150 @@ object TfIdf {
           col("__num").cast("double"))).as("inv_simpson"),
       expr("CAST(__top * 10000 DIV __n AS BIGINT)").as("top_share_bp"))
   }
+
+  /** RAKE keyword extraction (Rose et al., 2010): candidate phrases
+    * are maximal stopword-free token runs (the phrase id is a window
+    * CUMSUM of the stopword indicator — no per-doc parsing state),
+    * each word scores degree/frequency (degree = Σ phrase length over
+    * its phrases), and a phrase scores the sum of its words. The
+    * classic no-model keyword baseline beside [[topTerms]]' tf-idf
+    * view — multi-word phrases surface here that unigram scoring
+    * cannot see.
+    *
+    * Word scores are exact-rational p6 (deg and freq are integers);
+    * phrase scores sum the p6 word scores in DECIMAL. Top-k closes by
+    * (score desc, phrase) through TakeOrderedAndProject.
+    *
+    * Output: phrase, n_words, n_occurrences, score — top `k` phrases
+    * of at least `minWords` words.
+    */
+  def rakeKeywords(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int = 20, minWords: Int = 2): DataFrame = {
+    require(k > 0 && minWords >= 1, s"bad k=$k / minWords=$minWords")
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val stop = TextFns.enStopwords
+    val pos = docs
+      .select(col(idCol).as("__id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("__p", "__w")))
+      .withColumn("__isStop", col("__w").isInCollection(stop).cast("long"))
+    val wDoc = Window.partitionBy(col("__id")).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phrased = pos
+      .withColumn("__ph", sum(col("__isStop")).over(wDoc))
+      .where(col("__isStop") === 0L)
+    val phrases = phrased
+      .groupBy(col("__id"), col("__ph"))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__w"))))
+        .as("__a"))
+      .select(col("__id"),
+        transform(col("__a"), x => x.getField("__w")).as("__ws"))
+      .withColumn("__phrase", array_join(col("__ws"), " "))
+      .withColumn("__len", size(col("__ws")).cast("long"))
+    // word stats over ALL phrase occurrences
+    val wordStats = phrases
+      .select(explode(col("__ws")).as("__w"), col("__len"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).cast("long").as("__freq"),
+        sum(col("__len")).cast("long").as("__deg"))
+      .withColumn("__ws6", p6(col("__deg").cast("double") /
+        col("__freq").cast("double")))
+    // distinct phrases score the sum of their word scores
+    val distinctPhrases = phrases
+      .groupBy(col("__phrase"))
+      .agg(max(col("__len")).as("n_words"),
+        count(lit(1)).cast("long").as("n_occurrences"),
+        max(col("__ws")).as("__ws"))
+      .where(col("n_words") >= minWords.toLong)
+    distinctPhrases
+      .select(col("__phrase"), col("n_words"), col("n_occurrences"),
+        explode(col("__ws")).as("__w"))
+      .join(broadcast(wordStats.select(col("__w"), col("__ws6"))),
+        Seq("__w"))
+      .groupBy(col("__phrase").as("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        max(col("n_occurrences")).as("n_occurrences"),
+        sum(col("__ws6").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .as("__s"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("__s").cast("double").as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
+
+  /** Heaps'-law fit per group: vocabulary size V against cumulative
+    * token count N at `points` id-order checkpoints, fit
+    * ln V = β·ln N + ln K by least squares. β well below 1 says the
+    * vocabulary saturates (natural text: 0.4–0.6); β ≈ 1 says every
+    * new document brings new tokens — the tokenizer-sizing companion
+    * to [[vocabCoverage]]'s fixed-vocab view.
+    *
+    * Checkpoints are id-proportional (c_i = max_id·i/points by exact
+    * integer division), each token contributes V through its MIN
+    * doc id, token totals fold per doc — both fan over the literal
+    * checkpoint list, so no per-group sort and no global rank. The
+    * log-log fit uses p6 coordinates in order-free DECIMAL sums (the
+    * hurstRS closing shape).
+    *
+    * Output: group, n_checkpoints, beta, k_coef.
+    */
+  def heapsLaw(docs: DataFrame, textCol: String, idCol: String,
+               groupCol: String, points: Int = 8): DataFrame = {
+    require(points >= 2 && points <= 32, s"points must be 2..32: $points")
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val base = docs
+      .filter(col(groupCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"),
+        TextFns.tokens(col(textCol)).as("__t"))
+    val maxId = base.groupBy(col("__g"))
+      .agg(max(col("__id")).as("__mx"))
+    val cps = maxId
+      .select(col("__g"), explode(typedLit((1 to points).map(_.toLong)))
+        .as("__i"), col("__mx"))
+      .select(col("__g"), col("__i"),
+        expr("__mx * __i DIV " + points).as("__c"))
+    // V(c): tokens whose FIRST doc id <= c
+    val firstSeen = base
+      .select(col("__g"), col("__id"), explode(col("__t")).as("__w"))
+      .groupBy(col("__g"), col("__w"))
+      .agg(min(col("__id")).as("__first"))
+    val v = firstSeen.join(cps, Seq("__g"))
+      .where(col("__first") <= col("__c"))
+      .groupBy(col("__g"), col("__c"))
+      .agg(count(lit(1)).cast("long").as("__v"))
+    // N(c): tokens in docs with id <= c
+    val perDoc = base.select(col("__g"), col("__id"),
+      size(col("__t")).cast("long").as("__n"))
+    val n = perDoc.join(cps, Seq("__g"))
+      .where(col("__id") <= col("__c"))
+      .groupBy(col("__g"), col("__c"))
+      .agg(sum(col("__n")).cast("long").as("__nt"))
+    val xy = v.join(n, Seq("__g", "__c"))
+      .where(col("__v") > 0L && col("__nt") > 0L)
+      .select(col("__g"), p6(log(col("__nt").cast("double"))).as("__x6"),
+        p6(log(col("__v").cast("double"))).as("__y6"))
+      .distinct() // duplicate checkpoints (small max id) fit once
+    val fit = xy.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_checkpoints"),
+        sum(col("__x6").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .as("sx"),
+        sum(col("__y6").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .as("sy"),
+        sum((col("__x6").cast("decimal(19,6)") *
+          col("__y6").cast("decimal(19,6)")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("sxy"),
+        sum((col("__x6").cast("decimal(19,6)") *
+          col("__x6").cast("decimal(19,6)")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("sxx"))
+      .filter(col("n_checkpoints") >= 2L)
+    val nD = col("n_checkpoints").cast("double")
+    fit
+      .withColumn("beta", p6(
+        (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (nD * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))))
+      .select(col("__g").as(groupCol), col("n_checkpoints"), col("beta"),
+        p6(exp((col("sy").cast("double") - col("beta") *
+          col("sx").cast("double")) / nD)).as("k_coef"))
+  }
 }

@@ -358,4 +358,36 @@ class TfIdfSpec extends SparkSpec {
     assert(s2.isNullAt(3) && s2.isNullAt(4))
     s2.getAs[Long]("top_share_bp") shouldBe 10000L
   }
+
+  test("rakeKeywords scores phrases by member degree/frequency") {
+    import graft.functions.Rounding.p6d
+    val sp = spark; import sp.implicits._
+    // phrases after stopword split: "red panda", "red panda", "red fox"
+    val docs = Seq((1L, "red panda in the red panda"),
+      (2L, "red fox")).toDF("id", "text")
+    val out = TfIdf.rakeKeywords(docs, "text", "id", k = 10, minWords = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // freq(red)=3 deg(red)=6 -> 2 ; panda: 2/4 -> 2 ; fox: 1/2 -> 2
+    val wRed = p6d(6.0 / 3); val wPanda = p6d(4.0 / 2); val wFox = p6d(2.0 / 1)
+    out("red panda") shouldBe ((2L, 2L, wRed + wPanda))
+    out("red fox") shouldBe ((2L, 1L, wRed + wFox))
+    // minWords gate: a 1-word phrase never surfaces
+    out.keySet.exists(_ == "red") shouldBe false
+  }
+
+  test("heapsLaw recovers a saturating vs linear vocabulary") {
+    val sp = spark; import sp.implicits._
+    // linear growth: every doc brings 5 brand-new tokens -> beta ~ 1
+    val lin = (1 to 64).map(i =>
+      ("lin", i.toLong, (1 to 5).map(j => s"w${i}_$j").mkString(" ")))
+    // saturating: docs cycle over a fixed 10-token vocabulary
+    val sat = (1 to 64).map(i =>
+      ("sat", i.toLong, (1 to 5).map(j => s"v${(i + j) % 10}").mkString(" ")))
+    val out = TfIdf.heapsLaw((lin ++ sat).toDF("src", "id", "text"),
+      "text", "id", "src")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    out("lin") shouldBe 1.0 +- 0.05
+    out("sat") should be < 0.3
+  }
 }
