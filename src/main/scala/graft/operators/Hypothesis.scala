@@ -1089,33 +1089,43 @@ object Hypothesis {
       .withColumn("__z6",
         p6(abs(col("__x") * col("__na") - col("__sa")).cast("double") /
           col("__na").cast("double")))
+    // micro-unit integers from here (the kruskalWallis s6u
+    // discipline): S²/n stations grow with row count squared and a p6
+    // double station saturates Spark's long-valued floor past ~9e12
+    // (reached by sf1.0 row counts) while DuckDB's double floor does
+    // not — silent divergence. z_u = z6·10⁶ is exact; every station
+    // is a floored integer quotient, understating by < 1 micro².
+    val zu = (col("__z6").cast("decimal(18,6)") * 1000000)
+      .cast("decimal(19,0)")
+    def flooredDiv(num: org.apache.spark.sql.Column,
+                   den: org.apache.spark.sql.Column) =
+      ((num - pmod(num, den)) / den).cast("decimal(38,0)")
     val perArm = dev.groupBy(col("__g"), col("__a"))
       .agg(count(lit(1)).cast("long").as("na"),
-        sum(col("__z6").cast("decimal(18,6)"))
-          .cast("decimal(38,6)").as("sz"),
-        sum((col("__z6").cast("decimal(18,6)") *
-          col("__z6").cast("decimal(18,6)")).cast("decimal(38,12)"))
-          .cast("decimal(38,12)").as("szz"))
-    // between = Σ sz_i²/n_i − (Σsz)²/N ; within = Σszz − Σ sz_i²/n_i
+        sum(zu).cast("decimal(38,0)").as("szu"),
+        sum((zu * zu).cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("szzu"))
+      .withColumn("__bu", flooredDiv(
+        (col("szu").cast("decimal(19,0)") * col("szu").cast("decimal(19,0)"))
+          .cast("decimal(38,0)"), col("na")))
     perArm.groupBy(col("__g"))
       .agg(sum(col("na")).cast("long").as("n"),
         count(lit(1)).cast("long").as("k_arms"),
-        sum(col("sz")).cast("decimal(38,6)").as("tz"),
-        sum(col("szz")).cast("decimal(38,12)").as("tzz"),
-        sum(p6(col("sz").cast("double") * col("sz").cast("double") /
-          col("na").cast("double")).cast("decimal(30,6)"))
-          .cast("decimal(38,6)").as("bsum"))
+        sum(col("szu")).cast("decimal(38,0)").as("tzu"),
+        sum(col("szzu")).cast("decimal(38,0)").as("tzzu"),
+        sum(col("__bu")).cast("decimal(38,0)").as("bsu"))
       .filter(col("k_arms") >= 2L && col("n") > col("k_arms"))
+      .withColumn("__t2n", flooredDiv(
+        (col("tzu").cast("decimal(19,0)") * col("tzu").cast("decimal(19,0)"))
+          .cast("decimal(38,0)"), col("n")))
       .select(col("__g").as(groupCol), col("n"), col("k_arms"),
         (col("k_arms") - 1L).as("df1"), (col("n") - col("k_arms")).as("df2"),
         p6(
           ((col("n") - col("k_arms")).cast("double") *
-            (col("bsum").cast("double") -
-              col("tz").cast("double") * col("tz").cast("double") /
-                col("n").cast("double"))) /
+            (col("bsu") - col("__t2n")).cast("double")) /
           ((col("k_arms") - 1L).cast("double") *
-            greatest(col("tzz").cast("double") - col("bsum").cast("double"),
-              lit(1e-12)))).as("w_stat"))
+            greatest((col("tzzu") - col("bsu")).cast("double"),
+              lit(1.0)))).as("w_stat"))
   }
 
   /** Welch's heteroscedastic one-way ANOVA across arms: per-arm

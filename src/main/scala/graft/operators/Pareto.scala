@@ -431,4 +431,70 @@ object Pareto {
           col("__e").cast("decimal(19,2)")).cast("decimal(38,4)"))
           .cast("decimal(38,4)").as("__sq"))
   }
+
+  /** Laspeyres / Paasche / Fisher price indices between two eras over
+    * the items present in BOTH: with per-(item, era) unit prices
+    * p = Σrevenue/Σqty (p6 — the one division per cell) and exact
+    * DECIMAL quantity weights,
+    *   L = Σ p1·q0 / Σ p0·q0   (base-period basket)
+    *   P = Σ p1·q1 / Σ p0·q1   (current basket)
+    *   F = √(L·P)
+    * "Did prices move, holding the basket fixed?" — the mix-shift-free
+    * companion to a raw average-price delta, which confounds price
+    * moves with basket drift. All four sums are exact products of the
+    * p6 unit prices with DECIMAL quantities; each index divides once.
+    *
+    * `eraCol` is 0 (base) / 1 (current). Items missing an era drop
+    * (no comparable price); groups with an empty common basket drop.
+    *
+    * Output: group, n_items, laspeyres, paasche, fisher.
+    */
+  def priceIndices(df: DataFrame, groupCol: String, itemCol: String,
+                   eraCol: String, priceCol: String,
+                   qtyCol: String): DataFrame = {
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(itemCol).as("__i"),
+        col(eraCol).cast("long").as("__e"))
+      .agg(sum(col(priceCol).cast("decimal(18,2)"))
+        .cast("decimal(38,2)").as("__rev"),
+        sum(col(qtyCol).cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("__qty"))
+      .where(col("__qty") > 0)
+      .withColumn("__p6", p6(col("__rev").cast("double") /
+        col("__qty").cast("double")))
+    val base = cells.where(col("__e") === 0L)
+      .select(col("__g"), col("__i"), col("__p6").as("p0"),
+        col("__qty").as("q0"))
+    val cur = cells.where(col("__e") === 1L)
+      .select(col("__g"), col("__i"), col("__p6").as("p1"),
+        col("__qty").as("q1"))
+    val joined = base.join(cur, Seq("__g", "__i"))
+    val agg = joined.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        // (18,6) x (19,2) -> (38,8) with NO scale reduction in either
+        // engine; wider operands would silently round the 8th decimal
+        sum((col("p1").cast("decimal(18,6)") * col("q0")
+          .cast("decimal(19,2)"))
+          .cast("decimal(38,8)")).cast("decimal(38,8)").as("l_num"),
+        sum((col("p0").cast("decimal(18,6)") * col("q0")
+          .cast("decimal(19,2)"))
+          .cast("decimal(38,8)")).cast("decimal(38,8)").as("l_den"),
+        sum((col("p1").cast("decimal(18,6)") * col("q1")
+          .cast("decimal(19,2)"))
+          .cast("decimal(38,8)")).cast("decimal(38,8)").as("p_num"),
+        sum((col("p0").cast("decimal(18,6)") * col("q1")
+          .cast("decimal(19,2)"))
+          .cast("decimal(38,8)")).cast("decimal(38,8)").as("p_den"))
+      .where(col("l_den") > 0 && col("p_den") > 0)
+    agg
+      .withColumn("laspeyres",
+        p6(col("l_num").cast("double") / col("l_den").cast("double")))
+      .withColumn("paasche",
+        p6(col("p_num").cast("double") / col("p_den").cast("double")))
+      .select(col("__g").as(groupCol), col("n_items"), col("laspeyres"),
+        col("paasche"),
+        p6(sqrt(col("laspeyres") * col("paasche"))).as("fisher"))
+  }
 }

@@ -1218,4 +1218,103 @@ object Profile {
           p6(lit(2.0) * (col("h_x") + col("h_y") - col("h_xy")) /
             (col("h_x") + col("h_y")))).as("u_sym"))
   }
+
+  /** Correlation ratio η² — how much of a NUMERIC column's variance a
+    * categorical column explains: η² = SS_between / SS_total from
+    * exact DECIMAL moment sums (Σ S_i²/n_i stations are p6, summed
+    * order-free in DECIMAL). The categorical→numeric association
+    * lens beside [[cramersV]] (cat↔cat) and [[theilU]] (directional
+    * cat↔cat). Zero total variance reports NULL.
+    *
+    * Output: group, n, k_levels, eta_sq.
+    */
+  def etaSquared(df: DataFrame, groupCol: String, catCol: String,
+                 numCol: String): DataFrame = {
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val base = df
+      .filter(col(groupCol).isNotNull && col(catCol).isNotNull &&
+        col(numCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(catCol).as("__v"),
+        col(numCol).cast("decimal(18,2)").as("__x"))
+    // everything in exact INTEGER cent² units (the kruskalWallis s6u
+    // discipline): S²/n stations grow with row count squared, and a
+    // p6 double station saturates Spark's long-valued floor past
+    // ~9e12 (DuckDB's double floor does not — silent divergence).
+    // Floored integer quotients are exact at any magnitude in both
+    // engines; each station understates by < 1 cent².
+    def sqc(c: Column) = { // (value·100)² as DECIMAL(38,0), exact
+      val u = (c * 100).cast("decimal(19,0)")
+      (u * u).cast("decimal(38,0)")
+    }
+    def flooredDiv(num: Column, den: Column) =
+      ((num - pmod(num, den)) / den).cast("decimal(38,0)")
+    val levels = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).cast("long").as("__ni"),
+        sum(col("__x")).cast("decimal(38,2)").as("__si"),
+        sum(sqc(col("__x"))).cast("decimal(38,0)").as("__qi"))
+      .withColumn("__b", flooredDiv(sqc(col("__si")), col("__ni")))
+    levels.groupBy(col("__g"))
+      .agg(sum(col("__ni")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("k_levels"),
+        sum(col("__si")).cast("decimal(38,2)").as("__s"),
+        sum(col("__qi")).cast("decimal(38,0)").as("__q"),
+        sum(col("__b")).cast("decimal(38,0)").as("__bs"))
+      .withColumn("__s2n", flooredDiv(sqc(col("__s")), col("n")))
+      .select(col("__g").as(groupCol), col("n"), col("k_levels"),
+        when((col("__q") - col("__s2n")) > 0,
+          p6((col("__bs") - col("__s2n")).cast("double") /
+            (col("__q") - col("__s2n")).cast("double"))).as("eta_sq"))
+  }
+
+  /** Decision-stump feature ranking: for each candidate categorical
+    * feature, the information gain on a categorical target —
+    * IG = H(target) − Σ_v p_v·H(target | v) — and Quinlan's gain
+    * ratio IG / H(feature), which penalizes high-cardinality
+    * features that memorize rather than explain. THE first-pass
+    * feature audit before any model sees the table.
+    *
+    * Features unpivot through one stack (no per-feature scan);
+    * entropies are the [[theilU]] p6-term DECIMAL sums. H(feature) =
+    * 0 (constant feature) reports NULL gain ratio.
+    *
+    * Output: feature, n, h_target, info_gain, gain_ratio.
+    */
+  def infoGain(df: DataFrame, featureCols: Seq[String],
+               targetCol: String): DataFrame = {
+    require(featureCols.nonEmpty && featureCols.size <= 32,
+      s"featureCols must be 1..32 names: ${featureCols.size}")
+    def p6(c: Column) = graft.functions.Rounding.p6(c)
+    val stacked = df
+      .filter(col(targetCol).isNotNull)
+      .select(col(targetCol).cast("string").as("__t"),
+        explode(map(featureCols.flatMap(f =>
+          Seq(lit(f), col(f).cast("string"))): _*)).as(Seq("__f", "__v")))
+      .filter(col("__v").isNotNull)
+    val cells = stacked.groupBy(col("__f"), col("__v"), col("__t"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val n = cells.groupBy(col("__f"))
+      .agg(sum(col("__c")).cast("long").as("n"))
+    def entropyOf(keyed: DataFrame, out: String): DataFrame = keyed
+      .join(broadcast(n), Seq("__f"))
+      .withColumn("__t6", p6(
+        col("__c").cast("double") / col("n").cast("double") *
+          log(col("n").cast("double") / col("__c").cast("double"))))
+      .groupBy(col("__f"))
+      .agg(p6(sum(col("__t6").cast("decimal(18,6)"))
+        .cast("decimal(38,6)").cast("double")).as(out))
+    val hT = entropyOf(cells.groupBy(col("__f"), col("__t"))
+      .agg(sum(col("__c")).cast("long").as("__c")), "h_target")
+    val hF = entropyOf(cells.groupBy(col("__f"), col("__v"))
+      .agg(sum(col("__c")).cast("long").as("__c")), "h_feature")
+    val hFT = entropyOf(cells.select(col("__f"), col("__c")), "h_joint")
+    n.join(hT, Seq("__f")).join(hF, Seq("__f")).join(hFT, Seq("__f"))
+      // IG = H(T) + H(F) − H(F,T)  (= H(T) − H(T|F))
+      .withColumn("info_gain",
+        p6(col("h_target") + col("h_feature") - col("h_joint")))
+      .select(col("__f").as("feature"), col("n"), col("h_target"),
+        col("info_gain"),
+        when(col("h_feature") > 0.0,
+          p6(col("info_gain") / col("h_feature"))).as("gain_ratio"))
+  }
 }

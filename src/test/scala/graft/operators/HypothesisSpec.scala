@@ -671,12 +671,14 @@ class HypothesisSpec extends SparkSpec {
     r.getAs[Long]("n") shouldBe 7L
     r.getAs[Long]("df1") shouldBe 1L
     r.getAs[Long]("df2") shouldBe 5L
-    // mirror: sz_a=4 szz_a=8 na=3; sz_b=20 szz_b=200 nb=4
-    val bsum = BigDecimal(p6d(4.0 * 4.0 / 3.0)).setScale(6) +
-      BigDecimal(p6d(20.0 * 20.0 / 4.0)).setScale(6)
-    val tz = 24.0; val tzz = 208.0
-    val between = bsum.toDouble - tz * tz / 7.0
-    val within = math.max(tzz - bsum.toDouble, 1e-12)
+    // micro-unit mirror: zu_a = (2e6, 2e6, 0), zu_b = (1e7, 0, 1e7, 0)
+    // szu: 4e6 / 2e7 ; szzu: 8e12 / 2e14 ; floored S²/n stations
+    val bsu = BigInt(4000000L) * 4000000L / 3 +
+      BigInt(20000000L) * 20000000L / 4
+    val tzu = BigInt(24000000L); val tzzu = BigInt("208000000000000")
+    val t2n = tzu * tzu / 7
+    val between = (bsu - t2n).toDouble
+    val within = (tzzu - bsu).toDouble.max(1.0)
     r.getAs[Double]("w_stat") shouldBe p6d((5.0 * between) / (1.0 * within))
     // same spread in both arms: W near zero
     val same = Seq(("h", "a", 1.0), ("h", "a", 3.0),

@@ -184,4 +184,27 @@ class ParetoSpec extends SparkSpec {
     one.getAs[Double]("mean_excess") shouldBe 2.0
     assert(one.isNullAt(4) && one.isNullAt(5))
   }
+
+  test("priceIndices holds the basket fixed and brackets Fisher") {
+    import graft.functions.Rounding.p6d
+    val sp = spark; import sp.implicits._
+    // item A doubles, item B halves; era-0 basket A-heavy
+    // p0: A=10 B=8 ; p1: A=20 B=4 ; q0: A=10 B=1 ; q1: A=1 B=10
+    val rows = Seq(
+      ("g", "A", 0L, 100.0, 10.0), ("g", "B", 0L, 8.0, 1.0),
+      ("g", "A", 1L, 20.0, 1.0), ("g", "B", 1L, 40.0, 10.0),
+      ("g", "C", 0L, 5.0, 1.0)) // C missing era 1: dropped
+      .toDF("g", "i", "e", "rev", "qty")
+    val r = Pareto.priceIndices(rows, "g", "i", "e", "rev", "qty")
+      .collect().head
+    r.getAs[Long]("n_items") shouldBe 2L
+    val l = p6d((20.0 * 10 + 4 * 1) / (10.0 * 10 + 8 * 1)) // 204/108
+    val p = p6d((20.0 * 1 + 4 * 10) / (10.0 * 1 + 8 * 10)) // 60/90
+    r.getAs[Double]("laspeyres") shouldBe l
+    r.getAs[Double]("paasche") shouldBe p
+    r.getAs[Double]("fisher") shouldBe p6d(math.sqrt(l * p))
+    // Laspeyres (base basket, A-heavy) sees the A price DOUBLING
+    l should be > 1.5
+    p should be < 1.0
+  }
 }

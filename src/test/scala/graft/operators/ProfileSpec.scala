@@ -587,4 +587,42 @@ class ProfileSpec extends SparkSpec {
     assert(rc.isNullAt(4)) // u_x_given_y divides by H(X) = 0
     rc.getAs[Double]("u_y_given_x") shouldBe 0.0 +- 1e-5
   }
+
+  test("etaSquared is 1 when the category determines the value, 0 when flat") {
+    val sp = spark; import sp.implicits._
+    val det = Seq(("g", "a", 10.0), ("g", "a", 10.0), ("g", "b", 20.0),
+      ("g", "b", 20.0)).toDF("g", "v", "x")
+    Profile.etaSquared(det, "g", "v", "x")
+      .collect().head.getAs[Double]("eta_sq") shouldBe 1.0
+    // same spread inside every level, same means: eta ~ 0
+    val none = Seq(("g", "a", 10.0), ("g", "a", 20.0), ("g", "b", 10.0),
+      ("g", "b", 20.0)).toDF("g", "v", "x")
+    Profile.etaSquared(none, "g", "v", "x")
+      .collect().head.getAs[Double]("eta_sq") shouldBe 0.0 +- 1e-5
+    // constant value: zero total variance -> NULL
+    val const = Seq(("g", "a", 5.0), ("g", "b", 5.0)).toDF("g", "v", "x")
+    assert(Profile.etaSquared(const, "g", "v", "x")
+      .collect().head.isNullAt(3))
+  }
+
+  test("infoGain ranks the determining feature first and penalizes ids") {
+    val sp = spark; import sp.implicits._
+    // f1 determines t exactly; f2 is constant; id memorizes (IG = H(t)
+    // but gain ratio collapses)
+    val rows = (1 to 40).map { i =>
+      val t = if (i % 2 == 0) "yes" else "no"
+      (t, t.toUpperCase, "same", i.toString)
+    }.toDF("t", "f1", "f2", "id")
+    val out = Profile.infoGain(rows, Seq("f1", "f2", "id"), "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("f1").getAs[Double]("info_gain") shouldBe
+      out("f1").getAs[Double]("h_target")
+    out("f1").getAs[Double]("gain_ratio") shouldBe 1.0
+    out("f2").getAs[Double]("info_gain") shouldBe 0.0 +- 1e-6
+    assert(out("f2").isNullAt(4)) // H(feature) = 0
+    out("id").getAs[Double]("info_gain") shouldBe
+      out("id").getAs[Double]("h_target")
+    out("id").getAs[Double]("gain_ratio") should be <
+      out("f1").getAs[Double]("gain_ratio")
+  }
 }
