@@ -1300,4 +1300,66 @@ object Hypothesis {
           (lit(2.0) * sqrt(varD))))
         .otherwise(lit(0.0)).as("z"))
   }
+
+  /** Multiple-testing corrections over a family of p6 p-values: the
+    * per-hypothesis card every eval pipeline needs once it runs a
+    * TEST PER SEGMENT — without it, 5% of segments "win" by chance.
+    * Within each family (m hypotheses, ranked by p ascending, ties by
+    * key):
+    *   - Benjamini–Hochberg: reject ranks ≤ the largest j with
+    *     p_(j) ≤ j·α/m,
+    *   - Holm step-down: reject rank k iff EVERY j ≤ k has
+    *     p_(j) ≤ α/(m−j+1),
+    *   - BH q-value: min_{j ≥ k} p_(j)·m/j (floored micro-units).
+    * All decisions are EXACT integer cross-multiplications on the
+    * micro-unit p's (p ≤ j·α/m ⟺ p_µ·m ≤ j·α_µ) — the rounded
+    * double never decides. `alphaMicro` = α·10⁶ (50000 = 0.05).
+    *
+    * Scale shape: one window rank per family (families are segment
+    * vocabularies, not rows), two running extrema, no joins.
+    *
+    * Output: family, key, p_value, rank, m, bh_reject, holm_reject,
+    * q_value.
+    */
+  def multipleTesting(df: DataFrame, familyCol: String, keyCol: String,
+                      pCol: String, alphaMicro: Long = 50000L): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6]: $alphaMicro")
+    val base = df
+      .filter(col(familyCol).isNotNull && col(keyCol).isNotNull &&
+        col(pCol).isNotNull)
+      .select(col(familyCol).as("__f"), col(keyCol).as("__k"),
+        col(pCol).cast("double").as("__p"),
+        (col(pCol) * 1000000).cast("decimal(19,0)").as("__pu"))
+    val wOrd = Window.partitionBy(col("__f"))
+      .orderBy(col("__pu"), col("__k"))
+    val wAll = Window.partitionBy(col("__f"))
+    val ranked = base
+      .withColumn("__r", row_number().over(wOrd).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll).cast("long"))
+      // BH condition at this rank: p_µ·m ≤ j·α_µ (exact integers)
+      .withColumn("__bhok",
+        when(col("__pu") * col("__m") <=
+          col("__r").cast("decimal(19,0)") * alphaMicro, col("__r"))
+          .otherwise(0L))
+      // Holm condition at this rank: p_µ·(m−j+1) ≤ α_µ
+      .withColumn("__hok",
+        (col("__pu") * (col("__m") - col("__r") + 1L) <=
+          lit(alphaMicro).cast("decimal(19,0)")).cast("long"))
+      // q-value station: floor(p_µ·m / j), clamped to 1e6
+      .withColumn("__qu",
+        least(expr("CAST((__pu * __m - pmod(__pu * __m, __r)) / __r" +
+          " AS DECIMAL(19,0))"), lit(1000000L).cast("decimal(19,0)")))
+    val wSuffix = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrefix = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("__cut", max(col("__bhok")).over(wAll))
+      .withColumn("__holmAll", min(col("__hok")).over(wPrefix))
+      .withColumn("__qmin", min(col("__qu")).over(wSuffix))
+      .select(col("__f").as(familyCol), col("__k").as(keyCol),
+        col("__p").as("p_value"), col("__r").as("rank"), col("__m").as("m"),
+        (col("__r") <= col("__cut")).cast("long").as("bh_reject"),
+        (col("__holmAll") === 1L).cast("long").as("holm_reject"),
+        (col("__qmin").cast("double") / 1000000.0).as("q_value"))
+  }
 }

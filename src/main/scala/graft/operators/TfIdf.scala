@@ -1016,4 +1016,114 @@ object TfIdf {
         p6(exp((col("sy").cast("double") - col("beta") *
           col("sx").cast("double")) / nD)).as("k_coef"))
   }
+
+  /** Collocation card over ADJACENT bigrams: the t-score
+    * (f_xy − f_x·f_y/N)/√f_xy — "is this pair more than chance
+    * adjacency" in frequency units — and the Dice coefficient
+    * 2·f_xy/(f_x + f_y) — "how exclusive is the pair". The
+    * fixed-distance companion to [[pmiPairs]]' document-cooccurrence
+    * view: "machine learning" is an adjacency collocation long before
+    * it dominates document cooccurrence.
+    *
+    * All counts are exact; Dice's odds are an exact integer ratio
+    * rendered p6; the t-score's one division and √ close in p6
+    * doubles. Top-k by (t_score desc, bigram).
+    *
+    * Output: bigram, f_xy, f_x, f_y, t_score, dice — pairs with
+    * f_xy ≥ minCount.
+    */
+  def collocations(docs: DataFrame, textCol: String, k: Int = 30,
+                   minCount: Int = 5): DataFrame = {
+    require(k > 0 && minCount >= 1, s"bad k=$k / minCount=$minCount")
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val toks = docs.select(TextFns.tokens(col(textCol)).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).cast("long").as("__f"))
+    val nTot = toks.agg(sum(size(col("__t"))).cast("long").as("__n"))
+    val bi = toks
+      .select(explode(TextFns.wordShingles(col("__t"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).cast("long").as("f_xy"))
+      .where(col("f_xy") >= minCount.toLong)
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+    bi
+      .join(broadcast(uni.select(col("__w").as("__w1"),
+        col("__f").as("f_x"))), Seq("__w1"))
+      .join(broadcast(uni.select(col("__w").as("__w2"),
+        col("__f").as("f_y"))), Seq("__w2"))
+      .crossJoin(broadcast(nTot))
+      .select(col("bigram"), col("f_xy"), col("f_x"), col("f_y"),
+        p6((col("f_xy").cast("double") -
+          col("f_x").cast("double") * col("f_y").cast("double") /
+            col("__n").cast("double")) /
+          sqrt(col("f_xy").cast("double"))).as("t_score"),
+        p6(lit(2.0) * col("f_xy").cast("double") /
+          (col("f_x") + col("f_y")).cast("double")).as("dice"))
+      .orderBy(col("t_score").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Monroe–Colaresi–Quinn weighted log-odds with an informative
+    * Dirichlet prior ("Fightin' Words", 2008): for each source vs the
+    * REST of the corpus, per word,
+    *   δ_w = ln((y_aw + α_w)/(n_a + α₀ − y_aw − α_w))
+    *       − ln((y_bw + α_w)/(n_b + α₀ − y_bw − α_w))
+    *   z_w = δ_w / √(1/(y_aw + α_w) + 1/(y_bw + α_w))
+    * with α_w = α₀·(y_w/n) the corpus-frequency prior. The keyness
+    * ranking that does NOT explode on rare words — the prior shrinks
+    * them — where [[keyness]]' G² needs its own frequency floor.
+    *
+    * Everything reaches the doubles as exact integers with a fixed
+    * operation order (the prior divides once), ln is the one
+    * transcendental per term, z closes p6. Top-k per source by
+    * (z desc, word).
+    *
+    * Output: source, word, y_source, y_rest, z_logodds.
+    */
+  def logOddsDirichlet(docs: DataFrame, textCol: String,
+                       groupCol: String, k: Int = 10,
+                       priorMass: Double = 500.0): DataFrame = {
+    require(k > 0 && priorMass > 0, s"bad k=$k / priorMass=$priorMass")
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val cells = docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(TextFns.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).cast("long").as("__y"))
+      .localCheckpoint(true)
+    val perW = cells.groupBy(col("__w"))
+      .agg(sum(col("__y")).cast("long").as("__yw"))
+    val perG = cells.groupBy(col("__g"))
+      .agg(sum(col("__y")).cast("long").as("__na"))
+    val nTot = cells.agg(sum(col("__y")).cast("long").as("__n"))
+    val scored = cells
+      .join(broadcast(perW), Seq("__w"))
+      .join(broadcast(perG), Seq("__g"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__yb", col("__yw") - col("__y"))
+      .withColumn("__nb", col("__n") - col("__na"))
+      .withColumn("__aw", lit(priorMass) *
+        (col("__yw").cast("double") / col("__n").cast("double")))
+      .withColumn("__da",
+        log((col("__y").cast("double") + col("__aw")) /
+          (col("__na").cast("double") + priorMass -
+            col("__y").cast("double") - col("__aw"))))
+      .withColumn("__db",
+        log((col("__yb").cast("double") + col("__aw")) /
+          (col("__nb").cast("double") + priorMass -
+            col("__yb").cast("double") - col("__aw"))))
+      .withColumn("z_logodds", p6((col("__da") - col("__db")) /
+        sqrt(lit(1.0) / (col("__y").cast("double") + col("__aw")) +
+          lit(1.0) / (col("__yb").cast("double") + col("__aw")))))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("z_logodds").desc, col("__w"))
+    scored
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .select(col("__g").as(groupCol), col("__w").as("word"),
+        col("__y").as("y_source"), col("__yb").as("y_rest"),
+        col("z_logodds"))
+  }
 }

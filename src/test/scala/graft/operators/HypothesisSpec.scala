@@ -738,4 +738,30 @@ class HypothesisSpec extends SparkSpec {
       Hypothesis.jonckheere(bad, "g", "arm", "v", maxArm = 5).collect()
     }.getMessage should include("bucket the arm column")
   }
+
+  test("multipleTesting: BH cutoff, Holm step-down, and q-values on a known family") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("f", "h1", 0.001), ("f", "h2", 0.009), ("f", "h3", 0.02),
+      ("f", "h4", 0.04), ("f", "h5", 0.9)).toDF("fam", "k", "p")
+    val out = Hypothesis.multipleTesting(df, "fam", "k", "p")
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(3), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    // BH at alpha=.05: thresholds j/100 -> ranks 1..4 reject, 5 not
+    out("h1") shouldBe ((1L, 1L, 1L, 0.005))
+    out("h2") shouldBe ((2L, 1L, 1L, 0.0225))
+    // Holm dies at rank 3: 0.02 > 0.05/3 = 0.016667 (exact micro:
+    // 20000*3 = 60000 > 50000)
+    out("h3") shouldBe ((3L, 1L, 0L, 0.033333))
+    out("h4") shouldBe ((4L, 1L, 0L, 0.05))
+    out("h5") shouldBe ((5L, 0L, 0L, 0.9))
+  }
+
+  test("multipleTesting boundary: p exactly at the BH line rejects (<=)") {
+    val sp = spark; import sp.implicits._
+    // m = 2, alpha = .05: rank-2 line is exactly 0.05
+    val df = Seq(("f", "a", 0.01), ("f", "b", 0.05)).toDF("fam", "k", "p")
+    val out = Hypothesis.multipleTesting(df, "fam", "k", "p")
+      .collect().map(r => r.getString(1) -> r.getLong(5)).toMap
+    out("b") shouldBe 1L
+  }
 }

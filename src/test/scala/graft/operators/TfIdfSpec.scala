@@ -390,4 +390,40 @@ class TfIdfSpec extends SparkSpec {
     out("lin") shouldBe 1.0 +- 0.05
     out("sat") should be < 0.3
   }
+
+  test("collocations computes the t-score and Dice on exact counts") {
+    import graft.functions.Rounding.p6d
+    val sp = spark; import sp.implicits._
+    // "a b" x5 adjacency; "b a" only x4 (below minCount)
+    val docs = Seq(Tuple1("a b a b a b a b a b")).toDF("text")
+    val out = TfIdf.collocations(docs, "text", k = 10, minCount = 5)
+      .collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getString(0) shouldBe "a b"
+    (r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((5L, 5L, 5L))
+    r.getDouble(4) shouldBe p6d((5.0 - 25.0 / 10.0) / math.sqrt(5.0))
+    r.getDouble(5) shouldBe 1.0 // 2*5/(5+5)
+  }
+
+  test("logOddsDirichlet marks the exclusive word and shrinks by the prior") {
+    import graft.functions.Rounding.p6d
+    val sp = spark; import sp.implicits._
+    val docs = Seq(("A", "apple apple apple apple x x"), ("B", "x x x x"))
+      .toDF("src", "text")
+    val out = TfIdf.logOddsDirichlet(docs, "text", "src", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // mirror: yw(apple)=4, n=10, aw=200; na(A)=6, nb=4
+    val aw = 500.0 * (4.0 / 10.0)
+    val da = math.log((4.0 + aw) / (6.0 + 500.0 - 4.0 - aw))
+    val db = math.log((0.0 + aw) / (4.0 + 500.0 - 0.0 - aw))
+    val z = p6d((da - db) / math.sqrt(1.0 / (4.0 + aw) + 1.0 / (0.0 + aw)))
+    out(("A", "apple")).getAs[Double]("z_logodds") shouldBe z
+    z should be > 0.0
+    // only OBSERVED (source, word) cells score — B never says "apple"
+    out.keySet should not contain (("B", "apple"))
+    // the shared word leans toward B (A's exclusive word dilutes it)
+    out(("B", "x")).getAs[Double]("z_logodds") should be >
+      out(("A", "x")).getAs[Double]("z_logodds")
+  }
 }

@@ -153,7 +153,9 @@ class QueryPlanSpec extends SparkSpec {
     "q353_lexical_dispersion",
     // q364 attaches the one-row (N, total-tokens) corpus aggregate
     // (q77/q93 shape)
-    "q364_bm25")
+    "q364_bm25",
+    // q384/q385 attach one-row corpus-total aggregates (q93 shape)
+    "q384_collocations", "q385_log_odds")
 
   test("no query plan contains a cartesian product") {
     for ((name, p) <- formatted)
