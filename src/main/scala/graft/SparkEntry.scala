@@ -4711,7 +4711,54 @@ object SparkEntry {
     // Dirichlet prior — the regularized keyness beside q350's G²
     "q385_log_odds" -> ((s, d) =>
       operators.TfIdf.logOddsDirichlet(t(s, d, "documents"),
-        "text", "source", k = 10))
+        "text", "source", k = 10)),
+
+    // ---- live-index & predictability tier (round-12) --------------------
+
+    // q382's mix-shift-free price gauge kept live: additive
+    // per-(flag, part, era) revenue/quantity cells, card via the
+    // shared priceIndicesFromCells closing
+    "q386_streaming_price_index" -> ((s, d) => {
+      val st = invocationStateDir("q386", "pidx")
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_partkey"), col("l_orderkey"),
+        when(year(col("l_shipdate")) >= 1995, 1L).otherwise(0L)
+          .as("era"),
+        col("l_extendedprice"), col("l_quantity"))
+      streaming.StreamingPriceIndex.acceptBatch(
+        li.filter(col("l_orderkey") % 2 === 0), "l_returnflag",
+        "l_partkey", "era", "l_extendedprice", "l_quantity", st)
+      val merged = streaming.StreamingPriceIndex.acceptBatch(
+        li.filter(col("l_orderkey") % 2 === 1), "l_returnflag",
+        "l_partkey", "era", "l_extendedprice", "l_quantity", st)
+      streaming.StreamingPriceIndex.indexView(merged, "l_returnflag")
+    }),
+
+    // given a word, how many NEXT words? bigram entropy rate +
+    // conditional perplexity per source — the predictability lens
+    // that craters on template corpora before unigram stats move
+    "q387_entropy_rate" -> ((s, d) =>
+      operators.TfIdf.entropyRate(t(s, d, "documents"),
+        "text", "source")),
+
+    // q355's uncertainty card kept live: the hash weights are a pure
+    // function of the row key, so per-replicate sums add across
+    // batches; card via the shared poissonBootstrapFromReplicates
+    // closing
+    "q388_streaming_bootstrap" -> ((s, d) => {
+      val st = invocationStateDir("q388", "boot")
+      val o = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          col("o_totalprice"))
+      streaming.StreamingBootstrap.acceptBatch(
+        o.filter(col("o_orderkey") % 2 === 0), "c_mktsegment",
+        "o_orderkey", "o_totalprice", st)
+      val merged = streaming.StreamingBootstrap.acceptBatch(
+        o.filter(col("o_orderkey") % 2 === 1), "c_mktsegment",
+        "o_orderkey", "o_totalprice", st)
+      streaming.StreamingBootstrap.bootstrapView(merged, "c_mktsegment")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -13407,7 +13454,46 @@ object SparkEntry {
            |  z_logodds
            |FROM (SELECT *, row_number() OVER (PARTITION BY g
            |    ORDER BY z_logodds DESC, w) AS rr FROM z)
-           |WHERE rr <= 10""".stripMargin
+           |WHERE rr <= 10""".stripMargin,
+
+      // both entropies over the SAME adjacent-bigram table; p6
+      // per-term stations in order-free DECIMAL sums; the closing
+      // subtraction and exp p6
+      "q387_entropy_rate" ->
+        s"""WITH bi AS (
+           |  SELECT g, string_split(bg, ' ')[1] AS w1, bg,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source AS g,
+           |          unnest(list_transform(range(1, len(t)),
+           |            i -> t[i] || ' ' || t[i+1])) AS bg
+           |        FROM (SELECT source, $toksSql AS t FROM documents
+           |              WHERE source IS NOT NULL))
+           |  GROUP BY 1, 2, 3),
+           |n AS (SELECT g, CAST(sum(c) AS BIGINT) AS n
+           |  FROM bi GROUP BY 1),
+           |hb AS (
+           |  SELECT c.g, ${pround("CAST(CAST(sum(CAST(" +
+             pround("CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE) * " +
+               "ln(CAST(n.n AS DOUBLE) / CAST(c AS DOUBLE))", 6) +
+             " AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)", 6)} AS h
+           |  FROM bi c JOIN n ON n.g = c.g GROUP BY 1),
+           |pm AS (SELECT g, w1, CAST(sum(c) AS BIGINT) AS c
+           |  FROM bi GROUP BY 1, 2),
+           |hp AS (
+           |  SELECT c.g, ${pround("CAST(CAST(sum(CAST(" +
+             pround("CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE) * " +
+               "ln(CAST(n.n AS DOUBLE) / CAST(c AS DOUBLE))", 6) +
+             " AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)", 6)} AS h
+           |  FROM pm c JOIN n ON n.g = c.g GROUP BY 1),
+           |fin AS (
+           |  SELECT n.g, n.n AS n_bigrams, hb.h AS h_bigram,
+           |    hp.h AS h_prefix,
+           |    ${pround("hb.h - hp.h", 6)} AS entropy_rate
+           |  FROM n JOIN hb ON hb.g = n.g JOIN hp ON hp.g = n.g)
+           |SELECT g AS source, n_bigrams, h_bigram, h_prefix,
+           |  entropy_rate,
+           |  ${pround("exp(entropy_rate)", 6)} AS perplexity
+           |FROM fin""".stripMargin
     )
     // one-shot streaming curation (one batch from fresh state) is the
     // batch pipeline by construction — shared gate predicates, shared
@@ -13447,6 +13533,14 @@ object SparkEntry {
       // additive (n, Σe, Σe²) per fixed threshold under any batch
       // split = the one-shot excess moments, and both cards read the
       // shared meanExcessFromMoments closing
-      ("q379_streaming_tail" -> base("q368_mean_excess"))
+      ("q379_streaming_tail" -> base("q368_mean_excess")) +
+      // additive per-(group, item, era) revenue/quantity cells under
+      // any batch split = the one-shot cell table, and both cards
+      // read the shared priceIndicesFromCells closing
+      ("q386_streaming_price_index" -> base("q382_price_index")) +
+      // the Poisson weights are a pure function of (key, replicate),
+      // so per-replicate sums add across any batch split; both cards
+      // read the shared poissonBootstrapFromReplicates closing
+      ("q388_streaming_bootstrap" -> base("q355_poisson_bootstrap"))
   }
 }

@@ -499,5 +499,91 @@ object syntax {
                        maxHubDegree: Long = 64L,
                        maxCandidates: Long = 10000000L): DataFrame =
       Triangles.linkPrediction(df, aCol, bCol, maxHubDegree, maxCandidates)
+
+    // ---- round-12 additions ----
+    def poissonBootstrapMean(groupCol: String, keyCol: String,
+                             valCol: String, reps: Int = 32): DataFrame =
+      Bootstrap.poissonBootstrapMean(df, groupCol, keyCol, valCol, reps)
+    def jackknifeRatio(groupCol: String, blockCol: String,
+                       numCol: String, denCol: String): DataFrame =
+      Bootstrap.jackknifeRatio(df, groupCol, blockCol, numCol, denCol)
+    def randomizationTest(groupCol: String, keyCol: String,
+                          armCol: String, valCol: String,
+                          reps: Int = 32): DataFrame =
+      Bootstrap.randomizationTest(df, groupCol, keyCol, armCol, valCol,
+        reps)
+    def ljungBox(groupCol: String, ordCol: String, yCol: String,
+                 maxLag: Int = 7): DataFrame =
+      SeriesTests.ljungBox(df, groupCol, ordCol, yCol, maxLag)
+    def acf(groupCol: String, ordCol: String, yCol: String,
+            maxLag: Int): DataFrame =
+      SeriesTests.acf(df, groupCol, ordCol, yCol, maxLag)
+    def runsTest(groupCol: String, ordCol: String, yCol: String): DataFrame =
+      SeriesTests.runsTest(df, groupCol, ordCol, yCol)
+    def pettitt(groupCol: String, ordCol: String, yCol: String): DataFrame =
+      SeriesTests.pettitt(df, groupCol, ordCol, yCol)
+    def seasonalDecompose(groupCol: String, ordCol: String,
+                          dowCol: String, yCol: String): DataFrame =
+      SeriesTests.seasonalDecompose(df, groupCol, ordCol, dowCol, yCol)
+    def hurstRS(groupCol: String, ordCol: String, yCol: String,
+                blockSizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame =
+      SeriesTests.hurstRS(df, groupCol, ordCol, yCol, blockSizes)
+    def levene(groupCol: String, armCol: String,
+               valCol: String): DataFrame =
+      Hypothesis.levene(df, groupCol, armCol, valCol)
+    def welchAnova(groupCol: String, armCol: String,
+                   valCol: String): DataFrame =
+      Hypothesis.welchAnova(df, groupCol, armCol, valCol)
+    def jonckheere(groupCol: String, armCol: String, valCol: String,
+                   maxArm: Int = 8): DataFrame =
+      Hypothesis.jonckheere(df, groupCol, armCol, valCol, maxArm)
+    def multipleTesting(familyCol: String, keyCol: String, pCol: String,
+                        alphaMicro: Long = 50000L): DataFrame =
+      Hypothesis.multipleTesting(df, familyCol, keyCol, pCol, alphaMicro)
+    def bm25(textCol: String, idCol: String, queryTerms: Seq[String],
+             k: Int = 10): DataFrame =
+      TfIdf.bm25(df, textCol, idCol, queryTerms, k)
+    def sortedNeighborhood(nameCol: String, idCol: String,
+                           window: Int = 5, maxDist: Int = 3): DataFrame =
+      FuzzyJoin.sortedNeighborhood(df, nameCol, idCol, window, maxDist)
+    def captureRecapture(groupCol: String, keyCol: String,
+                         inACol: String, inBCol: String): DataFrame =
+      Profile.captureRecapture(df, groupCol, keyCol, inACol, inBCol)
+    def cronbachAlpha(groupCol: String, personCol: String,
+                      itemCol: String, valCol: String): DataFrame =
+      Metrics.cronbachAlpha(df, groupCol, personCol, itemCol, valCol)
+    def meanExcess(groupCol: String, valCol: String,
+                   thresholds: Seq[Double]): DataFrame =
+      Pareto.meanExcess(df, groupCol, valCol, thresholds)
+    def simpsonDiversity(textCol: String, groupCol: String): DataFrame =
+      TfIdf.simpsonDiversity(df, textCol, groupCol)
+    def theilU(groupCol: String, xCol: String, yCol: String): DataFrame =
+      Profile.theilU(df, groupCol, xCol, yCol)
+    def weightedKappa(groupCol: String, aCol: String, bCol: String,
+                      maxLevel: Int): DataFrame =
+      Metrics.weightedKappa(df, groupCol, aCol, bCol, maxLevel)
+    def kendallsW(groupCol: String, raterCol: String, itemCol: String,
+                  scoreCol: String): DataFrame =
+      Metrics.kendallsW(df, groupCol, raterCol, itemCol, scoreCol)
+    def rakeKeywords(textCol: String, idCol: String, k: Int = 20,
+                     minWords: Int = 2): DataFrame =
+      TfIdf.rakeKeywords(df, textCol, idCol, k, minWords)
+    def heapsLaw(textCol: String, idCol: String, groupCol: String,
+                 points: Int = 8): DataFrame =
+      TfIdf.heapsLaw(df, textCol, idCol, groupCol, points)
+    def etaSquared(groupCol: String, catCol: String,
+                   numCol: String): DataFrame =
+      Profile.etaSquared(df, groupCol, catCol, numCol)
+    def infoGain(featureCols: Seq[String], targetCol: String): DataFrame =
+      Profile.infoGain(df, featureCols, targetCol)
+    def priceIndices(groupCol: String, itemCol: String, eraCol: String,
+                     priceCol: String, qtyCol: String): DataFrame =
+      Pareto.priceIndices(df, groupCol, itemCol, eraCol, priceCol, qtyCol)
+    def collocations(textCol: String, k: Int = 30,
+                     minCount: Int = 5): DataFrame =
+      TfIdf.collocations(df, textCol, k, minCount)
+    def logOddsDirichlet(textCol: String, groupCol: String, k: Int = 10,
+                         priorMass: Double = 500.0): DataFrame =
+      TfIdf.logOddsDirichlet(df, textCol, groupCol, k, priorMass)
   }
 }

@@ -95,11 +95,23 @@ object Bootstrap {
       .select(col(groupCol), col(keyCol).as("__k"), x.as("__x"),
         explode(typedLit((0 until reps).map(_.toLong))).as("b"))
       .withColumn("__w", poissonW(u48(tag, col("b"), col("__k"))))
-    val rep = exploded.groupBy(col(groupCol), col("b"))
+    val repRaw = exploded.groupBy(col(groupCol), col("b"))
       .agg(count(lit(1)).cast("long").as("n_rows"),
         sum(col("__x")).cast("decimal(38,2)").as("sx"),
         sum(col("__w")).cast("long").as("w"),
         sum(col("__w") * col("__x")).cast("decimal(38,2)").as("__swx"))
+    poissonBootstrapFromReplicates(repRaw, groupCol)
+  }
+
+  /** The bootstrap-card closing over a per-(group, replicate) sum
+    * table (group, b, n_rows, sx, w, __swx) — shared verbatim by the
+    * streaming bootstrap monitor, whose state IS this table
+    * maintained additively across batches (the hash weights are a
+    * pure function of the row key, so batch partials add).
+    */
+  def poissonBootstrapFromReplicates(repRaw: DataFrame,
+                                     groupCol: String): DataFrame = {
+    val rep = repRaw
       .where(col("w") > 0L)
       .withColumn("m6",
         p6(col("__swx").cast("double") / col("w").cast("double")))

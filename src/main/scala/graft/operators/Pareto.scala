@@ -451,16 +451,34 @@ object Pareto {
     */
   def priceIndices(df: DataFrame, groupCol: String, itemCol: String,
                    eraCol: String, priceCol: String,
-                   qtyCol: String): DataFrame = {
+                   qtyCol: String): DataFrame =
+    priceIndicesFromCells(
+      priceCells(df, groupCol, itemCol, eraCol, priceCol, qtyCol),
+      groupCol)
+
+  /** The additive per-(group, item, era) revenue/quantity cell table
+    * [[priceIndices]] aggregates — exposed so the streaming twin
+    * computes batch partials through the identical DECIMAL path.
+    */
+  def priceCells(df: DataFrame, groupCol: String, itemCol: String,
+                 eraCol: String, priceCol: String,
+                 qtyCol: String): DataFrame = df
+    .filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+    .groupBy(col(groupCol).as("__g"), col(itemCol).as("__i"),
+      col(eraCol).cast("long").as("__e"))
+    .agg(sum(col(priceCol).cast("decimal(18,2)"))
+      .cast("decimal(38,2)").as("__rev"),
+      sum(col(qtyCol).cast("decimal(18,2)"))
+        .cast("decimal(38,2)").as("__qty"))
+
+  /** The index closing over the cell table (__g, __i, __e, __rev,
+    * __qty) — shared verbatim by the streaming price monitor, whose
+    * state IS this table maintained additively across batches.
+    */
+  def priceIndicesFromCells(cellsIn: DataFrame,
+                            groupCol: String): DataFrame = {
     def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
-    val cells = df
-      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
-      .groupBy(col(groupCol).as("__g"), col(itemCol).as("__i"),
-        col(eraCol).cast("long").as("__e"))
-      .agg(sum(col(priceCol).cast("decimal(18,2)"))
-        .cast("decimal(38,2)").as("__rev"),
-        sum(col(qtyCol).cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("__qty"))
+    val cells = cellsIn
       .where(col("__qty") > 0)
       .withColumn("__p6", p6(col("__rev").cast("double") /
         col("__qty").cast("double")))

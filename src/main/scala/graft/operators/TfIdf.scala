@@ -1126,4 +1126,51 @@ object TfIdf {
         col("__y").as("y_source"), col("__yb").as("y_rest"),
         col("z_logodds"))
   }
+
+  /** Bigram entropy rate per group: H(w₂|w₁) = H(bigrams) − H(prefix
+    * marginal), both over the SAME adjacent-bigram table, plus the
+    * conditional perplexity exp(rate) — "given a word, how many
+    * next-words is this corpus effectively choosing from". The
+    * predictability lens beside [[simpsonDiversity]]'s unigram
+    * evenness: template/boilerplate corpora crater the rate long
+    * before unigram stats move.
+    *
+    * Entropies are the [[lmScore]]-family p6-term DECIMAL stations
+    * (exact counts, one ln per term, order-free sums); the closing
+    * subtraction and exp are p6 doubles.
+    *
+    * Output: group, n_bigrams, h_bigram, h_prefix, entropy_rate,
+    * perplexity.
+    */
+  def entropyRate(docs: DataFrame, textCol: String,
+                  groupCol: String): DataFrame = {
+    def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    val bi = docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), 2))
+          .as("__bg"))
+      .withColumn("__w1", split(col("__bg"), " ").getItem(0))
+      .groupBy(col("__g"), col("__w1"), col("__bg"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val n = bi.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("n_bigrams"))
+    def entropy(keyed: DataFrame, out: String): DataFrame = keyed
+      .join(broadcast(n), Seq("__g"))
+      .withColumn("__t6", p6(
+        col("__c").cast("double") / col("n_bigrams").cast("double") *
+          log(col("n_bigrams").cast("double") / col("__c").cast("double"))))
+      .groupBy(col("__g"))
+      .agg(p6(sum(col("__t6").cast("decimal(18,6)"))
+        .cast("decimal(38,6)").cast("double")).as(out))
+    val hB = entropy(bi.select(col("__g"), col("__c")), "h_bigram")
+    val hP = entropy(bi.groupBy(col("__g"), col("__w1"))
+      .agg(sum(col("__c")).cast("long").as("__c")), "h_prefix")
+    n.join(hB, Seq("__g")).join(hP, Seq("__g"))
+      .withColumn("entropy_rate", p6(col("h_bigram") - col("h_prefix")))
+      .select(col("__g").as(groupCol), col("n_bigrams"), col("h_bigram"),
+        col("h_prefix"), col("entropy_rate"),
+        p6(exp(col("entropy_rate"))).as("perplexity"))
+  }
 }

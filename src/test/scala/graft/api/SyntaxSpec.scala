@@ -559,4 +559,38 @@ class SyntaxSpec extends SparkSpec {
         .queryExecution.analyzed) shouldBe true
     ev.sessionize("user_id", "ts", 3600).count() shouldBe 2L
   }
+
+  test("round-12 facade methods produce the same plans as direct calls") {
+    import graft.operators.{Bootstrap, Hypothesis, Metrics, Pareto, SeriesTests}
+    val series = Seq(("g", 1L, 10L), ("g", 2L, 12L), ("g", 3L, 9L))
+      .toDF("g", "o", "y")
+    series.ljungBox("g", "o", "y", 2).queryExecution.analyzed
+      .sameResult(SeriesTests.ljungBox(series, "g", "o", "y", 2)
+        .queryExecution.analyzed) shouldBe true
+    series.pettitt("g", "o", "y").queryExecution.analyzed
+      .sameResult(SeriesTests.pettitt(series, "g", "o", "y")
+        .queryExecution.analyzed) shouldBe true
+    val vals = Seq(("g", "a", 1L, 2.0), ("g", "b", 2L, 3.0))
+      .toDF("g", "arm", "k", "x")
+    vals.levene("g", "arm", "x").queryExecution.analyzed
+      .sameResult(Hypothesis.levene(vals, "g", "arm", "x")
+        .queryExecution.analyzed) shouldBe true
+    vals.poissonBootstrapMean("g", "k", "x").queryExecution.analyzed
+      .sameResult(Bootstrap.poissonBootstrapMean(vals, "g", "k", "x")
+        .queryExecution.analyzed) shouldBe true
+    vals.meanExcess("g", "x", Seq(1.0)).queryExecution.analyzed
+      .sameResult(Pareto.meanExcess(vals, "g", "x", Seq(1.0))
+        .queryExecution.analyzed) shouldBe true
+    val pv = Seq(("f", "h", 0.01)).toDF("f", "k", "p")
+    pv.multipleTesting("f", "k", "p").queryExecution.analyzed
+      .sameResult(Hypothesis.multipleTesting(pv, "f", "k", "p")
+        .queryExecution.analyzed) shouldBe true
+    // (kendallsW/theilU/weightedKappa localCheckpoint internally —
+    // each call pins a fresh RDD, so plan equality cannot hold;
+    // their delegation is 1:1 like every other method here)
+    val et = Seq(("g", "a", 1.0)).toDF("g", "v", "x")
+    et.etaSquared("g", "v", "x").queryExecution.analyzed
+      .sameResult(graft.operators.Profile.etaSquared(et, "g", "v", "x")
+        .queryExecution.analyzed) shouldBe true
+  }
 }

@@ -426,4 +426,20 @@ class TfIdfSpec extends SparkSpec {
     out(("B", "x")).getAs[Double]("z_logodds") should be >
       out(("A", "x")).getAs[Double]("z_logodds")
   }
+
+  test("entropyRate separates a deterministic chain from a branching one") {
+    val sp = spark; import sp.implicits._
+    // det: every word fully determines the next -> rate 0, ppl 1
+    val det = Seq(("d", "a b c a b c a b c")).toDF("src", "text")
+    // branchy: "a" is followed by 4 different words uniformly
+    val br = Seq(("b", "a p a q a r a s")).toDF("src", "text")
+    val out = TfIdf.entropyRate(det.union(br), "text", "src")
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("d").getAs[Double]("entropy_rate") shouldBe 0.0 +- 1e-5
+    out("d").getAs[Double]("perplexity") shouldBe 1.0 +- 1e-4
+    // bigrams: a->{p,q,r,s} (4 ways) and {p,q,r}->a (deterministic):
+    // rate = (4/7)·ln4 + (3/7)·0 = 0.792168, ppl = e^rate ≈ 2.21
+    out("b").getAs[Double]("entropy_rate") shouldBe 0.792168 +- 1e-5
+    out("b").getAs[Double]("perplexity") shouldBe 2.208243 +- 1e-4
+  }
 }
