@@ -12141,24 +12141,32 @@ object SparkEntry {
            |SELECT node, strength, rank FROM r3""".stripMargin
       },
 
-      // Poisson bootstrap: the shared uniform is the md5 48-bit prefix
-      // of 'pb|b|key' over 2^48 (exact in double), the Poisson(1)
-      // inverse-CDF thresholds are the literal constants mirrored from
+      // Poisson bootstrap: replicate b's uniform is the b-mod-5'th
+      // 24-bit hex slot of digest md5('pb|(b div 5)|key') over 2^24
+      // (exact in double — five independent uniforms per digest, so
+      // 32 replicates cost 7 md5s per row, mirroring
+      // Bootstrap.poissonReplicateSums); the Poisson(1) inverse-CDF
+      // thresholds are the literal constants mirrored from
       // Bootstrap.poissonCdf1; replicate means pround6, SE from exact
       // DECIMAL moment sums, CI = nearest-rank 5%/95% order statistics
       "q355_poisson_bootstrap" -> {
-        val u = "CAST(CAST(('0x' || substr(md5('pb' || '|' || " +
-          "CAST(b AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 12)) " +
-          "AS BIGINT) AS DOUBLE) / 281474976710656.0"
         val ladder = operators.Bootstrap.poissonCdf1.zipWithIndex
           .map { case (c, i) => s"WHEN u < $c THEN $i" }.mkString(" ")
         s"""WITH base AS (
            |  SELECT c_mktsegment AS g, o_orderkey AS k,
            |    CAST(o_totalprice AS DECIMAL(18,2)) AS x
            |  FROM orders JOIN customer ON o_custkey = c_custkey),
+           |dig AS MATERIALIZED (
+           |  SELECT g, x, j,
+           |    md5('pb' || '|' || CAST(j AS VARCHAR) || '|' ||
+           |      CAST(k AS VARCHAR)) AS d
+           |  FROM base CROSS JOIN (SELECT unnest(range(7)) AS j)),
            |uu AS (
-           |  SELECT g, k, x, b, $u AS u
-           |  FROM base CROSS JOIN (SELECT unnest(range(32)) AS b)),
+           |  SELECT g, x, j * 5 + i AS b,
+           |    CAST(CAST(('0x' || substr(d, 1 + 6 * CAST(i AS INTEGER), 6))
+           |      AS BIGINT) AS DOUBLE) / 16777216.0 AS u
+           |  FROM dig CROSS JOIN (SELECT unnest(range(5)) AS i)
+           |  WHERE j * 5 + i < 32),
            |w AS (SELECT g, b, x, CASE $ladder ELSE 7 END AS w FROM uu),
            |tot AS (
            |  SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
@@ -12194,13 +12202,14 @@ object SparkEntry {
            |SELECT g AS c_mktsegment, t.n_rows,
            |  ${pround("CAST(t.sx AS DOUBLE) / CAST(t.n_rows AS DOUBLE)", 6)}
            |    AS mean_obs,
-           |  a.reps_used,
-           |  ${pround("sqrt(greatest(CAST(0.0 AS DOUBLE), " +
+           |  CAST(COALESCE(a.reps_used, 0) AS BIGINT) AS reps_used,
+           |  CASE WHEN a.reps_used IS NULL THEN NULL ELSE
+           |    ${pround("sqrt(greatest(CAST(0.0 AS DOUBLE), " +
              "(CAST(a.sq AS DOUBLE) - CAST(a.sm AS DOUBLE) * " +
              "CAST(a.sm AS DOUBLE) / CAST(a.reps_used AS DOUBLE)) / " +
-             "(CAST(a.reps_used AS DOUBLE) - 1.0)))", 6)} AS boot_se,
+             "(CAST(a.reps_used AS DOUBLE) - 1.0)))", 6)} END AS boot_se,
            |  a.ci_lo, a.ci_hi
-           |FROM agg a JOIN tot t USING (g)""".stripMargin
+           |FROM tot t LEFT JOIN agg a USING (g)""".stripMargin
       },
 
       // leave-one-out estimates from block totals only; th_i pround6,
@@ -12243,13 +12252,12 @@ object SparkEntry {
              "CAST(g_blocks AS DOUBLE))))", 6)} AS jack_se
            |FROM agg""".stripMargin,
 
-      // unconditional randomization null: replicate b relabels each
-      // row by the md5 coin u < 0.5; both sides drop empty-arm
-      // replicates and count |d_b| >= |d_obs| on pround6 differences
+      // unconditional randomization null: replicate b's coin is BIT b
+      // of the 48-bit md5 prefix of 'rt|0|key' (one digest carries 48
+      // replicate coins, mirroring Bootstrap.randomizationTest); both
+      // sides drop empty-arm replicates and count |d_b| >= |d_obs| on
+      // pround6 differences
       "q357_randomization_test" -> {
-        val u = "CAST(CAST(('0x' || substr(md5('rt' || '|' || " +
-          "CAST(b AS VARCHAR) || '|' || k), 1, 12)) AS BIGINT) " +
-          "AS DOUBLE) / 281474976710656.0"
         s"""WITH base AS (
            |  SELECT l_linestatus AS g,
            |    CAST(l_orderkey AS VARCHAR) || ':' ||
@@ -12263,10 +12271,15 @@ object SparkEntry {
            |    CAST(sum(x) AS DECIMAL(38,2)) AS sx,
            |    CAST(sum(arm * x) AS DECIMAL(38,2)) AS sx1
            |  FROM base GROUP BY 1),
+           |hh AS MATERIALIZED (
+           |  SELECT g, x,
+           |    CAST(('0x' || substr(md5('rt' || '|' || '0' || '|' || k),
+           |      1, 12)) AS BIGINT) AS h
+           |  FROM base),
            |lab AS (
            |  SELECT g, b, x,
-           |    CASE WHEN $u < 0.5 THEN 1 ELSE 0 END AS lb
-           |  FROM base CROSS JOIN (SELECT unnest(range(32)) AS b)),
+           |    (h >> CAST(b AS INTEGER)) & 1 AS lb
+           |  FROM hh CROSS JOIN (SELECT unnest(range(32)) AS b)),
            |rep AS (
            |  SELECT g, b, CAST(sum(lb) AS BIGINT) AS nb,
            |    CAST(sum(lb * x) AS DECIMAL(38,2)) AS sb
@@ -13318,9 +13331,6 @@ object SparkEntry {
       // the q357 randomization machinery on (type|dow) families, then
       // BH/Holm/q-values by exact HUGEINT micro-unit comparisons
       "q383_multiple_testing" -> {
-        val u = "CAST(CAST(('0x' || substr(md5('rt' || '|' || " +
-          "CAST(b AS VARCHAR) || '|' || k), 1, 12)) AS BIGINT) " +
-          "AS DOUBLE) / 281474976710656.0"
         s"""WITH base AS (
            |  SELECT event_type || '|' ||
            |      CAST(CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) + 1
@@ -13335,10 +13345,15 @@ object SparkEntry {
            |    CAST(sum(x) AS DECIMAL(38,2)) AS sx,
            |    CAST(sum(arm * x) AS DECIMAL(38,2)) AS sx1
            |  FROM base GROUP BY 1),
+           |hh AS MATERIALIZED (
+           |  SELECT g, x,
+           |    CAST(('0x' || substr(md5('rt' || '|' || '0' || '|' || k),
+           |      1, 12)) AS BIGINT) AS h
+           |  FROM base),
            |lab AS (
            |  SELECT g, b, x,
-           |    CASE WHEN $u < 0.5 THEN 1 ELSE 0 END AS lb
-           |  FROM base CROSS JOIN (SELECT unnest(range(32)) AS b)),
+           |    (h >> CAST(b AS INTEGER)) & 1 AS lb
+           |  FROM hh CROSS JOIN (SELECT unnest(range(32)) AS b)),
            |rep AS (
            |  SELECT g, b, CAST(sum(lb) AS BIGINT) AS nb,
            |    CAST(sum(lb * x) AS DECIMAL(38,2)) AS sb

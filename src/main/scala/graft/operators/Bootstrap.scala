@@ -34,24 +34,26 @@ import org.apache.spark.sql.functions._
   *    coordination. The Monte-Carlo p-value uses the standard
   *    (1 + #extreme)/(1 + B) form.
   *
-  * Determinism: u(tag, b, key) = md5 48-bit prefix / 2^48 is exact in
-  * IEEE double and identical in any engine with md5; the Poisson(1)
-  * inverse CDF is a ladder of shared literal thresholds; every
-  * double-valued output passes through the portable p6 rounding.
+  * Determinism: every uniform/coin derives from fixed hex substrings
+  * of md5("tag|j|key") digests — integer-exact in IEEE double (all
+  * divisors are powers of two) and identical in any engine with md5;
+  * the Poisson(1) inverse CDF is a ladder of shared literal
+  * thresholds; every double-valued output passes through the portable
+  * p6 rounding.
+  *
+  * Digest economy (the md5 fan IS the job at pipeline scale): one
+  * 128-bit digest is never spent on a single draw. The Poisson fan
+  * packs FIVE independent 24-bit uniforms per digest (hex chars 1-6,
+  * 7-12, ..., 25-30; 2^-24 granularity is ~3,500x finer than the
+  * ladder's smallest bucket P(X>7) = 8.3e-5), so 32 replicates cost
+  * ceil(32/5) = 7 digests per row instead of 32. The randomization
+  * coin needs ONE bit per replicate, so the 48-bit prefix of a single
+  * digest carries 48 replicate coins — 32 replicates cost 1 digest
+  * per row instead of 32. Both schemes stay pure functions of
+  * (tag, replicate, key), so the streaming monitors' additive-state
+  * contract is untouched.
   */
 object Bootstrap {
-
-  /** Uniform in [0, 1): 48-bit md5 prefix of "tag|b|key" over 2^48.
-    * 12 hex chars = 48 bits fit a double exactly; the division is by a
-    * power of two, so u is the SAME double in every engine.
-    */
-  private[graft] def u48(tag: String, b: Int, key: Column): Column =
-    u48(tag, lit(b.toString), key)
-
-  private[graft] def u48(tag: String, b: Column, key: Column): Column =
-    conv(substring(md5(concat_ws("|", lit(tag), b.cast("string"),
-      key.cast("string"))), 1, 12), 16, 10).cast("long")
-      .cast("double") / 281474976710656.0
 
   /** Poisson(1) draw by inverse CDF over the shared uniform: the
     * cumulative probabilities are literal constants (mirrored verbatim
@@ -72,6 +74,48 @@ object Bootstrap {
     }
   }
 
+  /** Per-(group, replicate) Poisson-weighted partial sums — the fan
+    * shared verbatim by the batch estimator and the streaming monitor
+    * (whose state is this table maintained additively). Two chained
+    * explodes, both BEFORE the aggregate: stage 1 fans each row to its
+    * ceil(reps/5) digests (ONE md5 per digest), stage 2 fans each
+    * digest to its five 24-bit uniform slots, so partial aggregation
+    * still collapses the reps× row fan-out to (group × reps) sum rows
+    * per partition while the md5 count drops 5x. The slot list of the
+    * LAST digest is trimmed to the replicate remainder so no dead
+    * slots ride through the aggregate.
+    *
+    * Output: groupCol, b, n_rows, sx, w, __swx.
+    */
+  private[graft] def poissonReplicateSums(df: DataFrame, groupCol: String,
+                                          keyCol: String, valCol: String,
+                                          reps: Int,
+                                          tag: String): DataFrame = {
+    require(reps >= 8 && reps <= 128, s"reps must be in [8,128]: $reps")
+    val x = col(valCol).cast("decimal(18,2)")
+    val nDig = (reps + 4) / 5
+    val fullSlots = typedLit((0L until 5L).toSeq)
+    val lastSlots = typedLit((0L until (reps - 5L * (nDig - 1))).toSeq)
+    val digests = df
+      .select(col(groupCol), col(keyCol).as("__k"), x.as("__x"),
+        explode(typedLit((0 until nDig).map(_.toLong))).as("__j"))
+      .withColumn("__d", md5(concat_ws("|", lit(tag),
+        col("__j").cast("string"), col("__k").cast("string"))))
+    val exploded = digests
+      .select(col(groupCol), col("__x"), col("__j"), col("__d"),
+        explode(when(col("__j") === lit((nDig - 1).toLong), lastSlots)
+          .otherwise(fullSlots)).as("__i"))
+      .withColumn("b", col("__j") * lit(5L) + col("__i"))
+      .withColumn("__w", poissonW(
+        conv(expr("substring(__d, 1 + 6 * CAST(__i AS INT), 6)"), 16, 10)
+          .cast("long").cast("double") / 16777216.0))
+    exploded.groupBy(col(groupCol), col("b"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("__x")).cast("decimal(38,2)").as("sx"),
+        sum(col("__w")).cast("long").as("w"),
+        sum(col("__w") * col("__x")).cast("decimal(38,2)").as("__swx"))
+  }
+
   /** Poisson-bootstrap mean of `valCol` per `groupCol`: one scan
     * (fanned reps× pre-aggregation) computes each replicate's weighted
     * count and weighted sum; the per-replicate means then yield the
@@ -83,34 +127,30 @@ object Bootstrap {
     */
   def poissonBootstrapMean(df: DataFrame, groupCol: String, keyCol: String,
                            valCol: String, reps: Int = 32,
-                           tag: String = "pb"): DataFrame = {
-    require(reps >= 8 && reps <= 128, s"reps must be in [8,128]: $reps")
-    val x = col(valCol).cast("decimal(18,2)")
-    // explode the replicate index BEFORE the aggregate: partial
-    // aggregation reduces the reps× row fan-out to (group × reps) sum
-    // rows per partition, and the per-row expression stays one small
-    // codegen unit (a reps-wide column list of inlined md5 ladders
-    // overflows the whole-stage-codegen method budget instead)
-    val exploded = df
-      .select(col(groupCol), col(keyCol).as("__k"), x.as("__x"),
-        explode(typedLit((0 until reps).map(_.toLong))).as("b"))
-      .withColumn("__w", poissonW(u48(tag, col("b"), col("__k"))))
-    val repRaw = exploded.groupBy(col(groupCol), col("b"))
-      .agg(count(lit(1)).cast("long").as("n_rows"),
-        sum(col("__x")).cast("decimal(38,2)").as("sx"),
-        sum(col("__w")).cast("long").as("w"),
-        sum(col("__w") * col("__x")).cast("decimal(38,2)").as("__swx"))
-    poissonBootstrapFromReplicates(repRaw, groupCol)
-  }
+                           tag: String = "pb"): DataFrame =
+    poissonBootstrapFromReplicates(
+      poissonReplicateSums(df, groupCol, keyCol, valCol, reps, tag),
+      groupCol)
 
   /** The bootstrap-card closing over a per-(group, replicate) sum
     * table (group, b, n_rows, sx, w, __swx) — shared verbatim by the
     * streaming bootstrap monitor, whose state IS this table
     * maintained additively across batches (the hash weights are a
     * pure function of the row key, so batch partials add).
+    *
+    * The observed totals (n_rows, mean_obs) aggregate from the
+    * UNFILTERED replicate table and the SE/CI stats left-join back,
+    * so a degenerate group whose every replicate drew zero total
+    * Poisson weight (tiny groups at small reps only) still reports
+    * its observed mean with reps_used = 0 and NULL boot_se/ci — it
+    * never silently vanishes from the card.
     */
   def poissonBootstrapFromReplicates(repRaw: DataFrame,
                                      groupCol: String): DataFrame = {
+    val tot = repRaw.groupBy(col(groupCol))
+      .agg(max(col("n_rows")).as("n_rows"),
+        p6(max(col("sx")).cast("double") /
+          max(col("n_rows")).cast("double")).as("mean_obs"))
     val rep = repRaw
       .where(col("w") > 0L)
       .withColumn("m6",
@@ -123,11 +163,8 @@ object Bootstrap {
       .withColumn("used", count(lit(1)).over(wAll))
       .withColumn("lo_r", greatest(ceil(col("used") * 0.05), lit(1L)))
       .withColumn("hi_r", ceil(col("used") * 0.95))
-    ranked.groupBy(col(groupCol))
-      .agg(max(col("n_rows")).as("n_rows"),
-        p6(max(col("sx")).cast("double") /
-          max(col("n_rows")).cast("double")).as("mean_obs"),
-        max(col("used")).as("reps_used"),
+    val stats = ranked.groupBy(col(groupCol))
+      .agg(max(col("used")).as("used"),
         sum(col("m6").cast("decimal(18,6)"))
           .cast("decimal(38,6)").as("sm"),
         sum((col("m6").cast("decimal(18,6)") *
@@ -135,13 +172,18 @@ object Bootstrap {
           .cast("decimal(38,12)").as("sq"),
         max(when(col("r") === col("lo_r"), col("m6"))).as("ci_lo"),
         max(when(col("r") === col("hi_r"), col("m6"))).as("ci_hi"))
+    tot.join(stats, Seq(groupCol), "left")
       .select(col(groupCol), col("n_rows"), col("mean_obs"),
-        col("reps_used"),
-        p6(sqrt(greatest(lit(0.0),
-          (col("sq").cast("double") -
-            col("sm").cast("double") * col("sm").cast("double") /
-              col("reps_used").cast("double")) /
-            (col("reps_used").cast("double") - 1.0)))).as("boot_se"),
+        coalesce(col("used"), lit(0L)).as("reps_used"),
+        // when() guard, not NULL propagation: Spark's greatest()
+        // SKIPS nulls, so greatest(0.0, null/null-arith) would turn a
+        // degenerate group's se into 0.0 instead of NULL
+        when(col("used").isNotNull,
+          p6(sqrt(greatest(lit(0.0),
+            (col("sq").cast("double") -
+              col("sm").cast("double") * col("sm").cast("double") /
+                col("used").cast("double")) /
+              (col("used").cast("double") - 1.0))))).as("boot_se"),
         col("ci_lo"), col("ci_hi"))
   }
 
@@ -200,7 +242,12 @@ object Bootstrap {
     * Monte-Carlo p-value is (1 + #{|d_b| >= |d_obs|})/(1 + B_used),
     * where replicates with an empty arm (tiny groups only) are
     * dropped. One fanned scan, then per-group arithmetic on
-    * (group × reps) rows of sums.
+    * (group × reps) rows of sums. A replicate coin is ONE bit, so the
+    * 48-bit digest prefix carries 48 replicate coins: replicate b's
+    * label is bit (b mod 48) of md5("tag|(b div 48)|key") — for the
+    * default 32 replicates that is ONE md5 per row instead of 32, and
+    * bit extraction (shiftright + mask on a nonnegative 48-bit
+    * integer) is exact and identical in every engine.
     *
     * Output: group, n, n1, d_obs, reps_used, n_extreme, p_value.
     */
@@ -212,15 +259,29 @@ object Bootstrap {
     def diff(n1c: Column, s1c: Column, nc: Column, sc: Column): Column =
       p6(s1c.cast("double") / n1c.cast("double") -
         (sc - s1c).cast("double") / (nc - n1c).cast("double"))
-    // same explode-then-aggregate shape as poissonBootstrapMean: the
+    // same explode-then-aggregate shape as poissonReplicateSums: the
     // observed-arm sums ride along in every (group, b) cell (they are
-    // identical across b), so one scan still covers everything
-    val exploded = df
+    // identical across b), so one scan still covers everything; the
+    // digest explode comes FIRST so the md5 evaluates once per
+    // (row, digest), not once per (row, replicate)
+    val nDig = (reps + 47) / 48
+    val fullBits = typedLit((0L until 48L).toSeq)
+    val lastBits = typedLit((0L until (reps - 48L * (nDig - 1))).toSeq)
+    val digests = df
       .select(col(groupCol), col(keyCol).as("__k"),
         col(armCol).cast("long").as("__arm"), x.as("__x"),
-        explode(typedLit((0 until reps).map(_.toLong))).as("b"))
+        explode(typedLit((0 until nDig).map(_.toLong))).as("__j"))
+      .withColumn("__h", conv(substring(md5(concat_ws("|", lit(tag),
+        col("__j").cast("string"), col("__k").cast("string"))), 1, 12),
+        16, 10).cast("long"))
+    val exploded = digests
+      .select(col(groupCol), col("__arm"), col("__x"), col("__j"),
+        col("__h"),
+        explode(when(col("__j") === lit((nDig - 1).toLong), lastBits)
+          .otherwise(fullBits)).as("__i"))
+      .withColumn("b", col("__j") * lit(48L) + col("__i"))
       .withColumn("__lab",
-        (u48(tag, col("b"), col("__k")) < 0.5).cast("long"))
+        expr("shiftright(__h, CAST(__i AS INT)) & 1").cast("long"))
     val rep = exploded.groupBy(col(groupCol), col("b"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("__arm")).cast("long").as("n1"),

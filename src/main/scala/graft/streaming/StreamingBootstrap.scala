@@ -28,23 +28,18 @@ import org.apache.spark.sql.functions._
 object StreamingBootstrap {
 
   /** One batch's per-(group, replicate) partial sums, through the
-    * batch operator's exact fan path.
+    * batch operator's exact fan path ([[Bootstrap.poissonReplicateSums]]
+    * — the 5-uniforms-per-digest scheme, shared so batch and stream
+    * can never diverge on a weight).
     */
   private def replicatePartials(batch: DataFrame, groupCol: String,
                                 keyCol: String, valCol: String,
-                                reps: Int, tag: String): DataFrame = {
-    val x = col(valCol).cast("decimal(18,2)")
-    batch
-      .select(col(groupCol).as("__g"), col(keyCol).as("__k"), x.as("__x"),
-        explode(typedLit((0 until reps).map(_.toLong))).as("__b"))
-      .withColumn("__w", Bootstrap.poissonW(
-        Bootstrap.u48(tag, col("__b"), col("__k"))))
-      .groupBy(col("__g"), col("__b"))
-      .agg(count(lit(1)).cast("long").as("__bn"),
-        sum(col("__x")).cast("decimal(38,2)").as("__bsx"),
-        sum(col("__w")).cast("long").as("__bw"),
-        sum(col("__w") * col("__x")).cast("decimal(38,2)").as("__bswx"))
-  }
+                                reps: Int, tag: String): DataFrame =
+    Bootstrap.poissonReplicateSums(batch, groupCol, keyCol, valCol,
+        reps, tag)
+      .select(col(groupCol).as("__g"), col("b").as("__b"),
+        col("n_rows").as("__bn"), col("sx").as("__bsx"),
+        col("w").as("__bw"), col("__swx").as("__bswx"))
 
   /** Merge one batch's replicate sums into the state; returns the
     * post-merge per-(group, replicate) table (grp, b, n, sx, w, swx).

@@ -16,13 +16,32 @@ class BootstrapSpec extends SparkSpec {
   private lazy val implicits = spark.implicits
   import implicits._
 
-  // driver mirror of Bootstrap.u48: md5 48-bit prefix / 2^48
-  private def u48d(tag: String, b: Int, key: String): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$tag|$b|$key".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 12), 16).toDouble /
-      281474976710656.0
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // spec-local 48-bit md5 uniform (used to construct a null arm from
+  // an independent salt — NOT the operator's derivation)
+  private def u48d(tag: String, b: Int, key: String): Double =
+    java.lang.Long.parseLong(md5hex(s"$tag|$b|$key").substring(0, 12),
+      16).toDouble / 281474976710656.0
+
+  // driver mirror of Bootstrap.poissonReplicateSums' uniform:
+  // replicate b reads the (b mod 5)'th 24-bit hex slot of digest
+  // md5("tag|(b div 5)|key") over 2^24
+  private def u24d(tag: String, b: Int, key: String): Double = {
+    val hex = md5hex(s"$tag|${b / 5}|$key")
+    val i = b % 5
+    java.lang.Long.parseLong(hex.substring(6 * i, 6 * i + 6), 16)
+      .toDouble / 16777216.0
+  }
+
+  // driver mirror of Bootstrap.randomizationTest's coin: bit
+  // (b mod 48) of the 48-bit md5 prefix of "tag|(b div 48)|key"
+  private def coinD(tag: String, b: Int, key: String): Long = {
+    val h = java.lang.Long.parseLong(
+      md5hex(s"$tag|${b / 48}|$key").substring(0, 12), 16)
+    (h >> (b % 48)) & 1L
   }
 
   private def poissonWd(u: Double): Long = {
@@ -35,7 +54,7 @@ class BootstrapSpec extends SparkSpec {
 
   test("poissonW weights are Poisson(1)-shaped and sum near n") {
     val n = 5000
-    val ws = (1 to n).map(i => poissonWd(u48d("pb", 0, i.toString)))
+    val ws = (1 to n).map(i => poissonWd(u24d("pb", 0, i.toString)))
     val total = ws.sum.toDouble
     total should be(n.toDouble +- 3 * math.sqrt(n.toDouble)) // Var = n
     // P(0) = 1/e: the zero share lands near 36.8%
@@ -55,7 +74,7 @@ class BootstrapSpec extends SparkSpec {
       val sx = grp.map(r => d2(r._3)).reduce(_ add _)
       val reps = (0 until 32).flatMap { b =>
         val w = grp.map { case (_, k, x) =>
-          (poissonWd(u48d("pb", b, k.toString)), d2(x))
+          (poissonWd(u24d("pb", b, k.toString)), d2(x))
         }
         val sw = w.map(_._1).sum
         if (sw == 0L) None
@@ -93,6 +112,61 @@ class BootstrapSpec extends SparkSpec {
     val b = Bootstrap.poissonBootstrapMean(df.coalesce(1), "g", "k", "x")
       .collect().sortBy(_.getString(0)).map(_.toSeq)
     a shouldBe b
+  }
+
+  test("poissonBootstrapMean keeps a group whose replicates all drew zero weight") {
+    // a single-row group where every replicate's Poisson draw is 0
+    // (P = e^-reps, so findable at reps = 8): the card must still
+    // carry the observed mean, with reps_used = 0 and NULL se/ci —
+    // never silently dropping the group
+    val k = (1 to 200000).find { i =>
+      (0 until 8).forall(b => poissonWd(u24d("pb", b, i.toString)) == 0L)
+    }.getOrElse(fail("no all-zero key found — derivation changed?"))
+    val df = ((1 to 50).map(i => ("big", i.toLong, i.toDouble)) :+
+      ("solo", k.toLong, 42.0)).toDF("g", "k", "x")
+    val out = Bootstrap.poissonBootstrapMean(df, "g", "k", "x", reps = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    out.keySet shouldBe Set("big", "solo")
+    val solo = out("solo")
+    solo.getLong(1) shouldBe 1L
+    solo.getDouble(2) shouldBe 42.0
+    solo.getLong(3) shouldBe 0L
+    solo.isNullAt(4) shouldBe true
+    solo.isNullAt(5) shouldBe true
+    solo.isNullAt(6) shouldBe true
+    out("big").getLong(3) should be > 0L
+  }
+
+  test("randomizationTest matches the driver-side BigDecimal mirror exactly") {
+    val rows = (1 to 150).map { i =>
+      ("g", i.toString, if (i % 3 == 0) 1L else 0L, (i % 13 + 1) * 2.0)
+    }
+    val r = Bootstrap.randomizationTest(
+      rows.toDF("g", "k", "arm", "x"), "g", "k", "arm", "x")
+      .collect().head
+    val n = rows.size
+    val n1 = rows.count(_._3 == 1L)
+    val sx = rows.map(t => d2(t._4)).reduce(_ add _)
+    val sx1 = rows.filter(_._3 == 1L).map(t => d2(t._4)).reduce(_ add _)
+    def diff(nb: Long, sb: JBD): Double =
+      p6d(sb.doubleValue / nb -
+        sx.subtract(sb).doubleValue / (n - nb))
+    val dObs = diff(n1.toLong, sx1)
+    val reps = (0 until 32).flatMap { b =>
+      val lab = rows.map(t => (coinD("rt", b, t._2), d2(t._4)))
+      val nb = lab.map(_._1).sum
+      if (nb == 0L || nb == n.toLong) None
+      else Some(diff(nb, lab.collect { case (1L, x) => x }
+        .reduce(_ add _)))
+    }
+    val nExtreme = reps.count(db => math.abs(db) >= math.abs(dObs))
+    r.getAs[Long]("n") shouldBe n.toLong
+    r.getAs[Long]("n1") shouldBe n1.toLong
+    r.getAs[Double]("d_obs") shouldBe dObs
+    r.getAs[Long]("reps_used") shouldBe reps.size.toLong
+    r.getAs[Long]("n_extreme") shouldBe nExtreme.toLong
+    r.getAs[Double]("p_value") shouldBe
+      p6d((nExtreme + 1.0) / (reps.size + 1.0))
   }
 
   test("jackknifeRatio matches the closed form on block totals") {
