@@ -38,12 +38,32 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // Parallelism must scale with DATA, not stay pinned to the CPU
+    // count: a fixed 32-partition shuffle was the proven cause of
+    // every super-linear sf0.1→sf1.0 exponent (q289 1.35→0.84 and
+    // q98 1.29→0.66 at 64 partitions — PERF.md round 12): at 10× data
+    // each partition is 10× heavier and the heavy aggregates spill.
+    // One shuffle partition per ~2.5 MB of source parquet (floored at
+    // the core count, capped at 64×) reproduces that validated
+    // experiment — sf0.1 (17 MB) keeps the committed 32-partition
+    // basis, sf1.0 (158 MB) gets 64, and per-partition weight stays
+    // bounded as SF grows, which is what partition-count scaling does
+    // on a real cluster. A blanket 8×cpus start was tried and
+    // rejected: AQE coalescing recovers reduce-side counts but not
+    // the map-side 256-bucket fan, costing iterative ops 20-50% at
+    // small SF. AQE (default-on) still coalesces sub-1MB shuffles.
+    val dataBytes = Option(new java.io.File(sfDir).listFiles())
+      .map(_.map(_.length).sum).getOrElse(0L)
+    val shufflePartitions = math.min(64L * cpus.toInt,
+      math.max(cpus.toLong, dataBytes / (2.5 * 1024 * 1024).toLong))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    System.err.println(
+      s"[bench] data=${dataBytes / 1048576}MB shufflePartitions=$shufflePartitions")
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (executor threads, codegen, parquet footers) so
     // the first timed query isn't charged for JVM init

@@ -12495,10 +12495,11 @@ object SparkEntry {
            |  FROM cl WHERE k_arms >= 2 AND n > k_arms)
            |SELECT g AS l_linestatus, n, k_arms,
            |  (k_arms - 1) AS df1, (n - k_arms) AS df2,
-           |  ${pround("(CAST(n - k_arms AS DOUBLE) * " +
+           |  CASE WHEN tzzu - bsu = 0 THEN NULL ELSE
+           |    ${pround("(CAST(n - k_arms AS DOUBLE) * " +
              "CAST(bsu - t2n AS DOUBLE)) / " +
              "(CAST(k_arms - 1 AS DOUBLE) * " +
-             "greatest(CAST(tzzu - bsu AS DOUBLE), 1.0))", 6)} AS w_stat
+             "CAST(tzzu - bsu AS DOUBLE))", 6)} END AS w_stat
            |FROM c2""".stripMargin,
 
       // per-arm exact moments -> p6 means/variances/weights; every

@@ -163,9 +163,12 @@ object FuzzyJoin {
     * DISTINCT normalized keys (rank = dense key order, ids carried as
     * min-id representatives), so duplicated names cost one row.
     *
-    * Output: id_a, id_b (min-id representatives, id_a < id_b by key
-    * order), key_a, key_b, rank_gap, dist — inner (only in-threshold
-    * pairs).
+    * Output: id_a, id_b, key_a, key_b, rank_gap, dist — inner (only
+    * in-threshold pairs). Each id is the MIN id among rows sharing
+    * that normalized key, and the a/b orientation follows KEY RANK
+    * (key_a sorts before key_b) — numerically id_a can exceed id_b,
+    * so a caller deduplicating by id must normalize with
+    * (least, greatest) itself rather than assume id_a < id_b.
     */
   def sortedNeighborhood(df: DataFrame, nameCol: String, idCol: String,
                          window: Int = 5, maxDist: Int = 3): DataFrame = {

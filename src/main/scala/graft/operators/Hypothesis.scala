@@ -1120,12 +1120,17 @@ object Hypothesis {
           .cast("decimal(38,0)"), col("n")))
       .select(col("__g").as(groupCol), col("n"), col("k_arms"),
         (col("k_arms") - 1L).as("df1"), (col("n") - col("k_arms")).as("df2"),
-        p6(
+        // tzzu - bsu = 0 means ZERO within-group deviation spread: the
+        // statistic is undefined there, so report NULL (the same
+        // NULL-on-degenerate convention as welchAnova/cronbachAlpha)
+        // rather than clamping the denominator and emitting an
+        // astronomically large finite W. Nonzero values are integer
+        // micro^2 stations, so no clamp is needed on the live branch.
+        when(col("tzzu") - col("bsu") =!= 0, p6(
           ((col("n") - col("k_arms")).cast("double") *
             (col("bsu") - col("__t2n")).cast("double")) /
           ((col("k_arms") - 1L).cast("double") *
-            greatest((col("tzzu") - col("bsu")).cast("double"),
-              lit(1.0)))).as("w_stat"))
+            (col("tzzu") - col("bsu")).cast("double")))).as("w_stat"))
   }
 
   /** Welch's heteroscedastic one-way ANOVA across arms: per-arm

@@ -678,13 +678,22 @@ class HypothesisSpec extends SparkSpec {
     val tzu = BigInt(24000000L); val tzzu = BigInt("208000000000000")
     val t2n = tzu * tzu / 7
     val between = (bsu - t2n).toDouble
-    val within = (tzzu - bsu).toDouble.max(1.0)
+    val within = (tzzu - bsu).toDouble
     r.getAs[Double]("w_stat") shouldBe p6d((5.0 * between) / (1.0 * within))
-    // same spread in both arms: W near zero
+    // zero within-group deviation SPREAD is degenerate: the W ratio
+    // is undefined, so the stat is NULL — never a clamped-denominator
+    // astronomic value. Both flavors: between-spread zero too (every
+    // |z| identical) and between-spread nonzero (constant |z| within
+    // each arm but different across arms — the case a 1.0-clamp would
+    // have turned into W ~ 2e12).
     val same = Seq(("h", "a", 1.0), ("h", "a", 3.0),
       ("h", "b", 11.0), ("h", "b", 13.0)).toDF("g", "arm", "x")
     Hypothesis.levene(same, "g", "arm", "x").collect()
-      .head.getAs[Double]("w_stat") shouldBe 0.0 +- 1e-6
+      .head.isNullAt(5) shouldBe true
+    val flat = Seq(("i", "a", 1.0), ("i", "a", 3.0),
+      ("i", "b", 10.0), ("i", "b", 14.0)).toDF("g", "arm", "x")
+    Hypothesis.levene(flat, "g", "arm", "x").collect()
+      .head.isNullAt(5) shouldBe true
   }
 
   test("welchAnova matches the driver mirror on exact moments") {

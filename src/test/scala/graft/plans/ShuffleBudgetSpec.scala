@@ -108,7 +108,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     val got = measured()
     if (record) {
       val prior = if (budgetFile.exists()) readBudgets() else Map.empty[String, Long]
-      val merged = prior ++ got // re-measured keys win; others keep theirs
+      // re-measured keys win; others keep theirs — but only keys that
+      // still name a live query survive, so renamed/removed queries
+      // don't leave stale budget entries in the file indefinitely
+      val merged = (prior ++ got).filter { case (n, _) =>
+        graft.SparkEntry.queries.contains(n)
+      }
       val json = merged.toSeq.sortBy(_._1)
         .map { case (n, b) => s"""  "$n": $b""" }
         .mkString("{\n", ",\n", "\n}\n")
