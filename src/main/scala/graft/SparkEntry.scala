@@ -4908,6 +4908,77 @@ object SparkEntry {
          |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)""".stripMargin
     }
 
+    /** Unrolled hash-to-min contraction connected components over a
+      * symmetric `edges(src, dst)` CTE — the sf1.0-feasible
+      * replacement for the transitive-closure walk (whose row count
+      * is O(Σ component²) BY CONSTRUCTION and blows up when SRP
+      * buckets percolate). Plain min-label propagation was measured
+      * at +1..2 hops/round on the percolated chain topology (41
+      * rounds at sf0.1 — labels stall at local-minimum basin
+      * boundaries), so each round instead:
+      *
+      *  1. hooks every super-node to the min of itself and its
+      *     neighbors (h),
+      *  2. flattens h by `comps` self-compositions (h ↦ h∘h squares
+      *     the jump, so sorted pointer chains compress 2^comps per
+      *     round — the one topology hooking alone walks linearly),
+      *  3. contracts the edge set to (h(src), h(dst)) distinct pairs
+      *     (basins MERGE, so per-component cluster count drops
+      *     geometrically — 5 rounds on the real sf0.1 graph, 8 on a
+      *     4,000-node shuffled path), and
+      *  4. composes h into the original-node root mapping.
+      *
+      * A fixpoint of hook+contract on symmetric edges is exactly the
+      * per-component min (hook-stability across an edge forces equal
+      * labels; labels never leave the component and never exceed own
+      * id), and a round shortfall can only MISMATCH the hash gate —
+      * never silently pass — so the static bound is self-diagnosing.
+      * Work per round is |E_r| + comps·|V_r| join rows, both
+      * shrinking geometrically; once the edge set is empty, the
+      * remaining rounds are no-ops on empty relations.
+      *
+      * Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+      * round references its predecessor several times — inlining
+      * would expand the plan exponentially in the round count.
+      *
+      * Emits CTE text; final mapping in `<p>m<rounds>`(node, root).
+      */
+    def ccUnrolledSql(edgesCte: String, p: String, rounds: Int = 10,
+                      comps: Int = 10): String = {
+      val init = Seq(
+        s"${p}e0 AS MATERIALIZED (SELECT src, dst FROM $edgesCte)",
+        s"${p}m0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS root FROM $edgesCte)")
+      val rs = (1 to rounds).flatMap { r =>
+        val hook =
+          s"""${p}h${r}_0 AS MATERIALIZED (
+             |  SELECT u.node, least(u.node, coalesce(nb.mn, u.node)) AS lab
+             |  FROM (SELECT DISTINCT src AS node FROM ${p}e${r - 1}) u
+             |  LEFT JOIN (SELECT src AS node, min(dst) AS mn
+             |             FROM ${p}e${r - 1} GROUP BY src) nb
+             |    ON nb.node = u.node)""".stripMargin
+        val flat = (1 to comps).map { c =>
+          s"""${p}h${r}_$c AS MATERIALIZED (
+             |  SELECT a.node, coalesce(b.lab, a.lab) AS lab
+             |  FROM ${p}h${r}_${c - 1} a
+             |  LEFT JOIN ${p}h${r}_${c - 1} b ON b.node = a.lab)""".stripMargin
+        }
+        val compose =
+          s"""${p}m$r AS MATERIALIZED (
+             |  SELECT m.node, coalesce(h.lab, m.root) AS root
+             |  FROM ${p}m${r - 1} m
+             |  LEFT JOIN ${p}h${r}_$comps h ON h.node = m.root)""".stripMargin
+        val contract =
+          s"""${p}e$r AS MATERIALIZED (
+             |  SELECT DISTINCT hu.lab AS src, hv.lab AS dst
+             |  FROM ${p}e${r - 1} e
+             |  JOIN ${p}h${r}_$comps hu ON hu.node = e.src
+             |  JOIN ${p}h${r}_$comps hv ON hv.node = e.dst
+             |  WHERE hu.lab <> hv.lab)""".stripMargin
+        (hook +: flat) :+ compose :+ contract
+      }
+      (init ++ rs).mkString(",\n")
+    }
+
     val base = Map(
       // midrank ties via the per-value count table; z text mirrors the
       // operator's fixed double order; significance via HUGEINT
@@ -8462,18 +8533,17 @@ object SparkEntry {
       // resolve transitively among themselves; tick-2 odds drop on ANY
       // band collision with an accepted even OR lose the intra-tick
       // transitive resolution among all odds
+      // both per-tick dedup closures use the unrolled relax+shortcut
+      // label propagation (ccUnrolledSql) — see q70
       "q108_streaming_embed_dedup" ->
-        s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |bk AS (SELECT vec_id, unnest([$embBandKeyList]) AS band_key FROM e),
            |bk1 AS (SELECT * FROM bk WHERE vec_id % 2 = 0),
            |cand1 AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
            |          FROM bk1 a JOIN bk1 b ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
-           |edges1 AS (SELECT src, dst FROM cand1 UNION SELECT dst, src FROM cand1),
-           |walk1(node, lab) AS (
-           |  SELECT src, src FROM edges1
-           |  UNION
-           |  SELECT e1.src, w.lab FROM edges1 e1 JOIN walk1 w ON w.node = e1.dst),
-           |losers1 AS (SELECT node AS vec_id FROM (SELECT node, min(lab) AS c FROM walk1 GROUP BY node) WHERE node <> c),
+           |edges1 AS MATERIALIZED (SELECT src, dst FROM cand1 UNION SELECT dst, src FROM cand1),
+           |${ccUnrolledSql("edges1", "wa")},
+           |losers1 AS (SELECT node AS vec_id FROM wam10 WHERE node <> root),
            |acc1 AS (SELECT vec_id FROM e WHERE vec_id % 2 = 0
            |         AND vec_id NOT IN (SELECT vec_id FROM losers1)),
            |bk2 AS (SELECT * FROM bk WHERE vec_id % 2 = 1),
@@ -8482,12 +8552,9 @@ object SparkEntry {
            |          ON b2.band_key = k.band_key),
            |cand2 AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
            |          FROM bk2 a JOIN bk2 b ON a.band_key = b.band_key AND a.vec_id < b.vec_id),
-           |edges2 AS (SELECT src, dst FROM cand2 UNION SELECT dst, src FROM cand2),
-           |walk2(node, lab) AS (
-           |  SELECT src, src FROM edges2
-           |  UNION
-           |  SELECT e2.src, w.lab FROM edges2 e2 JOIN walk2 w ON w.node = e2.dst),
-           |losers2 AS (SELECT node AS vec_id FROM (SELECT node, min(lab) AS c FROM walk2 GROUP BY node) WHERE node <> c),
+           |edges2 AS MATERIALIZED (SELECT src, dst FROM cand2 UNION SELECT dst, src FROM cand2),
+           |${ccUnrolledSql("edges2", "wb")},
+           |losers2 AS (SELECT node AS vec_id FROM wbm10 WHERE node <> root),
            |acc2 AS (SELECT vec_id FROM e WHERE vec_id % 2 = 1
            |         AND vec_id NOT IN (SELECT vec_id FROM hits2)
            |         AND vec_id NOT IN (SELECT vec_id FROM losers2))
@@ -8646,16 +8713,17 @@ object SparkEntry {
       // transitive clusters over the embedding near-dup graph: q26's
       // pair list as edges, resolved by the same recursive
       // min-reachable-id walk as q65's oracle
+      // unrolled relax+shortcut label propagation (ccUnrolledSql) in
+      // place of the former transitive-closure walk, whose
+      // O(Σ component²) row count blew up at sf1.0 when SRP buckets
+      // percolate — this form is rounds × |E| and sf1.0-feasible
       "q70_embedding_components" ->
         s"""$embeddingPairsSql,
            |half AS (SELECT id_a, id_b FROM p WHERE c2 >= 0.3),
-           |edges AS (SELECT id_a AS src, id_b AS dst FROM half
+           |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM half
            |          UNION SELECT id_b, id_a FROM half),
-           |walk(node, lab) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT g.src, w.lab FROM edges g JOIN walk w ON w.node = g.dst)
-           |SELECT node, min(lab) AS component FROM walk GROUP BY node""".stripMargin,
+           |${ccUnrolledSql("edges", "l")}
+           |SELECT node, root AS component FROM lm10""".stripMargin,
 
       // the transitive-closure (connected-component) keep policy —
       // run()'s default; see curationSql above
