@@ -38,6 +38,14 @@ class SkewStressSpec extends SparkSpec {
 
   private val nKeys = 1000
 
+  /** Fixture size multiplier (SPARK_GRAFT_SKEW_SCALE, default 1): the
+    * sf1.0-class stress run sets 10 so the 50%-hot fixtures are probed
+    * at ten times the row count, where local ratios have room to
+    * become stragglers. Envelopes are ratio-based, so they apply
+    * unchanged at any scale; measured numbers live in PERF.md.
+    */
+  private val scale = sys.env.getOrElse("SPARK_GRAFT_SKEW_SCALE", "1").toLong
+
   /** ~50% of rows on hot key 0, rest hash-uniform over 1..nKeys. */
   private def skewed(n: Long): DataFrame =
     spark.range(n).select(
@@ -93,7 +101,7 @@ class SkewStressSpec extends SparkSpec {
   }
 
   test("hot-key aggregation: partial aggregation absorbs a 50% key") {
-    val n = 2000000L
+    val n = 2000000L * scale
     val agg = (d: DataFrame) =>
       d.groupBy(col("key")).agg(sum(col("v")).as("s"),
         count(lit(1)).as("c")).count()
@@ -110,13 +118,13 @@ class SkewStressSpec extends SparkSpec {
       (col("id") % 7).cast("string").as("seg"))
     val q = (d: DataFrame) => d.join(broadcast(dim), "key")
       .groupBy(col("seg")).agg(sum(col("v")).as("s"))
-    val plan = q(skewed(1000000L)).queryExecution.executedPlan.toString
+    val plan = q(skewed(1000000L * scale)).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the ONLY exchange keys on seg (7 values), never on the hot key
     assert(!plan.contains("hashpartitioning(key"), plan)
     withinEnvelope("star",
-      measure(q(skewed(1000000L)).count()),
-      measure(q(uniform(1000000L)).count()))
+      measure(q(skewed(1000000L * scale)).count()),
+      measure(q(uniform(1000000L * scale)).count()))
   }
 
   test("big-big join on a hot key: AQE splits the skewed partition") {
@@ -135,7 +143,7 @@ class SkewStressSpec extends SparkSpec {
     try {
       val right = spark.range(nKeys + 1).select(col("id").as("key"),
         (col("id") % 13).cast("string").as("attr"))
-      val j = skewed(1000000L).join(right, "key")
+      val j = skewed(1000000L * scale).join(right, "key")
         .groupBy(col("attr")).agg(count(lit(1)).as("c"))
       j.collect()
       val plan = j.queryExecution.executedPlan.toString
@@ -153,7 +161,7 @@ class SkewStressSpec extends SparkSpec {
     // basket 0 holds 50% of 200k rows but draws from `vocab` items —
     // collect_set dedups before pairCombos, so its contribution is
     // C(40,2), not C(100k,2)
-    val items = spark.range(200000L).select(
+    val items = spark.range(200000L * scale).select(
       when(col("id") % 2 === 0, 0L)
         .otherwise(pmod(hash(col("id")), lit(999)).cast("long") + 1L)
         .as("basket"),
@@ -165,15 +173,16 @@ class SkewStressSpec extends SparkSpec {
   }
 
   test("components with a hub holding half the edges") {
-    // 200k edges: half star-shaped on hub 0, half a chain — one
+    // 200k×scale edges: half star-shaped on hub 0, half a chain — one
     // component either way; the hub is just a high-degree row
-    val edges = spark.range(200000L).select(
+    val n = 200000L * scale
+    val edges = spark.range(n).select(
       when(col("id") % 2 === 0, lit(0L))
         .otherwise(col("id")).as("id_a"),
       (col("id") + 1000000L).as("id_b"))
     val comp = graft.operators.Components.connectedComponents(
       edges.unionByName(
-        spark.range(199999L).select((col("id") + 1000000L).as("id_a"),
+        spark.range(n - 1).select((col("id") + 1000000L).as("id_a"),
           (col("id") + 1000001L).as("id_b"))))
     comp.select(countDistinct(col("component"))).head().getLong(0) shouldBe 1L
   }
@@ -188,6 +197,7 @@ class SkewStressSpec extends SparkSpec {
     // still holds because a per-key sort is O(n log n) in ONE task, not
     // a quadratic blowup
     withinEnvelope("sessions",
-      measure(run(skewed(400000L))), measure(run(uniform(400000L))))
+      measure(run(skewed(400000L * scale))),
+      measure(run(uniform(400000L * scale))))
   }
 }

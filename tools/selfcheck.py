@@ -74,12 +74,13 @@ def selftest():
     assert compare(i64, off).startswith("VALUE_MISMATCH")
     print("selfcheck selftest OK")
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    artifact = {}
     import time
     def emit(name, v, dt):
         # incremental + flushed so a pathological oracle at a big SF is
@@ -97,40 +98,63 @@ def main(sf_dir, out_dir):
             # reported, never counted as a failure
             print(f"-- {name}: SKIPPED (SPARK_GRAFT_ORACLE_SKIP)",
                   flush=True)
+            artifact[name] = {"rows_match": None, "schema_match": None,
+                              "hash_match": None, "spark_rows": None,
+                              "oracle_rows": None,
+                              "err": "skipped: SPARK_GRAFT_ORACLE_SKIP"}
             continue
         sql = oracle[name]
         t0 = time.time()
+        srows = orows = None
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             results[name] = "MISSING_SPARK_OUTPUT"
             emit(name, results[name], time.time() - t0)
-            continue
-        try:
-            odf = con.execute(sql).df()
-        except Exception as e:
-            results[name] = f"ORACLE_ERROR: {e}"
-            emit(name, results[name], time.time() - t0)
-            continue
-        sdf = pd.concat([pd.read_parquet(f) for f in spark_files])
-        if sorted(odf.columns) != sorted(sdf.columns):
-            results[name] = f"SCHEMA_MISMATCH spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
-            emit(name, results[name], time.time() - t0)
-            continue
-        if len(odf) != len(sdf):
-            results[name] = f"ROWCOUNT spark={len(sdf)} oracle={len(odf)}"
-            emit(name, results[name], time.time() - t0)
-            continue
-        a, b = canon(sdf), canon(odf)
-        results[name] = compare(a, b)
-        emit(name, results[name], time.time() - t0)
+        else:
+            try:
+                odf = con.execute(sql).df()
+            except Exception as e:
+                results[name] = f"ORACLE_ERROR: {e}"
+                emit(name, results[name], time.time() - t0)
+                odf = None
+            if odf is not None:
+                sdf = pd.concat([pd.read_parquet(f) for f in spark_files])
+                srows, orows = len(sdf), len(odf)
+                if sorted(odf.columns) != sorted(sdf.columns):
+                    results[name] = f"SCHEMA_MISMATCH spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+                elif len(odf) != len(sdf):
+                    results[name] = f"ROWCOUNT spark={len(sdf)} oracle={len(odf)}"
+                else:
+                    results[name] = compare(canon(sdf), canon(odf))
+                emit(name, results[name], time.time() - t0)
+        v = results.get(name, "MISSING_SPARK_OUTPUT")
+        artifact[name] = {
+            "rows_match": (srows == orows) if srows is not None else False,
+            "schema_match": not v.startswith(("SCHEMA_MISMATCH",
+                                              "MISSING_SPARK_OUTPUT",
+                                              "ORACLE_ERROR")),
+            "hash_match": v == "OK",
+            "spark_rows": srows, "oracle_rows": orows,
+            "err": None if v == "OK" else v[:300],
+            "secs": round(time.time() - t0, 1)}
     n_ok = sum(1 for v in results.values() if v == "OK")
     for k, v in results.items():
         if v != "OK":
             print(f"✗ {k}: {v}")
     print(f"\n{n_ok}/{len(results)} OK (+{len(set(glob.glob(out_dir+'/q*')) ) - len(results)} rows-only)")
+    if json_out:
+        # driver-shaped artifact (same per-query record schema as
+        # CORRECTNESS_r{N}.json) so an SF ratchet run is diffable and
+        # re-verifiable instead of a PERF.md narrative
+        with open(json_out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {json_out} ({len(artifact)} entries)")
 
 if __name__ == "__main__":
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
         selftest()
     else:
-        main(sys.argv[1], sys.argv[2])
+        args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+        json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                         if a.startswith("--json=")), None)
+        main(args[0], args[1], json_out)
