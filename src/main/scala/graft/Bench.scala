@@ -104,9 +104,15 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
     if (selected.isEmpty) sys.error("[bench] SPARK_GRAFT_QUERIES selected zero queries")
+    // SPARK_GRAFT_BENCH_RUNS (default 3): a 100×-scale probe cannot
+    // afford triplicate runs of multi-minute queries; with 1 the
+    // "median" is the single run and the triple degenerates honestly
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(nRuns >= 1 && nRuns <= 9, s"bench runs out of range: $nRuns")
     val results = selected.map { case (name, fn) =>
-      val runs = Seq.fill(3)(timeOnce(fn))
-      val median = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
+      val runs = Seq.fill(nRuns)(timeOnce(fn))
+      val median =
+        if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(nRuns / 2)
       name -> (median, runs)
     }
     // The harness keeps only the LAST ~2000 chars of stdout, so the raw

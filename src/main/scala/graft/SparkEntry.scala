@@ -1317,10 +1317,20 @@ object SparkEntry {
     // 0.5 pair is a candidate — recall 1.0 where q21's banding is
     // probabilistic; shingles (not raw tokens) keep the set space
     // discriminative on this small-vocab corpus
-    "q143_prefix_join" -> ((s, d) =>
-      Dedup.prefixFilterPairs(t(s, d, "documents"), "text", "doc_id",
-          minJaccard = 0.5, shingleN = 3)
-        .withColumn("jaccard", pround(col("jaccard"), 4))),
+    // the candidate budget is sized PER DOCUMENT (×400), not as an
+    // absolute count: under replica isolation the per-doc candidate
+    // density is SF-invariant (~373/doc on this corpus — the sf10
+    // probe's 186M candidates at 500k docs tripped the old fixed 10M
+    // bound while the true output stayed linear), so a per-doc budget
+    // accepts any healthy SF and the guard still refuses a
+    // self-similarity explosion at the same density it always did
+    "q143_prefix_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.prefixFilterPairs(docs, "text", "doc_id",
+          minJaccard = 0.5, shingleN = 3,
+          maxCandidates = 400L * docs.count())
+        .withColumn("jaccard", pround(col("jaccard"), 4))
+    }),
 
     // whale concentration: share of each nation's order revenue held
     // by its top-1% customers (ceil(n/100), min 1), in basis points —
