@@ -154,7 +154,16 @@ if __name__ == "__main__":
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
         selftest()
     else:
-        args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+        # the space-separated form `--json out.json` must be rejected,
+        # not silently swallowed: filtering the bare `--json` token while
+        # leaving json_out None made the run look successful with no
+        # artifact ever written
+        bad = [a for a in sys.argv[1:]
+               if a.startswith("--json") and not a.startswith("--json=")]
+        if bad:
+            sys.exit(f"usage: selfcheck.py SF_DIR OUT_DIR [--json=PATH] "
+                     f"(got {bad[0]!r}; the --json form requires '=')")
+        args = [a for a in sys.argv[1:] if not a.startswith("--json=")]
         json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
                          if a.startswith("--json=")), None)
         main(args[0], args[1], json_out)
