@@ -6306,17 +6306,23 @@ object SparkEntry {
              |    END AS r
              |FROM agg""".stripMargin
         }).mkString("\nUNION ALL\n")
-        s"""WITH agg AS (
-           |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        s"""WITH sc AS (
+           |  SELECT l_returnflag,
            |    ${pc.zipWithIndex.map { case (c, i) =>
-                s"sum(CAST($c AS DECIMAL(28,2))) AS s$i, " +
-                s"sum(CAST($c * $c AS DECIMAL(38,4))) AS q$i, " +
-                s"min($c) AS mn$i, max($c) AS mx$i"
+                s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS v$i"
+              }.mkString(",\n|    ")}
+           |  FROM lineitem),
+           |agg AS (
+           |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           |    ${pc.indices.map { i =>
+                s"sum(v$i) AS s$i, " +
+                s"sum(CAST(v$i AS HUGEINT) * v$i) AS q$i, " +
+                s"min(v$i) AS mn$i, max(v$i) AS mx$i"
               }.mkString(",\n|    ")},
            |    ${(for { i <- pc.indices; j <- pc.indices if i < j } yield
-                s"sum(CAST(${pc(i)} * ${pc(j)} AS DECIMAL(38,4))) AS x${i}_$j")
+                s"sum(CAST(v$i AS HUGEINT) * v$j) AS x${i}_$j")
                 .mkString(",\n|    ")}
-           |  FROM lineitem GROUP BY 1)
+           |  FROM sc GROUP BY 1)
            |$pairSelects""".stripMargin
       },
 
@@ -6468,17 +6474,23 @@ object SparkEntry {
         val defined = "(mn0 <> mx0 AND mn1 <> mx1 AND mn2 <> mx2" +
           s" AND ${d(0)} > 0.0 AND ${d(1)} > 0.0 AND ${d(2)} > 0.0)"
         val pc = Seq("l_extendedprice", "l_discount", "l_quantity")
-        s"""WITH agg AS (
-           |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        s"""WITH sc AS (
+           |  SELECT l_returnflag,
            |    ${pc.zipWithIndex.map { case (c, i) =>
-                s"sum(CAST($c AS DECIMAL(28,2))) AS s$i, " +
-                s"sum(CAST($c * $c AS DECIMAL(38,4))) AS q$i, " +
-                s"min($c) AS mn$i, max($c) AS mx$i"
+                s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS v$i"
+              }.mkString(",\n|    ")}
+           |  FROM lineitem),
+           |agg AS (
+           |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           |    ${pc.indices.map { i =>
+                s"sum(v$i) AS s$i, " +
+                s"sum(CAST(v$i AS HUGEINT) * v$i) AS q$i, " +
+                s"min(v$i) AS mn$i, max(v$i) AS mx$i"
               }.mkString(",\n|    ")},
            |    ${Seq((0, 1), (0, 2), (1, 2)).map { case (i, j) =>
-                s"sum(CAST(${pc(i)} * ${pc(j)} AS DECIMAL(38,4))) AS x${i}_$j"
+                s"sum(CAST(v$i AS HUGEINT) * v$j) AS x${i}_$j"
               }.mkString(",\n|    ")}
-           |  FROM lineitem GROUP BY 1)
+           |  FROM sc GROUP BY 1)
            |SELECT l_returnflag, n,
            |  ${pround(s"CASE WHEN $defined THEN ${r(0, 1)} END", 6)} AS r_xy,
            |  ${pround(s"CASE WHEN $defined AND $den > 0.0 THEN (${r(0, 1)} - ${r(0, 2)} * ${r(1, 2)}) / sqrt($den) END", 6)} AS r_xy_z
@@ -7885,13 +7897,17 @@ object SparkEntry {
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM pfx a JOIN pfx b ON a.k = b.k AND a.doc_id < b.doc_id),
+           |hsets AS (
+           |  SELECT doc_id, list_distinct(list_transform(ks,
+           |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))) AS hs
+           |  FROM sets),
            |j AS (
            |  SELECT c.id_a, c.id_b,
-           |    CAST(len(list_intersect(sa.ks, sb.ks)) AS DOUBLE) AS i,
-           |    CAST(len(sa.ks) AS DOUBLE) AS na, CAST(len(sb.ks) AS DOUBLE) AS nb
+           |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) AS i,
+           |    CAST(len(sa.hs) AS DOUBLE) AS na, CAST(len(sb.hs) AS DOUBLE) AS nb
            |  FROM cand c
-           |  JOIN sets sa ON sa.doc_id = c.id_a
-           |  JOIN sets sb ON sb.doc_id = c.id_b),
+           |  JOIN hsets sa ON sa.doc_id = c.id_a
+           |  JOIN hsets sb ON sb.doc_id = c.id_b),
            |v AS (SELECT id_a, id_b, i / (na + nb - i) AS jaccard FROM j)
            |SELECT id_a, id_b, ${pround("jaccard", 4)} AS jaccard
            |FROM v WHERE jaccard >= 0.5""".stripMargin,
@@ -8379,28 +8395,36 @@ object SparkEntry {
            |  CAST(sum(contrib) AS DOUBLE) AS psi
            |FROM c GROUP BY grp""".stripMargin,
 
-      // same k=8 grams / w=4 windows / min-md5 selection; DuckDB list
-      // slice is inclusive so hs[j : j+3] is the 4-window at j
+      // same k=8 grams / w=4 windows / min-md5 selection, ROW-BASED:
+      // one row per gram position, the window min as a frame aggregate
+      // (ROWS CURRENT..3 FOLLOWING ordered by position within doc).
+      // The former list form — list_min(hs[j : j+3]) inside a
+      // list_transform — copied a fresh 4-slice per window, O(n·w)
+      // allocations that made this the ratchet's worst oracle
+      // (1,307 s at sf1.0; the row form is ~70× cheaper at sf0.1 with
+      // identical output). Docs shorter than 4 grams keep only the
+      // i=1 window, whose frame covers the whole gram stream = the
+      // old list_min(hs) fallback; docs under k=8 chars emit nothing.
       "q147_winnow_pairs" ->
-        """WITH g AS (
-          |  SELECT doc_id,
-          |    list_transform(range(1, len(text) - 6),
-          |      i -> md5(substr(lower(text), i, 8))) AS hs
-          |  FROM documents),
+        """WITH pos AS (
+          |  SELECT doc_id, unnest(range(1, len(text) - 6)) AS i,
+          |    lower(text) AS lt
+          |  FROM documents WHERE len(text) >= 8),
+          |h AS (SELECT doc_id, i, md5(substr(lt, i, 8)) AS hv FROM pos),
+          |w AS (
+          |  SELECT doc_id, i,
+          |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+          |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+          |    count(*) OVER (PARTITION BY doc_id) AS ng
+          |  FROM h),
           |s AS (
-          |  SELECT doc_id,
-          |    CASE WHEN len(hs) >= 4 THEN
-          |      list_distinct(list_transform(range(1, len(hs) - 2),
-          |        j -> list_min(hs[j : j + 3])))
-          |    WHEN len(hs) >= 1 THEN [list_min(hs)]
-          |    ELSE CAST([] AS VARCHAR[]) END AS fps
-          |  FROM g),
-          |f AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+          |  SELECT DISTINCT doc_id, mn AS fp FROM w
+          |  WHERE (ng < 4 AND i = 1) OR (ng >= 4 AND i <= ng - 3)),
           |keep AS (
-          |  SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+          |  SELECT fp FROM s GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
           |p AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          |  FROM f a JOIN f b USING (fp) JOIN keep USING (fp)
+          |  FROM s a JOIN s b USING (fp) JOIN keep USING (fp)
           |  WHERE a.doc_id < b.doc_id)
           |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
           |FROM p GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
@@ -9799,8 +9823,14 @@ object SparkEntry {
       // min-label walk; canonical = lexicographic min member name.
       // The edge CTE uses q144's distinct-name form (same rationale:
       // the record-level self-join was quadratic in block density)
+      // the per-tick closure is the unrolled hash-to-min contraction
+      // (ccUnrolledSql) — the former WITH RECURSIVE transitive-closure
+      // walk is O(Σ component²) rows by construction, and edit-
+      // distance chains over TPC-H's 5-color part names percolate
+      // large components at sf1.0 (731 s; the contraction is bounded
+      // by rounds × |E|)
       "q196_golden_record" ->
-        """WITH RECURSIVE p AS (
+        s"""WITH p AS (
           |  SELECT p_partkey AS id, lower(trim(p_name)) AS nm FROM part),
           |d AS (
           |  SELECT nm, min(id) AS id1,
@@ -9810,7 +9840,7 @@ object SparkEntry {
           |          row_number() OVER (PARTITION BY nm ORDER BY id) AS rn
           |        FROM p)
           |  GROUP BY nm),
-          |dn AS (SELECT d.*, regexp_split_to_array(nm, '\s+')[1] AS blk FROM d),
+          |dn AS (SELECT d.*, regexp_split_to_array(nm, '\\s+')[1] AS blk FROM d),
           |x AS (
           |  SELECT a.nm, b.id1 AS xid, levenshtein(a.nm, b.nm) AS dist
           |  FROM dn a JOIN dn b ON a.blk = b.blk AND a.nm <> b.nm),
@@ -9826,12 +9856,9 @@ object SparkEntry {
           |  FROM p JOIN d USING (nm)
           |  LEFT JOIN (SELECT nm, xid FROM bx WHERE rn = 1) bx USING (nm)
           |  WHERE d.c > 1 OR bx.xid IS NOT NULL),
-          |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-          |walk(node, lab) AS (
-          |  SELECT src, src FROM edges
-          |  UNION
-          |  SELECT g.src, w.lab FROM edges g JOIN walk w ON w.node = g.dst),
-          |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node)
+          |edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+          |${ccUnrolledSql("edges", "gr")},
+          |comp AS (SELECT node, root AS component FROM grm)
           |SELECT component, CAST(count(*) AS BIGINT) AS n_records,
           |  min(p.nm) AS canonical_name
           |FROM comp JOIN p ON p.id = comp.node

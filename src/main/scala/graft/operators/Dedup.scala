@@ -283,7 +283,9 @@ object Dedup {
     * share a PREFIX token. Rare tokens carry tiny postings lists, and
     * any pair at Jaccard >= t provably collides in the prefixes.
     * Candidates are then verified with exact set Jaccard and filtered
-    * to >= t.
+    * to >= t; verification runs over 60-bit md5 hashes of the units
+    * (see the hash60 note below) so the candidate join ships 8-byte
+    * longs instead of ~35-byte shingle strings.
     *
     * Scale shape: the prefix explode shuffles O(rows x prefix) keys
     * whose postings are df-bounded by construction (the frequent
@@ -374,13 +376,31 @@ object Dedup {
         "Raise shingleN or minJaccard, pre-collapse exact duplicates first, " +
         "or raise maxCandidates to accept the quadratic output explicitly.")
     val cand = pairsInBuckets(prefixes, "doc", "k")
-    val sa = sets.select(col("doc").as("id_a"), col("ks").as("ks_a"))
-    val sb = sets.select(col("doc").as("id_b"), col("ks").as("ks_b"))
+    // Verification ships 60-bit md5 hashes of the units, not the unit
+    // strings: a word 3-shingle key (`lpad(df)|w1 w2 w3`) averages
+    // ~35 bytes, and the candidate join materializes BOTH docs' full
+    // unit arrays per candidate row — at the sf10 probe that payload
+    // (~2×600 units × 35 B × 186M candidates) exhausted local shuffle
+    // disk. 8-byte longs cut the verification shuffle ~4-5× with
+    // identical pair semantics: set Jaccard over injectively-hashed
+    // units equals set Jaccard over the units themselves barring a
+    // 60-bit collision inside one pair's union (P < n²/2^61 ≈ 1e-12
+    // at n=1k units), and the DuckDB oracle hashes in lockstep so the
+    // gate compares identical formulas either way. The PREFIX pipeline
+    // keeps the sortable strings — rarest-first ordering is what keeps
+    // the postings short, and hash order would scatter frequent units
+    // back into the prefixes.
+    val hash60 = (x: org.apache.spark.sql.Column) =>
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long")
+    val hsets = sets.select(col("doc"),
+      array_distinct(transform(col("ks"), hash60)).as("hs"))
+    val sa = hsets.select(col("doc").as("id_a"), col("hs").as("hs_a"))
+    val sb = hsets.select(col("doc").as("id_b"), col("hs").as("hs_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ks_a"), col("ks_b"))).cast("double").as("__i"),
-        size(col("ks_a")).cast("double").as("__na"),
-        size(col("ks_b")).cast("double").as("__nb"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double").as("__i"),
+        size(col("hs_a")).cast("double").as("__na"),
+        size(col("hs_b")).cast("double").as("__nb"))
       .withColumn("jaccard", col("__i") / (col("__na") + col("__nb") - col("__i")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")

@@ -899,24 +899,100 @@ object Profile {
             lit(1.0) - col("__bc").cast("double"))))).as("hellinger"))
   }
 
+  /** Exact scaled-integer moment aggregate shared by [[pearsonMatrix]]
+    * and [[partialCorrelation]]: per group, n plus the FIRST moments
+    * Σv_i, min/max, and all requested SECOND moments Σv_i·v_j over
+    * v = round(x·100) — the 2-decimal input contract made explicit as
+    * a ×100 long.
+    *
+    * Why longs, not decimals: a wide-decimal sum (precision > 18)
+    * leaves Spark's compact-long Decimal fast path — per-row
+    * BigDecimal boxing made the 16-sum lineitem aggregate 26.5 s at
+    * sf1.0 where the long form is 4.0 s. Pearson r is invariant to
+    * the ×100 scaling (the factors cancel in num and den), so the
+    * closing double chain is unchanged in shape.
+    *
+    * Exactness at scale — the hi/lo split: a product Σ could overflow
+    * a long, so each product p accumulates as TWO long sums,
+    * Σ(p >> 20) and Σ(p & 0xFFFFF) (two's-complement identity holds
+    * for negatives), reconstructed exactly at closing as
+    * DECIMAL(38,0) = 2^20·Σhi + Σlo. Both halves fit a long while
+    * n·max(v_i·v_j)/2^20 ≤ 8e18 — ~10^10 rows per group at lineitem
+    * magnitudes. The bound is GUARDED, not assumed: the closing
+    * select raises (assert_true) when the group's min/max/n admit a
+    * wrapped sum, or when any value overflowed the DECIMAL(18,2)
+    * input cast — never a silent wrong answer.
+    */
+  private def scaledMomentAgg(df: DataFrame, groupCol: String,
+                              cols: Seq[String],
+                              pairs: Seq[(Int, Int)]): DataFrame = {
+    val scaled = df.filter(col(groupCol).isNotNull &&
+        cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(groupCol).as("__g") +:
+        cols.zipWithIndex.map { case (c, i) =>
+          (col(c).cast("decimal(18,2)") * 100).cast("long").as(s"__v$i")
+        }: _*)
+    val prods = cols.indices.map(i => (i, i)) ++ pairs
+    val agg = scaled.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        (cols.indices.flatMap(i => Seq(
+          sum(col(s"__v$i")).as(s"__sl$i"),
+          count(col(s"__v$i")).as(s"__c$i"),
+          min(col(s"__v$i")).as(s"__mn$i"),
+          max(col(s"__v$i")).as(s"__mx$i"))) ++
+          prods.flatMap { case (i, j) =>
+            val p = col(s"__v$i") * col(s"__v$j")
+            Seq(sum(shiftright(p, 20)).as(s"__hi${i}_$j"),
+              sum(p.bitwiseAND(lit((1L << 20) - 1))).as(s"__lo${i}_$j"))
+          }): _*)
+    // conservative double-space guard (>2% margin under 2^62 / 2^63−1,
+    // which one rounding ulp cannot bridge); evaluated on the per-group
+    // rows only. __c$i < n means a value overflowed DECIMAL(18,2).
+    val nD = col("n").cast("double")
+    val maxAbsD = cols.indices
+      .map(i => greatest(abs(col(s"__mn$i")), abs(col(s"__mx$i")))
+        .cast("double"))
+      .reduce(greatest(_, _))
+    val m2 = maxAbsD * maxAbsD
+    val ok = m2 <= lit(4.0e18) &&
+      nD * (m2 / 1048576.0 + 1.0) <= lit(8.0e18) &&
+      nD * maxAbsD <= lit(8.0e18) &&
+      cols.indices.map(i => col(s"__c$i") === col("n")).reduce(_ && _)
+    val guardedN = when(
+      assert_true(ok, lit("scaledMomentAgg: group magnitudes admit a " +
+        "wrapped long moment (need |x·100| within DECIMAL(18,2) and " +
+        "n·max(x·100)²/2^20 <= 8e18) — rescale the inputs")).isNull,
+      col("n")).as("n")
+    agg.select(col("__g") +: guardedN +:
+      (cols.indices.flatMap(i => Seq(
+        col(s"__sl$i").cast("decimal(38,0)").as(s"__s$i"),
+        col(s"__mn$i"), col(s"__mx$i"))) ++
+        prods.map { case (i, j) =>
+          val rebuilt = col(s"__hi${i}_$j").cast("decimal(38,0)") *
+            lit(1048576L) + col(s"__lo${i}_$j").cast("decimal(38,0)")
+          if (i == j) rebuilt.as(s"__q$i") else rebuilt.as(s"__x${i}_$j")
+        }): _*)
+  }
+
   /** Pairwise Pearson correlation matrix per group over a fixed set
     * of ≤ 8 numeric columns — the one-pass multicollinearity screen a
     * feature table gets before model training ("quantity and price
     * carry the same signal; drop one"). One row per unordered column
     * pair, names in the declared order.
     *
-    * Exactness (the q42 moment discipline, 2-decimal input contract):
-    * Σx accumulate as DECIMAL(28,2) and every product Σxy as
-    * DECIMAL(38,4) — partial-aggregation order cannot perturb them —
-    * and r = (n·Σxy − Σx·Σy)/√((n·Σx²−Σx²)(n·Σy²−Σy²)) is ONE
-    * fixed-order double chain over those exact sums, pround6. A
-    * zero-variance column reports NULL r for its pairs. Rows with ANY
-    * NULL among the columns are dropped (listwise deletion — the
-    * matrix stays positive semi-definite).
+    * Exactness (2-decimal input contract): moments accumulate as
+    * EXACT ×100-scaled long sums ([[scaledMomentAgg]] — hi/lo-split
+    * against overflow, guarded not assumed), and
+    * r = (n·Σxy − Σx·Σy)/√((n·Σx²−Σx²)(n·Σy²−Σy²)) is ONE
+    * fixed-order double chain over those exact sums, pround6; r is
+    * scale-invariant so the ×100 factors cancel. A zero-variance
+    * column (exact on the scaled values) reports NULL r for its
+    * pairs. Rows with ANY NULL among the columns are dropped
+    * (listwise deletion — the matrix stays positive semi-definite).
     *
-    * Scale shape: ONE hash aggregate (k + k(k+1)/2 conditional sums
-    * fold into the same pass), then a k(k−1)/2-element inline explode
-    * on the one-row-per-group result.
+    * Scale shape: ONE hash aggregate (k + k(k+1)/2 long sums fold
+    * into the same pass), then a k(k−1)/2-element inline explode on
+    * the one-row-per-group result.
     */
   def pearsonMatrix(df: DataFrame, groupCol: String,
                     cols: Seq[String]): DataFrame = {
@@ -924,21 +1000,11 @@ object Profile {
       s"need 2..8 columns: ${cols.size}")
     require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
     def p6(c: Column) = graft.functions.Rounding.p6(c)
-    val vs = cols.map(c => col(c).cast("double"))
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (i, j)
-    val agg = df.filter(col(groupCol).isNotNull &&
-        cols.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("long").as("n"),
-        (cols.indices.flatMap(i => Seq(
-          sum(vs(i).cast("decimal(28,2)")).as(s"__s$i"),
-          sum((vs(i) * vs(i)).cast("decimal(38,4)")).as(s"__q$i"),
-          min(vs(i)).as(s"__mn$i"), max(vs(i)).as(s"__mx$i"))) ++
-          pairs.map { case (i, j) =>
-            sum((vs(i) * vs(j)).cast("decimal(38,4)")).as(s"__x${i}_$j")
-          }): _*)
+    val agg = scaledMomentAgg(df, groupCol, cols, pairs)
+      .withColumnRenamed("__g", groupCol)
     // zero variance is detected EXACTLY (min = max) — the double
     // radicand n·Σx²−(Σx)² is ulp-fragile at large magnitudes and can
     // land positive for a constant column (round-11 review finding);
@@ -970,7 +1036,8 @@ object Profile {
     * and discount may correlate only because both track quantity.
     *
     * Exactness rides [[pearsonMatrix]]'s moment discipline (exact
-    * DECIMAL sums; the three raw r's and the partial are ONE
+    * ×100-scaled long sums via [[scaledMomentAgg]]; the three raw
+    * r's and the partial are ONE
     * fixed-order double chain, pround6 only at output — the partial
     * is computed from the RAW r's, never the rounded ones). Any
     * zero-variance column, or |r_xz| = 1 / |r_yz| = 1 (z explains a
@@ -983,18 +1050,12 @@ object Profile {
                          yCol: String, zCol: String): DataFrame = {
     def p6(c: Column) = graft.functions.Rounding.p6(c)
     val cs = Seq(xCol, yCol, zCol)
-    val vs = cs.map(c => col(c).cast("double"))
-    val agg = df.filter(col(groupCol).isNotNull &&
-        cs.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("long").as("n"),
-        (cs.indices.flatMap(i => Seq(
-          sum(vs(i).cast("decimal(28,2)")).as(s"__s$i"),
-          sum((vs(i) * vs(i)).cast("decimal(38,4)")).as(s"__q$i"),
-          min(vs(i)).as(s"__mn$i"), max(vs(i)).as(s"__mx$i"))) ++
-          Seq((0, 1), (0, 2), (1, 2)).map { case (i, j) =>
-            sum((vs(i) * vs(j)).cast("decimal(38,4)")).as(s"__x${i}_$j")
-          }): _*)
+    // exact ×100-scaled long moments (hi/lo split, overflow-guarded)
+    // shared with pearsonMatrix — see scaledMomentAgg; the r's are
+    // scale-invariant so the closing chains keep their shape
+    val agg = scaledMomentAgg(df, groupCol, cs,
+        Seq((0, 1), (0, 2), (1, 2)))
+      .withColumnRenamed("__g", groupCol)
     def d(k: Int) = s"(CAST(n AS DOUBLE) * CAST(__q$k AS DOUBLE)" +
       s" - CAST(__s$k AS DOUBLE) * CAST(__s$k AS DOUBLE))"
     def r(i: Int, j: Int) =

@@ -1145,11 +1145,23 @@ object TfIdf {
   def entropyRate(docs: DataFrame, textCol: String,
                   groupCol: String): DataFrame = {
     def p6(c: org.apache.spark.sql.Column) = graft.functions.Rounding.p6(c)
+    // TWO-STEP projection — tokenize into a column FIRST, shingle the
+    // column: inlining tokens() inside wordShingles' lambda makes the
+    // interpreted HOF re-tokenize the whole document per shingle
+    // position (O(tokens²) regex splits/doc — measured 31.9 s of
+    // q387's 39 s at sf1.0; the two-step form is 3.1 s). The multiple
+    // references to __t inside the size guard + lambda keep
+    // CollapseProject from re-inlining (same idiom as collocations
+    // and q294). Hashing the cell keys to 60-bit longs was tried and
+    // REJECTED (9.2 s vs 7.2 s at sf1.0): the distinct-cell table is
+    // small, so two md5s per bigram instance cost more than the
+    // shuffled string bytes they save.
     val bi = docs
       .filter(col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"),
-        explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), 2))
-          .as("__bg"))
+        TextFns.tokens(col(textCol)).as("__t"))
+      .select(col("__g"),
+        explode(TextFns.wordShingles(col("__t"), 2)).as("__bg"))
       .withColumn("__w1", split(col("__bg"), " ").getItem(0))
       .groupBy(col("__g"), col("__w1"), col("__bg"))
       .agg(count(lit(1)).cast("long").as("__c"))
