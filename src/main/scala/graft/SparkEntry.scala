@@ -1755,8 +1755,9 @@ object SparkEntry {
     // composed curation pipeline (quality -> language -> exact dedup ->
     // near dedup); the default transitive keep policy resolves one
     // survivor per connected candidate component, and the oracle
-    // reproduces it with a recursive min-reachable-id walk — the whole
-    // chain stays SQL-expressible and hash-checked.
+    // reproduces it with the unrolled hash-to-min contraction
+    // (ccUnrolledSql) — the whole chain stays SQL-expressible and
+    // hash-checked.
     // The pipeline's internal persist must not outlive this call (a
     // long-lived driver would strand one cached corpus per invocation,
     // and CacheManager's plan matching would silently serve run 1's
@@ -4839,7 +4840,8 @@ object SparkEntry {
     // over the surviving set) -> near-dup losers under either keep
     // policy. transitive=true is run()'s default: one survivor (the min
     // id) per connected COMPONENT of the candidate graph, expressed as
-    // the same recursive min-reachable-id walk as q65's oracle.
+    // the unrolled hash-to-min contraction (ccUnrolledSql — the
+    // recursive walk cost 236/216 s for q46/q64 at sf1.0).
     // transitive=false is the greedy pairwise policy (drop the larger id
     // of every candidate pair) — what the per-batch streaming screen
     // implements, since a stream never sees the whole candidate graph.
@@ -4852,14 +4854,10 @@ object SparkEntry {
                     evalWhere: Option[String] = None): String = {
       val losersSql =
         if (transitive)
-          """cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-            |edges AS (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
-            |walk(node, lab) AS (
-            |  SELECT src, src FROM edges
-            |  UNION
-            |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst),
-            |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
-            |losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)""".stripMargin
+          s"""cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            |edges AS MATERIALIZED (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
+            |${ccUnrolledSql("edges", "cu")},
+            |losers AS (SELECT node AS doc_id FROM cum WHERE node <> root)""".stripMargin
         else
           "losers AS (SELECT DISTINCT b.doc_id FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"
       val decontStage = evalWhere.map { w =>
@@ -7270,12 +7268,9 @@ object SparkEntry {
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |edges AS (SELECT id_a AS src, id_b AS dst FROM cand UNION SELECT id_b, id_a FROM cand),
-           |walk(node, lab) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst),
-           |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+           |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cand UNION SELECT id_b, id_a FROM cand),
+           |${ccUnrolledSql("edges", "lk")},
+           |comp AS (SELECT node, root AS component FROM lkm),
            |r AS (
            |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
            |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
@@ -7593,8 +7588,10 @@ object SparkEntry {
            |JOIN (SELECT doc_id, len(sset) AS n FROM shs) sa ON sa.doc_id = c.id_a
            |JOIN (SELECT doc_id, len(sset) AS n FROM shs) sb ON sb.doc_id = c.id_b""".stripMargin,
 
-      // q21's candidate CTE + q65's recursive min-reachable-id walk for
-      // clusters, then the q31 quality formula picks each cluster's
+      // q21's candidate CTE + the unrolled hash-to-min contraction
+      // (ccUnrolledSql) for clusters (the recursive walk cost 199 s at
+      // sf1.0 on the percolated LSH graph), then the q31 quality
+      // formula picks each cluster's
       // representative (quality DESC, doc_id ASC); docs in no pair are
       // their own cluster via the LEFT JOIN coalesce
       "q124_canonical_reps" ->
@@ -7605,12 +7602,9 @@ object SparkEntry {
            |sig AS (SELECT doc_id, ${sigColsSql(6)} FROM h GROUP BY doc_id),
            |bk AS (SELECT doc_id, unnest(${bandKeysSql(3, 2)}) AS band_key FROM sig),
            |cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |edges AS (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
-           |walk(node, lab) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst),
-           |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+           |edges AS MATERIALIZED (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
+           |${ccUnrolledSql("edges", "cr")},
+           |comp AS (SELECT node, root AS component FROM crm),
            |q AS (
            |  SELECT doc_id,
            |    greatest(least(least(CAST(len(t) AS DOUBLE) / 50.0, 1.0) * 0.4
@@ -9051,12 +9045,9 @@ object SparkEntry {
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |edges AS (SELECT id_a AS src, id_b AS dst FROM cand UNION SELECT id_b, id_a FROM cand),
-           |walk(node, lab) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst),
-           |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+           |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cand UNION SELECT id_b, id_a FROM cand),
+           |${ccUnrolledSql("edges", "dr")},
+           |comp AS (SELECT node, root AS component FROM drm),
            |tok AS (
            |  SELECT doc_id,
            |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n
@@ -9671,10 +9662,12 @@ object SparkEntry {
           |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < sq
           |GROUP BY 1""".stripMargin,
 
-      // q21's candidate CTEs + the q65 recursive min-label walk + the
-      // q129 integer score — per-cluster audit aggregates
+      // q21's candidate CTEs + the unrolled hash-to-min contraction
+      // (ccUnrolledSql — the recursive walk is O(Σ component²) and
+      // cost 207 s at sf1.0 on the percolated LSH graph) + the q129
+      // integer score — per-cluster audit aggregates
       "q180_cluster_audit" ->
-        s"""WITH RECURSIVE sh AS (
+        s"""WITH sh AS (
            |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS s
            |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
            |h AS (SELECT doc_id, $h1Sql AS h1, $h2Sql AS h2 FROM sh),
@@ -9683,12 +9676,9 @@ object SparkEntry {
            |cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
            |  FROM bk a JOIN bk b
            |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |edges AS (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
-           |walk(node, lab) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst),
-           |comp AS (SELECT node, min(lab) AS component FROM walk GROUP BY node),
+           |edges AS MATERIALIZED (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
+           |${ccUnrolledSql("edges", "ca")},
+           |comp AS (SELECT node, root AS component FROM cam),
            |f AS (
            |  SELECT doc_id,
            |    CAST(len($toksSql) AS BIGINT) AS n_tok,
