@@ -366,9 +366,11 @@ object Dedup {
     // cost explicitly by raising the cap.
     val bound = prefixes.groupBy(col("k"))
       .agg(count(lit(1)).cast("long").as("__m"))
-      .agg(sum(expr("__m * (__m - 1) DIV 2")).cast("long").as("__cand"))
+      .agg(sum(expr("__m * (__m - 1) DIV 2")).cast("long").as("__cand"),
+        sum(col("__m")).cast("long").as("__rows"))
       .collect()(0)
     val candBound = if (bound.isNullAt(0)) 0L else bound.getLong(0)
+    val prefixRows = if (bound.isNullAt(1)) 0L else bound.getLong(1)
     if (candBound > maxCandidates) throw new IllegalStateException(
       s"prefixFilterPairs: prefix-posting candidate bound $candBound exceeds " +
         s"maxCandidates=$maxCandidates — the corpus is too self-similar for an " +
@@ -394,8 +396,27 @@ object Dedup {
       conv(substring(md5(x), 1, 15), 16, 10).cast("long")
     val hsets = sets.select(col("doc"),
       array_distinct(transform(col("ks"), hash60)).as("hs"))
-    val sa = hsets.select(col("doc").as("id_a"), col("hs").as("hs_a"))
-    val sb = hsets.select(col("doc").as("id_b"), col("hs").as("hs_b"))
+    // JOIN STRATEGY is the second half of the verification scale
+    // story: with plain sort-merge joins the intermediate between the
+    // two joins — every candidate row already carrying doc A's full
+    // hash array — gets SORTED by id_b, and at the sf10 probe that
+    // sort (186M rows × ~450 B) needed ~80 GB of spill and took the
+    // executor heap down first. The per-doc set table is the SMALL
+    // side (n_docs rows), so when it plausibly fits the driver we
+    // broadcast it and verification pipelines scan→BHJ→BHJ→aggregate
+    // with no wide sort at all. Size is estimated from the guard
+    // job's posting stats (already collected): prefix length is
+    // ~(1−t)·n+1 units, so Σ units ≈ prefixRows/(1−t) and bytes ≈
+    // 8·Σunits plus array overhead (×3 fudge). Past the cap the
+    // joins fall back to Spark's default (a cluster's aggregate
+    // spill handles the sort; one box's doesn't).
+    val setsBytesEst =
+      (24.0 * prefixRows / math.max(1.0 - minJaccard, 0.1)).toLong
+    val bcast = setsBytesEst <= 1500000000L
+    val sa0 = hsets.select(col("doc").as("id_a"), col("hs").as("hs_a"))
+    val sb0 = hsets.select(col("doc").as("id_b"), col("hs").as("hs_b"))
+    val sa = if (bcast) broadcast(sa0) else sa0
+    val sb = if (bcast) broadcast(sb0) else sb0
     cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("double").as("__i"),
