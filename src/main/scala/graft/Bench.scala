@@ -57,10 +57,22 @@ object Bench {
     // recurse: a directory-per-table parquet layout (table/part-*.parquet)
     // has zero top-level file bytes, and a flat sum would silently fall
     // back to cpu-count partitions — quietly reproducing the fixed-
-    // partition spill pathology the data-sizing exists to prevent
-    def dirBytes(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+    // partition spill pathology the data-sizing exists to prevent.
+    // Files.walk does NOT follow symlinks by default, so a link loop
+    // inside the data dir cannot recurse forever and a link out to a
+    // large tree cannot inflate dataBytes (the round-14 advisor
+    // finding against the hand-rolled listFiles recursion); NOFOLLOW
+    // on the size check keeps even a direct file link from counting
+    // bytes that are not physically under the dir.
+    def dirBytes(root: java.io.File): Long = {
+      val walk = java.nio.file.Files.walk(root.toPath)
+      try walk
+        .filter(p => java.nio.file.Files.isRegularFile(
+          p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        .mapToLong(p => java.nio.file.Files.size(p))
+        .sum()
+      finally walk.close()
+    }
     val sfRoot = new java.io.File(sfDir)
     if (!sfRoot.isDirectory)
       sys.error(s"[bench] SPARK_GRAFT_SF_DIR is not a directory: $sfDir")

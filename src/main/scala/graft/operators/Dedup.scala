@@ -413,15 +413,24 @@ object Dedup {
     val setsBytesEst =
       (24.0 * prefixRows / math.max(1.0 - minJaccard, 0.1)).toLong
     val bcast = setsBytesEst <= 1500000000L
-    val sa0 = hsets.select(col("doc").as("id_a"), col("hs").as("hs_a"))
-    val sb0 = hsets.select(col("doc").as("id_b"), col("hs").as("hs_b"))
-    val sa = if (bcast) broadcast(sa0) else sa0
-    val sb = if (bcast) broadcast(sb0) else sb0
-    cand.join(sa, "id_a").join(sb, "id_b")
+    // ONE broadcast relation serves both verification sides: the a/b
+    // projections are joined as subquery aliases over the SAME frame,
+    // so the two BroadcastExchanges canonicalize identically and
+    // exchange reuse materializes a single copy (plan-pinned by
+    // DedupPlanSpec). The earlier shape — two separately-renamed
+    // projections — broadcast twice, holding ~2× setsBytesEst on the
+    // driver and every executor at the cap (the round-14 advisor
+    // finding); with reuse the 1.5 GB cap bounds what is actually
+    // resident.
+    val shared0 = hsets
+    val shared = if (bcast) broadcast(shared0) else shared0
+    cand
+      .join(shared.as("sa"), col("id_a") === col("sa.doc"))
+      .join(shared.as("sb"), col("id_b") === col("sb.doc"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double").as("__i"),
-        size(col("hs_a")).cast("double").as("__na"),
-        size(col("hs_b")).cast("double").as("__nb"))
+        size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("double").as("__i"),
+        size(col("sa.hs")).cast("double").as("__na"),
+        size(col("sb.hs")).cast("double").as("__nb"))
       .withColumn("jaccard", col("__i") / (col("__na") + col("__nb") - col("__i")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")

@@ -917,11 +917,17 @@ object Profile {
     * Σ(p >> 20) and Σ(p & 0xFFFFF) (two's-complement identity holds
     * for negatives), reconstructed exactly at closing as
     * DECIMAL(38,0) = 2^20·Σhi + Σlo. Both halves fit a long while
-    * n·max(v_i·v_j)/2^20 ≤ 8e18 — ~10^10 rows per group at lineitem
-    * magnitudes. The bound is GUARDED, not assumed: the closing
-    * select raises (assert_true) when the group's min/max/n admit a
-    * wrapped sum, or when any value overflowed the DECIMAL(18,2)
-    * input cast — never a silent wrong answer.
+    * n·max(v_i·v_j)/2^20 ≤ 8e18 AND n·2^20 ≤ 8e18 — the second bound
+    * is the LO half's own ceiling (each lo term is in [0, 2^20), so
+    * Σlo ≤ n·(2^20−1) regardless of magnitude; without it a
+    * small-magnitude group could pass the hi-side guard with n up to
+    * ~8e18 while Σlo wraps past n ≈ 8.8e12 — the round-14 advisor
+    * finding). Together they admit ~10^10 rows per group at lineitem
+    * magnitudes, ~7.6e12 at any magnitude. The bound is GUARDED, not
+    * assumed: the closing select raises (assert_true) when the
+    * group's min/max/n admit a wrapped sum, or when any value
+    * overflowed the DECIMAL(18,2) input cast — never a silent wrong
+    * answer.
     */
   private def scaledMomentAgg(df: DataFrame, groupCol: String,
                               cols: Seq[String],
@@ -956,12 +962,17 @@ object Profile {
     val m2 = maxAbsD * maxAbsD
     val ok = m2 <= lit(4.0e18) &&
       nD * (m2 / 1048576.0 + 1.0) <= lit(8.0e18) &&
+      // lo-half ceiling: Σ(p & 0xFFFFF) ≤ n·(2^20−1) independent of
+      // magnitude, so n itself must stay under 8e18/2^20 — the hi-side
+      // product bound alone admits lo-wrapping n at small magnitudes
+      nD * 1048576.0 <= lit(8.0e18) &&
       nD * maxAbsD <= lit(8.0e18) &&
       cols.indices.map(i => col(s"__c$i") === col("n")).reduce(_ && _)
     val guardedN = when(
       assert_true(ok, lit("scaledMomentAgg: group magnitudes admit a " +
-        "wrapped long moment (need |x·100| within DECIMAL(18,2) and " +
-        "n·max(x·100)²/2^20 <= 8e18) — rescale the inputs")).isNull,
+        "wrapped long moment (need |x·100| within DECIMAL(18,2), " +
+        "n·max(x·100)²/2^20 <= 8e18 and n·2^20 <= 8e18) — rescale " +
+        "the inputs or pre-aggregate the group")).isNull,
       col("n")).as("n")
     agg.select(col("__g") +: guardedN +:
       (cols.indices.flatMap(i => Seq(

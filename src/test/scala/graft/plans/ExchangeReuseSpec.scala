@@ -40,6 +40,48 @@ class ExchangeReuseSpec extends SparkSpec {
     } finally conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("prefixFilterPairs verification broadcasts the set table ONCE") {
+    // Both verification sides consume the SAME per-doc hashed-unit
+    // relation; since round 15 they join it through two subquery
+    // aliases over one broadcast frame, so the two BHJ builds must
+    // canonicalize equal and exchange reuse must materialize a single
+    // copy — the earlier two-projection shape broadcast twice, holding
+    // ~2x the size estimate on the driver and every executor at the
+    // 1.5 GB cap (round-14 advisor finding). AQE off so the reuse is
+    // visible in the static plan.
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val texts = Seq(
+        1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "the quick brown fox jumps over the lazy cat",
+        3L -> "the quick brown fox leaps over a lazy dog",
+        4L -> "completely unrelated text about database systems",
+        5L -> "the quick brown fox jumps over the lazy dog")
+      val d = spark.createDataFrame(
+        spark.sparkContext.parallelize(texts.map { case (i, t) => Row(i, t) }),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+      val pairs = Dedup.prefixFilterPairs(d, "text", "doc_id", minJaccard = 0.5)
+      pairs.count() should be > 0L
+      val plan = pairs.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+      def carriesHs(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) =
+        out.exists(_.name == "hs")
+      val built = plan.collect {
+        case b: BroadcastExchangeExec if carriesHs(b.output) => b }
+      val reused = plan.collect {
+        case r: ReusedExchangeExec if carriesHs(r.output) => r }
+      withClue(plan.toString.take(3000)) {
+        built.size shouldBe 1
+        reused.size shouldBe 1
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("two loads of the same replay options canonicalize equal") {
     def load() = spark.read.format("graft.sources.ReplaySource")
       .option("rows", 100L).option("partitions", 2).option("seed", 3).load()
