@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   * so one batch from fresh state equals `Dedup.embeddingNearDups`' +
   * components on the same rows with cosine verification disabled
   * (`minCosine = -1`).
+  *
+  * SIZE `planesPerBand` TO THE CORPUS: the band space holds 2^bits
+  * labels, so expected occupancy is n/2^bits and the intra-batch pair
+  * enumeration stays linear in n exactly when bits ≈ ceil(log2(n)) —
+  * a fixed width saturates past n ≈ 2^bits, turning the enumeration
+  * quadratic AND collapsing the screen into rejecting ~everything
+  * (every vector collides). Measured at the sf10 probe: 8-bit bands
+  * OOM at any heap and accept 2 of 200k vectors; 18-bit bands finish
+  * in 14.8 s at the default heap. BandOccupancySpec pins the math,
+  * PERF.md round 15 the measurements, `graft.EmbedDedupProbe` the
+  * harness.
   */
 object StreamingEmbedDedup {
 
