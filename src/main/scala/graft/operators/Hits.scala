@@ -23,7 +23,21 @@ import org.apache.spark.sql.functions._
   * Scale shape: per round, two (edge ⋈ score) shuffled joins + two hash
   * aggregates + two ONE-ROW max attachments (broadcast); the edge list
   * is checkpointed once and reused; per-round lineage is truncated and
-  * superseded frames freed, exactly as in PageRank.
+  * superseded frames freed, exactly as in PageRank. Two single-box
+  * memory disciplines on top (round-14 verdict task #4 — sf10 needed a
+  * 32 g heap before them):
+  *  - the EDGE list checkpoints DISK_ONLY: it is the corpus-scale
+  *    frame (58.7M rows at the sf10 probe ≈ many GB deserialized
+  *    on-heap), scanned once per half-step — sequential local-disk
+  *    reads cost little while freeing the heap for the join/agg
+  *    execution memory; the per-node score frames stay at the default
+  *    memory level (they are node-count-sized, not edge-count-sized).
+  *  - each half-step's raw inflow is checkpointed BEFORE the max is
+  *    taken, so the expensive (edge ⋈ score) join executes ONCE per
+  *    half-step — the earlier shape recomputed it for the max
+  *    attachment's broadcast subquery (4 edge joins per round instead
+  *    of 2) — and the superseded score frame is freed as soon as its
+  *    successor materializes, not at round end.
   */
 object Hits {
 
@@ -36,13 +50,19 @@ object Hits {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(unit >= 1000L, s"unit must be >= 1000, got $unit")
     val e = edges.select(col(hubCol).as("h"), col(authCol).as("a"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
-    def renorm(raw: DataFrame, key: String): DataFrame = {
+    def renorm(rawDf: DataFrame, key: String): DataFrame = {
+      // materialize the inflow ONCE: the max attachment's broadcast
+      // subquery would otherwise re-execute the (edge ⋈ score) join
+      val raw = rawDf.localCheckpoint(eager = true)
       val m = raw.agg(max(col("raw")).as("__m"))
-      raw.crossJoin(broadcast(m))
+      val out = raw.crossJoin(broadcast(m))
         .select(col(key), expr(s"raw * ${unit}L div __m").as("score"))
         .localCheckpoint(eager = true)
+      PageRank.freeCkpt(raw)
+      out
     }
 
     var auth = e.select(col("a")).distinct()
@@ -51,10 +71,12 @@ object Hits {
     for (_ <- 1 to iterations) {
       val hn = renorm(e.join(auth, "a").groupBy(col("h"))
         .agg(sum(col("score")).as("raw")), "h")
-      val an = renorm(e.join(hn, "h").groupBy(col("a"))
-        .agg(sum(col("score")).as("raw")), "a")
+      // the auth half-step consumes only e and hn — the frames they
+      // supersede are dead as soon as hn materializes
       if (hubs != null) PageRank.freeCkpt(hubs)
       PageRank.freeCkpt(auth)
+      val an = renorm(e.join(hn, "h").groupBy(col("a"))
+        .agg(sum(col("score")).as("raw")), "a")
       hubs = hn
       auth = an
     }

@@ -10,6 +10,15 @@ This tool walks that file's git history (plus the working-tree copy),
 lines the snapshots up per query, and flags any round-over-round move
 beyond --ratio (default 1.5x, either direction).
 
+Since round 15 the artifact also carries a "calib_sec" anchor: the
+median of three runs of a fixed DATA-INDEPENDENT workload timed at
+record time. When two snapshots both carry it, their medians are
+compared after dividing through the anchor ratio (calib_b/calib_a),
+so a slower/faster HOST between records no longer reads as a
+per-query move — the machine-normalizable protocol the round-14
+verdict asked for (the prose ratio-adjudication stays for snapshots
+predating the anchor).
+
 Since round 12 the artifact also carries the RAW per-run triples
 ("runs"). A flagged move is then CLASSIFIED: if the faster side's
 median is within ratio of the slower side's MINIMUM run, the move is
@@ -43,8 +52,9 @@ import sys
 
 
 def snapshot_from_obj(d):
-    """(medians, runs) from either bench-line or driver-wrapper JSON;
-    runs is {} when the snapshot predates the raw-triples artifact."""
+    """(medians, runs, calib) from either bench-line or driver-wrapper
+    JSON; runs is {} / calib is None when the snapshot predates those
+    artifact fields."""
     queries, runs = {}, {}
     if isinstance(d.get("queries"), dict) and d["queries"]:
         queries = {k: float(v) for k, v in d["queries"].items()}
@@ -59,7 +69,9 @@ def snapshot_from_obj(d):
     if isinstance(d.get("runs"), dict):
         runs = {k: [float(x) for x in v] for k, v in d["runs"].items()
                 if isinstance(v, list) and v}
-    return queries, runs
+    calib = d.get("calib_sec")
+    calib = float(calib) if isinstance(calib, (int, float)) and calib > 0 else None
+    return queries, runs, calib
 
 
 def load_file(path):
@@ -68,7 +80,7 @@ def load_file(path):
 
 
 def git_snapshots(depth):
-    """(label, medians, runs) for the last `depth` commits touching
+    """(label, medians, runs, calib) for the last `depth` commits touching
     BENCH_LOCAL.json, oldest first, plus the worktree copy if it
     differs from HEAD's."""
     log = subprocess.run(
@@ -82,12 +94,12 @@ def git_snapshots(depth):
             capture_output=True, text=True)
         if show.returncode != 0:
             continue
-        q, r = snapshot_from_obj(json.loads(show.stdout))
-        out.append((sha, q, r))
+        q, r, c = snapshot_from_obj(json.loads(show.stdout))
+        out.append((sha, q, r, c))
     try:
-        q, r = load_file("BENCH_LOCAL.json")
+        q, r, c = load_file("BENCH_LOCAL.json")
         if not out or (q, r) != (out[-1][1], out[-1][2]):
-            out.append(("worktree", q, r))
+            out.append(("worktree", q, r, c))
     except (OSError, json.JSONDecodeError):
         pass
     return out
@@ -133,19 +145,27 @@ def main():
         return 2
 
     flagged = []
-    for (la, qa, ra), (lb, qb, rb) in zip(snaps, snaps[1:]):
+    for (la, qa, ra, ca), (lb, qb, rb, cb) in zip(snaps, snaps[1:]):
+        # box normalization: divide the newer side through the anchor
+        # ratio so host drift between records cancels out of the move
+        factor = (cb / ca) if (ca and cb) else 1.0
+        if factor != 1.0:
+            print(f"box anchor {la} -> {lb}: calib {ca:.2f}s -> {cb:.2f}s "
+                  f"(normalizing {lb} medians by /{factor:.2f})")
         for name in sorted(set(qa) | set(qb)):
-            a, b = qa.get(name), qb.get(name)
-            if a is None or b is None:
+            a, b0 = qa.get(name), qb.get(name)
+            if a is None or b0 is None:
                 continue  # added/removed between rounds: shown in summary only
+            b = b0 / factor
             if max(a, b) < args.min_sec:
                 continue
             lo = max(min(a, b), 1e-9)
             r = max(a, b) / lo
             if r > args.ratio:
-                kind = classify(a, b, ra.get(name), rb.get(name), args.ratio)
+                runs_b = [x / factor for x in rb.get(name, [])] or None
+                kind = classify(a, b, ra.get(name), runs_b, args.ratio)
                 flagged.append((r, name, la, a, lb, b, kind,
-                                rb.get(name) if b > a else ra.get(name)))
+                                runs_b if b > a else ra.get(name)))
 
     labels = " -> ".join(s[0] for s in snaps)
     sizes = ", ".join(str(len(s[1])) for s in snaps)
