@@ -2044,15 +2044,25 @@ object SparkEntry {
 
     // rows-only check (binary media payloads have no SQL oracle): real
     // javax.imageio PNG decode + javax.sound WAV decode + RIFF/AVI
-    // MJPEG demux over a deterministic synthetic media table; content
-    // (decoded dims/rate/duration vs generated payloads) is pinned by
-    // MultimodalSpec
+    // MJPEG demux over a deterministic synthetic media table. GRADUATED
+    // to a real DuckDB oracle in round 15: every decode path still runs
+    // (PNG pixels, WAV frames, AVI demux + JPEG frames), and the
+    // projection keeps exactly the columns an engine WITHOUT the codecs
+    // can recompute from the generation recipe — PNG pixel stats are
+    // lossless (the gradient formula IS the decoded luminance), WAV
+    // PCM is a replayable LCG, AVI dims/duration are the avih header
+    // the generator wrote. What stays codec-private — deflate'd PNG
+    // byte sizes, lossy JPEG pixels — is NULLed here and remains
+    // content-pinned by MultimodalSpec, so the oracle checks decode
+    // CORRECTNESS, not encoder byte-for-byte artifacts.
     "q29_media_features" -> ((s, _) =>
       operators.Multimodal.extractFeatures(
           operators.Multimodal.syntheticMedia(s, 200), dims = 16, batchSize = 32)
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           col("sample_rate"), col("duration_ms"),
-          col("n_bytes"), round(element_at(col("features"), 1), 4).as("f0"))),
+          when(col("kind") === "audio", col("n_bytes")).as("wav_bytes"),
+          when(col("kind") =!= "video",
+            pround(element_at(col("features"), 1).cast("double"), 4)).as("f0"))),
 
     // rows-only: the DSv2 deterministic replay source feeding the full
     // snapshot chain — no files, rows derived from (seed, partition, i)
@@ -8821,6 +8831,67 @@ object SparkEntry {
           |    ELSE NULL
           |  END AS purchase_id
           |FROM b JOIN f USING (event_id)""".stripMargin,
+
+      // q29 is self-generating (no input table): the oracle REPLAYS the
+      // generation recipe and checks the DECODED values against it.
+      // java.util.Random(i)'s two nextInt(64) draws are the 48-bit LCG
+      // (x*25214903917+11 mod 2^48; nextInt of a power of two takes the
+      // top bits: (64*(seed>>17))>>31) — HUGEINT keeps the 2^82 products
+      // exact. PNG luminance is lossless, so bin-0 mass is the exact
+      // pixel-formula count ((x*31+y*17+7i) mod 256 < 16). WAV samples
+      // replay the 64-bit LCG under mod 2^64 (recursive CTE, one state
+      // step per sample; bin 0 = state < 2^60 since the emitted short is
+      // the state's top 16 bits). The float32 ratio is reproduced with
+      // REAL arithmetic before the portable pround. AVI dims/duration
+      // come straight from the generator's avih formulas. Codec-private
+      // bytes (deflate size, lossy JPEG pixels) are NULL on both sides.
+      "q29_media_features" ->
+        """WITH RECURSIVE ids AS (SELECT unnest(generate_series(0,199)) AS i),
+          |rnd AS (
+          |  SELECT i, (xor(CAST(i AS HUGEINT), 25214903917) % 281474976710656) AS s0 FROM ids),
+          |rnd1 AS (SELECT i, ((s0*25214903917+11) % 281474976710656) AS s1 FROM rnd),
+          |rnd2 AS (SELECT i, s1, ((s1*25214903917+11) % 281474976710656) AS s2 FROM rnd1),
+          |dims AS (SELECT i,
+          |    16 + CAST((64 * (s1 // 131072)) // 2147483648 AS INTEGER) AS w,
+          |    16 + CAST((64 * (s2 // 131072)) // 2147483648 AS INTEGER) AS h
+          |  FROM rnd2),
+          |px AS (
+          |  SELECT i, h, unnest(generate_series(0, w-1)) AS x
+          |  FROM dims WHERE i % 3 = 0),
+          |pxy AS (
+          |  SELECT i, x, unnest(generate_series(0, h-1)) AS y FROM px),
+          |pix AS (
+          |  SELECT i,
+          |    count(*) FILTER (WHERE ((x*31 + y*17 + i*7) % 256) < 16) AS c0,
+          |    count(*) AS n
+          |  FROM pxy GROUP BY i),
+          |lcg AS (
+          |  SELECT i, 0 AS k,
+          |    CAST(i AS HUGEINT)*2654435761 + 1 AS s,
+          |    16*40*(1 + i%5) AS n
+          |  FROM ids WHERE i % 3 = 1
+          |  UNION ALL
+          |  SELECT i, k+1, (s*6364136223846793005 + 1442695040888963407) % 18446744073709551616, n
+          |  FROM lcg WHERE k < n),
+          |aud AS (
+          |  SELECT i,
+          |    count(*) FILTER (WHERE s < 1152921504606846976) AS c0,
+          |    count(*) AS n
+          |  FROM lcg WHERE k >= 1 GROUP BY i)
+          |SELECT
+          |  CAST(d.i AS BIGINT) AS media_id,
+          |  CASE d.i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          |  CASE WHEN d.i % 3 = 1 THEN 0 ELSE d.w END AS width,
+          |  CASE WHEN d.i % 3 = 1 THEN 0 ELSE d.h END AS height,
+          |  CASE WHEN d.i % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
+          |  CAST(CASE d.i % 3 WHEN 0 THEN 0 WHEN 1 THEN 40*(1 + d.i%5)
+          |       ELSE 1000*(1 + d.i%5) END AS BIGINT) AS duration_ms,
+          |  CAST(CASE WHEN d.i % 3 = 1 THEN 44 + 2*16*40*(1 + d.i%5) END AS BIGINT) AS wav_bytes,
+          |  CASE WHEN d.i % 3 = 2 THEN NULL
+          |       ELSE floor(CAST(CAST(coalesce(p.c0, a.c0) AS REAL) /
+          |                       CAST(coalesce(p.n, a.n) AS REAL) AS DOUBLE)*10000 + 0.5)/10000
+          |  END AS f0
+          |FROM dims d LEFT JOIN pix p ON p.i = d.i LEFT JOIN aud a ON a.i = d.i""".stripMargin,
 
       "q30_lang_id" ->
         s"""WITH toks AS (

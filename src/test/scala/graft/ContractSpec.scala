@@ -11,14 +11,17 @@ import org.scalatest.matchers.should.Matchers
   */
 class ContractSpec extends AnyFunSuite with Matchers {
 
-  // the three long-sanctioned rows-only entries (content-gated in
-  // their specs; see VERDICT round 9): adding a THIRD requires
-  // updating this list deliberately. q34 GRADUATED in round 11 (the
-  // replayable spherical-Lloyd fit made its k-means oracle-able).
-  private val sanctionedRowsOnly = Set(
-    "q29_media_features", "q56_sketches")
+  // the long-sanctioned rows-only entries (content-gated in their
+  // specs; see VERDICT round 9): adding ANOTHER requires updating this
+  // list deliberately. q34 GRADUATED in round 11 (the replayable
+  // spherical-Lloyd fit made its k-means oracle-able); q29 GRADUATED
+  // in round 15 (the oracle replays the deterministic generation
+  // recipe — Random dims, PNG pixel formula, WAV LCG, AVI header —
+  // against the decoded values; only codec-private bytes stay
+  // spec-pinned).
+  private val sanctionedRowsOnly = Set("q56_sketches")
 
-  test("every oracle belongs to a query; only the sanctioned two lack one") {
+  test("every oracle belongs to a query; only the sanctioned one lacks one") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     withClue("orphan oracles (no matching query): ") {
