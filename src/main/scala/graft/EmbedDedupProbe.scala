@@ -67,7 +67,7 @@ object EmbedDedupProbe {
     val n = emb.count()
     val planesPerBand = args.lift(1) match {
       case Some("auto") | None =>
-        math.max(8, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)
+        streaming.StreamingEmbedDedup.planesPerBandFor(n)
       case Some(k) => k.toInt
     }
 

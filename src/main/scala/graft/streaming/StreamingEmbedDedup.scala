@@ -36,6 +36,18 @@ import org.apache.spark.sql.functions._
   */
 object StreamingEmbedDedup {
 
+  /** The corpus-sized band width: ceil(log2(n)) bits per band, floored
+    * at 8 (the pre-round-15 contract width) and capped at the 63-bit
+    * key limit. THE one definition — `graft.EmbedDedupProbe`'s `auto`
+    * mode and deployments size from here, so the measured sf10 row and
+    * the shipped sizing can never drift apart.
+    */
+  def planesPerBandFor(n: Long): Int = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    math.min(63, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))))
+  }
+
   /** Screen one batch. Pure — persists nothing.
     * @return (accepted rows, their band keys to commit on success)
     */

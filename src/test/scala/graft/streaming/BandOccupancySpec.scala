@@ -103,6 +103,23 @@ class BandOccupancySpec extends SparkSpec {
     pairsW should be < pairsN
   }
 
+  test("planesPerBandFor is ceil(log2(n)), floored at 8, capped at 63") {
+    // the ONE sizing definition (probe `auto` mode and deployments):
+    // pinned to the measured table in PERF.md round 15
+    StreamingEmbedDedup.planesPerBandFor(1L) shouldBe 8
+    StreamingEmbedDedup.planesPerBandFor(256L) shouldBe 8
+    StreamingEmbedDedup.planesPerBandFor(257L) shouldBe 9
+    StreamingEmbedDedup.planesPerBandFor(2000L) shouldBe 11      // sf0.1
+    StreamingEmbedDedup.planesPerBandFor(20000L) shouldBe 15     // sf1.0
+    StreamingEmbedDedup.planesPerBandFor(200000L) shouldBe 18    // sf10
+    StreamingEmbedDedup.planesPerBandFor(1L << 40) shouldBe 40   // ~1T vectors
+    StreamingEmbedDedup.planesPerBandFor(Long.MaxValue) shouldBe 63
+    // exact powers of two don't over-widen: 2^k keys need exactly k bits
+    StreamingEmbedDedup.planesPerBandFor(1L << 20) shouldBe 20
+    an[IllegalArgumentException] should be thrownBy
+      StreamingEmbedDedup.planesPerBandFor(0L)
+  }
+
   test("uniform-model arithmetic: the pair bound tracks C(n,2)/2^bits per band") {
     // the model the lever is sized by: E[Σ C(occ,2)] = C(n,2)/2^bits
     // for one band of uniform keys. Pin the measured bound to within
