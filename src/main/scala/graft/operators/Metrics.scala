@@ -635,18 +635,30 @@ object Metrics {
     *
     * Scale shape: one hash aggregate to (group, a, b) cells, two
     * vocabulary-bounded marginal aggregates equi-joined on (group,
-    * label), one closing per-group aggregate. No windows.
+    * label), one closing per-group aggregate. No windows. The
+    * null-label drop is applied ABOVE the checkpointed cell aggregate,
+    * not on the input: a label filter on the input gets substituted
+    * below the caller's projection (PushPredicateThroughNonJoin has no
+    * cost guard, and a filter on grouping columns pushes below the
+    * aggregate too) and re-evaluates expensive label expressions —
+    * q303 aliases a full lang-id scoring as `lang_pred`, and the
+    * upfront filter doubled its pipeline exactly as in [[fleissKappa]].
+    * Dropping null cells after grouping is equivalent: each input row
+    * lands in exactly one (a, b) cell, so removing null-labeled cells
+    * removes precisely the null-labeled rows from every downstream
+    * count.
     */
   def cohensKappa(df: DataFrame, groupCol: String, aCol: String,
                   bCol: String): DataFrame = {
     val cells = df
-      .filter(col(groupCol).isNotNull && col(aCol).isNotNull &&
-        col(bCol).isNotNull)
+      .filter(col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"), col(aCol).as("__a"),
         col(bCol).as("__b"))
       .groupBy(col("__g"), col("__a"), col("__b"))
       .agg(count(lit(1)).cast("long").as("__c"))
       .localCheckpoint(true)
+      // cheap plan over the checkpoint blocks — nothing to push into
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
     val per = cells.groupBy(col("__g"))
       .agg(sum(col("__c")).cast("long").as("n"),
         sum(when(col("__a") === col("__b"), col("__c"))
@@ -808,22 +820,41 @@ object Metrics {
     *
     * Scale shape: one explode to (group, item, rating), two hash
     * aggregates (per-item-category, then per-group), plus the
-    * category-total aggregate equi-joined on the group key.
+    * category-total aggregate equi-joined on the group key. The
+    * any-rater-null drop is enforced AFTER the per-item aggregate (a
+    * null rating survives the explode as a null row, and items owning
+    * one are anti-joined away on the tiny aggregated frame): a
+    * `rater.isNotNull` filter on the INPUT would be pushed below the
+    * caller's projection by predicate substitution and re-evaluate
+    * every rating expression once per conjunct — for q308's
+    * lang-id raters that alias full text scoring, the upfront filter
+    * measured 2.0–2.5× the whole pipeline at sf1.0 (the filter-side
+    * twin of the round-14 HOF re-inline trap: CollapseProject has a
+    * multi-ref cost guard, PushPredicateThroughNonJoin does not).
     */
   def fleissKappa(df: DataFrame, groupCol: String, itemCol: String,
                   ratingCols: Seq[String]): DataFrame = {
     require(ratingCols.size >= 2,
       s"fleissKappa needs >= 2 raters, got ${ratingCols.size}")
     val k = ratingCols.size
-    val cells = df
-      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull &&
-        ratingCols.map(col(_).isNotNull).reduce(_ && _))
+    // the ONE checkpoint sits BELOW the null screen so the expensive
+    // rating pipeline runs exactly once; bad + the anti-join are
+    // cheap plans over the checkpointed blocks (a broadcast of an
+    // un-checkpointed `bad` would re-execute the pipeline to build it
+    // — the q215 renorm trap)
+    val cells0 = df
+      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
       .select(col(groupCol).as("__g"), col(itemCol).as("__i"),
         explode(array(ratingCols.map(col(_).cast("string")): _*))
           .as("__r"))
       .groupBy(col("__g"), col("__i"), col("__r"))
       .agg(count(lit(1)).cast("long").as("__c"))
       .localCheckpoint(true)
+    // items with ANY null rating (usually none): broadcast anti-join
+    // on the aggregated frame — ≤ k+1 rows per item, no text in sight
+    val bad = cells0.filter(col("__r").isNull)
+      .select(col("__g"), col("__i")).distinct()
+    val cells = cells0.join(broadcast(bad), Seq("__g", "__i"), "left_anti")
     val per = cells.groupBy(col("__g"))
       .agg((sum(col("__c")).cast("decimal(38,0)") / lit(k))
         .cast("long").as("n_items"),
