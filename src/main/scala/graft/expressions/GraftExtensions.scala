@@ -154,4 +154,8 @@ object GraftFunctions {
   /** Typed handle on the native character-distribution stats. */
   def charStats(text: Column): Column =
     ColumnBridge.column(CharStats(ColumnBridge.expression(text)))
+
+  /** Typed handle on the native quantized-outer-product expression. */
+  def quantizedOuterFlat(v: Column, scale: Long): Column =
+    ColumnBridge.column(QuantizedOuterFlat(ColumnBridge.expression(v), scale))
 }
