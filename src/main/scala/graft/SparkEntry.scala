@@ -3124,6 +3124,11 @@ object SparkEntry {
     // multi-supplier order — the EXISTS/NOT-EXISTS pair restated as
     // two hash aggregates over (order, supplier) lateness flags; no
     // correlated re-scans of lineitem
+    // Round 15: the per-order qualifier (>= 2 suppliers, exactly one
+    // late) is a WINDOW over the per-(order, supplier) aggregate, not
+    // a second aggregate + semi-join — the old shape consumed `ps` in
+    // two branches, so the lineitem⋈orders join + aggregate reduced
+    // twice and the semi-join added an exchange; same rows out.
     "q206_sole_late_supplier" -> ((s, d) => {
       val ps = t(s, d, "lineitem")
         .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
@@ -3132,12 +3137,12 @@ object SparkEntry {
         .agg(max(when(col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 45 DAYS"), 1L).otherwise(0L))
           .as("__late"))
-      val po = ps.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("__ns"), sum(col("__late")).as("__nl"))
-        .filter(col("__ns") >= 2 && col("__nl") === 1)
-        .select(col("l_orderkey"))
-      ps.filter(col("__late") === 1L)
-        .join(po, "l_orderkey", "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      ps.withColumn("__ns", count(lit(1)).over(w))
+        .withColumn("__nl", sum(col("__late")).over(w))
+        .filter(col("__ns") >= 2 && col("__nl") === 1 &&
+          col("__late") === 1L)
         .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).cast("long").as("n_orders"))
@@ -3708,8 +3713,16 @@ object SparkEntry {
 
     // order-to-ship lead-time SLA: exact p50/p90/p99 of shipping days
     // through the bucketed-rank quantile path on a join output
+    // Round 15: the value domain is INTEGER days spanning ~a year, so
+    // the join output reduces to a (value, count) table of a few
+    // hundred rows in ONE pass — exactQuantiles would re-execute the
+    // lineitem⋈orders join on every pass (counts + refinement + rank:
+    // 3 executions; its snapshot contract re-reads the input).
+    // quantilesFromCounts shares the R-7 positions + interpolation, so
+    // the output is bit-identical; the checkpoint bounds the reduced
+    // table (≤ |day vocabulary| rows), never the join.
     "q277_lead_time" -> ((s, d) =>
-      operators.Metrics.exactQuantiles(
+      operators.Metrics.quantilesFromCounts(
         t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_shipdate"))
           .join(t(s, d, "orders")
@@ -3720,8 +3733,11 @@ object SparkEntry {
           .select((expr("unix_micros(cast(l_shipdate as timestamp)) " +
             "div 86400000000") -
             expr("unix_micros(cast(o_orderdate as timestamp)) " +
-              "div 86400000000")).as("lead_days")),
-        "lead_days", Seq(0.5, 0.9, 0.99), bucketWidth = 8.0)),
+              "div 86400000000")).as("lead_days"))
+          .groupBy(col("lead_days"))
+          .agg(count(lit(1)).cast("long").as("__c"))
+          .localCheckpoint(true),
+        "lead_days", "__c", Seq(0.5, 0.9, 0.99), bucketWidth = 8.0)),
 
     // revenue concentration card: share of total order value held by
     // the top 1% / 5% / 10% of customers — the Lorenz/whale view,

@@ -241,13 +241,30 @@ object Bootstrap {
     * unbiased md5 coin and recomputes the difference of means; the
     * Monte-Carlo p-value is (1 + #{|d_b| >= |d_obs|})/(1 + B_used),
     * where replicates with an empty arm (tiny groups only) are
-    * dropped. One fanned scan, then per-group arithmetic on
-    * (group × reps) rows of sums. A replicate coin is ONE bit, so the
-    * 48-bit digest prefix carries 48 replicate coins: replicate b's
-    * label is bit (b mod 48) of md5("tag|(b div 48)|key") — for the
-    * default 32 replicates that is ONE md5 per row instead of 32, and
-    * bit extraction (shiftright + mask on a nonnegative 48-bit
-    * integer) is exact and identical in every engine.
+    * dropped. A replicate coin is ONE bit, so the 48-bit digest prefix
+    * carries 48 replicate coins: replicate b's label is bit (b mod 48)
+    * of md5("tag|(b div 48)|key") — for the default 32 replicates that
+    * is ONE md5 per row, and bit extraction (shiftright + mask on a
+    * nonnegative 48-bit integer) is exact and identical in every
+    * engine.
+    *
+    * Shape (round 15): the per-replicate sums PIVOT into 2·reps
+    * conditional aggregate columns of ONE per-group hash aggregate —
+    * the earlier form exploded every row reps× through the aggregate,
+    * so the heavy stage hashed/probed reps× the input rows and summed
+    * wide decimals per exploded row. Now each row updates 2·reps long
+    * buffers in place inside whole-stage codegen, and the replicate
+    * axis is re-expanded AFTER aggregation by exploding an array of
+    * (b, nb, sb) structs over the (few) group rows. The value sums
+    * accumulate as exact ×100-scaled longs (the DECIMAL(18,2) cast
+    * made explicit — a >18-precision decimal sum leaves Spark's
+    * compact-long fast path; the q346 lesson), GUARDED not assumed:
+    * the closing select raises via assert_true folded into the
+    * consumed `n` when n·max|cents| could push any sum past 2^53 —
+    * under that bound the long→double→/100.0 chain is correctly
+    * rounded and bit-identical to the old decimal→double cast (~10^12
+    * rows/group at 2-decimal magnitudes ~10^2; shard the analysis or
+    * pre-aggregate past that — never a silent wrong answer).
     *
     * Output: group, n, n1, d_obs, reps_used, n_extreme, p_value.
     */
@@ -255,43 +272,64 @@ object Bootstrap {
                         armCol: String, valCol: String, reps: Int = 32,
                         tag: String = "rt"): DataFrame = {
     require(reps >= 8 && reps <= 128, s"reps must be in [8,128]: $reps")
-    val x = col(valCol).cast("decimal(18,2)")
-    def diff(n1c: Column, s1c: Column, nc: Column, sc: Column): Column =
-      p6(s1c.cast("double") / n1c.cast("double") -
-        (sc - s1c).cast("double") / (nc - n1c).cast("double"))
-    // same explode-then-aggregate shape as poissonReplicateSums: the
-    // observed-arm sums ride along in every (group, b) cell (they are
-    // identical across b), so one scan still covers everything; the
-    // digest explode comes FIRST so the md5 evaluates once per
-    // (row, digest), not once per (row, replicate)
+    // exact cents: DECIMAL(18,2) holds value·100 as an integer; the
+    // long cast truncates the exact decimal, so it IS that integer
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
     val nDig = (reps + 47) / 48
-    val fullBits = typedLit((0L until 48L).toSeq)
-    val lastBits = typedLit((0L until (reps - 48L * (nDig - 1))).toSeq)
-    val digests = df
-      .select(col(groupCol), col(keyCol).as("__k"),
-        col(armCol).cast("long").as("__arm"), x.as("__x"),
-        explode(typedLit((0 until nDig).map(_.toLong))).as("__j"))
-      .withColumn("__h", conv(substring(md5(concat_ws("|", lit(tag),
-        col("__j").cast("string"), col("__k").cast("string"))), 1, 12),
-        16, 10).cast("long"))
-    val exploded = digests
-      .select(col(groupCol), col("__arm"), col("__x"), col("__j"),
-        col("__h"),
-        explode(when(col("__j") === lit((nDig - 1).toLong), lastBits)
-          .otherwise(fullBits)).as("__i"))
-      .withColumn("b", col("__j") * lit(48L) + col("__i"))
-      .withColumn("__lab",
-        expr("shiftright(__h, CAST(__i AS INT)) & 1").cast("long"))
-    val rep = exploded.groupBy(col(groupCol), col("b"))
-      .agg(count(lit(1)).cast("long").as("n"),
+    val hCols = (0 until nDig).map { j =>
+      conv(substring(md5(concat_ws("|", lit(tag), lit(j.toString),
+        col(keyCol).cast("string"))), 1, 12), 16, 10)
+        .cast("long").as(s"__h$j")
+    }
+    val base = df.select(Seq(col(groupCol),
+      col(armCol).cast("long").as("__arm"), cents.as("__c")) ++ hCols: _*)
+    // replicate b's coin: bit (b mod 48) of digest (b div 48) — the
+    // same bit the exploded form read via shiftright(__h, __i) & 1
+    def coin(b: Int): Column =
+      shiftright(col(s"__h${b / 48}"), b % 48).bitwiseAND(lit(1L))
+    val aggs =
+      Seq(count(lit(1)).cast("long").as("n"),
         sum(col("__arm")).cast("long").as("n1"),
-        sum(col("__x")).cast("decimal(38,2)").as("sx"),
-        sum(col("__arm") * col("__x")).cast("decimal(38,2)").as("sx1"),
-        sum(col("__lab")).cast("long").as("nb"),
-        sum(col("__lab") * col("__x")).cast("decimal(38,2)").as("sb"))
-      .withColumn("d_obs", diff(col("n1"), col("sx1"), col("n"), col("sx")))
+        sum(col("__c")).as("__sx"),
+        sum(col("__arm") * col("__c")).as("__sx1"),
+        max(abs(col("__c"))).as("__ma")) ++
+      (0 until reps).flatMap { b =>
+        Seq(sum(coin(b)).cast("long").as(s"__nb$b"),
+          sum(coin(b) * col("__c")).as(s"__sb$b"))
+      }
+    val piv = base.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    // overflow guard, folded into the consumed `n` so Catalyst cannot
+    // prune it: n·max|c| bounds every sum (and each partial) of cents,
+    // and below 2^53 the long→double conversion is exact, making
+    // double(sum)/100.0 the one correctly-rounded step the decimal
+    // path also took. 8.0e15 keeps >11% margin under 2^53.
+    val ok = col("__ma").isNull ||
+      col("n").cast("double") * col("__ma").cast("double") <= lit(8.0e15)
+    val guardedN = when(assert_true(ok,
+      lit("randomizationTest: group admits a cents sum past 2^53 " +
+        "(need n·max|value·100| <= 8e15) — shard the analysis or " +
+        "pre-aggregate the group")).isNull, col("n")).as("n")
+    val repArr = array((0 until reps).map(b =>
+      struct(lit(b.toLong).as("b"), col(s"__nb$b").as("nb"),
+        col(s"__sb$b").as("sb"))): _*)
+    // cents→double/100.0 reproduces the decimal(38,2)→double cast
+    // bit-for-bit under the guard (long exact below 2^53, division by
+    // 100.0 correctly rounded), so the closing double chain and p6 are
+    // unchanged
+    def diff(n1c: Column, s1c: Column, nc: Column, sc: Column): Column =
+      p6(s1c.cast("double") / 100.0 / n1c.cast("double") -
+        (sc - s1c).cast("double") / 100.0 / (nc - n1c).cast("double"))
+    val rep = piv
+      .select(col(groupCol), guardedN, col("n1"), col("__sx"),
+        col("__sx1"), explode(repArr).as("__r"))
+      .select(col(groupCol), col("n"), col("n1"), col("__sx"),
+        col("__sx1"), col("__r").getField("b").as("b"),
+        col("__r").getField("nb").as("nb"),
+        col("__r").getField("sb").as("sb"))
+      .withColumn("d_obs",
+        diff(col("n1"), col("__sx1"), col("n"), col("__sx")))
       .where(col("nb") > 0L && col("nb") < col("n"))
-      .withColumn("d_b", diff(col("nb"), col("sb"), col("n"), col("sx")))
+      .withColumn("d_b", diff(col("nb"), col("sb"), col("n"), col("__sx")))
     rep.groupBy(col(groupCol))
       .agg(max(col("n")).as("n"), max(col("n1")).as("n1"),
         max(col("d_obs")).as("d_obs"),

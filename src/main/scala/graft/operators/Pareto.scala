@@ -41,6 +41,11 @@ object Pareto {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     val spark = df.sparkSession
     import spark.implicits._
+    // checkpointed: the per-key table is executed TWICE (the driver's
+    // bucket-offset collect, then the windowed prefix query) — without
+    // it each execution re-runs the full fact scan + key aggregate.
+    // The materialized frame is one row per KEY (the window's input
+    // either way), never the fact table.
     val perKey = df
       .filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("__k"))
@@ -48,6 +53,11 @@ object Pareto {
       .filter(col("__v").isNotNull)
       .withColumn("__b",
         floor(col("__v").cast("double") / bucketWidth).cast("long"))
+      // lazy: the btot collect right below is the FIRST action, so it
+      // materializes the blocks as a side effect — an eager checkpoint
+      // would run the aggregate as an extra SERIAL job before any
+      // sibling branch (e.g. q269's xyz) could overlap with it
+      .localCheckpoint(false)
     val btot = perKey.groupBy(col("__b"))
       .agg(sum(col("__v")).cast("decimal(18,2)").as("__s"))
       .collect()
@@ -105,12 +115,15 @@ object Pareto {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     val spark = df.sparkSession
     import spark.implicits._
+    // checkpointed for the same two-consumer reason as
+    // [[abcClassification]]'s per-key frame
     val perKey = df
       .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(keyCol).as("__k"))
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__v"))
       .withColumn("__b",
         floor((-col("__v")).cast("double") / lit(bucketWidth)).cast("long"))
+      .localCheckpoint(false)
     val btot = perKey.groupBy(col("__b"))
       .agg(count(lit(1)).cast("long").as("__n"),
         sum(col("__v")).as("__s"))
@@ -337,9 +350,10 @@ object Pareto {
                         valueCol: String, xMax: Double = 0.5,
                         yMax: Double = 1.0): DataFrame = {
     require(xMax > 0 && yMax > xMax, s"need 0 < xMax < yMax: $xMax, $yMax")
-    val per = df
+    val filtered = df
       .filter(col(keyCol).isNotNull && col(periodCol).isNotNull &&
         col(valueCol).isNotNull)
+    val per = filtered
       .groupBy(col(keyCol).as("__k"), col(periodCol).as("__p"))
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__q"))
     val m = per.agg(count_distinct(col("__p")).cast("long").as("__m"))

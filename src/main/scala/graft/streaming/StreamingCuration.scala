@@ -165,17 +165,25 @@ object StreamingCuration {
     val hashed = gated.withColumn("__h", md5(lower(col(textCol))))
     val knownHashes = graft.sources.PathIO.readParquetOrEmpty(
       spark, s"$statePath/exact", hashed.select(col("__h")).limit(0))
-    val minPerHash = hashed.groupBy("__h").agg(min(col(idCol)).as("__min_id"))
     // checkpoint: this subtree (gates + hash anti-join + keep-first) is
     // read by THREE consumers — the band-key materialization, the
     // accepted anti-join, and the hash commit — and would re-run per
     // consumer otherwise (the same one-pass discipline as the batch
-    // pipeline's persisted exact stage, minus the cache-leak hazard)
+    // pipeline's persisted exact stage, minus the cache-leak hazard).
+    // Keep-first is the row_number window over the hash — the SAME
+    // formulation (and survivor policy) as the batch pipeline's
+    // Dedup.dropExactDups. The earlier min-per-hash self-join shape
+    // consumed `hashed` in TWO join branches, so the quality/LID gate
+    // expressions and the md5 re-evaluated over every doc per branch
+    // and the corpus crossed two exchanges; one window pass evaluates
+    // the gates once and exchanges the batch once.
     val exact = hashed
       .join(knownHashes, Seq("__h"), "left_anti")
-      .join(minPerHash, Seq("__h"))
-      .filter(col(idCol) === col("__min_id"))
-      .drop("__min_id")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__h")).orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
       .localCheckpoint(true)
 
     // ---- near dedup: shared batch/stream band-key screen ----

@@ -225,6 +225,73 @@ class BootstrapSpec extends SparkSpec {
     rn.getAs[Double]("p_value") should be > 0.1
   }
 
+  test("randomizationTest pivot equals the exploded per-replicate form " +
+    "on groups with nulls, negatives, and a >48-rep digest rollover") {
+    // mixed fixture: several groups, negative values, a null value, a
+    // null arm, a null key, and reps = 50 so replicate 48/49 read the
+    // SECOND digest (the b div 48 rollover the pivot must reproduce)
+    val rows: Seq[(String, String, java.lang.Long, java.lang.Double)] =
+      (1 to 120).map { i =>
+        val g = s"g${i % 3}"
+        val arm: java.lang.Long = if (i % 5 == 0) null else (i % 2).toLong
+        val x: java.lang.Double =
+          if (i % 17 == 0) null else (i % 29 - 14) * 1.25
+        (g, if (i == 7) null else i.toString, arm, x)
+      }
+    val df = rows.toDF("g", "k", "arm", "x")
+    val fast = Bootstrap.randomizationTest(df, "g", "k", "arm", "x",
+      reps = 50).collect().map(r => r.getString(0) -> r).toMap
+    // driver reference: the pre-round-15 exploded semantics, replayed
+    // per (group, replicate) over BigDecimal sums
+    for ((g, grp) <- rows.groupBy(_._1)) {
+      val n = grp.size.toLong
+      val n1 = grp.flatMap(t => Option(t._3).map(_.toLong)).sum
+      val xs = grp.map(t => Option(t._4).map(d => d2(d)))
+      val sx = xs.flatten.reduce(_ add _)
+      val sx1 = grp.collect {
+        case (_, _, a, x) if a != null && x != null =>
+          d2(x).multiply(JBD.valueOf(a.toLong))
+      }.reduce(_ add _)
+      def diff(nb: Long, sb: JBD): Double =
+        p6d(sb.doubleValue / nb -
+          sx.subtract(sb).doubleValue / (n - nb))
+      val dObs = diff(n1, sx1)
+      // concat_ws SKIPS a null key, so its digest input is "rt|j"
+      // with no trailing separator — the mirror must match that
+      def coinN(b: Int, key: String): Long = {
+        val s = if (key == null) s"rt|${b / 48}" else s"rt|${b / 48}|$key"
+        val h = java.lang.Long.parseLong(md5hex(s).substring(0, 12), 16)
+        (h >> (b % 48)) & 1L
+      }
+      val reps = (0 until 50).flatMap { b =>
+        val lab = grp.map(t => (coinN(b, t._2), t._4))
+        val nb = lab.map(_._1).sum
+        if (nb == 0L || nb == n) None
+        else {
+          val sb = lab.collect { case (1L, x) if x != null => d2(x) }
+            .foldLeft(JBD.ZERO)(_ add _)
+          Some(diff(nb, sb))
+        }
+      }
+      val nExtreme = reps.count(db => math.abs(db) >= math.abs(dObs))
+      val r = fast(g)
+      r.getAs[Long]("n") shouldBe n
+      r.getAs[Long]("n1") shouldBe n1
+      r.getAs[Double]("d_obs") shouldBe dObs
+      r.getAs[Long]("reps_used") shouldBe reps.size.toLong
+      r.getAs[Long]("n_extreme") shouldBe nExtreme.toLong
+    }
+  }
+
+  test("randomizationTest raises on a group whose cents sum could pass 2^53") {
+    val df = Seq(("g", "a", 1L, 9.0e13), ("g", "b", 0L, 9.0e13))
+      .toDF("g", "k", "arm", "x")
+    val e = intercept[Exception] {
+      Bootstrap.randomizationTest(df, "g", "k", "arm", "x").collect()
+    }
+    e.getMessage should include("randomizationTest")
+  }
+
   test("randomizationTest d_obs is the exact two-arm mean difference") {
     val df = Seq(("g", "a", 1L, 10.0), ("g", "b", 1L, 14.0),
       ("g", "c", 0L, 3.0), ("g", "d", 0L, 5.0))
